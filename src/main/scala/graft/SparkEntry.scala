@@ -1,10 +1,10 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.functions.{HashFunctions, VectorFunctions => V}
-import graft.operators.TopK
+import graft.functions.{HashFunctions, TextFunctions => T, VectorFunctions => V}
+import graft.operators.{AsofJoin, TopK}
 import graft.sources.Tables
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -12,8 +12,9 @@ import graft.sources.Tables
   * Every entry in `queries` is an operator from SURVEY.md §2 (or a
   * north-star extension) expressed through the graft library; `oracleSql`
   * holds the DuckDB-equivalent ANSI SQL the driver hash-compares against.
-  * Float outputs are rounded (in BOTH engines) so double-precision
-  * summation-order differences can't flip the hash.
+  * Float outputs produced by arithmetic are rounded (in BOTH engines) so
+  * double summation-order differences can't flip the hash; raw parquet
+  * doubles pass through un-rounded (bit-identical in both engines).
   */
 object SparkEntry {
 
@@ -24,15 +25,20 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     queries("q_topk_cosine")(spark, "/root/testdata/sf0.001")
 
-  // ---------------------------------------------------------------- queries
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    vectorQueries ++ relationalQueries ++ eventsQueries ++ textQueries
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  def oracleSql: Map[String, String] =
+    vectorOracles ++ relationalOracles ++ eventsOracles ++ textOracles
+
+  // ======================================================= vector workload
+
+  private def vectorQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // O4+O6+O7: full-scan cosine top-k — the reference's core search path.
-    // Query vector = embeddings row vec_id=0 (self-contained). The 1-row
-    // query side is broadcast; scoring is a codegen'd higher-order
-    // expression; orderBy+limit plans as TakeOrderedAndProject
-    // (per-partition heap + driver merge = shard/coordinator two-phase).
+    // 1-row query side broadcast; scoring via codegen'd higher-order exprs;
+    // orderBy+limit plans as TakeOrderedAndProject (per-partition heap +
+    // driver merge = the reference's shard/coordinator two-phase top-k).
     "q_topk_cosine" -> ((s, dir) => {
       import s.implicits._
       val e = t(s, dir, "embeddings")
@@ -55,8 +61,7 @@ object SparkEntry {
         .select($"vec_id", round($"c", 6).as("score"))
     }),
 
-    // O3: ingest-time L2 normalization invariant — per-row norm before and
-    // after normalize (after must be 1 for non-degenerate rows).
+    // O3: ingest-time L2 normalization invariant.
     "q_normalize" -> ((s, dir) => {
       import s.implicits._
       t(s, dir, "embeddings")
@@ -67,7 +72,7 @@ object SparkEntry {
     }),
 
     // O1: routed write placement — exact md5-mod-N shard replica
-    // (coordinator/main.py:43-45), N=8; distribution per shard.
+    // (coordinator/main.py:43-45), N=8.
     "q_shard_route" -> ((s, dir) => {
       import s.implicits._
       t(s, dir, "embeddings")
@@ -76,7 +81,7 @@ object SparkEntry {
         .orderBy($"shard")
     }),
 
-    // O9 count/health analogue: rows per label class.
+    // O9 count/health analogue.
     "q_count_by_label" -> ((s, dir) => {
       import s.implicits._
       t(s, dir, "embeddings")
@@ -84,25 +89,21 @@ object SparkEntry {
         .orderBy($"label")
     }),
 
-    // Extension (SURVEY §2.2 aggregations): TPC-H Q1-style pricing summary.
-    "q1_agg" -> ((s, dir) => {
+    // Metadata-filtered search — the capability the reference's dropped
+    // `meta` field gestures at (SURVEY §2.2): filter BEFORE scoring so
+    // Catalyst prunes the scan.
+    "q_filtered_topk" -> ((s, dir) => {
       import s.implicits._
-      t(s, dir, "lineitem")
-        .groupBy($"l_returnflag", $"l_linestatus")
-        .agg(
-          round(sum($"l_quantity"), 2).as("sum_qty"),
-          round(sum($"l_extendedprice"), 2).as("sum_base_price"),
-          round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2).as("sum_disc_price"),
-          round(avg($"l_quantity"), 4).as("avg_qty"),
-          round(avg($"l_discount"), 4).as("avg_disc"),
-          count(lit(1)).as("count_order"))
-        .orderBy($"l_returnflag", $"l_linestatus")
+      val e = t(s, dir, "embeddings")
+      val q = e.filter($"vec_id" === 3).select($"embedding".as("qe"))
+      val scored = e.filter($"label" === 5).crossJoin(broadcast(q))
+        .withColumn("c", V.cosine($"embedding", $"qe"))
+      TopK.topK(scored, $"c", $"vec_id", 5)
+        .select($"vec_id", $"label", round($"c", 6).as("score"))
     })
   )
 
-  // ---------------------------------------------------------------- oracles
-
-  def oracleSql: Map[String, String] = Map(
+  private def vectorOracles: Map[String, String] = Map(
 
     "q_topk_cosine" ->
       """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
@@ -159,6 +160,109 @@ object SparkEntry {
     "q_count_by_label" ->
       "SELECT label, COUNT(*) AS n FROM embeddings GROUP BY label ORDER BY label",
 
+    "q_filtered_topk" ->
+      """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 3),
+        |pairs AS (
+        |  SELECT e.vec_id, e.label, unnest(e.embedding)::DOUBLE AS x, unnest(q.qe)::DOUBLE AS y
+        |  FROM embeddings e CROSS JOIN q WHERE e.label = 5),
+        |agg AS (
+        |  SELECT vec_id, label, SUM(x*y) AS dp, SUM(x*x) AS nx2, SUM(y*y) AS ny2
+        |  FROM pairs GROUP BY vec_id, label),
+        |sc AS (
+        |  SELECT vec_id, label,
+        |         dp / (GREATEST(SQRT(nx2), 1e-12) * GREATEST(SQRT(ny2), 1e-12)) AS c
+        |  FROM agg)
+        |SELECT vec_id, label, ROUND(c, 6) AS score
+        |FROM sc ORDER BY c DESC, vec_id LIMIT 5""".stripMargin
+  )
+
+  // ======================================================== relational ops
+
+  private def relationalQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Aggregation sweep (SURVEY §2.2): TPC-H Q1-style pricing summary.
+    "q1_agg" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "lineitem")
+        .groupBy($"l_returnflag", $"l_linestatus")
+        .agg(
+          round(sum($"l_quantity"), 2).as("sum_qty"),
+          round(sum($"l_extendedprice"), 2).as("sum_base_price"),
+          round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2).as("sum_disc_price"),
+          round(avg($"l_quantity"), 4).as("avg_qty"),
+          round(avg($"l_discount"), 4).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy($"l_returnflag", $"l_linestatus")
+    }),
+
+    // Multi-way join with broadcast dims (TPC-H Q5-flavored): revenue per
+    // nation in ASIA, 1996-1998. nation/region are broadcast; the big
+    // lineitem⋈orders join shuffles on orderkey only.
+    "q5_join" -> ((s, dir) => {
+      import s.implicits._
+      val li = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders").filter(year($"o_orderdate").between(1996, 1998))
+      val c = t(s, dir, "customer")
+      val n = t(s, dir, "nation")
+      val r = t(s, dir, "region").filter($"r_name" === "ASIA")
+      li.join(o, $"l_orderkey" === $"o_orderkey")
+        .join(c, $"o_custkey" === $"c_custkey")
+        .join(broadcast(n), $"c_nationkey" === $"n_nationkey")
+        .join(broadcast(r), $"n_regionkey" === $"r_regionkey")
+        .groupBy($"n_name")
+        .agg(round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy($"revenue".desc, $"n_name")
+    }),
+
+    // Window ranking: top-3 orders per customer (O6 per-key top-k idiom).
+    "q_window_topk" -> ((s, dir) => {
+      import s.implicits._
+      val o = t(s, dir, "orders")
+      TopK.topKPerKey(o, Seq($"o_custkey"), $"o_totalprice", $"o_orderkey", 3)
+        .select($"o_custkey", $"o_orderkey", $"o_totalprice")
+        .orderBy($"o_custkey", $"o_totalprice".desc, $"o_orderkey")
+    }),
+
+    // Left-semi join (EXISTS): segments of customers with ≥1 order in 2000.
+    "q_semi_join" -> ((s, dir) => {
+      import s.implicits._
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders").filter(year($"o_orderdate") === 2000)
+      c.join(o, $"c_custkey" === $"o_custkey", "left_semi")
+        .groupBy($"c_mktsegment").agg(count(lit(1)).as("n"))
+        .orderBy($"c_mktsegment")
+    }),
+
+    // Left-anti join (NOT EXISTS): customers with no orders in 2001.
+    "q_anti_join" -> ((s, dir) => {
+      import s.implicits._
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders").filter(year($"o_orderdate") === 2001)
+      c.join(o, $"c_custkey" === $"o_custkey", "left_anti")
+        .select($"c_custkey").orderBy($"c_custkey")
+    }),
+
+    // Hierarchical aggregation: ROLLUP(returnflag, linestatus).
+    "q_rollup" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "lineitem")
+        .rollup($"l_returnflag", $"l_linestatus")
+        .agg(round(sum($"l_quantity"), 2).as("sum_qty"), count(lit(1)).as("n"))
+        .orderBy($"l_returnflag".asc_nulls_first, $"l_linestatus".asc_nulls_first)
+    }),
+
+    // Set operations: INTERSECT ∪ EXCEPT over customer/supplier nations.
+    "q_setops" -> ((s, dir) => {
+      import s.implicits._
+      val cn = t(s, dir, "customer").select($"c_nationkey".as("nk"))
+      val sn = t(s, dir, "supplier").select($"s_nationkey".as("nk"))
+      cn.intersect(sn).union(cn.except(sn)).orderBy($"nk")
+    })
+  )
+
+  private def relationalOracles: Map[String, String] = Map(
+
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  ROUND(SUM(l_quantity), 2) AS sum_qty,
@@ -169,6 +273,348 @@ object SparkEntry {
         |  COUNT(*) AS count_order
         |FROM lineitem
         |GROUP BY l_returnflag, l_linestatus
-        |ORDER BY l_returnflag, l_linestatus""".stripMargin
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q5_join" ->
+      """SELECT n_name,
+        |  ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+        |  COUNT(*) AS n_items
+        |FROM lineitem
+        |JOIN orders   ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation   ON c_nationkey = n_nationkey
+        |JOIN region   ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA' AND year(o_orderdate) BETWEEN 1996 AND 1998
+        |GROUP BY n_name
+        |ORDER BY revenue DESC, n_name""".stripMargin,
+
+    "q_window_topk" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |         row_number() OVER (PARTITION BY o_custkey
+        |                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders) WHERE rn <= 3
+        |ORDER BY o_custkey, o_totalprice DESC, o_orderkey""".stripMargin,
+
+    "q_semi_join" ->
+      """SELECT c_mktsegment, COUNT(*) AS n FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND year(o_orderdate) = 2000)
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "q_anti_join" ->
+      """SELECT c_custkey FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND year(o_orderdate) = 2001)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  ROUND(SUM(l_quantity), 2) AS sum_qty, COUNT(*) AS n
+        |FROM lineitem
+        |GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+
+    "q_setops" ->
+      """SELECT nk FROM (
+        |  (SELECT c_nationkey AS nk FROM customer
+        |   INTERSECT
+        |   SELECT s_nationkey AS nk FROM supplier)
+        |  UNION ALL
+        |  (SELECT c_nationkey AS nk FROM customer
+        |   EXCEPT
+        |   SELECT s_nationkey AS nk FROM supplier)
+        |) ORDER BY nk""".stripMargin
+  )
+
+  // ===================================================== events / temporal
+
+  private def eventsQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // O10 analogue: fixed-bucket histogram (the reference's Prometheus
+    // latency histogram as a bucketed count agg).
+    "q_histogram" -> ((s, dir) => {
+      import s.implicits._
+      val bucket = when($"value" <= 10, 0).when($"value" <= 50, 1)
+        .when($"value" <= 100, 2).when($"value" <= 250, 3).otherwise(4)
+      t(s, dir, "events")
+        .withColumn("bucket_id", bucket)
+        .groupBy($"bucket_id")
+        .agg(count(lit(1)).as("n"), round(sum($"value"), 2).as("sum_value"))
+        .orderBy($"bucket_id")
+    }),
+
+    // O18 analogue: exact percentiles per event type.
+    "q_percentile" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "events")
+        .groupBy($"event_type")
+        .agg(expr("percentile(value, array(0.5, 0.95, 0.99))").as("ps"))
+        .select($"event_type",
+          round($"ps".getItem(0), 4).as("p50"),
+          round($"ps".getItem(1), 4).as("p95"),
+          round($"ps".getItem(2), 4).as("p99"))
+        .orderBy($"event_type")
+    }),
+
+    // Sessionization: 30-min-gap sessions per user (lag + running flag sum).
+    "q_sessionize" -> ((s, dir) => {
+      import s.implicits._
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"user_id").orderBy($"ts")
+      t(s, dir, "events")
+        .withColumn("prev", lag($"ts", 1).over(w))
+        .withColumn("newsess",
+          when($"prev".isNull ||
+            ($"ts".cast("double") - $"prev".cast("double")) > 1800.0, 1L).otherwise(0L))
+        .groupBy($"user_id")
+        .agg(sum($"newsess").as("n_sessions"), count(lit(1)).as("n_events"))
+        .orderBy($"user_id")
+    }),
+
+    // Tumbling-window aggregation (batch twin of the streaming pipeline).
+    "q_tumbling" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "events")
+        .withColumn("hour", date_format(date_trunc("hour", $"ts"), "yyyy-MM-dd HH:mm:ss"))
+        .groupBy($"hour")
+        .agg(count(lit(1)).as("n"), round(sum($"value"), 2).as("sum_value"))
+        .orderBy($"hour")
+    }),
+
+    // As-of join: for each error event, the latest prior click of the same
+    // user (single-shuffle union+window — graft.operators.AsofJoin).
+    "q_asof_join" -> ((s, dir) => {
+      import s.implicits._
+      val ev = t(s, dir, "events")
+      val errors = ev.filter($"event_type" === "error")
+        .select($"event_id", $"user_id", $"ts")
+      val clicks = ev.filter($"event_type" === "click")
+        .select($"user_id", $"ts", $"value")
+      AsofJoin.asofJoin(errors, clicks, Seq("user_id"), "ts", "ts")
+        .select($"event_id", $"user_id",
+          date_format($"ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").as("err_ts"),
+          date_format($"asof.ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").as("click_ts"),
+          $"asof.value".as("click_value"))
+        .orderBy($"event_id")
+    }),
+
+    // Semi-structured extraction: JSON props → typed aggregation.
+    "q_props_json" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "events")
+        .withColumn("k", get_json_object($"props", "$.k").cast("int"))
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n"), round(avg($"k"), 4).as("avg_k"))
+        .orderBy($"event_type")
+    })
+  )
+
+  private def eventsOracles: Map[String, String] = Map(
+
+    "q_histogram" ->
+      """SELECT CASE WHEN value <= 10 THEN 0 WHEN value <= 50 THEN 1
+        |            WHEN value <= 100 THEN 2 WHEN value <= 250 THEN 3
+        |            ELSE 4 END AS bucket_id,
+        |       COUNT(*) AS n, ROUND(SUM(value), 2) AS sum_value
+        |FROM events GROUP BY bucket_id ORDER BY bucket_id""".stripMargin,
+
+    "q_percentile" ->
+      """SELECT event_type,
+        |  ROUND(quantile_cont(value, 0.5), 4) AS p50,
+        |  ROUND(quantile_cont(value, 0.95), 4) AS p95,
+        |  ROUND(quantile_cont(value, 0.99), 4) AS p99
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_sessionize" ->
+      """WITH x AS (
+        |  SELECT user_id, ts,
+        |         lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id,
+        |         CASE WHEN prev IS NULL OR epoch(ts - prev) > 1800.0
+        |              THEN 1 ELSE 0 END AS ns
+        |  FROM x)
+        |SELECT user_id, CAST(SUM(ns) AS BIGINT) AS n_sessions,
+        |       COUNT(*) AS n_events
+        |FROM s GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q_tumbling" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+        |       COUNT(*) AS n, ROUND(SUM(value), 2) AS sum_value
+        |FROM events GROUP BY hour ORDER BY hour""".stripMargin,
+
+    "q_asof_join" ->
+      """SELECT e.event_id, e.user_id,
+        |       strftime(e.ts, '%Y-%m-%d %H:%M:%S.%f') AS err_ts,
+        |       strftime(c.ts, '%Y-%m-%d %H:%M:%S.%f') AS click_ts,
+        |       c.value AS click_value
+        |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error') e
+        |ASOF LEFT JOIN
+        |     (SELECT user_id, ts, value FROM events WHERE event_type = 'click') c
+        |  ON e.user_id = c.user_id AND c.ts <= e.ts
+        |ORDER BY e.event_id""".stripMargin,
+
+    "q_props_json" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |       ROUND(AVG(json_extract(props, '$.k')::INT), 4) AS avg_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+  )
+
+  // ========================================================= text pipeline
+
+  private def textQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // O11+O13: word chunker (table-generating) + deterministic chunk ids.
+    "q_chunk" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents")
+        .select($"doc_id", posexplode(T.chunks($"text", 20)).as(Seq("chunk_idx", "chunk")))
+        .withColumn("chunk_id", T.chunkId($"doc_id", $"chunk_idx", $"chunk"))
+        .orderBy($"doc_id", $"chunk_idx")
+    }),
+
+    // Token counting + length stats.
+    "q_token_stats" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents")
+        .select($"doc_id",
+          size(T.tokens($"text")).cast("long").as("n_tokens"),
+          length($"text").cast("long").as("len"))
+        .orderBy($"doc_id")
+    }),
+
+    // Quality scoring (length saturation × stopword presence).
+    "q_text_quality" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents")
+        .select($"doc_id",
+          size(T.tokens($"text")).cast("long").as("n_tokens"),
+          T.punctCount($"text").cast("long").as("punct_cnt"),
+          round(T.qualityScore($"text"), 4).as("quality"))
+        .orderBy($"doc_id")
+    }),
+
+    // Language-ID heuristic vs the labeled lang column.
+    "q_langid" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents")
+        .withColumn("pred_lang", T.langId($"text"))
+        .groupBy($"lang", $"pred_lang").agg(count(lit(1)).as("n"))
+        .orderBy($"lang", $"pred_lang")
+    }),
+
+    // Exact-dedup fingerprint groups (md5 of collapsed lower-cased text).
+    "q_fingerprint" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents")
+        .groupBy(T.fingerprint($"text").as("fp"))
+        .agg(count(lit(1)).as("n_docs"), min($"doc_id").as("canonical"))
+        .orderBy($"fp")
+    }),
+
+    // O15: RAG context assembly — top-4 cosine hits joined to documents,
+    // ordered string aggregation into one context blob.
+    "q_rag_context" -> ((s, dir) => {
+      import s.implicits._
+      val e = t(s, dir, "embeddings")
+      val q = e.filter($"vec_id" === 0).select($"embedding".as("qe"))
+      val top = TopK.topK(
+        e.crossJoin(broadcast(q)).withColumn("c", V.cosine($"embedding", $"qe")),
+        $"c", $"vec_id", 4)
+      val docs = t(s, dir, "documents")
+      top.join(docs, top("vec_id") === docs("doc_id"))
+        .agg(array_join(
+          transform(
+            array_sort(collect_list(struct(
+              (-round($"c", 6)).as("negs"), $"vec_id".as("vid"),
+              substring($"text", 1, 40).as("t")))),
+            x => concat(lit("- "), x.getField("t"))),
+          "\n\n").as("context"))
+        .select(lit(0L).as("query_id"), $"context")
+    })
+  )
+
+  private def textOracles: Map[String, String] = Map(
+
+    "q_chunk" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id,
+        |         unnest(generate_series(0, CAST(ceil(len(toks)/20.0) AS INT) - 1)) AS chunk_idx,
+        |         toks
+        |  FROM t WHERE len(toks) > 0),
+        |x AS (
+        |  SELECT doc_id, chunk_idx,
+        |         array_to_string(toks[chunk_idx*20+1 : chunk_idx*20+20], ' ') AS chunk
+        |  FROM c)
+        |SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx, chunk,
+        |       doc_id || '::chunk' || chunk_idx || '::' || substr(md5(chunk), 1, 8) AS chunk_id
+        |FROM x ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    "q_token_stats" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+        |  CAST(length(text) AS BIGINT) AS len
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_text_quality" ->
+      """WITH x AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks,
+        |         length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS punct_cnt
+        |  FROM documents),
+        |y AS (
+        |  SELECT doc_id, len(toks)::DOUBLE AS nt, punct_cnt,
+        |         len(list_filter(toks, t -> list_contains(
+        |           ['the','a','of','and','to','in','is'], t)))::DOUBLE AS stop_hits
+        |  FROM x)
+        |SELECT doc_id, CAST(nt AS BIGINT) AS n_tokens,
+        |       CAST(punct_cnt AS BIGINT) AS punct_cnt,
+        |       ROUND(LEAST(nt/100.0, 1.0) * (0.7 + 0.3 * stop_hits / GREATEST(nt, 1.0)), 4) AS quality
+        |FROM y ORDER BY doc_id""".stripMargin,
+
+    "q_langid" ->
+      """WITH x AS (
+        |  SELECT lang, string_split_regex(trim(lower(text)), '\s+') AS toks
+        |  FROM documents),
+        |v AS (
+        |  SELECT lang,
+        |    len(list_filter(toks, t -> list_contains(['the','a','of','and','to','in','is'], t))) AS en,
+        |    len(list_filter(toks, t -> list_contains(['el','la','de','los','las','y','en'], t))) AS es,
+        |    len(list_filter(toks, t -> list_contains(['der','die','das','und','ist','ein'], t))) AS de
+        |  FROM x),
+        |p AS (
+        |  SELECT lang, CASE WHEN es > en AND es >= de THEN 'es'
+        |                    WHEN de > en AND de > es THEN 'de'
+        |                    ELSE 'en' END AS pred_lang
+        |  FROM v)
+        |SELECT lang, pred_lang, COUNT(*) AS n FROM p
+        |GROUP BY lang, pred_lang ORDER BY lang, pred_lang""".stripMargin,
+
+    "q_fingerprint" ->
+      """SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp,
+        |       COUNT(*) AS n_docs, MIN(doc_id) AS canonical
+        |FROM documents GROUP BY fp ORDER BY fp""".stripMargin,
+
+    "q_rag_context" ->
+      """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+        |pairs AS (
+        |  SELECT e.vec_id, unnest(e.embedding)::DOUBLE AS x, unnest(q.qe)::DOUBLE AS y
+        |  FROM embeddings e CROSS JOIN q),
+        |agg AS (
+        |  SELECT vec_id, SUM(x*y) AS dp, SUM(x*x) AS nx2, SUM(y*y) AS ny2
+        |  FROM pairs GROUP BY vec_id),
+        |sc AS (
+        |  SELECT vec_id,
+        |         dp / (GREATEST(SQRT(nx2), 1e-12) * GREATEST(SQRT(ny2), 1e-12)) AS c
+        |  FROM agg),
+        |top AS (SELECT vec_id, c FROM sc ORDER BY c DESC, vec_id LIMIT 4)
+        |SELECT CAST(0 AS BIGINT) AS query_id,
+        |       string_agg('- ' || substr(d.text, 1, 40), chr(10)||chr(10)
+        |                  ORDER BY ROUND(t.c, 6) DESC, t.vec_id) AS context
+        |FROM top t JOIN documents d ON t.vec_id = d.doc_id""".stripMargin
   )
 }

@@ -1,0 +1,87 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column functions for the documents pipeline.
+  *
+  * Covers the reference's word chunker (`rag_demo/ingest.py:22-25`),
+  * chunk-id synthesis (`rag_demo/ingest.py:34`, deterministic variant per
+  * SURVEY.md O13), and the north-star text-analysis extensions (token
+  * counting, quality scoring, language-ID heuristic, fingerprinting).
+  * Everything is built from codegen'd builtins — no UDFs.
+  */
+object TextFunctions {
+
+  /** Whitespace tokenization (reference: `text.split()` at ingest.py:23).
+    * Blank text tokenizes to an empty array (Spark's split would yield
+    * [""]; Python's str.split() yields []).
+    */
+  def tokens(text: Column): Column =
+    when(length(trim(text)) === 0, array().cast("array<string>"))
+      .otherwise(split(trim(text), "\\s+"))
+
+  /** Non-overlapping n-token chunks as an array column — the reference's
+    * `chunk(text, n)` generator (`rag_demo/ingest.py:22-25`): last chunk may
+    * be short, empty text yields no chunks.
+    */
+  def chunks(text: Column, n: Int): Column = {
+    require(n > 0)
+    val toks = tokens(text)
+    val nChunks = ceil(size(toks).cast("double") / n).cast("int")
+    when(size(toks) === 0, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(0), nChunks - 1),
+        i => array_join(slice(toks, i * n + 1, lit(n)), " ")))
+  }
+
+  /** Deterministic chunk id: `{docId}::chunk{idx}::{md5(chunk)[:8]}` —
+    * reproducible replacement for the reference's uuid4 suffix
+    * (`rag_demo/ingest.py:34`).
+    */
+  def chunkId(docId: Column, idx: Column, chunk: Column): Column =
+    concat_ws("::", docId.cast("string"),
+      concat(lit("chunk"), idx.cast("string")),
+      substring(md5(chunk.cast("binary")), 1, 8))
+
+  /** Canonical document fingerprint: md5 of whitespace-collapsed,
+    * lower-cased text. Exact-dedup key.
+    */
+  def fingerprint(text: Column): Column =
+    md5(lower(trim(regexp_replace(text, "\\s+", " "))).cast("binary"))
+
+  /** Stopword hit count within a token array (codegen'd higher-order fn). */
+  def stopwordHits(toks: Column, stopwords: Seq[String]): Column =
+    size(filter(toks, t => t.isInCollection(stopwords)))
+
+  val EnStopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is")
+  val EsStopwords: Seq[String] = Seq("el", "la", "de", "los", "las", "y", "en")
+  val DeStopwords: Seq[String] = Seq("der", "die", "das", "und", "ist", "ein")
+
+  /** N-gram-free language-ID heuristic: stopword-list vote with a
+    * deterministic tie order (es > de > en requires a strict majority).
+    */
+  def langId(text: Column): Column = {
+    val toks = tokens(lower(text))
+    val en = stopwordHits(toks, EnStopwords)
+    val es = stopwordHits(toks, EsStopwords)
+    val de = stopwordHits(toks, DeStopwords)
+    when(es > en && es >= de, lit("es"))
+      .when(de > en && de > es, lit("de"))
+      .otherwise(lit("en"))
+  }
+
+  /** Punctuation character count. */
+  def punctCount(text: Column): Column =
+    length(text) - length(regexp_replace(text, "[.,;:!?]", ""))
+
+  /** Composite quality score in [0,1]: length saturation × (0.7 + 0.3 ×
+    * stopword presence). Mirrored exactly in the DuckDB oracle.
+    */
+  def qualityScore(text: Column): Column = {
+    val toks = tokens(text)
+    val nTok = size(toks).cast("double")
+    val stopRatio = stopwordHits(toks, EnStopwords).cast("double") /
+      greatest(nTok, lit(1.0))
+    least(nTok / 100.0, lit(1.0)) * (lit(0.7) + lit(0.3) * stopRatio)
+  }
+}

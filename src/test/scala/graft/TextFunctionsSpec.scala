@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.{TextFunctions => T}
+
+class TextFunctionsSpec extends SparkSpec {
+
+  private def docs(texts: String*) = {
+    import spark.implicits._
+    texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+  }
+
+  test("chunks: non-overlapping n-token windows, last chunk short (ingest.py:22-25 semantics)") {
+    val r = docs("a b c d e f g").select(T.chunks(col("text"), 3)).head.getSeq[String](0)
+    assert(r == Seq("a b c", "d e f", "g"))
+  }
+
+  test("chunks: text shorter than n gives one chunk; empty text gives none") {
+    assert(docs("x y").select(T.chunks(col("text"), 5)).head.getSeq[String](0) == Seq("x y"))
+    assert(docs("").select(T.chunks(col("text"), 5)).head.getSeq[String](0).isEmpty)
+    assert(docs("   ").select(T.chunks(col("text"), 5)).head.getSeq[String](0).isEmpty)
+  }
+
+  test("chunks: exact multiple of n has no trailing short chunk") {
+    val r = docs("a b c d").select(T.chunks(col("text"), 2)).head.getSeq[String](0)
+    assert(r == Seq("a b", "c d"))
+  }
+
+  test("chunkId is deterministic and formatted {doc}::chunk{idx}::{md5[:8]}") {
+    val df = docs("hello world")
+    val id1 = df.select(T.chunkId(col("doc_id"), lit(0), lit("hello world"))).head.getString(0)
+    val id2 = df.select(T.chunkId(col("doc_id"), lit(0), lit("hello world"))).head.getString(0)
+    assert(id1 == id2)
+    assert(id1.matches("0::chunk0::[0-9a-f]{8}"))
+  }
+
+  test("fingerprint is invariant to whitespace collapse and case") {
+    val df = docs("Hello   World", "hello world", "  hello\tworld ")
+    val fps = df.select(T.fingerprint(col("text"))).collect.map(_.getString(0))
+    assert(fps.distinct.length == 1)
+  }
+
+  test("fingerprint differs for different content") {
+    val fps = docs("abc", "abd").select(T.fingerprint(col("text")))
+      .collect.map(_.getString(0))
+    assert(fps.distinct.length == 2)
+  }
+
+  test("langId picks the language with the strictly dominant stopword count") {
+    val df = docs(
+      "the cat of the house and a dog",  // en
+      "el perro de la casa y los gatos", // es
+      "der hund und die katze ist ein")  // de
+    val got = df.orderBy("doc_id").select(T.langId(col("text"))).collect.map(_.getString(0))
+    assert(got.sameElements(Array("en", "es", "de")))
+  }
+
+  test("qualityScore is in [0,1] and increases with length saturation") {
+    val df = docs(("word " * 10).trim, ("word " * 200).trim)
+    val q = df.orderBy("doc_id").select(T.qualityScore(col("text"))).collect.map(_.getDouble(0))
+    assert(q.forall(v => v >= 0.0 && v <= 1.0))
+    assert(q(1) > q(0))
+  }
+}
