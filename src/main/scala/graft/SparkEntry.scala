@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{HashFunctions, TextFunctions => T, VectorFunctions => V}
-import graft.operators.{AsofJoin, TopK}
+import graft.operators.{Ann, AsofJoin, Dedup, TopK}
 import graft.sources.Tables
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -26,10 +26,10 @@ object SparkEntry {
     queries("q_topk_cosine")(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    vectorQueries ++ relationalQueries ++ eventsQueries ++ textQueries
+    vectorQueries ++ relationalQueries ++ eventsQueries ++ textQueries ++ dedupQueries
 
   def oracleSql: Map[String, String] =
-    vectorOracles ++ relationalOracles ++ eventsOracles ++ textOracles
+    vectorOracles ++ relationalOracles ++ eventsOracles ++ textOracles ++ dedupOracles
 
   // ======================================================= vector workload
 
@@ -534,6 +534,263 @@ object SparkEntry {
           "\n\n").as("context"))
         .select(lit(0L).as("query_id"), $"context")
     })
+  )
+
+  // ================================================== dedup / similarity
+
+  private def dedupQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Embedding-cosine near-dup pairs (brute force at this scale; the LSH
+    // and IVF variants below are the 100 TB paths).
+    "q_embed_neardup" -> ((s, dir) => {
+      import s.implicits._
+      val e = t(s, dir, "embeddings")
+      val a = e.select($"vec_id".as("id_a"), $"embedding".as("ea"))
+      val b = e.select($"vec_id".as("id_b"), $"embedding".as("eb"))
+      a.join(b, $"id_a" < $"id_b")
+        .withColumn("c", V.cosine($"ea", $"eb"))
+        .filter($"c" >= 0.4)
+        .select($"id_a", $"id_b", round($"c", 4).as("score"))
+        .orderBy($"id_a", $"id_b")
+    }),
+
+    // Word-2-gram Jaccard near-dup pairs, blocked by source.
+    "q_ngram_jaccard" -> ((s, dir) => {
+      import s.implicits._
+      val sh = t(s, dir, "documents")
+        .select($"doc_id", $"source", Dedup.shingles($"text", 2).as("sh"))
+        .filter(size($"sh") > 0)
+      val a = sh.select($"doc_id".as("doc_a"), $"source", $"sh".as("sha"))
+      val b = sh.select($"doc_id".as("doc_b"), $"source", $"sh".as("shb"))
+      a.join(b, Seq("source")).filter($"doc_a" < $"doc_b")
+        .withColumn("j", Dedup.jaccard($"sha", $"shb"))
+        .filter($"j" >= 0.05)
+        .select($"doc_a", $"doc_b", round($"j", 4).as("jaccard"))
+        .orderBy($"doc_a", $"doc_b")
+    }),
+
+    // MinHash signature → LSH band hashes (the bucketing state itself,
+    // dense hash-parity check of the whole pipeline).
+    "q_minhash_bands" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents")
+        .select($"doc_id", Dedup.shingles($"text", 2).as("sh"))
+        .filter(size($"sh") > 0)
+        .withColumn("sig", Dedup.minhashSignature($"sh", 16))
+        .select($"doc_id", posexplode(Dedup.bandHashes($"sig", 4, 4))
+          .as(Seq("band_idx", "band_hash")))
+        .orderBy($"doc_id", $"band_idx")
+    }),
+
+    // Full MinHash-LSH near-dup dedup: band-bucket candidate pairs,
+    // verified by true shingle Jaccard ≥ 0.2.
+    "q_minhash_lsh" -> ((s, dir) => {
+      import s.implicits._
+      val sh = t(s, dir, "documents")
+        .select($"doc_id", Dedup.shingles($"text", 2).as("sh"))
+        .filter(size($"sh") > 0)
+      val withBands = sh
+        .withColumn("sig", Dedup.minhashSignature($"sh", 16))
+        .withColumn("bands", Dedup.bandHashes($"sig", 4, 4))
+      val cands = Dedup.lshCandidatePairs(
+        withBands.select($"doc_id", $"bands"), "doc_id", "bands")
+      cands
+        .join(broadcast(sh.select($"doc_id".as("id_a"), $"sh".as("sha"))), "id_a")
+        .join(broadcast(sh.select($"doc_id".as("id_b"), $"sh".as("shb"))), "id_b")
+        .withColumn("j", Dedup.jaccard($"sha", $"shb"))
+        .filter($"j" >= 0.2)
+        .select($"id_a".as("doc_a"), $"id_b".as("doc_b"), round($"j", 4).as("jaccard"))
+        .orderBy($"doc_a", $"doc_b")
+    }),
+
+    // 32-bit SimHash signatures.
+    "q_simhash" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents")
+        .select($"doc_id", Dedup.simhash32(T.tokens($"text")).as("simhash"))
+        .orderBy($"doc_id")
+    }),
+
+    // SimHash near-dup pairs: Hamming distance ≤ 6 of the 32-bit signature.
+    "q_simhash_dups" -> ((s, dir) => {
+      import s.implicits._
+      val sh = t(s, dir, "documents")
+        .select($"doc_id", Dedup.simhash32(T.tokens($"text")).as("simhash"))
+      val a = sh.select($"doc_id".as("doc_a"), $"simhash".as("sa"))
+      val b = sh.select($"doc_id".as("doc_b"), $"simhash".as("sb"))
+      a.join(b, $"doc_a" < $"doc_b")
+        .withColumn("hamming", expr("CAST(bit_count(sa ^ sb) AS INT)"))
+        .filter($"hamming" <= 2)
+        .select($"doc_a", $"doc_b", $"hamming")
+        .orderBy($"doc_a", $"doc_b")
+    }),
+
+    // IVF approximate nearest neighbor: assign to 16 deterministic
+    // centroids, probe the 4 cells nearest the query, scan only those.
+    "q_ann_ivf" -> ((s, dir) => {
+      import s.implicits._
+      val e = t(s, dir, "embeddings")
+      val cents = e.filter($"vec_id" < 16)
+        .select($"vec_id".as("cent_id"), $"embedding".as("cvec"))
+      val assigned = Ann.ivfAssign(e, cents, "vec_id", "embedding", "cent_id", "cvec")
+      val qdf = e.filter($"vec_id" === 42).select($"embedding".as("qe"))
+      val probes = Ann.probeCells(cents, qdf, "cent_id", "cvec", 4)
+      val cand = assigned.join(broadcast(probes), "cell_id")
+      val scored = cand.crossJoin(broadcast(qdf))
+        .withColumn("c", V.cosine($"embedding", $"qe"))
+      TopK.topK(scored, $"c", $"vec_id", 10)
+        .select($"vec_id", round($"c", 6).as("score"))
+    })
+  )
+
+  private def dedupOracles: Map[String, String] = Map(
+
+    "q_embed_neardup" ->
+      """WITH p AS (
+        |  SELECT a.vec_id ia, b.vec_id ib,
+        |         unnest(a.embedding)::DOUBLE x, unnest(b.embedding)::DOUBLE y
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id),
+        |agg AS (SELECT ia, ib, SUM(x*y) dp, SUM(x*x) nx2, SUM(y*y) ny2
+        |        FROM p GROUP BY ia, ib),
+        |sc AS (SELECT ia, ib,
+        |         dp/(GREATEST(SQRT(nx2),1e-12)*GREATEST(SQRT(ny2),1e-12)) c
+        |       FROM agg)
+        |SELECT ia AS id_a, ib AS id_b, ROUND(c, 4) AS score
+        |FROM sc WHERE c >= 0.4 ORDER BY id_a, id_b""".stripMargin,
+
+    "q_ngram_jaccard" ->
+      """WITH t AS (
+        |  SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS toks
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, source,
+        |         list_distinct(list_transform(generate_series(1, len(toks)-1),
+        |           i -> toks[i] || ' ' || toks[i+1])) AS sh
+        |  FROM t WHERE len(toks) >= 2),
+        |p AS (
+        |  SELECT a.doc_id da, b.doc_id db,
+        |         len(list_intersect(a.sh, b.sh))::DOUBLE AS inter,
+        |         len(a.sh) + len(b.sh) AS tot
+        |  FROM s a JOIN s b ON a.source = b.source AND a.doc_id < b.doc_id),
+        |j AS (SELECT da, db, inter / (tot - inter) AS jac FROM p)
+        |SELECT da AS doc_a, db AS doc_b, ROUND(jac, 4) AS jaccard
+        |FROM j WHERE jac >= 0.05 ORDER BY doc_a, doc_b""".stripMargin,
+
+    "q_minhash_bands" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id,
+        |         list_distinct(list_transform(generate_series(1, len(toks)-1),
+        |           i -> toks[i] || ' ' || toks[i+1])) AS sh
+        |  FROM t WHERE len(toks) >= 2),
+        |sig AS (
+        |  SELECT doc_id,
+        |         list_transform(generate_series(0, 15), i ->
+        |           list_min(list_transform(sh, x ->
+        |             ('0x'||substr(md5(i::VARCHAR||':'||x), 1, 15))::BIGINT))) AS sig
+        |  FROM s WHERE len(sh) > 0),
+        |b AS (
+        |  SELECT doc_id, unnest(generate_series(0, 3)) AS band_idx, sig FROM sig)
+        |SELECT doc_id, CAST(band_idx AS INT) AS band_idx,
+        |       md5(array_to_string(sig[band_idx*4+1 : band_idx*4+4], ',')) AS band_hash
+        |FROM b ORDER BY doc_id, band_idx""".stripMargin,
+
+    "q_minhash_lsh" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id,
+        |         list_distinct(list_transform(generate_series(1, len(toks)-1),
+        |           i -> toks[i] || ' ' || toks[i+1])) AS sh
+        |  FROM t WHERE len(toks) >= 2),
+        |sig AS (
+        |  SELECT doc_id, sh,
+        |         list_transform(generate_series(0, 15), i ->
+        |           list_min(list_transform(sh, x ->
+        |             ('0x'||substr(md5(i::VARCHAR||':'||x), 1, 15))::BIGINT))) AS sig
+        |  FROM s WHERE len(sh) > 0),
+        |bands AS (
+        |  SELECT doc_id, band_idx,
+        |         md5(array_to_string(sig[band_idx*4+1 : band_idx*4+4], ',')) AS bh
+        |  FROM (SELECT doc_id, sig, unnest(generate_series(0, 3)) AS band_idx FROM sig)),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id da, b.doc_id db
+        |  FROM bands a JOIN bands b
+        |    ON a.band_idx = b.band_idx AND a.bh = b.bh AND a.doc_id < b.doc_id),
+        |j AS (
+        |  SELECT da, db,
+        |         len(list_intersect(x.sh, y.sh))::DOUBLE /
+        |           (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))) AS jac
+        |  FROM cand JOIN s x ON da = x.doc_id JOIN s y ON db = y.doc_id)
+        |SELECT da AS doc_a, db AS doc_b, ROUND(jac, 4) AS jaccard
+        |FROM j WHERE jac >= 0.2 ORDER BY doc_a, doc_b""".stripMargin,
+
+    "q_simhash" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(list_sum(list_transform(generate_series(0, 31), p ->
+        |    CASE WHEN list_sum(list_transform(toks, tk ->
+        |           ((('0x'||substr(substr(md5(tk),1,8), 8 - p//4, 1))::INT
+        |             // ([1,2,4,8])[(p%4)+1]) % 2) * 2 - 1)) > 0
+        |         THEN CAST(2**p AS BIGINT) ELSE 0 END)) AS BIGINT) AS simhash
+        |FROM t ORDER BY doc_id""".stripMargin,
+
+    "q_simhash_dups" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    CAST(list_sum(list_transform(generate_series(0, 31), p ->
+        |      CASE WHEN list_sum(list_transform(toks, tk ->
+        |             ((('0x'||substr(substr(md5(tk),1,8), 8 - p//4, 1))::INT
+        |               // ([1,2,4,8])[(p%4)+1]) % 2) * 2 - 1)) > 0
+        |           THEN CAST(2**p AS BIGINT) ELSE 0 END)) AS BIGINT) AS simhash
+        |  FROM t)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "q_ann_ivf" ->
+      """WITH cents AS (
+        |  SELECT vec_id AS cent_id, embedding AS cvec FROM embeddings WHERE vec_id < 16),
+        |pc AS (
+        |  SELECT e.vec_id, c.cent_id,
+        |         unnest(e.embedding)::DOUBLE x, unnest(c.cvec)::DOUBLE y
+        |  FROM embeddings e CROSS JOIN cents c),
+        |pagg AS (SELECT vec_id, cent_id, SUM(x*y) dp, SUM(x*x) nx2, SUM(y*y) ny2
+        |         FROM pc GROUP BY vec_id, cent_id),
+        |psc AS (SELECT vec_id, cent_id,
+        |          dp/(GREATEST(SQRT(nx2),1e-12)*GREATEST(SQRT(ny2),1e-12)) c
+        |        FROM pagg),
+        |assign AS (
+        |  SELECT vec_id, cent_id AS cell_id FROM (
+        |    SELECT vec_id, cent_id,
+        |           row_number() OVER (PARTITION BY vec_id ORDER BY c DESC, cent_id) rn
+        |    FROM psc) WHERE rn = 1),
+        |probes AS (
+        |  SELECT cent_id AS cell_id FROM psc WHERE vec_id = 42
+        |  ORDER BY c DESC, cent_id LIMIT 4),
+        |cand AS (
+        |  SELECT a.vec_id FROM assign a JOIN probes p ON a.cell_id = p.cell_id),
+        |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 42),
+        |qp AS (
+        |  SELECT e.vec_id, unnest(e.embedding)::DOUBLE x, unnest(q.qe)::DOUBLE y
+        |  FROM embeddings e JOIN cand USING(vec_id) CROSS JOIN q),
+        |qagg AS (SELECT vec_id, SUM(x*y) dp, SUM(x*x) nx2, SUM(y*y) ny2
+        |         FROM qp GROUP BY vec_id),
+        |qsc AS (SELECT vec_id,
+        |          dp/(GREATEST(SQRT(nx2),1e-12)*GREATEST(SQRT(ny2),1e-12)) c
+        |        FROM qagg)
+        |SELECT vec_id, ROUND(c, 6) AS score
+        |FROM qsc ORDER BY c DESC, vec_id LIMIT 10""".stripMargin
   )
 
   private def textOracles: Map[String, String] = Map(

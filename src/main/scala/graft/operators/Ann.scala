@@ -1,0 +1,53 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.{VectorFunctions => V}
+
+/** Approximate nearest-neighbor search: IVF (inverted-file) coarse
+  * quantization over the embedding column.
+  *
+  * The reference only ever does flat full scans (its README mentions
+  * IVF/HNSW merely as corpus text, `rag_demo/ingest.py:13-14`); this is
+  * the scale path a 100 TB corpus needs: score only the cells the query
+  * probes instead of every row.
+  *
+  * Design for scale: cell assignment is a per-row broadcast-join compute
+  * (no shuffle); the assigned table would be written bucketed by cell_id
+  * so a probe reads only matching buckets (partition pruning). Centroid
+  * "training" here is deterministic — take the first C vectors — so the
+  * DuckDB oracle replicates the whole pipeline exactly; swap in k-means
+  * centroids at no API change.
+  */
+object Ann {
+
+  /** Assign each vector to its nearest centroid by cosine (tie: lowest
+    * centroid id). `centroids` must be small (it is broadcast).
+    * Output: all `vectors` columns + `cell_id`.
+    */
+  def ivfAssign(vectors: DataFrame, centroids: DataFrame, idCol: String,
+                vecCol: String, centIdCol: String, centVecCol: String): DataFrame = {
+    val scored = vectors.crossJoin(broadcast(centroids))
+      .withColumn("__c", V.cosine(col(vecCol), col(centVecCol)))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("__c").desc, col(centIdCol).asc)
+    scored.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(vectors.columns.map(col) :+ col(centIdCol).as("cell_id"): _*)
+  }
+
+  /** The `nProbes` nearest centroids to a single-row query DataFrame whose
+    * one column is the query vector.
+    */
+  def probeCells(centroids: DataFrame, queryDf: DataFrame,
+                 centIdCol: String, centVecCol: String, nProbes: Int): DataFrame = {
+    val qCol = col(queryDf.columns.head)
+    centroids.crossJoin(broadcast(queryDf))
+      .withColumn("__c", V.cosine(col(centVecCol), qCol))
+      .orderBy(col("__c").desc, col(centIdCol).asc)
+      .limit(nProbes)
+      .select(col(centIdCol).as("cell_id"))
+  }
+}

@@ -1,0 +1,96 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{TextFunctions => T}
+
+/** Near-duplicate detection operators for large-scale training-data
+  * pipelines: word-shingle Jaccard, MinHash+LSH banding, and SimHash.
+  *
+  * Hashes are md5-derived (not Murmur3) so every stage is bit-replicable
+  * in the DuckDB oracle; everything is built from codegen'd builtins and
+  * higher-order array functions — per-row compute, no shuffle until the
+  * LSH bucket join, which shuffles only (band, bucket-hash, id) tuples.
+  * At 100 TB the bucket join is the standard LSH self-join: cardinality
+  * is bounded by bucket occupancy, and hot buckets (boilerplate dups)
+  * should be salted or capped — see `lshCandidatePairs`.
+  */
+object Dedup {
+
+  /** 60-bit hash from the first 15 hex chars of md5 (fits a signed long;
+    * same value as DuckDB's ('0x'||substr(md5(s),1,15))::BIGINT).
+    */
+  def hash60(s: Column): Column =
+    conv(substring(md5(s.cast("binary")), 1, 15), 16, 10).cast("long")
+
+  /** Distinct word n-gram shingles; fewer than n tokens → empty set. */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = T.tokens(text)
+    when(size(toks) < n, array().cast("array<string>"))
+      .otherwise(array_distinct(transform(
+        sequence(lit(0), size(toks) - n),
+        j => array_join(slice(toks, j + 1, lit(n)), " "))))
+  }
+
+  /** Set Jaccard similarity of two (distinct-element) array columns. */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    inter / (size(a) + size(b) - inter)
+  }
+
+  /** k-hash MinHash signature: sig[i] = min over shingles of
+    * hash60(i + ":" + shingle).
+    */
+  def minhashSignature(sh: Column, k: Int): Column =
+    transform(sequence(lit(0), lit(k - 1)),
+      i => array_min(transform(sh,
+        x => hash60(concat(i.cast("string"), lit(":"), x)))))
+
+  /** LSH band hashes: md5 of the comma-joined decimal signature slice per
+    * band. bands × rowsPerBand must equal the signature length.
+    */
+  def bandHashes(sig: Column, bands: Int, rowsPerBand: Int): Column =
+    transform(sequence(lit(0), lit(bands - 1)),
+      j => md5(array_join(
+        transform(slice(sig, j * lit(rowsPerBand) + lit(1), lit(rowsPerBand)),
+          v => v.cast("string")), ",").cast("binary")))
+
+  /** Candidate pairs (idA < idB) sharing at least one LSH band bucket.
+    * `df` must carry an id column and a band-hash array column.
+    * The self-join key is (band_idx, band_hash): only ids land in the
+    * shuffle. NOTE for very skewed corpora (mass-duplicated boilerplate),
+    * cap or salt hot buckets before the join.
+    */
+  def lshCandidatePairs(df: DataFrame, idCol: String, bandsCol: String): DataFrame = {
+    val exploded = df.select(col(idCol),
+      posexplode(col(bandsCol)).as(Seq("band_idx", "bh")))
+    exploded.as("a").join(exploded.as("b"), Seq("band_idx", "bh"))
+      .filter(col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
+      .distinct()
+  }
+
+  /** Bit p (0 = LSB) of an 8-hex-char string, via hex-digit arithmetic
+    * (no Column-shift builtin needed; exact in double for digits ≤ 15).
+    */
+  private def hexBit(hx: Column, p: Column): Column = {
+    val pos = lit(8) - floor(p.cast("double") / 4).cast("int")
+    val digit = conv(hx.substr(pos, lit(1)), 16, 10).cast("int")
+    val divisor = element_at(typedLit(Seq(1, 2, 4, 8)), (pmod(p, lit(4)) + 1).cast("int"))
+    pmod(floor(digit.cast("double") / divisor).cast("long"), lit(2L))
+  }
+
+  /** 32-bit SimHash over a token array: per-bit majority vote of the
+    * tokens' md5-derived 32-bit hashes (duplicate tokens vote repeatedly —
+    * natural frequency weighting). Tie (vote sum 0) → bit 0.
+    */
+  def simhash32(toks: Column): Column = {
+    val powers = typedLit((0 until 32).map(1L << _))
+    aggregate(sequence(lit(0), lit(31)), lit(0L), (acc, p) => {
+      val vote = aggregate(toks, lit(0L),
+        (a, t) => a + hexBit(substring(md5(t.cast("binary")), 1, 8), p) * 2 - 1)
+      acc + when(vote > 0, element_at(powers, p.cast("int") + 1)).otherwise(lit(0L))
+    })
+  }
+}

@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Dedup
+
+class DedupSpec extends SparkSpec {
+
+  private def docs(texts: (Long, String)*) = {
+    import spark.implicits._
+    texts.toDF("doc_id", "text")
+  }
+
+  test("shingles: distinct word n-grams; short text yields empty set") {
+    val r = docs((0L, "a b c b a b")).select(Dedup.shingles(col("text"), 2))
+      .head.getSeq[String](0)
+    assert(r.toSet == Set("a b", "b c", "c b", "b a"))
+    assert(docs((0L, "solo")).select(Dedup.shingles(col("text"), 2))
+      .head.getSeq[String](0).isEmpty)
+  }
+
+  test("jaccard: exact on hand-computed sets") {
+    import spark.implicits._
+    val df = Seq((Seq("a", "b", "c"), Seq("b", "c", "d"))).toDF("x", "y")
+    val j = df.select(Dedup.jaccard(col("x"), col("y"))).head.getDouble(0)
+    assert(math.abs(j - 2.0 / 4.0) < 1e-12)
+  }
+
+  test("minhash signature similarity estimates jaccard for near-dup docs") {
+    val base = (1 to 60).map(i => s"w$i").mkString(" ")
+    val nearDup = (1 to 57).map(i => s"w$i").mkString(" ") + " x1 x2 x3"
+    val other = (100 to 160).map(i => s"w$i").mkString(" ")
+    val df = docs((0L, base), (1L, nearDup), (2L, other))
+      .select(col("doc_id"),
+        Dedup.minhashSignature(Dedup.shingles(col("text"), 2), 32).as("sig"))
+    val sigs = df.orderBy("doc_id").collect.map(_.getSeq[Long](1))
+    def est(a: Seq[Long], b: Seq[Long]) =
+      a.zip(b).count { case (x, y) => x == y }.toDouble / a.length
+    assert(est(sigs(0), sigs(1)) > 0.5, "near-dups should agree on most hashes")
+    assert(est(sigs(0), sigs(2)) < 0.2, "unrelated docs should rarely agree")
+  }
+
+  test("LSH candidate pairs recall the near-dup pair and not the unrelated one") {
+    val base = (1 to 60).map(i => s"w$i").mkString(" ")
+    val nearDup = (1 to 58).map(i => s"w$i").mkString(" ") + " x1 x2"
+    val other = (100 to 160).map(i => s"w$i").mkString(" ")
+    val df = docs((0L, base), (1L, nearDup), (2L, other))
+      .select(col("doc_id"), Dedup.shingles(col("text"), 2).as("sh"))
+      .withColumn("sig", Dedup.minhashSignature(col("sh"), 16))
+      .withColumn("bands", Dedup.bandHashes(col("sig"), 4, 4))
+    val pairs = Dedup.lshCandidatePairs(df.select(col("doc_id"), col("bands")),
+      "doc_id", "bands")
+      .collect.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)), "near-dup pair must be a candidate")
+    assert(!pairs.contains((0L, 2L)) && !pairs.contains((1L, 2L)),
+      "unrelated docs must not collide")
+  }
+
+  test("simhash32: identical docs equal; near-dups within small hamming; unrelated far") {
+    import spark.implicits._
+    val base = (1 to 60).map(i => s"w$i").mkString(" ")
+    val nearDup = (1 to 58).map(i => s"w$i").mkString(" ") + " x1 x2"
+    val other = (100 to 160).map(i => s"w$i").mkString(" ")
+    val df = docs((0L, base), (1L, base), (2L, nearDup), (3L, other))
+      .select(col("doc_id"),
+        Dedup.simhash32(graft.functions.TextFunctions.tokens(col("text"))).as("sh"))
+    val m = df.collect.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(m(0L) == m(1L))
+    assert(ham(m(0L), m(2L)) <= 8)
+    assert(ham(m(0L), m(3L)) > 8)
+  }
+
+  test("hash60 is non-negative and stable") {
+    import spark.implicits._
+    val v = Seq("x").toDF("s").select(Dedup.hash60(col("s"))).head.getLong(0)
+    val v2 = Seq("x").toDF("s").select(Dedup.hash60(col("s"))).head.getLong(0)
+    assert(v == v2 && v >= 0)
+  }
+}
