@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{HashFunctions, TextFunctions => T, VectorFunctions => V}
-import graft.operators.{Ann, AsofJoin, Dedup, TopK}
+import graft.operators.{Ann, AsofJoin, Dedup, Multimodal, TopK}
 import graft.sources.Tables
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -514,6 +514,24 @@ object SparkEntry {
         .orderBy($"fp")
     }),
 
+    // Multimodal plumbing: opaque BINARY payload + (stubbed) decode into
+    // typed metadata and a feature vector — per-row columnar compute.
+    "q_multimodal" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents")
+        .withColumn("bin", Multimodal.payload($"text"))
+        .withColumn("meta", Multimodal.fakeDecodeMeta($"bin"))
+        .withColumn("f", Multimodal.fakeFeatures($"bin", 4))
+        .select($"doc_id",
+          $"meta.n_bytes".as("n_bytes"), $"meta.width".as("width"),
+          $"meta.height".as("height"), $"meta.format".as("format"),
+          round(element_at($"f", 1), 4).as("f0"),
+          round(element_at($"f", 2), 4).as("f1"),
+          round(element_at($"f", 3), 4).as("f2"),
+          round(element_at($"f", 4), 4).as("f3"))
+        .orderBy($"doc_id")
+    }),
+
     // O15: RAG context assembly — top-4 cosine hits joined to documents,
     // ordered string aggregation into one context blob.
     "q_rag_context" -> ((s, dir) => {
@@ -855,6 +873,19 @@ object SparkEntry {
       """SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp,
         |       COUNT(*) AS n_docs, MIN(doc_id) AS canonical
         |FROM documents GROUP BY fp ORDER BY fp""".stripMargin,
+
+    "q_multimodal" ->
+      """WITH b AS (SELECT doc_id, text, text::BLOB AS bin FROM documents),
+        |m AS (SELECT doc_id, octet_length(bin) AS n_bytes, md5(text) AS hx FROM b)
+        |SELECT doc_id, CAST(n_bytes AS BIGINT) AS n_bytes,
+        |  CAST(('0x'||substr(hx,1,4))::INT % 640 AS INT) AS width,
+        |  CAST(('0x'||substr(hx,5,4))::INT % 480 AS INT) AS height,
+        |  (['jpeg','png','webp'])[(('0x'||substr(hx,9,2))::INT % 3) + 1] AS format,
+        |  ROUND((('0x'||substr(md5('0:'||hx),1,15))::BIGINT % 1000)/1000.0, 4) AS f0,
+        |  ROUND((('0x'||substr(md5('1:'||hx),1,15))::BIGINT % 1000)/1000.0, 4) AS f1,
+        |  ROUND((('0x'||substr(md5('2:'||hx),1,15))::BIGINT % 1000)/1000.0, 4) AS f2,
+        |  ROUND((('0x'||substr(md5('3:'||hx),1,15))::BIGINT % 1000)/1000.0, 4) AS f3
+        |FROM m ORDER BY doc_id""".stripMargin,
 
     "q_rag_context" ->
       """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),

@@ -1,0 +1,104 @@
+package graft.search
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.expressions.FloatVectorExpressions.dotF
+import graft.functions.{HashFunctions, VectorFunctions => V}
+import graft.operators.TopK
+
+/** The reference's queryable surface (O1–O9) as an immutable Dataset facade:
+  * insert (validate + normalize + route), top-k search (cosine / l2),
+  * count / health — SURVEY.md §2.1.
+  *
+  * Shards = an explicit `shard` column from the exact md5-mod-N replica
+  * (`coordinator/main.py:43-45`); searches scan all shards like the
+  * reference's full fanout (`coordinator/main.py:61-65`) but Catalyst
+  * prunes columns/partitions and `TakeOrderedAndProject` gives the
+  * two-phase shard-topk + coordinator-merge for free. At cluster scale the
+  * backing data would be written bucketed by `shard`.
+  */
+final class VectorStore private (
+    val vectors: DataFrame, val dim: Int, val numShards: Int) {
+
+  import VectorStore._
+
+  /** O1+O2+O3: validated, normalized, routed append. Rows with a wrong
+    * dimension fail the batch (the reference 400s them,
+    * `shard/server.py:62-64`).
+    */
+  def insert(batch: DataFrame): VectorStore = {
+    val checked = batch
+      .withColumn("embedding",
+        when(size(col("embedding")) === dim, col("embedding"))
+          .otherwise(raise_error(concat(
+            lit(s"dim mismatch: expected $dim, got "),
+            size(col("embedding")).cast("string")))))
+      // norm in its own column so it's computed once per row, not once
+      // per element inside the transform lambda
+      .withColumn("__n", greatest(sqrt(dotF(col("embedding"), col("embedding"))),
+        lit(V.NormEps)))
+      .withColumn("embedding",
+        transform(col("embedding"), x => (x.cast("double") / col("__n")).cast("float")))
+      .withColumn("shard", HashFunctions.shardHash(col("id"), numShards))
+      .select("id", "embedding", "shard")
+    new VectorStore(vectors.unionByName(checked), dim, numShards)
+  }
+
+  /** O4–O8: top-k scan. `metric` ∈ {cosine, l2}; k ∈ [1,1000] like the
+    * reference (`coordinator/main.py:30-31`). Returns {id, score} sorted
+    * score desc, id asc (deterministic tie-break the reference lacks).
+    */
+  def search(query: Seq[Float], k: Int, metric: String = "cosine"): DataFrame = {
+    require(k >= 1 && k <= 1000, s"k must be in [1,1000], got $k")
+    require(metric == "cosine" || metric == "l2", s"unknown metric: $metric")
+    require(query.length == dim, s"query dim ${query.length} != $dim")
+    val qn = {
+      val n = math.max(math.sqrt(query.map(x => x.toDouble * x).sum), V.NormEps)
+      query.map(x => (x / n).toFloat)
+    }
+    val score = metric match {
+      // stored rows are unit vectors, query normalized → cosine = dot
+      case "cosine" => dotF(col("embedding"), typedLit(qn))
+      // declared l2 contract: -||x - q||² (x stored-normalized, q raw) =
+      // -(1 - 2·x·q + ||q||²)  (coordinator/main.py:75, flat_kernels.cu:44)
+      case "l2" =>
+        val q2 = query.map(x => x.toDouble * x).sum
+        -(lit(1.0) - lit(2.0) * dotF(col("embedding"), typedLit(query.map(identity))) + lit(q2))
+    }
+    TopK.topK(vectors.withColumn("score", score), col("score"), col("id"), k)
+      .select(col("id"), col("score"))
+  }
+
+  /** O9: total count. */
+  def count(): Long = vectors.count()
+
+  /** O9 health: rows per shard. */
+  def health(): DataFrame =
+    vectors.groupBy(col("shard"))
+      .agg(org.apache.spark.sql.functions.count(lit(1)).as("n"))
+      .orderBy(col("shard"))
+}
+
+object VectorStore {
+
+  /** Empty store of a given dimension/shard count. */
+  def create(spark: SparkSession, dim: Int, numShards: Int = 8): VectorStore = {
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("embedding",
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType)),
+      org.apache.spark.sql.types.StructField("shard", org.apache.spark.sql.types.LongType)))
+    new VectorStore(
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema),
+      dim, numShards)
+  }
+
+  /** Wrap an existing (id, embedding) DataFrame, normalizing + routing. */
+  def fromDataFrame(df: DataFrame, idCol: String, vecCol: String,
+                    dim: Int, numShards: Int = 8): VectorStore = {
+    val spark = df.sparkSession
+    create(spark, dim, numShards).insert(
+      df.select(col(idCol).cast("string").as("id"), col(vecCol).as("embedding")))
+  }
+}

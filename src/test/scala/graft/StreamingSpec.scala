@@ -1,0 +1,61 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import graft.search.VectorStore
+import graft.sources.Tables
+import graft.streaming.Streaming
+
+class StreamingSpec extends SparkSpec {
+
+  test("streaming tumbling agg over a file stream equals the batch computation") {
+    val events = Tables.load(spark, sf0001, "events")
+    val tmp = Files.createTempDirectory("graft_stream_").toString
+    events.repartition(4).write.mode("overwrite").parquet(tmp)
+
+    val stream = spark.readStream.schema(events.schema).parquet(tmp)
+    val q = Streaming.tumblingAgg(stream, "1 hour", "10 minutes")
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("stream_out").start()
+    q.processAllAvailable()
+    q.stop()
+
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getTimestamp(0).getTime, r.getString(1), r.getLong(2),
+        math.round(r.getDouble(3) * 100))
+    val got = spark.table("stream_out").collect().map(key).toSet
+    val want = Streaming.tumblingAgg(events, "1 hour", "10 minutes")
+      .collect().map(key).toSet
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+
+  test("streamInsert routes micro-batches through VectorStore.insert") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft_vecstream_").toString
+    val batch1 = (0 until 20).map(i => (i.toString, Seq.fill(8)(i / 10.0f + 0.1f)))
+      .toDF("id", "embedding")
+    batch1.write.mode("overwrite").parquet(tmp)
+
+    var last: Option[VectorStore] = None
+    val stream = spark.readStream.schema(batch1.schema).parquet(tmp)
+    val q = Streaming.streamInsert(stream, VectorStore.create(spark, 8))(s => last = Some(s))
+    q.processAllAvailable()
+    // second micro-batch arrives as new files
+    val batch2 = (100 until 110).map(i => (i.toString, Seq.fill(8)(0.5f)))
+      .toDF("id", "embedding")
+    batch2.write.mode("append").parquet(tmp)
+    q.processAllAvailable()
+    q.stop()
+
+    assert(last.isDefined)
+    assert(last.get.count() == 30)
+    // stored vectors are normalized by the shared insert path
+    val norms = last.get.vectors
+      .select(sqrt(graft.functions.VectorFunctions.norm2(col("embedding"))).as("n"))
+      .agg(min("n"), max("n")).head
+    assert(math.abs(norms.getDouble(0) - 1.0) < 1e-5)
+    assert(math.abs(norms.getDouble(1) - 1.0) < 1e-5)
+  }
+}

@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.search.VectorStore
+
+class VectorStoreSpec extends SparkSpec {
+
+  private def store = {
+    val e = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    VectorStore.fromDataFrame(e, "vec_id", "embedding", 64)
+  }
+
+  test("fromDataFrame normalizes every stored vector to unit length") {
+    import graft.functions.{VectorFunctions => V}
+    val norms = store.vectors
+      .select(sqrt(V.norm2(col("embedding"))).as("n"))
+      .agg(min("n"), max("n")).head
+    assert(math.abs(norms.getDouble(0) - 1.0) < 1e-5)
+    assert(math.abs(norms.getDouble(1) - 1.0) < 1e-5)
+  }
+
+  test("search cosine returns self as top hit with score ≈ 1") {
+    val e = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val q = e.filter(col("vec_id") === 17).select("embedding")
+      .head.getSeq[Float](0)
+    val top = store.search(q, 5, "cosine").head
+    assert(top.getString(0) == "17")
+    assert(math.abs(top.getDouble(1) - 1.0) < 1e-5)
+  }
+
+  test("search validates k range and metric name (reference O19)") {
+    intercept[IllegalArgumentException](store.search(Seq.fill(64)(1f), 0))
+    intercept[IllegalArgumentException](store.search(Seq.fill(64)(1f), 1001))
+    intercept[IllegalArgumentException](store.search(Seq.fill(64)(1f), 5, "dotty"))
+    intercept[IllegalArgumentException](store.search(Seq.fill(3)(1f), 5))
+  }
+
+  test("insert rejects wrong-dimension rows (reference 400s them)") {
+    import spark.implicits._
+    val bad = Seq(("x", Seq(1f, 2f))).toDF("id", "embedding")
+    val ex = intercept[Exception] {
+      store.insert(bad).count()
+    }
+    assert(ex.getMessage != null)
+  }
+
+  test("count and health reflect inserts; shard routing matches md5 replica") {
+    val s = store
+    assert(s.count() == 500)
+    val h = s.health().collect()
+    assert(h.map(_.getLong(1)).sum == 500)
+    assert(h.length <= 8)
+  }
+
+  test("cosine and l2 rank self-match first for a stored vector's raw query") {
+    val e = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val q = e.filter(col("vec_id") === 99).select("embedding").head.getSeq[Float](0)
+    assert(store.search(q, 3, "l2").head.getString(0) == "99")
+  }
+}
