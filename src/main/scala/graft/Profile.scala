@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.expressions.TextHashExpressions.minhashSigF
+import graft.operators.Dedup
+
+/** Dev profiling main: stage-by-stage timings of the dedup pipelines
+  * (not part of the driver contract).
+  */
+object Profile {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+
+    def time(name: String)(f: => Any): Unit = {
+      val t0 = System.nanoTime(); f
+      println(f"[profile] $name: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    }
+
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+
+    val sh = docs.select($"doc_id", $"source", Dedup.shingles($"text", 2).as("sh"))
+      .filter(size($"sh") > 0)
+    time("A sh materialize (sum sizes)")(sh.agg(sum(size($"sh"))).collect())
+    time("A2 sh again")(sh.agg(sum(size($"sh"))).collect())
+
+    val sig = sh.withColumn("sig", minhashSigF($"sh", 16))
+    time("B sig materialize")(sig.agg(sum(pmod(element_at($"sig", 1), lit(1000000L)))).collect())
+
+    val withBands = sig.withColumn("bands", Dedup.bandHashes($"sig", 4, 4))
+    time("C bands (forced)")(
+      withBands.agg(sum(length(element_at($"bands", 1)))).collect())
+
+    val exploded = withBands.select($"doc_id", $"bands")
+      .select($"doc_id", posexplode($"bands").as(Seq("band_idx", "bh")))
+    time("D0 exploded count (forced)")(
+      println("  rows=" + exploded.agg(count($"bh")).collect().head.getLong(0)))
+    val selfJoin = exploded.as("a").join(exploded.as("b"), Seq("band_idx", "bh"))
+      .filter($"a.doc_id" < $"b.doc_id")
+    time("D1 self-join no distinct")(println("  raw pairs=" + selfJoin.count()))
+    val cands = Dedup.lshCandidatePairs(
+      withBands.select($"doc_id", $"bands"), "doc_id", "bands")
+    time("D lsh candidates")(println("  cands=" + cands.count()))
+
+    val joined = cands
+      .join(sh.select($"doc_id".as("id_a"), $"sh".as("sha")), "id_a")
+      .join(sh.select($"doc_id".as("id_b"), $"sh".as("shb")), "id_b")
+    time("E verify joins")(joined.count())
+    time("F jaccard")(
+      joined.withColumn("j", Dedup.jaccard($"sha", $"shb"))
+        .filter($"j" >= 0.2).count())
+
+    // ngram pipeline
+    val a = sh.select($"doc_id".as("doc_a"), $"source", $"sh".as("sha"))
+    val b = sh.select($"doc_id".as("doc_b"), $"source", $"sh".as("shb"))
+    val pairs = a.join(b, Seq("source")).filter($"doc_a" < $"doc_b")
+    time("G ngram pair join count")(println("  pairs=" + pairs.count()))
+    time("H ngram jaccard")(
+      pairs.withColumn("j", Dedup.jaccard($"sha", $"shb"))
+        .filter($"j" >= 0.05).count())
+
+    // ngram with spread (as SparkEntry does)
+    val shS = docs.repartition(32)
+      .select($"doc_id", $"source", Dedup.shingles($"text", 2).as("sh"))
+      .filter(size($"sh") > 0)
+    val aS = shS.select($"doc_id".as("doc_a"), $"source", $"sh".as("sha"))
+    val bS = shS.select($"doc_id".as("doc_b"), $"source", $"sh".as("shb"))
+    val jS = aS.join(bS, Seq("source")).filter($"doc_a" < $"doc_b")
+      .withColumn("j", Dedup.jaccard($"sha", $"shb"))
+      .filter($"j" >= 0.05)
+    jS.explain("formatted")
+    time("H2 ngram jaccard with spread")(jS.count())
+
+    spark.stop()
+  }
+}

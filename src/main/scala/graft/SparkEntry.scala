@@ -3,8 +3,10 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.expressions.FloatVectorExpressions.dotF
+import graft.expressions.TextHashExpressions.{minhashSigF, simhash32F}
 import graft.functions.{HashFunctions, TextFunctions => T, VectorFunctions => V}
-import graft.operators.{Ann, AsofJoin, Dedup, Multimodal, TopK}
+import graft.operators.{Ann, AsofJoin, Dedup, Multimodal, SkewJoin, TopK}
 import graft.sources.Tables
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -21,15 +23,41 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
+  /** Quantize a float score for cross-engine comparison AND canonicalize
+    * the zero sign: Spark's `round` (BigDecimal-based) maps -0.0 → +0.0
+    * while DuckDB's ROUND keeps -0.0, and the driver's hash compares bit
+    * patterns — adding literal 0.0 forces +0.0 in both engines (IEEE:
+    * -0.0 + 0.0 = +0.0). Every oracle uses the same `ROUND(c, n) + 0.0`.
+    * Top-k membership and threshold filters are then decided on the
+    * QUANTIZED value (ADVICE r1): double summation order differs between
+    * engines, so comparing unrounded sums can flip borderline rows.
+    */
+  private def score6(c: Column): Column = round(c, 6) + lit(0.0)
+  private def score4(c: Column): Column = round(c, 4) + lit(0.0)
+
+  /** Round-robin repartition to full parallelism before compute-heavy
+    * per-row work. The local fixtures are single-row-group parquet files,
+    * so the scan yields ONE partition and per-row kernels (shingling,
+    * MinHash, pairwise scoring) run on one core of 32; the same situation
+    * occurs at cluster scale whenever the upstream layout under-splits
+    * (few huge gzip/row-group files). The shuffle moves only the raw rows
+    * (cheap) and is explicit-numPartitions, so AQE will not coalesce it
+    * back down.
+    */
+  private def spread(s: SparkSession, df: DataFrame): DataFrame =
+    df.repartition(s.sparkContext.defaultParallelism)
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("q_topk_cosine")(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    vectorQueries ++ relationalQueries ++ eventsQueries ++ textQueries ++ dedupQueries
+    vectorQueries ++ relationalQueries ++ eventsQueries ++ textQueries ++
+      dedupQueries ++ extraQueries
 
   def oracleSql: Map[String, String] =
-    vectorOracles ++ relationalOracles ++ eventsOracles ++ textOracles ++ dedupOracles
+    vectorOracles ++ relationalOracles ++ eventsOracles ++ textOracles ++
+      dedupOracles ++ extraOracles
 
   // ======================================================= vector workload
 
@@ -44,9 +72,9 @@ object SparkEntry {
       val e = t(s, dir, "embeddings")
       val q = e.filter($"vec_id" === 0).select($"embedding".as("qe"))
       val scored = e.crossJoin(broadcast(q))
-        .withColumn("c", V.cosine($"embedding", $"qe"))
-      TopK.topK(scored, $"c", $"vec_id", 10)
-        .select($"vec_id", round($"c", 6).as("score"))
+        .withColumn("score", score6(V.cosine($"embedding", $"qe")))
+      TopK.topK(scored, $"score", $"vec_id", 10)
+        .select($"vec_id", $"score")
     }),
 
     // O5: the reference CPU path's l2 (normalized rows, raw query) — the
@@ -56,9 +84,23 @@ object SparkEntry {
       val e = t(s, dir, "embeddings")
       val q = e.filter($"vec_id" === 7).select($"embedding".as("qe"))
       val scored = e.crossJoin(broadcast(q))
-        .withColumn("c", V.refL2Score($"embedding", $"qe"))
-      TopK.topK(scored, $"c", $"vec_id", 10)
-        .select($"vec_id", round($"c", 6).as("score"))
+        .withColumn("score", score6(V.refL2Score($"embedding", $"qe")))
+      TopK.topK(scored, $"score", $"vec_id", 10)
+        .select($"vec_id", $"score")
+    }),
+
+    // O5 declared contract: -‖x−q‖² over UNIT vectors both sides (the GPU
+    // path's actual semantics, SURVEY.md §1.2) — rank-equivalent to cosine.
+    "q_topk_l2_decl" -> ((s, dir) => {
+      import s.implicits._
+      val e = t(s, dir, "embeddings")
+      val q = e.filter($"vec_id" === 7)
+        .select(V.l2Normalize($"embedding").as("qn"))
+      val scored = e.crossJoin(broadcast(q))
+        .withColumn("score",
+          score6(V.negSqL2(V.l2Normalize($"embedding"), $"qn")))
+      TopK.topK(scored, $"score", $"vec_id", 10)
+        .select($"vec_id", $"score")
     }),
 
     // O3: ingest-time L2 normalization invariant.
@@ -97,9 +139,9 @@ object SparkEntry {
       val e = t(s, dir, "embeddings")
       val q = e.filter($"vec_id" === 3).select($"embedding".as("qe"))
       val scored = e.filter($"label" === 5).crossJoin(broadcast(q))
-        .withColumn("c", V.cosine($"embedding", $"qe"))
-      TopK.topK(scored, $"c", $"vec_id", 5)
-        .select($"vec_id", $"label", round($"c", 6).as("score"))
+        .withColumn("score", score6(V.cosine($"embedding", $"qe")))
+      TopK.topK(scored, $"score", $"vec_id", 5)
+        .select($"vec_id", $"label", $"score")
     })
   )
 
@@ -115,10 +157,11 @@ object SparkEntry {
         |  FROM pairs GROUP BY vec_id),
         |sc AS (
         |  SELECT vec_id,
-        |         dp / (GREATEST(SQRT(nx2), 1e-12) * GREATEST(SQRT(ny2), 1e-12)) AS c
+        |         ROUND(dp / (GREATEST(SQRT(nx2), 1e-12) * GREATEST(SQRT(ny2), 1e-12)), 6)
+        |           + 0.0 AS score
         |  FROM agg)
-        |SELECT vec_id, ROUND(c, 6) AS score
-        |FROM sc ORDER BY c DESC, vec_id LIMIT 10""".stripMargin,
+        |SELECT vec_id, score
+        |FROM sc ORDER BY score DESC, vec_id LIMIT 10""".stripMargin,
 
     "q_topk_l2" ->
       """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 7),
@@ -130,10 +173,29 @@ object SparkEntry {
         |  FROM pairs GROUP BY vec_id),
         |sc AS (
         |  SELECT vec_id,
-        |         -(1.0 - 2.0 * dp / GREATEST(SQRT(nx2), 1e-12) + ny2) AS c
+        |         ROUND(-(1.0 - 2.0 * dp / GREATEST(SQRT(nx2), 1e-12) + ny2), 6)
+        |           + 0.0 AS score
         |  FROM agg)
-        |SELECT vec_id, ROUND(c, 6) AS score
-        |FROM sc ORDER BY c DESC, vec_id LIMIT 10""".stripMargin,
+        |SELECT vec_id, score
+        |FROM sc ORDER BY score DESC, vec_id LIMIT 10""".stripMargin,
+
+    "q_topk_l2_decl" ->
+      """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 7),
+        |pairs AS (
+        |  SELECT e.vec_id, unnest(e.embedding)::DOUBLE AS x, unnest(q.qe)::DOUBLE AS y
+        |  FROM embeddings e CROSS JOIN q),
+        |agg AS (
+        |  SELECT vec_id, SUM(x*y) AS dp, SUM(x*x) AS nx2, SUM(y*y) AS ny2
+        |  FROM pairs GROUP BY vec_id),
+        |sc AS (
+        |  SELECT vec_id,
+        |         ROUND(-(nx2 / (GREATEST(SQRT(nx2), 1e-12) * GREATEST(SQRT(nx2), 1e-12))
+        |                 - 2.0 * dp / (GREATEST(SQRT(nx2), 1e-12) * GREATEST(SQRT(ny2), 1e-12))
+        |                 + ny2 / (GREATEST(SQRT(ny2), 1e-12) * GREATEST(SQRT(ny2), 1e-12))), 6)
+        |           + 0.0 AS score
+        |  FROM agg)
+        |SELECT vec_id, score
+        |FROM sc ORDER BY score DESC, vec_id LIMIT 10""".stripMargin,
 
     "q_normalize" ->
       """WITH n AS (
@@ -141,7 +203,7 @@ object SparkEntry {
         |    SELECT vec_id, unnest(embedding)::DOUBLE AS x FROM embeddings)
         |  GROUP BY vec_id)
         |SELECT vec_id, ROUND(nrm, 6) AS raw_norm,
-        |       ROUND(CASE WHEN nrm < 1e-12 THEN 0.0 ELSE 1.0 END, 6) AS unit_norm
+        |       ROUND(CASE WHEN nrm >= 1e-12 THEN 1.0 ELSE nrm / 1e-12 END, 6) AS unit_norm
         |FROM n ORDER BY vec_id""".stripMargin,
 
     "q_shard_route" ->
@@ -170,10 +232,11 @@ object SparkEntry {
         |  FROM pairs GROUP BY vec_id, label),
         |sc AS (
         |  SELECT vec_id, label,
-        |         dp / (GREATEST(SQRT(nx2), 1e-12) * GREATEST(SQRT(ny2), 1e-12)) AS c
+        |         ROUND(dp / (GREATEST(SQRT(nx2), 1e-12) * GREATEST(SQRT(ny2), 1e-12)), 6)
+        |           + 0.0 AS score
         |  FROM agg)
-        |SELECT vec_id, label, ROUND(c, 6) AS score
-        |FROM sc ORDER BY c DESC, vec_id LIMIT 5""".stripMargin
+        |SELECT vec_id, label, score
+        |FROM sc ORDER BY score DESC, vec_id LIMIT 5""".stripMargin
   )
 
   // ======================================================== relational ops
@@ -539,14 +602,15 @@ object SparkEntry {
       val e = t(s, dir, "embeddings")
       val q = e.filter($"vec_id" === 0).select($"embedding".as("qe"))
       val top = TopK.topK(
-        e.crossJoin(broadcast(q)).withColumn("c", V.cosine($"embedding", $"qe")),
-        $"c", $"vec_id", 4)
+        e.crossJoin(broadcast(q))
+          .withColumn("score", score6(V.cosine($"embedding", $"qe"))),
+        $"score", $"vec_id", 4)
       val docs = t(s, dir, "documents")
       top.join(docs, top("vec_id") === docs("doc_id"))
         .agg(array_join(
           transform(
             array_sort(collect_list(struct(
-              (-round($"c", 6)).as("negs"), $"vec_id".as("vid"),
+              (-$"score").as("negs"), $"vec_id".as("vid"),
               substring($"text", 1, 40).as("t")))),
             x => concat(lit("- "), x.getField("t"))),
           "\n\n").as("context"))
@@ -559,23 +623,30 @@ object SparkEntry {
   private def dedupQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Embedding-cosine near-dup pairs (brute force at this scale; the LSH
-    // and IVF variants below are the 100 TB paths).
+    // and IVF variants below are the 100 TB paths). Norms are computed
+    // ONCE per row before the O(n²) pair join — r1 recomputed both norms
+    // per pair inside interpreted HOF lambdas (57 s at sf0.1); pair cost
+    // is now a single codegen'd float dot product (≪1 s). The threshold
+    // filters on the QUANTIZED score so borderline pairs can't flip
+    // between engines.
     "q_embed_neardup" -> ((s, dir) => {
       import s.implicits._
-      val e = t(s, dir, "embeddings")
-      val a = e.select($"vec_id".as("id_a"), $"embedding".as("ea"))
-      val b = e.select($"vec_id".as("id_b"), $"embedding".as("eb"))
+      val e = spread(s, t(s, dir, "embeddings"))
+        .select($"vec_id", $"embedding",
+          greatest(sqrt(dotF($"embedding", $"embedding")), lit(V.NormEps)).as("nrm"))
+      val a = e.select($"vec_id".as("id_a"), $"embedding".as("ea"), $"nrm".as("na"))
+      val b = e.select($"vec_id".as("id_b"), $"embedding".as("eb"), $"nrm".as("nb"))
       a.join(b, $"id_a" < $"id_b")
-        .withColumn("c", V.cosine($"ea", $"eb"))
-        .filter($"c" >= 0.4)
-        .select($"id_a", $"id_b", round($"c", 4).as("score"))
+        .withColumn("score", score4(dotF($"ea", $"eb") / ($"na" * $"nb")))
+        .filter($"score" >= 0.4)
+        .select($"id_a", $"id_b", $"score")
         .orderBy($"id_a", $"id_b")
     }),
 
     // Word-2-gram Jaccard near-dup pairs, blocked by source.
     "q_ngram_jaccard" -> ((s, dir) => {
       import s.implicits._
-      val sh = t(s, dir, "documents")
+      val sh = spread(s, t(s, dir, "documents"))
         .select($"doc_id", $"source", Dedup.shingles($"text", 2).as("sh"))
         .filter(size($"sh") > 0)
       val a = sh.select($"doc_id".as("doc_a"), $"source", $"sh".as("sha"))
@@ -588,52 +659,58 @@ object SparkEntry {
     }),
 
     // MinHash signature → LSH band hashes (the bucketing state itself,
-    // dense hash-parity check of the whole pipeline).
+    // dense hash-parity check of the whole pipeline). Signatures via the
+    // native single-pass kernel (TextHashExpressions.minhashSigF) — the
+    // interpreted HOF formulation cost r1 943 s on q_minhash_lsh.
     "q_minhash_bands" -> ((s, dir) => {
       import s.implicits._
-      t(s, dir, "documents")
+      spread(s, t(s, dir, "documents"))
         .select($"doc_id", Dedup.shingles($"text", 2).as("sh"))
         .filter(size($"sh") > 0)
-        .withColumn("sig", Dedup.minhashSignature($"sh", 16))
+        .withColumn("sig", minhashSigF($"sh", 16))
         .select($"doc_id", posexplode(Dedup.bandHashes($"sig", 4, 4))
           .as(Seq("band_idx", "band_hash")))
         .orderBy($"doc_id", $"band_idx")
     }),
 
     // Full MinHash-LSH near-dup dedup: band-bucket candidate pairs,
-    // verified by true shingle Jaccard ≥ 0.2.
+    // verified by true shingle Jaccard ≥ 0.2. Only (band, hash, id)
+    // tuples reach the bucket-join shuffle; the shingle-set verify joins
+    // are plain shuffle joins (no broadcast of the big shingle table —
+    // at 100 TB that side never fits a broadcast) and the Jaccard is a
+    // zero-allocation sorted-merge count.
     "q_minhash_lsh" -> ((s, dir) => {
       import s.implicits._
-      val sh = t(s, dir, "documents")
+      val sh = spread(s, t(s, dir, "documents"))
         .select($"doc_id", Dedup.shingles($"text", 2).as("sh"))
         .filter(size($"sh") > 0)
       val withBands = sh
-        .withColumn("sig", Dedup.minhashSignature($"sh", 16))
+        .withColumn("sig", minhashSigF($"sh", 16))
         .withColumn("bands", Dedup.bandHashes($"sig", 4, 4))
       val cands = Dedup.lshCandidatePairs(
         withBands.select($"doc_id", $"bands"), "doc_id", "bands")
       cands
-        .join(broadcast(sh.select($"doc_id".as("id_a"), $"sh".as("sha"))), "id_a")
-        .join(broadcast(sh.select($"doc_id".as("id_b"), $"sh".as("shb"))), "id_b")
+        .join(sh.select($"doc_id".as("id_a"), $"sh".as("sha")), "id_a")
+        .join(sh.select($"doc_id".as("id_b"), $"sh".as("shb")), "id_b")
         .withColumn("j", Dedup.jaccard($"sha", $"shb"))
         .filter($"j" >= 0.2)
         .select($"id_a".as("doc_a"), $"id_b".as("doc_b"), round($"j", 4).as("jaccard"))
         .orderBy($"doc_a", $"doc_b")
     }),
 
-    // 32-bit SimHash signatures.
+    // 32-bit SimHash signatures (native per-row kernel).
     "q_simhash" -> ((s, dir) => {
       import s.implicits._
-      t(s, dir, "documents")
-        .select($"doc_id", Dedup.simhash32(T.tokens($"text")).as("simhash"))
+      spread(s, t(s, dir, "documents"))
+        .select($"doc_id", simhash32F(T.tokens($"text")).as("simhash"))
         .orderBy($"doc_id")
     }),
 
-    // SimHash near-dup pairs: Hamming distance ≤ 6 of the 32-bit signature.
+    // SimHash near-dup pairs: Hamming distance ≤ 2 of the 32-bit signature.
     "q_simhash_dups" -> ((s, dir) => {
       import s.implicits._
-      val sh = t(s, dir, "documents")
-        .select($"doc_id", Dedup.simhash32(T.tokens($"text")).as("simhash"))
+      val sh = spread(s, t(s, dir, "documents"))
+        .select($"doc_id", simhash32F(T.tokens($"text")).as("simhash"))
       val a = sh.select($"doc_id".as("doc_a"), $"simhash".as("sa"))
       val b = sh.select($"doc_id".as("doc_b"), $"simhash".as("sb"))
       a.join(b, $"doc_a" < $"doc_b")
@@ -655,9 +732,9 @@ object SparkEntry {
       val probes = Ann.probeCells(cents, qdf, "cent_id", "cvec", 4)
       val cand = assigned.join(broadcast(probes), "cell_id")
       val scored = cand.crossJoin(broadcast(qdf))
-        .withColumn("c", V.cosine($"embedding", $"qe"))
-      TopK.topK(scored, $"c", $"vec_id", 10)
-        .select($"vec_id", round($"c", 6).as("score"))
+        .withColumn("score", score6(V.cosine($"embedding", $"qe")))
+      TopK.topK(scored, $"score", $"vec_id", 10)
+        .select($"vec_id", $"score")
     })
   )
 
@@ -671,14 +748,15 @@ object SparkEntry {
         |agg AS (SELECT ia, ib, SUM(x*y) dp, SUM(x*x) nx2, SUM(y*y) ny2
         |        FROM p GROUP BY ia, ib),
         |sc AS (SELECT ia, ib,
-        |         dp/(GREATEST(SQRT(nx2),1e-12)*GREATEST(SQRT(ny2),1e-12)) c
+        |         ROUND(dp/(GREATEST(SQRT(nx2),1e-12)*GREATEST(SQRT(ny2),1e-12)), 4)
+        |           + 0.0 AS score
         |       FROM agg)
-        |SELECT ia AS id_a, ib AS id_b, ROUND(c, 4) AS score
-        |FROM sc WHERE c >= 0.4 ORDER BY id_a, id_b""".stripMargin,
+        |SELECT ia AS id_a, ib AS id_b, score
+        |FROM sc WHERE score >= 0.4 ORDER BY id_a, id_b""".stripMargin,
 
     "q_ngram_jaccard" ->
       """WITH t AS (
-        |  SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS toks
+        |  SELECT doc_id, source, CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[]) ELSE string_split_regex(trim(text), '\s+') END AS toks
         |  FROM documents),
         |s AS (
         |  SELECT doc_id, source,
@@ -696,7 +774,7 @@ object SparkEntry {
 
     "q_minhash_bands" ->
       """WITH t AS (
-        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+        |  SELECT doc_id, CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[]) ELSE string_split_regex(trim(text), '\s+') END AS toks
         |  FROM documents),
         |s AS (
         |  SELECT doc_id,
@@ -717,7 +795,7 @@ object SparkEntry {
 
     "q_minhash_lsh" ->
       """WITH t AS (
-        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+        |  SELECT doc_id, CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[]) ELSE string_split_regex(trim(text), '\s+') END AS toks
         |  FROM documents),
         |s AS (
         |  SELECT doc_id,
@@ -748,7 +826,7 @@ object SparkEntry {
 
     "q_simhash" ->
       """WITH t AS (
-        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+        |  SELECT doc_id, CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[]) ELSE string_split_regex(trim(text), '\s+') END AS toks
         |  FROM documents)
         |SELECT doc_id,
         |  CAST(list_sum(list_transform(generate_series(0, 31), p ->
@@ -760,7 +838,7 @@ object SparkEntry {
 
     "q_simhash_dups" ->
       """WITH t AS (
-        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+        |  SELECT doc_id, CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[]) ELSE string_split_regex(trim(text), '\s+') END AS toks
         |  FROM documents),
         |sh AS (
         |  SELECT doc_id,
@@ -786,7 +864,7 @@ object SparkEntry {
         |pagg AS (SELECT vec_id, cent_id, SUM(x*y) dp, SUM(x*x) nx2, SUM(y*y) ny2
         |         FROM pc GROUP BY vec_id, cent_id),
         |psc AS (SELECT vec_id, cent_id,
-        |          dp/(GREATEST(SQRT(nx2),1e-12)*GREATEST(SQRT(ny2),1e-12)) c
+        |          ROUND(dp/(GREATEST(SQRT(nx2),1e-12)*GREATEST(SQRT(ny2),1e-12)), 6) c
         |        FROM pagg),
         |assign AS (
         |  SELECT vec_id, cent_id AS cell_id FROM (
@@ -805,17 +883,18 @@ object SparkEntry {
         |qagg AS (SELECT vec_id, SUM(x*y) dp, SUM(x*x) nx2, SUM(y*y) ny2
         |         FROM qp GROUP BY vec_id),
         |qsc AS (SELECT vec_id,
-        |          dp/(GREATEST(SQRT(nx2),1e-12)*GREATEST(SQRT(ny2),1e-12)) c
+        |          ROUND(dp/(GREATEST(SQRT(nx2),1e-12)*GREATEST(SQRT(ny2),1e-12)), 6)
+        |            + 0.0 AS score
         |        FROM qagg)
-        |SELECT vec_id, ROUND(c, 6) AS score
-        |FROM qsc ORDER BY c DESC, vec_id LIMIT 10""".stripMargin
+        |SELECT vec_id, score
+        |FROM qsc ORDER BY score DESC, vec_id LIMIT 10""".stripMargin
   )
 
   private def textOracles: Map[String, String] = Map(
 
     "q_chunk" ->
       """WITH t AS (
-        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+        |  SELECT doc_id, CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[]) ELSE string_split_regex(trim(text), '\s+') END AS toks
         |  FROM documents),
         |c AS (
         |  SELECT doc_id,
@@ -832,13 +911,13 @@ object SparkEntry {
 
     "q_token_stats" ->
       """SELECT doc_id,
-        |  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+        |  CAST(CASE WHEN trim(text) = '' THEN 0 ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS n_tokens,
         |  CAST(length(text) AS BIGINT) AS len
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q_text_quality" ->
       """WITH x AS (
-        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks,
+        |  SELECT doc_id, CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[]) ELSE string_split_regex(trim(text), '\s+') END AS toks,
         |         length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS punct_cnt
         |  FROM documents),
         |y AS (
@@ -853,7 +932,7 @@ object SparkEntry {
 
     "q_langid" ->
       """WITH x AS (
-        |  SELECT lang, string_split_regex(trim(lower(text)), '\s+') AS toks
+        |  SELECT lang, CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[]) ELSE string_split_regex(trim(lower(text)), '\s+') END AS toks
         |  FROM documents),
         |v AS (
         |  SELECT lang,
@@ -897,12 +976,232 @@ object SparkEntry {
         |  FROM pairs GROUP BY vec_id),
         |sc AS (
         |  SELECT vec_id,
-        |         dp / (GREATEST(SQRT(nx2), 1e-12) * GREATEST(SQRT(ny2), 1e-12)) AS c
+        |         ROUND(dp / (GREATEST(SQRT(nx2), 1e-12) * GREATEST(SQRT(ny2), 1e-12)), 6)
+        |           AS c
         |  FROM agg),
         |top AS (SELECT vec_id, c FROM sc ORDER BY c DESC, vec_id LIMIT 4)
         |SELECT CAST(0 AS BIGINT) AS query_id,
         |       string_agg('- ' || substr(d.text, 1, 40), chr(10)||chr(10)
-        |                  ORDER BY ROUND(t.c, 6) DESC, t.vec_id) AS context
+        |                  ORDER BY t.c DESC, t.vec_id) AS context
         |FROM top t JOIN documents d ON t.vec_id = d.doc_id""".stripMargin
+  )
+
+  // ================================= round-2 additions: wider coverage
+
+  private def extraQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // CUBE: all grouping-set combinations (rollup's big sibling).
+    "q_cube" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "lineitem")
+        .cube($"l_returnflag", $"l_linestatus")
+        .agg(round(sum($"l_quantity"), 2).as("sum_qty"), count(lit(1)).as("n"))
+        .orderBy($"l_returnflag".asc_nulls_first, $"l_linestatus".asc_nulls_first)
+    }),
+
+    // Non-equi range join: orders banded by price bracket. The bracket
+    // table is tiny → BroadcastNestedLoopJoin, evaluated as a codegen'd
+    // predicate per row; no shuffle of the big side.
+    "q_range_join" -> ((s, dir) => {
+      import s.implicits._
+      val bands = Seq(
+        (0, 0.0, 50000.0), (1, 50000.0, 100000.0), (2, 100000.0, 200000.0),
+        (3, 200000.0, 300000.0), (4, 300000.0, 1e18))
+        .toDF("band_id", "lo", "hi")
+      t(s, dir, "orders")
+        .join(broadcast(bands), $"o_totalprice" >= $"lo" && $"o_totalprice" < $"hi")
+        .groupBy($"band_id")
+        .agg(count(lit(1)).as("n"), round(sum($"o_totalprice"), 2).as("sum_price"))
+        .orderBy($"band_id")
+    }),
+
+    // Salted skew join: result is EXACTLY the plain inner join (the oracle
+    // is the unsalted SQL) but the hot keys spread over 8 reducers —
+    // graft.operators.SkewJoin.
+    "q_salted_join" -> ((s, dir) => {
+      import s.implicits._
+      val li = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders").select($"o_orderkey", $"o_orderpriority")
+      SkewJoin.saltedInnerJoin(li, o, $"l_orderkey", $"o_orderkey", 8,
+        xxhash64($"l_orderkey", $"l_linenumber"))
+        .groupBy($"o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2).as("revenue"))
+        .orderBy($"o_orderpriority")
+    }),
+
+    // Exact dedup: one canonical survivor per text fingerprint
+    // (graft.operators.Dedup.exactDedup) — the cheapest dedup tier.
+    "q_dedup_exact" -> ((s, dir) => {
+      import s.implicits._
+      Dedup.exactDedup(t(s, dir, "documents"), "text", "doc_id")
+        .select($"doc_id", $"n_copies", $"source")
+        .orderBy($"doc_id")
+    }),
+
+    // BPE-style token accounting next to whitespace tokens.
+    "q_bpe_tokens" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents")
+        .select($"doc_id",
+          T.bpeTokenCount($"text").cast("long").as("n_bpe"),
+          size(T.tokens($"text")).cast("long").as("n_ws"))
+        .orderBy($"doc_id")
+    }),
+
+    // Order-sensitive rolling-hash fingerprint (Rabin–Karp fold).
+    "q_rolling_fp" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents")
+        .select($"doc_id", T.rollingHash($"text").as("rolling_fp"))
+        .orderBy($"doc_id")
+    }),
+
+    // Analytic window frames: running sum + 4-row moving average per user.
+    "q_running_window" -> ((s, dir) => {
+      import s.implicits._
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"user_id").orderBy($"ts", $"event_id")
+      t(s, dir, "events")
+        .select($"event_id", $"user_id",
+          round(sum($"value").over(w.rowsBetween(Long.MinValue, 0)), 4).as("run_sum"),
+          round(avg($"value").over(w.rowsBetween(-3, 0)), 4).as("mov_avg"))
+        .orderBy($"event_id")
+    }),
+
+    // Exact distinct aggregation (COUNT(DISTINCT) expands to a two-phase
+    // partial aggregate — no driver collect).
+    "q_distinct_users" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "events")
+        .groupBy($"event_type")
+        .agg(countDistinct($"user_id").as("n_users"), count(lit(1)).as("n"))
+        .orderBy($"event_type")
+    }),
+
+    // Vector aggregate: per-label centroid, one row per (label, dim pos).
+    // posexplode + partial-aggregated avg; at 100 TB this is the standard
+    // map-side-combined mean, shuffling only (label, pos) partials.
+    "q_embed_centroid" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "embeddings")
+        .select($"label", posexplode($"embedding").as(Seq("pos", "x")))
+        .groupBy($"label", $"pos")
+        .agg(round(avg($"x".cast("double")), 6).as("mean_x"))
+        .orderBy($"label", $"pos")
+    }),
+
+    // Sliding windows (1 h window, 30 min slide): batch twin of the
+    // streaming window(ts, dur, slide) — every event lands in 2 windows.
+    "q_sliding" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "events")
+        .select(window($"ts", "1 hour", "30 minutes").as("w"), $"value")
+        .groupBy(date_format($"w.start", "yyyy-MM-dd HH:mm:ss").as("win_start"))
+        .agg(count(lit(1)).as("n"), round(sum($"value"), 2).as("sum_value"))
+        .orderBy($"win_start")
+    }),
+
+    // Sketches: HyperLogLog distinct + KLL-style approximate percentiles.
+    // Approx algorithms are engine-specific, so there is deliberately NO
+    // oracle entry — the driver records the weaker rows-only check; exact
+    // twins are oracle-checked in q_distinct_users / q_percentile.
+    "q_approx_sketch" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "events")
+        .groupBy($"event_type")
+        .agg(approx_count_distinct($"user_id").as("approx_users"),
+          round(percentile_approx($"value", lit(0.95), lit(10000)), 4).as("approx_p95"))
+        .orderBy($"event_type")
+    })
+  )
+
+  private def extraOracles: Map[String, String] = Map(
+
+    "q_cube" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  ROUND(SUM(l_quantity), 2) AS sum_qty, COUNT(*) AS n
+        |FROM lineitem
+        |GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+
+    "q_range_join" ->
+      """SELECT band_id, COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS sum_price
+        |FROM orders
+        |JOIN (VALUES (0, 0.0, 50000.0), (1, 50000.0, 100000.0),
+        |             (2, 100000.0, 200000.0), (3, 200000.0, 300000.0),
+        |             (4, 300000.0, 1e18)) AS b(band_id, lo, hi)
+        |  ON o_totalprice >= lo AND o_totalprice < hi
+        |GROUP BY band_id ORDER BY band_id""".stripMargin,
+
+    "q_salted_join" ->
+      """SELECT o_orderpriority, COUNT(*) AS n,
+        |  ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q_dedup_exact" ->
+      """WITH fp AS (
+        |  SELECT doc_id, source,
+        |         md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
+        |  FROM documents),
+        |g AS (
+        |  SELECT fp, MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
+        |  FROM fp GROUP BY fp)
+        |SELECT g.doc_id, g.n_copies, f.source
+        |FROM g JOIN fp f ON g.doc_id = f.doc_id
+        |ORDER BY g.doc_id""".stripMargin,
+
+    "q_bpe_tokens" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT)
+        |    AS n_bpe,
+        |  CAST(CASE WHEN trim(text) = '' THEN 0
+        |       ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS n_ws
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_rolling_fp" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+        |              ELSE string_split_regex(trim(text), '\s+') END AS toks
+        |  FROM documents)
+        |SELECT doc_id,
+        |  list_reduce(
+        |    list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(toks, tk ->
+        |        ('0x' || substr(md5(tk), 1, 8))::BIGINT)),
+        |    (a, b) -> (a * 31 + b) % 1000000007) AS rolling_fp
+        |FROM t ORDER BY doc_id""".stripMargin,
+
+    "q_running_window" ->
+      """SELECT event_id, user_id,
+        |  ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                         ROWS UNBOUNDED PRECEDING), 4) AS run_sum,
+        |  ROUND(AVG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                         ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 4) AS mov_avg
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q_distinct_users" ->
+      """SELECT event_type, COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_embed_centroid" ->
+      """WITH x AS (
+        |  SELECT label, unnest(embedding)::DOUBLE AS x,
+        |         unnest(generate_series(1, len(embedding))) AS i
+        |  FROM embeddings)
+        |SELECT label, CAST(i - 1 AS INT) AS pos, ROUND(AVG(x), 6) AS mean_x
+        |FROM x GROUP BY label, pos ORDER BY label, pos""".stripMargin,
+
+    "q_sliding" ->
+      """WITH x AS (
+        |  SELECT value,
+        |         to_timestamp(CAST(floor(epoch(ts) / 1800) AS BIGINT) * 1800 - off)
+        |           AS win_start
+        |  FROM events, unnest([0, 1800]) AS o(off))
+        |SELECT strftime(win_start, '%Y-%m-%d %H:%M:%S') AS win_start,
+        |       COUNT(*) AS n, ROUND(SUM(value), 2) AS sum_value
+        |FROM x GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

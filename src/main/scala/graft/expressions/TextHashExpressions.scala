@@ -17,12 +17,13 @@ import org.apache.spark.unsafe.types.UTF8String
   * `graft.operators.Dedup` are the readable spec, but Spark evaluates HOF
   * lambdas INTERPRETED (no whole-stage codegen), and the nested
   * per-seed × per-shingle md5 tree walk is orders of magnitude too slow at
-  * scale — the sf0.1 bench exposed executor threads pinned inside
-  * `ArrayTransform.eval`. These expressions produce BIT-IDENTICAL results
-  * (same md5-derived hash definitions, tested against the HOF forms and
-  * the DuckDB oracle) with the loop as plain JVM code; `eval` is one
-  * virtual call per row (CodegenFallback), the md5s run on primitive
-  * byte arrays.
+  * scale — the sf0.1 round-1 bench spent 943 s inside `ArrayTransform.eval`
+  * on q_minhash_lsh. These expressions implement the same md5-derived hash
+  * definitions with the loop as plain JVM code; `eval` is one virtual call
+  * per row (CodegenFallback), the md5s run on primitive byte arrays.
+  * Agreement with the HOF forms is asserted by DedupSpec on the documents
+  * fixture (native vs `Dedup.minhashSignature` / `Dedup.simhash32`), and
+  * the wired-in queries hash-match the DuckDB oracle end to end.
   */
 private[expressions] object Md5Kernel {
   private val tl = ThreadLocal.withInitial[MessageDigest](

@@ -70,6 +70,28 @@ object TextFunctions {
       .otherwise(lit("en"))
   }
 
+  /** BPE-style subword-ish token count: runs of letters, runs of digits,
+    * or single non-alphanumeric glyphs — the cheap, regex-only
+    * approximation of a GPT-2-flavored pre-tokenizer used for corpus
+    * token accounting (the character classes are chosen to mean the same
+    * thing in Java regex and RE2, so the DuckDB oracle replicates it).
+    */
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+
+  /** Polynomial rolling hash (Rabin–Karp) over the token sequence:
+    * h = fold(tokens, 0, (acc, t) → (acc·31 + h32(t)) mod 1e9+7) with
+    * h32(t) = first 32 bits of md5(t). Order-sensitive — unlike the
+    * set-shaped `fingerprint`, token REORDERING changes the value.
+    * Intermediate acc·31 + h32 < 2³⁶ so the long arithmetic never
+    * overflows, and every stage is md5-replicable in the oracle.
+    */
+  def rollingHash(text: Column): Column = {
+    val h32 = (t: Column) => conv(substring(md5(t.cast("binary")), 1, 8), 16, 10).cast("long")
+    aggregate(tokens(text), lit(0L),
+      (acc, t) => pmod(acc * 31L + h32(t), lit(1000000007L)))
+  }
+
   /** Punctuation character count. */
   def punctCount(text: Column): Column =
     length(text) - length(regexp_replace(text, "[.,;:!?]", ""))

@@ -26,11 +26,17 @@ object Ann {
   /** Assign each vector to its nearest centroid by cosine (tie: lowest
     * centroid id). `centroids` must be small (it is broadcast).
     * Output: all `vectors` columns + `cell_id`.
+    *
+    * Assignment orders on the score QUANTIZED to 6 decimals: double
+    * summation order differs between engines (and between partitionings),
+    * so comparing unrounded sums makes near-tie assignments flip in the
+    * last ulp; on the rounded value the (score, centroid-id) order is a
+    * stable total order that the DuckDB oracle reproduces exactly.
     */
   def ivfAssign(vectors: DataFrame, centroids: DataFrame, idCol: String,
                 vecCol: String, centIdCol: String, centVecCol: String): DataFrame = {
     val scored = vectors.crossJoin(broadcast(centroids))
-      .withColumn("__c", V.cosine(col(vecCol), col(centVecCol)))
+      .withColumn("__c", round(V.cosine(col(vecCol), col(centVecCol)), 6))
     val w = Window.partitionBy(col(idCol))
       .orderBy(col("__c").desc, col(centIdCol).asc)
     scored.withColumn("__rn", row_number().over(w))
@@ -39,13 +45,14 @@ object Ann {
   }
 
   /** The `nProbes` nearest centroids to a single-row query DataFrame whose
-    * one column is the query vector.
+    * one column is the query vector. Same quantized ordering as
+    * `ivfAssign`.
     */
   def probeCells(centroids: DataFrame, queryDf: DataFrame,
                  centIdCol: String, centVecCol: String, nProbes: Int): DataFrame = {
     val qCol = col(queryDf.columns.head)
     centroids.crossJoin(broadcast(queryDf))
-      .withColumn("__c", V.cosine(col(centVecCol), qCol))
+      .withColumn("__c", round(V.cosine(col(centVecCol), qCol), 6))
       .orderBy(col("__c").desc, col(centIdCol).asc)
       .limit(nProbes)
       .select(col(centIdCol).as("cell_id"))

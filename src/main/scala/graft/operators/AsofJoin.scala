@@ -37,8 +37,13 @@ object AsofJoin {
         col(rightTime).as("__t"), lit(0).as("__side"),
         lit(null).cast(lType).as("__l"), rStruct.as("__r")): _*)
 
+    // Final orderBy key __r makes the pick among right rows that tie on
+    // (key, time) deterministic: last() takes the row whose full struct
+    // sorts highest. (DuckDB's ASOF JOIN leaves the tied pick unspecified,
+    // so oracle fixtures must be tie-free — AsofJoinSpec asserts the
+    // deterministic choice on a synthetic tied input.)
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col("__t").asc, col("__side").asc)
+      .orderBy(col("__t").asc, col("__side").asc, col("__r").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     lt.unionByName(rt)

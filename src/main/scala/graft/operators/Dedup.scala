@@ -3,6 +3,8 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import graft.expressions.ArrayExpressions.sortedIntersectCountF
+import graft.expressions.ShingleExpression.shinglesF
 import graft.functions.{TextFunctions => T}
 
 /** Near-duplicate detection operators for large-scale training-data
@@ -24,23 +26,67 @@ object Dedup {
   def hash60(s: Column): Column =
     conv(substring(md5(s.cast("binary")), 1, 15), 16, 10).cast("long")
 
-  /** Distinct word n-gram shingles; fewer than n tokens → empty set. */
-  def shingles(text: Column, n: Int): Column = {
+  /** Distinct word n-gram shingles, SORTED ascending (binary string order);
+    * fewer than n tokens → empty set. Sorting costs O(s log s) once per row
+    * and buys the zero-allocation merge intersection in `jaccard` for every
+    * pair the row later participates in. All downstream consumers (MinHash
+    * min, band hashing of signatures, Jaccard) are order-independent, so
+    * the sort is free semantically.
+    *
+    * Native single-pass kernel (`WordShingles`); `shinglesHof` below is the
+    * readable declarative spec, agreement-tested in DedupSpec — the HOF
+    * lambda chain evaluates interpreted and cost ~1.5 ms/doc at sf0.1,
+    * dominating every dedup query.
+    */
+  def shingles(text: Column, n: Int): Column = shinglesF(text, n)
+
+  /** Declarative spec for `shingles` (higher-order functions only). */
+  def shinglesHof(text: Column, n: Int): Column = {
     val toks = T.tokens(text)
     when(size(toks) < n, array().cast("array<string>"))
-      .otherwise(array_distinct(transform(
+      .otherwise(array_sort(array_distinct(transform(
         sequence(lit(0), size(toks) - n),
-        j => array_join(slice(toks, j + 1, lit(n)), " "))))
+        j => array_join(slice(toks, j + 1, lit(n)), " ")))))
   }
 
-  /** Set Jaccard similarity of two (distinct-element) array columns. */
+  /** Set Jaccard similarity of two SORTED distinct string-array columns
+    * (what `shingles` produces): single merge pass per pair, no per-pair
+    * allocation. Agreement with `jaccardHof` is tested in DedupSpec.
+    */
   def jaccard(a: Column, b: Column): Column = {
+    val inter = sortedIntersectCountF(a, b).cast("double")
+    inter / (size(a) + size(b) - inter)
+  }
+
+  /** Readable-spec Jaccard over unsorted distinct arrays (hash-set
+    * intersection per pair) — the semantic oracle for `jaccard`.
+    */
+  def jaccardHof(a: Column, b: Column): Column = {
     val inter = size(array_intersect(a, b)).cast("double")
     inter / (size(a) + size(b) - inter)
   }
 
+  /** Exact deduplication: keep one canonical row (lowest id) per text
+    * fingerprint. One hash-shuffle on the 128-bit fingerprint — the
+    * cheapest dedup tier of a training-data pipeline; at 100 TB this is a
+    * single `HashAggregate` whose key cardinality is the number of DISTINCT
+    * documents, with map-side partial aggregation eliminating intra-
+    * partition duplicates before the exchange.
+    */
+  def exactDedup(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val fp = T.fingerprint(col(textCol)).as("__fp")
+    df.withColumn("__fp", fp)
+      .groupBy(col("__fp"))
+      .agg(min(col(idCol)).as("__keep"), count(lit(1)).as("n_copies"))
+      .join(df.withColumnRenamed(idCol, "__keep"), Seq("__keep"))
+      .withColumnRenamed("__keep", idCol)
+      .drop("__fp")
+  }
+
   /** k-hash MinHash signature: sig[i] = min over shingles of
-    * hash60(i + ":" + shingle).
+    * hash60(i + ":" + shingle). Readable HOF spec — the hot path is the
+    * bit-identical native `TextHashExpressions.minhashSigF` (agreement
+    * tested in DedupSpec).
     */
   def minhashSignature(sh: Column, k: Int): Column =
     transform(sequence(lit(0), lit(k - 1)),
@@ -84,6 +130,8 @@ object Dedup {
   /** 32-bit SimHash over a token array: per-bit majority vote of the
     * tokens' md5-derived 32-bit hashes (duplicate tokens vote repeatedly —
     * natural frequency weighting). Tie (vote sum 0) → bit 0.
+    * Readable HOF spec — the hot path is the bit-identical native
+    * `TextHashExpressions.simhash32F` (agreement tested in DedupSpec).
     */
   def simhash32(toks: Column): Column = {
     val powers = typedLit((0 until 32).map(1L << _))

@@ -70,6 +70,12 @@ final class VectorStore private (
       .select(col("id"), col("score"))
   }
 
+  /** Materialize the backing DataFrame and truncate its lineage (used by
+    * the streaming ingest path to bound plan growth across micro-batches).
+    */
+  def checkpointed(): VectorStore =
+    new VectorStore(vectors.localCheckpoint(), dim, numShards)
+
   /** O9: total count. */
   def count(): Long = vectors.count()
 

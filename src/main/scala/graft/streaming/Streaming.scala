@@ -30,14 +30,29 @@ object Streaming {
     * and routed through the same `VectorStore.insert` path as batch writes
     * (O1 streaming flavor — `readStream → foreachBatch(append)`).
     * `sink` receives the cumulative store after each batch.
+    *
+    * Each micro-batch is `localCheckpoint`ed (materialized, lineage
+    * truncated) before joining the cumulative union: the foreachBatch
+    * contract says the batch DataFrame must not be re-read outside the
+    * call (the source may compact/expire), and without truncation the
+    * union's plan would re-execute every past batch's read on each sink
+    * action and grow without bound. The cumulative store itself is
+    * re-checkpointed every `checkpointEvery` batches so plan size and
+    * recompute depth stay O(checkpointEvery) for arbitrarily long streams.
+    * (A production deployment would instead append to a durable table —
+    * Parquet/Delta — and re-read it; this keeps the reference's
+    * "in-memory index" semantics.)
     */
-  def streamInsert(stream: DataFrame, initial: VectorStore)
+  def streamInsert(stream: DataFrame, initial: VectorStore,
+                   checkpointEvery: Int = 8)
                   (sink: VectorStore => Unit): StreamingQuery = {
     var store = initial
     stream.writeStream
       .outputMode("append")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        store = store.insert(batch)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        store = store.insert(batch.localCheckpoint())
+        if (checkpointEvery > 0 && batchId % checkpointEvery == checkpointEvery - 1)
+          store = store.checkpointed()
         sink(store)
       }
       .start()

@@ -40,6 +40,24 @@ class AsofJoinSpec extends SparkSpec {
     assert(!got.isNullAt(0) && got.getDouble(0) == 9.9)
   }
 
+  test("asofJoin breaks (key, time) ties deterministically: highest right struct wins") {
+    import spark.implicits._
+    val left = Seq((1L, 5L, ts("2024-01-01 10:00:00"))).toDF("event_id", "user_id", "ts")
+    // three right rows tied on (user_id, ts): pick must be the max struct
+    // (user_id, ts, value) → value 7.0 — on every run and partitioning
+    val right = Seq(
+      (5L, ts("2024-01-01 09:00:00"), 3.0),
+      (5L, ts("2024-01-01 09:00:00"), 7.0),
+      (5L, ts("2024-01-01 09:00:00"), 1.0)
+    ).toDF("user_id", "ts", "value")
+    (1 to 5).foreach { _ =>
+      val got = AsofJoin.asofJoin(
+        left, right.repartition(4), Seq("user_id"), "ts", "ts")
+        .select($"asof.value").head.getDouble(0)
+      assert(got == 7.0)
+    }
+  }
+
   test("asofJoin keeps every left row (left-join semantics)") {
     import spark.implicits._
     val left = (1 to 100).map(i => (i.toLong, (i % 7).toLong,

@@ -76,4 +76,66 @@ class DedupSpec extends SparkSpec {
     val v2 = Seq("x").toDF("s").select(Dedup.hash60(col("s"))).head.getLong(0)
     assert(v == v2 && v >= 0)
   }
+
+  // ---- native kernel ⇄ HOF spec agreement (the dual-path discipline) ----
+
+  test("native shingles kernel is bit-identical to the HOF shinglesHof on fixture docs") {
+    val d = spark.read.parquet(s"$sf0001/documents.parquet")
+    val mismatches = d
+      .select(Dedup.shingles(col("text"), 2).as("fast"),
+        Dedup.shinglesHof(col("text"), 2).as("hof"))
+      .filter(col("fast") =!= col("hof")).count()
+    assert(mismatches == 0)
+    // edge cases: tabs at edges (leading empty token), repeats, short text
+    val edge = docs((0L, "\ta b\t"), (1L, "x x x x"), (2L, "solo"), (3L, "  "))
+    val edgeMismatch = edge
+      .select(Dedup.shingles(col("text"), 2).as("fast"),
+        Dedup.shinglesHof(col("text"), 2).as("hof"))
+      .filter(col("fast") =!= col("hof")).count()
+    assert(edgeMismatch == 0)
+  }
+
+  test("native minhashSigF is bit-identical to the HOF minhashSignature on fixture docs") {
+    import graft.expressions.TextHashExpressions.minhashSigF
+    val d = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(col("doc_id"), Dedup.shingles(col("text"), 2).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val mismatches = d
+      .select(minhashSigF(col("sh"), 16).as("fast"),
+        Dedup.minhashSignature(col("sh"), 16).as("hof"))
+      .filter(col("fast") =!= col("hof")).count()
+    assert(mismatches == 0)
+  }
+
+  test("native simhash32F is bit-identical to the HOF simhash32 on fixture docs") {
+    import graft.expressions.TextHashExpressions.simhash32F
+    val toks = graft.functions.TextFunctions.tokens(col("text"))
+    val mismatches = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(simhash32F(toks).as("fast"), Dedup.simhash32(toks).as("hof"))
+      .filter(col("fast") =!= col("hof")).count()
+    assert(mismatches == 0)
+  }
+
+  test("merge jaccard (sorted arrays) agrees with the hash-set jaccardHof on fixture pairs") {
+    val sh = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(col("doc_id"), Dedup.shingles(col("text"), 2).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val a = sh.select(col("doc_id").as("ia"), col("sh").as("sa"))
+    val b = sh.select(col("doc_id").as("ib"), col("sh").as("sb"))
+    val mismatches = a.join(b, col("ia") < col("ib"))
+      .select(Dedup.jaccard(col("sa"), col("sb")).as("fast"),
+        Dedup.jaccardHof(col("sa"), col("sb")).as("hof"))
+      .filter(col("fast") =!= col("hof")).count()
+    assert(mismatches == 0)
+  }
+
+  test("exactDedup keeps one canonical (min-id) row per duplicated text") {
+    val df = docs((0L, "same text here"), (1L, "same  text   here"),
+      (2L, "different entirely"), (3L, "same text here"))
+    val got = Dedup.exactDedup(df, "text", "doc_id")
+      .select(col("doc_id"), col("n_copies"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // whitespace-collapsed fingerprint: 0,1,3 are one group, canonical 0
+    assert(got == Map(0L -> 3L, 2L -> 1L))
+  }
 }

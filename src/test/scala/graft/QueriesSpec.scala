@@ -15,7 +15,9 @@ class QueriesSpec extends SparkSpec {
   }
 
   test("every query has an oracle (or is documented rows-only)") {
-    val rowsOnly = Set.empty[String] // none yet — keep the gate strict
+    // approx sketches (HLL / KLL) are engine-specific by construction; the
+    // exact twins q_distinct_users / q_percentile carry the oracle check.
+    val rowsOnly = Set("q_approx_sketch")
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- rowsOnly
     assert(missing.isEmpty, s"queries without oracles: $missing")
   }

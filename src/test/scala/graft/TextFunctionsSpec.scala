@@ -61,4 +61,20 @@ class TextFunctionsSpec extends SparkSpec {
     assert(q.forall(v => v >= 0.0 && v <= 1.0))
     assert(q(1) > q(0))
   }
+
+  test("bpeTokenCount: letter runs, digit runs, single punct glyphs") {
+    // "Hello, world v2.0!" → Hello , world v 2 . 0 ! = 8
+    val got = docs("Hello, world v2.0!")
+      .select(T.bpeTokenCount(col("text"))).head.getInt(0)
+    assert(got == 8)
+    assert(docs("").select(T.bpeTokenCount(col("text"))).head.getInt(0) == 0)
+  }
+
+  test("rollingHash: order-sensitive (reordering tokens changes it), whitespace-insensitive") {
+    val h = (t: String) => docs(t).select(T.rollingHash(col("text"))).head.getLong(0)
+    assert(h("a b c") == h("a  b   c"), "whitespace collapse must not change the hash")
+    assert(h("a b c") != h("c b a"), "token order must change the hash")
+    assert(h("") == 0L, "empty text folds to the init value")
+    assert(h("a b c") >= 0 && h("a b c") < 1000000007L)
+  }
 }

@@ -59,6 +59,16 @@ def main(sf_dir, out_dir):
         try:
             pd.testing.assert_frame_equal(got, want, check_dtype=False,
                                           check_exact=True)
+            # pandas treats -0.0 == 0.0, but the driver hashes bit patterns:
+            # compare float sign bits explicitly
+            import numpy as np
+            for c in got.columns:
+                if got[c].dtype.kind == "f" and want[c].dtype.kind == "f":
+                    gv, wv = got[c].to_numpy(), want[c].to_numpy()
+                    mask = ~(pd.isna(gv) | pd.isna(wv))
+                    if (np.signbit(gv[mask]) != np.signbit(wv[mask])).any():
+                        raise AssertionError(f"float sign-bit mismatch in {c}"
+                                             " (likely -0.0 vs +0.0)")
             print(f"[ OK ] {name}: {len(got)} rows")
             n_ok += 1
         except AssertionError as e:
