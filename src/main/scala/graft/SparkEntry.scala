@@ -1102,6 +1102,23 @@ object SparkEntry {
         .orderBy($"win_start")
     }),
 
+    // Feature-hashing embedder (SURVEY O12) run through the real
+    // mapPartitions plumbing (one Embedder per partition — the model-load
+    // contract). The ±1-vote construction keeps every intermediate an
+    // exact integer in double, so the DuckDB oracle replicates the whole
+    // embedding bit-for-bit including the float32 cast.
+    "q_hash_embed" -> ((s, dir) => {
+      import s.implicits._
+      import graft.embed.{Embed, HashingEmbedder}
+      val docs = spread(s, t(s, dir, "documents")).select($"doc_id", $"text")
+      Embed.withEmbedding(docs, "text", "embedding", HashingEmbedder(64))
+        .select($"doc_id",
+          round(element_at($"embedding", 1).cast("double"), 6).as("e0"),
+          round(element_at($"embedding", 2).cast("double"), 6).as("e1"),
+          round(element_at($"embedding", 3).cast("double"), 6).as("e2"))
+        .orderBy($"doc_id")
+    }),
+
     // Sketches: HyperLogLog distinct + KLL-style approximate percentiles.
     // Approx algorithms are engine-specific, so there is deliberately NO
     // oracle entry — the driver records the weaker rows-only check; exact
@@ -1193,6 +1210,34 @@ object SparkEntry {
         |  FROM embeddings)
         |SELECT label, CAST(i - 1 AS INT) AS pos, ROUND(AVG(x), 6) AS mean_x
         |FROM x GROUP BY label, pos ORDER BY label, pos""".stripMargin,
+
+    "q_hash_embed" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+        |                        ELSE string_split_regex(trim(text), '\s+') END) AS tk
+        |  FROM documents),
+        |h AS (SELECT doc_id, ('0x' || substr(md5(tk), 1, 15))::BIGINT AS h FROM toks),
+        |b AS (SELECT doc_id, h % 64 AS bucket,
+        |             CASE WHEN (h // 64) % 2 = 0 THEN 1.0 ELSE -1.0 END AS sgn
+        |      FROM h),
+        |agg AS (SELECT doc_id, bucket, SUM(sgn) AS v FROM b GROUP BY doc_id, bucket),
+        |nrm AS (SELECT doc_id, GREATEST(SQRT(SUM(v*v)), 1e-12) AS nrm
+        |        FROM agg GROUP BY doc_id),
+        |px AS (
+        |  SELECT d.doc_id,
+        |    COALESCE(MAX(CASE WHEN bucket = 0 THEN v END), 0.0) AS v0,
+        |    COALESCE(MAX(CASE WHEN bucket = 1 THEN v END), 0.0) AS v1,
+        |    COALESCE(MAX(CASE WHEN bucket = 2 THEN v END), 0.0) AS v2,
+        |    COALESCE(MAX(n.nrm), 1e-12) AS nrm
+        |  FROM documents d
+        |  LEFT JOIN agg ON d.doc_id = agg.doc_id
+        |  LEFT JOIN nrm n ON d.doc_id = n.doc_id
+        |  GROUP BY d.doc_id)
+        |SELECT doc_id,
+        |  ROUND(CAST(v0 / nrm AS FLOAT)::DOUBLE, 6) AS e0,
+        |  ROUND(CAST(v1 / nrm AS FLOAT)::DOUBLE, 6) AS e1,
+        |  ROUND(CAST(v2 / nrm AS FLOAT)::DOUBLE, 6) AS e2
+        |FROM px ORDER BY doc_id""".stripMargin,
 
     "q_sliding" ->
       """WITH x AS (

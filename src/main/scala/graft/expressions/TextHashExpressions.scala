@@ -25,7 +25,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * fixture (native vs `Dedup.minhashSignature` / `Dedup.simhash32`), and
   * the wired-in queries hash-match the DuckDB oracle end to end.
   */
-private[expressions] object Md5Kernel {
+private[graft] object Md5Kernel {
   private val tl = ThreadLocal.withInitial[MessageDigest](
     () => MessageDigest.getInstance("MD5"))
 

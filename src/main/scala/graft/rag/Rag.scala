@@ -1,0 +1,64 @@
+package graft.rag
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.embed.{Embed, Embedder}
+import graft.functions.{TextFunctions => T}
+import graft.search.VectorStore
+
+/** The reference's RAG pipelines (`rag_demo/ingest.py`, `rag_demo/ask.py`)
+  * as single DataFrame flows — SURVEY.md §3.3:
+  *
+  *   ingest: docs → chunk (O11) → chunk-id (O13) → embed (O12, per-
+  *           partition model) → normalize + route (O1–O3 via VectorStore)
+  *   ask:    question → embed → top-k search (O4–O8) → join chunks →
+  *           ordered context assembly (O15) → prompt template (O16)
+  *
+  * Generation (FLAN-T5 in the reference, `rag_demo/ask.py:35-39`) stays a
+  * pluggable boundary — the pipeline ends at the prompt column.
+  */
+object Rag {
+
+  /** Chunked document table: one row per (doc, chunk) with deterministic
+    * chunk ids (the reference's uuid4 suffix replaced by a content hash,
+    * `rag_demo/ingest.py:34`).
+    */
+  def chunkDocs(docs: DataFrame, idCol: String, textCol: String,
+                chunkTokens: Int): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        posexplode(T.chunks(col(textCol), chunkTokens)).as(Seq("chunk_idx", "chunk")))
+      .withColumn("chunk_id", T.chunkId(col("doc_id"), col("chunk_idx"), col("chunk")))
+
+  /** Full ingest: chunk → embed → insert. Returns (store, chunks). */
+  def ingest(docs: DataFrame, idCol: String, textCol: String,
+             embedder: Embedder, chunkTokens: Int = 120,
+             numShards: Int = 8): (VectorStore, DataFrame) = {
+    val chunks = chunkDocs(docs, idCol, textCol, chunkTokens)
+    val embedded = Embed.withEmbedding(chunks, "chunk", "embedding", embedder)
+    val store = VectorStore.fromDataFrame(
+      embedded.select(col("chunk_id"), col("embedding")),
+      "chunk_id", "embedding", embedder.dim, numShards)
+    (store, chunks)
+  }
+
+  /** Question → context + prompt. One row: (question, context, prompt). */
+  def ask(spark: SparkSession, store: VectorStore, chunks: DataFrame,
+          embedder: Embedder, question: String, k: Int = 4): DataFrame = {
+    val hits = store.search(embedder.embed(question).toSeq, k, "cosine")
+    val ctx = hits.join(chunks, hits("id") === chunks("chunk_id"))
+      .agg(array_join(
+        transform(
+          array_sort(collect_list(struct(
+            (-round(col("score"), 6)).as("negs"), col("chunk_id").as("cid"),
+            col("chunk").as("t")))),
+          x => concat(lit("- "), x.getField("t"))),
+        "\n\n").as("context"))
+    ctx.select(
+      lit(question).as("question"),
+      col("context"),
+      format_string(
+        "Answer strictly from the context.\n\nContext:\n%s\n\nQuestion: %s\nAnswer:",
+        col("context"), lit(question)).as("prompt"))
+  }
+}

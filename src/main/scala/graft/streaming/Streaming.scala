@@ -1,10 +1,19 @@
 package graft.streaming
 
+import java.sql.Timestamp
+
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
 
 import graft.search.VectorStore
+
+/** Open-session accumulator for `Streaming.sessionizeStream`. */
+case class SessionState(startMs: Long, lastMs: Long, nEvents: Long)
+
+/** Closed session emitted by `Streaming.sessionizeStream`. */
+case class ClosedSession(user_id: Long, session_start: Timestamp,
+                         session_end: Timestamp, n_events: Long)
 
 /** Structured Streaming surface — the extension the reference lacks
   * entirely (its only "streams" are CUDA async streams and asyncio
@@ -25,6 +34,66 @@ object Streaming {
       .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
       .select(col("w.start").as("win_start"), col("event_type"),
         col("n"), col("sum_value"))
+
+  /** Streaming sessionization with CUSTOM state (`flatMapGroupsWithState`
+    * + event-time timeout) — the batch twin is the q_sessionize
+    * lag-window formulation; this is the continuous version that emits a
+    * session record once its gap closes.
+    *
+    * State per user is O(1) (start/last/count of the one open session);
+    * eviction is by event-time timeout at `last + gap`, driven by the
+    * watermark — so total state is bounded by the number of users active
+    * within the watermark horizon, regardless of stream length. Input
+    * must have `user_id LONG` and `ts TIMESTAMP` columns.
+    *
+    * Semantics note: the open session at end-of-stream is emitted only
+    * when the watermark passes its gap (or never, if the stream stops) —
+    * the same contract as Spark's built-in session_window in append mode.
+    */
+  def sessionizeStream(events: DataFrame, gapMinutes: Int,
+                       watermark: String): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapMs = gapMinutes * 60000L
+
+    def fn(uid: Long, rows: Iterator[(Long, Timestamp)],
+           state: GroupState[SessionState]): Iterator[ClosedSession] = {
+      if (state.hasTimedOut) {
+        val s = state.get
+        state.remove()
+        Iterator.single(ClosedSession(uid,
+          new Timestamp(s.startMs), new Timestamp(s.lastMs), s.nEvents))
+      } else {
+        val out = scala.collection.mutable.ArrayBuffer.empty[ClosedSession]
+        var cur = state.getOption
+        rows.map(_._2.getTime).toArray.sorted.foreach { t =>
+          cur match {
+            case Some(s) if t - s.lastMs <= gapMs =>
+              cur = Some(s.copy(lastMs = math.max(s.lastMs, t), nEvents = s.nEvents + 1))
+            case Some(s) =>
+              out += ClosedSession(uid,
+                new Timestamp(s.startMs), new Timestamp(s.lastMs), s.nEvents)
+              cur = Some(SessionState(t, t, 1))
+            case None =>
+              cur = Some(SessionState(t, t, 1))
+          }
+        }
+        cur.foreach { s =>
+          state.update(s)
+          state.setTimeoutTimestamp(s.lastMs + gapMs)
+        }
+        out.iterator
+      }
+    }
+
+    events
+      .withWatermark("ts", watermark)
+      .select(col("user_id").cast("long"), col("ts"))
+      .as[(Long, Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
+      .toDF()
+  }
 
   /** Continuous vector ingest: every micro-batch is validated, normalized
     * and routed through the same `VectorStore.insert` path as batch writes

@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.embed.{Embed, HashingEmbedder}
+import graft.functions.{VectorFunctions => V}
+import graft.rag.Rag
+
+class EmbedRagSpec extends SparkSpec {
+
+  test("HashingEmbedder: deterministic, unit-norm, order-sensitive buckets not order-sensitive result") {
+    val e = HashingEmbedder(64)
+    val a = e.embed("the quick brown fox")
+    val b = e.embed("the quick brown fox")
+    assert(a.toSeq == b.toSeq)
+    // token order must NOT matter (bag-of-words votes)
+    assert(e.embed("fox brown quick the").toSeq == a.toSeq)
+    val norm = math.sqrt(a.map(x => x.toDouble * x).sum)
+    assert(math.abs(norm - 1.0) < 1e-6)
+    assert(e.embed("").forall(_ == 0.0f))
+  }
+
+  test("Embed.withEmbedding appends ARRAY<FLOAT> via mapPartitions, preserving columns") {
+    import spark.implicits._
+    val df = Seq((1L, "alpha beta"), (2L, "gamma")).toDF("doc_id", "text")
+    val out = Embed.withEmbedding(df, "text", "embedding", HashingEmbedder(16))
+    assert(out.columns.toSeq == Seq("doc_id", "text", "embedding"))
+    val row = out.filter($"doc_id" === 1).head
+    assert(row.getSeq[Float](2).length == 16)
+    // same text through the column path equals the direct call
+    assert(row.getSeq[Float](2).toArray.toSeq ==
+      HashingEmbedder(16).embed("alpha beta").toSeq)
+  }
+
+  test("Rag.ingest chunks, embeds and stores normalized vectors; ask assembles a prompt") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, ("spark rules the cluster " * 30).trim),
+      (1L, ("vectors live in shards " * 30).trim),
+      (2L, "tiny doc")
+    ).toDF("doc_id", "text")
+    val embedder = HashingEmbedder(32)
+    val (store, chunks) = Rag.ingest(docs, "doc_id", "text", embedder, chunkTokens = 40)
+    // 120 tokens / 40 → 3 chunks each for docs 0,1; 1 chunk for doc 2
+    assert(chunks.count() == 7)
+    assert(store.count() == 7)
+    val norms = store.vectors.select(sqrt(V.norm2($"embedding")).as("n"))
+      .agg(min($"n"), max($"n")).head
+    assert(math.abs(norms.getDouble(0) - 1.0) < 1e-5)
+    assert(math.abs(norms.getDouble(1) - 1.0) < 1e-5)
+
+    val ans = Rag.ask(spark, store, chunks, embedder, "where do vectors live", k = 2).head
+    assert(ans.getString(0) == "where do vectors live")
+    val prompt = ans.getString(2)
+    assert(prompt.contains("Context:") && prompt.contains("Question: where do vectors live"))
+    assert(prompt.contains("vectors live in shards"),
+      "top chunk for the question should come from doc 1")
+  }
+}

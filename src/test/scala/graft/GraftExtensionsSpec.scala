@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ext.GraftFunctions
+import graft.functions.{VectorFunctions => V}
+import graft.operators.Dedup
+
+class GraftExtensionsSpec extends SparkSpec {
+
+  test("registered SQL functions match the Column-API kernels") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    Seq((Seq(1.0f, 2.0f, 3.0f), Seq(0.5f, -1.0f, 2.0f), "a b c a"))
+      .toDF("x", "y", "text").createOrReplaceTempView("ext_probe")
+
+    val dot = spark.sql("SELECT graft_dot(x, y) FROM ext_probe").head.getDouble(0)
+    assert(dot == 1.0 * 0.5 + 2.0 * -1.0 + 3.0 * 2.0)
+
+    val viaSql = spark.sql(
+      """SELECT graft_minhash_sig(graft_shingles(text, 2), 4) AS sig,
+        |       graft_simhash32(graft_shingles(text, 1)) AS sh,
+        |       graft_intersect_count(graft_shingles(text, 2),
+        |                             graft_shingles(text, 2)) AS ic
+        |FROM ext_probe""".stripMargin).head
+    val viaApi = Seq("a b c a").toDF("text")
+      .select(
+        graft.expressions.TextHashExpressions.minhashSigF(Dedup.shingles($"text", 2), 4),
+        graft.expressions.TextHashExpressions.simhash32F(Dedup.shingles($"text", 1)),
+        size(Dedup.shingles($"text", 2)))
+      .head
+    assert(viaSql.getSeq[Long](0) == viaApi.getSeq[Long](0))
+    assert(viaSql.getLong(1) == viaApi.getLong(1))
+    assert(viaSql.getInt(2) == viaApi.getInt(2))
+  }
+
+  test("non-literal size argument is rejected with a clear error") {
+    GraftFunctions.register(spark)
+    val e = intercept[Exception] {
+      spark.sql("SELECT graft_shingles('a b', 1 + 1)").collect()
+    }
+    assert(e.getMessage.contains("INT literal") || e.getMessage.contains("graft_shingles"))
+  }
+}

@@ -31,6 +31,41 @@ class StreamingSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("sessionizeStream emits closed sessions via custom state + event-time timeout") {
+    import spark.implicits._
+    def ts(min: Int) = new java.sql.Timestamp(3600000L + min * 60000L)
+    val tmp = Files.createTempDirectory("graft_sess_").toString
+    // user 1: events at 0,5,10 (one session), then 60,62 (second session)
+    // user 2: single event at 3
+    val batch1 = Seq((1L, ts(0)), (1L, ts(5)), (2L, ts(3)), (1L, ts(10)))
+      .toDF("user_id", "ts")
+    batch1.write.mode("overwrite").parquet(tmp)
+
+    val stream = spark.readStream.schema(batch1.schema).parquet(tmp)
+    val q = Streaming.sessionizeStream(stream, gapMinutes = 30, watermark = "0 seconds")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sess_out").start()
+    q.processAllAvailable()
+    // far-future events advance the watermark past 10 + 30min → both open
+    // sessions time out; user 1 opens a new session at minute 60
+    Seq((1L, ts(60)), (1L, ts(62))).toDF("user_id", "ts")
+      .write.mode("append").parquet(tmp)
+    q.processAllAvailable()
+    // one more advance so the minute-60 session can close too
+    Seq((3L, ts(600))).toDF("user_id", "ts")
+      .write.mode("append").parquet(tmp)
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark.table("sess_out")
+      .select($"user_id", $"n_events",
+        ($"session_end".cast("long") - $"session_start".cast("long")).as("dur_s"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got.contains((1L, 3L, 600L)), s"user 1 first session (3 events, 10 min): $got")
+    assert(got.contains((2L, 1L, 0L)), s"user 2 singleton session: $got")
+    assert(got.contains((1L, 2L, 120L)), s"user 1 second session (2 events, 2 min): $got")
+  }
+
   test("streamInsert routes micro-batches through VectorStore.insert") {
     import spark.implicits._
     val tmp = Files.createTempDirectory("graft_vecstream_").toString
