@@ -136,6 +136,59 @@ case class SimHash32(child: Expression)
     copy(child = newChild)
 }
 
+/** LSH band hashes of a MinHash signature: band j (of `bands`, each
+  * `rowsPerBand` values) → md5 hex of the comma-joined decimal signature
+  * slice. Bit-identical to `Dedup.bandHashes`'s HOF form (agreement-tested
+  * in DedupSpec) and to the DuckDB oracle's
+  * `md5(array_to_string(sig[j*r+1 : j*r+r], ','))`.
+  */
+case class MinHashBands(child: Expression, bands: Int, rowsPerBand: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"MinHashBands requires ARRAY<BIGINT>, got ${other.simpleString}")
+    }
+
+  private val hexChars = "0123456789abcdef".toCharArray
+
+  override def nullSafeEval(input: Any): Any = {
+    val sig = input.asInstanceOf[ArrayData]
+    val out = new Array[Any](bands)
+    val sb = new java.lang.StringBuilder
+    var j = 0
+    while (j < bands) {
+      sb.setLength(0)
+      var r = 0
+      while (r < rowsPerBand) {
+        if (r > 0) sb.append(',')
+        sb.append(sig.getLong(j * rowsPerBand + r))
+        r += 1
+      }
+      val d = Md5Kernel.digest(sb.toString.getBytes("UTF-8"))
+      val hex = new Array[Char](32)
+      var i = 0
+      while (i < 16) {
+        hex(2 * i) = hexChars((d(i) >> 4) & 0xf)
+        hex(2 * i + 1) = hexChars(d(i) & 0xf)
+        i += 1
+      }
+      out(j) = UTF8String.fromString(new String(hex))
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object TextHashExpressions {
   /** Fast MinHash signature column (ARRAY<BIGINT>, length k). */
   def minhashSigF(shingles: Column, k: Int): Column =
@@ -144,4 +197,8 @@ object TextHashExpressions {
   /** Fast 32-bit SimHash column (BIGINT). */
   def simhash32F(tokens: Column): Column =
     GraftShim.column(SimHash32(GraftShim.expression(tokens)))
+
+  /** Fast LSH band hashes (ARRAY<STRING>, length bands). */
+  def minhashBandsF(sig: Column, bands: Int, rowsPerBand: Int): Column =
+    GraftShim.column(MinHashBands(GraftShim.expression(sig), bands, rowsPerBand))
 }

@@ -95,8 +95,14 @@ object Dedup {
 
   /** LSH band hashes: md5 of the comma-joined decimal signature slice per
     * band. bands × rowsPerBand must equal the signature length.
+    * Native kernel; `bandHashesHof` is the declarative spec
+    * (agreement-tested in DedupSpec).
     */
   def bandHashes(sig: Column, bands: Int, rowsPerBand: Int): Column =
+    graft.expressions.TextHashExpressions.minhashBandsF(sig, bands, rowsPerBand)
+
+  /** Declarative spec for `bandHashes` (HOF only). */
+  def bandHashesHof(sig: Column, bands: Int, rowsPerBand: Int): Column =
     transform(sequence(lit(0), lit(bands - 1)),
       j => md5(array_join(
         transform(slice(sig, j * lit(rowsPerBand) + lit(1), lit(rowsPerBand)),

@@ -107,6 +107,19 @@ class DedupSpec extends SparkSpec {
     assert(mismatches == 0)
   }
 
+  test("native bandHashes is bit-identical to the HOF bandHashesHof on fixture sigs") {
+    import graft.expressions.TextHashExpressions.minhashSigF
+    val d = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(col("doc_id"), Dedup.shingles(col("text"), 2).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .withColumn("sig", minhashSigF(col("sh"), 16))
+    val mismatches = d
+      .select(Dedup.bandHashes(col("sig"), 4, 4).as("fast"),
+        Dedup.bandHashesHof(col("sig"), 4, 4).as("hof"))
+      .filter(col("fast") =!= col("hof")).count()
+    assert(mismatches == 0)
+  }
+
   test("native simhash32F is bit-identical to the HOF simhash32 on fixture docs") {
     import graft.expressions.TextHashExpressions.simhash32F
     val toks = graft.functions.TextFunctions.tokens(col("text"))
