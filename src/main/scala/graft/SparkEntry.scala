@@ -1102,6 +1102,36 @@ object SparkEntry {
         .orderBy($"win_start")
     }),
 
+    // Built-in session windows (gap-close semantics; streaming twin is
+    // Streaming.sessionizeStream). Batch mode = plain aggregation.
+    "q_session_window" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "events")
+        .groupBy($"user_id", session_window($"ts", "30 minutes").as("w"))
+        .agg(count(lit(1)).as("n_events"), round(sum($"value"), 2).as("sum_value"))
+        .select($"user_id",
+          date_format($"w.start", "yyyy-MM-dd HH:mm:ss.SSSSSS").as("session_start"),
+          date_format($"w.end", "yyyy-MM-dd HH:mm:ss.SSSSSS").as("session_end"),
+          $"n_events", $"sum_value")
+        .orderBy($"user_id", $"session_start")
+    }),
+
+    // Batched multi-query top-k through the TopKAggregator (two-phase
+    // partial/final aggregation — the shuffle carries only k-bounded
+    // buffers per query, the 100 TB shape; TopK.scala scaladoc).
+    "q_batch_topk" -> ((s, dir) => {
+      import s.implicits._
+      val e = t(s, dir, "embeddings")
+      val qs = e.filter($"vec_id" < 5)
+        .select($"vec_id".as("qid"), $"embedding".as("qe"))
+      val scored = e.crossJoin(broadcast(qs))
+        .select($"qid", $"vec_id",
+          score6(V.cosine($"embedding", $"qe")).as("c"))
+      TopK.topKPerKeyAgg(scored, Seq($"qid"), $"c", $"vec_id", 3)
+        .select($"qid", $"id".as("vec_id"), $"score")
+        .orderBy($"qid", $"score".desc, $"vec_id")
+    }),
+
     // Feature-hashing embedder (SURVEY O12) run through the real
     // mapPartitions plumbing (one Embedder per partition — the model-load
     // contract). The ±1-vote construction keeps every intermediate an
@@ -1210,6 +1240,49 @@ object SparkEntry {
         |  FROM embeddings)
         |SELECT label, CAST(i - 1 AS INT) AS pos, ROUND(AVG(x), 6) AS mean_x
         |FROM x GROUP BY label, pos ORDER BY label, pos""".stripMargin,
+
+    "q_session_window" ->
+      """WITH x AS (
+        |  SELECT user_id, ts, value,
+        |         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |                OR epoch(ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts))
+        |                   >= 1800.0
+        |              THEN 1 ELSE 0 END AS ns
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, ts, value,
+        |         SUM(ns) OVER (PARTITION BY user_id ORDER BY ts
+        |                       ROWS UNBOUNDED PRECEDING) AS sess
+        |  FROM x)
+        |SELECT user_id,
+        |       strftime(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+        |       strftime(MAX(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S.%f')
+        |         AS session_end,
+        |       COUNT(*) AS n_events, ROUND(SUM(value), 2) AS sum_value
+        |FROM s GROUP BY user_id, sess
+        |ORDER BY user_id, session_start""".stripMargin,
+
+    "q_batch_topk" ->
+      """WITH qs AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+        |            WHERE vec_id < 5),
+        |pairs AS (
+        |  SELECT q.qid, e.vec_id,
+        |         unnest(e.embedding)::DOUBLE AS x, unnest(q.qe)::DOUBLE AS y
+        |  FROM embeddings e CROSS JOIN qs q),
+        |agg AS (
+        |  SELECT qid, vec_id, SUM(x*y) AS dp, SUM(x*x) AS nx2, SUM(y*y) AS ny2
+        |  FROM pairs GROUP BY qid, vec_id),
+        |sc AS (
+        |  SELECT qid, vec_id,
+        |         ROUND(dp / (GREATEST(SQRT(nx2), 1e-12) * GREATEST(SQRT(ny2), 1e-12)), 6)
+        |           + 0.0 AS score
+        |  FROM agg),
+        |rk AS (
+        |  SELECT qid, vec_id, score,
+        |         row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rn
+        |  FROM sc)
+        |SELECT qid, vec_id, score FROM rk WHERE rn <= 3
+        |ORDER BY qid, score DESC, vec_id""".stripMargin,
 
     "q_hash_embed" ->
       """WITH toks AS (

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.expressions.FloatVectorExpressions.dotF
 import graft.functions.{VectorFunctions => V}
 
 /** Approximate nearest-neighbor search: IVF (inverted-file) coarse
@@ -35,8 +36,16 @@ object Ann {
     */
   def ivfAssign(vectors: DataFrame, centroids: DataFrame, idCol: String,
                 vecCol: String, centIdCol: String, centVecCol: String): DataFrame = {
-    val scored = vectors.crossJoin(broadcast(centroids))
-      .withColumn("__c", round(V.cosine(col(vecCol), col(centVecCol)), 6))
+    // norms once per row / per centroid, codegen dot per pair — identical
+    // arithmetic to V.cosine (same operand order), ~10× the interpreted
+    // HOF formulation over the row × centroid cross product
+    val vn = vectors.withColumn("__nv",
+      greatest(sqrt(dotF(col(vecCol), col(vecCol))), lit(V.NormEps)))
+    val cn = centroids.withColumn("__nc",
+      greatest(sqrt(dotF(col(centVecCol), col(centVecCol))), lit(V.NormEps)))
+    val scored = vn.crossJoin(broadcast(cn))
+      .withColumn("__c",
+        round(dotF(col(vecCol), col(centVecCol)) / (col("__nv") * col("__nc")), 6))
     val w = Window.partitionBy(col(idCol))
       .orderBy(col("__c").desc, col(centIdCol).asc)
     scored.withColumn("__rn", row_number().over(w))

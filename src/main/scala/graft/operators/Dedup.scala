@@ -110,16 +110,37 @@ object Dedup {
 
   /** Candidate pairs (idA < idB) sharing at least one LSH band bucket.
     * `df` must carry an id column and a band-hash array column.
-    * The self-join key is (band_idx, band_hash): only ids land in the
-    * shuffle. NOTE for very skewed corpora (mass-duplicated boilerplate),
-    * cap or salt hot buckets before the join.
+    *
+    * Shape: explode bands → groupBy (band_idx, band_hash) collecting
+    * bucket members → emit within-bucket pairs → distinct. ONE evaluation
+    * of the signature pipeline and one shuffle keyed on the bucket hash
+    * (only ids travel); the earlier self-join formulation evaluated the
+    * whole minhash pipeline once per join side.
+    *
+    * `maxBucket` guards the quadratic blow-up on pathological buckets
+    * (mass-duplicated boilerplate at corpus scale): buckets above the cap
+    * are DROPPED from candidate generation — their members are near-
+    * certain duplicates of each other and should be routed to an exact-
+    * dedup pass instead (a bucket of m near-identical docs would emit
+    * m²/2 pairs; at m = 10⁶ that is 5·10¹¹ pairs from one bucket).
+    * Default 0 = uncapped (the oracle-checked configuration).
     */
-  def lshCandidatePairs(df: DataFrame, idCol: String, bandsCol: String): DataFrame = {
+  def lshCandidatePairs(df: DataFrame, idCol: String, bandsCol: String,
+                        maxBucket: Int = 0): DataFrame = {
     val exploded = df.select(col(idCol),
       posexplode(col(bandsCol)).as(Seq("band_idx", "bh")))
-    exploded.as("a").join(exploded.as("b"), Seq("band_idx", "bh"))
-      .filter(col(s"a.$idCol") < col(s"b.$idCol"))
-      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
+    val buckets = exploded
+      .groupBy(col("band_idx"), col("bh"))
+      .agg(collect_list(col(idCol)).as("ids"))
+      .filter(size(col("ids")) >= 2)
+    val capped = if (maxBucket > 0) buckets.filter(size(col("ids")) <= maxBucket)
+      else buckets
+    val sorted = array_sort(col("ids"))
+    val pairs = flatten(transform(sorted, (x, i) =>
+      transform(slice(sorted, i + 2, greatest(size(sorted) - i - 1, lit(0))),
+        y => struct(x.as("id_a"), y.as("id_b")))))
+    capped.select(explode(pairs).as("p"))
+      .select(col("p.id_a"), col("p.id_b"))
       .distinct()
   }
 

@@ -1,7 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders}
+import org.apache.spark.sql.expressions.{Aggregator, Window}
 import org.apache.spark.sql.functions._
 
 /** Top-k selection operators.
@@ -27,6 +27,12 @@ object TopK {
   /** Per-key top-k (batched many-queries-at-once search): window row_number.
     * One shuffle on the query key; rank ≤ k filter is evaluated streaming
     * within each window partition so memory stays O(row).
+    *
+    * NOTE: the window formulation shuffles and SORTS every scored row.
+    * For the 100 TB shape — N rows × Q queries scored, only k survivors
+    * per query — prefer `topKPerKeyAgg`: partial aggregation keeps a
+    * k-bounded buffer per (partition, key), so the exchange carries at
+    * most partitions × keys × k entries instead of all N × Q.
     */
   def topKPerKey(df: DataFrame, key: Seq[Column], score: Column, id: Column,
                  k: Int): DataFrame = {
@@ -35,4 +41,70 @@ object TopK {
       .filter(col("__rank") <= k)
       .drop("__rank")
   }
+
+  /** Per-key top-k as a two-phase AGGREGATION — the literal Spark
+    * re-expression of the reference's shard-topk + coordinator-merge
+    * (`fallback_numpy_index.py:31-32` partial, `coordinator/main.py:76-85`
+    * final): map-side partial keeps a k-bounded sorted buffer, the
+    * shuffle moves only those buffers, the final merge concatenates-and-
+    * trims. Output: key columns + (score, id) rows, k per key, ordered
+    * (score desc, id asc) within each key.
+    *
+    * `score` must be DOUBLE and `id` LONG (the fixture id shape); the
+    * generic-typed variant is `TopKAggregator` itself.
+    */
+  def topKPerKeyAgg(df: DataFrame, key: Seq[Column], score: Column, id: Column,
+                    k: Int): DataFrame = {
+    val agg = udaf(new TopKAggregator(k))
+    df.groupBy(key: _*)
+      .agg(agg(score.cast("double"), id.cast("long")).as("__top"))
+      .select(col("*"), posexplode(col("__top")).as(Seq("__rank", "__hit")))
+      .select((key.map(c => col(c.toString)) :+
+        col("__hit.score").as("score") :+ col("__hit.id").as("id")): _*)
+  }
+}
+
+/** Scored hit for `TopKAggregator`. */
+case class ScoredId(score: Double, id: Long)
+
+/** k-bounded top-k Aggregator: buffer = sorted (score desc, id asc) list
+  * of ≤ k hits. `reduce` drops non-competitive rows in O(1) (compare with
+  * the current worst) — the bounded-heap scan of
+  * `flat_index.hpp:39-53` — and `merge` is the coordinator's heap merge.
+  * Spark plans this as ObjectHashAggregate with partial + final phases,
+  * giving map-side combining for free.
+  */
+class TopKAggregator(k: Int)
+    extends Aggregator[ScoredId, Seq[ScoredId], Seq[ScoredId]] {
+  require(k >= 1)
+
+  private def lt(a: ScoredId, b: ScoredId): Boolean =
+    a.score > b.score || (a.score == b.score && a.id < b.id)
+
+  override def zero: Seq[ScoredId] = Vector.empty
+
+  override def reduce(buf: Seq[ScoredId], x: ScoredId): Seq[ScoredId] =
+    if (buf.size >= k && !lt(x, buf.last)) buf
+    else {
+      val (before, after) = buf.span(lt(_, x))
+      ((before :+ x) ++ after).take(k)
+    }
+
+  override def merge(a: Seq[ScoredId], b: Seq[ScoredId]): Seq[ScoredId] = {
+    val out = Vector.newBuilder[ScoredId]
+    var (i, j, n) = (0, 0, 0)
+    while (n < k && (i < a.size || j < b.size)) {
+      if (j >= b.size || (i < a.size && lt(a(i), b(j)))) { out += a(i); i += 1 }
+      else { out += b(j); j += 1 }
+      n += 1
+    }
+    out.result()
+  }
+
+  override def finish(buf: Seq[ScoredId]): Seq[ScoredId] = buf
+
+  override def bufferEncoder: Encoder[Seq[ScoredId]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[ScoredId]]()
+  override def outputEncoder: Encoder[Seq[ScoredId]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[ScoredId]]()
 }

@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.functions.{VectorFunctions => V}
+import graft.operators.TopK
+
+/** Property-based checks (SURVEY.md §5.2) driven by seeded ScalaCheck
+  * generators — each property is asserted over a set of generated datasets
+  * (ties, skew, random partitioning included by construction).
+  */
+class PropertiesSpec extends SparkSpec {
+
+  private def sample[A](g: Gen[A], seed: Long): A =
+    g.apply(Gen.Parameters.default, Seed(seed)).get
+
+  // scores with deliberate ties (small discrete value space)
+  private val scoredRows: Gen[List[(Long, Double)]] = for {
+    n <- Gen.choose(1, 300)
+    scores <- Gen.listOfN(n, Gen.choose(0, 20).map(_ / 10.0))
+  } yield scores.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+
+  test("prop: topK == brute force under (score desc, id asc), any k / partitioning / ties") {
+    import spark.implicits._
+    (1 to 8).foreach { seed =>
+      val rows = sample(scoredRows, seed)
+      val k = sample(Gen.choose(1, 25), seed * 31)
+      val parts = sample(Gen.choose(1, 7), seed * 17)
+      val df = rows.toDF("id", "score").repartition(parts)
+      val got = TopK.topK(df, col("score"), col("id"), k)
+        .collect.map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val want = rows.map { case (id, s) => (id, s) }
+        .sortBy { case (id, s) => (-s, id) }.take(k)
+      assert(got == want, s"seed=$seed k=$k parts=$parts")
+    }
+  }
+
+  test("prop: TopKAggregator == window topKPerKey on multi-key data with ties") {
+    import spark.implicits._
+    (1 to 6).foreach { seed =>
+      val rows = sample(scoredRows, seed + 100)
+      val k = sample(Gen.choose(1, 8), seed * 13)
+      val df = rows.map { case (id, s) => (id % 5, id, s) }
+        .toDF("qid", "id", "score").repartition(4)
+      val viaAgg = TopK.topKPerKeyAgg(df, Seq(col("qid")), col("score"), col("id"), k)
+        .collect.map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSet
+      val viaWin = TopK.topKPerKey(df, Seq(col("qid")), col("score"), col("id"), k)
+        .select(col("qid"), col("score"), col("id"))
+        .collect.map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSet
+      assert(viaAgg == viaWin, s"seed=$seed k=$k")
+    }
+  }
+
+  private val vecs: Gen[List[Seq[Float]]] = for {
+    n <- Gen.choose(2, 40)
+    dim <- Gen.choose(2, 16)
+    vs <- Gen.listOfN(n, Gen.listOfN(dim, Gen.choose(-100, 100).map(_ / 10.0f)))
+  } yield vs.map(_.toSeq)
+
+  test("prop: l2-on-normalized is rank-equivalent to cosine (SURVEY §1.2 quirk)") {
+    import spark.implicits._
+    (1 to 6).foreach { seed =>
+      val vs = sample(vecs, seed + 500).filter(v => v.exists(_ != 0.0f))
+      if (vs.size >= 2) {
+        val q = vs.head
+        val df = vs.tail.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+          .toDF("id", "v")
+          .withColumn("cos", V.cosine(col("v"), typedLit(q)))
+          .withColumn("l2n", V.negSqL2(V.l2Normalize(col("v")),
+            V.l2Normalize(typedLit(q))))
+        val byCos = df.orderBy(desc("cos"), col("id")).select("id")
+          .collect.map(_.getLong(0)).toSeq
+        val byL2 = df.orderBy(desc("l2n"), col("id")).select("id")
+          .collect.map(_.getLong(0)).toSeq
+        assert(byCos == byL2, s"seed=$seed")
+      }
+    }
+  }
+
+  test("prop: normalization is idempotent and unit-norm (1e-12 guard aside)") {
+    import spark.implicits._
+    (1 to 6).foreach { seed =>
+      val vs = sample(vecs, seed + 900).filter(v => v.exists(math.abs(_) > 0.01f))
+      val df = vs.toDF("v")
+      val maxErr = df.select(
+        max(abs(sqrt(V.norm2(V.l2Normalize(col("v")))) - 1.0))).head.getDouble(0)
+      assert(maxErr < 1e-9, s"seed=$seed unit-norm violated: $maxErr")
+      // idempotence: normalize twice == normalize once (elementwise ≤ 1e-12)
+      val idemErr = df.select(max(aggregate(
+        zip_with(V.l2Normalize(col("v")), V.l2Normalize(V.l2Normalize(col("v"))),
+          (a, b) => abs(a - b)),
+        lit(0.0), (acc, x) => greatest(acc, x)))).head.getDouble(0)
+      assert(idemErr < 1e-12, s"seed=$seed idempotence violated: $idemErr")
+    }
+  }
+}
