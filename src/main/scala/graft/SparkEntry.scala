@@ -990,6 +990,20 @@ object SparkEntry {
 
   private def extraQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // The SQL surface: same engine, spark.sql text in, DataFrame out
+    // (fixture tables registered as temp views; Catalyst plans SQL and
+    // DataFrame formulations identically).
+    "q_sql_agg" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql(
+        """SELECT o_orderpriority, COUNT(*) AS n,
+          |       ROUND(AVG(o_totalprice), 2) AS avg_price
+          |FROM orders
+          |WHERE year(o_orderdate) = 2000
+          |GROUP BY o_orderpriority
+          |ORDER BY o_orderpriority""".stripMargin)
+    }),
+
     // CUBE: all grouping-set combinations (rollup's big sibling).
     "q_cube" -> ((s, dir) => {
       import s.implicits._
@@ -1164,6 +1178,14 @@ object SparkEntry {
   )
 
   private def extraOracles: Map[String, String] = Map(
+
+    "q_sql_agg" ->
+      """SELECT o_orderpriority, COUNT(*) AS n,
+        |       ROUND(AVG(o_totalprice), 2) AS avg_price
+        |FROM orders
+        |WHERE year(o_orderdate) = 2000
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
 
     "q_cube" ->
       """SELECT l_returnflag, l_linestatus,

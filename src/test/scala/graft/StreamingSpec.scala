@@ -31,6 +31,28 @@ class StreamingSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("dedupStream drops repeated keys across micro-batches (bounded state)") {
+    import spark.implicits._
+    def ts(min: Int) = new java.sql.Timestamp(7200000L + min * 60000L)
+    val tmp = Files.createTempDirectory("graft_dedup_").toString
+    val batch1 = Seq((1L, ts(0)), (2L, ts(1)), (1L, ts(2))).toDF("id", "ts")
+    batch1.write.mode("overwrite").parquet(tmp)
+
+    val stream = spark.readStream.schema(batch1.schema).parquet(tmp)
+    val q = Streaming.dedupStream(stream, Seq("id"), "ts", "1 hour")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("dedup_out").start()
+    q.processAllAvailable()
+    // same ids again within the watermark window → all dropped; one new id
+    Seq((1L, ts(3)), (2L, ts(4)), (7L, ts(5))).toDF("id", "ts")
+      .write.mode("append").parquet(tmp)
+    q.processAllAvailable()
+    q.stop()
+
+    val ids = spark.table("dedup_out").select("id").collect().map(_.getLong(0)).sorted
+    assert(ids.toSeq == Seq(1L, 2L, 7L))
+  }
+
   test("sessionizeStream emits closed sessions via custom state + event-time timeout") {
     import spark.implicits._
     def ts(min: Int) = new java.sql.Timestamp(3600000L + min * 60000L)
