@@ -67,6 +67,27 @@ object Ann {
                    cells: Seq[Long]): DataFrame =
     graft.sources.Layout.readPartitions(spark, path, "cell_id", cells)
 
+  /** End-to-end IVF search: assign → probe → scan only probed cells →
+    * top-k. `nProbes` trades recall for scan fraction (nProbes = #cells
+    * is exact search). Returns (id, score) rows, score desc.
+    */
+  def search(vectors: DataFrame, centroids: DataFrame, idCol: String,
+             vecCol: String, centIdCol: String, centVecCol: String,
+             query: Seq[Float], nProbes: Int, k: Int): DataFrame = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val assigned = ivfAssign(vectors, centroids, idCol, vecCol, centIdCol, centVecCol)
+    val qdf = Seq(Tuple1(query)).toDF("qe")
+    val probes = probeCells(centroids, qdf, centIdCol, centVecCol, nProbes)
+    val cand = assigned.join(broadcast(probes), "cell_id")
+      .withColumn("__nv", greatest(sqrt(dotF(col(vecCol), col(vecCol))), lit(V.NormEps)))
+    val qn = math.max(math.sqrt(query.map(x => x.toDouble * x).sum), V.NormEps)
+    val scored = cand.withColumn("score",
+      dotF(col(vecCol), typedLit(query)) / (col("__nv") * lit(qn)))
+    TopK.topK(scored, col("score"), col(idCol), k)
+      .select(col(idCol).as("id"), col("score"))
+  }
+
   /** The `nProbes` nearest centroids to a single-row query DataFrame whose
     * one column is the query vector. Same quantized ordering as
     * `ivfAssign`.

@@ -31,6 +31,28 @@ class EmbedRagSpec extends SparkSpec {
       HashingEmbedder(16).embed("alpha beta").toSeq)
   }
 
+  test("Generation.withGeneration streams prompts through a per-partition generator") {
+    import spark.implicits._
+    import graft.rag.{EchoGenerator, Generation}
+    val df = Seq((1L, "prompt one"), (2L, "prompt two")).toDF("id", "prompt")
+      .repartition(3)
+    val out = Generation.withGeneration(df, "prompt", "answer", EchoGenerator(20))
+    assert(out.schema.fieldNames.toSeq == Seq("id", "prompt", "answer"))
+    val m = out.collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(m(1L) == "[echo] prompt one" && m(2L) == "[echo] prompt two")
+  }
+
+  test("Synthetic.randomUnitVectors: unit-norm, deterministic, partition-independent") {
+    import graft.sources.Synthetic
+    val a = Synthetic.randomUnitVectors(spark, 50, 16, seed = 7)
+    val norms = a.select(max(abs(sqrt(V.norm2(col("embedding"))) - 1.0))).head.getDouble(0)
+    assert(norms < 1e-9)
+    val b = Synthetic.randomUnitVectors(spark, 50, 16, seed = 7).repartition(5)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+    val c = Synthetic.randomUnitVectors(spark, 50, 16, seed = 8)
+    assert(a.exceptAll(c).count() > 0, "different seed must change vectors")
+  }
+
   test("Rag.ingest chunks, embeds and stores normalized vectors; ask assembles a prompt") {
     import spark.implicits._
     val docs = Seq(
