@@ -68,6 +68,26 @@ object Profile {
       pairs.withColumn("j", Dedup.jaccard($"sha", $"shb"))
         .filter($"j" >= 0.05).count())
 
+    // scale probe: 10× the corpus (distinct ids), same pipelines — checks
+    // the growth curve is ~linear in docs (LSH) not quadratic
+    {
+      val big = (0 until 10).map(i =>
+          docs.select(($"doc_id" + lit(i * 1000000L)).as("doc_id"),
+            concat($"text", lit(s" v$i")).as("text")))
+        .reduce(_ unionByName _)
+        .repartition(32)
+      val shB = big.select($"doc_id", Dedup.shingles($"text", 2).as("sh"))
+        .filter(size($"sh") > 0)
+      val withBandsB = shB
+        .withColumn("sig", minhashSigF($"sh", 16))
+        .withColumn("bands", Dedup.bandHashes($"sig", 4, 4))
+      time(s"S lsh candidates at 10x (${big.count()} docs)") {
+        val c = Dedup.lshCandidatePairs(
+          withBandsB.select($"doc_id", $"bands"), "doc_id", "bands").count()
+        println("  cands10x=" + c)
+      }
+    }
+
     // ngram with spread (as SparkEntry does)
     val shS = docs.repartition(32)
       .select($"doc_id", $"source", Dedup.shingles($"text", 2).as("sh"))

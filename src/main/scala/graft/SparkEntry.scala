@@ -720,6 +720,28 @@ object SparkEntry {
         .orderBy($"doc_a", $"doc_b")
     }),
 
+    // Embedding near-dup at scale: SRP (signed-random-projection) LSH —
+    // candidates from band-bucket equality (shuffle carries only
+    // (band, value, id) tuples), cosine verify only within buckets.
+    // The brute-force q_embed_neardup above is the small-data exact twin.
+    "q_srp_neardup" -> ((s, dir) => {
+      import s.implicits._
+      import graft.expressions.SrpExpression.srpBandsF
+      val e = spread(s, t(s, dir, "embeddings"))
+        .select($"vec_id", $"embedding",
+          greatest(sqrt(dotF($"embedding", $"embedding")), lit(V.NormEps)).as("nrm"))
+      val withBands = e.withColumn("bands", srpBandsF($"embedding", 4, 8, 7L))
+      val cands = Dedup.lshCandidatePairs(
+        withBands.select($"vec_id", $"bands"), "vec_id", "bands")
+      cands
+        .join(e.select($"vec_id".as("id_a"), $"embedding".as("ea"), $"nrm".as("na")), "id_a")
+        .join(e.select($"vec_id".as("id_b"), $"embedding".as("eb"), $"nrm".as("nb")), "id_b")
+        .withColumn("score", score4(dotF($"ea", $"eb") / ($"na" * $"nb")))
+        .filter($"score" >= 0.4)
+        .select($"id_a", $"id_b", $"score")
+        .orderBy($"id_a", $"id_b")
+    }),
+
     // IVF approximate nearest neighbor: assign to 16 deterministic
     // centroids, probe the 4 cells nearest the query, scan only those.
     "q_ann_ivf" -> ((s, dir) => {
@@ -853,6 +875,36 @@ object SparkEntry {
         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "q_srp_neardup" ->
+      """WITH bx AS (
+        |  SELECT vec_id, unnest(generate_series(0, 3)) AS band_idx, embedding
+        |  FROM embeddings),
+        |v AS (
+        |  SELECT vec_id, band_idx,
+        |    list_sum(list_transform(generate_series(0, 7), bit ->
+        |      CASE WHEN list_sum(list_transform(generate_series(1, len(embedding)), i ->
+        |          embedding[i]::DOUBLE *
+        |          ((('0x' || substr(md5('7:' || (band_idx*8+bit) || ':' || (i-1)), 1, 15))::BIGINT
+        |            % 1000000) / 1000000.0 - 0.5))) > 0
+        |           THEN CAST(2**bit AS BIGINT) ELSE 0 END)) AS bh
+        |  FROM bx),
+        |cand AS (
+        |  SELECT DISTINCT a.vec_id ia, b.vec_id ib
+        |  FROM v a JOIN v b
+        |    ON a.band_idx = b.band_idx AND a.bh = b.bh AND a.vec_id < b.vec_id),
+        |p AS (
+        |  SELECT ia, ib, unnest(x.embedding)::DOUBLE ex, unnest(y.embedding)::DOUBLE ey
+        |  FROM cand JOIN embeddings x ON ia = x.vec_id
+        |            JOIN embeddings y ON ib = y.vec_id),
+        |agg AS (SELECT ia, ib, SUM(ex*ey) dp, SUM(ex*ex) nx2, SUM(ey*ey) ny2
+        |        FROM p GROUP BY ia, ib),
+        |sc AS (SELECT ia, ib,
+        |         ROUND(dp/(GREATEST(SQRT(nx2),1e-12)*GREATEST(SQRT(ny2),1e-12)), 4)
+        |           + 0.0 AS score
+        |       FROM agg)
+        |SELECT ia AS id_a, ib AS id_b, score
+        |FROM sc WHERE score >= 0.4 ORDER BY id_a, id_b""".stripMargin,
 
     "q_ann_ivf" ->
       """WITH cents AS (
