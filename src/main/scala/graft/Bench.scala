@@ -26,7 +26,10 @@ object Bench {
   private val headline = Seq(
     "q1_agg", "q5_join", "q_window_topk", "q_sessionize", "q_asof_join",
     "q_tumbling", "q_topk_cosine", "q_embed_neardup", "q_ann_ivf",
-    "q_minhash_lsh", "q_ngram_jaccard", "q_simhash", "q_chunk")
+    "q_minhash_lsh", "q_ngram_jaccard", "q_simhash", "q_chunk",
+    // round-2 additions
+    "q_srp_neardup", "q_hash_embed", "q_session_window", "q_dedup_exact",
+    "q_salted_join", "q_batch_topk")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1198,6 +1198,47 @@ object SparkEntry {
         .orderBy($"qid", $"score".desc, $"vec_id")
     }),
 
+    // Scalar correlated-style subquery: orders priced above their
+    // priority's average (Catalyst rewrites to an aggregate + join).
+    "q_scalar_subq" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql(
+        """SELECT o_orderpriority, COUNT(*) AS n_above
+          |FROM orders o
+          |WHERE o_totalprice > (SELECT AVG(o_totalprice) FROM orders i
+          |                      WHERE i.o_orderpriority = o.o_orderpriority)
+          |GROUP BY o_orderpriority
+          |ORDER BY o_orderpriority""".stripMargin)
+    }),
+
+    // Pivot: event counts per user-decile, one column per event type.
+    "q_pivot" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "events")
+        .withColumn("user_bucket", pmod($"user_id", lit(10)))
+        .groupBy($"user_bucket")
+        .pivot("event_type", Seq("click", "error", "purchase", "search", "view"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy($"user_bucket")
+    }),
+
+    // Edit-distance near-dup (the character-level dedup tier): Levenshtein
+    // over 40-char prefixes, blocked by source — both engines implement
+    // the classic DP so values agree exactly.
+    "q_edit_distance" -> ((s, dir) => {
+      import s.implicits._
+      val d = spread(s, t(s, dir, "documents"))
+        .select($"doc_id", $"source", substring($"text", 1, 40).as("pre"))
+      val a = d.select($"doc_id".as("doc_a"), $"source", $"pre".as("pa"))
+      val b = d.select($"doc_id".as("doc_b"), $"source", $"pre".as("pb"))
+      a.join(b, Seq("source")).filter($"doc_a" < $"doc_b")
+        .withColumn("dist", levenshtein($"pa", $"pb"))
+        .filter($"dist" <= 10)
+        .select($"doc_a", $"doc_b", $"dist")
+        .orderBy($"doc_a", $"doc_b")
+    }),
+
     // Feature-hashing embedder (SURVEY O12) run through the real
     // mapPartitions plumbing (one Embedder per partition — the model-load
     // contract). The ±1-vote construction keeps every intermediate an
@@ -1314,6 +1355,32 @@ object SparkEntry {
         |  FROM embeddings)
         |SELECT label, CAST(i - 1 AS INT) AS pos, ROUND(AVG(x), 6) AS mean_x
         |FROM x GROUP BY label, pos ORDER BY label, pos""".stripMargin,
+
+    "q_scalar_subq" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_above
+        |FROM orders o
+        |WHERE o_totalprice > (SELECT AVG(o_totalprice) FROM orders i
+        |                      WHERE i.o_orderpriority = o.o_orderpriority)
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+
+    "q_pivot" ->
+      """SELECT user_id % 10 AS user_bucket,
+        |  COUNT(*) FILTER (event_type = 'click') AS click,
+        |  COUNT(*) FILTER (event_type = 'error') AS error,
+        |  COUNT(*) FILTER (event_type = 'purchase') AS purchase,
+        |  COUNT(*) FILTER (event_type = 'search') AS search,
+        |  COUNT(*) FILTER (event_type = 'view') AS view
+        |FROM events GROUP BY user_bucket ORDER BY user_bucket""".stripMargin,
+
+    "q_edit_distance" ->
+      """WITH d AS (
+        |  SELECT doc_id, source, substr(text, 1, 40) AS pre FROM documents)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |       CAST(levenshtein(a.pre, b.pre) AS INT) AS dist
+        |FROM d a JOIN d b ON a.source = b.source AND a.doc_id < b.doc_id
+        |WHERE levenshtein(a.pre, b.pre) <= 10
+        |ORDER BY doc_a, doc_b""".stripMargin,
 
     "q_session_window" ->
       """WITH x AS (

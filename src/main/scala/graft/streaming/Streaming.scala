@@ -35,6 +35,25 @@ object Streaming {
       .select(col("w.start").as("win_start"), col("event_type"),
         col("n"), col("sum_value"))
 
+  /** Stream-stream inner join with an event-time range: pair each left
+    * row with right rows of the same key whose time falls in
+    * [leftTs − within, leftTs]. Both sides carry watermarks, so Spark
+    * bounds the join state to the `within` + watermark horizon (without
+    * the time constraint a stream-stream join would buffer both streams
+    * forever). Column names must be disjoint apart from `key`.
+    */
+  def joinWithin(left: DataFrame, right: DataFrame, key: String,
+                 leftTs: String, rightTs: String, within: String,
+                 watermark: String): DataFrame = {
+    val l = left.withWatermark(leftTs, watermark)
+    val r = right.withWatermark(rightTs, watermark).withColumnRenamed(key, "__rk")
+    l.join(r,
+      col(key) === col("__rk") &&
+        col(rightTs) >= col(leftTs) - expr(s"INTERVAL $within") &&
+        col(rightTs) <= col(leftTs))
+      .drop("__rk")
+  }
+
   /** Continuous exact dedup: drop rows whose `keyCols` were already seen,
     * keeping state only within the watermark horizon
     * (`dropDuplicatesWithinWatermark` — state is evicted once the

@@ -31,6 +31,36 @@ class StreamingSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("joinWithin: stream-stream interval join equals the batch join") {
+    import spark.implicits._
+    def ts(min: Int) = new java.sql.Timestamp(10800000L + min * 60000L)
+    val clickRows = Seq((1L, ts(0), "c1"), (1L, ts(8), "c2"), (2L, ts(5), "c3"),
+      (1L, ts(30), "c4"))
+    val errorRows = Seq((1L, ts(10), "e1"), (2L, ts(6), "e2"), (3L, ts(7), "e3"))
+    val clicks = clickRows.toDF("user_id", "cts", "click_id")
+    val errors = errorRows.toDF("user_id", "ets", "error_id")
+
+    val ctmp = Files.createTempDirectory("graft_ssc_").toString
+    val etmp = Files.createTempDirectory("graft_sse_").toString
+    clicks.write.mode("overwrite").parquet(ctmp)
+    errors.write.mode("overwrite").parquet(etmp)
+
+    val q = Streaming.joinWithin(
+      spark.readStream.schema(errors.schema).parquet(etmp),
+      spark.readStream.schema(clicks.schema).parquet(ctmp),
+      "user_id", "ets", "cts", "10 MINUTES", "0 seconds")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ssjoin_out").start()
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark.table("ssjoin_out")
+      .select("error_id", "click_id").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    // batch truth: e1(10) pairs c1(0) and c2(8); e2(6) pairs c3(5); e3 none
+    assert(got == Set(("e1", "c1"), ("e1", "c2"), ("e2", "c3")))
+  }
+
   test("dedupStream drops repeated keys across micro-batches (bounded state)") {
     import spark.implicits._
     def ts(min: Int) = new java.sql.Timestamp(7200000L + min * 60000L)
