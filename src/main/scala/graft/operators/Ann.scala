@@ -50,7 +50,7 @@ object Ann {
       .orderBy(col("__c").desc, col(centIdCol).asc)
     scored.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
-      .select(vectors.columns.map(col) :+ col(centIdCol).as("cell_id"): _*)
+      .select(vectors.columns.toIndexedSeq.map(col) :+ col(centIdCol).as("cell_id"): _*)
   }
 
   /** Persist an assigned vector table as an on-disk IVF index: one

@@ -23,8 +23,8 @@ object AsofJoin {
     */
   def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
                leftTime: String, rightTime: String): DataFrame = {
-    val lStruct = struct(left.columns.map(col): _*)
-    val rStruct = struct(right.columns.map(col): _*)
+    val lStruct = struct(left.columns.toIndexedSeq.map(col): _*)
+    val rStruct = struct(right.columns.toIndexedSeq.map(col): _*)
     val lType = org.apache.spark.sql.types.StructType(left.schema.fields)
     val rType = org.apache.spark.sql.types.StructType(right.schema.fields)
 

@@ -144,6 +144,33 @@ object Dedup {
       .distinct()
   }
 
+  /** One-call near-duplicate detection: documents in, verified pairs out
+    * (id_a < id_b, true shingle Jaccard ≥ threshold). Composes the full
+    * MinHash-LSH pipeline — shingle → sign → band → bucket pairs →
+    * Jaccard verify — with the shuffles/kernels documented on each stage;
+    * `q_minhash_lsh` is the oracle-checked instantiation.
+    */
+  def nearDupPairs(docs: DataFrame, idCol: String, textCol: String,
+                   shingleSize: Int = 2, numHashes: Int = 16,
+                   bands: Int = 4, threshold: Double = 0.5,
+                   maxBucket: Int = 0): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val sh = docs.select(col(idCol), shingles(col(textCol), shingleSize).as("__sh"))
+      .filter(size(col("__sh")) > 0)
+    val withBands = sh
+      .withColumn("__sig",
+        graft.expressions.TextHashExpressions.minhashSigF(col("__sh"), numHashes))
+      .withColumn("__bands", bandHashes(col("__sig"), bands, numHashes / bands))
+    val cands = lshCandidatePairs(
+      withBands.select(col(idCol), col("__bands")), idCol, "__bands", maxBucket)
+    cands
+      .join(sh.select(col(idCol).as("id_a"), col("__sh").as("__sha")), "id_a")
+      .join(sh.select(col(idCol).as("id_b"), col("__sh").as("__shb")), "id_b")
+      .withColumn("jaccard", jaccard(col("__sha"), col("__shb")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
   /** Bit p (0 = LSB) of an 8-hex-char string, via hex-digit arithmetic
     * (no Column-shift builtin needed; exact in double for digits ≤ 15).
     */

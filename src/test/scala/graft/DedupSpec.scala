@@ -142,6 +142,17 @@ class DedupSpec extends SparkSpec {
     assert(mismatches == 0)
   }
 
+  test("nearDupPairs (one-call pipeline) finds the near-dup pair above threshold") {
+    val base = (1 to 60).map(i => s"w$i").mkString(" ")
+    val nearDup = (1 to 58).map(i => s"w$i").mkString(" ") + " x1 x2"
+    val other = (100 to 160).map(i => s"w$i").mkString(" ")
+    val got = Dedup.nearDupPairs(
+      docs((0L, base), (1L, nearDup), (2L, other)), "doc_id", "text",
+      threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq == Seq((0L, 1L)))
+  }
+
   test("exactDedup keeps one canonical (min-id) row per duplicated text") {
     val df = docs((0L, "same text here"), (1L, "same  text   here"),
       (2L, "different entirely"), (3L, "same text here"))
