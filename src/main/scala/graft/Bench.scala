@@ -105,11 +105,15 @@ object Bench {
     }
 
     // -------- 2. headline analytics / dedup queries ---------------------
+    // warmup once (codegen compile + page cache), then best of two timed
+    // runs: a stop-the-world GC landing on a random query otherwise
+    // distorts a single-shot measurement by seconds
     headline.foreach { name =>
       SparkEntry.queries.get(name).foreach { fn =>
         try {
           fn(spark, sfDir).count() // warmup
-          results(name) = time(fn(spark, sfDir).count())
+          results(name) = math.min(
+            time(fn(spark, sfDir).count()), time(fn(spark, sfDir).count()))
         } catch { case _: Throwable => results(name) = -1.0 }
       }
     }
