@@ -1198,6 +1198,19 @@ object SparkEntry {
         .orderBy($"qid", $"score".desc, $"vec_id")
     }),
 
+    // Deterministic hash-based sampling — the reproducible alternative to
+    // rand()-based sample() for corpus subsetting: membership depends only
+    // on the id (stable across runs, partitionings, engines), so the
+    // oracle replicates it exactly. Keep-rate 10% per source.
+    "q_hash_sample" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents")
+        .filter(pmod(Dedup.hash60($"doc_id".cast("string")), lit(100L)) < 10)
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_sampled"))
+        .orderBy($"source")
+    }),
+
     // Scalar correlated-style subquery: orders priced above their
     // priority's average (Catalyst rewrites to an aggregate + join).
     "q_scalar_subq" -> ((s, dir) => {
@@ -1355,6 +1368,12 @@ object SparkEntry {
         |  FROM embeddings)
         |SELECT label, CAST(i - 1 AS INT) AS pos, ROUND(AVG(x), 6) AS mean_x
         |FROM x GROUP BY label, pos ORDER BY label, pos""".stripMargin,
+
+    "q_hash_sample" ->
+      """SELECT source, COUNT(*) AS n_sampled
+        |FROM documents
+        |WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 100 < 10
+        |GROUP BY source ORDER BY source""".stripMargin,
 
     "q_scalar_subq" ->
       """SELECT o_orderpriority, COUNT(*) AS n_above
