@@ -70,6 +70,47 @@ final class VectorStore private (
       .select(col("id"), col("score"))
   }
 
+  /** Delete by id — the operation the reference lacks entirely (its
+    * shards are append-only, SURVEY.md §1.1). Immutable-DataFrame
+    * formulation: an anti-join filter; at cluster scale this is a
+    * broadcast anti-join when the delete set is small, and compaction
+    * happens on the next materialization.
+    */
+  def delete(ids: Seq[String]): VectorStore =
+    new VectorStore(
+      vectors.filter(!col("id").isInCollection(ids)), dim, numShards)
+
+  /** Upsert = delete-then-insert (last write wins per id). `batch` must
+    * carry (id, embedding) like `insert`.
+    */
+  def upsert(batch: DataFrame): VectorStore = {
+    val spark = batch.sparkSession
+    val newIds = broadcast(batch.select(col("id").cast("string").as("__del_id")))
+    val kept = vectors.join(newIds, col("id") === col("__del_id"), "left_anti")
+    new VectorStore(kept, dim, numShards).insert(batch)
+  }
+
+  /** Batched many-queries-at-once search (O4–O8 across a query TABLE):
+    * broadcast the queries, score every (vector, query) pair with the
+    * codegen dot product, take per-query top-k. Store ids are STRING, so
+    * this uses the window top-k (the LONG-id aggregator variant is
+    * `TopK.topKPerKeyAgg` — see its scaladoc for the shuffle trade-off).
+    * `queries` must have (qid, embedding); returns (qid, id, score).
+    */
+  def searchBatch(queries: DataFrame, k: Int): DataFrame = {
+    require(k >= 1 && k <= 1000, s"k must be in [1,1000], got $k")
+    val qn = queries.select(col("qid").cast("long").as("qid"),
+      col("embedding").as("qe"),
+      greatest(sqrt(dotF(col("embedding"), col("embedding"))),
+        lit(V.NormEps)).as("__nq"))
+    // stored rows are unit vectors → cosine = dot / |q|
+    val scored = vectors.crossJoin(broadcast(qn))
+      .select(col("qid"), col("id"),
+        (dotF(col("embedding"), col("qe")) / col("__nq")).as("score"))
+    TopK.topKPerKey(scored, Seq(col("qid")), col("score"), col("id"), k)
+      .select(col("qid"), col("id"), col("score"))
+  }
+
   /** Materialize the backing DataFrame and truncate its lineage (used by
     * the streaming ingest path to bound plan growth across micro-batches).
     */

@@ -57,4 +57,34 @@ class VectorStoreSpec extends SparkSpec {
     val q = e.filter(col("vec_id") === 99).select("embedding").head.getSeq[Float](0)
     assert(store.search(q, 3, "l2").head.getString(0) == "99")
   }
+
+  test("delete removes ids; upsert replaces an existing vector (last write wins)") {
+    import spark.implicits._
+    val s = store
+    val deleted = s.delete(Seq("5", "7"))
+    assert(deleted.count() == 498)
+    assert(deleted.search(Seq.fill(64)(0.1f), 500).filter(col("id") === "5").isEmpty)
+
+    // upsert id 5 with a distinctive direction: it must come back first
+    val dir = Array.fill(64)(0.0f); dir(0) = 1.0f
+    val up = s.upsert(Seq(("5", dir.toSeq)).toDF("id", "embedding"))
+    assert(up.count() == 500)
+    val hit = up.search(dir.toSeq, 1).head
+    assert(hit.getString(0) == "5" && math.abs(hit.getDouble(1) - 1.0) < 1e-6)
+  }
+
+  test("searchBatch returns per-query top-k matching single-query search") {
+    import spark.implicits._
+    val e = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val queries = e.filter(col("vec_id").isin(3L, 11L))
+      .select(col("vec_id").as("qid"), col("embedding"))
+    val batch = store.searchBatch(queries, 5)
+    assert(batch.count() == 10)
+    val q3 = e.filter(col("vec_id") === 3).head.getSeq[Float](1)
+    val single = store.search(q3, 5).collect().map(_.getString(0)).toSeq
+    val fromBatch = batch.filter(col("qid") === 3)
+      .orderBy(col("score").desc, col("id"))
+      .collect().map(_.getString(1)).toSeq
+    assert(fromBatch == single)
+  }
 }
