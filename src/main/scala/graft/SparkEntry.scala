@@ -698,6 +698,36 @@ object SparkEntry {
         .orderBy($"doc_a", $"doc_b")
     }),
 
+    // Hot-bucket-capped MinHash-LSH: same pipeline as q_minhash_lsh but
+    // with a pathological bucket built in (doc 0's text replicated 64×)
+    // and the cap ACTIVE (maxBucket = 8). Over-cap buckets route to
+    // star pairs against the bucket minimum — linear output, no member
+    // list ever collected (Dedup.lshCandidatePairs). The oracle
+    // replicates the routing bit-for-bit.
+    "q_minhash_lsh_capped" -> ((s, dir) => {
+      import s.implicits._
+      val d = t(s, dir, "documents")
+      val base = d.filter($"doc_id" < 40).select($"doc_id", $"text")
+      val hot = d.filter($"doc_id" === 0).select($"text")
+        .crossJoin(s.range(64).select(($"id" + 10000L).as("doc_id")))
+        .select($"doc_id", $"text")
+      val sh = spread(s, base.unionByName(hot))
+        .select($"doc_id", Dedup.shingles($"text", 2).as("sh"))
+        .filter(size($"sh") > 0)
+      val withBands = sh
+        .withColumn("sig", minhashSigF($"sh", 16))
+        .withColumn("bands", Dedup.bandHashes($"sig", 4, 4))
+      val cands = Dedup.lshCandidatePairs(
+        withBands.select($"doc_id", $"bands"), "doc_id", "bands", maxBucket = 8)
+      cands
+        .join(sh.select($"doc_id".as("id_a"), $"sh".as("sha")), "id_a")
+        .join(sh.select($"doc_id".as("id_b"), $"sh".as("shb")), "id_b")
+        .withColumn("j", Dedup.jaccard($"sha", $"shb"))
+        .filter($"j" >= 0.2)
+        .select($"id_a".as("doc_a"), $"id_b".as("doc_b"), round($"j", 4).as("jaccard"))
+        .orderBy($"doc_a", $"doc_b")
+    }),
+
     // 32-bit SimHash signatures (native per-row kernel).
     "q_simhash" -> ((s, dir) => {
       import s.implicits._
@@ -838,6 +868,55 @@ object SparkEntry {
         |  SELECT DISTINCT a.doc_id da, b.doc_id db
         |  FROM bands a JOIN bands b
         |    ON a.band_idx = b.band_idx AND a.bh = b.bh AND a.doc_id < b.doc_id),
+        |j AS (
+        |  SELECT da, db,
+        |         len(list_intersect(x.sh, y.sh))::DOUBLE /
+        |           (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))) AS jac
+        |  FROM cand JOIN s x ON da = x.doc_id JOIN s y ON db = y.doc_id)
+        |SELECT da AS doc_a, db AS doc_b, ROUND(jac, 4) AS jaccard
+        |FROM j WHERE jac >= 0.2 ORDER BY doc_a, doc_b""".stripMargin,
+
+    "q_minhash_lsh_capped" ->
+      """WITH docs AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id < 40
+        |  UNION ALL
+        |  SELECT 10000 + gs.i AS doc_id, d.text
+        |  FROM (SELECT text FROM documents WHERE doc_id = 0) d,
+        |       (SELECT unnest(generate_series(0, 63)) AS i) gs),
+        |t AS (
+        |  SELECT doc_id, CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[]) ELSE string_split_regex(trim(text), '\s+') END AS toks
+        |  FROM docs),
+        |s AS (
+        |  SELECT doc_id,
+        |         list_distinct(list_transform(generate_series(1, len(toks)-1),
+        |           i -> toks[i] || ' ' || toks[i+1])) AS sh
+        |  FROM t WHERE len(toks) >= 2),
+        |sig AS (
+        |  SELECT doc_id, sh,
+        |         list_transform(generate_series(0, 15), i ->
+        |           list_min(list_transform(sh, x ->
+        |             ('0x'||substr(md5(i::VARCHAR||':'||x), 1, 15))::BIGINT))) AS sig
+        |  FROM s WHERE len(sh) > 0),
+        |bands AS (
+        |  SELECT doc_id, band_idx,
+        |         md5(array_to_string(sig[band_idx*4+1 : band_idx*4+4], ',')) AS bh
+        |  FROM (SELECT doc_id, sig, unnest(generate_series(0, 3)) AS band_idx FROM sig)),
+        |stats AS (
+        |  SELECT band_idx, bh, COUNT(*) AS n, MIN(doc_id) AS min_id
+        |  FROM bands GROUP BY band_idx, bh HAVING COUNT(*) >= 2),
+        |cand AS (
+        |  SELECT DISTINCT da, db FROM (
+        |    SELECT a.doc_id da, b.doc_id db
+        |    FROM bands a
+        |    JOIN bands b ON a.band_idx = b.band_idx AND a.bh = b.bh
+        |                AND a.doc_id < b.doc_id
+        |    JOIN stats st ON a.band_idx = st.band_idx AND a.bh = st.bh
+        |    WHERE st.n <= 8
+        |    UNION ALL
+        |    SELECT st.min_id da, x.doc_id db
+        |    FROM bands x
+        |    JOIN stats st ON x.band_idx = st.band_idx AND x.bh = st.bh
+        |    WHERE st.n > 8 AND x.doc_id != st.min_id)),
         |j AS (
         |  SELECT da, db,
         |         len(list_intersect(x.sh, y.sh))::DOUBLE /

@@ -108,52 +108,95 @@ object Dedup {
         transform(slice(sig, j * lit(rowsPerBand) + lit(1), lit(rowsPerBand)),
           v => v.cast("string")), ",").cast("binary")))
 
+  /** Default hot-bucket cap for LSH candidate generation. A bucket of m
+    * members emits m²/2 pairs; one mass-duplicated boilerplate bucket of
+    * m = 10⁶ at corpus scale would emit 5·10¹¹ pairs from a single
+    * reducer. 1024 bounds any bucket's pair fan-out to ≤ ~524k while
+    * being far above organic bucket sizes (max observed on the fixtures
+    * is 4 at sf0.1).
+    */
+  val DefaultMaxBucket: Int = 1024
+
   /** Candidate pairs (idA < idB) sharing at least one LSH band bucket.
     * `df` must carry an id column and a band-hash array column.
     *
-    * Shape: explode bands → groupBy (band_idx, band_hash) collecting
-    * bucket members → emit within-bucket pairs → distinct. ONE evaluation
-    * of the signature pipeline and one shuffle keyed on the bucket hash
-    * (only ids travel); the earlier self-join formulation evaluated the
-    * whole minhash pipeline once per join side.
+    * Scale-safe two-pass shape (the cap is ON by default):
+    *   1. bucket stats — groupBy (band_idx, band_hash) → (count, min id).
+    *      Bounded-memory partial aggregation; no member list is ever
+    *      collected for an unbounded bucket.
+    *   2a. buckets with 2 ≤ n ≤ maxBucket: collect the member list
+    *      (buffer bounded by the cap) and emit all within-bucket pairs.
+    *   2b. buckets with n > maxBucket: emit STAR pairs (bucket-min, id)
+    *      streaming from a join — linear in m, no collect at all.
+    * Only (band_idx, band_hash, id) tuples ever shuffle.
     *
-    * `maxBucket` guards the quadratic blow-up on pathological buckets
-    * (mass-duplicated boilerplate at corpus scale): buckets above the cap
-    * are DROPPED from candidate generation — their members are near-
-    * certain duplicates of each other and should be routed to an exact-
-    * dedup pass instead (a bucket of m near-identical docs would emit
-    * m²/2 pairs; at m = 10⁶ that is 5·10¹¹ pairs from one bucket).
-    * Default 0 = uncapped (the oracle-checked configuration).
+    * The star routing keeps over-cap buckets in the dedup result instead
+    * of dropping them: every member stays connected to the bucket's
+    * canonical (minimum) id, so downstream union-find / keep-one-drop-rest
+    * dedup reaches the same decisions (DedupSpec proves this on a
+    * 1000×-duplicated hot-bucket fixture). What is deliberately traded
+    * away is the full m²/2 pair ENUMERATION within a pathological bucket —
+    * members of such a bucket are near-certain mutual duplicates, which is
+    * exactly the exact-dedup tier's territory (`exactDedup`).
+    *
+    * `maxBucket = 0` disables the cap (small-data exact twin used by the
+    * uncapped oracle query).
     */
   def lshCandidatePairs(df: DataFrame, idCol: String, bandsCol: String,
-                        maxBucket: Int = 0): DataFrame = {
+                        maxBucket: Int = DefaultMaxBucket): DataFrame = {
     val exploded = df.select(col(idCol),
       posexplode(col(bandsCol)).as(Seq("band_idx", "bh")))
-    val buckets = exploded
-      .groupBy(col("band_idx"), col("bh"))
-      .agg(collect_list(col(idCol)).as("ids"))
-      .filter(size(col("ids")) >= 2)
-    val capped = if (maxBucket > 0) buckets.filter(size(col("ids")) <= maxBucket)
-      else buckets
-    val sorted = array_sort(col("ids"))
-    val pairs = flatten(transform(sorted, (x, i) =>
+    if (maxBucket <= 0) {
+      val buckets = exploded
+        .groupBy(col("band_idx"), col("bh"))
+        .agg(collect_list(col(idCol)).as("ids"))
+        .filter(size(col("ids")) >= 2)
+      buckets.select(explode(fullPairs(array_sort(col("ids")))).as("p"))
+        .select(col("p.id_a"), col("p.id_b"))
+        .distinct()
+    } else {
+      val stats = exploded
+        .groupBy(col("band_idx"), col("bh"))
+        .agg(count(lit(1)).as("__n"), min(col(idCol)).as("__min_id"))
+        .filter(col("__n") >= 2)
+      val smallPairs = exploded
+        .join(stats.filter(col("__n") <= maxBucket).select(col("band_idx"), col("bh")),
+          Seq("band_idx", "bh"), "left_semi")
+        .groupBy(col("band_idx"), col("bh"))
+        .agg(collect_list(col(idCol)).as("ids"))
+        .select(explode(fullPairs(array_sort(col("ids")))).as("p"))
+        .select(col("p.id_a"), col("p.id_b"))
+      val starPairs = exploded
+        .join(stats.filter(col("__n") > maxBucket)
+          .select(col("band_idx"), col("bh"), col("__min_id")),
+          Seq("band_idx", "bh"))
+        .filter(col(idCol) =!= col("__min_id"))
+        .select(col("__min_id").as("id_a"), col(idCol).as("id_b"))
+      smallPairs.unionByName(starPairs).distinct()
+    }
+  }
+
+  /** All (a, b) with a < b from a SORTED id array. */
+  private def fullPairs(sorted: Column): Column =
+    flatten(transform(sorted, (x, i) =>
       transform(slice(sorted, i + 2, greatest(size(sorted) - i - 1, lit(0))),
         y => struct(x.as("id_a"), y.as("id_b")))))
-    capped.select(explode(pairs).as("p"))
-      .select(col("p.id_a"), col("p.id_b"))
-      .distinct()
-  }
 
   /** One-call near-duplicate detection: documents in, verified pairs out
     * (id_a < id_b, true shingle Jaccard ≥ threshold). Composes the full
     * MinHash-LSH pipeline — shingle → sign → band → bucket pairs →
     * Jaccard verify — with the shuffles/kernels documented on each stage;
-    * `q_minhash_lsh` is the oracle-checked instantiation.
+    * `q_minhash_lsh` is the oracle-checked instantiation and
+    * `q_minhash_lsh_capped` oracle-checks the hot-bucket routing.
+    *
+    * The hot-bucket cap is ON by default (`DefaultMaxBucket`) — see
+    * `lshCandidatePairs` for the routing semantics; pass `maxBucket = 0`
+    * only for small-data exact twins.
     */
   def nearDupPairs(docs: DataFrame, idCol: String, textCol: String,
                    shingleSize: Int = 2, numHashes: Int = 16,
                    bands: Int = 4, threshold: Double = 0.5,
-                   maxBucket: Int = 0): DataFrame = {
+                   maxBucket: Int = DefaultMaxBucket): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val sh = docs.select(col(idCol), shingles(col(textCol), shingleSize).as("__sh"))
       .filter(size(col("__sh")) > 0)

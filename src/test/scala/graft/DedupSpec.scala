@@ -153,6 +153,37 @@ class DedupSpec extends SparkSpec {
     assert(got.toSeq == Seq((0L, 1L)))
   }
 
+  test("hot-bucket cap loses no dedup decisions on a 1000x-duplicated fixture") {
+    // one boilerplate doc duplicated 1000x (the pathological bucket), plus
+    // organic near-dups and unrelated docs
+    val boiler = (1 to 40).map(i => s"b$i").mkString(" ")
+    val base = (1 to 60).map(i => s"w$i").mkString(" ")
+    val nearDup = (1 to 58).map(i => s"w$i").mkString(" ") + " x1 x2"
+    val other = (100 to 160).map(i => s"w$i").mkString(" ")
+    val fixture = docs(Seq((0L, base), (1L, nearDup), (2L, other)) ++
+      (0 until 1000).map(i => (100L + i, boiler)): _*)
+
+    val uncapped = Dedup.nearDupPairs(fixture, "doc_id", "text",
+      threshold = 0.5, maxBucket = 0)
+    val capped = Dedup.nearDupPairs(fixture, "doc_id", "text",
+      threshold = 0.5, maxBucket = 8)
+
+    // the capped run emits linear star pairs for the hot bucket, so raw
+    // pair counts differ by construction...
+    val nUncapped = uncapped.count()
+    val nCapped = capped.count()
+    assert(nUncapped >= 1000L * 999 / 2, s"uncapped must enumerate the hot bucket, got $nUncapped")
+    assert(nCapped <= 2000, s"capped must stay linear in the hot bucket, got $nCapped")
+
+    // ...but the DEDUP DECISIONS are identical: the set of docs flagged as
+    // duplicates-of-a-lower-id (= the rows keep-one-drop-rest removes) and
+    // the canonical survivors they map to.
+    def decisions(pairs: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      pairs.groupBy(col("id_b")).agg(min(col("id_a")).as("canon"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(decisions(capped) == decisions(uncapped))
+  }
+
   test("exactDedup keeps one canonical (min-id) row per duplicated text") {
     val df = docs((0L, "same text here"), (1L, "same  text   here"),
       (2L, "different entirely"), (3L, "same text here"))
