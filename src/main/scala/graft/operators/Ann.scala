@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.expressions.FloatVectorExpressions.dotF
@@ -25,32 +24,97 @@ import graft.functions.{VectorFunctions => V}
 object Ann {
 
   /** Assign each vector to its nearest centroid by cosine (tie: lowest
-    * centroid id). `centroids` must be small (it is broadcast).
-    * Output: all `vectors` columns + `cell_id`.
+    * centroid id). `centroids` must be small — it is pulled to the driver
+    * ONCE and embedded as literals, the DataFrame equivalent of a
+    * broadcast variable. Output: all `vectors` columns + `cell_id`.
+    *
+    * Scale shape: assignment is a pure per-row PROJECTION — no cross
+    * join, no exchange, no window sort (AnnSpec asserts the plan is
+    * Exchange-free). The earlier window-argmax formulation shuffled and
+    * sorted the full n×C scored cross product, which at C = 64k centroids
+    * and corpus-scale n dwarfs the scan itself; the per-row argmax over
+    * the in-literal centroid matrix shuffles nothing at any n.
     *
     * Assignment orders on the score QUANTIZED to 6 decimals: double
     * summation order differs between engines (and between partitionings),
     * so comparing unrounded sums makes near-tie assignments flip in the
     * last ulp; on the rounded value the (score, centroid-id) order is a
     * stable total order that the DuckDB oracle reproduces exactly.
+    * The argmax is `array_max` over struct(score, -cent_id) — field-wise
+    * struct comparison gives max score, ties to the LOWEST centroid id.
+    * Per-centroid norms are computed driver-side with the same sequential
+    * left-fold summation as the codegen dot kernel, keeping bit parity.
     */
   def ivfAssign(vectors: DataFrame, centroids: DataFrame, idCol: String,
                 vecCol: String, centIdCol: String, centVecCol: String): DataFrame = {
-    // norms once per row / per centroid, codegen dot per pair — identical
-    // arithmetic to V.cosine (same operand order), ~10× the interpreted
-    // HOF formulation over the row × centroid cross product
-    val vn = vectors.withColumn("__nv",
-      greatest(sqrt(dotF(col(vecCol), col(vecCol))), lit(V.NormEps)))
-    val cn = centroids.withColumn("__nc",
-      greatest(sqrt(dotF(col(centVecCol), col(centVecCol))), lit(V.NormEps)))
-    val scored = vn.crossJoin(broadcast(cn))
-      .withColumn("__c",
-        round(dotF(col(vecCol), col(centVecCol)) / (col("__nv") * col("__nc")), 6))
-    val w = Window.partitionBy(col(idCol))
-      .orderBy(col("__c").desc, col(centIdCol).asc)
-    scored.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .select(vectors.columns.toIndexedSeq.map(col) :+ col(centIdCol).as("cell_id"): _*)
+    val cents: Seq[(Long, Seq[Float], Double)] = centroids
+      .select(col(centIdCol).cast("long"), col(centVecCol))
+      .collect().toSeq
+      .map { r =>
+        val cvec = r.getSeq[Float](1)
+        var n2 = 0.0
+        cvec.foreach(x => n2 += x.toDouble * x.toDouble)
+        (r.getLong(0), cvec, math.max(math.sqrt(n2), V.NormEps))
+      }
+      .sortBy(_._1)
+    require(cents.nonEmpty, "centroids must be non-empty")
+    val vn = greatest(sqrt(dotF(col(vecCol), col(vecCol))), lit(V.NormEps))
+    val perCent = cents.map { case (cid, cvec, cn) =>
+      struct(
+        round(dotF(col(vecCol), typedLit(cvec)) / (vn * lit(cn)), 6).as("score"),
+        lit(-cid).as("negid"))
+    }
+    val best = array_max(array(perCent: _*))
+    vectors.withColumn("cell_id", -best.getField("negid"))
+  }
+
+  /** Deterministic k-means (Lloyd) centroid training in DataFrames.
+    *
+    * Init: the `c` vectors with the LOWEST ids (deterministic, engine-
+    * replicable — no RNG). Each iteration: per-row argmax assignment via
+    * `ivfAssign` (zero-shuffle projection), then per-(cell, dim) means via
+    * posexplode + partially-aggregated avg — ONE shuffle per iteration
+    * carrying only C×dim partial sums, the map-side-combined mean shape
+    * that holds at any corpus size. New centroids are quantized to 6
+    * decimals so downstream assignment compares stable values; cells that
+    * lose all members keep their previous centroid.
+    *
+    * Returns a (cent_id BIGINT, cvec ARRAY<FLOAT>) DataFrame that plugs
+    * straight into `ivfAssign` / `probeCells` / `search`. The reference
+    * never trains — its README's IVF mention is corpus text
+    * (`rag_demo/ingest.py:13-14`); this is the scale path's missing half:
+    * balanced cells are what make probe-pruning effective.
+    */
+  def kmeansTrain(vectors: DataFrame, idCol: String, vecCol: String,
+                  c: Int, iters: Int = 3): DataFrame = {
+    require(c >= 1 && iters >= 0)
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val dim = vectors.select(size(col(vecCol))).head.getInt(0)
+    var cents: Seq[(Long, Seq[Float])] = vectors
+      .orderBy(col(idCol)).limit(c)
+      .select(col(vecCol)).collect().toSeq.zipWithIndex
+      .map { case (r, i) => (i.toLong, r.getSeq[Float](0)) }
+    for (_ <- 0 until iters) {
+      val cdf = cents.toDF("cent_id", "cvec")
+      val assigned = ivfAssign(vectors, cdf, idCol, vecCol, "cent_id", "cvec")
+      val means: Map[Long, Array[Float]] = assigned
+        .select(col("cell_id"), posexplode(col(vecCol)).as(Seq("pos", "x")))
+        .groupBy(col("cell_id"), col("pos"))
+        .agg(avg(col("x").cast("double")).as("m"))
+        .collect()
+        .groupBy(_.getLong(0))
+        .map { case (cid, rows) =>
+          val arr = new Array[Float](dim)
+          rows.foreach(r =>
+            arr(r.getInt(1)) = (math.rint(r.getDouble(2) * 1e6) / 1e6).toFloat)
+          cid -> arr
+        }
+      cents = cents.map { case (cid, prev) =>
+        (cid, means.get(cid).map(_.toSeq).getOrElse(prev))
+      }
+    }
+    cents.toDF("cent_id", "cvec")
   }
 
   /** Persist an assigned vector table as an on-disk IVF index: one

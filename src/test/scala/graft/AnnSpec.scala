@@ -27,6 +27,15 @@ class AnnSpec extends SparkSpec {
     assert(diff == 0)
   }
 
+  test("ivfAssign plan is a pure projection: no Exchange, no Window, no Join") {
+    val assigned = Ann.ivfAssign(e, cents, "vec_id", "embedding", "cent_id", "cvec")
+    assigned.count() // materialize through AQE so executedPlan is final
+    val plan = assigned.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"assignment must not shuffle:\n$plan")
+    assert(!plan.contains("Window"), s"assignment must not window-sort:\n$plan")
+    assert(!plan.contains("Join"), s"assignment must not join:\n$plan")
+  }
+
   test("probing ALL cells is exact: equals brute-force top-k") {
     import spark.implicits._
     val query = e.filter($"vec_id" === 42).head.getSeq[Float](1)
@@ -36,6 +45,44 @@ class AnnSpec extends SparkSpec {
       e.withColumn("score", V.cosine($"embedding", typedLit(query))),
       $"score", $"vec_id", 10).collect().map(_.getLong(0)).toSeq
     assert(viaAnn == brute)
+  }
+
+  test("k-means-trained centroids lift recall@10 at 4/16 probes on clustered data") {
+    // The parquet fixture embeddings are isotropic random (same-label and
+    // cross-label cosine both ~0, top-10 neighbor label purity ~9% =
+    // chance), so IVF recall there is bounded by the probe fraction no
+    // matter how good the centroids are — an ideal k-means moves nothing.
+    // Train/measure on a clustered corpus instead, where centroid quality
+    // is what determines recall.
+    import spark.implicits._
+    val data = graft.sources.Synthetic
+      .clusteredUnitVectors(spark, n = 2000, dim = 32, k = 16, spread = 0.8)
+      .select($"vec_id", $"embedding")
+    data.persist().count()
+    val init = data.filter($"vec_id" < 16)
+      .select($"vec_id".as("cent_id"), $"embedding".as("cvec"))
+    val trained = Ann.kmeansTrain(data, "vec_id", "embedding", c = 16, iters = 3)
+    assert(trained.count() == 16)
+    val queries = (0L until 200L by 10L).toSeq
+    def recallWith(cdf: org.apache.spark.sql.DataFrame): Double = {
+      val recalls = queries.map { qid =>
+        val query = data.filter($"vec_id" === qid).head.getSeq[Float](1)
+        val ann = Ann.search(data, cdf, "vec_id", "embedding", "cent_id", "cvec",
+          query, nProbes = 4, k = 10).collect().map(_.getLong(0)).toSet
+        val brute = TopK.topK(
+          data.withColumn("score", V.cosine($"embedding", typedLit(query))),
+          $"score", $"vec_id", 10).collect().map(_.getLong(0)).toSet
+        (ann & brute).size.toDouble / brute.size
+      }
+      recalls.sum / recalls.size
+    }
+    val rTrained = recallWith(trained)
+    val rInit = recallWith(init)
+    data.unpersist()
+    info(f"clustered recall@10 at 4/16 probes: trained $rTrained%.2f vs first-C init $rInit%.2f")
+    assert(rTrained >= rInit + 0.05,
+      f"training must materially lift recall ($rTrained%.2f vs $rInit%.2f)")
+    assert(rTrained >= 0.9, f"trained recall collapsed: $rTrained%.2f")
   }
 
   test("recall@10 with 4/16 probes is useful and measured") {
