@@ -31,6 +31,18 @@ object Bench {
     "q_srp_neardup", "q_hash_embed", "q_session_window", "q_dedup_exact",
     "q_salted_join", "q_batch_topk")
 
+  /** Force FULL materialization of every output column: xxhash64 over all
+    * columns, summed. `.count()` alone under-measures — Catalyst prunes
+    * projections count(1) doesn't need (e.g. q_chunk's md5 chunk_id was
+    * never computed in the r2 benched plan), so timings looked better
+    * than the work a real consumer would trigger.
+    */
+  private def materialize(df: DataFrame): Unit = {
+    // bit_xor, not sum: ANSI mode (Spark 4 default) raises on long overflow
+    df.agg(bit_xor(xxhash64(df.columns.map(col): _*))).collect()
+    ()
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -111,11 +123,92 @@ object Bench {
     headline.foreach { name =>
       SparkEntry.queries.get(name).foreach { fn =>
         try {
-          fn(spark, sfDir).count() // warmup
+          materialize(fn(spark, sfDir)) // warmup
+          // collect garbage from the warmup OUTSIDE the timed window: a
+          // stop-the-world pause from earlier allocation otherwise lands
+          // inside both timed runs and best-of-2 can't damp it
+          System.gc()
           results(name) = math.min(
-            time(fn(spark, sfDir).count()), time(fn(spark, sfDir).count()))
-        } catch { case _: Throwable => results(name) = -1.0 }
+            time(materialize(fn(spark, sfDir))),
+            time(materialize(fn(spark, sfDir))))
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          results(name) = -1.0
+        }
       }
+    }
+
+    // -------- 3. skew-join evidence: plain vs salted vs AQE --------------
+    // One hot key carrying ~90% of an 8×-replicated lineitem (the power-law
+    // domain of a web corpus): a plain shuffle join lands ~4.3M rows on ONE
+    // reducer while 31 cores idle. Broadcast is disabled for all three runs
+    // to model the big⋈big case where salting is the tool; AQE's runtime
+    // skew-join split is measured beside explicit salting.
+    {
+      val li = Tables.load(spark, sfDir, "lineitem")
+        .withColumn("rep", explode(sequence(lit(0), lit(7))))
+        .withColumn("k",
+          when(pmod(col("l_orderkey"), lit(10)) < 9, lit(1L))
+            .otherwise(col("l_orderkey")))
+        .select(col("k"), col("l_extendedprice"), col("l_discount"),
+          col("l_linenumber"), col("l_orderkey"), col("rep"))
+        // the fixture parquet is one row-group → one scan partition; spread
+        // BEFORE caching so the shuffle write is parallel in all variants
+        // and the reduce-side straggler is the only difference
+        .repartition(spark.sparkContext.defaultParallelism)
+        .persist()
+      li.count()
+      val o = Tables.load(spark, sfDir, "orders")
+        .withColumn("k",
+          when(pmod(col("o_orderkey"), lit(10)) < 9, lit(1L))
+            .otherwise(col("o_orderkey")))
+        .select(col("k"), col("o_orderpriority"))
+        // pre-dedup the right side: the hot key must stay unique on the
+        // dim side or the join itself becomes a cross-product blow-up
+        .groupBy(col("k")).agg(first(col("o_orderpriority")).as("o_orderpriority"))
+        .persist()
+      o.count()
+      def agg(j: DataFrame): Unit = {
+        j.groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)), sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+          .collect()
+        ()
+      }
+      def withConf(pairs: (String, String)*)(body: => Double): Double = {
+        val olds = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
+        pairs.foreach { case (k, v) => spark.conf.set(k, v) }
+        try body
+        finally olds.foreach {
+          case (k, Some(v)) => spark.conf.set(k, v)
+          case (k, None) => spark.conf.unset(k)
+        }
+      }
+      def plainRun(): Unit = agg(li.join(o, "k"))
+      def saltedRun(): Unit = agg(graft.operators.SkewJoin.saltedInnerJoin(
+        li, o, li("k"), o("k"), 16,
+        xxhash64(col("l_orderkey"), col("l_linenumber"), col("rep"))))
+      val noBcastNoAqe = Seq(
+        "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+        "spark.sql.adaptive.enabled" -> "false")
+      results("skew_plain_join") = withConf(noBcastNoAqe: _*) {
+        plainRun(); math.min(time(plainRun()), time(plainRun()))
+      }
+      results("skew_salted_join") = withConf(noBcastNoAqe: _*) {
+        saltedRun(); math.min(time(saltedRun()), time(saltedRun()))
+      }
+      results("skew_aqe_join") = withConf(
+        "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+        "spark.sql.adaptive.enabled" -> "true",
+        "spark.sql.adaptive.skewJoin.enabled" -> "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "8MB",
+        // without force, OptimizeSkewedJoin declines when the downstream
+        // agg would need an extra shuffle anyway — give AQE its best shot
+        "spark.sql.adaptive.forceOptimizeSkewedJoin" -> "true") {
+        plainRun(); math.min(time(plainRun()), time(plainRun()))
+      }
+      li.unpersist()
+      o.unpersist()
     }
 
     val timed = results.filter { case (k, v) => v >= 0 && !k.startsWith("vector_seq_qps") }
