@@ -615,6 +615,20 @@ object SparkEntry {
             x => concat(lit("- "), x.getField("t"))),
           "\n\n").as("context"))
         .select(lit(0L).as("query_id"), $"context")
+    }),
+
+    // O16: prompt assembly — the full ask-path template
+    // (`rag_demo/ask.py:26-33`): top-4 context blob + question threaded
+    // through the format_string template that ends the Rag.ask pipeline
+    // (generation itself stays the pluggable Generator boundary).
+    "q_rag_prompt" -> ((s, dir) => {
+      import s.implicits._
+      val question = "what do the top documents say?"
+      val ctx = queries("q_rag_context")(s, dir)
+      ctx.select($"query_id",
+        format_string(
+          "Answer strictly from the context.\n\nContext:\n%s\n\nQuestion: %s\nAnswer:",
+          $"context", lit(question)).as("prompt"))
     })
   )
 
@@ -1114,7 +1128,32 @@ object SparkEntry {
         |SELECT CAST(0 AS BIGINT) AS query_id,
         |       string_agg('- ' || substr(d.text, 1, 40), chr(10)||chr(10)
         |                  ORDER BY t.c DESC, t.vec_id) AS context
-        |FROM top t JOIN documents d ON t.vec_id = d.doc_id""".stripMargin
+        |FROM top t JOIN documents d ON t.vec_id = d.doc_id""".stripMargin,
+
+    "q_rag_prompt" ->
+      """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+        |pairs AS (
+        |  SELECT e.vec_id, unnest(e.embedding)::DOUBLE AS x, unnest(q.qe)::DOUBLE AS y
+        |  FROM embeddings e CROSS JOIN q),
+        |agg AS (
+        |  SELECT vec_id, SUM(x*y) AS dp, SUM(x*x) AS nx2, SUM(y*y) AS ny2
+        |  FROM pairs GROUP BY vec_id),
+        |sc AS (
+        |  SELECT vec_id,
+        |         ROUND(dp / (GREATEST(SQRT(nx2), 1e-12) * GREATEST(SQRT(ny2), 1e-12)), 6)
+        |           AS c
+        |  FROM agg),
+        |top AS (SELECT vec_id, c FROM sc ORDER BY c DESC, vec_id LIMIT 4),
+        |ctx AS (
+        |  SELECT string_agg('- ' || substr(d.text, 1, 40), chr(10)||chr(10)
+        |                    ORDER BY t.c DESC, t.vec_id) AS context
+        |  FROM top t JOIN documents d ON t.vec_id = d.doc_id)
+        |SELECT CAST(0 AS BIGINT) AS query_id,
+        |       'Answer strictly from the context.' || chr(10) || chr(10) ||
+        |       'Context:' || chr(10) || context || chr(10) || chr(10) ||
+        |       'Question: what do the top documents say?' || chr(10) ||
+        |       'Answer:' AS prompt
+        |FROM ctx""".stripMargin
   )
 
   // ================================= round-2 additions: wider coverage

@@ -1,6 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders}
+import scala.reflect.runtime.universe.TypeTag
+
+import org.apache.spark.sql.{Column, DataFrame, Encoder}
 import org.apache.spark.sql.expressions.{Aggregator, Window}
 import org.apache.spark.sql.functions._
 
@@ -54,18 +56,32 @@ object TopK {
     * generic-typed variant is `TopKAggregator` itself.
     */
   def topKPerKeyAgg(df: DataFrame, key: Seq[Column], score: Column, id: Column,
-                    k: Int): DataFrame = {
-    val agg = udaf(new TopKAggregator(k))
+                    k: Int): DataFrame =
+    perKeyAgg[Long](df, key, score, id.cast("long"), k)
+
+  /** `topKPerKeyAgg` for STRING ids (e.g. `VectorStore`'s chunk ids) —
+    * same two-phase partial/final aggregation, same k-bounded buffers.
+    */
+  def topKPerKeyAggStr(df: DataFrame, key: Seq[Column], score: Column,
+                       id: Column, k: Int): DataFrame =
+    perKeyAgg[String](df, key, score, id.cast("string"), k)
+
+  private def perKeyAgg[I: TypeTag: Ordering](
+      df: DataFrame, key: Seq[Column], score: Column, id: Column,
+      k: Int): DataFrame = {
+    val agg = udaf(new TopKAggregator[I](k))
     df.groupBy(key: _*)
-      .agg(agg(score.cast("double"), id.cast("long")).as("__top"))
+      .agg(agg(score.cast("double"), id).as("__top"))
       .select(col("*"), posexplode(col("__top")).as(Seq("__rank", "__hit")))
       .select((key.map(c => col(c.toString)) :+
         col("__hit.score").as("score") :+ col("__hit.id").as("id")): _*)
   }
 }
 
-/** Scored hit for `TopKAggregator`. */
-case class ScoredId(score: Double, id: Long)
+/** Scored hit for `TopKAggregator` — id type is generic (LONG for the
+  * fixture queries, STRING for `VectorStore` chunk ids).
+  */
+case class Scored[I](score: Double, id: I)
 
 /** k-bounded top-k Aggregator: buffer = sorted (score desc, id asc) list
   * of ≤ k hits. `reduce` drops non-competitive rows in O(1) (compare with
@@ -74,24 +90,25 @@ case class ScoredId(score: Double, id: Long)
   * Spark plans this as ObjectHashAggregate with partial + final phases,
   * giving map-side combining for free.
   */
-class TopKAggregator(k: Int)
-    extends Aggregator[ScoredId, Seq[ScoredId], Seq[ScoredId]] {
+class TopKAggregator[I](k: Int)(implicit ord: Ordering[I],
+    stt: TypeTag[Seq[Scored[I]]])
+    extends Aggregator[Scored[I], Seq[Scored[I]], Seq[Scored[I]]] {
   require(k >= 1)
 
-  private def lt(a: ScoredId, b: ScoredId): Boolean =
-    a.score > b.score || (a.score == b.score && a.id < b.id)
+  private def lt(a: Scored[I], b: Scored[I]): Boolean =
+    a.score > b.score || (a.score == b.score && ord.lt(a.id, b.id))
 
-  override def zero: Seq[ScoredId] = Vector.empty
+  override def zero: Seq[Scored[I]] = Vector.empty
 
-  override def reduce(buf: Seq[ScoredId], x: ScoredId): Seq[ScoredId] =
+  override def reduce(buf: Seq[Scored[I]], x: Scored[I]): Seq[Scored[I]] =
     if (buf.size >= k && !lt(x, buf.last)) buf
     else {
       val (before, after) = buf.span(lt(_, x))
       ((before :+ x) ++ after).take(k)
     }
 
-  override def merge(a: Seq[ScoredId], b: Seq[ScoredId]): Seq[ScoredId] = {
-    val out = Vector.newBuilder[ScoredId]
+  override def merge(a: Seq[Scored[I]], b: Seq[Scored[I]]): Seq[Scored[I]] = {
+    val out = Vector.newBuilder[Scored[I]]
     var (i, j, n) = (0, 0, 0)
     while (n < k && (i < a.size || j < b.size)) {
       if (j >= b.size || (i < a.size && lt(a(i), b(j)))) { out += a(i); i += 1 }
@@ -101,10 +118,10 @@ class TopKAggregator(k: Int)
     out.result()
   }
 
-  override def finish(buf: Seq[ScoredId]): Seq[ScoredId] = buf
+  override def finish(buf: Seq[Scored[I]]): Seq[Scored[I]] = buf
 
-  override def bufferEncoder: Encoder[Seq[ScoredId]] =
-    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[ScoredId]]()
-  override def outputEncoder: Encoder[Seq[ScoredId]] =
-    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[ScoredId]]()
+  override def bufferEncoder: Encoder[Seq[Scored[I]]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Scored[I]]]()
+  override def outputEncoder: Encoder[Seq[Scored[I]]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Scored[I]]]()
 }

@@ -84,7 +84,6 @@ final class VectorStore private (
     * carry (id, embedding) like `insert`.
     */
   def upsert(batch: DataFrame): VectorStore = {
-    val spark = batch.sparkSession
     val newIds = broadcast(batch.select(col("id").cast("string").as("__del_id")))
     val kept = vectors.join(newIds, col("id") === col("__del_id"), "left_anti")
     new VectorStore(kept, dim, numShards).insert(batch)
@@ -92,10 +91,13 @@ final class VectorStore private (
 
   /** Batched many-queries-at-once search (O4–O8 across a query TABLE):
     * broadcast the queries, score every (vector, query) pair with the
-    * codegen dot product, take per-query top-k. Store ids are STRING, so
-    * this uses the window top-k (the LONG-id aggregator variant is
-    * `TopK.topKPerKeyAgg` — see its scaladoc for the shuffle trade-off).
-    * `queries` must have (qid, embedding); returns (qid, id, score).
+    * codegen dot product, take per-query top-k through the string-id
+    * top-k AGGREGATOR (`TopK.topKPerKeyAggStr`): map-side partials keep a
+    * k-bounded buffer per (partition, query), so the exchange carries at
+    * most partitions × queries × k hits instead of every scored row —
+    * the 100 TB shape (the window formulation would shuffle-and-sort all
+    * N × Q scored rows). `queries` must have (qid, embedding); returns
+    * (qid, id, score), ordered (score desc, id asc) within each qid.
     */
   def searchBatch(queries: DataFrame, k: Int): DataFrame = {
     require(k >= 1 && k <= 1000, s"k must be in [1,1000], got $k")
@@ -107,7 +109,7 @@ final class VectorStore private (
     val scored = vectors.crossJoin(broadcast(qn))
       .select(col("qid"), col("id"),
         (dotF(col("embedding"), col("qe")) / col("__nq")).as("score"))
-    TopK.topKPerKey(scored, Seq(col("qid")), col("score"), col("id"), k)
+    TopK.topKPerKeyAggStr(scored, Seq(col("qid")), col("score"), col("id"), k)
       .select(col("qid"), col("id"), col("score"))
   }
 

@@ -86,5 +86,11 @@ class VectorStoreSpec extends SparkSpec {
       .orderBy(col("score").desc, col("id"))
       .collect().map(_.getString(1)).toSeq
     assert(fromBatch == single)
+    // the batched path must take the partial-aggregation route (k-bounded
+    // buffers through the exchange), not a full window sort of all N×Q rows
+    val plan = batch.queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"),
+      s"searchBatch must plan as ObjectHashAggregate:\n$plan")
+    assert(!plan.contains("Window"), s"searchBatch must not window-sort:\n$plan")
   }
 }
