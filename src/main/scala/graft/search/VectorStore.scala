@@ -27,23 +27,10 @@ final class VectorStore private (
     * dimension fail the batch (the reference 400s them,
     * `shard/server.py:62-64`).
     */
-  def insert(batch: DataFrame): VectorStore = {
-    val checked = batch
-      .withColumn("embedding",
-        when(size(col("embedding")) === dim, col("embedding"))
-          .otherwise(raise_error(concat(
-            lit(s"dim mismatch: expected $dim, got "),
-            size(col("embedding")).cast("string")))))
-      // norm in its own column so it's computed once per row, not once
-      // per element inside the transform lambda
-      .withColumn("__n", greatest(sqrt(dotF(col("embedding"), col("embedding"))),
-        lit(V.NormEps)))
-      .withColumn("embedding",
-        transform(col("embedding"), x => (x.cast("double") / col("__n")).cast("float")))
-      .withColumn("shard", HashFunctions.shardHash(col("id"), numShards))
-      .select("id", "embedding", "shard")
-    new VectorStore(vectors.unionByName(checked), dim, numShards)
-  }
+  def insert(batch: DataFrame): VectorStore =
+    new VectorStore(
+      vectors.unionByName(VectorStore.prepare(batch, dim, numShards)),
+      dim, numShards)
 
   /** O4–O8: top-k scan. `metric` ∈ {cosine, l2}; k ∈ [1,1000] like the
     * reference (`coordinator/main.py:30-31`). Returns {id, score} sorted
@@ -150,4 +137,35 @@ object VectorStore {
     create(spark, dim, numShards).insert(
       df.select(col(idCol).cast("string").as("id"), col(vecCol).as("embedding")))
   }
+
+  /** The O1+O2+O3 ingest transform as a PURE column projection:
+    * dim-validate (the reference 400s bad rows, `shard/server.py:62-64`),
+    * L2-normalize, md5-mod-N shard-route. Stateless per-row, so the same
+    * transform serves batch `insert` and the durable streaming sink
+    * (`Streaming.streamInsertDurable`). Output: (id, embedding, shard).
+    */
+  def prepare(batch: DataFrame, dim: Int, numShards: Int): DataFrame =
+    batch
+      .withColumn("embedding",
+        when(size(col("embedding")) === dim, col("embedding"))
+          .otherwise(raise_error(concat(
+            lit(s"dim mismatch: expected $dim, got "),
+            size(col("embedding")).cast("string")))))
+      // norm in its own column so it's computed once per row, not once
+      // per element inside the transform lambda
+      .withColumn("__n", greatest(sqrt(dotF(col("embedding"), col("embedding"))),
+        lit(V.NormEps)))
+      .withColumn("embedding",
+        transform(col("embedding"), x => (x.cast("double") / col("__n")).cast("float")))
+      .withColumn("shard", HashFunctions.shardHash(col("id"), numShards))
+      .select("id", "embedding", "shard")
+
+  /** Re-open a durable ingest table (rows already `prepare`d — written by
+    * `Streaming.streamInsertDurable`) as a queryable store. The parquet
+    * read honors the file sink's `_spark_metadata` commit log, so a
+    * killed-mid-batch writer never contributes partial files.
+    */
+  def openDurable(spark: SparkSession, tablePath: String,
+                  dim: Int, numShards: Int = 8): VectorStore =
+    new VectorStore(spark.read.parquet(tablePath), dim, numShards)
 }

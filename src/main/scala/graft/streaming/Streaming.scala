@@ -157,4 +157,27 @@ object Streaming {
       }
       .start()
   }
+
+  /** DURABLE continuous vector ingest — the production flavor of
+    * `streamInsert`: the same validate → normalize → route projection
+    * (`VectorStore.prepare`) appended to an on-disk parquet table through
+    * the file sink. Offsets live in `checkpointPath` and committed files
+    * in the sink's `_spark_metadata` log, so a stream stopped anywhere —
+    * including mid-batch — restarts with the SAME checkpoint and resumes
+    * exactly-once: no lost rows, no duplicates (StreamingSpec's restart
+    * test). Read the table back with `VectorStore.openDurable`.
+    *
+    * Scale: the sink only ever appends the current micro-batch (no
+    * cumulative union, no growing lineage); at cluster scale the table
+    * would be partitioned by `shard` for pruned reads.
+    */
+  def streamInsertDurable(stream: DataFrame, dim: Int, numShards: Int,
+                          tablePath: String, checkpointPath: String): StreamingQuery =
+    VectorStore.prepare(stream, dim, numShards)
+      .writeStream
+      .outputMode("append")
+      .format("parquet")
+      .option("path", tablePath)
+      .option("checkpointLocation", checkpointPath)
+      .start()
 }

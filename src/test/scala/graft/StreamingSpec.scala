@@ -118,6 +118,54 @@ class StreamingSpec extends SparkSpec {
     assert(got.contains((1L, 2L, 120L)), s"user 1 second session (2 events, 2 min): $got")
   }
 
+  test("streamInsertDurable survives a restart with no loss and no duplicates") {
+    import spark.implicits._
+    val in = Files.createTempDirectory("graft_durin_").toString
+    val table = Files.createTempDirectory("graft_durtbl_").toString + "/t"
+    val ckpt = Files.createTempDirectory("graft_durckpt_").toString + "/c"
+
+    def mkStream() = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("embedding",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.FloatType)))))
+      .option("maxFilesPerTrigger", 1) // force multiple micro-batches
+      .parquet(in)
+
+    val batch1 = (0 until 20).map(i => (i.toString, Seq.fill(8)(i / 10.0f + 0.1f)))
+      .toDF("id", "embedding")
+    batch1.write.mode("overwrite").parquet(in)
+
+    // first run: ingest batch1, then STOP (simulating a crash/redeploy)
+    val q1 = Streaming.streamInsertDurable(mkStream(), 8, 4, table, ckpt)
+    q1.processAllAvailable()
+    q1.stop()
+
+    // more data lands while the writer is down
+    (100 until 110).map(i => (i.toString, Seq.fill(8)(0.5f)))
+      .toDF("id", "embedding").write.mode("append").parquet(in)
+
+    // restart from the SAME checkpoint: must pick up only the new files
+    val q2 = Streaming.streamInsertDurable(mkStream(), 8, 4, table, ckpt)
+    q2.processAllAvailable()
+    q2.stop()
+
+    val store = VectorStore.openDurable(spark, table, 8, 4)
+    assert(store.count() == 30, "restart must neither lose nor duplicate rows")
+    assert(store.vectors.select("id").distinct().count() == 30)
+    // rows went through the shared prepare projection: unit norms + shards
+    val norms = store.vectors
+      .select(sqrt(graft.functions.VectorFunctions.norm2(col("embedding"))).as("n"))
+      .agg(min("n"), max("n")).head
+    assert(math.abs(norms.getDouble(0) - 1.0) < 1e-5)
+    assert(math.abs(norms.getDouble(1) - 1.0) < 1e-5)
+    assert(store.health().count() == 4)
+    // and search works against the reopened table
+    assert(store.search(Seq.fill(8)(0.5f), 3).count() == 3)
+  }
+
   test("streamInsert routes micro-batches through VectorStore.insert") {
     import spark.implicits._
     val tmp = Files.createTempDirectory("graft_vecstream_").toString
