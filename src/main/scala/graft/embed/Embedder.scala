@@ -23,6 +23,14 @@ trait Embedder extends Serializable {
   def open(): Unit = ()
 
   def embed(text: String): Array[Float]
+
+  /** Batched inference — the shape a real model session is fed (B texts
+    * in, B×dim out). Default delegates row-wise; batch-native models
+    * (e.g. `QuantizedMlpEmbedder`) override with a true batched forward
+    * pass.
+    */
+  def embedBatch(texts: Array[String]): Array[Array[Float]] =
+    texts.map(embed)
 }
 
 /** Deterministic hashing-trick embedder (feature hashing à la
@@ -65,6 +73,137 @@ final case class HashingEmbedder(dim: Int = 64) extends Embedder {
   }
 }
 
+/** Quantized integer-arithmetic mini-model: a real (if tiny) neural
+  * forward pass standing in for the ONNX/JNI session the sandbox can't
+  * host, exercising everything a production embedder needs from the
+  * Spark side — per-partition weight load (`open`), BATCHED inference
+  * (B×tokDim → B×hidden → B×dim GEMM loops), int8 weights with integer
+  * accumulation and requantization (the int8-inference discipline of
+  * quantized transformer runtimes).
+  *
+  * Pipeline per batch: whitespace tokens → md5-derived int8 token
+  * vectors, integer mean-pool → int8 dense W1 + ReLU + >>6 requantize →
+  * int8 dense W2 → L2-normalized float32. Every intermediate is exact
+  * integer arithmetic, so results are bit-stable across partitionings,
+  * batch sizes, and JVMs; weights are md5-derived from `seed` at
+  * `open()` time (~4 KB — the "bundled model").
+  *
+  * Reference anchor: replaces SentenceTransformers MiniLM at
+  * `rag_demo/ingest.py:27` behind the same `Embedder` boundary.
+  */
+final case class QuantizedMlpEmbedder(dim: Int = 32, hidden: Int = 48,
+                                      tokDim: Int = 32, seed: Long = 11L)
+    extends Embedder {
+  require(tokDim % 16 == 0, "tokDim must be a multiple of the md5 block (16 bytes)")
+
+  @transient private var w1: Array[Byte] = _ // hidden × tokDim, row-major
+  @transient private var w2: Array[Byte] = _ // dim × hidden, row-major
+
+  /** Model load: materialize the int8 weight matrices (once per
+    * partition in the `Embed` pipelines).
+    */
+  override def open(): Unit = {
+    w1 = genWeights("w1", hidden * tokDim)
+    w2 = genWeights("w2", dim * hidden)
+  }
+
+  private def ensureOpen(): Unit = if (w1 == null) open()
+
+  private def genWeights(name: String, n: Int): Array[Byte] = {
+    val a = new Array[Byte](n)
+    var i = 0
+    while (i < n) {
+      // md5₆₀ % 255 - 127 ∈ [-127, 127]
+      a(i) = ((Md5Kernel.hash60(s"$seed:$name:$i".getBytes("UTF-8")) % 255) - 127).toByte
+      i += 1
+    }
+    a
+  }
+
+  @transient private lazy val ws = Pattern.compile("\\s+")
+
+  /** int8 token vector: tokDim signed bytes from chained md5 digests. */
+  private def tokenVec(tok: String): Array[Byte] = {
+    val out = new Array[Byte](tokDim)
+    var block = 0
+    while (block * 16 < tokDim) {
+      val d = Md5Kernel.digest(s"$seed:e$block:$tok".getBytes("UTF-8"))
+      System.arraycopy(d, 0, out, block * 16, 16)
+      block += 1
+    }
+    out
+  }
+
+  override def embed(text: String): Array[Float] =
+    embedBatch(Array(text))(0)
+
+  override def embedBatch(texts: Array[String]): Array[Array[Float]] = {
+    ensureOpen()
+    val b = texts.length
+    // ---- pool: integer mean of int8 token vectors → B × tokDim ----
+    val pooled = Array.ofDim[Int](b, tokDim)
+    var r = 0
+    while (r < b) {
+      val t = texts(r).trim
+      if (t.nonEmpty) {
+        val toks = ws.split(t, -1)
+        val acc = new Array[Long](tokDim)
+        var i = 0
+        while (i < toks.length) {
+          val tv = tokenVec(toks(i))
+          var j = 0
+          while (j < tokDim) { acc(j) += tv(j); j += 1 }
+          i += 1
+        }
+        var j = 0
+        while (j < tokDim) { pooled(r)(j) = (acc(j) / toks.length).toInt; j += 1 }
+      }
+      r += 1
+    }
+    // ---- layer 1: h = clamp(relu(W1 · p) >> 6) — B × hidden GEMM ----
+    val h = Array.ofDim[Int](b, hidden)
+    r = 0
+    while (r < b) {
+      var o = 0
+      while (o < hidden) {
+        var acc = 0L
+        var j = 0
+        val base = o * tokDim
+        while (j < tokDim) { acc += w1(base + j) * pooled(r)(j); j += 1 }
+        val relu = if (acc > 0) acc >> 6 else 0L
+        h(r)(o) = math.min(relu, 127L).toInt
+        o += 1
+      }
+      r += 1
+    }
+    // ---- layer 2 + normalize: out = l2norm(W2 · h) — B × dim GEMM ----
+    val out = new Array[Array[Float]](b)
+    r = 0
+    while (r < b) {
+      val acc = new Array[Long](dim)
+      var o = 0
+      while (o < dim) {
+        var s = 0L
+        var j = 0
+        val base = o * hidden
+        while (j < hidden) { s += w2(base + j) * h(r)(j); j += 1 }
+        acc(o) = s
+        o += 1
+      }
+      var n2 = 0.0
+      o = 0
+      while (o < dim) { n2 += acc(o).toDouble * acc(o).toDouble; o += 1 }
+      val n = math.max(math.sqrt(n2), 1e-12)
+      val v = new Array[Float](dim)
+      o = 0
+      while (o < dim) { v(o) = (acc(o) / n).toFloat; o += 1 }
+      out(r) = v
+      r += 1
+    }
+    out
+  }
+}
+
 object Embed {
 
   /** Append an `ARRAY<FLOAT>` embedding column computed by `embedder`
@@ -82,6 +221,29 @@ object Embed {
       rows.map { r =>
         val text = if (r.isNullAt(idx)) "" else r.getString(idx)
         Row.fromSeq(r.toSeq :+ (embedder.embed(text).toSeq))
+      }
+    }(Encoders.row(schema))
+  }
+
+  /** `withEmbedding` through the BATCHED inference path: rows are fed to
+    * `embedder.embedBatch` in `batchSize` groups — the feeding pattern a
+    * real model session needs to amortize per-call overhead (GPU kernel
+    * launch / JNI crossing / ONNX session dispatch). Semantics are
+    * identical to `withEmbedding` (EmbedRagSpec asserts agreement).
+    */
+  def withEmbeddingBatched(df: DataFrame, textCol: String, outCol: String,
+                           embedder: Embedder, batchSize: Int = 64): DataFrame = {
+    require(batchSize >= 1)
+    val schema = df.schema.add(outCol, ArrayType(FloatType, containsNull = false))
+    val idx = df.schema.fieldIndex(textCol)
+    df.mapPartitions { rows =>
+      embedder.open()
+      rows.grouped(batchSize).flatMap { chunk =>
+        val texts = chunk.map(r => if (r.isNullAt(idx)) "" else r.getString(idx)).toArray
+        val vecs = embedder.embedBatch(texts)
+        chunk.iterator.zipWithIndex.map { case (r, i) =>
+          Row.fromSeq(r.toSeq :+ vecs(i).toSeq)
+        }
       }
     }(Encoders.row(schema))
   }

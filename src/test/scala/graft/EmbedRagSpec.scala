@@ -31,6 +31,49 @@ class EmbedRagSpec extends SparkSpec {
       HashingEmbedder(16).embed("alpha beta").toSeq)
   }
 
+  test("QuantizedMlpEmbedder: deterministic int8 forward pass, unit norm, batch == single") {
+    import graft.embed.QuantizedMlpEmbedder
+    val m = QuantizedMlpEmbedder()
+    val texts = Array("the quick brown fox", "jumps over", "", "the quick brown fox",
+      "a completely different document about spark")
+    val batch = m.embedBatch(texts)
+    // fresh instance (fresh weights load) → identical vectors
+    val m2 = QuantizedMlpEmbedder()
+    assert(batch.map(_.toSeq).toSeq == m2.embedBatch(texts).map(_.toSeq).toSeq)
+    // batched forward == row-wise forward, element for element
+    texts.zipWithIndex.foreach { case (t, i) =>
+      assert(m.embed(t).toSeq == batch(i).toSeq, s"batch/single diverge on '$t'")
+    }
+    // identical texts → identical vectors; different texts → different
+    assert(batch(0).toSeq == batch(3).toSeq)
+    assert(batch(0).toSeq != batch(4).toSeq)
+    // unit norm (or all-zero for empty text)
+    val n0 = math.sqrt(batch(0).map(x => x.toDouble * x).sum)
+    assert(math.abs(n0 - 1.0) < 1e-6)
+    assert(batch(2).forall(_ == 0.0f) ||
+      math.abs(math.sqrt(batch(2).map(x => x.toDouble * x).sum) - 1.0) < 1e-6)
+  }
+
+  test("withEmbeddingBatched: per-partition batched inference, partition- and batch-size-independent") {
+    import spark.implicits._
+    import graft.embed.QuantizedMlpEmbedder
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(col("doc_id"), col("text")).limit(100)
+    val m = QuantizedMlpEmbedder()
+    def run(parts: Int, batchSize: Int): Map[Long, Seq[Float]] =
+      Embed.withEmbeddingBatched(docs.repartition(parts), "text", "embedding", m, batchSize)
+        .select(col("doc_id"), col("embedding"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    val base = run(1, 64)
+    assert(base.size == 100)
+    assert(run(7, 8) == base, "embeddings must not depend on partitioning or batch size")
+    // row-wise plumbing agrees with batched plumbing
+    val rowwise = Embed.withEmbedding(docs, "text", "embedding", m)
+      .select(col("doc_id"), col("embedding"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(rowwise == base)
+  }
+
   test("Generation.withGeneration streams prompts through a per-partition generator") {
     import spark.implicits._
     import graft.rag.{EchoGenerator, Generation}
