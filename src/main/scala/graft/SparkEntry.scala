@@ -1233,6 +1233,21 @@ object SparkEntry {
         .orderBy($"doc_id")
     }),
 
+    // TRUE byte-pair encoding (merge-table algorithm, bundled vocab) over
+    // a normalized prefix of each doc — native single-loop kernel
+    // (expressions/BpeEncode); the regex approximation q_bpe_tokens stays
+    // beside it for whole-corpus accounting. The oracle replicates the
+    // merge loop as a DuckDB recursive CTE.
+    "q_bpe_real" -> ((s, dir) => {
+      import s.implicits._
+      val w = regexp_replace(lower(substring($"text", 1, 24)), "[^a-z]", "")
+      t(s, dir, "documents")
+        .select($"doc_id", T.bpeEncode(w).as("toks"))
+        .select($"doc_id", array_join($"toks", "|").as("bpe_str"),
+          size($"toks").cast("long").as("n_bpe"))
+        .orderBy($"doc_id")
+    }),
+
     // Order-sensitive rolling-hash fingerprint (Rabin–Karp fold).
     "q_rolling_fp" -> ((s, dir) => {
       import s.implicits._
@@ -1452,6 +1467,43 @@ object SparkEntry {
         |  CAST(CASE WHEN trim(text) = '' THEN 0
         |       ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS n_ws
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_bpe_real" ->
+      """WITH RECURSIVE
+        |docs0 AS (
+        |  SELECT doc_id, regexp_replace(lower(substr(text,1,24)), '[^a-z]', '', 'g') AS w
+        |  FROM documents),
+        |init AS (
+        |  SELECT doc_id,
+        |         CASE WHEN w = '' THEN CAST([] AS VARCHAR[])
+        |              ELSE list_transform(generate_series(1, length(w)), i -> substr(w, i, 1)) END AS toks
+        |  FROM docs0),
+        |steps AS (
+        |  SELECT doc_id, toks, 0 AS step FROM init
+        |  UNION ALL
+        |  SELECT doc_id,
+        |         toks[1:idx-1] || [toks[idx] || toks[idx+1]] || toks[idx+2:] AS toks,
+        |         step + 1
+        |  FROM (
+        |    SELECT doc_id, toks, step,
+        |           list_position(ranks, list_min(ranks)) AS idx,
+        |           list_min(ranks) AS rmin
+        |    FROM (
+        |      SELECT doc_id, toks, step,
+        |             list_transform(generate_series(1, len(toks)-1), i ->
+        |               coalesce(map(
+        |                 ['t|h','th|e','i|n','a|n','an|d','e|r','o|n','r|e','a|t','e|n',
+        |                  'o|r','e|s','s|t','a|r','o|u','i|t','i|s','h|e','t|o','o|f',
+        |                  'in|g','e|d','c|o','co|m','l|e','m|e','d|e','s|e','u|n','th|is'],
+        |                 [0,1,2,3,4,5,6,7,8,9,10,11,12,13,14,15,16,17,18,19,
+        |                  20,21,22,23,24,25,26,27,28,29]
+        |               )[toks[i] || '|' || toks[i+1]][1], 999999)) AS ranks
+        |      FROM steps WHERE step < 30) r1) r2
+        |  WHERE rmin IS NOT NULL AND rmin < 999999),
+        |fin AS (SELECT doc_id, max_by(toks, step) AS toks FROM steps GROUP BY doc_id)
+        |SELECT doc_id, array_to_string(toks, '|') AS bpe_str,
+        |       CAST(len(toks) AS BIGINT) AS n_bpe
+        |FROM fin ORDER BY doc_id""".stripMargin,
 
     "q_rolling_fp" ->
       """WITH t AS (

@@ -79,6 +79,52 @@ object TextFunctions {
   def bpeTokenCount(text: Column): Column =
     size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
 
+  /** Bundled BPE merge vocabulary: ~30 common-English pair merges in
+    * priority order ("left|right", rank = position). Small by design —
+    * the point is the real merge-table algorithm (`BpeEncode`), not
+    * vocabulary coverage; a production vocab drops in unchanged.
+    */
+  val BpeMerges: Seq[String] = Seq(
+    "t|h", "th|e", "i|n", "a|n", "an|d", "e|r", "o|n", "r|e", "a|t", "e|n",
+    "o|r", "e|s", "s|t", "a|r", "o|u", "i|t", "i|s", "h|e", "t|o", "o|f",
+    "in|g", "e|d", "c|o", "co|m", "l|e", "m|e", "d|e", "s|e", "u|n", "th|is")
+
+  /** True BPE tokenization of a (lower-case, [a-z]-only) word — the
+    * native single-loop kernel. See `BpeEncode` for the algorithm
+    * contract shared with `bpeEncodeHof` and the q_bpe_real oracle.
+    */
+  def bpeEncode(word: Column): Column =
+    graft.expressions.BpeExpression.bpeEncodeF(word, BpeMerges)
+
+  /** Declarative HOF spec for `bpeEncode`: a bounded fold — `maxIters`
+    * steps of "merge the leftmost occurrence of the lowest-rank adjacent
+    * pair", each a pure array rewrite; steps after convergence are
+    * no-ops. `maxIters` must be ≥ length(word) − 1 for full convergence.
+    * Agreement with the native kernel is tested in TextFunctionsSpec.
+    */
+  def bpeEncodeHof(word: Column, maxIters: Int = 30): Column = {
+    val ranks = map_from_arrays(
+      typedLit(BpeMerges), typedLit(BpeMerges.indices.map(identity)))
+    val init = when(length(word) === 0, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), length(word)),
+        i => word.substr(i, lit(1))))
+    aggregate(sequence(lit(1), lit(maxIters)), init, (toks, _) => {
+      val n = size(toks)
+      val pairRanks = transform(sequence(lit(1), n - 1), i =>
+        coalesce(
+          try_element_at(ranks,
+            concat(element_at(toks, i), lit("|"), element_at(toks, i + 1))),
+          lit(999999)))
+      val rmin = array_min(pairRanks)
+      val idx = array_position(pairRanks, rmin).cast("int")
+      when(n < 2 || rmin === 999999, toks)
+        .otherwise(concat(
+          slice(toks, lit(1), idx - 1),
+          array(concat(element_at(toks, idx), element_at(toks, idx + 1))),
+          slice(toks, idx + 2, n - idx - 1)))
+    })
+  }
+
   /** Polynomial rolling hash (Rabin–Karp) over the token sequence:
     * h = fold(tokens, 0, (acc, t) → (acc·31 + h32(t)) mod 1e9+7) with
     * h32(t) = first 32 bits of md5(t). Order-sensitive — unlike the

@@ -70,6 +70,35 @@ class TextFunctionsSpec extends SparkSpec {
     assert(docs("").select(T.bpeTokenCount(col("text"))).head.getInt(0) == 0)
   }
 
+  test("bpeEncode: hand-checked merges, leftmost-lowest-rank order, vocab misses stay chars") {
+    def enc(w: String): Seq[String] =
+      docs(w).select(T.bpeEncode(col("text"))).head.getSeq[String](0)
+    // t+h→th, th+e→the (rank chaining), th+is→this (multi-char pair)
+    assert(enc("the") == Seq("the"))
+    assert(enc("this") == Seq("this"))
+    // "and": a|n (rank 3) merges before a bare n|d (not in vocab) → an+d→and
+    assert(enc("and") == Seq("and"))
+    assert(enc("xqz") == Seq("x", "q", "z"), "no applicable merges → chars")
+    assert(enc("") == Seq.empty)
+    // leftmost wins among equal-rank occurrences: "inin" → in|in
+    assert(enc("inin") == Seq("in", "in"))
+  }
+
+  test("native bpeEncode is bit-identical to the HOF bpeEncodeHof on fixture prefixes") {
+    val w = regexp_replace(lower(substring(col("text"), 1, 24)), "[^a-z]", "")
+    val mismatches = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(T.bpeEncode(w).as("fast"), T.bpeEncodeHof(w).as("hof"))
+      .filter(col("fast") =!= col("hof")).count()
+    assert(mismatches == 0)
+    // edge cases beyond the fixture
+    val edge = docs("aaaa", "thethethe", "zzzz", "a", "")
+    val edgeMismatch = edge
+      .select(T.bpeEncode(col("text")).as("fast"),
+        T.bpeEncodeHof(col("text")).as("hof"))
+      .filter(col("fast") =!= col("hof")).count()
+    assert(edgeMismatch == 0)
+  }
+
   test("rollingHash: order-sensitive (reordering tokens changes it), whitespace-insensitive") {
     val h = (t: String) => docs(t).select(T.rollingHash(col("text"))).head.getLong(0)
     assert(h("a b c") == h("a  b   c"), "whitespace collapse must not change the hash")
