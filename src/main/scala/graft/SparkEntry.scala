@@ -788,17 +788,20 @@ object SparkEntry {
 
     // IVF approximate nearest neighbor: assign to 16 deterministic
     // centroids, probe the 4 cells nearest the query, scan only those.
+    // Probe selection runs driver-side over the (broadcast-small)
+    // centroid table — the scan sees a plain partition-prunable isin
+    // filter; zero extra jobs or broadcasts per query.
     "q_ann_ivf" -> ((s, dir) => {
       import s.implicits._
       val e = t(s, dir, "embeddings")
       val cents = e.filter($"vec_id" < 16)
         .select($"vec_id".as("cent_id"), $"embedding".as("cvec"))
       val assigned = Ann.ivfAssign(e, cents, "vec_id", "embedding", "cent_id", "cvec")
-      val qdf = e.filter($"vec_id" === 42).select($"embedding".as("qe"))
-      val probes = Ann.probeCells(cents, qdf, "cent_id", "cvec", 4)
-      val cand = assigned.join(broadcast(probes), "cell_id")
-      val scored = cand.crossJoin(broadcast(qdf))
-        .withColumn("score", score6(V.cosine($"embedding", $"qe")))
+      val query = e.filter($"vec_id" === 42).select($"embedding").head.getSeq[Float](0)
+      val probes = Ann.probeCellIds(cents, query, "cent_id", "cvec", 4)
+      val cand = assigned.filter($"cell_id".isin(probes: _*))
+      val scored = cand
+        .withColumn("score", score6(V.cosine($"embedding", typedLit(query))))
       TopK.topK(scored, $"score", $"vec_id", 10)
         .select($"vec_id", $"score")
     })

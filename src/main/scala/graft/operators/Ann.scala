@@ -138,12 +138,9 @@ object Ann {
   def search(vectors: DataFrame, centroids: DataFrame, idCol: String,
              vecCol: String, centIdCol: String, centVecCol: String,
              query: Seq[Float], nProbes: Int, k: Int): DataFrame = {
-    val spark = vectors.sparkSession
-    import spark.implicits._
     val assigned = ivfAssign(vectors, centroids, idCol, vecCol, centIdCol, centVecCol)
-    val qdf = Seq(Tuple1(query)).toDF("qe")
-    val probes = probeCells(centroids, qdf, centIdCol, centVecCol, nProbes)
-    val cand = assigned.join(broadcast(probes), "cell_id")
+    val probes = probeCellIds(centroids, query, centIdCol, centVecCol, nProbes)
+    val cand = assigned.filter(col("cell_id").isin(probes: _*))
       .withColumn("__nv", greatest(sqrt(dotF(col(vecCol), col(vecCol))), lit(V.NormEps)))
     val qn = math.max(math.sqrt(query.map(x => x.toDouble * x).sum), V.NormEps)
     val scored = cand.withColumn("score",
@@ -164,5 +161,47 @@ object Ann {
       .orderBy(col("__c").desc, col(centIdCol).asc)
       .limit(nProbes)
       .select(col(centIdCol).as("cell_id"))
+  }
+
+  /** Driver-side probe selection: the centroid table is broadcast-small
+    * by contract, so ranking `nProbes` cells for one query needs no Spark
+    * job at all — the scan-side plan is then a plain `isin` filter on
+    * `cell_id` (partition-prunable against an on-disk IVF index).
+    * Arithmetic is bit-identical to `probeCells`: sequential double
+    * summation (the codegen dot order) and HALF_UP rounding to 6 decimals
+    * (Spark's `round`), ordered (score desc, cent_id asc).
+    */
+  def probeCellIds(centroids: DataFrame, query: Seq[Float],
+                   centIdCol: String, centVecCol: String,
+                   nProbes: Int): Seq[Long] = {
+    val qn = {
+      var s = 0.0
+      query.foreach(x => s += x.toDouble * x.toDouble)
+      math.max(math.sqrt(s), V.NormEps)
+    }
+    centroids.select(col(centIdCol).cast("long"), col(centVecCol))
+      .collect().toSeq
+      .map { r =>
+        val cvec = r.getSeq[Float](1)
+        var dp = 0.0
+        var n2 = 0.0
+        var i = 0
+        val m = math.min(cvec.length, query.length)
+        while (i < m) {
+          dp += cvec(i).toDouble * query(i).toDouble
+          n2 += cvec(i).toDouble * cvec(i).toDouble
+          i += 1
+        }
+        val cn = math.max(math.sqrt(n2), V.NormEps)
+        // java BigDecimal.valueOf (canonical string repr) + HALF_UP is
+        // exactly Spark's Round-on-double; the raw-binary constructor
+        // can round knife-edge values differently
+        val c = java.math.BigDecimal.valueOf(dp / (cn * qn))
+          .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+        (r.getLong(0), c)
+      }
+      .sortBy { case (cid, c) => (-c, cid) }
+      .take(nProbes)
+      .map(_._1)
   }
 }
