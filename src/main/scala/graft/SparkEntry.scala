@@ -648,6 +648,7 @@ object SparkEntry {
       val e = spread(s, t(s, dir, "embeddings"))
         .select($"vec_id", $"embedding",
           greatest(sqrt(dotF($"embedding", $"embedding")), lit(V.NormEps)).as("nrm"))
+        .localCheckpoint(false) // both self-join sides consume this
       val a = e.select($"vec_id".as("id_a"), $"embedding".as("ea"), $"nrm".as("na"))
       val b = e.select($"vec_id".as("id_b"), $"embedding".as("eb"), $"nrm".as("nb"))
       a.join(b, $"id_a" < $"id_b")
@@ -660,9 +661,12 @@ object SparkEntry {
     // Word-2-gram Jaccard near-dup pairs, blocked by source.
     "q_ngram_jaccard" -> ((s, dir) => {
       import s.implicits._
+      // shingle table materialized once (localCheckpoint) — the self-join
+      // would otherwise re-run the scan + shingle kernel on both sides
       val sh = spread(s, t(s, dir, "documents"))
         .select($"doc_id", $"source", Dedup.shingles($"text", 2).as("sh"))
         .filter(size($"sh") > 0)
+        .localCheckpoint(false)
       val a = sh.select($"doc_id".as("doc_a"), $"source", $"sh".as("sha"))
       val b = sh.select($"doc_id".as("doc_b"), $"source", $"sh".as("shb"))
       a.join(b, Seq("source")).filter($"doc_a" < $"doc_b")
@@ -695,9 +699,12 @@ object SparkEntry {
     // zero-allocation sorted-merge count.
     "q_minhash_lsh" -> ((s, dir) => {
       import s.implicits._
+      // materialized once: the signature stage and both verify-join sides
+      // consume this table (see Dedup.nearDupPairs)
       val sh = spread(s, t(s, dir, "documents"))
         .select($"doc_id", Dedup.shingles($"text", 2).as("sh"))
         .filter(size($"sh") > 0)
+        .localCheckpoint(false)
       val withBands = sh
         .withColumn("sig", minhashSigF($"sh", 16))
         .withColumn("bands", Dedup.bandHashes($"sig", 4, 4))
@@ -728,6 +735,7 @@ object SparkEntry {
       val sh = spread(s, base.unionByName(hot))
         .select($"doc_id", Dedup.shingles($"text", 2).as("sh"))
         .filter(size($"sh") > 0)
+        .localCheckpoint(false)
       val withBands = sh
         .withColumn("sig", minhashSigF($"sh", 16))
         .withColumn("bands", Dedup.bandHashes($"sig", 4, 4))
@@ -740,6 +748,21 @@ object SparkEntry {
         .filter($"j" >= 0.2)
         .select($"id_a".as("doc_a"), $"id_b".as("doc_b"), round($"j", 4).as("jaccard"))
         .orderBy($"doc_a", $"doc_b")
+    }),
+
+    // GPT-3-style benchmark decontamination (`rag_demo` corpus hygiene
+    // generalized): count word 3-grams each training doc shares with the
+    // benchmark subset (doc_id < 25). Grams fold to 60-bit hashes BEFORE
+    // the join — the probe side shuffles (8-byte hash, id) only, and the
+    // benchmark hash set (eval sets are tiny next to a 100 TB corpus)
+    // broadcasts, so contamination checking is a map-side scan probe.
+    "q_decontaminate" -> ((s, dir) => {
+      import s.implicits._
+      val d = spread(s, t(s, dir, "documents"))
+      Dedup.contaminationOverlap(
+          d.filter($"doc_id" >= 25), d.filter($"doc_id" < 25),
+          "doc_id", "text", 3)
+        .orderBy($"doc_id")
     }),
 
     // 32-bit SimHash signatures (native per-row kernel).
@@ -755,6 +778,7 @@ object SparkEntry {
       import s.implicits._
       val sh = spread(s, t(s, dir, "documents"))
         .select($"doc_id", simhash32F(T.tokens($"text")).as("simhash"))
+        .localCheckpoint(false) // both self-join sides consume this
       val a = sh.select($"doc_id".as("doc_a"), $"simhash".as("sa"))
       val b = sh.select($"doc_id".as("doc_b"), $"simhash".as("sb"))
       a.join(b, $"doc_a" < $"doc_b")
@@ -774,6 +798,7 @@ object SparkEntry {
       val e = spread(s, t(s, dir, "embeddings"))
         .select($"vec_id", $"embedding",
           greatest(sqrt(dotF($"embedding", $"embedding")), lit(V.NormEps)).as("nrm"))
+        .localCheckpoint(false) // bands stage + both verify sides consume this
       val withBands = e.withColumn("bands", srpBandsF($"embedding", 4, 8, 7L))
       val cands = Dedup.lshCandidatePairs(
         withBands.select($"vec_id", $"bands"), "vec_id", "bands")
@@ -941,6 +966,24 @@ object SparkEntry {
         |  FROM cand JOIN s x ON da = x.doc_id JOIN s y ON db = y.doc_id)
         |SELECT da AS doc_a, db AS doc_b, ROUND(jac, 4) AS jaccard
         |FROM j WHERE jac >= 0.2 ORDER BY doc_a, doc_b""".stripMargin,
+
+    "q_decontaminate" ->
+      """WITH t AS (
+        |  SELECT doc_id, CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[]) ELSE string_split_regex(trim(text), '\s+') END AS toks
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id,
+        |         list_distinct(list_transform(generate_series(1, len(toks)-2),
+        |           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+        |  FROM t WHERE len(toks) >= 3),
+        |g AS (
+        |  SELECT doc_id, ('0x'||substr(md5(unnest(sh)), 1, 15))::BIGINT AS gh
+        |  FROM s),
+        |bench AS (SELECT DISTINCT gh FROM g WHERE doc_id < 25),
+        |train AS (SELECT doc_id, gh FROM g WHERE doc_id >= 25)
+        |SELECT tr.doc_id, COUNT(*) AS n_overlap
+        |FROM train tr JOIN bench b USING (gh)
+        |GROUP BY tr.doc_id ORDER BY doc_id""".stripMargin,
 
     "q_simhash" ->
       """WITH t AS (

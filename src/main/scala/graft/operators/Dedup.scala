@@ -196,10 +196,18 @@ object Dedup {
   def nearDupPairs(docs: DataFrame, idCol: String, textCol: String,
                    shingleSize: Int = 2, numHashes: Int = 16,
                    bands: Int = 4, threshold: Double = 0.5,
-                   maxBucket: Int = DefaultMaxBucket): DataFrame = {
+                   maxBucket: Int = DefaultMaxBucket,
+                   materializeShingles: Boolean = true): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
-    val sh = docs.select(col(idCol), shingles(col(textCol), shingleSize).as("__sh"))
+    val shPlan = docs.select(col(idCol), shingles(col(textCol), shingleSize).as("__sh"))
       .filter(size(col("__sh")) > 0)
+    // The shingle table fans out to THREE consumers (signature stage + both
+    // verify-join sides); without materialization each branch re-runs the
+    // scan + shingle kernel (~2× whole-pipeline cost, measured at sf0.1).
+    // localCheckpoint = executor-local MEMORY_AND_DISK materialization —
+    // the single-node stand-in for the cluster-storage checkpoint a 100 TB
+    // run would put here.
+    val sh = if (materializeShingles) shPlan.localCheckpoint(false) else shPlan
     val withBands = sh
       .withColumn("__sig",
         graft.expressions.TextHashExpressions.minhashSigF(col("__sh"), numHashes))
@@ -212,6 +220,36 @@ object Dedup {
       .withColumn("jaccard", jaccard(col("__sha"), col("__shb")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** Benchmark decontamination: for every training document, count the
+    * word n-grams it shares with a benchmark/eval set (GPT-3 appendix-C
+    * style: a training doc is contaminated when it contains any n-gram
+    * that also appears in an evaluation document). Returns
+    * (idCol, n_overlap) for contaminated docs only.
+    *
+    * Scale shape: grams are folded to 60-bit hashes BEFORE the join, so
+    * the shuffle carries (8-byte hash, id) pairs — never gram strings —
+    * and the benchmark side (distinct hashes; eval sets are tiny next to
+    * a 100 TB corpus) is broadcast: the contamination check is a
+    * map-side-only probe of the corpus scan, zero exchange of the train
+    * side beyond the final per-doc count. Both engines join on the same
+    * md5-derived hash, so even a collision replicates bit-identically in
+    * the oracle (`q_decontaminate`).
+    */
+  def contaminationOverlap(train: DataFrame, bench: DataFrame,
+                           idCol: String, textCol: String,
+                           n: Int = 8): DataFrame = {
+    val benchHashes = bench
+      .select(explode(shingles(col(textCol), n)).as("__g"))
+      .select(hash60(col("__g")).as("__gh"))
+      .distinct()
+    train
+      .select(col(idCol), explode(shingles(col(textCol), n)).as("__g"))
+      .select(col(idCol), hash60(col("__g")).as("__gh"))
+      .join(broadcast(benchHashes), Seq("__gh"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_overlap"))
   }
 
   /** Bit p (0 = LSB) of an 8-hex-char string, via hex-digit arithmetic

@@ -55,6 +55,21 @@ class DedupSpec extends SparkSpec {
       "unrelated docs must not collide")
   }
 
+  test("contaminationOverlap: counts shared n-grams, misses clean docs, broadcast probe") {
+    val bench = docs((0L, "the quick brown fox jumps over the lazy dog"))
+    val train = docs(
+      (10L, "he saw the quick brown fox yesterday"), // shares "the quick brown", "quick brown fox"
+      (11L, "a totally different sentence about spark engines"),
+      (12L, "over the lazy dog it went")) // shares "over the lazy", "the lazy dog"
+    val r = Dedup.contaminationOverlap(train, bench, "doc_id", "text", 3)
+      .collect.map(x => (x.getLong(0), x.getLong(1))).toMap
+    assert(r == Map(10L -> 2L, 12L -> 2L), s"got $r")
+    // scale shape: the benchmark hash set reaches the probe as a broadcast
+    val plan = Dedup.contaminationOverlap(train, bench, "doc_id", "text", 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
   test("simhash32: identical docs equal; near-dups within small hamming; unrelated far") {
     import spark.implicits._
     val base = (1 to 60).map(i => s"w$i").mkString(" ")
