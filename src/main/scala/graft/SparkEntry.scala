@@ -568,6 +568,25 @@ object SparkEntry {
         .orderBy($"lang", $"pred_lang")
     }),
 
+    // PII redaction for corpus cleaning: emails/IPv4s/phone-shaped runs →
+    // typed placeholders, plus the per-doc audit count. The fixture text
+    // carries no PII, so each doc gets a deterministic synthetic
+    // email + phone + IP appended (same derivation both engines) — the
+    // oracle then verifies real redaction behavior, not a no-op.
+    "q_pii_redact" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents")
+        .withColumn("txt", concat($"text",
+          lit(" contact user"), $"doc_id".cast("string"),
+          lit("@mail.example.com or +1 (415) 555-01"),
+          lpad(pmod($"doc_id", lit(100)).cast("string"), 2, "0"),
+          lit(" from 10.0."), pmod($"doc_id", lit(256)).cast("string"), lit(".7")))
+        .select($"doc_id",
+          T.redactPii($"txt").as("clean"),
+          T.piiCount($"txt").as("n_pii"))
+        .orderBy($"doc_id")
+    }),
+
     // Exact-dedup fingerprint groups (md5 of collapsed lower-cased text).
     "q_fingerprint" -> ((s, dir) => {
       import s.implicits._
@@ -1138,6 +1157,24 @@ object SparkEntry {
         |  FROM v)
         |SELECT lang, pred_lang, COUNT(*) AS n FROM p
         |GROUP BY lang, pred_lang ORDER BY lang, pred_lang""".stripMargin,
+
+    "q_pii_redact" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |         text || ' contact user' || doc_id::VARCHAR ||
+        |         '@mail.example.com or +1 (415) 555-01' ||
+        |         lpad((doc_id % 100)::VARCHAR, 2, '0') ||
+        |         ' from 10.0.' || (doc_id % 256)::VARCHAR || '.7' AS txt
+        |  FROM documents)
+        |SELECT doc_id,
+        |  regexp_replace(regexp_replace(regexp_replace(txt,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '<IP>', 'g'),
+        |    '\+?[0-9][0-9()\s\-]{6,}[0-9]', '<PHONE>', 'g') AS clean,
+        |  CAST(len(regexp_extract_all(txt, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+        |     + len(regexp_extract_all(txt, '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}'))
+        |     + len(regexp_extract_all(txt, '\+?[0-9][0-9()\s\-]{6,}[0-9]')) AS BIGINT) AS n_pii
+        |FROM d ORDER BY doc_id""".stripMargin,
 
     "q_fingerprint" ->
       """SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp,

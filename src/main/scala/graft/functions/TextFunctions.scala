@@ -138,6 +138,37 @@ object TextFunctions {
       (acc, t) => pmod(acc * 31L + h32(t), lit(1000000007L)))
   }
 
+  /** PII patterns, written to mean the same thing in Java regex (Spark)
+    * and RE2 (the DuckDB oracle): character classes and counted repeats
+    * only — no backreferences, no lookaround (RE2 has neither). The
+    * phone pattern is deliberately aggressive (any 8+ run of digits,
+    * separators, parens): for training-data hygiene a false <PHONE> on a
+    * serial number is cheaper than a leaked number.
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+  val PhoneRe = "\\+?[0-9][0-9()\\s\\-]{6,}[0-9]"
+
+  /** PII redaction for corpus cleaning: emails → `<EMAIL>`, IPv4 →
+    * `<IP>`, phone-shaped runs → `<PHONE>`, in that order (emails and
+    * IPs contain characters the later patterns can then no longer
+    * mis-match). Pure codegen'd `regexp_replace` chain — per-row, no
+    * shuffle, runs at scan speed over 100 TB.
+    */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailRe, "<EMAIL>"),
+        Ipv4Re, "<IP>"),
+      PhoneRe, "<PHONE>")
+
+  /** Total PII matches (emails + IPv4s + phone-shaped runs) in the raw
+    * text — the audit metric beside `redactPii`.
+    */
+  def piiCount(text: Column): Column =
+    (regexp_count(text, lit(EmailRe)) + regexp_count(text, lit(Ipv4Re)) +
+      regexp_count(text, lit(PhoneRe))).cast("long")
+
   /** Punctuation character count. */
   def punctCount(text: Column): Column =
     length(text) - length(regexp_replace(text, "[.,;:!?]", ""))

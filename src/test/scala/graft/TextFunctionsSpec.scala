@@ -26,6 +26,19 @@ class TextFunctionsSpec extends SparkSpec {
     assert(r == Seq("a b", "c d"))
   }
 
+  test("redactPii: email/phone/ip replaced with typed placeholders; count matches") {
+    val txt = "mail a.user+x@sub.example.org, call +1 (415) 555-0199, host 192.168.0.1 ok"
+    val r = docs(txt).select(
+      T.redactPii(col("text")), T.piiCount(col("text"))).head
+    assert(r.getString(0) == "mail <EMAIL>, call <PHONE>, host <IP> ok", r.getString(0))
+    assert(r.getLong(1) == 3L)
+    // clean text passes through untouched
+    val clean = docs("no personal data here at all").select(
+      T.redactPii(col("text")), T.piiCount(col("text"))).head
+    assert(clean.getString(0) == "no personal data here at all")
+    assert(clean.getLong(1) == 0L)
+  }
+
   test("chunkId is deterministic and formatted {doc}::chunk{idx}::{md5[:8]}") {
     val df = docs("hello world")
     val id1 = df.select(T.chunkId(col("doc_id"), lit(0), lit("hello world"))).head.getString(0)
