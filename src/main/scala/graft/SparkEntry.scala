@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.expressions.FloatVectorExpressions.dotF
 import graft.expressions.TextHashExpressions.{minhashSigF, simhash32F}
 import graft.functions.{HashFunctions, TextFunctions => T, VectorFunctions => V}
-import graft.operators.{Ann, AsofJoin, Dedup, Multimodal, SkewJoin, TopK}
+import graft.operators.{Ann, AsofJoin, Dedup, Multimodal, Sampling, SkewJoin, TopK}
 import graft.sources.Tables
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -566,6 +566,24 @@ object SparkEntry {
         .withColumn("pred_lang", T.langId($"text"))
         .groupBy($"lang", $"pred_lang").agg(count(lit(1)).as("n"))
         .orderBy($"lang", $"pred_lang")
+    }),
+
+    // Gopher/MassiveText repetition filters (Rae et al. 2021 table A1):
+    // duplicate-token fraction, duplicate-2-gram fraction, most-repeated
+    // 2-gram count, and the fraction of characters inside repeated
+    // tokens. Per-row HOF compute with integer cores — scan-speed over
+    // 100 TB, no shuffle.
+    "q_repetition" -> ((s, dir) => {
+      import s.implicits._
+      val toks = T.tokens($"text")
+      val g2 = T.ngrams($"text", 2)
+      t(s, dir, "documents")
+        .select($"doc_id",
+          round(T.dupFraction(toks), 4).as("dup_tok_frac"),
+          round(T.dupFraction(g2), 4).as("dup_2gram_frac"),
+          T.maxRepeat(g2).as("max_2gram_count"),
+          round(T.repeatedCharFraction(toks), 4).as("rep_char_frac"))
+        .orderBy($"doc_id")
     }),
 
     // PII redaction for corpus cleaning: emails/IPv4s/phone-shaped runs →
@@ -1158,6 +1176,32 @@ object SparkEntry {
         |SELECT lang, pred_lang, COUNT(*) AS n FROM p
         |GROUP BY lang, pred_lang ORDER BY lang, pred_lang""".stripMargin,
 
+    "q_repetition" ->
+      """WITH t AS (
+        |  SELECT doc_id, CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[]) ELSE string_split_regex(trim(text), '\s+') END AS toks
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, toks,
+        |         CASE WHEN len(toks) < 2 THEN CAST([] AS VARCHAR[])
+        |              ELSE list_transform(generate_series(1, len(toks)-1),
+        |                     i -> toks[i] || ' ' || toks[i+1]) END AS g2
+        |  FROM t)
+        |SELECT doc_id,
+        |  ROUND(CASE WHEN len(toks) = 0 THEN 0.0
+        |        ELSE 1.0 - len(list_distinct(toks))::DOUBLE / len(toks)::DOUBLE END, 4) AS dup_tok_frac,
+        |  ROUND(CASE WHEN len(g2) = 0 THEN 0.0
+        |        ELSE 1.0 - len(list_distinct(g2))::DOUBLE / len(g2)::DOUBLE END, 4) AS dup_2gram_frac,
+        |  CAST(CASE WHEN len(g2) = 0 THEN 0
+        |       ELSE list_max(list_transform(list_distinct(g2),
+        |              x -> len(list_filter(g2, y -> y = x)))) END AS BIGINT) AS max_2gram_count,
+        |  ROUND(CASE WHEN len(toks) = 0 THEN 0.0
+        |        ELSE coalesce(list_sum(list_transform(list_distinct(toks),
+        |               x -> CASE WHEN len(list_filter(toks, y -> y = x)) >= 2
+        |                         THEN length(x) * len(list_filter(toks, y -> y = x))
+        |                         ELSE 0 END)), 0)::DOUBLE
+        |           / list_sum(list_transform(toks, x -> length(x)))::DOUBLE END, 4) AS rep_char_frac
+        |FROM g ORDER BY doc_id""".stripMargin,
+
     "q_pii_redact" ->
       """WITH d AS (
         |  SELECT doc_id,
@@ -1427,6 +1471,23 @@ object SparkEntry {
         .orderBy($"source")
     }),
 
+    // Domain-mixture curation: per-source deterministic keep-rates
+    // (src0 80%, src1 50%, src2 25%, rest 10%) — the hash-gated filter
+    // runs at scan speed with no shuffle or RNG state, so the sample is
+    // reproducible across runs and partitionings (Sampling.scala).
+    "q_stratified_sample" -> ((s, dir) => {
+      import s.implicits._
+      val d = t(s, dir, "documents")
+      val kept = Sampling.stratifiedSample(d, $"source", $"doc_id",
+        Map("src0" -> 0.8, "src1" -> 0.5, "src2" -> 0.25), 0.1)
+      d.groupBy($"source").agg(count(lit(1)).as("n_total"))
+        .join(kept.groupBy($"source").agg(count(lit(1)).as("__k")),
+          Seq("source"), "left")
+        .select($"source", $"n_total",
+          coalesce($"__k", lit(0L)).as("n_sampled"))
+        .orderBy($"source")
+    }),
+
     // Scalar correlated-style subquery: orders priced above their
     // priority's average (Catalyst rewrites to an aggregate + join).
     "q_scalar_subq" -> ((s, dir) => {
@@ -1627,6 +1688,17 @@ object SparkEntry {
         |FROM documents
         |WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 100 < 10
         |GROUP BY source ORDER BY source""".stripMargin,
+
+    "q_stratified_sample" ->
+      """WITH k AS (
+        |  SELECT source,
+        |         CASE WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 1000000 <
+        |                   (CASE source WHEN 'src0' THEN 0.8 WHEN 'src1' THEN 0.5
+        |                                WHEN 'src2' THEN 0.25 ELSE 0.1 END) * 1000000.0
+        |              THEN 1 ELSE 0 END AS keep
+        |  FROM documents)
+        |SELECT source, COUNT(*) AS n_total, CAST(SUM(keep) AS BIGINT) AS n_sampled
+        |FROM k GROUP BY source ORDER BY source""".stripMargin,
 
     "q_scalar_subq" ->
       """SELECT o_orderpriority, COUNT(*) AS n_above

@@ -138,6 +138,51 @@ object TextFunctions {
       (acc, t) => pmod(acc * 31L + h32(t), lit(1000000007L)))
   }
 
+  /** Word n-gram list WITH duplicates and in document order — repetition
+    * analysis needs occurrence counts, unlike `Dedup.shingles` which
+    * dedups and sorts for set semantics.
+    */
+  def ngrams(text: Column, n: Int): Column = {
+    require(n > 0)
+    val toks = tokens(text)
+    when(size(toks) < n, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(0), size(toks) - n),
+        j => array_join(slice(toks, j + 1, lit(n)), " ")))
+  }
+
+  /** Fraction of array elements that are repeats (1 − distinct/total);
+    * empty array → 0. One of the Gopher/MassiveText repetition filters
+    * (Rae et al. 2021, table A1) used to drop boilerplate-heavy docs.
+    */
+  def dupFraction(arr: Column): Column =
+    when(size(arr) === 0, lit(0.0))
+      .otherwise(lit(1.0) -
+        size(array_distinct(arr)).cast("double") / size(arr).cast("double"))
+
+  /** Highest occurrence count of any single element (0 for empty).
+    * Integer-only arithmetic — bit-identical across engines regardless
+    * of evaluation order.
+    */
+  def maxRepeat(arr: Column): Column =
+    when(size(arr) === 0, lit(0L))
+      .otherwise(array_max(transform(array_distinct(arr),
+        g => size(filter(arr, x => x === g)))).cast("long"))
+
+  /** Fraction of characters inside tokens that occur ≥ 2 times — the
+    * "fraction of characters in duplicated content" Gopher signal.
+    * Numerator and denominator are exact integer sums (order-proof);
+    * only the final division is floating point.
+    */
+  def repeatedCharFraction(toks: Column): Column = {
+    val totalChars = aggregate(toks, lit(0L), (a, t) => a + length(t))
+    val repChars = aggregate(array_distinct(toks), lit(0L), (a, t) => {
+      val cnt = size(filter(toks, x => x === t))
+      a + when(cnt >= 2, (length(t) * cnt).cast("long")).otherwise(lit(0L))
+    })
+    when(totalChars === 0, lit(0.0))
+      .otherwise(repChars.cast("double") / totalChars.cast("double"))
+  }
+
   /** PII patterns, written to mean the same thing in Java regex (Spark)
     * and RE2 (the DuckDB oracle): character classes and counted repeats
     * only — no backreferences, no lookaround (RE2 has neither). The

@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling operators for training-data curation.
+  *
+  * Everything gates on `hash60(key) mod 10⁶ < rate·10⁶` — a pure per-row
+  * filter evaluated at scan speed with no shuffle and no RNG state, so a
+  * sample is (a) reproducible across runs/partitionings, (b) consistent
+  * between engines (the DuckDB oracle replicates the md5-derived hash
+  * bit-for-bit), and (c) stable under re-partitioning — the properties
+  * `rand()`-based sampling lacks. The same discipline as the reference's
+  * md5-mod-N shard routing (`coordinator/main.py:43-45`), applied to
+  * corpus curation instead of placement.
+  */
+object Sampling {
+
+  private val Denom = 1000000L
+
+  /** Keep a row iff its hashed key falls under `rate` (0.0–1.0). */
+  def hashSample(df: DataFrame, key: Column, rate: Double): DataFrame = {
+    require(rate >= 0.0 && rate <= 1.0, s"rate must be in [0,1], got $rate")
+    df.filter(hashGate(key, lit(rate)))
+  }
+
+  /** Domain-mixture sampling: each stratum (e.g. source/domain) keeps
+    * rows at its own rate — how a 100 TB corpus is re-weighted toward a
+    * target mixture without materializing intermediate copies. `rates`
+    * maps stratum value → keep-rate; unlisted strata use `defaultRate`.
+    * The rate lookup folds into a literal CASE chain: per-row compute
+    * only, nothing to broadcast or join.
+    */
+  def stratifiedSample(df: DataFrame, stratum: Column, key: Column,
+                       rates: Map[String, Double],
+                       defaultRate: Double): DataFrame = {
+    (rates.values.toSeq :+ defaultRate).foreach(r =>
+      require(r >= 0.0 && r <= 1.0, s"rate must be in [0,1], got $r"))
+    val rateCol = rates.toSeq.sortBy(_._1).foldLeft(lit(defaultRate)) {
+      case (acc, (k, v)) => when(stratum === k, lit(v)).otherwise(acc)
+    }
+    df.filter(hashGate(key, rateCol))
+  }
+
+  /** Per-stratum keep-rates that hit a target mixture: stratum s gets
+    * rate min(1, targetWeight(s) · targetSize / count(s)). The stratum
+    * count table is tiny by definition (one row per domain), so it is
+    * collected driver-side — the 100 TB corpus itself is only ever
+    * touched by the resulting scan-speed filter.
+    */
+  def ratesForMixture(df: DataFrame, stratum: Column,
+                      targetWeights: Map[String, Double],
+                      targetSize: Long): Map[String, Double] = {
+    val counts = df.groupBy(stratum.as("__s")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    targetWeights.map { case (s, w) =>
+      val n = counts.getOrElse(s, 0L)
+      s -> (if (n == 0) 0.0 else math.min(1.0, w * targetSize / n))
+    }
+  }
+
+  private def hashGate(key: Column, rate: Column): Column =
+    pmod(Dedup.hash60(key.cast("string")), lit(Denom)).cast("double") <
+      rate * lit(Denom.toDouble)
+}

@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Sampling
+
+class SamplingSpec extends SparkSpec {
+
+  private def docs(n: Int) = {
+    import spark.implicits._
+    (0 until n).map(i => (i.toLong, s"src${i % 4}")).toDF("id", "source")
+  }
+
+  test("hashSample is deterministic and roughly proportional") {
+    val d = docs(2000)
+    val a = Sampling.hashSample(d, col("id"), 0.3).collect().map(_.getLong(0)).toSet
+    val b = Sampling.hashSample(d, col("id"), 0.3).collect().map(_.getLong(0)).toSet
+    assert(a == b, "same rate must select the same rows")
+    assert(a.size > 2000 * 0.2 && a.size < 2000 * 0.4, s"got ${a.size} of 2000 at rate 0.3")
+  }
+
+  test("hashSample at a lower rate is a subset of a higher rate (nested samples)") {
+    val d = docs(2000)
+    val lo = Sampling.hashSample(d, col("id"), 0.1).collect().map(_.getLong(0)).toSet
+    val hi = Sampling.hashSample(d, col("id"), 0.5).collect().map(_.getLong(0)).toSet
+    assert(lo.subsetOf(hi), "hash-gate thresholds must nest")
+  }
+
+  test("stratifiedSample applies per-stratum rates; 0 drops all, 1 keeps all") {
+    val d = docs(2000) // 500 per source
+    val kept = Sampling.stratifiedSample(d, col("source"), col("id"),
+      Map("src0" -> 1.0, "src1" -> 0.0, "src2" -> 0.5), defaultRate = 0.1)
+    val bySrc = kept.groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySrc.getOrElse("src0", 0L) == 500L)
+    assert(!bySrc.contains("src1"))
+    val s2 = bySrc.getOrElse("src2", 0L)
+    assert(s2 > 200 && s2 < 300, s"src2 at 0.5 gave $s2 of 500")
+    val s3 = bySrc.getOrElse("src3", 0L)
+    assert(s3 > 20 && s3 < 80, s"src3 at default 0.1 gave $s3 of 500")
+  }
+
+  test("ratesForMixture hits target sizes and caps at 1.0") {
+    val d = docs(2000) // 500 per source
+    val rates = Sampling.ratesForMixture(d, col("source"),
+      Map("src0" -> 0.5, "src1" -> 0.25, "missing" -> 0.25), targetSize = 400)
+    assert(math.abs(rates("src0") - 0.4) < 1e-12) // 0.5*400/500
+    assert(math.abs(rates("src1") - 0.2) < 1e-12)
+    assert(rates("missing") == 0.0)
+    val capped = Sampling.ratesForMixture(d, col("source"),
+      Map("src0" -> 1.0), targetSize = 5000)
+    assert(capped("src0") == 1.0) // 1.0*5000/500 caps at 1
+  }
+}

@@ -26,6 +26,30 @@ class TextFunctionsSpec extends SparkSpec {
     assert(r == Seq("a b", "c d"))
   }
 
+  test("repetition signals: hand-computed fractions on a repetitive doc") {
+    // toks = [the,cat,the,cat,the,dog]: 6 total, 3 distinct
+    // 2-grams = [the cat, cat the, the cat, cat the, the dog]: 5 total, 3 distinct
+    val df = docs("the cat the cat the dog")
+    val r = df.select(
+      T.dupFraction(T.tokens(col("text"))),
+      T.dupFraction(T.ngrams(col("text"), 2)),
+      T.maxRepeat(T.ngrams(col("text"), 2)),
+      T.repeatedCharFraction(T.tokens(col("text")))).head
+    assert(math.abs(r.getDouble(0) - 0.5) < 1e-12)
+    assert(math.abs(r.getDouble(1) - 0.4) < 1e-12)
+    assert(r.getLong(2) == 2L)
+    // repeated chars: "the"*3 + "cat"*2 = 15 of 18 total
+    assert(math.abs(r.getDouble(3) - 15.0 / 18.0) < 1e-12)
+    // empty + single-token edges
+    val e = docs("", "solo").select(
+      T.dupFraction(T.tokens(col("text"))),
+      T.maxRepeat(T.ngrams(col("text"), 2)),
+      T.repeatedCharFraction(T.tokens(col("text")))).collect()
+    e.foreach { row =>
+      assert(row.getDouble(0) == 0.0 && row.getLong(1) == 0L && row.getDouble(2) == 0.0)
+    }
+  }
+
   test("redactPii: email/phone/ip replaced with typed placeholders; count matches") {
     val txt = "mail a.user+x@sub.example.org, call +1 (415) 555-0199, host 192.168.0.1 ok"
     val r = docs(txt).select(
