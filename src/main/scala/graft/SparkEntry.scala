@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.expressions.FloatVectorExpressions.dotF
 import graft.expressions.TextHashExpressions.{minhashSigF, simhash32F}
 import graft.functions.{HashFunctions, TextFunctions => T, VectorFunctions => V}
-import graft.operators.{Ann, AsofJoin, Dedup, Multimodal, Sampling, SkewJoin, TopK}
+import graft.operators.{Ann, AsofJoin, Dedup, Multimodal, Packing, Sampling, SkewJoin, TopK}
 import graft.sources.Tables
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -566,6 +566,20 @@ object SparkEntry {
         .withColumn("pred_lang", T.langId($"text"))
         .groupBy($"lang", $"pred_lang").agg(count(lit(1)).as("n"))
         .orderBy($"lang", $"pred_lang")
+    }),
+
+    // Concat-and-chunk sequence packing at context length 256: docs are
+    // concatenated per source in doc_id order and chunked into
+    // fixed-token-budget training sequences; each doc reports the
+    // sequence and offset where it starts. One window cumsum per
+    // packing group, integer arithmetic throughout (Packing.scala).
+    "q_seq_pack" -> ((s, dir) => {
+      import s.implicits._
+      val d = t(s, dir, "documents")
+        .select($"doc_id", $"source", T.bpeTokenCount($"text").cast("long").as("n_tokens"))
+      Packing.packSequences(d, Seq($"source"), $"doc_id", $"n_tokens", 256)
+        .select($"doc_id", $"source", $"n_tokens", $"seq_idx", $"seq_offset")
+        .orderBy($"doc_id")
     }),
 
     // Gopher/MassiveText repetition filters (Rae et al. 2021 table A1):
@@ -1175,6 +1189,21 @@ object SparkEntry {
         |  FROM v)
         |SELECT lang, pred_lang, COUNT(*) AS n FROM p
         |GROUP BY lang, pred_lang ORDER BY lang, pred_lang""".stripMargin,
+
+    "q_seq_pack" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |         CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, source, n_tokens,
+        |         SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |                             ROWS UNBOUNDED PRECEDING) - n_tokens AS strt
+        |  FROM t)
+        |SELECT doc_id, source, n_tokens,
+        |       CAST(strt // 256 AS BIGINT) AS seq_idx,
+        |       CAST(strt % 256 AS BIGINT) AS seq_offset
+        |FROM c ORDER BY doc_id""".stripMargin,
 
     "q_repetition" ->
       """WITH t AS (
