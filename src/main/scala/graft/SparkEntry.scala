@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.expressions.FloatVectorExpressions.dotF
 import graft.expressions.TextHashExpressions.{minhashSigF, simhash32F}
 import graft.functions.{HashFunctions, TextFunctions => T, VectorFunctions => V}
-import graft.operators.{Ann, AsofJoin, Dedup, Multimodal, Packing, Sampling, SkewJoin, TopK}
+import graft.operators.{Ann, AsofJoin, Curation, Dedup, Multimodal, Packing, Sampling, SkewJoin, TopK}
 import graft.sources.Tables
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -566,6 +566,20 @@ object SparkEntry {
         .withColumn("pred_lang", T.langId($"text"))
         .groupBy($"lang", $"pred_lang").agg(count(lit(1)).as("n"))
         .orderBy($"lang", $"pred_lang")
+    }),
+
+    // End-to-end corpus curation (operators/Curation): PII redact →
+    // quantized quality/repetition gates → exact dedup → LSH near-dup
+    // removal → deterministic mixture sampling, all in one composed
+    // pipeline. Each stage has its own oracle query; this one
+    // oracle-checks the COMPOSITION (stage order is part of the
+    // contract — see Curation.scala).
+    "q_curation" -> ((s, dir) => {
+      import s.implicits._
+      Curation.curate(spread(s, t(s, dir, "documents")),
+          "doc_id", "text", "source",
+          rates = Map("src0" -> 0.8, "src1" -> 0.5), defaultRate = 0.6)
+        .orderBy($"doc_id")
     }),
 
     // Concat-and-chunk sequence packing at context length 256: docs are
@@ -1189,6 +1203,69 @@ object SparkEntry {
         |  FROM v)
         |SELECT lang, pred_lang, COUNT(*) AS n FROM p
         |GROUP BY lang, pred_lang ORDER BY lang, pred_lang""".stripMargin,
+
+    "q_curation" ->
+      """WITH clean AS (
+        |  SELECT doc_id, source,
+        |    regexp_replace(regexp_replace(regexp_replace(text,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |      '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '<IP>', 'g'),
+        |      '\+?[0-9][0-9()\s\-]{6,}[0-9]', '<PHONE>', 'g') AS txt
+        |  FROM documents),
+        |tk AS (
+        |  SELECT doc_id, source, txt,
+        |         CASE WHEN trim(txt) = '' THEN CAST([] AS VARCHAR[]) ELSE string_split_regex(trim(txt), '\s+') END AS toks
+        |  FROM clean),
+        |gt AS (
+        |  SELECT *, CASE WHEN len(toks) < 2 THEN CAST([] AS VARCHAR[])
+        |                 ELSE list_transform(generate_series(1, len(toks)-1),
+        |                        i -> toks[i] || ' ' || toks[i+1]) END AS g2
+        |  FROM tk),
+        |q AS (
+        |  SELECT doc_id, source, txt, toks,
+        |    ROUND(LEAST(len(toks)::DOUBLE/100.0, 1.0) * (0.7 + 0.3 *
+        |      len(list_filter(toks, t -> list_contains(['the','a','of','and','to','in','is'], t)))::DOUBLE
+        |      / GREATEST(len(toks)::DOUBLE, 1.0)), 4) AS quality,
+        |    ROUND(CASE WHEN len(g2) = 0 THEN 0.0
+        |          ELSE 1.0 - len(list_distinct(g2))::DOUBLE / len(g2)::DOUBLE END, 4) AS dup2
+        |  FROM gt),
+        |filtered AS (SELECT * FROM q WHERE quality >= 0.2 AND dup2 <= 0.5),
+        |keepers AS (
+        |  SELECT MIN(doc_id) AS doc_id
+        |  FROM filtered
+        |  GROUP BY md5(lower(trim(regexp_replace(txt, '\s+', ' ', 'g'))))),
+        |uniq AS (SELECT f.* FROM filtered f JOIN keepers USING (doc_id)),
+        |s AS (
+        |  SELECT doc_id, list_distinct(list_transform(generate_series(1, len(toks)-1),
+        |           i -> toks[i] || ' ' || toks[i+1])) AS sh
+        |  FROM uniq WHERE len(toks) >= 2),
+        |sig AS (
+        |  SELECT doc_id, sh,
+        |         list_transform(generate_series(0, 15), i ->
+        |           list_min(list_transform(sh, x ->
+        |             ('0x'||substr(md5(i::VARCHAR||':'||x), 1, 15))::BIGINT))) AS sig
+        |  FROM s WHERE len(sh) > 0),
+        |bands AS (
+        |  SELECT doc_id, band_idx,
+        |         md5(array_to_string(sig[band_idx*4+1 : band_idx*4+4], ',')) AS bh
+        |  FROM (SELECT doc_id, sig, unnest(generate_series(0, 3)) AS band_idx FROM sig)),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id da, b.doc_id db
+        |  FROM bands a JOIN bands b
+        |    ON a.band_idx = b.band_idx AND a.bh = b.bh AND a.doc_id < b.doc_id),
+        |drp AS (
+        |  SELECT DISTINCT db FROM (
+        |    SELECT da, db,
+        |           len(list_intersect(x.sh, y.sh))::DOUBLE /
+        |             (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))) AS jac
+        |    FROM cand JOIN s x ON da = x.doc_id JOIN s y ON db = y.doc_id)
+        |  WHERE jac >= 0.2),
+        |final AS (SELECT * FROM uniq WHERE doc_id NOT IN (SELECT db FROM drp))
+        |SELECT doc_id, source, quality
+        |FROM final
+        |WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 1000000 <
+        |      (CASE source WHEN 'src0' THEN 0.8 WHEN 'src1' THEN 0.5 ELSE 0.6 END) * 1000000.0
+        |ORDER BY doc_id""".stripMargin,
 
     "q_seq_pack" ->
       """WITH t AS (
