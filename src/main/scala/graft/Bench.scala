@@ -29,7 +29,10 @@ object Bench {
     "q_minhash_lsh", "q_ngram_jaccard", "q_simhash", "q_chunk",
     // round-2 additions
     "q_srp_neardup", "q_hash_embed", "q_session_window", "q_dedup_exact",
-    "q_salted_join", "q_batch_topk")
+    "q_salted_join", "q_batch_topk",
+    // round-3 additions: training-data curation surface
+    "q_decontaminate", "q_pii_redact", "q_repetition", "q_stratified_sample",
+    "q_seq_pack", "q_curation")
 
   /** Force FULL materialization of every output column: xxhash64 over all
     * columns, summed. `.count()` alone under-measures — Catalyst prunes

@@ -85,6 +85,27 @@ class EmbedRagSpec extends SparkSpec {
     assert(m(1L) == "[echo] prompt one" && m(2L) == "[echo] prompt two")
   }
 
+  test("ExtractiveGenerator answers with the best-overlap context bullet") {
+    import spark.implicits._
+    import graft.rag.{ExtractiveGenerator, Generation}
+    val prompt =
+      "Answer strictly from the context.\n\nContext:\n" +
+        "- the warehouse ships orders every weekday morning\n\n" +
+        "- spark executors cache shuffle blocks on local disk\n\n" +
+        "- paris is the capital city of france\n\n" +
+        "Question: what is the capital of france\nAnswer:"
+    val g = ExtractiveGenerator()
+    assert(g.generate(prompt) == "paris is the capital city of france")
+    // no context → empty answer; malformed prompt → empty answer
+    assert(g.generate("Context:\n\n\nQuestion: q\nAnswer:") == "")
+    assert(g.generate("no structure at all") == "")
+    // through the mapPartitions plumbing
+    val out = Generation.withGeneration(
+      Seq((1L, prompt)).toDF("id", "prompt").repartition(2),
+      "prompt", "answer", ExtractiveGenerator())
+    assert(out.collect().head.getString(2) == "paris is the capital city of france")
+  }
+
   test("Synthetic.randomUnitVectors: unit-norm, deterministic, partition-independent") {
     import graft.sources.Synthetic
     val a = Synthetic.randomUnitVectors(spark, 50, 16, seed = 7)

@@ -33,6 +33,13 @@ class PackingSpec extends SparkSpec {
     assert(a.map(_.toString) == b.map(_.toString))
   }
 
+  test("packSequences plans exactly one shuffle (the group-key exchange)") {
+    val plan = Packing.packSequences(corpus(), Seq(col("grp")), col("id"),
+      col("n_tokens"), 128).queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 1, s"expected 1 exchange, got $exchanges:\n$plan")
+  }
+
   test("sequenceCounts: ceil of total tokens over budget") {
     val r = Packing.sequenceCounts(corpus(), Seq(col("grp")), col("n_tokens"), 128)
       .collect().map(x => x.getString(0) -> (x.getLong(1), x.getLong(2))).toMap

@@ -39,6 +39,13 @@ class SamplingSpec extends SparkSpec {
     assert(s3 > 20 && s3 < 80, s"src3 at default 0.1 gave $s3 of 500")
   }
 
+  test("stratifiedSample is a pure scan filter — no exchange, no join in the plan") {
+    val plan = Sampling.stratifiedSample(docs(100), col("source"), col("id"),
+      Map("src0" -> 0.5), defaultRate = 0.1).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+    assert(!plan.contains("Join"), plan)
+  }
+
   test("ratesForMixture hits target sizes and caps at 1.0") {
     val d = docs(2000) // 500 per source
     val rates = Sampling.ratesForMixture(d, col("source"),
