@@ -589,7 +589,7 @@ object SparkEntry {
     // packing group, integer arithmetic throughout (Packing.scala).
     "q_seq_pack" -> ((s, dir) => {
       import s.implicits._
-      val d = t(s, dir, "documents")
+      val d = spread(s, t(s, dir, "documents"))
         .select($"doc_id", $"source", T.bpeTokenCount($"text").cast("long").as("n_tokens"))
       Packing.packSequences(d, Seq($"source"), $"doc_id", $"n_tokens", 256)
         .select($"doc_id", $"source", $"n_tokens", $"seq_idx", $"seq_offset")
@@ -603,14 +603,28 @@ object SparkEntry {
     // 100 TB, no shuffle.
     "q_repetition" -> ((s, dir) => {
       import s.implicits._
+      import graft.expressions.RepeatStats.repeatStatsF
+      // ALL four metrics derive from two RepeatStats structs (one kernel
+      // pass over the tokens, one over the 2-grams) — composing the
+      // per-metric helpers instead would re-evaluate tokens()/the 2-gram
+      // build once per metric tree (6×/3× per row, measured 13 s vs
+      // ~1 s at sf0.1)
       val toks = T.tokens($"text")
-      val g2 = T.ngrams($"text", 2)
-      t(s, dir, "documents")
+      def dupFrac(st: Column): Column =
+        when(st.getField("n") === 0, lit(0.0))
+          .otherwise(lit(1.0) - st.getField("n_distinct").cast("double") /
+            st.getField("n").cast("double"))
+      spread(s, t(s, dir, "documents"))
         .select($"doc_id",
-          round(T.dupFraction(toks), 4).as("dup_tok_frac"),
-          round(T.dupFraction(g2), 4).as("dup_2gram_frac"),
-          T.maxRepeat(g2).as("max_2gram_count"),
-          round(T.repeatedCharFraction(toks), 4).as("rep_char_frac"))
+          repeatStatsF(toks).as("st"),
+          repeatStatsF(T.ngramsOfTokens(toks, 2)).as("sg"))
+        .select($"doc_id",
+          round(dupFrac($"st"), 4).as("dup_tok_frac"),
+          round(dupFrac($"sg"), 4).as("dup_2gram_frac"),
+          $"sg".getField("max_repeat").cast("long").as("max_2gram_count"),
+          round(when($"st".getField("total_chars") === 0, lit(0.0))
+            .otherwise($"st".getField("rep_chars").cast("double") /
+              $"st".getField("total_chars").cast("double")), 4).as("rep_char_frac"))
         .orderBy($"doc_id")
     }),
 
@@ -621,7 +635,7 @@ object SparkEntry {
     // oracle then verifies real redaction behavior, not a no-op.
     "q_pii_redact" -> ((s, dir) => {
       import s.implicits._
-      t(s, dir, "documents")
+      spread(s, t(s, dir, "documents"))
         .withColumn("txt", concat($"text",
           lit(" contact user"), $"doc_id".cast("string"),
           lit("@mail.example.com or +1 (415) 555-01"),

@@ -142,9 +142,13 @@ object TextFunctions {
     * analysis needs occurrence counts, unlike `Dedup.shingles` which
     * dedups and sorts for set semantics.
     */
-  def ngrams(text: Column, n: Int): Column = {
+  def ngrams(text: Column, n: Int): Column = ngramsOfTokens(tokens(text), n)
+
+  /** `ngrams` over an already-tokenized column (lets pipelines tokenize
+    * once per row instead of once per consumer expression).
+    */
+  def ngramsOfTokens(toks: Column, n: Int): Column = {
     require(n > 0)
-    val toks = tokens(text)
     when(size(toks) < n, array().cast("array<string>"))
       .otherwise(transform(sequence(lit(0), size(toks) - n),
         j => array_join(slice(toks, j + 1, lit(n)), " ")))
@@ -161,19 +165,36 @@ object TextFunctions {
 
   /** Highest occurrence count of any single element (0 for empty).
     * Integer-only arithmetic — bit-identical across engines regardless
-    * of evaluation order.
+    * of evaluation order. Native one-pass kernel (`RepeatStats`);
+    * `maxRepeatHof` below is the declarative spec (agreement-tested).
     */
   def maxRepeat(arr: Column): Column =
+    graft.expressions.RepeatStats.repeatStatsF(arr)
+      .getField("max_repeat").cast("long")
+
+  /** Declarative spec for `maxRepeat` — O(d·n) interpreted lambda evals
+    * (one full rescan per distinct element); never use on the hot path.
+    */
+  def maxRepeatHof(arr: Column): Column =
     when(size(arr) === 0, lit(0L))
       .otherwise(array_max(transform(array_distinct(arr),
         g => size(filter(arr, x => x === g)))).cast("long"))
 
   /** Fraction of characters inside tokens that occur ≥ 2 times — the
     * "fraction of characters in duplicated content" Gopher signal.
-    * Numerator and denominator are exact integer sums (order-proof);
-    * only the final division is floating point.
+    * Numerator and denominator are exact integer counts (order-proof);
+    * only the final division is floating point. Native one-pass kernel;
+    * `repeatedCharFractionHof` is the spec.
     */
   def repeatedCharFraction(toks: Column): Column = {
+    val s = graft.expressions.RepeatStats.repeatStatsF(toks)
+    when(s.getField("total_chars") === 0, lit(0.0))
+      .otherwise(s.getField("rep_chars").cast("double") /
+        s.getField("total_chars").cast("double"))
+  }
+
+  /** Declarative spec for `repeatedCharFraction` (same O(d·n) caveat). */
+  def repeatedCharFractionHof(toks: Column): Column = {
     val totalChars = aggregate(toks, lit(0L), (a, t) => a + length(t))
     val repChars = aggregate(array_distinct(toks), lit(0L), (a, t) => {
       val cnt = size(filter(toks, x => x === t))
@@ -221,8 +242,10 @@ object TextFunctions {
   /** Composite quality score in [0,1]: length saturation × (0.7 + 0.3 ×
     * stopword presence). Mirrored exactly in the DuckDB oracle.
     */
-  def qualityScore(text: Column): Column = {
-    val toks = tokens(text)
+  def qualityScore(text: Column): Column = qualityScoreOfTokens(tokens(text))
+
+  /** `qualityScore` over an already-tokenized column. */
+  def qualityScoreOfTokens(toks: Column): Column = {
     val nTok = size(toks).cast("double")
     val stopRatio = stopwordHits(toks, EnStopwords).cast("double") /
       greatest(nTok, lit(1.0))

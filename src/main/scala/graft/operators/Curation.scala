@@ -39,12 +39,26 @@ object Curation {
              defaultRate: Double = 1.0): DataFrame = {
     val id = col(idCol)
 
-    // 1–2: redact, then gate on quantized quality/repetition scores
-    val scored = docs
+    // 1–2: redact, then gate on quantized quality/repetition scores.
+    // TWO materialization points, both load-bearing (measured at sf0.1):
+    //  - `cleaned`: Catalyst inlines a withColumn alias into every
+    //    consumer expression, so without this barrier the 3-regex redact
+    //    chain re-runs inside EVERY tokens()/ngrams() appearance in the
+    //    quality and dup2 trees (~5× per row);
+    //  - `scored`: the fingerprint-canonical branch, the semi-join
+    //    branch, and the final projection each re-evaluate the whole
+    //    scoring subplan otherwise (~3× the scan).
+    val cleaned = docs
       .withColumn("__clean", T.redactPii(col(textCol)))
-      .withColumn("__quality", round(T.qualityScore(col("__clean")), 4))
-      .withColumn("__dup2", round(T.dupFraction(T.ngrams(col("__clean"), 2)), 4))
+      .withColumn("__toks", T.tokens(col("__clean")))
+      .localCheckpoint(false)
+    val scored = cleaned
+      .withColumn("__quality", round(T.qualityScoreOfTokens(col("__toks")), 4))
+      .withColumn("__dup2",
+        round(T.dupFraction(T.ngramsOfTokens(col("__toks"), 2)), 4))
       .filter(col("__quality") >= minQuality && col("__dup2") <= maxDup2gramFrac)
+      .drop("__toks")
+      .localCheckpoint(false)
 
     // 3: exact dedup on the clean text (keep lowest id per fingerprint)
     val canonical = scored

@@ -144,8 +144,15 @@ object Dedup {
     */
   def lshCandidatePairs(df: DataFrame, idCol: String, bandsCol: String,
                         maxBucket: Int = DefaultMaxBucket): DataFrame = {
-    val exploded = df.select(col(idCol),
+    val explodedPlan = df.select(col(idCol),
       posexplode(col(bandsCol)).as(Seq("band_idx", "bh")))
+    // The capped path consumes the band tuples from THREE branches
+    // (bucket stats, small-bucket pairs, star pairs) — materialize them
+    // once or every branch re-runs the upstream signature/band kernels.
+    // (band_idx, 16-byte hash, id) rows are the smallest table in the
+    // pipeline, far cheaper to hold than to recompute.
+    val exploded =
+      if (maxBucket <= 0) explodedPlan else explodedPlan.localCheckpoint(false)
     if (maxBucket <= 0) {
       val buckets = exploded
         .groupBy(col("band_idx"), col("bh"))

@@ -50,6 +50,25 @@ class TextFunctionsSpec extends SparkSpec {
     }
   }
 
+  test("RepeatStats native kernel agrees with the HOF specs on fixture docs") {
+    val fixture = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val edge = docs("", "solo", "a a a", "x y x y x")
+    Seq(fixture, edge).foreach { df =>
+      val toks = T.tokens(col("text"))
+      val g2 = T.ngrams(col("text"), 2)
+      val bad = df.select(
+          T.maxRepeat(toks).as("a1"), T.maxRepeatHof(toks).as("a2"),
+          T.maxRepeat(g2).as("b1"), T.maxRepeatHof(g2).as("b2"),
+          T.repeatedCharFraction(toks).as("c1"),
+          T.repeatedCharFractionHof(toks).as("c2"))
+        .filter(col("a1") =!= col("a2") || col("b1") =!= col("b2") ||
+          col("c1") =!= col("c2"))
+        .count()
+      assert(bad == 0L)
+    }
+  }
+
   test("redactPii: email/phone/ip replaced with typed placeholders; count matches") {
     val txt = "mail a.user+x@sub.example.org, call +1 (415) 555-0199, host 192.168.0.1 ok"
     val r = docs(txt).select(
