@@ -126,6 +126,48 @@ object Streaming {
       .toDF()
   }
 
+  /** Streaming corpus curation — the continuous flavor of
+    * `operators.Curation.curate`. The per-row stages are stateless and
+    * run unchanged on a stream: PII redaction, quantized quality +
+    * repetition gates, and the deterministic md5-gate mixture sampling
+    * (no RNG state to carry). Exact dedup runs with WATERMARK-BOUNDED
+    * state: `dropDuplicatesWithinWatermark` on the clean-text
+    * fingerprint, so a duplicate arriving within the horizon is dropped
+    * and state is evicted as the watermark advances.
+    *
+    * Deliberately NOT streamed: the LSH near-dup tier — candidate
+    * pairing is a corpus-wide self-join whose state a watermark cannot
+    * bound; at scale it runs as periodic batch compaction over the
+    * curated table (the standard lambda split, same discipline as
+    * `streamInsertDurable` + batch reads). Dedup keeps the FIRST
+    * arrival (stream semantics) where batch `curate` keeps the lowest
+    * id — identical when ids arrive in order.
+    *
+    * Emits (idCol, stratumCol, tsCol, quality) rows that pass every gate.
+    */
+  def curateStream(docs: DataFrame, idCol: String, textCol: String,
+                   stratumCol: String, tsCol: String, watermark: String,
+                   minQuality: Double = 0.2, maxDup2gramFrac: Double = 0.5,
+                   rates: Map[String, Double] = Map.empty,
+                   defaultRate: Double = 1.0): DataFrame = {
+    import graft.functions.{TextFunctions => T}
+    import graft.operators.Sampling
+    val gated = docs
+      .withColumn("__clean", T.redactPii(col(textCol)))
+      .withColumn("__quality", round(T.qualityScore(col("__clean")), 4))
+      .withColumn("__dup2", round(T.dupFraction(T.ngrams(col("__clean"), 2)), 4))
+      .filter(col("__quality") >= minQuality && col("__dup2") <= maxDup2gramFrac)
+      .withColumn("__fp", T.fingerprint(col("__clean")))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("__fp")
+    val sampled =
+      if (rates.isEmpty && defaultRate >= 1.0) gated
+      else Sampling.stratifiedSample(gated, col(stratumCol), col(idCol),
+        rates, defaultRate)
+    sampled.select(col(idCol), col(stratumCol), col(tsCol),
+      col("__quality").as("quality"))
+  }
+
   /** Continuous vector ingest: every micro-batch is validated, normalized
     * and routed through the same `VectorStore.insert` path as batch writes
     * (O1 streaming flavor — `readStream → foreachBatch(append)`).

@@ -83,6 +83,38 @@ class StreamingSpec extends SparkSpec {
     assert(ids.toSeq == Seq(1L, 2L, 7L))
   }
 
+  test("curateStream gates, dedups and samples a document stream") {
+    import spark.implicits._
+    def ts(min: Int) = new java.sql.Timestamp(7200000L + min * 60000L)
+    val words = (1 to 40).map(i => s"w$i").mkString(" ")
+    val wordsB = (1 to 40).map(i => s"v$i").mkString(" ")
+    val tmp = Files.createTempDirectory("graft_curate_").toString
+    val batch1 = Seq(
+      (1L, "srcA", words, ts(0)),       // kept
+      (2L, "srcA", "too short", ts(1)), // quality gate
+      (3L, "srcB", wordsB, ts(2))       // kept
+    ).toDF("doc_id", "source", "text", "ts")
+    batch1.write.mode("overwrite").parquet(tmp)
+
+    val stream = spark.readStream.schema(batch1.schema).parquet(tmp)
+    val q = Streaming.curateStream(stream, "doc_id", "text", "source",
+        "ts", "1 hour")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("curate_out").start()
+    q.processAllAvailable()
+    // duplicate of doc 1 within the watermark → dropped; new doc kept
+    Seq((4L, "srcA", words, ts(3)),
+        (5L, "srcB", (1 to 40).map(i => s"u$i").mkString(" "), ts(4)))
+      .toDF("doc_id", "source", "text", "ts")
+      .write.mode("append").parquet(tmp)
+    q.processAllAvailable()
+    q.stop()
+
+    val ids = spark.table("curate_out").select("doc_id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids == Seq(1L, 3L, 5L))
+  }
+
   test("sessionizeStream emits closed sessions via custom state + event-time timeout") {
     import spark.implicits._
     def ts(min: Int) = new java.sql.Timestamp(3600000L + min * 60000L)
