@@ -88,6 +88,24 @@ object Profile {
       }
     }
 
+    // curation pipeline scale probe: 1× vs 10× corpus — growth should
+    // track docs (scan stages) + true-duplicate pairs (LSH tier), not
+    // corpus²
+    {
+      import graft.operators.Curation
+      def curateCount(d: org.apache.spark.sql.DataFrame): Long =
+        Curation.curate(d, "doc_id", "text", "source",
+          rates = Map("src0" -> 0.8, "src1" -> 0.5), defaultRate = 0.6).count()
+      val docsS = docs.repartition(32)
+      time("C1 curate 1x")(println("  kept=" + curateCount(docsS)))
+      val big = (0 until 10).map(i =>
+          docs.select(($"doc_id" + lit(i * 1000000L)).as("doc_id"), $"source",
+            concat($"text", lit(s" v$i")).as("text")))
+        .reduce(_ unionByName _)
+        .repartition(32)
+      time(s"C10 curate 10x")(println("  kept10x=" + curateCount(big)))
+    }
+
     // ngram with spread (as SparkEntry does)
     val shS = docs.repartition(32)
       .select($"doc_id", $"source", Dedup.shingles($"text", 2).as("sh"))
