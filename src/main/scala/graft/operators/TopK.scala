@@ -66,7 +66,7 @@ object TopK {
                        id: Column, k: Int): DataFrame =
     perKeyAgg[String](df, key, score, id.cast("string"), k)
 
-  private def perKeyAgg[I: TypeTag: Ordering](
+  private def perKeyAgg[I: TypeTag: Ordering: scala.reflect.ClassTag](
       df: DataFrame, key: Seq[Column], score: Column, id: Column,
       k: Int): DataFrame = {
     val agg = udaf(new TopKAggregator[I](k))
@@ -83,45 +83,80 @@ object TopK {
   */
 case class Scored[I](score: Double, id: I)
 
-/** k-bounded top-k Aggregator: buffer = sorted (score desc, id asc) list
-  * of ≤ k hits. `reduce` drops non-competitive rows in O(1) (compare with
-  * the current worst) — the bounded-heap scan of
-  * `flat_index.hpp:39-53` — and `merge` is the coordinator's heap merge.
-  * Spark plans this as ObjectHashAggregate with partial + final phases,
-  * giving map-side combining for free.
+/** k-bounded top-k Aggregator: buffer = PAIRED FLAT ARRAYS
+  * (scores, ids), sorted (score desc, id asc), ≤ k entries. `reduce`
+  * drops non-competitive rows in O(1) (compare with the current worst) —
+  * the bounded-heap scan of `flat_index.hpp:39-53` — and `merge` is the
+  * coordinator's heap merge. Spark plans this as ObjectHashAggregate
+  * with partial + final phases, giving map-side combining for free.
+  *
+  * Why arrays, not `Seq[Scored[I]]`: the buffer crosses the encoder
+  * boundary on every partial-aggregation spill/shuffle; a struct-array
+  * buffer encodes one object per hit, while (Array[Double], Array[I])
+  * encodes two flat arrays (primitive for the scores, and for LONG ids)
+  * — fewer allocations and fewer shuffle bytes per key at large key
+  * counts.
   */
 class TopKAggregator[I](k: Int)(implicit ord: Ordering[I],
+    ct: scala.reflect.ClassTag[I],
+    btt: TypeTag[(Array[Double], Array[I])],
     stt: TypeTag[Seq[Scored[I]]])
-    extends Aggregator[Scored[I], Seq[Scored[I]], Seq[Scored[I]]] {
+    extends Aggregator[Scored[I], (Array[Double], Array[I]), Seq[Scored[I]]] {
   require(k >= 1)
 
-  private def lt(a: Scored[I], b: Scored[I]): Boolean =
-    a.score > b.score || (a.score == b.score && ord.lt(a.id, b.id))
+  // (score desc, id asc) strict order over parallel arrays
+  private def lt(s1: Double, i1: I, s2: Double, i2: I): Boolean =
+    s1 > s2 || (s1 == s2 && ord.lt(i1, i2))
 
-  override def zero: Seq[Scored[I]] = Vector.empty
+  override def zero: (Array[Double], Array[I]) =
+    (Array.emptyDoubleArray, Array.empty[I])
 
-  override def reduce(buf: Seq[Scored[I]], x: Scored[I]): Seq[Scored[I]] =
-    if (buf.size >= k && !lt(x, buf.last)) buf
+  override def reduce(buf: (Array[Double], Array[I]),
+                      x: Scored[I]): (Array[Double], Array[I]) = {
+    val (ss, ids) = buf
+    val n = ss.length
+    if (n >= k && !lt(x.score, x.id, ss(n - 1), ids(n - 1))) buf
     else {
-      val (before, after) = buf.span(lt(_, x))
-      ((before :+ x) ++ after).take(k)
+      var p = 0
+      while (p < n && lt(ss(p), ids(p), x.score, x.id)) p += 1
+      val m = math.min(n + 1, k)
+      val ns = new Array[Double](m)
+      val ni = new Array[I](m)
+      var q = 0
+      while (q < p) { ns(q) = ss(q); ni(q) = ids(q); q += 1 }
+      ns(p) = x.score
+      ni(p) = x.id
+      q = p
+      while (q + 1 < m) { ns(q + 1) = ss(q); ni(q + 1) = ids(q); q += 1 }
+      (ns, ni)
     }
-
-  override def merge(a: Seq[Scored[I]], b: Seq[Scored[I]]): Seq[Scored[I]] = {
-    val out = Vector.newBuilder[Scored[I]]
-    var (i, j, n) = (0, 0, 0)
-    while (n < k && (i < a.size || j < b.size)) {
-      if (j >= b.size || (i < a.size && lt(a(i), b(j)))) { out += a(i); i += 1 }
-      else { out += b(j); j += 1 }
-      n += 1
-    }
-    out.result()
   }
 
-  override def finish(buf: Seq[Scored[I]]): Seq[Scored[I]] = buf
+  override def merge(a: (Array[Double], Array[I]),
+                     b: (Array[Double], Array[I])): (Array[Double], Array[I]) = {
+    val (as, ai) = a
+    val (bs, bi) = b
+    val m = math.min(as.length + bs.length, k)
+    val ns = new Array[Double](m)
+    val ni = new Array[I](m)
+    var (i, j, n) = (0, 0, 0)
+    while (n < m) {
+      if (j >= bs.length ||
+          (i < as.length && lt(as(i), ai(i), bs(j), bi(j)))) {
+        ns(n) = as(i); ni(n) = ai(i); i += 1
+      } else {
+        ns(n) = bs(j); ni(n) = bi(j); j += 1
+      }
+      n += 1
+    }
+    (ns, ni)
+  }
 
-  override def bufferEncoder: Encoder[Seq[Scored[I]]] =
-    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Scored[I]]]()
+  override def finish(buf: (Array[Double], Array[I])): Seq[Scored[I]] =
+    buf._1.indices.map(i => Scored(buf._1(i), buf._2(i)))
+
+  override def bufferEncoder: Encoder[(Array[Double], Array[I])] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Array[Double], Array[I])]()
   override def outputEncoder: Encoder[Seq[Scored[I]]] =
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Scored[I]]]()
 }

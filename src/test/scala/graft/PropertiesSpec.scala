@@ -59,6 +59,39 @@ class PropertiesSpec extends SparkSpec {
     vs <- Gen.listOfN(n, Gen.listOfN(dim, Gen.choose(-100, 100).map(_ / 10.0f)))
   } yield vs.map(_.toSeq)
 
+  test("prop: packSequences == sequential concat-and-chunk simulation, any partitioning") {
+    import spark.implicits._
+    import graft.operators.Packing
+    val corpusGen: Gen[List[(String, Long, Long)]] = for {
+      nGroups <- Gen.choose(1, 4)
+      n <- Gen.choose(1, 120)
+      rows <- Gen.listOfN(n, for {
+        g <- Gen.choose(0, nGroups - 1)
+        t <- Gen.choose(0L, 300L)
+      } yield (s"g$g", t))
+    } yield rows.zipWithIndex.map { case ((g, t), i) => (g, i.toLong, t) }
+    (1 to 8).foreach { seed =>
+      val rows = sample(corpusGen, seed)
+      val budget = sample(Gen.choose(1, 200), seed * 13)
+      val parts = sample(Gen.choose(1, 7), seed * 7)
+      val df = rows.toDF("grp", "id", "n_tokens").repartition(parts)
+      val got = Packing.packSequences(df, Seq(col("grp")), col("id"),
+          col("n_tokens"), budget)
+        .collect().map(r => (r.getString(0), r.getLong(1)) ->
+          (r.getLong(3), r.getLong(4))).toMap
+      // driver-side simulation: per group in id order, running offset
+      val want = rows.groupBy(_._1).flatMap { case (g, rs) =>
+        var off = 0L
+        rs.sortBy(_._2).map { case (_, id, t) =>
+          val r = (g, id) -> (off / budget, off % budget)
+          off += t
+          r
+        }
+      }
+      assert(got == want, s"seed=$seed budget=$budget parts=$parts")
+    }
+  }
+
   test("prop: l2-on-normalized is rank-equivalent to cosine (SURVEY §1.2 quirk)") {
     import spark.implicits._
     (1 to 6).foreach { seed =>
