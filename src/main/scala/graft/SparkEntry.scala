@@ -829,6 +829,22 @@ object SparkEntry {
         .orderBy($"doc_a", $"doc_b")
     }),
 
+    // Duplicate CLUSTERS: verified near-dup pairs (the q_minhash_lsh
+    // pipeline) closed under transitivity by iterative min-label
+    // propagation (Dedup.connectedComponents) — cluster_id = minimum
+    // reachable doc. Pairwise "drop id_b" under-merges chains A≈B≈C
+    // where (A,C) never collided; component-level canonicalization is
+    // what production dedup keeps.
+    "q_dedup_clusters" -> ((s, dir) => {
+      import s.implicits._
+      val pairs = Dedup.nearDupPairs(
+        spread(s, t(s, dir, "documents")), "doc_id", "text",
+        shingleSize = 2, numHashes = 16, bands = 4, threshold = 0.2)
+      Dedup.connectedComponents(pairs, "id_a", "id_b")
+        .select($"node".as("doc_id"), $"comp".as("cluster_id"))
+        .orderBy($"doc_id")
+    }),
+
     // GPT-3-style benchmark decontamination (`rag_demo` corpus hygiene
     // generalized): count word 3-grams each training doc shares with the
     // benchmark subset (doc_id < 25). Grams fold to 60-bit hashes BEFORE
@@ -1045,6 +1061,44 @@ object SparkEntry {
         |  FROM cand JOIN s x ON da = x.doc_id JOIN s y ON db = y.doc_id)
         |SELECT da AS doc_a, db AS doc_b, ROUND(jac, 4) AS jaccard
         |FROM j WHERE jac >= 0.2 ORDER BY doc_a, doc_b""".stripMargin,
+
+    "q_dedup_clusters" ->
+      """WITH RECURSIVE t AS (
+        |  SELECT doc_id, CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[]) ELSE string_split_regex(trim(text), '\s+') END AS toks
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id,
+        |         list_distinct(list_transform(generate_series(1, len(toks)-1),
+        |           i -> toks[i] || ' ' || toks[i+1])) AS sh
+        |  FROM t WHERE len(toks) >= 2),
+        |sig AS (
+        |  SELECT doc_id, sh,
+        |         list_transform(generate_series(0, 15), i ->
+        |           list_min(list_transform(sh, x ->
+        |             ('0x'||substr(md5(i::VARCHAR||':'||x), 1, 15))::BIGINT))) AS sig
+        |  FROM s WHERE len(sh) > 0),
+        |bands AS (
+        |  SELECT doc_id, band_idx,
+        |         md5(array_to_string(sig[band_idx*4+1 : band_idx*4+4], ',')) AS bh
+        |  FROM (SELECT doc_id, sig, unnest(generate_series(0, 3)) AS band_idx FROM sig)),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id da, b.doc_id db
+        |  FROM bands a JOIN bands b
+        |    ON a.band_idx = b.band_idx AND a.bh = b.bh AND a.doc_id < b.doc_id),
+        |p AS (
+        |  SELECT da, db FROM (
+        |    SELECT da, db,
+        |           len(list_intersect(x.sh, y.sh))::DOUBLE /
+        |             (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))) AS jac
+        |    FROM cand JOIN s x ON da = x.doc_id JOIN s y ON db = y.doc_id)
+        |  WHERE jac >= 0.2),
+        |e AS (SELECT da AS a, db AS b FROM p UNION SELECT db, da FROM p),
+        |r AS (
+        |  SELECT a AS node, b AS reach FROM e
+        |  UNION
+        |  SELECT r.node, e.b FROM r JOIN e ON r.reach = e.a)
+        |SELECT node AS doc_id, LEAST(node, MIN(reach)) AS cluster_id
+        |FROM r GROUP BY node ORDER BY doc_id""".stripMargin,
 
     "q_decontaminate" ->
       """WITH t AS (

@@ -229,6 +229,52 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Connected components over an undirected pair list (near-dup edges)
+    * by iterative min-label propagation: every node starts labeled with
+    * itself; each round replaces a node's label with the minimum label in
+    * its closed neighborhood; convergence when no label changes. Returns
+    * (node, component) where component = the minimum node id reachable —
+    * the canonical representative real dedup pipelines keep per duplicate
+    * CLUSTER (pairwise greedy "drop id_b" under-merges transitive
+    * near-dup chains A≈B≈C where (A,C) was never itself a pair).
+    *
+    * Scale shape: each round is one join + one groupBy-min over the EDGE
+    * list — no per-node adjacency materialization — and labels are
+    * localCheckpointed per round (iterative lineage otherwise grows
+    * exponentially). Rounds needed = graph diameter ≤ log n after the
+    * first few on near-dup graphs (duplicate clusters are near-cliques
+    * with tiny diameter); `maxIters` bounds the worst case and the loop
+    * exits early on convergence (a driver-side count per round).
+    */
+  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
+                          maxIters: Int = 20): DataFrame = {
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct()
+      .localCheckpoint(false)
+    var labels = edges.select(col("src").as("node"))
+      .distinct()
+      .select(col("node"), col("node").as("comp"))
+      .localCheckpoint(false)
+    var iters = 0
+    var converged = false
+    while (iters < maxIters && !converged) {
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("node", "src"), Seq("src"))
+        .groupBy(col("dst").as("node"))
+        .agg(min(col("comp")).as("__nmin"))
+      val updated = labels.join(neighborMin, Seq("node"), "left")
+        .select(col("node"),
+          least(col("comp"), coalesce(col("__nmin"), col("comp"))).as("comp"),
+          (col("__nmin") < col("comp")).as("__changed"))
+        .localCheckpoint(false)
+      converged = updated.filter(col("__changed")).limit(1).isEmpty
+      labels = updated.drop("__changed")
+      iters += 1
+    }
+    labels
+  }
+
   /** Benchmark decontamination: for every training document, count the
     * word n-grams it shares with a benchmark/eval set (GPT-3 appendix-C
     * style: a training doc is contaminated when it contains any n-gram

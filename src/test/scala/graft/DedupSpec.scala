@@ -55,6 +55,26 @@ class DedupSpec extends SparkSpec {
       "unrelated docs must not collide")
   }
 
+  test("connectedComponents: transitive chains merge, separate clusters stay apart") {
+    import spark.implicits._
+    // chain 1-2-3-4-5 (diameter 4), pair (10,11), triangle (20,21),(21,22),(20,22)
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (10L, 11L),
+      (20L, 21L), (21L, 22L), (20L, 22L)
+    ).toDF("id_a", "id_b")
+    val comp = Dedup.connectedComponents(pairs, "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((1L to 5L).forall(comp(_) == 1L), comp)
+    assert(comp(10L) == 10L && comp(11L) == 10L)
+    assert((20L to 22L).forall(comp(_) == 20L))
+    // maxIters bounds a long chain without breaking shorter graphs
+    val longChain = (1L until 30L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val c2 = Dedup.connectedComponents(longChain, "id_a", "id_b", maxIters = 40)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((1L to 30L).forall(c2(_) == 1L))
+  }
+
   test("contaminationOverlap: counts shared n-grams, misses clean docs, broadcast probe") {
     val bench = docs((0L, "the quick brown fox jumps over the lazy dog"))
     val train = docs(
