@@ -559,6 +559,34 @@ object SparkEntry {
         .orderBy($"doc_id")
     }),
 
+    // Corpus health report: per-source quality/length/language profile —
+    // the one-pass aggregate a curation team reads before choosing
+    // mixture weights and filter thresholds. Single groupBy over
+    // per-row codegen metrics; integer/quantized outputs for
+    // engine-exact comparison.
+    "q_corpus_stats" -> ((s, dir) => {
+      import s.implicits._
+      spread(s, t(s, dir, "documents"))
+        .select($"source",
+          size(T.tokens($"text")).cast("long").as("n_toks"),
+          length($"text").cast("long").as("n_chars"),
+          round(T.qualityScore($"text"), 4).as("q"),
+          T.fingerprint($"text").as("fp"))
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum($"n_toks").as("total_tokens"),
+          sum($"n_chars").as("total_chars"),
+          // exact-integer mean: sum quantized q as LONG (order-proof),
+          // divide once — avg(double) would drift with summation order
+          sum(round($"q" * 10000).cast("long")).as("__q4"),
+          countDistinct($"fp").as("n_unique"))
+        .select($"source", $"n_docs", $"total_tokens", $"total_chars",
+          round($"__q4".cast("double") / ($"n_docs" * 10000.0), 4)
+            .as("avg_quality"),
+          $"n_unique")
+        .orderBy($"source")
+    }),
+
     // Language-ID heuristic vs the labeled lang column.
     "q_langid" -> ((s, dir) => {
       import s.implicits._
@@ -1253,6 +1281,28 @@ object SparkEntry {
         |       CAST(punct_cnt AS BIGINT) AS punct_cnt,
         |       ROUND(LEAST(nt/100.0, 1.0) * (0.7 + 0.3 * stop_hits / GREATEST(nt, 1.0)), 4) AS quality
         |FROM y ORDER BY doc_id""".stripMargin,
+
+    "q_corpus_stats" ->
+      """WITH x AS (
+        |  SELECT doc_id, source, text,
+        |         CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[]) ELSE string_split_regex(trim(text), '\s+') END AS toks
+        |  FROM documents),
+        |y AS (
+        |  SELECT source,
+        |         CAST(len(toks) AS BIGINT) AS n_toks,
+        |         CAST(length(text) AS BIGINT) AS n_chars,
+        |         ROUND(LEAST(len(toks)::DOUBLE/100.0, 1.0) * (0.7 + 0.3 *
+        |           len(list_filter(toks, t -> list_contains(['the','a','of','and','to','in','is'], t)))::DOUBLE
+        |           / GREATEST(len(toks)::DOUBLE, 1.0)), 4) AS q,
+        |         md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
+        |  FROM x)
+        |SELECT source, COUNT(*) AS n_docs,
+        |       CAST(SUM(n_toks) AS BIGINT) AS total_tokens,
+        |       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+        |       ROUND(CAST(SUM(CAST(ROUND(q * 10000) AS BIGINT)) AS BIGINT)::DOUBLE
+        |             / (COUNT(*) * 10000.0), 4) AS avg_quality,
+        |       COUNT(DISTINCT fp) AS n_unique
+        |FROM y GROUP BY source ORDER BY source""".stripMargin,
 
     "q_langid" ->
       """WITH x AS (
