@@ -59,6 +59,38 @@ class PropertiesSpec extends SparkSpec {
     vs <- Gen.listOfN(n, Gen.listOfN(dim, Gen.choose(-100, 100).map(_ / 10.0f)))
   } yield vs.map(_.toSeq)
 
+  test("prop: connectedComponents == driver-side union-find on random graphs") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    val graphGen: Gen[List[(Long, Long)]] = for {
+      nNodes <- Gen.choose(2, 60)
+      nEdges <- Gen.choose(1, 90)
+      edges <- Gen.listOfN(nEdges, for {
+        a <- Gen.choose(0L, nNodes - 1L)
+        b <- Gen.choose(0L, nNodes - 1L)
+      } yield (math.min(a, b), math.max(a, b)))
+    } yield edges.filter(e => e._1 != e._2)
+    (1 to 8).foreach { seed =>
+      val edges = sample(graphGen, seed)
+      if (edges.nonEmpty) {
+        val parent = scala.collection.mutable.Map.empty[Long, Long]
+        def find(x: Long): Long = {
+          val p = parent.getOrElseUpdate(x, x)
+          if (p == x) x else { val r = find(p); parent(x) = r; r }
+        }
+        edges.foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        val want = parent.keys.map(n => n -> find(n)).toMap
+        val got = Dedup.connectedComponents(
+            edges.toDF("id_a", "id_b").repartition(3), "id_a", "id_b", 64)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(got == want, s"seed=$seed edges=$edges")
+      }
+    }
+  }
+
   test("prop: packSequences == sequential concat-and-chunk simulation, any partitioning") {
     import spark.implicits._
     import graft.operators.Packing
