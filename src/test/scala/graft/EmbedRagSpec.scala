@@ -106,6 +106,36 @@ class EmbedRagSpec extends SparkSpec {
     assert(out.collect().head.getString(2) == "paris is the capital city of france")
   }
 
+  test("TinyQuantizedLm: deterministic, copy-constrained, batch == single") {
+    import spark.implicits._
+    import graft.rag.{Generation, TinyQuantizedLm}
+    val lm = TinyQuantizedLm()
+    val prompts = (0 until 12).map(i =>
+      (i.toLong, s"alpha$i beta gamma delta$i epsilon zeta eta theta"))
+    // batch decode == row-wise decode, for every batch size
+    lm.open()
+    val single = prompts.map { case (_, p) => lm.generate(p) }
+    Seq(1, 3, 32).foreach { bs =>
+      val batched = prompts.grouped(bs).flatMap(g =>
+        lm.generateBatch(g.map(_._2).toArray)).toSeq
+      assert(batched == single, s"batchSize=$bs")
+    }
+    // copy constraint: every emitted token came from the prompt
+    prompts.zip(single).foreach { case ((_, p), ans) =>
+      val vocab = p.split("\\s+").toSet
+      assert(ans.nonEmpty && ans.split(" ").forall(vocab), s"$ans not ⊆ $p")
+    }
+    // empty prompt → empty answer
+    assert(lm.generate("") == "")
+    // through the batched mapPartitions plumbing, partition-independent
+    val df = prompts.toDF("id", "prompt")
+    val a = Generation.withGenerationBatched(df.repartition(5), "prompt", "ans", lm, 4)
+      .select("id", "ans").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val b = Generation.withGeneration(df.coalesce(1), "prompt", "ans", lm)
+      .select("id", "ans").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(a == b)
+  }
+
   test("Synthetic.randomUnitVectors: unit-norm, deterministic, partition-independent") {
     import graft.sources.Synthetic
     val a = Synthetic.randomUnitVectors(spark, 50, 16, seed = 7)
