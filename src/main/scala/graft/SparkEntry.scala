@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.expressions.FloatVectorExpressions.dotF
 import graft.expressions.TextHashExpressions.{minhashSigF, simhash32F}
 import graft.functions.{HashFunctions, TextFunctions => T, VectorFunctions => V}
-import graft.operators.{Ann, AsofJoin, Curation, Dedup, Multimodal, Packing, Sampling, SkewJoin, TopK}
+import graft.operators.{Ann, AsofJoin, Bm25, Curation, Dedup, Multimodal, Packing, Sampling, SkewJoin, TopK}
 import graft.sources.Tables
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -557,6 +557,41 @@ object SparkEntry {
           T.punctCount($"text").cast("long").as("punct_cnt"),
           round(T.qualityScore($"text"), 4).as("quality"))
         .orderBy($"doc_id")
+    }),
+
+    // BM25 lexical retrieval (Okapi, +1 idf variant) — the keyword half
+    // of hybrid RAG retrieval the reference lacks. Postings prune to the
+    // query terms at the scan; per-term scores quantize to integer
+    // micro-units before the per-doc sum (order-proof). operators/Bm25.
+    "q_bm25" -> ((s, dir) => {
+      Bm25.search(spread(s, t(s, dir, "documents")), "doc_id", "text",
+        Seq("vector", "join", "scan"), 10)
+    }),
+
+    // Hybrid retrieval: BM25 top-20 and dense-cosine top-20 fused by
+    // reciprocal-rank fusion (Cormack et al. 2009) — the
+    // lexical+semantic combination production RAG stacks run. Ranks are
+    // integers and rrf is a fixed-order sum of two exact rationals, so
+    // the fusion is engine-exact. Fixture convention: embedding i ↔
+    // document i.
+    "q_hybrid_rrf" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val bm = Bm25.search(spread(s, t(s, dir, "documents")), "doc_id", "text",
+          Seq("vector", "join", "scan"), 20)
+        .withColumn("rank",
+          row_number().over(Window.orderBy($"score".desc, $"doc_id".asc)))
+        .select($"doc_id".as("id"), $"rank")
+      val e = t(s, dir, "embeddings")
+      val qv = e.filter($"vec_id" === 42).select($"embedding").head.getSeq[Float](0)
+      val vec = TopK.topK(
+          e.withColumn("score", score6(V.cosine($"embedding", typedLit(qv)))),
+          $"score", $"vec_id", 20)
+        .withColumn("rank",
+          row_number().over(Window.orderBy($"score".desc, $"vec_id".asc)))
+        .select($"vec_id".as("id"), $"rank")
+      TopK.topK(Bm25.rrfFuse(bm, vec, "id", "rank"), $"rrf", $"id", 10)
+        .select($"id", $"rrf")
     }),
 
     // Corpus health report: per-source quality/length/language profile —
@@ -1281,6 +1316,70 @@ object SparkEntry {
         |       CAST(punct_cnt AS BIGINT) AS punct_cnt,
         |       ROUND(LEAST(nt/100.0, 1.0) * (0.7 + 0.3 * stop_hits / GREATEST(nt, 1.0)), 4) AS quality
         |FROM y ORDER BY doc_id""".stripMargin,
+
+    "q_bm25" ->
+      """WITH t AS (
+        |  SELECT doc_id, CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[]) ELSE string_split_regex(trim(lower(text)), '\s+') END AS toks
+        |  FROM documents),
+        |tok AS (SELECT doc_id, unnest(toks) AS term FROM t),
+        |dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id),
+        |st AS (SELECT COUNT(*)::DOUBLE AS n, SUM(dl)::DOUBLE AS sdl FROM dl),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok
+        |       WHERE term IN ('vector', 'join', 'scan') GROUP BY doc_id, term),
+        |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+        |idf AS (SELECT term, ROUND(ln((st.n - df.df::DOUBLE + 0.5) / (df.df::DOUBLE + 0.5) + 1.0), 6) AS idf
+        |        FROM df CROSS JOIN st),
+        |u AS (
+        |  SELECT tf.doc_id,
+        |         CAST(ROUND(idf.idf * tf.tf::DOUBLE * 2.2 /
+        |           (tf.tf::DOUBLE + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl::DOUBLE / (st.sdl / st.n)))
+        |           * 1000000) AS BIGINT) AS u
+        |  FROM tf JOIN idf USING (term) JOIN dl USING (doc_id) CROSS JOIN st),
+        |sc AS (SELECT doc_id, ROUND(SUM(u)::DOUBLE / 1000000.0, 4) + 0.0 AS score
+        |       FROM u GROUP BY doc_id)
+        |SELECT doc_id, score FROM sc ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
+
+    "q_hybrid_rrf" ->
+      """WITH t AS (
+        |  SELECT doc_id, CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[]) ELSE string_split_regex(trim(lower(text)), '\s+') END AS toks
+        |  FROM documents),
+        |tok AS (SELECT doc_id, unnest(toks) AS term FROM t),
+        |dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id),
+        |st AS (SELECT COUNT(*)::DOUBLE AS n, SUM(dl)::DOUBLE AS sdl FROM dl),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok
+        |       WHERE term IN ('vector', 'join', 'scan') GROUP BY doc_id, term),
+        |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+        |idf AS (SELECT term, ROUND(ln((st.n - df.df::DOUBLE + 0.5) / (df.df::DOUBLE + 0.5) + 1.0), 6) AS idf
+        |        FROM df CROSS JOIN st),
+        |u AS (
+        |  SELECT tf.doc_id,
+        |         CAST(ROUND(idf.idf * tf.tf::DOUBLE * 2.2 /
+        |           (tf.tf::DOUBLE + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl::DOUBLE / (st.sdl / st.n)))
+        |           * 1000000) AS BIGINT) AS u
+        |  FROM tf JOIN idf USING (term) JOIN dl USING (doc_id) CROSS JOIN st),
+        |bmtop AS (
+        |  SELECT doc_id, ROUND(SUM(u)::DOUBLE / 1000000.0, 4) + 0.0 AS score
+        |  FROM u GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 20),
+        |bmr AS (SELECT doc_id AS id, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS r FROM bmtop),
+        |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 42),
+        |pairs AS (
+        |  SELECT e.vec_id, unnest(e.embedding)::DOUBLE AS x, unnest(q.qe)::DOUBLE AS y
+        |  FROM embeddings e CROSS JOIN q),
+        |agg AS (
+        |  SELECT vec_id, SUM(x*y) AS dp, SUM(x*x) AS nx2, SUM(y*y) AS ny2
+        |  FROM pairs GROUP BY vec_id),
+        |vtop AS (
+        |  SELECT vec_id,
+        |         ROUND(dp / (GREATEST(SQRT(nx2), 1e-12) * GREATEST(SQRT(ny2), 1e-12)), 6)
+        |           + 0.0 AS score
+        |  FROM agg ORDER BY score DESC, vec_id LIMIT 20),
+        |vr AS (SELECT vec_id AS id, ROW_NUMBER() OVER (ORDER BY score DESC, vec_id) AS r FROM vtop),
+        |f AS (
+        |  SELECT COALESCE(b.id, v.id) AS id,
+        |         ROUND(COALESCE(1.0 / (60.0 + b.r), 0.0) +
+        |               COALESCE(1.0 / (60.0 + v.r), 0.0), 6) AS rrf
+        |  FROM bmr b FULL OUTER JOIN vr v ON b.id = v.id)
+        |SELECT id, rrf FROM f ORDER BY rrf DESC, id LIMIT 10""".stripMargin,
 
     "q_corpus_stats" ->
       """WITH x AS (

@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Bm25
+
+class Bm25Spec extends SparkSpec {
+
+  test("search matches a driver-side BM25 reference on a hand corpus") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "apple banana apple"),
+      (2L, "banana cherry"),
+      (3L, "cherry cherry cherry"),
+      (4L, "durian durian"))
+    val terms = Seq("apple", "cherry")
+    val got = Bm25.search(corpus.toDF("doc_id", "text").repartition(3),
+        "doc_id", "text", terms, 4)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+
+    // independent reference computation (same formula, driver-side)
+    val docs = corpus.map { case (id, t) => id -> t.split(" ").toSeq }
+    val n = docs.size.toDouble
+    val avgdl = docs.map(_._2.size).sum.toDouble / n
+    val want = docs.flatMap { case (id, toks) =>
+      val us = terms.flatMap { term =>
+        val tf = toks.count(_ == term).toDouble
+        if (tf == 0) None
+        else {
+          val df = docs.count(_._2.contains(term)).toDouble
+          val idf = BigDecimal(math.log((n - df + 0.5) / (df + 0.5) + 1.0))
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+          val s = idf * tf * 2.2 /
+            (tf + 1.2 * (1.0 - 0.75 + 0.75 * toks.size / avgdl))
+          Some(math.round(s * 1000000))
+        }
+      }
+      if (us.isEmpty) None
+      else Some(id -> BigDecimal(us.sum.toDouble / 1000000.0)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.toMap
+    assert(got == want, s"got $got want $want")
+    // rarer term outranks the common one at equal tf share
+    assert(got(1L) > got(3L), "2x apple (df=1) must beat 3x cherry (df=2)")
+    assert(!got.contains(4L), "doc without query terms must not appear")
+  }
+
+  test("rrfFuse: fixed-order rational sum over integer ranks; one-sided docs count once") {
+    import spark.implicits._
+    val a = Seq((10L, 1), (20L, 2)).toDF("id", "rank")
+    val b = Seq((20L, 1), (30L, 2)).toDF("id", "rank")
+    val got = Bm25.rrfFuse(a, b, "id", "rank")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(10L) == r6(1.0 / 61))
+    assert(got(20L) == r6(1.0 / 62 + 1.0 / 61))
+    assert(got(30L) == r6(1.0 / 62))
+  }
+}
