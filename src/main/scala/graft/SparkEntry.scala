@@ -559,6 +559,26 @@ object SparkEntry {
         .orderBy($"doc_id")
     }),
 
+    // Product-quantized ANN (the memory half of IVF-PQ, Jégou et al.
+    // 2011): 64-dim float vectors → 8 subspace codes against
+    // first-16-vector codebooks; query scoring reads a micro-unit ADC
+    // lookup table, so stored vectors never need their floats at query
+    // time. Encode is a pure per-row projection; the LUT is a per-query
+    // driver literal. operators/Ann PQ section.
+    "q_ann_pq" -> ((s, dir) => {
+      import s.implicits._
+      val e = t(s, dir, "embeddings")
+      val cb = e.filter($"vec_id" < 16).orderBy($"vec_id")
+        .select($"embedding").collect().map(_.getSeq[Float](0)).toSeq
+      val qv = e.filter($"vec_id" === 42).select($"embedding").head.getSeq[Float](0)
+      val lut = Ann.pqLut(qv, cb, 8)
+      val scored = spread(s, e)
+        .withColumn("codes", Ann.pqEncode($"embedding", cb, 8))
+        .withColumn("score", Ann.pqAdcScore($"codes", lut))
+      TopK.topK(scored, $"score", $"vec_id", 10)
+        .select($"vec_id", $"score")
+    }),
+
     // BM25 lexical retrieval (Okapi, +1 idf variant) — the keyword half
     // of hybrid RAG retrieval the reference lacks. Postings prune to the
     // query terms at the scan; per-term scores quantize to integer
@@ -1316,6 +1336,38 @@ object SparkEntry {
         |       CAST(punct_cnt AS BIGINT) AS punct_cnt,
         |       ROUND(LEAST(nt/100.0, 1.0) * (0.7 + 0.3 * stop_hits / GREATEST(nt, 1.0)), 4) AS quality
         |FROM y ORDER BY doc_id""".stripMargin,
+
+    "q_ann_pq" ->
+      """WITH cbl AS (
+        |  SELECT list(embedding ORDER BY vec_id) AS cbs
+        |  FROM embeddings WHERE vec_id < 16),
+        |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 42),
+        |mis AS (SELECT unnest(generate_series(0, 7)) AS mi),
+        |dists AS (
+        |  SELECT e.vec_id, mis.mi,
+        |    list_transform(cbl.cbs, cand ->
+        |      ROUND(list_sum(list_transform(generate_series(1, 8), j ->
+        |        (e.embedding[mis.mi*8+j]::DOUBLE - cand[mis.mi*8+j]::DOUBLE)
+        |        * (e.embedding[mis.mi*8+j]::DOUBLE - cand[mis.mi*8+j]::DOUBLE))), 6)) AS d
+        |  FROM embeddings e CROSS JOIN mis CROSS JOIN cbl),
+        |enc AS (
+        |  SELECT vec_id, mi,
+        |         CAST(list_position(d, list_min(d)) - 1 AS INT) AS code
+        |  FROM dists),
+        |lut AS (
+        |  SELECT mis.mi, c.i - 1 AS c,
+        |    CAST(ROUND(ROUND(list_sum(list_transform(generate_series(1, 8), j ->
+        |      q.qe[mis.mi*8+j]::DOUBLE * cbl.cbs[c.i][mis.mi*8+j]::DOUBLE)), 6)
+        |      * 1000000) AS BIGINT) AS pdu
+        |  FROM cbl CROSS JOIN mis
+        |  CROSS JOIN (SELECT unnest(generate_series(1, 16)) AS i) c
+        |  CROSS JOIN q),
+        |sc AS (
+        |  SELECT enc.vec_id,
+        |         ROUND(SUM(lut.pdu)::DOUBLE / 1000000.0, 4) + 0.0 AS score
+        |  FROM enc JOIN lut ON enc.mi = lut.mi AND enc.code = lut.c
+        |  GROUP BY enc.vec_id)
+        |SELECT vec_id, score FROM sc ORDER BY score DESC, vec_id LIMIT 10""".stripMargin,
 
     "q_bm25" ->
       """WITH t AS (

@@ -204,4 +204,74 @@ object Ann {
       .take(nProbes)
       .map(_._1)
   }
+
+  // ---------- Product quantization (PQ) ----------
+  //
+  // The memory-compression half of IVF-PQ: each vector is split into m
+  // subvectors; each subvector is replaced by the index of its nearest
+  // codebook entry (here ksub = |codebooks| full-dim rows sliced per
+  // subspace). A 64-dim float32 vector becomes m = 8 int8-sized codes —
+  // 32× smaller — and query scoring reads a per-query lookup table
+  // instead of the raw floats (asymmetric distance computation, ADC;
+  // Jégou et al. 2011). Codebooks here derive deterministically from the
+  // first ksub stored vectors so the DuckDB oracle replicates encode +
+  // ADC bit-for-bit (q_ann_pq); k-means-trained codebooks drop in at no
+  // API change (AnnSpec measures the recall).
+
+  /** PQ codes (ARRAY<INT>, one code per subspace): per subspace, the
+    * index of the codebook row minimizing the QUANTIZED (6-decimal)
+    * squared L2 distance over that slice, ties to the lowest index.
+    * Pure per-row projection over in-literal codebooks — no shuffle at
+    * any corpus size.
+    */
+  def pqEncode(vec: Column, codebooks: Seq[Seq[Float]], m: Int): Column = {
+    require(codebooks.nonEmpty && codebooks.head.length % m == 0)
+    val dsub = codebooks.head.length / m
+    val cb = typedLit(codebooks)
+    transform(sequence(lit(0), lit(m - 1)), mi => {
+      val dists = transform(cb, cand =>
+        round(aggregate(sequence(lit(1), lit(dsub)), lit(0.0), (acc, j) => {
+          val idx = (mi * dsub + j).cast("int")
+          val dxy = element_at(vec, idx).cast("double") -
+            element_at(cand, idx).cast("double")
+          acc + dxy * dxy
+        }), 6))
+      (array_position(dists, array_min(dists)) - 1).cast("int")
+    })
+  }
+
+  /** Per-query ADC lookup table in integer MICRO-UNITS:
+    * lut(mi)(c) = round(dot(querySub_mi, codebook(c)_mi), 6) · 10⁶ —
+    * quantized so the per-row score sum is exact integer arithmetic
+    * (order-proof across engines). Driver-side: the LUT is m × ksub
+    * longs per query, broadcast as a literal.
+    */
+  def pqLut(query: Seq[Float], codebooks: Seq[Seq[Float]], m: Int): Seq[Seq[Long]] = {
+    val dsub = query.length / m
+    (0 until m).map { mi =>
+      codebooks.map { cand =>
+        var s = 0.0
+        var j = 0
+        while (j < dsub) {
+          s += query(mi * dsub + j).toDouble * cand(mi * dsub + j).toDouble
+          j += 1
+        }
+        val r6 = java.math.BigDecimal.valueOf(s)
+          .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+        math.round(r6 * 1000000.0)
+      }.toSeq
+    }
+  }
+
+  /** ADC score: sum the LUT entries the vector's codes select, one per
+    * subspace — integer adds, one final division, rounded to 4.
+    */
+  def pqAdcScore(codes: Column, lut: Seq[Seq[Long]]): Column = {
+    val l = typedLit(lut)
+    round(
+      aggregate(sequence(lit(0), lit(lut.length - 1)), lit(0L), (acc, mi) =>
+        acc + element_at(element_at(l, mi + 1),
+          element_at(codes, mi + 1) + 1))
+        .cast("double") / 1000000.0, 4) + lit(0.0)
+  }
 }

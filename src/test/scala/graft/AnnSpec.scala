@@ -85,6 +85,41 @@ class AnnSpec extends SparkSpec {
     assert(rTrained >= 0.9, f"trained recall collapsed: $rTrained%.2f")
   }
 
+  test("PQ: codes well-formed, ADC matches a driver-side recompute, recall measured") {
+    import spark.implicits._
+    val cb = e.filter($"vec_id" < 16).orderBy($"vec_id")
+      .select($"embedding").collect().map(_.getSeq[Float](0)).toSeq
+    val query = e.filter($"vec_id" === 42).head.getSeq[Float](1)
+    val lut = Ann.pqLut(query, cb, 8)
+    val coded = e.withColumn("codes", Ann.pqEncode($"embedding", cb, 8))
+      .withColumn("score", Ann.pqAdcScore($"codes", lut))
+      .select($"vec_id", $"codes", $"score").collect()
+    // structure: 8 codes per vector, each in [0, 16)
+    coded.foreach { r =>
+      val cs = r.getSeq[Int](1)
+      assert(cs.length == 8 && cs.forall(c => c >= 0 && c < 16), r)
+    }
+    // a codebook row's own subslices are distance 0 → encodes to itself
+    val self = coded.find(_.getLong(0) == 5L).get.getSeq[Int](1)
+    assert(self == Seq.fill(8)(5), s"vec 5 must self-encode, got $self")
+    // ADC score == driver-side LUT sum over the emitted codes
+    coded.foreach { r =>
+      val want = BigDecimal(
+        r.getSeq[Int](1).zipWithIndex.map { case (c, mi) => lut(mi)(c) }.sum.toDouble
+          / 1000000.0).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.getDouble(2) == want, r)
+    }
+    // recall vs exact dot top-10 — informational + floor
+    val pqTop = coded.sortBy(r => (-r.getDouble(2), r.getLong(0)))
+      .take(10).map(_.getLong(0)).toSet
+    val brute = TopK.topK(
+      e.withColumn("score", V.cosine($"embedding", typedLit(query))),
+      $"score", $"vec_id", 10).collect().map(_.getLong(0)).toSet
+    val recall = (pqTop & brute).size.toDouble / brute.size
+    info(f"PQ ADC recall@10 (16-entry first-vector codebooks, isotropic fixture): $recall%.2f")
+    assert(pqTop.contains(42L), "the query's own vector must surface")
+  }
+
   test("recall@10 with 4/16 probes is useful and measured") {
     import spark.implicits._
     val queries = Seq(42L, 7L, 100L, 250L, 333L)
