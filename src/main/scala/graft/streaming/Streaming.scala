@@ -126,6 +126,32 @@ object Streaming {
       .toDF()
   }
 
+  /** Continuous INDEXED vector ingest: `streamInsertDurable` composed
+    * with the zero-shuffle IVF cell assignment (`Ann.ivfAssign` is a
+    * pure per-row projection over in-literal centroids, so it adds no
+    * state and no exchange to the stream). The sink partitions by
+    * `cell_id`, so the on-disk table IS the IVF index: a probe reads
+    * only the probed cells' directories (`Ann.readIvfCells` /
+    * partition pruning), and the index grows continuously with
+    * exactly-once semantics (file-sink `_spark_metadata` + offsets in
+    * `checkpointPath`).
+    */
+  def streamInsertIndexed(stream: DataFrame, dim: Int, numShards: Int,
+                          centroids: DataFrame, centIdCol: String,
+                          centVecCol: String, tablePath: String,
+                          checkpointPath: String): StreamingQuery = {
+    import graft.operators.Ann
+    Ann.ivfAssign(VectorStore.prepare(stream, dim, numShards),
+        centroids, "id", "embedding", centIdCol, centVecCol)
+      .writeStream
+      .outputMode("append")
+      .format("parquet")
+      .option("path", tablePath)
+      .option("checkpointLocation", checkpointPath)
+      .partitionBy("cell_id")
+      .start()
+  }
+
   /** Streaming corpus curation — the continuous flavor of
     * `operators.Curation.curate`. The per-row stages are stateless and
     * run unchanged on a stream: PII redaction, quantized quality +

@@ -3,6 +3,7 @@ package graft
 import java.nio.file.Files
 
 import org.apache.spark.sql.functions._
+import graft.functions.{VectorFunctions => V}
 import graft.search.VectorStore
 import graft.sources.Tables
 import graft.streaming.Streaming
@@ -148,6 +149,43 @@ class StreamingSpec extends SparkSpec {
     assert(got.contains((1L, 3L, 600L)), s"user 1 first session (3 events, 10 min): $got")
     assert(got.contains((2L, 1L, 0L)), s"user 2 singleton session: $got")
     assert(got.contains((1L, 2L, 120L)), s"user 1 second session (2 events, 2 min): $got")
+  }
+
+  test("streamInsertIndexed lands vectors in IVF cell partitions, pruned on read") {
+    import spark.implicits._
+    val in = Files.createTempDirectory("graft_idxin_").toString
+    val table = Files.createTempDirectory("graft_idxtbl_").toString + "/t"
+    val ckpt = Files.createTempDirectory("graft_idxckpt_").toString + "/c"
+    // two orthogonal centroids: vectors along e1 → cell 0, along e2 → cell 1
+    val cents = Seq(
+      (0L, Seq(1f, 0f, 0f, 0f)), (1L, Seq(0f, 1f, 0f, 0f))
+    ).toDF("cent_id", "cvec")
+    val schema = Seq(("x", Seq(1f, 1f, 1f, 1f))).toDF("id", "embedding").schema
+    Seq(("a", Seq(9f, 1f, 0f, 0f)), ("b", Seq(0f, 9f, 1f, 0f)))
+      .toDF("id", "embedding").write.mode("overwrite").parquet(in)
+    val q = Streaming.streamInsertIndexed(
+      spark.readStream.schema(schema).parquet(in),
+      dim = 4, numShards = 2, cents, "cent_id", "cvec", table, ckpt)
+    q.processAllAvailable()
+    Seq(("c", Seq(8f, 0f, 2f, 0f))).toDF("id", "embedding")
+      .write.mode("append").parquet(in)
+    q.processAllAvailable()
+    q.stop()
+
+    val t = spark.read.parquet(table)
+    // NB: the partition directory column round-trips as INT (partition
+    // type inference) — cast for a stable comparison
+    val byCell = t.groupBy(col("cell_id").cast("long").as("cell_id")).count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byCell == Map(0L -> 2L, 1L -> 1L), byCell)
+    // the on-disk table IS the index: a cell probe prunes to its directory
+    val probe = t.filter(col("cell_id").cast("long") === 0L)
+    assert(probe.collect().map(_.getString(0)).toSet == Set("a", "c"))
+    val scan = probe.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters: [isnotnull(cell_id"), scan)
+    // vectors arrive normalized (the prepare projection ran in-stream)
+    val norms = t.select(V.norm2(col("embedding"))).collect().map(_.getDouble(0))
+    norms.foreach(n => assert(math.abs(n - 1.0) < 1e-5, n))
   }
 
   test("streamInsertDurable survives a restart with no loss and no duplicates") {
