@@ -222,9 +222,17 @@ object Ann {
     * index of the codebook row minimizing the QUANTIZED (6-decimal)
     * squared L2 distance over that slice, ties to the lowest index.
     * Pure per-row projection over in-literal codebooks — no shuffle at
-    * any corpus size.
+    * any corpus size. Native single-pass kernel
+    * (`expressions.PqEncode`); `pqEncodeHof` below is the declarative
+    * spec, agreement-tested in AnnSpec.
     */
-  def pqEncode(vec: Column, codebooks: Seq[Seq[Float]], m: Int): Column = {
+  def pqEncode(vec: Column, codebooks: Seq[Seq[Float]], m: Int): Column =
+    graft.expressions.PqExpression.pqEncodeF(vec, codebooks, m)
+
+  /** Declarative HOF spec for `pqEncode` — O(m·ksub·dsub) interpreted
+    * lambda evals per row; never use on the hot path.
+    */
+  def pqEncodeHof(vec: Column, codebooks: Seq[Seq[Float]], m: Int): Column = {
     require(codebooks.nonEmpty && codebooks.head.length % m == 0)
     val dsub = codebooks.head.length / m
     val cb = typedLit(codebooks)

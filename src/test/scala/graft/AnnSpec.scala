@@ -91,6 +91,12 @@ class AnnSpec extends SparkSpec {
       .select($"embedding").collect().map(_.getSeq[Float](0)).toSeq
     val query = e.filter($"vec_id" === 42).head.getSeq[Float](1)
     val lut = Ann.pqLut(query, cb, 8)
+    // native kernel ⇄ HOF spec agreement over the whole fixture
+    val disagree = e.select(
+        Ann.pqEncode($"embedding", cb, 8).as("n"),
+        Ann.pqEncodeHof($"embedding", cb, 8).as("h"))
+      .filter($"n" =!= $"h").count()
+    assert(disagree == 0L, "native PqEncode must match the HOF spec")
     val coded = e.withColumn("codes", Ann.pqEncode($"embedding", cb, 8))
       .withColumn("score", Ann.pqAdcScore($"codes", lut))
       .select($"vec_id", $"codes", $"score").collect()
