@@ -7,7 +7,7 @@ import graft.expressions.FloatVectorExpressions.dotF
 import graft.expressions.TextHashExpressions.{minhashSigF, simhash32F}
 import graft.functions.{HashFunctions, TextFunctions => T, VectorFunctions => V}
 import graft.operators.{Ann, AsofJoin, Bm25, Curation, Dedup, Multimodal, Packing, Sampling, SkewJoin, TopK}
-import graft.sources.Tables
+import graft.sources.{Layout, Tables}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -557,6 +557,22 @@ object SparkEntry {
           T.punctCount($"text").cast("long").as("punct_cnt"),
           round(T.qualityScore($"text"), 4).as("quality"))
         .orderBy($"doc_id")
+    }),
+
+    // Z-order (Morton) interleaving of two key dimensions — the
+    // multi-dimensional data-skipping layout (sources/Layout.zValue2):
+    // sorting by zval clusters rows close in BOTH keys into the same
+    // files so min/max stats prune two-sided box predicates.
+    // LayoutSpec measures the file-skipping advantage; this query
+    // oracle-checks the bit interleaving itself.
+    "q_zorder" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "lineitem")
+        .filter($"l_orderkey" <= 200)
+        .select($"l_orderkey", $"l_linenumber", $"l_partkey",
+          Layout.zValue2(pmod($"l_orderkey", lit(256L)),
+            pmod($"l_partkey", lit(256L)), 8).as("zval"))
+        .orderBy($"l_orderkey", $"l_linenumber")
     }),
 
     // Product-quantized ANN (the memory half of IVF-PQ, Jégou et al.
@@ -1336,6 +1352,19 @@ object SparkEntry {
         |       CAST(punct_cnt AS BIGINT) AS punct_cnt,
         |       ROUND(LEAST(nt/100.0, 1.0) * (0.7 + 0.3 * stop_hits / GREATEST(nt, 1.0)), 4) AS quality
         |FROM y ORDER BY doc_id""".stripMargin,
+
+    "q_zorder" -> {
+      val terms = (0 until 8).flatMap(i => Seq(
+        s"(((ok >> $i) & 1) << ${2 * i})",
+        s"(((pk >> $i) & 1) << ${2 * i + 1})")).mkString(" + ")
+      s"""WITH x AS (
+         |  SELECT l_orderkey, l_linenumber, l_partkey,
+         |         l_orderkey % 256 AS ok, l_partkey % 256 AS pk
+         |  FROM lineitem WHERE l_orderkey <= 200)
+         |SELECT l_orderkey, l_linenumber, l_partkey,
+         |       CAST($terms AS BIGINT) AS zval
+         |FROM x ORDER BY l_orderkey, l_linenumber""".stripMargin
+    },
 
     "q_ann_pq" ->
       """WITH cbl AS (

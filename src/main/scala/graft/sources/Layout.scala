@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Physical-layout helpers: the write-side half of shuffle avoidance.
@@ -36,4 +36,35 @@ object Layout {
   def readPartitions(spark: SparkSession, path: String, partCol: String,
                      values: Seq[Any]): DataFrame =
     spark.read.parquet(path).filter(col(partCol).isin(values: _*))
+
+  /** Z-order (Morton) value of two non-negative integer columns at
+    * `bits` bits each: bit i of `a` lands at position 2i, bit i of `b`
+    * at 2i+1. Sorting by this value clusters rows that are close in
+    * BOTH dimensions into the same files, so parquet min/max stats
+    * prune a two-sided box predicate far better than a single-column
+    * sort (which only ever skips on its leading column) — the standard
+    * multi-dimensional data-skipping layout. The expression is an
+    * unrolled chain of literal shift/mask builtins — whole-stage
+    * codegen'd, and replicated term-for-term in the q_zorder oracle.
+    */
+  def zValue2(a: Column, b: Column, bits: Int): Column = {
+    require(bits >= 1 && bits <= 31)
+    val al = a.cast("long")
+    val bl = b.cast("long")
+    (0 until bits).foldLeft(lit(0L)) { (z, i) =>
+      z + shiftleft(shiftright(al, i).bitwiseAND(lit(1L)), 2 * i) +
+        shiftleft(shiftright(bl, i).bitwiseAND(lit(1L)), 2 * i + 1)
+    }
+  }
+
+  /** Sort by the interleaved z-value and write `numFiles` files — the
+    * write-side half of two-dimensional data skipping.
+    */
+  def writeZOrdered(df: DataFrame, path: String, a: String, b: String,
+                    bits: Int, numFiles: Int): Unit =
+    df.withColumn("__z", zValue2(col(a), col(b), bits))
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+      .write.mode("overwrite").parquet(path)
 }

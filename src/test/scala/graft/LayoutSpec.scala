@@ -9,6 +9,38 @@ import graft.sources.Layout
 
 class LayoutSpec extends SparkSpec {
 
+  test("zValue2 interleaves bits; z-ordered files prune a 2-D box better than a 1-D sort") {
+    import spark.implicits._
+    // hand-check: a=5 (101) → bits at 0,2,4 = 1+0+16; b=3 (011) → bits at 1,3 = 2+8
+    val z = Seq(1).toDF("x")
+      .select(Layout.zValue2(lit(5), lit(3), 4)).head.getLong(0)
+    assert(z == 27L, s"z(5,3) must be 27, got $z")
+
+    // 64×64 grid, 32 files; box query a∈[8,15] ∧ b∈[8,15]
+    val grid = (for (a <- 0 until 64; b <- 0 until 64) yield (a, b))
+      .toDF("a", "b")
+    def filesHit(path: String): (Long, Long) = {
+      val stats = spark.read.parquet(path)
+        .groupBy(input_file_name().as("f"))
+        .agg(min($"a").as("la"), max($"a").as("ha"),
+          min($"b").as("lb"), max($"b").as("hb"))
+        .collect()
+      val box = stats.count(r => r.getInt(1) <= 15 && r.getInt(2) >= 8 &&
+        r.getInt(3) <= 15 && r.getInt(4) >= 8)
+      (box.toLong, stats.length.toLong)
+    }
+    val zPath = Files.createTempDirectory("graft_zord_").toString + "/z"
+    val aPath = Files.createTempDirectory("graft_zord_").toString + "/a"
+    Layout.writeZOrdered(grid, zPath, "a", "b", 6, 32)
+    grid.repartitionByRange(32, $"a").sortWithinPartitions($"a")
+      .write.parquet(aPath)
+    val (zHit, zTotal) = filesHit(zPath)
+    val (aHit, aTotal) = filesHit(aPath)
+    info(s"2-D box touches $zHit/$zTotal z-ordered files vs $aHit/$aTotal a-sorted files")
+    assert(zHit < aHit,
+      s"z-order must touch fewer files on a 2-D box ($zHit vs $aHit)")
+  }
+
   test("join of two tables bucketed on the key runs with NO exchange on either side") {
     import spark.implicits._
     val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
