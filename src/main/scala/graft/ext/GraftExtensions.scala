@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.IntegerType
 
-import graft.expressions.{FloatDotProduct, MinHashSignature, SimHash32, SortedIntersectCount, WordShingles}
+import graft.expressions.{FloatDotProduct, MinHashSignature, RepeatStats, SimHash32, SortedIntersectCount, WordShingles}
 
 /** SQL surface for graft's native expressions.
   *
@@ -44,7 +44,10 @@ object GraftFunctions {
       (es: Seq[Expression]) => WordShingles(es(0), intArg(es(1), "graft_shingles", 1))),
     (FunctionIdentifier("graft_intersect_count"),
       new ExpressionInfo(classOf[SortedIntersectCount].getName, "graft_intersect_count"),
-      (es: Seq[Expression]) => SortedIntersectCount(es(0), es(1))))
+      (es: Seq[Expression]) => SortedIntersectCount(es(0), es(1))),
+    (FunctionIdentifier("graft_repeat_stats"),
+      new ExpressionInfo(classOf[RepeatStats].getName, "graft_repeat_stats"),
+      (es: Seq[Expression]) => RepeatStats(es(0))))
 
   /** Register on a live session (idempotent — re-registration overwrites). */
   def register(spark: SparkSession): Unit = all.foreach { case (id, info, builder) =>

@@ -31,6 +31,21 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(viaSql.getSeq[Long](0) == viaApi.getSeq[Long](0))
     assert(viaSql.getLong(1) == viaApi.getLong(1))
     assert(viaSql.getInt(2) == viaApi.getInt(2))
+
+    // repetition-stats kernel over SQL: "a b c a" → 4 toks, 3 distinct,
+    // max repeat 2, repeated chars 2 ("a"×2), total 4
+    val rs = spark.sql(
+      "SELECT graft_repeat_stats(graft_shingles(text, 1)) AS s FROM ext_probe")
+      .select("s.n", "s.n_distinct", "s.max_repeat", "s.rep_chars", "s.total_chars")
+      .head
+    // NB graft_shingles dedups — probe the raw token split instead
+    val rs2 = spark.sql(
+      "SELECT graft_repeat_stats(split(text, ' ')) AS s FROM ext_probe")
+      .select("s.n", "s.n_distinct", "s.max_repeat", "s.rep_chars", "s.total_chars")
+      .head
+    assert(rs.getInt(0) == 3 && rs.getInt(2) == 1, rs) // shingles: distinct
+    assert((rs2.getInt(0), rs2.getInt(1), rs2.getInt(2),
+      rs2.getLong(3), rs2.getLong(4)) == ((4, 3, 2, 2L, 4L)), rs2)
   }
 
   test("non-literal size argument is rejected with a clear error") {
