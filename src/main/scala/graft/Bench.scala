@@ -59,6 +59,18 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // Benign-noise suppression, bench main ONLY: early-terminating jobs
+    // (limit / take / isEmpty) cancel their stages' remaining tasks; a
+    // killed task that still completes reports its accumulators after the
+    // job ended, and once ContextCleaner has reaped them DAGScheduler logs
+    // an ERROR stack (accessNonExistentAccumulatorError) per late update —
+    // thousands of lines inside the measurement window with zero effect on
+    // results. The listener-bus quiesce before System.gc() narrows the
+    // window; this silences the rest so the captured artifact tail stays
+    // the JSON line.
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.scheduler.DAGScheduler",
+      org.apache.logging.log4j.Level.FATAL)
 
     def time[A](f: => A): Double = {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
@@ -130,7 +142,13 @@ object Bench {
           materialize(fn(spark, sfDir)) // warmup
           // collect garbage from the warmup OUTSIDE the timed window: a
           // stop-the-world pause from earlier allocation otherwise lands
-          // inside both timed runs and best-of-2 can't damp it
+          // inside both timed runs and best-of-2 can't damp it.
+          // Quiesce first: the GC lets ContextCleaner reap warmup
+          // accumulators, and any task-completion event still in flight
+          // would then log a (benign) accessNonExistentAccumulatorError
+          // stack inside the measurement window
+          org.apache.spark.sql.GraftShim.waitForListenerBus(spark)
+          Thread.sleep(50)
           System.gc()
           results(name) = math.min(
             time(materialize(fn(spark, sfDir))),

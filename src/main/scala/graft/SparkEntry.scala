@@ -959,6 +959,17 @@ object SparkEntry {
         .orderBy($"doc_id")
     }),
 
+    // Exact duplicated-SPAN detection — the distributed stand-in for
+    // suffix-array dedup (Lee et al. 2022): 8-token windows occurring ≥2×
+    // corpus-wide, merged per doc into maximal spans. Native window-hash
+    // kernel; only (id, pos, hash60) tuples ever shuffle.
+    "q_substring_dedup" -> ((s, dir) => {
+      import s.implicits._
+      Dedup.duplicatedSpans(spread(s, t(s, dir, "documents")),
+          "doc_id", "text", minLen = 8)
+        .orderBy($"doc_id")
+    }),
+
     // 32-bit SimHash signatures (native per-row kernel).
     "q_simhash" -> ((s, dir) => {
       import s.implicits._
@@ -1216,6 +1227,42 @@ object SparkEntry {
         |SELECT tr.doc_id, COUNT(*) AS n_overlap
         |FROM train tr JOIN bench b USING (gh)
         |GROUP BY tr.doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_substring_dedup" ->
+      """WITH t AS (
+        |  SELECT doc_id, CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[]) ELSE string_split_regex(trim(text), '\s+') END AS toks
+        |  FROM documents),
+        |w AS (
+        |  SELECT doc_id, len(toks) AS tt,
+        |         list_transform(generate_series(1, len(toks)-7),
+        |           i -> ('0x'||substr(md5(array_to_string(toks[i:i+7], ' ')), 1, 15))::BIGINT) AS whs
+        |  FROM t WHERE len(toks) >= 8),
+        |ex AS (
+        |  SELECT doc_id, tt, unnest(generate_series(0, len(whs)-1)) AS pos, unnest(whs) AS h
+        |  FROM w),
+        |dup AS (SELECT h FROM ex GROUP BY h HAVING COUNT(*) >= 2),
+        |f AS (SELECT doc_id, tt, pos FROM ex WHERE h IN (SELECT h FROM dup)),
+        |sp AS (
+        |  SELECT doc_id, tt, pos,
+        |         CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+        |                OR pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) + 8
+        |              THEN 1 ELSE 0 END AS nw
+        |  FROM f),
+        |sp2 AS (
+        |  SELECT doc_id, tt, pos,
+        |         SUM(nw) OVER (PARTITION BY doc_id ORDER BY pos) AS span_id
+        |  FROM sp),
+        |spans AS (
+        |  SELECT doc_id, span_id, MIN(pos) AS s, MAX(pos) AS e,
+        |         COUNT(*) AS nwin, MAX(tt) AS tt
+        |  FROM sp2 GROUP BY doc_id, span_id)
+        |SELECT doc_id,
+        |       CAST(SUM(nwin) AS BIGINT) AS n_dup_windows,
+        |       COUNT(*) AS n_spans,
+        |       CAST(SUM(e - s + 8) AS BIGINT) AS dup_tokens,
+        |       CAST(MAX(tt) AS BIGINT) AS total_tokens,
+        |       ROUND(SUM(e - s + 8)::DOUBLE / MAX(tt), 6) + 0.0 AS dup_frac
+        |FROM spans GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q_simhash" ->
       """WITH t AS (

@@ -39,7 +39,9 @@ case class RepeatStats(child: Expression)
   override protected def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
     val n = arr.numElements()
-    val counts = new java.util.HashMap[UTF8String, Int](n * 2)
+    // n * 2 as a plain Int overflows negative past ~1B elements; clamp.
+    val cap = math.min(n.toLong * 2, (Int.MaxValue - 8).toLong).toInt
+    val counts = new java.util.HashMap[UTF8String, Int](cap)
     var total = 0L
     var i = 0
     while (i < n) {

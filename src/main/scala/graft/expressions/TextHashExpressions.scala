@@ -189,6 +189,59 @@ case class MinHashBands(child: Expression, bands: Int, rowsPerBand: Int)
     copy(child = newChild)
 }
 
+/** Positional n-token window hash60s of a text column: element j is
+  * hash60 of tokens[j..j+n) joined by ' ' — every OVERLAPPING window, in
+  * document order, duplicates kept (unlike `WordShingles`, which
+  * dedups + sorts: span detection needs the position ↔ hash alignment).
+  * Tokenization matches `TextFunctions.tokens` / `WordShingles`: trim,
+  * blank → [], Java-regex split("\\s+", -1); fewer than n tokens → [].
+  * One JVM loop per row, one md5 per window; `Dedup.windowHashesHof` is
+  * the declarative spec (agreement-tested in DedupSpec).
+  */
+case class WindowHashes(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  require(n > 0, s"window size must be positive, got $n")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"WindowHashes requires STRING, got ${other.simpleString}")
+    }
+
+  @transient private lazy val ws = java.util.regex.Pattern.compile("\\s+")
+
+  override def nullSafeEval(input: Any): Any = {
+    val t = input.asInstanceOf[UTF8String].trim()
+    if (t.numBytes() == 0) return new GenericArrayData(Array.empty[Long])
+    val toks = ws.split(t.toString, -1)
+    if (toks.length < n) return new GenericArrayData(Array.empty[Long])
+    val out = new Array[Long](toks.length - n + 1)
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i < out.length) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      out(i) = Md5Kernel.hash60(sb.toString.getBytes("UTF-8"))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object TextHashExpressions {
   /** Fast MinHash signature column (ARRAY<BIGINT>, length k). */
   def minhashSigF(shingles: Column, k: Int): Column =
@@ -201,4 +254,8 @@ object TextHashExpressions {
   /** Fast LSH band hashes (ARRAY<STRING>, length bands). */
   def minhashBandsF(sig: Column, bands: Int, rowsPerBand: Int): Column =
     GraftShim.column(MinHashBands(GraftShim.expression(sig), bands, rowsPerBand))
+
+  /** Fast positional n-token window hash60s (ARRAY<BIGINT>). */
+  def windowHashesF(text: Column, n: Int): Column =
+    GraftShim.column(WindowHashes(GraftShim.expression(text), n))
 }

@@ -73,11 +73,17 @@ object Ann {
     * Init: the `c` vectors with the LOWEST ids (deterministic, engine-
     * replicable — no RNG). Each iteration: per-row argmax assignment via
     * `ivfAssign` (zero-shuffle projection), then per-(cell, dim) means via
-    * posexplode + partially-aggregated avg — ONE shuffle per iteration
+    * posexplode + partial aggregation — ONE shuffle per iteration
     * carrying only C×dim partial sums, the map-side-combined mean shape
-    * that holds at any corpus size. New centroids are quantized to 6
-    * decimals so downstream assignment compares stable values; cells that
-    * lose all members keep their previous centroid.
+    * that holds at any corpus size. Each element is quantized to integer
+    * MICRO-UNITS before summing, so the per-dim accumulator is an exact
+    * long sum — order-independent across partitionings (a double `avg`
+    * would let the summation order pick the last ulp, and near-knife-edge
+    * means could flip between runs). Means stay quantized to 6 decimals
+    * so downstream assignment compares stable values; cells that lose all
+    * members keep their previous centroid. (Exactness holds while a cell's
+    * micro-unit sum fits in a long — |x|≤1e3-ish up to ~10¹² members per
+    * cell, far past any real cell size.)
     *
     * Returns a (cent_id BIGINT, cvec ARRAY<FLOAT>) DataFrame that plugs
     * straight into `ivfAssign` / `probeCells` / `search`. The reference
@@ -101,13 +107,15 @@ object Ann {
       val means: Map[Long, Array[Float]] = assigned
         .select(col("cell_id"), posexplode(col(vecCol)).as(Seq("pos", "x")))
         .groupBy(col("cell_id"), col("pos"))
-        .agg(avg(col("x").cast("double")).as("m"))
+        .agg(sum(round(col("x").cast("double") * 1e6, 0).cast("long")).as("s"),
+          count(lit(1)).as("n"))
         .collect()
         .groupBy(_.getLong(0))
         .map { case (cid, rows) =>
           val arr = new Array[Float](dim)
           rows.foreach(r =>
-            arr(r.getInt(1)) = (math.rint(r.getDouble(2) * 1e6) / 1e6).toFloat)
+            arr(r.getInt(1)) =
+              (math.rint(r.getLong(2).toDouble / r.getLong(3)) / 1e6).toFloat)
           cid -> arr
         }
       cents = cents.map { case (cid, prev) =>

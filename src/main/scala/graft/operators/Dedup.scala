@@ -241,10 +241,13 @@ object Dedup {
     * Scale shape: each round is one join + one groupBy-min over the EDGE
     * list — no per-node adjacency materialization — and labels are
     * localCheckpointed per round (iterative lineage otherwise grows
-    * exponentially). Rounds needed = graph diameter ≤ log n after the
-    * first few on near-dup graphs (duplicate clusters are near-cliques
-    * with tiny diameter); `maxIters` bounds the worst case and the loop
-    * exits early on convergence (a driver-side count per round).
+    * exponentially). Each round ends with a POINTER-JUMP (comp :=
+    * comp(comp)), so the effective hop distance doubles per round and
+    * rounds needed are O(log diameter), not O(diameter) — a 2²⁰-long
+    * chain converges inside the default `maxIters = 20`. The loop exits
+    * early on convergence (a driver-side existence probe per round); if
+    * `maxIters` is hit first the labels may be UNDER-MERGED, so that case
+    * throws rather than silently returning wrong components.
     */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
                           maxIters: Int = 20): DataFrame = {
@@ -263,15 +266,32 @@ object Dedup {
         .join(labels.withColumnRenamed("node", "src"), Seq("src"))
         .groupBy(col("dst").as("node"))
         .agg(min(col("comp")).as("__nmin"))
-      val updated = labels.join(neighborMin, Seq("node"), "left")
+      val propagated = labels.join(neighborMin, Seq("node"), "left")
         .select(col("node"),
           least(col("comp"), coalesce(col("__nmin"), col("comp"))).as("comp"),
           (col("__nmin") < col("comp")).as("__changed"))
         .localCheckpoint(false)
-      converged = updated.filter(col("__changed")).limit(1).isEmpty
-      labels = updated.drop("__changed")
+      // Pointer-jump: comp := comp(comp). Labels are always node ids, and
+      // a node's own label never exceeds itself, so comp(comp) ≤ comp —
+      // the jump only ever tightens. Self-join on the materialized table
+      // (single eval), shuffling only (node, comp) pairs.
+      val jumped = propagated.alias("l")
+        .join(
+          propagated.select(col("node").as("__cn"), col("comp").as("__cc")),
+          col("l.comp") === col("__cn"), "left")
+        .select(col("l.node").as("node"),
+          coalesce(col("__cc"), col("l.comp")).as("comp"),
+          (col("l.__changed") ||
+            coalesce(col("__cc") < col("l.comp"), lit(false))).as("__changed"))
+        .localCheckpoint(false)
+      converged = jumped.filter(col("__changed")).limit(1).isEmpty
+      labels = jumped.drop("__changed")
       iters += 1
     }
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponents did not converge in $maxIters rounds " +
+        "(graph diameter > 2^maxIters); labels would be under-merged — " +
+        "raise maxIters")
     labels
   }
 
@@ -303,6 +323,79 @@ object Dedup {
       .join(broadcast(benchHashes), Seq("__gh"))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_overlap"))
+  }
+
+  /** Declarative spec for `expressions.WindowHashes` (HOF only): hash60
+    * of every overlapping n-token window, positional, duplicates kept.
+    */
+  def windowHashesHof(text: Column, n: Int): Column = {
+    val toks = T.tokens(text)
+    when(size(toks) < n, array().cast("array<long>"))
+      .otherwise(transform(sequence(lit(0), size(toks) - n),
+        j => hash60(array_join(slice(toks, j + 1, lit(n)), " "))))
+  }
+
+  /** Exact duplicated-SPAN detection (the suffix-array dedup family of
+    * "Deduplicating Training Data Makes Language Models Better", Lee et
+    * al. 2022, re-expressed relationally): a token span is duplicated
+    * when some `minLen`-token window of it occurs ≥ `minOccurrences`
+    * times in the whole corpus (cross-document or repeated within one
+    * document — both are training-data redundancy). Overlapping/adjacent
+    * duplicated windows are merged into MAXIMAL spans per document; a
+    * window flags tokens [pos, pos+minLen).
+    *
+    * Returns one row per document that contains at least one duplicated
+    * window: (idCol, n_dup_windows, n_spans, dup_tokens, total_tokens,
+    * dup_frac) — dup_frac is the fraction of the document's tokens
+    * covered by duplicated spans, the per-doc signal a curation pipeline
+    * thresholds on (drop, or cut the spans out).
+    *
+    * Scale shape — this IS the distributed stand-in for a suffix array,
+    * which cannot be built across a 100 TB corpus:
+    *   1. one native-kernel pass hashes every overlapping window (60-bit
+    *      hashes, so the exploded table is (id, pos, 8-byte hash) — never
+    *      window text);
+    *   2. the exploded table is materialized once (three consumers) and
+    *      shuffled once by window hash with map-side partial counts to
+    *      find duplicated hashes;
+    *   3. duplicated positions come from a shuffle semi-join (the
+    *      surviving side is only the duplicated windows — on real
+    *      corpora a few % — so the per-doc window merge that follows
+    *      sorts a small fraction of the original windows);
+    *   4. span merge is one window function partitioned by document —
+    *      per-doc state only, any document fits a partition.
+    */
+  def duplicatedSpans(docs: DataFrame, idCol: String, textCol: String,
+                      minLen: Int = 8, minOccurrences: Long = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ex = docs
+      .select(col(idCol),
+        size(T.tokens(col(textCol))).cast("long").as("__tt"),
+        posexplode(
+          graft.expressions.TextHashExpressions.windowHashesF(col(textCol), minLen))
+          .as(Seq("pos", "__h")))
+      .localCheckpoint(false)
+    val dupH = ex.groupBy(col("__h"))
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") >= minOccurrences)
+      .select(col("__h"))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    val spans = ex.join(dupH, Seq("__h"), "left_semi")
+      .withColumn("__lag", lag(col("pos"), 1).over(w))
+      .withColumn("__new",
+        when(col("__lag").isNull || col("pos") > col("__lag") + minLen, 1)
+          .otherwise(0))
+      .withColumn("__span", sum(col("__new")).over(w))
+      .groupBy(col(idCol), col("__span"))
+      .agg(min(col("pos")).as("__s"), max(col("pos")).as("__e"),
+        count(lit(1)).as("__nw"), max(col("__tt")).as("__ttm"))
+    spans.groupBy(col(idCol))
+      .agg(sum(col("__nw")).as("n_dup_windows"),
+        count(lit(1)).as("n_spans"),
+        sum(col("__e") - col("__s") + minLen).cast("long").as("dup_tokens"),
+        max(col("__ttm")).as("total_tokens"))
+      .withColumn("dup_frac",
+        round(col("dup_tokens").cast("double") / col("total_tokens"), 6) + lit(0.0))
   }
 
   /** Bit p (0 = LSB) of an 8-hex-char string, via hex-digit arithmetic

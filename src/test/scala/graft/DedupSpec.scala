@@ -164,6 +164,48 @@ class DedupSpec extends SparkSpec {
     assert(mismatches == 0)
   }
 
+  test("native windowHashes kernel is bit-identical to the HOF windowHashesHof on fixture docs") {
+    import graft.expressions.TextHashExpressions.windowHashesF
+    val d = spark.read.parquet(s"$sf0001/documents.parquet")
+    val mismatches = d
+      .select(windowHashesF(col("text"), 8).as("fast"),
+        Dedup.windowHashesHof(col("text"), 8).as("hof"))
+      .filter(col("fast") =!= col("hof")).count()
+    assert(mismatches == 0)
+    // edges: repeated windows kept positionally, short text, whitespace
+    val edge = docs((0L, "a b c a b c a b"), (1L, "x y"), (2L, "  "),
+      (3L, "\tp q r s\t"))
+    val edgeMismatch = edge
+      .select(windowHashesF(col("text"), 3).as("fast"),
+        Dedup.windowHashesHof(col("text"), 3).as("hof"))
+      .filter(col("fast") =!= col("hof")).count()
+    assert(edgeMismatch == 0)
+  }
+
+  test("duplicatedSpans: maximal spans, counts, and fractions on a hand-built corpus") {
+    // doc 0 and 1 share the 6-token run "s1..s6" (two overlapping 5-windows
+    // → one maximal span of 6 tokens each); doc 2 repeats its own 5-token
+    // run twice (self-repetition also flags); doc 3 is clean.
+    val shared = "s1 s2 s3 s4 s5 s6"
+    val d = docs(
+      (0L, s"a1 a2 $shared a3 a4"),
+      (1L, s"b1 $shared b2 b3 b4"),
+      (2L, "r1 r2 r3 r4 r5 m1 m2 r1 r2 r3 r4 r5"),
+      (3L, "c1 c2 c3 c4 c5 c6 c7 c8 c9 c10"))
+    val r = Dedup.duplicatedSpans(d, "doc_id", "text", minLen = 5)
+      .orderBy("doc_id").collect()
+    assert(r.map(_.getLong(0)).toSeq == Seq(0L, 1L, 2L))
+    val byId = r.map(x => x.getLong(0) ->
+      (x.getLong(1), x.getLong(2), x.getLong(3), x.getLong(4))).toMap
+    // doc 0: windows at pos 2,3 merge → span tokens [2, 8) = 6 of 10
+    assert(byId(0L) == ((2L, 1L, 6L, 10L)))
+    assert(byId(1L) == ((2L, 1L, 6L, 10L)))
+    // doc 2: "r1 r2 r3 r4 r5" at pos 0 and 7 — two disjoint spans
+    assert(byId(2L) == ((2L, 2L, 10L, 12L)))
+    val frac0 = r.find(_.getLong(0) == 0L).get.getDouble(5)
+    assert(math.abs(frac0 - 0.6) < 1e-9)
+  }
+
   test("merge jaccard (sorted arrays) agrees with the hash-set jaccardHof on fixture pairs") {
     val sh = spark.read.parquet(s"$sf0001/documents.parquet")
       .select(col("doc_id"), Dedup.shingles(col("text"), 2).as("sh"))
