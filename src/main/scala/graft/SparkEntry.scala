@@ -959,6 +959,19 @@ object SparkEntry {
         .orderBy($"doc_id")
     }),
 
+    // Bloom-pre-filtered decontamination: the 100 TB shape — the bench
+    // n-gram set rides as a bits-per-key Bloom bitset probed map-side,
+    // and only survivors reach the exact verify join. Result is exact
+    // (verify join kills FPs), so the oracle is plain overlap SQL.
+    "q_bloom_decontaminate" -> ((s, dir) => {
+      import s.implicits._
+      val d = spread(s, t(s, dir, "documents"))
+      Dedup.contaminationOverlapBloom(
+          d.filter($"doc_id" >= 25), d.filter($"doc_id" < 25),
+          "doc_id", "text", 4)
+        .orderBy($"doc_id")
+    }),
+
     // Exact duplicated-SPAN detection — the distributed stand-in for
     // suffix-array dedup (Lee et al. 2022): 8-token windows occurring ≥2×
     // corpus-wide, merged per doc into maximal spans. Native window-hash
@@ -1219,6 +1232,24 @@ object SparkEntry {
         |         list_distinct(list_transform(generate_series(1, len(toks)-2),
         |           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
         |  FROM t WHERE len(toks) >= 3),
+        |g AS (
+        |  SELECT doc_id, ('0x'||substr(md5(unnest(sh)), 1, 15))::BIGINT AS gh
+        |  FROM s),
+        |bench AS (SELECT DISTINCT gh FROM g WHERE doc_id < 25),
+        |train AS (SELECT doc_id, gh FROM g WHERE doc_id >= 25)
+        |SELECT tr.doc_id, COUNT(*) AS n_overlap
+        |FROM train tr JOIN bench b USING (gh)
+        |GROUP BY tr.doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_bloom_decontaminate" ->
+      """WITH t AS (
+        |  SELECT doc_id, CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[]) ELSE string_split_regex(trim(text), '\s+') END AS toks
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id,
+        |         list_distinct(list_transform(generate_series(1, len(toks)-3),
+        |           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])) AS sh
+        |  FROM t WHERE len(toks) >= 4),
         |g AS (
         |  SELECT doc_id, ('0x'||substr(md5(unnest(sh)), 1, 15))::BIGINT AS gh
         |  FROM s),

@@ -325,6 +325,48 @@ object Dedup {
       .agg(count(lit(1)).as("n_overlap"))
   }
 
+  /** Bloom-pre-filtered decontamination: same semantics (and same output)
+    * as `contaminationOverlap`, with a Bloom filter over the benchmark
+    * n-gram hashes probed map-side BEFORE any exchange of the train side.
+    *
+    * Why it matters at scale: `contaminationOverlap` broadcasts the
+    * benchmark's exact distinct-hash table — at ~10⁹ benchmark n-grams an
+    * 8-byte-key hash table is tens of GB with overhead, past broadcast
+    * limits. The Bloom bitset is `bitsPerKey` BITS per key (10 bits/key ≈
+    * 1.25 GB at 10⁹ keys, ~0.8% FP), so the map-side prune survives when
+    * the exact broadcast cannot; only the surviving ~FP + true-overlap
+    * fraction of the corpus' grams reaches the exact verify join (a
+    * shuffle join on the 8-byte hash — no broadcast on either side).
+    * False positives cost only wasted verify-join rows, never wrong
+    * answers: the result is bit-identical to the exact operator
+    * (DedupSpec proves agreement even at a deliberately FP-heavy
+    * 2 bits/key), so the DuckDB oracle is the plain exact-overlap SQL.
+    *
+    * The benchmark hash set is collected driver-side to build the bitset
+    * (eval sets are the small side by contract); the bitset rides in the
+    * probe expression — the single-JVM stand-in for a broadcast variable.
+    */
+  def contaminationOverlapBloom(train: DataFrame, bench: DataFrame,
+                                idCol: String, textCol: String,
+                                n: Int = 8,
+                                bitsPerKey: Int = graft.expressions.BloomExpression.DefaultBitsPerKey,
+                                numProbes: Int = graft.expressions.BloomExpression.DefaultNumProbes): DataFrame = {
+    import graft.expressions.BloomExpression
+    val benchHashes = bench
+      .select(explode(shingles(col(textCol), n)).as("__g"))
+      .select(hash60(col("__g")).as("__gh"))
+      .distinct()
+    val bits = BloomExpression.buildBits(
+      benchHashes.collect().map(_.getLong(0)), bitsPerKey, numProbes)
+    train
+      .select(col(idCol), explode(shingles(col(textCol), n)).as("__g"))
+      .select(col(idCol), hash60(col("__g")).as("__gh"))
+      .filter(BloomExpression.mightContainF(col("__gh"), bits, numProbes))
+      .join(benchHashes, Seq("__gh"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_overlap"))
+  }
+
   /** Declarative spec for `expressions.WindowHashes` (HOF only): hash60
     * of every overlapping n-token window, positional, duplicates kept.
     */

@@ -164,6 +164,30 @@ class DedupSpec extends SparkSpec {
     assert(mismatches == 0)
   }
 
+  test("bloom filter: no false negatives; FP-heavy config still yields exact overlap") {
+    import graft.expressions.BloomExpression
+    // no false negatives, ever
+    val hs = (0 until 5000).map(i => Dedup.hash60(lit(s"k$i")))
+    val hashVals = docs((0L, "x")).select(array(hs: _*)).head.getSeq[Long](0).toArray
+    val bits = BloomExpression.buildBits(hashVals)
+    import spark.implicits._
+    val misses = hashVals.toSeq.toDF("h")
+      .filter(!BloomExpression.mightContainF(col("h"), bits)).count()
+    assert(misses == 0)
+    // exactness under deliberate false-positive pressure: 2 bits/key, 1
+    // probe → heavy FPs in the pre-filter, identical final answer (the
+    // verify join is what guarantees semantics, not the bloom)
+    val d = spark.read.parquet(s"$sf0001/documents.parquet")
+    val train = d.filter(col("doc_id") >= 25)
+    val bench = d.filter(col("doc_id") < 25)
+    val exact = Dedup.contaminationOverlap(train, bench, "doc_id", "text", 4)
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val bloomed = Dedup.contaminationOverlapBloom(train, bench, "doc_id", "text", 4,
+        bitsPerKey = 2, numProbes = 1)
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(bloomed == exact)
+  }
+
   test("native windowHashes kernel is bit-identical to the HOF windowHashesHof on fixture docs") {
     import graft.expressions.TextHashExpressions.windowHashesF
     val d = spark.read.parquet(s"$sf0001/documents.parquet")
