@@ -595,6 +595,21 @@ object SparkEntry {
         .select($"vec_id", $"score")
     }),
 
+    // IVF-PQ composition (FAISS IVFPQ): cell routing prunes the scan,
+    // ADC over PQ codes replaces full-precision scoring in the probed
+    // cells — both per-row projections over in-literal tables.
+    "q_ann_ivfpq" -> ((s, dir) => {
+      import s.implicits._
+      val e = t(s, dir, "embeddings")
+      val cents = e.filter($"vec_id" < 16)
+        .select($"vec_id".as("cent_id"), $"embedding".as("cvec"))
+      val cb = e.filter($"vec_id" < 16).orderBy($"vec_id")
+        .select($"embedding").collect().map(_.getSeq[Float](0)).toSeq
+      val qv = e.filter($"vec_id" === 42).select($"embedding").head.getSeq[Float](0)
+      Ann.searchIvfPq(spread(s, e), cents, "vec_id", "embedding",
+        "cent_id", "cvec", cb, 8, qv, 4, 10)
+    }),
+
     // BM25 lexical retrieval (Okapi, +1 idf variant) — the keyword half
     // of hybrid RAG retrieval the reference lacks. Postings prune to the
     // query terms at the scan; per-term scores quantize to integer
@@ -1457,6 +1472,59 @@ object SparkEntry {
         |        (e.embedding[mis.mi*8+j]::DOUBLE - cand[mis.mi*8+j]::DOUBLE)
         |        * (e.embedding[mis.mi*8+j]::DOUBLE - cand[mis.mi*8+j]::DOUBLE))), 6)) AS d
         |  FROM embeddings e CROSS JOIN mis CROSS JOIN cbl),
+        |enc AS (
+        |  SELECT vec_id, mi,
+        |         CAST(list_position(d, list_min(d)) - 1 AS INT) AS code
+        |  FROM dists),
+        |lut AS (
+        |  SELECT mis.mi, c.i - 1 AS c,
+        |    CAST(ROUND(ROUND(list_sum(list_transform(generate_series(1, 8), j ->
+        |      q.qe[mis.mi*8+j]::DOUBLE * cbl.cbs[c.i][mis.mi*8+j]::DOUBLE)), 6)
+        |      * 1000000) AS BIGINT) AS pdu
+        |  FROM cbl CROSS JOIN mis
+        |  CROSS JOIN (SELECT unnest(generate_series(1, 16)) AS i) c
+        |  CROSS JOIN q),
+        |sc AS (
+        |  SELECT enc.vec_id,
+        |         ROUND(SUM(lut.pdu)::DOUBLE / 1000000.0, 4) + 0.0 AS score
+        |  FROM enc JOIN lut ON enc.mi = lut.mi AND enc.code = lut.c
+        |  GROUP BY enc.vec_id)
+        |SELECT vec_id, score FROM sc ORDER BY score DESC, vec_id LIMIT 10""".stripMargin,
+
+    "q_ann_ivfpq" ->
+      """WITH cents AS (
+        |  SELECT vec_id AS cent_id, embedding AS cvec FROM embeddings WHERE vec_id < 16),
+        |pc AS (
+        |  SELECT e.vec_id, c.cent_id,
+        |         unnest(e.embedding)::DOUBLE x, unnest(c.cvec)::DOUBLE y
+        |  FROM embeddings e CROSS JOIN cents c),
+        |pagg AS (SELECT vec_id, cent_id, SUM(x*y) dp, SUM(x*x) nx2, SUM(y*y) ny2
+        |         FROM pc GROUP BY vec_id, cent_id),
+        |psc AS (SELECT vec_id, cent_id,
+        |          ROUND(dp/(GREATEST(SQRT(nx2),1e-12)*GREATEST(SQRT(ny2),1e-12)), 6) c
+        |        FROM pagg),
+        |assign AS (
+        |  SELECT vec_id, cent_id AS cell_id FROM (
+        |    SELECT vec_id, cent_id,
+        |           row_number() OVER (PARTITION BY vec_id ORDER BY c DESC, cent_id) rn
+        |    FROM psc) WHERE rn = 1),
+        |probes AS (
+        |  SELECT cent_id AS cell_id FROM psc WHERE vec_id = 42
+        |  ORDER BY c DESC, cent_id LIMIT 4),
+        |cand AS (
+        |  SELECT a.vec_id FROM assign a JOIN probes p ON a.cell_id = p.cell_id),
+        |cbl AS (
+        |  SELECT list(embedding ORDER BY vec_id) AS cbs
+        |  FROM embeddings WHERE vec_id < 16),
+        |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 42),
+        |mis AS (SELECT unnest(generate_series(0, 7)) AS mi),
+        |dists AS (
+        |  SELECT e.vec_id, mis.mi,
+        |    list_transform(cbl.cbs, cand_v ->
+        |      ROUND(list_sum(list_transform(generate_series(1, 8), j ->
+        |        (e.embedding[mis.mi*8+j]::DOUBLE - cand_v[mis.mi*8+j]::DOUBLE)
+        |        * (e.embedding[mis.mi*8+j]::DOUBLE - cand_v[mis.mi*8+j]::DOUBLE))), 6)) AS d
+        |  FROM embeddings e JOIN cand USING (vec_id) CROSS JOIN mis CROSS JOIN cbl),
         |enc AS (
         |  SELECT vec_id, mi,
         |         CAST(list_position(d, list_min(d)) - 1 AS INT) AS code

@@ -157,6 +157,32 @@ object Ann {
       .select(col(idCol).as("id"), col("score"))
   }
 
+  /** End-to-end IVF-PQ search (the FAISS IVFPQ composition, Jégou et al.
+    * 2011): IVF cell routing prunes the scan to `nProbes` cells, PQ codes
+    * + a per-query ADC lookup table replace full-precision scoring inside
+    * the probed cells. Returns (idCol, score) rows, score desc.
+    *
+    * Scale shape: both halves are per-row projections over in-literal
+    * small tables (centroids, codebooks, LUT) — the only data movement is
+    * the final bounded top-k. Against an on-disk index
+    * (`writeIvfIndex` of the assigned+encoded table) the cell filter
+    * becomes partition pruning and the scan reads codes, not vectors —
+    * `m` bytes per row instead of 4·dim.
+    */
+  def searchIvfPq(vectors: DataFrame, centroids: DataFrame, idCol: String,
+                  vecCol: String, centIdCol: String, centVecCol: String,
+                  codebooks: Seq[Seq[Float]], m: Int,
+                  query: Seq[Float], nProbes: Int, k: Int): DataFrame = {
+    val assigned = ivfAssign(vectors, centroids, idCol, vecCol, centIdCol, centVecCol)
+    val probes = probeCellIds(centroids, query, centIdCol, centVecCol, nProbes)
+    val lut = pqLut(query, codebooks, m)
+    val cand = assigned.filter(col("cell_id").isin(probes: _*))
+      .withColumn("__codes", pqEncode(col(vecCol), codebooks, m))
+      .withColumn("score", pqAdcScore(col("__codes"), lut))
+    TopK.topK(cand, col("score"), col(idCol), k)
+      .select(col(idCol), col("score"))
+  }
+
   /** The `nProbes` nearest centroids to a single-row query DataFrame whose
     * one column is the query vector. Same quantized ordering as
     * `ivfAssign`.

@@ -126,6 +126,32 @@ class AnnSpec extends SparkSpec {
     assert(pqTop.contains(42L), "the query's own vector must surface")
   }
 
+  test("searchIvfPq with all cells probed equals the full-scan PQ ADC ranking") {
+    import spark.implicits._
+    val cb = e.filter($"vec_id" < 16).orderBy($"vec_id")
+      .select($"embedding").collect().map(_.getSeq[Float](0)).toSeq
+    val query = e.filter($"vec_id" === 42).head.getSeq[Float](1)
+    val lut = Ann.pqLut(query, cb, 8)
+    // probing every cell removes the IVF approximation: result must be
+    // exactly the full PQ scan's top-k
+    val full = TopK.topK(
+        e.withColumn("codes", Ann.pqEncode($"embedding", cb, 8))
+          .withColumn("score", Ann.pqAdcScore($"codes", lut)),
+        $"score", $"vec_id", 10)
+      .select($"vec_id", $"score").collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val ivfpqAll = Ann.searchIvfPq(e, cents, "vec_id", "embedding",
+        "cent_id", "cvec", cb, 8, query, nProbes = 16, k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(ivfpqAll == full)
+    // 4/16 probes: approximate, but the query's own vector must surface
+    val ivfpq4 = Ann.searchIvfPq(e, cents, "vec_id", "embedding",
+        "cent_id", "cvec", cb, 8, query, nProbes = 4, k = 10)
+      .collect().map(_.getLong(0))
+    assert(ivfpq4.contains(42L))
+    val recall = (ivfpq4.toSet & full.map(_._1).toSet).size.toDouble / full.size
+    info(f"IVF-PQ recall@10 vs full PQ at 4/16 probes: $recall%.2f")
+  }
+
   test("recall@10 with 4/16 probes is useful and measured") {
     import spark.implicits._
     val queries = Seq(42L, 7L, 100L, 250L, 333L)
