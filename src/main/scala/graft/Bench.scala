@@ -33,7 +33,10 @@ object Bench {
     // round-3 additions: training-data curation surface
     "q_decontaminate", "q_pii_redact", "q_repetition", "q_stratified_sample",
     "q_seq_pack", "q_curation", "q_dedup_clusters", "q_corpus_stats",
-    "q_bm25", "q_hybrid_rrf", "q_ann_pq")
+    "q_bm25", "q_hybrid_rrf", "q_ann_pq",
+    // round-4 additions
+    "q_substring_dedup", "q_bloom_decontaminate", "q_ann_ivfpq",
+    "q_token_mixture")
 
   /** Force FULL materialization of every output column: xxhash64 over all
     * columns, summed. `.count()` alone under-measures — Catalyst prunes

@@ -974,6 +974,22 @@ object SparkEntry {
         .orderBy($"doc_id")
     }),
 
+    // Token-budget mixture resampling (the data-mixing step of a
+    // training pipeline): per-source keep-rates derived from token
+    // totals so the sampled corpus hits target proportions at the
+    // largest achievable size (no upsampling); the corpus itself is
+    // only touched by a deterministic scan-speed hash gate.
+    "q_token_mixture" -> ((s, dir) => {
+      import s.implicits._
+      val d = spread(s, t(s, dir, "documents"))
+        .withColumn("n_tokens", size(T.tokens($"text")).cast("long"))
+      val rates = Sampling.tokenMixtureRates(d, $"source", $"n_tokens",
+        Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2))
+      Sampling.stratifiedSample(d, $"source", $"doc_id", rates, 0.0)
+        .select($"doc_id", $"source", $"n_tokens")
+        .orderBy($"doc_id")
+    }),
+
     // Bloom-pre-filtered decontamination: the 100 TB shape — the bench
     // n-gram set rides as a bits-per-key Bloom bitset probed map-side,
     // and only survivors reach the exact verify join. Result is exact
@@ -1255,6 +1271,22 @@ object SparkEntry {
         |SELECT tr.doc_id, COUNT(*) AS n_overlap
         |FROM train tr JOIN bench b USING (gh)
         |GROUP BY tr.doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_token_mixture" ->
+      """WITH t AS (
+        |  SELECT doc_id, source, CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[]) ELSE string_split_regex(trim(text), '\s+') END AS toks
+        |  FROM documents),
+        |d AS (SELECT doc_id, source, CAST(len(toks) AS BIGINT) AS n_tokens FROM t),
+        |p AS (SELECT * FROM (VALUES ('src0', 0.5), ('src1', 0.3), ('src2', 0.2)) AS p(source, w)),
+        |ts AS (SELECT source, CAST(SUM(n_tokens) AS DOUBLE) AS tt FROM d GROUP BY source),
+        |n AS (SELECT MIN(tt / w) AS nmax FROM ts JOIN p USING (source)),
+        |r AS (SELECT ts.source, p.w * n.nmax / ts.tt AS rate
+        |      FROM ts JOIN p USING (source) CROSS JOIN n)
+        |SELECT d.doc_id, d.source, d.n_tokens
+        |FROM d JOIN r USING (source)
+        |WHERE ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 15))::BIGINT % 1000000
+        |        < r.rate * 1000000.0
+        |ORDER BY d.doc_id""".stripMargin,
 
     "q_bloom_decontaminate" ->
       """WITH t AS (

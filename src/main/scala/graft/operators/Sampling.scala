@@ -59,6 +59,36 @@ object Sampling {
     }
   }
 
+  /** Per-stratum keep-rates that hit a target TOKEN mixture (the
+    * data-mixing step of an LLM training pipeline: proportions are
+    * budgeted in tokens, not documents). Downsampling only — the
+    * achievable corpus size is N = minₛ totalTokens(s)/propₛ, and
+    * stratum s keeps rate propₛ·N/totalTokens(s), so the binding
+    * stratum keeps everything and every other stratum is thinned to
+    * proportion. All arithmetic is plain IEEE doubles over exact
+    * integer token totals in a fixed order, so the DuckDB oracle
+    * reproduces each rate bit-for-bit and the downstream hash gate
+    * decides identically. The per-stratum totals table is one row per
+    * source — collected driver-side; the corpus is only ever touched
+    * by the resulting scan-speed filter.
+    */
+  def tokenMixtureRates(df: DataFrame, stratum: Column, tokenCount: Column,
+                        targetProps: Map[String, Double]): Map[String, Double] = {
+    targetProps.values.foreach(p =>
+      require(p > 0.0 && p <= 1.0, s"proportion must be in (0,1], got $p"))
+    val totals = df.groupBy(stratum.as("__s"))
+      .agg(sum(tokenCount).as("__t"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val achievable = targetProps.flatMap { case (s, p) =>
+      totals.get(s).map(t => t.toDouble / p)
+    }
+    require(achievable.nonEmpty, "no target stratum present in the data")
+    val nMax = achievable.min
+    targetProps.map { case (s, p) =>
+      s -> totals.get(s).map(t => p * nMax / t.toDouble).getOrElse(0.0)
+    }
+  }
+
   private def hashGate(key: Column, rate: Column): Column =
     pmod(Dedup.hash60(key.cast("string")), lit(Denom)).cast("double") <
       rate * lit(Denom.toDouble)

@@ -46,6 +46,24 @@ class SamplingSpec extends SparkSpec {
     assert(!plan.contains("Join"), plan)
   }
 
+  test("tokenMixtureRates: binding stratum keeps ~all, others thin to proportion") {
+    import spark.implicits._
+    // src0: 1000 tokens, src1: 4000 tokens; target 50/50 → N = min(1000/.5,
+    // 4000/.5) = 2000 → src0 rate 1.0 (binding), src1 rate .5*2000/4000 = .25
+    val d = ((0 until 10).map(i => (i.toLong, "src0", 100L)) ++
+      (10 until 50).map(i => (i.toLong, "src1", 100L)))
+      .toDF("id", "source", "n_tokens")
+    val rates = Sampling.tokenMixtureRates(d, col("source"), col("n_tokens"),
+      Map("src0" -> 0.5, "src1" -> 0.5))
+    assert(math.abs(rates("src0") - 1.0) < 1e-12)
+    assert(math.abs(rates("src1") - 0.25) < 1e-12)
+    // a target stratum absent from the data gets rate 0, present data
+    // strata outside the target are untouched by the map
+    val r2 = Sampling.tokenMixtureRates(d, col("source"), col("n_tokens"),
+      Map("src0" -> 0.5, "ghost" -> 0.5))
+    assert(r2("ghost") == 0.0)
+  }
+
   test("ratesForMixture hits target sizes and caps at 1.0") {
     val d = docs(2000) // 500 per source
     val rates = Sampling.ratesForMixture(d, col("source"),
