@@ -270,17 +270,19 @@ object Dedup {
         .select(col("node"),
           least(col("comp"), coalesce(col("__nmin"), col("comp"))).as("comp"),
           (col("__nmin") < col("comp")).as("__changed"))
-        .localCheckpoint(false)
-      // Pointer-jump: comp := comp(comp). Labels are always node ids, and
-      // a node's own label never exceeds itself, so comp(comp) ≤ comp —
-      // the jump only ever tightens. Self-join on the materialized table
-      // (single eval), shuffling only (node, comp) pairs.
+      // Pointer-jump: comp := labels(comp). Labels are always node ids,
+      // and a node's own label never exceeds itself, so labels(comp) ≤
+      // comp — the jump only ever tightens. Jumping through the PREVIOUS
+      // round's labels (already materialized) instead of the fresh
+      // propagation keeps one materialization per round; the stale table
+      // still doubles effective reach, so convergence stays O(log
+      // diameter) (DedupSpec's long-chain test pins this down).
       val jumped = propagated.alias("l")
         .join(
-          propagated.select(col("node").as("__cn"), col("comp").as("__cc")),
+          labels.select(col("node").as("__cn"), col("comp").as("__cc")),
           col("l.comp") === col("__cn"), "left")
         .select(col("l.node").as("node"),
-          coalesce(col("__cc"), col("l.comp")).as("comp"),
+          least(col("l.comp"), coalesce(col("__cc"), col("l.comp"))).as("comp"),
           (col("l.__changed") ||
             coalesce(col("__cc") < col("l.comp"), lit(false))).as("__changed"))
         .localCheckpoint(false)
