@@ -742,6 +742,31 @@ object SparkEntry {
         .orderBy($"doc_id")
     }),
 
+    // C4-style page cleaning (Raffel et al. 2020 §2.2): keep lines that
+    // end in terminal punctuation, have >=3 words, and don't mention
+    // javascript; page gate drops lorem-ipsum/brace pages. The fixture
+    // text has no newlines, so each doc becomes a deterministic 5-line
+    // page (same derivation both engines): a good lead line, a too-short
+    // line, a javascript line, a lorem line on every 7th doc, a tail.
+    "q_c4_clean" -> ((s, dir) => {
+      import s.implicits._
+      spread(s, t(s, dir, "documents"))
+        .withColumn("page", concat_ws("\n",
+          concat(substring($"text", 1, 60), lit(" end.")),
+          lit("too short"),
+          lit("enable javascript to view this page."),
+          when(pmod($"doc_id", lit(7)) === 0, lit("lorem ipsum dolor sit amet."))
+            .otherwise(concat(substring($"text", 61, 50), lit(" fine!"))),
+          concat(substring($"text", 111, 40), lit(" really?"))))
+        .select($"doc_id",
+          T.c4CleanLines($"page").as("clean"),
+          size(filter(split($"page", "\n"), l => T.c4KeepLine(l)))
+            .cast("long").as("n_kept"),
+          size(split($"page", "\n")).cast("long").as("n_total"),
+          T.c4PageOk($"page").as("page_ok"))
+        .orderBy($"doc_id")
+    }),
+
     // PII redaction for corpus cleaning: emails/IPv4s/phone-shaped runs →
     // typed placeholders, plus the per-doc audit count. The fixture text
     // carries no PII, so each doc gets a deterministic synthetic
@@ -1784,6 +1809,32 @@ object SparkEntry {
         |           / list_sum(list_transform(toks, x -> length(x)))::DOUBLE END, 4) AS rep_char_frac
         |FROM g ORDER BY doc_id""".stripMargin,
 
+    "q_c4_clean" ->
+      """WITH pages AS (
+        |  SELECT doc_id,
+        |    concat_ws(chr(10),
+        |      substr(text, 1, 60) || ' end.',
+        |      'too short',
+        |      'enable javascript to view this page.',
+        |      CASE WHEN doc_id % 7 = 0 THEN 'lorem ipsum dolor sit amet.'
+        |           ELSE substr(text, 61, 50) || ' fine!' END,
+        |      substr(text, 111, 40) || ' really?') AS page
+        |  FROM documents),
+        |k AS (
+        |  SELECT doc_id, page,
+        |    list_filter(string_split(page, chr(10)),
+        |      l -> regexp_matches(trim(l), '[.!?"]$')
+        |           AND len(string_split_regex(trim(l), '\s+')) >= 3
+        |           AND NOT contains(lower(l), 'javascript')) AS kept
+        |  FROM pages)
+        |SELECT doc_id,
+        |  array_to_string(kept, chr(10)) AS clean,
+        |  CAST(len(kept) AS BIGINT) AS n_kept,
+        |  CAST(len(string_split(page, chr(10))) AS BIGINT) AS n_total,
+        |  (NOT contains(lower(page), 'lorem ipsum') AND NOT contains(page, '{')
+        |   AND len(kept) >= 2) AS page_ok
+        |FROM k ORDER BY doc_id""".stripMargin,
+
     "q_pii_redact" ->
       """WITH d AS (
         |  SELECT doc_id,
@@ -1928,6 +1979,25 @@ object SparkEntry {
     "q_dedup_exact" -> ((s, dir) => {
       import s.implicits._
       Dedup.exactDedup(t(s, dir, "documents"), "text", "doc_id")
+        .select($"doc_id", $"n_copies", $"source")
+        .orderBy($"doc_id")
+    }),
+
+    // Incremental snapshot ingest: dedup a new batch within itself AND
+    // against the already-ingested corpus (Dedup.incrementalDedup).
+    // Fixture: odd docs are the fresh batch, even docs the corpus, and
+    // every doc_id%4==0 text is replayed under a new id — replays must
+    // drop (their text is already ingested), odds survive unless their
+    // text collides with a corpus text. Only corpus FINGERPRINTS join.
+    "q_incremental_dedup" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val existing = docs.filter(pmod($"doc_id", lit(2)) === 0)
+      val fresh = docs.filter(pmod($"doc_id", lit(2)) === 1)
+      val replayed = docs.filter(pmod($"doc_id", lit(4)) === 0)
+        .withColumn("doc_id", $"doc_id" + 100000)
+      Dedup.incrementalDedup(fresh.unionByName(replayed), existing,
+          "text", "doc_id")
         .select($"doc_id", $"n_copies", $"source")
         .orderBy($"doc_id")
     }),
@@ -2184,6 +2254,26 @@ object SparkEntry {
         |  FROM fp GROUP BY fp)
         |SELECT g.doc_id, g.n_copies, f.source
         |FROM g JOIN fp f ON g.doc_id = f.doc_id
+        |ORDER BY g.doc_id""".stripMargin,
+
+    "q_incremental_dedup" ->
+      """WITH corpus AS (
+        |  SELECT DISTINCT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
+        |  FROM documents WHERE doc_id % 2 = 0),
+        |nb AS (
+        |  SELECT doc_id, source, text FROM documents WHERE doc_id % 2 = 1
+        |  UNION ALL
+        |  SELECT doc_id + 100000, source, text FROM documents WHERE doc_id % 4 = 0),
+        |f AS (
+        |  SELECT doc_id, source,
+        |         md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
+        |  FROM nb),
+        |g AS (
+        |  SELECT fp, MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
+        |  FROM f GROUP BY fp)
+        |SELECT g.doc_id, g.n_copies, f.source
+        |FROM g JOIN f ON g.doc_id = f.doc_id
+        |WHERE g.fp NOT IN (SELECT fp FROM corpus)
         |ORDER BY g.doc_id""".stripMargin,
 
     "q_bpe_tokens" ->

@@ -251,4 +251,29 @@ object TextFunctions {
       greatest(nTok, lit(1.0))
     least(nTok / 100.0, lit(1.0)) * (lit(0.7) + lit(0.3) * stopRatio)
   }
+
+  /** C4-style line keep predicate (Raffel et al. 2020 §2.2 heuristics):
+    * a line survives when it ends in terminal punctuation, has at least
+    * `minWords` words, and does not mention javascript (case-folded).
+    */
+  def c4KeepLine(line: Column, minWords: Int = 3): Column =
+    trim(line).rlike("[.!?\"]$") &&
+      size(split(trim(line), "\\s+")) >= minWords &&
+      !lower(line).contains("javascript")
+
+  /** C4-style page cleaning: drop boilerplate LINES (see `c4KeepLine`),
+    * keep the survivors newline-joined. Pure per-row array pipeline —
+    * no shuffle, runs at scan speed; pair with `c4PageOk` for the
+    * page-level gate.
+    */
+  def c4CleanLines(text: Column, minWords: Int = 3): Column =
+    array_join(filter(split(text, "\n"), l => c4KeepLine(l, minWords)), "\n")
+
+  /** C4-style page-level gate: no lorem-ipsum placeholder text, no curly
+    * brace (code leak), and at least `minLines` surviving lines (the
+    * fixture-scale stand-in for C4's ≥5-sentence page rule).
+    */
+  def c4PageOk(text: Column, minLines: Int = 2, minWords: Int = 3): Column =
+    !lower(text).contains("lorem ipsum") && !text.contains("{") &&
+      size(filter(split(text, "\n"), l => c4KeepLine(l, minWords))) >= minLines
 }

@@ -83,6 +83,31 @@ object Dedup {
       .drop("__fp")
   }
 
+  /** Incremental deduplication — the nightly-snapshot ingest path: dedup
+    * a NEW batch within itself (exactDedup semantics: one canonical
+    * min-id survivor per fingerprint, n_copies counted) and against an
+    * already-ingested corpus, WITHOUT re-deduplicating the corpus.
+    *
+    * Scale shape: the existing corpus contributes only its DISTINCT
+    * 128-bit fingerprints — at 100 TB that side is a pre-aggregated
+    * single column (stored snapshots would persist the fingerprint table
+    * so corpus text is never re-read), and the left-anti join shuffles
+    * 16-byte fingerprints, never text. The within-batch tier is the same
+    * single map-side-combined HashAggregate as `exactDedup`. Extends the
+    * reference's append-only ingest (`coordinator/main.py:43-56`) with
+    * the dedup-on-ingest contract real corpus builds need.
+    */
+  def incrementalDedup(newBatch: DataFrame, existing: DataFrame,
+                       textCol: String, idCol: String): DataFrame = {
+    val corpusFps = existing
+      .select(T.fingerprint(col(textCol)).as("__fp"))
+      .distinct()
+    exactDedup(newBatch, textCol, idCol)
+      .withColumn("__fp", T.fingerprint(col(textCol)))
+      .join(corpusFps, Seq("__fp"), "left_anti")
+      .drop("__fp")
+  }
+
   /** k-hash MinHash signature: sig[i] = min over shingles of
     * hash60(i + ":" + shingle). Readable HOF spec — the hot path is the
     * bit-identical native `TextHashExpressions.minhashSigF` (agreement

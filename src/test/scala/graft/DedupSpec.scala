@@ -294,4 +294,17 @@ class DedupSpec extends SparkSpec {
     // whitespace-collapsed fingerprint: 0,1,3 are one group, canonical 0
     assert(got == Map(0L -> 3L, 2L -> 1L))
   }
+
+  test("incrementalDedup drops already-ingested texts, dedups within batch, keeps fresh") {
+    val corpus = docs((0L, "already ingested doc"), (1L, "another old doc"))
+    val batch = docs(
+      (10L, "already  ingested   doc"), // exact replay (modulo whitespace) → drop
+      (11L, "brand new doc"),           // fresh → survives
+      (12L, "brand new doc"),           // within-batch dup → merged into 11
+      (13L, "second fresh doc"))
+    val got = Dedup.incrementalDedup(batch, corpus, "text", "doc_id")
+      .select(col("doc_id"), col("n_copies"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == Map(11L -> 2L, 13L -> 1L))
+  }
 }

@@ -155,6 +155,31 @@ class TextFunctionsSpec extends SparkSpec {
     assert(edgeMismatch == 0)
   }
 
+  test("c4 cleaning: line keep rules and page gate") {
+    val page = Seq(
+      "A proper first sentence with enough words.", // keep
+      "too short",                                  // no punct, <3 words
+      "Please enable JavaScript to continue.",      // javascript (case-folded)
+      "Is this line long enough to survive?",       // keep
+      "ends without punctuation here"               // no terminal punct
+    ).mkString("\n")
+    val row = docs(page)
+      .select(T.c4CleanLines(col("text")).as("clean"),
+        T.c4PageOk(col("text")).as("ok"))
+      .head
+    assert(row.getString(0) ==
+      "A proper first sentence with enough words.\nIs this line long enough to survive?")
+    assert(row.getBoolean(1))
+    // page gates: lorem ipsum and code braces kill the page
+    val lorem = page + "\nLorem Ipsum dolor sit amet placeholder text."
+    val brace = page + "\nif (x) { return y; }"
+    assert(!docs(lorem).select(T.c4PageOk(col("text"))).head.getBoolean(0))
+    assert(!docs(brace).select(T.c4PageOk(col("text"))).head.getBoolean(0))
+    // minLines: a page with only one surviving line fails the gate
+    assert(!docs("Just one good line survives here today.")
+      .select(T.c4PageOk(col("text"))).head.getBoolean(0))
+  }
+
   test("rollingHash: order-sensitive (reordering tokens changes it), whitespace-insensitive") {
     val h = (t: String) => docs(t).select(T.rollingHash(col("text"))).head.getLong(0)
     assert(h("a b c") == h("a  b   c"), "whitespace collapse must not change the hash")
