@@ -36,7 +36,8 @@ object Bench {
     "q_bm25", "q_hybrid_rrf", "q_ann_pq",
     // round-4 additions
     "q_substring_dedup", "q_bloom_decontaminate", "q_ann_ivfpq",
-    "q_token_mixture", "q_incremental_dedup", "q_c4_clean")
+    "q_token_mixture", "q_incremental_dedup", "q_c4_clean",
+    "q_sq_search", "q_quality_classifier")
 
   /** Force FULL materialization of every output column: xxhash64 over all
     * columns, summed. `.count()` alone under-measures — Catalyst prunes

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.expressions.FloatVectorExpressions.dotF
 import graft.expressions.TextHashExpressions.{minhashSigF, simhash32F}
 import graft.functions.{HashFunctions, TextFunctions => T, VectorFunctions => V}
-import graft.operators.{Ann, AsofJoin, Bm25, Curation, Dedup, Multimodal, Packing, Sampling, SkewJoin, TopK}
+import graft.operators.{Ann, AsofJoin, Bm25, Classifier, Curation, Dedup, Multimodal, Packing, Sampling, SkewJoin, TopK}
 import graft.sources.{Layout, Tables}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -595,6 +595,23 @@ object SparkEntry {
         .select($"vec_id", $"score")
     }),
 
+    // Scalar-quantized (SQ8) search: per-dimension [min,max] train, one
+    // byte per dimension (4x compression), asymmetric midpoint-dequant
+    // scoring against the raw query in integer micro-units. The
+    // accuracy/memory middle tier between the exact flat scan and PQ.
+    // operators/Ann SQ section.
+    "q_sq_search" -> ((s, dir) => {
+      import s.implicits._
+      val e = t(s, dir, "embeddings")
+      val (mn, mx) = Ann.sqTrain(e, "embedding")
+      val qv = e.filter($"vec_id" === 42).select($"embedding").head.getSeq[Float](0)
+      val scored = spread(s, e)
+        .withColumn("codes", Ann.sqEncode($"embedding", mn, mx))
+        .withColumn("score", Ann.sqDot($"codes", qv, mn, mx))
+      TopK.topK(scored, $"score", $"vec_id", 10)
+        .select($"vec_id", $"score")
+    }),
+
     // IVF-PQ composition (FAISS IVFPQ): cell routing prunes the scan,
     // ADC over PQ codes replaces full-precision scoring in the probed
     // cells — both per-row projections over in-literal tables.
@@ -739,6 +756,20 @@ object SparkEntry {
           round(when($"st".getField("total_chars") === 0, lit(0.0))
             .otherwise($"st".getField("rep_chars").cast("double") /
               $"st".getField("total_chars").cast("double")), 4).as("rep_char_frac"))
+        .orderBy($"doc_id")
+    }),
+
+    // Model-based quality filter (fasttext-style hashed-feature linear
+    // classifier, operators/Classifier): bag of hashed words, fixed
+    // md5-derived integer slot weights, mean weight as the doc logit —
+    // integer-exact reduction so both engines score bit-for-bit.
+    "q_quality_classifier" -> ((s, dir) => {
+      import s.implicits._
+      spread(s, t(s, dir, "documents"))
+        .withColumn("toks", T.tokens($"text"))
+        .select($"doc_id",
+          Classifier.logit($"toks").as("logit"),
+          Classifier.keep($"toks").as("keep"))
         .orderBy($"doc_id")
     }),
 
@@ -1516,6 +1547,31 @@ object SparkEntry {
          |FROM x ORDER BY l_orderkey, l_linenumber""".stripMargin
     },
 
+    "q_sq_search" ->
+      """WITH x AS (
+        |  SELECT vec_id, unnest(generate_series(1, len(embedding))) AS pos,
+        |         unnest(embedding)::DOUBLE AS val
+        |  FROM embeddings),
+        |mm AS (
+        |  SELECT pos, MIN(val) AS lo, MAX(val) AS hi FROM x GROUP BY pos),
+        |q AS (SELECT pos, val AS qv FROM x WHERE vec_id = 42),
+        |c AS (
+        |  SELECT x.vec_id, x.pos,
+        |    CASE WHEN mm.hi - mm.lo < 1e-12 THEN 0
+        |         ELSE least(255, greatest(0,
+        |           CAST(floor(((x.val - mm.lo) * 255.0) / (mm.hi - mm.lo)) AS BIGINT)))
+        |    END AS code
+        |  FROM x JOIN mm USING (pos)),
+        |terms AS (
+        |  SELECT c.vec_id,
+        |    CAST(round((mm.lo + ((c.code + 0.5) * (mm.hi - mm.lo)) / 255.0)
+        |         * q.qv * 1000000.0, 0) AS BIGINT) AS t
+        |  FROM c JOIN mm USING (pos) JOIN q USING (pos)),
+        |s AS (
+        |  SELECT vec_id, CAST(SUM(t) AS BIGINT) AS micro FROM terms GROUP BY vec_id)
+        |SELECT vec_id, ROUND(micro / 1000000.0, 4) + 0.0 AS score
+        |FROM s ORDER BY score DESC, vec_id LIMIT 10""".stripMargin,
+
     "q_ann_pq" ->
       """WITH cbl AS (
         |  SELECT list(embedding ORDER BY vec_id) AS cbs
@@ -1808,6 +1864,24 @@ object SparkEntry {
         |                         ELSE 0 END)), 0)::DOUBLE
         |           / list_sum(list_transform(toks, x -> length(x)))::DOUBLE END, 4) AS rep_char_frac
         |FROM g ORDER BY doc_id""".stripMargin,
+
+    "q_quality_classifier" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+        |         ELSE string_split_regex(trim(text), '\s+') END AS toks
+        |  FROM documents),
+        |t AS (
+        |  SELECT doc_id, len(toks) AS n,
+        |    list_sum(list_transform(toks, tk ->
+        |      ('0x'||substr(md5('w:' ||
+        |         ((('0x'||substr(md5(tk),1,15))::BIGINT % 4096)::VARCHAR)
+        |       ),1,15))::BIGINT % 2001 - 1000)) AS s
+        |  FROM d)
+        |SELECT doc_id,
+        |  ROUND(COALESCE(s, 0) / (1000.0 * greatest(n, 1)), 6) + 0.0 AS logit,
+        |  (ROUND(COALESCE(s, 0) / (1000.0 * greatest(n, 1)), 6) + 0.0) > 0.0 AS keep
+        |FROM t ORDER BY doc_id""".stripMargin,
 
     "q_c4_clean" ->
       """WITH pages AS (

@@ -316,4 +316,73 @@ object Ann {
           element_at(codes, mi + 1) + 1))
         .cast("double") / 1000000.0, 4) + lit(0.0)
   }
+
+  // ---------- Scalar quantization (SQ8) ----------
+  //
+  // The simplest vector-compression tier (FAISS ScalarQuantizer QT_8bit):
+  // per dimension, the corpus [min, max] range is split into 256 equal
+  // steps and each float becomes one byte — 4× smaller than float32 with
+  // near-lossless recall at high dim. Training is a single min/max
+  // aggregate; encode is a pure per-row projection; query scoring
+  // dequantizes the code (midpoint reconstruction, m + (c+0.5)·Δ) against
+  // the RAW query vector (asymmetric, like ADC). Sits between the exact
+  // flat scan and PQ's 32× compression in the accuracy/memory trade.
+
+  /** Per-dimension (min, max) over the corpus. posexplode is in-partition;
+    * groupBy(pos) partially aggregates map-side, so the shuffle carries
+    * only dim × numPartitions (pos, min, max) rows at ANY corpus size.
+    * Returns dim-ordered driver arrays (dim doubles — a literal, like
+    * centroids and PQ codebooks).
+    */
+  def sqTrain(vectors: DataFrame, vecCol: String): (Seq[Double], Seq[Double]) = {
+    val mm = vectors
+      .select(posexplode(col(vecCol)).as(Seq("pos", "v")))
+      .groupBy(col("pos"))
+      .agg(min(col("v").cast("double")).as("m"),
+        max(col("v").cast("double")).as("M"))
+      .orderBy(col("pos"))
+      .collect()
+    (mm.map(_.getDouble(1)).toSeq, mm.map(_.getDouble(2)).toSeq)
+  }
+
+  /** SQ8 codes (ARRAY<BIGINT>, one 0..255 code per dimension):
+    * code_d = clamp(floor(((v_d − min_d) · 255) / (max_d − min_d))).
+    * floor keeps the mapping exact across engines (no rounding-mode
+    * drift); a degenerate dimension (max = min) codes to 0. Pure per-row
+    * projection over in-literal ranges — no shuffle at any corpus size.
+    */
+  def sqEncode(vec: Column, minv: Seq[Double], maxv: Seq[Double]): Column = {
+    val mn = typedLit(minv)
+    val mx = typedLit(maxv)
+    transform(sequence(lit(1), lit(minv.length)), i => {
+      val m = element_at(mn, i)
+      val M = element_at(mx, i)
+      val v = element_at(vec, i).cast("double")
+      when(M - m < 1e-12, lit(0L)).otherwise(
+        least(lit(255L), greatest(lit(0L),
+          floor(((v - m) * 255.0) / (M - m)).cast("long"))))
+    })
+  }
+
+  /** Asymmetric SQ8 dot score against a raw query vector: each code
+    * dequantizes to the midpoint of its step (min_d + ((c + 0.5) ·
+    * (max_d − min_d)) / 255) and multiplies the query coordinate; every
+    * term is quantized to integer micro-units before the sum, so the
+    * per-row reduction is exact integer arithmetic (order-proof across
+    * engines — the BM25/ADC discipline). One final division, rounded
+    * to 4.
+    */
+  def sqDot(codes: Column, query: Seq[Float],
+            minv: Seq[Double], maxv: Seq[Double]): Column = {
+    val mn = typedLit(minv)
+    val mx = typedLit(maxv)
+    val qv = typedLit(query.map(_.toDouble))
+    round(
+      aggregate(sequence(lit(1), lit(minv.length)), lit(0L), (acc, i) => {
+        val m = element_at(mn, i)
+        val M = element_at(mx, i)
+        val deq = m + ((element_at(codes, i).cast("double") + 0.5) * (M - m)) / 255.0
+        acc + round(deq * element_at(qv, i) * 1000000.0, 0).cast("long")
+      }).cast("double") / 1000000.0, 4) + lit(0.0)
+  }
 }

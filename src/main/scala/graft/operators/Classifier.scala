@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Fasttext-style hashed-feature linear text classifier — the
+  * model-based quality-filter tier of a training-data pipeline (the
+  * CCNet / GPT-3 "quality classifier" stage that sits after the
+  * heuristic gates): bag of words, each token hashed into one of
+  * `buckets` feature slots, a fixed weight per slot, mean slot weight
+  * as the document logit, keep when the logit clears a threshold.
+  *
+  * Weights here derive deterministically from md5 of the slot index —
+  * a stand-in for learned weights that swaps for a broadcast weight
+  * array at no API change — so the DuckDB oracle replicates scoring
+  * bit-for-bit: per-token weights are INTEGERS in [-1000, 1000] and
+  * the per-document reduction is an exact integer sum (order-proof
+  * across engines), with the single division + round at the end. The
+  * logit is reported raw (no sigmoid): sigmoid is monotone, so the
+  * keep decision is identical, and exp() is the one primitive whose
+  * last-ulp differs across engines.
+  *
+  * Scale shape: pure per-row projection (two md5s per token), no
+  * shuffle, no state — runs at scan speed over 100 TB like the
+  * reference's per-vector scan kernels (flat_kernels.cu:4-24).
+  */
+object Classifier {
+
+  val DefaultBuckets = 4096
+
+  /** Feature slot in [0, buckets) for a token. */
+  def slot(tok: Column, buckets: Int = DefaultBuckets): Column =
+    pmod(Dedup.hash60(tok), lit(buckets.toLong))
+
+  /** Fixed integer weight in [-1000, 1000] for a feature slot. */
+  def slotWeight(slotCol: Column): Column =
+    pmod(Dedup.hash60(concat(lit("w:"), slotCol.cast("string"))),
+      lit(2001L)) - 1000L
+
+  /** Document logit: (Σ_token slotWeight) / (1000 · max(n_tokens, 1)),
+    * rounded to 6 — mean feature weight scaled back to [-1, 1].
+    */
+  def logit(toks: Column, buckets: Int = DefaultBuckets): Column = {
+    val s = aggregate(toks, lit(0L),
+      (acc, t) => acc + slotWeight(slot(t, buckets)))
+    round(s.cast("double") /
+      (lit(1000.0) * greatest(size(toks), lit(1))), 6) + lit(0.0)
+  }
+
+  /** Keep decision at a logit threshold (quantized compare — the
+    * rounded logit is what crosses engines exactly).
+    */
+  def keep(toks: Column, threshold: Double = 0.0,
+           buckets: Int = DefaultBuckets): Column =
+    logit(toks, buckets) > threshold
+}

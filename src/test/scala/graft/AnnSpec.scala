@@ -126,6 +126,40 @@ class AnnSpec extends SparkSpec {
     assert(pqTop.contains(42L), "the query's own vector must surface")
   }
 
+  test("SQ8: codes in range, reconstruction within one step, high recall vs exact") {
+    import spark.implicits._
+    val (mn, mx) = Ann.sqTrain(e, "embedding")
+    assert(mn.length == 64 && mx.length == 64)
+    assert(mn.zip(mx).forall { case (a, b) => a <= b })
+    val query = e.filter($"vec_id" === 42).head.getSeq[Float](1)
+    val coded = e
+      .withColumn("codes", Ann.sqEncode($"embedding", mn, mx))
+      .withColumn("score", Ann.sqDot($"codes", query, mn, mx))
+      .select($"vec_id", $"codes", $"embedding", $"score").collect()
+    // every code in [0, 255]; midpoint dequant within one step of the original
+    coded.foreach { r =>
+      val cs = r.getSeq[Long](1)
+      val vs = r.getSeq[Float](2)
+      assert(cs.length == 64 && cs.forall(c => c >= 0 && c <= 255), r)
+      cs.indices.foreach { d =>
+        val step = (mx(d) - mn(d)) / 255.0
+        val deq = mn(d) + (cs(d) + 0.5) * (mx(d) - mn(d)) / 255.0
+        assert(math.abs(deq - vs(d)) <= math.max(step, 1e-9),
+          s"dim $d deq $deq vs ${vs(d)} step $step")
+      }
+    }
+    // SQ8 ranking ≈ exact dot ranking (4x compression should be near-lossless)
+    val sqTop = coded.sortBy(r => (-r.getDouble(3), r.getLong(0)))
+      .take(10).map(_.getLong(0)).toSet
+    val brute = TopK.topK(
+      e.withColumn("score", round(dotF($"embedding", typedLit(query)), 6)),
+      $"score", $"vec_id", 10).collect().map(_.getLong(0)).toSet
+    val recall = (sqTop & brute).size.toDouble / brute.size
+    info(f"SQ8 recall@10 vs exact dot: $recall%.2f")
+    assert(recall >= 0.8, s"SQ8 recall@10 $recall below 0.8")
+    assert(sqTop.contains(42L), "the query's own vector must surface")
+  }
+
   test("searchIvfPq with all cells probed equals the full-scan PQ ADC ranking") {
     import spark.implicits._
     val cb = e.filter($"vec_id" < 16).orderBy($"vec_id")
