@@ -2057,6 +2057,23 @@ object SparkEntry {
         .orderBy($"doc_id")
     }),
 
+    // Incremental NEAR-dup against a persisted signature store
+    // (Dedup.signatureStore + incrementalNearDups): the recurring-crawl
+    // path — batch band hashes collide with stored corpus band hashes,
+    // then the MinHash signature-agreement ESTIMATE verifies, so corpus
+    // text is never re-read. Fixture: even docs are the corpus snapshot,
+    // odd docs the new crawl.
+    "q_incremental_neardup" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val corpus = Dedup.signatureStore(
+        spread(s, docs.filter(pmod($"doc_id", lit(2)) === 0)), "doc_id", "text")
+      val batch = Dedup.signatureStore(
+        spread(s, docs.filter(pmod($"doc_id", lit(2)) === 1)), "doc_id", "text")
+      Dedup.incrementalNearDups(batch, corpus, "doc_id", 0.5)
+        .orderBy($"batch_id", $"corpus_id")
+    }),
+
     // Incremental snapshot ingest: dedup a new batch within itself AND
     // against the already-ingested corpus (Dedup.incrementalDedup).
     // Fixture: odd docs are the fresh batch, even docs the corpus, and
@@ -2329,6 +2346,40 @@ object SparkEntry {
         |SELECT g.doc_id, g.n_copies, f.source
         |FROM g JOIN fp f ON g.doc_id = f.doc_id
         |ORDER BY g.doc_id""".stripMargin,
+
+    "q_incremental_neardup" ->
+      """WITH t AS (
+        |  SELECT doc_id, CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[]) ELSE string_split_regex(trim(text), '\s+') END AS toks
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id,
+        |         list_distinct(list_transform(generate_series(1, len(toks)-1),
+        |           i -> toks[i] || ' ' || toks[i+1])) AS sh
+        |  FROM t WHERE len(toks) >= 2),
+        |sig AS (
+        |  SELECT doc_id,
+        |         list_transform(generate_series(0, 15), i ->
+        |           list_min(list_transform(sh, x ->
+        |             ('0x'||substr(md5(i::VARCHAR||':'||x), 1, 15))::BIGINT))) AS sig
+        |  FROM s WHERE len(sh) > 0),
+        |bands AS (
+        |  SELECT doc_id, band_idx,
+        |         md5(array_to_string(sig[band_idx*4+1 : band_idx*4+4], ',')) AS bh
+        |  FROM (SELECT doc_id, sig, unnest(generate_series(0, 3)) AS band_idx FROM sig)),
+        |cand AS (
+        |  SELECT DISTINCT b.doc_id AS batch_id, c.doc_id AS corpus_id
+        |  FROM bands b JOIN bands c ON b.band_idx = c.band_idx AND b.bh = c.bh
+        |  WHERE b.doc_id % 2 = 1 AND c.doc_id % 2 = 0),
+        |est AS (
+        |  SELECT batch_id, corpus_id,
+        |    ROUND(len(list_filter(generate_series(1, 16),
+        |          i -> x.sig[i] = y.sig[i]))::DOUBLE
+        |        / len(x.sig)::DOUBLE, 6) + 0.0 AS est_jaccard
+        |  FROM cand JOIN sig x ON batch_id = x.doc_id
+        |            JOIN sig y ON corpus_id = y.doc_id)
+        |SELECT batch_id, corpus_id, est_jaccard
+        |FROM est WHERE est_jaccard >= 0.5
+        |ORDER BY batch_id, corpus_id""".stripMargin,
 
     "q_incremental_dedup" ->
       """WITH corpus AS (

@@ -13,14 +13,18 @@ import graft.functions.{TextFunctions => T}
   * idf(t) = ln((N − df + 0.5)/(df + 0.5) + 1),
   * s(d,t) = idf · tf·(k1+1)/(tf + k1·(1 − b + b·dl/avgdl)).
   *
-  * Execution shape: term postings are pruned to the QUERY terms at the
-  * scan (an `isin` filter before the tf aggregation), so per-query work
-  * is proportional to the query terms' postings, not the corpus; the
-  * per-term scores quantize to integer micro-units before the per-doc
-  * sum, so the total is an exact integer sum (order-proof across
-  * partitionings and engines) with a single final division.
-  * At index scale the tok/tf tables would be written once
-  * (`sources/Layout` bucketing by term) and reused per query.
+  * Execution shape — ZERO corpus-sized shuffles: doc length and
+  * per-query-term tf are per-row array computations over the token
+  * array (never an exploded postings table), so the only aggregation
+  * is ONE map-side-combined pass producing a single driver row
+  * (N, Σdl, per-term df — a handful of longs at any corpus size); idf
+  * then rides back in as literals and scoring + top-k are a second
+  * scan with a k-bounded reduction. Per-term scores quantize to
+  * integer micro-units before the fixed-order per-doc sum, so totals
+  * are exact integer sums (order-proof across partitionings and
+  * engines) with a single final division. A served index would
+  * persist the (dl, tf-vector) projection once (`sources/Layout`
+  * bucketing) and reuse it per query.
   */
 object Bm25 {
 
@@ -34,34 +38,44 @@ object Bm25 {
              terms: Seq[String], k: Int): DataFrame = {
     require(terms.nonEmpty)
     val id = col(idCol)
-    val toks = docs
-      .select(id, explode(T.tokens(lower(col(textCol)))).as("term"))
-      .localCheckpoint(false) // consumed by dl, stats, and tf below
-    val dl = toks.groupBy(id).agg(count(lit(1)).as("dl"))
-      .localCheckpoint(false)
-    val statsRow = dl.agg(count(lit(1)), sum(col("dl"))).head
+    // per-row: doc length + one tf per query term, straight off the
+    // token array — no explode, no postings shuffle
+    val base = docs
+      .select(id, T.tokens(lower(col(textCol))).as("__toks"))
+      .select(id, size(col("__toks")).cast("long").as("__dl"),
+        array(terms.map(t =>
+          size(filter(col("__toks"), x => x === lit(t))).cast("long")): _*)
+          .as("__tfs"))
+      .localCheckpoint(false) // consumed by the stats pass AND scoring
+    // one global aggregate → one driver row: N, Σdl, df per term
+    val aggs = count(lit(1)) +: sum(col("__dl")) +:
+      terms.indices.map(i =>
+        sum((element_at(col("__tfs"), i + 1) > 0).cast("long")))
+    val statsRow = base.agg(aggs.head, aggs.tail: _*).head
     val n = statsRow.getLong(0).toDouble
     val avgdl = statsRow.getLong(1).toDouble / n
-    val tf = toks.filter(col("term").isInCollection(terms))
-      .groupBy(id, col("term")).agg(count(lit(1)).as("tf"))
-    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val idf = round(log(
-      (lit(n) - col("df").cast("double") + lit(0.5)) /
-        (col("df").cast("double") + lit(0.5)) + lit(1.0)), 6)
+    val dfs = terms.indices.map(i => statsRow.getLong(2 + i).toDouble)
+    // idf as literals (round-6, same value the previous in-plan
+    // round(log(...), 6) produced — BigDecimal HALF_UP both ways)
+    val idfs = dfs.map { df =>
+      java.math.BigDecimal.valueOf(math.log((n - df + 0.5) / (df + 0.5) + 1.0))
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    }
     // 2.2 as a PARSED literal, not K1+1: 1.2+1.0 in binary sits on a
     // round-to-even knife edge and may differ from decimal "2.2" by an
     // ulp — the oracle parses the same decimal text
-    val termScore = col("idf") * col("tf").cast("double") * lit(2.2) /
-      (col("tf").cast("double") +
-        lit(K1) * (lit(1.0) - lit(B) + lit(B) * col("dl").cast("double") / lit(avgdl)))
-    val scored = tf
-      .join(broadcast(df.select(col("term"), idf.as("idf"))), "term")
-      .join(dl, idCol)
-      // quantize per-term scores to integer micro-units BEFORE the
-      // per-doc sum — exact integer addition is order-proof
-      .withColumn("__u", round(termScore * 1000000).cast("long"))
-      .groupBy(id)
-      .agg((round(sum(col("__u")).cast("double") / 1000000.0, 4) + lit(0.0)).as("score"))
+    def termMicro(i: Int) = {
+      val tf = element_at(col("__tfs"), i + 1).cast("double")
+      round(lit(idfs(i)) * tf * lit(2.2) /
+        (tf + lit(K1) * (lit(1.0) - lit(B) +
+          lit(B) * col("__dl").cast("double") / lit(avgdl))) * 1000000)
+        .cast("long")
+    }
+    val scored = base
+      .filter(exists(col("__tfs"), t => t > 0)) // rank only matching docs
+      .select(id,
+        (round(terms.indices.map(termMicro).reduce(_ + _).cast("double")
+          / 1000000.0, 4) + lit(0.0)).as("score"))
     TopK.topK(scored, col("score"), id, k)
   }
 

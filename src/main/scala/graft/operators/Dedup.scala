@@ -254,6 +254,61 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Per-document MinHash signature + LSH band hashes — the columns a
+    * corpus SNAPSHOT persists (id, sig, bands; ~(k+bands)·8 bytes per
+    * doc) so later crawls can near-dup against the corpus without ever
+    * re-reading corpus text. Docs whose shingle set is empty (shorter
+    * than the shingle size) carry no signature and are omitted, exactly
+    * as in `nearDupPairs`.
+    */
+  def signatureStore(docs: DataFrame, idCol: String, textCol: String,
+                     shingleSize: Int = 2, numHashes: Int = 16,
+                     bands: Int = 4): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    docs.select(col(idCol), shingles(col(textCol), shingleSize).as("__sh"))
+      .filter(size(col("__sh")) > 0)
+      .select(col(idCol),
+        graft.expressions.TextHashExpressions
+          .minhashSigF(col("__sh"), numHashes).as("sig"))
+      .withColumn("bands", bandHashes(col("sig"), bands, numHashes / bands))
+  }
+
+  /** Incremental near-duplicate detection — the recurring-crawl path:
+    * find new-batch docs that near-duplicate an already-ingested corpus,
+    * given only the corpus's persisted `signatureStore` (never its
+    * text). Candidates are band-bucket collisions (the join carries
+    * (band_idx, 16-byte hash, id) tuples only); verification is the
+    * MinHash ESTIMATE of Jaccard — the fraction of agreeing signature
+    * positions — computed from the two k-long signatures the store
+    * already holds. The estimate's granularity is 1/numHashes, so pick
+    * thresholds on that grid; text-true Jaccard for the batch side is
+    * available to callers that need it, corpus text by design is not.
+    *
+    * Returns (batch_id, corpus_id, est_jaccard ≥ threshold).
+    */
+  def incrementalNearDups(batchSigs: DataFrame, corpusSigs: DataFrame,
+                          idCol: String, threshold: Double = 0.5): DataFrame = {
+    val bBands = batchSigs.select(col(idCol).as("batch_id"),
+      posexplode(col("bands")).as(Seq("band_idx", "bh")))
+    val cBands = corpusSigs.select(col(idCol).as("corpus_id"),
+      posexplode(col("bands")).as(Seq("band_idx", "bh")))
+    val pairs = bBands.join(cBands, Seq("band_idx", "bh"))
+      .select(col("batch_id"), col("corpus_id"))
+      .distinct()
+    val est = round(
+      size(filter(zip_with(col("__sb"), col("__sc"), (x, y) => x === y),
+        b => b)).cast("double") /
+        size(col("__sb")).cast("double"), 6) + lit(0.0)
+    pairs
+      .join(batchSigs.select(col(idCol).as("batch_id"), col("sig").as("__sb")),
+        "batch_id")
+      .join(corpusSigs.select(col(idCol).as("corpus_id"), col("sig").as("__sc")),
+        "corpus_id")
+      .withColumn("est_jaccard", est)
+      .filter(col("est_jaccard") >= threshold)
+      .select(col("batch_id"), col("corpus_id"), col("est_jaccard"))
+  }
+
   /** Connected components over an undirected pair list (near-dup edges)
     * by iterative min-label propagation: every node starts labeled with
     * itself; each round replaces a node's label with the minimum label in

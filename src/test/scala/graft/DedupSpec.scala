@@ -295,6 +295,24 @@ class DedupSpec extends SparkSpec {
     assert(got == Map(0L -> 3L, 2L -> 1L))
   }
 
+  test("incrementalNearDups flags batch docs colliding with stored corpus signatures") {
+    val corpus = docs(
+      (0L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "completely unrelated corpus content about spark shuffles"))
+    val batch = docs(
+      (11L, "the quick brown fox jumps over the lazy dog tonight"), // exact → est 1.0
+      (13L, "the quick brown fox jumps over the lazy cat tonight"), // near
+      (15L, "fresh new content sharing nothing with the corpus at all"))
+    val cs = Dedup.signatureStore(corpus, "doc_id", "text")
+    val bs = Dedup.signatureStore(batch, "doc_id", "text")
+    val got = Dedup.incrementalNearDups(bs, cs, "doc_id", 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val byPair = got.map(t => (t._1, t._2) -> t._3).toMap
+    assert(byPair.get((11L, 0L)).contains(1.0), s"exact replay must estimate 1.0: $got")
+    assert(!byPair.keySet.exists(_._1 == 15L), s"fresh doc must not match: $got")
+    assert(byPair.keySet.forall(_._2 == 0L), s"only corpus doc 0 is similar: $got")
+  }
+
   test("incrementalDedup drops already-ingested texts, dedups within batch, keeps fresh") {
     val corpus = docs((0L, "already ingested doc"), (1L, "another old doc"))
     val batch = docs(
