@@ -37,7 +37,8 @@ object Bench {
     // round-4 additions
     "q_substring_dedup", "q_bloom_decontaminate", "q_ann_ivfpq",
     "q_token_mixture", "q_incremental_dedup", "q_c4_clean",
-    "q_sq_search", "q_quality_classifier", "q_incremental_neardup")
+    "q_sq_search", "q_quality_classifier", "q_incremental_neardup",
+    "q_rerank", "q_vocab_topn")
 
   /** Force FULL materialization of every output column: xxhash64 over all
     * columns, summed. `.count()` alone under-measures — Catalyst prunes

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.expressions.FloatVectorExpressions.dotF
 import graft.expressions.TextHashExpressions.{minhashSigF, simhash32F}
 import graft.functions.{HashFunctions, TextFunctions => T, VectorFunctions => V}
-import graft.operators.{Ann, AsofJoin, Bm25, Classifier, Curation, Dedup, Multimodal, Packing, Sampling, SkewJoin, TopK}
+import graft.operators.{Ann, AsofJoin, Bm25, Classifier, Curation, Dedup, Multimodal, Packing, Rerank, Sampling, SkewJoin, TopK}
 import graft.sources.{Layout, Tables}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -634,6 +634,33 @@ object SparkEntry {
     "q_bm25" -> ((s, dir) => {
       Bm25.search(spread(s, t(s, dir, "documents")), "doc_id", "text",
         Seq("vector", "join", "scan"), 10)
+    }),
+
+    // Retrieve → rerank (operators/Rerank): BM25 top-20 candidates
+    // broadcast back to the corpus scan and reorder by coverage of an
+    // EXPANDED query term set, ties broken by first-stage score — the
+    // second-stage pattern production retrieval runs, with the
+    // cross-encoder slot kept deterministic here.
+    "q_rerank" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val cands = Bm25.search(spread(s, docs), "doc_id", "text",
+        Seq("vector", "join", "scan"), 20)
+      Rerank.rerank(cands, docs, "doc_id", "text",
+        Seq("vector", "scan", "fast", "table"), 10)
+    }),
+
+    // Corpus vocabulary: top-50 tokens by frequency — the term-frequency
+    // table tokenizer training and stopword mining start from. One
+    // map-side-combined groupBy; the shuffle carries (term, partial
+    // count) rows only.
+    "q_vocab_topn" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents")
+        .select(explode(T.tokens(lower($"text"))).as("term"))
+        .groupBy($"term").agg(count(lit(1)).as("n"))
+        .orderBy($"n".desc, $"term".asc)
+        .limit(50)
     }),
 
     // Hybrid retrieval: BM25 top-20 and dense-cosine top-20 fused by
@@ -1678,6 +1705,45 @@ object SparkEntry {
         |sc AS (SELECT doc_id, ROUND(SUM(u)::DOUBLE / 1000000.0, 4) + 0.0 AS score
         |       FROM u GROUP BY doc_id)
         |SELECT doc_id, score FROM sc ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
+
+    "q_rerank" ->
+      """WITH t AS (
+        |  SELECT doc_id, CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[]) ELSE string_split_regex(trim(lower(text)), '\s+') END AS toks
+        |  FROM documents),
+        |tok AS (SELECT doc_id, unnest(toks) AS term FROM t),
+        |dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id),
+        |st AS (SELECT COUNT(*)::DOUBLE AS n, SUM(dl)::DOUBLE AS sdl FROM dl),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok
+        |       WHERE term IN ('vector', 'join', 'scan') GROUP BY doc_id, term),
+        |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+        |idf AS (SELECT term, ROUND(ln((st.n - df.df::DOUBLE + 0.5) / (df.df::DOUBLE + 0.5) + 1.0), 6) AS idf
+        |        FROM df CROSS JOIN st),
+        |u AS (
+        |  SELECT tf.doc_id,
+        |         CAST(ROUND(idf.idf * tf.tf::DOUBLE * 2.2 /
+        |           (tf.tf::DOUBLE + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl::DOUBLE / (st.sdl / st.n)))
+        |           * 1000000) AS BIGINT) AS u
+        |  FROM tf JOIN idf USING (term) JOIN dl USING (doc_id) CROSS JOIN st),
+        |cand AS (
+        |  SELECT doc_id, ROUND(SUM(u)::DOUBLE / 1000000.0, 4) + 0.0 AS score
+        |  FROM u GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 20),
+        |rr AS (
+        |  SELECT c.doc_id, c.score,
+        |    ROUND((list_contains(t.toks, 'vector')::INT
+        |         + list_contains(t.toks, 'scan')::INT
+        |         + list_contains(t.toks, 'fast')::INT
+        |         + list_contains(t.toks, 'table')::INT)::DOUBLE / 4, 6) + 0.0 AS rerank
+        |  FROM cand c JOIN t USING (doc_id))
+        |SELECT doc_id, score, rerank
+        |FROM rr ORDER BY rerank DESC, score DESC, doc_id LIMIT 10""".stripMargin,
+
+    "q_vocab_topn" ->
+      """SELECT term, CAST(COUNT(*) AS BIGINT) AS n
+        |FROM (
+        |  SELECT unnest(CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+        |                     ELSE string_split_regex(trim(lower(text)), '\s+') END) AS term
+        |  FROM documents)
+        |GROUP BY term ORDER BY n DESC, term LIMIT 50""".stripMargin,
 
     "q_hybrid_rrf" ->
       """WITH t AS (

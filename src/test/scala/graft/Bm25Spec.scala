@@ -44,6 +44,23 @@ class Bm25Spec extends SparkSpec {
     assert(!got.contains(4L), "doc without query terms must not appear")
   }
 
+  test("rerank: higher coverage promotes a lower-retrieval-score candidate") {
+    import spark.implicits._
+    import graft.operators.Rerank
+    val docs = Seq(
+      (1L, "apple apple apple apple"),      // high tf on one term → top BM25
+      (2L, "apple cherry banana pie here"), // covers 3/4 rerank terms
+      (3L, "durian only content")).toDF("doc_id", "text")
+    val cands = Bm25.search(docs, "doc_id", "text", Seq("apple", "cherry"), 3)
+    val got = Rerank.rerank(cands, docs, "doc_id", "text",
+        Seq("apple", "cherry", "banana", "pie"), 3)
+      .collect().map(r => (r.getLong(0), r.getDouble(2)))
+    assert(got.head._1 == 2L, s"doc 2 covers 4/4 rerank terms: ${got.toList}")
+    assert(got.head._2 == 1.0)
+    assert(got.map(_._1).toList == List(2L, 1L), // doc 3 never retrieved
+      s"got ${got.toList}")
+  }
+
   test("rrfFuse: fixed-order rational sum over integer ranks; one-sided docs count once") {
     import spark.implicits._
     val a = Seq((10L, 1), (20L, 2)).toDF("id", "rank")
