@@ -6,6 +6,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
 
+import graft.operators.Dedup
 import graft.search.VectorStore
 
 /** Open-session accumulator for `Streaming.sessionizeStream`. */
@@ -244,8 +245,67 @@ object Streaming {
     VectorStore.prepare(stream, dim, numShards)
       .writeStream
       .outputMode("append")
-      .format("parquet")
       .option("path", tablePath)
       .option("checkpointLocation", checkpointPath)
+      .format("parquet")
+      .start()
+
+  /** Continuous incremental NEAR-dup ingest — the streaming flavor of
+    * `Dedup.incrementalNearDups`: each micro-batch near-dups against
+    * the PERSISTED signature store (never against corpus text) and
+    * within itself (first/lowest id wins), then appends only the
+    * survivors' signatures to the store. The state a watermark cannot
+    * bound (corpus-wide near-dup needs every past signature) lives in
+    * the store table instead of stream state — signatures are
+    * ~(k+bands)·8 bytes/doc, and the candidate join prunes by band
+    * bucket, so each micro-batch costs O(batch + collisions), not
+    * O(corpus).
+    *
+    * Restart safety: each batch writes its survivors' signatures to a
+    * batch-addressed subdirectory with overwrite semantics, so a
+    * replayed micro-batch rewrites the same directory instead of
+    * double-appending (foreachBatch's at-least-once becomes effectively
+    * exactly-once). `onBatch` receives the surviving rows per batch.
+    */
+  def streamNearDupIngest(docs: DataFrame, idCol: String, textCol: String,
+                          storePath: String, checkpointPath: String,
+                          threshold: Double = 0.5)
+                         (onBatch: (DataFrame, Long) => Unit): StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointPath)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val sigs = Dedup.signatureStore(batch, idCol, textCol)
+          .localCheckpoint(false) // consumed by 2 dedup joins + the append
+        val fs = org.apache.hadoop.fs.FileSystem.get(
+          spark.sparkContext.hadoopConfiguration)
+        val root = new org.apache.hadoop.fs.Path(storePath)
+        val parts =
+          if (fs.exists(root))
+            fs.listStatus(root).filter(_.isDirectory)
+              .map(_.getPath.toString)
+              // a replayed batch must not near-dup against its own
+              // previous attempt's signatures
+              .filterNot(_.endsWith(s"batch_$batchId"))
+          else Array.empty[String]
+        val store =
+          if (parts.isEmpty) sigs.limit(0)
+          else spark.read.parquet(parts.toIndexedSeq: _*)
+        val crossDrops = Dedup
+          .incrementalNearDups(sigs, store, idCol, threshold)
+          .select(col("batch_id").as(idCol))
+        val withinDrops = Dedup
+          .incrementalNearDups(sigs, sigs, idCol, threshold)
+          .filter(col("batch_id") > col("corpus_id"))
+          .select(col("batch_id").as(idCol))
+        val dropIds = crossDrops.unionByName(withinDrops).distinct()
+          .localCheckpoint(false) // consumed by both anti-joins below
+        val survivors = batch.join(dropIds, Seq(idCol), "left_anti")
+        sigs.join(dropIds, Seq(idCol), "left_anti")
+          .write.mode("overwrite").parquet(s"$storePath/batch_$batchId")
+        onBatch(survivors, batchId)
+        ()
+      }
       .start()
 }

@@ -263,4 +263,50 @@ class StreamingSpec extends SparkSpec {
     assert(math.abs(norms.getDouble(0) - 1.0) < 1e-5)
     assert(math.abs(norms.getDouble(1) - 1.0) < 1e-5)
   }
+
+  test("streamNearDupIngest drops near-dups of the persisted store across micro-batches") {
+    import spark.implicits._
+    val in = Files.createTempDirectory("graft_nd_in_").toString
+    val store = Files.createTempDirectory("graft_nd_store_").toString + "/sigs"
+    val ckpt = Files.createTempDirectory("graft_nd_ckpt_").toString + "/c"
+
+    def mkStream() = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text",
+          org.apache.spark.sql.types.StringType))))
+      .option("maxFilesPerTrigger", 1)
+      .parquet(in)
+
+    val survived = scala.collection.mutable.ArrayBuffer[Long]()
+    def run(q: org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+      q.processAllAvailable(); q.stop()
+    }
+    def start() = Streaming.streamNearDupIngest(mkStream(), "doc_id", "text",
+      store, ckpt, 0.5) { (batch, _) =>
+      survived ++= batch.select("doc_id").collect().map(_.getLong(0))
+    }
+
+    // batch 1: two distinct docs + a within-batch near-dup of the first
+    Seq((1L, "the quick brown fox jumps over the lazy dog tonight"),
+        (2L, "completely different content about spark shuffle plans"),
+        (3L, "the quick brown fox jumps over the lazy dog tonight"))
+      .toDF("doc_id", "text").coalesce(1).write.mode("overwrite").parquet(in)
+    run(start())
+    assert(survived.sorted == Seq(1L, 2L), s"batch1 survivors: $survived")
+
+    // batch 2 (after a stop/restart): a near-dup of doc 1 and a fresh doc
+    Seq((10L, "the quick brown fox jumps over the lazy dog tonight again"),
+        (11L, "entirely novel text mentioning window aggregation tricks today"))
+      .toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(in)
+    run(start())
+    assert(survived.sorted == Seq(1L, 2L, 11L),
+      s"cross-batch near-dup must drop vs the STORE (no text re-read): $survived")
+
+    // the store holds exactly the survivors' signatures
+    val stored = spark.read.parquet(s"$store/*").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(stored == Set(1L, 2L, 11L), s"store: $stored")
+  }
 }
