@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.expressions.FloatVectorExpressions.dotF
 import graft.expressions.TextHashExpressions.{minhashSigF, simhash32F}
 import graft.functions.{HashFunctions, TextFunctions => T, VectorFunctions => V}
-import graft.operators.{Ann, AsofJoin, Bm25, Classifier, Curation, Dedup, Multimodal, Packing, Rerank, Sampling, SkewJoin, TopK}
+import graft.operators.{Ann, AsofJoin, Bm25, Classifier, Curation, Dedup, Multimodal, Packing, Rerank, Sampling, SkewJoin, TopK, TrigramLm}
 import graft.sources.{Layout, Tables}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -783,6 +783,18 @@ object SparkEntry {
           round(when($"st".getField("total_chars") === 0, lit(0.0))
             .otherwise($"st".getField("rep_chars").cast("double") /
               $"st".getField("total_chars").cast("double")), 4).as("rep_char_frac"))
+        .orderBy($"doc_id")
+    }),
+
+    // Perplexity filtering (operators/TrigramLm): char-trigram LM with
+    // add-one smoothing trained on the corpus, per-doc mean negative
+    // log-likelihood in integer micro-units — the CCNet/LLaMA-style
+    // statistical quality gate. The model is bounded (≤ ~50k trigrams)
+    // so it broadcasts at any corpus size.
+    "q_trigram_lm" -> ((s, dir) => {
+      import s.implicits._
+      val docs = spread(s, t(s, dir, "documents"))
+      TrigramLm.score(docs, "doc_id", "text", TrigramLm.train(docs, "text"))
         .orderBy($"doc_id")
     }),
 
@@ -1930,6 +1942,31 @@ object SparkEntry {
         |                         ELSE 0 END)), 0)::DOUBLE
         |           / list_sum(list_transform(toks, x -> length(x)))::DOUBLE END, 4) AS rep_char_frac
         |FROM g ORDER BY doc_id""".stripMargin,
+
+    "q_trigram_lm" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+        |         ' +', ' ', 'g')) AS nt
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(generate_series(1, length(nt) - 2),
+        |      i -> substr(nt, i, 3))) AS tri
+        |  FROM d WHERE length(nt) >= 3),
+        |c AS (SELECT tri, COUNT(*) AS cnt FROM g GROUP BY tri),
+        |st AS (SELECT SUM(cnt)::DOUBLE AS total, COUNT(*)::DOUBLE AS v FROM c),
+        |m AS (
+        |  SELECT tri,
+        |    CAST(ROUND(ROUND(ln((cnt::DOUBLE + 1.0) / (st.total + st.v)), 6)
+        |         * 1000000) AS BIGINT) AS lp
+        |  FROM c CROSS JOIN st),
+        |s AS (
+        |  SELECT g.doc_id, COUNT(*) AS n_tri, SUM(m.lp) AS lsum
+        |  FROM g JOIN m USING (tri) GROUP BY g.doc_id)
+        |SELECT doc_id, CAST(n_tri AS BIGINT) AS n_tri,
+        |  ROUND((-lsum)::DOUBLE / 1000000.0 / n_tri::DOUBLE, 4) + 0.0 AS nll
+        |FROM s ORDER BY doc_id""".stripMargin,
 
     "q_quality_classifier" ->
       """WITH d AS (
