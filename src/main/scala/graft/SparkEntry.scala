@@ -2169,10 +2169,15 @@ object SparkEntry {
     "q_incremental_neardup" -> ((s, dir) => {
       import s.implicits._
       val docs = t(s, dir, "documents")
+      // both sides are freshly computed and consumed twice inside
+      // incrementalNearDups → materialize once (see its scaladoc; a
+      // real deployment reads the corpus side from the parquet store)
       val corpus = Dedup.signatureStore(
         spread(s, docs.filter(pmod($"doc_id", lit(2)) === 0)), "doc_id", "text")
+        .localCheckpoint(false)
       val batch = Dedup.signatureStore(
         spread(s, docs.filter(pmod($"doc_id", lit(2)) === 1)), "doc_id", "text")
+        .localCheckpoint(false)
       Dedup.incrementalNearDups(batch, corpus, "doc_id", 0.5)
         .orderBy($"batch_id", $"corpus_id")
     }),

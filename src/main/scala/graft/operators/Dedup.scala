@@ -288,6 +288,10 @@ object Dedup {
     */
   def incrementalNearDups(batchSigs: DataFrame, corpusSigs: DataFrame,
                           idCol: String, threshold: Double = 0.5): DataFrame = {
+    // NOTE each side is consumed twice (band explode + signature
+    // lookup): a parquet-backed store re-reads for free, but a freshly
+    // COMPUTED side should be localCheckpoint'd by the caller or its
+    // shingle/minhash kernels run once per consumer (~2×, measured).
     val bBands = batchSigs.select(col(idCol).as("batch_id"),
       posexplode(col("bands")).as(Seq("band_idx", "bh")))
     val cBands = corpusSigs.select(col(idCol).as("corpus_id"),
