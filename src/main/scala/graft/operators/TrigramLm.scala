@@ -64,6 +64,9 @@ object TrigramLm {
   def score(docs: DataFrame, idCol: String, textCol: String,
             counts: DataFrame): DataFrame = {
     val stats = counts.agg(sum(col("cnt")), count(lit(1))).head
+    if (stats.isNullAt(0)) // empty model (no trainable text) → nothing to score
+      return docs.select(col(idCol), lit(0L).as("n_tri"),
+        lit(0.0).as("nll")).limit(0)
     val total = stats.getLong(0).toDouble
     val v = stats.getLong(1).toDouble
     // micro-units: round(ln(p), 6) · 10⁶ as an exact integer

@@ -278,9 +278,10 @@ object Streaming {
         val spark = batch.sparkSession
         val sigs = Dedup.signatureStore(batch, idCol, textCol)
           .localCheckpoint(false) // consumed by 2 dedup joins + the append
-        val fs = org.apache.hadoop.fs.FileSystem.get(
-          spark.sparkContext.hadoopConfiguration)
         val root = new org.apache.hadoop.fs.Path(storePath)
+        // resolve against the PATH's filesystem (an object-store path
+        // must not resolve against the default FS)
+        val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
         val parts =
           if (fs.exists(root))
             fs.listStatus(root).filter(_.isDirectory)
