@@ -837,6 +837,26 @@ object SparkEntry {
         .orderBy($"doc_id")
     }),
 
+    // CCNet-style corpus-wide paragraph dedup (Dedup.stripBoilerplate):
+    // lines repeating >= 3 times ACROSS the corpus (newsletter chrome,
+    // footers) are stripped from every page; unique content survives in
+    // order. Pages are synthesized deterministically (fixture text has
+    // no newlines): two universal boilerplate lines, a per-doc-unique
+    // line, and a thirds-rotated line.
+    "q_boilerplate" -> ((s, dir) => {
+      import s.implicits._
+      val pages = spread(s, t(s, dir, "documents"))
+        .withColumn("page", concat_ws("\n",
+          lit("subscribe to our newsletter today"),
+          concat(substring($"text", 1, 50), lit(" #"), $"doc_id"),
+          when(pmod($"doc_id", lit(3)) === 0, lit("promo code spark"))
+            .otherwise(concat(substring($"text", 51, 60), lit(" tail"))),
+          lit("all rights reserved")))
+        .select($"doc_id", $"page")
+      Dedup.stripBoilerplate(pages, "doc_id", "page", 3)
+        .orderBy($"doc_id")
+    }),
+
     // PII redaction for corpus cleaning: emails/IPv4s/phone-shaped runs →
     // typed placeholders, plus the per-doc audit count. The fixture text
     // carries no PII, so each doc gets a deterministic synthetic
@@ -2011,6 +2031,38 @@ object SparkEntry {
         |  (NOT contains(lower(page), 'lorem ipsum') AND NOT contains(page, '{')
         |   AND len(kept) >= 2) AS page_ok
         |FROM k ORDER BY doc_id""".stripMargin,
+
+    "q_boilerplate" ->
+      """WITH pages AS (
+        |  SELECT doc_id,
+        |    concat_ws(chr(10),
+        |      'subscribe to our newsletter today',
+        |      substr(text, 1, 50) || ' #' || doc_id::VARCHAR,
+        |      CASE WHEN doc_id % 3 = 0 THEN 'promo code spark'
+        |           ELSE substr(text, 51, 60) || ' tail' END,
+        |      'all rights reserved') AS page
+        |  FROM documents),
+        |h AS (
+        |  SELECT doc_id, pos, line,
+        |         ('0x'||substr(md5(trim(line)),1,15))::BIGINT AS lh
+        |  FROM (
+        |    SELECT doc_id,
+        |      unnest(generate_series(0, len(string_split(page, chr(10))) - 1)) AS pos,
+        |      unnest(string_split(page, chr(10))) AS line
+        |    FROM pages)),
+        |f AS (SELECT lh FROM h GROUP BY lh HAVING COUNT(*) >= 3),
+        |tot AS (SELECT doc_id, COUNT(*) AS tot FROM h GROUP BY doc_id),
+        |k AS (
+        |  SELECT doc_id,
+        |    array_to_string(list(line ORDER BY pos), chr(10)) AS clean,
+        |    COUNT(*) AS n_kept
+        |  FROM h WHERE lh NOT IN (SELECT lh FROM f)
+        |  GROUP BY doc_id)
+        |SELECT t.doc_id,
+        |  COALESCE(k.clean, '') AS clean,
+        |  CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept,
+        |  CAST(t.tot - COALESCE(k.n_kept, 0) AS BIGINT) AS n_removed
+        |FROM tot t LEFT JOIN k USING (doc_id) ORDER BY t.doc_id""".stripMargin,
 
     "q_pii_redact" ->
       """WITH d AS (

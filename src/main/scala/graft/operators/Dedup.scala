@@ -254,6 +254,49 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** CCNet-style paragraph (line) deduplication: strip from every
+    * document the lines that repeat at least `minRepeats` times across
+    * the CORPUS — navigation chrome, cookie banners, footers — while
+    * keeping each document's unique content in original order. This is
+    * the corpus-wide cleaning tier BETWEEN C4's per-page line heuristics
+    * and document-level dedup: a line can be locally plausible yet
+    * boilerplate because half the crawl carries it.
+    *
+    * Scale shape: lines fold to 60-bit hashes; the count aggregation is
+    * map-side combined (shuffle carries (8-byte hash, partial count));
+    * the strip is a left-anti join of the exploded lines against the
+    * (rare) frequent-hash set; reassembly is one groupBy(id) whose
+    * sort key is the original line position. Returns
+    * (idCol, clean, n_kept, n_removed).
+    */
+  def stripBoilerplate(docs: DataFrame, idCol: String, textCol: String,
+                       minRepeats: Long = 3): DataFrame = {
+    val id = col(idCol)
+    val lines = docs
+      .select(id, posexplode(split(col(textCol), "\n")).as(Seq("__pos", "__line")))
+      .withColumn("__lh", hash60(trim(col("__line"))))
+      .localCheckpoint(false) // consumed by the count agg AND the strip join
+    val frequent = lines
+      .groupBy(col("__lh")).agg(count(lit(1)).as("__n"))
+      .filter(col("__n") >= minRepeats)
+      .select(col("__lh"))
+    val total = lines.groupBy(id).agg(count(lit(1)).as("__tot"))
+    val kept = lines.join(frequent, Seq("__lh"), "left_anti")
+      .groupBy(id)
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(struct(col("__pos"), col("__line")))),
+          s => s.getField("__line")), "\n").as("clean"),
+        count(lit(1)).as("n_kept"))
+    // left from totals: a doc whose EVERY line is boilerplate still
+    // comes back (clean = "", all lines removed)
+    total.join(kept, Seq(idCol), "left")
+      .select(id,
+        coalesce(col("clean"), lit("")).as("clean"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("__tot") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
+  }
+
   /** Per-document MinHash signature + LSH band hashes — the columns a
     * corpus SNAPSHOT persists (id, sig, bands; ~(k+bands)·8 bytes per
     * doc) so later crawls can near-dup against the corpus without ever

@@ -295,6 +295,26 @@ class DedupSpec extends SparkSpec {
     assert(got == Map(0L -> 3L, 2L -> 1L))
   }
 
+  test("stripBoilerplate removes corpus-frequent lines, keeps unique content in order") {
+    val footer = "all rights reserved"
+    val pages = docs(
+      (0L, s"alpha one\n$footer\nalpha two"),
+      (1L, s"beta one\n$footer\nbeta two"),
+      (2L, s"gamma one\n$footer\ngamma two"),
+      (3L, footer)) // all-boilerplate page
+    val got = Dedup.stripBoilerplate(pages, "doc_id", "text", 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got(0L) == (("alpha one\nalpha two", 2L, 1L)))
+    assert(got(1L) == (("beta one\nbeta two", 2L, 1L)))
+    assert(got(2L) == (("gamma one\ngamma two", 2L, 1L)))
+    assert(got(3L) == (("", 0L, 1L)), "all-boilerplate doc must survive, emptied")
+    // below threshold nothing is stripped
+    val loose = Dedup.stripBoilerplate(pages, "doc_id", "text", 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(loose.values.forall(_ == 0L))
+  }
+
   test("incrementalNearDups flags batch docs colliding with stored corpus signatures") {
     val corpus = docs(
       (0L, "the quick brown fox jumps over the lazy dog tonight"),
