@@ -46,6 +46,9 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(rs.getInt(0) == 3 && rs.getInt(2) == 1, rs) // shingles: distinct
     assert((rs2.getInt(0), rs2.getInt(1), rs2.getInt(2),
       rs2.getLong(3), rs2.getLong(4)) == ((4, 3, 2, 2L, 4L)), rs2)
+
+    val tri = spark.sql("SELECT graft_trigrams('Ab, cd!') AS t").head.getSeq[String](0)
+    assert(tri == Seq("ab ", "b c", " cd"), tri)
   }
 
   test("non-literal size argument is rejected with a clear error") {
