@@ -88,6 +88,32 @@ object Profile {
       }
     }
 
+    // incremental near-dup probe: the SAME 10% batch against a 1× and a
+    // 10× signature store (stores pre-materialized — they are persisted
+    // snapshots in deployment). Cost should track batch size +
+    // band-bucket collisions, not store size: only colliding store rows
+    // join.
+    {
+      val batch = docs.filter($"doc_id" % 10 === 1).repartition(32)
+      val batchSigs = Dedup.signatureStore(batch, "doc_id", "text")
+        .localCheckpoint() // eager
+      val store1 = Dedup.signatureStore(docs.repartition(32), "doc_id", "text")
+        .localCheckpoint()
+      time("I1 incremental neardup vs 1x store")(
+        println("  pairs=" +
+          Dedup.incrementalNearDups(batchSigs, store1, "doc_id", 0.5).count()))
+      val big10 = (0 until 10).map(i =>
+          docs.select(($"doc_id" + lit(i * 1000000L)).as("doc_id"),
+            concat($"text", lit(s" v$i")).as("text")))
+        .reduce(_ unionByName _)
+        .repartition(32)
+      val store10 = Dedup.signatureStore(big10, "doc_id", "text")
+        .localCheckpoint()
+      time("I10 incremental neardup vs 10x store")(
+        println("  pairs10x=" +
+          Dedup.incrementalNearDups(batchSigs, store10, "doc_id", 0.5).count()))
+    }
+
     // curation pipeline scale probe: 1× vs 10× corpus — growth should
     // track docs (scan stages) + true-duplicate pairs (LSH tier), not
     // corpus²
