@@ -38,7 +38,8 @@ object Bench {
     "q_substring_dedup", "q_bloom_decontaminate", "q_ann_ivfpq",
     "q_token_mixture", "q_incremental_dedup", "q_c4_clean",
     "q_sq_search", "q_quality_classifier", "q_incremental_neardup",
-    "q_rerank", "q_vocab_topn", "q_trigram_lm", "q_boilerplate")
+    "q_rerank", "q_vocab_topn", "q_trigram_lm", "q_boilerplate",
+    "q_semantic_dedup")
 
   /** Force FULL materialization of every output column: xxhash64 over all
     * columns, summed. `.count()` alone under-measures — Catalyst prunes

@@ -966,6 +966,32 @@ object SparkEntry {
         .orderBy($"id_a", $"id_b")
     }),
 
+    // SemDeDup (Abbas et al. 2023): semantic dedup at scale — k-means
+    // cells bound the pairwise search, so the O(n²) cosine join runs
+    // only WITHIN each cell (cluster-then-dedup; the embedding analog of
+    // LSH bucketing). Composes Ann.ivfAssign (zero-shuffle argmax) with
+    // the quantized pairwise cosine; emits within-cell near-dup pairs.
+    "q_semantic_dedup" -> ((s, dir) => {
+      import s.implicits._
+      val e = t(s, dir, "embeddings")
+      val cents = e.filter($"vec_id" < 16)
+        .select($"vec_id".as("cent_id"), $"embedding".as("cvec"))
+      val assigned = Ann.ivfAssign(spread(s, e), cents,
+          "vec_id", "embedding", "cent_id", "cvec")
+        .select($"vec_id", $"cell_id", $"embedding",
+          greatest(sqrt(dotF($"embedding", $"embedding")), lit(V.NormEps)).as("nrm"))
+        .localCheckpoint(false) // both self-join sides consume this
+      val a = assigned.select($"cell_id", $"vec_id".as("id_a"),
+        $"embedding".as("ea"), $"nrm".as("na"))
+      val b = assigned.select($"cell_id", $"vec_id".as("id_b"),
+        $"embedding".as("eb"), $"nrm".as("nb"))
+      a.join(b, Seq("cell_id")).filter($"id_a" < $"id_b")
+        .withColumn("score", score4(dotF($"ea", $"eb") / ($"na" * $"nb")))
+        .filter($"score" >= 0.4)
+        .select($"cell_id", $"id_a", $"id_b", $"score")
+        .orderBy($"id_a", $"id_b")
+    }),
+
     // Word-2-gram Jaccard near-dup pairs, blocked by source.
     "q_ngram_jaccard" -> ((s, dir) => {
       import s.implicits._
@@ -1197,6 +1223,38 @@ object SparkEntry {
   )
 
   private def dedupOracles: Map[String, String] = Map(
+
+    "q_semantic_dedup" ->
+      """WITH cents AS (
+        |  SELECT vec_id AS cent_id, embedding AS cvec FROM embeddings WHERE vec_id < 16),
+        |pc AS (
+        |  SELECT e.vec_id, c.cent_id,
+        |         unnest(e.embedding)::DOUBLE x, unnest(c.cvec)::DOUBLE y
+        |  FROM embeddings e CROSS JOIN cents c),
+        |pagg AS (SELECT vec_id, cent_id, SUM(x*y) dp, SUM(x*x) nx2, SUM(y*y) ny2
+        |         FROM pc GROUP BY vec_id, cent_id),
+        |psc AS (SELECT vec_id, cent_id,
+        |          ROUND(dp/(GREATEST(SQRT(nx2),1e-12)*GREATEST(SQRT(ny2),1e-12)), 6) c
+        |        FROM pagg),
+        |assign AS (
+        |  SELECT vec_id, cent_id AS cell_id FROM (
+        |    SELECT vec_id, cent_id,
+        |           row_number() OVER (PARTITION BY vec_id ORDER BY c DESC, cent_id) rn
+        |    FROM psc) WHERE rn = 1),
+        |p AS (
+        |  SELECT xa.cell_id, a.vec_id ia, b.vec_id ib,
+        |         unnest(a.embedding)::DOUBLE x, unnest(b.embedding)::DOUBLE y
+        |  FROM embeddings a JOIN assign xa ON a.vec_id = xa.vec_id
+        |  JOIN assign xb ON xb.cell_id = xa.cell_id
+        |  JOIN embeddings b ON b.vec_id = xb.vec_id AND a.vec_id < b.vec_id),
+        |agg AS (SELECT cell_id, ia, ib, SUM(x*y) dp, SUM(x*x) nx2, SUM(y*y) ny2
+        |        FROM p GROUP BY cell_id, ia, ib),
+        |sc AS (SELECT cell_id, ia, ib,
+        |         ROUND(dp/(GREATEST(SQRT(nx2),1e-12)*GREATEST(SQRT(ny2),1e-12)), 4)
+        |           + 0.0 AS score
+        |       FROM agg)
+        |SELECT cell_id, ia AS id_a, ib AS id_b, score
+        |FROM sc WHERE score >= 0.4 ORDER BY id_a, id_b""".stripMargin,
 
     "q_embed_neardup" ->
       """WITH p AS (
