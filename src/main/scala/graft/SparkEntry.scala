@@ -595,6 +595,45 @@ object SparkEntry {
         .select($"vec_id", $"score")
     }),
 
+    // Binary-quantization search: 32-bit SRP sign sketch per vector
+    // (32x+ compression), candidates by Hamming distance on the sketch
+    // (popcount of XOR — the cheapest possible scan), exact-cosine
+    // rerank of the bounded candidate set. The modern BQ+rescore
+    // pattern; composes the SRP kernel with a two-stage k-bounded plan.
+    "q_bq_search" -> ((s, dir) => {
+      import s.implicits._
+      val e = t(s, dir, "embeddings")
+      val sk = spread(s, e).withColumn("sketch",
+          element_at(graft.expressions.SrpExpression.srpBandsF(
+            $"embedding", 1, 32, 7L), 1))
+        .localCheckpoint(false) // query-row lookup + candidate scan
+      val qrow = sk.filter($"vec_id" === 42)
+        .select($"sketch", $"embedding").head
+      val qsk = qrow.getLong(0)
+      val qv = qrow.getSeq[Float](1)
+      sk.withColumn("ham",
+          bit_count($"sketch".bitwiseXOR(lit(qsk))).cast("long"))
+        .orderBy($"ham".asc, $"vec_id".asc).limit(100)
+        .withColumn("score", score6(V.cosine($"embedding", typedLit(qv))))
+        .orderBy($"score".desc, $"vec_id".asc).limit(10)
+        .select($"vec_id", $"ham", $"score")
+    }),
+
+    // Matryoshka (MRL) truncated-dimension search: score on the FIRST
+    // 16 of 64 dims (cosine over the slice) — the
+    // truncate-and-renormalize trade MRL-trained embeddings support,
+    // cutting scan FLOPs 4x at modest recall cost.
+    "q_mrl_search" -> ((s, dir) => {
+      import s.implicits._
+      val e = t(s, dir, "embeddings")
+      val qv = e.filter($"vec_id" === 42).head.getSeq[Float](1)
+      val scored = spread(s, e)
+        .withColumn("score",
+          score6(V.cosine(slice($"embedding", 1, 16), typedLit(qv.take(16)))))
+      TopK.topK(scored, $"score", $"vec_id", 10)
+        .select($"vec_id", $"score")
+    }),
+
     // Scalar-quantized (SQ8) search: per-dimension [min,max] train, one
     // byte per dimension (4x compression), asymmetric midpoint-dequant
     // scoring against the raw query in integer micro-units. The
@@ -1663,6 +1702,48 @@ object SparkEntry {
          |       CAST($terms AS BIGINT) AS zval
          |FROM x ORDER BY l_orderkey, l_linenumber""".stripMargin
     },
+
+    "q_bq_search" ->
+      """WITH v AS (
+        |  SELECT vec_id, embedding,
+        |    CAST(list_sum(list_transform(generate_series(0, 31), bit ->
+        |      CASE WHEN list_sum(list_transform(generate_series(1, len(embedding)), i ->
+        |          embedding[i]::DOUBLE *
+        |          ((('0x' || substr(md5('7:' || bit || ':' || (i-1)), 1, 15))::BIGINT
+        |            % 1000000) / 1000000.0 - 0.5))) > 0
+        |           THEN CAST(2**bit AS BIGINT) ELSE 0 END)) AS BIGINT) AS sketch
+        |  FROM embeddings),
+        |q AS (SELECT sketch AS qsk, embedding AS qe FROM v WHERE vec_id = 42),
+        |cand AS (
+        |  SELECT v.vec_id, v.embedding,
+        |         CAST(bit_count(xor(v.sketch, q.qsk)) AS BIGINT) AS ham
+        |  FROM v CROSS JOIN q
+        |  ORDER BY ham, vec_id LIMIT 100),
+        |p AS (
+        |  SELECT c.vec_id, c.ham,
+        |         unnest(c.embedding)::DOUBLE x, unnest(q.qe)::DOUBLE y
+        |  FROM cand c CROSS JOIN q),
+        |agg AS (SELECT vec_id, ham, SUM(x*y) dp, SUM(x*x) nx2, SUM(y*y) ny2
+        |        FROM p GROUP BY vec_id, ham),
+        |sc AS (SELECT vec_id, ham,
+        |         ROUND(dp/(GREATEST(SQRT(nx2),1e-12)*GREATEST(SQRT(ny2),1e-12)), 6)
+        |           + 0.0 AS score
+        |       FROM agg)
+        |SELECT vec_id, ham, score FROM sc ORDER BY score DESC, vec_id LIMIT 10""".stripMargin,
+
+    "q_mrl_search" ->
+      """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 42),
+        |p AS (
+        |  SELECT e.vec_id,
+        |         unnest(e.embedding[1:16])::DOUBLE x, unnest(q.qe[1:16])::DOUBLE y
+        |  FROM embeddings e CROSS JOIN q),
+        |agg AS (SELECT vec_id, SUM(x*y) dp, SUM(x*x) nx2, SUM(y*y) ny2
+        |        FROM p GROUP BY vec_id),
+        |sc AS (SELECT vec_id,
+        |         ROUND(dp/(GREATEST(SQRT(nx2),1e-12)*GREATEST(SQRT(ny2),1e-12)), 6)
+        |           + 0.0 AS score
+        |       FROM agg)
+        |SELECT vec_id, score FROM sc ORDER BY score DESC, vec_id LIMIT 10""".stripMargin,
 
     "q_sq_search" ->
       """WITH x AS (
