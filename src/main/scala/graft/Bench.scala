@@ -39,7 +39,7 @@ object Bench {
     "q_token_mixture", "q_incremental_dedup", "q_c4_clean",
     "q_sq_search", "q_quality_classifier", "q_incremental_neardup",
     "q_rerank", "q_vocab_topn", "q_trigram_lm", "q_boilerplate",
-    "q_semantic_dedup", "q_bq_search", "q_mrl_search")
+    "q_semantic_dedup", "q_bq_search", "q_mrl_search", "q_late_interaction")
 
   /** Force FULL materialization of every output column: xxhash64 over all
     * columns, summed. `.count()` alone under-measures — Catalyst prunes

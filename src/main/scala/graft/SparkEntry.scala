@@ -619,6 +619,33 @@ object SparkEntry {
         .select($"vec_id", $"ham", $"score")
     }),
 
+    // ColBERT-style late interaction (MaxSim): treat the 64-dim vector
+    // as 4 × 16-dim "token vectors"; score = Σ over query slices of the
+    // max slice-cosine against any doc slice. Pure per-row projection
+    // (16 codegen dots/row); per-slice maxima quantize to micro-units
+    // before the fixed-order sum so both engines total identically.
+    "q_late_interaction" -> ((s, dir) => {
+      import s.implicits._
+      val e = t(s, dir, "embeddings")
+      val qv = e.filter($"vec_id" === 42).head.getSeq[Float](1)
+      def dslice(dj: Int) = slice($"embedding", dj * 16 + 1, 16)
+      def dnorm(dj: Int) =
+        greatest(sqrt(dotF(dslice(dj), dslice(dj))), lit(V.NormEps))
+      val perQuerySlice = (0 until 4).map { qi =>
+        val qs = qv.slice(qi * 16, qi * 16 + 16)
+        val qn = math.max(math.sqrt(qs.map(x => x.toDouble * x.toDouble).sum),
+          V.NormEps)
+        val maxCos = greatest((0 until 4).map(dj =>
+          round(dotF(dslice(dj), typedLit(qs)) / (dnorm(dj) * lit(qn)), 6)): _*)
+        round(maxCos * 1000000).cast("long")
+      }
+      val scored = spread(s, e).withColumn("score",
+        round(perQuerySlice.reduce(_ + _).cast("double") / 1000000.0, 6)
+          + lit(0.0))
+      TopK.topK(scored, $"score", $"vec_id", 10)
+        .select($"vec_id", $"score")
+    }),
+
     // Matryoshka (MRL) truncated-dimension search: score on the FIRST
     // 16 of 64 dims (cosine over the slice) — the
     // truncate-and-renormalize trade MRL-trained embeddings support,
@@ -1730,6 +1757,28 @@ object SparkEntry {
         |           + 0.0 AS score
         |       FROM agg)
         |SELECT vec_id, ham, score FROM sc ORDER BY score DESC, vec_id LIMIT 10""".stripMargin,
+
+    "q_late_interaction" ->
+      """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 42),
+        |grid AS (
+        |  SELECT a.qi, b.dj FROM (SELECT unnest(generate_series(0,3)) qi) a
+        |  CROSS JOIN (SELECT unnest(generate_series(0,3)) dj) b),
+        |cs AS (
+        |  SELECT e.vec_id, g.qi, g.dj,
+        |    ROUND(
+        |      list_sum(list_transform(generate_series(1,16), i ->
+        |        e.embedding[g.dj*16+i]::DOUBLE * q.qe[g.qi*16+i]::DOUBLE))
+        |      / (GREATEST(SQRT(list_sum(list_transform(generate_series(1,16), i ->
+        |           e.embedding[g.dj*16+i]::DOUBLE * e.embedding[g.dj*16+i]::DOUBLE))), 1e-12)
+        |       * GREATEST(SQRT(list_sum(list_transform(generate_series(1,16), i ->
+        |           q.qe[g.qi*16+i]::DOUBLE * q.qe[g.qi*16+i]::DOUBLE))), 1e-12)), 6) AS c
+        |  FROM embeddings e CROSS JOIN q CROSS JOIN grid g),
+        |mx AS (SELECT vec_id, qi, CAST(ROUND(MAX(c) * 1000000, 0) AS BIGINT) AS m
+        |       FROM cs GROUP BY vec_id, qi),
+        |sc AS (SELECT vec_id,
+        |         ROUND(CAST(SUM(m) AS BIGINT)::DOUBLE / 1000000.0, 6) + 0.0 AS score
+        |       FROM mx GROUP BY vec_id)
+        |SELECT vec_id, score FROM sc ORDER BY score DESC, vec_id LIMIT 10""".stripMargin,
 
     "q_mrl_search" ->
       """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 42),
