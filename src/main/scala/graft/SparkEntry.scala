@@ -2337,6 +2337,18 @@ object SparkEntry {
 
   private def extraQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // DSIR importance resampling (Xie et al. 2023): tilt the corpus
+    // toward a target domain (here source = 'src0') by hashed-unigram
+    // log importance weight; top-100 selected. B-bounded stats ride
+    // back as literals — no corpus-sized shuffle (Sampling scaladoc).
+    "q_dsir_sample" -> ((s, dir) => {
+      import s.implicits._
+      val w = Sampling.dsirWeights(spread(s, t(s, dir, "documents")),
+        "doc_id", "text", $"source" === "src0", buckets = 64)
+      TopK.topK(w, $"dsir_w", $"doc_id", 100)
+        .select($"doc_id", $"dsir_w")
+    }),
+
     // The SQL surface: same engine, spark.sql text in, DataFrame out
     // (fixture tables registered as temp views; Catalyst plans SQL and
     // DataFrame formulations identically).
@@ -2652,6 +2664,32 @@ object SparkEntry {
   )
 
   private def extraOracles: Map[String, String] = Map(
+
+    "q_dsir_sample" ->
+      """WITH base AS (
+        |  SELECT doc_id, (source = 'src0') AS t,
+        |    CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+        |         ELSE string_split_regex(trim(lower(text)), '\s+') END AS toks
+        |  FROM documents),
+        |tk AS (SELECT doc_id, t, unnest(toks) AS tok FROM base),
+        |b AS (SELECT doc_id, t,
+        |        ('0x'||substr(md5(tok),1,15))::BIGINT % 64 AS bkt FROM tk),
+        |agg AS (SELECT bkt, COUNT(*) AS cr,
+        |          SUM(CASE WHEN t THEN 1 ELSE 0 END) AS ct
+        |        FROM b GROUP BY bkt),
+        |tot AS (SELECT SUM(cr)::DOUBLE + 64 AS tr, SUM(ct)::DOUBLE + 64 AS tt
+        |        FROM agg),
+        |lr AS (SELECT bkt,
+        |         CAST(ROUND(LN(((ct + 1)::DOUBLE / tt) /
+        |                       ((cr + 1)::DOUBLE / tr)) * 1000000, 0) AS BIGINT)
+        |           AS m
+        |       FROM agg, tot),
+        |w AS (SELECT b.doc_id, SUM(lr.m) AS micro
+        |      FROM b JOIN lr USING (bkt) GROUP BY b.doc_id)
+        |SELECT d.doc_id,
+        |       ROUND(COALESCE(w.micro, 0)::DOUBLE / 1000000.0, 6) + 0.0 AS dsir_w
+        |FROM documents d LEFT JOIN w ON d.doc_id = w.doc_id
+        |ORDER BY dsir_w DESC, d.doc_id LIMIT 100""".stripMargin,
 
     "q_sql_agg" ->
       """SELECT o_orderpriority, COUNT(*) AS n,

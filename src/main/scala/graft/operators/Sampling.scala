@@ -89,6 +89,71 @@ object Sampling {
     }
   }
 
+  /** DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"): score every raw
+    * document by how much more likely its hashed-unigram bag is under
+    * the TARGET distribution (rows where `isTarget`) than under the raw
+    * corpus distribution —
+    *   w(d) = Σ_tok log( p_target(bucket(tok)) / p_raw(bucket(tok)) )
+    * with add-one smoothing over `buckets` hashed vocabulary buckets.
+    * Selecting the top-w docs tilts a web-scale corpus toward a small
+    * high-quality target (the wiki/books trick) without training a
+    * classifier.
+    *
+    * Scale shape: the two bucket distributions are B-bounded — the
+    * count aggregation is map-side combined (shuffle carries (bucket,
+    * partial count) × partitions rows) and collapses to B driver rows;
+    * the per-bucket log-ratios ride back into the scoring scan as one
+    * literal array, so scoring is a pure per-row projection (exact
+    * integer micro-unit sum over the token array — order-proof) with a
+    * k-bounded top-k reduction. No corpus-sized shuffle anywhere, at
+    * any corpus size. Bucket hashing reuses the md5-derived `hash60`
+    * (engine-replicable, seed-free), the same discipline as the
+    * reference's md5-mod-N routing (`coordinator/main.py:43-45`).
+    *
+    * Returns (idCol, dsir_w) — weight rounded to 6 decimals; blank
+    * docs weigh 0.
+    */
+  def dsirWeights(docs: DataFrame, idCol: String, textCol: String,
+                  isTarget: Column, buckets: Int = 64): DataFrame = {
+    require(buckets > 0, "buckets must be positive")
+    import graft.functions.{TextFunctions => T}
+    val id = col(idCol)
+    val bucketOf = (tok: Column) =>
+      pmod(Dedup.hash60(tok), lit(buckets.toLong))
+    val base = docs
+      .select(id, isTarget.as("__t"), T.tokens(lower(col(textCol))).as("__toks"))
+      .localCheckpoint(false) // consumed by the stats pass AND scoring
+    // one B-bounded aggregate → B driver rows: raw + target counts
+    val cr = new Array[Long](buckets)
+    val ct = new Array[Long](buckets)
+    base.select(col("__t"), explode(col("__toks")).as("__tok"))
+      .groupBy(bucketOf(col("__tok")).as("__b"))
+      .agg(count(lit(1)).as("cr"),
+        sum(col("__t").cast("long")).as("ct"))
+      .collect().foreach { r =>
+        cr(r.getLong(0).toInt) = r.getLong(1)
+        ct(r.getLong(0).toInt) = r.getLong(2)
+      }
+    val tr = cr.sum.toDouble + buckets
+    val tt = ct.sum.toDouble + buckets
+    // per-bucket log-ratio in integer micro-units (round AFTER the
+    // scale-up — HALF_UP matches DuckDB's away-from-zero ROUND(x, 0))
+    val lrMicro: Seq[Long] = (0 until buckets).map { b =>
+      val v = math.log(((ct(b) + 1).toDouble / tt) / ((cr(b) + 1).toDouble / tr))
+      java.math.BigDecimal.valueOf(v * 1e6)
+        .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+    }
+    val lrLit = typedLit(lrMicro)
+    base.select(id,
+      (round(
+        aggregate(
+          transform(col("__toks"),
+            tok => element_at(lrLit, (bucketOf(tok) + 1).cast("int"))),
+          lit(0L), (acc, x) => acc + x).cast("double") / 1000000.0,
+        6) + lit(0.0)).as("dsir_w"))
+  }
+
   private def hashGate(key: Column, rate: Column): Column =
     pmod(Dedup.hash60(key.cast("string")), lit(Denom)).cast("double") <
       rate * lit(Denom.toDouble)
