@@ -2337,6 +2337,24 @@ object SparkEntry {
 
   private def extraQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // MMR diversity reranking over a 50-candidate first stage: the
+    // greedy λ·rel − (1−λ)·maxSim selection runs driver-side on the
+    // k-bounded candidate list (Rerank.mmr scaladoc); relevance and
+    // pairwise cosines quantize round-6 before any comparison.
+    "q_mmr_rerank" -> ((s, dir) => {
+      import s.implicits._
+      val e = t(s, dir, "embeddings")
+      val qv = e.filter($"vec_id" === 7).head.getSeq[Float](1)
+      val qn = math.max(math.sqrt(qv.map(x => x.toDouble * x.toDouble).sum),
+        V.NormEps)
+      val scored = spread(s, e).select($"vec_id",
+        score6(dotF($"embedding", typedLit(qv)) /
+          (V.normSafe($"embedding") * lit(qn))).as("rel"),
+        $"embedding")
+      val cands = TopK.topK(scored, $"rel", $"vec_id", 50)
+      Rerank.mmr(cands, "vec_id", "rel", "embedding", 10, lambda = 0.7)
+    }),
+
     // DSIR importance resampling (Xie et al. 2023): tilt the corpus
     // toward a target domain (here source = 'src0') by hashed-unigram
     // log importance weight; top-100 selected. B-bounded stats ride
@@ -2664,6 +2682,48 @@ object SparkEntry {
   )
 
   private def extraOracles: Map[String, String] = Map(
+
+    "q_mmr_rerank" -> {
+      // cosine between two row-aliases' `embedding` lists, quantized
+      // round-6 — the same value the Spark side's codegen dot +
+      // normSafe + round produces
+      def cos(a: String, b: String): String =
+        s"""ROUND(list_sum(list_transform(generate_series(1,64), i ->
+           |      $a.embedding[i]::DOUBLE * $b.embedding[i]::DOUBLE))
+           |    / (GREATEST(SQRT(list_sum(list_transform(generate_series(1,64), i ->
+           |         $a.embedding[i]::DOUBLE * $a.embedding[i]::DOUBLE))), 1e-12)
+           |     * GREATEST(SQRT(list_sum(list_transform(generate_series(1,64), i ->
+           |         $b.embedding[i]::DOUBLE * $b.embedding[i]::DOUBLE))), 1e-12)), 6)""".stripMargin
+      // greedy steps 2..10 unrolled: each picks the argmax of
+      // λ·rel − (1−λ)·max sim-to-selected over the not-yet-selected.
+      // Pairwise sims are a separate CTE because DuckDB cannot
+      // correlate an outer column inside a list_transform lambda.
+      val steps = (2 to 10).map { r =>
+        s"""s$r AS MATERIALIZED (SELECT c.vec_id,
+           |  0.7 * c.rel - 0.3 * (SELECT MAX(s.sim) FROM sims s
+           |     WHERE s.va = c.vec_id
+           |       AND s.vb IN (SELECT vec_id FROM sel${r - 1}))
+           |    AS mmr, $r AS rank
+           |  FROM cands c WHERE c.vec_id NOT IN (SELECT vec_id FROM sel${r - 1})
+           |  ORDER BY mmr DESC, c.vec_id LIMIT 1),
+           |sel$r AS MATERIALIZED (SELECT vec_id FROM sel${r - 1}
+           |          UNION ALL SELECT vec_id FROM s$r)""".stripMargin
+      }.mkString(",\n")
+      val unions = (2 to 10).map(r => s"UNION ALL SELECT * FROM s$r")
+        .mkString(" ")
+      s"""WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 7),
+         |cands AS MATERIALIZED (SELECT e.vec_id, ${cos("e", "q")} + 0.0 AS rel, e.embedding
+         |          FROM embeddings e CROSS JOIN q
+         |          ORDER BY rel DESC, e.vec_id LIMIT 50),
+         |sims AS MATERIALIZED (SELECT a.vec_id AS va, b.vec_id AS vb, ${cos("a", "b")} AS sim
+         |         FROM cands a JOIN cands b ON a.vec_id <> b.vec_id),
+         |s1 AS MATERIALIZED (SELECT vec_id, rel AS mmr, 1 AS rank FROM cands
+         |       ORDER BY rel DESC, vec_id LIMIT 1),
+         |sel1 AS MATERIALIZED (SELECT vec_id FROM s1),
+         |$steps
+         |SELECT rank, vec_id, ROUND(mmr, 6) + 0.0 AS mmr
+         |FROM (SELECT * FROM s1 $unions) ORDER BY rank""".stripMargin
+    },
 
     "q_dsir_sample" ->
       """WITH base AS (
