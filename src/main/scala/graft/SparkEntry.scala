@@ -2337,6 +2337,19 @@ object SparkEntry {
 
   private def extraQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // Hard-negative mining (DPR-style training-data prep): per query,
+    // top-5 highest-cosine corpus items whose label differs — broadcast
+    // queries, scan-speed non-positive filter, k-bounded partial-agg
+    // top-k (Rerank.hardNegatives scaladoc).
+    "q_hard_negatives" -> ((s, dir) => {
+      import s.implicits._
+      val e = t(s, dir, "embeddings")
+      val qs = e.filter($"vec_id" % 50 === 0)
+        .select($"vec_id".as("qid"), $"embedding".as("qe"), $"label".as("ql"))
+      Rerank.hardNegatives(spread(s, e), qs, "vec_id", "embedding", "label",
+        "qid", "qe", "ql", k = 5)
+    }),
+
     // MMR diversity reranking over a 50-candidate first stage: the
     // greedy λ·rel − (1−λ)·maxSim selection runs driver-side on the
     // k-bounded candidate list (Rerank.mmr scaladoc); relevance and
@@ -2682,6 +2695,29 @@ object SparkEntry {
   )
 
   private def extraOracles: Map[String, String] = Map(
+
+    "q_hard_negatives" ->
+      """WITH qs AS (SELECT vec_id AS qid, embedding AS qe, label AS ql
+        |            FROM embeddings WHERE vec_id % 50 = 0),
+        |pairs AS (
+        |  SELECT q.qid, e.vec_id,
+        |         unnest(e.embedding)::DOUBLE AS x, unnest(q.qe)::DOUBLE AS y
+        |  FROM embeddings e CROSS JOIN qs q
+        |  WHERE e.label <> q.ql AND e.vec_id <> q.qid),
+        |agg AS (
+        |  SELECT qid, vec_id, SUM(x*y) AS dp, SUM(x*x) AS nx2, SUM(y*y) AS ny2
+        |  FROM pairs GROUP BY qid, vec_id),
+        |sc AS (
+        |  SELECT qid, vec_id,
+        |         ROUND(dp / (GREATEST(SQRT(nx2), 1e-12) * GREATEST(SQRT(ny2), 1e-12)), 6)
+        |           + 0.0 AS score
+        |  FROM agg),
+        |rk AS (
+        |  SELECT qid, vec_id, score,
+        |         row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rn
+        |  FROM sc)
+        |SELECT qid, vec_id, score FROM rk WHERE rn <= 5
+        |ORDER BY qid, score DESC, vec_id""".stripMargin,
 
     "q_mmr_rerank" -> {
       // cosine between two row-aliases' `embedding` lists, quantized

@@ -41,6 +41,38 @@ object Rerank {
       .select(col(idCol), col("score"), col("rerank"))
   }
 
+  /** Hard-negative mining for contrastive retriever training (the
+    * DPR / SimCSE data-prep step): for every training query, the
+    * top-scoring corpus items that are NOT positives are the negatives
+    * that actually teach the model — random negatives are too easy.
+    * Positives here are label-mates (`labelCol`); anything else scoring
+    * high is a hard negative.
+    *
+    * Scale shape: the query set is small by definition — it BROADCASTS
+    * to the corpus scan, scoring is per-row (codegen cosine, quantized
+    * round-6), the non-positive filter is evaluated at scan speed, and
+    * the per-query top-k runs through `TopKAggregator`'s partial
+    * aggregation: the exchange carries at most partitions × queries × k
+    * entries, never the corpus. One shuffle total, at any corpus size.
+    *
+    * `queries`: (qidCol LONG, qVecCol ARRAY<FLOAT>, qLabelCol).
+    * Returns (qid, idCol, score) — k negatives per query, ordered
+    * (score desc, id) within each query.
+    */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame,
+                    idCol: String, vecCol: String, labelCol: String,
+                    qidCol: String, qVecCol: String, qLabelCol: String,
+                    k: Int): DataFrame = {
+    import graft.functions.{VectorFunctions => V}
+    val scored = corpus.crossJoin(broadcast(queries))
+      .filter(col(labelCol) =!= col(qLabelCol) && col(idCol) =!= col(qidCol))
+      .select(col(qidCol), col(idCol),
+        (round(V.cosine(col(vecCol), col(qVecCol)), 6) + lit(0.0)).as("__c"))
+    TopK.topKPerKeyAgg(scored, Seq(col(qidCol)), col("__c"), col(idCol), k)
+      .select(col(qidCol), col("id").as(idCol), col("score"))
+      .orderBy(col(qidCol), col("score").desc, col(idCol))
+  }
+
   /** Maximal Marginal Relevance diversity reranking (Carbonell &
     * Goldstein 1998): greedily pick k results that balance relevance
     * against redundancy with what is already picked —
