@@ -2337,6 +2337,22 @@ object SparkEntry {
 
   private def extraQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // Character-entropy quality signal: per-doc Shannon entropy in
+    // nats (native CharEntropy kernel, exact micro-nat integer sum) —
+    // near-zero entropy = repeated-filler/junk pages. Pure per-row
+    // projection, no shuffle.
+    "q_char_entropy" -> ((s, dir) => {
+      import s.implicits._
+      // no final round(): micro-nats are an exact integer both engines
+      // divide identically — a display round at a .5 boundary would
+      // diverge (BigDecimal shortest-repr vs binary-value ROUND)
+      spread(s, t(s, dir, "documents"))
+        .select($"doc_id",
+          (T.charEntropyMicro($"text").cast("double") / lit(1000000.0))
+            .as("entropy"))
+        .orderBy($"doc_id")
+    }),
+
     // Hard-negative mining (DPR-style training-data prep): per query,
     // top-5 highest-cosine corpus items whose label differs — broadcast
     // queries, scan-speed non-positive filter, k-bounded partial-agg
@@ -2695,6 +2711,22 @@ object SparkEntry {
   )
 
   private def extraOracles: Map[String, String] = Map(
+
+    "q_char_entropy" ->
+      """WITH chars AS (
+        |  SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents),
+        |cnt AS (SELECT doc_id, ch, COUNT(*) AS k FROM chars GROUP BY doc_id, ch),
+        |tot AS (SELECT doc_id, SUM(k) AS n FROM cnt GROUP BY doc_id),
+        |terms AS (
+        |  SELECT c.doc_id,
+        |    CAST(ROUND((c.k::DOUBLE / t.n::DOUBLE) * LN(t.n::DOUBLE / c.k::DOUBLE)
+        |               * 1000000, 0) AS BIGINT) AS m
+        |  FROM cnt c JOIN tot t USING (doc_id)),
+        |h AS (SELECT doc_id, SUM(m) AS micro FROM terms GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |       COALESCE(h.micro, 0)::DOUBLE / 1000000.0 AS entropy
+        |FROM documents d LEFT JOIN h USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
 
     "q_hard_negatives" ->
       """WITH qs AS (SELECT vec_id AS qid, embedding AS qe, label AS ql

@@ -276,4 +276,28 @@ object TextFunctions {
   def c4PageOk(text: Column, minLines: Int = 2, minWords: Int = 3): Column =
     !lower(text).contains("lorem ipsum") && !text.contains("{") &&
       size(filter(split(text, "\n"), l => c4KeepLine(l, minWords))) >= minLines
+
+  /** Character-level Shannon entropy in micro-nats (exact integer) —
+    * the gibberish / filler detector. Native kernel; see
+    * `expressions.CharEntropy` for semantics and quantization.
+    */
+  def charEntropyMicro(text: Column): Column =
+    graft.expressions.CharEntropy.charEntropyF(text)
+
+  /** Declarative spec for `charEntropyMicro` — O(distinct·len)
+    * interpreted lambda evals; never use on the hot path. Splitting on
+    * the empty regex leaves a trailing "" element (Java split with
+    * limit -1), filtered out before counting.
+    */
+  def charEntropyMicroHof(text: Column): Column = {
+    val chars = filter(split(text, ""), c => length(c) > 0)
+    val n = size(chars).cast("double")
+    when(size(chars) === 0, lit(0L))
+      .otherwise(aggregate(
+        transform(array_distinct(chars), g => {
+          val k = size(filter(chars, x => x === g)).cast("double")
+          floor(k / n * log(n / k) * lit(1000000.0) + lit(0.5)).cast("long")
+        }),
+        lit(0L), (acc, x) => acc + x))
+  }
 }

@@ -69,6 +69,28 @@ class TextFunctionsSpec extends SparkSpec {
     }
   }
 
+  test("CharEntropy native kernel agrees with the HOF spec; hand-checked values") {
+    val fixture = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val edge = docs("", "aaaa", "ab", "abab cdcd", "x")
+    Seq(fixture, edge).foreach { df =>
+      val bad = df.select(
+          T.charEntropyMicro(col("text")).as("k"),
+          T.charEntropyMicroHof(col("text")).as("h"))
+        .filter(col("k") =!= col("h")).count()
+      assert(bad == 0L)
+    }
+    // "aaaa": one symbol → 0 entropy; "": 0; "ab": 2 equiprobable symbols
+    // → ln 2 = 0.693147 nats → 693147 micro-nats (two 346574-rounded
+    // terms sum to 693148 — per-term quantization, documented)
+    val vals = docs("", "aaaa", "ab")
+      .select(col("text"), T.charEntropyMicro(col("text")).as("m"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(vals("") == 0L)
+    assert(vals("aaaa") == 0L)
+    assert(math.abs(vals("ab") - 693147L) <= 2L)
+  }
+
   test("redactPii: email/phone/ip replaced with typed placeholders; count matches") {
     val txt = "mail a.user+x@sub.example.org, call +1 (415) 555-0199, host 192.168.0.1 ok"
     val r = docs(txt).select(
