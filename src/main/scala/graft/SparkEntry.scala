@@ -2337,6 +2337,20 @@ object SparkEntry {
 
   private def extraQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // Radius (range) search: all vectors with quantized cosine ≥ 0.2
+    // to the query — the data-dependent-cardinality twin of top-k
+    // (VectorStore.searchRange). Scan-speed filter, no shuffle.
+    "q_range_search" -> ((s, dir) => {
+      import s.implicits._
+      val e = t(s, dir, "embeddings")
+      val q = e.filter($"vec_id" === 0).select($"embedding".as("qe"))
+      e.crossJoin(broadcast(q))
+        .withColumn("score", score6(V.cosine($"embedding", $"qe")))
+        .filter($"score" >= 0.2)
+        .select($"vec_id", $"score")
+        .orderBy($"score".desc, $"vec_id")
+    }),
+
     // Character-entropy quality signal: per-doc Shannon entropy in
     // nats (native CharEntropy kernel, exact micro-nat integer sum) —
     // near-zero entropy = repeated-filler/junk pages. Pure per-row
@@ -2711,6 +2725,23 @@ object SparkEntry {
   )
 
   private def extraOracles: Map[String, String] = Map(
+
+    "q_range_search" ->
+      """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+        |pairs AS (
+        |  SELECT e.vec_id,
+        |         unnest(e.embedding)::DOUBLE AS x, unnest(q.qe)::DOUBLE AS y
+        |  FROM embeddings e CROSS JOIN q),
+        |agg AS (
+        |  SELECT vec_id, SUM(x*y) AS dp, SUM(x*x) AS nx2, SUM(y*y) AS ny2
+        |  FROM pairs GROUP BY vec_id),
+        |sc AS (
+        |  SELECT vec_id,
+        |         ROUND(dp / (GREATEST(SQRT(nx2), 1e-12) * GREATEST(SQRT(ny2), 1e-12)), 6)
+        |           + 0.0 AS score
+        |  FROM agg)
+        |SELECT vec_id, score FROM sc WHERE score >= 0.2
+        |ORDER BY score DESC, vec_id""".stripMargin,
 
     "q_char_entropy" ->
       """WITH chars AS (

@@ -57,6 +57,36 @@ final class VectorStore private (
       .select(col("id"), col("score"))
   }
 
+  /** Radius (range) search: every vector whose QUANTIZED score clears
+    * `minScore` — the other half of the similarity-search API surface
+    * (FAISS `range_search` / Milvus `radius`); the reference exposes
+    * only top-k. The threshold compares the round-6 score (the oracle
+    * parity discipline: raw double sums differ between engines at the
+    * last ulp, quantized ones don't), ties ordered by id. A pure
+    * scan-speed filter + sort — no shuffle beyond the output ordering;
+    * unlike top-k the result size is data-dependent, so callers own
+    * bounding it (filter more, or compose with `TopK`).
+    */
+  def searchRange(query: Seq[Float], minScore: Double,
+                  metric: String = "cosine"): DataFrame = {
+    require(metric == "cosine" || metric == "l2", s"unknown metric: $metric")
+    require(query.length == dim, s"query dim ${query.length} != $dim")
+    val qn = {
+      val n = math.max(math.sqrt(query.map(x => x.toDouble * x).sum), V.NormEps)
+      query.map(x => (x / n).toFloat)
+    }
+    val score = metric match {
+      case "cosine" => dotF(col("embedding"), typedLit(qn))
+      case "l2" =>
+        val q2 = query.map(x => x.toDouble * x).sum
+        -(lit(1.0) - lit(2.0) * dotF(col("embedding"), typedLit(query.map(identity))) + lit(q2))
+    }
+    vectors.withColumn("score", round(score, 6) + lit(0.0))
+      .filter(col("score") >= minScore)
+      .orderBy(col("score").desc, col("id"))
+      .select(col("id"), col("score"))
+  }
+
   /** Delete by id — the operation the reference lacks entirely (its
     * shards are append-only, SURVEY.md §1.1). Immutable-DataFrame
     * formulation: an anti-join filter; at cluster scale this is a

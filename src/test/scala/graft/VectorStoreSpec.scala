@@ -28,6 +28,20 @@ class VectorStoreSpec extends SparkSpec {
     assert(math.abs(top.getDouble(1) - 1.0) < 1e-5)
   }
 
+  test("searchRange returns exactly the vectors clearing the threshold, self included") {
+    val e = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val q = e.filter(col("vec_id") === 17).select("embedding")
+      .head.getSeq[Float](0)
+    val hits = store.searchRange(q, 0.5, "cosine").collect()
+    assert(hits.head.getString(0) == "17") // self clears any θ ≤ 1
+    assert(hits.forall(_.getDouble(1) >= 0.5))
+    // agreement with top-k: the θ-clearing set is a prefix of the ranking
+    val topIds = store.search(q, hits.length, "cosine")
+      .collect().map(_.getString(0)).toSeq
+    assert(hits.map(_.getString(0)).toSeq == topIds)
+    intercept[IllegalArgumentException](store.searchRange(q, 0.5, "dotty"))
+  }
+
   test("search validates k range and metric name (reference O19)") {
     intercept[IllegalArgumentException](store.search(Seq.fill(64)(1f), 0))
     intercept[IllegalArgumentException](store.search(Seq.fill(64)(1f), 1001))
