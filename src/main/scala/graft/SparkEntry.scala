@@ -2337,6 +2337,17 @@ object SparkEntry {
 
   private def extraQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // Per-epoch trainer sharding: seeded md5 permutation → shard for
+    // 8 data-parallel trainers + in-shard read order. One uniform hash
+    // shuffle + per-shard sort (Packing.trainerShards scaladoc).
+    "q_train_shard" -> ((s, dir) => {
+      import s.implicits._
+      Packing.trainerShards(t(s, dir, "documents"), $"doc_id",
+        nShards = 8, epoch = 1)
+        .select($"shard", $"seq", $"doc_id")
+        .orderBy($"shard", $"seq")
+    }),
+
     // Radius (range) search: all vectors with quantized cosine ≥ 0.2
     // to the query — the data-dependent-cardinality twin of top-k
     // (VectorStore.searchRange). Scan-speed filter, no shuffle.
@@ -2725,6 +2736,18 @@ object SparkEntry {
   )
 
   private def extraOracles: Map[String, String] = Map(
+
+    "q_train_shard" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |         ('0x'||substr(md5('1:' || doc_id::VARCHAR), 1, 15))::BIGINT AS hv,
+        |         ('0x'||substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT AS hk
+        |  FROM documents)
+        |SELECT hv % 8 AS shard,
+        |       CAST(row_number() OVER (PARTITION BY hv % 8
+        |                               ORDER BY hv, hk) AS BIGINT) AS seq,
+        |       doc_id
+        |FROM h ORDER BY shard, seq""".stripMargin,
 
     "q_range_search" ->
       """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),

@@ -37,6 +37,34 @@ object Packing {
       .drop("__start")
   }
 
+  /** Deterministic per-epoch shuffle + shard assignment for N
+    * data-parallel trainers: every row gets
+    *   shard = md5-hash(epoch:key) mod nShards   (which trainer)
+    *   seq   = rank of the same hash within the shard (read order)
+    * — a seeded global permutation with no RNG state, reproducible
+    * across runs/partitionings/engines (change `epoch` to reshuffle).
+    * The data-loading step between a curated corpus and the training
+    * job; write the result `partitionBy("shard")` (`sources/Layout`)
+    * and each trainer reads exactly its directory in `seq` order.
+    *
+    * Execution shape: one hash shuffle on `shard` (uniform by
+    * construction — md5 has no hot keys), then a per-shard window sort
+    * on the hash, i.e. the sort each trainer's file order needs anyway.
+    * Collision note: ties in the 60-bit hash break by the hash of the
+    * key alone, so `seq` stays total as long as keys are unique.
+    */
+  def trainerShards(df: DataFrame, key: Column, nShards: Int,
+                    epoch: Int): DataFrame = {
+    require(nShards > 0, s"nShards must be positive, got $nShards")
+    val h = Dedup.hash60(concat(lit(epoch.toString), lit(":"), key.cast("string")))
+    val withShard = df.withColumn("__h", h)
+      .withColumn("shard", pmod(col("__h"), lit(nShards.toLong)))
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(col("__h").asc, Dedup.hash60(key.cast("string")).asc)
+    withShard.withColumn("seq", row_number().over(w).cast("long"))
+      .drop("__h")
+  }
+
   /** Packed-sequence count per group: ceil(total_tokens / budget) —
     * the planning aggregate (how many training sequences a corpus
     * yields at a given context length).
