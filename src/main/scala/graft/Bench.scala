@@ -39,7 +39,10 @@ object Bench {
     "q_token_mixture", "q_incremental_dedup", "q_c4_clean",
     "q_sq_search", "q_quality_classifier", "q_incremental_neardup",
     "q_rerank", "q_vocab_topn", "q_trigram_lm", "q_boilerplate",
-    "q_semantic_dedup", "q_bq_search", "q_mrl_search", "q_late_interaction")
+    "q_semantic_dedup", "q_bq_search", "q_mrl_search", "q_late_interaction",
+    // round-5 additions: retrieval-training data prep + quality signals
+    "q_dsir_sample", "q_mmr_rerank", "q_hard_negatives", "q_char_entropy",
+    "q_range_search", "q_train_shard")
 
   /** Force FULL materialization of every output column: xxhash64 over all
     * columns, summed. `.count()` alone under-measures — Catalyst prunes
