@@ -2337,6 +2337,25 @@ object SparkEntry {
 
   private def extraQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // Quantized-MLP embedder end-to-end (O12 real-model path): int8
+    // token vectors → integer mean-pool → int8 GEMM + ReLU + >>6
+    // requant → int8 GEMM → L2 norm, through the BATCHED per-partition
+    // inference boundary. Every intermediate is exact integer
+    // arithmetic, so the DuckDB oracle replicates the whole forward
+    // pass (first 3 output dims checked, like q_hash_embed).
+    "q_mlp_embed" -> ((s, dir) => {
+      import s.implicits._
+      import graft.embed.{Embed, QuantizedMlpEmbedder}
+      val docs = spread(s, t(s, dir, "documents")).select($"doc_id", $"text")
+      Embed.withEmbeddingBatched(docs, "text", "embedding",
+        QuantizedMlpEmbedder(), batchSize = 64)
+        .select($"doc_id",
+          round(element_at($"embedding", 1).cast("double"), 6).as("e0"),
+          round(element_at($"embedding", 2).cast("double"), 6).as("e1"),
+          round(element_at($"embedding", 3).cast("double"), 6).as("e2"))
+        .orderBy($"doc_id")
+    }),
+
     // Per-epoch trainer sharding: seeded md5 permutation → shard for
     // 8 data-parallel trainers + in-shard read order. One uniform hash
     // shuffle + per-shard sort (Packing.trainerShards scaladoc).
@@ -2736,6 +2755,63 @@ object SparkEntry {
   )
 
   private def extraOracles: Map[String, String] = Map(
+
+    // The whole int8 MLP forward pass in SQL: md5-derived weights and
+    // token vectors, integer pool/GEMM/ReLU/requant, float only at the
+    // final normalize — QuantizedMlpEmbedder's arithmetic, step for
+    // step. Integer division differences matter: Java / truncates
+    // toward zero (TRUNC), >> 6 on a non-negative value floors (// 64).
+    "q_mlp_embed" ->
+      """WITH idx1 AS (SELECT unnest(generate_series(0, 1535)) AS i),
+        |w1 AS (SELECT i // 32 AS o, i % 32 AS j,
+        |         ('0x'||substr(md5('11:w1:'||i), 1, 15))::BIGINT % 255 - 127 AS v
+        |       FROM idx1),
+        |w2 AS (SELECT i // 48 AS o, i % 48 AS j,
+        |         ('0x'||substr(md5('11:w2:'||i), 1, 15))::BIGINT % 255 - 127 AS v
+        |       FROM idx1),
+        |toks AS (
+        |  SELECT doc_id, unnest(CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+        |                        ELSE string_split_regex(trim(text), '\s+') END) AS tk
+        |  FROM documents),
+        |jj AS (SELECT unnest(generate_series(0, 31)) AS j),
+        |tv AS (
+        |  SELECT doc_id, j, CASE WHEN b > 127 THEN b - 256 ELSE b END AS v
+        |  FROM (SELECT t0.doc_id, jj.j,
+        |          ('0x'||substr(md5('11:e' || (jj.j // 16) || ':' || t0.tk),
+        |                        (jj.j % 16) * 2 + 1, 2))::INT AS b
+        |        FROM toks t0 CROSS JOIN jj)),
+        |ntok AS (SELECT doc_id, COUNT(*) AS nt FROM toks GROUP BY doc_id),
+        |pool AS (
+        |  SELECT tv.doc_id, tv.j,
+        |    CAST(TRUNC(SUM(tv.v)::DOUBLE / MAX(n.nt)) AS BIGINT) AS p
+        |  FROM tv JOIN ntok n USING (doc_id) GROUP BY tv.doc_id, tv.j),
+        |l1 AS (
+        |  SELECT p.doc_id, w.o, SUM(w.v * p.p) AS s
+        |  FROM pool p JOIN w1 w ON w.j = p.j GROUP BY p.doc_id, w.o),
+        |h AS (
+        |  SELECT doc_id, o,
+        |    LEAST(CASE WHEN s > 0 THEN s // 64 ELSE 0 END, 127) AS hv
+        |  FROM l1),
+        |l2 AS (
+        |  SELECT h.doc_id, w.o, SUM(w.v * h.hv) AS a
+        |  FROM h JOIN w2 w ON w.j = h.o GROUP BY h.doc_id, w.o),
+        |nrm AS (SELECT doc_id, GREATEST(SQRT(SUM(a::DOUBLE * a::DOUBLE)), 1e-12) AS n
+        |        FROM l2 GROUP BY doc_id),
+        |px AS (
+        |  SELECT d.doc_id,
+        |    COALESCE(MAX(CASE WHEN l2.o = 0 THEN l2.a END), 0)::DOUBLE AS a0,
+        |    COALESCE(MAX(CASE WHEN l2.o = 1 THEN l2.a END), 0)::DOUBLE AS a1,
+        |    COALESCE(MAX(CASE WHEN l2.o = 2 THEN l2.a END), 0)::DOUBLE AS a2,
+        |    COALESCE(MAX(n.n), 1e-12) AS n
+        |  FROM documents d
+        |  LEFT JOIN l2 ON d.doc_id = l2.doc_id
+        |  LEFT JOIN nrm n ON d.doc_id = n.doc_id
+        |  GROUP BY d.doc_id)
+        |SELECT doc_id,
+        |  ROUND(CAST(a0 / n AS FLOAT)::DOUBLE, 6) AS e0,
+        |  ROUND(CAST(a1 / n AS FLOAT)::DOUBLE, 6) AS e1,
+        |  ROUND(CAST(a2 / n AS FLOAT)::DOUBLE, 6) AS e2
+        |FROM px ORDER BY doc_id""".stripMargin,
 
     "q_train_shard" ->
       """WITH h AS (
