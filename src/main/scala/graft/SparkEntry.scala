@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.expressions.FloatVectorExpressions.dotF
 import graft.expressions.TextHashExpressions.{minhashSigF, simhash32F}
 import graft.functions.{HashFunctions, TextFunctions => T, VectorFunctions => V}
-import graft.operators.{Ann, AsofJoin, Bm25, Classifier, Curation, Dedup, Multimodal, Packing, Rerank, Sampling, SkewJoin, TopK, TrigramLm}
+import graft.operators.{Ann, AsofJoin, Bm25, BpeTrain, Classifier, Curation, Dedup, Multimodal, Packing, Rerank, Sampling, SkewJoin, TopK, TrigramLm}
 import graft.sources.{Layout, Tables}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -2337,6 +2337,15 @@ object SparkEntry {
 
   private def extraQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // BPE merge-rule LEARNING (tokenizer training): one corpus-sized
+    // word-count agg, then the Sennrich loop over the bounded vocab
+    // driver-side — first 5 learned merges out (BpeTrain scaladoc).
+    "q_bpe_train" -> ((s, dir) => {
+      import s.implicits._
+      BpeTrain.learnMerges(spread(s, t(s, dir, "documents")), "text", 5)
+        .orderBy($"step")
+    }),
+
     // Quantized-MLP embedder end-to-end (O12 real-model path): int8
     // token vectors → integer mean-pool → int8 GEMM + ReLU + >>6
     // requant → int8 GEMM → L2 norm, through the BATCHED per-partition
@@ -2755,6 +2764,60 @@ object SparkEntry {
   )
 
   private def extraOracles: Map[String, String] = Map(
+
+    // BPE training replicated in SQL: per merge step k, a pair-count +
+    // argmax CTE, then a recursive find-first-and-merge re-segmentation
+    // (≡ left-to-right non-overlapping: a merged token "ab" can never
+    // recreate an (a,b) pair to its left). MATERIALIZED stops the
+    // exponential CTE re-inlining of the chained references.
+    "q_bpe_train" -> {
+      def pairStep(k: Int): String =
+        s"""pairs$k AS (
+           |  SELECT p.pair, SUM(s.cnt) AS pcnt
+           |  FROM seg${k - 1} s,
+           |    (SELECT unnest(list_transform(generate_series(1, len(s.toks)-1), i ->
+           |        s.toks[i] || '|' || s.toks[i+1])) AS pair) p
+           |  GROUP BY p.pair),
+           |m$k AS MATERIALIZED (
+           |  SELECT string_split(pair, '|')[1] AS l, string_split(pair, '|')[2] AS r,
+           |         pcnt AS cnt, $k AS step
+           |  FROM pairs$k ORDER BY pcnt DESC, pair LIMIT 1)""".stripMargin
+      def segStep(k: Int): String =
+        s"""app$k(word, cnt, toks, it) AS (
+           |  SELECT word, cnt, toks, 0 AS it FROM seg${k - 1}
+           |  UNION ALL
+           |  SELECT word, cnt,
+           |         toks[1:idx-1] || [toks[idx] || toks[idx+1]] || toks[idx+2:], it + 1
+           |  FROM (
+           |    SELECT a.word, a.cnt, a.toks, a.it,
+           |           list_position(list_transform(generate_series(1, len(a.toks)-1), i ->
+           |             CASE WHEN a.toks[i] = m.l AND a.toks[i+1] = m.r
+           |                  THEN 1 ELSE 0 END), 1) AS idx
+           |    FROM app$k a CROSS JOIN m$k m)
+           |  WHERE idx IS NOT NULL AND idx > 0),
+           |seg$k AS MATERIALIZED (
+           |  SELECT word, cnt, max_by(toks, it) AS toks FROM app$k
+           |  GROUP BY word, cnt)""".stripMargin
+      val parts = (1 to 5).flatMap(k =>
+        Seq(pairStep(k)) ++ (if (k < 5) Seq(segStep(k)) else Nil))
+      val unions = (2 to 5).map(k => s"UNION ALL SELECT * FROM m$k").mkString(" ")
+      s"""WITH RECURSIVE
+         |words AS (
+         |  SELECT w AS word, COUNT(*)::BIGINT AS cnt FROM (
+         |    SELECT regexp_replace(unnest(
+         |        CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+         |             ELSE string_split_regex(trim(lower(text)), '\\s+') END),
+         |      '[^a-z]', '', 'g') AS w
+         |    FROM documents) WHERE w <> '' GROUP BY w),
+         |seg0 AS MATERIALIZED (
+         |  SELECT word, cnt,
+         |    list_transform(generate_series(1, length(word)), i -> substr(word, i, 1))
+         |      AS toks
+         |  FROM words),
+         |${parts.mkString(",\n")}
+         |SELECT step, l, r, cnt
+         |FROM (SELECT * FROM m1 $unions) ORDER BY step""".stripMargin
+    },
 
     // The whole int8 MLP forward pass in SQL: md5-derived weights and
     // token vectors, integer pool/GEMM/ReLU/requant, float only at the

@@ -69,6 +69,22 @@ class TextFunctionsSpec extends SparkSpec {
     }
   }
 
+  test("BpeTrain.train: overlapping pair counts, left-to-right merge, count-then-lex tie-break") {
+    import graft.operators.BpeTrain
+    // "aaa"×2: pair (a,a) counts 2 per word (overlapping) → cnt 4;
+    // merging left-to-right gives [aa, a], NOT [a, aa] or [aa, aa]
+    val m1 = BpeTrain.train(Array("aaa" -> 2L), 2)
+    assert(m1.head == ((1, "a", "a", 4L)))
+    // after merge 1, "aaa" = [aa, a] → step 2 learns (aa, a) with cnt 2
+    assert(m1(1) == ((2, "aa", "a", 2L)))
+    // tie-break: (a,b) and (c,d) both cnt 1 → lexicographically smaller
+    // "a|b" wins
+    val m2 = BpeTrain.train(Array("ab" -> 1L, "cd" -> 1L), 1)
+    assert(m2.head == ((1, "a", "b", 1L)))
+    // exhausted vocab stops early: single-char words learn nothing
+    assert(BpeTrain.train(Array("a" -> 5L), 3).isEmpty)
+  }
+
   test("CharEntropy native kernel agrees with the HOF spec; hand-checked values") {
     val fixture = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .select(col("doc_id"), col("text"))
