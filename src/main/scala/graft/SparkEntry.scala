@@ -2337,6 +2337,44 @@ object SparkEntry {
 
   private def extraQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // Dominant embedding direction by distributed power iteration
+    // (the All-but-the-Top / PCA-denoising primitive, Mu & Viswanath
+    // 2018): 3 fixed iterations of v ← Xᵀ(Xv); each pass is one
+    // map-side-combined dim-bounded aggregation (shuffle carries
+    // (pos, partial) — 64 × partitions rows), the per-iteration
+    // normalize runs on the 64-row driver collect. Every sum is over
+    // micro-unit LONGs (round-after-scale-up), so iterates are exact
+    // integers both engines reproduce; L∞ normalization keeps the
+    // per-iteration scale integer-exact (max|u| beats an
+    // order-sensitive float L2 sum).
+    "q_pca_top" -> ((s, dir) => {
+      import s.implicits._
+      val dim = 64
+      val ex = spread(s, t(s, dir, "embeddings"))
+        .select($"vec_id", $"embedding").localCheckpoint(false)
+      var v: Seq[Double] = Seq.fill(dim)(1.0)
+      for (_ <- 1 to 3) {
+        val vLit = typedLit(v)
+        val u = ex
+          .withColumn("ym", aggregate(
+            zip_with($"embedding", vLit, (x, vv) =>
+              round(x.cast("double") * vv * lit(1000000.0), 0).cast("long")),
+            lit(0L), (acc, x) => acc + x))
+          .select($"ym", posexplode($"embedding").as(Seq("pos", "x")))
+          .groupBy($"pos")
+          .agg(sum(round($"ym".cast("double") * $"x".cast("double"), 0)
+            .cast("long")).as("um"))
+          .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+        val m = (0 until dim).map(j => math.abs(u.getOrElse(j, 0L))).max.toDouble
+        v = (0 until dim).map { j =>
+          java.math.BigDecimal.valueOf(u.getOrElse(j, 0L).toDouble / m)
+            .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue() + 0.0
+        }
+      }
+      v.zipWithIndex.map { case (x, j) => (j + 1, x) }.toDF("pos", "v")
+        .orderBy($"pos")
+    }),
+
     // BPE merge-rule LEARNING (tokenizer training): one corpus-sized
     // word-count agg, then the Sennrich loop over the bounded vocab
     // driver-side — first 5 learned merges out (BpeTrain scaladoc).
@@ -2764,6 +2802,31 @@ object SparkEntry {
   )
 
   private def extraOracles: Map[String, String] = Map(
+
+    // Power iteration replicated in SQL: ex zips (pos, x) by parallel
+    // unnest; per iteration, y = per-vector micro-dot with v, u = per-
+    // pos micro-sum of y·x, v = ROUND(u / max|u|, 6).
+    "q_pca_top" -> {
+      def iter(k: Int): String =
+        s"""y$k AS (
+           |  SELECT e.vec_id,
+           |    SUM(CAST(ROUND(e.x * v.v * 1000000, 0) AS BIGINT)) AS ym
+           |  FROM ex e JOIN v${k - 1} v USING (pos) GROUP BY e.vec_id),
+           |u$k AS (
+           |  SELECT e.pos, SUM(CAST(ROUND(y.ym * e.x, 0) AS BIGINT)) AS um
+           |  FROM ex e JOIN y$k y USING (vec_id) GROUP BY e.pos),
+           |m$k AS (SELECT MAX(ABS(um))::DOUBLE AS m FROM u$k),
+           |v$k AS MATERIALIZED (
+           |  SELECT pos, ROUND(um::DOUBLE / m, 6) + 0.0 AS v FROM u$k, m$k)"""
+          .stripMargin
+      s"""WITH ex AS MATERIALIZED (
+         |  SELECT vec_id, unnest(generate_series(1, 64)) AS pos,
+         |         unnest(embedding)::DOUBLE AS x
+         |  FROM embeddings),
+         |v0 AS (SELECT unnest(generate_series(1, 64)) AS pos, 1.0 AS v),
+         |${(1 to 3).map(iter).mkString(",\n")}
+         |SELECT CAST(pos AS INT) AS pos, v FROM v3 ORDER BY pos""".stripMargin
+    },
 
     // BPE training replicated in SQL: per merge step k, a pair-count +
     // argmax CTE, then a recursive find-first-and-merge re-segmentation
