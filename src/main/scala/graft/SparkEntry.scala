@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.expressions.FloatVectorExpressions.dotF
@@ -2337,6 +2338,22 @@ object SparkEntry {
 
   private def extraQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // Per-stratum percentile quality gate: keep each source's top
+    // decile by quality score — the relative-threshold curation rule
+    // (absolute cutoffs mis-filter heterogeneous sources). One window
+    // per stratum over the quantized score; (q, doc_id) total order
+    // makes percent_rank engine-deterministic.
+    "q_quality_gate" -> ((s, dir) => {
+      import s.implicits._
+      val scored = t(s, dir, "documents")
+        .select($"doc_id", $"source", round(T.qualityScore($"text"), 4).as("q"))
+      val w = Window.partitionBy($"source").orderBy($"q", $"doc_id")
+      scored.withColumn("pr", percent_rank().over(w))
+        .filter($"pr" >= 0.9)
+        .select($"doc_id", $"source", $"q")
+        .orderBy($"source", $"doc_id")
+    }),
+
     // Dominant embedding direction by distributed power iteration
     // (the All-but-the-Top / PCA-denoising primitive, Mu & Viswanath
     // 2018): 3 fixed iterations of v ← Xᵀ(Xv); each pass is one
@@ -2802,6 +2819,28 @@ object SparkEntry {
   )
 
   private def extraOracles: Map[String, String] = Map(
+
+    "q_quality_gate" ->
+      """WITH x AS (
+        |  SELECT doc_id, source,
+        |         CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+        |              ELSE string_split_regex(trim(text), '\s+') END AS toks
+        |  FROM documents),
+        |y AS (
+        |  SELECT doc_id, source, len(toks)::DOUBLE AS nt,
+        |         len(list_filter(toks, t -> list_contains(
+        |           ['the','a','of','and','to','in','is'], t)))::DOUBLE AS stop_hits
+        |  FROM x),
+        |sc AS (
+        |  SELECT doc_id, source,
+        |         ROUND(LEAST(nt/100.0, 1.0) * (0.7 + 0.3 * stop_hits / GREATEST(nt, 1.0)), 4) AS q
+        |  FROM y),
+        |pr AS (
+        |  SELECT doc_id, source, q,
+        |         PERCENT_RANK() OVER (PARTITION BY source ORDER BY q, doc_id) AS pr
+        |  FROM sc)
+        |SELECT doc_id, source, q FROM pr WHERE pr >= 0.9
+        |ORDER BY source, doc_id""".stripMargin,
 
     // Power iteration replicated in SQL: ex zips (pos, x) by parallel
     // unnest; per iteration, y = per-vector micro-dot with v, u = per-
