@@ -2338,6 +2338,16 @@ object SparkEntry {
 
   private def extraQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // Frequent-word subsampling (word2vec): corpus-frequency keep
+    // rates, hash-gated per (token:doc:pos) — deterministic thinning
+    // (Sampling.subsampleFrequent scaladoc).
+    "q_word_subsample" -> ((s, dir) => {
+      import s.implicits._
+      Sampling.subsampleFrequent(spread(s, t(s, dir, "documents")),
+        "doc_id", "text", threshold = 0.001)
+        .orderBy($"doc_id")
+    }),
+
     // Per-stratum percentile quality gate: keep each source's top
     // decile by quality score — the relative-threshold curation rule
     // (absolute cutoffs mis-filter heterogeneous sources). One window
@@ -2819,6 +2829,34 @@ object SparkEntry {
   )
 
   private def extraOracles: Map[String, String] = Map(
+
+    "q_word_subsample" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+        |         ELSE string_split_regex(trim(lower(text)), '\s+') END AS toks
+        |  FROM documents),
+        |tk AS (
+        |  SELECT doc_id, unnest(toks) AS tk,
+        |         unnest(generate_series(1, len(toks))) AS pos
+        |  FROM base),
+        |freq AS (SELECT tk, COUNT(*)::BIGINT AS f FROM tk GROUP BY tk),
+        |tot AS (SELECT 0.001 * SUM(f)::DOUBLE AS tt FROM freq),
+        |rates AS (
+        |  SELECT tk,
+        |    CAST(ROUND(LEAST((SQRT(f::DOUBLE / tt) + 1) * tt / f::DOUBLE, 1.0)
+        |               * 1000000, 0) AS BIGINT) AS rm
+        |  FROM freq, tot),
+        |kept AS (
+        |  SELECT t.doc_id, COUNT(*) AS no,
+        |    COUNT(*) FILTER (WHERE
+        |      ('0x'||substr(md5(t.tk || ':' || t.doc_id || ':' || t.pos), 1, 15))::BIGINT
+        |        % 1000000 < r.rm) AS nk
+        |  FROM tk t JOIN rates r USING (tk) GROUP BY t.doc_id)
+        |SELECT d.doc_id, COALESCE(k.no, 0)::BIGINT AS n_orig,
+        |       COALESCE(k.nk, 0)::BIGINT AS n_kept
+        |FROM documents d LEFT JOIN kept k USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
 
     "q_quality_gate" ->
       """WITH x AS (

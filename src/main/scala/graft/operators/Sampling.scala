@@ -154,6 +154,56 @@ object Sampling {
         6) + lit(0.0)).as("dsir_w"))
   }
 
+  /** Mikolov-style frequent-word subsampling (word2vec, 2013): token w
+    * with corpus frequency f survives with
+    *   p(w) = min(1, (√(f/(t·T)) + 1) · (t·T)/f)
+    * (T = corpus tokens, t = `threshold`) — "the" mostly drops, rare
+    * words always stay. The stochastic coin is replaced by the hash
+    * gate over (token:doc:pos), so the thinned corpus is reproducible
+    * across runs, partitionings, and engines.
+    *
+    * Scale shape: ONE bounded vocab-count aggregation (map-side
+    * combined) collapses to driver rates that ride back as a literal
+    * map; per-row gating is then a pure projection over the token
+    * array — no corpus-sized shuffle. (Past literal-map size — corpora
+    * with unbounded vocab — swap the literal for a broadcast join on
+    * the exploded tokens; same result, one extra map-side stage.)
+    *
+    * Returns (idCol, n_orig, n_kept) per document.
+    */
+  def subsampleFrequent(docs: DataFrame, idCol: String, textCol: String,
+                        threshold: Double = 0.001): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0)
+    import graft.functions.{TextFunctions => T}
+    val id = col(idCol)
+    val base = docs
+      .select(id, T.tokens(lower(col(textCol))).as("__toks"))
+      .localCheckpoint(false) // consumed by the vocab agg AND gating
+    val freq = base.select(explode(col("__toks")).as("__tk"))
+      .groupBy(col("__tk")).agg(count(lit(1)).as("f"))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    val tT = threshold * freq.map(_._2).sum.toDouble
+    val rateMicro: Map[String, Long] = freq.map { case (w, f) =>
+      val p = (math.sqrt(f.toDouble / tT) + 1.0) * tT / f.toDouble
+      w -> java.math.BigDecimal.valueOf(math.min(p, 1.0) * 1000000)
+        .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+    }.toMap
+    val ratesLit = typedLit(rateMicro)
+    val keepAt = (i: Column) => {
+      val w = element_at(col("__toks"), i)
+      pmod(Dedup.hash60(
+        concat(w, lit(":"), id.cast("string"), lit(":"), i.cast("string"))),
+        lit(Denom)) < element_at(ratesLit, w)
+    }
+    base.select(id,
+      size(col("__toks")).cast("long").as("n_orig"),
+      when(size(col("__toks")) === 0, lit(0L)).otherwise(
+        aggregate(
+          transform(sequence(lit(1), size(col("__toks"))),
+            i => when(keepAt(i), lit(1L)).otherwise(lit(0L))),
+          lit(0L), (acc, x) => acc + x)).as("n_kept"))
+  }
+
   private def hashGate(key: Column, rate: Column): Column =
     pmod(Dedup.hash60(key.cast("string")), lit(Denom)).cast("double") <
       rate * lit(Denom.toDouble)
