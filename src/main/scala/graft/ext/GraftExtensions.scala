@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.IntegerType
 
-import graft.expressions.{FloatDotProduct, MinHashSignature, RepeatStats, SimHash32, SortedIntersectCount, Trigrams, WordShingles}
+import graft.expressions.{CharEntropy, FloatDotProduct, MinHashSignature, RepeatStats, SimHash32, SortedIntersectCount, Trigrams, WordShingles}
 
 /** SQL surface for graft's native expressions.
   *
@@ -50,7 +50,10 @@ object GraftFunctions {
       (es: Seq[Expression]) => RepeatStats(es(0))),
     (FunctionIdentifier("graft_trigrams"),
       new ExpressionInfo(classOf[Trigrams].getName, "graft_trigrams"),
-      (es: Seq[Expression]) => Trigrams(es(0))))
+      (es: Seq[Expression]) => Trigrams(es(0))),
+    (FunctionIdentifier("graft_char_entropy"),
+      new ExpressionInfo(classOf[CharEntropy].getName, "graft_char_entropy"),
+      (es: Seq[Expression]) => CharEntropy(es(0))))
 
   /** Register on a live session (idempotent — re-registration overwrites). */
   def register(spark: SparkSession): Unit = all.foreach { case (id, info, builder) =>

@@ -49,6 +49,14 @@ class GraftExtensionsSpec extends SparkSpec {
 
     val tri = spark.sql("SELECT graft_trigrams('Ab, cd!') AS t").head.getSeq[String](0)
     assert(tri == Seq("ab ", "b c", " cd"), tri)
+
+    // char-entropy kernel: "aaaa" → 0; agreement with the Column API
+    assert(spark.sql("SELECT graft_char_entropy('aaaa') AS h").head.getLong(0) == 0L)
+    val heSql = spark.sql("SELECT graft_char_entropy(text) AS h FROM ext_probe")
+      .head.getLong(0)
+    val heApi = Seq("a b c a").toDF("text")
+      .select(graft.functions.TextFunctions.charEntropyMicro($"text")).head.getLong(0)
+    assert(heSql == heApi)
   }
 
   test("non-literal size argument is rejected with a clear error") {
