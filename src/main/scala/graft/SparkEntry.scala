@@ -2338,6 +2338,17 @@ object SparkEntry {
 
   private def extraQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // Inverted-index build: top-10 terms by document frequency with
+    // their first 10 posting-list entries (Bm25.buildPostings
+    // scaladoc — one (term, doc_id) shuffle, map-side combined).
+    "q_postings" -> ((s, dir) => {
+      import s.implicits._
+      Bm25.buildPostings(spread(s, t(s, dir, "documents")), "doc_id", "text")
+        .select($"term", $"df",
+          array_join(slice($"postings", 1, 10), ",").as("head10"))
+        .orderBy($"df".desc, $"term").limit(10)
+    }),
+
     // Frequent-word subsampling (word2vec): corpus-frequency keep
     // rates, hash-gated per (token:doc:pos) — deterministic thinning
     // (Sampling.subsampleFrequent scaladoc).
@@ -2829,6 +2840,19 @@ object SparkEntry {
   )
 
   private def extraOracles: Map[String, String] = Map(
+
+    "q_postings" ->
+      """WITH tk AS (
+        |  SELECT DISTINCT doc_id, unnest(
+        |    CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+        |         ELSE string_split_regex(trim(lower(text)), '\s+') END) AS term
+        |  FROM documents),
+        |p AS (
+        |  SELECT term, COUNT(*)::BIGINT AS df,
+        |         array_to_string(list_sort(list(doc_id))[1:10], ',') AS head10
+        |  FROM tk GROUP BY term)
+        |SELECT term, df, head10 FROM p
+        |ORDER BY df DESC, term LIMIT 10""".stripMargin,
 
     "q_word_subsample" ->
       """WITH base AS (

@@ -79,6 +79,33 @@ object Bm25 {
     TopK.topK(scored, col("score"), id, k)
   }
 
+  /** Inverted-index (postings-list) build: one row per distinct term
+    * with document frequency and the SORTED posting list — the
+    * materialized index a served lexical stack persists (the shuffle-
+    * free `search` above deliberately avoids it per query; a real
+    * deployment builds this ONCE and writes it partitioned/bucketed by
+    * term, `sources/Layout`).
+    *
+    * Scale shape: per-doc distinct terms (per-row projection), then one
+    * shuffle carrying (term, doc_id) pairs with map-side-combined
+    * aggregation. At web scale a head-term posting list ("the") is the
+    * corpus itself — cap it out (`maxPostings`: keep lowest doc ids,
+    * record true df) or drop stopword terms upstream; an uncapped
+    * collect_list on a head term is the hot-bucket failure mode the
+    * LSH cap guards against, same discipline.
+    */
+  def buildPostings(docs: DataFrame, idCol: String, textCol: String,
+                    maxPostings: Int = 10000): DataFrame = {
+    require(maxPostings >= 1)
+    docs
+      .select(col(idCol).as("__id"),
+        explode(array_distinct(T.tokens(lower(col(textCol))))).as("term"))
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("df"),
+        slice(sort_array(collect_list(col("__id"))), 1, maxPostings)
+          .as("postings"))
+  }
+
   /** Reciprocal-rank fusion of two ranked lists (id, rank):
     * rrf(d) = Σ 1/(c + rank_i(d)) over the lists containing d — the
     * standard hybrid-retrieval combiner (Cormack et al. 2009). Pure
