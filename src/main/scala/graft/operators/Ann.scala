@@ -125,6 +125,30 @@ object Ann {
     cents.toDF("cent_id", "cvec")
   }
 
+  /** Ranking-quality evaluation: per-query recall of an approximate
+    * hit table against the exact one — `|approx ∩ exact| / |exact|`
+    * per query id. Both inputs are (qidCol, idCol) hit tables (any
+    * extra columns ignored), the shape `searchBatch` / `search`
+    * produce. Distributed: one semi-join + two per-query counts, so
+    * evaluating 10⁶ held-out queries against a 100 TB corpus'
+    * rankings is a join problem, not a driver loop (AnnSpec's
+    * driver-side loop is the 20-query test-fixture version).
+    * Returns (qidCol, n_exact, n_hit, recall) — recall rounded to 6.
+    */
+  def recallAtK(exact: DataFrame, approx: DataFrame,
+                qidCol: String, idCol: String): DataFrame = {
+    val qid = col(qidCol)
+    val ne = exact.groupBy(qid).agg(count(lit(1)).as("n_exact"))
+    val nh = exact.select(qid, col(idCol))
+      .join(approx.select(qid, col(idCol)), Seq(qidCol, idCol), "left_semi")
+      .groupBy(qid).agg(count(lit(1)).as("n_hit"))
+    ne.join(nh, Seq(qidCol), "left")
+      .select(qid, col("n_exact"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        (round(coalesce(col("n_hit"), lit(0L)).cast("double") /
+          col("n_exact").cast("double"), 6) + lit(0.0)).as("recall"))
+  }
+
   /** Persist an assigned vector table as an on-disk IVF index: one
     * directory per cell. A probe then reads ONLY the probed cells'
     * files via partition pruning — the disk-backed equivalent of "scan

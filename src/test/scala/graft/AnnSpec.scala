@@ -47,6 +47,21 @@ class AnnSpec extends SparkSpec {
     assert(viaAnn == brute)
   }
 
+  test("recallAtK: distributed per-query overlap matches hand computation") {
+    import spark.implicits._
+    // q1: exact {1,2,3}, approx {2,3,9} → 2/3; q2: exact {4,5}, approx
+    // hits none → 0; q3: exact {7}, approx {7} → 1
+    val exact = Seq((1L, 1L), (1L, 2L), (1L, 3L), (2L, 4L), (2L, 5L), (3L, 7L))
+      .toDF("qid", "id")
+    val approx = Seq((1L, 2L), (1L, 3L), (1L, 9L), (2L, 8L), (3L, 7L))
+      .toDF("qid", "id")
+    val r = Ann.recallAtK(exact, approx, "qid", "id")
+      .collect().map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2), x.getDouble(3))).toMap
+    assert(r(1L) == ((3L, 2L, 0.666667)))
+    assert(r(2L) == ((2L, 0L, 0.0)))
+    assert(r(3L) == ((1L, 1L, 1.0)))
+  }
+
   test("k-means-trained centroids lift recall@10 at 4/16 probes on clustered data") {
     // The parquet fixture embeddings are isotropic random (same-label and
     // cross-label cosine both ~0, top-10 neighbor label purity ~9% =
