@@ -2338,6 +2338,20 @@ object SparkEntry {
 
   private def extraQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // Min-span proximity: tightest token window covering all three
+    // query terms (native MinSpan kernel, one O(n·k) scan/row) — the
+    // terms-TOGETHER relevance feature beside BM25's terms-present.
+    "q_min_span" -> ((s, dir) => {
+      import s.implicits._
+      import graft.expressions.MinSpan.minSpanF
+      spread(s, t(s, dir, "documents"))
+        .select($"doc_id",
+          minSpanF(T.tokens(lower($"text")),
+            typedLit(Seq("vector", "join", "scan"))).as("minspan"))
+        .filter($"minspan".isNotNull)
+        .orderBy($"doc_id")
+    }),
+
     // Inverted-index build: top-10 terms by document frequency with
     // their first 10 posting-list entries (Bm25.buildPostings
     // scaladoc — one (term, doc_id) shuffle, map-side combined).
@@ -2840,6 +2854,32 @@ object SparkEntry {
   )
 
   private def extraOracles: Map[String, String] = Map(
+
+    // Min-span as relational algebra: for every candidate end position
+    // (any term occurrence), the latest occurrence of each term at or
+    // before it; windows where all 3 terms have one; min(end − start
+    // + 1). The optimal window always ends at a term occurrence.
+    "q_min_span" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+        |         ELSE string_split_regex(trim(lower(text)), '\s+') END AS toks
+        |  FROM documents),
+        |tk AS (
+        |  SELECT doc_id, unnest(toks) AS tk,
+        |         unnest(generate_series(1, len(toks))) AS p
+        |  FROM base),
+        |pos AS (SELECT doc_id, tk AS term, p FROM tk
+        |        WHERE tk IN ('vector', 'join', 'scan')),
+        |lastp AS (
+        |  SELECT e.doc_id, e.p AS pe, p2.term, MAX(p2.p) AS lp
+        |  FROM pos e JOIN pos p2 ON p2.doc_id = e.doc_id AND p2.p <= e.p
+        |  GROUP BY e.doc_id, e.p, p2.term),
+        |ok AS (
+        |  SELECT doc_id, pe, MIN(lp) AS start
+        |  FROM lastp GROUP BY doc_id, pe HAVING COUNT(DISTINCT term) = 3)
+        |SELECT doc_id, CAST(MIN(pe - start + 1) AS BIGINT) AS minspan
+        |FROM ok GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q_postings" ->
       """WITH tk AS (

@@ -69,6 +69,24 @@ class TextFunctionsSpec extends SparkSpec {
     }
   }
 
+  test("MinSpan kernel: hand-checked windows, absent term → null") {
+    import graft.expressions.MinSpan.minSpanF
+    def span(text: String, terms: Seq[String]): Option[Long] = {
+      val r = docs(text).select(
+        minSpanF(T.tokens(col("text")), typedLit(terms)).as("s")).head
+      if (r.isNullAt(0)) None else Some(r.getLong(0))
+    }
+    assert(span("a x x b", Seq("a", "b")) == Some(4L))
+    // tighter window later in the doc wins
+    assert(span("a x x b a b", Seq("a", "b")) == Some(2L))
+    // repeated left term: latest occurrence shrinks the window
+    assert(span("a a b", Seq("a", "b")) == Some(2L))
+    assert(span("b a", Seq("a", "b")) == Some(2L))
+    assert(span("a a a", Seq("a")) == Some(1L))
+    assert(span("a x", Seq("a", "b")) == None)
+    assert(span("", Seq("a")) == None)
+  }
+
   test("BpeTrain.train: overlapping pair counts, left-to-right merge, count-then-lex tie-break") {
     import graft.operators.BpeTrain
     // "aaa"×2: pair (a,a) counts 2 per word (overlapping) → cnt 4;
