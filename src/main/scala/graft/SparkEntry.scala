@@ -2338,6 +2338,21 @@ object SparkEntry {
 
   private def extraQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // The SQL surface through the oracle gate: plain spark.sql text
+    // over the REGISTERED graft kernels (ext.GraftFunctions) — same
+    // engine and plan as the Column API, proven by the shared oracle.
+    "q_sql_kernels" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      graft.ext.GraftFunctions.register(s)
+      s.sql(
+        """SELECT doc_id,
+          |       CAST(graft_char_entropy(text) AS DOUBLE) / 1e6 AS entropy,
+          |       graft_repeat_stats(split(trim(text), '\\s+')).max_repeat
+          |         AS max_rep
+          |FROM documents WHERE trim(text) <> ''
+          |ORDER BY doc_id""".stripMargin)
+    }),
+
     // Min-span proximity: tightest token window covering all three
     // query terms (native MinSpan kernel, one O(n·k) scan/row) — the
     // terms-TOGETHER relevance feature beside BM25's terms-present.
@@ -2854,6 +2869,26 @@ object SparkEntry {
   )
 
   private def extraOracles: Map[String, String] = Map(
+
+    "q_sql_kernels" ->
+      """WITH t AS (SELECT doc_id, text FROM documents WHERE trim(text) <> ''),
+        |chars AS (SELECT doc_id, unnest(string_split(text, '')) AS ch FROM t),
+        |cnt AS (SELECT doc_id, ch, COUNT(*) AS k FROM chars GROUP BY doc_id, ch),
+        |tot AS (SELECT doc_id, SUM(k) AS n FROM cnt GROUP BY doc_id),
+        |terms AS (
+        |  SELECT c.doc_id,
+        |    CAST(ROUND((c.k::DOUBLE / t2.n::DOUBLE) * LN(t2.n::DOUBLE / c.k::DOUBLE)
+        |               * 1000000, 0) AS BIGINT) AS m
+        |  FROM cnt c JOIN tot t2 USING (doc_id)),
+        |h AS (SELECT doc_id, SUM(m) AS micro FROM terms GROUP BY doc_id),
+        |tk AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tk
+        |       FROM t),
+        |mr AS (SELECT doc_id, MAX(c)::INT AS max_rep FROM
+        |         (SELECT doc_id, tk, COUNT(*) AS c FROM tk GROUP BY doc_id, tk)
+        |       GROUP BY doc_id)
+        |SELECT t.doc_id, h.micro::DOUBLE / 1000000.0 AS entropy, mr.max_rep
+        |FROM t JOIN h USING (doc_id) JOIN mr ON t.doc_id = mr.doc_id
+        |ORDER BY t.doc_id""".stripMargin,
 
     // Min-span as relational algebra: for every candidate end position
     // (any term occurrence), the latest occurrence of each term at or
