@@ -48,6 +48,63 @@ object SparkEntry {
   private def spread(s: SparkSession, df: DataFrame): DataFrame =
     df.repartition(s.sparkContext.defaultParallelism)
 
+  /** Power-iteration CTE chain (oracle side of `powerIterTop`): ex
+    * zips (pos, x); per iteration y = per-vector micro-dot with v,
+    * u = per-pos micro-sum of y·x, v = ROUND(u / max|u|, 6).
+    */
+  private lazy val pcaCtesSql: String = {
+    def iter(k: Int): String =
+      s"""y$k AS (
+         |  SELECT e.vec_id,
+         |    SUM(CAST(ROUND(e.x * v.v * 1000000, 0) AS BIGINT)) AS ym
+         |  FROM ex e JOIN v${k - 1} v USING (pos) GROUP BY e.vec_id),
+         |u$k AS (
+         |  SELECT e.pos, SUM(CAST(ROUND(y.ym * e.x, 0) AS BIGINT)) AS um
+         |  FROM ex e JOIN y$k y USING (vec_id) GROUP BY e.pos),
+         |m$k AS (SELECT MAX(ABS(um))::DOUBLE AS m FROM u$k),
+         |v$k AS MATERIALIZED (
+         |  SELECT pos, ROUND(um::DOUBLE / m, 6) + 0.0 AS v FROM u$k, m$k)"""
+        .stripMargin
+    s"""WITH ex AS MATERIALIZED (
+       |  SELECT vec_id, unnest(generate_series(1, 64)) AS pos,
+       |         unnest(embedding)::DOUBLE AS x
+       |  FROM embeddings),
+       |v0 AS (SELECT unnest(generate_series(1, 64)) AS pos, 1.0 AS v),
+       |${(1 to 3).map(iter).mkString(",\n")}""".stripMargin
+  }
+
+  /** Dominant embedding direction after 3 power iterations — shared by
+    * q_pca_top (reports it) and q_abtt (projects it out). See the
+    * q_pca_top comment for the exactness discipline; returns the
+    * L∞-normalized round-6 direction.
+    */
+  private def powerIterTop(s: SparkSession, dir: String,
+                           dim: Int = 64): Seq[Double] = {
+    import s.implicits._
+    val ex = spread(s, t(s, dir, "embeddings"))
+      .select($"vec_id", $"embedding").localCheckpoint(false)
+    var v: Seq[Double] = Seq.fill(dim)(1.0)
+    for (_ <- 1 to 3) {
+      val vLit = typedLit(v)
+      val u = ex
+        .withColumn("ym", aggregate(
+          zip_with($"embedding", vLit, (x, vv) =>
+            round(x.cast("double") * vv * lit(1000000.0), 0).cast("long")),
+          lit(0L), (acc, x) => acc + x))
+        .select($"ym", posexplode($"embedding").as(Seq("pos", "x")))
+        .groupBy($"pos")
+        .agg(sum(round($"ym".cast("double") * $"x".cast("double"), 0)
+          .cast("long")).as("um"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val m = (0 until dim).map(j => math.abs(u.getOrElse(j, 0L))).max.toDouble
+      v = (0 until dim).map { j =>
+        java.math.BigDecimal.valueOf(u.getOrElse(j, 0L).toDouble / m)
+          .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue() + 0.0
+      }
+    }
+    v
+  }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("q_topk_cosine")(spark, "/root/testdata/sf0.001")
@@ -2416,30 +2473,36 @@ object SparkEntry {
     // order-sensitive float L2 sum).
     "q_pca_top" -> ((s, dir) => {
       import s.implicits._
-      val dim = 64
-      val ex = spread(s, t(s, dir, "embeddings"))
-        .select($"vec_id", $"embedding").localCheckpoint(false)
-      var v: Seq[Double] = Seq.fill(dim)(1.0)
-      for (_ <- 1 to 3) {
-        val vLit = typedLit(v)
-        val u = ex
-          .withColumn("ym", aggregate(
-            zip_with($"embedding", vLit, (x, vv) =>
-              round(x.cast("double") * vv * lit(1000000.0), 0).cast("long")),
-            lit(0L), (acc, x) => acc + x))
-          .select($"ym", posexplode($"embedding").as(Seq("pos", "x")))
-          .groupBy($"pos")
-          .agg(sum(round($"ym".cast("double") * $"x".cast("double"), 0)
-            .cast("long")).as("um"))
-          .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-        val m = (0 until dim).map(j => math.abs(u.getOrElse(j, 0L))).max.toDouble
-        v = (0 until dim).map { j =>
-          java.math.BigDecimal.valueOf(u.getOrElse(j, 0L).toDouble / m)
-            .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue() + 0.0
-        }
+      powerIterTop(s, dir).zipWithIndex.map { case (x, j) => (j + 1, x) }
+        .toDF("pos", "v").orderBy($"pos")
+    }),
+
+    // All-but-the-Top applied (Mu & Viswanath 2018): subtract each
+    // embedding's projection onto the dominant direction — the
+    // denoising step that lifts retrieval on anisotropic embeddings.
+    // v̂ = L2-normalized power-iteration direction (driver, exact
+    // integer micro-units); per-row projection is a micro-unit dot,
+    // correction is per-element arithmetic — zero shuffles.
+    "q_abtt" -> ((s, dir) => {
+      import s.implicits._
+      val v = powerIterTop(s, dir)
+      val vm = v.map(x =>
+        java.math.BigDecimal.valueOf(x).movePointRight(6).longValueExact())
+      val n2 = vm.map(x => x * x).sum
+      val vhat = vm.map(_.toDouble / math.sqrt(n2.toDouble))
+      val vhatLit = typedLit(vhat)
+      val corrected = (0 until 3).map { j =>
+        (round(element_at($"embedding", j + 1).cast("double") -
+          ($"pm".cast("double") / lit(1000000.0)) * lit(vhat(j)), 6)
+          + lit(0.0)).as(s"c$j")
       }
-      v.zipWithIndex.map { case (x, j) => (j + 1, x) }.toDF("pos", "v")
-        .orderBy($"pos")
+      spread(s, t(s, dir, "embeddings"))
+        .withColumn("pm", aggregate(
+          zip_with($"embedding", vhatLit, (x, vv) =>
+            round(x.cast("double") * vv * lit(1000000.0), 0).cast("long")),
+          lit(0L), (acc, x) => acc + x))
+        .select(($"vec_id" +: corrected): _*)
+        .orderBy($"vec_id")
     }),
 
     // BPE merge-rule LEARNING (tokenizer training): one corpus-sized
@@ -2982,27 +3045,30 @@ object SparkEntry {
     // Power iteration replicated in SQL: ex zips (pos, x) by parallel
     // unnest; per iteration, y = per-vector micro-dot with v, u = per-
     // pos micro-sum of y·x, v = ROUND(u / max|u|, 6).
-    "q_pca_top" -> {
-      def iter(k: Int): String =
-        s"""y$k AS (
-           |  SELECT e.vec_id,
-           |    SUM(CAST(ROUND(e.x * v.v * 1000000, 0) AS BIGINT)) AS ym
-           |  FROM ex e JOIN v${k - 1} v USING (pos) GROUP BY e.vec_id),
-           |u$k AS (
-           |  SELECT e.pos, SUM(CAST(ROUND(y.ym * e.x, 0) AS BIGINT)) AS um
-           |  FROM ex e JOIN y$k y USING (vec_id) GROUP BY e.pos),
-           |m$k AS (SELECT MAX(ABS(um))::DOUBLE AS m FROM u$k),
-           |v$k AS MATERIALIZED (
-           |  SELECT pos, ROUND(um::DOUBLE / m, 6) + 0.0 AS v FROM u$k, m$k)"""
-          .stripMargin
-      s"""WITH ex AS MATERIALIZED (
-         |  SELECT vec_id, unnest(generate_series(1, 64)) AS pos,
-         |         unnest(embedding)::DOUBLE AS x
-         |  FROM embeddings),
-         |v0 AS (SELECT unnest(generate_series(1, 64)) AS pos, 1.0 AS v),
-         |${(1 to 3).map(iter).mkString(",\n")}
-         |SELECT CAST(pos AS INT) AS pos, v FROM v3 ORDER BY pos""".stripMargin
-    },
+    "q_pca_top" ->
+      s"""$pcaCtesSql
+         |SELECT CAST(pos AS INT) AS pos, v FROM v3 ORDER BY pos""".stripMargin,
+
+    // ABTT in SQL on top of the shared power-iteration CTEs: exact
+    // micro-unit v̂, micro-dot projection, per-element correction.
+    "q_abtt" ->
+      s"""$pcaCtesSql,
+         |vm AS (SELECT pos, CAST(ROUND(v * 1000000, 0) AS BIGINT) AS vm FROM v3),
+         |n2 AS (SELECT SUM(vm * vm)::DOUBLE AS n2 FROM vm),
+         |vh AS MATERIALIZED (SELECT pos, vm::DOUBLE / SQRT(n2) AS vh FROM vm, n2),
+         |pr AS (
+         |  SELECT e.vec_id, SUM(CAST(ROUND(e.x * v.vh * 1000000, 0) AS BIGINT)) AS pm
+         |  FROM ex e JOIN vh v USING (pos) GROUP BY e.vec_id),
+         |c AS (
+         |  SELECT e.vec_id, e.pos,
+         |         ROUND(e.x - (p.pm::DOUBLE / 1000000.0) * v.vh, 6) + 0.0 AS c
+         |  FROM ex e JOIN pr p USING (vec_id) JOIN vh v USING (pos)
+         |  WHERE e.pos <= 3)
+         |SELECT vec_id,
+         |  MAX(CASE WHEN pos = 1 THEN c END) AS c0,
+         |  MAX(CASE WHEN pos = 2 THEN c END) AS c1,
+         |  MAX(CASE WHEN pos = 3 THEN c END) AS c2
+         |FROM c GROUP BY vec_id ORDER BY vec_id""".stripMargin,
 
     // BPE training replicated in SQL: per merge step k, a pair-count +
     // argmax CTE, then a recursive find-first-and-merge re-segmentation
