@@ -67,4 +67,37 @@ object Layout {
       .sortWithinPartitions(col("__z"))
       .drop("__z")
       .write.mode("overwrite").parquet(path)
+
+  /** Compact a parquet directory to ~`targetFileBytes` files — the
+    * small-files maintenance pass every continuously-ingested table
+    * needs (`streamInsert`'s per-micro-batch appends, IVF cell
+    * directories): a 100 TB table accreting thousands of KB-sized
+    * files per hour makes every scan pay file-open + footer-parse per
+    * file and starves split planning. File count = ceil(current bytes
+    * / target), sized from the source listing (compression ratio
+    * carries over since the format is unchanged). Round-robin
+    * repartition spreads rows evenly; rewrite-then-swap is the caller's
+    * transaction (write to a new path, then move — object stores have
+    * no atomic directory overwrite).
+    *
+    * Returns (filesBefore, filesAfter).
+    */
+  def compact(spark: SparkSession, srcPath: String, dstPath: String,
+              targetFileBytes: Long = 128L << 20): (Int, Int) = {
+    require(targetFileBytes >= 1)
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val src = new org.apache.hadoop.fs.Path(srcPath)
+    val fs = src.getFileSystem(hconf)
+    val files = fs.listStatus(src)
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+    val totalBytes = files.map(_.getLen).sum
+    val nOut = math.max(1L,
+      (totalBytes + targetFileBytes - 1) / targetFileBytes).toInt
+    spark.read.parquet(srcPath)
+      .repartition(nOut)
+      .write.mode("overwrite").parquet(dstPath)
+    val after = fs.listStatus(new org.apache.hadoop.fs.Path(dstPath))
+      .count(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+    (files.length, after)
+  }
 }

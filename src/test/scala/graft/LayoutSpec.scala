@@ -41,6 +41,25 @@ class LayoutSpec extends SparkSpec {
       s"z-order must touch fewer files on a 2-D box ($zHit vs $aHit)")
   }
 
+  test("compact: many small files become the byte-budgeted count, rows intact") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_compact_").toString
+    val src = base + "/src"
+    val dst = base + "/dst"
+    // 64 tiny files
+    (0 until 1024).map(i => (i.toLong, s"row $i")).toDF("id", "s")
+      .repartition(64).write.parquet(src)
+    val (before, after) = graft.sources.Layout.compact(spark, src, dst,
+      targetFileBytes = 1L << 20)
+    assert(before == 64)
+    assert(after < before, s"expected fewer files, got $after")
+    // total bytes << 1 MiB → single output file
+    assert(after == 1)
+    val a = spark.read.parquet(src).orderBy("id").collect()
+    val b = spark.read.parquet(dst).orderBy("id").collect()
+    assert(a.toSeq == b.toSeq, "compaction must not change the data")
+  }
+
   test("join of two tables bucketed on the key runs with NO exchange on either side") {
     import spark.implicits._
     val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
