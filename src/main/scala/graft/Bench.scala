@@ -43,7 +43,8 @@ object Bench {
     // round-5 additions: retrieval-training data prep + quality signals
     "q_dsir_sample", "q_mmr_rerank", "q_hard_negatives", "q_char_entropy",
     "q_range_search", "q_train_shard", "q_bpe_train", "q_mlp_embed",
-    "q_pca_top", "q_quality_gate")
+    "q_pca_top", "q_quality_gate", "q_word_subsample", "q_postings",
+    "q_min_span", "q_abtt")
 
   /** Force FULL materialization of every output column: xxhash64 over all
     * columns, summed. `.count()` alone under-measures — Catalyst prunes

@@ -144,6 +144,25 @@ object Profile {
     jS.explain("formatted")
     time("H2 ngram jaccard with spread")(jS.count())
 
+    // DSIR scale probe: 1× vs 10× corpus. The bucket-stats shuffle is
+    // B-bounded (64 × partitions rows) and the driver collect is B rows
+    // at ANY corpus size, so cost must grow ~linearly with the scoring
+    // scan only.
+    {
+      import graft.operators.Sampling
+      def dsir(d: org.apache.spark.sql.DataFrame): Long =
+        Sampling.dsirWeights(d, "doc_id", "text", $"source" === "src0")
+          .agg(sum($"dsir_w")).collect().head.getDouble(0).toLong
+      val docsS = docs.repartition(32)
+      time("J1 dsir 1x")(println("  wsum=" + dsir(docsS)))
+      val big = (0 until 10).map(i =>
+          docs.select(($"doc_id" + lit(i * 1000000L)).as("doc_id"), $"source",
+            concat($"text", lit(s" v$i")).as("text")))
+        .reduce(_ unionByName _)
+        .repartition(32)
+      time("J10 dsir 10x")(println("  wsum10x=" + dsir(big)))
+    }
+
     spark.stop()
   }
 }
