@@ -2395,6 +2395,19 @@ object SparkEntry {
 
   private def extraQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // Sliding-window chunking (20-token windows, stride 10 → 50%
+    // overlap): boundary-spanning context stays retrievable
+    // (T.chunksSliding scaladoc). Pure per-row generator + posexplode.
+    "q_chunk_sliding" -> ((s, dir) => {
+      import s.implicits._
+      spread(s, t(s, dir, "documents"))
+        .select($"doc_id",
+          posexplode(T.chunksSliding($"text", 20, 10))
+            .as(Seq("chunk_idx", "chunk")))
+        .select($"doc_id", $"chunk_idx", $"chunk")
+        .orderBy($"doc_id", $"chunk_idx")
+    }),
+
     // The SQL surface through the oracle gate: plain spark.sql text
     // over the REGISTERED graft kernels (ext.GraftFunctions) — same
     // engine and plan as the Column API, proven by the shared oracle.
@@ -2932,6 +2945,22 @@ object SparkEntry {
   )
 
   private def extraOracles: Map[String, String] = Map(
+
+    "q_chunk_sliding" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+        |         ELSE string_split_regex(trim(text), '\s+') END AS toks
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, toks,
+        |    unnest(generate_series(0,
+        |      CASE WHEN len(toks) <= 20 THEN 0
+        |           ELSE CAST(ceil((len(toks) - 20) / 10.0) AS INT) END)) AS chunk_idx
+        |  FROM t WHERE len(toks) > 0)
+        |SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+        |       array_to_string(toks[chunk_idx*10+1 : chunk_idx*10+20], ' ') AS chunk
+        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
 
     "q_sql_kernels" ->
       """WITH t AS (SELECT doc_id, text FROM documents WHERE trim(text) <> ''),

@@ -34,6 +34,28 @@ object TextFunctions {
         i => array_join(slice(toks, i * n + 1, lit(n)), " ")))
   }
 
+  /** Sliding-window chunks: n-token windows every `stride` tokens
+    * (stride < n ⇒ overlap) — the RAG chunking variant that keeps
+    * context spanning a boundary retrievable (the reference's chunker
+    * is the stride = n special case). Window count covers every token
+    * with no fully-contained tail: 1 window when len ≤ n, else
+    * ceil((len − n)/stride) + 1 (the last window may start off-stride
+    * content-wise but never duplicates a suffix of its predecessor
+    * entirely). Empty text → no chunks.
+    */
+  def chunksSliding(text: Column, n: Int, stride: Int): Column = {
+    require(n > 0 && stride > 0 && stride <= n,
+      s"need 0 < stride <= n, got n=$n stride=$stride")
+    val toks = tokens(text)
+    val len = size(toks)
+    val nChunks = when(len <= n, lit(1))
+      .otherwise(ceil((len - lit(n)).cast("double") / stride).cast("int")
+        + lit(1))
+    when(len === 0, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(0), nChunks - 1),
+        i => array_join(slice(toks, i * stride + 1, lit(n)), " ")))
+  }
+
   /** Deterministic chunk id: `{docId}::chunk{idx}::{md5(chunk)[:8]}` —
     * reproducible replacement for the reference's uuid4 suffix
     * (`rag_demo/ingest.py:34`).
