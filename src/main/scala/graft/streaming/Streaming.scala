@@ -153,6 +153,42 @@ object Streaming {
       .start()
   }
 
+  /** Continuous query SERVING: a stream of (query id, embedding) rows
+    * answered against a static corpus — the reference's request loop
+    * (`coordinator/main.py:58-86`) as a structured stream instead of an
+    * HTTP handler. Per micro-batch, scoring is the same broadcast
+    * cross-join + codegen cosine + `TopKAggregator` bounded per-query
+    * top-k as `VectorStore.searchBatch` — the corpus is scanned once
+    * per batch regardless of the number of queries in it, which is the
+    * batched-serving amortization the reference's per-request loop
+    * can't do. Results append to `sink` (in deployment: a parquet/Kafka
+    * response topic).
+    *
+    * `queries`: streaming (qidCol LONG, vecCol ARRAY<FLOAT>).
+    * Emits (qid, id, score) per batch via foreachBatch (per-query
+    * top-k is a per-batch aggregation — foreachBatch is the idiomatic
+    * stream-side home for a bounded global agg over each batch).
+    */
+  def searchStream(queries: DataFrame, corpus: DataFrame, idCol: String,
+                   vecCol: String, qidCol: String, qVecCol: String, k: Int,
+                   sink: (DataFrame, Long) => Unit): StreamingQuery = {
+    import graft.functions.{VectorFunctions => V}
+    import graft.operators.TopK
+    queries.writeStream
+      .outputMode("update")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val scored = corpus.crossJoin(broadcast(batch))
+          .select(col(qidCol), col(idCol),
+            (round(V.cosine(col(vecCol), col(qVecCol)), 6) + lit(0.0))
+              .as("__c"))
+        val hits = TopK
+          .topKPerKeyAgg(scored, Seq(col(qidCol)), col("__c"), col(idCol), k)
+          .select(col(qidCol), col("id").as(idCol), col("score"))
+        sink(hits, batchId)
+      }
+      .start()
+  }
+
   /** Streaming corpus curation — the continuous flavor of
     * `operators.Curation.curate`. The per-row stages are stateless and
     * run unchanged on a stream: PII redaction, quantized quality +

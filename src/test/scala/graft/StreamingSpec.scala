@@ -84,6 +84,45 @@ class StreamingSpec extends SparkSpec {
     assert(ids.toSeq == Seq(1L, 2L, 7L))
   }
 
+  test("searchStream serves a query stream against the static corpus; matches batch search") {
+    import spark.implicits._
+    val corpus = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .select($"vec_id", $"embedding")
+    val queries = corpus.filter($"vec_id" < 3)
+      .select($"vec_id".as("qid"), $"embedding".as("qe"))
+    val tmp = Files.createTempDirectory("graft_serve_").toString
+    queries.filter($"qid" < 2).write.mode("overwrite").parquet(tmp)
+
+    val collected = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+    val stream = spark.readStream.schema(queries.schema).parquet(tmp)
+    val q = Streaming.searchStream(stream, corpus, "vec_id", "embedding",
+      "qid", "qe", k = 5,
+      (hits, _) => collected.synchronized {
+        collected ++= hits.collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      })
+    q.processAllAvailable()
+    // late-arriving query in a second batch
+    queries.filter($"qid" === 2).write.mode("append").parquet(tmp)
+    q.processAllAvailable()
+    q.stop()
+
+    // batch twin: same scoring + same per-query top-k
+    val expected = corpus.crossJoin(broadcast(queries))
+      .select($"qid", $"vec_id",
+        (round(graft.functions.VectorFunctions.cosine($"embedding", $"qe"), 6)
+          + lit(0.0)).as("c"))
+    val exp = graft.operators.TopK
+      .topKPerKeyAgg(expected, Seq($"qid"), $"c", $"vec_id", 5)
+      .select($"qid", $"id", $"score")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(collected.toSet == exp)
+    assert(collected.map(_._1).distinct.sorted == Seq(0L, 1L, 2L))
+    // each query's top hit is itself (score 1.0 on normalized self-match)
+    val self = collected.groupBy(_._1).map { case (q2, hs) => q2 -> hs.maxBy(_._3) }
+    self.foreach { case (q2, (_, id, _)) => assert(id == q2) }
+  }
+
   test("curateStream gates, dedups and samples a document stream") {
     import spark.implicits._
     def ts(min: Int) = new java.sql.Timestamp(7200000L + min * 60000L)
