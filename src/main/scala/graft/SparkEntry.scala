@@ -2395,6 +2395,38 @@ object SparkEntry {
 
   private def extraQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // Media/binary content dedup: group BINARY payloads by md5 — the
+    // multimodal twin of exact text dedup (at 100 TB the shuffle
+    // carries 16-byte hashes, never payloads). The fixture has no
+    // byte-identical full texts, so payloads are synthesized from each
+    // doc's 3-token prefix (the recurring-thumbnail shape). Dup groups
+    // only.
+    "q_media_dedup" -> ((s, dir) => {
+      import s.implicits._
+      spread(s, t(s, dir, "documents"))
+        .withColumn("bin",
+          Multimodal.payload(array_join(slice(T.tokens($"text"), 1, 3), " ")))
+        .groupBy(md5($"bin").as("h"))
+        .agg(min($"doc_id").as("keeper"), count(lit(1)).as("n"),
+          sum(length($"bin")).as("bytes"))
+        .filter($"n" >= 2)
+        .select($"keeper", $"n", $"bytes")
+        .orderBy($"keeper")
+    }),
+
+    // Deterministic exact-N sample: global order by seeded md5 hash,
+    // take 50 — the "give me exactly N reproducible rows" primitive
+    // (rate gates give a binomial count; this gives N). One
+    // TakeOrderedAndProject, k-bounded like any top-k.
+    "q_sample_exact" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents")
+        .select($"doc_id",
+          Dedup.hash60(concat(lit("s1:"), $"doc_id".cast("string"))).as("h"))
+        .orderBy($"h", $"doc_id").limit(50)
+        .select($"doc_id", $"h")
+    }),
+
     // Sliding-window chunking (20-token windows, stride 10 → 50%
     // overlap): boundary-spanning context stays retrievable
     // (T.chunksSliding scaladoc). Pure per-row generator + posexplode.
@@ -2945,6 +2977,21 @@ object SparkEntry {
   )
 
   private def extraOracles: Map[String, String] = Map(
+
+    "q_media_dedup" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    array_to_string((CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+        |         ELSE string_split_regex(trim(text), '\s+') END)[1:3], ' ') AS bin
+        |  FROM documents)
+        |SELECT MIN(doc_id) AS keeper, COUNT(*) AS n,
+        |       CAST(SUM(strlen(bin)) AS BIGINT) AS bytes
+        |FROM p GROUP BY md5(bin) HAVING COUNT(*) >= 2
+        |ORDER BY keeper""".stripMargin,
+
+    "q_sample_exact" ->
+      """SELECT doc_id, ('0x'||substr(md5('s1:' || doc_id::VARCHAR), 1, 15))::BIGINT AS h
+        |FROM documents ORDER BY h, doc_id LIMIT 50""".stripMargin,
 
     "q_chunk_sliding" ->
       """WITH t AS (
