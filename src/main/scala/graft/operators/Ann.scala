@@ -125,6 +125,65 @@ object Ann {
     cents.toDF("cent_id", "cvec")
   }
 
+  /** FAISS-style index factory: one spec string picks the whole search
+    * tier, so swapping accuracy against scan cost is a config change,
+    * not a code change —
+    *   "FLAT"          exact cosine scan (the reference's only mode)
+    *   "IVF<c>"        k-means(c)-trained cell routing, probe-pruned scan
+    *   "IVF<c>,PQ<m>"  cell routing + m-subspace ADC scoring
+    *   "PQ<m>"         full-corpus ADC scan (32× compression at m=8)
+    *   "SQ8"           scalar-quantized asymmetric scan (4×)
+    * All tiers return (id, score) rows, score desc, id tie-break; every
+    * underlying component is the oracle-checked operator above. PQ
+    * codebooks use the deterministic lowest-id init (the q_ann_pq
+    * contract) — per-subspace k-means drops in at no interface change.
+    */
+  def searchFactory(spec: String, vectors: DataFrame, idCol: String,
+                    vecCol: String, query: Seq[Float], k: Int,
+                    nProbes: Int = 4, kmeansIters: Int = 2): DataFrame = {
+    val Ivf = """IVF(\d+)""".r
+    val IvfPq = """IVF(\d+),PQ(\d+)""".r
+    val Pq = """PQ(\d+)""".r
+    def centroids(c: Int): DataFrame =
+      kmeansTrain(vectors, idCol, vecCol, c, kmeansIters)
+    def codebooks(ksub: Int): Seq[Seq[Float]] = vectors
+      .orderBy(col(idCol)).limit(ksub)
+      .select(col(vecCol)).collect().map(_.getSeq[Float](0)).toSeq
+    spec.trim.toUpperCase match {
+      case "FLAT" =>
+        val qn = math.max(math.sqrt(query.map(x => x.toDouble * x).sum), V.NormEps)
+        val scored = vectors.withColumn("score",
+          dotF(col(vecCol), typedLit(query)) /
+            (greatest(sqrt(dotF(col(vecCol), col(vecCol))), lit(V.NormEps)) * lit(qn)))
+        TopK.topK(scored, col("score"), col(idCol), k)
+          .select(col(idCol).as("id"), col("score"))
+      case IvfPq(c, m) =>
+        searchIvfPq(vectors, centroids(c.toInt), idCol, vecCol, "cent_id",
+          "cvec", codebooks(16), m.toInt, query, nProbes, k)
+          .select(col(idCol).as("id"), col("score"))
+      case Ivf(c) =>
+        search(vectors, centroids(c.toInt), idCol, vecCol, "cent_id", "cvec",
+          query, nProbes, k)
+      case Pq(m) =>
+        val cb = codebooks(16)
+        val lut = pqLut(query, cb, m.toInt)
+        val scored = vectors
+          .withColumn("__codes", pqEncode(col(vecCol), cb, m.toInt))
+          .withColumn("score", pqAdcScore(col("__codes"), lut))
+        TopK.topK(scored, col("score"), col(idCol), k)
+          .select(col(idCol).as("id"), col("score"))
+      case "SQ8" =>
+        val (mn, mx) = sqTrain(vectors, vecCol)
+        val scored = vectors
+          .withColumn("__codes", sqEncode(col(vecCol), mn, mx))
+          .withColumn("score", sqDot(col("__codes"), query, mn, mx))
+        TopK.topK(scored, col("score"), col(idCol), k)
+          .select(col(idCol).as("id"), col("score"))
+      case other => throw new IllegalArgumentException(
+        s"unknown index spec '$other' — want FLAT, IVF<c>, IVF<c>,PQ<m>, PQ<m>, or SQ8")
+    }
+  }
+
   /** Ranking-quality evaluation: per-query recall of an approximate
     * hit table against the exact one — `|approx ∩ exact| / |exact|`
     * per query id. Both inputs are (qidCol, idCol) hit tables (any

@@ -47,6 +47,38 @@ class AnnSpec extends SparkSpec {
     assert(viaAnn == brute)
   }
 
+  test("searchFactory: every spec returns a k-ranking; FLAT is exact; full-probe IVF == FLAT") {
+    import spark.implicits._
+    val e = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .select($"vec_id", $"embedding")
+    val q = e.filter($"vec_id" === 17).head.getSeq[Float](1)
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.getLong(0)).toSeq
+    val flat = Ann.searchFactory("FLAT", e, "vec_id", "embedding", q, 10)
+    val brute = TopK.topK(
+      e.withColumn("score", V.cosine($"embedding", typedLit(q))),
+      $"score", $"vec_id", 10)
+    assert(ids(flat) == ids(brute))
+    assert(ids(flat).head == 17L) // self-match first
+    // IVF probing every cell is exact search
+    val ivfAll = Ann.searchFactory("IVF8", e, "vec_id", "embedding", q, 10,
+      nProbes = 8)
+    assert(ids(ivfAll) == ids(flat))
+    // quantized tiers: right shape, k rows, descending scores
+    Seq("IVF8", "PQ8", "SQ8", "IVF8,PQ8").foreach { spec =>
+      val r = Ann.searchFactory(spec, e, "vec_id", "embedding", q, 10)
+        .collect()
+      assert(r.length == 10, spec)
+      val scores = r.map(_.getDouble(1)).toSeq
+      assert(scores == scores.sorted.reverse, s"$spec not ranked")
+    }
+    // SQ8 is near-lossless on the fixture: self-match survives
+    assert(ids(Ann.searchFactory("SQ8", e, "vec_id", "embedding", q, 10))
+      .contains(17L))
+    intercept[IllegalArgumentException](
+      Ann.searchFactory("HNSW32", e, "vec_id", "embedding", q, 10))
+  }
+
   test("recallAtK: distributed per-query overlap matches hand computation") {
     import spark.implicits._
     // q1: exact {1,2,3}, approx {2,3,9} → 2/3; q2: exact {4,5}, approx
