@@ -2395,6 +2395,24 @@ object SparkEntry {
 
   private def extraQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // Trending: per 6-hour window, top-2 event types by count — the
+    // windowed-top-k monitoring query (one groupBy shuffle + a
+    // per-window rank over the tiny type dimension).
+    "q_trending" -> ((s, dir) => {
+      import s.implicits._
+      val counts = t(s, dir, "events")
+        .withColumn("w", date_format(
+          timestamp_seconds(floor(unix_timestamp($"ts") / 21600) * 21600),
+          "yyyy-MM-dd HH:mm:ss"))
+        .groupBy($"w", $"event_type")
+        .agg(count(lit(1)).as("n"))
+      val rw = Window.partitionBy($"w").orderBy($"n".desc, $"event_type")
+      counts.withColumn("rk", row_number().over(rw))
+        .filter($"rk" <= 2)
+        .select($"w", $"rk", $"event_type", $"n")
+        .orderBy($"w", $"rk")
+    }),
+
     // Media/binary content dedup: group BINARY payloads by md5 — the
     // multimodal twin of exact text dedup (at 100 TB the shuffle
     // carries 16-byte hashes, never payloads). The fixture has no
@@ -2977,6 +2995,20 @@ object SparkEntry {
   )
 
   private def extraOracles: Map[String, String] = Map(
+
+    "q_trending" ->
+      """WITH c AS (
+        |  SELECT strftime(to_timestamp(CAST(floor(epoch(ts) / 21600) AS BIGINT)
+        |                               * 21600), '%Y-%m-%d %H:%M:%S') AS w,
+        |         event_type, COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |r AS (
+        |  SELECT w, event_type, n,
+        |         row_number() OVER (PARTITION BY w ORDER BY n DESC, event_type)
+        |           AS rk
+        |  FROM c)
+        |SELECT w, CAST(rk AS INT) AS rk, event_type, n
+        |FROM r WHERE rk <= 2 ORDER BY w, rk""".stripMargin,
 
     "q_media_dedup" ->
       """WITH p AS (
