@@ -44,7 +44,9 @@ object Bench {
     "q_dsir_sample", "q_mmr_rerank", "q_hard_negatives", "q_char_entropy",
     "q_range_search", "q_train_shard", "q_bpe_train", "q_mlp_embed",
     "q_pca_top", "q_quality_gate", "q_word_subsample", "q_postings",
-    "q_min_span", "q_abtt")
+    "q_min_span", "q_abtt",
+    // round-6 additions: substring rewrite + bounded-shuffle heavy hitters
+    "q_substr_removal", "q_heavy_hitters", "q_jsonl_roundtrip")
 
   /** Force FULL materialization of every output column: xxhash64 over all
     * columns, summed. `.count()` alone under-measures — Catalyst prunes

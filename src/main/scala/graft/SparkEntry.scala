@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import graft.expressions.FloatVectorExpressions.dotF
 import graft.expressions.TextHashExpressions.{minhashSigF, simhash32F}
 import graft.functions.{HashFunctions, TextFunctions => T, VectorFunctions => V}
-import graft.operators.{Ann, AsofJoin, Bm25, BpeTrain, Classifier, Curation, Dedup, Multimodal, Packing, Rerank, Sampling, SkewJoin, TopK, TrigramLm}
+import graft.operators.{Ann, AsofJoin, Bm25, BpeTrain, Classifier, Curation, Dedup, HeavyHitters, Multimodal, Packing, Rerank, Sampling, SkewJoin, TopK, TrigramLm}
 import graft.sources.{Layout, Tables}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -2395,6 +2395,49 @@ object SparkEntry {
 
   private def extraQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // ExactSubstr REMOVAL (Lee et al. 2022 rewrite half; q_substring_dedup
+    // is the detection half): every duplicated 8-token window keeps only
+    // its canonical minimal-(doc, pos) occurrence; later occurrences are
+    // cut and each document reassembled from surviving tokens. Canonical
+    // selection is an aggregate-then-join (min over a map-side-combinable
+    // struct), NOT a row_number window — a 10⁸-occurrence boilerplate
+    // window must never serialize onto one reducer's sort.
+    "q_substr_removal" -> ((s, dir) => {
+      import s.implicits._
+      Dedup.removeDuplicatedSpans(spread(s, t(s, dir, "documents")),
+          "doc_id", "text", minLen = 8)
+        .orderBy($"doc_id")
+    }),
+
+    // Heavy hitters at bounded shuffle width: a mergeable Misra-Gries
+    // sketch (≤ k counters per partial, shuffle carries partitions × k
+    // counters TOTAL — vocabulary-size independent) finds candidate
+    // terms; an exact recount of only those candidates makes the top-20
+    // provably exact (certified against the n/(k+1) bound at runtime).
+    // The full-groupBy q_vocab_topn is the unbounded-shuffle twin.
+    "q_heavy_hitters" -> ((s, dir) => {
+      import s.implicits._
+      HeavyHitters.topTerms(
+        spread(s, t(s, dir, "documents")).select(lower($"text").as("text")),
+        "text", n = 20, k = 1024)
+    }),
+
+    // JSONL interchange round-trip: documents written as JSON-lines (the
+    // lingua franca of LLM data pipelines) and read back under an
+    // explicit schema (no inference job at 100 TB), byte-identical to
+    // the parquet source. Writer/reader are Spark's parallel JSON sink /
+    // source — one file per partition, no driver funnel.
+    "q_jsonl_roundtrip" -> ((s, dir) => {
+      import s.implicits._
+      val tmp = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_jsonl_rt_${Integer.toHexString(dir.hashCode)}").getAbsolutePath
+      t(s, dir, "documents").select($"doc_id", $"source", $"text")
+        .write.mode("overwrite").json(tmp)
+      s.read.schema("doc_id LONG, source STRING, text STRING").json(tmp)
+        .select($"doc_id", $"source", $"text")
+        .orderBy($"doc_id")
+    }),
+
     // Trending: per 6-hour window, top-2 event types by count — the
     // windowed-top-k monitoring query (one groupBy shuffle + a
     // per-window rank over the tiny type dimension).
@@ -2995,6 +3038,53 @@ object SparkEntry {
   )
 
   private def extraOracles: Map[String, String] = Map(
+
+    "q_substr_removal" ->
+      """WITH t AS (
+        |  SELECT doc_id, CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[]) ELSE string_split_regex(trim(text), '\s+') END AS toks
+        |  FROM documents),
+        |w AS (
+        |  SELECT doc_id,
+        |         list_transform(generate_series(1, len(toks)-7),
+        |           i -> ('0x'||substr(md5(array_to_string(toks[i:i+7], ' ')), 1, 15))::BIGINT) AS whs
+        |  FROM t WHERE len(toks) >= 8),
+        |ex AS (
+        |  SELECT doc_id, unnest(generate_series(0, len(whs)-1)) AS pos, unnest(whs) AS h
+        |  FROM w),
+        |dup AS (SELECT h FROM ex GROUP BY h HAVING COUNT(*) >= 2),
+        |occ AS (SELECT doc_id, pos, h FROM ex WHERE h IN (SELECT h FROM dup)),
+        |rnk AS (
+        |  SELECT doc_id, pos,
+        |         row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+        |  FROM occ),
+        |rm AS (
+        |  SELECT doc_id, pos + unnest(generate_series(0, 7)) AS tp
+        |  FROM rnk WHERE rn > 1),
+        |tok AS (
+        |  SELECT doc_id, unnest(generate_series(0, len(toks)-1)) AS tp, unnest(toks) AS tok
+        |  FROM t WHERE len(toks) > 0),
+        |kept AS (
+        |  SELECT k.doc_id, string_agg(k.tok, ' ' ORDER BY k.tp) AS clean,
+        |         CAST(COUNT(*) AS BIGINT) AS n_kept
+        |  FROM tok k
+        |  WHERE NOT EXISTS (SELECT 1 FROM rm r WHERE r.doc_id = k.doc_id AND r.tp = k.tp)
+        |  GROUP BY k.doc_id)
+        |SELECT t.doc_id, COALESCE(kept.clean, '') AS clean,
+        |       COALESCE(kept.n_kept, 0) AS n_kept,
+        |       CAST(len(t.toks) - COALESCE(kept.n_kept, 0) AS BIGINT) AS n_removed
+        |FROM t LEFT JOIN kept ON t.doc_id = kept.doc_id
+        |ORDER BY t.doc_id""".stripMargin,
+
+    "q_heavy_hitters" ->
+      """SELECT term, CAST(COUNT(*) AS BIGINT) AS cnt
+        |FROM (
+        |  SELECT unnest(CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+        |                     ELSE string_split_regex(trim(lower(text)), '\s+') END) AS term
+        |  FROM documents)
+        |GROUP BY term ORDER BY cnt DESC, term LIMIT 20""".stripMargin,
+
+    "q_jsonl_roundtrip" ->
+      """SELECT doc_id, source, text FROM documents ORDER BY doc_id""".stripMargin,
 
     "q_trending" ->
       """WITH c AS (

@@ -569,6 +569,77 @@ object Dedup {
         round(col("dup_tokens").cast("double") / col("total_tokens"), 6) + lit(0.0))
   }
 
+  /** ExactSubstr REMOVAL (the rewrite half of Lee et al. 2022, which
+    * `duplicatedSpans` only detects): cut every duplicated token span
+    * out of the corpus while keeping exactly one canonical occurrence —
+    * the one at the minimal (document id, position). A span is
+    * duplicated when its `minLen`-token windows occur ≥ `minOccurrences`
+    * times corpus-wide; every non-canonical occurrence of a duplicated
+    * window marks its `minLen` token positions for removal, and each
+    * document is reassembled from its surviving tokens in original
+    * order (token-level rewrite — Lee et al. likewise operate on the
+    * tokenized corpus, not raw bytes).
+    *
+    * Returns one row per input document:
+    * (idCol, clean, n_kept, n_removed) — untouched documents pass
+    * through with n_removed = 0, fully-duplicated documents survive as
+    * empty strings (the curation pipeline may then drop them).
+    *
+    * Scale shape (the reason this is NOT a suffix array):
+    *   1. window hashing is one native-kernel scan; the exploded table
+    *      is (id, pos, 8-byte hash60) — window text never shuffles;
+    *   2. duplicated hashes and the canonical occurrence both come from
+    *      map-side-combinable aggregates over that table (count, and
+    *      min(struct(id, pos)) — deliberately an aggregate-then-join,
+    *      NOT a row_number window: a boilerplate window occurring 10⁸
+    *      times would serialize onto one reducer's sort under
+    *      row_number, while min() partial-aggregates on the map side);
+    *   3. only non-canonical duplicated occurrences fan out ×minLen
+    *      into covered positions (a few % of tokens on real corpora);
+    *   4. reassembly is one groupBy(id) sorted by position — per-doc
+    *      state only, the same shape as `stripBoilerplate`.
+    */
+  def removeDuplicatedSpans(docs: DataFrame, idCol: String, textCol: String,
+                            minLen: Int = 8, minOccurrences: Long = 2): DataFrame = {
+    val id = col(idCol)
+    // one materialization feeds the window-hash explode AND the token
+    // reassembly scan (and the explode itself has two consumers)
+    val base = docs.select(id, col(textCol).as("__text")).localCheckpoint(false)
+    val ex = base
+      .select(id, posexplode(
+        graft.expressions.TextHashExpressions.windowHashesF(col("__text"), minLen))
+        .as(Seq("pos", "__h")))
+      .localCheckpoint(false) // consumed by the dup-count agg and the occurrence semi-join
+    val dupH = ex.groupBy(col("__h"))
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") >= minOccurrences)
+      .select(col("__h"))
+    val occ = ex.join(dupH, Seq("__h"), "left_semi")
+    val canon = occ.groupBy(col("__h"))
+      .agg(min(struct(id, col("pos"))).as("__c"))
+      .select(col("__h"), col("__c")(idCol).as("__cid"), col("__c")("pos").as("__cpos"))
+    // no distinct: overlapping windows emit the same position twice, but
+    // the anti-join below is insensitive to right-side duplicates
+    val covered = occ.join(canon, Seq("__h"))
+      .filter(!(id === col("__cid") && col("pos") === col("__cpos")))
+      .select(id, explode(sequence(col("pos"), col("pos") + lit(minLen - 1))).as("__tp"))
+    val toks = base.select(id,
+      posexplode(T.tokens(col("__text"))).as(Seq("__tp", "__tok")))
+    val kept = toks.join(covered, Seq(idCol, "__tp"), "left_anti")
+      .groupBy(id)
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(struct(col("__tp"), col("__tok")))),
+          s => s.getField("__tok")), " ").as("clean"),
+        count(lit(1)).as("n_kept"))
+    base.select(id, size(T.tokens(col("__text"))).cast("long").as("__tot"))
+      .join(kept, Seq(idCol), "left")
+      .select(id,
+        coalesce(col("clean"), lit("")).as("clean"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("__tot") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
+  }
+
   /** Bit p (0 = LSB) of an 8-hex-char string, via hex-digit arithmetic
     * (no Column-shift builtin needed; exact in double for digits ≤ 15).
     */

@@ -1,0 +1,120 @@
+package graft.operators
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.{DataFrame, Encoder}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+import graft.functions.{TextFunctions => T}
+
+/** Bounded-memory heavy-hitter mining: a mergeable Misra-Gries sketch
+  * finds the CANDIDATE frequent terms in one pass with ≤ k counters per
+  * partial buffer, then an exact recount of only those candidates makes
+  * the final answer exact and deterministic.
+  *
+  * Why not just `groupBy(term).count()` (which `q_vocab_topn` does)? At
+  * 100 TB web scale the term universe — including typos, ids, and
+  * numeric noise — is effectively unbounded, so a full-vocabulary
+  * aggregation shuffles every distinct string at least once. Misra-Gries
+  * caps the shuffle at (partitions × k) counters TOTAL regardless of
+  * vocabulary size, and the follow-up exact pass touches only the ≤ k
+  * surviving candidates (a broadcast-set scan filter, map-side-combined
+  * count over a k-bounded key set).
+  *
+  * Correctness is not "approximate": Misra-Gries guarantees every term
+  * with true frequency > n/(k+1) survives the sketch (and the
+  * subtract-(k+1)-th merge preserves that bound across partials —
+  * Agarwal et al., "Mergeable Summaries", PODS 2012). The exact recount
+  * then produces true counts for all candidates, so the returned top-N
+  * is provably the global top-N whenever its smallest count clears
+  * n/(k+1) — which `topTerms` certifies at runtime from the same
+  * sketch pass (it carries the total), throwing rather than silently
+  * returning an uncertified list.
+  *
+  * Reference anchor: generalizes the bounded-buffer discipline of the
+  * reference's top-k scan (`shard/src/flat_index.hpp:39-53`) from
+  * scores to frequencies.
+  */
+object HeavyHitters {
+
+  /** One-pass mergeable Misra-Gries sketch over a token stream.
+    * Buffer and result are (total items seen, term → residual count);
+    * residuals underestimate true counts by at most total/(k+1).
+    */
+  class MisraGriesAgg(k: Int)
+      extends Aggregator[String, (Long, Map[String, Long]), (Long, Map[String, Long])] {
+    require(k >= 1)
+
+    override def zero: (Long, Map[String, Long]) = (0L, Map.empty)
+
+    override def reduce(b: (Long, Map[String, Long]),
+                        term: String): (Long, Map[String, Long]) = {
+      val (n, m) = b
+      m.get(term) match {
+        case Some(c) => (n + 1, m.updated(term, c + 1))
+        case None if m.size < k => (n + 1, m.updated(term, 1L))
+        // full and unseen: decrement every counter (dropping zeros) and
+        // discard the item — each such event burns k+1 total count, so
+        // it happens ≤ n/(k+1) times: O(n) amortized for the whole pass
+        case None =>
+          (n + 1, m.collect { case (t, c) if c > 1 => t -> (c - 1) })
+      }
+    }
+
+    override def merge(a: (Long, Map[String, Long]),
+                       b: (Long, Map[String, Long])): (Long, Map[String, Long]) = {
+      val m = mutable.HashMap.empty[String, Long]
+      a._2.foreach { case (t, c) => m.update(t, c) }
+      b._2.foreach { case (t, c) => m.update(t, m.getOrElse(t, 0L) + c) }
+      val trimmed =
+        if (m.size <= k) m.toMap
+        else {
+          // subtract the (k+1)-th largest residual from everything and
+          // drop the non-positive — the mergeability construction that
+          // keeps the n/(k+1) error bound additive across partials
+          val counts = m.values.toArray
+          java.util.Arrays.sort(counts)
+          val sub = counts(counts.length - (k + 1))
+          m.iterator.collect { case (t, c) if c > sub => t -> (c - sub) }.toMap
+        }
+      (a._1 + b._1, trimmed)
+    }
+
+    override def finish(r: (Long, Map[String, Long])): (Long, Map[String, Long]) = r
+    override def bufferEncoder: Encoder[(Long, Map[String, Long])] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+    override def outputEncoder: Encoder[(Long, Map[String, Long])] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+  }
+
+  /** Exact top-`n` most frequent tokens of `textCol` (count desc, term
+    * asc tie-break), computed at bounded shuffle width via the sketch +
+    * recount pattern above. Throws IllegalStateException when the
+    * certification bound fails (n-th count ≤ total/(k+1)) — raise `k`.
+    */
+  def topTerms(docs: DataFrame, textCol: String, n: Int,
+               k: Int = 1024, certify: Boolean = true): DataFrame = {
+    require(n >= 1 && k > n, "need k > n for a certifiable top-n")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val toks = docs.select(explode(T.tokens(col(textCol))).as("term"))
+    val (total, counters) =
+      toks.as[String].select(new MisraGriesAgg(k).toColumn).head()
+    val cands = counters.keys.toSeq
+    val out = toks
+      .filter(col("term").isInCollection(cands)) // broadcast-set scan filter
+      .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("term"))
+      .limit(n)
+    if (certify && total > 0) {
+      val got = out.select(col("cnt")).collect().map(_.getLong(0))
+      val bound = total / (k + 1).toLong
+      if (got.length == n && got.last <= bound) throw new IllegalStateException(
+        s"heavy-hitter top-$n uncertified: smallest returned count ${got.last} " +
+          s"<= n/(k+1) bound $bound — a true top-$n term may have been " +
+          s"evicted from the sketch; raise k (currently $k)")
+    }
+    out
+  }
+}

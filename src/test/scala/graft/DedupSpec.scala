@@ -230,6 +230,48 @@ class DedupSpec extends SparkSpec {
     assert(math.abs(frac0 - 0.6) < 1e-9)
   }
 
+  test("removeDuplicatedSpans: canonical occurrence survives, later copies are cut") {
+    val passage = "a1 a2 a3 a4 a5 a6 a7 a8" // exactly one 8-token window
+    val d = docs(
+      (0L, s"$passage u1 u2"),          // canonical (lowest doc_id)
+      (1L, s"v1 v2 $passage v3"),       // cross-doc copy → cut
+      (2L, "c1 c2 c3 c4 c5 c6 c7 c8 c9"), // clean, passes through
+      (3L, s"$passage u1 u2"),          // full duplicate of doc 0 → emptied
+      (4L, s"r1 r2 r3 r4 r5 r6 r7 r8 z r1 r2 r3 r4 r5 r6 r7 r8")) // self-repeat
+    val r = Dedup.removeDuplicatedSpans(d, "doc_id", "text", minLen = 8)
+      .orderBy("doc_id").collect()
+    assert(r.length == 5, "one row per input document")
+    val byId = r.map(x =>
+      x.getLong(0) -> ((x.getString(1), x.getLong(2), x.getLong(3)))).toMap
+    // doc 0 holds every canonical occurrence: untouched
+    assert(byId(0L) == ((s"$passage u1 u2", 10L, 0L)))
+    // doc 1: the copied 8 tokens are cut, its own framing survives
+    assert(byId(1L) == (("v1 v2 v3", 3L, 8L)))
+    assert(byId(2L) == (("c1 c2 c3 c4 c5 c6 c7 c8 c9", 9L, 0L)))
+    // doc 3 duplicates doc 0 entirely — all three windows canonicalize to
+    // doc 0, covering every token
+    assert(byId(3L) == (("", 0L, 10L)))
+    // doc 4: within-doc repeat — first occurrence (pos 0) is canonical,
+    // the pos-9 repeat is cut
+    assert(byId(4L) == (("r1 r2 r3 r4 r5 r6 r7 r8 z", 9L, 8L)))
+  }
+
+  test("removeDuplicatedSpans: a 20-token cross-document overlap is cut precisely") {
+    val d = docs(
+      (0L, (1 to 30).map(i => s"w$i").mkString(" ")),
+      (1L, ((11 to 30) ++ (100 to 109)).map(i => s"w$i").mkString(" ")),
+      (2L, (200 to 220).map(i => s"w$i").mkString(" ")))
+    val rem = Dedup.removeDuplicatedSpans(d, "doc_id", "text", minLen = 8)
+      .orderBy("doc_id").collect()
+    // doc 0 is fully canonical (lowest id): nothing removed
+    assert(rem(0).getLong(3) == 0L)
+    // doc 1: tokens w11..w30 (positions 0..19) are covered by windows
+    // duplicated against doc 0 → 20 tokens cut, the 10 fresh ones kept
+    assert(rem(1).getString(1) == (100 to 109).map(i => s"w$i").mkString(" "))
+    assert(rem(1).getLong(2) == 10L && rem(1).getLong(3) == 20L)
+    assert(rem(2).getLong(3) == 0L)
+  }
+
   test("merge jaccard (sorted arrays) agrees with the hash-set jaccardHof on fixture pairs") {
     val sh = spark.read.parquet(s"$sf0001/documents.parquet")
       .select(col("doc_id"), Dedup.shingles(col("text"), 2).as("sh"))
