@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import graft.expressions.FloatVectorExpressions.dotF
 import graft.expressions.TextHashExpressions.{minhashSigF, simhash32F}
 import graft.functions.{HashFunctions, TextFunctions => T, VectorFunctions => V}
-import graft.operators.{Ann, AsofJoin, Bm25, BpeTrain, Classifier, Curation, Dedup, HeavyHitters, Multimodal, Packing, Rerank, Sampling, SkewJoin, TopK, TrigramLm}
+import graft.operators.{Ann, AsofJoin, Bm25, BpeTrain, Classifier, Curation, Dedup, HeavyHitters, Multimodal, Packing, QuantileSketch, Rerank, Sampling, SkewJoin, TopK, TrigramLm}
 import graft.sources.{Layout, Tables}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -2438,6 +2438,40 @@ object SparkEntry {
         .orderBy($"doc_id")
     }),
 
+    // Mergeable KLL quantile sketch over document lengths: map-side
+    // partial sketches, shuffle carries ≤ cap·log₂(n/cap) doubles per
+    // partition instead of a distributed sort. Fixture runs in the
+    // exact-under-capacity regime (n ≤ cap → no compaction →
+    // quantile_disc-identical); at 100 TB the same plan degrades to the
+    // documented O(log(n/cap)/cap) rank error.
+    "q_quantile_sketch" -> ((s, dir) => {
+      QuantileSketch.quantiles(
+        t(s, dir, "documents"), "n_chars",
+        Seq("0.25", "0.5", "0.75", "0.9", "0.99").map(BigDecimal(_)),
+        cap = 8192)
+    }),
+
+    // Relational sweep completeness: FULL OUTER join — customers with no
+    // orders and (synthetically filtered) orders whose customer is
+    // outside the slice both survive with nulls. Aggregate-then-join so
+    // the outer join sees one row per key side.
+    "q_outer_join" -> ((s, dir) => {
+      import s.implicits._
+      val totals = t(s, dir, "orders")
+        .filter($"o_custkey" <= 60)
+        .groupBy($"o_custkey")
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum($"o_totalprice"), 2).as("revenue"))
+      val custs = t(s, dir, "customer")
+        .filter($"c_custkey" >= 30 && $"c_custkey" <= 90)
+        .select($"c_custkey", $"c_name")
+      custs.join(totals, $"c_custkey" === $"o_custkey", "full_outer")
+        .select(
+          coalesce($"c_custkey", $"o_custkey").as("custkey"),
+          $"c_name", $"n_orders", $"revenue")
+        .orderBy($"custkey")
+    }),
+
     // Trending: per 6-hour window, top-2 event types by count — the
     // windowed-top-k monitoring query (one groupBy shuffle + a
     // per-window rank over the tiny type dimension).
@@ -3085,6 +3119,25 @@ object SparkEntry {
 
     "q_jsonl_roundtrip" ->
       """SELECT doc_id, source, text FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_quantile_sketch" ->
+      """SELECT unnest([0.25, 0.5, 0.75, 0.9, 0.99])::DOUBLE AS q,
+        |       unnest([quantile_disc(n_chars, 0.25), quantile_disc(n_chars, 0.5),
+        |               quantile_disc(n_chars, 0.75), quantile_disc(n_chars, 0.9),
+        |               quantile_disc(n_chars, 0.99)]) AS value
+        |FROM documents ORDER BY q""".stripMargin,
+
+    "q_outer_join" ->
+      """WITH totals AS (
+        |  SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |         round(SUM(o_totalprice), 2) AS revenue
+        |  FROM orders WHERE o_custkey <= 60 GROUP BY o_custkey),
+        |custs AS (
+        |  SELECT c_custkey, c_name FROM customer
+        |  WHERE c_custkey BETWEEN 30 AND 90)
+        |SELECT COALESCE(c_custkey, o_custkey) AS custkey, c_name, n_orders, revenue
+        |FROM custs FULL OUTER JOIN totals ON c_custkey = o_custkey
+        |ORDER BY custkey""".stripMargin,
 
     "q_trending" ->
       """WITH c AS (

@@ -1,0 +1,115 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Encoder}
+import org.apache.spark.sql.expressions.Aggregator
+
+/** Mergeable quantile sketch of the KLL compactor family (Karnin, Lang &
+  * Liberty 2016, simplified to uniform per-level capacity): level i holds
+  * items of weight 2^i; when a level exceeds `cap` items it sorts and
+  * promotes the even-rank half to level i+1 (doubling their weight).
+  * Partial buffers merge by per-level concatenation + re-compaction, so
+  * Spark plans the aggregation with map-side partials and the shuffle
+  * carries at most ~cap·log₂(n/cap) doubles per partition — a full
+  * distributed sort (what exact percentiles over 100 TB would take) never
+  * happens.
+  *
+  * Exactness contract (the oracle story, same discipline as
+  * `HeavyHitters`): while total input count stays ≤ cap, no compaction
+  * ever fires and every quantile is EXACT and order-independent — the
+  * fixture queries run in that regime and hash-match DuckDB's
+  * `quantile_disc`. Past cap the sketch degrades gracefully to a rank
+  * error of O(log(n/cap)/cap)·n, and results may vary with partitioning
+  * (compaction order) — the standard sketch trade-off, documented rather
+  * than hidden.
+  *
+  * Rank semantics replicate `quantile_disc` exactly: the q-quantile is
+  * the smallest value whose cumulative weight ≥ ceil(q·W), with the rank
+  * computed in exact decimal arithmetic (DuckDB parses 0.2 as DECIMAL —
+  * double `0.2 * 5` rounds to 1.0000000000000002 and would pick the
+  * wrong element).
+  */
+object QuantileSketch {
+
+  /** KLL levels: index i = items of weight 2^i, unsorted within level. */
+  class KllAgg(cap: Int)
+      extends Aggregator[Double, Seq[Seq[Double]], Seq[Seq[Double]]] {
+    require(cap >= 2)
+
+    override def zero: Seq[Seq[Double]] = Seq(Vector.empty)
+
+    private def compact(levels: Seq[Seq[Double]]): Seq[Seq[Double]] = {
+      var ls = levels.map(_.toVector).toVector
+      var i = 0
+      while (i < ls.length) {
+        if (ls(i).length > cap) {
+          val sorted = ls(i).sorted
+          // deterministic even-rank promotion (classic KLL flips a coin;
+          // a fixed choice keeps same-partitioning runs reproducible and
+          // stays within the same worst-case rank-error bound)
+          val promoted = Vector.range(0, sorted.length, 2).map(sorted(_))
+          if (i + 1 >= ls.length) ls = ls :+ Vector.empty[Double]
+          ls = ls.updated(i + 1, ls(i + 1) ++ promoted)
+            .updated(i, Vector.empty[Double])
+        }
+        i += 1
+      }
+      ls
+    }
+
+    override def reduce(b: Seq[Seq[Double]], x: Double): Seq[Seq[Double]] = {
+      val withX = (b.head :+ x) +: b.tail
+      if (b.head.length + 1 <= cap) withX else compact(withX)
+    }
+
+    override def merge(a: Seq[Seq[Double]],
+                       b: Seq[Seq[Double]]): Seq[Seq[Double]] = {
+      val n = math.max(a.length, b.length)
+      val zipped = (0 until n).map { i =>
+        (if (i < a.length) a(i) else Vector.empty[Double]) ++
+          (if (i < b.length) b(i) else Vector.empty[Double])
+      }
+      if (zipped.forall(_.length <= cap)) zipped else compact(zipped)
+    }
+
+    override def finish(r: Seq[Seq[Double]]): Seq[Seq[Double]] = r
+    override def bufferEncoder: Encoder[Seq[Seq[Double]]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+    override def outputEncoder: Encoder[Seq[Seq[Double]]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+  }
+
+  /** Discrete quantile read-off from a finished sketch: smallest value
+    * whose cumulative weight ≥ ceil(q·W), rank in exact decimal.
+    */
+  def readQuantile(levels: Seq[Seq[Double]], q: BigDecimal): Double = {
+    val weighted = levels.zipWithIndex
+      .flatMap { case (vs, i) => vs.map(v => (v, 1L << i)) }
+      .sortBy(_._1)
+    require(weighted.nonEmpty, "empty sketch has no quantiles")
+    val total = weighted.iterator.map(_._2).sum
+    val rank = (q * BigDecimal(total))
+      .setScale(0, BigDecimal.RoundingMode.CEILING).toLong.max(1L)
+    var cum = 0L
+    var i = 0
+    while (i < weighted.length) {
+      cum += weighted(i)._2
+      if (cum >= rank) return weighted(i)._1
+      i += 1
+    }
+    weighted.last._1
+  }
+
+  /** (q, value) rows for each requested quantile of `valueCol` —
+    * `quantile_disc` semantics, LONG-valued columns.
+    */
+  def quantiles(df: DataFrame, valueCol: String, qs: Seq[BigDecimal],
+                cap: Int = 8192): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val levels = df.select(col(valueCol).cast("double")).as[Double]
+      .select(new KllAgg(cap).toColumn).head()
+    qs.map(q => (q.toDouble, readQuantile(levels, q).toLong))
+      .toDF("q", "value").orderBy(col("q"))
+  }
+}
