@@ -2438,6 +2438,23 @@ object SparkEntry {
         .orderBy($"doc_id")
     }),
 
+    // Unicode canonicalization — the ingest pass every hash-based
+    // operator needs first (composed vs decomposed bytes hash apart).
+    // The fixture corpus is ASCII, so the query grafts a mixed-form
+    // unicode suffix onto each doc in BOTH engines: the oracle then
+    // genuinely exercises NFC composition ("e"+U+0301 → U+00E9) and
+    // accent stripping, not an identity pass.
+    "q_unicode_clean" -> ((s, dir) => {
+      import s.implicits._
+      import graft.expressions.UnicodeExpressions.{nfcNormalizeF, stripAccentsF}
+      val suffix = " Mu\u0308ller cafe\u0301 \u00f1and\u00fa"
+      t(s, dir, "documents")
+        .select($"doc_id",
+          nfcNormalizeF(concat(substring($"text", 1, 32), lit(suffix))).as("nfc"),
+          stripAccentsF(concat(substring($"text", 1, 32), lit(suffix))).as("plain"))
+        .orderBy($"doc_id")
+    }),
+
     // Mergeable KLL quantile sketch over document lengths: map-side
     // partial sketches, shuffle carries ≤ cap·log₂(n/cap) doubles per
     // partition instead of a distributed sort. Fixture runs in the
@@ -3119,6 +3136,14 @@ object SparkEntry {
 
     "q_jsonl_roundtrip" ->
       """SELECT doc_id, source, text FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_unicode_clean" ->
+      """SELECT doc_id,
+        |       nfc_normalize(substr(text, 1, 32) || sfx) AS nfc,
+        |       strip_accents(substr(text, 1, 32) || sfx) AS plain
+        |FROM documents,
+        |     (SELECT ' Mu'||chr(776)||'ller cafe'||chr(769)||' '||chr(241)||'and'||chr(250) AS sfx)
+        |ORDER BY doc_id""".stripMargin,
 
     "q_quantile_sketch" ->
       """SELECT unnest([0.25, 0.5, 0.75, 0.9, 0.99])::DOUBLE AS q,

@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.IntegerType
 
-import graft.expressions.{CharEntropy, FloatDotProduct, MinHashSignature, RepeatStats, SimHash32, SortedIntersectCount, Trigrams, WordShingles}
+import graft.expressions.{CharEntropy, FloatDotProduct, MinHashSignature, RepeatStats, SimHash32, SortedIntersectCount, Trigrams, UnicodeExpressions, WordShingles}
 
 /** SQL surface for graft's native expressions.
   *
@@ -53,7 +53,13 @@ object GraftFunctions {
       (es: Seq[Expression]) => Trigrams(es(0))),
     (FunctionIdentifier("graft_char_entropy"),
       new ExpressionInfo(classOf[CharEntropy].getName, "graft_char_entropy"),
-      (es: Seq[Expression]) => CharEntropy(es(0))))
+      (es: Seq[Expression]) => CharEntropy(es(0))),
+    (FunctionIdentifier("graft_nfc"),
+      new ExpressionInfo(classOf[UnicodeExpressions.NfcNormalize].getName, "graft_nfc"),
+      (es: Seq[Expression]) => UnicodeExpressions.NfcNormalize(es(0))),
+    (FunctionIdentifier("graft_strip_accents"),
+      new ExpressionInfo(classOf[UnicodeExpressions.StripAccents].getName, "graft_strip_accents"),
+      (es: Seq[Expression]) => UnicodeExpressions.StripAccents(es(0))))
 
   /** Register on a live session (idempotent — re-registration overwrites). */
   def register(spark: SparkSession): Unit = all.foreach { case (id, info, builder) =>
