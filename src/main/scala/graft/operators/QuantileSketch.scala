@@ -78,6 +78,29 @@ object QuantileSketch {
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
   }
 
+  /** KLL sketch whose `finish` reads off the requested quantiles
+    * directly (quantile strings, parsed as exact decimals) — the form
+    * that drops into untyped/windowed aggregation via
+    * `functions.udaf`, including Structured Streaming groupBys where a
+    * driver-side read-off is impossible.
+    */
+  class KllQuantilesAgg(cap: Int, qs: Seq[String])
+      extends Aggregator[Double, Seq[Seq[Double]], Seq[Double]] {
+    private val sketch = new KllAgg(cap)
+    override def zero: Seq[Seq[Double]] = sketch.zero
+    override def reduce(b: Seq[Seq[Double]], x: Double): Seq[Seq[Double]] =
+      sketch.reduce(b, x)
+    override def merge(a: Seq[Seq[Double]], b: Seq[Seq[Double]]): Seq[Seq[Double]] =
+      sketch.merge(a, b)
+    override def finish(r: Seq[Seq[Double]]): Seq[Double] =
+      if (r.forall(_.isEmpty)) Seq.empty
+      else qs.map(q => readQuantile(r, BigDecimal(q)))
+    override def bufferEncoder: Encoder[Seq[Seq[Double]]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+    override def outputEncoder: Encoder[Seq[Double]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+  }
+
   /** Discrete quantile read-off from a finished sketch: smallest value
     * whose cumulative weight ≥ ceil(q·W), rank in exact decimal.
     */

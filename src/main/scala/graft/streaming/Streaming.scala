@@ -36,6 +36,29 @@ object Streaming {
       .select(col("w.start").as("win_start"), col("event_type"),
         col("n"), col("sum_value"))
 
+  /** Tumbling-window QUANTILES via the mergeable KLL sketch
+    * (`QuantileSketch.KllQuantilesAgg` through `functions.udaf`): the
+    * continuous flavor of `q_quantile_sketch` — per-window latency/size
+    * percentiles without ever sorting a window's rows. Streaming state
+    * per window is one ≤ cap·log₂(n/cap)-item sketch buffer (not the
+    * window's rows), merged incrementally across micro-batches; exact
+    * while a window holds ≤ cap values, KLL-bounded beyond. The same
+    * plan runs in batch (watermark no-op) — agreement-tested.
+    * Returns (win_start, quantiles array aligned with `qs`).
+    */
+  def windowedQuantiles(events: DataFrame, valueCol: String,
+                        windowDur: String, watermark: String,
+                        qs: Seq[String], cap: Int = 4096): DataFrame = {
+    val sketch = org.apache.spark.sql.functions.udaf(
+      new graft.operators.QuantileSketch.KllQuantilesAgg(cap, qs),
+      org.apache.spark.sql.Encoders.scalaDouble)
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowDur).as("w"))
+      .agg(sketch(col(valueCol).cast("double")).as("quantiles"))
+      .select(col("w.start").as("win_start"), col("quantiles"))
+  }
+
   /** Stream-stream inner join with an event-time range: pair each left
     * row with right rows of the same key whose time falls in
     * [leftTs − within, leftTs]. Both sides carry watermarks, so Spark

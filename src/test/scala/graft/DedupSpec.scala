@@ -272,6 +272,17 @@ class DedupSpec extends SparkSpec {
     assert(rem(2).getLong(3) == 0L)
   }
 
+  test("removeDuplicatedSpans plan has no Window operator (hot-hash safety)") {
+    // the canonical-occurrence pick must stay a partial-aggregable min,
+    // never a row_number sort — a boilerplate window with 10⁸
+    // occurrences would otherwise serialize onto one reducer
+    val d = docs((0L, "a b c d e f g h i"), (1L, "a b c d e f g h j"))
+    val r = Dedup.removeDuplicatedSpans(d, "doc_id", "text", minLen = 8)
+    r.count()
+    val plan = r.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"no Window expected:\n$plan")
+  }
+
   test("merge jaccard (sorted arrays) agrees with the hash-set jaccardHof on fixture pairs") {
     val sh = spark.read.parquet(s"$sf0001/documents.parquet")
       .select(col("doc_id"), Dedup.shingles(col("text"), 2).as("sh"))

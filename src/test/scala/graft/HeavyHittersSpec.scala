@@ -50,6 +50,21 @@ class HeavyHittersSpec extends SparkSpec {
     assert(ex.getMessage.contains("uncertified"))
   }
 
+  test("sketch plans as ObjectHashAggregate with map-side partials (one bounded exchange)") {
+    import spark.implicits._
+    // no repartition here — its round-robin Exchange would pollute the count
+    val toks = (Seq.fill(100)("a") ++ Seq.fill(50)("b")).toDF("text")
+      .select(explode(
+        graft.functions.TextFunctions.tokens(col("text"))).as("t")).as[String]
+    val agg = toks.select(new HeavyHitters.MisraGriesAgg(8).toColumn)
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"),
+      s"typed sketch aggregation should plan as ObjectHashAggregate:\n$plan")
+    // partial (per-partition sketch) + final — the shuffle carries one
+    // ≤ k-counter buffer per partition, not the token stream
+    assert("Exchange".r.findAllIn(plan).size == 1, s"one exchange expected:\n$plan")
+  }
+
   test("sketch residuals underestimate by at most total/(k+1) and keep all frequent terms") {
     import spark.implicits._
     val freqs = Map("x" -> 400, "y" -> 300, "z" -> 200) ++

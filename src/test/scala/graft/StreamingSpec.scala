@@ -32,6 +32,35 @@ class StreamingSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("windowedQuantiles: streaming sketch percentiles equal the batch computation") {
+    val events = Tables.load(spark, sf0001, "events")
+    val tmp = Files.createTempDirectory("graft_stream_q_").toString
+    events.repartition(4).write.mode("overwrite").parquet(tmp)
+
+    val qs = Seq("0.5", "0.9", "0.99")
+    val stream = spark.readStream.schema(events.schema).parquet(tmp)
+    val q = Streaming.windowedQuantiles(stream, "value", "6 hours",
+        "10 minutes", qs, cap = 8192)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("stream_quant").start()
+    q.processAllAvailable()
+    q.stop()
+
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getTimestamp(0).getTime, r.getSeq[Double](1).map(v => math.round(v * 1e6)))
+    val got = spark.table("stream_quant").collect().map(key).toSet
+    val want = Streaming.windowedQuantiles(events, "value", "6 hours",
+        "10 minutes", qs, cap = 8192)
+      .collect().map(key).toSet
+    assert(got == want)
+    assert(got.nonEmpty)
+    // sanity: quantile arrays are sorted ascending (p50 ≤ p90 ≤ p99)
+    spark.table("stream_quant").collect().foreach { r =>
+      val v = r.getSeq[Double](1)
+      assert(v.length == 3 && v(0) <= v(1) && v(1) <= v(2))
+    }
+  }
+
   test("joinWithin: stream-stream interval join equals the batch join") {
     import spark.implicits._
     def ts(min: Int) = new java.sql.Timestamp(10800000L + min * 60000L)
