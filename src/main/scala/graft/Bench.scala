@@ -47,7 +47,8 @@ object Bench {
     "q_min_span", "q_abtt",
     // round-6 additions: substring rewrite + bounded-shuffle heavy hitters
     "q_substr_removal", "q_heavy_hitters", "q_jsonl_roundtrip",
-    "q_quantile_sketch", "q_outer_join", "q_unicode_clean")
+    "q_quantile_sketch", "q_outer_join", "q_unicode_clean",
+    "q_distinct_sketch", "q_group_quantiles")
 
   /** Force FULL materialization of every output column: xxhash64 over all
     * columns, summed. `.count()` alone under-measures — Catalyst prunes

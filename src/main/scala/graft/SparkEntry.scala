@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import graft.expressions.FloatVectorExpressions.dotF
 import graft.expressions.TextHashExpressions.{minhashSigF, simhash32F}
 import graft.functions.{HashFunctions, TextFunctions => T, VectorFunctions => V}
-import graft.operators.{Ann, AsofJoin, Bm25, BpeTrain, Classifier, Curation, Dedup, HeavyHitters, Multimodal, Packing, QuantileSketch, Rerank, Sampling, SkewJoin, TopK, TrigramLm}
+import graft.operators.{Ann, AsofJoin, Bm25, BpeTrain, Classifier, Curation, Dedup, DistinctSketch, HeavyHitters, Multimodal, Packing, QuantileSketch, Rerank, Sampling, SkewJoin, TopK, TrigramLm}
 import graft.sources.{Layout, Tables}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -2455,6 +2455,35 @@ object SparkEntry {
         .orderBy($"doc_id")
     }),
 
+    // KMV distinct-count sketch (cardinality member of the sketch
+    // family): k smallest distinct 60-bit hashes — deterministic at ANY
+    // scale (k-min-set is order/partitioning independent), exact below
+    // capacity (the oracle regime, is_exact = true), ~1/√(k−2) relative
+    // error beyond. Aggregation state ≤ k longs per partial vs
+    // count(DISTINCT)'s full distinct shuffle.
+    "q_distinct_sketch" -> ((s, dir) => {
+      import s.implicits._
+      DistinctSketch.distinctCount(t(s, dir, "documents"), $"text", k = 8192)
+    }),
+
+    // Grouped percentiles through the same KLL sketch udaf the streaming
+    // path uses (Streaming.windowedQuantiles): per-source p50/p95 of
+    // document length with ONE map-side-combined aggregate — no
+    // per-group sort, no window function.
+    "q_group_quantiles" -> ((s, dir) => {
+      import s.implicits._
+      val sketch = udaf(
+        new QuantileSketch.KllQuantilesAgg(8192, Seq("0.5", "0.95")),
+        org.apache.spark.sql.Encoders.scalaDouble)
+      t(s, dir, "documents")
+        .groupBy($"source")
+        .agg(sketch($"n_chars".cast("double")).as("qv"))
+        .select($"source",
+          element_at($"qv", 1).cast("long").as("p50"),
+          element_at($"qv", 2).cast("long").as("p95"))
+        .orderBy($"source")
+    }),
+
     // Mergeable KLL quantile sketch over document lengths: map-side
     // partial sketches, shuffle carries ≤ cap·log₂(n/cap) doubles per
     // partition instead of a distributed sort. Fixture runs in the
@@ -3144,6 +3173,15 @@ object SparkEntry {
         |FROM documents,
         |     (SELECT ' Mu'||chr(776)||'ller cafe'||chr(769)||' '||chr(241)||'and'||chr(250) AS sfx)
         |ORDER BY doc_id""".stripMargin,
+
+    "q_distinct_sketch" ->
+      """SELECT count(DISTINCT text) AS n_distinct, true AS is_exact
+        |FROM documents""".stripMargin,
+
+    "q_group_quantiles" ->
+      """SELECT source, quantile_disc(n_chars, 0.5) AS p50,
+        |       quantile_disc(n_chars, 0.95) AS p95
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
 
     "q_quantile_sketch" ->
       """SELECT unnest([0.25, 0.5, 0.75, 0.9, 0.99])::DOUBLE AS q,

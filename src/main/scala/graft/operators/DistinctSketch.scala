@@ -1,0 +1,103 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Encoder}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+/** Distinct-count estimation via a K-Minimum-Values sketch (Bar-Yossef
+  * et al. 2002) — the cardinality member of the sketch family
+  * (`HeavyHitters` = frequencies, `QuantileSketch` = percentiles):
+  * keep the k smallest DISTINCT 60-bit hashes of the values; the k-th
+  * smallest hash's position in [0, 2^60) estimates the density of
+  * distinct hashes, so n̂ = (k−1)·2^60/kth. Mergeable (union, keep k
+  * smallest) and — unlike most sketches — fully DETERMINISTIC at any
+  * scale: "k smallest distinct hashes" is order- and
+  * partitioning-independent, so repeated runs agree bit-for-bit.
+  *
+  * Exactness contract: while true cardinality < k the sketch holds
+  * every distinct hash and the count is EXACT (reported via the
+  * `is_exact` flag); beyond k the estimate has relative error
+  * ~1/√(k−2). Input is the PRE-HASHED column (`Dedup.hash60` — a
+  * codegen'd builtin chain), so the aggregator itself only maintains a
+  * bounded sorted set: shuffle carries ≤ k longs per partition,
+  * whatever the column's cardinality. `q_distinct_users`'s
+  * count(DISTINCT) twin shuffles every distinct value at least once.
+  */
+object DistinctSketch {
+
+  /** Buffer = ascending distinct hashes, ≤ k of them. */
+  class KmvAgg(k: Int) extends Aggregator[Long, Seq[Long], Seq[Long]] {
+    require(k >= 2)
+
+    override def zero: Seq[Long] = Vector.empty
+
+    override def reduce(b: Seq[Long], h: Long): Seq[Long] = {
+      val n = b.length
+      // fast reject: full and not smaller than the current k-th min
+      if (n >= k && h >= b(n - 1)) b
+      else {
+        val i = searchInsert(b, h)
+        if (i < n && b(i) == h) b // already present
+        else {
+          val grown = (b.take(i) :+ h) ++ b.drop(i)
+          if (grown.length > k) grown.dropRight(1) else grown
+        }
+      }
+    }
+
+    override def merge(a: Seq[Long], b: Seq[Long]): Seq[Long] = {
+      // sorted-merge union, stop at k
+      val out = Vector.newBuilder[Long]
+      var (i, j, n) = (0, 0, 0)
+      while (n < k && (i < a.length || j < b.length)) {
+        val next =
+          if (j >= b.length || (i < a.length && a(i) <= b(j))) {
+            val v = a(i); if (j < b.length && b(j) == v) j += 1; i += 1; v
+          } else { val v = b(j); j += 1; v }
+        out += next
+        n += 1
+      }
+      out.result()
+    }
+
+    override def finish(r: Seq[Long]): Seq[Long] = r
+    override def bufferEncoder: Encoder[Seq[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+    override def outputEncoder: Encoder[Seq[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+
+    private def searchInsert(b: Seq[Long], h: Long): Int = {
+      var lo = 0
+      var hi = b.length
+      while (lo < hi) {
+        val mid = (lo + hi) >>> 1
+        if (b(mid) < h) lo = mid + 1 else hi = mid
+      }
+      lo
+    }
+  }
+
+  /** hash60 domain size: hashes are uniform in [0, 2^60). */
+  private val HashSpace = 1L << 60
+
+  /** Cardinality read-off: exact when the sketch isn't full. */
+  def estimate(minima: Seq[Long], k: Int): (Long, Boolean) =
+    if (minima.length < k) (minima.length.toLong, true)
+    else {
+      val kth = minima.last.toDouble
+      ((((k - 1).toDouble * HashSpace) / kth).round, false)
+    }
+
+  /** One-row (n_distinct, is_exact) for a string column. `hashCol`
+    * values are md5-folded to 60 bits scan-side (codegen), the
+    * aggregation state is ≤ k longs per partial.
+    */
+  def distinctCount(df: DataFrame, valueCol: Column, k: Int = 8192): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val minima = df.select(Dedup.hash60(valueCol).as("h")).as[Long]
+      .select(new KmvAgg(k).toColumn).head()
+    val (n, exact) = estimate(minima, k)
+    Seq((n, exact)).toDF("n_distinct", "is_exact")
+  }
+}
