@@ -163,6 +163,27 @@ object Profile {
       time("J10 dsir 10x")(println("  wsum10x=" + dsir(big)))
     }
 
+    // ExactSubstr removal scale probe: 1× vs 10× corpus. Window hashing
+    // and reassembly are per-row scans; the dup-hash and canonical
+    // aggregates are map-side combined; only duplicated occurrences fan
+    // out (×minLen). The 10× corpus repeats each doc with a distinct
+    // suffix, so duplicated-window mass grows ~linearly with docs —
+    // time must too (quadratic would flag a pairwise join hiding in the
+    // pipeline).
+    {
+      def removal(d: org.apache.spark.sql.DataFrame): Long =
+        Dedup.removeDuplicatedSpans(d, "doc_id", "text", minLen = 8)
+          .agg(sum($"n_removed")).collect().head.getLong(0)
+      val docsS = docs.repartition(32)
+      time("K1 substr removal 1x")(println("  removed=" + removal(docsS)))
+      val big = (0 until 10).map(i =>
+          docs.select(($"doc_id" + lit(i * 1000000L)).as("doc_id"),
+            concat($"text", lit(s" v$i")).as("text")))
+        .reduce(_ unionByName _)
+        .repartition(32)
+      time("K10 substr removal 10x")(println("  removed10x=" + removal(big)))
+    }
+
     spark.stop()
   }
 }

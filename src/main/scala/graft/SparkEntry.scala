@@ -2455,6 +2455,26 @@ object SparkEntry {
         .orderBy($"doc_id")
     }),
 
+    // Time-series gap filling (resample): hourly counts of a sparse
+    // event slice with EVERY hour of the observed range present —
+    // missing hours as explicit zeros (the monitoring/dashboard
+    // contract; a naive groupBy silently drops empty buckets). The hour
+    // grid is generated from a 1-row bounds aggregate via sequence() +
+    // explode — no driver round-trip, and the left join's build side is
+    // the (tiny) observed-counts table.
+    "q_gap_fill" -> ((s, dir) => {
+      import s.implicits._
+      val ev = t(s, dir, "events")
+        .filter($"event_type" === "click" && $"user_id" % 50 === 0)
+        .select(date_trunc("hour", $"ts").as("h"))
+      val hourly = ev.groupBy($"h").agg(count(lit(1)).as("n"))
+      val grid = ev.agg(min($"h").as("lo"), max($"h").as("hi"))
+        .select(explode(sequence($"lo", $"hi", expr("interval 1 hour"))).as("h"))
+      grid.join(hourly, Seq("h"), "left")
+        .select($"h", coalesce($"n", lit(0L)).as("n"))
+        .orderBy($"h")
+    }),
+
     // KMV distinct-count sketch (cardinality member of the sketch
     // family): k smallest distinct 60-bit hashes — deterministic at ANY
     // scale (k-min-set is order/partitioning independent), exact below
@@ -3173,6 +3193,16 @@ object SparkEntry {
         |FROM documents,
         |     (SELECT ' Mu'||chr(776)||'ller cafe'||chr(769)||' '||chr(241)||'and'||chr(250) AS sfx)
         |ORDER BY doc_id""".stripMargin,
+
+    "q_gap_fill" ->
+      """WITH ev AS (
+        |  SELECT date_trunc('hour', ts) AS h FROM events
+        |  WHERE event_type = 'click' AND user_id % 50 = 0),
+        |b AS (SELECT min(h) AS lo, max(h) AS hi FROM ev),
+        |grid AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h FROM b),
+        |c AS (SELECT h, CAST(count(*) AS BIGINT) AS n FROM ev GROUP BY h)
+        |SELECT g.h, COALESCE(c.n, 0) AS n
+        |FROM grid g LEFT JOIN c USING (h) ORDER BY h""".stripMargin,
 
     "q_distinct_sketch" ->
       """SELECT count(DISTINCT text) AS n_distinct, true AS is_exact
