@@ -2486,6 +2486,26 @@ object SparkEntry {
       DistinctSketch.distinctCount(t(s, dir, "documents"), $"text", k = 8192)
     }),
 
+    // Per-GROUP heavy hitters: the Misra-Gries sketch as a grouped udaf
+    // — top-3 terms per source with one map-side-combined aggregate
+    // whose state is ≤ k counters per (partition, group). Fixture
+    // per-source vocabulary ≤ k, so residuals are exact counts (the
+    // sketch contract); at web scale the same plan yields conservative
+    // under-estimates instead of an unbounded per-group term shuffle.
+    "q_group_top_terms" -> ((s, dir) => {
+      import s.implicits._
+      val sketch = udaf(new HeavyHitters.MgTopAgg(4096, 3),
+        org.apache.spark.sql.Encoders.STRING)
+      t(s, dir, "documents")
+        .select($"source", explode(T.tokens(lower($"text"))).as("term"))
+        .groupBy($"source")
+        .agg(sketch($"term").as("top"))
+        .select($"source", posexplode($"top").as(Seq("rk0", "tc")))
+        .select($"source", ($"rk0" + 1).as("rk"),
+          $"tc._1".as("term"), $"tc._2".as("cnt"))
+        .orderBy($"source", $"rk")
+    }),
+
     // Grouped percentiles through the same KLL sketch udaf the streaming
     // path uses (Streaming.windowedQuantiles): per-source p50/p95 of
     // document length with ONE map-side-combined aggregate — no
@@ -3207,6 +3227,20 @@ object SparkEntry {
     "q_distinct_sketch" ->
       """SELECT count(DISTINCT text) AS n_distinct, true AS is_exact
         |FROM documents""".stripMargin,
+
+    "q_group_top_terms" ->
+      """WITH tok AS (
+        |  SELECT source,
+        |         unnest(CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+        |                     ELSE string_split_regex(trim(lower(text)), '\s+') END) AS term
+        |  FROM documents),
+        |c AS (SELECT source, term, CAST(COUNT(*) AS BIGINT) AS cnt
+        |      FROM tok GROUP BY source, term),
+        |r AS (SELECT source, term, cnt,
+        |             row_number() OVER (PARTITION BY source ORDER BY cnt DESC, term) AS rk
+        |      FROM c)
+        |SELECT source, CAST(rk AS INT) AS rk, term, cnt
+        |FROM r WHERE rk <= 3 ORDER BY source, rk""".stripMargin,
 
     "q_group_quantiles" ->
       """SELECT source, quantile_disc(n_chars, 0.5) AS p50,

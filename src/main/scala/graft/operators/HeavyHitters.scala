@@ -88,6 +88,33 @@ object HeavyHitters {
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
   }
 
+  /** Misra-Gries sketch that emits the top-`n` (term, residual count)
+    * pairs directly — the form that drops into GROUPED aggregation via
+    * `functions.udaf` (per-group driver-side recounts don't exist, so
+    * unlike `topTerms` there is no second exact pass: counts are
+    * residuals, exact while a group's vocabulary ≤ k, conservative
+    * under-estimates beyond — the same exact-under-capacity contract as
+    * the other sketches). Output structs are (cnt desc, term asc)
+    * sorted.
+    */
+  class MgTopAgg(k: Int, n: Int)
+      extends Aggregator[String, (Long, Map[String, Long]), Seq[(String, Long)]] {
+    require(n >= 1 && k >= n)
+    private val mg = new MisraGriesAgg(k)
+    override def zero: (Long, Map[String, Long]) = mg.zero
+    override def reduce(b: (Long, Map[String, Long]), t: String): (Long, Map[String, Long]) =
+      mg.reduce(b, t)
+    override def merge(a: (Long, Map[String, Long]),
+                       b: (Long, Map[String, Long])): (Long, Map[String, Long]) =
+      mg.merge(a, b)
+    override def finish(r: (Long, Map[String, Long])): Seq[(String, Long)] =
+      r._2.toSeq.sortBy { case (t, c) => (-c, t) }.take(n)
+    override def bufferEncoder: Encoder[(Long, Map[String, Long])] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+    override def outputEncoder: Encoder[Seq[(String, Long)]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+  }
+
   /** Exact top-`n` most frequent tokens of `textCol` (count desc, term
     * asc tie-break), computed at bounded shuffle width via the sketch +
     * recount pattern above. Throws IllegalStateException when the

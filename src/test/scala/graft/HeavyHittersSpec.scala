@@ -50,6 +50,24 @@ class HeavyHittersSpec extends SparkSpec {
     assert(ex.getMessage.contains("uncertified"))
   }
 
+  test("MgTopAgg as a grouped udaf: exact per-group top terms under capacity") {
+    import spark.implicits._
+    val rows = Seq.fill(30)(("g1", "x")) ++ Seq.fill(20)(("g1", "y")) ++
+      Seq.fill(5)(("g1", "z")) ++ Seq.fill(9)(("g2", "q")) ++ Seq.fill(9)(("g2", "p"))
+    val sketch = udaf(new HeavyHitters.MgTopAgg(64, 2),
+      org.apache.spark.sql.Encoders.STRING)
+    val r = rows.toDF("g", "t").repartition(8)
+      .groupBy($"g").agg(sketch($"t").as("top"))
+      .select($"g", $"top").orderBy($"g")
+      .collect()
+      .map(x => x.getString(0) -> x.getSeq[org.apache.spark.sql.Row](1)
+        .map(s => (s.getString(0), s.getLong(1))))
+      .toMap
+    assert(r("g1") == Seq(("x", 30L), ("y", 20L)))
+    // tie on count → term-ascending break
+    assert(r("g2") == Seq(("p", 9L), ("q", 9L)))
+  }
+
   test("sketch plans as ObjectHashAggregate with map-side partials (one bounded exchange)") {
     import spark.implicits._
     // no repartition here — its round-robin Exchange would pollute the count
