@@ -2455,6 +2455,23 @@ object SparkEntry {
         .orderBy($"doc_id")
     }),
 
+    // GROUPING SETS — the third member of the multi-granularity agg
+    // family beside q_rollup/q_cube: two independent 1-D breakdowns plus
+    // the grand total in ONE pass (Spark expands to a single shuffle
+    // with a grouping-id column, not three scans). Null ordering pinned
+    // explicitly — Spark defaults NULLS FIRST, DuckDB NULLS LAST.
+    "q_grouping_sets" -> ((s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("orders_gs")
+      s.sql("""
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n,
+               round(sum(o_totalprice), 2) AS rev
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        ORDER BY o_orderstatus ASC NULLS FIRST,
+                 o_orderpriority ASC NULLS FIRST""")
+    }),
+
     // Time-series gap filling (resample): hourly counts of a sparse
     // event slice with EVERY hour of the observed range present —
     // missing hours as explicit zeros (the monitoring/dashboard
@@ -3213,6 +3230,15 @@ object SparkEntry {
         |FROM documents,
         |     (SELECT ' Mu'||chr(776)||'ller cafe'||chr(769)||' '||chr(241)||'and'||chr(250) AS sfx)
         |ORDER BY doc_id""".stripMargin,
+
+    "q_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       round(sum(o_totalprice), 2) AS rev
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY o_orderstatus ASC NULLS FIRST,
+        |         o_orderpriority ASC NULLS FIRST""".stripMargin,
 
     "q_gap_fill" ->
       """WITH ev AS (

@@ -59,6 +59,27 @@ object Streaming {
       .select(col("w.start").as("win_start"), col("quantiles"))
   }
 
+  /** Tumbling-window TOP TERMS via the mergeable Misra-Gries sketch
+    * (`HeavyHitters.MgTopAgg` through `functions.udaf`): the continuous
+    * "what's trending" aggregation with per-window state of ≤ k
+    * counters instead of the window's full term set — exact while a
+    * window's vocabulary ≤ k, conservative residuals beyond (the sketch
+    * contract). Batch/stream agreement-tested. Returns
+    * (win_start, array of (term, count) structs, count desc).
+    */
+  def windowedTopTerms(events: DataFrame, termCol: String,
+                       windowDur: String, watermark: String,
+                       n: Int, k: Int = 4096): DataFrame = {
+    val sketch = org.apache.spark.sql.functions.udaf(
+      new graft.operators.HeavyHitters.MgTopAgg(k, n),
+      org.apache.spark.sql.Encoders.STRING)
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowDur).as("w"))
+      .agg(sketch(col(termCol)).as("top"))
+      .select(col("w.start").as("win_start"), col("top"))
+  }
+
   /** Stream-stream inner join with an event-time range: pair each left
     * row with right rows of the same key whose time falls in
     * [leftTs − within, leftTs]. Both sides carry watermarks, so Spark

@@ -61,6 +61,30 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("windowedTopTerms: streaming sketch top terms equal the batch computation") {
+    val events = Tables.load(spark, sf0001, "events")
+    val tmp = Files.createTempDirectory("graft_stream_tt_").toString
+    events.repartition(4).write.mode("overwrite").parquet(tmp)
+
+    val stream = spark.readStream.schema(events.schema).parquet(tmp)
+    val q = Streaming.windowedTopTerms(stream, "event_type", "12 hours",
+        "10 minutes", n = 2, k = 64)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("stream_tt").start()
+    q.processAllAvailable()
+    q.stop()
+
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getTimestamp(0).getTime, r.getSeq[org.apache.spark.sql.Row](1)
+        .map(s => (s.getString(0), s.getLong(1))).toList)
+    val got = spark.table("stream_tt").collect().map(key).toSet
+    val want = Streaming.windowedTopTerms(events, "event_type", "12 hours",
+        "10 minutes", n = 2, k = 64)
+      .collect().map(key).toSet
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+
   test("joinWithin: stream-stream interval join equals the batch join") {
     import spark.implicits._
     def ts(min: Int) = new java.sql.Timestamp(10800000L + min * 60000L)
