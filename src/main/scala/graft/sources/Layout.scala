@@ -100,4 +100,53 @@ object Layout {
       .count(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
     (files.length, after)
   }
+
+  /** Copy-on-write MERGE (upsert) into a partitioned parquet table —
+    * the continuous-ingest maintenance op a table format (Delta/Iceberg)
+    * would provide, built from Spark's own dynamic partition overwrite:
+    *
+    *   1. the updates' partition values prune the read (only TOUCHED
+    *      partitions are scanned — at 100 TB a daily upsert reads the
+    *      affected days, never the table);
+    *   2. merge = left-anti on `keyCol` (drop old versions of updated
+    *      keys) + union of the updates — updates WIN, new keys append;
+    *   3. `partitionOverwriteMode=dynamic` rewrites ONLY the partition
+    *      directories present in the merged frame; every other
+    *      partition's files are untouched bytes on disk (asserted in
+    *      LayoutSpec by file listing).
+    *
+    * Readers see old-or-new per partition (parquet has no multi-dir
+    * transaction — the per-partition swap itself is atomic-enough for
+    * append-mostly ingest; a table format adds the cross-partition
+    * commit log, nothing else in this op changes).
+    *
+    * Returns the number of rewritten partitions.
+    */
+  def mergeUpsert(spark: SparkSession, tableDir: String, updates: DataFrame,
+                  keyCol: String, partCol: String): Int = {
+    // touched partition VALUES: bounded by the update batch's spread
+    // (a daily ingest touches a handful) — a driver-side list by design
+    val parts = updates.select(col(partCol)).distinct().collect().map(_.get(0))
+    val existing = spark.read.parquet(tableDir)
+      .filter(col(partCol).isin(parts: _*)) // partition-pruned scan
+    val merged = existing
+      .join(updates.select(col(keyCol)), Seq(keyCol), "left_anti")
+      .unionByName(updates.select(existing.columns.map(col): _*))
+    // materialize BEFORE the overwrite: the merged frame reads the same
+    // files the write replaces (Spark rejects read-from-overwrite-target
+    // lineage, and correctness demands the read complete first anyway).
+    // localCheckpoint = the single-node stand-in for the cluster-storage
+    // checkpoint a production run would use (same convention as the
+    // dedup pipelines).
+    val snap = merged.localCheckpoint(true)
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try
+      snap.write.mode("overwrite").partitionBy(partCol).parquet(tableDir)
+    finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+    parts.length
+  }
 }

@@ -110,4 +110,39 @@ class LayoutSpec extends SparkSpec {
       col("c"), col("vec_id"), 5)
     assert(hits.count() <= 5)
   }
+
+  test("mergeUpsert rewrites only touched partitions; updates win, new keys append") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_merge_").toString + "/tbl"
+    val base = (0 until 100).map(k => (k.toLong, s"v$k", k % 4))
+      .toDF("key", "payload", "p")
+    Layout.writePartitioned(base, dir, "p")
+
+    def partFiles(p: Int): Set[(String, Long)] = {
+      val d = new java.io.File(s"$dir/p=$p")
+      d.listFiles.filter(_.getName.endsWith(".parquet"))
+        .map(f => (f.getName, f.lastModified)).toSet
+    }
+    val before = (0 until 4).map(partFiles)
+
+    // two updated keys and one brand-new key, all in partition 1
+    val updates = Seq((1L, "UPDATED-1", 1), (5L, "UPDATED-5", 1),
+      (101L, "NEW-101", 1)).toDF("key", "payload", "p")
+    val rewritten = Layout.mergeUpsert(spark, dir, updates, "key", "p")
+    assert(rewritten == 1, "only partition 1 is touched")
+
+    // untouched partitions: byte-identical file listings (same names,
+    // same mtimes — never rewritten)
+    for (p <- Seq(0, 2, 3)) assert(partFiles(p) == before(p),
+      s"partition $p must not be rewritten")
+    assert(partFiles(1) != before(1), "partition 1 must be rewritten")
+
+    val after = spark.read.parquet(dir)
+    assert(after.count() == 101)
+    val got = after.filter($"key".isin(1L, 5L, 101L, 2L))
+      .select($"key", $"payload").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "UPDATED-1", 5L -> "UPDATED-5",
+      101L -> "NEW-101", 2L -> "v2"))
+  }
 }
