@@ -2455,6 +2455,33 @@ object SparkEntry {
         .orderBy($"doc_id")
     }),
 
+    // Ranking-function sweep: lag / ntile / percent_rank in one
+    // per-user event window (deterministic (ts, event_id) order). One
+    // hash shuffle on user_id + per-partition sort — per-user state
+    // only, any user's history fits a partition.
+    "q_window_funcs" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      t(s, dir, "events")
+        .select($"user_id", $"event_id",
+          lag($"value", 1).over(w).as("prev_value"),
+          ntile(4).over(w).cast("long").as("quartile"),
+          (round(percent_rank().over(w), 6) + lit(0.0)).as("pr"))
+        .orderBy($"user_id", $"event_id")
+    }),
+
+    // Conditional aggregation (CASE-gated counts/sums — the "pivot
+    // lite" reporting shape): single map-side-combined groupBy.
+    "q_conditional_agg" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "events")
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n"),
+          count(when($"value" > 50, 1)).as("n_big"),
+          (round(sum(when($"value" > 50, $"value")), 2) + lit(0.0)).as("sum_big"))
+        .orderBy($"event_type")
+    }),
+
     // GROUPING SETS — the third member of the multi-granularity agg
     // family beside q_rollup/q_cube: two independent 1-D breakdowns plus
     // the grand total in ONE pass (Spark expands to a single shuffle
@@ -3230,6 +3257,21 @@ object SparkEntry {
         |FROM documents,
         |     (SELECT ' Mu'||chr(776)||'ller cafe'||chr(769)||' '||chr(241)||'and'||chr(250) AS sfx)
         |ORDER BY doc_id""".stripMargin,
+
+    "q_window_funcs" ->
+      """SELECT user_id, event_id,
+        |       lag(value, 1) OVER w AS prev_value,
+        |       ntile(4) OVER w AS quartile,
+        |       round(percent_rank() OVER w, 6) + 0.0 AS pr
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY user_id, event_id""".stripMargin,
+
+    "q_conditional_agg" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(count(CASE WHEN value > 50 THEN 1 END) AS BIGINT) AS n_big,
+        |       round(sum(CASE WHEN value > 50 THEN value END), 2) + 0.0 AS sum_big
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q_grouping_sets" ->
       """SELECT o_orderstatus, o_orderpriority,
