@@ -80,11 +80,14 @@ object DistinctSketch {
   /** hash60 domain size: hashes are uniform in [0, 2^60). */
   private val HashSpace = 1L << 60
 
-  /** Cardinality read-off: exact when the sketch isn't full. */
+  /** Cardinality read-off: exact when the sketch isn't full. The k-th
+    * minimum is clamped to ≥ 1 — hash 0 is possible (if absurdly
+    * unlikely) and must not divide to infinity.
+    */
   def estimate(minima: Seq[Long], k: Int): (Long, Boolean) =
     if (minima.length < k) (minima.length.toLong, true)
     else {
-      val kth = minima.last.toDouble
+      val kth = math.max(minima.last, 1L).toDouble
       ((((k - 1).toDouble * HashSpace) / kth).round, false)
     }
 

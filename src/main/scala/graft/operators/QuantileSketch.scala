@@ -132,7 +132,10 @@ object QuantileSketch {
     import org.apache.spark.sql.functions.col
     val levels = df.select(col(valueCol).cast("double")).as[Double]
       .select(new KllAgg(cap).toColumn).head()
-    qs.map(q => (q.toDouble, readQuantile(levels, q).toLong))
+    // empty input → zero quantile rows (not a crash): the contract a
+    // scheduled pipeline needs when an upstream filter drains a batch
+    if (levels.forall(_.isEmpty)) Seq.empty[(Double, Long)].toDF("q", "value")
+    else qs.map(q => (q.toDouble, readQuantile(levels, q).toLong))
       .toDF("q", "value").orderBy(col("q"))
   }
 }

@@ -56,6 +56,13 @@ class QuantileSketchSpec extends SparkSpec {
     }
   }
 
+  test("empty input yields zero quantile rows, not a crash") {
+    import spark.implicits._
+    val r = QuantileSketch.quantiles(
+      Seq.empty[Long].toDF("x"), "x", Seq(BigDecimal("0.5")), cap = 16)
+    assert(r.collect().isEmpty)
+  }
+
   test("weighted read-off walks cumulative weights, not item counts") {
     // hand-built sketch: level 0 = [10], level 1 = [1, 2] (weight 2 each)
     // sorted weighted stream: (1,2) (2,2) (10,1), W = 5
