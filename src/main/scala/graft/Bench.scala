@@ -49,7 +49,8 @@ object Bench {
     "q_substr_removal", "q_heavy_hitters", "q_jsonl_roundtrip",
     "q_quantile_sketch", "q_outer_join", "q_unicode_clean",
     "q_distinct_sketch", "q_group_quantiles", "q_gap_fill", "q_group_top_terms",
-    "q_grouping_sets", "q_window_funcs", "q_conditional_agg")
+    "q_grouping_sets", "q_window_funcs", "q_conditional_agg",
+    "q_funnel", "q_retention")
 
   /** Force FULL materialization of every output column: xxhash64 over all
     * columns, summed. `.count()` alone under-measures — Catalyst prunes

@@ -2455,6 +2455,48 @@ object SparkEntry {
         .orderBy($"doc_id")
     }),
 
+    // Ordered funnel: users who viewed, then clicked AFTER the first
+    // view, then purchased AFTER that click — the product-analytics
+    // staple. Each stage is one groupBy(user) min-aggregate joined to
+    // the previous stage's (tiny, per-user) frontier; event rows
+    // shuffle at most once per stage, state is one timestamp per
+    // surviving user.
+    "q_funnel" -> ((s, dir) => {
+      import s.implicits._
+      val ev = t(s, dir, "events").select($"user_id", $"event_type", $"ts")
+      val a = ev.filter($"event_type" === "view")
+        .groupBy($"user_id").agg(min($"ts").as("t_view"))
+      val b = ev.filter($"event_type" === "click")
+        .join(a, "user_id").filter($"ts" > $"t_view")
+        .groupBy($"user_id").agg(min($"ts").as("t_click"))
+      val c = ev.filter($"event_type" === "purchase")
+        .join(b, "user_id").filter($"ts" > $"t_click")
+        .groupBy($"user_id").agg(min($"ts").as("t_buy"))
+      val stages = Seq(("1_view", a), ("2_click", b), ("3_purchase", c))
+      stages.map { case (name, df) =>
+        df.agg(count(lit(1)).as("n_users")).select(lit(name).as("stage"), $"n_users")
+      }.reduce(_ unionByName _).orderBy($"stage")
+    }),
+
+    // Weekly cohort retention: users grouped by first-seen week, distinct
+    // actives per (cohort, week offset) — the other product-analytics
+    // staple. One groupBy(user) for cohorts (tiny frontier, broadcast
+    // back), one distinct-agg on (cohort, week) — both map-side
+    // combinable.
+    "q_retention" -> ((s, dir) => {
+      import s.implicits._
+      val ev = t(s, dir, "events").select($"user_id", $"ts")
+      val first = ev.groupBy($"user_id")
+        .agg(date_trunc("week", min($"ts")).as("cohort"))
+      ev.join(first, "user_id")
+        .select($"user_id", $"cohort",
+          (datediff(date_trunc("week", $"ts"), $"cohort") / lit(7))
+            .cast("long").as("wk"))
+        .groupBy($"cohort", $"wk")
+        .agg(countDistinct($"user_id").as("n_users"))
+        .orderBy($"cohort", $"wk")
+    }),
+
     // Ranking-function sweep: lag / ntile / percent_rank in one
     // per-user event window (deterministic (ts, event_id) order). One
     // hash shuffle on user_id + per-partition sort — per-user state
@@ -3257,6 +3299,37 @@ object SparkEntry {
         |FROM documents,
         |     (SELECT ' Mu'||chr(776)||'ller cafe'||chr(769)||' '||chr(241)||'and'||chr(250) AS sfx)
         |ORDER BY doc_id""".stripMargin,
+
+    "q_retention" ->
+      """WITH f AS (
+        |  SELECT user_id, date_trunc('week', min(ts)) AS cohort
+        |  FROM events GROUP BY user_id)
+        |SELECT f.cohort,
+        |       CAST(datediff('day', f.cohort, date_trunc('week', e.ts)) / 7 AS BIGINT) AS wk,
+        |       CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users
+        |FROM events e JOIN f ON e.user_id = f.user_id
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_funnel" ->
+      """WITH a AS (
+        |  SELECT user_id, min(ts) AS t_view FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |b AS (
+        |  SELECT e.user_id, min(e.ts) AS t_click
+        |  FROM events e JOIN a ON e.user_id = a.user_id
+        |  WHERE e.event_type = 'click' AND e.ts > a.t_view
+        |  GROUP BY e.user_id),
+        |c AS (
+        |  SELECT e.user_id, min(e.ts) AS t_buy
+        |  FROM events e JOIN b ON e.user_id = b.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > b.t_click
+        |  GROUP BY e.user_id)
+        |SELECT '1_view' AS stage, CAST(count(*) AS BIGINT) AS n_users FROM a
+        |UNION ALL
+        |SELECT '2_click', CAST(count(*) AS BIGINT) FROM b
+        |UNION ALL
+        |SELECT '3_purchase', CAST(count(*) AS BIGINT) FROM c
+        |ORDER BY stage""".stripMargin,
 
     "q_window_funcs" ->
       """SELECT user_id, event_id,
