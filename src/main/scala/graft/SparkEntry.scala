@@ -2455,6 +2455,26 @@ object SparkEntry {
         .orderBy($"doc_id")
     }),
 
+    // Index health report — the reference's /health endpoint (O9) grown
+    // into the table a vector-store operator actually pages on: per
+    // md5-mod-8 shard replica, row count, dim bounds (dim drift = a
+    // corrupted ingest), and mean vector norm (un-normalized vectors =
+    // a skipped O3 stage). Norms quantize to integer micro-units BEFORE
+    // the sum, so the per-shard mean is an exact-integer reduction —
+    // order-proof in both engines.
+    "q_index_health" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "embeddings")
+        .select(HashFunctions.shardHash($"vec_id", 8).as("shard"),
+          size($"embedding").as("dim"),
+          round(round(sqrt(V.norm2($"embedding")), 6) * 1e6, 0).cast("long").as("nrm_micro"))
+        .groupBy($"shard")
+        .agg(count(lit(1)).as("n"),
+          min($"dim").as("min_dim"), max($"dim").as("max_dim"),
+          (round(sum($"nrm_micro") / 1e6 / count(lit(1)), 4) + lit(0.0)).as("avg_norm"))
+        .orderBy($"shard")
+    }),
+
     // Ordered funnel: users who viewed, then clicked AFTER the first
     // view, then purchased AFTER that click — the product-analytics
     // staple. Each stage is one groupBy(user) min-aggregate joined to
@@ -3299,6 +3319,24 @@ object SparkEntry {
         |FROM documents,
         |     (SELECT ' Mu'||chr(776)||'ller cafe'||chr(769)||' '||chr(241)||'and'||chr(250) AS sfx)
         |ORDER BY doc_id""".stripMargin,
+
+    "q_index_health" ->
+      """WITH h AS (
+        |  SELECT vec_id, md5(vec_id::VARCHAR) AS hx, len(embedding) AS dim,
+        |         (SELECT CAST(ROUND(ROUND(SQRT(SUM(x*x)), 6) * 1e6, 0) AS BIGINT)
+        |          FROM (SELECT unnest(embedding)::DOUBLE AS x)) AS nrm_micro
+        |  FROM embeddings),
+        |m AS (
+        |  SELECT (((((('0x'||substr(hx, 1,8))::BIGINT % 8) * 4294967296
+        |           + ('0x'||substr(hx, 9,8))::BIGINT) % 8) * 4294967296
+        |           + ('0x'||substr(hx,17,8))::BIGINT) % 8 * 4294967296
+        |           + ('0x'||substr(hx,25,8))::BIGINT) % 8 AS shard,
+        |         dim, nrm_micro
+        |  FROM h)
+        |SELECT shard, CAST(COUNT(*) AS BIGINT) AS n,
+        |       CAST(min(dim) AS INT) AS min_dim, CAST(max(dim) AS INT) AS max_dim,
+        |       ROUND(SUM(nrm_micro) / 1e6 / COUNT(*), 4) + 0.0 AS avg_norm
+        |FROM m GROUP BY shard ORDER BY shard""".stripMargin,
 
     "q_retention" ->
       """WITH f AS (
