@@ -149,6 +149,34 @@ object Bench {
       results("vector_seq_qps_refformula") = lats.length / lats.sum
     }
 
+    // IVF probe sweep: measured cost of scanning 1/2/4/8 of 16 cells —
+    // the accuracy/cost dial an operator actually turns (recall@10 per
+    // probe count is pinned in AnnSpec; this is the latency half).
+    {
+      import graft.operators.Ann
+      val e = Tables.load(spark, sfDir, "embeddings")
+      val cents = e.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("cent_id"), col("embedding").as("cvec"))
+      val assigned = Ann.ivfAssign(e, cents, "vec_id", "embedding",
+        "cent_id", "cvec").persist()
+      assigned.count()
+      val query = e.filter(col("vec_id") === 42)
+        .select(col("embedding")).head.getSeq[Float](0)
+      for (p <- Seq(1, 2, 4, 8)) {
+        def run(): Unit = {
+          val probes = Ann.probeCellIds(cents, query, "cent_id", "cvec", p)
+          TopK.topK(
+            assigned.filter(col("cell_id").isin(probes: _*))
+              .withColumn("score", dotF(col("embedding"), typedLit(query))),
+            col("score"), col("vec_id"), 10).collect()
+          ()
+        }
+        run() // warmup
+        results(s"ann_ivf_probe$p") = time(run())
+      }
+      assigned.unpersist()
+    }
+
     // -------- 2. headline analytics / dedup queries ---------------------
     // warmup once (codegen compile + page cache), then best of two timed
     // runs: a stop-the-world GC landing on a random query otherwise
