@@ -80,6 +80,37 @@ object Streaming {
       .select(col("w.start").as("win_start"), col("top"))
   }
 
+  /** Tumbling-window DISTINCT COUNT via the KMV sketch
+    * (`DistinctSketch.KmvAgg` through `functions.udaf`): continuous
+    * per-window cardinality with ≤ k longs of state per window instead
+    * of the window's full distinct set. The k-min-set is order- and
+    * partitioning-independent, so streaming and batch agree EXACTLY at
+    * any scale (not just below capacity — the property the other
+    * sketches can't offer); counts are exact below k, ~1/√(k−2)
+    * relative error beyond. The read-off replicates
+    * `DistinctSketch.estimate` as columns so the whole plan stays in
+    * the stream. Returns (win_start, n_distinct, is_exact).
+    */
+  def windowedDistinct(events: DataFrame, valueCol: String,
+                       windowDur: String, watermark: String,
+                       k: Int = 8192): DataFrame = {
+    val sketch = org.apache.spark.sql.functions.udaf(
+      new graft.operators.DistinctSketch.KmvAgg(k),
+      org.apache.spark.sql.Encoders.scalaLong)
+    val m = col("__minima")
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowDur).as("w"))
+      .agg(sketch(Dedup.hash60(col(valueCol).cast("string"))).as("__minima"))
+      .select(col("w.start").as("win_start"),
+        when(size(m) < k, size(m).cast("long"))
+          .otherwise(round(
+            lit((k - 1).toDouble * (1L << 60).toDouble) /
+              greatest(element_at(m, -1), lit(1L)).cast("double"), 0)
+            .cast("long")).as("n_distinct"),
+        (size(m) < k).as("is_exact"))
+  }
+
   /** Stream-stream inner join with an event-time range: pair each left
     * row with right rows of the same key whose time falls in
     * [leftTs − within, leftTs]. Both sides carry watermarks, so Spark

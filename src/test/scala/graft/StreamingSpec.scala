@@ -85,6 +85,36 @@ class StreamingSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("windowedDistinct: streaming KMV counts equal batch AND the true distinct count") {
+    import spark.implicits._
+    val events = Tables.load(spark, sf0001, "events")
+    val tmp = Files.createTempDirectory("graft_stream_kmv_").toString
+    events.repartition(4).write.mode("overwrite").parquet(tmp)
+
+    val stream = spark.readStream.schema(events.schema).parquet(tmp)
+    val q = Streaming.windowedDistinct(stream, "user_id", "24 hours",
+        "10 minutes", k = 4096)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("stream_kmv").start()
+    q.processAllAvailable()
+    q.stop()
+
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getTimestamp(0).getTime, r.getLong(1), r.getBoolean(2))
+    val got = spark.table("stream_kmv").collect().map(key).toSet
+    val want = Streaming.windowedDistinct(events, "user_id", "24 hours",
+        "10 minutes", k = 4096).collect().map(key).toSet
+    assert(got == want)
+    assert(got.nonEmpty && got.forall(_._3), "fixture windows are below capacity")
+    // below capacity the sketch is exact: match the true per-window counts
+    val truth = events
+      .groupBy(window($"ts", "24 hours").as("w"))
+      .agg(countDistinct($"user_id").as("n"))
+      .select($"w.start", $"n").collect()
+      .map(r => r.getTimestamp(0).getTime -> r.getLong(1)).toMap
+    got.foreach { case (w, n, _) => assert(truth(w) == n, s"window $w") }
+  }
+
   test("joinWithin: stream-stream interval join equals the batch join") {
     import spark.implicits._
     def ts(min: Int) = new java.sql.Timestamp(10800000L + min * 60000L)
