@@ -98,7 +98,10 @@ object DistinctSketch {
   def distinctCount(df: DataFrame, valueCol: Column, k: Int = 8192): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val minima = df.select(Dedup.hash60(valueCol).as("h")).as[Long]
+    // null values hash to null and would decode as 0L — drop them (a
+    // null is "no value", not a distinct member)
+    val minima = df.select(Dedup.hash60(valueCol).as("h"))
+      .filter(col("h").isNotNull).as[Long]
       .select(new KmvAgg(k).toColumn).head()
     val (n, exact) = estimate(minima, k)
     Seq((n, exact)).toDF("n_distinct", "is_exact")

@@ -130,7 +130,10 @@ object QuantileSketch {
     val spark = df.sparkSession
     import spark.implicits._
     import org.apache.spark.sql.functions.col
-    val levels = df.select(col(valueCol).cast("double")).as[Double]
+    // explicit null filter: a null reaching the primitive Double encoder
+    // would silently decode as 0.0 and poison the low quantiles
+    val levels = df.select(col(valueCol).cast("double").as("__v"))
+      .filter(col("__v").isNotNull).as[Double]
       .select(new KllAgg(cap).toColumn).head()
     // empty input → zero quantile rows (not a crash): the contract a
     // scheduled pipeline needs when an upstream filter drains a batch

@@ -53,6 +53,7 @@ object Streaming {
       new graft.operators.QuantileSketch.KllQuantilesAgg(cap, qs),
       org.apache.spark.sql.Encoders.scalaDouble)
     events
+      .filter(col(valueCol).isNotNull) // null would decode as 0.0 in the sketch
       .withWatermark("ts", watermark)
       .groupBy(window(col("ts"), windowDur).as("w"))
       .agg(sketch(col(valueCol).cast("double")).as("quantiles"))
@@ -99,6 +100,7 @@ object Streaming {
       org.apache.spark.sql.Encoders.scalaLong)
     val m = col("__minima")
     events
+      .filter(col(valueCol).isNotNull) // null hashes to null → would decode as 0L
       .withWatermark("ts", watermark)
       .groupBy(window(col("ts"), windowDur).as("w"))
       .agg(sketch(Dedup.hash60(col(valueCol).cast("string"))).as("__minima"))
