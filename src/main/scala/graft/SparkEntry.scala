@@ -2455,6 +2455,23 @@ object SparkEntry {
         .orderBy($"doc_id")
     }),
 
+    // Export manifest: per-shard row count + order-independent content
+    // checksum (XOR of per-row 60-bit hashes over a canonical id:text
+    // encoding) — what a training-data delivery ships beside the files
+    // so the consumer can verify integrity without re-reading the
+    // producer. XOR is commutative, so the checksum is partitioning-
+    // and order-proof; one map-side-combined aggregate computes the
+    // whole manifest.
+    "q_export_manifest" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents")
+        .select(pmod($"doc_id", lit(8L)).as("shard"),
+          Dedup.hash60(concat($"doc_id".cast("string"), lit(":"), $"text")).as("h"))
+        .groupBy($"shard")
+        .agg(count(lit(1)).as("n_rows"), bit_xor($"h").as("checksum"))
+        .orderBy($"shard")
+    }),
+
     // Index health report — the reference's /health endpoint (O9) grown
     // into the table a vector-store operator actually pages on: per
     // md5-mod-8 shard replica, row count, dim bounds (dim drift = a
@@ -3319,6 +3336,11 @@ object SparkEntry {
         |FROM documents,
         |     (SELECT ' Mu'||chr(776)||'ller cafe'||chr(769)||' '||chr(241)||'and'||chr(250) AS sfx)
         |ORDER BY doc_id""".stripMargin,
+
+    "q_export_manifest" ->
+      """SELECT doc_id % 8 AS shard, CAST(count(*) AS BIGINT) AS n_rows,
+        |       bit_xor(('0x'||substr(md5(doc_id::VARCHAR || ':' || text), 1, 15))::BIGINT) AS checksum
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_index_health" ->
       """WITH h AS (
