@@ -50,7 +50,8 @@ object Bench {
     "q_quantile_sketch", "q_outer_join", "q_unicode_clean",
     "q_distinct_sketch", "q_group_quantiles", "q_gap_fill", "q_group_top_terms",
     "q_grouping_sets", "q_window_funcs", "q_conditional_agg",
-    "q_funnel", "q_retention", "q_index_health", "q_export_manifest")
+    "q_funnel", "q_retention", "q_index_health", "q_export_manifest",
+    "q_standardize")
 
   /** Force FULL materialization of every output column: xxhash64 over all
     * columns, summed. `.count()` alone under-measures — Catalyst prunes

@@ -184,6 +184,39 @@ object Profile {
       time("K10 substr removal 10x")(println("  removed10x=" + removal(big)))
     }
 
+    // Sketch-family scale probe: 1× vs 10× input. State is capacity-
+    // bounded for all three, so cost must track the scan alone; the 10×
+    // corpus also pushes Misra-Gries/KLL well past capacity, exercising
+    // the eviction/compaction paths the fixtures (exact regime) don't.
+    {
+      import graft.operators.{DistinctSketch, HeavyHitters, QuantileSketch}
+      def big10(d: org.apache.spark.sql.DataFrame) =
+        (0 until 10).map(i =>
+            d.select(($"doc_id" + lit(i * 1000000L)).as("doc_id"),
+              concat($"text", lit(s" v$i")).as("text"),
+              ($"n_chars" + lit(i)).as("n_chars")))
+          .reduce(_ unionByName _)
+          .repartition(32)
+      val d1 = docs.select($"doc_id", $"text", $"n_chars").repartition(32)
+      val d10 = big10(docs)
+      time("L1 heavy hitters 1x")(
+        HeavyHitters.topTerms(d1, "text", 20, k = 256).collect())
+      time("L10 heavy hitters 10x")(
+        HeavyHitters.topTerms(d10, "text", 20, k = 256).collect())
+      time("M1 quantile sketch 1x")(
+        QuantileSketch.quantiles(d1, "n_chars",
+          Seq(BigDecimal("0.5"), BigDecimal("0.99")), cap = 256).collect())
+      time("M10 quantile sketch 10x")(
+        QuantileSketch.quantiles(d10, "n_chars",
+          Seq(BigDecimal("0.5"), BigDecimal("0.99")), cap = 256).collect())
+      time("N1 kmv distinct 1x")(
+        println("  n=" + DistinctSketch.distinctCount(d1, $"text", k = 1024)
+          .head.getLong(0)))
+      time("N10 kmv distinct 10x")(
+        println("  n10=" + DistinctSketch.distinctCount(d10, $"text", k = 1024)
+          .head.getLong(0)))
+    }
+
     spark.stop()
   }
 }

@@ -2455,6 +2455,30 @@ object SparkEntry {
         .orderBy($"doc_id")
     }),
 
+    // Per-dimension standardization (z-score feature scaling — the ML
+    // feature-prep staple): one micro-unit-quantized stats aggregate per
+    // dimension (exact integer sums → order-proof mean/std), broadcast
+    // back onto the exploded scan. Identical arithmetic ORDER in both
+    // engines (mean*mean, not pow) so the doubles match bit-for-bit.
+    "q_standardize" -> ((s, dir) => {
+      import s.implicits._
+      val exv = t(s, dir, "embeddings")
+        .select($"vec_id", posexplode($"embedding").as(Seq("pos", "x")))
+        .withColumn("xq", round($"x".cast("double") * 1e6, 0).cast("long"))
+      val stats = exv.groupBy($"pos")
+        .agg(count(lit(1)).as("n"), sum($"xq").as("s"),
+          sum($"xq" * $"xq").as("ss"))
+        .select($"pos",
+          ($"s".cast("double") / $"n" / 1e6).as("mean"),
+          sqrt((($"ss".cast("double") / $"n") -
+            ($"s".cast("double") / $"n") * ($"s".cast("double") / $"n")) / 1e12)
+            .as("std"))
+      exv.join(broadcast(stats), "pos")
+        .select($"vec_id", $"pos",
+          (round(($"xq" / 1e6 - $"mean") / $"std", 4) + lit(0.0)).as("z"))
+        .orderBy($"vec_id", $"pos")
+    }),
+
     // Export manifest: per-shard row count + order-independent content
     // checksum (XOR of per-row 60-bit hashes over a canonical id:text
     // encoding) — what a training-data delivery ships beside the files
@@ -3336,6 +3360,24 @@ object SparkEntry {
         |FROM documents,
         |     (SELECT ' Mu'||chr(776)||'ller cafe'||chr(769)||' '||chr(241)||'and'||chr(250) AS sfx)
         |ORDER BY doc_id""".stripMargin,
+
+    "q_standardize" ->
+      """WITH ex AS (
+        |  SELECT vec_id,
+        |         unnest(generate_series(0, len(embedding)-1)) AS pos,
+        |         unnest(list_transform(embedding,
+        |           v -> CAST(ROUND(v::DOUBLE * 1e6, 0) AS BIGINT))) AS xq
+        |  FROM embeddings),
+        |st AS (
+        |  SELECT pos, count(*) AS n, SUM(xq) AS s, SUM(xq*xq) AS ss
+        |  FROM ex GROUP BY pos),
+        |ms AS (
+        |  SELECT pos, s::DOUBLE / n / 1e6 AS mean,
+        |         sqrt((ss::DOUBLE / n - (s::DOUBLE / n) * (s::DOUBLE / n)) / 1e12) AS std
+        |  FROM st)
+        |SELECT e.vec_id, e.pos, round((e.xq / 1e6 - m.mean) / m.std, 4) + 0.0 AS z
+        |FROM ex e JOIN ms m USING (pos)
+        |ORDER BY e.vec_id, e.pos""".stripMargin,
 
     "q_export_manifest" ->
       """SELECT doc_id % 8 AS shard, CAST(count(*) AS BIGINT) AS n_rows,
