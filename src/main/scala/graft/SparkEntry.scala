@@ -2455,6 +2455,22 @@ object SparkEntry {
         .orderBy($"doc_id")
     }),
 
+    // Null-semantics parity: count(*) vs count(col), null-skipping
+    // sums, and coalesce defaults — the SQL edge semantics every
+    // engine must agree on (fixture has no nulls, so both engines
+    // manufacture them identically via the same CASE gate).
+    "q_null_semantics" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "events")
+        .withColumn("v", when($"value" >= 20, $"value"))
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n_all"),
+          count($"v").as("n_nonnull"),
+          (round(sum($"v"), 2) + lit(0.0)).as("sum_v"),
+          (round(sum(coalesce($"v", lit(0.0))), 2) + lit(0.0)).as("sum_v0"))
+        .orderBy($"event_type")
+    }),
+
     // Per-dimension standardization (z-score feature scaling — the ML
     // feature-prep staple): one micro-unit-quantized stats aggregate per
     // dimension (exact integer sums → order-proof mean/std), broadcast
@@ -3360,6 +3376,16 @@ object SparkEntry {
         |FROM documents,
         |     (SELECT ' Mu'||chr(776)||'ller cafe'||chr(769)||' '||chr(241)||'and'||chr(250) AS sfx)
         |ORDER BY doc_id""".stripMargin,
+
+    "q_null_semantics" ->
+      """WITH e AS (
+        |  SELECT event_type, CASE WHEN value >= 20 THEN value END AS v
+        |  FROM events)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_all,
+        |       CAST(count(v) AS BIGINT) AS n_nonnull,
+        |       round(sum(v), 2) + 0.0 AS sum_v,
+        |       round(sum(coalesce(v, 0.0)), 2) + 0.0 AS sum_v0
+        |FROM e GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q_standardize" ->
       """WITH ex AS (
