@@ -2455,6 +2455,32 @@ object SparkEntry {
         .orderBy($"doc_id")
     }),
 
+    // User-journey paths: 30-min-gap sessions → ordered event-type
+    // sequence per session → top-10 most common journeys (the product
+    // question session data exists to answer). Session assignment is
+    // the q_sessionize cumulative-sum window; path assembly is one
+    // per-session sorted reassembly (the stripBoilerplate shape); the
+    // path ranking aggregate shuffles only (path, count).
+    "q_user_paths" -> ((s, dir) => {
+      import s.implicits._
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"user_id").orderBy($"ts", $"event_id")
+      val sess = t(s, dir, "events")
+        .withColumn("prev", lag($"ts", 1).over(w))
+        .withColumn("newsess",
+          when($"prev".isNull ||
+            ($"ts".cast("double") - $"prev".cast("double")) > 1800.0, 1L).otherwise(0L))
+        .withColumn("sess", sum($"newsess").over(w))
+      sess.groupBy($"user_id", $"sess")
+        .agg(array_join(transform(
+          array_sort(collect_list(struct($"ts", $"event_id", $"event_type"))),
+          s0 => s0.getField("event_type")), ">").as("path"))
+        .groupBy($"path")
+        .agg(count(lit(1)).as("n_sessions"))
+        .orderBy($"n_sessions".desc, $"path")
+        .limit(10)
+    }),
+
     // Null-semantics parity: count(*) vs count(col), null-skipping
     // sums, and coalesce defaults — the SQL edge semantics every
     // engine must agree on (fixture has no nulls, so both engines
@@ -3376,6 +3402,22 @@ object SparkEntry {
         |FROM documents,
         |     (SELECT ' Mu'||chr(776)||'ller cafe'||chr(769)||' '||chr(241)||'and'||chr(250) AS sfx)
         |ORDER BY doc_id""".stripMargin,
+
+    "q_user_paths" ->
+      """WITH x AS (
+        |  SELECT user_id, event_id, ts, event_type,
+        |         CASE WHEN lag(ts) OVER w IS NULL
+        |                OR epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1 ELSE 0 END AS newsess
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (
+        |  SELECT user_id, event_id, ts, event_type,
+        |         SUM(newsess) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS sess
+        |  FROM x),
+        |p AS (
+        |  SELECT user_id, sess, string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+        |  FROM s GROUP BY user_id, sess)
+        |SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
+        |FROM p GROUP BY path ORDER BY n_sessions DESC, path LIMIT 10""".stripMargin,
 
     "q_null_semantics" ->
       """WITH e AS (
