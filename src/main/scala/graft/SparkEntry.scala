@@ -2429,8 +2429,11 @@ object SparkEntry {
     // source — one file per partition, no driver funnel.
     "q_jsonl_roundtrip" -> ((s, dir) => {
       import s.implicits._
+      // pid suffix: two JVMs over the same fixture dir (Verify + Bench in
+      // parallel CI) must not race on overwrite-vs-read of one tmp path
       val tmp = new java.io.File(sys.props("java.io.tmpdir"),
-        s"graft_jsonl_rt_${Integer.toHexString(dir.hashCode)}").getAbsolutePath
+        s"graft_jsonl_rt_${Integer.toHexString(dir.hashCode)}_" +
+          ProcessHandle.current().pid()).getAbsolutePath
       t(s, dir, "documents").select($"doc_id", $"source", $"text")
         .write.mode("overwrite").json(tmp)
       s.read.schema("doc_id LONG, source STRING, text STRING").json(tmp)
@@ -2515,9 +2518,14 @@ object SparkEntry {
           sqrt((($"ss".cast("double") / $"n") -
             ($"s".cast("double") / $"n") * ($"s".cast("double") / $"n")) / 1e12)
             .as("std"))
+      // zero-variance guard: a constant dimension standardizes to 0 by
+      // convention (Spark's 0/0 is NULL, DuckDB's is inf — without the
+      // guard the engines diverge on such data)
       exv.join(broadcast(stats), "pos")
         .select($"vec_id", $"pos",
-          (round(($"xq" / 1e6 - $"mean") / $"std", 4) + lit(0.0)).as("z"))
+          when($"std" > 0,
+            round(($"xq" / 1e6 - $"mean") / $"std", 4) + lit(0.0))
+            .otherwise(lit(0.0)).as("z"))
         .orderBy($"vec_id", $"pos")
     }),
 
@@ -2705,6 +2713,7 @@ object SparkEntry {
         new QuantileSketch.KllQuantilesAgg(8192, Seq("0.5", "0.95")),
         org.apache.spark.sql.Encoders.scalaDouble)
       t(s, dir, "documents")
+        .filter($"n_chars".isNotNull) // null would decode as 0.0 in the sketch
         .groupBy($"source")
         .agg(sketch($"n_chars".cast("double")).as("qv"))
         .select($"source",
@@ -3443,7 +3452,10 @@ object SparkEntry {
         |  SELECT pos, s::DOUBLE / n / 1e6 AS mean,
         |         sqrt((ss::DOUBLE / n - (s::DOUBLE / n) * (s::DOUBLE / n)) / 1e12) AS std
         |  FROM st)
-        |SELECT e.vec_id, e.pos, round((e.xq / 1e6 - m.mean) / m.std, 4) + 0.0 AS z
+        |SELECT e.vec_id, e.pos,
+        |       CASE WHEN m.std > 0
+        |            THEN round((e.xq / 1e6 - m.mean) / m.std, 4) + 0.0
+        |            ELSE 0.0 END AS z
         |FROM ex e JOIN ms m USING (pos)
         |ORDER BY e.vec_id, e.pos""".stripMargin,
 

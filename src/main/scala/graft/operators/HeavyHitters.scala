@@ -135,13 +135,26 @@ object HeavyHitters {
       .orderBy(col("cnt").desc, col("term"))
       .limit(n)
     if (certify && total > 0) {
-      val got = out.select(col("cnt")).collect().map(_.getLong(0))
+      // one recount execution: certify from the collected rows AND return
+      // them as a local frame (the recount scan must not run twice on a
+      // corpus-sized input)
+      val got = out.collect()
       val bound = total / (k + 1).toLong
-      if (got.length == n && got.last <= bound) throw new IllegalStateException(
-        s"heavy-hitter top-$n uncertified: smallest returned count ${got.last} " +
-          s"<= n/(k+1) bound $bound — a true top-$n term may have been " +
-          s"evicted from the sketch; raise k (currently $k)")
-    }
-    out
+      // certified-exact iff (a) n rows whose smallest count clears the
+      // retention bound, or (b) fewer than n rows AND bound == 0 (total ≤ k
+      // ⇒ no eviction ever fired ⇒ the sketch holds the FULL vocabulary,
+      // which is genuinely smaller than n). Fewer than n rows with a
+      // nonzero bound means eviction may have hidden true top-n terms —
+      // that must throw, not silently truncate.
+      val ok = (got.length == n && got.last.getLong(1) > bound) ||
+        (got.length < n && bound == 0L)
+      if (!ok) throw new IllegalStateException(
+        s"heavy-hitter top-$n uncertified: ${got.length} candidate(s), " +
+          s"smallest count ${if (got.isEmpty) "-" else got.last.getLong(1)} vs " +
+          s"n/(k+1) bound $bound — a true top-$n term may have been evicted " +
+          s"from the sketch; raise k (currently $k)")
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(got.toSeq, 1), out.schema)
+    } else out
   }
 }

@@ -120,6 +120,15 @@ object Layout {
     * append-mostly ingest; a table format adds the cross-partition
     * commit log, nothing else in this op changes).
     *
+    * PRECONDITION — stable partitioning: `partCol` must be a pure
+    * function of `keyCol` (dates keyed by event id, shards by hash…),
+    * i.e. an update may not MOVE a key to a different partition. A
+    * migrated key's old row lives in a partition this op deliberately
+    * never reads, so it would survive as a stale duplicate. Migrating
+    * keys need the full-table merge (read everything, left-anti, rewrite
+    * everything) — the exact cost this partition-local op exists to
+    * avoid, so it refuses to pay it silently.
+    *
     * Returns the number of rewritten partitions.
     */
   def mergeUpsert(spark: SparkSession, tableDir: String, updates: DataFrame,

@@ -75,6 +75,7 @@ object Streaming {
       new graft.operators.HeavyHitters.MgTopAgg(k, n),
       org.apache.spark.sql.Encoders.STRING)
     events
+      .filter(col(termCol).isNotNull) // a null key would NPE the count-tie sort
       .withWatermark("ts", watermark)
       .groupBy(window(col("ts"), windowDur).as("w"))
       .agg(sketch(col(termCol)).as("top"))

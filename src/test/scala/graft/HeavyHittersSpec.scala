@@ -83,6 +83,22 @@ class HeavyHittersSpec extends SparkSpec {
     assert("Exchange".r.findAllIn(plan).size == 1, s"one exchange expected:\n$plan")
   }
 
+  test("fewer candidates than n: full-vocab case returns certified, eviction case throws") {
+    import spark.implicits._
+    // (a) true vocabulary smaller than n with total ≤ k (no eviction can
+    // ever fire): the short result is genuinely complete — certified
+    val small = (Seq.fill(3)("a") ++ Seq.fill(2)("b") ++ Seq("c")).toDF("text")
+    val r = HeavyHitters.topTerms(small, "text", n = 5, k = 16)
+    assert(r.collect().map(_.getString(0)).toSeq == Seq("a", "b", "c"))
+    // (b) heavy eviction pressure (k=4 over 5 equal terms): whatever
+    // survives has exact count == the n/(k+1) bound, never above it —
+    // must throw, never silently truncate
+    val uniform = (1 to 500).map(i => s"t${i % 5}").toDF("text").repartition(1)
+    intercept[IllegalStateException] {
+      HeavyHitters.topTerms(uniform, "text", n = 3, k = 4).collect()
+    }
+  }
+
   test("sketch residuals underestimate by at most total/(k+1) and keep all frequent terms") {
     import spark.implicits._
     val freqs = Map("x" -> 400, "y" -> 300, "z" -> 200) ++
