@@ -2458,6 +2458,20 @@ object SparkEntry {
         .orderBy($"doc_id")
     }),
 
+    // MLM masking prep (BERT-family pretraining): 15% of tokens masked
+    // by a pure (doc, position, salt) hash gate — reproducible across
+    // runs/partitionings/engines with no RNG state, the Sampling
+    // discipline applied to augmentation. Scan-speed per-row transform.
+    "q_mlm_mask" -> ((s, dir) => {
+      import s.implicits._
+      val masked = T.maskTokens($"doc_id", $"text", 15, "mlm")
+      t(s, dir, "documents")
+        .select($"doc_id",
+          array_join(masked, " ").as("masked"),
+          size(filter(masked, t0 => t0 === "[MASK]")).cast("long").as("n_masked"))
+        .orderBy($"doc_id")
+    }),
+
     // User-journey paths: 30-min-gap sessions → ordered event-type
     // sequence per session → top-10 most common journeys (the product
     // question session data exists to answer). Session assignment is
@@ -3411,6 +3425,20 @@ object SparkEntry {
         |FROM documents,
         |     (SELECT ' Mu'||chr(776)||'ller cafe'||chr(769)||' '||chr(241)||'and'||chr(250) AS sfx)
         |ORDER BY doc_id""".stripMargin,
+
+    "q_mlm_mask" ->
+      """WITH t AS (
+        |  SELECT doc_id, CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[]) ELSE string_split_regex(trim(text), '\s+') END AS toks
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id,
+        |         list_transform(generate_series(1, len(toks)),
+        |           i -> CASE WHEN ('0x'||substr(md5(doc_id::VARCHAR || ':' || (i-1)::VARCHAR || ':mlm'), 1, 15))::BIGINT % 100 < 15
+        |                THEN '[MASK]' ELSE toks[i] END) AS mk
+        |  FROM t)
+        |SELECT doc_id, array_to_string(mk, ' ') AS masked,
+        |       CAST(len(list_filter(mk, x -> x = '[MASK]')) AS BIGINT) AS n_masked
+        |FROM m ORDER BY doc_id""".stripMargin,
 
     "q_user_paths" ->
       """WITH x AS (

@@ -257,6 +257,30 @@ object TextFunctions {
     (regexp_count(text, lit(EmailRe)) + regexp_count(text, lit(Ipv4Re)) +
       regexp_count(text, lit(PhoneRe))).cast("long")
 
+  /** Deterministic MLM-style token masking (BERT-family pretraining
+    * prep): token at position i of document `id` is replaced by
+    * `[MASK]` iff md5(`id:i:salt`) mod 100 < pct — a pure hash gate, so
+    * masking is reproducible across runs, partitionings, and engines
+    * (no RNG state to seed or checkpoint; the same discipline as
+    * `Sampling.hashSample`). Per-row transform, scan speed; returns the
+    * masked token array (reassemble/count downstream).
+    */
+  def maskTokens(id: Column, text: Column, pct: Int, salt: String): Column = {
+    require(pct >= 0 && pct <= 100, "pct must be in [0, 100]")
+    val toks = tokens(text)
+    // empty-doc guard: sequence(0, max(size-1, 0)) is [0] for an empty
+    // token array, and zip_with would pad a phantom masked token
+    when(size(toks) === 0, array().cast("array<string>"))
+      .otherwise(zip_with(toks, sequence(lit(0), greatest(size(toks) - 1, lit(0))),
+        (t, i) => {
+          val gate = conv(substring(
+            md5(concat(id.cast("string"), lit(":"), i.cast("string"),
+              lit(":"), lit(salt)).cast("binary")), 1, 15), 16, 10)
+            .cast("long") % 100
+          when(gate < pct, lit("[MASK]")).otherwise(t)
+        }))
+  }
+
   /** Punctuation character count. */
   def punctCount(text: Column): Column =
     length(text) - length(regexp_replace(text, "[.,;:!?]", ""))

@@ -243,4 +243,28 @@ class TextFunctionsSpec extends SparkSpec {
     assert(h("") == 0L, "empty text folds to the init value")
     assert(h("a b c") >= 0 && h("a b c") < 1000000007L)
   }
+
+  test("maskTokens: deterministic hash gate, rate in the right ballpark, empty doc untouched") {
+    import spark.implicits._
+    val text = (1 to 400).map(i => s"w$i").mkString(" ")
+    def run(): Seq[String] =
+      Seq((7L, text)).toDF("id", "text")
+        .select(T.maskTokens(col("id"), col("text"), 15, "mlm"))
+        .head.getSeq[String](0)
+    val a = run()
+    assert(a == run(), "same (id, pos, salt) must mask identically every run")
+    assert(a.length == 400, "masking never changes token count")
+    val masked = a.count(_ == "[MASK]")
+    // hash gate at 15%: expect ~60 of 400 — wide band, the gate is not RNG
+    assert(masked > 25 && masked < 100, s"masked $masked of 400")
+    // different doc id masks different positions
+    val b = Seq((8L, text)).toDF("id", "text")
+      .select(T.maskTokens(col("id"), col("text"), 15, "mlm"))
+      .head.getSeq[String](0)
+    assert(a != b, "gate must depend on the document id")
+    // empty doc → empty array (no phantom [MASK] from the zip_with pad)
+    assert(Seq((1L, "")).toDF("id", "text")
+      .select(T.maskTokens(col("id"), col("text"), 15, "mlm"))
+      .head.getSeq[String](0).isEmpty)
+  }
 }
