@@ -51,7 +51,8 @@ object Bench {
     "q_distinct_sketch", "q_group_quantiles", "q_gap_fill", "q_group_top_terms",
     "q_grouping_sets", "q_window_funcs", "q_conditional_agg",
     "q_funnel", "q_retention", "q_index_health", "q_export_manifest",
-    "q_standardize", "q_null_semantics", "q_user_paths", "q_mlm_mask")
+    "q_standardize", "q_null_semantics", "q_user_paths", "q_mlm_mask",
+    "q_snapshot_diff")
 
   /** Force FULL materialization of every output column: xxhash64 over all
     * columns, summed. `.count()` alone under-measures — Catalyst prunes

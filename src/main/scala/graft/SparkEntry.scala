@@ -2458,6 +2458,30 @@ object SparkEntry {
         .orderBy($"doc_id")
     }),
 
+    // Snapshot diff — the "what changed between crawls" report an
+    // incremental pipeline gates on: full outer join of two snapshot
+    // fingerprint tables (8-byte hash60 + id per side, never text) →
+    // added / removed / changed / same counts. Fixture synthesizes the
+    // second snapshot from the first (drop ids < 100, add ids ≥ 400,
+    // rewrite texts in [200, 250)) identically in both engines.
+    "q_snapshot_diff" -> ((s, dir) => {
+      import s.implicits._
+      val d = t(s, dir, "documents")
+      val old = d.filter($"doc_id" < 400)
+        .select($"doc_id", Dedup.hash60($"text").as("h_old"))
+      val newSnap = d.filter($"doc_id" >= 100)
+        .select($"doc_id",
+          Dedup.hash60(when($"doc_id" >= 200 && $"doc_id" < 250,
+            concat($"text", lit(" rev2"))).otherwise($"text")).as("h_new"))
+      old.join(newSnap, Seq("doc_id"), "full_outer")
+        .select(when($"h_old".isNull, "added")
+          .when($"h_new".isNull, "removed")
+          .when($"h_old" === $"h_new", "same")
+          .otherwise("changed").as("status"))
+        .groupBy($"status").agg(count(lit(1)).as("n_docs"))
+        .orderBy($"status")
+    }),
+
     // MLM masking prep (BERT-family pretraining): 15% of tokens masked
     // by a pure (doc, position, salt) hash gate — reproducible across
     // runs/partitionings/engines with no RNG state, the Sampling
@@ -3425,6 +3449,24 @@ object SparkEntry {
         |FROM documents,
         |     (SELECT ' Mu'||chr(776)||'ller cafe'||chr(769)||' '||chr(241)||'and'||chr(250) AS sfx)
         |ORDER BY doc_id""".stripMargin,
+
+    "q_snapshot_diff" ->
+      """WITH old AS (
+        |  SELECT doc_id, ('0x'||substr(md5(text), 1, 15))::BIGINT AS h_old
+        |  FROM documents WHERE doc_id < 400),
+        |new_snap AS (
+        |  SELECT doc_id,
+        |         ('0x'||substr(md5(CASE WHEN doc_id >= 200 AND doc_id < 250
+        |                                THEN text || ' rev2' ELSE text END), 1, 15))::BIGINT AS h_new
+        |  FROM documents WHERE doc_id >= 100),
+        |j AS (
+        |  SELECT CASE WHEN h_old IS NULL THEN 'added'
+        |              WHEN h_new IS NULL THEN 'removed'
+        |              WHEN h_old = h_new THEN 'same'
+        |              ELSE 'changed' END AS status
+        |  FROM old FULL OUTER JOIN new_snap USING (doc_id))
+        |SELECT status, CAST(count(*) AS BIGINT) AS n_docs
+        |FROM j GROUP BY status ORDER BY status""".stripMargin,
 
     "q_mlm_mask" ->
       """WITH t AS (
