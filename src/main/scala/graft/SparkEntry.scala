@@ -2488,11 +2488,14 @@ object SparkEntry {
     // discipline applied to augmentation. Scan-speed per-row transform.
     "q_mlm_mask" -> ((s, dir) => {
       import s.implicits._
-      val masked = T.maskTokens($"doc_id", $"text", 15, "mlm")
+      // hoist the masked array into a named column: referencing the raw
+      // expression from two projections would run the md5-per-token gate
+      // twice (HOFs are CodegenFallback — no subexpression elimination)
       t(s, dir, "documents")
+        .withColumn("mk", T.maskTokens($"doc_id", $"text", 15, "mlm"))
         .select($"doc_id",
-          array_join(masked, " ").as("masked"),
-          size(filter(masked, t0 => t0 === "[MASK]")).cast("long").as("n_masked"))
+          array_join($"mk", " ").as("masked"),
+          size(filter($"mk", t0 => t0 === "[MASK]")).cast("long").as("n_masked"))
         .orderBy($"doc_id")
     }),
 
@@ -2553,8 +2556,12 @@ object SparkEntry {
           sum($"xq" * $"xq").as("ss"))
         .select($"pos",
           ($"s".cast("double") / $"n" / 1e6).as("mean"),
-          sqrt((($"ss".cast("double") / $"n") -
-            ($"s".cast("double") / $"n") * ($"s".cast("double") / $"n")) / 1e12)
+          // variance clamped at 0: ss past 2^53 rounds in double and FP
+          // cancellation can land epsilon-negative on a constant
+          // dimension — sqrt(negative) is NaN here but an ERROR in
+          // DuckDB, so both engines clamp identically
+          sqrt(greatest((($"ss".cast("double") / $"n") -
+            ($"s".cast("double") / $"n") * ($"s".cast("double") / $"n")), lit(0.0)) / 1e12)
             .as("std"))
       // zero-variance guard: a constant dimension standardizes to 0 by
       // convention (Spark's 0/0 is NULL, DuckDB's is inf — without the
@@ -3520,7 +3527,7 @@ object SparkEntry {
         |  FROM ex GROUP BY pos),
         |ms AS (
         |  SELECT pos, s::DOUBLE / n / 1e6 AS mean,
-        |         sqrt((ss::DOUBLE / n - (s::DOUBLE / n) * (s::DOUBLE / n)) / 1e12) AS std
+        |         sqrt(greatest(ss::DOUBLE / n - (s::DOUBLE / n) * (s::DOUBLE / n), 0.0) / 1e12) AS std
         |  FROM st)
         |SELECT e.vec_id, e.pos,
         |       CASE WHEN m.std > 0

@@ -623,8 +623,12 @@ object Dedup {
     val covered = occ.join(canon, Seq("__h"))
       .filter(!(id === col("__cid") && col("pos") === col("__cpos")))
       .select(id, explode(sequence(col("pos"), col("pos") + lit(minLen - 1))).as("__tp"))
+    // checkpointed: consumed by the anti-join reassembly AND the totals
+    // aggregate — and it spares a THIRD full tokenization scan of the
+    // corpus (the kernel above and this explode are the only two)
     val toks = base.select(id,
       posexplode(T.tokens(col("__text"))).as(Seq("__tp", "__tok")))
+      .localCheckpoint(false)
     val kept = toks.join(covered, Seq(idCol, "__tp"), "left_anti")
       .groupBy(id)
       .agg(
@@ -632,12 +636,17 @@ object Dedup {
           array_sort(collect_list(struct(col("__tp"), col("__tok")))),
           s => s.getField("__tok")), " ").as("clean"),
         count(lit(1)).as("n_kept"))
-    base.select(id, size(T.tokens(col("__text"))).cast("long").as("__tot"))
+    val totals = toks.groupBy(id).agg(count(lit(1)).as("__tot"))
+    // base (not totals) drives the output: zero-token documents have no
+    // exploded rows but must still emit a row
+    base.select(id)
+      .join(totals, Seq(idCol), "left")
       .join(kept, Seq(idCol), "left")
       .select(id,
         coalesce(col("clean"), lit("")).as("clean"),
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),
-        (col("__tot") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
+        (coalesce(col("__tot"), lit(0L)) -
+          coalesce(col("n_kept"), lit(0L))).as("n_removed"))
   }
 
   /** Bit p (0 = LSB) of an 8-hex-char string, via hex-digit arithmetic

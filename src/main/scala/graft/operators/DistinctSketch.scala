@@ -39,7 +39,10 @@ object DistinctSketch {
         val i = searchInsert(b, h)
         if (i < n && b(i) == h) b // already present
         else {
-          val grown = (b.take(i) :+ h) ++ b.drop(i)
+          // single-copy insert (patch), not take+append+drop (two copies);
+          // still O(k) per ACCEPTED insert — only ~k·ln(k) values are ever
+          // accepted per partial, so ramp-up cost is bounded
+          val grown = b.patch(i, Seq(h), 0)
           if (grown.length > k) grown.dropRight(1) else grown
         }
       }

@@ -39,34 +39,46 @@ import graft.functions.{TextFunctions => T}
 object HeavyHitters {
 
   /** One-pass mergeable Misra-Gries sketch over a token stream.
-    * Buffer and result are (total items seen, term → residual count);
-    * residuals underestimate true counts by at most total/(k+1).
+    * Buffer and result are (total items seen, eviction events, term →
+    * residual count); residuals underestimate true counts by at most
+    * total/(k+1). `evictions == 0` is a PROOF the sketch holds the full
+    * vocabulary with exact counts (nothing was ever decremented or
+    * trimmed) — certification uses it to accept genuinely-small
+    * vocabularies.
+    *
+    * The buffer is an immutable persistent map: O(log k) node
+    * allocations per token on the increment path. A
+    * TypedImperativeAggregate with a mutable open-addressed buffer is
+    * the known next optimization if the sketch pass ever dominates a
+    * profile — the algorithmic shape (partial per partition, one
+    * k-bounded merge) would not change.
     */
   class MisraGriesAgg(k: Int)
-      extends Aggregator[String, (Long, Map[String, Long]), (Long, Map[String, Long])] {
+      extends Aggregator[String, (Long, Long, Map[String, Long]), (Long, Long, Map[String, Long])] {
     require(k >= 1)
 
-    override def zero: (Long, Map[String, Long]) = (0L, Map.empty)
+    override def zero: (Long, Long, Map[String, Long]) = (0L, 0L, Map.empty)
 
-    override def reduce(b: (Long, Map[String, Long]),
-                        term: String): (Long, Map[String, Long]) = {
-      val (n, m) = b
+    override def reduce(b: (Long, Long, Map[String, Long]),
+                        term: String): (Long, Long, Map[String, Long]) = {
+      val (n, ev, m) = b
       m.get(term) match {
-        case Some(c) => (n + 1, m.updated(term, c + 1))
-        case None if m.size < k => (n + 1, m.updated(term, 1L))
+        case Some(c) => (n + 1, ev, m.updated(term, c + 1))
+        case None if m.size < k => (n + 1, ev, m.updated(term, 1L))
         // full and unseen: decrement every counter (dropping zeros) and
         // discard the item — each such event burns k+1 total count, so
         // it happens ≤ n/(k+1) times: O(n) amortized for the whole pass
         case None =>
-          (n + 1, m.collect { case (t, c) if c > 1 => t -> (c - 1) })
+          (n + 1, ev + 1, m.collect { case (t, c) if c > 1 => t -> (c - 1) })
       }
     }
 
-    override def merge(a: (Long, Map[String, Long]),
-                       b: (Long, Map[String, Long])): (Long, Map[String, Long]) = {
+    override def merge(a: (Long, Long, Map[String, Long]),
+                       b: (Long, Long, Map[String, Long])): (Long, Long, Map[String, Long]) = {
       val m = mutable.HashMap.empty[String, Long]
-      a._2.foreach { case (t, c) => m.update(t, c) }
-      b._2.foreach { case (t, c) => m.update(t, m.getOrElse(t, 0L) + c) }
+      a._3.foreach { case (t, c) => m.update(t, c) }
+      b._3.foreach { case (t, c) => m.update(t, m.getOrElse(t, 0L) + c) }
+      var ev = a._2 + b._2
       val trimmed =
         if (m.size <= k) m.toMap
         else {
@@ -76,15 +88,16 @@ object HeavyHitters {
           val counts = m.values.toArray
           java.util.Arrays.sort(counts)
           val sub = counts(counts.length - (k + 1))
+          ev += 1
           m.iterator.collect { case (t, c) if c > sub => t -> (c - sub) }.toMap
         }
-      (a._1 + b._1, trimmed)
+      (a._1 + b._1, ev, trimmed)
     }
 
-    override def finish(r: (Long, Map[String, Long])): (Long, Map[String, Long]) = r
-    override def bufferEncoder: Encoder[(Long, Map[String, Long])] =
+    override def finish(r: (Long, Long, Map[String, Long])): (Long, Long, Map[String, Long]) = r
+    override def bufferEncoder: Encoder[(Long, Long, Map[String, Long])] =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
-    override def outputEncoder: Encoder[(Long, Map[String, Long])] =
+    override def outputEncoder: Encoder[(Long, Long, Map[String, Long])] =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
   }
 
@@ -98,18 +111,18 @@ object HeavyHitters {
     * sorted.
     */
   class MgTopAgg(k: Int, n: Int)
-      extends Aggregator[String, (Long, Map[String, Long]), Seq[(String, Long)]] {
+      extends Aggregator[String, (Long, Long, Map[String, Long]), Seq[(String, Long)]] {
     require(n >= 1 && k >= n)
     private val mg = new MisraGriesAgg(k)
-    override def zero: (Long, Map[String, Long]) = mg.zero
-    override def reduce(b: (Long, Map[String, Long]), t: String): (Long, Map[String, Long]) =
+    override def zero: (Long, Long, Map[String, Long]) = mg.zero
+    override def reduce(b: (Long, Long, Map[String, Long]), t: String): (Long, Long, Map[String, Long]) =
       mg.reduce(b, t)
-    override def merge(a: (Long, Map[String, Long]),
-                       b: (Long, Map[String, Long])): (Long, Map[String, Long]) =
+    override def merge(a: (Long, Long, Map[String, Long]),
+                       b: (Long, Long, Map[String, Long])): (Long, Long, Map[String, Long]) =
       mg.merge(a, b)
-    override def finish(r: (Long, Map[String, Long])): Seq[(String, Long)] =
-      r._2.toSeq.sortBy { case (t, c) => (-c, t) }.take(n)
-    override def bufferEncoder: Encoder[(Long, Map[String, Long])] =
+    override def finish(r: (Long, Long, Map[String, Long])): Seq[(String, Long)] =
+      r._3.toSeq.sortBy { case (t, c) => (-c, t) }.take(n)
+    override def bufferEncoder: Encoder[(Long, Long, Map[String, Long])] =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
     override def outputEncoder: Encoder[Seq[(String, Long)]] =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
@@ -126,7 +139,7 @@ object HeavyHitters {
     val spark = docs.sparkSession
     import spark.implicits._
     val toks = docs.select(explode(T.tokens(col(textCol))).as("term"))
-    val (total, counters) =
+    val (total, evictions, counters) =
       toks.as[String].select(new MisraGriesAgg(k).toColumn).head()
     val cands = counters.keys.toSeq
     val out = toks
@@ -140,14 +153,14 @@ object HeavyHitters {
       // corpus-sized input)
       val got = out.collect()
       val bound = total / (k + 1).toLong
-      // certified-exact iff (a) n rows whose smallest count clears the
-      // retention bound, or (b) fewer than n rows AND bound == 0 (total ≤ k
-      // ⇒ no eviction ever fired ⇒ the sketch holds the FULL vocabulary,
-      // which is genuinely smaller than n). Fewer than n rows with a
-      // nonzero bound means eviction may have hidden true top-n terms —
-      // that must throw, not silently truncate.
-      val ok = (got.length == n && got.last.getLong(1) > bound) ||
-        (got.length < n && bound == 0L)
+      // certified-exact iff (a) no eviction ever fired — the sketch
+      // provably holds the FULL vocabulary with exact residuals, so any
+      // result length (a genuinely-small vocabulary!) is complete — or
+      // (b) n rows whose smallest count clears the retention bound.
+      // Fewer than n rows WITH evictions means true top-n terms may be
+      // hidden — that must throw, not silently truncate.
+      val ok = evictions == 0L ||
+        (got.length == n && got.last.getLong(1) > bound)
       if (!ok) throw new IllegalStateException(
         s"heavy-hitter top-$n uncertified: ${got.length} candidate(s), " +
           s"smallest count ${if (got.isEmpty) "-" else got.last.getLong(1)} vs " +

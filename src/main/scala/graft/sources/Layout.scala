@@ -133,6 +133,17 @@ object Layout {
     */
   def mergeUpsert(spark: SparkSession, tableDir: String, updates: DataFrame,
                   keyCol: String, partCol: String): Int = {
+    // one key per batch row, enforced: two rows for one key (a CDC batch
+    // with two successive changes) would BOTH survive the union and
+    // silently break the key-uniqueness invariant an upsert exists to
+    // maintain — collapse upstream (last-writer-wins on a version
+    // column) before calling. The check is one aggregate over the
+    // (batch-sized) updates frame.
+    val dupKeys = updates.groupBy(col(keyCol)).count()
+      .filter(col("count") > 1).limit(1).count()
+    require(dupKeys == 0L,
+      s"mergeUpsert: updates batch has duplicate '$keyCol' values — " +
+        "collapse to one row per key (e.g. last-writer-wins) first")
     // touched partition VALUES: bounded by the update batch's spread
     // (a daily ingest touches a handful) — a driver-side list by design
     val parts = updates.select(col(partCol)).distinct().collect().map(_.get(0))

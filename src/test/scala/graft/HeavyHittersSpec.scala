@@ -107,9 +107,10 @@ class HeavyHittersSpec extends SparkSpec {
       .select(explode(graft.functions.TextFunctions.tokens(col("text"))).as("t"))
       .as[String]
     val k = 16
-    val (total, counters) =
+    val (total, evictions, counters) =
       toks.select(new HeavyHitters.MisraGriesAgg(k).toColumn).head()
     assert(total == freqs.values.sum.toLong)
+    assert(evictions > 0, "53 terms over k=16 must evict")
     assert(counters.size <= k)
     val bound = total / (k + 1)
     for ((t, true_n) <- Seq("x" -> 400L, "y" -> 300L, "z" -> 200L)) {
