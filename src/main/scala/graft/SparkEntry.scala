@@ -3386,21 +3386,45 @@ object SparkEntry {
         .orderBy($"doc_id")
     }),
 
-    // Sketches: HyperLogLog distinct + KLL-style approximate percentiles.
-    // Approx algorithms are engine-specific, so there is deliberately NO
-    // oracle entry — the driver records the weaker rows-only check; exact
-    // twins are oracle-checked in q_distinct_users / q_percentile.
+    // Sketches: HyperLogLog distinct + KLL-style approximate percentiles,
+    // with a CHECKABLE error-band contract. Approx internals are
+    // engine-specific, so instead of hashing raw estimates the query
+    // emits (a) exact values (oracle-comparable) and (b) booleans
+    // asserting each estimate lies inside its documented band — HLL
+    // within 3·rsd = 15% relative error, percentile_approx(acc=10000)
+    // within the exact p94..p96 value range (rank error ≤ n/10000 ≪
+    // 0.01·n). The oracle emits literal TRUE for the bands: an
+    // out-of-band sketch turns the gate red.
     "q_approx_sketch" -> ((s, dir) => {
       import s.implicits._
       t(s, dir, "events")
         .groupBy($"event_type")
-        .agg(approx_count_distinct($"user_id").as("approx_users"),
-          round(percentile_approx($"value", lit(0.95), lit(10000)), 4).as("approx_p95"))
+        .agg(countDistinct($"user_id").as("n_users"),
+          approx_count_distinct($"user_id", 0.05).as("hll_users"),
+          expr("percentile(value, array(0.94, 0.95, 0.96))").as("ps"),
+          percentile_approx($"value", lit(0.95), lit(10000)).as("ap95"))
+        .select($"event_type", $"n_users",
+          round($"ps".getItem(1), 4).as("p95"),
+          (abs($"hll_users" - $"n_users") <=
+            $"n_users".cast("double") * 0.15).as("hll_in_band"),
+          ($"ap95" >= $"ps".getItem(0) &&
+            $"ap95" <= $"ps".getItem(2)).as("p95_in_band"))
         .orderBy($"event_type")
     })
   )
 
   private def extraOracles: Map[String, String] = Map(
+
+    // Exact values + literal TRUE for the band flags: the Spark side
+    // computes band membership itself, so a drifting sketch estimate
+    // flips a boolean and the hash check catches it.
+    "q_approx_sketch" ->
+      """SELECT event_type,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+        |  ROUND(quantile_cont(value, 0.95), 4) AS p95,
+        |  true AS hll_in_band,
+        |  true AS p95_in_band
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q_substr_removal" ->
       """WITH t AS (
@@ -3863,7 +3887,7 @@ object SparkEntry {
            |  GROUP BY p.pair),
            |m$k AS MATERIALIZED (
            |  SELECT string_split(pair, '|')[1] AS l, string_split(pair, '|')[2] AS r,
-           |         pcnt AS cnt, $k AS step
+           |         pcnt::BIGINT AS cnt, $k AS step
            |  FROM pairs$k ORDER BY pcnt DESC, pair LIMIT 1)""".stripMargin
       def segStep(k: Int): String =
         s"""app$k(word, cnt, toks, it) AS (
