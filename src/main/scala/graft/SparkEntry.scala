@@ -24,6 +24,25 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
+  /** Register a scratch directory for recursive deletion at JVM exit —
+    * idempotent per path, so re-running the query in one session adds
+    * only one hook. Exit-time (not eager) because the caller returns a
+    * LAZY plan that still reads the directory.
+    */
+  private val jsonlTmpRegistered =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private def jsonlTmpCleanup(d: java.io.File): Unit =
+    if (jsonlTmpRegistered.add(d.getAbsolutePath)) {
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        def rm(f: java.io.File): Unit = {
+          val kids = f.listFiles()
+          if (kids != null) kids.foreach(rm)
+          f.delete(): Unit
+        }
+        rm(d)
+      }))
+    }
+
   /** Quantize a float score for cross-engine comparison AND canonicalize
     * the zero sign: Spark's `round` (BigDecimal-based) maps -0.0 → +0.0
     * while DuckDB's ROUND keeps -0.0, and the driver's hash compares bit
@@ -2431,9 +2450,14 @@ object SparkEntry {
       import s.implicits._
       // pid suffix: two JVMs over the same fixture dir (Verify + Bench in
       // parallel CI) must not race on overwrite-vs-read of one tmp path
-      val tmp = new java.io.File(sys.props("java.io.tmpdir"),
+      val tmpDir = new java.io.File(sys.props("java.io.tmpdir"),
         s"graft_jsonl_rt_${Integer.toHexString(dir.hashCode)}_" +
-          ProcessHandle.current().pid()).getAbsolutePath
+          ProcessHandle.current().pid())
+      val tmp = tmpDir.getAbsolutePath
+      // JVM-exit cleanup so repeated Verify/Bench runs don't accumulate
+      // tmp-dir garbage (the read is lazy, so an eager delete here
+      // would race the round-trip scan)
+      jsonlTmpCleanup(tmpDir)
       t(s, dir, "documents").select($"doc_id", $"source", $"text")
         .write.mode("overwrite").json(tmp)
       s.read.schema("doc_id LONG, source STRING, text STRING").json(tmp)
@@ -2553,7 +2577,11 @@ object SparkEntry {
         .withColumn("xq", round($"x".cast("double") * 1e6, 0).cast("long"))
       val stats = exv.groupBy($"pos")
         .agg(count(lit(1)).as("n"), sum($"xq").as("s"),
-          sum($"xq" * $"xq").as("ss"))
+          // DECIMAL(38,0) accumulator: xq² is ~1e12 per row, so a
+          // LongType sum would wrap silently past ~9M rows per
+          // dimension (DuckDB promotes to HUGEINT; Spark non-ANSI
+          // wraps) — decimal keeps the 100-TB row counts exact
+          sum($"xq".cast("decimal(38,0)") * $"xq").as("ss"))
         .select($"pos",
           ($"s".cast("double") / $"n" / 1e6).as("mean"),
           // variance clamped at 0: ss past 2^53 rounds in double and FP
@@ -3428,7 +3456,7 @@ object SparkEntry {
 
     "q_substr_removal" ->
       """WITH t AS (
-        |  SELECT doc_id, CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[]) ELSE string_split_regex(trim(text), '\s+') END AS toks
+        |  SELECT doc_id, text, CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[]) ELSE string_split_regex(trim(text), '\s+') END AS toks
         |  FROM documents),
         |w AS (
         |  SELECT doc_id,
@@ -3456,7 +3484,9 @@ object SparkEntry {
         |  FROM tok k
         |  WHERE NOT EXISTS (SELECT 1 FROM rm r WHERE r.doc_id = k.doc_id AND r.tp = k.tp)
         |  GROUP BY k.doc_id)
-        |SELECT t.doc_id, COALESCE(kept.clean, '') AS clean,
+        |SELECT t.doc_id,
+        |       CASE WHEN COALESCE(kept.n_kept, 0) = len(t.toks) THEN t.text
+        |            ELSE COALESCE(kept.clean, '') END AS clean,
         |       COALESCE(kept.n_kept, 0) AS n_kept,
         |       CAST(len(t.toks) - COALESCE(kept.n_kept, 0) AS BIGINT) AS n_removed
         |FROM t LEFT JOIN kept ON t.doc_id = kept.doc_id

@@ -582,8 +582,11 @@ object Dedup {
     *
     * Returns one row per input document:
     * (idCol, clean, n_kept, n_removed) — untouched documents pass
-    * through with n_removed = 0, fully-duplicated documents survive as
-    * empty strings (the curation pipeline may then drop them).
+    * through BYTE-IDENTICAL with n_removed = 0 (rewritten documents are
+    * reassembled as single-space token joins, i.e. whitespace-normalized
+    * — only docs that actually lost a span pay that), fully-duplicated
+    * documents survive as empty strings (the curation pipeline may then
+    * drop them).
     *
     * Scale shape (the reason this is NOT a suffix array):
     *   1. window hashing is one native-kernel scan; the exploded table
@@ -638,10 +641,13 @@ object Dedup {
     // (id, pos, token) row, corpus-sized IO at 100 TB, to save one
     // cheap re-split of already-checkpointed text; 10× probes showed
     // no win for it either (both shapes within the run-to-run band)
-    base.select(id, size(T.tokens(col("__text"))).cast("long").as("__tot"))
+    base.select(id, col("__text"), size(T.tokens(col("__text"))).cast("long").as("__tot"))
       .join(kept, Seq(idCol), "left")
       .select(id,
-        coalesce(col("clean"), lit("")).as("clean"),
+        // untouched docs keep their original bytes (no whitespace
+        // normalization unless a span was actually removed)
+        when(coalesce(col("n_kept"), lit(0L)) === col("__tot"), col("__text"))
+          .otherwise(coalesce(col("clean"), lit(""))).as("clean"),
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),
         (col("__tot") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
   }

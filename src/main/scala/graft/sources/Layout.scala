@@ -147,7 +147,27 @@ object Layout {
     // touched partition VALUES: bounded by the update batch's spread
     // (a daily ingest touches a handful) — a driver-side list by design
     val parts = updates.select(col(partCol)).distinct().collect().map(_.get(0))
-    val existing = spark.read.parquet(tableDir)
+    // first-ever batch: no table yet → the merge degenerates to a plain
+    // partitioned write of the updates (an empty-dir read would throw)
+    val path = new org.apache.hadoop.fs.Path(tableDir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tableExists = fs.exists(path) && fs.listStatus(path).exists { st =>
+      val n = st.getPath.getName
+      st.isDirectory || n.endsWith(".parquet")
+    }
+    if (!tableExists) {
+      updates.write.mode("overwrite").partitionBy(partCol).parquet(tableDir)
+      return parts.length
+    }
+    // explicit schema = the updates', positioned like the on-disk table
+    // (data columns then the partition column): directory-name inference
+    // could otherwise type partCol differently from the updates frame
+    // (e.g. date-like strings → DATE), breaking the isin pruning filter
+    // and the unionByName
+    val tableSchema = org.apache.spark.sql.types.StructType(
+      updates.schema.filter(_.name != partCol) ++
+        updates.schema.filter(_.name == partCol))
+    val existing = spark.read.schema(tableSchema).parquet(tableDir)
       .filter(col(partCol).isin(parts: _*)) // partition-pruned scan
     val merged = existing
       .join(updates.select(col(keyCol)), Seq(keyCol), "left_anti")

@@ -272,6 +272,21 @@ class DedupSpec extends SparkSpec {
     assert(rem(2).getLong(3) == 0L)
   }
 
+  test("removeDuplicatedSpans: untouched documents pass through byte-identical") {
+    // odd whitespace survives when no span is removed — only rewritten
+    // docs are whitespace-normalized by token reassembly
+    val weird = "  a1   a2\ta3 a4 a5 a6 a7 a8 a9 "
+    val d = docs(
+      (0L, weird),                              // no duplicated window
+      (1L, "b1 b2 b3 b4 b5 b6 b7 b8 t"),        // canonical copy
+      (2L, "x  b1 b2 b3 b4 b5 b6 b7 b8   y"))   // loses the span → normalized
+    val r = Dedup.removeDuplicatedSpans(d, "doc_id", "text", minLen = 8)
+      .orderBy("doc_id").collect()
+    assert(r(0).getString(1) == weird)
+    assert(r(1).getString(1) == "b1 b2 b3 b4 b5 b6 b7 b8 t")
+    assert(r(2).getString(1) == "x y" && r(2).getLong(3) == 8L)
+  }
+
   test("removeDuplicatedSpans plan has no Window operator (hot-hash safety)") {
     // the canonical-occurrence pick must stay a partial-aggregable min,
     // never a row_number sort — a boilerplate window with 10⁸

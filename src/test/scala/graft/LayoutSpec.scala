@@ -145,4 +145,35 @@ class LayoutSpec extends SparkSpec {
     assert(got == Map(1L -> "UPDATED-1", 5L -> "UPDATED-5",
       101L -> "NEW-101", 2L -> "v2"))
   }
+
+  test("mergeUpsert on a missing table degenerates to a plain partitioned write") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_merge0_").toString + "/tbl"
+    val first = Seq((1L, "a", 0), (2L, "b", 1)).toDF("key", "payload", "p")
+    assert(Layout.mergeUpsert(spark, dir, first, "key", "p") == 2)
+    assert(spark.read.parquet(dir).count() == 2)
+    // second batch merges normally on top of the bootstrap write
+    val second = Seq((2L, "B", 1), (3L, "c", 1)).toDF("key", "payload", "p")
+    assert(Layout.mergeUpsert(spark, dir, second, "key", "p") == 1)
+    val got = spark.read.parquet(dir).select($"key", $"payload").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "a", 2L -> "B", 3L -> "c"))
+  }
+
+  test("mergeUpsert types the partition column from the updates, not dir-name inference") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_merged_").toString + "/tbl"
+    // date-LIKE string partition values: bare inference would type the
+    // on-disk column DATE and break the isin prune / unionByName
+    val base = Seq((1L, "a", "2024-01-01"), (2L, "b", "2024-01-02"))
+      .toDF("key", "payload", "day")
+    Layout.writePartitioned(base, dir, "day")
+    val updates = Seq((2L, "B", "2024-01-02"), (3L, "c", "2024-01-02"))
+      .toDF("key", "payload", "day")
+    assert(Layout.mergeUpsert(spark, dir, updates, "key", "day") == 1)
+    val after = spark.read.schema("key LONG, payload STRING, day STRING")
+      .parquet(dir)
+    assert(after.count() == 3)
+    assert(after.filter($"key" === 2L).head.getString(1) == "B")
+  }
 }
