@@ -308,13 +308,37 @@ object Dedup {
                      shingleSize: Int = 2, numHashes: Int = 16,
                      bands: Int = 4): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
+    // the store's parameters ride along as column METADATA (Spark writes
+    // it into the parquet footer, so a reloaded store still carries it):
+    // incrementalNearDups requires both sides agree — signatures hashed
+    // under different (shingleSize, numHashes, bands) collide only by
+    // accident, and the band join would return silent garbage matches
+    val md = new org.apache.spark.sql.types.MetadataBuilder()
+      .putLong("graft.shingleSize", shingleSize.toLong)
+      .putLong("graft.numHashes", numHashes.toLong)
+      .putLong("graft.bands", bands.toLong)
+      .build()
     docs.select(col(idCol), shingles(col(textCol), shingleSize).as("__sh"))
       .filter(size(col("__sh")) > 0)
       .select(col(idCol),
         graft.expressions.TextHashExpressions
-          .minhashSigF(col("__sh"), numHashes).as("sig"))
-      .withColumn("bands", bandHashes(col("sig"), bands, numHashes / bands))
+          .minhashSigF(col("__sh"), numHashes).as("sig", md))
+      .select(col(idCol), col("sig"),
+        bandHashes(col("sig"), bands, numHashes / bands).as("bands", md))
   }
+
+  /** (shingleSize, numHashes, bands) recorded by `signatureStore`, if
+    * the frame still carries them (absent on hand-built frames).
+    */
+  private def sigParams(sigs: DataFrame): Option[(Long, Long, Long)] =
+    sigs.schema.find(_.name == "sig").flatMap { f =>
+      val m = f.metadata
+      if (m.contains("graft.numHashes") && m.contains("graft.bands") &&
+          m.contains("graft.shingleSize"))
+        Some((m.getLong("graft.shingleSize"), m.getLong("graft.numHashes"),
+          m.getLong("graft.bands")))
+      else None
+    }
 
   /** Incremental near-duplicate detection — the recurring-crawl path:
     * find new-batch docs that near-duplicate an already-ingested corpus,
@@ -331,6 +355,18 @@ object Dedup {
     */
   def incrementalNearDups(batchSigs: DataFrame, corpusSigs: DataFrame,
                           idCol: String, threshold: Double = 0.5): DataFrame = {
+    // schema guard: a store hashed under different parameters would
+    // produce silent garbage (band buckets collide only by accident;
+    // zip_with over unequal-length signatures null-pads) — fail loudly
+    // instead. Hand-built frames without the metadata skip the check.
+    (sigParams(batchSigs), sigParams(corpusSigs)) match {
+      case (Some(b), Some(c)) =>
+        require(b == c,
+          s"incrementalNearDups: signature params disagree — batch " +
+            s"(shingleSize, numHashes, bands)=$b vs corpus $c; rebuild " +
+            "one side with the other's signatureStore parameters")
+      case _ => ()
+    }
     // NOTE each side is consumed twice (band explode + signature
     // lookup): a parquet-backed store re-reads for free, but a freshly
     // COMPUTED side should be localCheckpoint'd by the caller or its

@@ -401,6 +401,25 @@ class DedupSpec extends SparkSpec {
     assert(byPair.keySet.forall(_._2 == 0L), s"only corpus doc 0 is similar: $got")
   }
 
+  test("incrementalNearDups refuses mismatched signature-store parameters") {
+    val corpus = docs((0L, "the quick brown fox jumps over the lazy dog"))
+    val batch = docs((11L, "the quick brown fox jumps over the lazy dog"))
+    // parquet round-trip: the guard must work on a RELOADED store, so
+    // the params have to survive the write (column metadata does)
+    val dir = java.nio.file.Files.createTempDirectory("graft_sigstore_").toString
+    Dedup.signatureStore(corpus, "doc_id", "text", numHashes = 16, bands = 4)
+      .write.mode("overwrite").parquet(dir)
+    val reloaded = spark.read.parquet(dir)
+    val bs = Dedup.signatureStore(batch, "doc_id", "text", numHashes = 32, bands = 8)
+    val e = intercept[IllegalArgumentException] {
+      Dedup.incrementalNearDups(bs, reloaded, "doc_id", 0.5)
+    }
+    assert(e.getMessage.contains("signature params disagree"), e.getMessage)
+    // matching params still work through the same round-trip
+    val ok = Dedup.signatureStore(batch, "doc_id", "text", numHashes = 16, bands = 4)
+    assert(Dedup.incrementalNearDups(ok, reloaded, "doc_id", 0.5).count() == 1)
+  }
+
   test("incrementalDedup drops already-ingested texts, dedups within batch, keeps fresh") {
     val corpus = docs((0L, "already ingested doc"), (1L, "another old doc"))
     val batch = docs(
