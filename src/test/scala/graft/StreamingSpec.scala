@@ -431,4 +431,69 @@ class StreamingSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet
     assert(stored == Set(1L, 2L, 11L), s"store: $stored")
   }
+
+  test("streamNearDupIngest replay after a MID-BATCH crash loses/duplicates no signatures") {
+    import spark.implicits._
+    val in = Files.createTempDirectory("graft_ndc_in_").toString
+    val store = Files.createTempDirectory("graft_ndc_store_").toString + "/sigs"
+    val ckpt = Files.createTempDirectory("graft_ndc_ckpt_").toString + "/c"
+
+    def mkStream() = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text",
+          org.apache.spark.sql.types.StringType))))
+      .option("maxFilesPerTrigger", 1)
+      .parquet(in)
+
+    val survived = scala.collection.mutable.ArrayBuffer[Long]()
+    val crashOnce = new java.util.concurrent.atomic.AtomicBoolean(true)
+    // onBatch runs AFTER the signature append and BEFORE the offset
+    // commit, so a throw here dies exactly in the window the replay
+    // contract must cover: signatures written, batch not committed
+    def start() = Streaming.streamNearDupIngest(mkStream(), "doc_id", "text",
+      store, ckpt, 0.5) { (batch, _) =>
+      if (crashOnce.getAndSet(false)) sys.error("injected mid-batch crash")
+      survived ++= batch.select("doc_id").collect().map(_.getLong(0))
+    }
+
+    Seq((1L, "the quick brown fox jumps over the lazy dog tonight"),
+        (2L, "completely different content about spark shuffle plans"),
+        (3L, "the quick brown fox jumps over the lazy dog tonight"))
+      .toDF("doc_id", "text").coalesce(1).write.mode("overwrite").parquet(in)
+
+    // attempt 1: dies mid-batch
+    val q1 = start()
+    intercept[Exception] { q1.processAllAvailable() }
+    q1.stop()
+    // the crash window is real: the dead attempt DID append signatures
+    val orphan = spark.read.parquet(s"$store/batch_0").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(orphan == Set(1L, 2L), s"pre-commit append must exist: $orphan")
+    assert(survived.isEmpty, "crashed batch must not have been delivered")
+
+    // attempt 2, same checkpoint: batch 0 replays — the batch-addressed
+    // overwrite must swallow the orphan instead of double-appending,
+    // and must not near-dup the batch against its own dead attempt
+    val q2 = start()
+    q2.processAllAvailable()
+    q2.stop()
+    assert(survived.sorted == Seq(1L, 2L), s"replay survivors: $survived")
+
+    // follow-on batch still dedups correctly against the healed store
+    Seq((10L, "the quick brown fox jumps over the lazy dog tonight again"),
+        (11L, "entirely novel text mentioning window aggregation tricks today"))
+      .toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(in)
+    val q3 = start()
+    q3.processAllAvailable()
+    q3.stop()
+    assert(survived.sorted == Seq(1L, 2L, 11L), s"after batch 2: $survived")
+
+    // exactly one signature row per surviving doc — count, not set,
+    // so a double-append cannot hide
+    val rows = spark.read.parquet(s"$store/*").select("doc_id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(rows.sorted == Seq(1L, 2L, 11L), s"store rows: $rows")
+  }
 }
