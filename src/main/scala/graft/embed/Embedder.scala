@@ -204,6 +204,174 @@ final case class QuantizedMlpEmbedder(dim: Int = 32, hidden: Int = 48,
   }
 }
 
+/** Transformer-shaped quantized embedder: one integer self-attention
+  * block in front of the output projection — the minimal forward pass
+  * with the SHAPE a production sentence-transformer session has
+  * (token sequence → positional encoding → Q/K/V projections →
+  * content-dependent token mixing → pooled projection), standing in for
+  * the MiniLM ONNX session at reference `rag_demo/ingest.py:27` behind
+  * the same `Embedder` boundary.
+  *
+  * Integer discipline throughout (the int8-runtime convention):
+  *  - token/position vectors are md5-derived int8; their sum is clamped
+  *    back to int8 range;
+  *  - Q/K/V are int8 GEMMs with long accumulation, >>7 requantize,
+  *    clamp to [-127, 127];
+  *  - attention is RECTIFIED-LINEAR (ReLA, Zhang et al. 2021: softmax →
+  *    relu keeps attention integer-exact — no exp, so no cross-JVM ulp
+  *    drift): w_ij = max(q_i·k_j, 0) with a +1 self-edge so the
+  *    normalizing sum is never zero; the weighted value average uses
+  *    floorDiv;
+  *  - mean-pool over attended tokens, int8 output GEMM, L2-normalize to
+  *    float32 only at the very end.
+  * Every intermediate is exact integer arithmetic → bit-stable across
+  * partitionings, batch sizes, and JVMs (EmbedRagSpec pins this, plus
+  * the property the MLP embedder can't have: TOKEN ORDER matters).
+  *
+  * `embedBatch` is a true batched path: the md5 token-vector table is
+  * built once per batch (deduped across rows) — the analogue of a real
+  * session amortizing tokenization/transfer per call.
+  */
+final case class QuantizedAttentionEmbedder(dim: Int = 32, tokDim: Int = 32,
+                                            maxLen: Int = 64, seed: Long = 17L)
+    extends Embedder {
+  require(tokDim % 16 == 0, "tokDim must be a multiple of the md5 block (16 bytes)")
+
+  @transient private var wq: Array[Byte] = _ // tokDim × tokDim, row-major
+  @transient private var wk: Array[Byte] = _
+  @transient private var wv: Array[Byte] = _
+  @transient private var wo: Array[Byte] = _ // dim × tokDim, row-major
+  @transient private var pos: Array[Array[Byte]] = _ // maxLen × tokDim
+
+  override def open(): Unit = {
+    wq = genWeights("wq", tokDim * tokDim)
+    wk = genWeights("wk", tokDim * tokDim)
+    wv = genWeights("wv", tokDim * tokDim)
+    wo = genWeights("wo", dim * tokDim)
+    pos = Array.tabulate(maxLen)(p => tokenBytes(s"pos:$p"))
+  }
+
+  private def ensureOpen(): Unit = if (wq == null) open()
+
+  private def genWeights(name: String, n: Int): Array[Byte] = {
+    val a = new Array[Byte](n)
+    var i = 0
+    while (i < n) {
+      a(i) = ((Md5Kernel.hash60(s"$seed:$name:$i".getBytes("UTF-8")) % 255) - 127).toByte
+      i += 1
+    }
+    a
+  }
+
+  /** tokDim signed bytes from chained md5 digests of `key`. */
+  private def tokenBytes(key: String): Array[Byte] = {
+    val out = new Array[Byte](tokDim)
+    var block = 0
+    while (block * 16 < tokDim) {
+      val d = Md5Kernel.digest(s"$seed:a$block:$key".getBytes("UTF-8"))
+      System.arraycopy(d, 0, out, block * 16, 16)
+      block += 1
+    }
+    out
+  }
+
+  @transient private lazy val wsPat = Pattern.compile("\\s+")
+
+  private def clamp8(v: Long): Int =
+    if (v > 127L) 127 else if (v < -127L) -127 else v.toInt
+
+  /** int8 GEMV with >>7 requantize: y = clamp((W · x) >> 7). */
+  private def proj(w: Array[Byte], x: Array[Int]): Array[Int] = {
+    val out = new Array[Int](tokDim)
+    var o = 0
+    while (o < tokDim) {
+      var acc = 0L
+      var j = 0
+      val base = o * tokDim
+      while (j < tokDim) { acc += w(base + j) * x(j); j += 1 }
+      out(o) = clamp8(acc >> 7)
+      o += 1
+    }
+    out
+  }
+
+  override def embed(text: String): Array[Float] =
+    embedBatch(Array(text))(0)
+
+  override def embedBatch(texts: Array[String]): Array[Array[Float]] = {
+    ensureOpen()
+    // batch-shared token table: md5 work deduped across the whole call
+    val tokCache = new java.util.HashMap[String, Array[Byte]]()
+    def tokVec(t: String): Array[Byte] = {
+      var v = tokCache.get(t)
+      if (v == null) { v = tokenBytes(s"tok:$t"); tokCache.put(t, v) }
+      v
+    }
+    texts.map { text =>
+      val t = text.trim
+      if (t.isEmpty) new Array[Float](dim)
+      else {
+        val toks = wsPat.split(t, -1)
+        val L = math.min(toks.length, maxLen)
+        // X_i = clamp(token + position) — int8-range token states
+        val x = Array.tabulate(L) { i =>
+          val tv = tokVec(toks(i))
+          val pv = pos(i)
+          Array.tabulate(tokDim)(d => clamp8(tv(d).toLong + pv(d).toLong))
+        }
+        val q = x.map(proj(wq, _))
+        val k = x.map(proj(wk, _))
+        val v = x.map(proj(wv, _))
+        // rectified-linear attention + mean-pool, all integer
+        val pooled = new Array[Long](tokDim)
+        var i = 0
+        while (i < L) {
+          val wRow = new Array[Long](L)
+          var wSum = 0L
+          var j = 0
+          while (j < L) {
+            var s = 0L
+            var d = 0
+            while (d < tokDim) { s += q(i)(d).toLong * k(j)(d); d += 1 }
+            val wij = (if (s > 0) s else 0L) + (if (i == j) 1L else 0L)
+            wRow(j) = wij
+            wSum += wij
+            j += 1
+          }
+          var d = 0
+          while (d < tokDim) {
+            var num = 0L
+            j = 0
+            while (j < L) { num += wRow(j) * v(j)(d); j += 1 }
+            pooled(d) += Math.floorDiv(num, wSum)
+            d += 1
+          }
+          i += 1
+        }
+        // output projection over the mean-pooled attended state
+        val acc = new Array[Long](dim)
+        var o = 0
+        while (o < dim) {
+          var s = 0L
+          var d = 0
+          val base = o * tokDim
+          while (d < tokDim) { s += wo(base + d) * Math.floorDiv(pooled(d), L); d += 1 }
+          acc(o) = s
+          o += 1
+        }
+        var n2 = 0.0
+        o = 0
+        while (o < dim) { n2 += acc(o).toDouble * acc(o).toDouble; o += 1 }
+        val n = math.max(math.sqrt(n2), 1e-12)
+        val outV = new Array[Float](dim)
+        o = 0
+        while (o < dim) { outV(o) = (acc(o) / n).toFloat; o += 1 }
+        outV
+      }
+    }
+  }
+}
+
 object Embed {
 
   /** Append an `ARRAY<FLOAT>` embedding column computed by `embedder`

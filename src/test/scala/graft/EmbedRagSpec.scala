@@ -74,6 +74,57 @@ class EmbedRagSpec extends SparkSpec {
     assert(rowwise == base)
   }
 
+  test("QuantizedAttentionEmbedder: deterministic transformer-shaped forward, batch == single") {
+    import graft.embed.QuantizedAttentionEmbedder
+    val m = QuantizedAttentionEmbedder()
+    val texts = Array("the quick brown fox jumps", "over the lazy dog", "",
+      "the quick brown fox jumps",
+      "a completely different document about spark shuffles")
+    val batch = m.embedBatch(texts)
+    // fresh instance (fresh weight/position load) → identical vectors
+    assert(batch.map(_.toSeq).toSeq ==
+      QuantizedAttentionEmbedder().embedBatch(texts).map(_.toSeq).toSeq)
+    // batched forward (shared token table) == row-wise forward
+    texts.zipWithIndex.foreach { case (t, i) =>
+      assert(m.embed(t).toSeq == batch(i).toSeq, s"batch/single diverge on '$t'")
+    }
+    assert(batch(0).toSeq == batch(3).toSeq)
+    assert(batch(0).toSeq != batch(4).toSeq)
+    // unit norm (empty text is the zero vector)
+    assert(math.abs(math.sqrt(batch(0).map(x => x.toDouble * x).sum) - 1.0) < 1e-6)
+    assert(batch(2).forall(_ == 0.0f))
+  }
+
+  test("QuantizedAttentionEmbedder: token ORDER matters (the property pooling can't have)") {
+    import graft.embed.{QuantizedAttentionEmbedder, QuantizedMlpEmbedder}
+    val a = "alpha beta gamma delta epsilon zeta"
+    val b = "zeta epsilon delta gamma beta alpha"
+    val att = QuantizedAttentionEmbedder()
+    assert(att.embed(a).toSeq != att.embed(b).toSeq,
+      "positional encoding + attention must distinguish permuted token order")
+    // contrast: the mean-pooled MLP embedder is order-invariant by design
+    val mlp = QuantizedMlpEmbedder()
+    assert(mlp.embed(a).toSeq == mlp.embed(b).toSeq)
+  }
+
+  test("QuantizedAttentionEmbedder through the batched boundary: partition/batch-size independent") {
+    import graft.embed.QuantizedAttentionEmbedder
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(col("doc_id"), col("text")).limit(60)
+    val m = QuantizedAttentionEmbedder()
+    def run(parts: Int, batchSize: Int): Map[Long, Seq[Float]] =
+      Embed.withEmbeddingBatched(docs.repartition(parts), "text", "embedding", m, batchSize)
+        .select(col("doc_id"), col("embedding"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    val base = run(1, 64)
+    assert(base.size == 60)
+    assert(run(5, 7) == base, "embeddings must not depend on partitioning or batch size")
+    val rowwise = Embed.withEmbedding(docs, "text", "embedding", m)
+      .select(col("doc_id"), col("embedding"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(rowwise == base)
+  }
+
   test("Generation.withGeneration streams prompts through a per-partition generator") {
     import spark.implicits._
     import graft.rag.{EchoGenerator, Generation}
