@@ -1,16 +1,26 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.expressions.TextHashExpressions.minhashSigF
 import graft.operators.Dedup
 
-/** Dev profiling main: stage-by-stage timings of the dedup pipelines
-  * (not part of the driver contract).
+/** Dev profiling main: stage-by-stage timings and scale probes of the
+  * dedup pipelines (not part of the driver contract).
+  *
+  * Usage: `runMain graft.Profile [section ...]` — with no args every
+  * section runs; otherwise only the named ones. Sections: `lsh` (stage
+  * timings A–F), `ngram` (G/H/H2), `scale` (LSH 10×), `incr` (signature
+  * store I1/I10), `cur` (curation C1/C10), `dsir` (J1/J10), `substr`
+  * (span removal K1/K10), `sketch` (L/M/N), `cc` (skewed mega-cluster
+  * connected components), `parts` (shuffle-partition sensitivity sweep).
   */
 object Profile {
   def main(args: Array[String]): Unit = {
+    val sections = args.map(_.toLowerCase).toSet
+    def on(key: String): Boolean = sections.isEmpty || sections.contains(key)
+
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = SparkSession.builder()
       .master("local[32]")
@@ -28,54 +38,78 @@ object Profile {
 
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
 
-    val sh = docs.select($"doc_id", $"source", Dedup.shingles($"text", 2).as("sh"))
-      .filter(size($"sh") > 0)
-    time("A sh materialize (sum sizes)")(sh.agg(sum(size($"sh"))).collect())
-    time("A2 sh again")(sh.agg(sum(size($"sh"))).collect())
+    /** The corpus duplicated `n`-fold with distinct ids and a per-copy
+      * suffix — the 10×-decade fixture every scale probe shares.
+      */
+    def dupCorpus(n: Int, withSource: Boolean = false): DataFrame =
+      (0 until n).map { i =>
+        val cols = Seq(($"doc_id" + lit(i * 1000000L)).as("doc_id")) ++
+          (if (withSource) Seq($"source") else Nil) ++
+          Seq(concat($"text", lit(s" v$i")).as("text"))
+        docs.select(cols: _*)
+      }.reduce(_ unionByName _).repartition(32)
 
-    val sig = sh.withColumn("sig", minhashSigF($"sh", 16))
-    time("B sig materialize")(sig.agg(sum(pmod(element_at($"sig", 1), lit(1000000L)))).collect())
+    if (on("lsh")) {
+      val sh = docs.select($"doc_id", $"source", Dedup.shingles($"text", 2).as("sh"))
+        .filter(size($"sh") > 0)
+      time("A sh materialize (sum sizes)")(sh.agg(sum(size($"sh"))).collect())
+      time("A2 sh again")(sh.agg(sum(size($"sh"))).collect())
 
-    val withBands = sig.withColumn("bands", Dedup.bandHashes($"sig", 4, 4))
-    time("C bands (forced)")(
-      withBands.agg(sum(length(element_at($"bands", 1)))).collect())
+      val sig = sh.withColumn("sig", minhashSigF($"sh", 16))
+      time("B sig materialize")(sig.agg(sum(pmod(element_at($"sig", 1), lit(1000000L)))).collect())
 
-    val exploded = withBands.select($"doc_id", $"bands")
-      .select($"doc_id", posexplode($"bands").as(Seq("band_idx", "bh")))
-    time("D0 exploded count (forced)")(
-      println("  rows=" + exploded.agg(count($"bh")).collect().head.getLong(0)))
-    val selfJoin = exploded.as("a").join(exploded.as("b"), Seq("band_idx", "bh"))
-      .filter($"a.doc_id" < $"b.doc_id")
-    time("D1 self-join no distinct")(println("  raw pairs=" + selfJoin.count()))
-    val cands = Dedup.lshCandidatePairs(
-      withBands.select($"doc_id", $"bands"), "doc_id", "bands")
-    time("D lsh candidates")(println("  cands=" + cands.count()))
+      val withBands = sig.withColumn("bands", Dedup.bandHashes($"sig", 4, 4))
+      time("C bands (forced)")(
+        withBands.agg(sum(length(element_at($"bands", 1)))).collect())
 
-    val joined = cands
-      .join(sh.select($"doc_id".as("id_a"), $"sh".as("sha")), "id_a")
-      .join(sh.select($"doc_id".as("id_b"), $"sh".as("shb")), "id_b")
-    time("E verify joins")(joined.count())
-    time("F jaccard")(
-      joined.withColumn("j", Dedup.jaccard($"sha", $"shb"))
-        .filter($"j" >= 0.2).count())
+      val exploded = withBands.select($"doc_id", $"bands")
+        .select($"doc_id", posexplode($"bands").as(Seq("band_idx", "bh")))
+      time("D0 exploded count (forced)")(
+        println("  rows=" + exploded.agg(count($"bh")).collect().head.getLong(0)))
+      val selfJoin = exploded.as("a").join(exploded.as("b"), Seq("band_idx", "bh"))
+        .filter($"a.doc_id" < $"b.doc_id")
+      time("D1 self-join no distinct")(println("  raw pairs=" + selfJoin.count()))
+      val cands = Dedup.lshCandidatePairs(
+        withBands.select($"doc_id", $"bands"), "doc_id", "bands")
+      time("D lsh candidates")(println("  cands=" + cands.count()))
 
-    // ngram pipeline
-    val a = sh.select($"doc_id".as("doc_a"), $"source", $"sh".as("sha"))
-    val b = sh.select($"doc_id".as("doc_b"), $"source", $"sh".as("shb"))
-    val pairs = a.join(b, Seq("source")).filter($"doc_a" < $"doc_b")
-    time("G ngram pair join count")(println("  pairs=" + pairs.count()))
-    time("H ngram jaccard")(
-      pairs.withColumn("j", Dedup.jaccard($"sha", $"shb"))
-        .filter($"j" >= 0.05).count())
+      val joined = cands
+        .join(sh.select($"doc_id".as("id_a"), $"sh".as("sha")), "id_a")
+        .join(sh.select($"doc_id".as("id_b"), $"sh".as("shb")), "id_b")
+      time("E verify joins")(joined.count())
+      time("F jaccard")(
+        joined.withColumn("j", Dedup.jaccard($"sha", $"shb"))
+          .filter($"j" >= 0.2).count())
+    }
+
+    if (on("ngram")) {
+      val sh = docs.select($"doc_id", $"source", Dedup.shingles($"text", 2).as("sh"))
+        .filter(size($"sh") > 0)
+      val a = sh.select($"doc_id".as("doc_a"), $"source", $"sh".as("sha"))
+      val b = sh.select($"doc_id".as("doc_b"), $"source", $"sh".as("shb"))
+      val pairs = a.join(b, Seq("source")).filter($"doc_a" < $"doc_b")
+      time("G ngram pair join count")(println("  pairs=" + pairs.count()))
+      time("H ngram jaccard")(
+        pairs.withColumn("j", Dedup.jaccard($"sha", $"shb"))
+          .filter($"j" >= 0.05).count())
+
+      // ngram with spread (as SparkEntry does)
+      val shS = docs.repartition(32)
+        .select($"doc_id", $"source", Dedup.shingles($"text", 2).as("sh"))
+        .filter(size($"sh") > 0)
+      val aS = shS.select($"doc_id".as("doc_a"), $"source", $"sh".as("sha"))
+      val bS = shS.select($"doc_id".as("doc_b"), $"source", $"sh".as("shb"))
+      val jS = aS.join(bS, Seq("source")).filter($"doc_a" < $"doc_b")
+        .withColumn("j", Dedup.jaccard($"sha", $"shb"))
+        .filter($"j" >= 0.05)
+      jS.explain("formatted")
+      time("H2 ngram jaccard with spread")(jS.count())
+    }
 
     // scale probe: 10× the corpus (distinct ids), same pipelines — checks
     // the growth curve is ~linear in docs (LSH) not quadratic
-    {
-      val big = (0 until 10).map(i =>
-          docs.select(($"doc_id" + lit(i * 1000000L)).as("doc_id"),
-            concat($"text", lit(s" v$i")).as("text")))
-        .reduce(_ unionByName _)
-        .repartition(32)
+    if (on("scale")) {
+      val big = dupCorpus(10)
       val shB = big.select($"doc_id", Dedup.shingles($"text", 2).as("sh"))
         .filter(size($"sh") > 0)
       val withBandsB = shB
@@ -93,7 +127,7 @@ object Profile {
     // snapshots in deployment). Cost should track batch size +
     // band-bucket collisions, not store size: only colliding store rows
     // join.
-    {
+    if (on("incr")) {
       val batch = docs.filter($"doc_id" % 10 === 1).repartition(32)
       val batchSigs = Dedup.signatureStore(batch, "doc_id", "text")
         .localCheckpoint() // eager
@@ -102,12 +136,7 @@ object Profile {
       time("I1 incremental neardup vs 1x store")(
         println("  pairs=" +
           Dedup.incrementalNearDups(batchSigs, store1, "doc_id", 0.5).count()))
-      val big10 = (0 until 10).map(i =>
-          docs.select(($"doc_id" + lit(i * 1000000L)).as("doc_id"),
-            concat($"text", lit(s" v$i")).as("text")))
-        .reduce(_ unionByName _)
-        .repartition(32)
-      val store10 = Dedup.signatureStore(big10, "doc_id", "text")
+      val store10 = Dedup.signatureStore(dupCorpus(10), "doc_id", "text")
         .localCheckpoint()
       time("I10 incremental neardup vs 10x store")(
         println("  pairs10x=" +
@@ -117,50 +146,29 @@ object Profile {
     // curation pipeline scale probe: 1× vs 10× corpus — growth should
     // track docs (scan stages) + true-duplicate pairs (LSH tier), not
     // corpus²
-    {
+    if (on("cur")) {
       import graft.operators.Curation
-      def curateCount(d: org.apache.spark.sql.DataFrame): Long =
+      def curateCount(d: DataFrame): Long =
         Curation.curate(d, "doc_id", "text", "source",
           rates = Map("src0" -> 0.8, "src1" -> 0.5), defaultRate = 0.6).count()
       val docsS = docs.repartition(32)
+      curateCount(docsS) // warmup: JIT + codegen compile, not the pipeline
       time("C1 curate 1x")(println("  kept=" + curateCount(docsS)))
-      val big = (0 until 10).map(i =>
-          docs.select(($"doc_id" + lit(i * 1000000L)).as("doc_id"), $"source",
-            concat($"text", lit(s" v$i")).as("text")))
-        .reduce(_ unionByName _)
-        .repartition(32)
-      time(s"C10 curate 10x")(println("  kept10x=" + curateCount(big)))
+      time(s"C10 curate 10x")(println("  kept10x=" + curateCount(dupCorpus(10, withSource = true))))
     }
-
-    // ngram with spread (as SparkEntry does)
-    val shS = docs.repartition(32)
-      .select($"doc_id", $"source", Dedup.shingles($"text", 2).as("sh"))
-      .filter(size($"sh") > 0)
-    val aS = shS.select($"doc_id".as("doc_a"), $"source", $"sh".as("sha"))
-    val bS = shS.select($"doc_id".as("doc_b"), $"source", $"sh".as("shb"))
-    val jS = aS.join(bS, Seq("source")).filter($"doc_a" < $"doc_b")
-      .withColumn("j", Dedup.jaccard($"sha", $"shb"))
-      .filter($"j" >= 0.05)
-    jS.explain("formatted")
-    time("H2 ngram jaccard with spread")(jS.count())
 
     // DSIR scale probe: 1× vs 10× corpus. The bucket-stats shuffle is
     // B-bounded (64 × partitions rows) and the driver collect is B rows
     // at ANY corpus size, so cost must grow ~linearly with the scoring
     // scan only.
-    {
+    if (on("dsir")) {
       import graft.operators.Sampling
-      def dsir(d: org.apache.spark.sql.DataFrame): Long =
+      def dsir(d: DataFrame): Long =
         Sampling.dsirWeights(d, "doc_id", "text", $"source" === "src0")
           .agg(sum($"dsir_w")).collect().head.getDouble(0).toLong
       val docsS = docs.repartition(32)
       time("J1 dsir 1x")(println("  wsum=" + dsir(docsS)))
-      val big = (0 until 10).map(i =>
-          docs.select(($"doc_id" + lit(i * 1000000L)).as("doc_id"), $"source",
-            concat($"text", lit(s" v$i")).as("text")))
-        .reduce(_ unionByName _)
-        .repartition(32)
-      time("J10 dsir 10x")(println("  wsum10x=" + dsir(big)))
+      time("J10 dsir 10x")(println("  wsum10x=" + dsir(dupCorpus(10, withSource = true))))
     }
 
     // ExactSubstr removal scale probe: 1× vs 10× corpus. Window hashing
@@ -170,27 +178,23 @@ object Profile {
     // suffix, so duplicated-window mass grows ~linearly with docs —
     // time must too (quadratic would flag a pairwise join hiding in the
     // pipeline).
-    {
-      def removal(d: org.apache.spark.sql.DataFrame): Long =
+    if (on("substr")) {
+      def removal(d: DataFrame): Long =
         Dedup.removeDuplicatedSpans(d, "doc_id", "text", minLen = 8)
           .agg(sum($"n_removed")).collect().head.getLong(0)
       val docsS = docs.repartition(32)
+      removal(docsS) // warmup: JIT + codegen compile, not the pipeline
       time("K1 substr removal 1x")(println("  removed=" + removal(docsS)))
-      val big = (0 until 10).map(i =>
-          docs.select(($"doc_id" + lit(i * 1000000L)).as("doc_id"),
-            concat($"text", lit(s" v$i")).as("text")))
-        .reduce(_ unionByName _)
-        .repartition(32)
-      time("K10 substr removal 10x")(println("  removed10x=" + removal(big)))
+      time("K10 substr removal 10x")(println("  removed10x=" + removal(dupCorpus(10))))
     }
 
     // Sketch-family scale probe: 1× vs 10× input. State is capacity-
     // bounded for all three, so cost must track the scan alone; the 10×
     // corpus also pushes Misra-Gries/KLL well past capacity, exercising
     // the eviction/compaction paths the fixtures (exact regime) don't.
-    {
+    if (on("sketch")) {
       import graft.operators.{DistinctSketch, HeavyHitters, QuantileSketch}
-      def big10(d: org.apache.spark.sql.DataFrame) =
+      def big10(d: DataFrame) =
         (0 until 10).map(i =>
             d.select(($"doc_id" + lit(i * 1000000L)).as("doc_id"),
               concat($"text", lit(s" v$i")).as("text"),
@@ -215,6 +219,84 @@ object Profile {
       time("N10 kmv distinct 10x")(
         println("  n10=" + DistinctSketch.distinctCount(d10, $"text", k = 1024)
           .head.getLong(0)))
+    }
+
+    // Skewed mega-cluster probe for connectedComponents: ONE component
+    // holds ~50% of all edges (a diameter-2048 chain whose head is also a
+    // 98k-spoke star hub — the "every crawl copy matches the boilerplate
+    // page" shape), the other 50% is 100k independent 2-node components.
+    // Min-label propagation handles the hot hub with a map-side-combined
+    // min per dst, and pointer jumping keeps rounds O(log diameter):
+    // expect ~11-13 rounds, not 2050. Also exercises the maxIters throw
+    // path on the same skewed graph (maxIters=5 < log2(2048)).
+    if (on("cc")) {
+      import graft.metrics.Metrics
+      val chain = spark.range(0, 2047)
+        .select($"id".as("id_a"), ($"id" + 1).as("id_b"))
+      val star = spark.range(0, 98000)
+        .select(lit(0L).as("id_a"), ($"id" + 10000L).as("id_b"))
+      val small = spark.range(0, 100000)
+        .select(($"id" * 2 + 1000000L).as("id_a"), ($"id" * 2 + 1000001L).as("id_b"))
+      val pairs = chain.unionByName(star).unionByName(small)
+        .repartition(32).localCheckpoint()
+      println("  edges=" + pairs.count() +
+        " (mega component holds " + (2047 + 98000) + " ≈ 50%)")
+      val m = Metrics.start(spark)
+      val before = m.snapshot().toMap
+      var rounds = -1
+      time("CC skewed mega-cluster (diameter 2048, hub degree 98k)") {
+        val (labels, r) =
+          Dedup.connectedComponentsWithRounds(pairs, "id_a", "id_b")
+        rounds = r
+        val comps = labels.groupBy($"comp").count()
+        val mega = comps.filter($"comp" === 0L).head.getLong(1)
+        val nComps = comps.count()
+        println(s"  components=$nComps megaSize=$mega rounds=$r")
+        require(mega == 2048L + 98000L, s"mega component wrong: $mega")
+        require(nComps == 100001L, s"component count wrong: $nComps")
+      }
+      val after = m.snapshot().toMap
+      m.close()
+      val shuffleMb = (after("graft_shuffle_bytes_written_total") -
+        before("graft_shuffle_bytes_written_total")) / 1e6
+      println(f"  rounds=$rounds shuffleWritten=$shuffleMb%.1f MB")
+      time("CC maxIters=5 throws (under-merge refused)") {
+        val threw =
+          try { Dedup.connectedComponents(pairs, "id_a", "id_b", maxIters = 5); false }
+          catch { case _: IllegalStateException => true }
+        require(threw, "expected IllegalStateException at maxIters=5")
+      }
+    }
+
+    // Shuffle-partition sensitivity sweep: the headline dedup pipelines
+    // at 1× and 10× corpus across spark.sql.shuffle.partitions ∈
+    // {8, 32, 128}. AQE partition coalescing is disabled inside the sweep
+    // so the knob itself is measured (production keeps AQE on and sizes
+    // the INITIAL count; this records how much headroom the knob has).
+    if (on("parts")) {
+      val coalesceKey = "spark.sql.adaptive.coalescePartitions.enabled"
+      val prev = spark.conf.getOption(coalesceKey)
+      spark.conf.set(coalesceKey, "false")
+      val docsS = docs.repartition(32).localCheckpoint()
+      val docs10 = dupCorpus(10).localCheckpoint()
+      def sweep(tag: String, d: DataFrame): Unit =
+        for (np <- Seq(8, 32, 128)) {
+          spark.conf.set("spark.sql.shuffle.partitions", np.toString)
+          time(s"P $tag np=$np exact dedup")(
+            Dedup.exactDedup(d, "text", "doc_id").count())
+          time(s"P $tag np=$np neardup lsh")(
+            Dedup.nearDupPairs(d, "doc_id", "text").count())
+          time(s"P $tag np=$np substr removal")(
+            Dedup.removeDuplicatedSpans(d, "doc_id", "text", minLen = 8)
+              .agg(sum($"n_removed")).collect())
+        }
+      sweep("1x", docsS)
+      sweep("10x", docs10)
+      spark.conf.set("spark.sql.shuffle.partitions", "32")
+      prev match {
+        case Some(v) => spark.conf.set(coalesceKey, v)
+        case None => spark.conf.unset(coalesceKey)
+      }
     }
 
     spark.stop()

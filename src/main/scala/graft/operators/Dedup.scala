@@ -413,7 +413,16 @@ object Dedup {
     * throws rather than silently returning wrong components.
     */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
-                          maxIters: Int = 20): DataFrame = {
+                          maxIters: Int = 20): DataFrame =
+    connectedComponentsWithRounds(pairs, aCol, bCol, maxIters)._1
+
+  /** As [[connectedComponents]], also returning the number of propagation
+    * rounds actually run — the observable behind the O(log diameter)
+    * convergence claim (skew/diameter probes assert on it).
+    */
+  private[graft] def connectedComponentsWithRounds(
+      pairs: DataFrame, aCol: String, bCol: String,
+      maxIters: Int = 20): (DataFrame, Int) = {
     val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct()
@@ -457,7 +466,7 @@ object Dedup {
       s"connectedComponents did not converge in $maxIters rounds " +
         "(graph diameter > 2^maxIters); labels would be under-merged — " +
         "raise maxIters")
-    labels
+    (labels, iters)
   }
 
   /** Benchmark decontamination: for every training document, count the

@@ -75,6 +75,36 @@ class DedupSpec extends SparkSpec {
     assert((1L to 30L).forall(c2(_) == 1L))
   }
 
+  test("connectedComponents: skewed mega-cluster converges in O(log diameter) rounds") {
+    import spark.implicits._
+    // One component holds ~half of all edges: a diameter-256 chain whose
+    // head node 0 is also a 2000-spoke star hub (the "every crawl copy
+    // links the boilerplate page" skew shape). The rest is 2300 isolated
+    // 2-node components. The hot hub is absorbed by the map-side-combined
+    // min-per-dst aggregate, and pointer jumping must converge in ~log2
+    // (diameter) rounds — a per-hop propagation would need 256+.
+    val chain = (0L until 255L).map(i => (i, i + 1))
+    val star = (0L until 2000L).map(i => (0L, 10000L + i))
+    val small = (0L until 2300L).map(i => (1000000L + 2 * i, 1000001L + 2 * i))
+    val pairs = (chain ++ star ++ small).toDF("id_a", "id_b")
+    val (labels, rounds) =
+      Dedup.connectedComponentsWithRounds(pairs, "id_a", "id_b")
+    val comp = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((0L to 255L).forall(comp(_) == 0L), "chain nodes must label 0")
+    assert((0L until 2000L).forall(i => comp(10000L + i) == 0L),
+      "star spokes must label 0")
+    assert((0L until 2300L).forall(i =>
+      comp(1000000L + 2 * i) == 1000000L + 2 * i &&
+        comp(1000001L + 2 * i) == 1000000L + 2 * i),
+      "small components must stay apart")
+    // log2(256) = 8; stale-table pointer jumping needs a couple extra
+    assert(rounds <= 12, s"expected O(log d) rounds, got $rounds")
+    // the same skewed graph refuses to under-merge when capped too low
+    intercept[IllegalStateException] {
+      Dedup.connectedComponents(pairs, "id_a", "id_b", maxIters = 3)
+    }
+  }
+
   test("contaminationOverlap: counts shared n-grams, misses clean docs, broadcast probe") {
     val bench = docs((0L, "the quick brown fox jumps over the lazy dog"))
     val train = docs(
