@@ -130,11 +130,11 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     vectorQueries ++ relationalQueries ++ eventsQueries ++ textQueries ++
-      dedupQueries ++ extraQueries
+      dedupQueries ++ extraQueries ++ round5Queries
 
   def oracleSql: Map[String, String] =
     vectorOracles ++ relationalOracles ++ eventsOracles ++ textOracles ++
-      dedupOracles ++ extraOracles
+      dedupOracles ++ extraOracles ++ round5Oracles
 
   // ======================================================= vector workload
 
@@ -4447,5 +4447,141 @@ object SparkEntry {
         |SELECT strftime(win_start, '%Y-%m-%d %H:%M:%S') AS win_start,
         |       COUNT(*) AS n, ROUND(SUM(value), 2) AS sum_value
         |FROM x GROUP BY 1 ORDER BY 1""".stripMargin
+  )
+
+  // ===================================================== round-5 additions
+
+  private def round5Queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Gopher page-quality rules (Rae et al. 2021 §A1.1): the published
+    // first-pass crawl filter — word-count bounds, mean word length,
+    // alphabetic-word fraction, symbol ratio, stopword presence — as one
+    // per-row codegen'd struct; zero shuffle, scan speed. Ratios are
+    // quantized BEFORE the bound checks (TextFunctions.gopherStats).
+    "q_gopher_rules" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents")
+        .select($"doc_id", T.gopherStats($"text").as("g"))
+        .select($"doc_id", $"g.n_words", $"g.mean_wlen", $"g.alpha_frac",
+          $"g.sym_ratio", $"g.stop_hits", $"g.keep")
+        .orderBy($"doc_id")
+    }),
+
+    // Exact phrase search over positional postings: per-term scan-level
+    // pruning, then (id, aligned-pos) joins — only the phrase terms'
+    // occurrence lists ever move (Bm25.phraseHits scaladoc).
+    "q_phrase_search" -> ((s, dir) => {
+      import s.implicits._
+      Bm25.phraseHits(t(s, dir, "documents"), "doc_id", "text",
+          Seq("table", "hash"))
+        .orderBy($"doc_id")
+    }),
+
+    // Weighted sampling without replacement (Efraimidis–Spiliotis A-ES,
+    // exponential keys over md5-uniforms): exact, RNG-free, and plans as
+    // one TakeOrderedAndProject — no corpus shuffle at any scale
+    // (Sampling.weightedSample scaladoc).
+    "q_weighted_sample" -> ((s, dir) => {
+      import s.implicits._
+      Sampling.weightedSample(
+          t(s, dir, "documents").select($"doc_id", $"n_chars"),
+          $"doc_id", $"n_chars", k = 100)
+        .select($"doc_id", $"n_chars", $"es")
+        .orderBy($"es".desc, $"doc_id")
+    }),
+
+    // CSV interchange round-trip (the other lingua franca next to JSONL):
+    // written and read back under an explicit schema + header — no
+    // inference job at 100 TB — byte-identical to the parquet source.
+    // Parallel sink/source, one file per partition, no driver funnel.
+    "q_csv_roundtrip" -> ((s, dir) => {
+      import s.implicits._
+      val tmpDir = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_csv_rt_${Integer.toHexString(dir.hashCode)}_" +
+          ProcessHandle.current().pid())
+      val tmp = tmpDir.getAbsolutePath
+      jsonlTmpCleanup(tmpDir)
+      t(s, dir, "documents").select($"doc_id", $"source", $"text")
+        .write.mode("overwrite").option("header", "true").csv(tmp)
+      s.read.schema("doc_id LONG, source STRING, text STRING")
+        .option("header", "true").csv(tmp)
+        .select($"doc_id", $"source", $"text")
+        .orderBy($"doc_id")
+    }),
+
+    // ORC round-trip: the columnar interchange sibling (Hive/Trino
+    // estates) — typed columns survive bit-exact, no schema inference.
+    "q_orc_roundtrip" -> ((s, dir) => {
+      import s.implicits._
+      val tmpDir = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_orc_rt_${Integer.toHexString(dir.hashCode)}_" +
+          ProcessHandle.current().pid())
+      val tmp = tmpDir.getAbsolutePath
+      jsonlTmpCleanup(tmpDir)
+      t(s, dir, "documents").select($"doc_id", $"source", $"text", $"n_chars")
+        .write.mode("overwrite").orc(tmp)
+      s.read.schema("doc_id LONG, source STRING, text STRING, n_chars LONG")
+        .orc(tmp)
+        .select($"doc_id", $"source", $"text", $"n_chars")
+        .orderBy($"doc_id")
+    })
+  )
+
+  private def round5Oracles: Map[String, String] = Map(
+
+    "q_gopher_rules" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+        |         ELSE string_split_regex(trim(lower(text)), '\s+') END AS toks
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, len(toks) AS n,
+        |    ROUND(list_sum(list_transform(toks, t -> len(t)))::DOUBLE
+        |          / len(toks), 4) + 0.0 AS mean_wlen,
+        |    ROUND(len(list_filter(toks, t -> regexp_matches(t, '[a-z]')))::DOUBLE
+        |          / len(toks), 4) + 0.0 AS alpha_frac,
+        |    ROUND(len(list_filter(toks,
+        |            t -> contains(t, '#') OR contains(t, '...')))::DOUBLE
+        |          / len(toks), 4) + 0.0 AS sym_ratio,
+        |    len(list_filter(toks, t -> list_contains(
+        |      ['the','be','to','of','and','that','have','with','a','in'], t)))
+        |      AS stop_hits
+        |  FROM base WHERE len(toks) > 0)
+        |SELECT doc_id, n::BIGINT AS n_words, mean_wlen, alpha_frac, sym_ratio,
+        |  stop_hits::BIGINT AS stop_hits,
+        |  (n BETWEEN 50 AND 100000 AND mean_wlen BETWEEN 3.0 AND 10.0
+        |   AND alpha_frac > 0.8 AND sym_ratio < 0.1 AND stop_hits >= 2) AS keep
+        |FROM s ORDER BY doc_id""".stripMargin,
+
+    "q_phrase_search" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+        |         ELSE string_split_regex(trim(lower(text)), '\s+') END AS toks
+        |  FROM documents),
+        |tk AS (
+        |  SELECT doc_id, unnest(toks) AS term,
+        |         unnest(range(1, len(toks) + 1)) AS pos
+        |  FROM base),
+        |a AS (SELECT doc_id, pos FROM tk WHERE term = 'table'),
+        |b AS (SELECT doc_id, pos - 1 AS pos FROM tk WHERE term = 'hash')
+        |SELECT doc_id, COUNT(*)::BIGINT AS n_hits
+        |FROM a JOIN b USING (doc_id, pos)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_weighted_sample" ->
+      """SELECT doc_id, n_chars,
+        |  ROUND(LN((('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT
+        |            % 1000000 + 1) / 1000001.0) / n_chars, 9) + 0.0 AS es
+        |FROM documents
+        |ORDER BY es DESC, doc_id LIMIT 100""".stripMargin,
+
+    "q_csv_roundtrip" ->
+      """SELECT doc_id, source, text FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_orc_roundtrip" ->
+      """SELECT doc_id, source, text, n_chars FROM documents
+        |ORDER BY doc_id""".stripMargin
   )
 }

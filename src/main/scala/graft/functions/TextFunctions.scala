@@ -346,4 +346,45 @@ object TextFunctions {
         }),
         lit(0L), (acc, x) => acc + x))
   }
+
+  /** Stopwords for the Gopher rules — a compact version of the "contains
+    * at least 2 common English stopwords" list (Rae et al. 2021 §A1.1).
+    */
+  val GopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with", "a", "in")
+
+  /** Gopher-style document quality signals (Rae et al. 2021 §A1.1) as one
+    * struct column: word count, mean word length, fraction of words
+    * containing an alphabetic character, symbol-to-word ratio (`#` /
+    * `...`), stopword occurrence count, and the composite `keep` flag
+    * with the published bounds (50 ≤ words ≤ 100k, 3 ≤ mean length ≤ 10,
+    * alpha fraction > 0.8, symbol ratio < 0.1, ≥ 2 stopword hits).
+    * Ratios are quantized to 4 dp BEFORE the bound checks so borderline
+    * docs gate identically across engines. Pure per-row codegen'd column
+    * expressions over the whitespace tokenization — zero shuffle, scan
+    * speed; the standard first-pass page filter a 100 TB crawl applies
+    * before any pairwise work.
+    */
+  def gopherStats(text: Column): Column = {
+    val toks = tokens(lower(text))
+    val n = size(toks)
+    val nd = n.cast("double")
+    def r4(c: Column): Column = round(c, 4) + lit(0.0)
+    val meanWlen = r4(aggregate(toks, lit(0L), (acc, t) => acc + length(t))
+      .cast("double") / nd)
+    val alphaFrac = r4(size(filter(toks, t => t.rlike("[a-z]"))).cast("double") / nd)
+    val symRatio = r4(size(filter(toks,
+      t => t.contains("#") || t.contains("..."))).cast("double") / nd)
+    val stopHits = stopwordHits(toks, GopherStopwords)
+    val keep = n.geq(50) && n.leq(100000) &&
+      meanWlen.geq(3.0) && meanWlen.leq(10.0) &&
+      alphaFrac.gt(0.8) && symRatio.lt(0.1) && stopHits.geq(2)
+    when(n === 0,
+      struct(lit(0L).as("n_words"), lit(0.0).as("mean_wlen"),
+        lit(0.0).as("alpha_frac"), lit(0.0).as("sym_ratio"),
+        lit(0L).as("stop_hits"), lit(false).as("keep")))
+      .otherwise(struct(n.cast("long").as("n_words"), meanWlen.as("mean_wlen"),
+        alphaFrac.as("alpha_frac"), symRatio.as("sym_ratio"),
+        stopHits.cast("long").as("stop_hits"), keep.as("keep")))
+  }
 }

@@ -106,6 +106,40 @@ object Bm25 {
           .as("postings"))
   }
 
+  /** Positional postings (id, pos, term), 0-based — the index shape
+    * behind exact phrase queries (the non-positional [[buildPostings]]
+    * can only answer bag-of-words membership).
+    */
+  def positionalPostings(docs: DataFrame, idCol: String,
+                         textCol: String): DataFrame =
+    docs.select(col(idCol),
+      posexplode(T.tokens(lower(col(textCol)))).as(Seq("pos", "term")))
+
+  /** Exact phrase search: docs containing the consecutive token sequence
+    * `phrase`, with the match count. Each phrase term's postings are
+    * pruned AT THE SCAN (a `term = …` filter per side, pushed below the
+    * explode's generator input where possible), so the position-alignment
+    * joins move only the phrase terms' occurrence lists — never the full
+    * positional index; the k-way join keys on (id, aligned pos), both
+    * engines' standard positional-index phrase plan. Corpus text is
+    * scanned once per phrase term; at 100 TB the same joins run against a
+    * PERSISTED positional-postings table instead (build once via
+    * [[positionalPostings]], prune by term at the parquet scan).
+    */
+  def phraseHits(docs: DataFrame, idCol: String, textCol: String,
+                 phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "phrase must have at least one term")
+    val p = positionalPostings(docs, idCol, textCol)
+    val first = p.filter(col("term") === phrase.head)
+      .select(col(idCol), col("pos"))
+    phrase.zipWithIndex.tail.foldLeft(first) { case (acc, (term, i)) =>
+      acc.join(
+        p.filter(col("term") === term)
+          .select(col(idCol), (col("pos") - i).as("pos")),
+        Seq(idCol, "pos"))
+    }.groupBy(col(idCol)).agg(count(lit(1)).as("n_hits"))
+  }
+
   /** Reciprocal-rank fusion of two ranked lists (id, rank):
     * rrf(d) = Σ 1/(c + rank_i(d)) over the lists containing d — the
     * standard hybrid-retrieval combiner (Cormack et al. 2009). Pure

@@ -24,6 +24,30 @@ object Sampling {
     df.filter(hashGate(key, lit(rate)))
   }
 
+  /** Weighted sampling WITHOUT replacement (Efraimidis–Spiliotis A-ES
+    * via exponential keys): each row draws a deterministic hash-uniform
+    * u ∈ (0, 1) from its key and is ranked by es = ln(u)/w — the global
+    * top-k under es is an exact weighted sample without replacement
+    * (equivalent to ranking by u^(1/w)). RNG-free, so re-runs and
+    * retried tasks select identical rows, and the plan is one
+    * TakeOrderedAndProject (per-partition heap + driver merge of k
+    * rows) — no corpus shuffle at any input size. The selection key is
+    * quantized (9 dp) with the id as tie-break, so borderline rows at
+    * the k boundary resolve identically across engines.
+    *
+    * Returns the k sampled rows with the selection key as `es`.
+    */
+  def weightedSample(df: DataFrame, key: Column, weight: Column,
+                     k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val u = (pmod(Dedup.hash60(key.cast("string")), lit(Denom)).cast("double") +
+      lit(1.0)) / lit(Denom.toDouble + 1.0)
+    val es = round(log(u) / weight.cast("double"), 9) + lit(0.0)
+    df.withColumn("es", es)
+      .orderBy(col("es").desc, key)
+      .limit(k)
+  }
+
   /** Domain-mixture sampling: each stratum (e.g. source/domain) keeps
     * rows at its own rate — how a 100 TB corpus is re-weighted toward a
     * target mixture without materializing intermediate copies. `rates`

@@ -61,6 +61,24 @@ class Bm25Spec extends SparkSpec {
       s"got ${got.toList}")
   }
 
+  test("phraseHits: consecutive tokens only, counted per doc, multi-term alignment") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox the quick brown"), // 2 hits of "quick brown"
+      (2L, "quick and brown"),                     // non-adjacent → no hit
+      (3L, "brown quick"),                         // wrong order → no hit
+      (4L, "Quick Brown")                          // case-folded → 1 hit
+    ).toDF("doc_id", "text")
+    val got = Bm25.phraseHits(docs, "doc_id", "text", Seq("quick", "brown"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 2L, 4L -> 1L), s"got $got")
+    // 3-term phrase needs all three aligned
+    val tri = Bm25.phraseHits(docs, "doc_id", "text",
+        Seq("quick", "brown", "fox"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(tri == Map(1L -> 1L), s"got $tri")
+  }
+
   test("rrfFuse: fixed-order rational sum over integer ranks; one-sided docs count once") {
     import spark.implicits._
     val a = Seq((10L, 1), (20L, 2)).toDF("id", "rank")

@@ -64,6 +64,26 @@ class SamplingSpec extends SparkSpec {
     assert(r2("ghost") == 0.0)
   }
 
+  test("weightedSample: without replacement, weight-biased, deterministic, no shuffle") {
+    import spark.implicits._
+    // two weight tiers: heavy rows (w=1000) should dominate a k=20 sample
+    // over light rows (w=1) despite equal population
+    val d = ((0 until 50).map(i => (i.toLong, 1000L)) ++
+      (50 until 100).map(i => (i.toLong, 1L))).toDF("id", "w")
+    val got = Sampling.weightedSample(d, col("id"), col("w"), k = 20)
+    val ids = got.select("id").collect().map(_.getLong(0))
+    assert(ids.length == 20 && ids.distinct.length == 20, "k distinct rows")
+    val heavy = ids.count(_ < 50)
+    assert(heavy >= 18, s"heavy tier should dominate, got $heavy/20")
+    // deterministic: same input → identical selection and order
+    val again = Sampling.weightedSample(d, col("id"), col("w"), k = 20)
+      .select("id").collect().map(_.getLong(0))
+    assert(ids.sameElements(again))
+    // plan: global top-k, not a full sort — no Exchange before the limit
+    val plan = got.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
   test("ratesForMixture hits target sizes and caps at 1.0") {
     val d = docs(2000) // 500 per source
     val rates = Sampling.ratesForMixture(d, col("source"),

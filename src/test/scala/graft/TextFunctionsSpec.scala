@@ -267,4 +267,34 @@ class TextFunctionsSpec extends SparkSpec {
       .select(T.maskTokens(col("id"), col("text"), 15, "mlm"))
       .head.getSeq[String](0).isEmpty)
   }
+
+  test("gopherStats: hand-checked signals, bound gating, empty doc") {
+    import spark.implicits._
+    def stats(text: String) =
+      Seq((1L, text)).toDF("id", "text")
+        .select(T.gopherStats(col("text")).as("g")).select("g.*").head
+    // 60 words, all alphabetic, stopwords present, mean length in range
+    val good = (1 to 58).map(i => s"word$i").mkString("the quick ", " ", "")
+    val g = stats(good)
+    assert(g.getAs[Long]("n_words") == 60)
+    assert(g.getAs[Double]("alpha_frac") == 1.0)
+    assert(g.getAs[Double]("sym_ratio") == 0.0)
+    assert(g.getAs[Long]("stop_hits") == 1L) // only "the"
+    assert(!g.getAs[Boolean]("keep"), "needs >= 2 stopword hits")
+    val g2 = stats("the " + good) // second stopword occurrence
+    assert(g2.getAs[Boolean]("keep"), g2.toString)
+    // too short fails the word-count bound even with perfect ratios
+    assert(!stats("the quick brown fox and the dog").getAs[Boolean]("keep"))
+    // symbol-heavy page fails the symbol-to-word ratio
+    val symbols = (1 to 50).map(_ => "#tag").mkString("the of ", " ", "")
+    val gs = stats(symbols)
+    assert(gs.getAs[Double]("sym_ratio") > 0.9 && !gs.getAs[Boolean]("keep"))
+    // numeric-only words drag alpha_frac below the 0.8 gate
+    val numeric = (1 to 60).map(i => s"$i").mkString("the of and to ", " ", "")
+    val gn = stats(numeric)
+    assert(gn.getAs[Double]("alpha_frac") < 0.8 && !gn.getAs[Boolean]("keep"))
+    // empty doc → zeroed struct, keep = false
+    val ge = stats("")
+    assert(ge.getAs[Long]("n_words") == 0L && !ge.getAs[Boolean]("keep"))
+  }
 }
