@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import graft.expressions.FloatVectorExpressions.dotF
 import graft.expressions.TextHashExpressions.{minhashSigF, simhash32F}
 import graft.functions.{HashFunctions, TextFunctions => T, VectorFunctions => V}
-import graft.operators.{Ann, AsofJoin, Bm25, BpeTrain, Classifier, Curation, Dedup, DistinctSketch, HeavyHitters, Multimodal, Packing, QuantileSketch, Rerank, Sampling, SkewJoin, TopK, TrigramLm}
+import graft.operators.{Ann, AsofJoin, Bm25, BpeTrain, Classifier, Curation, Dedup, DistinctSketch, HeavyHitters, Mining, Multimodal, Packing, PageRank, QuantileSketch, Rerank, Sampling, SkewJoin, TopK, TrigramLm}
 import graft.sources.{Layout, Tables}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -4509,6 +4509,43 @@ object SparkEntry {
         .orderBy($"doc_id")
     }),
 
+    // Sorted-neighborhood blocking — the third blocking family next to
+    // LSH bands and SimHash buckets: one PARTITIONED sort (coarse key
+    // prefix = block) + window·corpus comparisons, no self-join
+    // (Dedup.sortedNeighborhoodPairs scaladoc).
+    "q_sorted_neighborhood" -> ((s, dir) => {
+      import s.implicits._
+      Dedup.sortedNeighborhoodPairs(spread(s, t(s, dir, "documents")),
+          "doc_id", "text")
+        .orderBy($"id_a", $"id_b")
+    }),
+
+    // Margin-based neighbor mining (CCMatrix criterion): cosine
+    // normalized by pooled local kNN density — integer ten-thousandth
+    // cosines, exact BIGINT neighborhood sums, one rounded division
+    // (Mining.marginPairs scaladoc).
+    "q_margin_mining" -> ((s, dir) => {
+      import s.implicits._
+      Mining.marginPairs(spread(s, t(s, dir, "embeddings")),
+          "vec_id", "embedding", k = 8, threshold = 1.05)
+        .orderBy($"id_a", $"id_b")
+    }),
+
+    // Fixed-iteration PageRank over the user→item interaction graph —
+    // the link-structure quality prior crawl curation keys on. Integer
+    // micro-unit ranks (engine-exact); per iteration one src-keyed edge
+    // join + one map-side-combined inflow sum; dangling mass is a single
+    // driver scalar (PageRank.ranks scaladoc). Items never appear as
+    // sources → the dangling-redistribution path is genuinely exercised.
+    "q_pagerank" -> ((s, dir) => {
+      import s.implicits._
+      val edges = t(s, dir, "events")
+        .select($"user_id".as("src"),
+          (lit(100000L) + pmod($"event_id", lit(50L))).as("dst"))
+      PageRank.ranks(s, edges, "src", "dst", iters = 5)
+        .orderBy($"node")
+    }),
+
     // ORC round-trip: the columnar interchange sibling (Hive/Trino
     // estates) — typed columns survive bit-exact, no schema inference.
     "q_orc_roundtrip" -> ((s, dir) => {
@@ -4527,7 +4564,113 @@ object SparkEntry {
     })
   )
 
+  /** Oracle side of `PageRank.ranks` (5 iterations, d = 0.85,
+    * S = 10⁹): the same rounded-micro-unit recurrence unrolled as CTEs —
+    * per iteration the dangling scalar (dk/dsk), the per-edge rounded
+    * contributions summed per dst (ik), and the damped update (rk).
+    */
+  private lazy val pagerankCtesSql: String = {
+    def iter(k: Int): String = {
+      val p = k - 1
+      s"""d$k AS (
+         |  SELECT COALESCE(SUM(r.r), 0)::BIGINT AS d
+         |  FROM r$p r LEFT JOIN deg ON r.node = deg.node
+         |  WHERE deg.node IS NULL),
+         |ds$k AS (
+         |  SELECT CAST(ROUND(d::DOUBLE / (SELECT n FROM nn), 0) AS BIGINT) AS ds
+         |  FROM d$k),
+         |i$k AS (
+         |  SELECT e.dst AS node,
+         |         SUM(CAST(ROUND(r.r::DOUBLE / deg.deg, 0) AS BIGINT))::BIGINT
+         |           AS inflow
+         |  FROM e JOIN r$p r ON e.src = r.node JOIN deg ON e.src = deg.node
+         |  GROUP BY e.dst),
+         |r$k AS (
+         |  SELECT nd.node,
+         |         ((SELECT b FROM base) +
+         |          CAST(ROUND(0.85 * (COALESCE(i.inflow, 0) +
+         |                             (SELECT ds FROM ds$k))::DOUBLE, 0)
+         |               AS BIGINT)) AS r
+         |  FROM nodes nd LEFT JOIN i$k i ON nd.node = i.node)""".stripMargin
+    }
+    s"""WITH e AS (
+       |  SELECT DISTINCT user_id AS src, 100000 + event_id % 50 AS dst
+       |  FROM events),
+       |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+       |nn AS (SELECT COUNT(*)::DOUBLE AS n FROM nodes),
+       |base AS (
+       |  SELECT CAST(ROUND((1.0 - 0.85) * 1000000000.0 / n, 0) AS BIGINT) AS b
+       |  FROM nn),
+       |deg AS (SELECT src AS node, COUNT(*)::BIGINT AS deg FROM e GROUP BY src),
+       |r0 AS (
+       |  SELECT node,
+       |         (SELECT CAST(ROUND(1000000000.0 / n, 0) AS BIGINT) FROM nn) AS r
+       |  FROM nodes),
+       |${(1 to 5).map(iter).mkString(",\n")}
+       |SELECT node, r AS r_micro FROM r5 ORDER BY node""".stripMargin
+  }
+
   private def round5Oracles: Map[String, String] = Map(
+
+    "q_pagerank" -> pagerankCtesSql,
+
+    "q_sorted_neighborhood" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+        |         ELSE string_split_regex(trim(text), '\s+') END AS toks,
+        |    substr(lower(trim(text)), 1, 24) AS key
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, key, substr(key, 1, 8) AS blk,
+        |    list_distinct(list_transform(generate_series(1, len(toks)-1),
+        |      i -> toks[i] || ' ' || toks[i+1])) AS sh
+        |  FROM t WHERE len(toks) >= 2),
+        |w AS (
+        |  SELECT doc_id, sh,
+        |    LEAD(doc_id, 1) OVER win AS n1, LEAD(sh, 1) OVER win AS s1,
+        |    LEAD(doc_id, 2) OVER win AS n2, LEAD(sh, 2) OVER win AS s2
+        |  FROM s WINDOW win AS (PARTITION BY blk ORDER BY key, doc_id)),
+        |p AS (
+        |  SELECT doc_id AS id_a, n1 AS id_b, sh AS sha, s1 AS shb
+        |  FROM w WHERE n1 IS NOT NULL
+        |  UNION ALL
+        |  SELECT doc_id, n2, sh, s2 FROM w WHERE n2 IS NOT NULL),
+        |j AS (
+        |  SELECT id_a, id_b,
+        |    ROUND(len(list_intersect(sha, shb))::DOUBLE /
+        |          (len(sha) + len(shb) - len(list_intersect(sha, shb))), 4)
+        |      + 0.0 AS jaccard
+        |  FROM p)
+        |SELECT id_a, id_b, jaccard FROM j
+        |WHERE jaccard >= 0.2 ORDER BY id_a, id_b""".stripMargin,
+
+    "q_margin_mining" ->
+      """WITH p AS (
+        |  SELECT a.vec_id ia, b.vec_id ib,
+        |         unnest(a.embedding)::DOUBLE x, unnest(b.embedding)::DOUBLE y
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id),
+        |agg AS (SELECT ia, ib, SUM(x*y) dp, SUM(x*x) nx2, SUM(y*y) ny2
+        |        FROM p GROUP BY ia, ib),
+        |sims AS (SELECT ia, ib,
+        |    CAST(ROUND(dp / (GREATEST(SQRT(nx2), 1e-12) *
+        |                     GREATEST(SQRT(ny2), 1e-12)) * 10000, 0) AS BIGINT)
+        |      AS cosm
+        |  FROM agg),
+        |dirs AS (SELECT ia AS src, ib AS nbr, cosm FROM sims
+        |         UNION ALL SELECT ib, ia, cosm FROM sims),
+        |rk AS (SELECT src, nbr, cosm,
+        |         ROW_NUMBER() OVER (PARTITION BY src ORDER BY cosm DESC, nbr) AS rn
+        |       FROM dirs),
+        |knn AS (SELECT src, SUM(cosm)::BIGINT AS ksum, COUNT(*)::BIGINT AS kn
+        |        FROM rk WHERE rn <= 8 GROUP BY src),
+        |m AS (
+        |  SELECT s.ia AS id_a, s.ib AS id_b,
+        |    ROUND(s.cosm::DOUBLE * (ka.kn + kb.kn) / (ka.ksum + kb.ksum), 4)
+        |      + 0.0 AS margin
+        |  FROM sims s JOIN knn ka ON s.ia = ka.src JOIN knn kb ON s.ib = kb.src)
+        |SELECT id_a, id_b, margin FROM m
+        |WHERE margin >= 1.05 ORDER BY id_a, id_b""".stripMargin,
 
     "q_gopher_rules" ->
       """WITH base AS (

@@ -721,4 +721,53 @@ object Dedup {
       acc + when(vote > 0, element_at(powers, p.cast("int") + 1)).otherwise(lit(0L))
     })
   }
+
+  /** Sorted-neighborhood blocking (Hernández & Stolfo 1997) — the THIRD
+    * blocking family next to LSH banding and SimHash buckets: sort the
+    * corpus by a normalized key (text prefix here; entity-resolution
+    * deployments use name/address keys), then compare each record only
+    * with its `window − 1` successors in sort order. Catches near-dups
+    * whose edit distance defeats shingle-set hashing but whose sort keys
+    * collide (prefix-stable truncation/suffix edits).
+    *
+    * Scale shape: the sort window is PARTITIONED by a coarse key prefix
+    * (`blockLen` chars) — a global-order window without partitioning
+    * would serialize the corpus onto one reducer's sort, the same
+    * scale-killer the span-dedup canonical selection avoids. The cost of
+    * blocking is boundary blindness (neighbors straddling a block edge
+    * are not compared — standard for blocked SNM; multi-pass with a
+    * second key recovers them), bought for one partitioned sort + a
+    * window·corpus comparison budget, no self-join anywhere.
+    */
+  def sortedNeighborhoodPairs(docs: DataFrame, idCol: String, textCol: String,
+                              window: Int = 3, keyLen: Int = 24,
+                              blockLen: Int = 8, shingleSize: Int = 2,
+                              threshold: Double = 0.2): DataFrame = {
+    require(window >= 2, s"window must be >= 2, got $window")
+    require(blockLen >= 1 && keyLen >= blockLen,
+      s"need keyLen >= blockLen >= 1, got keyLen=$keyLen blockLen=$blockLen")
+    import org.apache.spark.sql.expressions.Window
+    val base = docs
+      .select(col(idCol).as("__id"),
+        substring(lower(trim(col(textCol))), 1, keyLen).as("__key"),
+        shingles(col(textCol), shingleSize).as("__sh"))
+      .filter(size(col("__sh")) > 0)
+      .withColumn("__blk", substring(col("__key"), 1, blockLen))
+    val w = Window.partitionBy(col("__blk")).orderBy(col("__key"), col("__id"))
+    val leads = (1 until window).map(i =>
+      lead(struct(col("__id").as("nid"), col("__sh").as("nsh")), i)
+        .over(w).as(s"__n$i"))
+    val withNext = base.select(
+      Seq(col("__id"), col("__sh")) ++ leads: _*)
+    val pairs = (1 until window).map(i =>
+        withNext.select(col("__id").as("id_a"),
+            col(s"__n$i.nid").as("id_b"),
+            col("__sh").as("__sha"), col(s"__n$i.nsh").as("__shb"))
+          .filter(col("id_b").isNotNull))
+      .reduce(_ unionByName _)
+    pairs
+      .withColumn("jaccard", round(jaccard(col("__sha"), col("__shb")), 4) + lit(0.0))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
 }

@@ -1,0 +1,79 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.expressions.FloatVectorExpressions.dotF
+import graft.functions.{VectorFunctions => V}
+
+/** Margin-based neighbor mining (Artetxe & Schwenk 2019 — the CCMatrix /
+  * LASER bitext-mining criterion): a pair (x, y) scores
+  *
+  *   margin(x, y) = cos(x, y) / (½·(avgNNk(x) + avgNNk(y)))
+  *
+  * — raw cosine normalized by the two LOCAL neighborhood densities, which
+  * suppresses hub vectors that score high against everything (the failure
+  * mode of a plain cosine threshold) and surfaces pairs that are unusually
+  * close *for their neighborhoods*. The primitive behind mined parallel
+  * corpora (CCMatrix) and embedding-based near-dup auditing.
+  */
+object Mining {
+
+  /** Pairs with pooled-neighborhood margin ≥ `threshold`.
+    *
+    * Exactness: cosines are quantized to integer ten-thousandths
+    * (`cosm`), neighborhood sums stay exact BIGINTs, and the margin is a
+    * single double division `cosm·(ka+kb)/(sa+sb)` rounded to 4 dp —
+    * pooled-mean normalization (identical to the paper's ½(avg+avg) when
+    * both sides have full k) that both engines reproduce bit-for-bit.
+    * k-NN membership is decided on (cosm desc, id) — a total order, so
+    * borderline neighbors resolve identically across engines. Pairs whose
+    * pooled neighborhood sum is ≤ 0 (all-negative neighborhoods; absent
+    * in practice) yield a negative/huge ratio and fall to the threshold.
+    *
+    * Scale shape: this fixture path scores ALL pairs (one broadcast-free
+    * self-join) — correct up to ~10⁵ vectors per run. At corpus scale the
+    * pair generation composes with the ANN tiers exactly like
+    * `semanticDedup`: `Ann.ivfAssign` bounds pairs to IVF cells (or SRP
+    * buckets), and the margin normalization uses within-cell kNN — the
+    * standard practical approximation (CCMatrix mines against FAISS
+    * shards the same way). The kNN stats pass is one window + one
+    * map-side-combined sum keyed by vector id; sims are materialized once
+    * (localCheckpoint) because the kNN stage and the final scoring both
+    * consume them.
+    */
+  def marginPairs(emb: DataFrame, idCol: String, vecCol: String,
+                  k: Int = 8, threshold: Double = 1.0): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val e = emb.select(col(idCol).cast("long").as("__id"), col(vecCol).as("__v"),
+        greatest(sqrt(dotF(col(vecCol), col(vecCol))), lit(V.NormEps)).as("__n"))
+      .localCheckpoint(false)
+    val a = e.select(col("__id").as("id_a"), col("__v").as("va"), col("__n").as("na"))
+    val b = e.select(col("__id").as("id_b"), col("__v").as("vb"), col("__n").as("nb"))
+    val sims = a.join(b, col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(dotF(col("va"), col("vb")) / (col("na") * col("nb")) * 10000)
+          .cast("long").as("cosm"))
+      .localCheckpoint(false)
+    val directed = sims
+      .select(col("id_a").as("src"), col("id_b").as("nbr"), col("cosm"))
+      .unionByName(
+        sims.select(col("id_b").as("src"), col("id_a").as("nbr"), col("cosm")))
+    val w = Window.partitionBy(col("src")).orderBy(col("cosm").desc, col("nbr"))
+    val knn = directed.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .groupBy(col("src"))
+      .agg(sum(col("cosm")).as("ksum"), count(lit(1)).as("kn"))
+    sims
+      .join(knn.select(col("src").as("id_a"),
+        col("ksum").as("sa"), col("kn").as("ka")), Seq("id_a"))
+      .join(knn.select(col("src").as("id_b"),
+        col("ksum").as("sb"), col("kn").as("kb")), Seq("id_b"))
+      .withColumn("margin",
+        round(col("cosm").cast("double") * (col("ka") + col("kb")) /
+          (col("sa") + col("sb")), 4) + lit(0.0))
+      .filter(col("margin") >= threshold)
+      .select(col("id_a"), col("id_b"), col("margin"))
+  }
+}

@@ -105,6 +105,39 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("sortedNeighborhoodPairs: prefix-sorted near-dups found, window bound honored, no self-join") {
+    import spark.implicits._
+    // docs 1/2 share a long prefix (suffix edit LSH-style shingles still
+    // catch); doc 3 same block but pushed beyond the window by 4-6;
+    // doc 10 in a different block entirely
+    val d = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon omega"),
+      (3L, "alpha beta zzz yyy xxx www"),
+      (4L, "alpha beta mmm nnn ooo ppp"),
+      (5L, "alpha beta qqq rrr sss ttt"),
+      (6L, "alpha beta uuu vvv aaa bbb"),
+      (10L, "totally different text over here"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.sortedNeighborhoodPairs(d, "doc_id", "text",
+      window = 2, keyLen = 24, blockLen = 8, threshold = 0.2)
+    val got = pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.contains((1L, 2L)), s"adjacent near-dups must pair: $got")
+    // window=2 compares each doc with its single successor only — 1 and 2
+    // sort adjacent; every found pair must be a true near-dup
+    assert(got.forall { case (a, b) => Set((1L, 2L)).contains((a, b)) },
+      s"low-jaccard window neighbors must be filtered: $got")
+    // scale shape: blocked window sort, no join anywhere in the plan
+    val plan = pairs.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), plan)
+    // widening the window to 3 compares 1-3 hops: still only true
+    // near-dups survive the jaccard gate
+    val w3 = Dedup.sortedNeighborhoodPairs(d, "doc_id", "text",
+      window = 3, keyLen = 24, blockLen = 8, threshold = 0.2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(w3.contains((1L, 2L)), s"got $w3")
+  }
+
   test("contaminationOverlap: counts shared n-grams, misses clean docs, broadcast probe") {
     val bench = docs((0L, "the quick brown fox jumps over the lazy dog"))
     val train = docs(

@@ -1,0 +1,40 @@
+package graft
+
+import graft.operators.Mining
+
+class MiningSpec extends SparkSpec {
+
+  test("marginPairs: mines locally-tight pairs, demotes the hub vector") {
+    import spark.implicits._
+    // two tight pairs on orthogonal axes + a hub equally close to all:
+    // raw cosine ranks hub pairs ~0.71, but margin normalization divides
+    // by neighborhood density — the hub's neighborhood is itself dense,
+    // so its pairs fall below 1.0 while (a,b) and (c,d) rise above it.
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f)),          // a
+      (1L, Array(0.999f, 0.0447f)),     // b ≈ a
+      (2L, Array(0.0f, 1.0f)),          // c
+      (3L, Array(0.0447f, 0.999f)),     // d ≈ c
+      (4L, Array(0.7071f, 0.7071f))     // hub
+    ).toDF("vec_id", "embedding")
+    val got = Mining.marginPairs(vecs, "vec_id", "embedding",
+        k = 2, threshold = 1.05)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((0L, 1L), (2L, 3L)), s"got $got")
+    // the hub participates in no mined pair despite ~0.71 raw cosine
+    assert(!got.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("marginPairs: deterministic and symmetric in the pooled normalizer") {
+    import spark.implicits._
+    val vecs = (0L until 12L).map(i =>
+        (i, Array.tabulate(4)(d => math.cos(i * 1.7 + d).toFloat)))
+      .toDF("vec_id", "embedding")
+    val once = Mining.marginPairs(vecs, "vec_id", "embedding", k = 3, 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val again = Mining.marginPairs(vecs, "vec_id", "embedding", k = 3, 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(once == again && once.nonEmpty)
+    assert(once.forall { case (a, b, _) => a < b }, "pairs emitted once, a < b")
+  }
+}
