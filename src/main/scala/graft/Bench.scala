@@ -52,7 +52,12 @@ object Bench {
     "q_grouping_sets", "q_window_funcs", "q_conditional_agg",
     "q_funnel", "q_retention", "q_index_health", "q_export_manifest",
     "q_standardize", "q_null_semantics", "q_user_paths", "q_mlm_mask",
-    "q_snapshot_diff")
+    "q_snapshot_diff",
+    // round-7 additions: quality rules, phrase index, graph rank, mining
+    "q_gopher_rules", "q_phrase_search", "q_weighted_sample",
+    "q_csv_roundtrip", "q_orc_roundtrip", "q_pagerank",
+    "q_sorted_neighborhood", "q_margin_mining", "q_recall_eval",
+    "q_winsorize")
 
   /** Force FULL materialization of every output column: xxhash64 over all
     * columns, summed. `.count()` alone under-measures — Catalyst prunes

@@ -4509,6 +4509,43 @@ object SparkEntry {
         .orderBy($"doc_id")
     }),
 
+    // ANN recall evaluation — the accuracy harness every approximate
+    // index needs beside its latency bench: batch IVF search at
+    // nProbes=4 scored against the exact side (nProbes = all 16 cells)
+    // through the distributed recallAtK join (no driver loop; evaluating
+    // 10⁶ held-out queries against a 100 TB corpus stays a join problem).
+    "q_recall_eval" -> ((s, dir) => {
+      import s.implicits._
+      val e = spread(s, t(s, dir, "embeddings"))
+      val cents = e.filter($"vec_id" < 16)
+        .select($"vec_id".as("cent_id"), $"embedding".as("cvec"))
+      val qs = e.filter($"vec_id" % 100 === 42)
+        .select($"vec_id".as("qid"), $"embedding".as("qvec"))
+      def run(p: Int) = Ann.searchBatchIvf(e, cents, "vec_id", "embedding",
+        "cent_id", "cvec", qs, "qid", "qvec", nProbes = p, k = 10)
+      Ann.recallAtK(run(16), run(4), "qid", "vec_id")
+        .orderBy($"qid")
+    }),
+
+    // Winsorization — percentile-clipped robust feature prep: per-group
+    // exact p05/p95 thresholds (one bounded agg, broadcast back) then a
+    // scan-speed clip. At 100 TB the threshold pass swaps in the KLL
+    // sketch (q_quantile_sketch) — the clip join is unchanged.
+    "q_winsorize" -> ((s, dir) => {
+      import s.implicits._
+      val ev = t(s, dir, "events")
+      val pcts = ev.groupBy($"event_type").agg(
+        round(expr("percentile(value, 0.05)"), 4).as("lo"),
+        round(expr("percentile(value, 0.95)"), 4).as("hi"))
+      ev.join(broadcast(pcts), "event_type")
+        .withColumn("w", least(greatest($"value", $"lo"), $"hi"))
+        .groupBy($"event_type").agg(
+          count(when($"value" < $"lo", 1)).as("n_lo"),
+          count(when($"value" > $"hi", 1)).as("n_hi"),
+          round(sum($"w"), 2).as("sum_winsorized"))
+        .orderBy($"event_type")
+    }),
+
     // Sorted-neighborhood blocking — the third blocking family next to
     // LSH bands and SimHash buckets: one PARTITIONED sort (coarse key
     // prefix = block) + window·corpus comparisons, no self-join
@@ -4613,6 +4650,77 @@ object SparkEntry {
   private def round5Oracles: Map[String, String] = Map(
 
     "q_pagerank" -> pagerankCtesSql,
+
+    "q_recall_eval" ->
+      """WITH cents AS (
+        |  SELECT vec_id AS cent_id, embedding AS cvec FROM embeddings
+        |  WHERE vec_id < 16),
+        |qs AS (SELECT vec_id AS qid FROM embeddings WHERE vec_id % 100 = 42),
+        |pc AS (
+        |  SELECT e.vec_id, c.cent_id,
+        |         unnest(e.embedding)::DOUBLE x, unnest(c.cvec)::DOUBLE y
+        |  FROM embeddings e CROSS JOIN cents c),
+        |pagg AS (SELECT vec_id, cent_id, SUM(x*y) dp, SUM(x*x) nx2, SUM(y*y) ny2
+        |         FROM pc GROUP BY vec_id, cent_id),
+        |psc AS (SELECT vec_id, cent_id,
+        |          ROUND(dp/(GREATEST(SQRT(nx2),1e-12)*GREATEST(SQRT(ny2),1e-12)), 6) c
+        |        FROM pagg),
+        |assign AS (
+        |  SELECT vec_id, cent_id AS cell_id FROM (
+        |    SELECT vec_id, cent_id,
+        |           row_number() OVER (PARTITION BY vec_id ORDER BY c DESC, cent_id) rn
+        |    FROM psc) WHERE rn = 1),
+        |probes4 AS (
+        |  SELECT vec_id AS qid, cent_id AS cell_id FROM (
+        |    SELECT vec_id, cent_id,
+        |           row_number() OVER (PARTITION BY vec_id ORDER BY c DESC, cent_id) rn
+        |    FROM psc WHERE vec_id IN (SELECT qid FROM qs)) WHERE rn <= 4),
+        |qp AS (
+        |  SELECT q.qid, e.vec_id,
+        |         unnest(e.embedding)::DOUBLE x, unnest(qe.embedding)::DOUBLE y
+        |  FROM embeddings e
+        |  CROSS JOIN qs q JOIN embeddings qe ON qe.vec_id = q.qid),
+        |qagg AS (SELECT qid, vec_id, SUM(x*y) dp, SUM(x*x) nx2, SUM(y*y) ny2
+        |         FROM qp GROUP BY qid, vec_id),
+        |qsc AS (SELECT qid, vec_id,
+        |          ROUND(dp/(GREATEST(SQRT(nx2),1e-12)*GREATEST(SQRT(ny2),1e-12)), 6)
+        |            + 0.0 AS score
+        |        FROM qagg),
+        |exact AS (
+        |  SELECT qid, vec_id FROM (
+        |    SELECT qid, vec_id,
+        |           row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) rn
+        |    FROM qsc) WHERE rn <= 10),
+        |approx AS (
+        |  SELECT qid, vec_id FROM (
+        |    SELECT s.qid, s.vec_id,
+        |           row_number() OVER (PARTITION BY s.qid
+        |                              ORDER BY s.score DESC, s.vec_id) rn
+        |    FROM qsc s
+        |    JOIN assign a ON s.vec_id = a.vec_id
+        |    JOIN probes4 p ON p.qid = s.qid AND p.cell_id = a.cell_id)
+        |  WHERE rn <= 10),
+        |ne AS (SELECT qid, COUNT(*)::BIGINT AS n_exact FROM exact GROUP BY qid),
+        |hit AS (SELECT e.qid, COUNT(*)::BIGINT AS n_hit
+        |        FROM exact e JOIN approx x ON e.qid = x.qid AND e.vec_id = x.vec_id
+        |        GROUP BY e.qid)
+        |SELECT ne.qid, ne.n_exact, COALESCE(h.n_hit, 0)::BIGINT AS n_hit,
+        |       ROUND(COALESCE(h.n_hit, 0)::DOUBLE / ne.n_exact, 6) + 0.0 AS recall
+        |FROM ne LEFT JOIN hit h ON ne.qid = h.qid
+        |ORDER BY ne.qid""".stripMargin,
+
+    "q_winsorize" ->
+      """WITH p AS (
+        |  SELECT event_type,
+        |         ROUND(quantile_cont(value, 0.05), 4) AS lo,
+        |         ROUND(quantile_cont(value, 0.95), 4) AS hi
+        |  FROM events GROUP BY event_type)
+        |SELECT e.event_type,
+        |  (COUNT(*) FILTER (WHERE e.value < p.lo))::BIGINT AS n_lo,
+        |  (COUNT(*) FILTER (WHERE e.value > p.hi))::BIGINT AS n_hi,
+        |  ROUND(SUM(LEAST(GREATEST(e.value, p.lo), p.hi)), 2) AS sum_winsorized
+        |FROM events e JOIN p USING (event_type)
+        |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin,
 
     "q_sorted_neighborhood" ->
       """WITH t AS (

@@ -184,6 +184,47 @@ object Ann {
     }
   }
 
+  /** Batch IVF search — [[search]] for a TABLE of queries in one job:
+    * the broadcast centroid×query cross ranks each query's `nProbes`
+    * cells, then ONE broadcast join routes every corpus row to exactly
+    * the queries probing its cell; scoring is the codegen dot kernel and
+    * the per-query top-k reduces via WindowGroupLimit (map-side k-heaps
+    * before the qid exchange — never a full sort). Corpus-side cost is
+    * one scan + one (probed-fraction × queries) scoring pass at ANY
+    * query-batch size; `nProbes = #centroids` scans everything, making
+    * this the EXACT side of a recall evaluation (`q_recall_eval` pairs
+    * nProbes=4 against nProbes=16 through [[recallAtK]]).
+    */
+  def searchBatchIvf(vectors: DataFrame, centroids: DataFrame,
+                     idCol: String, vecCol: String,
+                     centIdCol: String, centVecCol: String,
+                     queries: DataFrame, qidCol: String, qvecCol: String,
+                     nProbes: Int, k: Int): DataFrame = {
+    require(nProbes >= 1 && k >= 1, s"need nProbes, k >= 1; got $nProbes, $k")
+    import org.apache.spark.sql.expressions.Window
+    val assigned = ivfAssign(vectors, centroids, idCol, vecCol,
+      centIdCol, centVecCol)
+    val pw = Window.partitionBy(col(qidCol))
+      .orderBy(col("__c").desc, col(centIdCol))
+    val probes = centroids
+      .crossJoin(broadcast(queries.select(col(qidCol), col(qvecCol))))
+      .withColumn("__c", round(V.cosine(col(centVecCol), col(qvecCol)), 6))
+      .withColumn("__rn", row_number().over(pw))
+      .filter(col("__rn") <= nProbes)
+      .select(col(qidCol), col(qvecCol), col(centIdCol).as("cell_id"))
+    val scored = assigned.join(broadcast(probes), Seq("cell_id"))
+      .withColumn("score",
+        round(dotF(col(vecCol), col(qvecCol)) /
+          (greatest(sqrt(dotF(col(vecCol), col(vecCol))), lit(V.NormEps)) *
+            greatest(sqrt(dotF(col(qvecCol), col(qvecCol))), lit(V.NormEps))),
+          6) + lit(0.0))
+    val kw = Window.partitionBy(col(qidCol))
+      .orderBy(col("score").desc, col(idCol))
+    scored.withColumn("__rn", row_number().over(kw))
+      .filter(col("__rn") <= k)
+      .select(col(qidCol), col(idCol), col("score"))
+  }
+
   /** Ranking-quality evaluation: per-query recall of an approximate
     * hit table against the exact one — `|approx ∩ exact| / |exact|`
     * per query id. Both inputs are (qidCol, idCol) hit tables (any

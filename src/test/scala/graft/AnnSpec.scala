@@ -79,6 +79,33 @@ class AnnSpec extends SparkSpec {
       Ann.searchFactory("HNSW32", e, "vec_id", "embedding", q, 10))
   }
 
+  test("searchBatchIvf: full probes = per-query brute force; partial probes lose only recall") {
+    import spark.implicits._
+    val qs = e.filter($"vec_id" % 100 === 42)
+      .select($"vec_id".as("qid"), $"embedding".as("qvec"))
+    val exact = Ann.searchBatchIvf(e, cents, "vec_id", "embedding",
+      "cent_id", "cvec", qs, "qid", "qvec", nProbes = 16, k = 5)
+    // brute force per query: broadcast cross + quantized score + window top-5
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"qid").orderBy($"score".desc, $"vec_id")
+    val brute = e.crossJoin(broadcast(qs))
+      .withColumn("score", round(V.cosine($"embedding", $"qvec"), 6) + lit(0.0))
+      .withColumn("rn", row_number().over(w)).filter($"rn" <= 5)
+      .select($"qid", $"vec_id", $"score")
+    assert(exact.exceptAll(brute).count() == 0 &&
+      brute.exceptAll(exact).count() == 0)
+    // partial probes: each query's own nearest (itself, score 1.0) lives
+    // in its probed home cell, so the self-match always survives
+    val approx = Ann.searchBatchIvf(e, cents, "vec_id", "embedding",
+      "cent_id", "cvec", qs, "qid", "qvec", nProbes = 4, k = 5)
+    val self = approx.filter($"qid" === $"vec_id").count()
+    assert(self == qs.count(), "self-match must survive probing")
+    // scale shape: probe table broadcasts; no corpus-sized exchange
+    // beyond the per-query top-k window
+    val plan = exact.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
   test("recallAtK: distributed per-query overlap matches hand computation") {
     import spark.implicits._
     // q1: exact {1,2,3}, approx {2,3,9} → 2/3; q2: exact {4,5}, approx
