@@ -4509,6 +4509,29 @@ object SparkEntry {
         .orderBy($"doc_id")
     }),
 
+    // Temperature-flattened mixture (XLM-R balancing): p_s ∝ n_s^α lifts
+    // low-resource sources a proportional mixture starves; rates from
+    // one bounded count agg (fixed summation order, quantized 6 dp),
+    // applied as the same scan-speed md5 gate as q_stratified_sample
+    // (Sampling.temperatureRates scaladoc).
+    "q_temperature_mix" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val rates = Sampling.temperatureRates(docs, $"source",
+        alpha = 0.5, targetSize = 300)
+      val totals = docs.groupBy($"source").agg(count(lit(1)).as("n_total"))
+      val samp = Sampling.stratifiedSample(docs, $"source", $"doc_id", rates, 0.0)
+        .groupBy($"source").agg(count(lit(1)).as("n_sampled"))
+      val rateCol = rates.toSeq.sortBy(_._1).foldLeft(lit(0.0)) {
+        case (acc, (k, v)) => when($"source" === k, lit(v)).otherwise(acc)
+      }
+      totals.join(samp, Seq("source"), "left")
+        .select($"source", $"n_total",
+          coalesce($"n_sampled", lit(0L)).as("n_sampled"),
+          rateCol.as("rate"))
+        .orderBy($"source")
+    }),
+
     // ANN recall evaluation — the accuracy harness every approximate
     // index needs beside its latency bench: batch IVF search at
     // nProbes=4 scored against the exact side (nProbes = all 16 cells)
@@ -4650,6 +4673,29 @@ object SparkEntry {
   private def round5Oracles: Map[String, String] = Map(
 
     "q_pagerank" -> pagerankCtesSql,
+
+    "q_temperature_mix" ->
+      """WITH c AS (
+        |  SELECT source, COUNT(*)::BIGINT AS n FROM documents GROUP BY source),
+        |sp AS (
+        |  SELECT list_aggregate(list(pow(n::DOUBLE, 0.5) ORDER BY source), 'sum')
+        |    AS s
+        |  FROM c),
+        |r AS (
+        |  SELECT source, n,
+        |    ROUND(LEAST(1.0, pow(n::DOUBLE, 0.5) / (SELECT s FROM sp) * 300 / n),
+        |          6) AS rate
+        |  FROM c),
+        |k AS (
+        |  SELECT d.source,
+        |    (COUNT(*) FILTER (WHERE
+        |      ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 15))::BIGINT % 1000000
+        |        < r.rate * 1000000.0))::BIGINT AS n_sampled
+        |  FROM documents d JOIN r USING (source) GROUP BY d.source)
+        |SELECT r.source, r.n AS n_total,
+        |       COALESCE(k.n_sampled, 0)::BIGINT AS n_sampled, r.rate
+        |FROM r LEFT JOIN k ON r.source = k.source
+        |ORDER BY r.source""".stripMargin,
 
     "q_recall_eval" ->
       """WITH cents AS (

@@ -83,6 +83,35 @@ object Sampling {
     }
   }
 
+  /** Temperature-flattened mixture rates (the XLM-R / mT5 multilingual
+    * balancing scheme, Conneau et al. 2020 §3.1): stratum s is sampled
+    * with probability p_s ∝ n_s^alpha — alpha = 1 keeps natural
+    * proportions, alpha → 0 flattens toward uniform, lifting
+    * low-resource strata a proportional mixture starves. Per-doc keep
+    * rate r_s = min(1, (n_s^alpha / Σ n^alpha) · targetSize / n_s),
+    * quantized to 6 dp so the downstream md5 gate decides borderline
+    * rows identically across engines. The stratum count table is one
+    * bounded aggregate (one row per domain) collected driver-side; the
+    * 100 TB corpus is only ever touched by the resulting scan-speed
+    * filter (`stratifiedSample` with these rates). Σ n^alpha runs over
+    * strata SORTED BY NAME — a fixed summation order the oracle can
+    * replicate exactly.
+    */
+  def temperatureRates(df: DataFrame, stratum: Column, alpha: Double,
+                       targetSize: Long): Map[String, Double] = {
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha in (0,1], got $alpha")
+    require(targetSize > 0, s"targetSize must be positive, got $targetSize")
+    val counts = df.groupBy(stratum.as("__s")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val sumPow = counts.toSeq.sortBy(_._1)
+      .map { case (_, n) => math.pow(n.toDouble, alpha) }.sum
+    counts.map { case (s, n) =>
+      val r = math.pow(n.toDouble, alpha) / sumPow * targetSize / n
+      s -> BigDecimal(math.min(1.0, r))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+  }
+
   /** Per-stratum keep-rates that hit a target TOKEN mixture (the
     * data-mixing step of an LLM training pipeline: proportions are
     * budgeted in tokens, not documents). Downsampling only — the

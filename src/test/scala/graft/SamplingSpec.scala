@@ -84,6 +84,25 @@ class SamplingSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
 
+  test("temperatureRates: alpha=1 is proportional, alpha->0 flattens, caps at 1") {
+    import spark.implicits._
+    // 900 src0 docs vs 100 src1 docs
+    val d = ((0 until 900).map(i => (i.toLong, "src0")) ++
+      (900 until 1000).map(i => (i.toLong, "src1"))).toDF("id", "source")
+    // alpha=1: rates equal across strata (proportional sampling)
+    val r1 = Sampling.temperatureRates(d, col("source"), 1.0, 500)
+    assert(math.abs(r1("src0") - 0.5) < 1e-6 &&
+      math.abs(r1("src1") - 0.5) < 1e-6, r1.toString)
+    // alpha=0.5: low-resource stratum keeps a HIGHER fraction
+    val r5 = Sampling.temperatureRates(d, col("source"), 0.5, 240)
+    assert(r5("src1") > r5("src0"), r5.toString)
+    assert(math.abs(r5("src1") - 3.0 * r5("src0")) < 1e-9, // sqrt(900)/sqrt(100) = 3
+      s"sqrt flattening ratio: $r5")
+    // rate caps at 1.0 when the target exceeds what a stratum can give
+    val rCap = Sampling.temperatureRates(d, col("source"), 0.5, 100000)
+    assert(rCap("src1") == 1.0)
+  }
+
   test("ratesForMixture hits target sizes and caps at 1.0") {
     val d = docs(2000) // 500 per source
     val rates = Sampling.ratesForMixture(d, col("source"),
