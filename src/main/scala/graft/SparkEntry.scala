@@ -4509,6 +4509,31 @@ object SparkEntry {
         .orderBy($"doc_id")
     }),
 
+    // Quality-aware cluster dedup: connected near-dup clusters keep the
+    // HIGHEST-QUALITY member, not the min-id one — real corpus builds
+    // keep the best copy (canonical-by-id drops a clean original in
+    // favor of a mangled mirror whenever the mirror's id sorts lower).
+    // Composition of nearDupPairs → connectedComponents → one window
+    // argmax per cluster + an anti-join for singletons; quality is
+    // quantized before ranking so the survivor choice is engine-stable.
+    "q_dedup_keep_best" -> ((s, dir) => {
+      import s.implicits._
+      val docs = spread(s, t(s, dir, "documents"))
+      val pairs = Dedup.nearDupPairs(docs, "doc_id", "text",
+        shingleSize = 2, numHashes = 16, bands = 4, threshold = 0.2)
+      val comp = Dedup.connectedComponents(pairs, "id_a", "id_b")
+        .select($"node".as("doc_id"), $"comp".as("cluster_id"))
+      val scored = docs.select($"doc_id",
+        round(T.qualityScore($"text"), 4).as("q"))
+      val w = Window.partitionBy($"cluster_id").orderBy($"q".desc, $"doc_id")
+      val best = scored.join(comp, Seq("doc_id"))
+        .withColumn("__rn", row_number().over(w)).filter($"__rn" === 1)
+        .select($"doc_id", $"cluster_id", $"q")
+      val singles = scored.join(comp, Seq("doc_id"), "left_anti")
+        .select($"doc_id", $"doc_id".as("cluster_id"), $"q")
+      best.unionByName(singles).orderBy($"doc_id")
+    }),
+
     // Temperature-flattened mixture (XLM-R balancing): p_s ∝ n_s^α lifts
     // low-resource sources a proportional mixture starves; rates from
     // one bounded count agg (fixed summation order, quantized 6 dp),
@@ -4673,6 +4698,64 @@ object SparkEntry {
   private def round5Oracles: Map[String, String] = Map(
 
     "q_pagerank" -> pagerankCtesSql,
+
+    "q_dedup_keep_best" ->
+      """WITH RECURSIVE t AS (
+        |  SELECT doc_id, CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+        |                      ELSE string_split_regex(trim(text), '\s+') END AS toks
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id,
+        |         list_distinct(list_transform(generate_series(1, len(toks)-1),
+        |           i -> toks[i] || ' ' || toks[i+1])) AS sh
+        |  FROM t WHERE len(toks) >= 2),
+        |sig AS (
+        |  SELECT doc_id, sh,
+        |         list_transform(generate_series(0, 15), i ->
+        |           list_min(list_transform(sh, x ->
+        |             ('0x'||substr(md5(i::VARCHAR||':'||x), 1, 15))::BIGINT))) AS sig
+        |  FROM s WHERE len(sh) > 0),
+        |bands AS (
+        |  SELECT doc_id, band_idx,
+        |         md5(array_to_string(sig[band_idx*4+1 : band_idx*4+4], ',')) AS bh
+        |  FROM (SELECT doc_id, sig, unnest(generate_series(0, 3)) AS band_idx FROM sig)),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id da, b.doc_id db
+        |  FROM bands a JOIN bands b
+        |    ON a.band_idx = b.band_idx AND a.bh = b.bh AND a.doc_id < b.doc_id),
+        |p AS (
+        |  SELECT da, db FROM (
+        |    SELECT da, db,
+        |           len(list_intersect(x.sh, y.sh))::DOUBLE /
+        |             (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))) AS jac
+        |    FROM cand JOIN s x ON da = x.doc_id JOIN s y ON db = y.doc_id)
+        |  WHERE jac >= 0.2),
+        |e AS (SELECT da AS a, db AS b FROM p UNION SELECT db, da FROM p),
+        |r AS (
+        |  SELECT a AS node, b AS reach FROM e
+        |  UNION
+        |  SELECT r.node, e.b FROM r JOIN e ON r.reach = e.a),
+        |comp AS (
+        |  SELECT node AS doc_id, LEAST(node, MIN(reach)) AS cluster_id
+        |  FROM r GROUP BY node),
+        |q AS (
+        |  SELECT doc_id,
+        |    ROUND(LEAST(len(toks)::DOUBLE/100.0, 1.0) *
+        |          (0.7 + 0.3 * len(list_filter(toks, t -> list_contains(
+        |             ['the','a','of','and','to','in','is'], t)))::DOUBLE /
+        |           GREATEST(len(toks)::DOUBLE, 1.0)), 4) AS q
+        |  FROM t),
+        |clustered AS (
+        |  SELECT c.doc_id, c.cluster_id, q.q,
+        |         ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+        |                            ORDER BY q.q DESC, c.doc_id) AS rn
+        |  FROM comp c JOIN q ON c.doc_id = q.doc_id)
+        |SELECT doc_id, cluster_id, q FROM clustered WHERE rn = 1
+        |UNION ALL
+        |SELECT q.doc_id, q.doc_id AS cluster_id, q.q
+        |FROM q LEFT JOIN comp c ON q.doc_id = c.doc_id
+        |WHERE c.doc_id IS NULL
+        |ORDER BY doc_id""".stripMargin,
 
     "q_temperature_mix" ->
       """WITH c AS (
