@@ -4509,6 +4509,26 @@ object SparkEntry {
         .orderBy($"doc_id")
     }),
 
+    // Cross-source overlap matrix — the dataset-card table quantifying
+    // which SOURCES duplicate each other (mirror detection, licensing
+    // audits): LSH near-dup pairs annotated with both sides' sources and
+    // rolled up to per-(source, source) counts. Pair generation inherits
+    // the capped-bucket LSH; the rollup output is bounded by #sources².
+    "q_source_overlap" -> ((s, dir) => {
+      import s.implicits._
+      val docs = spread(s, t(s, dir, "documents"))
+      val pairs = Dedup.nearDupPairs(docs, "doc_id", "text",
+        shingleSize = 2, numHashes = 16, bands = 4, threshold = 0.2)
+      val src = docs.select($"doc_id", $"source")
+      pairs
+        .join(src.select($"doc_id".as("id_a"), $"source".as("__sa")), Seq("id_a"))
+        .join(src.select($"doc_id".as("id_b"), $"source".as("__sb")), Seq("id_b"))
+        .select(least($"__sa", $"__sb").as("src_lo"),
+          greatest($"__sa", $"__sb").as("src_hi"))
+        .groupBy($"src_lo", $"src_hi").agg(count(lit(1)).as("n_pairs"))
+        .orderBy($"src_lo", $"src_hi")
+    }),
+
     // Quality-aware cluster dedup: connected near-dup clusters keep the
     // HIGHEST-QUALITY member, not the min-id one — real corpus builds
     // keep the best copy (canonical-by-id drops a clean original in
@@ -4698,6 +4718,44 @@ object SparkEntry {
   private def round5Oracles: Map[String, String] = Map(
 
     "q_pagerank" -> pagerankCtesSql,
+
+    "q_source_overlap" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |    CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+        |         ELSE string_split_regex(trim(text), '\s+') END AS toks
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, source,
+        |         list_distinct(list_transform(generate_series(1, len(toks)-1),
+        |           i -> toks[i] || ' ' || toks[i+1])) AS sh
+        |  FROM t WHERE len(toks) >= 2),
+        |sig AS (
+        |  SELECT doc_id, sh,
+        |         list_transform(generate_series(0, 15), i ->
+        |           list_min(list_transform(sh, x ->
+        |             ('0x'||substr(md5(i::VARCHAR||':'||x), 1, 15))::BIGINT))) AS sig
+        |  FROM s WHERE len(sh) > 0),
+        |bands AS (
+        |  SELECT doc_id, band_idx,
+        |         md5(array_to_string(sig[band_idx*4+1 : band_idx*4+4], ',')) AS bh
+        |  FROM (SELECT doc_id, sig, unnest(generate_series(0, 3)) AS band_idx FROM sig)),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id da, b.doc_id db
+        |  FROM bands a JOIN bands b
+        |    ON a.band_idx = b.band_idx AND a.bh = b.bh AND a.doc_id < b.doc_id),
+        |p AS (
+        |  SELECT da, db FROM (
+        |    SELECT da, db,
+        |           len(list_intersect(x.sh, y.sh))::DOUBLE /
+        |             (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))) AS jac
+        |    FROM cand JOIN s x ON da = x.doc_id JOIN s y ON db = y.doc_id)
+        |  WHERE jac >= 0.2)
+        |SELECT LEAST(xa.source, xb.source) AS src_lo,
+        |       GREATEST(xa.source, xb.source) AS src_hi,
+        |       COUNT(*)::BIGINT AS n_pairs
+        |FROM p JOIN t xa ON p.da = xa.doc_id JOIN t xb ON p.db = xb.doc_id
+        |GROUP BY src_lo, src_hi ORDER BY src_lo, src_hi""".stripMargin,
 
     "q_dedup_keep_best" ->
       """WITH RECURSIVE t AS (
