@@ -4509,6 +4509,19 @@ object SparkEntry {
         .orderBy($"doc_id")
     }),
 
+    // T5-style span corruption: contiguous spans cut from the input,
+    // replaced by numbered sentinels, targets = sentinel + hidden
+    // tokens. Deterministic look-back gating (no sequential scan, no
+    // RNG) — pure per-row codegen'd HOFs, zero shuffle
+    // (TextFunctions.spanCorrupt scaladoc).
+    "q_span_corrupt" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents")
+        .select($"doc_id", T.spanCorrupt($"doc_id", $"text", 10, "t5").as("c"))
+        .select($"doc_id", $"c.inputs".as("inputs"), $"c.targets".as("targets"))
+        .orderBy($"doc_id")
+    }),
+
     // Cross-source overlap matrix — the dataset-card table quantifying
     // which SOURCES duplicate each other (mirror detection, licensing
     // audits): LSH near-dup pairs annotated with both sides' sources and
@@ -4718,6 +4731,48 @@ object SparkEntry {
   private def round5Oracles: Map[String, String] = Map(
 
     "q_pagerank" -> pagerankCtesSql,
+
+    "q_span_corrupt" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+        |         ELSE string_split_regex(trim(text), '\s+') END AS toks
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, toks, len(toks) AS n,
+        |    list_transform(generate_series(1, len(toks)), p ->
+        |      ('0x' || substr(md5(doc_id::VARCHAR || ':' || p::VARCHAR || ':t5'),
+        |                      1, 15))::BIGINT % 100 < 10) AS gate
+        |  FROM t),
+        |s AS (
+        |  SELECT doc_id, toks, n,
+        |    list_transform(generate_series(1, n), p ->
+        |      gate[p]
+        |      AND NOT (CASE WHEN p >= 2 THEN gate[p-1] ELSE false END)
+        |      AND NOT (CASE WHEN p >= 3 THEN gate[p-2] ELSE false END)) AS st
+        |  FROM g),
+        |x AS (
+        |  SELECT doc_id,
+        |    flatten(list_transform(generate_series(1, n), p ->
+        |      CASE WHEN st[p] THEN
+        |             ['<extra_id_' ||
+        |              len(list_filter(generate_series(1, p-1), q -> st[q]))::VARCHAR
+        |              || '>']
+        |           WHEN (p >= 2 AND st[p-1]) OR (p >= 3 AND st[p-2])
+        |             THEN CAST([] AS VARCHAR[])
+        |           ELSE [toks[p]] END)) AS inp,
+        |    flatten(list_transform(generate_series(1, n), p ->
+        |      CASE WHEN st[p] THEN
+        |             list_prepend(
+        |               '<extra_id_' ||
+        |               len(list_filter(generate_series(1, p-1), q -> st[q]))::VARCHAR
+        |               || '>',
+        |               toks[p : least(p+2, n)])
+        |           ELSE CAST([] AS VARCHAR[]) END)) AS tgt
+        |  FROM s)
+        |SELECT doc_id, COALESCE(array_to_string(inp, ' '), '') AS inputs,
+        |       COALESCE(array_to_string(tgt, ' '), '') AS targets
+        |FROM x ORDER BY doc_id""".stripMargin,
 
     "q_source_overlap" ->
       """WITH t AS (

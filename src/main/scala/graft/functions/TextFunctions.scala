@@ -281,6 +281,60 @@ object TextFunctions {
         }))
   }
 
+  /** T5-style span corruption (Raffel et al. 2020 §3.1.4) as a
+    * deterministic struct (inputs, targets): contiguous token spans are
+    * cut from the input and replaced by numbered sentinels; the targets
+    * sequence lists each sentinel followed by the tokens it hides — the
+    * (inputs → targets) pair a span-corruption LM trains on.
+    *
+    * Determinism (no RNG state, identical under task retries and in the
+    * oracle): position p's GATE fires when md5(id:p:salt) mod 100 < pct;
+    * p STARTS a span iff its gate fires and neither of the two previous
+    * gates fired, and a span covers p..p+spanLen−1 (fixed spanLen = 3).
+    * The look-back rule resolves overlaps per-position — no sequential
+    * scan — so start/covered/sentinel-index are all pure array
+    * expressions (the same per-(id:pos) gating family as `maskTokens`;
+    * T5's randomized span lengths are sacrificed for replicability).
+    * Per-row codegen'd HOFs, zero shuffle at any corpus size.
+    */
+  def spanCorrupt(id: Column, text: Column, pct: Int, salt: String): Column = {
+    require(pct >= 0 && pct <= 100, "pct must be in [0, 100]")
+    val spanLen = 3
+    val toks = tokens(text)
+    val n = size(toks)
+    def gate(p: Column): Column =
+      when(p < 1, lit(false)).otherwise(
+        conv(substring(
+          md5(concat(id.cast("string"), lit(":"), p.cast("string"),
+            lit(":"), lit(salt)).cast("binary")), 1, 15), 16, 10)
+          .cast("long") % 100 < pct)
+    def isStart(p: Column): Column =
+      gate(p) && !gate(p - 1) && !gate(p - 2)
+    // sentinel index at start position p = #starts at positions < p.
+    // The range starts at 0 (never a start — gate(0) is false) because
+    // Spark's sequence(1, 0) would generate a DESCENDING [1, 0] at p = 1
+    // instead of an empty range.
+    def sentinelAt(p: Column): Column =
+      size(filter(sequence(lit(0), p - 1), q => isStart(q)))
+    val positions = sequence(lit(1), n)
+    val inputs = flatten(transform(positions, p =>
+      when(isStart(p),
+        array(concat(lit("<extra_id_"), sentinelAt(p).cast("string"), lit(">"))))
+        .when(isStart(p - 1) || isStart(p - 2), array().cast("array<string>"))
+        .otherwise(array(element_at(toks, p)))))
+    val targets = flatten(transform(positions, p =>
+      when(isStart(p),
+        concat(
+          array(concat(lit("<extra_id_"), sentinelAt(p).cast("string"), lit(">"))),
+          slice(toks, p, least(lit(spanLen), n - p + 1))))
+        .otherwise(array().cast("array<string>"))))
+    when(n === 0,
+      struct(lit("").as("inputs"), lit("").as("targets")))
+      .otherwise(struct(
+        array_join(inputs, " ").as("inputs"),
+        array_join(targets, " ").as("targets")))
+  }
+
   /** Punctuation character count. */
   def punctCount(text: Column): Column =
     length(text) - length(regexp_replace(text, "[.,;:!?]", ""))

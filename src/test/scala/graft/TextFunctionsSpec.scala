@@ -268,6 +268,40 @@ class TextFunctionsSpec extends SparkSpec {
       .head.getSeq[String](0).isEmpty)
   }
 
+  test("spanCorrupt: sentinels numbered in order, spans disjoint, round-trip reassembles") {
+    import spark.implicits._
+    val text = (1 to 120).map(i => s"w$i").mkString(" ")
+    val r = Seq((7L, text)).toDF("id", "text")
+      .select(T.spanCorrupt(col("id"), col("text"), 25, "t5").as("c"))
+      .select("c.inputs", "c.targets").head
+    val inputs = r.getString(0).split(" ").toSeq
+    val targets = r.getString(1).split(" ").toSeq
+    val sentinel = "<extra_id_(\\d+)>".r
+    val inSent = inputs.collect { case sentinel(k) => k.toInt }
+    val tgSent = targets.collect { case sentinel(k) => k.toInt }
+    assert(inSent.nonEmpty, "25% gate over 120 tokens must start spans")
+    assert(inSent == inSent.indices.toList, s"input sentinels numbered 0..n: $inSent")
+    assert(tgSent == inSent, "targets carry the same sentinels in order")
+    // each target span hides at most spanLen=3 tokens and at least 1
+    val spans = r.getString(1).split("<extra_id_\\d+>").toSeq
+      .map(_.trim).filter(_.nonEmpty)
+    assert(spans.forall(s => { val n = s.split(" ").length; n >= 1 && n <= 3 }),
+      s"span sizes out of range: $spans")
+    // splicing each span back in place of its sentinel reassembles the doc
+    val rebuilt = inSent.zip(spans).foldLeft(r.getString(0)) {
+      case (acc, (k, span)) => acc.replace(s"<extra_id_$k>", span)
+    }
+    assert(rebuilt == text, "inputs + targets must reassemble the original")
+    // masked fraction is in the ballpark of the gate rate
+    val hidden = spans.map(_.split(" ").length).sum
+    assert(hidden > 10 && hidden < 90, s"hidden $hidden of 120")
+    // empty doc → empty struct fields
+    val e = Seq((1L, "")).toDF("id", "text")
+      .select(T.spanCorrupt(col("id"), col("text"), 25, "t5").as("c"))
+      .select("c.inputs", "c.targets").head
+    assert(e.getString(0) == "" && e.getString(1) == "")
+  }
+
   test("gopherStats: hand-checked signals, bound gating, empty doc") {
     import spark.implicits._
     def stats(text: String) =
