@@ -4509,6 +4509,18 @@ object SparkEntry {
         .orderBy($"doc_id")
     }),
 
+    // N-gram novelty vs a reference snapshot (inverse decontamination):
+    // high novelty = new content worth ingesting; near-zero novelty =
+    // templated or memorization-candidate text. Broadcast ref hash set,
+    // map-side probe, corpus text never shuffles (Dedup.noveltyScore).
+    "q_novelty_score" -> ((s, dir) => {
+      import s.implicits._
+      val docs = spread(s, t(s, dir, "documents"))
+      Dedup.noveltyScore(docs, docs.filter($"doc_id" < 250),
+          "doc_id", "text", n = 3)
+        .orderBy($"doc_id")
+    }),
+
     // T5-style span corruption: contiguous spans cut from the input,
     // replaced by numbered sentinels, targets = sentinel + hidden
     // tokens. Deterministic look-back gating (no sequential scan, no
@@ -4731,6 +4743,31 @@ object SparkEntry {
   private def round5Oracles: Map[String, String] = Map(
 
     "q_pagerank" -> pagerankCtesSql,
+
+    "q_novelty_score" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+        |         ELSE string_split_regex(trim(text), '\s+') END AS toks
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id,
+        |         list_distinct(list_transform(generate_series(1, len(toks)-2),
+        |           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS gs
+        |  FROM t WHERE len(toks) >= 3),
+        |g AS (
+        |  SELECT doc_id, ('0x'||substr(md5(unnest(gs)), 1, 15))::BIGINT AS gh
+        |  FROM s),
+        |ref AS (SELECT DISTINCT gh FROM g WHERE doc_id < 250),
+        |kn AS (
+        |  SELECT g.doc_id, COUNT(*)::BIGINT AS n_known
+        |  FROM g JOIN ref USING (gh) GROUP BY g.doc_id)
+        |SELECT s.doc_id, len(s.gs)::BIGINT AS n_grams,
+        |       COALESCE(kn.n_known, 0)::BIGINT AS n_known,
+        |       ROUND(1.0 - COALESCE(kn.n_known, 0)::DOUBLE / len(s.gs), 4)
+        |         + 0.0 AS novelty
+        |FROM s LEFT JOIN kn ON s.doc_id = kn.doc_id
+        |ORDER BY s.doc_id""".stripMargin,
 
     "q_span_corrupt" ->
       """WITH t AS (

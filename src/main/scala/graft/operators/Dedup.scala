@@ -499,6 +499,43 @@ object Dedup {
       .agg(count(lit(1)).as("n_overlap"))
   }
 
+  /** N-gram novelty scoring — the inverse of decontamination: for every
+    * document, the fraction of its distinct word n-grams ABSENT from a
+    * reference corpus (a previous crawl snapshot, a training set). High
+    * novelty flags genuinely new content worth ingesting; near-zero
+    * novelty flags recombined/templated text and — scored against a
+    * model's training set — the memorization candidates (Carlini et al.
+    * 2022 measure extraction risk over exactly this n-gram overlap).
+    *
+    * Scale shape inherited from [[contaminationOverlap]]: grams fold to
+    * 60-bit hashes before any join, the reference side broadcasts as a
+    * distinct-hash set (swap in the Bloom variant past broadcast size),
+    * and the corpus side is a map-side probe + one per-doc count — the
+    * corpus never shuffles text. Returns (idCol, n_grams, n_known,
+    * novelty) for every doc with ≥ 1 n-gram, novelty quantized 4 dp.
+    */
+  def noveltyScore(docs: DataFrame, ref: DataFrame, idCol: String,
+                   textCol: String, n: Int = 3): DataFrame = {
+    val grams = docs
+      .select(col(idCol), shingles(col(textCol), n).as("__g"))
+      .filter(size(col("__g")) > 0)
+    val refSet = ref
+      .select(explode(shingles(col(textCol), n)).as("__gram"))
+      .select(hash60(col("__gram")).as("__gh"))
+      .distinct()
+    val known = grams
+      .select(col(idCol), explode(col("__g")).as("__gram"))
+      .select(col(idCol), hash60(col("__gram")).as("__gh"))
+      .join(broadcast(refSet), Seq("__gh"), "left_semi")
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_known"))
+    grams.select(col(idCol), size(col("__g")).cast("long").as("n_grams"))
+      .join(known, Seq(idCol), "left")
+      .select(col(idCol), col("n_grams"),
+        coalesce(col("n_known"), lit(0L)).as("n_known"),
+        (round(lit(1.0) - coalesce(col("n_known"), lit(0L)).cast("double") /
+          col("n_grams"), 4) + lit(0.0)).as("novelty"))
+  }
+
   /** Bloom-pre-filtered decontamination: same semantics (and same output)
     * as `contaminationOverlap`, with a Bloom filter over the benchmark
     * n-gram hashes probed map-side BEFORE any exchange of the train side.

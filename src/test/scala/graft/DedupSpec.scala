@@ -153,6 +153,23 @@ class DedupSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
 
+  test("noveltyScore: ref docs score 0, fresh docs 1, mixed in between; broadcast probe") {
+    val ref = docs((0L, "alpha beta gamma delta epsilon"))
+    val corpus = docs(
+      (0L, "alpha beta gamma delta epsilon"),     // in ref → novelty 0
+      (1L, "completely fresh words only here"),   // disjoint → novelty 1
+      (2L, "alpha beta gamma zeta eta theta"))    // 1 of 4 grams known
+    val r = Dedup.noveltyScore(corpus, ref, "doc_id", "text", n = 3)
+      .collect().map(x => x.getLong(0) ->
+        (x.getLong(1), x.getLong(2), x.getDouble(3))).toMap
+    assert(r(0L) == ((3L, 3L, 0.0)), r.toString)
+    assert(r(1L) == ((3L, 0L, 1.0)), r.toString)
+    assert(r(2L) == ((4L, 1L, 0.75)), r.toString)
+    val plan = Dedup.noveltyScore(corpus, ref, "doc_id", "text", 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
   test("simhash32: identical docs equal; near-dups within small hamming; unrelated far") {
     import spark.implicits._
     val base = (1 to 60).map(i => s"w$i").mkString(" ")
