@@ -58,7 +58,8 @@ object Bench {
     "q_csv_roundtrip", "q_orc_roundtrip", "q_pagerank",
     "q_sorted_neighborhood", "q_margin_mining", "q_recall_eval",
     "q_winsorize", "q_temperature_mix", "q_dedup_keep_best",
-    "q_source_overlap", "q_span_corrupt", "q_novelty_score")
+    "q_source_overlap", "q_span_corrupt", "q_novelty_score",
+    "q_cms_counts")
 
   /** Force FULL materialization of every output column: xxhash64 over all
     * columns, summed. `.count()` alone under-measures — Catalyst prunes

@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import graft.expressions.FloatVectorExpressions.dotF
 import graft.expressions.TextHashExpressions.{minhashSigF, simhash32F}
 import graft.functions.{HashFunctions, TextFunctions => T, VectorFunctions => V}
-import graft.operators.{Ann, AsofJoin, Bm25, BpeTrain, Classifier, Curation, Dedup, DistinctSketch, HeavyHitters, Mining, Multimodal, Packing, PageRank, QuantileSketch, Rerank, Sampling, SkewJoin, TopK, TrigramLm}
+import graft.operators.{Ann, AsofJoin, Bm25, BpeTrain, Classifier, CountMin, Curation, Dedup, DistinctSketch, HeavyHitters, Mining, Multimodal, Packing, PageRank, QuantileSketch, Rerank, Sampling, SkewJoin, TopK, TrigramLm}
 import graft.sources.{Layout, Tables}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -4509,6 +4509,19 @@ object SparkEntry {
         .orderBy($"doc_id")
     }),
 
+    // Count-min sketch point frequencies — the fourth sketch family
+    // (point queries beside Misra-Gries frequents, KLL quantiles, KMV
+    // cardinality): d·w-bounded shuffle, md5-derived rows replicated
+    // bit-exactly in the oracle; the w=16 fixture forces real bucket
+    // collisions so the one-sided overcount property is exercised, not
+    // just asserted (CountMin scaladoc).
+    "q_cms_counts" -> ((s, dir) => {
+      import s.implicits._
+      CountMin.pointEstimates(spread(s, t(s, dir, "documents")), "text",
+          Seq("table", "hash", "the", "spark", "zzzmissing"), d = 4, w = 16)
+        .orderBy($"term")
+    }),
+
     // N-gram novelty vs a reference snapshot (inverse decontamination):
     // high novelty = new content worth ingesting; near-zero novelty =
     // templated or memorization-candidate text. Broadcast ref hash set,
@@ -4743,6 +4756,33 @@ object SparkEntry {
   private def round5Oracles: Map[String, String] = Map(
 
     "q_pagerank" -> pagerankCtesSql,
+
+    "q_cms_counts" ->
+      """WITH tk AS (
+        |  SELECT unnest(CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+        |                     ELSE string_split_regex(trim(lower(text)), '\s+') END)
+        |    AS term
+        |  FROM documents),
+        |jb AS (
+        |  SELECT j, ('0x'||substr(md5(j::VARCHAR||':'||term), 1, 15))::BIGINT % 16
+        |           AS b
+        |  FROM tk, unnest([0, 1, 2, 3]) AS u(j)),
+        |cms AS (SELECT j, b, COUNT(*)::BIGINT AS c FROM jb GROUP BY j, b),
+        |q AS (SELECT unnest(['table','hash','the','spark','zzzmissing']) AS term),
+        |qb AS (
+        |  SELECT term, j,
+        |         ('0x'||substr(md5(j::VARCHAR||':'||term), 1, 15))::BIGINT % 16 AS b
+        |  FROM q, unnest([0, 1, 2, 3]) AS u(j)),
+        |est AS (
+        |  SELECT term, MIN(COALESCE(c, 0))::BIGINT AS est
+        |  FROM qb LEFT JOIN cms USING (j, b) GROUP BY term),
+        |ex AS (
+        |  SELECT term, COUNT(*)::BIGINT AS exact FROM tk
+        |  WHERE term IN ('table','hash','the','spark','zzzmissing')
+        |  GROUP BY term)
+        |SELECT e.term, e.est, COALESCE(x.exact, 0)::BIGINT AS exact,
+        |       (e.est - COALESCE(x.exact, 0))::BIGINT AS overcount
+        |FROM est e LEFT JOIN ex x USING (term) ORDER BY term""".stripMargin,
 
     "q_novelty_score" ->
       """WITH t AS (
