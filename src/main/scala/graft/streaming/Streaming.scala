@@ -82,6 +82,33 @@ object Streaming {
       .select(col("w.start").as("win_start"), col("top"))
   }
 
+  /** Tumbling-window count-min bucket table (`CountMin.sketch`'s
+    * streaming twin, completing the four-sketch streaming family):
+    * per open window the aggregation state is d·w bucket counts
+    * REGARDLESS of the term vocabulary — the property that lets a
+    * continuous point-frequency service run against an unbounded term
+    * universe. Emits (win_start, j, b, c); point estimates are a lookup
+    * join against the sink, exactly as in `CountMin.pointEstimates`,
+    * and windows merge by plain bucket addition (count-min is linear).
+    */
+  def windowedCountMin(events: DataFrame, termCol: String,
+                       windowDur: String, watermark: String,
+                       d: Int = 4, w: Int = 16): DataFrame = {
+    require(d >= 1 && w >= 2, s"need d >= 1, w >= 2; got d=$d, w=$w")
+    events
+      .filter(col(termCol).isNotNull) // null would hash to null buckets
+      .withWatermark("ts", watermark)
+      .select(col("ts"), explode(array((0 until d).map(j =>
+        struct(lit(j).as("j"),
+          pmod(graft.operators.Dedup.hash60(
+            concat(lit(j.toString), lit(":"), col(termCol))),
+            lit(w.toLong)).as("b"))): _*)).as("__jb"))
+      .groupBy(window(col("ts"), windowDur).as("win"),
+        col("__jb.j").as("j"), col("__jb.b").as("b"))
+      .agg(count(lit(1)).as("c"))
+      .select(col("win.start").as("win_start"), col("j"), col("b"), col("c"))
+  }
+
   /** Tumbling-window DISTINCT COUNT via the KMV sketch
     * (`DistinctSketch.KmvAgg` through `functions.udaf`): continuous
     * per-window cardinality with ≤ k longs of state per window instead

@@ -85,6 +85,31 @@ class StreamingSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("windowedCountMin: streaming bucket table equals batch; state is d*w-bounded") {
+    val events = Tables.load(spark, sf0001, "events")
+    val tmp = Files.createTempDirectory("graft_stream_cms_").toString
+    events.repartition(4).write.mode("overwrite").parquet(tmp)
+
+    val stream = spark.readStream.schema(events.schema).parquet(tmp)
+    val q = Streaming.windowedCountMin(stream, "event_type", "24 hours",
+        "10 minutes", d = 3, w = 8)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("stream_cms").start()
+    q.processAllAvailable()
+    q.stop()
+
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getTimestamp(0).getTime, r.getInt(1), r.getLong(2), r.getLong(3))
+    val got = spark.table("stream_cms").collect().map(key).toSet
+    val want = Streaming.windowedCountMin(events, "event_type", "24 hours",
+        "10 minutes", d = 3, w = 8).collect().map(key).toSet
+    assert(got == want)
+    assert(got.nonEmpty)
+    // bucket table per window bounded by d*w however many terms arrive
+    val perWindow = got.groupBy(_._1).map(_._2.size)
+    assert(perWindow.forall(_ <= 24), s"bucket table exceeded d*w: $perWindow")
+  }
+
   test("windowedDistinct: streaming KMV counts equal batch AND the true distinct count") {
     import spark.implicits._
     val events = Tables.load(spark, sf0001, "events")
