@@ -4509,6 +4509,18 @@ object SparkEntry {
         .orderBy($"doc_id")
     }),
 
+    // Containment (asymmetric) near-dup: |A∩B|/|A| ≈ 1 flags docs
+    // ENGULFED in longer ones — the wire-story-in-portal-page shape
+    // Jaccard (and therefore MinHash-LSH blocking) structurally misses;
+    // candidates come from a df-capped rare-shingle inverted index
+    // instead (Dedup.containmentDups scaladoc).
+    "q_containment_dups" -> ((s, dir) => {
+      import s.implicits._
+      Dedup.containmentDups(spread(s, t(s, dir, "documents")),
+          "doc_id", "text", shingleSize = 2, threshold = 0.8, maxDf = 64)
+        .orderBy($"id_a", $"id_b")
+    }),
+
     // Count-min sketch point frequencies — the fourth sketch family
     // (point queries beside Misra-Gries frequents, KLL quantiles, KMV
     // cardinality): d·w-bounded shuffle, md5-derived rows replicated
@@ -4756,6 +4768,38 @@ object SparkEntry {
   private def round5Oracles: Map[String, String] = Map(
 
     "q_pagerank" -> pagerankCtesSql,
+
+    "q_containment_dups" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+        |         ELSE string_split_regex(trim(text), '\s+') END AS toks
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id,
+        |         list_distinct(list_transform(generate_series(1, len(toks)-1),
+        |           i -> toks[i] || ' ' || toks[i+1])) AS sh
+        |  FROM t WHERE len(toks) >= 2),
+        |g AS (
+        |  SELECT doc_id, ('0x'||substr(md5(unnest(sh)), 1, 15))::BIGINT AS gh
+        |  FROM s),
+        |rare AS (
+        |  SELECT gh FROM g GROUP BY gh
+        |  HAVING COUNT(*) >= 2 AND COUNT(*) <= 64),
+        |idx AS (SELECT g.doc_id, g.gh FROM g JOIN rare USING (gh)),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id da, b.doc_id db
+        |  FROM idx a JOIN idx b ON a.gh = b.gh AND a.doc_id < b.doc_id),
+        |sc AS (
+        |  SELECT da AS id_a, db AS id_b,
+        |    ROUND(len(list_intersect(x.sh, y.sh))::DOUBLE / len(x.sh), 4)
+        |      + 0.0 AS c_ab,
+        |    ROUND(len(list_intersect(x.sh, y.sh))::DOUBLE / len(y.sh), 4)
+        |      + 0.0 AS c_ba
+        |  FROM cand JOIN s x ON da = x.doc_id JOIN s y ON db = y.doc_id)
+        |SELECT id_a, id_b, c_ab, c_ba FROM sc
+        |WHERE c_ab >= 0.8 OR c_ba >= 0.8
+        |ORDER BY id_a, id_b""".stripMargin,
 
     "q_cms_counts" ->
       """WITH tk AS (

@@ -66,6 +66,71 @@ object Dedup {
     inter / (size(a) + size(b) - inter)
   }
 
+  /** Containment similarity |A∩B| / |A| — the ASYMMETRIC near-dup
+    * measure (Broder 1997's "containment"): ≈1 when A's shingles are a
+    * subset of B's, however much longer B is. Catches the
+    * subset-duplication Jaccard structurally misses — a wire story
+    * embedded in a portal page scores |A∩B|/|A| ≈ 1 but Jaccard
+    * |A∩B|/|A∪B| ≈ |A|/|B| → arbitrarily low — which is why dedup
+    * pipelines gate on BOTH (Jaccard for mutual near-dups, containment
+    * for engulfed copies). Same codegen'd sorted-merge kernel as
+    * [[jaccard]].
+    */
+  def containment(a: Column, b: Column): Column =
+    sortedIntersectCountF(a, b).cast("double") / size(a)
+
+  /** Candidate pairs scored by DIRECTED containment: both directions'
+    * containment for every candidate pair; rows where either direction
+    * clears `threshold`.
+    *
+    * Candidate generation is NOT MinHash-LSH: band collision probability
+    * tracks JACCARD (≈ J^rows per band), so a short doc engulfed in a
+    * much longer one — containment ≈ 1, Jaccard ≈ |A|/|B| → arbitrarily
+    * low — essentially never collides (the containmentDups spec proves
+    * the miss). Instead: a RARE-SHINGLE inverted index, the
+    * prefix-filter idea from set-similarity joins (PPJoin family): two
+    * docs pair when they share at least one shingle with document
+    * frequency in [2, maxDf]. A contained doc shares ALL its shingles
+    * with its container, so the pair is proposed unless every one of its
+    * shingles is corpus-hot — the documented residual blind spot
+    * (boilerplate-only docs; raise `maxDf` or use `duplicatedSpans`).
+    *
+    * Scale shape: shingles fold to 60-bit hashes before the self-join;
+    * the df filter caps every posting list at `maxDf`, so candidate
+    * cardinality is bounded by Σ df² over rare shingles (the same
+    * hot-bucket discipline as the LSH path) and hot boilerplate shingles
+    * generate NO pairs at all. Verify joins ship shingle arrays only for
+    * surviving candidate ids.
+    */
+  def containmentDups(docs: DataFrame, idCol: String, textCol: String,
+                      shingleSize: Int = 2, threshold: Double = 0.8,
+                      maxDf: Int = 64): DataFrame = {
+    require(maxDf >= 2, s"maxDf must be >= 2, got $maxDf")
+    val sh = docs
+      .select(col(idCol), shingles(col(textCol), shingleSize).as("__sh"))
+      .filter(size(col("__sh")) > 0)
+      .localCheckpoint(false) // posting build + both verify sides
+    val posted = sh.select(col(idCol), explode(col("__sh")).as("__g"))
+      .select(col(idCol), hash60(col("__g")).as("__gh"))
+    val rare = posted.groupBy(col("__gh"))
+      .agg(count(lit(1)).as("__df"))
+      .filter(col("__df") >= 2 && col("__df") <= maxDf)
+      .select(col("__gh"))
+    val indexed = posted.join(rare, Seq("__gh"))
+    val cands = indexed.select(col("__gh"), col(idCol).as("id_a"))
+      .join(indexed.select(col("__gh"), col(idCol).as("id_b")), Seq("__gh"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+    cands
+      .join(sh.select(col(idCol).as("id_a"), col("__sh").as("__sha")), Seq("id_a"))
+      .join(sh.select(col(idCol).as("id_b"), col("__sh").as("__shb")), Seq("id_b"))
+      .withColumn("c_ab", round(containment(col("__sha"), col("__shb")), 4) + lit(0.0))
+      .withColumn("c_ba", round(containment(col("__shb"), col("__sha")), 4) + lit(0.0))
+      .filter(col("c_ab") >= threshold || col("c_ba") >= threshold)
+      .select(col("id_a"), col("id_b"), col("c_ab"), col("c_ba"))
+  }
+
   /** Exact deduplication: keep one canonical row (lowest id) per text
     * fingerprint. One hash-shuffle on the 128-bit fingerprint — the
     * cheapest dedup tier of a training-data pipeline; at 100 TB this is a

@@ -153,6 +153,29 @@ class DedupSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
 
+  test("containmentDups: engulfed doc scores ~1 directionally where jaccard stays low") {
+    import spark.implicits._
+    val short = (1 to 20).map(i => s"w$i").mkString(" ")
+    val long = (1 to 80).map(i => s"w$i").mkString(" ") // contains all of short
+    val other = (200 to 260).map(i => s"w$i").mkString(" ")
+    val d = Seq((1L, short), (2L, long), (3L, other)).toDF("doc_id", "text")
+    val got = Dedup.containmentDups(d, "doc_id", "text", threshold = 0.9)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getDouble(2), r.getDouble(3)))).toMap
+    assert(got.contains((1L, 2L)), s"engulfed pair must surface: $got")
+    val (cab, cba) = got((1L, 2L))
+    assert(cab == 1.0, "all of short's shingles are in long")
+    assert(cba < 0.3, "long is NOT contained in short")
+    // the same pair's jaccard is far below a symmetric near-dup gate
+    val j = d.filter($"doc_id" <= 2)
+      .select(Dedup.shingles($"text", 2).as("sh"))
+      .collect().map(_.getSeq[String](0).toSet)
+    val jac = j(0).intersect(j(1)).size.toDouble / j(0).union(j(1)).size
+    assert(jac < 0.3, s"jaccard $jac would miss this duplication")
+    assert(!got.contains((1L, 3L)) && !got.contains((2L, 3L)),
+      "unrelated docs stay out")
+  }
+
   test("noveltyScore: ref docs score 0, fresh docs 1, mixed in between; broadcast probe") {
     val ref = docs((0L, "alpha beta gamma delta epsilon"))
     val corpus = docs(
