@@ -59,7 +59,7 @@ object Bench {
     "q_sorted_neighborhood", "q_margin_mining", "q_recall_eval",
     "q_winsorize", "q_temperature_mix", "q_dedup_keep_best",
     "q_source_overlap", "q_span_corrupt", "q_novelty_score",
-    "q_cms_counts", "q_containment_dups")
+    "q_cms_counts", "q_containment_dups", "q_robust_scale")
 
   /** Force FULL materialization of every output column: xxhash64 over all
     * columns, summed. `.count()` alone under-measures — Catalyst prunes

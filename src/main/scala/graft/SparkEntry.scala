@@ -4645,6 +4645,28 @@ object SparkEntry {
         .orderBy($"qid")
     }),
 
+    // Robust scaling / outlier detection via median + MAD (the
+    // breakdown-resistant alternative to mean/σ z-scores — one wild
+    // point corrupts a mean, not a median): two bounded per-group aggs
+    // broadcast back, outliers = |x − med| > 3·1.4826·MAD (the normal-
+    // consistency constant). Same KLL-sketch swap as winsorize at 100 TB.
+    "q_robust_scale" -> ((s, dir) => {
+      import s.implicits._
+      val ev = t(s, dir, "events")
+      val med = ev.groupBy($"event_type")
+        .agg(round(expr("percentile(value, 0.5)"), 4).as("med"))
+      val withMed = ev.join(broadcast(med), "event_type")
+      val mad = withMed.groupBy($"event_type")
+        .agg(round(expr("percentile(abs(value - med), 0.5)"), 4).as("mad"))
+      withMed.join(broadcast(mad), "event_type")
+        .groupBy($"event_type").agg(
+          count(lit(1)).as("n"),
+          max($"med").as("med"), max($"mad").as("mad"),
+          count(when(abs($"value" - $"med") > lit(3.0) * lit(1.4826) * $"mad", 1))
+            .as("n_outliers"))
+        .orderBy($"event_type")
+    }),
+
     // Winsorization — percentile-clipped robust feature prep: per-group
     // exact p05/p95 thresholds (one bounded agg, broadcast back) then a
     // scan-speed clip. At 100 TB the threshold pass swaps in the KLL
@@ -5071,6 +5093,24 @@ object SparkEntry {
         |       ROUND(COALESCE(h.n_hit, 0)::DOUBLE / ne.n_exact, 6) + 0.0 AS recall
         |FROM ne LEFT JOIN hit h ON ne.qid = h.qid
         |ORDER BY ne.qid""".stripMargin,
+
+    "q_robust_scale" ->
+      """WITH m AS (
+        |  SELECT event_type, ROUND(quantile_cont(value, 0.5), 4) AS med
+        |  FROM events GROUP BY event_type),
+        |d AS (
+        |  SELECT e.event_type, e.value, m.med
+        |  FROM events e JOIN m USING (event_type)),
+        |md AS (
+        |  SELECT event_type, ROUND(quantile_cont(abs(value - med), 0.5), 4) AS mad
+        |  FROM d GROUP BY event_type)
+        |SELECT d.event_type, COUNT(*)::BIGINT AS n,
+        |       MAX(d.med) AS med, MAX(md.mad) AS mad,
+        |       (COUNT(*) FILTER (
+        |          WHERE abs(d.value - d.med) > 3.0 * 1.4826 * md.mad))::BIGINT
+        |         AS n_outliers
+        |FROM d JOIN md USING (event_type)
+        |GROUP BY d.event_type ORDER BY d.event_type""".stripMargin,
 
     "q_winsorize" ->
       """WITH p AS (
