@@ -4549,13 +4549,13 @@ object SparkEntry {
     // T5-style span corruption: contiguous spans cut from the input,
     // replaced by numbered sentinels, targets = sentinel + hidden
     // tokens. Deterministic look-back gating (no sequential scan, no
-    // RNG) — pure per-row codegen'd HOFs, zero shuffle
-    // (TextFunctions.spanCorrupt scaladoc).
+    // RNG) — gate bits materialize once per row as stage columns, zero
+    // shuffle (TextFunctions.spanCorruptDf scaladoc).
     "q_span_corrupt" -> ((s, dir) => {
       import s.implicits._
-      t(s, dir, "documents")
-        .select($"doc_id", T.spanCorrupt($"doc_id", $"text", 10, "t5").as("c"))
-        .select($"doc_id", $"c.inputs".as("inputs"), $"c.targets".as("targets"))
+      T.spanCorruptDf(t(s, dir, "documents").select($"doc_id", $"text"),
+          "doc_id", "text", 10, "t5")
+        .select($"doc_id", $"inputs", $"targets")
         .orderBy($"doc_id")
     }),
 
@@ -4738,6 +4738,23 @@ object SparkEntry {
         .orc(tmp)
         .select($"doc_id", $"source", $"text", $"n_chars")
         .orderBy($"doc_id")
+    }),
+
+    // Cross-source KMV SET OPERATIONS — dataset-level distinct-vocab
+    // overlap (union / intersection / Jaccard cardinalities per source
+    // pair) from per-source k-minimum-values sketches: sketch each
+    // source once (state ≤ k longs per group partial), compare pairs on
+    // ≤ k-long array merges — the corpus is scanned exactly once and
+    // never pairwise. Exact below sketch capacity (the oracle regime,
+    // is_exact = true); ~1/√(k−2) relative error beyond
+    // (DistinctSketch.overlapMatrix scaladoc).
+    "q_kmv_setops" -> ((s, dir) => {
+      import s.implicits._
+      val toks = t(s, dir, "documents")
+        .select($"source", explode(T.tokens(lower($"text"))).as("tok"))
+      val sk = DistinctSketch.sketchByKey(toks, $"source", $"tok", k = 8192)
+      DistinctSketch.overlapMatrix(sk, 8192)
+        .orderBy($"key_a", $"key_b")
     })
   )
 
@@ -5236,6 +5253,33 @@ object SparkEntry {
 
     "q_orc_roundtrip" ->
       """SELECT doc_id, source, text, n_chars FROM documents
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+
+    // exact regime (per-source vocab < k = 8192): every sketch holds its
+    // full hash set, so the estimates ARE the exact set-op cardinalities
+    "q_kmv_setops" ->
+      """WITH tok AS (
+        |  SELECT source,
+        |         unnest(CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+        |                     ELSE string_split_regex(trim(lower(text)), '\s+') END)
+        |           AS tok
+        |  FROM documents),
+        |d AS (SELECT DISTINCT source, tok FROM tok),
+        |n AS (SELECT source, COUNT(*)::BIGINT AS nd FROM d GROUP BY source),
+        |p AS (SELECT a.source AS key_a, b.source AS key_b,
+        |             a.nd AS n_a, b.nd AS n_b
+        |      FROM n a JOIN n b ON a.source < b.source),
+        |i AS (SELECT x.source AS key_a, y.source AS key_b,
+        |             COUNT(*)::BIGINT AS ni
+        |      FROM d x JOIN d y ON x.tok = y.tok AND x.source < y.source
+        |      GROUP BY 1, 2)
+        |SELECT p.key_a, p.key_b, p.n_a, p.n_b,
+        |       p.n_a + p.n_b - COALESCE(i.ni, 0) AS n_union,
+        |       COALESCE(i.ni, 0)::BIGINT AS n_inter,
+        |       ROUND(COALESCE(i.ni, 0)::DOUBLE /
+        |             (p.n_a + p.n_b - COALESCE(i.ni, 0)), 6) + 0.0 AS jaccard,
+        |       true AS is_exact
+        |FROM p LEFT JOIN i ON p.key_a = i.key_a AND p.key_b = i.key_b
+        |ORDER BY p.key_a, p.key_b""".stripMargin
   )
 }

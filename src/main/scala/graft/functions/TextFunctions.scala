@@ -297,42 +297,80 @@ object TextFunctions {
     * T5's randomized span lengths are sacrificed for replicability).
     * Per-row codegen'd HOFs, zero shuffle at any corpus size.
     */
-  def spanCorrupt(id: Column, text: Column, pct: Int, salt: String): Column = {
+  /** Appends `inputs` and `targets` span-corruption columns. A
+    * DataFrame-level operator rather than a single Column on purpose:
+    * the gate bits (one md5 per position) and span starts materialize as
+    * real intermediate columns, evaluated once per row; higher-order
+    * lambdas are interpreted (never whole-stage-codegen'd), so a
+    * single-Column formulation re-evaluates the md5 transform at every
+    * reference — measured 5× slower at sf0.1 before this split.
+    */
+  def spanCorruptDf(df: org.apache.spark.sql.DataFrame, idCol: String,
+                    textCol: String, pct: Int, salt: String):
+      org.apache.spark.sql.DataFrame = {
+    val (gates, starts, startPos, inputs, targets) =
+      spanCorruptStages(col(idCol), col(textCol), pct, salt)
+    df.withColumn("__sc_gates", gates)
+      .withColumn("__sc_starts", starts)
+      .withColumn("__sc_startpos", startPos)
+      .withColumn("inputs", inputs)
+      .withColumn("targets", targets)
+      .drop("__sc_gates", "__sc_starts", "__sc_startpos")
+  }
+
+  /** Shared stage expressions for span corruption. Returns (gates,
+    * starts, start-positions, inputs, targets) where the last two
+    * reference the first three via the `__sc_*` column names — callers
+    * must bind them (as `spanCorruptDf` does) or pay re-evaluation.
+    */
+  private def spanCorruptStages(id: Column, text: Column, pct: Int,
+                                salt: String):
+      (Column, Column, Column, Column, Column) = {
     require(pct >= 0 && pct <= 100, "pct must be in [0, 100]")
     val spanLen = 3
     val toks = tokens(text)
     val n = size(toks)
     def gate(p: Column): Column =
-      when(p < 1, lit(false)).otherwise(
-        conv(substring(
-          md5(concat(id.cast("string"), lit(":"), p.cast("string"),
-            lit(":"), lit(salt)).cast("binary")), 1, 15), 16, 10)
-          .cast("long") % 100 < pct)
-    def isStart(p: Column): Column =
-      gate(p) && !gate(p - 1) && !gate(p - 2)
-    // sentinel index at start position p = #starts at positions < p.
-    // The range starts at 0 (never a start — gate(0) is false) because
-    // Spark's sequence(1, 0) would generate a DESCENDING [1, 0] at p = 1
-    // instead of an empty range.
-    def sentinelAt(p: Column): Column =
-      size(filter(sequence(lit(0), p - 1), q => isStart(q)))
-    val positions = sequence(lit(1), n)
+      conv(substring(
+        md5(concat(id.cast("string"), lit(":"), p.cast("string"),
+          lit(":"), lit(salt)).cast("binary")), 1, 15), 16, 10)
+        .cast("long") % 100 < pct
+    // empty-doc guard: sequence(1, 0) generates a DESCENDING [1, 0]
+    // instead of an empty range, so position 0 would reach the slice
+    // below with length -1 (a runtime error under ANSI)
+    val positions =
+      when(n >= 1, sequence(lit(1), n)).otherwise(array().cast("array<int>"))
+    // gate bits as ONE array column: exactly n md5 calls per row
+    val gates = transform(positions, p => gate(p))
+    def gAt(arr: Column, p: Column): Column =
+      when(p >= 1, coalesce(element_at(arr, p.cast("int")), lit(false)))
+        .otherwise(lit(false))
+    val gatesCol = col("__sc_gates")
+    val starts = transform(positions, p =>
+      gAt(gatesCol, p) && !gAt(gatesCol, p - 1) && !gAt(gatesCol, p - 2))
+    val startsCol = col("__sc_starts")
+    def sAt(p: Column): Column = gAt(startsCol, p)
+    // positions where a span starts, in order: sentinel index at a
+    // start position p is its 0-based rank in this (short) array.
+    // A per-position prefix COUNT would be O(n²) per row; the lookup
+    // below runs only at actual start positions → O(n + starts²)
+    val startPos = filter(positions, p => sAt(p))
+    val startPosCol = col("__sc_startpos")
+    def sentinel(p: Column): Column =
+      concat(lit("<extra_id_"),
+        (array_position(startPosCol, p) - 1).cast("string"), lit(">"))
     val inputs = flatten(transform(positions, p =>
-      when(isStart(p),
-        array(concat(lit("<extra_id_"), sentinelAt(p).cast("string"), lit(">"))))
-        .when(isStart(p - 1) || isStart(p - 2), array().cast("array<string>"))
+      when(sAt(p), array(sentinel(p)))
+        .when(sAt(p - 1) || sAt(p - 2), array().cast("array<string>"))
         .otherwise(array(element_at(toks, p)))))
     val targets = flatten(transform(positions, p =>
-      when(isStart(p),
-        concat(
-          array(concat(lit("<extra_id_"), sentinelAt(p).cast("string"), lit(">"))),
+      when(sAt(p),
+        concat(array(sentinel(p)),
           slice(toks, p, least(lit(spanLen), n - p + 1))))
         .otherwise(array().cast("array<string>"))))
-    when(n === 0,
-      struct(lit("").as("inputs"), lit("").as("targets")))
-      .otherwise(struct(
-        array_join(inputs, " ").as("inputs"),
-        array_join(targets, " ").as("targets")))
+    def joined(c: Column): Column =
+      when(n === 0, lit("")).otherwise(array_join(c, " "))
+    (gates, starts, startPos, joined(inputs), joined(targets))
   }
 
   /** Punctuation character count. */

@@ -109,4 +109,60 @@ object DistinctSketch {
     val (n, exact) = estimate(minima, k)
     Seq((n, exact)).toDF("n_distinct", "is_exact")
   }
+
+  /** Per-key KMV sketches: one (key, minima) row per distinct key.
+    * State ≤ k longs per (partition, key) partial — the grouped twin of
+    * `distinctCount`, and the input to `overlapMatrix`. At 100 TB this
+    * is the "sketch each dataset once, compare cheaply forever" shape:
+    * the output is ≤ 8·k bytes per key and mergeable across snapshots.
+    */
+  def sketchByKey(df: DataFrame, keyCol: Column, valueCol: Column,
+                  k: Int = 8192): DataFrame = {
+    val kmv = org.apache.spark.sql.functions.udaf(
+      new KmvAgg(k), org.apache.spark.sql.Encoders.scalaLong)
+    df.select(keyCol.as("key"), Dedup.hash60(valueCol).as("h"))
+      .filter(col("h").isNotNull)
+      .groupBy(col("key")).agg(kmv(col("h")).as("minima"))
+  }
+
+  /** Pairwise set-operation estimates between per-key sketches
+    * (Beyer et al. 2007 §3): for every key pair a < b, the k smallest
+    * hashes of A ∪ B are the k smallest of (minima_a ∪ minima_b), so
+    *   n̂_union = KMV read-off of the merged sketch,
+    *   n̂_inter = (|{h ∈ merged : h ∈ A ∧ h ∈ B}| / |merged|) · n̂_union,
+    *   jaccard = n̂_inter / n̂_union.
+    * Below capacity every sketch holds its full hash set, so all three
+    * are EXACT (`is_exact` — the oracle regime); beyond, relative error
+    * ~1/√(k−2) on the union and proportionally on the rest. The pair
+    * matrix is #keys² rows — this is a DATASET-level comparator (sources,
+    * crawl snapshots, shards), not a per-row operator; per-pair work is
+    * array merges over ≤ k longs, no re-scan of the underlying data.
+    */
+  def overlapMatrix(sketches: DataFrame, k: Int): DataFrame = {
+    val a = sketches.select(col("key").as("key_a"), col("minima").as("__ma"))
+    val b = sketches.select(col("key").as("key_b"), col("minima").as("__mb"))
+    def readOff(m: Column): Column =
+      when(size(m) < k, size(m).cast("long"))
+        .otherwise(round(lit((k - 1).toDouble * HashSpace.toDouble)
+          / element_at(m, k).cast("double")).cast("long"))
+    val merged = slice(array_sort(array_union(col("__ma"), col("__mb"))),
+      lit(1), lit(k))
+    val common =
+      size(array_intersect(array_intersect(col("__merged"), col("__ma")),
+        col("__mb")))
+    val nUnion = readOff(col("__merged"))
+    val nInter = when(size(col("__merged")) < k, common.cast("long"))
+      .otherwise(round(common.cast("double") / size(col("__merged"))
+        * nUnion.cast("double")).cast("long"))
+    a.join(b, col("key_a") < col("key_b"))
+      .withColumn("__merged", merged)
+      .withColumn("n_a", readOff(col("__ma")))
+      .withColumn("n_b", readOff(col("__mb")))
+      .withColumn("n_union", nUnion)
+      .withColumn("n_inter", nInter)
+      .withColumn("jaccard",
+        round(col("n_inter").cast("double") / col("n_union"), 6))
+      .withColumn("is_exact", size(col("__merged")) < k)
+      .drop("__ma", "__mb", "__merged")
+  }
 }

@@ -50,4 +50,41 @@ class DistinctSketchSpec extends SparkSpec {
     val b = Seq(10L, 7L, 12L, 7L, 3L, 99L).foldLeft(agg.zero)(agg.reduce)
     assert(b == Vector(3L, 7L, 10L))
   }
+
+  test("overlapMatrix: exact union/intersection/jaccard below capacity") {
+    import spark.implicits._
+    // A = {0..99}, B = {50..149}, C = {200..209}: |A∩B| = 50, |A∩C| = 0
+    val df = ((0 to 99).map(("a", _)) ++ (50 to 149).map(("b", _)) ++
+      (200 to 209).map(("c", _))).map { case (k, v) => (k, s"v$v") }
+      .toDF("k", "v").repartition(8)
+    val sk = DistinctSketch.sketchByKey(df, col("k"), col("v"), k = 1024)
+    val m = DistinctSketch.overlapMatrix(sk, 1024)
+      .orderBy("key_a", "key_b").collect()
+    val ab = m.find(r => r.getString(0) == "a" && r.getString(1) == "b").get
+    assert(ab.getAs[Long]("n_a") == 100 && ab.getAs[Long]("n_b") == 100)
+    assert(ab.getAs[Long]("n_union") == 150 && ab.getAs[Long]("n_inter") == 50)
+    assert(math.abs(ab.getAs[Double]("jaccard") - 50.0 / 150) < 1e-6)
+    assert(ab.getAs[Boolean]("is_exact"))
+    val ac = m.find(r => r.getString(0) == "a" && r.getString(1) == "c").get
+    assert(ac.getAs[Long]("n_inter") == 0 && ac.getAs[Double]("jaccard") == 0.0)
+    assert(m.length == 3, "3 keys -> 3 unordered pairs")
+  }
+
+  test("overlapMatrix: over-capacity estimates land in the error band, flagged") {
+    import spark.implicits._
+    val k = 512
+    // 20k-element sets with 10k shared: union 30k, jaccard 1/3
+    val df = ((1 to 20000).map(("a", _)) ++
+      (10001 to 30000).map(("b", _))).map { case (k, v) => (k, s"v$v") }
+      .toDF("k", "v").repartition(16)
+    val sk = DistinctSketch.sketchByKey(df, col("k"), col("v"), k = k)
+    val r = DistinctSketch.overlapMatrix(sk, k).head()
+    assert(!r.getAs[Boolean]("is_exact"))
+    val band = 5.0 / math.sqrt(k - 2.0)
+    assert(math.abs(r.getAs[Long]("n_union") - 30000.0) / 30000 < band,
+      s"union ${r.getAs[Long]("n_union")}")
+    // intersection inherits union error plus sampling error on the ratio
+    assert(math.abs(r.getAs[Long]("n_inter") - 10000.0) / 10000 < 2 * band,
+      s"inter ${r.getAs[Long]("n_inter")}")
+  }
 }

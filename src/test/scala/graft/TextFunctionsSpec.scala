@@ -271,9 +271,9 @@ class TextFunctionsSpec extends SparkSpec {
   test("spanCorrupt: sentinels numbered in order, spans disjoint, round-trip reassembles") {
     import spark.implicits._
     val text = (1 to 120).map(i => s"w$i").mkString(" ")
-    val r = Seq((7L, text)).toDF("id", "text")
-      .select(T.spanCorrupt(col("id"), col("text"), 25, "t5").as("c"))
-      .select("c.inputs", "c.targets").head
+    val r = T.spanCorruptDf(Seq((7L, text)).toDF("id", "text"),
+        "id", "text", 25, "t5")
+      .select("inputs", "targets").head
     val inputs = r.getString(0).split(" ").toSeq
     val targets = r.getString(1).split(" ").toSeq
     val sentinel = "<extra_id_(\\d+)>".r
@@ -296,9 +296,9 @@ class TextFunctionsSpec extends SparkSpec {
     val hidden = spans.map(_.split(" ").length).sum
     assert(hidden > 10 && hidden < 90, s"hidden $hidden of 120")
     // empty doc → empty struct fields
-    val e = Seq((1L, "")).toDF("id", "text")
-      .select(T.spanCorrupt(col("id"), col("text"), 25, "t5").as("c"))
-      .select("c.inputs", "c.targets").head
+    val e = T.spanCorruptDf(Seq((1L, "")).toDF("id", "text"),
+        "id", "text", 25, "t5")
+      .select("inputs", "targets").head
     assert(e.getString(0) == "" && e.getString(1) == "")
   }
 
