@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import graft.expressions.FloatVectorExpressions.dotF
 import graft.expressions.TextHashExpressions.{minhashSigF, simhash32F}
 import graft.functions.{HashFunctions, TextFunctions => T, VectorFunctions => V}
-import graft.operators.{Ann, AsofJoin, Bm25, BpeTrain, Classifier, CountMin, Curation, Dedup, DistinctSketch, HeavyHitters, Mining, Multimodal, Packing, PageRank, QuantileSketch, Rerank, Sampling, SkewJoin, TopK, TrigramLm}
+import graft.operators.{Ann, AsofJoin, Bm25, BpeTrain, Classifier, Collocations, CountMin, Curation, Dedup, DistinctSketch, HeavyHitters, Mining, Multimodal, Packing, PageRank, QuantileSketch, Rerank, Sampling, SkewJoin, TopK, TrigramLm}
 import graft.sources.{Layout, Tables}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -4755,6 +4755,18 @@ object SparkEntry {
       val sk = DistinctSketch.sketchByKey(toks, $"source", $"tok", k = 8192)
       DistinctSketch.overlapMatrix(sk, 8192)
         .orderBy($"key_a", $"key_b")
+    }),
+
+    // PMI collocation mining (Church & Hanks 1990) — multi-word
+    // expressions for tokenizer-vocab / stop-phrase decisions. Two
+    // counting passes (unigrams, adjacent bigrams), both map-side
+    // combined; the min-count filter lands BEFORE the unigram joins so
+    // only the frequent tail is ever joined; totals broadcast back as a
+    // 1-row aggregate (Collocations.pmiBigrams scaladoc).
+    "q_pmi_collocations" -> ((s, dir) => {
+      import s.implicits._
+      Collocations.pmiBigrams(t(s, dir, "documents"), $"text",
+        minCount = 5, topN = 30)
     })
   )
 
@@ -5280,6 +5292,32 @@ object SparkEntry {
         |             (p.n_a + p.n_b - COALESCE(i.ni, 0)), 6) + 0.0 AS jaccard,
         |       true AS is_exact
         |FROM p LEFT JOIN i ON p.key_a = i.key_a AND p.key_b = i.key_b
-        |ORDER BY p.key_a, p.key_b""".stripMargin
+        |ORDER BY p.key_a, p.key_b""".stripMargin,
+
+    "q_pmi_collocations" ->
+      """WITH base AS (
+        |  SELECT CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+        |              ELSE string_split_regex(trim(lower(text)), '\s+') END AS toks
+        |  FROM documents),
+        |uni AS (
+        |  SELECT unnest(toks) AS w FROM base),
+        |un AS (SELECT w, COUNT(*)::BIGINT AS n FROM uni GROUP BY w),
+        |bi AS (
+        |  SELECT toks[i] AS w1, toks[i + 1] AS w2
+        |  FROM base, (SELECT unnest(generate_series(1, len(toks) - 1)) AS i)),
+        |bn AS (SELECT w1, w2, COUNT(*)::BIGINT AS n_ab FROM bi GROUP BY w1, w2),
+        |tot AS (
+        |  SELECT (SELECT SUM(n) FROM un)::DOUBLE AS nt,
+        |         (SELECT SUM(n_ab) FROM bn)::DOUBLE AS bt)
+        |SELECT b.w1, b.w2, b.n_ab, a.n AS n_a, c.n AS n_b,
+        |       ROUND(LN((b.n_ab::DOUBLE / t.bt) /
+        |                ((a.n::DOUBLE / t.nt) * (c.n::DOUBLE / t.nt))), 6) + 0.0
+        |         AS pmi
+        |FROM bn b
+        |JOIN un a ON b.w1 = a.w
+        |JOIN un c ON b.w2 = c.w
+        |CROSS JOIN tot t
+        |WHERE b.n_ab >= 5
+        |ORDER BY pmi DESC, b.w1, b.w2 LIMIT 30""".stripMargin
   )
 }

@@ -295,18 +295,35 @@ object TextFunctions {
     * scan — so start/covered/sentinel-index are all pure array
     * expressions (the same per-(id:pos) gating family as `maskTokens`;
     * T5's randomized span lengths are sacrificed for replicability).
-    * Per-row codegen'd HOFs, zero shuffle at any corpus size.
-    */
-  /** Appends `inputs` and `targets` span-corruption columns. A
-    * DataFrame-level operator rather than a single Column on purpose:
-    * the gate bits (one md5 per position) and span starts materialize as
-    * real intermediate columns, evaluated once per row; higher-order
-    * lambdas are interpreted (never whole-stage-codegen'd), so a
-    * single-Column formulation re-evaluates the md5 transform at every
-    * reference — measured 5× slower at sf0.1 before this split.
+    * Zero shuffle at any corpus size.
+    *
+    * Appends `inputs` and `targets` columns. The hot path is the native
+    * single-pass kernel (`expressions/SpanCorruptExpression` — one
+    * virtual call and n md5s per row); `spanCorruptDfHof` below is the
+    * bit-identical declarative spec, agreement-tested per round in
+    * TextFunctionsSpec.
     */
   def spanCorruptDf(df: org.apache.spark.sql.DataFrame, idCol: String,
                     textCol: String, pct: Int, salt: String):
+      org.apache.spark.sql.DataFrame =
+    df.withColumn("__sc",
+        graft.expressions.SpanCorruptExpression.spanCorruptF(
+          col(idCol), col(textCol), pct, salt))
+      .withColumn("inputs", col("__sc.inputs"))
+      .withColumn("targets", col("__sc.targets"))
+      .drop("__sc")
+
+  /** Declarative staged-HOF spec of `spanCorruptDf` (same output,
+    * interpreted lambdas — readable, but the suite's slowest query
+    * before the native kernel replaced it on the hot path): the gate
+    * bits, span starts, and start positions materialize as real
+    * intermediate columns so each is evaluated once per row; a
+    * single-Column formulation re-evaluated the md5 transform at every
+    * reference — measured 5× slower again at sf0.1.
+    */
+  private[graft] def spanCorruptDfHof(df: org.apache.spark.sql.DataFrame,
+                                      idCol: String, textCol: String,
+                                      pct: Int, salt: String):
       org.apache.spark.sql.DataFrame = {
     val (gates, starts, startPos, inputs, targets) =
       spanCorruptStages(col(idCol), col(textCol), pct, salt)
@@ -321,7 +338,7 @@ object TextFunctions {
   /** Shared stage expressions for span corruption. Returns (gates,
     * starts, start-positions, inputs, targets) where the last two
     * reference the first three via the `__sc_*` column names — callers
-    * must bind them (as `spanCorruptDf` does) or pay re-evaluation.
+    * must bind them (as `spanCorruptDfHof` does) or pay re-evaluation.
     */
   private def spanCorruptStages(id: Column, text: Column, pct: Int,
                                 salt: String):

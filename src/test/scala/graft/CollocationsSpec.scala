@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Collocations
+
+class CollocationsSpec extends SparkSpec {
+
+  private def round6(x: Double): Double =
+    java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  test("pmiBigrams: hand-checked counts and PMI on a tiny corpus") {
+    import spark.implicits._
+    // unigrams: new=3 york=3 in=1 (N=7); bigrams: (new,york)=3
+    // (york,new)=1 (in,new)=1 (B=5)
+    val docs = Seq("new york new york", "in new york").toDF("text")
+    val r = Collocations.pmiBigrams(docs, col("text"), minCount = 1, topN = 10)
+      .collect()
+    assert(r.length == 3)
+    val ny = r.find(x => x.getString(0) == "new" && x.getString(1) == "york").get
+    assert(ny.getAs[Long]("n_ab") == 3 && ny.getAs[Long]("n_a") == 3 &&
+      ny.getAs[Long]("n_b") == 3)
+    val want = round6(math.log((3.0 / 5) / ((3.0 / 7) * (3.0 / 7))))
+    assert(ny.getAs[Double]("pmi") == want, s"pmi ${ny.getAs[Double]("pmi")}")
+    // rarer-but-exclusive pairs score higher: (in,new) has n_ab=1 but
+    // p(in) is tiny, so its PMI tops (new,york)
+    assert(r.head.getString(0) == "in" && r.head.getString(1) == "new")
+  }
+
+  test("pmiBigrams: minCount filters the tail, topN caps the output") {
+    import spark.implicits._
+    val docs = (Seq.fill(10)("alpha beta") ++ Seq("gamma delta")).toDF("text")
+    val r = Collocations.pmiBigrams(docs, col("text"), minCount = 2, topN = 10)
+      .collect()
+    assert(r.map(x => (x.getString(0), x.getString(1))).toSeq ==
+      Seq(("alpha", "beta")), "singleton (gamma, delta) must be cut")
+    val capped =
+      Collocations.pmiBigrams(docs, col("text"), minCount = 1, topN = 1)
+    assert(capped.count() == 1)
+  }
+
+  test("pmiBigrams: empty and single-token docs contribute no bigrams") {
+    import spark.implicits._
+    val docs = Seq("", "solo", "a b").toDF("text")
+    val r = Collocations.pmiBigrams(docs, col("text"), minCount = 1, topN = 10)
+      .collect()
+    // only (a, b); N counts "solo" even though it forms no bigram
+    assert(r.length == 1)
+    assert(r.head.getAs[Long]("n_ab") == 1)
+    val want = round6(math.log((1.0 / 1) / ((1.0 / 3) * (1.0 / 3))))
+    assert(r.head.getAs[Double]("pmi") == want)
+  }
+}

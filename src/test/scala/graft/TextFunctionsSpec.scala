@@ -302,6 +302,21 @@ class TextFunctionsSpec extends SparkSpec {
     assert(e.getString(0) == "" && e.getString(1) == "")
   }
 
+  test("spanCorrupt: native kernel agrees with the staged-HOF spec") {
+    import spark.implicits._
+    val docs = ((1 to 40).map(i =>
+      (i.toLong, (1 to i * 3).map(j => s"t$j").mkString(" "))) ++
+      Seq((98L, ""), (99L, "  "), (100L, "one"))).toDF("id", "text")
+    val fast = T.spanCorruptDf(docs, "id", "text", 25, "t5")
+      .select("id", "inputs", "targets").collect().sortBy(_.getLong(0))
+    val spec = T.spanCorruptDfHof(docs, "id", "text", 25, "t5")
+      .select("id", "inputs", "targets").collect().sortBy(_.getLong(0))
+    fast.zip(spec).foreach { case (f, s) =>
+      assert(f.getString(1) == s.getString(1), s"inputs diverge at id ${f.getLong(0)}")
+      assert(f.getString(2) == s.getString(2), s"targets diverge at id ${f.getLong(0)}")
+    }
+  }
+
   test("gopherStats: hand-checked signals, bound gating, empty doc") {
     import spark.implicits._
     def stats(text: String) =
