@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import graft.expressions.FloatVectorExpressions.dotF
 import graft.expressions.TextHashExpressions.{minhashSigF, simhash32F}
 import graft.functions.{HashFunctions, TextFunctions => T, VectorFunctions => V}
-import graft.operators.{Ann, AsofJoin, Bm25, BpeTrain, Classifier, Collocations, CountMin, Curation, Dedup, DistinctSketch, HeavyHitters, Mining, Multimodal, Packing, PageRank, QuantileSketch, Rerank, Sampling, SkewJoin, TopK, TrigramLm}
+import graft.operators.{Ann, AsofJoin, Bm25, BpeTrain, Classifier, Collocations, CountMin, Curation, Dedup, DistinctSketch, HeavyHitters, Mining, Multimodal, Packing, PageRank, QuantileSketch, Rerank, RuntimeFilter, Sampling, SkewJoin, TopK, TrigramLm}
 import graft.sources.{Layout, Tables}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -4767,6 +4767,48 @@ object SparkEntry {
       import s.implicits._
       Collocations.pmiBigrams(t(s, dir, "documents"), $"text",
         minCount = 5, topN = 30)
+    }),
+
+    // Deterministic train/val/test split manifest: hash-bucket routing
+    // (80/10/10, integer-millionth thresholds) — a FUNCTION of the key,
+    // so retries and future incremental batches route identically and
+    // leakage can't creep in as the corpus grows. Scan-speed filter, no
+    // shuffle beyond the bounded manifest agg (Sampling.threeWaySplit).
+    "q_three_way_split" -> ((s, dir) => {
+      import s.implicits._
+      Sampling.threeWaySplit(t(s, dir, "documents"), $"doc_id", 0.8, 0.1)
+        .groupBy($"source", $"split").agg(count(lit(1)).as("n"))
+        .orderBy($"source", $"split")
+    }),
+
+    // Order-independent content digest — compare two 100 TB snapshots
+    // by shipping one digest row per group instead of the data: count +
+    // XOR + mod-2^60 sum of per-row content hashes, all commutative
+    // map-side-combined reductions (Layout.contentDigest).
+    "q_table_digest" -> ((s, dir) => {
+      import s.implicits._
+      Layout.contentDigest(t(s, dir, "documents"), $"source", $"text")
+        .orderBy($"grp")
+    }),
+
+    // Runtime-filtered join — the manual twin of AQE's bloomFilter
+    // rewrite: Bloom over the build side's distinct keys (10 bits/key),
+    // probed map-side on the fact scan so only candidate rows enter the
+    // exchange; no false negatives + the equi-join eliminates the ~0.8%
+    // false positives, so the result IS the plain inner join (the
+    // oracle) (RuntimeFilter.bloomJoin scaladoc).
+    "q_runtime_filter_join" -> ((s, dir) => {
+      import s.implicits._
+      val li = t(s, dir, "lineitem")
+        .withColumnRenamed("l_orderkey", "orderkey")
+      val ord = t(s, dir, "orders")
+        .filter($"o_orderpriority" === "1-URGENT" && $"o_totalprice" > 150000)
+        .select($"o_orderkey".as("orderkey"), $"o_totalprice")
+      RuntimeFilter.bloomJoin(li, ord, "orderkey")
+        .groupBy($"l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          round(sum($"l_extendedprice"), 2).as("rev"))
+        .orderBy($"l_returnflag")
     })
   )
 
@@ -5318,6 +5360,36 @@ object SparkEntry {
         |JOIN un c ON b.w2 = c.w
         |CROSS JOIN tot t
         |WHERE b.n_ab >= 5
-        |ORDER BY pmi DESC, b.w1, b.w2 LIMIT 30""".stripMargin
+        |ORDER BY pmi DESC, b.w1, b.w2 LIMIT 30""".stripMargin,
+
+    "q_three_way_split" ->
+      """WITH s AS (
+        |  SELECT source,
+        |    CASE WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT
+        |              % 1000000 < 800000 THEN 'train'
+        |         WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT
+        |              % 1000000 < 900000 THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM documents)
+        |SELECT source, split, COUNT(*)::BIGINT AS n
+        |FROM s GROUP BY source, split ORDER BY source, split""".stripMargin,
+
+    "q_table_digest" ->
+      """WITH h AS (
+        |  SELECT source AS grp,
+        |         ('0x' || substr(md5(text), 1, 15))::BIGINT AS h
+        |  FROM documents)
+        |SELECT grp, COUNT(*)::BIGINT AS n_rows,
+        |       bit_xor(h)::BIGINT AS digest_xor,
+        |       (SUM(h) % 1152921504606846976)::BIGINT AS digest_sum
+        |FROM h GROUP BY grp ORDER BY grp""".stripMargin,
+
+    "q_runtime_filter_join" ->
+      """SELECT l.l_returnflag, COUNT(*)::BIGINT AS n,
+        |       ROUND(SUM(l.l_extendedprice), 2) AS rev
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |WHERE o.o_orderpriority = '1-URGENT' AND o.o_totalprice > 150000
+        |GROUP BY l.l_returnflag ORDER BY l.l_returnflag""".stripMargin
   )
 }

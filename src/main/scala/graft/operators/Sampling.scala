@@ -257,6 +257,31 @@ object Sampling {
           lit(0L), (acc, x) => acc + x)).as("n_kept"))
   }
 
+  /** Deterministic train/val/test split: the row's hash bucket
+    * (hash60(key) mod 10⁶) lands in [0, tTrain) → "train",
+    * [tTrain, tVal) → "val", else "test", with the thresholds quantized
+    * to integer millionths so borderline rows resolve identically across
+    * engines. Pure per-row compute at scan speed — no shuffle, no RNG —
+    * and the assignment is a FUNCTION of the key: re-runs, retries, and
+    * later incremental batches route the same document to the same
+    * split, so train/test leakage can't creep in as the corpus grows
+    * (the property a rand()-based splitter lacks). Split by a GROUPING
+    * key (url host, cluster id) rather than the row id when leakage
+    * between near-identical rows matters.
+    */
+  def threeWaySplit(df: DataFrame, key: Column, fracTrain: Double,
+                    fracVal: Double): DataFrame = {
+    require(fracTrain >= 0.0 && fracVal >= 0.0 && fracTrain + fracVal <= 1.0,
+      s"fractions must be non-negative and sum <= 1, got $fracTrain/$fracVal")
+    val tTrain = math.round(fracTrain * Denom)
+    val tVal = math.round((fracTrain + fracVal) * Denom)
+    val b = pmod(Dedup.hash60(key.cast("string")), lit(Denom))
+    df.withColumn("split",
+      when(b < tTrain, lit("train"))
+        .when(b < tVal, lit("val"))
+        .otherwise(lit("test")))
+  }
+
   private def hashGate(key: Column, rate: Column): Column =
     pmod(Dedup.hash60(key.cast("string")), lit(Denom)).cast("double") <
       rate * lit(Denom.toDouble)

@@ -189,4 +189,25 @@ object Layout {
     }
     parts.length
   }
+
+  /** Order-independent per-group content digest: row count, XOR of the
+    * rows' 60-bit content hashes, and their sum mod 2^60 (accumulated as
+    * DECIMAL(38,0) — overflow-free to ~10^19 rows — then folded back to
+    * BIGINT). Both reductions are commutative — the digest is identical
+    * under any partitioning/ordering, so two 100 TB table snapshots (or
+    * a table and its replica on another cluster) compare by shipping one
+    * tiny digest row per group instead of the data. XOR and SUM together
+    * catch what either alone misses: XOR is blind to even-multiplicity
+    * changes (a row duplicated twice cancels), SUM is blind to
+    * compensating pairs; count pins cardinality. Map-side combined,
+    * shuffle = one digest row per (partition, group).
+    */
+  def contentDigest(df: DataFrame, group: Column, value: Column): DataFrame =
+    df.select(group.as("grp"),
+        graft.operators.Dedup.hash60(value).as("__h"))
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_rows"),
+        expr("bit_xor(__h)").as("digest_xor"),
+        pmod(sum(col("__h").cast("decimal(38,0)")),
+          lit(1152921504606846976L)).cast("long").as("digest_sum"))
 }

@@ -140,6 +140,30 @@ class LayoutSpec extends SparkSpec {
     assert(gotOrc == want, "orc must be byte-lossless including empties")
   }
 
+  test("contentDigest: partitioning-independent; catches edits, dup-pairs, and drops") {
+    import spark.implicits._
+    val base = (1 to 500).map(i => (s"g${i % 3}", s"text $i")).toDF("g", "v")
+    def dig(df: org.apache.spark.sql.DataFrame) =
+      Layout.contentDigest(df, col("g"), col("v")).collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+        .toMap
+    val a = dig(base.repartition(2))
+    assert(a == dig(base.repartition(32).sort(desc("v"))),
+      "digest must not depend on partitioning or order")
+    // one edited row flips both hash digests in its group only
+    val edited = dig(base.withColumn("v",
+      when(col("v") === "text 7", lit("text 7!")).otherwise(col("v"))))
+    assert(edited("g1") != a("g1") && edited("g0") == a("g0"))
+    // a row duplicated TWICE cancels in XOR — the sum digest catches it
+    val dupped = dig(base.union(base.filter(col("v") === "text 7"))
+      .union(base.filter(col("v") === "text 7")))
+    assert(dupped("g1")._2 == a("g1")._2, "xor is blind to even multiplicity")
+    assert(dupped("g1")._3 != a("g1")._3, "mod-2^60 sum catches it")
+    assert(dupped("g1")._1 == a("g1")._1 + 2, "count catches it too")
+    // a dropped row changes the digest
+    assert(dig(base.filter(col("v") =!= "text 8"))("g2") != a("g2"))
+  }
+
   test("mergeUpsert rewrites only touched partitions; updates win, new keys append") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_merge_").toString + "/tbl"

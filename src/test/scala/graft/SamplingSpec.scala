@@ -114,4 +114,27 @@ class SamplingSpec extends SparkSpec {
       Map("src0" -> 1.0), targetSize = 5000)
     assert(capped("src0") == 1.0) // 1.0*5000/500 caps at 1
   }
+
+  test("threeWaySplit: complete, disjoint, deterministic, ~80/10/10") {
+    val d = docs(20000)
+    val s = Sampling.threeWaySplit(d, col("id"), 0.8, 0.1)
+    val counts = s.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.values.sum == 20000, "every row gets exactly one split")
+    assert(math.abs(counts("train") - 16000.0) / 16000 < 0.05, counts.toString)
+    assert(math.abs(counts("val") - 2000.0) / 2000 < 0.2, counts.toString)
+    assert(math.abs(counts("test") - 2000.0) / 2000 < 0.2, counts.toString)
+    // assignment is a function of the key: a later incremental batch
+    // containing a subset of the same ids routes identically
+    val again = Sampling.threeWaySplit(d.filter(col("id") < 1000), col("id"),
+      0.8, 0.1).collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    val full = s.filter(col("id") < 1000).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(again == full)
+    // degenerate fractions: all-train and all-test
+    assert(Sampling.threeWaySplit(d, col("id"), 1.0, 0.0)
+      .filter(col("split") =!= "train").count() == 0)
+    assert(Sampling.threeWaySplit(d, col("id"), 0.0, 0.0)
+      .filter(col("split") =!= "test").count() == 0)
+  }
 }
