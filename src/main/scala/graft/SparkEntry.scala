@@ -4809,6 +4809,16 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"),
           round(sum($"l_extendedprice"), 2).as("rev"))
         .orderBy($"l_returnflag")
+    }),
+
+    // Zipf rank-frequency fit — the one-row corpus health signal
+    // (natural text ≈ −1 slope; template-heavy corpora kink or
+    // flatten): integer micro-unit ln quantization, exact BIGINT OLS
+    // sums, one TakeOrderedAndProject for the top-K — the corpus never
+    // re-shuffles (Collocations.zipfFit scaladoc).
+    "q_zipf_fit" -> ((s, dir) => {
+      import s.implicits._
+      Collocations.zipfFit(t(s, dir, "documents"), $"text", topK = 100)
     })
   )
 
@@ -5390,6 +5400,31 @@ object SparkEntry {
         |FROM lineitem l
         |JOIN orders o ON l.l_orderkey = o.o_orderkey
         |WHERE o.o_orderpriority = '1-URGENT' AND o.o_totalprice > 150000
-        |GROUP BY l.l_returnflag ORDER BY l.l_returnflag""".stripMargin
+        |GROUP BY l.l_returnflag ORDER BY l.l_returnflag""".stripMargin,
+
+    "q_zipf_fit" ->
+      """WITH tok AS (
+        |  SELECT unnest(CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+        |                     ELSE string_split_regex(trim(lower(text)), '\s+') END)
+        |           AS w
+        |  FROM documents),
+        |c AS (SELECT w, COUNT(*)::BIGINT AS cnt FROM tok GROUP BY w),
+        |top AS (SELECT w, cnt FROM c ORDER BY cnt DESC, w LIMIT 100),
+        |r AS (SELECT cnt, row_number() OVER (ORDER BY cnt DESC, w) AS rk
+        |      FROM top),
+        |m AS (SELECT CAST(ROUND(LN(rk::DOUBLE) * 1000000.0, 0) AS BIGINT) AS x,
+        |             CAST(ROUND(LN(cnt::DOUBLE) * 1000000.0, 0) AS BIGINT) AS y
+        |      FROM r),
+        |s AS (SELECT COUNT(*)::BIGINT AS k, SUM(x)::BIGINT AS sx,
+        |             SUM(y)::BIGINT AS sy, SUM(x * y)::BIGINT AS sxy,
+        |             SUM(x * x)::BIGINT AS sxx
+        |      FROM m)
+        |SELECT k AS n_terms,
+        |  ROUND((k * sxy - sx * sy)::DOUBLE /
+        |        (k * sxx - sx * sx)::DOUBLE, 6) + 0.0 AS slope,
+        |  ROUND(sy::DOUBLE / 1000000.0 / k -
+        |        ((k * sxy - sx * sy)::DOUBLE / (k * sxx - sx * sx)::DOUBLE)
+        |          * (sx::DOUBLE / 1000000.0 / k), 6) + 0.0 AS intercept
+        |FROM s""".stripMargin
   )
 }

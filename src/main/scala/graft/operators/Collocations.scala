@@ -41,19 +41,60 @@ object Collocations {
         (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
       .groupBy(col("p.w1").as("w1"), col("p.w2").as("w2"))
       .agg(count(lit(1)).as("n_ab"))
-    val totals = uni.agg(sum(col("n")).as("N"))
-      .crossJoin(bi.agg(sum(col("n_ab")).as("B")))
+    val totals = uni.agg(sum(col("n")).as("nTot"))
+      .crossJoin(bi.agg(sum(col("n_ab")).as("bTot")))
     bi.filter(col("n_ab") >= minCount)
       .join(uni.select(col("w").as("w1"), col("n").as("n_a")), Seq("w1"))
       .join(uni.select(col("w").as("w2"), col("n").as("n_b")), Seq("w2"))
       .crossJoin(broadcast(totals))
       .withColumn("pmi", round(log(
-        (col("n_ab").cast("double") / col("B").cast("double"))
-          / ((col("n_a").cast("double") / col("N").cast("double"))
-            * (col("n_b").cast("double") / col("N").cast("double")))), 6))
+        (col("n_ab").cast("double") / col("bTot").cast("double"))
+          / ((col("n_a").cast("double") / col("nTot").cast("double"))
+            * (col("n_b").cast("double") / col("nTot").cast("double")))), 6))
       .select(col("w1"), col("w2"), col("n_ab"), col("n_a"), col("n_b"),
         col("pmi"))
       .orderBy(col("pmi").desc, col("w1"), col("w2"))
       .limit(topN)
+  }
+
+  /** Zipf rank-frequency fit: OLS slope/intercept of ln(count) against
+    * ln(rank) over the top-K terms — the one-row corpus health signal
+    * (natural text slopes ≈ −1; a synthetic or template-heavy corpus
+    * shows up as a flat or kinked curve before anyone reads a sample).
+    *
+    * Scale shape: one map-side-combined term count, one
+    * TakeOrderedAndProject for the top-K (per-partition heaps, K rows to
+    * the driver side of the plan — the corpus never re-shuffles), then
+    * the regression over K rows. Determinism: ln values quantize to
+    * integer MICRO-units (the `TrigramLm` convention), the OLS sums are
+    * exact BIGINT reductions over those integers — order-proof and
+    * engine-exact — and the final slope/intercept are single rounded
+    * double divisions.
+    */
+  def zipfFit(docs: DataFrame, textCol: Column, topK: Int = 100): DataFrame = {
+    require(topK >= 2, s"need at least 2 ranks to fit, got $topK")
+    val counts = docs
+      .select(explode(TextFunctions.tokens(lower(textCol))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("w")).limit(topK)
+    // rank over the K surviving rows only (single partition of K rows —
+    // bounded by construction, not a corpus-wide window)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("cnt").desc, col("w"))
+    counts.withColumn("rk", row_number().over(w))
+      .select(
+        round(log(col("rk").cast("double")) * 1e6).cast("long").as("x"),
+        round(log(col("cnt").cast("double")) * 1e6).cast("long").as("y"))
+      .agg(count(lit(1)).as("k"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      .select(col("k").as("n_terms"),
+        round((col("k") * col("sxy") - col("sx") * col("sy")).cast("double")
+          / (col("k") * col("sxx") - col("sx") * col("sx")).cast("double"), 6)
+          .as("slope"),
+        round(col("sy").cast("double") / 1e6 / col("k")
+          - ((col("k") * col("sxy") - col("sx") * col("sy")).cast("double")
+            / (col("k") * col("sxx") - col("sx") * col("sx")).cast("double"))
+            * (col("sx").cast("double") / 1e6 / col("k")), 6).as("intercept"))
   }
 }

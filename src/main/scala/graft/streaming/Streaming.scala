@@ -141,6 +141,32 @@ object Streaming {
         (size(m) < k).as("is_exact"))
   }
 
+  /** Tumbling-window content digest — the streaming twin of
+    * `Layout.contentDigest`: per window, row count + XOR + mod-2^60 sum
+    * of the rows' 60-bit content hashes (DECIMAL(38,0) accumulation, so
+    * the fold never overflows). All three reductions are commutative
+    * with bounded state, so the plan is a plain streaming aggregate, and
+    * a replayed/batch run over the same window produces the IDENTICAL
+    * digest row — the continuous integrity check for an ingest pipeline:
+    * compare the stream's per-window digests against the landed table's
+    * and a dropped/duplicated/corrupted batch surfaces as one mismatched
+    * row. Returns (win_start, n_rows, digest_xor, digest_sum).
+    */
+  def windowedDigest(events: DataFrame, valueCol: String,
+                     windowDur: String, watermark: String): DataFrame =
+    events
+      .filter(col(valueCol).isNotNull)
+      .withWatermark("ts", watermark)
+      .select(col("ts"),
+        Dedup.hash60(col(valueCol).cast("string")).as("__h"))
+      .groupBy(window(col("ts"), windowDur).as("w"))
+      .agg(count(lit(1)).as("n_rows"),
+        expr("bit_xor(__h)").as("digest_xor"),
+        pmod(sum(col("__h").cast("decimal(38,0)")),
+          lit(1152921504606846976L)).cast("long").as("digest_sum"))
+      .select(col("w.start").as("win_start"), col("n_rows"),
+        col("digest_xor"), col("digest_sum"))
+
   /** Stream-stream inner join with an event-time range: pair each left
     * row with right rows of the same key whose time falls in
     * [leftTs − within, leftTs]. Both sides carry watermarks, so Spark

@@ -40,6 +40,19 @@ class CollocationsSpec extends SparkSpec {
     assert(capped.count() == 1)
   }
 
+  test("zipfFit: exact-harmonic counts fit slope -1, intercept ln(C)") {
+    import spark.implicits._
+    // term i appears 840/i times, i = 1..8 → ln(cnt) = ln(840) − ln(rk)
+    val words = (1 to 8).flatMap(i => Seq.fill(840 / i)(f"w$i%02d"))
+    val docs = words.grouped(100).map(_.mkString(" ")).toSeq.toDF("text")
+    val r = Collocations.zipfFit(docs, col("text"), topK = 8).head()
+    assert(r.getAs[Long]("n_terms") == 8)
+    assert(math.abs(r.getAs[Double]("slope") - (-1.0)) < 1e-3,
+      s"slope ${r.getAs[Double]("slope")}")
+    assert(math.abs(r.getAs[Double]("intercept") - math.log(840.0)) < 1e-3,
+      s"intercept ${r.getAs[Double]("intercept")}")
+  }
+
   test("pmiBigrams: empty and single-token docs contribute no bigrams") {
     import spark.implicits._
     val docs = Seq("", "solo", "a b").toDF("text")
