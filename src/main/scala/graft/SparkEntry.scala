@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import graft.expressions.FloatVectorExpressions.dotF
 import graft.expressions.TextHashExpressions.{minhashSigF, simhash32F}
 import graft.functions.{HashFunctions, TextFunctions => T, VectorFunctions => V}
-import graft.operators.{Ann, AsofJoin, Bm25, BpeTrain, Classifier, Collocations, CountMin, Curation, Dedup, DistinctSketch, HeavyHitters, Mining, Multimodal, Packing, PageRank, QuantileSketch, Rerank, RuntimeFilter, Sampling, SkewJoin, TopK, TrigramLm}
+import graft.operators.{Ann, AsofJoin, Bm25, BpeTrain, Classifier, Collocations, CountMin, Curation, Dedup, DistinctSketch, GraphOps, HeavyHitters, Mining, Multimodal, Packing, PageRank, QuantileSketch, Rerank, RuntimeFilter, Sampling, SkewJoin, TopK, TrigramLm}
 import graft.sources.{Layout, Tables}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -4819,6 +4819,47 @@ object SparkEntry {
     "q_zipf_fit" -> ((s, dir) => {
       import s.implicits._
       Collocations.zipfFit(t(s, dir, "documents"), $"text", topK = 100)
+    }),
+
+    // Item-item co-occurrence projection of the user→item bipartite
+    // graph — the graph-construction step PageRank/components/triangles
+    // consume. Per-user pair blow-up capped DETERMINISTICALLY
+    // (row_number over item order, oracle-replicable), shuffle carries
+    // ids only (GraphOps.cooccurrenceEdges scaladoc).
+    "q_cooccur_edges" -> ((s, dir) => {
+      import s.implicits._
+      val ui = t(s, dir, "events").select($"user_id".as("u"),
+        (lit(100000L) + pmod($"event_id", lit(50L))).as("i"))
+      GraphOps.cooccurrenceEdges(ui, $"u", $"i", minShared = 3)
+        .orderBy($"ia", $"ib")
+    }),
+
+    // Exact triangle count by degree-ordered wedge closure (Suri &
+    // Vassilvitskii 2011): orientation bounds every out-degree by
+    // O(√m) — the celebrity hub contributes ZERO wedges — so the count
+    // runs on power-law graphs where naive wedge enumeration explodes
+    // (GraphOps.triangleCount scaladoc; star-hub bound spec-asserted).
+    "q_triangle_count" -> ((s, dir) => {
+      import s.implicits._
+      val ui = t(s, dir, "events").select($"user_id".as("u"),
+        (lit(100000L) + pmod($"event_id", lit(50L))).as("i"))
+      val edges = GraphOps.cooccurrenceEdges(ui, $"u", $"i", minShared = 3)
+        .select($"ia".as("a"), $"ib".as("b"))
+      GraphOps.triangleCount(edges)
+    }),
+
+    // Length-bucketed batching manifest — the padded-inference sibling
+    // of q_seq_pack's concat-and-chunk: docs route to the smallest
+    // ladder bucket ≥ token count (integer CASE ladder, no float log2),
+    // per-bucket padding-waste fraction justifies the ladder. One scan
+    // + one bounded groupBy (Packing.lengthBuckets scaladoc).
+    "q_length_buckets" -> ((s, dir) => {
+      import s.implicits._
+      Packing.lengthBuckets(
+        t(s, dir, "documents")
+          .select(size(T.tokens($"text")).cast("long").as("nt")),
+        $"nt", ladder = Seq(16, 32, 64, 128, 256))
+        .orderBy($"bucket")
     })
   )
 
@@ -5425,6 +5466,54 @@ object SparkEntry {
         |  ROUND(sy::DOUBLE / 1000000.0 / k -
         |        ((k * sxy - sx * sy)::DOUBLE / (k * sxx - sx * sx)::DOUBLE)
         |          * (sx::DOUBLE / 1000000.0 / k), 6) + 0.0 AS intercept
-        |FROM s""".stripMargin
+        |FROM s""".stripMargin,
+
+    "q_cooccur_edges" ->
+      """WITH ui AS (
+        |  SELECT DISTINCT user_id AS u, 100000 + event_id % 50 AS i
+        |  FROM events),
+        |c AS (SELECT u, i, row_number() OVER (PARTITION BY u ORDER BY i) AS rn
+        |      FROM ui),
+        |cap AS (SELECT u, i FROM c WHERE rn <= 256)
+        |SELECT a.i AS ia, b.i AS ib, COUNT(*)::BIGINT AS n_shared
+        |FROM cap a JOIN cap b ON a.u = b.u AND a.i < b.i
+        |GROUP BY 1, 2 HAVING COUNT(*) >= 3
+        |ORDER BY ia, ib""".stripMargin,
+
+    "q_triangle_count" ->
+      """WITH ui AS (
+        |  SELECT DISTINCT user_id AS u, 100000 + event_id % 50 AS i
+        |  FROM events),
+        |c AS (SELECT u, i, row_number() OVER (PARTITION BY u ORDER BY i) AS rn
+        |      FROM ui),
+        |cap AS (SELECT u, i FROM c WHERE rn <= 256),
+        |e AS (
+        |  SELECT a.i AS a, b.i AS b
+        |  FROM cap a JOIN cap b ON a.u = b.u AND a.i < b.i
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 3)
+        |SELECT COUNT(*)::BIGINT AS n_triangles
+        |FROM e e1
+        |JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
+        |JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b""".stripMargin,
+
+    "q_length_buckets" ->
+      """WITH t AS (
+        |  SELECT (CASE WHEN trim(text) = '' THEN 0
+        |               ELSE len(string_split_regex(trim(text), '\s+'))
+        |          END)::BIGINT AS nt
+        |  FROM documents),
+        |b AS (
+        |  SELECT nt,
+        |         (CASE WHEN nt <= 16 THEN 16 WHEN nt <= 32 THEN 32
+        |               WHEN nt <= 64 THEN 64 WHEN nt <= 128 THEN 128
+        |               ELSE 256 END)::BIGINT AS bucket
+        |  FROM t)
+        |SELECT bucket, COUNT(*)::BIGINT AS n_docs,
+        |       (COUNT(*) FILTER (WHERE nt > 256))::BIGINT AS n_truncated,
+        |       SUM(LEAST(nt, 256))::BIGINT AS total_tokens,
+        |       (COUNT(*) * bucket)::BIGINT AS capacity,
+        |       ROUND(1.0 - SUM(LEAST(nt, 256))::DOUBLE /
+        |             (COUNT(*) * bucket)::DOUBLE, 4) + 0.0 AS pad_waste
+        |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin
   )
 }

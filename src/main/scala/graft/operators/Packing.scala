@@ -77,4 +77,38 @@ object Packing {
       .withColumn("n_sequences",
         ceil(col("total_tokens").cast("double") / lit(budget)).cast("long"))
   }
+
+  /** Length-bucketed batching manifest — the padded-INFERENCE sibling of
+    * `packSequences`' concat-and-chunk (packing is for training;
+    * inference batches pad every sequence to the batch max, so batching
+    * similar lengths together is what keeps GPUs busy). Each doc routes
+    * to the smallest ladder bucket ≥ its token count (over-ladder docs
+    * go to the top bucket as `truncated`); per bucket: doc count,
+    * truncation count, real token total (post-truncation), padded
+    * capacity (n_docs · bucket), and the padding-waste fraction — the
+    * number that justifies the ladder. The ladder is an explicit CASE
+    * chain (integer compares, no float log2 whose boundary rounding
+    * could differ across engines). One scan + one bounded groupBy.
+    */
+  def lengthBuckets(df: DataFrame, tokens: Column,
+                    ladder: Seq[Int] = Seq(16, 32, 64, 128, 256, 512, 1024,
+                      2048, 4096)): DataFrame = {
+    require(ladder.nonEmpty && ladder.forall(_ > 0) &&
+      ladder == ladder.sorted && ladder.distinct == ladder,
+      s"ladder must be ascending positive and distinct, got $ladder")
+    val top = ladder.max
+    val bucket = ladder.reverse.foldLeft(lit(top)) {
+      case (acc, v) => when(tokens <= v, lit(v)).otherwise(acc)
+    }
+    df.select(bucket.cast("long").as("bucket"),
+        tokens.cast("long").as("__t"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        count(when(col("__t") > top, 1)).as("n_truncated"),
+        sum(least(col("__t"), lit(top.toLong))).as("total_tokens"))
+      .withColumn("capacity", col("n_docs") * col("bucket"))
+      .withColumn("pad_waste",
+        round(lit(1.0) - col("total_tokens").cast("double")
+          / col("capacity").cast("double"), 4))
+  }
 }

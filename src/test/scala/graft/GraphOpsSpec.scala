@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.GraphOps
+
+class GraphOpsSpec extends SparkSpec {
+
+  test("cooccurrenceEdges: hand-checked weights, minShared cut, dedup of repeat touches") {
+    import spark.implicits._
+    // u1 {a,b,c}, u2 {a,b}, u3 {a,b} (b touched twice — dedup), u4 {c}
+    val ui = Seq(("u1", "a"), ("u1", "b"), ("u1", "c"), ("u2", "a"),
+      ("u2", "b"), ("u3", "a"), ("u3", "b"), ("u3", "b"), ("u4", "c"))
+      .toDF("u", "i")
+    val e = GraphOps.cooccurrenceEdges(ui, col("u"), col("i"), minShared = 2)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    assert(e == Map(("a", "b") -> 3L), s"got $e") // (a,c),(b,c) have 1 user
+  }
+
+  test("cooccurrenceEdges: the per-user cap binds deterministically in item order") {
+    import spark.implicits._
+    val ui = (1 to 10).map(i => ("u1", f"i$i%02d")).toDF("u", "i")
+    val e = GraphOps.cooccurrenceEdges(ui, col("u"), col("i"),
+      minShared = 1, maxPerUser = 3)
+    // first 3 items in order → C(3,2) pairs
+    assert(e.count() == 3)
+    assert(e.agg(max(col("ib"))).head.getString(0) == "i03")
+  }
+
+  test("triangleCount: K4 has 4 triangles; adding a pendant edge changes nothing") {
+    import spark.implicits._
+    val k4 = (for {
+      a <- 1 to 4; b <- 1 to 4 if a < b
+    } yield (a.toLong, b.toLong)).toDF("a", "b")
+    assert(GraphOps.triangleCount(k4).head.getLong(0) == 4)
+    val withPendant = k4.union(Seq((4L, 99L)).toDF("a", "b"))
+    assert(GraphOps.triangleCount(withPendant).head.getLong(0) == 4)
+  }
+
+  test("triangleCount: star hub yields zero wedges at the hub (orientation bound)") {
+    import spark.implicits._
+    // hub 0 connected to 1..100, plus one closing edge (1,2): 1 triangle.
+    // A naive wedge count at the hub would enumerate C(100,2) pairs; the
+    // degree orientation points every spoke AT the hub instead.
+    val star = (1 to 100).map(i => (0L, i.toLong)).toDF("a", "b")
+      .union(Seq((1L, 2L)).toDF("a", "b"))
+    assert(GraphOps.triangleCount(star).head.getLong(0) == 1)
+    val e = star.select(col("a"), col("b"))
+    val deg = e.select(col("a").as("n")).union(e.select(col("b").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("d"))
+    val hubOut = e
+      .join(deg.select(col("n").as("a"), col("d").as("da")), Seq("a"))
+      .join(deg.select(col("n").as("b"), col("d").as("db")), Seq("b"))
+      .filter(col("a") === 0L &&
+        (col("da") < col("db") || (col("da") === col("db") && col("a") < col("b"))))
+    assert(hubOut.count() == 0, "all hub edges must orient toward the hub")
+  }
+
+  test("triangleCount: triangle-free bipartite-ish graph counts zero") {
+    import spark.implicits._
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("a", "b")
+    assert(GraphOps.triangleCount(path).head.getLong(0) == 0)
+  }
+}

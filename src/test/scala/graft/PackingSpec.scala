@@ -46,4 +46,24 @@ class PackingSpec extends SparkSpec {
     assert(r("g1") == (350L, 3L)) // ceil(350/128) = 3
     assert(r("g2") == (300L, 3L))
   }
+
+  test("lengthBuckets: routing, truncation, and waste arithmetic hand-checked") {
+    import spark.implicits._
+    // lengths 10, 16 → bucket 16; 17 → 32; 100 → 128; 300 → 256 truncated
+    val d = Seq(10L, 16L, 17L, 100L, 300L).toDF("nt")
+    val r = Packing.lengthBuckets(d, col("nt"),
+        ladder = Seq(16, 32, 64, 128, 256))
+      .collect().map(x => x.getLong(0) ->
+        ((x.getLong(1), x.getLong(2), x.getLong(3), x.getLong(4),
+          x.getDouble(5)))).toMap
+    assert(r(16L) == ((2L, 0L, 26L, 32L, 0.1875)))
+    assert(r(32L) == ((1L, 0L, 17L, 32L, 0.4688)))
+    assert(r(128L) == ((1L, 0L, 100L, 128L, 0.2188)))
+    assert(r(256L) == ((1L, 1L, 256L, 256L, 0.0)))
+    assert(r.size == 4, "empty buckets are absent, not zero rows")
+    // ladder must be ascending and distinct
+    intercept[IllegalArgumentException] {
+      Packing.lengthBuckets(d, col("nt"), ladder = Seq(32, 16))
+    }
+  }
 }
