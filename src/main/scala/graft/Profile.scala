@@ -14,7 +14,9 @@ import graft.operators.Dedup
   * timings A–F), `ngram` (G/H/H2), `scale` (LSH 10×), `incr` (signature
   * store I1/I10), `cur` (curation C1/C10), `dsir` (J1/J10), `substr`
   * (span removal K1/K10), `sketch` (L/M/N), `cc` (skewed mega-cluster
-  * connected components), `parts` (shuffle-partition sensitivity sweep).
+  * connected components), `parts` (shuffle-partition sensitivity sweep),
+  * `graph` (triangle count under a 10⁵-degree hub, 1×/10×), `rf`
+  * (runtime-filter join shuffle-byte comparison).
   */
 object Profile {
   def main(args: Array[String]): Unit = {
@@ -297,6 +299,74 @@ object Profile {
         case Some(v) => spark.conf.set(coalesceKey, v)
         case None => spark.conf.unset(coalesceKey)
       }
+    }
+
+    // Triangle counting under a celebrity hub: star(0 → 1..H) + path
+    // (1..H) — exactly H−1 triangles (each path edge closes with the
+    // hub). Naive wedge enumeration at the hub is C(H, 2) ≈ 5·10⁹ pairs
+    // at H = 10⁵ (infeasible); degree orientation points every spoke AT
+    // the hub, so the hub contributes ZERO wedges and cost tracks the
+    // path nodes (~2 wedges each). The 10× probe checks the growth is
+    // ~linear in edges.
+    if (on("graph")) {
+      import graft.operators.GraphOps
+      def hubGraph(h: Long): DataFrame = {
+        val star = spark.range(1, h + 1)
+          .select(lit(0L).as("a"), $"id".as("b"))
+        val path = spark.range(1, h)
+          .select($"id".as("a"), ($"id" + 1).as("b"))
+        star.unionByName(path).repartition(32).localCheckpoint()
+      }
+      val g1 = hubGraph(100000L)
+      time("T1 triangles, hub degree 1e5 (expect 99999)") {
+        val n = GraphOps.triangleCount(g1).head.getLong(0)
+        println(s"  triangles=$n")
+        require(n == 99999L, s"wrong count: $n")
+      }
+      val g10 = hubGraph(1000000L)
+      time("T10 triangles, hub degree 1e6 (expect 999999)") {
+        val n = GraphOps.triangleCount(g10).head.getLong(0)
+        println(s"  triangles=$n")
+        require(n == 999999L, s"wrong count: $n")
+      }
+    }
+
+    // Runtime-filter join: shuffle bytes written for plain join vs
+    // bloomJoin on the selective fact × dimension shape (lineitem ⋈
+    // urgent+expensive orders). The Bloom pre-filter discards
+    // non-candidates map-side, so the fact side's exchange should shrink
+    // by roughly the selectivity; results must be identical.
+    if (on("rf")) {
+      import graft.metrics.Metrics
+      import graft.operators.RuntimeFilter
+      val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .withColumnRenamed("l_orderkey", "orderkey")
+      val ord = spark.read.parquet(s"$sfDir/orders.parquet")
+        .filter($"o_orderpriority" === "1-URGENT" && $"o_totalprice" > 150000)
+        .select($"o_orderkey".as("orderkey"), $"o_totalprice")
+      def shuffled(f: => Long): (Long, Double) = {
+        val m = Metrics.start(spark)
+        val before = m.snapshot().toMap
+        val rows = f
+        val after = m.snapshot().toMap
+        m.close()
+        (rows, (after("graft_shuffle_bytes_written_total") -
+          before("graft_shuffle_bytes_written_total")) / 1e6)
+      }
+      // defeat broadcast so both plans actually shuffle the fact side
+      // (at cluster scale the dimension is past broadcast size by
+      // assumption — that is the regime the Bloom filter exists for)
+      val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val (nPlain, mbPlain) = shuffled(li.join(ord, Seq("orderkey")).count())
+        println(f"  plain join: rows=$nPlain shuffleWritten=$mbPlain%.1f MB")
+        val (nBloom, mbBloom) =
+          shuffled(RuntimeFilter.bloomJoin(li, ord, "orderkey").count())
+        println(f"  bloom join: rows=$nBloom shuffleWritten=$mbBloom%.1f MB")
+        require(nPlain == nBloom, s"results differ: $nPlain vs $nBloom")
+        println(f"  shuffle reduction: ${mbPlain / math.max(mbBloom, 0.1)}%.1fx")
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
     }
 
     spark.stop()
