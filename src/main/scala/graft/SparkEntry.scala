@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import graft.expressions.FloatVectorExpressions.dotF
 import graft.expressions.TextHashExpressions.{minhashSigF, simhash32F}
 import graft.functions.{HashFunctions, TextFunctions => T, VectorFunctions => V}
-import graft.operators.{Ann, AsofJoin, Bm25, BpeTrain, Classifier, Collocations, CountMin, Curation, Dedup, DistinctSketch, GraphOps, HeavyHitters, Mining, Multimodal, Packing, PageRank, QuantileSketch, Rerank, RuntimeFilter, Sampling, SkewJoin, TopK, TrigramLm}
+import graft.operators.{Ann, AsofJoin, Bm25, BpeTrain, Classifier, Collocations, CountMin, Curation, Dedup, DistinctSketch, GraphOps, HeavyHitters, Mining, Multimodal, Packing, PageRank, Privacy, QuantileSketch, Rerank, RuntimeFilter, Sampling, SkewJoin, TopK, TrigramLm}
 import graft.sources.{Layout, Tables}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -4860,6 +4860,29 @@ object SparkEntry {
           .select(size(T.tokens($"text")).cast("long").as("nt")),
         $"nt", ladder = Seq(16, 32, 64, 128, 256))
         .orderBy($"bucket")
+    }),
+
+    // k-anonymity audit — the release gate AFTER content-level PII
+    // redaction (q_pii_redact): a rare (source, lang) combination
+    // re-identifies a document's origin even with clean text (Sweeney
+    // 2002). One bounded groupBy; the publishable-subset filter joins
+    // the broadcast-sized group table back (Privacy scaladoc).
+    "q_k_anonymity" -> ((s, dir) => {
+      import s.implicits._
+      Privacy.kAnonymityAudit(t(s, dir, "documents"),
+          Seq($"source", $"lang"), k = 20)
+        .orderBy($"source", $"lang")
+    }),
+
+    // Prefix → top-N completions (the typeahead artifact, corpus-side):
+    // map-side-combined token counts, ranking window over the
+    // VOCAB-sized table partitioned by prefix — bounded groups, never
+    // the corpus (Collocations.prefixCompletions scaladoc).
+    "q_autocomplete" -> ((s, dir) => {
+      import s.implicits._
+      Collocations.prefixCompletions(t(s, dir, "documents"), $"text",
+          prefixLen = 2, topN = 3, minLen = 4)
+        .orderBy($"prefix", $"rk")
     })
   )
 
@@ -5514,6 +5537,27 @@ object SparkEntry {
         |       (COUNT(*) * bucket)::BIGINT AS capacity,
         |       ROUND(1.0 - SUM(LEAST(nt, 256))::DOUBLE /
         |             (COUNT(*) * bucket)::DOUBLE, 4) + 0.0 AS pad_waste
-        |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin
+        |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
+
+    "q_k_anonymity" ->
+      """SELECT source, lang, COUNT(*)::BIGINT AS n,
+        |       COUNT(*) < 20 AS suppress
+        |FROM documents GROUP BY source, lang
+        |ORDER BY source, lang""".stripMargin,
+
+    "q_autocomplete" ->
+      """WITH tok AS (
+        |  SELECT unnest(CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+        |                     ELSE string_split_regex(trim(lower(text)), '\s+') END)
+        |           AS w
+        |  FROM documents),
+        |c AS (SELECT w, COUNT(*)::BIGINT AS cnt FROM tok
+        |      WHERE len(w) >= 4 GROUP BY w),
+        |r AS (SELECT substr(w, 1, 2) AS prefix, w, cnt,
+        |             row_number() OVER (PARTITION BY substr(w, 1, 2)
+        |                                ORDER BY cnt DESC, w) AS rk
+        |      FROM c)
+        |SELECT prefix, CAST(rk AS INT) AS rk, w AS completion, cnt
+        |FROM r WHERE rk <= 3 ORDER BY prefix, rk""".stripMargin
   )
 }

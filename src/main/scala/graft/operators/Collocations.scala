@@ -57,6 +57,30 @@ object Collocations {
       .limit(topN)
   }
 
+  /** Prefix → top-N completions table (the autocomplete/typeahead
+    * artifact, built corpus-side): token counts grouped under their
+    * first `prefixLen` characters, top N per prefix by frequency
+    * (ties by term). Counts are map-side combined; the ranking window
+    * runs over the VOCAB-sized count table partitioned by prefix —
+    * bounded groups, never the corpus. Tokens shorter than `minLen`
+    * are noise for typeahead and are dropped.
+    */
+  def prefixCompletions(docs: DataFrame, textCol: Column, prefixLen: Int = 2,
+                        topN: Int = 3, minLen: Int = 3): DataFrame = {
+    require(prefixLen >= 1 && topN >= 1 && minLen > prefixLen,
+      s"need minLen > prefixLen >= 1, topN >= 1")
+    val counts = docs
+      .select(explode(TextFunctions.tokens(lower(textCol))).as("w"))
+      .filter(length(col("w")) >= minLen)
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .withColumn("prefix", substring(col("w"), 1, prefixLen))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("prefix")).orderBy(col("cnt").desc, col("w"))
+    counts.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= topN)
+      .select(col("prefix"), col("rk"), col("w").as("completion"), col("cnt"))
+  }
+
   /** Zipf rank-frequency fit: OLS slope/intercept of ln(count) against
     * ln(rank) over the top-K terms — the one-row corpus health signal
     * (natural text slopes ≈ −1; a synthetic or template-heavy corpus

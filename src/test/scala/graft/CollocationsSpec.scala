@@ -40,6 +40,21 @@ class CollocationsSpec extends SparkSpec {
     assert(capped.count() == 1)
   }
 
+  test("prefixCompletions: frequency-ranked per prefix, short tokens dropped") {
+    import spark.implicits._
+    val docs = Seq("apple apple apricot apex apple to to to",
+      "banana apricot apricot").toDF("text")
+    val r = Collocations.prefixCompletions(docs, col("text"),
+        prefixLen = 2, topN = 2, minLen = 3)
+      .collect().map(x => (x.getString(0), x.getInt(1), x.getString(2),
+        x.getLong(3)))
+    val ap = r.filter(_._1 == "ap").sortBy(_._2)
+    assert(ap.toSeq == Seq(("ap", 1, "apple", 3L), ("ap", 2, "apricot", 3L)),
+      s"tie breaks by term: $ap") // apex (1) cut by topN
+    assert(r.count(_._1 == "ba") == 1)
+    assert(!r.exists(_._3 == "to"), "minLen must drop short tokens")
+  }
+
   test("zipfFit: exact-harmonic counts fit slope -1, intercept ln(C)") {
     import spark.implicits._
     // term i appears 840/i times, i = 1..8 → ln(cnt) = ln(840) − ln(rk)
