@@ -59,7 +59,12 @@ object Bench {
     "q_sorted_neighborhood", "q_margin_mining", "q_recall_eval",
     "q_winsorize", "q_temperature_mix", "q_dedup_keep_best",
     "q_source_overlap", "q_span_corrupt", "q_novelty_score",
-    "q_cms_counts", "q_containment_dups", "q_robust_scale")
+    "q_cms_counts", "q_containment_dups", "q_robust_scale",
+    // round-8 additions: sketch set ops, graph counting, release gates
+    "q_kmv_setops", "q_pmi_collocations", "q_three_way_split",
+    "q_table_digest", "q_runtime_filter_join", "q_zipf_fit",
+    "q_cooccur_edges", "q_triangle_count", "q_length_buckets",
+    "q_k_anonymity", "q_autocomplete")
 
   /** Force FULL materialization of every output column: xxhash64 over all
     * columns, summed. `.count()` alone under-measures — Catalyst prunes
