@@ -4883,6 +4883,19 @@ object SparkEntry {
       Collocations.prefixCompletions(t(s, dir, "documents"), $"text",
           prefixLen = 2, topN = 3, minLen = 4)
         .orderBy($"prefix", $"rk")
+    }),
+
+    // Embedding drift between snapshots: per-label centroid cosine —
+    // each snapshot reduces to labels × dim micro-unit integers (the
+    // corpora never join row-to-row), exact BIGINT product sums, one
+    // rounded division (Mining.embeddingDrift scaladoc). Even/odd
+    // vec_id halves stand in for the two snapshots.
+    "q_embed_drift" -> ((s, dir) => {
+      import s.implicits._
+      val e = t(s, dir, "embeddings")
+      Mining.embeddingDrift(e.filter($"vec_id" % 2 === 0),
+          e.filter($"vec_id" % 2 === 1), "label", "embedding")
+        .orderBy($"label")
     })
   )
 
@@ -5558,6 +5571,26 @@ object SparkEntry {
         |                                ORDER BY cnt DESC, w) AS rk
         |      FROM c)
         |SELECT prefix, CAST(rk AS INT) AS rk, w AS completion, cnt
-        |FROM r WHERE rk <= 3 ORDER BY prefix, rk""".stripMargin
+        |FROM r WHERE rk <= 3 ORDER BY prefix, rk""".stripMargin,
+
+    "q_embed_drift" ->
+      """WITH x AS (
+        |  SELECT label, vec_id % 2 AS half, unnest(embedding)::DOUBLE AS x,
+        |         unnest(generate_series(1, len(embedding))) AS i
+        |  FROM embeddings),
+        |c AS (SELECT label, half, i,
+        |             CAST(ROUND(AVG(x) * 1000000.0, 0) AS BIGINT) AS m
+        |      FROM x GROUP BY label, half, i),
+        |j AS (SELECT a.label, SUM(a.m * b.m)::BIGINT AS dot,
+        |             SUM(a.m * a.m)::BIGINT AS na, SUM(b.m * b.m)::BIGINT AS nb
+        |      FROM c a JOIN c b ON a.label = b.label AND a.i = b.i
+        |      WHERE a.half = 0 AND b.half = 1
+        |      GROUP BY a.label)
+        |SELECT label,
+        |  ROUND(dot::DOUBLE / SQRT(na::DOUBLE) / SQRT(nb::DOUBLE), 6) + 0.0
+        |    AS cosine,
+        |  ROUND(1.0 - ROUND(dot::DOUBLE / SQRT(na::DOUBLE) / SQRT(nb::DOUBLE),
+        |                    6), 6) + 0.0 AS drift
+        |FROM j ORDER BY label""".stripMargin
   )
 }

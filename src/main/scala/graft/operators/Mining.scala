@@ -76,4 +76,38 @@ object Mining {
       .filter(col("margin") >= threshold)
       .select(col("id_a"), col("id_b"), col("margin"))
   }
+
+  /** Embedding drift between two corpus snapshots: per-label centroid
+    * cosine — the monitoring number that catches a silently retrained /
+    * re-quantized / corrupted embedder before it poisons an index
+    * rebuild (centroids shift first; individual vectors are noisy).
+    *
+    * Each snapshot reduces to LABELS × DIM micro-unit integers (one
+    * map-side-combined avg per (label, pos) — the corpora never join
+    * row-to-row), then the cosine runs on the tiny centroid tables:
+    * micro-unit products summed as exact BIGINTs (order-proof,
+    * engine-exact), one rounded double division at the end. Labels
+    * present in only one snapshot are dropped (inner join) — they are
+    * coverage drift, not direction drift. Returns (label, cosine,
+    * drift = 1 − cosine).
+    */
+  def embeddingDrift(snapA: DataFrame, snapB: DataFrame, labelCol: String,
+                     vecCol: String): DataFrame = {
+    def centroids(df: DataFrame): DataFrame = df
+      .select(col(labelCol).as("label"),
+        posexplode(col(vecCol)).as(Seq("pos", "x")))
+      .groupBy(col("label"), col("pos"))
+      .agg(round(avg(col("x").cast("double")) * 1e6).cast("long").as("m"))
+    val a = centroids(snapA).withColumnRenamed("m", "ma")
+    val b = centroids(snapB).withColumnRenamed("m", "mb")
+    a.join(b, Seq("label", "pos"))
+      .groupBy(col("label"))
+      .agg(sum(col("ma") * col("mb")).as("dot"),
+        sum(col("ma") * col("ma")).as("na"),
+        sum(col("mb") * col("mb")).as("nb"))
+      .withColumn("cosine", round(col("dot").cast("double")
+        / sqrt(col("na").cast("double")) / sqrt(col("nb").cast("double")), 6))
+      .select(col("label"), col("cosine"),
+        round(lit(1.0) - col("cosine"), 6).as("drift"))
+  }
 }

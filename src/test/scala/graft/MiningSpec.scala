@@ -1,5 +1,7 @@
 package graft
 
+import org.apache.spark.sql.functions.transform
+
 import graft.operators.Mining
 
 class MiningSpec extends SparkSpec {
@@ -36,5 +38,26 @@ class MiningSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     assert(once == again && once.nonEmpty)
     assert(once.forall { case (a, b, _) => a < b }, "pairs emitted once, a < b")
+  }
+
+  test("embeddingDrift: identical snapshots cos 1, negated cos -1, rotation in between") {
+    import spark.implicits._
+    val vecs = Seq(
+      ("l1", Array(1.0f, 0.0f, 0.5f)), ("l1", Array(0.8f, 0.2f, 0.4f)),
+      ("l2", Array(0.0f, 1.0f, 0.0f)), ("l2", Array(0.1f, 0.9f, 0.1f)))
+      .toDF("label", "embedding")
+    val same = Mining.embeddingDrift(vecs, vecs, "label", "embedding")
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(same == Map("l1" -> 0.0, "l2" -> 0.0), s"got $same")
+    val negated = vecs.select($"label",
+      transform($"embedding", x => -x).as("embedding"))
+    val neg = Mining.embeddingDrift(vecs, negated, "label", "embedding")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(neg == Map("l1" -> -1.0, "l2" -> -1.0), s"got $neg")
+    // a label missing from one snapshot is coverage drift — dropped
+    val partial = Mining.embeddingDrift(vecs,
+      vecs.filter($"label" === "l1"), "label", "embedding")
+    assert(partial.select("label").collect().map(_.getString(0)).toSeq ==
+      Seq("l1"))
   }
 }
