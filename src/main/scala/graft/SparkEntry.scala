@@ -4896,6 +4896,29 @@ object SparkEntry {
       Mining.embeddingDrift(e.filter($"vec_id" % 2 === 0),
           e.filter($"vec_id" % 2 === 1), "label", "embedding")
         .orderBy($"label")
+    }),
+
+    // Tokenizer-vocab coverage: per-source OOV rate against the
+    // corpus's top-500 terms — decides whether a vocab is big enough
+    // for a source BEFORE training. Bounded vocab broadcast, one corpus
+    // scan, one row per source (Collocations.oovRate scaladoc).
+    "q_oov_rate" -> ((s, dir) => {
+      import s.implicits._
+      Collocations.oovRate(t(s, dir, "documents"), $"text", $"source",
+          vocabSize = 500)
+        .orderBy($"grp")
+    }),
+
+    // Flesch reading ease from three regex counts (words, sentence
+    // punctuation runs, vowel groups) — integer cores + one rounded
+    // formula, scan-speed per-row compute (TextFunctions.fleschScore).
+    "q_readability" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents")
+        .select($"doc_id", T.fleschScore($"text").as("f"))
+        .select($"doc_id", $"f.n_words", $"f.n_sentences",
+          $"f.n_syllables", $"f.flesch")
+        .orderBy($"doc_id")
     })
   )
 
@@ -5591,6 +5614,38 @@ object SparkEntry {
         |    AS cosine,
         |  ROUND(1.0 - ROUND(dot::DOUBLE / SQRT(na::DOUBLE) / SQRT(nb::DOUBLE),
         |                    6), 6) + 0.0 AS drift
-        |FROM j ORDER BY label""".stripMargin
+        |FROM j ORDER BY label""".stripMargin,
+
+    "q_oov_rate" ->
+      """WITH tok AS (
+        |  SELECT source AS grp,
+        |         unnest(CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+        |                     ELSE string_split_regex(trim(lower(text)), '\s+') END)
+        |           AS w
+        |  FROM documents),
+        |v AS (SELECT w FROM (
+        |        SELECT w, COUNT(*)::BIGINT AS cnt FROM tok GROUP BY w
+        |        ORDER BY cnt DESC, w LIMIT 500))
+        |SELECT t.grp, COUNT(*)::BIGINT AS n_tokens,
+        |       (COUNT(*) FILTER (WHERE v.w IS NULL))::BIGINT AS n_oov,
+        |       ROUND((COUNT(*) FILTER (WHERE v.w IS NULL))::DOUBLE
+        |             / COUNT(*)::DOUBLE, 6) + 0.0 AS oov_rate
+        |FROM tok t LEFT JOIN v ON t.w = v.w
+        |GROUP BY t.grp ORDER BY t.grp""".stripMargin,
+
+    "q_readability" ->
+      """SELECT doc_id,
+        |  (CASE WHEN trim(text) = '' THEN 0
+        |        ELSE len(string_split_regex(trim(text), '\s+')) END)::BIGINT
+        |    AS n_words,
+        |  len(regexp_extract_all(text, '[.!?]+'))::BIGINT AS n_sentences,
+        |  len(regexp_extract_all(lower(text), '[aeiouy]+'))::BIGINT
+        |    AS n_syllables,
+        |  ROUND(206.835
+        |        - 1.015 * (GREATEST(n_words, 1)::DOUBLE
+        |                   / GREATEST(n_sentences, 1)::DOUBLE)
+        |        - 84.6 * (n_syllables::DOUBLE / GREATEST(n_words, 1)::DOUBLE),
+        |        4) + 0.0 AS flesch
+        |FROM documents ORDER BY doc_id""".stripMargin
   )
 }

@@ -390,6 +390,28 @@ object TextFunctions {
     (gates, starts, startPos, joined(inputs), joined(targets))
   }
 
+  /** Flesch reading ease (Flesch 1948) from three regex counts —
+    * words (whitespace tokens), sentences (runs of [.!?]), syllables
+    * (vowel-letter groups, the standard heuristic):
+    *   206.835 − 1.015·(W/S) − 84.6·(Y/W)
+    * with S and W floored at 1 so fragments don't divide by zero.
+    * Returns a struct (n_words, n_sentences, n_syllables, flesch);
+    * integer counts + one rounded double formula, so the score is
+    * engine-exact. Pure per-row codegen compute — scan speed at any
+    * corpus size.
+    */
+  def fleschScore(text: Column): Column = {
+    val w = size(tokens(text)).cast("long")
+    val s = size(regexp_extract_all(text, lit("[.!?]+"), lit(0))).cast("long")
+    val y = size(regexp_extract_all(lower(text), lit("[aeiouy]+"), lit(0)))
+      .cast("long")
+    val w1 = greatest(w, lit(1L)).cast("double")
+    val s1 = greatest(s, lit(1L)).cast("double")
+    struct(w.as("n_words"), s.as("n_sentences"), y.as("n_syllables"),
+      round(lit(206.835) - lit(1.015) * (w1 / s1)
+        - lit(84.6) * (y.cast("double") / w1), 4).as("flesch"))
+  }
+
   /** Punctuation character count. */
   def punctCount(text: Column): Column =
     length(text) - length(regexp_replace(text, "[.,;:!?]", ""))

@@ -81,6 +81,31 @@ object Collocations {
       .select(col("prefix"), col("rk"), col("w").as("completion"), col("cnt"))
   }
 
+  /** Tokenizer-vocab coverage: per-group out-of-vocabulary token rate
+    * against the corpus's own top-`vocabSize` terms — the number that
+    * decides whether a vocab/tokenizer is big enough for a source
+    * before training starts (a domain with 30% OOV against the planned
+    * vocab will fragment into garbage merges). The vocab is bounded by
+    * construction and BROADCAST; the corpus is scanned once, per-token
+    * membership is a broadcast-hash lookup, and the result collapses to
+    * one row per group — no corpus-sized shuffle.
+    */
+  def oovRate(docs: DataFrame, textCol: Column, group: Column,
+              vocabSize: Int = 1000): DataFrame = {
+    require(vocabSize >= 1, s"vocabSize must be positive, got $vocabSize")
+    val toks = docs.select(group.as("grp"),
+      explode(TextFunctions.tokens(lower(textCol))).as("w"))
+    val vocab = toks.groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("w")).limit(vocabSize)
+      .select(col("w"), lit(true).as("__in_vocab"))
+    toks.join(broadcast(vocab), Seq("w"), "left")
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_tokens"),
+        count(when(col("__in_vocab").isNull, 1)).as("n_oov"))
+      .withColumn("oov_rate", round(col("n_oov").cast("double")
+        / col("n_tokens").cast("double"), 6))
+  }
+
   /** Zipf rank-frequency fit: OLS slope/intercept of ln(count) against
     * ln(rank) over the top-K terms — the one-row corpus health signal
     * (natural text slopes ≈ −1; a synthetic or template-heavy corpus

@@ -55,6 +55,21 @@ class CollocationsSpec extends SparkSpec {
     assert(!r.exists(_._3 == "to"), "minLen must drop short tokens")
   }
 
+  test("oovRate: rates against the top-N vocab, per group") {
+    import spark.implicits._
+    // global counts: aa=3, bb=1, zz=1 → vocab(size=1) = {aa}
+    val docs = Seq(("g1", "aa aa bb"), ("g2", "aa zz")).toDF("g", "text")
+    val r = Collocations.oovRate(docs, col("text"), col("g"), vocabSize = 1)
+      .collect().map(x => x.getString(0) ->
+        ((x.getLong(1), x.getLong(2), x.getDouble(3)))).toMap
+    assert(r("g1") == ((3L, 1L, 0.333333)))
+    assert(r("g2") == ((2L, 1L, 0.5)))
+    // a big enough vocab drives OOV to zero
+    val full = Collocations.oovRate(docs, col("text"), col("g"), vocabSize = 10)
+      .collect().map(_.getDouble(3))
+    assert(full.forall(_ == 0.0))
+  }
+
   test("zipfFit: exact-harmonic counts fit slope -1, intercept ln(C)") {
     import spark.implicits._
     // term i appears 840/i times, i = 1..8 → ln(cnt) = ln(840) − ln(rk)

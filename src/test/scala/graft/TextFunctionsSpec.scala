@@ -302,6 +302,22 @@ class TextFunctionsSpec extends SparkSpec {
     assert(e.getString(0) == "" && e.getString(1) == "")
   }
 
+  test("fleschScore: hand-checked counts and formula, zero-guard on fragments") {
+    import spark.implicits._
+    def f(text: String) = Seq((1L, text)).toDF("id", "text")
+      .select(T.fleschScore(col("text")).as("f")).select("f.*").head
+    // 5 words, 2 sentence runs, 5 vowel groups
+    val r = f("The cat sat. It ran!")
+    assert(r.getLong(0) == 5 && r.getLong(1) == 2 && r.getLong(2) == 5)
+    // 206.835 - 1.015*(5/2) - 84.6*(5/5) = 119.6975
+    assert(r.getDouble(3) == 119.6975, r.toString)
+    // no terminal punctuation → sentence floor of 1, not a divide-by-zero
+    val frag = f("just a fragment")
+    assert(frag.getLong(1) == 0 && !frag.getDouble(3).isNaN)
+    // empty text → 0 counts, finite score
+    assert(!f("").getDouble(3).isNaN)
+  }
+
   test("spanCorrupt: native kernel agrees with the staged-HOF spec") {
     import spark.implicits._
     val docs = ((1 to 40).map(i =>
