@@ -64,7 +64,8 @@ object Bench {
     "q_kmv_setops", "q_pmi_collocations", "q_three_way_split",
     "q_table_digest", "q_runtime_filter_join", "q_zipf_fit",
     "q_cooccur_edges", "q_triangle_count", "q_length_buckets",
-    "q_k_anonymity", "q_autocomplete")
+    "q_k_anonymity", "q_autocomplete", "q_embed_drift", "q_oov_rate",
+    "q_readability")
 
   /** Force FULL materialization of every output column: xxhash64 over all
     * columns, summed. `.count()` alone under-measures — Catalyst prunes

@@ -68,6 +68,12 @@ class CollocationsSpec extends SparkSpec {
     val full = Collocations.oovRate(docs, col("text"), col("g"), vocabSize = 10)
       .collect().map(_.getDouble(3))
     assert(full.forall(_ == 0.0))
+    // the membership join must stay a broadcast-hash lookup — a future
+    // edit that drops the broadcast hint would shuffle the whole corpus
+    val plan = Collocations.oovRate(docs, col("text"), col("g"), 10)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"vocab membership must broadcast:\n$plan")
   }
 
   test("zipfFit: exact-harmonic counts fit slope -1, intercept ln(C)") {
