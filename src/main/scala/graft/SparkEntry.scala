@@ -4919,6 +4919,20 @@ object SparkEntry {
         .select($"doc_id", $"f.n_words", $"f.n_sentences",
           $"f.n_syllables", $"f.flesch")
         .orderBy($"doc_id")
+    }),
+
+    // Near-dup threshold sweep: Jaccard histogram of ALL LSH candidates
+    // + running pairs-kept-at-threshold — picks the dedup threshold
+    // from data (the knee of a bimodal histogram), one signature pass,
+    // 10 output rows at any corpus size (Dedup.nearDupThresholdSweep).
+    // 8 bands × 2 rows: a BROAD net (collision prob at j=0.3 is ~1/2 vs
+    // ~1/200 for 4×4), so the histogram actually shows the low-sim
+    // noise floor the threshold must cut
+    "q_neardup_sweep" -> ((s, dir) => {
+      import s.implicits._
+      Dedup.nearDupThresholdSweep(spread(s, t(s, dir, "documents")),
+          "doc_id", "text", shingleSize = 2, numHashes = 16, bands = 8)
+        .orderBy($"bucket")
     })
   )
 
@@ -5646,6 +5660,46 @@ object SparkEntry {
         |                   / GREATEST(n_sentences, 1)::DOUBLE)
         |        - 84.6 * (n_syllables::DOUBLE / GREATEST(n_words, 1)::DOUBLE),
         |        4) + 0.0 AS flesch
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_neardup_sweep" ->
+      """WITH t AS (
+        |  SELECT doc_id, CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+        |                      ELSE string_split_regex(trim(text), '\s+') END AS toks
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id,
+        |         list_distinct(list_transform(generate_series(1, len(toks)-1),
+        |           i -> toks[i] || ' ' || toks[i+1])) AS sh
+        |  FROM t WHERE len(toks) >= 2),
+        |sig AS (
+        |  SELECT doc_id, sh,
+        |         list_transform(generate_series(0, 15), i ->
+        |           list_min(list_transform(sh, x ->
+        |             ('0x'||substr(md5(i::VARCHAR||':'||x), 1, 15))::BIGINT))) AS sig
+        |  FROM s WHERE len(sh) > 0),
+        |bands AS (
+        |  SELECT doc_id, band_idx,
+        |         md5(array_to_string(sig[band_idx*2+1 : band_idx*2+2], ',')) AS bh
+        |  FROM (SELECT doc_id, sig, unnest(generate_series(0, 7)) AS band_idx FROM sig)),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id da, b.doc_id db
+        |  FROM bands a JOIN bands b
+        |    ON a.band_idx = b.band_idx AND a.bh = b.bh AND a.doc_id < b.doc_id),
+        |j AS (
+        |  SELECT da, db,
+        |         len(list_intersect(x.sh, y.sh))::DOUBLE /
+        |           (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))) AS jac
+        |  FROM cand JOIN s x ON da = x.doc_id JOIN s y ON db = y.doc_id),
+        |h AS (
+        |  SELECT LEAST(CAST(FLOOR(CAST(ROUND(jac * 10000, 0) AS BIGINT)
+        |                          / 1000.0) AS BIGINT), 9) AS bucket,
+        |         COUNT(*)::BIGINT AS n_pairs
+        |  FROM j GROUP BY 1)
+        |SELECT bucket, ROUND(bucket / 10.0, 1) + 0.0 AS lo, n_pairs,
+        |       SUM(n_pairs) OVER (ORDER BY bucket DESC
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+        |         AS n_kept_at_lo
+        |FROM h ORDER BY bucket""".stripMargin
   )
 }

@@ -319,6 +319,37 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Threshold sweep for near-dup tuning: the Jaccard histogram of ALL
+    * LSH candidate pairs (threshold 0) in 0.1-wide buckets, with the
+    * running "pairs kept at threshold ≥ bucket-low" count — the one
+    * table that picks the dedup threshold from data instead of folklore
+    * (a bimodal histogram separates true dups from band-collision
+    * noise; the knee is the threshold). Costs ONE signature pass — the
+    * same pipeline `nearDupPairs` runs, minus the filter — and the
+    * histogram is 10 rows whatever the corpus size. Bucket index is
+    * integer-safe: round-4 Jaccard → exact micro-units → integer
+    * division (floor(j·10) on raw doubles mis-buckets 0.3·10 =
+    * 2.999…96).
+    */
+  def nearDupThresholdSweep(docs: DataFrame, idCol: String, textCol: String,
+                            shingleSize: Int = 2, numHashes: Int = 16,
+                            bands: Int = 4,
+                            maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    val pairs = nearDupPairs(docs, idCol, textCol, shingleSize, numHashes,
+      bands, threshold = 0.0, maxBucket)
+    val micro = round(col("jaccard") * 10000).cast("long")
+    val hist = pairs
+      .withColumn("bucket",
+        least(floor(micro / lit(1000.0)).cast("long"), lit(9L)))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n_pairs"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("bucket").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    hist
+      .withColumn("lo", round(col("bucket") / 10.0, 1))
+      .withColumn("n_kept_at_lo", sum(col("n_pairs")).over(w))
+      .select(col("bucket"), col("lo"), col("n_pairs"), col("n_kept_at_lo"))
+  }
+
   /** CCNet-style paragraph (line) deduplication: strip from every
     * document the lines that repeat at least `minRepeats` times across
     * the CORPUS — navigation chrome, cookie banners, footers — while

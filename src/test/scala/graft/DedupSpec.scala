@@ -535,4 +535,24 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(got == Map(11L -> 2L, 13L -> 1L))
   }
+
+  test("nearDupThresholdSweep: buckets partition the candidates, kept-count is the tail sum") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"),   // exact dup of 1 → jac 1.0
+      (3L, "alpha beta gamma delta other words"),    // partial overlap
+      (4L, "totally different content here now ok")).toDF("doc_id", "text")
+    val sweep = Dedup.nearDupThresholdSweep(docs, "doc_id", "text")
+      .orderBy("bucket").collect()
+    val all = Dedup.nearDupPairs(docs, "doc_id", "text", threshold = 0.0)
+    assert(sweep.map(_.getLong(2)).sum == all.count(),
+      "histogram must partition all candidate pairs")
+    assert(sweep.last.getLong(0) == 9 && sweep.last.getLong(2) >= 1,
+      "the exact dup lands in the top bucket")
+    // n_kept_at_lo is the suffix sum: monotone non-increasing in bucket
+    val kept = sweep.map(_.getLong(3))
+    assert(kept.zip(kept.drop(1)).forall { case (a, b) => a >= b })
+    assert(kept.head == all.count(), "threshold 0 keeps every candidate")
+  }
 }
