@@ -2267,8 +2267,10 @@ object SparkEntry {
         |       ),1,15))::BIGINT % 2001 - 1000)) AS s
         |  FROM d)
         |SELECT doc_id,
-        |  ROUND(COALESCE(s, 0) / (1000.0 * greatest(n, 1)), 6) + 0.0 AS logit,
-        |  (ROUND(COALESCE(s, 0) / (1000.0 * greatest(n, 1)), 6) + 0.0) > 0.0 AS keep
+        |  CAST(ROUND(COALESCE(s, 0)::DOUBLE * 1000.0 / greatest(n, 1)::DOUBLE,
+        |             0) AS BIGINT) / 1000000.0 + 0.0 AS logit,
+        |  (CAST(ROUND(COALESCE(s, 0)::DOUBLE * 1000.0 / greatest(n, 1)::DOUBLE,
+        |              0) AS BIGINT) / 1000000.0 + 0.0) > 0.0 AS keep
         |FROM t ORDER BY doc_id""".stripMargin,
 
     "q_c4_clean" ->

@@ -38,13 +38,25 @@ object Classifier {
       lit(2001L)) - 1000L
 
   /** Document logit: (Σ_token slotWeight) / (1000 · max(n_tokens, 1)),
-    * rounded to 6 — mean feature weight scaled back to [-1, 1].
+    * at micro (10⁻⁶) resolution — mean feature weight scaled back to
+    * [-1, 1].
+    *
+    * Rounding happens at the INTEGER micro-unit level — round(s·1000/n)
+    * then /10⁶ — not as round(q, 6) on the quotient: the quotient's
+    * exact rational ties (s and n are integers, so x.xxxxxx5 happens)
+    * are invisible in the double, and Spark (exact-BigDecimal HALF_UP)
+    * vs DuckDB (multiply-round-divide) resolve the neighborhood
+    * differently — 3 of 5000 sf0.1 logits flipped. A half-integer
+    * micro value IS exactly representable, both engines round it away
+    * from zero, and the final /10⁶ is one correctly-rounded IEEE
+    * division — bit-identical everywhere.
     */
   def logit(toks: Column, buckets: Int = DefaultBuckets): Column = {
     val s = aggregate(toks, lit(0L),
       (acc, t) => acc + slotWeight(slot(t, buckets)))
-    round(s.cast("double") /
-      (lit(1000.0) * greatest(size(toks), lit(1))), 6) + lit(0.0)
+    val micro = round(s.cast("double") * lit(1000.0) /
+      greatest(size(toks), lit(1)).cast("double")).cast("long")
+    micro.cast("double") / lit(1000000.0) + lit(0.0)
   }
 
   /** Keep decision at a logit threshold (quantized compare — the
