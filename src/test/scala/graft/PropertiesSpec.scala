@@ -160,4 +160,80 @@ class PropertiesSpec extends SparkSpec {
       assert(idemErr < 1e-12, s"seed=$seed idempotence violated: $idemErr")
     }
   }
+
+  // random undirected graphs: ≤ 12 nodes, arbitrary edge subsets
+  private val graphs: Gen[List[(Long, Long)]] = for {
+    n <- Gen.choose(2, 12)
+    pairs = (for { a <- 0 until n; b <- a + 1 until n } yield (a.toLong, b.toLong)).toList
+    edges <- Gen.someOf(pairs)
+  } yield edges.toList
+
+  test("prop: triangleCount == driver-side brute force on random graphs") {
+    import spark.implicits._
+    import graft.operators.GraphOps
+    (1 to 10).foreach { seed =>
+      val edges = sample(graphs, seed + 1300)
+      if (edges.nonEmpty) {
+        val es = edges.toSet
+        val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+        val brute = (for {
+          a <- nodes; b <- nodes if a < b; c <- nodes if b < c
+          if es((a, b)) && es((b, c)) && es((a, c))
+        } yield 1).size.toLong
+        val parts = sample(Gen.choose(1, 5), seed * 13)
+        val got = GraphOps.triangleCount(
+          edges.toDF("a", "b").repartition(parts)).head.getLong(0)
+        assert(got == brute, s"seed=$seed: got $got want $brute (${edges.size} edges)")
+      }
+    }
+  }
+
+  test("prop: KMV pair union estimate == sketch-of-the-union, below AND above capacity") {
+    import spark.implicits._
+    import graft.operators.DistinctSketch
+    (1 to 6).foreach { seed =>
+      val k = 64 // small capacity so half the seeds land in the estimate regime
+      val nA = sample(Gen.choose(5, 200), seed + 1400)
+      val nB = sample(Gen.choose(5, 200), seed + 1500)
+      val shift = sample(Gen.choose(0, 150), seed + 1600)
+      val a = (0 until nA).map(i => ("a", s"v$i"))
+      val b = (0 until nB).map(i => ("b", s"v${i + shift}"))
+      val df = (a ++ b).toDF("g", "v").repartition(4)
+      val sk = DistinctSketch.sketchByKey(df, col("g"), col("v"), k)
+      val m = DistinctSketch.overlapMatrix(sk, k).head()
+      // the merged pair sketch IS the sketch of A ∪ B (k smallest of the
+      // union), so its read-off must equal distinctCount over the union
+      val direct = DistinctSketch.distinctCount(df.select(col("v")), col("v"), k)
+        .head()
+      assert(m.getAs[Long]("n_union") == direct.getLong(0),
+        s"seed=$seed: pair ${m.getAs[Long]("n_union")} vs direct ${direct.getLong(0)}")
+      assert(m.getAs[Boolean]("is_exact") == direct.getBoolean(1), s"seed=$seed")
+      // exact regime: every reported number is the true cardinality
+      if (m.getAs[Boolean]("is_exact")) {
+        val union = (a ++ b).map(_._2).distinct.size.toLong
+        val inter = a.map(_._2).toSet.intersect(b.map(_._2).toSet).size.toLong
+        assert(m.getAs[Long]("n_union") == union && m.getAs[Long]("n_inter") == inter,
+          s"seed=$seed")
+      }
+    }
+  }
+
+  test("prop: native span-corruption kernel == staged-HOF spec on random docs") {
+    import spark.implicits._
+    import graft.functions.{TextFunctions => T}
+    (1 to 4).foreach { seed =>
+      val docs = (0 until 25).map { i =>
+        val n = sample(Gen.choose(0, 60), seed * 100 + i)
+        (i.toLong + seed * 1000, (1 to n).map(j => s"w$j").mkString(" "))
+      }.toDF("id", "text")
+      val pct = sample(Gen.oneOf(0, 13, 25, 50, 100), seed + 1700)
+      def run(f: (org.apache.spark.sql.DataFrame, String, String, Int, String) =>
+          org.apache.spark.sql.DataFrame) =
+        f(docs, "id", "text", pct, s"salt$seed")
+          .select("id", "inputs", "targets").collect()
+          .map(r => r.getLong(0) -> ((r.getString(1), r.getString(2)))).toMap
+      assert(run(T.spanCorruptDf) == run(T.spanCorruptDfHof),
+        s"seed=$seed pct=$pct")
+    }
+  }
 }
