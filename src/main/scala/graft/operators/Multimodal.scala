@@ -7,13 +7,16 @@ import org.apache.spark.sql.types._
 /** Multimodal column plumbing: image/audio/video as opaque BINARY columns
   * with typed, deterministic metadata extraction.
   *
-  * The decode step is STUBBED — this container has no image/audio codecs,
-  * so "decoding" derives metadata and features from the bytes' md5
-  * deterministically. Everything around the stub is real and tested: the
-  * binary schema, per-row columnar compute (no shuffle), and the feature
-  * projection shape. A real deployment swaps `fakeDecodeMeta` /
-  * `fakeFeatures` for a per-partition native decoder (mapPartitions with
-  * a lazily-initialized codec), keeping this exact schema.
+  * Two decoders ship behind the per-partition [[MediaDecoder]] boundary:
+  * [[PpmDecoder]] is a REAL end-to-end decode path (P6 PPM parse →
+  * nearest-neighbor resize → channel/luma features — the one raster
+  * format decodable without native codecs, which this container has
+  * none of), and [[StubDecoder]] is the deterministic md5 stand-in for
+  * codec-less formats (jpeg/png/webp), kept as the oracle twin of the
+  * Column-level `fakeDecodeMeta`/`fakeFeatures`. Everything around the
+  * decoders is real and tested: the binary schema, per-partition
+  * streaming compute (no shuffle), and the feature projection shape. A
+  * real deployment swaps in a JNI codec without touching the plumbing.
   */
 object Multimodal {
 
@@ -76,6 +79,130 @@ object Multimodal {
         (hx(4, 4) % 480).toInt,
         Seq("jpeg", "png", "webp")((hx(8, 2) % 3).toInt), feats)
     }
+  }
+
+  /** Minimal binary PPM (P6) codec — pure JVM, no native libs: the one
+    * raster format simple enough to decode for real in this container,
+    * which turns the decoder boundary from "stub only" into "real
+    * format end to end" (parse → resize → features) while keeping
+    * [[StubDecoder]] as the stand-in for codec-less formats.
+    */
+  object Ppm {
+    /** Interleaved 8-bit RGB. */
+    final case class Image(width: Int, height: Int, maxval: Int,
+                           pixels: Array[Byte])
+
+    /** Strict-enough P6 parser: `P6`, whitespace/comments, width height
+      * maxval (≤ 255), single whitespace, then w·h·3 raw bytes. Returns
+      * None on any malformed input — a decode boundary must never throw
+      * on crawl garbage.
+      */
+    def parse(bytes: Array[Byte]): Option[Image] = {
+      var i = 0
+      def skipWs(): Unit = {
+        var go = true
+        while (go && i < bytes.length) {
+          val c = bytes(i)
+          if (c == '#') { while (i < bytes.length && bytes(i) != '\n') i += 1 }
+          else if (c == ' ' || c == '\t' || c == '\r' || c == '\n') i += 1
+          else go = false
+        }
+      }
+      def int(): Option[Int] = {
+        skipWs()
+        val start = i
+        while (i < bytes.length && bytes(i) >= '0' && bytes(i) <= '9') i += 1
+        if (i == start) None
+        else Some(new String(bytes, start, i - start).toInt)
+      }
+      if (bytes.length < 2 || bytes(0) != 'P' || bytes(1) != '6') return None
+      i = 2
+      for {
+        w <- int() if w > 0 && w <= (1 << 14)
+        h <- int() if h > 0 && h <= (1 << 14)
+        m <- int() if m > 0 && m <= 255
+        // exactly one whitespace byte separates maxval from raster data
+        _ <- if (i < bytes.length &&
+              (bytes(i) == ' ' || bytes(i) == '\n' || bytes(i) == '\r' ||
+                bytes(i) == '\t')) Some(()) else None
+        data = bytes.drop(i + 1)
+        img <- if (data.length >= w * h * 3)
+            Some(Image(w, h, m, data.take(w * h * 3))) else None
+      } yield img
+    }
+
+    /** Encode (test fixtures + round-trip checks). */
+    def encode(img: Image): Array[Byte] = {
+      val header = s"P6\n${img.width} ${img.height}\n${img.maxval}\n"
+        .getBytes("US-ASCII")
+      header ++ img.pixels
+    }
+
+    /** Nearest-neighbor resize — the deterministic, seam-exact resampler
+      * (src index = floor(dst · src/dst), integer math only).
+      */
+    def resizeNearest(img: Image, tw: Int, th: Int): Image = {
+      require(tw > 0 && th > 0, s"target dims must be positive: $tw x $th")
+      val out = new Array[Byte](tw * th * 3)
+      var y = 0
+      while (y < th) {
+        val sy = (y.toLong * img.height / th).toInt
+        var x = 0
+        while (x < tw) {
+          val sx = (x.toLong * img.width / tw).toInt
+          val s = (sy * img.width + sx) * 3
+          val d = (y * tw + x) * 3
+          out(d) = img.pixels(s); out(d + 1) = img.pixels(s + 1)
+          out(d + 2) = img.pixels(s + 2)
+          x += 1
+        }
+        y += 1
+      }
+      Image(tw, th, img.maxval, out)
+    }
+  }
+
+  /** REAL decoder for P6 PPM payloads: parse → per-channel means
+    * (exact integer sums, normalized by maxval) as features 0–2, then
+    * luma means of a nearest-neighbor (featureDim−3)×1 thumbnail as the
+    * rest — the parse/resize/feature path a production image pipeline
+    * runs, on the one format this container can decode without native
+    * codecs. Non-PPM payloads decode to format "unknown" with zero
+    * features (a decode boundary must absorb crawl garbage, not throw).
+    */
+  final case class PpmDecoder(featureDim: Int = 4) extends MediaDecoder {
+    require(featureDim >= 3, s"featureDim must be >= 3, got $featureDim")
+    override def decode(payload: Array[Byte]): DecodedMedia =
+      Ppm.parse(payload) match {
+        case None =>
+          DecodedMedia(payload.length.toLong, 0, 0, "unknown",
+            new Array[Float](featureDim))
+        case Some(img) =>
+          val n = img.width * img.height
+          val sums = new Array[Long](3)
+          var i = 0
+          while (i < n * 3) { sums(i % 3) += img.pixels(i) & 0xff; i += 1 }
+          val feats = new Array[Float](featureDim)
+          var c = 0
+          while (c < 3) {
+            feats(c) = (sums(c).toDouble / n / img.maxval).toFloat
+            c += 1
+          }
+          if (featureDim > 3) {
+            val strip = Ppm.resizeNearest(img, featureDim - 3, 1)
+            var x = 0
+            while (x < featureDim - 3) {
+              val p = x * 3
+              val luma = 0.299 * (strip.pixels(p) & 0xff) +
+                0.587 * (strip.pixels(p + 1) & 0xff) +
+                0.114 * (strip.pixels(p + 2) & 0xff)
+              feats(3 + x) = (luma / img.maxval).toFloat
+              x += 1
+            }
+          }
+          DecodedMedia(payload.length.toLong, img.width, img.height, "ppm",
+            feats)
+      }
   }
 
   private val decodedSchema = StructType(Seq(

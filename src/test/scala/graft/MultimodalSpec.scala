@@ -35,4 +35,68 @@ class MultimodalSpec extends SparkSpec {
     val dims = out.select(size($"decoded.features")).distinct().collect().map(_.getInt(0))
     assert(dims.toSeq == Seq(8))
   }
+
+  test("PPM: encode/parse round-trip, comments, and malformed inputs") {
+    import Multimodal.Ppm
+    val img = Ppm.Image(3, 2, 255,
+      Array[Byte](10, 20, 30, 40, 50, 60, 70, 80, 90,
+        100, 110, 120, -126, -116, -106, -96, -86, -76)) // 130..180 unsigned
+    val back = Ppm.parse(Ppm.encode(img)).get
+    assert(back.width == 3 && back.height == 2 && back.maxval == 255)
+    assert(back.pixels.sameElements(img.pixels))
+    // header comments are legal PPM
+    val commented = "P6\n# a comment\n3 2\n# more\n255\n".getBytes("US-ASCII") ++
+      img.pixels
+    assert(Ppm.parse(commented).exists(_.pixels.sameElements(img.pixels)))
+    // malformed: wrong magic, truncated raster, zero dims → None, no throw
+    assert(Ppm.parse("P5\n1 1\n255\nx".getBytes).isEmpty)
+    assert(Ppm.parse(Ppm.encode(img).dropRight(1)).isEmpty)
+    assert(Ppm.parse("P6\n0 2\n255\n".getBytes).isEmpty)
+    assert(Ppm.parse(Array.empty[Byte]).isEmpty)
+  }
+
+  test("PPM: nearest-neighbor resize picks exact source pixels") {
+    import Multimodal.Ppm
+    // 2x2 image with distinct corner colors
+    val img = Ppm.Image(2, 2, 255,
+      Array[Byte](1, 1, 1, 2, 2, 2, 3, 3, 3, 4, 4, 4))
+    val up = Ppm.resizeNearest(img, 4, 4)
+    // each source pixel becomes a 2x2 block, seams at the halfway point
+    def px(i: Ppm.Image, x: Int, y: Int) = i.pixels((y * i.width + x) * 3)
+    assert(px(up, 0, 0) == 1 && px(up, 3, 0) == 2)
+    assert(px(up, 0, 3) == 3 && px(up, 3, 3) == 4)
+    assert(px(up, 1, 1) == 1 && px(up, 2, 2) == 4)
+    val down = Ppm.resizeNearest(up, 2, 2)
+    assert(down.pixels.sameElements(img.pixels), "down(up(x)) == x for 2x blocks")
+  }
+
+  test("PpmDecoder: real decode through the partitioned boundary, garbage absorbed") {
+    import spark.implicits._
+    import Multimodal.Ppm
+    // solid-color images: mean channel features are exactly the color
+    def solid(id: Long, w: Int, h: Int, r: Int, g: Int, b: Int) = {
+      val px = Array.tabulate(w * h * 3)(i => (Seq(r, g, b)(i % 3)).toByte)
+      (id, Ppm.encode(Ppm.Image(w, h, 255, px)))
+    }
+    val rows = Seq(solid(1L, 4, 3, 255, 0, 0), solid(2L, 5, 5, 0, 255, 0),
+      (3L, "not an image at all".getBytes("UTF-8")))
+    val df = rows.toDF("id", "bin").repartition(2)
+    val out = Multimodal.decodePartitioned(df, "bin", Multimodal.PpmDecoder(5))
+      .select($"id", $"decoded.*").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val red = out(1L)
+    assert(red.getAs[Int]("width") == 4 && red.getAs[Int]("height") == 3)
+    assert(red.getAs[String]("format") == "ppm")
+    val redF = red.getAs[scala.collection.Seq[Float]]("features")
+    assert(redF(0) == 1.0f && redF(1) == 0.0f && redF(2) == 0.0f)
+    // luma strip of solid red = 0.299 everywhere
+    assert(math.abs(redF(3) - 0.299f) < 1e-3 && math.abs(redF(4) - 0.299f) < 1e-3)
+    val green = out(2L)
+    assert(green.getAs[scala.collection.Seq[Float]]("features")(1) == 1.0f)
+    val junk = out(3L)
+    assert(junk.getAs[String]("format") == "unknown" &&
+      junk.getAs[Int]("width") == 0)
+    assert(junk.getAs[scala.collection.Seq[Float]]("features").forall(_ == 0.0f))
+    assert(junk.getAs[Long]("n_bytes") == "not an image at all".length)
+  }
 }
