@@ -218,6 +218,82 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("prop: bloomJoin == plain inner join on random key sets") {
+    import spark.implicits._
+    import graft.operators.RuntimeFilter
+    (1 to 6).foreach { seed =>
+      val nProbe = sample(Gen.choose(50, 2000), seed + 1800)
+      val keep = sample(Gen.choose(1, 40), seed + 1900)
+      val probe = (1 to nProbe).map(i => (i.toLong, s"p$i")).toDF("k", "pv")
+        .repartition(sample(Gen.choose(1, 6), seed))
+      val build = (1 to nProbe).filter(_ % keep == 0)
+        .map(i => (i.toLong, s"b$i")).toDF("k", "bv")
+      val got = RuntimeFilter.bloomJoin(probe, build, "k")
+        .select("k").collect().map(_.getLong(0)).sorted
+      val want = probe.join(build, Seq("k"))
+        .select("k").collect().map(_.getLong(0)).sorted
+      assert(got.sameElements(want), s"seed=$seed")
+    }
+  }
+
+  test("prop: contentDigest is permutation-invariant and edit-sensitive") {
+    import graft.sources.Layout
+    import spark.implicits._
+    (1 to 5).foreach { seed =>
+      val n = sample(Gen.choose(20, 300), seed + 2000)
+      val rows = (0 until n).map(i => (s"g${i % 3}", s"value $i $seed"))
+      def dig(d: org.apache.spark.sql.DataFrame) =
+        Layout.contentDigest(d, col("g"), col("v")).collect()
+          .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+          .toMap
+      val base = dig(rows.toDF("g", "v").repartition(3))
+      val shuffled = dig(scala.util.Random.javaRandomToRandom(
+        new java.util.Random(seed)).shuffle(rows).toDF("g", "v").repartition(7))
+      assert(base == shuffled, s"seed=$seed: digest must ignore order/partitioning")
+      val victim = sample(Gen.choose(0, n - 1), seed + 2100)
+      val edited = dig(rows.updated(victim,
+        (rows(victim)._1, rows(victim)._2 + "!")).toDF("g", "v"))
+      assert(edited(rows(victim)._1) != base(rows(victim)._1),
+        s"seed=$seed: a one-row edit must flip its group digest")
+    }
+  }
+
+  test("prop: threeWaySplit is total, deterministic, and subset-stable for random fractions") {
+    import graft.operators.Sampling
+    import spark.implicits._
+    (1 to 5).foreach { seed =>
+      val fT = sample(Gen.choose(0, 100), seed + 2200) / 100.0
+      val fV = sample(Gen.choose(0, 100 - (fT * 100).toInt), seed + 2300) / 100.0
+      val ids = (1 to 500).map(_.toLong).toDF("id")
+      val s = Sampling.threeWaySplit(ids, col("id"), fT, fV)
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(s.size == 500 && s.values.forall(Set("train", "val", "test")))
+      // any subset routes identically (the no-leakage-creep property)
+      val sub = Sampling.threeWaySplit(ids.filter(col("id") % 3 === 0),
+        col("id"), fT, fV).collect().map(r => r.getLong(0) -> r.getString(1))
+      assert(sub.forall { case (id, sp) => s(id) == sp }, s"seed=$seed")
+    }
+  }
+
+  test("prop: lengthBuckets conserves docs and tokens, capacity bounds totals") {
+    import graft.operators.Packing
+    import spark.implicits._
+    (1 to 5).foreach { seed =>
+      val lens = sample(Gen.listOfN(200, Gen.choose(0, 400)), seed + 2400)
+        .map(_.toLong)
+      val r = Packing.lengthBuckets(lens.toDF("nt"), col("nt"),
+        ladder = Seq(16, 64, 256)).collect()
+      assert(r.map(_.getAs[Long]("n_docs")).sum == 200, s"seed=$seed")
+      val expectTokens = lens.map(math.min(_, 256L)).sum
+      assert(r.map(_.getAs[Long]("total_tokens")).sum == expectTokens)
+      r.foreach { row =>
+        assert(row.getAs[Long]("capacity") >= row.getAs[Long]("total_tokens"))
+        assert(row.getAs[Long]("capacity") ==
+          row.getAs[Long]("n_docs") * row.getAs[Long]("bucket"))
+      }
+    }
+  }
+
   test("prop: native span-corruption kernel == staged-HOF spec on random docs") {
     import spark.implicits._
     import graft.functions.{TextFunctions => T}
