@@ -66,4 +66,39 @@ class GraftExtensionsSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("INT literal") || e.getMessage.contains("graft_shingles"))
   }
+
+  test("optimizer rule rewrites the declarative HOF dot to the native kernel") {
+    import spark.implicits._
+    import graft.expressions.FloatDotProduct
+    import graft.functions.{VectorFunctions => V}
+    val df = Seq(
+      (Seq(1.0f, 2.0f, 3.0f), Seq(0.5f, -1.0f, 2.0f)),
+      (Seq(0.0f, 0.0f, 1.0f), Seq(4.0f, 5.0f, 6.0f))).toDF("a", "b")
+      // keep a non-foldable node under the projection: Catalyst's
+      // ConvertToLocalRelation otherwise evaluates the whole query at
+      // plan time and there is no expression left to rewrite
+      .repartition(2)
+    def hasKernel(q: org.apache.spark.sql.DataFrame): Boolean =
+      q.queryExecution.optimizedPlan.expressions
+        .exists(_.exists(_.isInstanceOf[FloatDotProduct]))
+    val query = df.select(V.dot($"a", $"b").as("dot"))
+    assert(!hasKernel(query), "no rule installed yet")
+    val before = query.collect().map(_.getDouble(0)).toSeq
+    spark.experimental.extraOptimizations =
+      Seq(graft.plans.RewriteHofDotProduct)
+    try {
+      val rewritten = df.select(V.dot($"a", $"b").as("dot"))
+      assert(hasKernel(rewritten),
+        s"rule must fire:\n${rewritten.queryExecution.optimizedPlan}")
+      assert(rewritten.collect().map(_.getDouble(0)).toSeq == before,
+        "kernel and HOF must agree bit-for-bit")
+      // double arrays are NOT the kernel's contract — no rewrite
+      val doubles = df.select($"a".cast("array<double>").as("ad"),
+        $"b".cast("array<double>").as("bd"))
+      assert(!hasKernel(doubles.select(V.dot($"ad", $"bd"))),
+        "rule must not fire on ARRAY<DOUBLE>")
+      // a cosine built FROM dot still gets its dot rewritten
+      assert(hasKernel(df.select(V.cosine($"a", $"b"))))
+    } finally spark.experimental.extraOptimizations = Nil
+  }
 }
