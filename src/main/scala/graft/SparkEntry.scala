@@ -4929,10 +4929,16 @@ object SparkEntry {
     // 10 output rows at any corpus size (Dedup.nearDupThresholdSweep).
     // 8 bands × 2 rows: a BROAD net (collision prob at j=0.3 is ~1/2 vs
     // ~1/200 for 4×4), so the histogram actually shows the low-sim
-    // noise floor the threshold must cut
+    // noise floor the threshold must cut. Runs on a 40% HASH-SAMPLE:
+    // a threshold is tuned on a sample and applied at scale — the
+    // broad net's near-quadratic candidate cost stays bounded by the
+    // sample, not the corpus (the same md5 gate as q_hash_sample, so
+    // the oracle sees the identical subset).
     "q_neardup_sweep" -> ((s, dir) => {
       import s.implicits._
-      Dedup.nearDupThresholdSweep(spread(s, t(s, dir, "documents")),
+      val sampled = t(s, dir, "documents")
+        .filter(pmod(Dedup.hash60($"doc_id".cast("string")), lit(100L)) < 40)
+      Dedup.nearDupThresholdSweep(spread(s, sampled),
           "doc_id", "text", shingleSize = 2, numHashes = 16, bands = 8)
         .orderBy($"bucket")
     })
@@ -5668,7 +5674,8 @@ object SparkEntry {
       """WITH t AS (
         |  SELECT doc_id, CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
         |                      ELSE string_split_regex(trim(text), '\s+') END AS toks
-        |  FROM documents),
+        |  FROM documents
+        |  WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 100 < 40),
         |s AS (
         |  SELECT doc_id,
         |         list_distinct(list_transform(generate_series(1, len(toks)-1),
