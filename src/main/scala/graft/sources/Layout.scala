@@ -210,4 +210,27 @@ object Layout {
         expr("bit_xor(__h)").as("digest_xor"),
         pmod(sum(col("__h").cast("decimal(38,0)")),
           lit(1152921504606846976L)).cast("long").as("digest_sum"))
+
+  /** Merge two digest tables (snapshot ⊎ delta): every component is
+    * commutative-monoidal — counts add, XORs xor, sums add mod 2^60 —
+    * so `merge(digest(A), digest(B)) == digest(A ⊎ B)` exactly, and an
+    * incremental pipeline maintains its table digest from APPEND BATCH
+    * DIGESTS ALONE: the 100 TB snapshot is never rescanned (the digest
+    * twin of `Dedup.incrementalDedup`'s fingerprint-snapshot
+    * discipline). Groups present in only one input pass through.
+    */
+  def mergeDigests(a: DataFrame, b: DataFrame): DataFrame = {
+    val fold = lit(1152921504606846976L)
+    a.select(col("grp"), col("n_rows").as("__na"),
+        col("digest_xor").as("__xa"), col("digest_sum").as("__sa"))
+      .join(b.select(col("grp"), col("n_rows").as("__nb"),
+        col("digest_xor").as("__xb"), col("digest_sum").as("__sb")),
+        Seq("grp"), "full_outer")
+      .select(col("grp"),
+        (coalesce(col("__na"), lit(0L)) + coalesce(col("__nb"), lit(0L)))
+          .as("n_rows"),
+        expr("coalesce(__xa, 0L) ^ coalesce(__xb, 0L)").as("digest_xor"),
+        pmod(coalesce(col("__sa"), lit(0L)) + coalesce(col("__sb"), lit(0L)),
+          fold).as("digest_sum"))
+  }
 }

@@ -164,6 +164,24 @@ class LayoutSpec extends SparkSpec {
     assert(dig(base.filter(col("v") =!= "text 8"))("g2") != a("g2"))
   }
 
+  test("mergeDigests: digest(A) ⊎ digest(B) == digest(A ∪ B); lone groups pass through") {
+    import spark.implicits._
+    val rows = (1 to 400).map(i => (s"g${i % 3}", s"row $i"))
+    val (a, b) = rows.splitAt(170)
+    def dig(xs: Seq[(String, String)]) =
+      Layout.contentDigest(xs.toDF("g", "v"), col("g"), col("v"))
+    def asMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(asMap(Layout.mergeDigests(dig(a), dig(b))) == asMap(dig(rows)),
+      "merged append-batch digests must equal the full-table digest")
+    // a group present only in the delta appears unchanged in the merge
+    val lone = Seq(("new_src", "only here"))
+    val merged = asMap(Layout.mergeDigests(dig(rows), dig(lone)))
+    assert(merged("new_src") == asMap(dig(lone))("new_src"))
+    assert(merged("g0") == asMap(dig(rows))("g0"))
+  }
+
   test("mergeUpsert rewrites only touched partitions; updates win, new keys append") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_merge_").toString + "/tbl"
