@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import graft.expressions.FloatVectorExpressions.dotF
 import graft.expressions.TextHashExpressions.{minhashSigF, simhash32F}
 import graft.functions.{HashFunctions, TextFunctions => T, VectorFunctions => V}
-import graft.operators.{Ann, AsofJoin, Bm25, BpeTrain, Classifier, Collocations, CountMin, Curation, Dedup, DistinctSketch, GraphOps, HeavyHitters, Mining, Multimodal, Packing, PageRank, Privacy, QuantileSketch, Rerank, RuntimeFilter, Sampling, SkewJoin, TopK, TrigramLm}
+import graft.operators.{Ann, AsofJoin, Bm25, BpeTrain, Classifier, Collocations, CountMin, Curation, Dedup, DistinctSketch, GraphOps, HeavyHitters, Mining, Multimodal, Packing, PageRank, Privacy, QuantileSketch, Rerank, RuntimeFilter, Sampling, SkewJoin, TopK, TrigramLm, Validation}
 import graft.sources.{Layout, Tables}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -4941,6 +4941,20 @@ object SparkEntry {
       Dedup.nearDupThresholdSweep(spread(s, sampled),
           "doc_id", "text", shingleSize = 2, numHashes = 16, bands = 8)
         .orderBy($"bucket")
+    }),
+
+    // Data-quality expectations (the Deequ-style suite): ALL row-local
+    // checks fold into ONE map-side-combined scan (50 checks = one
+    // pass); uniqueness is its own bounded groupBy. Output = one row
+    // per check — the table a publish gates on (Validation scaladoc).
+    "q_data_quality" -> ((s, dir) => {
+      import s.implicits._
+      Validation.validate(t(s, dir, "documents"), Seq(
+          Validation.notNull("text"), Validation.nonEmpty("text"),
+          Validation.inRange("n_chars", 0, 100000),
+          Validation.matches("lang", "^[a-z]{2}$"),
+          Validation.isIn("source", (0 until 15).map(i => s"src$i"))),
+        uniqueKeys = Seq("doc_id"))
     })
   )
 
@@ -5709,6 +5723,40 @@ object SparkEntry {
         |       SUM(n_pairs) OVER (ORDER BY bucket DESC
         |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
         |         AS n_kept_at_lo
-        |FROM h ORDER BY bucket""".stripMargin
+        |FROM h ORDER BY bucket""".stripMargin,
+
+    "q_data_quality" ->
+      """WITH rl AS (
+        |  SELECT 'not_null' AS "check", 'text' AS "column",
+        |         (COUNT(*) FILTER (WHERE text IS NULL))::BIGINT AS n_violations
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT 'non_empty', 'text',
+        |         (COUNT(*) FILTER (WHERE text IS NULL
+        |            OR len(trim(text)) = 0))::BIGINT
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT 'in_range', 'n_chars',
+        |         (COUNT(*) FILTER (WHERE n_chars IS NULL OR n_chars < 0
+        |            OR n_chars > 100000))::BIGINT
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT 'matches', 'lang',
+        |         (COUNT(*) FILTER (WHERE lang IS NULL
+        |            OR NOT regexp_matches(lang, '^[a-z]{2}$')))::BIGINT
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT 'is_in', 'source',
+        |         (COUNT(*) FILTER (WHERE source IS NULL OR source NOT IN
+        |            ('src0','src1','src2','src3','src4','src5','src6','src7',
+        |             'src8','src9','src10','src11','src12','src13','src14')))::BIGINT
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT 'unique', 'doc_id',
+        |         COALESCE((SELECT SUM(c - 1) FROM
+        |           (SELECT COUNT(*) AS c FROM documents GROUP BY doc_id)
+        |           WHERE c > 1), 0)::BIGINT)
+        |SELECT "check", "column", n_violations, n_violations = 0 AS passed
+        |FROM rl ORDER BY "check", "column"""".stripMargin
   )
 }
