@@ -167,6 +167,36 @@ object Streaming {
       .select(col("w.start").as("win_start"), col("n_rows"),
         col("digest_xor"), col("digest_sum"))
 
+  /** Tumbling-window data-quality expectations — the streaming twin of
+    * `operators/Validation.validate` (row-local checks only: uniqueness
+    * needs cross-window state and belongs to the batch audit): per
+    * window, every check's violation count folds into the ONE streaming
+    * aggregate, so a 50-check suite monitors an ingest stream for the
+    * cost of one pass. Returns one (win_start, check, column,
+    * n_violations, passed) row per window × check — the live feed a
+    * data-quality dashboard alerts on; batch replay produces identical
+    * rows (agreement spec-tested).
+    */
+  def windowedValidation(events: DataFrame,
+                         checks: Seq[graft.operators.Validation.Check],
+                         windowDur: String, watermark: String): DataFrame = {
+    require(checks.nonEmpty, "no checks given")
+    val aggs = checks.map(ch =>
+      count(when(ch.violation, 1)).as(s"${ch.name}:${ch.column}"))
+    val perCheck = checks.map(ch => struct(
+      lit(ch.name).as("check"), lit(ch.column).as("column"),
+      col(s"`${ch.name}:${ch.column}`").as("n_violations")))
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowDur).as("w"))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("w.start").as("win_start"),
+        explode(array(perCheck: _*)).as("r"))
+      .select(col("win_start"), col("r.check").as("check"),
+        col("r.column").as("column"), col("r.n_violations"),
+        (col("r.n_violations") === 0L).as("passed"))
+  }
+
   /** Stream-stream inner join with an event-time range: pair each left
     * row with right rows of the same key whose time falls in
     * [leftTs − within, leftTs]. Both sides carry watermarks, so Spark
