@@ -65,7 +65,12 @@ object Bench {
     "q_table_digest", "q_runtime_filter_join", "q_zipf_fit",
     "q_cooccur_edges", "q_triangle_count", "q_length_buckets",
     "q_k_anonymity", "q_autocomplete", "q_embed_drift", "q_oov_rate",
-    "q_readability", "q_neardup_sweep", "q_data_quality")
+    "q_readability", "q_neardup_sweep", "q_data_quality",
+    // round-9 additions: lexical VSM, paragraph dedup, cluster balance,
+    // keywords, pseudonymization, purity eval, LPA communities
+    "q_tfidf_search", "q_paragraph_dedup", "q_cluster_balance",
+    "q_tfidf_keywords", "q_pseudonymize", "q_cluster_purity",
+    "q_label_prop")
 
   /** Force FULL materialization of every output column: xxhash64 over all
     * columns, summed. `.count()` alone under-measures — Catalyst prunes

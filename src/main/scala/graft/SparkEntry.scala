@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import graft.expressions.FloatVectorExpressions.dotF
 import graft.expressions.TextHashExpressions.{minhashSigF, simhash32F}
 import graft.functions.{HashFunctions, TextFunctions => T, VectorFunctions => V}
-import graft.operators.{Ann, AsofJoin, Bm25, BpeTrain, Classifier, Collocations, CountMin, Curation, Dedup, DistinctSketch, GraphOps, HeavyHitters, Mining, Multimodal, Packing, PageRank, Privacy, QuantileSketch, Rerank, RuntimeFilter, Sampling, SkewJoin, TopK, TrigramLm, Validation}
+import graft.operators.{Ann, AsofJoin, Bm25, BpeTrain, Classifier, Collocations, CountMin, Curation, Dedup, DistinctSketch, GraphOps, HeavyHitters, Mining, Multimodal, Packing, PageRank, Privacy, QuantileSketch, Rerank, RuntimeFilter, Sampling, SkewJoin, Tfidf, TopK, TrigramLm, Validation}
 import graft.sources.{Layout, Tables}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -4955,6 +4955,109 @@ object SparkEntry {
           Validation.matches("lang", "^[a-z]{2}$"),
           Validation.isIn("source", (0 until 15).map(i => s"src$i"))),
         uniqueKeys = Seq("doc_id"))
+    }),
+
+    // TF-IDF vector-space retrieval — the classic lexical baseline next
+    // to q_bm25: smoothed idf, full-vector cosine norm, binary query.
+    // Index-build shape: one corpus explode+tf shuffle, vocab-bounded
+    // idf broadcast, one per-doc two-long reduction (Tfidf scaladoc).
+    "q_tfidf_search" -> ((s, dir) => {
+      import s.implicits._
+      Tfidf.search(spread(s, t(s, dir, "documents")), "doc_id", "text",
+          Seq("vector", "join", "scan"), 10)
+        .select($"doc_id", $"score")
+    }),
+
+    // CCNet-style paragraph-level exact dedup: corpus-wide first
+    // occurrence per paragraph fingerprint, survivors reassembled in
+    // doc order, untouched docs byte-identical. Text crosses the wire
+    // once; canonical pick is a min(struct) agg, never a window
+    // (Dedup.paragraphDedup scaladoc).
+    "q_paragraph_dedup" -> ((s, dir) => {
+      import s.implicits._
+      Dedup.paragraphDedup(spread(s, t(s, dir, "documents")),
+          "doc_id", "text", paraTokens = 10)
+        .orderBy($"doc_id")
+    }),
+
+    // Cluster-balanced subsampling (the SemDeDup/DoReMi curation move:
+    // cap each embedding cluster so head clusters can't dominate the
+    // training mix): IVF cell assignment (zero-shuffle per-row argmax),
+    // then a deterministic md5-priority top-cap per cell via the
+    // k-bounded two-phase aggregator — the exchange carries at most
+    // cells × cap entries, never the corpus (TopK.topKPerKeyAgg).
+    "q_cluster_balance" -> ((s, dir) => {
+      import s.implicits._
+      val e = t(s, dir, "embeddings")
+      val cents = e.filter($"vec_id" < 16)
+        .select($"vec_id".as("cent_id"), $"embedding".as("cvec"))
+      val assigned = Ann.ivfAssign(e, cents, "vec_id", "embedding",
+        "cent_id", "cvec")
+      // 52-bit md5 priority: exact in double, so both engines rank
+      // identically with no ulp edge
+      val pri = assigned.select($"cell_id", $"vec_id",
+        conv(substring(md5(concat(lit("cb:"), $"vec_id".cast("string"))), 1, 13),
+          16, 10).cast("long").cast("double").as("__pri"))
+      TopK.topKPerKeyAgg(pri, Seq($"cell_id"), $"__pri", $"vec_id", 20)
+        .select($"cell_id", $"id".as("vec_id"))
+        .orderBy($"cell_id", $"vec_id")
+    }),
+
+    // Per-doc top-3 keywords by tf-idf weight (topical tagging /
+    // faceting): reuses the Tfidf.vectorize index projection; the
+    // per-doc argmax is the k-bounded two-phase aggregator, so the
+    // exchange carries ≤ docs × 3 entries past the tf shuffle.
+    "q_tfidf_keywords" -> ((s, dir) => {
+      import s.implicits._
+      val v = Tfidf.vectorize(spread(s, t(s, dir, "documents")),
+        "doc_id", "text")
+      TopK.topKPerKeyAggStr(v, Seq($"doc_id"), $"wq".cast("double"),
+          $"term", 3)
+        .select($"doc_id", $"id".as("term"), $"score".cast("long").as("wq"))
+        .orderBy($"doc_id", $"wq".desc, $"term")
+    }),
+
+    // Hash-consistent pseudonymization (release transform): same id →
+    // same pseudonym (joins/sessions still work on published data),
+    // reversal needs the unpublished salt. Pure per-row codegen — no
+    // shuffle, no mapping table to leak (Privacy.pseudonymize).
+    "q_pseudonymize" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "events")
+        .select($"event_id",
+          Privacy.pseudonymize($"user_id", "graft-release-1").as("user_pseud"),
+          $"event_type")
+        .orderBy($"event_id")
+    }),
+
+    // Cluster-purity eval vs ground-truth labels: per IVF cell, the
+    // majority-label fraction (ties to smallest label). The corpus
+    // collapses in one (cell, label) map-side-combined count; the
+    // argmax runs over that bounded table (Mining.clusterPurity).
+    "q_cluster_purity" -> ((s, dir) => {
+      import s.implicits._
+      val e = t(s, dir, "embeddings")
+      val cents = e.filter($"vec_id" < 16)
+        .select($"vec_id".as("cent_id"), $"embedding".as("cvec"))
+      Mining.clusterPurity(
+          Ann.ivfAssign(e, cents, "vec_id", "embedding", "cent_id", "cvec"),
+          "cell_id", "label")
+        .orderBy($"cell_id")
+    }),
+
+    // Synchronous label-propagation communities on the user–item graph
+    // (3 fixed rounds, majority ties to smallest label — fully
+    // deterministic): the neighborhood-density grouping next to
+    // connected components; per round one edge join + one bounded
+    // (node, label) count + a min(struct) argmax (GraphOps scaladoc).
+    "q_label_prop" -> ((s, dir) => {
+      import s.implicits._
+      val e = t(s, dir, "events")
+        .select($"user_id".as("src"),
+          (lit(100000L) + $"event_id" % 50).as("dst"))
+        .distinct()
+      GraphOps.labelPropagation(e, "src", "dst", rounds = 3)
+        .orderBy($"node")
     })
   )
 
@@ -5757,6 +5860,165 @@ object SparkEntry {
         |           (SELECT COUNT(*) AS c FROM documents GROUP BY doc_id)
         |           WHERE c > 1), 0)::BIGINT)
         |SELECT "check", "column", n_violations, n_violations = 0 AS passed
-        |FROM rl ORDER BY "check", "column"""".stripMargin
+        |FROM rl ORDER BY "check", "column"""".stripMargin,
+
+    "q_tfidf_search" ->
+      """WITH t AS (
+        |  SELECT doc_id, CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[]) ELSE string_split_regex(trim(lower(text)), '\s+') END AS toks
+        |  FROM documents),
+        |tok AS (SELECT doc_id, unnest(toks) AS term FROM t),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term),
+        |nn AS (SELECT COUNT(*)::DOUBLE AS n FROM documents),
+        |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+        |idf AS (SELECT term, ROUND(ln((nn.n + 1.0) / (df.df::DOUBLE + 1.0)) + 1.0, 6) AS idf
+        |        FROM df CROSS JOIN nn),
+        |w AS (SELECT tf.doc_id, tf.term,
+        |             CAST(ROUND(tf.tf::DOUBLE * idf.idf * 1000000) AS BIGINT) AS wq
+        |      FROM tf JOIN idf USING (term)),
+        |pd AS (SELECT doc_id, SUM(wq * wq) AS n2,
+        |              SUM(CASE WHEN term IN ('vector', 'join', 'scan')
+        |                       THEN wq ELSE 0 END) AS dot
+        |       FROM w GROUP BY doc_id)
+        |SELECT doc_id,
+        |       ROUND(dot::DOUBLE / SQRT(n2::DOUBLE) / SQRT(3.0), 4) + 0.0 AS score
+        |FROM pd WHERE dot > 0
+        |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
+
+    "q_paragraph_dedup" ->
+      """WITH t AS (
+        |  SELECT doc_id, text, CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[]) ELSE string_split_regex(trim(text), '\s+') END AS toks
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, unnest(generate_series(0, CAST(ceil(len(toks)/10.0) AS INT) - 1)) AS idx, toks
+        |  FROM t WHERE len(toks) > 0),
+        |p AS (
+        |  SELECT doc_id, idx,
+        |         md5(lower(trim(regexp_replace(
+        |           array_to_string(toks[idx*10+1 : idx*10+10], ' '), '\s+', ' ', 'g')))) AS fp
+        |  FROM c),
+        |k AS (
+        |  SELECT doc_id, idx FROM (
+        |    SELECT doc_id, idx,
+        |           row_number() OVER (PARTITION BY fp ORDER BY doc_id, idx) AS rn
+        |    FROM p) WHERE rn = 1),
+        |keep AS (
+        |  SELECT doc_id, list_sort(list(idx)) AS keep FROM k GROUP BY doc_id),
+        |x AS (
+        |  SELECT t.doc_id, t.text, t.toks,
+        |         CAST(CASE WHEN len(t.toks) = 0 THEN 0
+        |              ELSE ceil(len(t.toks)/10.0) END AS BIGINT) AS n_paras,
+        |         CAST(COALESCE(len(kp.keep), 0) AS BIGINT) AS n_kept, kp.keep
+        |  FROM t LEFT JOIN keep kp USING (doc_id))
+        |SELECT doc_id, n_paras, n_kept,
+        |       CASE WHEN n_paras = n_kept THEN text
+        |            ELSE COALESCE(array_to_string(list_transform(keep,
+        |              i -> array_to_string(toks[i*10+1 : i*10+10], ' ')), ' '), '')
+        |       END AS text_dedup
+        |FROM x ORDER BY doc_id""".stripMargin,
+
+    "q_cluster_balance" ->
+      """WITH cents AS (
+        |  SELECT vec_id AS cent_id, embedding AS cvec FROM embeddings WHERE vec_id < 16),
+        |pc AS (
+        |  SELECT e.vec_id, c.cent_id,
+        |         unnest(e.embedding)::DOUBLE x, unnest(c.cvec)::DOUBLE y
+        |  FROM embeddings e CROSS JOIN cents c),
+        |pagg AS (SELECT vec_id, cent_id, SUM(x*y) dp, SUM(x*x) nx2, SUM(y*y) ny2
+        |         FROM pc GROUP BY vec_id, cent_id),
+        |psc AS (SELECT vec_id, cent_id,
+        |          ROUND(dp/(GREATEST(SQRT(nx2),1e-12)*GREATEST(SQRT(ny2),1e-12)), 6) c
+        |        FROM pagg),
+        |assign AS (
+        |  SELECT vec_id, cent_id AS cell_id FROM (
+        |    SELECT vec_id, cent_id,
+        |           row_number() OVER (PARTITION BY vec_id ORDER BY c DESC, cent_id) rn
+        |    FROM psc) WHERE rn = 1),
+        |pri AS (
+        |  SELECT cell_id, vec_id,
+        |         (('0x' || substr(md5('cb:' || vec_id), 1, 13))::BIGINT)::DOUBLE AS pri
+        |  FROM assign),
+        |r AS (
+        |  SELECT cell_id, vec_id,
+        |         row_number() OVER (PARTITION BY cell_id ORDER BY pri DESC, vec_id) AS rn
+        |  FROM pri)
+        |SELECT cell_id, vec_id FROM r WHERE rn <= 20
+        |ORDER BY cell_id, vec_id""".stripMargin,
+
+    "q_tfidf_keywords" ->
+      """WITH t AS (
+        |  SELECT doc_id, CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[]) ELSE string_split_regex(trim(lower(text)), '\s+') END AS toks
+        |  FROM documents),
+        |tok AS (SELECT doc_id, unnest(toks) AS term FROM t),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term),
+        |nn AS (SELECT COUNT(*)::DOUBLE AS n FROM documents),
+        |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+        |idf AS (SELECT term, ROUND(ln((nn.n + 1.0) / (df.df::DOUBLE + 1.0)) + 1.0, 6) AS idf
+        |        FROM df CROSS JOIN nn),
+        |w AS (SELECT tf.doc_id, tf.term,
+        |             CAST(ROUND(tf.tf::DOUBLE * idf.idf * 1000000) AS BIGINT) AS wq
+        |      FROM tf JOIN idf USING (term)),
+        |r AS (SELECT doc_id, term, wq,
+        |             row_number() OVER (PARTITION BY doc_id ORDER BY wq DESC, term) AS rn
+        |      FROM w)
+        |SELECT doc_id, term, wq FROM r WHERE rn <= 3
+        |ORDER BY doc_id, wq DESC, term""".stripMargin,
+
+    "q_pseudonymize" ->
+      """SELECT event_id,
+        |       'u' || substr(md5('graft-release-1:' || user_id), 1, 12) AS user_pseud,
+        |       event_type
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q_cluster_purity" ->
+      """WITH cents AS (
+        |  SELECT vec_id AS cent_id, embedding AS cvec FROM embeddings WHERE vec_id < 16),
+        |pc AS (
+        |  SELECT e.vec_id, c.cent_id,
+        |         unnest(e.embedding)::DOUBLE x, unnest(c.cvec)::DOUBLE y
+        |  FROM embeddings e CROSS JOIN cents c),
+        |pagg AS (SELECT vec_id, cent_id, SUM(x*y) dp, SUM(x*x) nx2, SUM(y*y) ny2
+        |         FROM pc GROUP BY vec_id, cent_id),
+        |psc AS (SELECT vec_id, cent_id,
+        |          ROUND(dp/(GREATEST(SQRT(nx2),1e-12)*GREATEST(SQRT(ny2),1e-12)), 6) c
+        |        FROM pagg),
+        |assign AS (
+        |  SELECT vec_id, cent_id AS cell_id FROM (
+        |    SELECT vec_id, cent_id,
+        |           row_number() OVER (PARTITION BY vec_id ORDER BY c DESC, cent_id) rn
+        |    FROM psc) WHERE rn = 1),
+        |cnt AS (
+        |  SELECT a.cell_id, e.label::BIGINT AS lab, COUNT(*) AS c
+        |  FROM assign a JOIN embeddings e USING (vec_id)
+        |  GROUP BY 1, 2),
+        |r AS (
+        |  SELECT cell_id, lab, c,
+        |         row_number() OVER (PARTITION BY cell_id ORDER BY c DESC, lab) AS rn,
+        |         SUM(c) OVER (PARTITION BY cell_id) AS n
+        |  FROM cnt)
+        |SELECT cell_id, n::BIGINT AS n, lab AS top_label, c::BIGINT AS n_top,
+        |       ROUND(c::DOUBLE / n, 4) + 0.0 AS purity
+        |FROM r WHERE rn = 1 ORDER BY cell_id""".stripMargin,
+
+    "q_label_prop" -> {
+      def round(k: Int): String = {
+        val p = k - 1
+        s"""c$k AS (
+           |  SELECT s.dst AS node, l.lab, COUNT(*) AS c
+           |  FROM sym s JOIN l$p l ON s.src = l.node
+           |  GROUP BY 1, 2),
+           |l$k AS (
+           |  SELECT node, lab FROM (
+           |    SELECT node, lab,
+           |           row_number() OVER (PARTITION BY node ORDER BY c DESC, lab) AS rn
+           |    FROM c$k) WHERE rn = 1)""".stripMargin
+      }
+      s"""WITH e0 AS (
+         |  SELECT DISTINCT user_id AS src, 100000 + event_id % 50 AS dst
+         |  FROM events),
+         |sym AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+         |l0 AS (SELECT DISTINCT src AS node, src AS lab FROM sym),
+         |${(1 to 3).map(round).mkString(",\n")}
+         |SELECT node, lab FROM l3 ORDER BY node""".stripMargin
+    }
   )
 }

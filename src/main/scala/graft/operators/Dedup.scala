@@ -872,6 +872,66 @@ object Dedup {
     * second key recovers them), bought for one partitioned sort + a
     * window·corpus comparison budget, no self-join anywhere.
     */
+  /** CCNet-style paragraph-level exact dedup (Wenzek et al. 2020:
+    * "CCNet: Extracting High Quality Monolingual Datasets from Web Crawl
+    * Data" deduplicates at paragraph granularity before any document
+    * scoring): split each document into consecutive `paraTokens`-token
+    * paragraphs (the corpus has no newline structure, so the paragraph
+    * boundary is the [[graft.functions.TextFunctions.chunks]] chunker —
+    * on newline-structured text, substitute a `split(text, '\n')`
+    * exploder and everything downstream is unchanged), fingerprint each
+    * paragraph, keep only the corpus-wide FIRST occurrence of every
+    * fingerprint (ordered by (id, paragraph index) — deterministic under
+    * any partitioning), and reassemble the surviving paragraphs in
+    * document order.
+    *
+    * Returns one row per document: (idCol, n_paras, n_kept, text_dedup).
+    * A document whose every paragraph survives passes its text through
+    * BYTE-IDENTICAL; only rewritten documents are re-joined
+    * single-spaced (same contract as `removeDuplicatedSpans`).
+    *
+    * Scale shape — three linear passes, text crosses the wire once:
+    *   1. explode to (id, idx, md5-fingerprint) — paragraph TEXT is
+    *      dropped before any exchange; the canonical-occurrence pick is
+    *      a map-side-combinable min(struct) per fingerprint (never a
+    *      row_number window, which would serialize hot fingerprints);
+    *   2. survivors fold back to ONE bounded row per document (a sorted
+    *      index list, ≤ n_paras ints) via a map-side-combinable
+    *      collect_list;
+    *   3. one hash join by id against the original table re-slices the
+    *      kept paragraphs from the in-row token array — the only
+    *      exchange that moves document text, and the join the 100 TB
+    *      deployment makes shuffle-free by bucketing both sides by id
+    *      (`sources/Layout.bucketBy`).
+    */
+  def paragraphDedup(docs: DataFrame, idCol: String, textCol: String,
+                     paraTokens: Int = 10): DataFrame = {
+    require(paraTokens >= 1, s"paraTokens must be >= 1, got $paraTokens")
+    val id = col(idCol)
+    val paras = docs
+      .select(id, posexplode(T.chunks(col(textCol), paraTokens))
+        .as(Seq("__idx", "__para")))
+      .select(id, col("__idx"), T.fingerprint(col("__para")).as("__fp"))
+    val canon = paras.groupBy(col("__fp"))
+      .agg(min(struct(id.as("__cid"), col("__idx").as("__cidx"))).as("__first"))
+    val kept = paras.join(canon, Seq("__fp"))
+      .filter(col("__first.__cid") === id && col("__first.__cidx") === col("__idx"))
+      .groupBy(id)
+      .agg(sort_array(collect_list(col("__idx"))).as("__keep"))
+    val chunksCol = T.chunks(col(textCol), paraTokens)
+    docs.join(kept, Seq(idCol), "left")
+      .select(id,
+        size(chunksCol).cast("long").as("n_paras"),
+        coalesce(size(col("__keep")), lit(0)).cast("long").as("n_kept"),
+        when(size(chunksCol) === coalesce(size(col("__keep")), lit(0)),
+          col(textCol))
+          // entirely-duplicate doc: __keep is NULL (no survivors) → ""
+          .otherwise(array_join(transform(
+            coalesce(col("__keep"), array().cast("array<int>")),
+            i => element_at(chunksCol, i + 1)), " "))
+          .as("text_dedup"))
+  }
+
   def sortedNeighborhoodPairs(docs: DataFrame, idCol: String, textCol: String,
                               window: Int = 3, keyLen: Int = 24,
                               blockLen: Int = 8, shingleSize: Int = 2,

@@ -73,4 +73,47 @@ object GraphOps {
       .join(e.select(col("a").as("t1"), col("b").as("t2")), Seq("t1", "t2"))
       .agg(count(lit(1)).as("n_triangles"))
   }
+
+  /** Synchronous label propagation (Raghavan et al. 2007) — COMMUNITY
+    * detection, the denser-than-connectivity grouping next to
+    * `Dedup.connectedComponents` (CC merges anything touching; LPA
+    * groups by neighborhood MAJORITY, so bridges between dense regions
+    * don't fuse them): labels start as node ids; each round every node
+    * adopts the most frequent label among its neighbors, majority ties
+    * breaking to the SMALLEST label (fully deterministic — no RNG
+    * tie-break, no async update order; both engines replay identically).
+    * Runs a FIXED `rounds` count (the bounded-iteration discipline of
+    * `PageRank`), which also keeps the bipartite two-coloring
+    * oscillation bounded and reproducible rather than convergence-raced.
+    *
+    * Scale shape per round: one join moving (edge endpoint, 8-byte
+    * label), one map-side-combined (node, label) count whose output is
+    * bounded by nodes × distinct-neighbor-labels (shrinking every
+    * round), one per-node min(struct) argmax — never a row_number
+    * window over the message table. Total cost: rounds × O(m) shuffled
+    * longs, the textbook distributed-LPA budget.
+    */
+  def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
+                       rounds: Int = 3): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val sym = e.unionByName(
+        e.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .localCheckpoint(false) // reused every round
+    var labels = sym.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("lab"))
+    for (_ <- 1 to rounds) {
+      labels = sym
+        .join(labels.withColumnRenamed("node", "src"), Seq("src"))
+        .groupBy(col("dst").as("node"), col("lab"))
+        .agg(count(lit(1)).as("__c"))
+        .groupBy(col("node"))
+        .agg(min(struct((-col("__c")).as("__nc"), col("lab").as("__l")))
+          .as("__top"))
+        .select(col("node"), col("__top.__l").as("lab"))
+        .localCheckpoint(false) // truncate the per-round lineage
+    }
+    labels
+  }
 }

@@ -110,4 +110,32 @@ object Mining {
       .select(col("label"), col("cosine"),
         round(lit(1.0) - col("cosine"), 6).as("drift"))
   }
+
+  /** Cluster-purity evaluation against ground-truth labels — the
+    * standard external clustering metric (purity = fraction of a
+    * cluster's members sharing its majority label): per cluster,
+    * (n, top_label, n_top, purity 4 dp). Majority ties break to the
+    * SMALLEST label so both engines agree deterministically.
+    *
+    * Scale shape: one (cluster, label) count aggregate — bounded by
+    * clusters × labels, not members — then a per-cluster min(struct)
+    * argmax over that bounded table. Nothing corpus-sized survives the
+    * first map-side-combined shuffle.
+    */
+  def clusterPurity(assigned: DataFrame, clusterCol: String,
+                    labelCol: String): DataFrame = {
+    val counts = assigned
+      .groupBy(col(clusterCol), col(labelCol).cast("long").as("__lab"))
+      .agg(count(lit(1)).as("__c"))
+    counts.groupBy(col(clusterCol))
+      .agg(sum(col("__c")).as("n"),
+        // min(struct(-count, label)): max count, ties to smallest label
+        min(struct((-col("__c")).as("__nc"), col("__lab").as("__l")))
+          .as("__top"))
+      .select(col(clusterCol), col("n"),
+        col("__top.__l").as("top_label"),
+        (-col("__top.__nc")).as("n_top"),
+        (round((-col("__top.__nc")).cast("double") / col("n"), 4) + lit(0.0))
+          .as("purity"))
+  }
 }

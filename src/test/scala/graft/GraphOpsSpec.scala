@@ -62,4 +62,28 @@ class GraphOpsSpec extends SparkSpec {
     val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("a", "b")
     assert(GraphOps.triangleCount(path).head.getLong(0) == 0)
   }
+
+  test("labelPropagation: two cliques joined by one bridge stay two communities") {
+    import spark.implicits._
+    // cliques {1,2,3} and {10,11,12}, bridge 3-10
+    val edges = Seq((1L,2L),(1L,3L),(2L,3L),(10L,11L),(10L,12L),(11L,12L),(3L,10L))
+      .toDF("src", "dst")
+    val labs = GraphOps.labelPropagation(edges, "src", "dst", rounds = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val c1 = Set(1L, 2L, 3L).map(labs)
+    val c2 = Set(10L, 11L, 12L).map(labs)
+    assert(c1.size == 1, s"clique A converges to one label: $labs")
+    assert(c2.size == 1, s"clique B converges to one label: $labs")
+    assert(c1 != c2, s"bridge must not fuse the cliques: $labs")
+  }
+
+  test("labelPropagation is deterministic across partitionings") {
+    import spark.implicits._
+    val edges = (1L to 60L).map(i => (i, 1L + i % 7)).toDF("src", "dst")
+    val a = GraphOps.labelPropagation(edges.repartition(1), "src", "dst", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val b = GraphOps.labelPropagation(edges.repartition(13), "src", "dst", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(a == b)
+  }
 }

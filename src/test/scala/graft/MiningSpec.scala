@@ -60,4 +60,16 @@ class MiningSpec extends SparkSpec {
     assert(partial.select("label").collect().map(_.getString(0)).toSeq ==
       Seq("l1"))
   }
+
+  test("clusterPurity: majority fractions with ties to the smallest label") {
+    import spark.implicits._
+    // cell 1: labels 5,5,7 -> top 5, purity 2/3; cell 2: tie 3 vs 9 -> 3
+    val assigned = Seq((1L, 5), (1L, 5), (1L, 7), (2L, 9), (2L, 3))
+      .toDF("cell_id", "label")
+    val got = Mining.clusterPurity(assigned, "cell_id", "label")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(got(1L) == ((3L, 5L, 2L, 0.6667)))
+    assert(got(2L) == ((2L, 3L, 1L, 0.5)), "tie must break to label 3")
+  }
 }

@@ -37,4 +37,19 @@ class PrivacySpec extends SparkSpec {
     assert(Privacy.suppressSmallGroups(fixture,
       Seq("country", "lang"), k = 2).count() == 7)
   }
+
+  test("pseudonymize is consistent, salted, and join-preserving") {
+    import spark.implicits._
+    val a = Seq((1L, 10L), (2L, 10L), (3L, 20L)).toDF("event_id", "user_id")
+      .select(col("event_id"),
+        Privacy.pseudonymize(col("user_id"), "s1").as("p"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(a(1L) == a(2L), "same id must map to the same pseudonym")
+    assert(a(1L) != a(3L), "distinct ids must map to distinct pseudonyms")
+    assert(a(1L).matches("u[0-9a-f]{12}"), s"shape: ${a(1L)}")
+    val b = Seq((1L, 10L)).toDF("event_id", "user_id")
+      .select(Privacy.pseudonymize(col("user_id"), "s2").as("p"))
+      .head.getString(0)
+    assert(b != a(1L), "a different salt must change the mapping")
+  }
 }
