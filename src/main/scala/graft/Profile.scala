@@ -13,7 +13,8 @@ import graft.operators.Dedup
   * section runs; otherwise only the named ones. Sections: `lsh` (stage
   * timings A–F), `ngram` (G/H/H2), `scale` (LSH 10×), `incr` (signature
   * store I1/I10), `cur` (curation C1/C10), `dsir` (J1/J10), `substr`
-  * (span removal K1/K10), `sketch` (L/M/N), `cc` (skewed mega-cluster
+  * (span removal K1/K10), `para` (paragraph dedup P1/P10), `sketch`
+  * (L/M/N), `cc` (skewed mega-cluster
   * connected components), `parts` (shuffle-partition sensitivity sweep),
   * `graph` (triangle count under a 10⁵-degree hub, 1×/10×), `rf`
   * (runtime-filter join shuffle-byte comparison).
@@ -188,6 +189,21 @@ object Profile {
       removal(docsS) // warmup: JIT + codegen compile, not the pipeline
       time("K1 substr removal 1x")(println("  removed=" + removal(docsS)))
       time("K10 substr removal 10x")(println("  removed10x=" + removal(dupCorpus(10))))
+    }
+
+    // Paragraph-dedup scale probe: 1× vs 10× corpus. The dupCorpus
+    // suffix lands in the LAST paragraph only, so ~all non-final
+    // paragraphs of every copy are corpus-wide duplicates — the
+    // worst-case removal regime (maximal canonical-pick contention on
+    // hot fingerprints; the min-struct agg must absorb it map-side).
+    if (on("para")) {
+      def para(d: DataFrame): Long =
+        Dedup.paragraphDedup(d, "doc_id", "text", paraTokens = 10)
+          .agg(sum($"n_paras" - $"n_kept")).collect().head.getLong(0)
+      val docsS = docs.repartition(32)
+      para(docsS) // warmup: JIT + codegen compile, not the pipeline
+      time("P1 paragraph dedup 1x")(println("  removed=" + para(docsS)))
+      time("P10 paragraph dedup 10x")(println("  removed10x=" + para(dupCorpus(10))))
     }
 
     // Sketch-family scale probe: 1× vs 10× input. State is capacity-

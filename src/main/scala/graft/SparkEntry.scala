@@ -5058,6 +5058,58 @@ object SparkEntry {
         .distinct()
       GraphOps.labelPropagation(e, "src", "dst", rounds = 3)
         .orderBy($"node")
+    }),
+
+    // Tokenizer fertility audit per source: BPE-ish tokens per word and
+    // chars per token — the metric that decides whether a tokenizer
+    // suits a source before training (high fertility = wasted context
+    // budget). One map-side-combined groupBy over per-row regex counts;
+    // ratios from exact integer sums, divided once.
+    "q_token_fertility" -> ((s, dir) => {
+      import s.implicits._
+      spread(s, t(s, dir, "documents"))
+        .select($"source",
+          size(T.tokens($"text")).cast("long").as("nw"),
+          T.bpeTokenCount($"text").cast("long").as("nb"),
+          length($"text").cast("long").as("nc"))
+        .groupBy($"source")
+        .agg(sum($"nw").as("n_words"), sum($"nb").as("n_bpe"),
+          sum($"nc").as("n_chars"))
+        .select($"source", $"n_words", $"n_bpe", $"n_chars",
+          (round($"n_bpe".cast("double") / $"n_words", 4) + lit(0.0))
+            .as("fertility"),
+          (round($"n_chars".cast("double") / $"n_bpe", 4) + lit(0.0))
+            .as("chars_per_token"))
+        .orderBy($"source")
+    }),
+
+    // TPC-H Q3 (shipping priority) on the fixture star schema: the
+    // classic 3-way join + date filters + revenue top-k. Revenue
+    // quantizes to cents per row BEFORE the sum (order-proof integer
+    // reduction). Plan: both filters reach the parquet scans
+    // (PushedFilters), the segment-pruned customer side broadcasts
+    // under AQE at this SF, and the top-10 is TakeOrderedAndProject —
+    // at 100 TB all three sides shuffle on their join keys and the
+    // same plan holds with sort-merge joins.
+    "q3_shipping" -> ((s, dir) => {
+      import s.implicits._
+      val cutoff = lit(java.sql.Timestamp.valueOf("1998-03-15 00:00:00"))
+      val c = t(s, dir, "customer")
+        .filter($"c_mktsegment" === "BUILDING").select($"c_custkey")
+      val o = t(s, dir, "orders").filter($"o_orderdate" < cutoff)
+        .select($"o_orderkey", $"o_custkey", $"o_orderdate")
+      val l = t(s, dir, "lineitem").filter($"l_shipdate" > cutoff)
+        .select($"l_orderkey",
+          round($"l_extendedprice" * (lit(1.0) - $"l_discount") * 100)
+            .cast("long").as("rev_c"))
+      val agg = l.join(o, $"l_orderkey" === $"o_orderkey")
+        .join(c, $"o_custkey" === $"c_custkey")
+        .groupBy($"l_orderkey", $"o_orderdate")
+        .agg((round(sum($"rev_c").cast("double") / 100, 2) + lit(0.0))
+          .as("revenue"))
+        .select($"l_orderkey", $"revenue",
+          date_format($"o_orderdate", "yyyy-MM-dd").as("o_orderdate"))
+      TopK.topK(agg, $"revenue", $"l_orderkey", 10)
     })
   )
 
@@ -6019,6 +6071,36 @@ object SparkEntry {
          |l0 AS (SELECT DISTINCT src AS node, src AS lab FROM sym),
          |${(1 to 3).map(round).mkString(",\n")}
          |SELECT node, lab FROM l3 ORDER BY node""".stripMargin
-    }
+    },
+
+    "q_token_fertility" ->
+      """WITH x AS (
+        |  SELECT source,
+        |    CAST(CASE WHEN trim(text) = '' THEN 0
+        |         ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS nw,
+        |    CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS nb,
+        |    CAST(length(text) AS BIGINT) AS nc
+        |  FROM documents),
+        |g AS (
+        |  SELECT source, SUM(nw) AS n_words, SUM(nb) AS n_bpe, SUM(nc) AS n_chars
+        |  FROM x GROUP BY source)
+        |SELECT source, n_words::BIGINT AS n_words, n_bpe::BIGINT AS n_bpe,
+        |       n_chars::BIGINT AS n_chars,
+        |       ROUND(n_bpe::DOUBLE / n_words, 4) + 0.0 AS fertility,
+        |       ROUND(n_chars::DOUBLE / n_bpe, 4) + 0.0 AS chars_per_token
+        |FROM g ORDER BY source""".stripMargin,
+
+    "q3_shipping" ->
+      """SELECT l_orderkey,
+        |       ROUND(SUM(CAST(ROUND(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT))::DOUBLE / 100, 2) + 0.0 AS revenue,
+        |       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate
+        |FROM customer, orders, lineitem
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND c_custkey = o_custkey
+        |  AND l_orderkey = o_orderkey
+        |  AND o_orderdate < TIMESTAMP '1998-03-15'
+        |  AND l_shipdate > TIMESTAMP '1998-03-15'
+        |GROUP BY l_orderkey, o_orderdate
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin
   )
 }
