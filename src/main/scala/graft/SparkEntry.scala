@@ -5110,6 +5110,40 @@ object SparkEntry {
         .select($"l_orderkey", $"revenue",
           date_format($"o_orderdate", "yyyy-MM-dd").as("o_orderdate"))
       TopK.topK(agg, $"revenue", $"l_orderkey", 10)
+    }),
+
+    // Weighted score-fusion hybrid (the magnitude-aware sibling of
+    // q_hybrid_rrf): both top-20 lists min-max-normalize over their
+    // k-bounded candidates (one broadcast literal row each), then a
+    // 0.5/0.5 convex blend with 0 for list-misses. Fixture convention:
+    // embedding i ↔ document i.
+    "q_hybrid_blend" -> ((s, dir) => {
+      import s.implicits._
+      val bm = Bm25.search(spread(s, t(s, dir, "documents")), "doc_id", "text",
+        Seq("vector", "join", "scan"), 20)
+      val bmN = Bm25.minMaxNorm(bm, "score", "ns")
+        .select($"doc_id".as("id"), $"ns")
+      val e = t(s, dir, "embeddings")
+      val qv = e.filter($"vec_id" === 42).select($"embedding").head.getSeq[Float](0)
+      val vec = TopK.topK(
+        e.withColumn("score", score6(V.cosine($"embedding", typedLit(qv)))),
+        $"score", $"vec_id", 20)
+      val vecN = Bm25.minMaxNorm(vec, "score", "ns")
+        .select($"vec_id".as("id"), $"ns")
+      TopK.topK(Bm25.blendScores(bmN, vecN, "id", "ns", 0.5), $"blend", $"id", 10)
+        .select($"id", $"blend")
+    }),
+
+    // Pseudo-relevance-feedback retrieval (Rocchio/RM3 family): BM25
+    // pass 1 with the seed query, mine the top-10 hits' top-5 summed
+    // tf-idf terms (seed excluded, ties term-asc — deterministic),
+    // re-search with the expanded query. Only 5 expansion terms ever
+    // reach the driver (Bm25.prfSearch scaladoc).
+    "q_prf_expand" -> ((s, dir) => {
+      import s.implicits._
+      Bm25.prfSearch(spread(s, t(s, dir, "documents")), "doc_id", "text",
+          Seq("vector", "join", "scan"), k = 10)
+        .select($"doc_id", $"score")
     })
   )
 
@@ -6101,6 +6135,108 @@ object SparkEntry {
         |  AND o_orderdate < TIMESTAMP '1998-03-15'
         |  AND l_shipdate > TIMESTAMP '1998-03-15'
         |GROUP BY l_orderkey, o_orderdate
-        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+
+    "q_hybrid_blend" ->
+      """WITH t AS (
+        |  SELECT doc_id, CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[]) ELSE string_split_regex(trim(lower(text)), '\s+') END AS toks
+        |  FROM documents),
+        |tok AS (SELECT doc_id, unnest(toks) AS term FROM t),
+        |dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id),
+        |st AS (SELECT COUNT(*)::DOUBLE AS n, SUM(dl)::DOUBLE AS sdl FROM dl),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok
+        |       WHERE term IN ('vector', 'join', 'scan') GROUP BY doc_id, term),
+        |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+        |idf AS (SELECT term, ROUND(ln((st.n - df.df::DOUBLE + 0.5) / (df.df::DOUBLE + 0.5) + 1.0), 6) AS idf
+        |        FROM df CROSS JOIN st),
+        |u AS (
+        |  SELECT tf.doc_id,
+        |         CAST(ROUND(idf.idf * tf.tf::DOUBLE * 2.2 /
+        |           (tf.tf::DOUBLE + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl::DOUBLE / (st.sdl / st.n)))
+        |           * 1000000) AS BIGINT) AS u
+        |  FROM tf JOIN idf USING (term) JOIN dl USING (doc_id) CROSS JOIN st),
+        |bm AS (SELECT doc_id AS id, ROUND(SUM(u)::DOUBLE / 1000000.0, 4) + 0.0 AS score
+        |       FROM u GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 20),
+        |bmm AS (SELECT MIN(score) AS mn, MAX(score) AS mx FROM bm),
+        |bmn AS (
+        |  SELECT id, CASE WHEN mx = mn THEN 1.0
+        |                  ELSE ROUND((score - mn) / (mx - mn), 6) + 0.0 END AS ns
+        |  FROM bm CROSS JOIN bmm),
+        |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 42),
+        |pairs AS (
+        |  SELECT e.vec_id, unnest(e.embedding)::DOUBLE AS x, unnest(q.qe)::DOUBLE AS y
+        |  FROM embeddings e CROSS JOIN q),
+        |agg AS (
+        |  SELECT vec_id, SUM(x*y) AS dp, SUM(x*x) AS nx2, SUM(y*y) AS ny2
+        |  FROM pairs GROUP BY vec_id),
+        |vec AS (
+        |  SELECT vec_id AS id,
+        |         ROUND(dp / (GREATEST(SQRT(nx2), 1e-12) * GREATEST(SQRT(ny2), 1e-12)), 6)
+        |           + 0.0 AS score
+        |  FROM agg ORDER BY score DESC, vec_id LIMIT 20),
+        |vmm AS (SELECT MIN(score) AS mn, MAX(score) AS mx FROM vec),
+        |vn AS (
+        |  SELECT id, CASE WHEN mx = mn THEN 1.0
+        |                  ELSE ROUND((score - mn) / (mx - mn), 6) + 0.0 END AS ns
+        |  FROM vec CROSS JOIN vmm),
+        |fused AS (
+        |  SELECT COALESCE(b.id, v.id) AS id,
+        |         ROUND(0.5 * COALESCE(b.ns, 0.0) + 0.5 * COALESCE(v.ns, 0.0), 6)
+        |           + 0.0 AS blend
+        |  FROM bmn b FULL OUTER JOIN vn v ON b.id = v.id)
+        |SELECT id, blend FROM fused ORDER BY blend DESC, id LIMIT 10""".stripMargin,
+
+    // PRF in SQL: stage-1 BM25 (seed terms) → top-10 doc set → summed
+    // tf-idf expansion-term mining (full-corpus smoothed idf, seed
+    // excluded, top 5) → stage-2 BM25 over seed ∪ expansion. Both BM25
+    // stages share the corpus stats CTEs; stage-2 df/idf recompute over
+    // the expanded term set exactly as the engine does.
+    "q_prf_expand" ->
+      """WITH t AS (
+        |  SELECT doc_id, CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[]) ELSE string_split_regex(trim(lower(text)), '\s+') END AS toks
+        |  FROM documents),
+        |tok AS (SELECT doc_id, unnest(toks) AS term FROM t),
+        |dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id),
+        |st AS (SELECT COUNT(*)::DOUBLE AS n, SUM(dl)::DOUBLE AS sdl FROM dl),
+        |tf1 AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok
+        |        WHERE term IN ('vector', 'join', 'scan') GROUP BY doc_id, term),
+        |df1 AS (SELECT term, COUNT(*) AS df FROM tf1 GROUP BY term),
+        |idf1 AS (SELECT term, ROUND(ln((st.n - df1.df::DOUBLE + 0.5) / (df1.df::DOUBLE + 0.5) + 1.0), 6) AS idf
+        |         FROM df1 CROSS JOIN st),
+        |u1 AS (
+        |  SELECT tf1.doc_id,
+        |         CAST(ROUND(idf1.idf * tf1.tf::DOUBLE * 2.2 /
+        |           (tf1.tf::DOUBLE + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl::DOUBLE / (st.sdl / st.n)))
+        |           * 1000000) AS BIGINT) AS u
+        |  FROM tf1 JOIN idf1 USING (term) JOIN dl USING (doc_id) CROSS JOIN st),
+        |top1 AS (SELECT doc_id, ROUND(SUM(u)::DOUBLE / 1000000.0, 4) + 0.0 AS score
+        |         FROM u1 GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 10),
+        |tfa AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term),
+        |dfa AS (SELECT term, COUNT(*) AS df FROM tfa GROUP BY term),
+        |idfa AS (SELECT term, ROUND(ln((st.n + 1.0) / (dfa.df::DOUBLE + 1.0)) + 1.0, 6) AS idf
+        |         FROM dfa CROSS JOIN st),
+        |wq AS (SELECT tfa.doc_id, tfa.term,
+        |              CAST(ROUND(tfa.tf::DOUBLE * idfa.idf * 1000000) AS BIGINT) AS wq
+        |       FROM tfa JOIN idfa USING (term)),
+        |exp AS (
+        |  SELECT term FROM wq JOIN top1 USING (doc_id)
+        |  WHERE term NOT IN ('vector', 'join', 'scan')
+        |  GROUP BY term ORDER BY SUM(wq) DESC, term LIMIT 5),
+        |terms2 AS (
+        |  SELECT unnest(['vector', 'join', 'scan']) AS term
+        |  UNION ALL SELECT term FROM exp),
+        |tf2 AS (SELECT tok.doc_id, tok.term, COUNT(*) AS tf
+        |        FROM tok JOIN terms2 USING (term) GROUP BY tok.doc_id, tok.term),
+        |df2 AS (SELECT term, COUNT(*) AS df FROM tf2 GROUP BY term),
+        |idf2 AS (SELECT term, ROUND(ln((st.n - df2.df::DOUBLE + 0.5) / (df2.df::DOUBLE + 0.5) + 1.0), 6) AS idf
+        |         FROM df2 CROSS JOIN st),
+        |u2 AS (
+        |  SELECT tf2.doc_id,
+        |         CAST(ROUND(idf2.idf * tf2.tf::DOUBLE * 2.2 /
+        |           (tf2.tf::DOUBLE + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl::DOUBLE / (st.sdl / st.n)))
+        |           * 1000000) AS BIGINT) AS u
+        |  FROM tf2 JOIN idf2 USING (term) JOIN dl USING (doc_id) CROSS JOIN st)
+        |SELECT doc_id, ROUND(SUM(u)::DOUBLE / 1000000.0, 4) + 0.0 AS score
+        |FROM u2 GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 10""".stripMargin
   )
 }

@@ -140,6 +140,81 @@ object Bm25 {
     }.groupBy(col(idCol)).agg(count(lit(1)).as("n_hits"))
   }
 
+  /** Pseudo-relevance-feedback expansion terms (the Rocchio/RM3 family:
+    * assume the first-pass top-k docs are relevant, mine them for the
+    * terms the query forgot): the `nTerms` highest summed-tf-idf terms
+    * across the seed query's top-`kDocs` BM25 hits, seed terms excluded,
+    * ties to term asc. Deterministic — no sampling, no model.
+    *
+    * Scale shape: the first-pass search is [[search]] (no corpus
+    * shuffle); the mining side restricts [[Tfidf.vectorize]]'s exploded
+    * weights to the top-k docs via a broadcast semi-join BEFORE the
+    * vocab-bounded term aggregate, and only `nTerms` rows ever reach
+    * the driver.
+    */
+  def prfExpansionTerms(docs: DataFrame, idCol: String, textCol: String,
+                        seed: Seq[String], kDocs: Int = 10,
+                        nTerms: Int = 5): Seq[String] = {
+    require(nTerms >= 1, s"nTerms must be >= 1, got $nTerms")
+    val top = search(docs, idCol, textCol, seed, kDocs)
+    Tfidf.vectorize(docs, idCol, textCol)
+      .join(broadcast(top.select(col(idCol))), Seq(idCol))
+      .filter(!col("term").isInCollection(seed))
+      .groupBy(col("term")).agg(sum(col("wq")).as("__w"))
+      .orderBy(col("__w").desc, col("term")).limit(nTerms)
+      .collect().map(_.getString(0)).toSeq
+  }
+
+  /** Two-pass PRF retrieval: BM25 with the seed query, expand with
+    * [[prfExpansionTerms]], re-search with seed ++ expansion — the
+    * recall-recovering second pass production lexical stacks run when
+    * the first-pass results look thin.
+    */
+  def prfSearch(docs: DataFrame, idCol: String, textCol: String,
+                seed: Seq[String], k: Int, kDocs: Int = 10,
+                nTerms: Int = 5): DataFrame =
+    search(docs, idCol, textCol,
+      seed ++ prfExpansionTerms(docs, idCol, textCol, seed, kDocs, nTerms), k)
+
+  /** Min-max normalize a K-BOUNDED candidate list's scores to [0, 1]
+    * (round 6): the per-list calibration step of weighted score fusion
+    * (RRF's rank-only alternative keeps no magnitude information; a
+    * 0.95-vs-0.94 dense gap and a 12-vs-3 BM25 gap should not weigh
+    * equally). The min/max aggregate runs over the top-k candidates —
+    * bounded rows by contract — and rides back as a broadcast literal
+    * row, so normalization adds no corpus-sized work. A degenerate list
+    * (max = min) normalizes to 1.0 everywhere (every candidate is
+    * equally best; both engines apply the same CASE).
+    */
+  def minMaxNorm(df: DataFrame, scoreCol: String,
+                 outCol: String): DataFrame = {
+    val mm = df.agg(min(col(scoreCol)).as("__mn"), max(col(scoreCol)).as("__mx"))
+    df.crossJoin(broadcast(mm))
+      .withColumn(outCol,
+        when(col("__mx") === col("__mn"), lit(1.0))
+          .otherwise(round((col(scoreCol) - col("__mn")) /
+            (col("__mx") - col("__mn")), 6) + lit(0.0)))
+      .drop("__mn", "__mx")
+  }
+
+  /** Weighted linear score fusion of two min-max-normalized candidate
+    * lists (id, norm-score): blend = round(wa·a + (1−wa)·b, 6), a doc
+    * missing from one list contributes 0 from that side — the
+    * convex-combination hybrid (Bruch et al. 2023 analyze exactly this
+    * fusion) next to [[rrfFuse]]'s rank-only one.
+    */
+  def blendScores(a: DataFrame, b: DataFrame, idCol: String,
+                  scoreCol: String, wa: Double = 0.5): DataFrame = {
+    require(wa >= 0.0 && wa <= 1.0, s"wa must be in [0,1], got $wa")
+    val ra = a.select(col(idCol), col(scoreCol).as("__a"))
+    val rb = b.select(col(idCol), col(scoreCol).as("__b"))
+    ra.join(rb, Seq(idCol), "full_outer")
+      .select(col(idCol),
+        (round(lit(wa) * coalesce(col("__a"), lit(0.0)) +
+          lit(1.0 - wa) * coalesce(col("__b"), lit(0.0)), 6) + lit(0.0))
+          .as("blend"))
+  }
+
   /** Reciprocal-rank fusion of two ranked lists (id, rank):
     * rrf(d) = Σ 1/(c + rank_i(d)) over the lists containing d — the
     * standard hybrid-retrieval combiner (Cormack et al. 2009). Pure

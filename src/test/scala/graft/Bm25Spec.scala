@@ -90,4 +90,50 @@ class Bm25Spec extends SparkSpec {
     assert(got(20L) == r6(1.0 / 62 + 1.0 / 61))
     assert(got(30L) == r6(1.0 / 62))
   }
+
+  test("minMaxNorm maps extremes to 0/1 and a constant list to all-1") {
+    import spark.implicits._
+    val got = Bm25.minMaxNorm(
+        Seq((1L, 2.0), (2L, 4.0), (3L, 3.0)).toDF("id", "score"), "score", "ns")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(got == Map(1L -> 0.0, 2L -> 1.0, 3L -> 0.5), s"got $got")
+    val const = Bm25.minMaxNorm(
+        Seq((1L, 7.0), (2L, 7.0)).toDF("id", "score"), "score", "ns")
+      .collect().map(_.getDouble(2)).toSet
+    assert(const == Set(1.0), "degenerate list normalizes to 1.0")
+  }
+
+  test("blendScores is a convex combination with 0 for list-misses") {
+    import spark.implicits._
+    val a = Seq((1L, 1.0), (2L, 0.5)).toDF("id", "ns")
+    val b = Seq((2L, 1.0), (3L, 0.8)).toDF("id", "ns")
+    val got = Bm25.blendScores(a, b, "id", "ns", 0.25)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got == Map(1L -> 0.25, 2L -> 0.875, 3L -> 0.6), s"got $got")
+  }
+
+  test("prfSearch expands deterministically and can only widen recall") {
+    import spark.implicits._
+    // seed 'apple' hits docs 1,2; their dominant co-term is 'banana',
+    // which pulls doc 3 (banana-only) into the second pass
+    val corpus = Seq(
+      (1L, "apple banana banana"),
+      (2L, "apple banana cherry"),
+      (3L, "banana banana durian"),
+      (4L, "cherry cherry"))
+      .toDF("doc_id", "text")
+    val seed = Seq("apple")
+    val exp = Bm25.prfExpansionTerms(corpus, "doc_id", "text", seed,
+      kDocs = 2, nTerms = 1)
+    assert(exp == Seq("banana"), s"got $exp")
+    val ids = Bm25.prfSearch(corpus, "doc_id", "text", seed, k = 4,
+        kDocs = 2, nTerms = 1)
+      .collect().map(_.getLong(0)).toSet
+    assert(ids.contains(3L), "expansion must recall the banana-only doc")
+    assert(!ids.contains(4L), "unrelated doc stays out")
+    // repartitioning must not change the expansion
+    val exp2 = Bm25.prfExpansionTerms(corpus.repartition(5), "doc_id",
+      "text", seed, kDocs = 2, nTerms = 1)
+    assert(exp2 == exp)
+  }
 }
