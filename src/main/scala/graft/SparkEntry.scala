@@ -5144,6 +5144,18 @@ object SparkEntry {
       Bm25.prfSearch(spread(s, t(s, dir, "documents")), "doc_id", "text",
           Seq("vector", "join", "scan"), k = 10)
         .select($"doc_id", $"score")
+    }),
+
+    // Incremental paragraph dedup (recurring-crawl shape at paragraph
+    // granularity): batch = docs ≥ 250 deduped within itself AND
+    // against the < 250 corpus, whose side contributes only distinct
+    // paragraph fingerprints (Dedup.incrementalParagraphDedup).
+    "q_incremental_paradedup" -> ((s, dir) => {
+      import s.implicits._
+      val d = spread(s, t(s, dir, "documents"))
+      Dedup.incrementalParagraphDedup(d.filter($"doc_id" >= 250),
+          d.filter($"doc_id" < 250), "doc_id", "text", paraTokens = 10)
+        .orderBy($"doc_id")
     })
   )
 
@@ -6237,6 +6249,51 @@ object SparkEntry {
         |           * 1000000) AS BIGINT) AS u
         |  FROM tf2 JOIN idf2 USING (term) JOIN dl USING (doc_id) CROSS JOIN st)
         |SELECT doc_id, ROUND(SUM(u)::DOUBLE / 1000000.0, 4) + 0.0 AS score
-        |FROM u2 GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 10""".stripMargin
+        |FROM u2 GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
+
+    "q_incremental_paradedup" ->
+      """WITH t AS (
+        |  SELECT doc_id, text, CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[]) ELSE string_split_regex(trim(text), '\s+') END AS toks
+        |  FROM documents WHERE doc_id >= 250),
+        |ct AS (
+        |  SELECT CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[]) ELSE string_split_regex(trim(text), '\s+') END AS toks
+        |  FROM documents WHERE doc_id < 250),
+        |cc AS (
+        |  SELECT unnest(generate_series(0, CAST(ceil(len(toks)/10.0) AS INT) - 1)) AS idx, toks
+        |  FROM ct WHERE len(toks) > 0),
+        |corp AS (
+        |  SELECT DISTINCT md5(lower(trim(regexp_replace(
+        |    array_to_string(toks[idx*10+1 : idx*10+10], ' '), '\s+', ' ', 'g')))) AS fp
+        |  FROM cc),
+        |c AS (
+        |  SELECT doc_id, unnest(generate_series(0, CAST(ceil(len(toks)/10.0) AS INT) - 1)) AS idx, toks
+        |  FROM t WHERE len(toks) > 0),
+        |p AS (
+        |  SELECT doc_id, idx,
+        |         md5(lower(trim(regexp_replace(
+        |           array_to_string(toks[idx*10+1 : idx*10+10], ' '), '\s+', ' ', 'g')))) AS fp
+        |  FROM c),
+        |pf AS (
+        |  SELECT p.doc_id, p.idx, p.fp FROM p
+        |  LEFT JOIN corp ON p.fp = corp.fp WHERE corp.fp IS NULL),
+        |k AS (
+        |  SELECT doc_id, idx FROM (
+        |    SELECT doc_id, idx,
+        |           row_number() OVER (PARTITION BY fp ORDER BY doc_id, idx) AS rn
+        |    FROM pf) WHERE rn = 1),
+        |keep AS (
+        |  SELECT doc_id, list_sort(list(idx)) AS keep FROM k GROUP BY doc_id),
+        |x AS (
+        |  SELECT t.doc_id, t.text, t.toks,
+        |         CAST(CASE WHEN len(t.toks) = 0 THEN 0
+        |              ELSE ceil(len(t.toks)/10.0) END AS BIGINT) AS n_paras,
+        |         CAST(COALESCE(len(kp.keep), 0) AS BIGINT) AS n_kept, kp.keep
+        |  FROM t LEFT JOIN keep kp USING (doc_id))
+        |SELECT doc_id, n_paras, n_kept,
+        |       CASE WHEN n_paras = n_kept THEN text
+        |            ELSE COALESCE(array_to_string(list_transform(keep,
+        |              i -> array_to_string(toks[i*10+1 : i*10+10], ' ')), ' '), '')
+        |       END AS text_dedup
+        |FROM x ORDER BY doc_id""".stripMargin
   )
 }

@@ -907,11 +907,74 @@ object Dedup {
   def paragraphDedup(docs: DataFrame, idCol: String, textCol: String,
                      paraTokens: Int = 10): DataFrame = {
     require(paraTokens >= 1, s"paraTokens must be >= 1, got $paraTokens")
-    val id = col(idCol)
-    val paras = docs
-      .select(id, posexplode(T.chunks(col(textCol), paraTokens))
+    keepFirstParas(docs, paraFingerprints(docs, idCol, textCol, paraTokens),
+      idCol, textCol, paraTokens)
+  }
+
+  /** Incremental paragraph-level dedup — [[paragraphDedup]] for the
+    * recurring-crawl shape: dedup a new batch's paragraphs within the
+    * batch AND against the already-ingested corpus. The corpus side
+    * contributes only DISTINCT 16-byte paragraph fingerprints (at scale
+    * a persisted snapshot column maintained per ingest — corpus TEXT is
+    * never re-read), anti-joined before the batch's own first-occurrence
+    * pick, so per-batch cost tracks the batch plus one fingerprint
+    * join, not corpus size — the same contract as [[incrementalDedup]]
+    * at document granularity.
+    */
+  def incrementalParagraphDedup(newBatch: DataFrame, existing: DataFrame,
+                                idCol: String, textCol: String,
+                                paraTokens: Int = 10): DataFrame =
+    paragraphDedupAgainstFps(newBatch,
+      paragraphFingerprints(existing, textCol, paraTokens),
+      idCol, textCol, paraTokens)
+
+  /** The DISTINCT paragraph-fingerprint snapshot of a corpus — the
+    * ~16 B/paragraph store column [[incrementalParagraphDedup]] and the
+    * streaming ingest twin maintain instead of re-reading corpus text.
+    * One column, `fp` (md5 hex).
+    */
+  def paragraphFingerprints(docs: DataFrame, textCol: String,
+                            paraTokens: Int = 10): DataFrame = {
+    require(paraTokens >= 1, s"paraTokens must be >= 1, got $paraTokens")
+    docs
+      .select(explode(T.chunks(col(textCol), paraTokens)).as("__para"))
+      .select(T.fingerprint(col("__para")).as("fp"))
+      .distinct()
+  }
+
+  /** [[incrementalParagraphDedup]] against an already-materialized
+    * fingerprint snapshot (one `fp` column, [[paragraphFingerprints]]) —
+    * the entry point a persisted store or a streaming ingest uses
+    * directly, skipping the corpus-side re-derivation.
+    */
+  def paragraphDedupAgainstFps(newBatch: DataFrame, fps: DataFrame,
+                               idCol: String, textCol: String,
+                               paraTokens: Int = 10): DataFrame = {
+    require(paraTokens >= 1, s"paraTokens must be >= 1, got $paraTokens")
+    val fresh = paraFingerprints(newBatch, idCol, textCol, paraTokens)
+      .join(fps.select(col("fp").as("__fp")), Seq("__fp"), "left_anti")
+    keepFirstParas(newBatch, fresh, idCol, textCol, paraTokens)
+  }
+
+  /** (id, __idx, __fp) paragraph-fingerprint projection — paragraph
+    * text is dropped before any exchange.
+    */
+  private def paraFingerprints(docs: DataFrame, idCol: String,
+                               textCol: String, paraTokens: Int): DataFrame =
+    docs
+      .select(col(idCol), posexplode(T.chunks(col(textCol), paraTokens))
         .as(Seq("__idx", "__para")))
-      .select(id, col("__idx"), T.fingerprint(col("__para")).as("__fp"))
+      .select(col(idCol), col("__idx"),
+        T.fingerprint(col("__para")).as("__fp"))
+
+  /** Shared tail of the paragraph-dedup family: corpus-wide
+    * first-occurrence pick over `paras` (already corpus-filtered for
+    * the incremental variant), survivor fold-back, in-row reassembly.
+    */
+  private def keepFirstParas(docs: DataFrame, paras: DataFrame,
+                             idCol: String, textCol: String,
+                             paraTokens: Int): DataFrame = {
+    val id = col(idCol)
     val canon = paras.groupBy(col("__fp"))
       .agg(min(struct(id.as("__cid"), col("__idx").as("__cidx"))).as("__first"))
     val kept = paras.join(canon, Seq("__fp"))

@@ -506,4 +506,54 @@ object Streaming {
         ()
       }
       .start()
+
+  /** Continuous paragraph-level ingest dedup — the streaming twin of
+    * `Dedup.incrementalParagraphDedup`: each micro-batch is rewritten
+    * against the paragraph-fingerprint store (corpus-known paragraphs
+    * drop, then the batch's own first-occurrence pick runs), and the
+    * batch's SURVIVING paragraphs' fingerprints append to the store as
+    * a batch-addressed partition.
+    *
+    * Unbounded state lives in the store TABLE (~16 B/distinct
+    * paragraph), never in stream state. Replay-safe the same way as
+    * [[streamNearDupIngest]]: the store partition is keyed by batchId
+    * and overwrite-mode, so a mid-batch crash replays into the same
+    * path (no duplicate fingerprints), and a replayed batch excludes
+    * its own previous attempt's partition from the corpus side (no
+    * self-dedup of the retry).
+    */
+  def streamParagraphIngest(docs: DataFrame, idCol: String, textCol: String,
+                            storePath: String, checkpointPath: String,
+                            paraTokens: Int = 10)
+                           (onBatch: (DataFrame, Long) => Unit): StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointPath)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val root = new org.apache.hadoop.fs.Path(storePath)
+        val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val parts =
+          if (fs.exists(root))
+            fs.listStatus(root).filter(_.isDirectory)
+              .map(_.getPath.toString)
+              .filterNot(_.endsWith(s"batch_$batchId"))
+          else Array.empty[String]
+        val empty = Dedup.paragraphFingerprints(batch.limit(0), textCol,
+          paraTokens)
+        val store =
+          if (parts.isEmpty) empty
+          else spark.read.schema(empty.schema).parquet(parts.toIndexedSeq: _*)
+        val rewritten = Dedup.paragraphDedupAgainstFps(batch, store,
+            idCol, textCol, paraTokens)
+          .localCheckpoint(false) // consumed by the append AND onBatch
+        // the store grows by the fingerprints this batch now owns
+        Dedup.paragraphFingerprints(
+            rewritten.select(col("text_dedup").as(textCol)), textCol,
+            paraTokens)
+          .write.mode("overwrite").parquet(s"$storePath/batch_$batchId")
+        onBatch(rewritten, batchId)
+        ()
+      }
+      .start()
 }

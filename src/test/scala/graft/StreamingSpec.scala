@@ -517,6 +517,51 @@ class StreamingSpec extends SparkSpec {
     assert(stored == Set(1L, 2L, 11L), s"store: $stored")
   }
 
+  test("streamParagraphIngest rewrites batches against the fingerprint store") {
+    import spark.implicits._
+    val in = Files.createTempDirectory("graft_pp_in_").toString
+    val store = Files.createTempDirectory("graft_pp_store_").toString + "/fps"
+    val ckpt = Files.createTempDirectory("graft_pp_ckpt_").toString + "/c"
+
+    def mkStream() = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text",
+          org.apache.spark.sql.types.StringType))))
+      .option("maxFilesPerTrigger", 1)
+      .parquet(in)
+
+    val out = scala.collection.mutable.Map[Long, (Long, Long, String)]()
+    def run(): Unit = {
+      val q = Streaming.streamParagraphIngest(mkStream(), "doc_id", "text",
+        store, ckpt, paraTokens = 2) { (batch, _) =>
+        out ++= batch.select("doc_id", "n_paras", "n_kept", "text_dedup")
+          .collect()
+          .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      }
+      q.processAllAvailable(); q.stop()
+    }
+
+    // batch 1: [a b][c d] plus an in-batch repeat of [a b]
+    Seq((1L, "a b c d"), (2L, "a b e f"))
+      .toDF("doc_id", "text").coalesce(1).write.mode("overwrite").parquet(in)
+    run()
+    assert(out(1L) == ((2L, 2L, "a b c d")), s"got ${out(1L)}")
+    assert(out(2L) == ((2L, 1L, "e f")), "in-batch repeat of [a b] drops")
+
+    // batch 2 (after restart): [c d] and [e f] are store-known; [g h] fresh
+    Seq((10L, "c d g h e f")).toDF("doc_id", "text")
+      .coalesce(1).write.mode("append").parquet(in)
+    run()
+    assert(out(10L) == ((3L, 1L, "g h")),
+      s"store-known paragraphs must drop without re-reading corpus text: ${out(10L)}")
+
+    // the store holds exactly the surviving paragraphs' fingerprints
+    val nFps = spark.read.parquet(s"$store/*").distinct().count()
+    assert(nFps == 4, s"[a b][c d][e f][g h] expected, got $nFps")
+  }
+
   test("streamNearDupIngest replay after a MID-BATCH crash loses/duplicates no signatures") {
     import spark.implicits._
     val in = Files.createTempDirectory("graft_ndc_in_").toString

@@ -99,6 +99,20 @@ class ParagraphDedupSpec extends SparkSpec {
     assert(!plan.contains("Window"), s"no Window expected:\n$plan")
   }
 
+  test("incrementalParagraphDedup drops corpus-known paragraphs before the batch's own pick") {
+    import spark.implicits._
+    val corpus = Seq((1L, "a b c d")).toDF("doc_id", "text")
+    // batch: [a b] is corpus-known (drops), [e f] repeats in-batch
+    // (first batch owner 10 keeps it), [g h] is fresh
+    val batch = Seq((10L, "a b e f"), (11L, "e f g h")).toDF("doc_id", "text")
+    val got = Dedup.incrementalParagraphDedup(batch.repartition(2), corpus,
+        "doc_id", "text", 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(got(10L) == ((2L, 1L, "e f")), "corpus-known [a b] must drop")
+    assert(got(11L) == ((2L, 1L, "g h")), "[e f] already owned by doc 10")
+  }
+
   test("paragraphDedup handles empty text") {
     import spark.implicits._
     val got = Dedup.paragraphDedup(
