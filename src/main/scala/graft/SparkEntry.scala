@@ -5156,6 +5156,23 @@ object SparkEntry {
       Dedup.incrementalParagraphDedup(d.filter($"doc_id" >= 250),
           d.filter($"doc_id" < 250), "doc_id", "text", paraTokens = 10)
         .orderBy($"doc_id")
+    }),
+
+    // Rank-aware ANN quality: nDCG@10 + MRR of the 4-probe IVF ranking
+    // against the exact top-10 (recall says WHETHER neighbors were
+    // found; nDCG/MRR grade WHERE they landed). Micro-quantized log2
+    // discounts → exact integer DCG sums (Ann.rankQualityAtK).
+    "q_rank_quality" -> ((s, dir) => {
+      import s.implicits._
+      val e = spread(s, t(s, dir, "embeddings"))
+      val cents = e.filter($"vec_id" < 16)
+        .select($"vec_id".as("cent_id"), $"embedding".as("cvec"))
+      val qs = e.filter($"vec_id" % 100 === 42)
+        .select($"vec_id".as("qid"), $"embedding".as("qvec"))
+      def run(p: Int) = Ann.searchBatchIvf(e, cents, "vec_id", "embedding",
+        "cent_id", "cvec", qs, "qid", "qvec", nProbes = p, k = 10)
+      Ann.rankQualityAtK(run(16), run(4), "qid", "vec_id", 10)
+        .orderBy($"qid")
     })
   )
 
@@ -6294,6 +6311,74 @@ object SparkEntry {
         |            ELSE COALESCE(array_to_string(list_transform(keep,
         |              i -> array_to_string(toks[i*10+1 : i*10+10], ' ')), ' '), '')
         |       END AS text_dedup
-        |FROM x ORDER BY doc_id""".stripMargin
+        |FROM x ORDER BY doc_id""".stripMargin,
+
+    "q_rank_quality" ->
+      """WITH cents AS (
+        |  SELECT vec_id AS cent_id, embedding AS cvec FROM embeddings
+        |  WHERE vec_id < 16),
+        |qs AS (SELECT vec_id AS qid FROM embeddings WHERE vec_id % 100 = 42),
+        |pc AS (
+        |  SELECT e.vec_id, c.cent_id,
+        |         unnest(e.embedding)::DOUBLE x, unnest(c.cvec)::DOUBLE y
+        |  FROM embeddings e CROSS JOIN cents c),
+        |pagg AS (SELECT vec_id, cent_id, SUM(x*y) dp, SUM(x*x) nx2, SUM(y*y) ny2
+        |         FROM pc GROUP BY vec_id, cent_id),
+        |psc AS (SELECT vec_id, cent_id,
+        |          ROUND(dp/(GREATEST(SQRT(nx2),1e-12)*GREATEST(SQRT(ny2),1e-12)), 6) c
+        |        FROM pagg),
+        |assign AS (
+        |  SELECT vec_id, cent_id AS cell_id FROM (
+        |    SELECT vec_id, cent_id,
+        |           row_number() OVER (PARTITION BY vec_id ORDER BY c DESC, cent_id) rn
+        |    FROM psc) WHERE rn = 1),
+        |probes4 AS (
+        |  SELECT vec_id AS qid, cent_id AS cell_id FROM (
+        |    SELECT vec_id, cent_id,
+        |           row_number() OVER (PARTITION BY vec_id ORDER BY c DESC, cent_id) rn
+        |    FROM psc WHERE vec_id IN (SELECT qid FROM qs)) WHERE rn <= 4),
+        |qp AS (
+        |  SELECT q.qid, e.vec_id,
+        |         unnest(e.embedding)::DOUBLE x, unnest(qe.embedding)::DOUBLE y
+        |  FROM embeddings e
+        |  CROSS JOIN qs q JOIN embeddings qe ON qe.vec_id = q.qid),
+        |qagg AS (SELECT qid, vec_id, SUM(x*y) dp, SUM(x*x) nx2, SUM(y*y) ny2
+        |         FROM qp GROUP BY qid, vec_id),
+        |qsc AS (SELECT qid, vec_id,
+        |          ROUND(dp/(GREATEST(SQRT(nx2),1e-12)*GREATEST(SQRT(ny2),1e-12)), 6)
+        |            + 0.0 AS score
+        |        FROM qagg),
+        |exact AS (
+        |  SELECT qid, vec_id FROM (
+        |    SELECT qid, vec_id,
+        |           row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) rn
+        |    FROM qsc) WHERE rn <= 10),
+        |ranked AS (
+        |  SELECT qid, vec_id, rn FROM (
+        |    SELECT s.qid, s.vec_id,
+        |           row_number() OVER (PARTITION BY s.qid
+        |                              ORDER BY s.score DESC, s.vec_id) rn
+        |    FROM qsc s
+        |    JOIN assign a ON s.vec_id = a.vec_id
+        |    JOIN probes4 p ON p.qid = s.qid AND p.cell_id = a.cell_id)
+        |  WHERE rn <= 10),
+        |hits AS (SELECT r.qid, r.rn FROM ranked r
+        |         JOIN exact e ON r.qid = e.qid AND r.vec_id = e.vec_id),
+        |perq AS (SELECT qid, COUNT(*)::BIGINT AS n_hit,
+        |                SUM(CAST(ROUND(1000000.0 * ln(2.0) / ln(rn + 1.0)) AS BIGINT)) AS dcgm,
+        |                MIN(rn) AS minr
+        |         FROM hits GROUP BY qid),
+        |ne AS (SELECT qid, COUNT(*)::BIGINT AS n_exact FROM exact GROUP BY qid),
+        |ser AS (SELECT i FROM generate_series(1, 10) t(i)),
+        |idcg AS (SELECT ne.qid,
+        |                SUM(CAST(ROUND(1000000.0 * ln(2.0) / ln(i + 1.0)) AS BIGINT)) AS idcgm
+        |         FROM ne JOIN ser ON ser.i <= LEAST(ne.n_exact, 10)
+        |         GROUP BY ne.qid)
+        |SELECT ne.qid, ne.n_exact, COALESCE(p.n_hit, 0)::BIGINT AS n_hit,
+        |       ROUND(COALESCE(p.dcgm, 0)::DOUBLE / i.idcgm, 6) + 0.0 AS ndcg,
+        |       ROUND(COALESCE(1.0 / p.minr, 0.0), 6) + 0.0 AS mrr
+        |FROM ne JOIN idcg i ON ne.qid = i.qid
+        |LEFT JOIN perq p ON ne.qid = p.qid
+        |ORDER BY ne.qid""".stripMargin
   )
 }

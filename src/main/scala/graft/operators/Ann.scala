@@ -249,6 +249,51 @@ object Ann {
           col("n_exact").cast("double"), 6) + lit(0.0)).as("recall"))
   }
 
+  /** Rank-aware quality evaluation — nDCG@k and MRR beside
+    * [[recallAtK]]'s set-overlap (recall treats rank 1 and rank k the
+    * same; nDCG/MRR grade WHERE the true neighbors land): binary
+    * relevance (membership in the exact top-k), discount 1/log₂(r+1).
+    * `approx` must carry a `score` column (the `searchBatchIvf` shape);
+    * ranks derive from (score desc, id asc) within each query.
+    *
+    * Determinism: per-rank discounts quantize to integer micro-units
+    * (round(10⁶·ln2/ln(r+1)) — the round-6 idf precedent), so the
+    * per-query DCG/IDCG are exact integer sums in both engines and
+    * nDCG is one final division. A query with no hits scores
+    * ndcg = mrr = 0. Same join-problem shape as recallAtK — no driver
+    * loop at any query count. Returns (qidCol, n_exact, n_hit, ndcg,
+    * mrr), rounded to 6.
+    */
+  def rankQualityAtK(exact: DataFrame, approx: DataFrame,
+                     qidCol: String, idCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val qid = col(qidCol)
+    def discM(r: Column): Column =
+      round(lit(1000000.0) * log(lit(2.0)) / log(r.cast("double") + lit(1.0)))
+        .cast("long")
+    val w = Window.partitionBy(qid).orderBy(col("score").desc, col(idCol))
+    val ranked = approx.withColumn("__r", row_number().over(w))
+      .filter(col("__r") <= k)
+      .select(qid, col(idCol), col("__r"))
+    val perQ = ranked
+      .join(exact.select(qid, col(idCol)), Seq(qidCol, idCol), "left_semi")
+      .groupBy(qid)
+      .agg(count(lit(1)).as("__nh"), sum(discM(col("__r"))).as("__dcgm"),
+        min(col("__r")).as("__minr"))
+    val ne = exact.groupBy(qid).agg(count(lit(1)).as("n_exact"))
+      .select(qid, col("n_exact"),
+        aggregate(sequence(lit(1), least(col("n_exact"), lit(k)).cast("int")),
+          lit(0L), (acc, i) => acc + discM(i)).as("__idcgm"))
+    ne.join(perQ, Seq(qidCol), "left")
+      .select(qid, col("n_exact"),
+        coalesce(col("__nh"), lit(0L)).as("n_hit"),
+        (round(coalesce(col("__dcgm"), lit(0L)).cast("double") /
+          col("__idcgm").cast("double"), 6) + lit(0.0)).as("ndcg"),
+        (round(coalesce(lit(1.0) / col("__minr").cast("double"), lit(0.0)), 6)
+          + lit(0.0)).as("mrr"))
+  }
+
   /** Persist an assigned vector table as an on-disk IVF index: one
     * directory per cell. A probe then reads ONLY the probed cells'
     * files via partition pruning — the disk-backed equivalent of "scan

@@ -276,4 +276,24 @@ class AnnSpec extends SparkSpec {
     info(f"mean recall@10 at 4/16 probes: $mean%.2f (${recalls.map(r => f"$r%.1f").mkString(", ")})")
     assert(mean >= 0.5, s"recall collapsed: $recalls")
   }
+
+  test("rankQualityAtK: hand-checked nDCG and MRR, no-hit query scores zero") {
+    import spark.implicits._
+    // exact top-3 per query; approx q1 finds ids 1,3 at ranks 1,3 (miss 2),
+    // q2 finds nothing relevant
+    val exact = Seq((1L, 1L), (1L, 2L), (1L, 3L), (2L, 7L), (2L, 8L), (2L, 9L))
+      .toDF("qid", "vec_id")
+    val approx = Seq(
+      (1L, 1L, 0.9), (1L, 99L, 0.8), (1L, 3L, 0.7),
+      (2L, 50L, 0.9), (2L, 51L, 0.8))
+      .toDF("qid", "vec_id", "score")
+    val got = graft.operators.Ann.rankQualityAtK(exact, approx, "qid", "vec_id", 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    def m(r: Int) = math.round(1e6 * math.log(2.0) / math.log(r + 1.0))
+    val ndcg1 = BigDecimal((m(1) + m(3)).toDouble / (m(1) + m(2) + m(3)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(1L) == ((3L, 2L, ndcg1, 1.0)), s"got ${got(1L)}")
+    assert(got(2L) == ((3L, 0L, 0.0, 0.0)), "no hits → zero ndcg and mrr")
+  }
 }
