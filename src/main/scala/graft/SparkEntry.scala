@@ -5173,6 +5173,52 @@ object SparkEntry {
         "cent_id", "cvec", qs, "qid", "qvec", nProbes = p, k = 10)
       Ann.rankQualityAtK(run(16), run(4), "qid", "vec_id", 10)
         .orderBy($"qid")
+    }),
+
+    // Embedding-norm audit per label: the pre-index sanity check that
+    // catches an unnormalized ingest batch BEFORE it corrupts a cosine
+    // index (dot-product shortcuts assume unit norms). Norms are per-row
+    // HOF folds (array order — deterministic); the mean comes from a
+    // micro-quantized integer sum. One bounded groupBy.
+    "q_norm_audit" -> ((s, dir) => {
+      import s.implicits._
+      val nrm = round(sqrt(aggregate($"embedding", lit(0.0d),
+        (a, x) => a + x.cast("double") * x.cast("double"))), 6) + lit(0.0)
+      t(s, dir, "embeddings")
+        .select($"label".cast("long").as("label"), nrm.as("nrm"))
+        .groupBy($"label")
+        .agg(count(lit(1)).as("n"),
+          (min($"nrm") + lit(0.0)).as("min_norm"),
+          (max($"nrm") + lit(0.0)).as("max_norm"),
+          (round(sum(round($"nrm" * 1000000).cast("long")).cast("double")
+            / count(lit(1)) / 1000000.0, 6) + lit(0.0)).as("mean_norm"))
+        .orderBy($"label")
+    }),
+
+    // TPC-H Q10 (returned-item reporting): which customers returned the
+    // most revenue last quarter — 4-way join (lineitem⨝orders⨝customer⨝
+    // nation), returnflag + date filters at the scans, cents-quantized
+    // revenue, top-20. Same scale shape as q3_shipping with one more
+    // broadcast dimension (nation).
+    "q10_returns" -> ((s, dir) => {
+      import s.implicits._
+      val lo = lit(java.sql.Timestamp.valueOf("1997-01-01 00:00:00"))
+      val hi = lit(java.sql.Timestamp.valueOf("1997-04-01 00:00:00"))
+      val l = t(s, dir, "lineitem").filter($"l_returnflag" === "R")
+        .select($"l_orderkey",
+          round($"l_extendedprice" * (lit(1.0) - $"l_discount") * 100)
+            .cast("long").as("rev_c"))
+      val o = t(s, dir, "orders")
+        .filter($"o_orderdate" >= lo && $"o_orderdate" < hi)
+        .select($"o_orderkey", $"o_custkey")
+      val agg = l.join(o, $"l_orderkey" === $"o_orderkey")
+        .join(t(s, dir, "customer"), $"o_custkey" === $"c_custkey")
+        .join(broadcast(t(s, dir, "nation")), $"c_nationkey" === $"n_nationkey")
+        .groupBy($"c_custkey", $"c_name", $"c_acctbal", $"n_name")
+        .agg((round(sum($"rev_c").cast("double") / 100, 2) + lit(0.0))
+          .as("revenue"))
+        .select($"c_custkey", $"c_name", $"revenue", $"c_acctbal", $"n_name")
+      TopK.topK(agg, $"revenue", $"c_custkey", 20)
     })
   )
 
@@ -6379,6 +6425,33 @@ object SparkEntry {
         |       ROUND(COALESCE(1.0 / p.minr, 0.0), 6) + 0.0 AS mrr
         |FROM ne JOIN idcg i ON ne.qid = i.qid
         |LEFT JOIN perq p ON ne.qid = p.qid
-        |ORDER BY ne.qid""".stripMargin
+        |ORDER BY ne.qid""".stripMargin,
+
+    "q_norm_audit" ->
+      """WITH ex AS (
+        |  SELECT vec_id, label, unnest(embedding)::DOUBLE AS x FROM embeddings),
+        |nr AS (
+        |  SELECT vec_id, ANY_VALUE(label) AS label,
+        |         ROUND(SQRT(SUM(x*x)), 6) + 0.0 AS nrm
+        |  FROM ex GROUP BY vec_id)
+        |SELECT label::BIGINT AS label, COUNT(*)::BIGINT AS n,
+        |       MIN(nrm) + 0.0 AS min_norm, MAX(nrm) + 0.0 AS max_norm,
+        |       ROUND(SUM(CAST(ROUND(nrm * 1000000) AS BIGINT))::DOUBLE
+        |             / COUNT(*) / 1000000.0, 6) + 0.0 AS mean_norm
+        |FROM nr GROUP BY label ORDER BY label""".stripMargin,
+
+    "q10_returns" ->
+      """SELECT c_custkey, c_name,
+        |       ROUND(SUM(CAST(ROUND(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT))::DOUBLE / 100, 2) + 0.0 AS revenue,
+        |       c_acctbal, n_name
+        |FROM customer, orders, lineitem, nation
+        |WHERE c_custkey = o_custkey
+        |  AND l_orderkey = o_orderkey
+        |  AND o_orderdate >= TIMESTAMP '1997-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-04-01'
+        |  AND l_returnflag = 'R'
+        |  AND c_nationkey = n_nationkey
+        |GROUP BY c_custkey, c_name, c_acctbal, n_name
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin
   )
 }

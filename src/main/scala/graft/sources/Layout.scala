@@ -132,7 +132,33 @@ object Layout {
     * Returns the number of rewritten partitions.
     */
   def mergeUpsert(spark: SparkSession, tableDir: String, updates: DataFrame,
-                  keyCol: String, partCol: String): Int = {
+                  keyCol: String, partCol: String): Int =
+    mergeCdc(spark, tableDir, updates,
+      updates.select(col(keyCol), col(partCol)).limit(0), keyCol, partCol)
+
+  /** CDC merge — [[mergeUpsert]] plus DELETES (the full
+    * change-data-capture apply a lakehouse MERGE statement performs):
+    * `deletes` is a (keyCol, partCol) frame of tombstones; a deleted
+    * key's row disappears from its partition in the same per-partition
+    * rewrite that applies the upserts. Same stable-partitioning
+    * precondition (partCol is a pure function of keyCol — which is
+    * exactly why the CDC feed can always supply the tombstone's
+    * partition), same dynamic-partition-overwrite scope: only
+    * partitions named by the batch are read or rewritten.
+    *
+    * Contract: a key must not appear in both `updates` and `deletes`
+    * (a CDC batch with update-then-delete collapses upstream to just
+    * the delete, delete-then-insert to just the insert) — enforced
+    * with one batch-sized join, refused loudly otherwise.
+    */
+  def mergeCdc(spark: SparkSession, tableDir: String, updates: DataFrame,
+               deletes: DataFrame, keyCol: String, partCol: String): Int = {
+    val both = updates.select(col(keyCol))
+      .join(deletes.select(col(keyCol)), Seq(keyCol), "left_semi")
+      .limit(1).count()
+    require(both == 0L,
+      s"mergeCdc: a '$keyCol' appears in both updates and deletes — " +
+        "collapse the CDC batch to one terminal action per key first")
     // one key per batch row, enforced: two rows for one key (a CDC batch
     // with two successive changes) would BOTH survive the union and
     // silently break the key-uniqueness invariant an upsert exists to
@@ -144,9 +170,11 @@ object Layout {
     require(dupKeys == 0L,
       s"mergeUpsert: updates batch has duplicate '$keyCol' values — " +
         "collapse to one row per key (e.g. last-writer-wins) first")
-    // touched partition VALUES: bounded by the update batch's spread
-    // (a daily ingest touches a handful) — a driver-side list by design
-    val parts = updates.select(col(partCol)).distinct().collect().map(_.get(0))
+    // touched partition VALUES: bounded by the batch's spread (a daily
+    // ingest touches a handful) — a driver-side list by design
+    val parts = updates.select(col(partCol))
+      .unionByName(deletes.select(col(partCol)))
+      .distinct().collect().map(_.get(0))
     // first-ever batch: no table yet → the merge degenerates to a plain
     // partitioned write of the updates (an empty-dir read would throw)
     val path = new org.apache.hadoop.fs.Path(tableDir)
@@ -169,8 +197,12 @@ object Layout {
         updates.schema.filter(_.name == partCol))
     val existing = spark.read.schema(tableSchema).parquet(tableDir)
       .filter(col(partCol).isin(parts: _*)) // partition-pruned scan
+    // one anti-join retires BOTH upserted keys' old rows and tombstoned
+    // keys' rows; only the upserts come back
+    val gone = updates.select(col(keyCol))
+      .unionByName(deletes.select(col(keyCol)))
     val merged = existing
-      .join(updates.select(col(keyCol)), Seq(keyCol), "left_anti")
+      .join(gone, Seq(keyCol), "left_anti")
       .unionByName(updates.select(existing.columns.map(col): _*))
     // materialize BEFORE the overwrite: the merged frame reads the same
     // files the write replaces (Spark rejects read-from-overwrite-target

@@ -217,6 +217,45 @@ class LayoutSpec extends SparkSpec {
       101L -> "NEW-101", 2L -> "v2"))
   }
 
+  test("mergeCdc applies upserts and deletes in one partition-scoped rewrite") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_cdc_").toString + "/tbl"
+    val base = (0 until 100).map(k => (k.toLong, s"v$k", k % 4))
+      .toDF("key", "payload", "p")
+    Layout.writePartitioned(base, dir, "p")
+
+    def partFiles(p: Int): Set[(String, Long)] = {
+      val d = new java.io.File(s"$dir/p=$p")
+      d.listFiles.filter(_.getName.endsWith(".parquet"))
+        .map(f => (f.getName, f.lastModified)).toSet
+    }
+    val before = (0 until 4).map(partFiles)
+
+    // upsert key 1 (p=1), tombstone keys 2 and 6 (p=2)
+    val updates = Seq((1L, "UPDATED-1", 1)).toDF("key", "payload", "p")
+    val deletes = Seq((2L, 2), (6L, 2)).toDF("key", "p")
+    val rewritten = Layout.mergeCdc(spark, dir, updates, deletes, "key", "p")
+    assert(rewritten == 2, "partitions 1 and 2 are touched")
+
+    for (p <- Seq(0, 3)) assert(partFiles(p) == before(p),
+      s"partition $p must not be rewritten")
+
+    val after = spark.read.parquet(dir)
+    assert(after.count() == 98, "100 - 2 deletes (upsert replaces in place)")
+    assert(after.filter($"key".isin(2L, 6L)).count() == 0, "tombstoned rows gone")
+    val got = after.filter($"key".isin(1L, 5L)).select($"key", $"payload")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "UPDATED-1", 5L -> "v5"))
+
+    // a key in both updates and deletes is refused loudly
+    val bad = intercept[IllegalArgumentException] {
+      Layout.mergeCdc(spark, dir,
+        Seq((7L, "x", 3)).toDF("key", "payload", "p"),
+        Seq((7L, 3)).toDF("key", "p"), "key", "p")
+    }
+    assert(bad.getMessage.contains("both updates and deletes"))
+  }
+
   test("mergeUpsert on a missing table degenerates to a plain partitioned write") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_merge0_").toString + "/tbl"
