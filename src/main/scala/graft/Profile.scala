@@ -13,7 +13,8 @@ import graft.operators.Dedup
   * section runs; otherwise only the named ones. Sections: `lsh` (stage
   * timings A–F), `ngram` (G/H/H2), `scale` (LSH 10×), `incr` (signature
   * store I1/I10), `cur` (curation C1/C10), `dsir` (J1/J10), `substr`
-  * (span removal K1/K10), `para` (paragraph dedup P1/P10), `sketch`
+  * (span removal K1/K10), `para` (paragraph dedup P1/P10), `tfidf`
+  * (index build T1/T10), `lpa` (label propagation L1/L10), `sketch`
   * (L/M/N), `cc` (skewed mega-cluster
   * connected components), `parts` (shuffle-partition sensitivity sweep),
   * `graph` (triangle count under a 10⁵-degree hub, 1×/10×), `rf`
@@ -189,6 +190,38 @@ object Profile {
       removal(docsS) // warmup: JIT + codegen compile, not the pipeline
       time("K1 substr removal 1x")(println("  removed=" + removal(docsS)))
       time("K10 substr removal 10x")(println("  removed10x=" + removal(dupCorpus(10))))
+    }
+
+    // TF-IDF index-build scale probe: 1× vs 10× corpus. The build is
+    // ONE corpus explode+tf shuffle plus a vocab-bounded idf broadcast;
+    // cost must track tokens, and the vocab (join side) must not grow
+    // with the duplication (the v$i suffixes add ~10 terms).
+    if (on("tfidf")) {
+      import graft.operators.Tfidf
+      def build(d: DataFrame): Long =
+        Tfidf.vectorize(d, "doc_id", "text")
+          .agg(sum($"wq")).collect().head.getLong(0)
+      val docsS = docs.repartition(32)
+      build(docsS) // warmup
+      time("T1 tfidf vectorize 1x")(println("  sumw=" + build(docsS)))
+      time("T10 tfidf vectorize 10x")(println("  sumw10x=" + build(dupCorpus(10))))
+    }
+
+    // Label-propagation scale probe: 1× vs 10× the user–item graph
+    // (disjoint user-id shifted copies — communities don't merge across
+    // copies, so rounds stay constant and cost must track edges).
+    if (on("lpa")) {
+      import graft.operators.GraphOps
+      val events = graft.sources.Tables.load(spark, sfDir, "events")
+      def edges(n: Int): DataFrame = (0 until n).map(i =>
+        events.select(($"user_id" + lit(i * 10000000L)).as("src"),
+          (lit(100000L) + (i * 1000L) + $"event_id" % 50).as("dst")))
+        .reduce(_ unionByName _).distinct().repartition(32)
+      def lpa(e: DataFrame): Long =
+        GraphOps.labelPropagation(e, "src", "dst", rounds = 3).count()
+      lpa(edges(1)) // warmup
+      time("L1 label propagation 1x")(println("  nodes=" + lpa(edges(1))))
+      time("L10 label propagation 10x")(println("  nodes10x=" + lpa(edges(10))))
     }
 
     // Paragraph-dedup scale probe: 1× vs 10× corpus. The dupCorpus
