@@ -5219,6 +5219,19 @@ object SparkEntry {
           .as("revenue"))
         .select($"c_custkey", $"c_name", $"revenue", $"c_acctbal", $"n_name")
       TopK.topK(agg, $"revenue", $"c_custkey", 20)
+    }),
+
+    // kNN-graph construction: every vector's top-3 cosine neighbors
+    // within its IVF cell (Ann.knnJoin) — the SemDeDup/kNN-clustering
+    // primitive. Candidates are cell-bounded (n²/C, the point of the
+    // partitioning); only n × k edges survive the k-bounded reduction.
+    "q_knn_join" -> ((s, dir) => {
+      import s.implicits._
+      val e = t(s, dir, "embeddings")
+      val cents = e.filter($"vec_id" < 16)
+        .select($"vec_id".as("cent_id"), $"embedding".as("cvec"))
+      Ann.knnJoin(e, cents, "vec_id", "embedding", "cent_id", "cvec", 3)
+        .orderBy($"src", $"score".desc, $"dst")
     })
   )
 
@@ -6452,6 +6465,46 @@ object SparkEntry {
         |  AND l_returnflag = 'R'
         |  AND c_nationkey = n_nationkey
         |GROUP BY c_custkey, c_name, c_acctbal, n_name
-        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+
+    "q_knn_join" ->
+      """WITH cents AS (
+        |  SELECT vec_id AS cent_id, embedding AS cvec FROM embeddings
+        |  WHERE vec_id < 16),
+        |pc AS (
+        |  SELECT e.vec_id, c.cent_id,
+        |         unnest(e.embedding)::DOUBLE x, unnest(c.cvec)::DOUBLE y
+        |  FROM embeddings e CROSS JOIN cents c),
+        |pagg AS (SELECT vec_id, cent_id, SUM(x*y) dp, SUM(x*x) nx2, SUM(y*y) ny2
+        |         FROM pc GROUP BY vec_id, cent_id),
+        |psc AS (SELECT vec_id, cent_id,
+        |          ROUND(dp/(GREATEST(SQRT(nx2),1e-12)*GREATEST(SQRT(ny2),1e-12)), 6) c
+        |        FROM pagg),
+        |assign AS (
+        |  SELECT vec_id, cent_id AS cell_id FROM (
+        |    SELECT vec_id, cent_id,
+        |           row_number() OVER (PARTITION BY vec_id ORDER BY c DESC, cent_id) rn
+        |    FROM psc) WHERE rn = 1),
+        |pr AS (
+        |  SELECT a.vec_id AS src, b.vec_id AS dst
+        |  FROM assign a JOIN assign b
+        |    ON a.cell_id = b.cell_id AND a.vec_id <> b.vec_id),
+        |px AS (
+        |  SELECT p.src, p.dst,
+        |         unnest(ea.embedding)::DOUBLE x, unnest(eb.embedding)::DOUBLE y
+        |  FROM pr p JOIN embeddings ea ON ea.vec_id = p.src
+        |            JOIN embeddings eb ON eb.vec_id = p.dst),
+        |pxa AS (SELECT src, dst, SUM(x*y) dp, SUM(x*x) nx2, SUM(y*y) ny2
+        |        FROM px GROUP BY src, dst),
+        |sc AS (SELECT src, dst,
+        |         ROUND(dp/(GREATEST(SQRT(nx2),1e-12)*GREATEST(SQRT(ny2),1e-12)), 6)
+        |           + 0.0 AS score
+        |       FROM pxa),
+        |r AS (SELECT src, dst, score,
+        |             row_number() OVER (PARTITION BY src
+        |                                ORDER BY score DESC, dst) AS rn
+        |      FROM sc)
+        |SELECT src, dst, score FROM r WHERE rn <= 3
+        |ORDER BY src, score DESC, dst""".stripMargin
   )
 }

@@ -249,6 +249,41 @@ object Ann {
           col("n_exact").cast("double"), 6) + lit(0.0)).as("recall"))
   }
 
+  /** Approximate kNN self-join — the kNN-GRAPH construction primitive
+    * (SemDeDup neighborhoods, kNN-graph clustering, HNSW-style index
+    * bootstraps all start here): every vector's top-k cosine neighbors
+    * among the vectors sharing its IVF cell (probe-1 approximation — a
+    * vector near a cell boundary can miss a cross-cell neighbor; raise
+    * cells' resolution or union a second assignment under a rotated
+    * codebook to tighten recall, same trade as every IVF search).
+    *
+    * Scale shape: the quadratic hazard is the within-cell self-join —
+    * Σ|cell|² pairs — which is exactly what the cell partitioning is
+    * FOR: at C balanced cells the candidate count is n²/C, and the
+    * per-src top-k is the k-bounded two-phase aggregator, so only
+    * n × k edges survive the reduction. A hot cell is the LSH
+    * hot-bucket failure mode — cap or re-cluster it (the `Dedup`
+    * bucket-cap discipline applies unchanged).
+    */
+  def knnJoin(vectors: DataFrame, centroids: DataFrame,
+              idCol: String, vecCol: String,
+              centIdCol: String, centVecCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val assigned = ivfAssign(vectors, centroids, idCol, vecCol,
+      centIdCol, centVecCol)
+    val a = assigned.select(col("cell_id"), col(idCol).as("src"),
+      col(vecCol).as("__ea"))
+    val b = assigned.select(col("cell_id"), col(idCol).as("dst"),
+      col(vecCol).as("__eb"))
+    val pairs = a.join(b, Seq("cell_id"))
+      .filter(col("src") =!= col("dst"))
+      .withColumn("score",
+        round(V.cosine(col("__ea"), col("__eb")), 6) + lit(0.0))
+      .select(col("src"), col("dst"), col("score"))
+    TopK.topKPerKeyAgg(pairs, Seq(col("src")), col("score"), col("dst"), k)
+      .select(col("src"), col("id").as("dst"), col("score"))
+  }
+
   /** Rank-aware quality evaluation — nDCG@k and MRR beside
     * [[recallAtK]]'s set-overlap (recall treats rank 1 and rank k the
     * same; nDCG/MRR grade WHERE the true neighbors land): binary

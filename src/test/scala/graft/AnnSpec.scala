@@ -277,6 +277,33 @@ class AnnSpec extends SparkSpec {
     assert(mean >= 0.5, s"recall collapsed: $recalls")
   }
 
+  test("knnJoin: neighbors stay within the cell, k-bounded, self excluded") {
+    import spark.implicits._
+    // two well-separated clusters around e1 and e2 axes
+    def v(main: Int, eps: Float): Seq[Float] =
+      Seq.tabulate(4)(i => (if (i == main) 1.0f else 0.0f) +
+        (if (i == 3) eps else 0.0f))
+    val vecs = Seq(
+      (0L, v(0, 0.00f)), (1L, v(0, 0.01f)), (2L, v(0, 0.02f)), (3L, v(0, 0.03f)),
+      (10L, v(1, 0.00f)), (11L, v(1, 0.01f)), (12L, v(1, 0.02f)))
+      .toDF("vec_id", "embedding")
+    val cents = Seq((100L, v(0, 0.0f)), (200L, v(1, 0.0f)))
+      .toDF("cent_id", "cvec")
+    val got = graft.operators.Ann.knnJoin(vecs, cents, "vec_id", "embedding",
+        "cent_id", "cvec", 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toList
+    val bySrc = got.groupBy(_._1)
+    assert(bySrc.keySet == Set(0L, 1L, 2L, 3L, 10L, 11L, 12L))
+    bySrc.foreach { case (src, edges) =>
+      assert(edges.size <= 2, s"k bound violated for $src")
+      assert(!edges.exists(_._2 == src), s"self edge for $src")
+      val sameCluster = if (src < 10) Set(0L, 1L, 2L, 3L) else Set(10L, 11L, 12L)
+      edges.foreach { case (_, dst) =>
+        assert(sameCluster.contains(dst), s"$src -> $dst crossed cells")
+      }
+    }
+  }
+
   test("rankQualityAtK: hand-checked nDCG and MRR, no-hit query scores zero") {
     import spark.implicits._
     // exact top-3 per query; approx q1 finds ids 1,3 at ranks 1,3 (miss 2),
