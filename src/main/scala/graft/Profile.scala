@@ -192,6 +192,24 @@ object Profile {
       time("K10 substr removal 10x")(println("  removed10x=" + removal(dupCorpus(10))))
     }
 
+    // kNN self-join cost: within-cell candidates are n²/C, so doubling
+    // the cell count should roughly halve the pair work — measured at
+    // 16 vs 64 cells on the same vectors (recall trades off, the IVF
+    // contract). Also times the norm-hoisted scoring path.
+    if (on("knn")) {
+      import graft.operators.Ann
+      val e = spark.read.parquet(s"$sfDir/embeddings.parquet").repartition(32)
+      def knn(nCells: Int): Long = {
+        val cents = e.filter($"vec_id" < nCells)
+          .select($"vec_id".as("cent_id"), $"embedding".as("cvec"))
+        Ann.knnJoin(e, cents, "vec_id", "embedding", "cent_id", "cvec", 3)
+          .count()
+      }
+      knn(16) // warmup
+      time("N16 knn join, 16 cells")(println("  edges=" + knn(16)))
+      time("N64 knn join, 64 cells")(println("  edges64=" + knn(64)))
+    }
+
     // TF-IDF index-build scale probe: 1× vs 10× corpus. The build is
     // ONE corpus explode+tf shuffle plus a vocab-bounded idf broadcast;
     // cost must track tokens, and the vocab (join side) must not grow
