@@ -312,4 +312,71 @@ class PropertiesSpec extends SparkSpec {
         s"seed=$seed pct=$pct")
     }
   }
+
+  // random small-vocabulary corpora — duplication arises naturally
+  private val corpora: Gen[List[(Long, String)]] = for {
+    n <- Gen.choose(2, 60)
+    texts <- Gen.listOfN(n, for {
+      len <- Gen.choose(0, 12)
+      ws <- Gen.listOfN(len, Gen.oneOf("a", "b", "c", "d"))
+    } yield ws.mkString(" "))
+  } yield texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+
+  test("prop: paragraphDedup is idempotent, conservative, and globally duplicate-free") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    (1 to 6).foreach { seed =>
+      val rows = sample(corpora, seed + 500)
+      val parts = sample(Gen.choose(1, 7), seed * 19)
+      val df = rows.toDF("doc_id", "text").repartition(parts)
+      val once = Dedup.paragraphDedup(df, "doc_id", "text", 2)
+      val got = once.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      // conservative: n_kept ≤ n_paras, and kept paragraphs are a
+      // sub-multiset of the original document's paragraphs
+      got.foreach { case (id, np, nk, _) =>
+        assert(nk <= np, s"seed=$seed doc=$id kept $nk of $np")
+      }
+      // globally duplicate-free: across ALL rewritten docs, every
+      // surviving paragraph fingerprint occurs exactly once
+      val survived = got.flatMap { case (_, _, _, t) =>
+        if (t.trim.isEmpty) Nil
+        else t.trim.split("\\s+").grouped(2).map(_.mkString(" ")).toList
+      }
+      assert(survived.distinct.length == survived.length,
+        s"seed=$seed: duplicate paragraph survived")
+      // idempotent: a second pass removes nothing
+      val again = Dedup.paragraphDedup(
+        once.select(col("doc_id"), col("text_dedup").as("text")),
+        "doc_id", "text", 2)
+      assert(again.filter(col("n_kept") =!= col("n_paras")).count() == 0,
+        s"seed=$seed: second pass removed paragraphs")
+    }
+  }
+
+  test("prop: labelPropagation labels are graph nodes and deterministic under partitioning") {
+    import spark.implicits._
+    import graft.operators.GraphOps
+    (1 to 5).foreach { seed =>
+      val n = sample(Gen.choose(4, 40), seed + 900)
+      val m = sample(Gen.choose(3, 80), seed * 23)
+      val edges = (0 until m).map { i =>
+        val a = sample(Gen.choose(0, n - 1), seed * 1000L + i)
+        val b = sample(Gen.choose(0, n - 1), seed * 2000L + i)
+        (a.toLong, b.toLong)
+      }.filter { case (a, b) => a != b }
+      if (edges.nonEmpty) {
+        val df = edges.toDF("src", "dst")
+        val labs = GraphOps.labelPropagation(df.repartition(3), "src", "dst", 3)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val nodes = edges.flatMap { case (a, b) => Seq(a, b) }.toSet
+        assert(labs.keySet == nodes, s"seed=$seed: node set mismatch")
+        assert(labs.values.toSet.subsetOf(nodes),
+          s"seed=$seed: a label is not a graph node")
+        val labs2 = GraphOps.labelPropagation(df.repartition(7), "src", "dst", 3)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(labs == labs2, s"seed=$seed: partitioning changed labels")
+      }
+    }
+  }
 }
