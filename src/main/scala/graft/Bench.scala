@@ -72,7 +72,8 @@ object Bench {
     "q_tfidf_keywords", "q_pseudonymize", "q_cluster_purity",
     "q_label_prop", "q_token_fertility", "q3_shipping",
     "q_hybrid_blend", "q_prf_expand", "q_incremental_paradedup",
-    "q_rank_quality", "q_norm_audit", "q10_returns", "q_knn_join")
+    "q_rank_quality", "q_norm_audit", "q10_returns", "q_knn_join",
+    "q_paragraph_stats")
 
   /** Force FULL materialization of every output column: xxhash64 over all
     * columns, summed. `.count()` alone under-measures — Catalyst prunes

@@ -5232,6 +5232,25 @@ object SparkEntry {
         .select($"vec_id".as("cent_id"), $"embedding".as("cvec"))
       Ann.knnJoin(e, cents, "vec_id", "embedding", "cent_id", "cvec", 3)
         .orderBy($"src", $"score".desc, $"dst")
+    }),
+
+    // Per-source paragraph-duplication report: the number a curation
+    // team reads to set mixture weights (a high-dup source is worth
+    // less than its raw token count suggests). One bounded groupBy over
+    // the paragraphDedup output joined back to source labels.
+    "q_paragraph_stats" -> ((s, dir) => {
+      import s.implicits._
+      val d = spread(s, t(s, dir, "documents"))
+      Dedup.paragraphDedup(d, "doc_id", "text", paraTokens = 10)
+        .join(d.select($"doc_id", $"source"), Seq("doc_id"))
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum($"n_paras").as("n_paras"),
+          sum($"n_paras" - $"n_kept").as("n_dropped"),
+          (round(sum($"n_paras" - $"n_kept").cast("double") /
+            greatest(sum($"n_paras"), lit(1L)), 4) + lit(0.0))
+            .as("drop_rate"))
+        .orderBy($"source")
     })
   )
 
@@ -6505,6 +6524,37 @@ object SparkEntry {
         |                                ORDER BY score DESC, dst) AS rn
         |      FROM sc)
         |SELECT src, dst, score FROM r WHERE rn <= 3
-        |ORDER BY src, score DESC, dst""".stripMargin
+        |ORDER BY src, score DESC, dst""".stripMargin,
+
+    "q_paragraph_stats" ->
+      """WITH t AS (
+        |  SELECT doc_id, CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[]) ELSE string_split_regex(trim(text), '\s+') END AS toks
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, unnest(generate_series(0, CAST(ceil(len(toks)/10.0) AS INT) - 1)) AS idx, toks
+        |  FROM t WHERE len(toks) > 0),
+        |p AS (
+        |  SELECT doc_id, idx,
+        |         md5(lower(trim(regexp_replace(
+        |           array_to_string(toks[idx*10+1 : idx*10+10], ' '), '\s+', ' ', 'g')))) AS fp
+        |  FROM c),
+        |k AS (
+        |  SELECT doc_id, COUNT(*) AS nk FROM (
+        |    SELECT doc_id, idx,
+        |           row_number() OVER (PARTITION BY fp ORDER BY doc_id, idx) AS rn
+        |    FROM p) WHERE rn = 1 GROUP BY doc_id),
+        |x AS (
+        |  SELECT t.doc_id,
+        |         CAST(CASE WHEN len(t.toks) = 0 THEN 0
+        |              ELSE ceil(len(t.toks)/10.0) END AS BIGINT) AS np,
+        |         COALESCE(kk.nk, 0)::BIGINT AS nk
+        |  FROM t LEFT JOIN k kk USING (doc_id))
+        |SELECT d.source, COUNT(*)::BIGINT AS n_docs,
+        |       SUM(x.np)::BIGINT AS n_paras,
+        |       SUM(x.np - x.nk)::BIGINT AS n_dropped,
+        |       ROUND(SUM(x.np - x.nk)::DOUBLE /
+        |             GREATEST(SUM(x.np), 1), 4) + 0.0 AS drop_rate
+        |FROM x JOIN documents d USING (doc_id)
+        |GROUP BY d.source ORDER BY d.source""".stripMargin
   )
 }
