@@ -5251,6 +5251,32 @@ object SparkEntry {
             greatest(sum($"n_paras"), lit(1L)), 4) + lit(0.0))
             .as("drop_rate"))
         .orderBy($"source")
+    }),
+
+    // Classifier TRAINING: 3 full-batch GD iterations of a
+    // hard-sigmoid linear language classifier (label: lang = 'en';
+    // features: bias, capped length, en/es stopword ratios) — the
+    // train step the inference-only q_quality_classifier presumes.
+    // Exp-free and micro-quantized, so the learned weights are
+    // engine-exact (Classifier.trainHardSigmoid scaladoc).
+    "q_classifier_train" -> ((s, dir) => {
+      import s.implicits._
+      val toks = T.tokens(lower($"text"))
+      val nt = size(toks)
+      val ntg = greatest(nt, lit(1)).cast("double")
+      val feats = spread(s, t(s, dir, "documents")).select(
+        lit(1000000L).as("xq0"),
+        round(least(nt, lit(100)).cast("double") / lit(100.0) * lit(1000000.0))
+          .cast("long").as("xq1"),
+        round(T.stopwordHits(toks, T.EnStopwords).cast("double") / ntg
+          * lit(1000000.0)).cast("long").as("xq2"),
+        round(T.stopwordHits(toks, T.EsStopwords).cast("double") / ntg
+          * lit(1000000.0)).cast("long").as("xq3"),
+        when($"lang" === "en", lit(1.0)).otherwise(lit(0.0)).as("y"))
+      val w = Classifier.trainHardSigmoid(feats,
+        Seq("xq0", "xq1", "xq2", "xq3"), "y", iters = 3, lr = 2.0)
+      w.zipWithIndex.map { case (wt, j) => (j.toLong, wt + 0.0) }
+        .toDF("j", "weight").orderBy($"j")
     })
   )
 
@@ -6555,6 +6581,56 @@ object SparkEntry {
         |       ROUND(SUM(x.np - x.nk)::DOUBLE /
         |             GREATEST(SUM(x.np), 1), 4) + 0.0 AS drop_rate
         |FROM x JOIN documents d USING (doc_id)
-        |GROUP BY d.source ORDER BY d.source""".stripMargin
+        |GROUP BY d.source ORDER BY d.source""".stripMargin,
+
+    // Hard-sigmoid GD unrolled: per iteration one p-projection over the
+    // quantized features CTE (weights as a one-row CTE), one integer
+    // gradient-sum row, one round-6 weight update.
+    "q_classifier_train" -> {
+      def iter(k: Int): String = {
+        val p = k - 1
+        s"""g$k AS (
+           |  SELECT SUM(CAST(ROUND((p - y) * 0.25 * xq0) AS BIGINT)) AS g0,
+           |         SUM(CAST(ROUND((p - y) * 0.25 * xq1) AS BIGINT)) AS g1,
+           |         SUM(CAST(ROUND((p - y) * 0.25 * xq2) AS BIGINT)) AS g2,
+           |         SUM(CAST(ROUND((p - y) * 0.25 * xq3) AS BIGINT)) AS g3
+           |  FROM (
+           |    SELECT f.*,
+           |           ROUND(LEAST(GREATEST(0.25 * ((w.w0 * xq0 + w.w1 * xq1
+           |             + w.w2 * xq2 + w.w3 * xq3) / 1000000.0) + 0.5, 0.0),
+           |             1.0), 6) AS p
+           |    FROM f CROSS JOIN w${p}c w)),
+           |w${k}c AS (
+           |  SELECT ROUND(w.w0 - 2.0 * (g.g0 / 1000000.0) / n.n, 6) AS w0,
+           |         ROUND(w.w1 - 2.0 * (g.g1 / 1000000.0) / n.n, 6) AS w1,
+           |         ROUND(w.w2 - 2.0 * (g.g2 / 1000000.0) / n.n, 6) AS w2,
+           |         ROUND(w.w3 - 2.0 * (g.g3 / 1000000.0) / n.n, 6) AS w3
+           |  FROM w${p}c w, g$k g, nn n)""".stripMargin
+      }
+      s"""WITH f AS (
+         |  SELECT CAST(1000000 AS BIGINT) AS xq0,
+         |         CAST(ROUND(LEAST(nt, 100)::DOUBLE / 100.0 * 1000000.0) AS BIGINT) AS xq1,
+         |         CAST(ROUND(se::DOUBLE / ntg * 1000000.0) AS BIGINT) AS xq2,
+         |         CAST(ROUND(ss::DOUBLE / ntg * 1000000.0) AS BIGINT) AS xq3,
+         |         CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
+         |  FROM (
+         |    SELECT lang, len(toks) AS nt, GREATEST(len(toks), 1)::DOUBLE AS ntg,
+         |           len(list_filter(toks, t -> list_contains(
+         |             ['the','a','of','and','to','in','is'], t))) AS se,
+         |           len(list_filter(toks, t -> list_contains(
+         |             ['el','la','de','los','las','y','en'], t))) AS ss
+         |    FROM (
+         |      SELECT lang, CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+         |                   ELSE string_split_regex(trim(lower(text)), '\\s+') END AS toks
+         |      FROM documents))),
+         |nn AS (SELECT COUNT(*)::DOUBLE AS n FROM f),
+         |w0c AS (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2, 0.0 AS w3),
+         |${(1 to 3).map(iter).mkString(",\n")}
+         |SELECT 0::BIGINT AS j, w0 + 0.0 AS weight FROM w3c
+         |UNION ALL SELECT 1::BIGINT, w1 + 0.0 FROM w3c
+         |UNION ALL SELECT 2::BIGINT, w2 + 0.0 FROM w3c
+         |UNION ALL SELECT 3::BIGINT, w3 + 0.0 FROM w3c
+         |ORDER BY j""".stripMargin
+    }
   )
 }

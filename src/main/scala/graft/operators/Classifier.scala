@@ -65,4 +65,52 @@ object Classifier {
   def keep(toks: Column, threshold: Double = 0.0,
            buckets: Int = DefaultBuckets): Column =
     logit(toks, buckets) > threshold
+
+  /** Full-batch gradient-descent TRAINER for a linear classifier with a
+    * HARD-SIGMOID link — the train-the-quality-classifier step the
+    * inference-only [[logit]] presumes already happened. Hard sigmoid
+    * (clamp(0.25·z + 0.5, 0, 1) — the standard quantized-inference
+    * surrogate) instead of the logistic link because exp() is the one
+    * primitive whose last ulp differs across engines (see [[logit]]'s
+    * scaladoc); every step here is rational arithmetic + explicit
+    * round, so the trained weights are engine-exact.
+    *
+    * Squared-loss gradient, micro-unit discipline: features quantize to
+    * integer micro-units ONCE; each iteration computes p (rounded 6),
+    * then ONE map-side-combined aggregate of the per-feature integer
+    * gradient sums (the only cluster work — d longs per partition cross
+    * the wire); the weight update runs driver-side on d doubles
+    * (bounded state, the k-means-centroid convention). Iterations are a
+    * FIXED count — the bounded-round discipline of `PageRank`/LPA.
+    * At 10¹² rows the per-row gradient terms are ≤ 2.5·10⁵, so the
+    * int-64 sums hold to ~3.7·10¹³ rows per partition-free margin;
+    * shard the sum as DECIMAL(38,0) past that (q_standardize note).
+    *
+    * `featsQ` must hold integer micro-unit feature columns and a 0/1
+    * double `y`. Returns the final weights, round-6 doubles.
+    */
+  def trainHardSigmoid(featsQ: org.apache.spark.sql.DataFrame,
+                       featCols: Seq[String], yCol: String,
+                       iters: Int = 3, lr: Double = 2.0): Seq[Double] = {
+    require(iters >= 1 && featCols.nonEmpty)
+    val snap = featsQ.localCheckpoint(false) // scanned once per iteration
+    val n = snap.count().toDouble
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    var w = Array.fill(featCols.size)(0.0)
+    for (_ <- 1 to iters) {
+      // z in FIXED term order; p = round(hard-sigmoid, 6)
+      val z = featCols.zipWithIndex
+        .map { case (c, j) => lit(w(j)) * col(c) }
+        .reduce(_ + _) / lit(1000000.0)
+      val p = round(least(greatest(lit(0.25) * z + lit(0.5), lit(0.0)),
+        lit(1.0)), 6)
+      val gAggs = featCols.map(c =>
+        sum(round((p - col(yCol)) * lit(0.25) * col(c)).cast("long")))
+      val row = snap.agg(gAggs.head, gAggs.tail: _*).head
+      w = w.indices.map(j =>
+        r6(w(j) - lr * (row.getLong(j) / 1000000.0) / n)).toArray
+    }
+    w.toSeq
+  }
 }

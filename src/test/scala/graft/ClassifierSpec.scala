@@ -39,4 +39,25 @@ class ClassifierSpec extends SparkSpec {
     val plan = df.queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), plan)
   }
+
+  test("trainHardSigmoid learns the separating direction and is partition-stable") {
+    import spark.implicits._
+    // y = 1 iff feature x1 is high: the trained w1 must come out
+    // positive and the bias compensating
+    val rows = (0 until 200).map { i =>
+      val hi = i % 2 == 0
+      (1000000L, if (hi) 900000L else 100000L, if (hi) 1.0 else 0.0)
+    }
+    val feats = rows.toDF("xq0", "xq1", "y")
+    val w = Classifier.trainHardSigmoid(feats.repartition(4),
+      Seq("xq0", "xq1"), "y", iters = 5, lr = 2.0)
+    assert(w(1) > 0.05, s"separating weight must be positive: $w")
+    // predictions: hard-sigmoid of the learned z ranks hi above lo
+    val zHi = w(0) * 1.0 + w(1) * 0.9
+    val zLo = w(0) * 1.0 + w(1) * 0.1
+    assert(zHi > zLo)
+    val w2 = Classifier.trainHardSigmoid(feats.repartition(17),
+      Seq("xq0", "xq1"), "y", iters = 5, lr = 2.0)
+    assert(w == w2, "training must be partition-count independent")
+  }
 }
