@@ -276,6 +276,7 @@ object Ann {
     val assigned = ivfAssign(vectors, centroids, idCol, vecCol,
         centIdCol, centVecCol)
       .withColumn("__n", V.normSafe(col(vecCol)))
+      .localCheckpoint(false) // both self-join sides; assign runs ONCE
     val a = assigned.select(col("cell_id"), col(idCol).as("src"),
       col(vecCol).as("__ea"), col("__n").as("__na"))
     val b = assigned.select(col("cell_id"), col(idCol).as("dst"),

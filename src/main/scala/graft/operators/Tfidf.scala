@@ -37,20 +37,26 @@ object Tfidf {
     * persistable index projection. `idf` rounds to 6 decimals so both
     * engines' ln agree at the comparison precision.
     */
-  def vectorize(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+  /** `broadcastIdf = true` (default) broadcasts the per-term idf table —
+    * right while the vocabulary fits an executor (tens of millions of
+    * terms); a web-scale vocabulary (token-level n-grams, 10⁸+ terms)
+    * sets it false and the idf attachment becomes a plain shuffle join
+    * on the term key instead, same results.
+    */
+  def vectorize(docs: DataFrame, idCol: String, textCol: String,
+                broadcastIdf: Boolean = true): DataFrame = {
     val id = col(idCol)
     val n = docs.count().toDouble // one driver literal: corpus size
     val tf = docs
       .select(id, explode(T.tokens(lower(col(textCol)))).as("__term"))
       .groupBy(id, col("__term"))
       .agg(count(lit(1)).as("__tf"))
-    // df is vocab-bounded (distinct terms), so the join side broadcasts
     val idf = tf.groupBy(col("__term"))
       .agg(count(lit(1)).as("__df"))
       .select(col("__term"),
         round(log(lit(n + 1.0) / (col("__df").cast("double") + lit(1.0)))
           + lit(1.0), 6).as("__idf"))
-    tf.join(broadcast(idf), "__term")
+    tf.join(if (broadcastIdf) broadcast(idf) else idf, "__term")
       .select(id, col("__term").as("term"),
         round(col("__tf").cast("double") * col("__idf") * 1000000)
           .cast("long").as("wq"))
