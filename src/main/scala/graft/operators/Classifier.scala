@@ -95,6 +95,7 @@ object Classifier {
     require(iters >= 1 && featCols.nonEmpty)
     val snap = featsQ.localCheckpoint(false) // scanned once per iteration
     val n = snap.count().toDouble
+    require(n > 0, "trainHardSigmoid: empty training frame")
     def r6(x: Double): Double =
       BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     var w = Array.fill(featCols.size)(0.0)
