@@ -242,6 +242,11 @@ object Streaming {
     * Semantics note: the open session at end-of-stream is emitted only
     * when the watermark passes its gap (or never, if the stream stops) —
     * the same contract as Spark's built-in session_window in append mode.
+    * Late-but-within-gap events arriving in a LATER micro-batch merge
+    * into the open session and extend its start backwards (cross-batch
+    * delivery order is not time order); only events older than an
+    * already-closed session can fragment — bounded by the watermark like
+    * every append-mode sessionizer.
     */
   def sessionizeStream(events: DataFrame, gapMinutes: Int,
                        watermark: String): DataFrame = {
@@ -257,25 +262,35 @@ object Streaming {
         Iterator.single(ClosedSession(uid,
           new Timestamp(s.startMs), new Timestamp(s.lastMs), s.nEvents))
       } else {
-        val out = scala.collection.mutable.ArrayBuffer.empty[ClosedSession]
-        var cur = state.getOption
-        rows.map(_._2.getTime).toArray.sorted.foreach { t =>
-          cur match {
-            case Some(s) if t - s.lastMs <= gapMs =>
-              cur = Some(s.copy(lastMs = math.max(s.lastMs, t), nEvents = s.nEvents + 1))
-            case Some(s) =>
-              out += ClosedSession(uid,
-                new Timestamp(s.startMs), new Timestamp(s.lastMs), s.nEvents)
-              cur = Some(SessionState(t, t, 1))
-            case None =>
-              cur = Some(SessionState(t, t, 1))
+        // Micro-batches deliver events OUT OF ORDER across batches (a
+        // trigger can fire between two file commits of one logical
+        // append), so an event may predate the open session's start.
+        // Interval-merge semantics: the state session and the batch's
+        // events all become gap-valid intervals, sorted by start and
+        // bridged when the later one starts within gap of the earlier
+        // one's end — start extends BACKWARDS for late events, not just
+        // lastMs forwards. Every merged session except the newest closes
+        // now (events later than the horizon may fragment sessions — the
+        // standard append-mode tradeoff); the newest stays open in state.
+        val sessions = scala.collection.mutable.ArrayBuffer.empty[SessionState]
+        state.getOption.foreach(sessions += _)
+        rows.foreach(r => sessions += SessionState(r._2.getTime, r._2.getTime, 1))
+        if (sessions.isEmpty) Iterator.empty
+        else {
+          val merged = scala.collection.mutable.ArrayBuffer.empty[SessionState]
+          sessions.sortBy(s => (s.startMs, s.lastMs)).foreach { s =>
+            if (merged.nonEmpty && s.startMs - merged.last.lastMs <= gapMs) {
+              val p = merged.last
+              merged(merged.size - 1) = SessionState(p.startMs,
+                math.max(p.lastMs, s.lastMs), p.nEvents + s.nEvents)
+            } else merged += s
           }
+          val open = merged.last
+          state.update(open)
+          state.setTimeoutTimestamp(open.lastMs + gapMs)
+          merged.init.map(s => ClosedSession(uid,
+            new Timestamp(s.startMs), new Timestamp(s.lastMs), s.nEvents)).iterator
         }
-        cur.foreach { s =>
-          state.update(s)
-          state.setTimeoutTimestamp(s.lastMs + gapMs)
-        }
-        out.iterator
       }
     }
 

@@ -358,6 +358,37 @@ class StreamingSpec extends SparkSpec {
     assert(got.contains((1L, 2L, 120L)), s"user 1 second session (2 events, 2 min): $got")
   }
 
+  test("sessionizeStream merges a late-but-within-gap event from a LATER micro-batch") {
+    import spark.implicits._
+    def ts(min: Int) = new java.sql.Timestamp(3600000L + min * 60000L)
+    val tmp = Files.createTempDirectory("graft_sess_ooo_").toString
+    // minute 62 arrives in batch 1; minute 60 (EARLIER event time) only in
+    // batch 2 — cross-batch disorder that a trigger racing two file
+    // commits produces. Both are one session: start must extend BACKWARDS.
+    // The 10-minute watermark delay keeps the minute-60 row above the
+    // late-data filter (watermark 52 after batch 1), which is exactly the
+    // window where the state function must handle disorder itself.
+    Seq((1L, ts(62))).toDF("user_id", "ts").write.mode("overwrite").parquet(tmp)
+    val stream = spark.readStream
+      .schema("user_id LONG, ts TIMESTAMP").parquet(tmp)
+    val q = Streaming.sessionizeStream(stream, gapMinutes = 30, watermark = "10 minutes")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sess_ooo_out").start()
+    q.processAllAvailable()
+    Seq((1L, ts(60))).toDF("user_id", "ts").write.mode("append").parquet(tmp)
+    q.processAllAvailable()
+    // far-future watermark advance times the merged session out
+    Seq((9L, ts(600))).toDF("user_id", "ts").write.mode("append").parquet(tmp)
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("sess_ooo_out")
+      .select($"user_id", $"n_events",
+        ($"session_end".cast("long") - $"session_start".cast("long")).as("dur_s"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got.contains((1L, 2L, 120L)),
+      s"late event must extend the open session's start backwards: $got")
+  }
+
   test("streamInsertIndexed lands vectors in IVF cell partitions, pruned on read") {
     import spark.implicits._
     val in = Files.createTempDirectory("graft_idxin_").toString
