@@ -4469,6 +4469,30 @@ object SparkEntry {
         .orderBy($"doc_id")
     }),
 
+    // Blocklist phrase telemetry (C4-style badword filtering, Raffel et
+    // al. 2020 §2.2): ONE Aho-Corasick automaton pass per document
+    // counts every occurrence of every phrase — #phrases LIKE predicates
+    // collapse into a single map-side projection, and the automaton
+    // rides the task closure like a broadcast. The per-phrase report's
+    // exchange carries ≤ #phrases rows per partition after the map-side
+    // combine (expressions/AhoCorasickExpression.scala scaladoc).
+    "q_blocklist" -> ((s, dir) => {
+      import s.implicits._
+      val phrases =
+        Seq("a a", "fast table", "scan scan", "slow query", "table table")
+      spread(s, t(s, dir, "documents"))
+        .select($"doc_id",
+          graft.expressions.AhoCorasickExpression
+            .multiPhraseCounts($"text", phrases).as("c"))
+        .select(posexplode($"c").as(Seq("pi", "hits")))
+        .groupBy($"pi")
+        .agg(count(when($"hits" > 0L, 1)).as("docs_hit"),
+          sum($"hits").as("total_hits"))
+        .select(element_at(array(phrases.map(lit): _*), $"pi" + 1).as("phrase"),
+          $"docs_hit", $"total_hits")
+        .orderBy($"phrase")
+    }),
+
     // Exact phrase search over positional postings: per-term scan-level
     // pruning, then (id, aligned-pos) joins — only the phrase terms'
     // occurrence lists ever move (Bm25.phraseHits scaladoc).
@@ -5746,6 +5770,21 @@ object SparkEntry {
         |  (n BETWEEN 50 AND 100000 AND mean_wlen BETWEEN 3.0 AND 10.0
         |   AND alpha_frac > 0.8 AND sym_ratio < 0.1 AND stop_hits >= 2) AS keep
         |FROM s ORDER BY doc_id""".stripMargin,
+
+    "q_blocklist" ->
+      """WITH pl AS (
+        |  SELECT * FROM (VALUES ('a a'), ('fast table'), ('scan scan'),
+        |                        ('slow query'), ('table table')) p(phrase)),
+        |h AS (
+        |  SELECT d.doc_id, p.phrase,
+        |         len(list_filter(
+        |           generate_series(1, len(d.text) - len(p.phrase) + 1),
+        |           i -> substr(d.text, i, len(p.phrase)) = p.phrase)) AS hits
+        |  FROM documents d CROSS JOIN pl p)
+        |SELECT phrase,
+        |       count(*) FILTER (WHERE hits > 0)::BIGINT AS docs_hit,
+        |       SUM(hits)::BIGINT AS total_hits
+        |FROM h GROUP BY phrase ORDER BY phrase""".stripMargin,
 
     "q_phrase_search" ->
       """WITH base AS (
