@@ -15,16 +15,25 @@ object Tables {
     if (name == "events") events(spark, dir) else
       spark.read.parquet(s"$dir/$name.parquet")
 
-  /** The events fixture stores `ts` as parquet TIMESTAMP(NANOS), which
-    * Spark 4 refuses to read natively. Read nanos as long and convert to a
-    * microsecond timestamp with integer division (the fixture has zero
-    * sub-microsecond residue; DuckDB's reader does the same µs conversion).
+  /** The events fixture has shipped `ts` in two encodings across fixture
+    * generations: parquet TIMESTAMP(NANOS) (which Spark 4 refuses to read
+    * natively — read nanos as long and divide; the fixture has zero
+    * sub-microsecond residue) and native TIMESTAMP(MICROS) without UTC
+    * adjustment (read as TIMESTAMP_NTZ). Normalize both to a session-zone
+    * TimestampType column so every downstream window/temporal operator
+    * sees one type; the session zone is pinned to UTC, so the NTZ cast is
+    * value-identical to DuckDB's naive read.
     */
   private def events(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", org.apache.spark.sql.functions
-        .timestamp_micros(org.apache.spark.sql.functions.expr("ts div 1000")))
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    raw.schema("ts").dataType match {
+      case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => raw
+    }
   }
 
   /** Register every fixture table as a temp view (for spark.sql use). */
