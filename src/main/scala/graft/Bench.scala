@@ -73,7 +73,10 @@ object Bench {
     "q_label_prop", "q_token_fertility", "q3_shipping",
     "q_hybrid_blend", "q_prf_expand", "q_incremental_paradedup",
     "q_rank_quality", "q_norm_audit", "q10_returns", "q_knn_join",
-    "q_paragraph_stats", "q_classifier_train", "q_blocklist")
+    "q_paragraph_stats", "q_classifier_train", "q_blocklist",
+    // round-10 additions: crawl-front ops (URL + HTML) and TPC-H sweeps
+    "q_url_canonical", "q_url_dedup", "q_html_extract",
+    "q6_revenue", "q14_promo", "q18_large_orders")
 
   /** Force FULL materialization of every output column: xxhash64 over all
     * columns, summed. `.count()` alone under-measures — Catalyst prunes

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.expressions.FloatVectorExpressions.dotF
 import graft.expressions.TextHashExpressions.{minhashSigF, simhash32F}
-import graft.functions.{HashFunctions, TextFunctions => T, VectorFunctions => V}
+import graft.functions.{HashFunctions, TextFunctions => T, UrlFunctions, VectorFunctions => V}
 import graft.operators.{Ann, AsofJoin, Bm25, BpeTrain, Classifier, Collocations, CountMin, Curation, Dedup, DistinctSketch, GraphOps, HeavyHitters, Mining, Multimodal, Packing, PageRank, Privacy, QuantileSketch, Rerank, RuntimeFilter, Sampling, SkewJoin, Tfidf, TopK, TrigramLm, Validation}
 import graft.sources.{Layout, Tables}
 
@@ -130,11 +130,11 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     vectorQueries ++ relationalQueries ++ eventsQueries ++ textQueries ++
-      dedupQueries ++ extraQueries ++ round5Queries
+      dedupQueries ++ extraQueries ++ round5Queries ++ round6Queries
 
   def oracleSql: Map[String, String] =
     vectorOracles ++ relationalOracles ++ eventsOracles ++ textOracles ++
-      dedupOracles ++ extraOracles ++ round5Oracles
+      dedupOracles ++ extraOracles ++ round5Oracles ++ round6Oracles
 
   // ======================================================= vector workload
 
@@ -4609,25 +4609,23 @@ object SparkEntry {
     // HIGHEST-QUALITY member, not the min-id one — real corpus builds
     // keep the best copy (canonical-by-id drops a clean original in
     // favor of a mangled mirror whenever the mirror's id sorts lower).
-    // Composition of nearDupPairs → connectedComponents → one window
-    // argmax per cluster + an anti-join for singletons; quality is
-    // quantized before ranking so the survivor choice is engine-stable.
+    // Composition of nearDupPairs → connectedComponents →
+    // Dedup.keepBestPerCluster, whose per-cluster argmax is a map-side-
+    // combinable max(struct) aggregate — NOT a row_number window, which
+    // would sort-serialize the biggest cluster onto one reducer; quality
+    // is quantized before ranking so the survivor choice is engine-stable.
     "q_dedup_keep_best" -> ((s, dir) => {
       import s.implicits._
       val docs = spread(s, t(s, dir, "documents"))
       val pairs = Dedup.nearDupPairs(docs, "doc_id", "text",
         shingleSize = 2, numHashes = 16, bands = 4, threshold = 0.2)
       val comp = Dedup.connectedComponents(pairs, "id_a", "id_b")
-        .select($"node".as("doc_id"), $"comp".as("cluster_id"))
       val scored = docs.select($"doc_id",
         round(T.qualityScore($"text"), 4).as("q"))
-      val w = Window.partitionBy($"cluster_id").orderBy($"q".desc, $"doc_id")
-      val best = scored.join(comp, Seq("doc_id"))
-        .withColumn("__rn", row_number().over(w)).filter($"__rn" === 1)
-        .select($"doc_id", $"cluster_id", $"q")
-      val singles = scored.join(comp, Seq("doc_id"), "left_anti")
-        .select($"doc_id", $"doc_id".as("cluster_id"), $"q")
-      best.unionByName(singles).orderBy($"doc_id")
+      Dedup.keepBestPerCluster(scored, comp, "doc_id", "q")
+        .join(comp.select($"node".as("doc_id"), $"comp"), Seq("doc_id"), "left")
+        .select($"doc_id", coalesce($"comp", $"doc_id").as("cluster_id"), $"q")
+        .orderBy($"doc_id")
     }),
 
     // Temperature-flattened mixture (XLM-R balancing): p_s ∝ n_s^α lifts
@@ -6671,5 +6669,243 @@ object SparkEntry {
          |UNION ALL SELECT 3::BIGINT, w3 + 0.0 FROM w3c
          |ORDER BY j""".stripMargin
     }
+  )
+
+  /** Deterministic messy-URL synthesis shared by the URL queries: five
+    * mess variants (casing, default ports, duplicate slashes, userinfo,
+    * tracking params, fragments, non-default port) keyed off doc_id so
+    * both engines build byte-identical inputs from the fixture.
+    */
+  private def messyUrl(docId: Column, source: Column): Column = {
+    val k = pmod(docId, lit(7)).cast("string")
+    val m = pmod(docId, lit(5))
+    when(m === 0, concat(lit("HTTP://WWW."), source, lit(".COM:80//docs//"),
+        k, lit("?b=2&a=1&utm_campaign=x#top")))
+      .when(m === 1, concat(lit("https://www."), source, lit(".com/docs/"),
+        k, lit("/")))
+      .when(m === 2, concat(lit("Https://user:pw@WWW."), source,
+        lit(".com/docs/"), k, lit("?utm_source=feed&z=9&a=1")))
+      .when(m === 3, concat(lit("HTTPS://www."), source, lit(".COM:443/docs/"),
+        k, lit("?fbclid=abc123")))
+      .otherwise(concat(lit("https://www."), source, lit(".com:8080/docs/"),
+        k, lit("?a=1&b=2")))
+  }
+
+  private val messyUrlSql: String =
+    """SELECT doc_id,
+      |  CASE doc_id % 5
+      |    WHEN 0 THEN 'HTTP://WWW.' || source || '.COM:80//docs//' || (doc_id % 7) || '?b=2&a=1&utm_campaign=x#top'
+      |    WHEN 1 THEN 'https://www.' || source || '.com/docs/' || (doc_id % 7) || '/'
+      |    WHEN 2 THEN 'Https://user:pw@WWW.' || source || '.com/docs/' || (doc_id % 7) || '?utm_source=feed&z=9&a=1'
+      |    WHEN 3 THEN 'HTTPS://www.' || source || '.COM:443/docs/' || (doc_id % 7) || '?fbclid=abc123'
+      |    ELSE 'https://www.' || source || '.com:8080/docs/' || (doc_id % 7) || '?a=1&b=2'
+      |  END AS url
+      |FROM documents""".stripMargin
+
+  /** DuckDB mirror of `UrlFunctions.canonicalizeUrl` over a `u(doc_id,
+    * url)` CTE — shared by the two URL oracles.
+    */
+  private val canonUrlSql: String =
+    """c AS (
+      |  SELECT doc_id, url,
+      |    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS sch,
+      |    lower(regexp_replace(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1), '^[^@]*@', '')) AS hp,
+      |    regexp_replace(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1), '/{2,}', '/', 'g') AS p0,
+      |    regexp_extract(url, '\?([^#]*)', 1) AS qs
+      |  FROM u),
+      |canon AS (
+      |  SELECT doc_id, url,
+      |    sch || '://' ||
+      |    (CASE WHEN sch = 'http' THEN regexp_replace(hp, ':80$', '')
+      |          WHEN sch = 'https' THEN regexp_replace(hp, ':443$', '')
+      |          ELSE hp END) ||
+      |    (CASE WHEN regexp_replace(p0, '/$', '') = '' THEN '/'
+      |          ELSE regexp_replace(p0, '/$', '') END) ||
+      |    (CASE WHEN q2 <> '' THEN '?' || q2 ELSE '' END) AS canon
+      |  FROM (
+      |    SELECT *, array_to_string(list_sort(list_filter(string_split(qs, '&'),
+      |        x -> x <> '' AND NOT regexp_matches(x, '^(utm_[A-Za-z0-9_]*|fbclid|gclid|msclkid|mc_cid|mc_eid|ref)='))), '&') AS q2
+      |    FROM c))""".stripMargin
+
+  private def round6Queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Crawl URL canonicalization: five deterministic mess variants per
+    // fixture row (casing, default ports, duplicate slashes, userinfo,
+    // tracking params, fragments) normalized by the codegen'd
+    // regex/array chain in UrlFunctions — per-row scan-speed work, the
+    // first dedup key of a web pipeline.
+    "q_url_canonical" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents")
+        .select($"doc_id", messyUrl($"doc_id", $"source").as("url"))
+        .select($"doc_id", $"url",
+          UrlFunctions.canonicalizeUrl($"url").as("canon"))
+        .orderBy($"doc_id")
+    }),
+
+    // URL-level exact dedup over the canonical key: first-seen (min id)
+    // wins per group — the cheapest dedup pass a crawl runs before any
+    // content hashing. One hash shuffle of (canon, id) pairs.
+    "q_url_dedup" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents")
+        .select($"doc_id", messyUrl($"doc_id", $"source").as("url"))
+        .select($"doc_id", UrlFunctions.canonicalizeUrl($"url").as("canon"))
+        .groupBy($"canon")
+        .agg(count(lit(1)).as("n_dupes"), min($"doc_id").as("keep_id"))
+        .orderBy($"canon")
+    }),
+
+    // Raw-HTML text extraction: the fixture text wrapped into a
+    // deterministic page template (script/style elements, comments,
+    // entities) and recovered by the codegen'd regexp chain — the
+    // crawl-to-text step that feeds every downstream filter. Pure
+    // per-row work at scan speed.
+    "q_html_extract" -> ((s, dir) => {
+      import s.implicits._
+      val html = concat(
+        lit("<html><head><title>"), $"source",
+        lit("</title><style>p { color: red; }</style>" +
+          "<script type=\"text/javascript\">var x = 1 < 2;</script>" +
+          "</head><body><!-- hidden --><h1>Doc "),
+        $"doc_id".cast("string"), lit("</h1><p>"), $"text",
+        lit("</p><div>Tom &amp; Jerry &lt;3 &quot;q&#39;&nbsp;end</div>" +
+          "</body></html>"))
+      spread(s, t(s, dir, "documents"))
+        .select($"doc_id", T.extractHtmlText(html).as("clean"))
+        .orderBy($"doc_id")
+    }),
+
+    // TPC-H Q6 (forecasting revenue change): one tight filter over the
+    // fact scan — every predicate reaches PushedFilters — then a single
+    // map-side-combined micro-unit sum; the shuffle carries one partial
+    // per partition. Revenue quantized at 1e4 (price 2dp × discount 2dp)
+    // so the sum is order-proof integer arithmetic in both engines.
+    "q6_revenue" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "lineitem")
+        .filter($"l_shipdate" >= lit("1996-01-01") &&
+          $"l_shipdate" < lit("1997-01-01") &&
+          $"l_discount" >= 0.05 && $"l_discount" <= 0.07 &&
+          $"l_quantity" < 24)
+        .agg(
+          sum(round($"l_extendedprice" * $"l_discount" * 1e4, 0)
+            .cast("long")).as("rev_q"),
+          count(lit(1)).as("n_items"))
+        .select(($"rev_q".cast("double") / 1e4).as("revenue"), $"n_items")
+    }),
+
+    // TPC-H Q14 (promotion effect): month-windowed fact scan joined to
+    // the broadcast part dimension; promo share from two micro-unit
+    // integer sums (exact in both engines), one row out.
+    "q14_promo" -> ((s, dir) => {
+      import s.implicits._
+      val li = t(s, dir, "lineitem")
+        .filter($"l_shipdate" >= lit("1996-09-01") &&
+          $"l_shipdate" < lit("1996-10-01"))
+      val disc = round($"l_extendedprice" * (lit(1.0) - $"l_discount") * 100, 0)
+        .cast("long")
+      li.join(broadcast(t(s, dir, "part")), $"l_partkey" === $"p_partkey")
+        .agg(
+          sum(when($"p_type" === "PROMO", disc).otherwise(0L)).as("pq"),
+          sum(disc).as("tq"))
+        .select(round($"pq".cast("double") / $"tq".cast("double") * 100, 4)
+          .as("promo_pct"))
+    }),
+
+    // TPC-H Q18 (large-volume customers): the per-order quantity rollup
+    // is map-side combined before its one key shuffle; only qualifying
+    // orders (a tiny fraction) reach the orders/customer joins, and the
+    // final top-100 is a TakeOrderedAndProject, not a global sort.
+    // Quantities are integral doubles, so the long cast is exact.
+    "q18_large_orders" -> ((s, dir) => {
+      import s.implicits._
+      val big = t(s, dir, "lineitem")
+        .groupBy($"l_orderkey")
+        .agg(sum($"l_quantity").cast("long").as("total_qty"))
+        .filter($"total_qty" > 250)
+      big.join(t(s, dir, "orders"), $"l_orderkey" === $"o_orderkey")
+        .join(t(s, dir, "customer"), $"o_custkey" === $"c_custkey")
+        .select($"c_name", $"c_custkey", $"o_orderkey", $"o_orderdate",
+          $"o_totalprice", $"total_qty")
+        .orderBy($"o_totalprice".desc, $"o_orderdate", $"o_orderkey")
+        .limit(100)
+    })
+  )
+
+  private def round6Oracles: Map[String, String] = Map(
+
+    "q_url_canonical" ->
+      s"""WITH u AS ($messyUrlSql),
+         |$canonUrlSql
+         |SELECT doc_id, url, canon FROM canon ORDER BY doc_id""".stripMargin,
+
+    "q_url_dedup" ->
+      s"""WITH u AS ($messyUrlSql),
+         |$canonUrlSql
+         |SELECT canon, COUNT(*)::BIGINT AS n_dupes,
+         |       MIN(doc_id) AS keep_id
+         |FROM canon GROUP BY canon ORDER BY canon""".stripMargin,
+
+    "q_html_extract" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    '<html><head><title>' || source ||
+        |    '</title><style>p { color: red; }</style>' ||
+        |    '<script type="text/javascript">var x = 1 < 2;</script>' ||
+        |    '</head><body><!-- hidden --><h1>Doc ' || doc_id ||
+        |    '</h1><p>' || text ||
+        |    '</p><div>Tom &amp; Jerry &lt;3 &quot;q&#39;&nbsp;end</div>' ||
+        |    '</body></html>' AS html
+        |  FROM documents),
+        |x AS (
+        |  SELECT doc_id,
+        |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(html,
+        |      '(?is)<script\b[^>]*>.*?</script>', ' ', 'g'),
+        |      '(?is)<style\b[^>]*>.*?</style>', ' ', 'g'),
+        |      '(?s)<!--.*?-->', ' ', 'g'),
+        |      '(?s)<[^>]*>', ' ', 'g') AS t1
+        |  FROM h)
+        |SELECT doc_id,
+        |  trim(regexp_replace(
+        |    replace(replace(replace(replace(replace(replace(t1,
+        |      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+        |      '&nbsp;', ' '), '&amp;', '&'),
+        |    '\s+', ' ', 'g')) AS clean
+        |FROM x ORDER BY doc_id""".stripMargin,
+
+    "q6_revenue" ->
+      """SELECT
+        |  (SUM(CAST(ROUND(l_extendedprice * l_discount * 10000, 0) AS BIGINT))::DOUBLE
+        |     / 10000.0) AS revenue,
+        |  COUNT(*)::BIGINT AS n_items
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount >= 0.05 AND l_discount <= 0.07
+        |  AND l_quantity < 24""".stripMargin,
+
+    "q14_promo" ->
+      """WITH j AS (
+        |  SELECT p.p_type,
+        |         CAST(ROUND(l.l_extendedprice * (1.0 - l.l_discount) * 100, 0) AS BIGINT) AS disc
+        |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |  WHERE l.l_shipdate >= TIMESTAMP '1996-09-01'
+        |    AND l.l_shipdate < TIMESTAMP '1996-10-01')
+        |SELECT ROUND(SUM(CASE WHEN p_type = 'PROMO' THEN disc ELSE 0 END)::DOUBLE
+        |             / SUM(disc)::DOUBLE * 100, 4) AS promo_pct
+        |FROM j""".stripMargin,
+
+    "q18_large_orders" ->
+      """WITH big AS (
+        |  SELECT l_orderkey, CAST(SUM(l_quantity) AS BIGINT) AS total_qty
+        |  FROM lineitem GROUP BY l_orderkey HAVING SUM(l_quantity) > 250)
+        |SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+        |       o.o_totalprice, b.total_qty
+        |FROM big b
+        |JOIN orders o ON b.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |ORDER BY o.o_totalprice DESC, o.o_orderdate, o.o_orderkey
+        |LIMIT 100""".stripMargin
   )
 }

@@ -454,6 +454,33 @@ object TextFunctions {
     !lower(text).contains("lorem ipsum") && !text.contains("{") &&
       size(filter(split(text, "\n"), l => c4KeepLine(l, minWords))) >= minLines
 
+  /** HTML → visible text — the raw-crawl extraction step that feeds
+    * every downstream text filter (the trafilatura/jusText role, reduced
+    * to its deterministic core): drop `<script>`/`<style>` ELEMENTS with
+    * their contents (their text is never page content), drop comments,
+    * strip every remaining tag to a space (so `</p><p>` word-separates
+    * rather than concatenates), decode the six entities that survive in
+    * text-bearing HTML (`&lt; &gt; &quot; &#39; &nbsp; &amp;` — amp
+    * LAST, the standard order that keeps `&amp;lt;` → `&lt;` literal),
+    * then collapse whitespace. A pure regexp_replace chain over built-in
+    * functions: whole-stage codegen, scan speed, zero shuffle; mirrored
+    * 1:1 in the `q_html_extract` oracle. `(?is)` flags + non-greedy
+    * bodies are shared Java-regex/RE2 syntax, so both engines execute
+    * the identical pattern.
+    */
+  def extractHtmlText(html: Column): Column = {
+    val noScript =
+      regexp_replace(html, "(?is)<script\\b[^>]*>.*?</script>", " ")
+    val noStyle =
+      regexp_replace(noScript, "(?is)<style\\b[^>]*>.*?</style>", " ")
+    val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
+    val noTags = regexp_replace(noComment, "(?s)<[^>]*>", " ")
+    val decoded = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+      .foldLeft(noTags) { case (c, (ent, ch)) => replace(c, lit(ent), lit(ch)) }
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
+
   /** Character-level Shannon entropy in micro-nats (exact integer) —
     * the gibberish / filler detector. Native kernel; see
     * `expressions.CharEntropy` for semantics and quantization.

@@ -565,6 +565,38 @@ object Dedup {
     (labels, iters)
   }
 
+  /** Duplicate-cluster representative selection — the "keep the BEST
+    * copy" step real curation pipelines run after clustering (min-id
+    * canonicalization keeps an arbitrary copy; quality-aware selection
+    * keeps the longest/cleanest one, the variant FineWeb/RefinedWeb-style
+    * dedup prefers). Given the doc frame, cluster labels from
+    * [[connectedComponents]] ((node, comp) over idCol values), and a
+    * per-doc quality column, keeps exactly one doc per cluster — the
+    * max-quality member, ties broken to the LOWEST id so selection is
+    * deterministic — plus every unclustered doc unchanged.
+    *
+    * Scale shape: cluster labels cover only docs that near-duplicated
+    * something (≪ corpus; the label table is join-key-sized — id + comp
+    * longs). Unclustered docs exit via a label anti-join; clustered docs
+    * reduce through ONE map-side-combinable max(struct(quality, -id))
+    * aggregate whose exchange carries (comp, quality, id) triplets — the
+    * winner-id semi-join back is again key-only. Document text never
+    * shuffles; no window (a per-cluster row_number would sort-serialize
+    * the biggest cluster onto one reducer's sort buffer).
+    */
+  def keepBestPerCluster(docs: DataFrame, clusters: DataFrame,
+                         idCol: String, qualityCol: String): DataFrame = {
+    val labels = clusters.select(col("node").as(idCol), col("comp"))
+    val winners = docs.select(col(idCol), col(qualityCol))
+      .join(labels, Seq(idCol))
+      .groupBy(col("comp"))
+      .agg(max(struct(col(qualityCol).as("q"), (-col(idCol)).as("nid")))
+        .as("__w"))
+      .select((-col("__w.nid")).as(idCol))
+    docs.join(labels.select(col(idCol)), Seq(idCol), "left_anti")
+      .unionByName(docs.join(winners, Seq(idCol), "left_semi"))
+  }
+
   /** Benchmark decontamination: for every training document, count the
     * word n-grams it shares with a benchmark/eval set (GPT-3 appendix-C
     * style: a training doc is contaminated when it contains any n-gram

@@ -105,6 +105,21 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("keepBestPerCluster: max-quality member kept, ties to lowest id, unclustered pass through") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, 0.5), (2L, 0.9), (3L, 0.7), // cluster comp=1 → keep 2 (best q)
+      (5L, 0.4), (6L, 0.4),            // cluster comp=5, tie → keep 5 (low id)
+      (9L, 0.1)                        // unclustered → passes through
+    ).toDF("doc_id", "q")
+    val clusters = Seq(
+      (1L, 1L), (2L, 1L), (3L, 1L), (5L, 5L), (6L, 5L)
+    ).toDF("node", "comp")
+    val kept = Dedup.keepBestPerCluster(docs, clusters, "doc_id", "q")
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(2L, 5L, 9L), kept.toSeq)
+  }
+
   test("sortedNeighborhoodPairs: prefix-sorted near-dups found, window bound honored, no self-join") {
     import spark.implicits._
     // docs 1/2 share a long prefix (suffix edit LSH-style shingles still

@@ -362,4 +362,27 @@ class TextFunctionsSpec extends SparkSpec {
     val ge = stats("")
     assert(ge.getAs[Long]("n_words") == 0L && !ge.getAs[Boolean]("keep"))
   }
+
+  private def extract(html: String): String =
+    docs(html).select(T.extractHtmlText(col("text"))).head.getString(0)
+
+  test("extractHtmlText: tags word-separate, script/style bodies vanish") {
+    assert(extract("<p>hello</p><p>world</p>") == "hello world")
+    assert(extract("<script>var x = '<p>not text</p>';</script>after") == "after")
+    assert(extract("<style>p { color: red }</style>after") == "after")
+    // case-insensitive element match, attributes allowed
+    assert(extract("<SCRIPT type=\"a\">x</SCRIPT>ok") == "ok")
+  }
+
+  test("extractHtmlText: comments drop, entities decode, amp decodes last") {
+    assert(extract("a<!-- hidden -->b") == "a b")
+    assert(extract("Tom &amp; Jerry &lt;3 &quot;q&#39; &nbsp;.") ==
+      "Tom & Jerry <3 \"q' .")
+    // double-escaped entity stays literal: &amp;lt; → &lt; (not <)
+    assert(extract("&amp;lt;") == "&lt;")
+  }
+
+  test("extractHtmlText: multi-line elements and whitespace collapse") {
+    assert(extract("<div>\n  <span>a</span>\n  b\n</div>\n<script>\nx\ny\n</script>") == "a b")
+  }
 }
