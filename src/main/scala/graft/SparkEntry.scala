@@ -6715,6 +6715,9 @@ object SparkEntry {
       |  FROM u),
       |canon AS (
       |  SELECT doc_id, url,
+      |    (CASE WHEN sch = 'http' THEN regexp_replace(hp, ':80$', '')
+      |          WHEN sch = 'https' THEN regexp_replace(hp, ':443$', '')
+      |          ELSE hp END) AS host,
       |    sch || '://' ||
       |    (CASE WHEN sch = 'http' THEN regexp_replace(hp, ':80$', '')
       |          WHEN sch = 'https' THEN regexp_replace(hp, ':443$', '')
@@ -6773,6 +6776,49 @@ object SparkEntry {
           "</body></html>"))
       spread(s, t(s, dir, "documents"))
         .select($"doc_id", T.extractHtmlText(html).as("clean"))
+        .orderBy($"doc_id")
+    }),
+
+    // Per-domain corpus signals (the RefinedWeb/FineWeb domain-level
+    // view): docs keyed by canonical host → docs, distinct canonical
+    // URLs, micro-exact mean quality per domain. The aggregate shuffles
+    // (host, canon-hash, quality-micro) tuples only; domains are web-
+    // bounded, so the stats table is small enough to broadcast back.
+    "q_domain_stats" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents")
+        .select(messyUrl($"doc_id", $"source").as("url"),
+          round(T.qualityScore($"text"), 4).as("q"))
+        .select(UrlFunctions.urlHost($"url").as("host"),
+          UrlFunctions.canonicalizeUrl($"url").as("canon"), $"q")
+        .groupBy($"host")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct($"canon").as("n_urls"),
+          sum(round($"q" * 1e4, 0).cast("long")).as("__qs"))
+        .select($"host", $"n_docs", $"n_urls",
+          (round($"__qs".cast("double") / $"n_docs" / 1e4, 6) + lit(0.0))
+            .as("mean_q"))
+        .orderBy($"host")
+    }),
+
+    // Domain-level gate — the action on q_domain_stats: keep docs whose
+    // domain clears a mean-quality floor (spam/SEO domains drop whole).
+    // The bounded stats table broadcasts back onto the scan, so the gate
+    // itself is a map-side probe; only the stats agg ever shuffles.
+    "q_domain_gate" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+        .select($"doc_id", messyUrl($"doc_id", $"source").as("url"),
+          round(T.qualityScore($"text"), 4).as("q"))
+        .select($"doc_id", UrlFunctions.urlHost($"url").as("host"), $"q")
+      val stats = docs.groupBy($"host")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(round($"q" * 1e4, 0).cast("long")).as("__qs"))
+        .select($"host",
+          (round($"__qs".cast("double") / $"n_docs" / 1e4, 6) + lit(0.0))
+            .as("mean_q"))
+      docs.join(broadcast(stats.filter($"mean_q" >= 0.35)), Seq("host"))
+        .select($"doc_id", $"host", $"q")
         .orderBy($"doc_id")
     }),
 
@@ -6873,6 +6919,50 @@ object SparkEntry {
         |      '&nbsp;', ' '), '&amp;', '&'),
         |    '\s+', ' ', 'g')) AS clean
         |FROM x ORDER BY doc_id""".stripMargin,
+
+    "q_domain_stats" ->
+      s"""WITH u AS ($messyUrlSql),
+         |$canonUrlSql,
+         |q AS (
+         |  SELECT doc_id,
+         |    ROUND(LEAST(len(toks)::DOUBLE / 100.0, 1.0) * (0.7 + 0.3 *
+         |      len(list_filter(toks, tk -> list_contains(
+         |        ['the','a','of','and','to','in','is'], tk)))::DOUBLE
+         |      / GREATEST(len(toks)::DOUBLE, 1.0)), 4) AS q
+         |  FROM (
+         |    SELECT doc_id, CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+         |                   ELSE string_split_regex(trim(text), '\\s+') END AS toks
+         |    FROM documents))
+         |SELECT cn.host, COUNT(*)::BIGINT AS n_docs,
+         |  COUNT(DISTINCT cn.canon)::BIGINT AS n_urls,
+         |  ROUND(SUM(CAST(ROUND(q.q * 10000, 0) AS BIGINT))::DOUBLE
+         |        / COUNT(*) / 10000.0, 6) + 0.0 AS mean_q
+         |FROM canon cn JOIN q USING (doc_id)
+         |GROUP BY cn.host ORDER BY cn.host""".stripMargin,
+
+    "q_domain_gate" ->
+      s"""WITH u AS ($messyUrlSql),
+         |$canonUrlSql,
+         |q AS (
+         |  SELECT doc_id,
+         |    ROUND(LEAST(len(toks)::DOUBLE / 100.0, 1.0) * (0.7 + 0.3 *
+         |      len(list_filter(toks, tk -> list_contains(
+         |        ['the','a','of','and','to','in','is'], tk)))::DOUBLE
+         |      / GREATEST(len(toks)::DOUBLE, 1.0)), 4) AS q
+         |  FROM (
+         |    SELECT doc_id, CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+         |                   ELSE string_split_regex(trim(text), '\\s+') END AS toks
+         |    FROM documents)),
+         |d AS (SELECT cn.doc_id, cn.host, q.q FROM canon cn JOIN q USING (doc_id)),
+         |st AS (
+         |  SELECT host,
+         |    ROUND(SUM(CAST(ROUND(q * 10000, 0) AS BIGINT))::DOUBLE
+         |          / COUNT(*) / 10000.0, 6) + 0.0 AS mean_q
+         |  FROM d GROUP BY host)
+         |SELECT d.doc_id, d.host, d.q
+         |FROM d JOIN st USING (host)
+         |WHERE st.mean_q >= 0.35
+         |ORDER BY d.doc_id""".stripMargin,
 
     "q6_revenue" ->
       """SELECT

@@ -1,0 +1,55 @@
+package graft
+
+/** Physical-plan shape pins for the crawl-front + TPC-H sweep queries —
+  * the properties that make them survive a 100× scale-up, asserted so a
+  * future edit that silently regresses the plan fails here.
+  */
+class PlanShapeSpec extends SparkSpec {
+
+  private def plan(name: String): String = {
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false") // deterministic plan strings
+    try SparkEntry.queries(name)(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
+  }
+
+  test("q6_revenue: every predicate reaches the parquet scan, aggregate is two-phase") {
+    val p = plan("q6_revenue")
+    val pushed = p.linesIterator.filter(_.contains("PushedFilters")).mkString
+    assert(pushed.contains("l_shipdate") && pushed.contains("l_discount") &&
+      pushed.contains("l_quantity"),
+      s"all three predicates must push to the scan, got: $pushed")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      "sum must partial-aggregate map-side before the gather")
+  }
+
+  test("q18_large_orders: top-100 is TakeOrderedAndProject, no cartesian") {
+    val p = plan("q18_large_orders")
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-100 must be a partial top-k, not a global sort + limit")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q_dedup_keep_best: survivor selection is Window-free") {
+    // the per-cluster argmax must stay a map-side-combinable aggregate —
+    // a row_number window would sort-serialize the biggest cluster
+    val p = plan("q_dedup_keep_best")
+    assert(!p.contains("Window"), "keepBestPerCluster must not plan a Window")
+  }
+
+  test("q_domain_gate: bounded domain stats broadcast back onto the scan") {
+    val p = plan("q_domain_gate")
+    assert(p.contains("BroadcastHashJoin"),
+      "the domain gate must be a map-side broadcast probe")
+  }
+
+  test("url/domain queries: no cartesian anywhere") {
+    for (q <- Seq("q_url_canonical", "q_url_dedup", "q_domain_stats")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"), s"$q plans a cartesian")
+    }
+  }
+}
