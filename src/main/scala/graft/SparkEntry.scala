@@ -6876,6 +6876,59 @@ object SparkEntry {
           $"o_totalprice", $"total_qty")
         .orderBy($"o_totalprice".desc, $"o_orderdate", $"o_orderkey")
         .limit(100)
+    }),
+
+    // TPC-H Q7 (volume shipping between two nations): nation names
+    // filter BEFORE joining, so the supplier/customer dimensions arrive
+    // pre-pruned to the two nations and the fact⨝orders join is the
+    // only large shuffle; the 25-row nation aliases broadcast. Cents-
+    // quantized revenue keeps the per-(pair, year) rollup exact.
+    "q7_volume" -> ((s, dir) => {
+      import s.implicits._
+      val twoNations = t(s, dir, "nation")
+        .filter($"n_name".isin("NATION_1", "NATION_2"))
+      val n1 = twoNations.select($"n_nationkey".as("sk"),
+        $"n_name".as("supp_nation"))
+      val n2 = twoNations.select($"n_nationkey".as("ck"),
+        $"n_name".as("cust_nation"))
+      val li = t(s, dir, "lineitem")
+        .filter($"l_shipdate" >= lit("1995-01-01") &&
+          $"l_shipdate" < lit("1997-01-01"))
+      li.join(t(s, dir, "orders"), $"l_orderkey" === $"o_orderkey")
+        .join(t(s, dir, "supplier"), $"l_suppkey" === $"s_suppkey")
+        .join(t(s, dir, "customer"), $"o_custkey" === $"c_custkey")
+        .join(broadcast(n1), $"s_nationkey" === $"sk")
+        .join(broadcast(n2), $"c_nationkey" === $"ck")
+        .filter($"supp_nation" =!= $"cust_nation")
+        .withColumn("l_year", year($"l_shipdate").cast("long"))
+        .groupBy($"supp_nation", $"cust_nation", $"l_year")
+        .agg(sum(round($"l_extendedprice" * (lit(1.0) - $"l_discount") * 100, 0)
+          .cast("long")).as("rq"))
+        .select($"supp_nation", $"cust_nation", $"l_year",
+          ($"rq".cast("double") / 100.0).as("revenue"))
+        .orderBy($"supp_nation", $"cust_nation", $"l_year")
+    }),
+
+    // TPC-H Q19 (discounted revenue, OR-of-predicate-groups): the part
+    // side pre-filters to the three brands (the hand-derived implication
+    // of the OR groups, pushable to its scan) and broadcasts; the
+    // residual brand×quantity disjunction evaluates at the join. One
+    // exact micro-unit sum out.
+    "q19_discount" -> ((s, dir) => {
+      import s.implicits._
+      val parts = t(s, dir, "part")
+        .filter($"p_brand".isin("Brand#1", "Brand#2", "Brand#3"))
+      t(s, dir, "lineitem")
+        .join(broadcast(parts), $"l_partkey" === $"p_partkey")
+        .filter(
+          ($"p_brand" === "Brand#1" && $"l_quantity" >= 1 && $"l_quantity" <= 11) ||
+          ($"p_brand" === "Brand#2" && $"l_quantity" >= 10 && $"l_quantity" <= 20) ||
+          ($"p_brand" === "Brand#3" && $"l_quantity" >= 20 && $"l_quantity" <= 30))
+        .agg(
+          sum(round($"l_extendedprice" * (lit(1.0) - $"l_discount") * 100, 0)
+            .cast("long")).as("rq"),
+          count(lit(1)).as("n_items"))
+        .select(($"rq".cast("double") / 100.0).as("revenue"), $"n_items")
     })
   )
 
@@ -6996,6 +7049,33 @@ object SparkEntry {
         |JOIN orders o ON b.l_orderkey = o.o_orderkey
         |JOIN customer c ON o.o_custkey = c.c_custkey
         |ORDER BY o.o_totalprice DESC, o.o_orderdate, o.o_orderkey
-        |LIMIT 100""".stripMargin
+        |LIMIT 100""".stripMargin,
+
+    "q7_volume" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |       year(l.l_shipdate)::BIGINT AS l_year,
+        |       (SUM(CAST(ROUND(l.l_extendedprice * (1.0 - l.l_discount) * 100, 0)
+        |                 AS BIGINT))::DOUBLE / 100.0) AS revenue
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+        |JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+        |WHERE l.l_shipdate >= TIMESTAMP '1995-01-01'
+        |  AND l.l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        |    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+
+    "q19_discount" ->
+      """SELECT
+        |  (SUM(CAST(ROUND(l_extendedprice * (1.0 - l_discount) * 100, 0)
+        |            AS BIGINT))::DOUBLE / 100.0) AS revenue,
+        |  COUNT(*)::BIGINT AS n_items
+        |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |WHERE (p.p_brand = 'Brand#1' AND l.l_quantity BETWEEN 1 AND 11)
+        |   OR (p.p_brand = 'Brand#2' AND l.l_quantity BETWEEN 10 AND 20)
+        |   OR (p.p_brand = 'Brand#3' AND l.l_quantity BETWEEN 20 AND 30)""".stripMargin
   )
 }

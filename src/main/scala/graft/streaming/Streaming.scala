@@ -571,4 +571,60 @@ object Streaming {
         ()
       }
       .start()
+
+  /** Continuous crawl-frontier URL dedup — the streaming twin of
+    * `q_url_dedup`: each micro-batch canonicalizes its URLs
+    * (`UrlFunctions.canonicalizeUrl`), drops rows whose canonical URL
+    * already exists in the persisted URL store or earlier in the same
+    * batch (first-seen = min idCol wins), and appends the SURVIVORS'
+    * 128-bit canonical-URL fingerprints to the store as a
+    * batch-addressed partition.
+    *
+    * The store holds one md5 fingerprint per distinct canonical URL
+    * (16 B + hex overhead) — unbounded frontier state lives in the store
+    * TABLE, never in stream state, so a year-long crawl's memory is a
+    * parquet directory, not executor heap. Replay-safe the same way as
+    * [[streamNearDupIngest]]: the store partition is keyed by batchId
+    * and written overwrite-mode, so a mid-batch crash replays into the
+    * same path (no duplicate fingerprints), and a replayed batch
+    * excludes its own previous attempt's partition from the store side
+    * (no self-dedup of the retry).
+    */
+  def streamUrlDedupIngest(docs: DataFrame, idCol: String, urlCol: String,
+                           storePath: String, checkpointPath: String)
+                          (onBatch: (DataFrame, Long) => Unit): StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointPath)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val keyed = batch
+          .withColumn("__uf", md5(graft.functions.UrlFunctions
+            .canonicalizeUrl(col(urlCol)).cast("binary")))
+          .localCheckpoint(false) // consumed by anti-join, argmin + append
+        val root = new org.apache.hadoop.fs.Path(storePath)
+        val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val parts =
+          if (fs.exists(root))
+            fs.listStatus(root).filter(_.isDirectory)
+              .map(_.getPath.toString)
+              .filterNot(_.endsWith(s"batch_$batchId"))
+          else Array.empty[String]
+        val store =
+          if (parts.isEmpty) keyed.select(col("__uf")).limit(0)
+          else spark.read.parquet(parts.toIndexedSeq: _*)
+        // store-known canonical URLs drop map-side (fingerprint
+        // anti-join); then the batch's own first occurrence per
+        // fingerprint survives via a map-side-combinable min aggregate
+        val fresh = keyed.join(store, Seq("__uf"), "left_anti")
+        val firstSeen = fresh.groupBy(col("__uf"))
+          .agg(min(col(idCol)).as(idCol))
+        val survivors = fresh.join(firstSeen, Seq("__uf", idCol), "left_semi")
+          .localCheckpoint(false) // consumed by the append AND onBatch
+        survivors.select(col("__uf"))
+          .write.mode("overwrite").parquet(s"$storePath/batch_$batchId")
+        onBatch(survivors.drop("__uf"), batchId)
+        ()
+      }
+      .start()
 }

@@ -657,4 +657,61 @@ class StreamingSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSeq
     assert(rows.sorted == Seq(1L, 2L, 11L), s"store rows: $rows")
   }
+
+  test("streamUrlDedupIngest: canonical-URL dedup vs store and batch, crash-replay safe") {
+    import spark.implicits._
+    val in = Files.createTempDirectory("graft_url_in_").toString
+    val store = Files.createTempDirectory("graft_url_store_").toString + "/urls"
+    val ckpt = Files.createTempDirectory("graft_url_ckpt_").toString + "/c"
+
+    def mkStream() = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("url",
+          org.apache.spark.sql.types.StringType))))
+      .option("maxFilesPerTrigger", 1)
+      .parquet(in)
+
+    val survived = scala.collection.mutable.ArrayBuffer[Long]()
+    val crashOnce = new java.util.concurrent.atomic.AtomicBoolean(true)
+    def start() = Streaming.streamUrlDedupIngest(mkStream(), "doc_id", "url",
+      store, ckpt) { (batch, _) =>
+      if (crashOnce.getAndSet(false)) sys.error("injected mid-batch crash")
+      survived ++= batch.select("doc_id").collect().map(_.getLong(0))
+    }
+
+    // batch 1: 1 and 2 are the SAME canonical URL in different mess
+    // (tracking param + fragment vs default port) → min id 1 wins; 3 fresh
+    Seq((1L, "https://x.com/a?utm_source=s#frag"),
+        (2L, "HTTPS://X.com:443/a"),
+        (3L, "https://y.com/b"))
+      .toDF("doc_id", "url").coalesce(1).write.mode("overwrite").parquet(in)
+
+    // attempt 1 dies mid-batch AFTER the store append
+    val q1 = start()
+    intercept[Exception] { q1.processAllAvailable() }
+    q1.stop()
+    assert(survived.isEmpty, "crashed batch must not have been delivered")
+
+    // attempt 2 replays into the same batch partition: no double-append,
+    // no self-dedup of the retry
+    val q2 = start()
+    q2.processAllAvailable(); q2.stop()
+    assert(survived.sorted == Seq(1L, 3L), s"batch-1 survivors: $survived")
+
+    // batch 2: another variant of x.com/a is store-known → drops;
+    // y.com/b trailing-slash variant store-known → drops; z fresh
+    Seq((10L, "https://x.com/a"),
+        (11L, "https://y.com/b/"),
+        (12L, "https://z.com/c"))
+      .toDF("doc_id", "url").coalesce(1).write.mode("append").parquet(in)
+    val q3 = start()
+    q3.processAllAvailable(); q3.stop()
+    assert(survived.sorted == Seq(1L, 3L, 12L), s"after batch 2: $survived")
+
+    // one fingerprint per distinct canonical URL, counted not set-ified
+    val fps = spark.read.parquet(s"$store/*").collect().map(_.getString(0)).toSeq
+    assert(fps.size == 3 && fps.distinct.size == 3, s"store fps: $fps")
+  }
 }
