@@ -6711,23 +6711,25 @@ object SparkEntry {
       |    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS sch,
       |    lower(regexp_replace(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1), '^[^@]*@', '')) AS hp,
       |    regexp_replace(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1), '/{2,}', '/', 'g') AS p0,
-      |    regexp_extract(url, '\?([^#]*)', 1) AS qs
+      |    regexp_extract(url, '^[^#]*\?([^#]*)', 1) AS qs
       |  FROM u),
       |canon AS (
       |  SELECT doc_id, url,
       |    (CASE WHEN sch = 'http' THEN regexp_replace(hp, ':80$', '')
       |          WHEN sch = 'https' THEN regexp_replace(hp, ':443$', '')
       |          ELSE hp END) AS host,
-      |    sch || '://' ||
-      |    (CASE WHEN sch = 'http' THEN regexp_replace(hp, ':80$', '')
-      |          WHEN sch = 'https' THEN regexp_replace(hp, ':443$', '')
-      |          ELSE hp END) ||
-      |    (CASE WHEN regexp_replace(p0, '/$', '') = '' THEN '/'
-      |          ELSE regexp_replace(p0, '/$', '') END) ||
-      |    (CASE WHEN q2 <> '' THEN '?' || q2 ELSE '' END) AS canon
+      |    CASE WHEN sch = '' THEN NULL ELSE
+      |      sch || '://' ||
+      |      (CASE WHEN sch = 'http' THEN regexp_replace(hp, ':80$', '')
+      |            WHEN sch = 'https' THEN regexp_replace(hp, ':443$', '')
+      |            ELSE hp END) ||
+      |      (CASE WHEN regexp_replace(p0, '/$', '') = '' THEN '/'
+      |            ELSE regexp_replace(p0, '/$', '') END) ||
+      |      (CASE WHEN q2 <> '' THEN '?' || q2 ELSE '' END)
+      |    END AS canon
       |  FROM (
       |    SELECT *, array_to_string(list_sort(list_filter(string_split(qs, '&'),
-      |        x -> x <> '' AND NOT regexp_matches(x, '^(utm_[A-Za-z0-9_]*|fbclid|gclid|msclkid|mc_cid|mc_eid|ref)='))), '&') AS q2
+      |        x -> x <> '' AND NOT regexp_matches(x, '^(utm_[A-Za-z0-9_]*|fbclid|gclid|msclkid|mc_cid|mc_eid)='))), '&') AS q2
       |    FROM c))""".stripMargin
 
   private def round6Queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -6782,8 +6784,10 @@ object SparkEntry {
     // Per-domain corpus signals (the RefinedWeb/FineWeb domain-level
     // view): docs keyed by canonical host → docs, distinct canonical
     // URLs, micro-exact mean quality per domain. The aggregate shuffles
-    // (host, canon-hash, quality-micro) tuples only; domains are web-
-    // bounded, so the stats table is small enough to broadcast back.
+    // (host, canonical URL, quality-micro) tuples — at 100 TB the
+    // distinct-count column would fold to a 64-bit hash (or the KMV
+    // sketch) before the exchange; domains are web-bounded, so the
+    // stats table is small enough to broadcast back.
     "q_domain_stats" -> ((s, dir) => {
       import s.implicits._
       t(s, dir, "documents")
@@ -6878,27 +6882,31 @@ object SparkEntry {
         .limit(100)
     }),
 
-    // TPC-H Q7 (volume shipping between two nations): nation names
-    // filter BEFORE joining, so the supplier/customer dimensions arrive
-    // pre-pruned to the two nations and the fact⨝orders join is the
-    // only large shuffle; the 25-row nation aliases broadcast. Cents-
-    // quantized revenue keeps the per-(pair, year) rollup exact.
+    // TPC-H Q7 (volume shipping between two nations): the 25-row nation
+    // aliases broadcast into supplier/customer FIRST, so both dimensions
+    // arrive at the fact join already pruned to the two nations (~2/25
+    // of their rows — at scale customer is too big to broadcast, and
+    // joining it unpruned would shuffle 25× the qualifying rows); the
+    // fact⨝orders join is then the only large shuffle. Cents-quantized
+    // revenue keeps the per-(pair, year) rollup exact.
     "q7_volume" -> ((s, dir) => {
       import s.implicits._
       val twoNations = t(s, dir, "nation")
         .filter($"n_name".isin("NATION_1", "NATION_2"))
-      val n1 = twoNations.select($"n_nationkey".as("sk"),
-        $"n_name".as("supp_nation"))
-      val n2 = twoNations.select($"n_nationkey".as("ck"),
-        $"n_name".as("cust_nation"))
+      val supp = t(s, dir, "supplier")
+        .join(broadcast(twoNations.select($"n_nationkey".as("sk"),
+          $"n_name".as("supp_nation"))), $"s_nationkey" === $"sk")
+        .select($"s_suppkey", $"supp_nation")
+      val cust = t(s, dir, "customer")
+        .join(broadcast(twoNations.select($"n_nationkey".as("ck"),
+          $"n_name".as("cust_nation"))), $"c_nationkey" === $"ck")
+        .select($"c_custkey", $"cust_nation")
       val li = t(s, dir, "lineitem")
         .filter($"l_shipdate" >= lit("1995-01-01") &&
           $"l_shipdate" < lit("1997-01-01"))
       li.join(t(s, dir, "orders"), $"l_orderkey" === $"o_orderkey")
-        .join(t(s, dir, "supplier"), $"l_suppkey" === $"s_suppkey")
-        .join(t(s, dir, "customer"), $"o_custkey" === $"c_custkey")
-        .join(broadcast(n1), $"s_nationkey" === $"sk")
-        .join(broadcast(n2), $"c_nationkey" === $"ck")
+        .join(supp, $"l_suppkey" === $"s_suppkey")
+        .join(cust, $"o_custkey" === $"c_custkey")
         .filter($"supp_nation" =!= $"cust_nation")
         .withColumn("l_year", year($"l_shipdate").cast("long"))
         .groupBy($"supp_nation", $"cust_nation", $"l_year")
@@ -6959,9 +6967,12 @@ object SparkEntry {
         |  FROM documents),
         |x AS (
         |  SELECT doc_id,
-        |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(html,
+        |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |    regexp_replace(regexp_replace(html,
         |      '(?is)<script\b[^>]*>.*?</script>', ' ', 'g'),
+        |      '(?is)<script\b[^>]*>.*$', ' ', 'g'),
         |      '(?is)<style\b[^>]*>.*?</style>', ' ', 'g'),
+        |      '(?is)<style\b[^>]*>.*$', ' ', 'g'),
         |      '(?s)<!--.*?-->', ' ', 'g'),
         |      '(?s)<[^>]*>', ' ', 'g') AS t1
         |  FROM h)

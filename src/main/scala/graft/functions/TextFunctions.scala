@@ -469,10 +469,17 @@ object TextFunctions {
     * the identical pattern.
     */
   def extractHtmlText(html: Column): Column = {
-    val noScript =
-      regexp_replace(html, "(?is)<script\\b[^>]*>.*?</script>", " ")
-    val noStyle =
-      regexp_replace(noScript, "(?is)<style\\b[^>]*>.*?</style>", " ")
+    // balanced elements first, then an unterminated-tail fallback: a
+    // truncated crawl page whose <script>/<style> never closes would
+    // otherwise leak its whole JS/CSS body into the "text" (a </script>
+    // inside a JS string still ends the element early — the documented
+    // residual of regex-bounded extraction)
+    val noScript = regexp_replace(
+      regexp_replace(html, "(?is)<script\\b[^>]*>.*?</script>", " "),
+      "(?is)<script\\b[^>]*>.*$", " ")
+    val noStyle = regexp_replace(
+      regexp_replace(noScript, "(?is)<style\\b[^>]*>.*?</style>", " "),
+      "(?is)<style\\b[^>]*>.*$", " ")
     val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
     val noTags = regexp_replace(noComment, "(?s)<[^>]*>", " ")
     val decoded = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",

@@ -12,21 +12,28 @@ import org.apache.spark.sql.functions._
   * oracle (`q_url_canonical`).
   *
   * Contract: inputs are absolute `scheme://...` URLs (the form crawl
-  * frontiers store). Canonicalization = lowercase scheme + host, drop
-  * userinfo, drop default ports (:80 http / :443 https), collapse
+  * frontiers store); anything else — relative paths, `mailto:`, junk —
+  * canonicalizes to NULL so malformed frontier entries can never merge
+  * into one shared dedup key (an unchecked fallback would collapse ALL
+  * junk URLs to a single canonical string and silently drop every later
+  * one as a "duplicate"). Canonicalization = lowercase scheme + host,
+  * drop userinfo, drop default ports (:80 http / :443 https), collapse
   * duplicate path slashes, strip the trailing path slash (root stays
   * `/`), drop the fragment, drop tracking query parameters
-  * (utm_*, fbclid, gclid, msclkid, mc_cid, mc_eid, ref), and sort the
+  * (utm_*, fbclid, gclid, msclkid, mc_cid, mc_eid), and sort the
   * surviving parameters byte-wise so parameter order never splits a
   * dedup group.
   */
 object UrlFunctions {
 
-  /** Query parameters stripped by [[canonicalizeUrl]] — the standard
-    * click-tracking set; they alter no server response.
+  /** Query parameters stripped by [[canonicalizeUrl]] — click-tracking
+    * IDs that never alter the server response. Deliberately NOT
+    * included: ambiguous names like `ref`, which are functional on many
+    * real sites (git-host `?ref=branch`, docs version selectors) —
+    * stripping those silently merges distinct documents.
     */
   val TrackingParamPattern: String =
-    "^(utm_[A-Za-z0-9_]*|fbclid|gclid|msclkid|mc_cid|mc_eid|ref)="
+    "^(utm_[A-Za-z0-9_]*|fbclid|gclid|msclkid|mc_cid|mc_eid)="
 
   /** Lower-cased scheme, `""` when the URL is not absolute. */
   def urlScheme(u: Column): Column =
@@ -60,19 +67,24 @@ object UrlFunctions {
   }
 
   /** Canonical query string: tracking parameters and empty fragments
-    * dropped, survivors sorted; `""` when nothing survives.
+    * dropped, survivors sorted; `""` when nothing survives. The `?`
+    * match is anchored BEFORE any `#`, so a `?` inside the fragment
+    * (SPA hash-routes like `/#/page?tab=2`) never fabricates a query.
     */
   def urlQueryCanon(u: Column): Column = {
-    val q = regexp_extract(u, "\\?([^#]*)", 1)
+    val q = regexp_extract(u, "^[^#]*\\?([^#]*)", 1)
     val kept = filter(split(q, "&"),
       p => p =!= "" && !p.rlike(TrackingParamPattern))
     array_join(array_sort(kept), "&")
   }
 
-  /** Full canonical URL — see the object doc for the exact rules. */
+  /** Full canonical URL — see the object doc for the exact rules;
+    * NULL for non-absolute input.
+    */
   def canonicalizeUrl(u: Column): Column = {
     val q = urlQueryCanon(u)
-    concat(urlScheme(u), lit("://"), urlHost(u), urlPath(u),
-      when(length(q) > 0, concat(lit("?"), q)).otherwise(lit("")))
+    when(urlScheme(u) === "", lit(null).cast("string"))
+      .otherwise(concat(urlScheme(u), lit("://"), urlHost(u), urlPath(u),
+        when(length(q) > 0, concat(lit("?"), q)).otherwise(lit(""))))
   }
 }

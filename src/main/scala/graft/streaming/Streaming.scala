@@ -583,7 +583,11 @@ object Streaming {
     * The store holds one md5 fingerprint per distinct canonical URL
     * (16 B + hex overhead) — unbounded frontier state lives in the store
     * TABLE, never in stream state, so a year-long crawl's memory is a
-    * parquet directory, not executor heap. Replay-safe the same way as
+    * parquet directory, not executor heap. Rows whose URL is not
+    * absolute canonicalize to NULL and PASS THROUGH undeduplicated (a
+    * real frontier always carries junk URLs; merging them under one
+    * fallback key would silently drop every junk row after the first as
+    * a "duplicate" of an unrelated record). Replay-safe the same way as
     * [[streamNearDupIngest]]: the store partition is keyed by batchId
     * and written overwrite-mode, so a mid-batch crash replays into the
     * same path (no duplicate fingerprints), and a replayed batch
@@ -613,17 +617,25 @@ object Streaming {
         val store =
           if (parts.isEmpty) keyed.select(col("__uf")).limit(0)
           else spark.read.parquet(parts.toIndexedSeq: _*)
+        // malformed URLs (NULL fingerprint) bypass dedup entirely
+        val malformed = keyed.filter(col("__uf").isNull)
         // store-known canonical URLs drop map-side (fingerprint
         // anti-join); then the batch's own first occurrence per
-        // fingerprint survives via a map-side-combinable min aggregate
-        val fresh = keyed.join(store, Seq("__uf"), "left_anti")
+        // fingerprint survives via a map-side-combinable min aggregate.
+        // dropDuplicates first: a batch re-emitting an identical
+        // (id, url) row would otherwise survive the semi-join twice and
+        // double-write its fingerprint
+        val fresh = keyed.filter(col("__uf").isNotNull)
+          .dropDuplicates("__uf", idCol)
+          .join(store, Seq("__uf"), "left_anti")
         val firstSeen = fresh.groupBy(col("__uf"))
           .agg(min(col(idCol)).as(idCol))
         val survivors = fresh.join(firstSeen, Seq("__uf", idCol), "left_semi")
           .localCheckpoint(false) // consumed by the append AND onBatch
         survivors.select(col("__uf"))
           .write.mode("overwrite").parquet(s"$storePath/batch_$batchId")
-        onBatch(survivors.drop("__uf"), batchId)
+        onBatch(survivors.drop("__uf").unionByName(malformed.drop("__uf")),
+          batchId)
         ()
       }
       .start()

@@ -701,16 +701,21 @@ class StreamingSpec extends SparkSpec {
     assert(survived.sorted == Seq(1L, 3L), s"batch-1 survivors: $survived")
 
     // batch 2: another variant of x.com/a is store-known → drops;
-    // y.com/b trailing-slash variant store-known → drops; z fresh
+    // y.com/b trailing-slash variant store-known → drops; z fresh (its
+    // identical re-emitted copy must survive ONCE, not twice); junk URL
+    // bypasses dedup and passes through
     Seq((10L, "https://x.com/a"),
         (11L, "https://y.com/b/"),
-        (12L, "https://z.com/c"))
+        (12L, "https://z.com/c"),
+        (12L, "https://z.com/c"),
+        (13L, "not a url"))
       .toDF("doc_id", "url").coalesce(1).write.mode("append").parquet(in)
     val q3 = start()
     q3.processAllAvailable(); q3.stop()
-    assert(survived.sorted == Seq(1L, 3L, 12L), s"after batch 2: $survived")
+    assert(survived.sorted == Seq(1L, 3L, 12L, 13L), s"after batch 2: $survived")
 
     // one fingerprint per distinct canonical URL, counted not set-ified
+    // (and the junk URL stores nothing)
     val fps = spark.read.parquet(s"$store/*").collect().map(_.getString(0)).toSeq
     assert(fps.size == 3 && fps.distinct.size == 3, s"store fps: $fps")
   }

@@ -385,4 +385,11 @@ class TextFunctionsSpec extends SparkSpec {
   test("extractHtmlText: multi-line elements and whitespace collapse") {
     assert(extract("<div>\n  <span>a</span>\n  b\n</div>\n<script>\nx\ny\n</script>") == "a b")
   }
+
+  test("extractHtmlText: unterminated script/style tails drop (truncated crawl pages)") {
+    assert(extract("before<script>var x=1; document.write('hi')") == "before")
+    assert(extract("a<style>p { color:") == "a")
+    // balanced element earlier in the page still extracts what follows it
+    assert(extract("<script>x</script>mid<script>tail never closes") == "mid")
+  }
 }

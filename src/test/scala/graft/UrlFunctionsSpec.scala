@@ -36,7 +36,7 @@ class UrlFunctionsSpec extends SparkSpec {
     assert(canon("https://x.com/a?z=1&utm_source=s&a=2#frag") ==
       "https://x.com/a?a=2&z=1")
     assert(canon("https://x.com/a?fbclid=abc") == "https://x.com/a")
-    assert(canon("https://x.com/a?gclid=1&ref=hn&mc_cid=2&msclkid=3&mc_eid=4") ==
+    assert(canon("https://x.com/a?gclid=1&mc_cid=2&msclkid=3&mc_eid=4") ==
       "https://x.com/a")
   }
 
@@ -49,8 +49,21 @@ class UrlFunctionsSpec extends SparkSpec {
     assert(canon("https://x.com/a?b=2&a=1") == canon("https://x.com/a?a=1&b=2"))
   }
 
-  test("canonicalizeUrl: ref is dropped only as a whole parameter name") {
-    // refresh=1 is NOT the tracking param ref=
+  test("canonicalizeUrl: functional params like ref survive; utm_ matches whole names only") {
+    // ref is functional on many sites (?ref=branch) — NOT stripped
+    assert(canon("https://x.com/a?ref=main") == "https://x.com/a?ref=main")
     assert(canon("https://x.com/a?refresh=1") == "https://x.com/a?refresh=1")
+  }
+
+  test("canonicalizeUrl: a '?' inside the fragment never fabricates a query") {
+    assert(canon("https://x.com/a#f?b=1") == "https://x.com/a")
+    // SPA hash-route: everything after # drops, empty path → /
+    assert(canon("https://x.com/#/page?tab=2") == "https://x.com/")
+  }
+
+  test("canonicalizeUrl: non-absolute input canonicalizes to NULL, not a shared key") {
+    assert(canon("garbage") == null)
+    assert(canon("/relative/path?a=1") == null)
+    assert(canon("mailto:someone@example.com") == null)
   }
 }
