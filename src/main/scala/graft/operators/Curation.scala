@@ -17,7 +17,11 @@ import graft.functions.{TextFunctions => T}
   *   4. near-dup removal via MinHash-LSH: of every verified pair
   *      (id_a < id_b) the greedy survivor is the side that never appears
   *      as id_b (hot buckets capped by default, see
-  *      `Dedup.lshCandidatePairs`),
+  *      `Dedup.lshCandidatePairs`); with `keepBestQuality = true` the
+  *      pairs instead cluster (connected components) and each cluster
+  *      keeps its max-quality member — the FineWeb-style policy that
+  *      never drops a clean original for a mangled lower-id mirror, and
+  *      handles transitive chains A≈B≈C the greedy pair walk under-merges,
   *   5. deterministic stratified mixture sampling (md5-gate — no RNG).
   *
   * Stage order matters and is part of the contract: redact before
@@ -36,7 +40,8 @@ object Curation {
              shingleSize: Int = 2, numHashes: Int = 16, bands: Int = 4,
              nearDupThreshold: Double = 0.2,
              rates: Map[String, Double] = Map.empty,
-             defaultRate: Double = 1.0): DataFrame = {
+             defaultRate: Double = 1.0,
+             keepBestQuality: Boolean = false): DataFrame = {
     val id = col(idCol)
 
     // 1–2: redact, then gate on quantized quality/repetition scores.
@@ -68,13 +73,21 @@ object Curation {
     val uniq = scored.join(canonical, Seq(idCol), "left_semi")
       .localCheckpoint(false) // consumed by the LSH pipeline AND the final anti-join
 
-    // 4: near-dup removal (drop the id_b side of every verified pair)
-    val dropIds = Dedup
-      .nearDupPairs(uniq, idCol, "__clean", shingleSize, numHashes, bands,
-        nearDupThreshold)
-      .select(col("id_b").as(idCol))
-      .distinct()
-    val deduped = uniq.join(dropIds, Seq(idCol), "left_anti")
+    // 4: near-dup removal — greedy (drop the id_b side of every verified
+    // pair; cheapest, no iteration) or quality-aware (cluster the pairs,
+    // keep each cluster's max-quality member; costs the O(log diameter)
+    // connected-components rounds on the PAIR list only — corpus-sized
+    // stages are untouched)
+    val pairs = Dedup.nearDupPairs(uniq, idCol, "__clean", shingleSize,
+      numHashes, bands, nearDupThreshold)
+    val deduped =
+      if (keepBestQuality) {
+        val clusters = Dedup.connectedComponents(pairs, "id_a", "id_b")
+        Dedup.keepBestPerCluster(uniq, clusters, idCol, "__quality")
+      } else {
+        val dropIds = pairs.select(col("id_b").as(idCol)).distinct()
+        uniq.join(dropIds, Seq(idCol), "left_anti")
+      }
 
     // 5: mixture sampling (identity when no rates are given)
     val sampled =

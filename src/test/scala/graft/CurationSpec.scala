@@ -24,6 +24,28 @@ class CurationSpec extends SparkSpec {
     assert(kept == Set(1L, 6L, 7L), s"got $kept")
   }
 
+  test("curate keepBestQuality: cluster keeps its best copy even when the mirror's id sorts lower") {
+    import spark.implicits._
+    // 1 is a MANGLED mirror (shorter → lower quality) of 2; greedy
+    // pairwise keeps the lower id regardless, the quality policy must
+    // keep 2. Doc 5 unrelated.
+    val full = (1 to 60).map(i => s"w$i").mkString(" ")
+    val mangled = (1 to 42).map(i => s"w$i").mkString(" ")
+    val other = (1 to 60).map(i => s"u$i").mkString(" ")
+    val docs = Seq(
+      (1L, "srcA", mangled),
+      (2L, "srcA", full),
+      (5L, "srcB", other)
+    ).toDF("doc_id", "source", "text")
+    val greedy = Curation.curate(docs, "doc_id", "text", "source")
+      .collect().map(_.getLong(0)).toSet
+    assert(greedy == Set(1L, 5L), s"greedy keeps the lower id: $greedy")
+    val best = Curation.curate(docs, "doc_id", "text", "source",
+        keepBestQuality = true)
+      .collect().map(_.getLong(0)).toSet
+    assert(best == Set(2L, 5L), s"quality policy keeps the best copy: $best")
+  }
+
   test("curate plan shape: no cartesian, caller pushdown reaches the scan, pinned shuffle count") {
     import spark.implicits._
     import org.apache.spark.sql.execution.QueryExecution

@@ -52,4 +52,27 @@ class PlanShapeSpec extends SparkSpec {
         !p.contains("BroadcastNestedLoopJoin"), s"$q plans a cartesian")
     }
   }
+
+  test("q7_volume: nation filter pushes to its scan and prunes via broadcast joins") {
+    val p = plan("q7_volume")
+    val pushed = p.linesIterator.filter(_.contains("PushedFilters")).mkString
+    assert(pushed.contains("n_name"),
+      s"the two-nation filter must reach the nation scan, got: $pushed")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      "both nation aliases must broadcast into their dimensions")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("OPERATORS.md never references a query that does not exist") {
+    // doc-drift guard: every q_/qN oracle name cited in OPERATORS.md must
+    // be a real SparkEntry.queries key (rows describing spec-only
+    // operators cite suites, not query names, so this stays exact)
+    val text = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("OPERATORS.md")), "UTF-8")
+    val cited = "`(q[0-9]*_[a-z0-9_]+)`".r.findAllMatchIn(text)
+      .map(_.group(1)).toSet
+    val known = SparkEntry.queries.keySet
+    val ghosts = cited.diff(known)
+    assert(ghosts.isEmpty, s"OPERATORS.md cites nonexistent queries: $ghosts")
+  }
 }
