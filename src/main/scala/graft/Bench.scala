@@ -77,7 +77,8 @@ object Bench {
     // round-10 additions: crawl-front ops (URL + HTML) and TPC-H sweeps
     "q_url_canonical", "q_url_dedup", "q_html_extract",
     "q6_revenue", "q14_promo", "q18_large_orders",
-    "q_domain_stats", "q_domain_gate", "q7_volume", "q19_discount")
+    "q_domain_stats", "q_domain_gate", "q7_volume", "q19_discount",
+    "q_curation_best")
 
   /** Force FULL materialization of every output column: xxhash64 over all
     * columns, summed. `.count()` alone under-measures — Catalyst prunes

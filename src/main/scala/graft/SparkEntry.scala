@@ -6826,6 +6826,20 @@ object SparkEntry {
         .orderBy($"doc_id")
     }),
 
+    // The q_curation composition under the quality-aware survivor
+    // policy: near-dup clusters keep their max-quality member instead of
+    // the greedy lowest-id side. Same stages, same rates — only stage 4's
+    // policy differs, so diffing against q_curation isolates exactly the
+    // docs the policy saves.
+    "q_curation_best" -> ((s, dir) => {
+      import s.implicits._
+      Curation.curate(spread(s, t(s, dir, "documents")),
+          "doc_id", "text", "source",
+          rates = Map("src0" -> 0.8, "src1" -> 0.5), defaultRate = 0.6,
+          keepBestQuality = true)
+        .orderBy($"doc_id")
+    }),
+
     // TPC-H Q6 (forecasting revenue change): one tight filter over the
     // fact scan — every predicate reaches PushedFilters — then a single
     // map-side-combined micro-unit sum; the shuffle carries one partial
@@ -7027,6 +7041,87 @@ object SparkEntry {
          |FROM d JOIN st USING (host)
          |WHERE st.mean_q >= 0.35
          |ORDER BY d.doc_id""".stripMargin,
+
+    // q_curation's CTE chain with stage 4 swapped for cluster-and-keep-
+    // best: pairs → undirected edges → recursive reachability → min-label
+    // components → per-cluster argmax by (quality DESC, doc_id).
+    "q_curation_best" ->
+      """WITH RECURSIVE clean AS (
+        |  SELECT doc_id, source,
+        |    regexp_replace(regexp_replace(regexp_replace(text,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |      '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '<IP>', 'g'),
+        |      '\+?[0-9][0-9()\s\-]{6,}[0-9]', '<PHONE>', 'g') AS txt
+        |  FROM documents),
+        |tk AS (
+        |  SELECT doc_id, source, txt,
+        |         CASE WHEN trim(txt) = '' THEN CAST([] AS VARCHAR[]) ELSE string_split_regex(trim(txt), '\s+') END AS toks
+        |  FROM clean),
+        |gt AS (
+        |  SELECT *, CASE WHEN len(toks) < 2 THEN CAST([] AS VARCHAR[])
+        |                 ELSE list_transform(generate_series(1, len(toks)-1),
+        |                        i -> toks[i] || ' ' || toks[i+1]) END AS g2
+        |  FROM tk),
+        |q AS (
+        |  SELECT doc_id, source, txt, toks,
+        |    ROUND(LEAST(len(toks)::DOUBLE/100.0, 1.0) * (0.7 + 0.3 *
+        |      len(list_filter(toks, t -> list_contains(['the','a','of','and','to','in','is'], t)))::DOUBLE
+        |      / GREATEST(len(toks)::DOUBLE, 1.0)), 4) AS quality,
+        |    ROUND(CASE WHEN len(g2) = 0 THEN 0.0
+        |          ELSE 1.0 - len(list_distinct(g2))::DOUBLE / len(g2)::DOUBLE END, 4) AS dup2
+        |  FROM gt),
+        |filtered AS (SELECT * FROM q WHERE quality >= 0.2 AND dup2 <= 0.5),
+        |keepers AS (
+        |  SELECT MIN(doc_id) AS doc_id
+        |  FROM filtered
+        |  GROUP BY md5(lower(trim(regexp_replace(txt, '\s+', ' ', 'g'))))),
+        |uniq AS (SELECT f.* FROM filtered f JOIN keepers USING (doc_id)),
+        |s AS (
+        |  SELECT doc_id, list_distinct(list_transform(generate_series(1, len(toks)-1),
+        |           i -> toks[i] || ' ' || toks[i+1])) AS sh
+        |  FROM uniq WHERE len(toks) >= 2),
+        |sig AS (
+        |  SELECT doc_id, sh,
+        |         list_transform(generate_series(0, 15), i ->
+        |           list_min(list_transform(sh, x ->
+        |             ('0x'||substr(md5(i::VARCHAR||':'||x), 1, 15))::BIGINT))) AS sig
+        |  FROM s WHERE len(sh) > 0),
+        |bands AS (
+        |  SELECT doc_id, band_idx,
+        |         md5(array_to_string(sig[band_idx*4+1 : band_idx*4+4], ',')) AS bh
+        |  FROM (SELECT doc_id, sig, unnest(generate_series(0, 3)) AS band_idx FROM sig)),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id da, b.doc_id db
+        |  FROM bands a JOIN bands b
+        |    ON a.band_idx = b.band_idx AND a.bh = b.bh AND a.doc_id < b.doc_id),
+        |p AS (
+        |  SELECT da, db FROM (
+        |    SELECT da, db,
+        |           len(list_intersect(x.sh, y.sh))::DOUBLE /
+        |             (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))) AS jac
+        |    FROM cand JOIN s x ON da = x.doc_id JOIN s y ON db = y.doc_id)
+        |  WHERE jac >= 0.2),
+        |e AS (SELECT da AS a, db AS b FROM p UNION SELECT db, da FROM p),
+        |r AS (
+        |  SELECT a AS node, b AS reach FROM e
+        |  UNION
+        |  SELECT r.node, e.b FROM r JOIN e ON r.reach = e.a),
+        |comp AS (
+        |  SELECT node, LEAST(node, MIN(reach)) AS comp FROM r GROUP BY node),
+        |win AS (
+        |  SELECT doc_id FROM (
+        |    SELECT u.doc_id,
+        |           row_number() OVER (PARTITION BY c.comp
+        |                              ORDER BY u.quality DESC, u.doc_id) AS rn
+        |    FROM comp c JOIN uniq u ON c.node = u.doc_id) WHERE rn = 1),
+        |final AS (
+        |  SELECT u.* FROM uniq u LEFT JOIN comp c ON u.doc_id = c.node
+        |  WHERE c.node IS NULL OR u.doc_id IN (SELECT doc_id FROM win))
+        |SELECT doc_id, source, quality
+        |FROM final
+        |WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 1000000 <
+        |      (CASE source WHEN 'src0' THEN 0.8 WHEN 'src1' THEN 0.5 ELSE 0.6 END) * 1000000.0
+        |ORDER BY doc_id""".stripMargin,
 
     "q6_revenue" ->
       """SELECT
