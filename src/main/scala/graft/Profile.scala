@@ -18,7 +18,8 @@ import graft.operators.Dedup
   * (L/M/N), `cc` (skewed mega-cluster
   * connected components), `parts` (shuffle-partition sensitivity sweep),
   * `graph` (triangle count under a 10⁵-degree hub, 1×/10×), `rf`
-  * (runtime-filter join shuffle-byte comparison).
+  * (runtime-filter join shuffle-byte comparison), `url` (crawl-front
+  * canonicalize/dedup/domain stats U1/U10, V1/V10).
   */
 object Profile {
   def main(args: Array[String]): Unit = {
@@ -190,6 +191,35 @@ object Profile {
       removal(docsS) // warmup: JIT + codegen compile, not the pipeline
       time("K1 substr removal 1x")(println("  removed=" + removal(docsS)))
       time("K10 substr removal 10x")(println("  removed10x=" + removal(dupCorpus(10))))
+    }
+
+    // Crawl-front probe: URL canonicalize + URL-level dedup + per-domain
+    // stats at 1× and 10×. All three are scan-speed per-row regex work
+    // plus ONE bounded aggregate (canon keys / hosts), so time must grow
+    // ~linearly with docs — superlinear growth would flag the regex
+    // chain falling out of codegen or the agg losing map-side combine.
+    if (on("url")) {
+      import graft.functions.UrlFunctions
+      def withUrl(d: DataFrame): DataFrame = d.withColumn("url",
+        concat(lit("HTTP://WWW.x"), pmod($"doc_id", lit(977)).cast("string"),
+          lit(".COM:80//docs//"), pmod($"doc_id", lit(7)).cast("string"),
+          lit("?b=2&a=1&utm_campaign=x#top")))
+      def dedupCount(d: DataFrame): Long =
+        withUrl(d).select(UrlFunctions.canonicalizeUrl($"url").as("c"))
+          .groupBy($"c").agg(count(lit(1))).count()
+      def domainCount(d: DataFrame): Long =
+        withUrl(d)
+          .select(UrlFunctions.urlHost($"url").as("h"),
+            round(graft.functions.TextFunctions.qualityScore($"text"), 4).as("q"))
+          .groupBy($"h")
+          .agg(count(lit(1)), sum(round($"q" * 1e4, 0).cast("long")))
+          .count()
+      val d1 = docs.repartition(32)
+      dedupCount(d1) // warmup
+      time("U1 url dedup 1x")(println("  groups=" + dedupCount(d1)))
+      time("U10 url dedup 10x")(println("  groups10x=" + dedupCount(dupCorpus(10))))
+      time("V1 domain stats 1x")(println("  hosts=" + domainCount(d1)))
+      time("V10 domain stats 10x")(println("  hosts10x=" + domainCount(dupCorpus(10))))
     }
 
     // kNN self-join cost: within-cell candidates are n²/C, so doubling
