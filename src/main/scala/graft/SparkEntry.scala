@@ -6351,8 +6351,9 @@ object SparkEntry {
         |  FROM vec CROSS JOIN vmm),
         |fused AS (
         |  SELECT COALESCE(b.id, v.id) AS id,
-        |         ROUND(0.5 * COALESCE(b.ns, 0.0) + 0.5 * COALESCE(v.ns, 0.0), 6)
-        |           + 0.0 AS blend
+        |         FLOOR((CAST(ROUND(COALESCE(b.ns, 0.0) * 1000000, 0) AS BIGINT) * 500000
+        |              + CAST(ROUND(COALESCE(v.ns, 0.0) * 1000000, 0) AS BIGINT) * 500000
+        |              + 500000)::DOUBLE / 1000000.0)::BIGINT::DOUBLE / 1000000.0 AS blend
         |  FROM bmn b FULL OUTER JOIN vn v ON b.id = v.id)
         |SELECT id, blend FROM fused ORDER BY blend DESC, id LIMIT 10""".stripMargin,
 

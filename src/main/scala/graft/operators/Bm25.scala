@@ -198,20 +198,33 @@ object Bm25 {
   }
 
   /** Weighted linear score fusion of two min-max-normalized candidate
-    * lists (id, norm-score): blend = round(wa·a + (1−wa)·b, 6), a doc
-    * missing from one list contributes 0 from that side — the
-    * convex-combination hybrid (Bruch et al. 2023 analyze exactly this
-    * fusion) next to [[rrfFuse]]'s rank-only one.
+    * lists (id, norm-score): blend = wa·a + (1−wa)·b at micro (1e-6)
+    * precision, a doc missing from one list contributes 0 from that
+    * side — the convex-combination hybrid (Bruch et al. 2023 analyze
+    * exactly this fusion) next to [[rrfFuse]]'s rank-only one.
+    *
+    * The combination runs in INTEGER micro-units with an explicit
+    * half-up carry, not a float round(·, 6): the inputs are 6-dp
+    * quantized (minMaxNorm), so wa = 0.5 lands the sum on an exact
+    * .5-micro tie for every odd micro total — a tie a float `round`
+    * resolves differently across engines (Spark rounds the binary
+    * double, DuckDB its shortest decimal repr; first seen as a 1-ulp
+    * sf0.001 hash flip in `q_hybrid_blend`). Integer half-up is
+    * deterministic everywhere. Products stay ≤ 1e12 — exact in long
+    * AND in double, so both engines' arithmetic is identical.
     */
   def blendScores(a: DataFrame, b: DataFrame, idCol: String,
                   scoreCol: String, wa: Double = 0.5): DataFrame = {
     require(wa >= 0.0 && wa <= 1.0, s"wa must be in [0,1], got $wa")
+    val wam = math.round(wa * 1e6) // micro-quantized weight
     val ra = a.select(col(idCol), col(scoreCol).as("__a"))
     val rb = b.select(col(idCol), col(scoreCol).as("__b"))
+    val aq = round(coalesce(col("__a"), lit(0.0)) * 1e6, 0).cast("long")
+    val bq = round(coalesce(col("__b"), lit(0.0)) * 1e6, 0).cast("long")
     ra.join(rb, Seq(idCol), "full_outer")
       .select(col(idCol),
-        (round(lit(wa) * coalesce(col("__a"), lit(0.0)) +
-          lit(1.0 - wa) * coalesce(col("__b"), lit(0.0)), 6) + lit(0.0))
+        (floor((aq * lit(wam) + bq * lit(1000000L - wam) + lit(500000L))
+          .cast("double") / 1e6).cast("long").cast("double") / 1e6)
           .as("blend"))
   }
 
