@@ -6712,7 +6712,7 @@ object SparkEntry {
       |    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS sch,
       |    lower(regexp_replace(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1), '^[^@]*@', '')) AS hp,
       |    regexp_replace(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1), '/{2,}', '/', 'g') AS p0,
-      |    regexp_extract(url, '^[^#]*\?([^#]*)', 1) AS qs
+      |    regexp_extract(url, '^[^#?]*\?([^#]*)', 1) AS qs
       |  FROM u),
       |canon AS (
       |  SELECT doc_id, url,
@@ -6751,12 +6751,16 @@ object SparkEntry {
 
     // URL-level exact dedup over the canonical key: first-seen (min id)
     // wins per group — the cheapest dedup pass a crawl runs before any
-    // content hashing. One hash shuffle of (canon, id) pairs.
+    // content hashing. One hash shuffle of (canon, id) pairs. Junk URLs
+    // canonicalize to NULL and are EXCLUDED — grouping them would merge
+    // every malformed frontier row under one shared key (the failure
+    // mode the streaming twin also bypasses).
     "q_url_dedup" -> ((s, dir) => {
       import s.implicits._
       t(s, dir, "documents")
         .select($"doc_id", messyUrl($"doc_id", $"source").as("url"))
         .select($"doc_id", UrlFunctions.canonicalizeUrl($"url").as("canon"))
+        .filter($"canon".isNotNull)
         .groupBy($"canon")
         .agg(count(lit(1)).as("n_dupes"), min($"doc_id").as("keep_id"))
         .orderBy($"canon")
@@ -6967,7 +6971,8 @@ object SparkEntry {
          |$canonUrlSql
          |SELECT canon, COUNT(*)::BIGINT AS n_dupes,
          |       MIN(doc_id) AS keep_id
-         |FROM canon GROUP BY canon ORDER BY canon""".stripMargin,
+         |FROM canon WHERE canon IS NOT NULL
+         |GROUP BY canon ORDER BY canon""".stripMargin,
 
     "q_html_extract" ->
       """WITH h AS (
@@ -6984,10 +6989,10 @@ object SparkEntry {
         |  SELECT doc_id,
         |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
         |    regexp_replace(regexp_replace(html,
-        |      '(?is)<script\b[^>]*>.*?</script>', ' ', 'g'),
-        |      '(?is)<script\b[^>]*>.*$', ' ', 'g'),
-        |      '(?is)<style\b[^>]*>.*?</style>', ' ', 'g'),
-        |      '(?is)<style\b[^>]*>.*$', ' ', 'g'),
+        |      '(?is)<script\b([^>]*[^/>])?>.*?</script>', ' ', 'g'),
+        |      '(?is)<script\b([^>]*[^/>])?>.*$', ' ', 'g'),
+        |      '(?is)<style\b([^>]*[^/>])?>.*?</style>', ' ', 'g'),
+        |      '(?is)<style\b([^>]*[^/>])?>.*$', ' ', 'g'),
         |      '(?s)<!--.*?-->', ' ', 'g'),
         |      '(?s)<[^>]*>', ' ', 'g') AS t1
         |  FROM h)

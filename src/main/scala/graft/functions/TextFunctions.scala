@@ -473,13 +473,17 @@ object TextFunctions {
     // truncated crawl page whose <script>/<style> never closes would
     // otherwise leak its whole JS/CSS body into the "text" (a </script>
     // inside a JS string still ends the element early — the documented
-    // residual of regex-bounded extraction)
+    // residual of regex-bounded extraction). The opening-tag pattern
+    // `([^>]*[^/>])?>` refuses SELF-CLOSING tags (<script src="a"/> has
+    // no body, so treating it as an opener would swallow real content up
+    // to an unrelated close tag, or the whole page in the tail pass);
+    // the generic tag strip below removes the self-closing tag itself.
     val noScript = regexp_replace(
-      regexp_replace(html, "(?is)<script\\b[^>]*>.*?</script>", " "),
-      "(?is)<script\\b[^>]*>.*$", " ")
+      regexp_replace(html, "(?is)<script\\b([^>]*[^/>])?>.*?</script>", " "),
+      "(?is)<script\\b([^>]*[^/>])?>.*$", " ")
     val noStyle = regexp_replace(
-      regexp_replace(noScript, "(?is)<style\\b[^>]*>.*?</style>", " "),
-      "(?is)<style\\b[^>]*>.*$", " ")
+      regexp_replace(noScript, "(?is)<style\\b([^>]*[^/>])?>.*?</style>", " "),
+      "(?is)<style\\b([^>]*[^/>])?>.*$", " ")
     val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
     val noTags = regexp_replace(noComment, "(?s)<[^>]*>", " ")
     val decoded = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",

@@ -67,12 +67,15 @@ object UrlFunctions {
   }
 
   /** Canonical query string: tracking parameters and empty fragments
-    * dropped, survivors sorted; `""` when nothing survives. The `?`
-    * match is anchored BEFORE any `#`, so a `?` inside the fragment
-    * (SPA hash-routes like `/#/page?tab=2`) never fabricates a query.
+    * dropped, survivors sorted; `""` when nothing survives. The match
+    * anchors to the FIRST `?` (`[^#?]*` prefix) and stops at any `#`,
+    * so a `?` inside the fragment (SPA hash-routes like `/#/page?tab=2`)
+    * never fabricates a query, and an unencoded `?` inside a parameter
+    * VALUE (redirect targets like `?url=...?x=1`) never discards the
+    * real parameters before it.
     */
   def urlQueryCanon(u: Column): Column = {
-    val q = regexp_extract(u, "^[^#]*\\?([^#]*)", 1)
+    val q = regexp_extract(u, "^[^#?]*\\?([^#]*)", 1)
     val kept = filter(split(q, "&"),
       p => p =!= "" && !p.rlike(TrackingParamPattern))
     array_join(array_sort(kept), "&")

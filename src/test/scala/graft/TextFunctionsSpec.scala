@@ -392,4 +392,13 @@ class TextFunctionsSpec extends SparkSpec {
     // balanced element earlier in the page still extracts what follows it
     assert(extract("<script>x</script>mid<script>tail never closes") == "mid")
   }
+
+  test("extractHtmlText: self-closing script/style tags are not element openers") {
+    // XHTML-style <script .../> has no body — the tail fallback must not
+    // swallow the rest of the page
+    assert(extract("<script src=\"a.js\"/><p>content</p>") == "content")
+    assert(extract("<style type=\"text/css\"/>visible") == "visible")
+    // nor may a self-closing tag pair up with a LATER real close tag
+    assert(extract("<script src=\"a\"/><p>x</p><script>y</script>z") == "x z")
+  }
 }

@@ -61,6 +61,13 @@ class UrlFunctionsSpec extends SparkSpec {
     assert(canon("https://x.com/#/page?tab=2") == "https://x.com/")
   }
 
+  test("canonicalizeUrl: the FIRST '?' starts the query — a '?' in a param value stays") {
+    // unencoded redirect target: the real query is url=...; its embedded
+    // '?x=1' must not displace it
+    assert(canon("https://s.com/r?url=https://other.com/p?x=1") ==
+      "https://s.com/r?url=https://other.com/p?x=1")
+  }
+
   test("canonicalizeUrl: non-absolute input canonicalizes to NULL, not a shared key") {
     assert(canon("garbage") == null)
     assert(canon("/relative/path?a=1") == null)
