@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import graft.expressions.FloatVectorExpressions.dotF
 import graft.expressions.TextHashExpressions.{minhashSigF, simhash32F}
 import graft.functions.{HashFunctions, TextFunctions => T, UrlFunctions, VectorFunctions => V}
-import graft.operators.{Ann, AsofJoin, Bm25, BpeTrain, Classifier, Collocations, CountMin, Curation, Dedup, DistinctSketch, GraphOps, HeavyHitters, Mining, Multimodal, Packing, PageRank, Privacy, QuantileSketch, Rerank, RuntimeFilter, Sampling, SkewJoin, Tfidf, TopK, TrigramLm, Validation}
+import graft.operators.{Ann, AsofJoin, Bm25, BpeTrain, Classifier, Collocations, CountMin, Curation, Dedup, DistinctSketch, GraphOps, HeavyHitters, Mining, Multimodal, Packing, PageRank, Privacy, QuantileSketch, Rerank, RuntimeFilter, Sampling, SftPrep, SkewJoin, Tfidf, TopK, TrigramLm, Validation}
 import graft.sources.{Layout, Tables}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -130,11 +130,13 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     vectorQueries ++ relationalQueries ++ eventsQueries ++ textQueries ++
-      dedupQueries ++ extraQueries ++ round5Queries ++ round6Queries
+      dedupQueries ++ extraQueries ++ round5Queries ++ round6Queries ++
+      round7Queries
 
   def oracleSql: Map[String, String] =
     vectorOracles ++ relationalOracles ++ eventsOracles ++ textOracles ++
-      dedupOracles ++ extraOracles ++ round5Oracles ++ round6Oracles
+      dedupOracles ++ extraOracles ++ round5Oracles ++ round6Oracles ++
+      round7Oracles
 
   // ======================================================= vector workload
 
@@ -7189,5 +7191,336 @@ object SparkEntry {
         |WHERE (p.p_brand = 'Brand#1' AND l.l_quantity BETWEEN 1 AND 11)
         |   OR (p.p_brand = 'Brand#2' AND l.l_quantity BETWEEN 10 AND 20)
         |   OR (p.p_brand = 'Brand#3' AND l.l_quantity BETWEEN 20 AND 30)""".stripMargin
+  )
+
+  // ================================== round 7: remaining TPC-H (adapted)
+  // The fixture schema has no partsupp table and no comment / shipmode /
+  // commitdate columns, so Q2/Q4/Q9/Q11/Q12/Q16/Q20/Q21 are not directly
+  // expressible; the five below keep each remaining query's DISTINCTIVE
+  // plan shape (multi-region market share, outer-join count distribution,
+  // view+argmax, correlated-average anti-filter, NOT EXISTS + scalar
+  // subquery) on the columns that do exist.
+
+  private def round7Queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // TPC-H Q8 (national market share): region→nation prunes customer
+    // BEFORE the fact join (same broadcast-first discipline as Q7); the
+    // PROMO part filter broadcasts; one (year) rollup with two exact
+    // cents sums, share decided on the quantized ratio.
+    "q8_market_share" -> ((s, dir) => {
+      import s.implicits._
+      val asiaN = t(s, dir, "nation")
+        .join(broadcast(t(s, dir, "region").filter($"r_name" === "ASIA")),
+          $"n_regionkey" === $"r_regionkey")
+        .select($"n_nationkey".as("ck"))
+      val cust = t(s, dir, "customer")
+        .join(broadcast(asiaN), $"c_nationkey" === $"ck")
+        .select($"c_custkey")
+      val supp = t(s, dir, "supplier")
+        .join(broadcast(t(s, dir, "nation")
+          .select($"n_nationkey".as("sk"), $"n_name".as("supp_nation"))),
+          $"s_nationkey" === $"sk")
+        .select($"s_suppkey", $"supp_nation")
+      val ord = t(s, dir, "orders")
+        .filter($"o_orderdate" >= lit("1995-01-01") &&
+          $"o_orderdate" < lit("1997-01-01"))
+      val cents = round($"l_extendedprice" * (lit(1.0) - $"l_discount") * 100, 0)
+        .cast("long")
+      t(s, dir, "lineitem")
+        .join(broadcast(t(s, dir, "part").filter($"p_type" === "PROMO")),
+          $"l_partkey" === $"p_partkey")
+        .join(ord, $"l_orderkey" === $"o_orderkey")
+        .join(cust, $"o_custkey" === $"c_custkey")
+        .join(supp, $"l_suppkey" === $"s_suppkey")
+        .withColumn("o_year", year($"o_orderdate").cast("long"))
+        .groupBy($"o_year")
+        .agg(
+          sum(when($"supp_nation" === "NATION_3", cents).otherwise(0L)).as("nq"),
+          sum(cents).as("tq"))
+        .select($"o_year",
+          score6($"nq".cast("double") / $"tq".cast("double")).as("mkt_share"))
+        .orderBy($"o_year")
+    }),
+
+    // TPC-H Q13 (customer order-count distribution): LEFT OUTER join so
+    // zero-order customers survive with count 0, then a second (tiny:
+    // ≤ max orders/customer keys) rollup of the counts. Both aggregates
+    // are map-side combinable; all values integral.
+    "q13_cust_dist" -> ((s, dir) => {
+      import s.implicits._
+      val ord = t(s, dir, "orders")
+        .filter($"o_orderpriority" =!= "4-NOT SPECIFIED")
+        .select($"o_custkey", $"o_orderkey")
+      t(s, dir, "customer")
+        .join(ord, $"c_custkey" === $"o_custkey", "left_outer")
+        .groupBy($"c_custkey")
+        .agg(count($"o_orderkey").as("c_count"))
+        .groupBy($"c_count")
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy($"custdist".desc, $"c_count".desc)
+    }),
+
+    // TPC-H Q15 (top supplier): the quarter-windowed per-supplier revenue
+    // rollup (exact cents longs) plays the CTE/view role; the argmax is a
+    // 1-row broadcast joined back — no second scan of lineitem and no
+    // window over the full rollup. Ties (possible on quantized cents)
+    // all surface, as in the spec's `revenue = (SELECT MAX(...))`.
+    "q15_top_supplier" -> ((s, dir) => {
+      import s.implicits._
+      val rev = t(s, dir, "lineitem")
+        .filter($"l_shipdate" >= lit("1996-01-01") &&
+          $"l_shipdate" < lit("1996-04-01"))
+        .groupBy($"l_suppkey")
+        .agg(sum(round($"l_extendedprice" * (lit(1.0) - $"l_discount") * 100, 0)
+          .cast("long")).as("rq"))
+      val top = rev.agg(max($"rq").as("max_rq"))
+      rev.join(broadcast(top), $"rq" === $"max_rq")
+        .join(t(s, dir, "supplier"), $"l_suppkey" === $"s_suppkey")
+        .select($"s_suppkey", $"s_name",
+          ($"rq".cast("double") / 100.0).as("total_revenue"))
+        .orderBy($"s_suppkey")
+    }),
+
+    // TPC-H Q17 (small-quantity revenue): the correlated per-part average
+    // becomes a grouped rollup joined back to the same scan. The filter
+    // `qty < 0.2 * avg(qty)` is decided INTEGER-exactly as 5·n·qty <
+    // sum·1 (quantities are integral) so no engine's double division can
+    // flip a boundary row; one exact cents sum out.
+    "q17_small_qty" -> ((s, dir) => {
+      import s.implicits._
+      val li = t(s, dir, "lineitem")
+        .join(broadcast(t(s, dir, "part")
+          .filter($"p_brand" === "Brand#5" && $"p_size" <= 10)),
+          $"l_partkey" === $"p_partkey")
+        .select($"l_partkey", $"l_quantity", $"l_extendedprice")
+      val avgQ = li.groupBy($"l_partkey".as("ap"))
+        .agg(sum($"l_quantity".cast("long")).as("qsum"),
+          count(lit(1)).as("qn"))
+      li.join(broadcast(avgQ), $"l_partkey" === $"ap")
+        .filter($"l_quantity".cast("long") * lit(5L) * $"qn" < $"qsum")
+        .agg(
+          sum(round($"l_extendedprice" * 100, 0).cast("long")).as("cq"),
+          count(lit(1)).as("n_items"))
+        .select(score4($"cq".cast("double") / 700.0).as("avg_yearly"),
+          $"n_items")
+    }),
+
+    // TPC-H Q22 (global sales opportunity): rich-but-idle customers.
+    // The positive-balance average is a 1-row broadcast; `acctbal > avg`
+    // is decided integer-exactly as cents·n > sum_cents; "no recent
+    // order" (the fixture's order coverage is dense, so the spec's
+    // never-ordered reads empty — lapsed-since-2000 keeps the NOT EXISTS
+    // non-vacuous at every SF) is a LEFT ANTI join on the date-pruned
+    // orders scan (at scale: only o_custkey of the pruned rows shuffles).
+    // Per-nation rollup of exact cents.
+    "q22_idle_customers" -> ((s, dir) => {
+      import s.implicits._
+      val odd = t(s, dir, "customer")
+        .filter($"c_nationkey".isin(1, 3, 5, 7, 9, 11, 13))
+        .select($"c_custkey", $"c_nationkey",
+          round($"c_acctbal" * 100, 0).cast("long").as("bal_c"))
+      val stats = odd.filter($"bal_c" > 0L)
+        .agg(sum($"bal_c").as("bal_sum"), count(lit(1)).as("bal_n"))
+      odd.crossJoin(broadcast(stats))
+        .filter($"bal_c" * $"bal_n" > $"bal_sum")
+        .join(t(s, dir, "orders")
+          .filter($"o_orderdate" >= lit("2000-01-01")).select($"o_custkey"),
+          $"c_custkey" === $"o_custkey", "left_anti")
+        .groupBy($"c_nationkey")
+        .agg(count(lit(1)).as("numcust"),
+          sum($"bal_c").as("tb"))
+        .select($"c_nationkey", $"numcust",
+          ($"tb".cast("double") / 100.0).as("totacctbal"))
+        .orderBy($"c_nationkey")
+    }),
+
+    // SFT chat-template rendering + loss-mask span (SftPrep.renderSft):
+    // pure narrow map over the corpus — no shuffle; the assistant char
+    // span is what a trainer masks loss outside of.
+    "q_sft_render" -> ((s, dir) => {
+      import s.implicits._
+      SftPrep.renderSft(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy($"doc_id")
+    }),
+
+    // DPO preference pairs (SftPrep.prefPairs): per-(lang, source)
+    // chosen/rejected by integer micro-unit lexical diversity; one
+    // map-side-combinable struct min/max agg — NOT a per-group window,
+    // which would serialize 10⁹-doc groups at corpus scale.
+    "q_pref_pairs" -> ((s, dir) => {
+      import s.implicits._
+      SftPrep.prefPairs(t(s, dir, "documents"), "doc_id", "text",
+        Seq("lang", "source"))
+        .orderBy($"lang", $"source")
+    }),
+
+    // Skip-gram pair counts (SftPrep.skipgramPairs): pairs generated per
+    // row with array HOFs (flatten∘transform) — no position self-join;
+    // the only shuffle is the map-side-combined pair count.
+    "q_skipgram_pairs" -> ((s, dir) =>
+      SftPrep.skipgramPairs(spread(s, t(s, dir, "documents")), "text")),
+
+    // Negative-sampling table (SftPrep.negSamplingTable): top-100
+    // unigrams, count^0.75 micro-unit weights via the correctly-rounded
+    // sqrt(c·sqrt c) form, cumulative sum windowed over the 100 rows
+    // only (post-TakeOrdered).
+    "q_neg_table" -> ((s, dir) =>
+      SftPrep.negSamplingTable(spread(s, t(s, dir, "documents")), "text"))
+  )
+
+  private def round7Oracles: Map[String, String] = Map(
+
+    "q8_market_share" ->
+      """SELECT year(o.o_orderdate)::BIGINT AS o_year,
+        |  ROUND(
+        |    SUM(CASE WHEN n1.n_name = 'NATION_3'
+        |             THEN CAST(ROUND(l.l_extendedprice * (1.0 - l.l_discount) * 100, 0) AS BIGINT)
+        |             ELSE 0 END)::DOUBLE /
+        |    SUM(CAST(ROUND(l.l_extendedprice * (1.0 - l.l_discount) * 100, 0) AS BIGINT))::DOUBLE,
+        |    6) + 0.0 AS mkt_share
+        |FROM lineitem l
+        |JOIN part p ON l.l_partkey = p.p_partkey
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+        |JOIN region r ON n2.n_regionkey = r.r_regionkey
+        |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+        |WHERE p.p_type = 'PROMO' AND r.r_name = 'ASIA'
+        |  AND o.o_orderdate >= TIMESTAMP '1995-01-01'
+        |  AND o.o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q13_cust_dist" ->
+      """SELECT c_count, COUNT(*)::BIGINT AS custdist FROM (
+        |  SELECT c.c_custkey, COUNT(o.o_orderkey)::BIGINT AS c_count
+        |  FROM customer c
+        |  LEFT OUTER JOIN orders o
+        |    ON c.c_custkey = o.o_custkey
+        |   AND o.o_orderpriority <> '4-NOT SPECIFIED'
+        |  GROUP BY c.c_custkey)
+        |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin,
+
+    "q15_top_supplier" ->
+      """WITH revenue AS (
+        |  SELECT l_suppkey,
+        |         SUM(CAST(ROUND(l_extendedprice * (1.0 - l_discount) * 100, 0)
+        |             AS BIGINT)) AS rq
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01'
+        |  GROUP BY l_suppkey)
+        |SELECT s.s_suppkey, s.s_name, (r.rq::DOUBLE / 100.0) AS total_revenue
+        |FROM revenue r JOIN supplier s ON r.l_suppkey = s.s_suppkey
+        |WHERE r.rq = (SELECT MAX(rq) FROM revenue)
+        |ORDER BY s.s_suppkey""".stripMargin,
+
+    "q17_small_qty" ->
+      """WITH li AS (
+        |  SELECT l.l_partkey, l.l_quantity, l.l_extendedprice
+        |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |  WHERE p.p_brand = 'Brand#5' AND p.p_size <= 10),
+        |a AS (
+        |  SELECT l_partkey AS ap, SUM(l_quantity::BIGINT) AS qsum,
+        |         COUNT(*)::BIGINT AS qn
+        |  FROM li GROUP BY l_partkey)
+        |SELECT
+        |  ROUND(SUM(CAST(ROUND(l.l_extendedprice * 100, 0) AS BIGINT))::DOUBLE
+        |        / 700.0, 4) + 0.0 AS avg_yearly,
+        |  COUNT(*)::BIGINT AS n_items
+        |FROM li l JOIN a ON l.l_partkey = a.ap
+        |WHERE l.l_quantity::BIGINT * 5 * a.qn < a.qsum""".stripMargin,
+
+    "q22_idle_customers" ->
+      """WITH odd AS (
+        |  SELECT c_custkey, c_nationkey,
+        |         CAST(ROUND(c_acctbal * 100, 0) AS BIGINT) AS bal_c
+        |  FROM customer
+        |  WHERE c_nationkey IN (1, 3, 5, 7, 9, 11, 13)),
+        |st AS (
+        |  SELECT SUM(bal_c) AS bal_sum, COUNT(*)::BIGINT AS bal_n
+        |  FROM odd WHERE bal_c > 0)
+        |SELECT o.c_nationkey, COUNT(*)::BIGINT AS numcust,
+        |       (SUM(o.bal_c)::DOUBLE / 100.0) AS totacctbal
+        |FROM odd o, st
+        |WHERE o.bal_c * st.bal_n > st.bal_sum
+        |  AND NOT EXISTS (SELECT 1 FROM orders r WHERE r.o_custkey = o.c_custkey
+        |                  AND r.o_orderdate >= TIMESTAMP '2000-01-01')
+        |GROUP BY o.c_nationkey ORDER BY o.c_nationkey""".stripMargin,
+
+    "q_sft_render" ->
+      """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+        |p AS (
+        |  SELECT doc_id, ts,
+        |         array_to_string(ts[1:12], ' ') AS u,
+        |         array_to_string(ts[13:62], ' ') AS a
+        |  FROM tk WHERE len(ts) >= 16),
+        |r AS (
+        |  SELECT doc_id, ts, a,
+        |         e'<|system|>\nYou are a helpful assistant.\n<|user|>\n'
+        |           || u || e'\n<|assistant|>\n' AS prefix
+        |  FROM p)
+        |SELECT doc_id,
+        |  LEAST(len(ts), 12)::BIGINT AS n_user_tokens,
+        |  LEAST(len(ts) - 12, 50)::BIGINT AS n_asst_tokens,
+        |  prefix || a || e'\n<|end|>' AS rendered,
+        |  length(prefix)::BIGINT AS asst_start,
+        |  (length(prefix) + length(a))::BIGINT AS asst_end
+        |FROM r ORDER BY doc_id""".stripMargin,
+
+    "q_pref_pairs" ->
+      """WITH sc AS (
+        |  SELECT lang, source, doc_id AS pid,
+        |         (len(list_distinct(string_split(text, ' ')))::BIGINT * 1000000)
+        |           // len(string_split(text, ' '))::BIGINT AS rq
+        |  FROM documents),
+        |r AS (
+        |  SELECT *,
+        |    ROW_NUMBER() OVER (PARTITION BY lang, source
+        |                       ORDER BY rq DESC, pid) AS rc,
+        |    ROW_NUMBER() OVER (PARTITION BY lang, source
+        |                       ORDER BY rq ASC, pid) AS rr
+        |  FROM sc)
+        |SELECT lang, source,
+        |  MAX(CASE WHEN rc = 1 THEN pid END) AS chosen_id,
+        |  MAX(CASE WHEN rr = 1 THEN pid END) AS rejected_id,
+        |  (MAX(CASE WHEN rc = 1 THEN rq END)
+        |   - MAX(CASE WHEN rr = 1 THEN rq END)) AS margin
+        |FROM r GROUP BY 1, 2
+        |HAVING margin > 0
+        |ORDER BY 1, 2""".stripMargin,
+
+    "q_skipgram_pairs" ->
+      """WITH tk AS (
+        |  SELECT string_split(text, ' ') AS ts FROM documents
+        |  WHERE len(string_split(text, ' ')) > 1),
+        |px AS (
+        |  SELECT ts, unnest(generate_series(1, len(ts))) AS p FROM tk),
+        |pr AS (
+        |  SELECT ts[p] AS center, ts[p + o.o] AS context
+        |  FROM px CROSS JOIN (VALUES (1), (2)) o(o) WHERE p + o.o <= len(ts)
+        |  UNION ALL
+        |  SELECT ts[p + o.o] AS center, ts[p] AS context
+        |  FROM px CROSS JOIN (VALUES (1), (2)) o(o) WHERE p + o.o <= len(ts))
+        |SELECT center, context, COUNT(*)::BIGINT AS cnt
+        |FROM pr GROUP BY 1, 2
+        |ORDER BY cnt DESC, center, context LIMIT 50""".stripMargin,
+
+    "q_neg_table" ->
+      """WITH w AS (
+        |  SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+        |c AS (
+        |  SELECT word, COUNT(*)::BIGINT AS cnt FROM w
+        |  WHERE word <> '' GROUP BY word),
+        |top AS (
+        |  SELECT word, cnt,
+        |         CAST(ROUND(SQRT(cnt::DOUBLE * SQRT(cnt::DOUBLE)) * 1000000, 0)
+        |              AS BIGINT) AS wq
+        |  FROM c ORDER BY cnt DESC, word LIMIT 100)
+        |SELECT word, cnt, wq,
+        |       CAST(SUM(wq) OVER (ORDER BY cnt DESC, word
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |         AS cum_wq
+        |FROM top ORDER BY cnt DESC, word""".stripMargin
   )
 }
