@@ -78,7 +78,11 @@ object Bench {
     "q_url_canonical", "q_url_dedup", "q_html_extract",
     "q6_revenue", "q14_promo", "q18_large_orders",
     "q_domain_stats", "q_domain_gate", "q7_volume", "q19_discount",
-    "q_curation_best")
+    "q_curation_best",
+    // round 7 additions
+    "q8_market_share", "q13_cust_dist", "q15_top_supplier",
+    "q17_small_qty", "q22_idle_customers", "q_sft_render", "q_pref_pairs",
+    "q_skipgram_pairs", "q_neg_table", "q_jaro_linkage")
 
   /** Force FULL materialization of every output column: xxhash64 over all
     * columns, summed. `.count()` alone under-measures — Catalyst prunes

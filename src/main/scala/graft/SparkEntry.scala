@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.expressions.FloatVectorExpressions.dotF
+import graft.expressions.JaroWinkler.jaroWinklerF
 import graft.expressions.TextHashExpressions.{minhashSigF, simhash32F}
 import graft.functions.{HashFunctions, TextFunctions => T, UrlFunctions, VectorFunctions => V}
 import graft.operators.{Ann, AsofJoin, Bm25, BpeTrain, Classifier, Collocations, CountMin, Curation, Dedup, DistinctSketch, GraphOps, HeavyHitters, Mining, Multimodal, Packing, PageRank, Privacy, QuantileSketch, Rerank, RuntimeFilter, Sampling, SftPrep, SkewJoin, Tfidf, TopK, TrigramLm, Validation}
@@ -7365,7 +7366,38 @@ object SparkEntry {
     // sqrt(c·sqrt c) form, cumulative sum windowed over the 100 rows
     // only (post-TakeOrdered).
     "q_neg_table" -> ((s, dir) =>
-      SftPrep.negSamplingTable(spread(s, t(s, dir, "documents")), "text"))
+      SftPrep.negSamplingTable(spread(s, t(s, dir, "documents")), "text")),
+
+    // Fuzzy record linkage via the native JaroWinkler kernel
+    // (expressions/JaroWinklerExpression — semantics pinned to DuckDB's
+    // independent C++ implementation, JaroWinklerSpec): customer names
+    // perturbed by a seeded md5-parity edit (swap or drop of the trailing
+    // chars), then blocked on the UNPERTURBED name prefix (≤1000-member
+    // blocks by construction: the 6-digit block fixes all but the last 3
+    // id digits), scored with round-6 JW, and resolved per dirty record
+    // by a map-side-combinable struct argmax — no window, no all-pairs.
+    "q_jaro_linkage" -> ((s, dir) => {
+      import s.implicits._
+      val n = t(s, dir, "customer")
+        .select($"c_custkey".as("cid"), $"c_name".as("name"))
+      val ln = length($"name")
+      val dirty = when(ascii(substring(md5($"name"), 1, 1)) % 2 === 0,
+        concat($"name".substr(lit(1), ln - 2),
+          $"name".substr(ln, lit(1)),
+          $"name".substr(ln - 1, lit(1))))
+        .otherwise($"name".substr(lit(1), ln - 1))
+      val d = n.select($"cid".as("dirty_id"), dirty.as("dirty"),
+        substring($"name", 10, 6).as("blk"))
+      val c = n.select($"cid".as("cand_id"), $"name",
+        substring($"name", 10, 6).as("blk"))
+      d.join(c, "blk")
+        .withColumn("jw", round(jaroWinklerF($"dirty", $"name"), 6) + lit(0.0))
+        .filter($"jw" >= 0.9)
+        .groupBy($"dirty_id")
+        .agg(max(struct($"jw".as("jw"), (-$"cand_id").as("nid"))).as("mx"))
+        .select($"dirty_id", (-$"mx.nid").as("best_id"), $"mx.jw".as("best_jw"))
+        .orderBy($"dirty_id")
+    })
   )
 
   private def round7Oracles: Map[String, String] = Map(
@@ -7521,6 +7553,31 @@ object SparkEntry {
         |       CAST(SUM(wq) OVER (ORDER BY cnt DESC, word
         |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
         |         AS cum_wq
-        |FROM top ORDER BY cnt DESC, word""".stripMargin
+        |FROM top ORDER BY cnt DESC, word""".stripMargin,
+
+    "q_jaro_linkage" ->
+      """WITH n AS (
+        |  SELECT c_custkey AS cid, c_name AS name FROM customer),
+        |d AS (
+        |  SELECT cid AS dirty_id,
+        |    CASE WHEN (ascii(substr(md5(name), 1, 1)) % 2) = 0
+        |         THEN substr(name, 1, len(name) - 2)
+        |              || substr(name, len(name), 1)
+        |              || substr(name, len(name) - 1, 1)
+        |         ELSE substr(name, 1, len(name) - 1) END AS dirty,
+        |    substr(name, 10, 6) AS blk
+        |  FROM n),
+        |c AS (
+        |  SELECT cid AS cand_id, name, substr(name, 10, 6) AS blk FROM n),
+        |j AS (
+        |  SELECT d.dirty_id, c.cand_id,
+        |         ROUND(jaro_winkler_similarity(d.dirty, c.name), 6) + 0.0 AS jw
+        |  FROM d JOIN c USING (blk)),
+        |f AS (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY dirty_id
+        |    ORDER BY jw DESC, cand_id) AS rk
+        |  FROM j WHERE jw >= 0.9)
+        |SELECT dirty_id, cand_id AS best_id, jw AS best_jw
+        |FROM f WHERE rk = 1 ORDER BY dirty_id""".stripMargin
   )
 }
