@@ -8,7 +8,7 @@ import graft.expressions.FloatVectorExpressions.dotF
 import graft.expressions.JaroWinkler.jaroWinklerF
 import graft.expressions.TextHashExpressions.{minhashSigF, simhash32F}
 import graft.functions.{HashFunctions, TextFunctions => T, UrlFunctions, VectorFunctions => V}
-import graft.operators.{Ann, AsofJoin, Bm25, BpeTrain, Classifier, Collocations, CountMin, Curation, Dedup, DistinctSketch, GraphOps, HeavyHitters, Mining, Multimodal, Packing, PageRank, Privacy, QuantileSketch, Rerank, RuntimeFilter, Sampling, SftPrep, SkewJoin, Tfidf, TopK, TrigramLm, Validation}
+import graft.operators.{Ann, AsofJoin, Bm25, BpeTrain, Classifier, Collocations, CountMin, Curation, Dedup, DistinctSketch, Ewma, GraphOps, HeavyHitters, Mining, Multimodal, Packing, PageRank, Privacy, QuantileSketch, Rerank, RuntimeFilter, Sampling, SftPrep, SkewJoin, Tfidf, TopK, TrigramLm, Validation}
 import graft.sources.{Layout, Tables}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -7397,6 +7397,16 @@ object SparkEntry {
         .agg(max(struct($"jw".as("jw"), (-$"cand_id").as("nid"))).as("mx"))
         .select($"dirty_id", (-$"mx.nid").as("best_id"), $"mx.jw".as("best_jw"))
         .orderBy($"dirty_id")
+    }),
+
+    // EWMA deviation-band anomaly detection (operators/Ewma): integer
+    // recurrence s=(3s+x)//4 replayed bit-exactly by the oracle's
+    // recursive CTE; engine side is one key repartition + secondary sort
+    // + O(1)-state per-partition fold — no window, no group buffering.
+    "q_ewma_anomaly" -> ((s, dir) => {
+      import s.implicits._
+      Ewma.anomalies(t(s, dir, "events"), "user_id", "event_id", "ts",
+        "value").toDF().orderBy($"user_id", $"rn")
     })
   )
 
@@ -7578,6 +7588,28 @@ object SparkEntry {
         |    ORDER BY jw DESC, cand_id) AS rk
         |  FROM j WHERE jw >= 0.9)
         |SELECT dirty_id, cand_id AS best_id, jw AS best_jw
-        |FROM f WHERE rk = 1 ORDER BY dirty_id""".stripMargin
+        |FROM f WHERE rk = 1 ORDER BY dirty_id""".stripMargin,
+
+    "q_ewma_anomaly" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT user_id AS k, event_id AS id,
+        |         CAST(ROUND(value * 1000000, 0) AS BIGINT) AS xq,
+        |         ROW_NUMBER() OVER (PARTITION BY user_id
+        |                            ORDER BY ts, event_id) AS rn
+        |  FROM events),
+        |rec AS (
+        |  SELECT k, id, rn, xq, xq AS sq, 0::BIGINT AS dq,
+        |         0::BIGINT AS prev_sq, 0::BIGINT AS prev_dq,
+        |         0::BIGINT AS rq, FALSE AS hit
+        |  FROM e WHERE rn = 1
+        |  UNION ALL
+        |  SELECT e.k, e.id, e.rn, e.xq,
+        |         (3 * r.sq + e.xq) // 4,
+        |         (3 * r.dq + abs(e.xq - r.sq)) // 4,
+        |         r.sq, r.dq, abs(e.xq - r.sq),
+        |         (e.rn > 4 AND r.dq > 0 AND abs(e.xq - r.sq) > 3 * r.dq)
+        |  FROM rec r JOIN e ON e.k = r.k AND e.rn = r.rn + 1)
+        |SELECT k AS user_id, id AS event_id, rn, xq, prev_sq, prev_dq, rq
+        |FROM rec WHERE hit ORDER BY user_id, rn""".stripMargin
   )
 }

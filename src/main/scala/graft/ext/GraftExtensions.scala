@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.IntegerType
 
-import graft.expressions.{CharEntropy, FloatDotProduct, MinHashSignature, RepeatStats, SimHash32, SortedIntersectCount, Trigrams, UnicodeExpressions, WordShingles}
+import graft.expressions.{CharEntropy, FloatDotProduct, JaroWinkler, MinHashSignature, RepeatStats, SimHash32, SortedIntersectCount, Trigrams, UnicodeExpressions, WordShingles}
 
 /** SQL surface for graft's native expressions.
   *
@@ -59,7 +59,10 @@ object GraftFunctions {
       (es: Seq[Expression]) => UnicodeExpressions.NfcNormalize(es(0))),
     (FunctionIdentifier("graft_strip_accents"),
       new ExpressionInfo(classOf[UnicodeExpressions.StripAccents].getName, "graft_strip_accents"),
-      (es: Seq[Expression]) => UnicodeExpressions.StripAccents(es(0))))
+      (es: Seq[Expression]) => UnicodeExpressions.StripAccents(es(0))),
+    (FunctionIdentifier("graft_jaro_winkler"),
+      new ExpressionInfo(classOf[JaroWinkler].getName, "graft_jaro_winkler"),
+      (es: Seq[Expression]) => JaroWinkler(es(0), es(1))))
 
   /** Register on a live session (idempotent — re-registration overwrites). */
   def register(spark: SparkSession): Unit = all.foreach { case (id, info, builder) =>

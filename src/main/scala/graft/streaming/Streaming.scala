@@ -12,6 +12,9 @@ import graft.search.VectorStore
 /** Open-session accumulator for `Streaming.sessionizeStream`. */
 case class SessionState(startMs: Long, lastMs: Long, nEvents: Long)
 
+/** O(1)-per-key streaming EWMA state: level, deviation, event count. */
+case class EwmaKeyState(sq: Long, dq: Long, rn: Long)
+
 /** Closed session emitted by `Streaming.sessionizeStream`. */
 case class ClosedSession(user_id: Long, session_start: Timestamp,
                          session_end: Timestamp, n_events: Long)
@@ -300,6 +303,59 @@ object Streaming {
       .as[(Long, Timestamp)]
       .groupByKey(_._1)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
+      .toDF()
+  }
+
+  /** Continuous EWMA deviation-band anomaly detection — the streaming
+    * twin of `operators/Ewma.anomalies`, same integer recurrence
+    * (s=(3s+x)//4 with floor division), carried across micro-batches in
+    * O(1) custom state per key ((sq, dq, rn) — three longs, independent
+    * of stream length). Within a micro-batch a key's rows fold in
+    * (event-time, id) order; agreement with the batch op holds whenever
+    * cross-batch delivery preserves per-key event-time order (the replay
+    * shape; an out-of-order arrival folds at its arrival position, the
+    * standard streaming-EWMA tradeoff). No timeout: the per-key state is
+    * three longs, so even 10⁹ keys hold ~24 GB across the cluster's
+    * state store; add a ProcessingTimeTimeout eviction if the key space
+    * is unbounded AND keys retire permanently.
+    */
+  def streamEwmaAnomalies(events: DataFrame, alphaDen: Int = 4, k: Int = 3,
+                          warmup: Int = 4): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val a1 = (alphaDen - 1).toLong
+
+    def fn(uid: Long, rows: Iterator[(Long, Long, Long, Long)],
+           state: GroupState[EwmaKeyState]): Iterator[graft.operators.Ewma.Anomaly] = {
+      val sorted = rows.toArray.sortBy(r => (r._3, r._2))
+      val out = scala.collection.mutable.ArrayBuffer
+        .empty[graft.operators.Ewma.Anomaly]
+      var (sq, dq, rn, started) = state.getOption
+        .map(s => (s.sq, s.dq, s.rn, true))
+        .getOrElse((0L, 0L, 0L, false))
+      sorted.foreach { case (_, id, _, xq) =>
+        if (!started) { started = true; sq = xq; dq = 0L; rn = 1L }
+        else {
+          rn += 1
+          val rq = math.abs(xq - sq)
+          if (rn > warmup && dq > 0L && rq > k.toLong * dq)
+            out += graft.operators.Ewma.Anomaly(uid, id, rn, xq, sq, dq, rq)
+          sq = Math.floorDiv(a1 * sq + xq, alphaDen.toLong)
+          dq = Math.floorDiv(a1 * dq + rq, alphaDen.toLong)
+        }
+      }
+      if (started) state.update(EwmaKeyState(sq, dq, rn))
+      out.iterator
+    }
+
+    events
+      .select(col("user_id").cast("long").as("k"),
+        col("event_id").cast("long").as("id"),
+        unix_micros(col("ts").cast("timestamp")).as("tsu"),
+        round(col("value") * 1e6, 0).cast("long").as("xq"))
+      .as[(Long, Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
       .toDF()
   }
 

@@ -57,6 +57,10 @@ class GraftExtensionsSpec extends SparkSpec {
     val heApi = Seq("a b c a").toDF("text")
       .select(graft.functions.TextFunctions.charEntropyMicro($"text")).head.getLong(0)
     assert(heSql == heApi)
+
+    // Jaro-Winkler kernel through SQL: DuckDB-pinned value
+    assert(spark.sql("SELECT graft_jaro_winkler('martha', 'marhta') AS jw")
+      .head.getDouble(0) == 0.9611111111111111)
   }
 
   test("non-literal size argument is rejected with a clear error") {

@@ -719,4 +719,39 @@ class StreamingSpec extends SparkSpec {
     val fps = spark.read.parquet(s"$store/*").collect().map(_.getString(0)).toSeq
     assert(fps.size == 3 && fps.distinct.size == 3, s"store fps: $fps")
   }
+
+  test("streamEwmaAnomalies carries exact state across micro-batches (batch twin)") {
+    import spark.implicits._
+    def ts(min: Int) = new java.sql.Timestamp(3600000L + min * 60000L)
+    // key 7: alternating 10/12 builds deviation, then a 500 spike — the
+    // spike arrives in the SECOND micro-batch, so the flag depends on
+    // state (sq, dq, rn) surviving the batch boundary exactly.
+    val rows1 = Seq(10.0, 12.0, 10.0, 12.0).zipWithIndex
+      .map { case (v, i) => (7L, i.toLong, ts(i), v) }
+    val rows2 = Seq((7L, 4L, ts(4), 10.0), (7L, 5L, ts(5), 500.0))
+    val tmp = Files.createTempDirectory("graft_ewma_").toString
+    val b1 = rows1.toDF("user_id", "event_id", "ts", "value")
+    b1.write.mode("overwrite").parquet(tmp)
+
+    val stream = spark.readStream.schema(b1.schema).parquet(tmp)
+    val q = Streaming.streamEwmaAnomalies(stream)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ewma_out").start()
+    q.processAllAvailable()
+    rows2.toDF("user_id", "event_id", "ts", "value")
+      .write.mode("append").parquet(tmp)
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark.table("ewma_out").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toSet
+    val want = graft.operators.Ewma.anomalies(
+        (rows1 ++ rows2).toDF("user_id", "event_id", "ts", "value"),
+        "user_id", "event_id", "ts", "value")
+      .collect().map(a => (a.user_id, a.event_id, a.rn, a.xq,
+        a.prev_sq, a.prev_dq, a.rq)).toSet
+    assert(want.nonEmpty, "batch twin found no anomaly — fixture broken")
+    assert(got == want, s"stream $got vs batch $want")
+  }
 }
