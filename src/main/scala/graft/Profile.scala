@@ -466,6 +466,35 @@ object Profile {
       } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
     }
 
+    if (on("sft")) {
+      import graft.operators.{Ewma, SftPrep}
+      // skip-gram pair generation: explode factor is O(tokens·window),
+      // shuffle carries only (center, context) partial counts
+      def sg(d: DataFrame): Long =
+        SftPrep.skipgramPairs(d, "text").count()
+      sg(docs.limit(500)) // codegen/JIT warmup outside the timings
+      time("S1 skipgram 1x")(sg(docs.repartition(32)))
+      time("S10 skipgram 10x")(sg(dupCorpus(10)))
+
+      // EWMA fold: 10× by duplicating the EVENT STREAM onto 10× keys —
+      // state is per-key O(1), so time should track rows, not history
+      val ev = spark.read.parquet(s"$sfDir/events.parquet")
+      def ew(d: DataFrame): Long =
+        Ewma.anomalies(d, "user_id", "event_id", "ts", "value").count()
+      val ev10 = (0 until 10).map(i => ev
+          .withColumn("user_id", $"user_id" + lit(i * 10000000L))
+          .withColumn("event_id", $"event_id" + lit(i * 100000000L)))
+        .reduce(_ unionByName _).repartition(32)
+      time("E1 ewma 1x")(ew(ev.repartition(32)))
+      time("E10 ewma 10x (10x keys)")(ew(ev10))
+
+      // preference pairs: struct-agg argmax — one shuffle of group keys
+      def pp(d: DataFrame): Long =
+        SftPrep.prefPairs(d, "doc_id", "text", Seq("source")).count()
+      time("P1 prefpairs 1x")(pp(docs.repartition(32)))
+      time("P10 prefpairs 10x")(pp(dupCorpus(10, withSource = true)))
+    }
+
     spark.stop()
   }
 }
