@@ -2128,67 +2128,11 @@ object SparkEntry {
         |GROUP BY lang, pred_lang ORDER BY lang, pred_lang""".stripMargin,
 
     "q_curation" ->
-      """WITH clean AS (
-        |  SELECT doc_id, source,
-        |    regexp_replace(regexp_replace(regexp_replace(text,
-        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-        |      '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '<IP>', 'g'),
-        |      '\+?[0-9][0-9()\s\-]{6,}[0-9]', '<PHONE>', 'g') AS txt
-        |  FROM documents),
-        |tk AS (
-        |  SELECT doc_id, source, txt,
-        |         CASE WHEN trim(txt) = '' THEN CAST([] AS VARCHAR[]) ELSE string_split_regex(trim(txt), '\s+') END AS toks
-        |  FROM clean),
-        |gt AS (
-        |  SELECT *, CASE WHEN len(toks) < 2 THEN CAST([] AS VARCHAR[])
-        |                 ELSE list_transform(generate_series(1, len(toks)-1),
-        |                        i -> toks[i] || ' ' || toks[i+1]) END AS g2
-        |  FROM tk),
-        |q AS (
-        |  SELECT doc_id, source, txt, toks,
-        |    ROUND(LEAST(len(toks)::DOUBLE/100.0, 1.0) * (0.7 + 0.3 *
-        |      len(list_filter(toks, t -> list_contains(['the','a','of','and','to','in','is'], t)))::DOUBLE
-        |      / GREATEST(len(toks)::DOUBLE, 1.0)), 4) AS quality,
-        |    ROUND(CASE WHEN len(g2) = 0 THEN 0.0
-        |          ELSE 1.0 - len(list_distinct(g2))::DOUBLE / len(g2)::DOUBLE END, 4) AS dup2
-        |  FROM gt),
-        |filtered AS (SELECT * FROM q WHERE quality >= 0.2 AND dup2 <= 0.5),
-        |keepers AS (
-        |  SELECT MIN(doc_id) AS doc_id
-        |  FROM filtered
-        |  GROUP BY md5(lower(trim(regexp_replace(txt, '\s+', ' ', 'g'))))),
-        |uniq AS (SELECT f.* FROM filtered f JOIN keepers USING (doc_id)),
-        |s AS (
-        |  SELECT doc_id, list_distinct(list_transform(generate_series(1, len(toks)-1),
-        |           i -> toks[i] || ' ' || toks[i+1])) AS sh
-        |  FROM uniq WHERE len(toks) >= 2),
-        |sig AS (
-        |  SELECT doc_id, sh,
-        |         list_transform(generate_series(0, 15), i ->
-        |           list_min(list_transform(sh, x ->
-        |             ('0x'||substr(md5(i::VARCHAR||':'||x), 1, 15))::BIGINT))) AS sig
-        |  FROM s WHERE len(sh) > 0),
-        |bands AS (
-        |  SELECT doc_id, band_idx,
-        |         md5(array_to_string(sig[band_idx*4+1 : band_idx*4+4], ',')) AS bh
-        |  FROM (SELECT doc_id, sig, unnest(generate_series(0, 3)) AS band_idx FROM sig)),
-        |cand AS (
-        |  SELECT DISTINCT a.doc_id da, b.doc_id db
-        |  FROM bands a JOIN bands b
-        |    ON a.band_idx = b.band_idx AND a.bh = b.bh AND a.doc_id < b.doc_id),
-        |drp AS (
-        |  SELECT DISTINCT db FROM (
-        |    SELECT da, db,
-        |           len(list_intersect(x.sh, y.sh))::DOUBLE /
-        |             (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))) AS jac
-        |    FROM cand JOIN s x ON da = x.doc_id JOIN s y ON db = y.doc_id)
-        |  WHERE jac >= 0.2),
-        |final AS (SELECT * FROM uniq WHERE doc_id NOT IN (SELECT db FROM drp))
-        |SELECT doc_id, source, quality
-        |FROM final
-        |WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 1000000 <
-        |      (CASE source WHEN 'src0' THEN 0.8 WHEN 'src1' THEN 0.5 ELSE 0.6 END) * 1000000.0
-        |ORDER BY doc_id""".stripMargin,
+      s"""WITH $curationCoreSql
+         |SELECT doc_id, source, quality
+         |FROM final
+         |WHERE $curationGateSql
+         |ORDER BY doc_id""".stripMargin,
 
     "q_seq_pack" ->
       """WITH t AS (
@@ -3445,6 +3389,74 @@ object SparkEntry {
         .orderBy($"event_type")
     })
   )
+
+  /** The q_curation oracle's CTE chain through near-dup removal
+    * (`final` = surviving docs with their redacted text), shared with
+    * the composed SFT-pipeline oracle. */
+  private val curationCoreSql =
+    """clean AS (
+      |  SELECT doc_id, source,
+      |    regexp_replace(regexp_replace(regexp_replace(text,
+      |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      |      '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '<IP>', 'g'),
+      |      '\+?[0-9][0-9()\s\-]{6,}[0-9]', '<PHONE>', 'g') AS txt
+      |  FROM documents),
+      |tk AS (
+      |  SELECT doc_id, source, txt,
+      |         CASE WHEN trim(txt) = '' THEN CAST([] AS VARCHAR[]) ELSE string_split_regex(trim(txt), '\s+') END AS toks
+      |  FROM clean),
+      |gt AS (
+      |  SELECT *, CASE WHEN len(toks) < 2 THEN CAST([] AS VARCHAR[])
+      |                 ELSE list_transform(generate_series(1, len(toks)-1),
+      |                        i -> toks[i] || ' ' || toks[i+1]) END AS g2
+      |  FROM tk),
+      |q AS (
+      |  SELECT doc_id, source, txt, toks,
+      |    ROUND(LEAST(len(toks)::DOUBLE/100.0, 1.0) * (0.7 + 0.3 *
+      |      len(list_filter(toks, t -> list_contains(['the','a','of','and','to','in','is'], t)))::DOUBLE
+      |      / GREATEST(len(toks)::DOUBLE, 1.0)), 4) AS quality,
+      |    ROUND(CASE WHEN len(g2) = 0 THEN 0.0
+      |          ELSE 1.0 - len(list_distinct(g2))::DOUBLE / len(g2)::DOUBLE END, 4) AS dup2
+      |  FROM gt),
+      |filtered AS (SELECT * FROM q WHERE quality >= 0.2 AND dup2 <= 0.5),
+      |keepers AS (
+      |  SELECT MIN(doc_id) AS doc_id
+      |  FROM filtered
+      |  GROUP BY md5(lower(trim(regexp_replace(txt, '\s+', ' ', 'g'))))),
+      |uniq AS (SELECT f.* FROM filtered f JOIN keepers USING (doc_id)),
+      |s AS (
+      |  SELECT doc_id, list_distinct(list_transform(generate_series(1, len(toks)-1),
+      |           i -> toks[i] || ' ' || toks[i+1])) AS sh
+      |  FROM uniq WHERE len(toks) >= 2),
+      |sig AS (
+      |  SELECT doc_id, sh,
+      |         list_transform(generate_series(0, 15), i ->
+      |           list_min(list_transform(sh, x ->
+      |             ('0x'||substr(md5(i::VARCHAR||':'||x), 1, 15))::BIGINT))) AS sig
+      |  FROM s WHERE len(sh) > 0),
+      |bands AS (
+      |  SELECT doc_id, band_idx,
+      |         md5(array_to_string(sig[band_idx*4+1 : band_idx*4+4], ',')) AS bh
+      |  FROM (SELECT doc_id, sig, unnest(generate_series(0, 3)) AS band_idx FROM sig)),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id da, b.doc_id db
+      |  FROM bands a JOIN bands b
+      |    ON a.band_idx = b.band_idx AND a.bh = b.bh AND a.doc_id < b.doc_id),
+      |drp AS (
+      |  SELECT DISTINCT db FROM (
+      |    SELECT da, db,
+      |           len(list_intersect(x.sh, y.sh))::DOUBLE /
+      |             (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))) AS jac
+      |    FROM cand JOIN s x ON da = x.doc_id JOIN s y ON db = y.doc_id)
+      |  WHERE jac >= 0.2),
+      |final AS (SELECT * FROM uniq WHERE doc_id NOT IN (SELECT db FROM drp))""".stripMargin
+
+  /** The deterministic md5-gate mixture-sampling predicate shared by the
+    * curation and SFT-pipeline oracles (rates src0=0.8, src1=0.5,
+    * default 0.6). */
+  private val curationGateSql =
+    """('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 1000000 <
+      |      (CASE source WHEN 'src0' THEN 0.8 WHEN 'src1' THEN 0.5 ELSE 0.6 END) * 1000000.0""".stripMargin
 
   private def extraOracles: Map[String, String] = Map(
 
@@ -7407,6 +7419,43 @@ object SparkEntry {
       import s.implicits._
       Ewma.anomalies(t(s, dir, "events"), "user_id", "event_id", "ts",
         "value").toDF().orderBy($"user_id", $"rn")
+    }),
+
+    // End-to-end SFT data production: curation survivors (same stage
+    // order + rates as q_curation, carrying their redacted text) →
+    // chat-template render with loss-mask spans → sequence packing into
+    // 256-token shards per source. The COMPOSITION is the contract:
+    // every stage has its own oracle row; this one checks the pipeline
+    // a training run would actually ship.
+    "q_sft_pipeline" -> ((s, dir) => {
+      import s.implicits._
+      val survivors = Curation.curate(spread(s, t(s, dir, "documents")),
+        "doc_id", "text", "source",
+        rates = Map("src0" -> 0.8, "src1" -> 0.5), defaultRate = 0.6,
+        keepText = true)
+      val rendered = SftPrep.renderSft(survivors, "doc_id", "text_clean")
+        .join(survivors.select($"doc_id", $"source"), "doc_id")
+        .withColumn("n_tokens", $"n_user_tokens" + $"n_asst_tokens")
+      Packing.packSequences(rendered, Seq($"source"), $"doc_id",
+          $"n_tokens", 256)
+        .select($"doc_id", $"source", $"n_tokens", $"seq_idx",
+          $"seq_offset", $"asst_start", $"asst_end",
+          length($"rendered").cast("long").as("render_len"))
+        .orderBy($"doc_id")
+    }),
+
+    // Token-BUDGET mixture sampling (Sampling.tokenBudgetSample): fill
+    // each source's token budget in seeded-hash order — two-phase
+    // (bucket stats broadcast, boundary-bucket-only window) so no
+    // stratum ever serializes onto one reducer; the oracle replays the
+    // same selection as one straight window (identical by construction).
+    "q_token_budget" -> ((s, dir) => {
+      import s.implicits._
+      val nTok = size(split($"text", " ")).cast("long")
+      Sampling.tokenBudgetSample(t(s, dir, "documents"), $"source",
+          $"doc_id", nTok, Map("src0" -> 3000L, "src1" -> 1500L), 2500L)
+        .select($"doc_id", $"source", nTok.as("n_tokens"))
+        .orderBy($"doc_id")
     })
   )
 
@@ -7610,6 +7659,56 @@ object SparkEntry {
         |         (e.rn > 4 AND r.dq > 0 AND abs(e.xq - r.sq) > 3 * r.dq)
         |  FROM rec r JOIN e ON e.k = r.k AND e.rn = r.rn + 1)
         |SELECT k AS user_id, id AS event_id, rn, xq, prev_sq, prev_dq, rq
-        |FROM rec WHERE hit ORDER BY user_id, rn""".stripMargin
+        |FROM rec WHERE hit ORDER BY user_id, rn""".stripMargin,
+
+    "q_sft_pipeline" ->
+      s"""WITH $curationCoreSql,
+         |samp AS (
+         |  SELECT doc_id, source, txt FROM final
+         |  WHERE $curationGateSql),
+         |tk2 AS (
+         |  SELECT doc_id, source, string_split(txt, ' ') AS ts FROM samp),
+         |rn AS (
+         |  SELECT doc_id, source, ts,
+         |         array_to_string(ts[1:12], ' ') AS u,
+         |         array_to_string(ts[13:62], ' ') AS a
+         |  FROM tk2 WHERE len(ts) >= 16),
+         |rr AS (
+         |  SELECT doc_id, source, a,
+         |         LEAST(len(ts), 12)::BIGINT AS n_user,
+         |         LEAST(len(ts) - 12, 50)::BIGINT AS n_asst,
+         |         e'<|system|>\\nYou are a helpful assistant.\\n<|user|>\\n'
+         |           || u || e'\\n<|assistant|>\\n' AS prefix
+         |  FROM rn),
+         |rx AS (
+         |  SELECT doc_id, source, (n_user + n_asst) AS n_tokens,
+         |         length(prefix)::BIGINT AS asst_start,
+         |         (length(prefix) + length(a))::BIGINT AS asst_end,
+         |         length(prefix || a || e'\\n<|end|>')::BIGINT AS render_len
+         |  FROM rr),
+         |pk AS (
+         |  SELECT *, SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+         |                                ROWS UNBOUNDED PRECEDING) - n_tokens AS strt
+         |  FROM rx)
+         |SELECT doc_id, source, n_tokens,
+         |       CAST(strt // 256 AS BIGINT) AS seq_idx,
+         |       CAST(strt % 256 AS BIGINT) AS seq_offset,
+         |       asst_start, asst_end, render_len
+         |FROM pk ORDER BY doc_id""".stripMargin,
+
+    "q_token_budget" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |         len(string_split(text, ' '))::BIGINT AS n,
+        |         ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT AS h
+        |  FROM documents),
+        |c AS (
+        |  SELECT *, SUM(n) OVER (PARTITION BY source ORDER BY h, doc_id
+        |                         ROWS UNBOUNDED PRECEDING) - n AS cb
+        |  FROM t)
+        |SELECT doc_id, source, n AS n_tokens FROM c
+        |WHERE cb < (CASE source WHEN 'src0' THEN 3000
+        |            WHEN 'src1' THEN 1500 ELSE 2500 END)
+        |ORDER BY doc_id""".stripMargin
   )
 }

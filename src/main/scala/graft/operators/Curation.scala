@@ -41,7 +41,8 @@ object Curation {
              nearDupThreshold: Double = 0.2,
              rates: Map[String, Double] = Map.empty,
              defaultRate: Double = 1.0,
-             keepBestQuality: Boolean = false): DataFrame = {
+             keepBestQuality: Boolean = false,
+             keepText: Boolean = false): DataFrame = {
     val id = col(idCol)
 
     // 1–2: redact, then gate on quantized quality/repetition scores.
@@ -94,6 +95,11 @@ object Curation {
       if (rates.isEmpty && defaultRate >= 1.0) deduped
       else Sampling.stratifiedSample(deduped, col(stratumCol), id, rates, defaultRate)
 
-    sampled.select(id, col(stratumCol), col("__quality").as("quality"))
+    // keepText surfaces the already-computed REDACTED text for
+    // downstream stages (e.g. SFT rendering) instead of forcing callers
+    // to join back and re-redact.
+    val outCols = Seq(id, col(stratumCol), col("__quality").as("quality")) ++
+      (if (keepText) Seq(col("__clean").as("text_clean")) else Nil)
+    sampled.select(outCols: _*)
   }
 }

@@ -285,4 +285,73 @@ object Sampling {
   private def hashGate(key: Column, rate: Column): Column =
     pmod(Dedup.hash60(key.cast("string")), lit(Denom)).cast("double") <
       rate * lit(Denom.toDouble)
+
+  /** Token-BUDGET sampling: per stratum, keep documents in seeded-hash
+    * order until the stratum's token budget is spent ("2B tokens of each
+    * language", the unit data mixtures are actually specified in — a
+    * RATE can't hit a token target when doc lengths vary). A document is
+    * kept iff the total tokens of hash-earlier documents in its stratum
+    * is still under the budget, so the budget overshoots by at most one
+    * document and the selection is a deterministic, engine-replayable
+    * function of (key, stratum) like every sampler here.
+    *
+    * Scale shape — deliberately NOT one window over each stratum (a
+    * 10⁹-doc language would serialize onto one reducer's sort):
+    *   1. docs land in `buckets` hash-ORDERED buckets (top bits of the
+    *      60-bit key hash, so bucket order = hash order);
+    *   2. one map-side-combined (stratum, bucket) token-sum aggregate —
+    *      a bounded table (strata × buckets) — yields each bucket's
+    *      cumulative start; buckets that END under budget keep every
+    *      doc, buckets that START at/over budget drop every doc, both
+    *      decided by a BROADCAST probe at scan speed;
+    *   3. only the one boundary bucket per stratum (~1/buckets of the
+    *      data) pays an exact within-bucket window.
+    */
+  def tokenBudgetSample(df: DataFrame, stratum: Column, key: Column,
+                        tokenCount: Column, budgets: Map[String, Long],
+                        defaultBudget: Long, buckets: Int = 4096): DataFrame = {
+    require(buckets >= 2 && (buckets & (buckets - 1)) == 0 && buckets <= (1 << 20),
+      s"buckets must be a power of two in [2, 2^20], got $buckets")
+    require(defaultBudget >= 0 && budgets.values.forall(_ >= 0),
+      s"budgets must be non-negative")
+    val shift = 60 - java.lang.Integer.numberOfTrailingZeros(buckets)
+    import org.apache.spark.sql.expressions.Window
+
+    val budgetOf = budgets.foldLeft(lit(defaultBudget)) {
+      case (acc, (k, v)) => when(col("__s") === k, lit(v)).otherwise(acc)
+    }
+    val base = df
+      .withColumn("__s", stratum.cast("string"))
+      .withColumn("__h", Dedup.hash60(key.cast("string")))
+      .withColumn("__b", shiftrightunsigned(col("__h"), shift))
+      .withColumn("__n", tokenCount.cast("long"))
+
+    // bounded (strata × buckets) table → its window is safe by size
+    val stats = base.groupBy(col("__s"), col("__b"))
+      .agg(sum(col("__n")).as("__bn"))
+    val wb = Window.partitionBy(col("__s")).orderBy(col("__b"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cls = stats
+      .withColumn("__cb", sum(col("__bn")).over(wb) - col("__bn"))
+      .withColumn("__budget", budgetOf)
+      .withColumn("__keep_all", col("__cb") + col("__bn") <= col("__budget"))
+      .withColumn("__drop_all", col("__cb") >= col("__budget"))
+      .select(col("__s"), col("__b"), col("__cb"), col("__budget"),
+        col("__keep_all"), col("__drop_all"))
+
+    val tagged = base.join(broadcast(cls), Seq("__s", "__b"))
+    val fullKeep = tagged.filter(col("__keep_all"))
+    // boundary: exact within-bucket cumulative, offset by the bucket start
+    val wd = Window.partitionBy(col("__s"), col("__b"))
+      .orderBy(col("__h"), key)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val boundaryKeep = tagged
+      .filter(!col("__keep_all") && !col("__drop_all"))
+      .withColumn("__before", col("__cb") + sum(col("__n")).over(wd) - col("__n"))
+      .filter(col("__before") < col("__budget"))
+      .drop("__before")
+    fullKeep.unionByName(boundaryKeep)
+      .drop("__s", "__h", "__b", "__n", "__cb", "__budget",
+        "__keep_all", "__drop_all")
+  }
 }

@@ -137,4 +137,38 @@ class SamplingSpec extends SparkSpec {
     assert(Sampling.threeWaySplit(d, col("id"), 0.0, 0.0)
       .filter(col("split") =!= "test").count() == 0)
   }
+
+  test("tokenBudgetSample: bucketed selection equals the one-window reference") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val d = (0 until 500).map(i =>
+        (i.toLong, if (i % 3 == 0) "a" else "b", 10L + i % 7))
+      .toDF("id", "src", "n")
+    val budgets = Map("a" -> 300L)
+    val got = Sampling.tokenBudgetSample(d, col("src"), col("id"), col("n"),
+        budgets, defaultBudget = 777L, buckets = 8)
+      .select("id").collect().map(_.getLong(0)).toSet
+    // reference: single window in hash order (what the oracle runs)
+    val w = Window.partitionBy(col("src"))
+      .orderBy(graft.operators.Dedup.hash60(col("id").cast("string")), col("id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val budget = when(col("src") === "a", 300L).otherwise(777L)
+    val want = d.withColumn("cb", sum(col("n")).over(w) - col("n"))
+      .filter(col("cb") < budget)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(got == want, s"diff: ${got.diff(want)} / ${want.diff(got)}")
+    assert(want.nonEmpty && want.size < 500, s"degenerate fixture: ${want.size}")
+    // spent tokens stay within budget + one overshoot doc per stratum
+    val spent = d.filter(col("id").isin(got.toSeq.map(Long.box): _*))
+      .groupBy("src").agg(sum("n").as("s")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(spent("a") < 300L + 17L, spent.toString)
+    // zero budget keeps nothing; partitioning independence
+    assert(Sampling.tokenBudgetSample(d, col("src"), col("id"), col("n"),
+      Map.empty, defaultBudget = 0L, buckets = 8).count() == 0)
+    val again = Sampling.tokenBudgetSample(d.repartition(13), col("src"),
+        col("id"), col("n"), budgets, 777L, buckets = 8)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(again == got)
+  }
 }
