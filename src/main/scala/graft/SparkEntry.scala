@@ -7456,6 +7456,36 @@ object SparkEntry {
           $"doc_id", nTok, Map("src0" -> 3000L, "src1" -> 1500L), 2500L)
         .select($"doc_id", $"source", nTok.as("n_tokens"))
         .orderBy($"doc_id")
+    }),
+
+    // Per-source score calibration: rank-normalize a raw per-doc score
+    // into source-relative quartiles — the cross-source comparability
+    // step before any global quality gate (a 0.6 from a clean source and
+    // a 0.6 from a spammy one mean different things). Boundaries come
+    // from the mergeable KLL sketch (exact below capacity, which covers
+    // every fixture SF; quantile_disc semantics), broadcast back so
+    // bucket assignment is a scan-speed map — the corpus never sorts.
+    "q_quality_calibrate" -> ((s, dir) => {
+      import s.implicits._
+      val sketch = udaf(
+        new QuantileSketch.KllQuantilesAgg(8192, Seq("0.25", "0.5", "0.75")),
+        org.apache.spark.sql.Encoders.scalaDouble)
+      val scored = t(s, dir, "documents")
+        .select($"doc_id", $"source",
+          SftPrep.diversityScore($"text").as("rq"))
+      val bounds = scored.groupBy($"source")
+        .agg(sketch($"rq".cast("double")).as("qv"))
+        .select($"source", element_at($"qv", 1).cast("long").as("b25"),
+          element_at($"qv", 2).cast("long").as("b50"),
+          element_at($"qv", 3).cast("long").as("b75"))
+      scored.join(broadcast(bounds), "source")
+        .withColumn("bucket",
+          when($"rq" <= $"b25", 0L).when($"rq" <= $"b50", 1L)
+            .when($"rq" <= $"b75", 2L).otherwise(3L))
+        .groupBy($"source", $"bucket")
+        .agg(count(lit(1)).as("n"), min($"rq").as("min_rq"),
+          max($"rq").as("max_rq"))
+        .orderBy($"source", $"bucket")
     })
   )
 
@@ -7709,6 +7739,26 @@ object SparkEntry {
         |SELECT doc_id, source, n AS n_tokens FROM c
         |WHERE cb < (CASE source WHEN 'src0' THEN 3000
         |            WHEN 'src1' THEN 1500 ELSE 2500 END)
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_quality_calibrate" ->
+      """WITH sc AS (
+        |  SELECT doc_id, source,
+        |         (len(list_distinct(string_split(text, ' ')))::BIGINT * 1000000)
+        |           // len(string_split(text, ' '))::BIGINT AS rq
+        |  FROM documents),
+        |b AS (
+        |  SELECT source, quantile_disc(rq, 0.25) AS b25,
+        |         quantile_disc(rq, 0.5) AS b50,
+        |         quantile_disc(rq, 0.75) AS b75
+        |  FROM sc GROUP BY source),
+        |a AS (
+        |  SELECT sc.source, sc.rq,
+        |         CASE WHEN rq <= b25 THEN 0 WHEN rq <= b50 THEN 1
+        |              WHEN rq <= b75 THEN 2 ELSE 3 END::BIGINT AS bucket
+        |  FROM sc JOIN b USING (source))
+        |SELECT source, bucket, COUNT(*)::BIGINT AS n,
+        |       MIN(rq) AS min_rq, MAX(rq) AS max_rq
+        |FROM a GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   )
 }
