@@ -8,7 +8,7 @@ import graft.expressions.FloatVectorExpressions.dotF
 import graft.expressions.JaroWinkler.jaroWinklerF
 import graft.expressions.TextHashExpressions.{minhashSigF, simhash32F}
 import graft.functions.{HashFunctions, TextFunctions => T, UrlFunctions, VectorFunctions => V}
-import graft.operators.{Ann, AsofJoin, Bm25, BpeTrain, Classifier, Collocations, CountMin, Curation, Dedup, DistinctSketch, Ewma, GraphOps, HeavyHitters, Mining, Multimodal, Packing, PageRank, Privacy, QuantileSketch, Rerank, RuntimeFilter, Sampling, SftPrep, SkewJoin, Tfidf, TopK, TrigramLm, Validation}
+import graft.operators.{Ann, AsofJoin, Bm25, BpeTrain, Classifier, Collocations, CountMin, Curation, Dedup, DistinctSketch, Ewma, GraphOps, HeavyHitters, Mining, Multimodal, Packing, PageRank, Privacy, QuantileSketch, Rerank, RuntimeFilter, Sampling, SftPrep, SkewJoin, Tfidf, TopK, TrigramLm, UnigramLm, Validation}
 import graft.sources.{Layout, Tables}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -7486,6 +7486,18 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), min($"rq").as("min_rq"),
           max($"rq").as("max_rq"))
         .orderBy($"source", $"bucket")
+    }),
+
+    // Unigram-LM (SentencePiece-style) tokenizer (operators/UnigramLm +
+    // the UnigramSegment Viterbi kernel): corpus-derived piece vocab
+    // (one map-side piece count, bounded top-200 → driver literal) and
+    // zero-shuffle DP segmentation of the top-100 words; the oracle
+    // re-derives the vocab and replays the DP by exhaustive cover
+    // enumeration + min(struct(cost, n, seg)).
+    "q_unigram_segment" -> ((s, dir) => {
+      import s.implicits._
+      UnigramLm.segmentTopWords(spread(s, t(s, dir, "documents")), "text")
+        .orderBy($"w_cnt".desc, $"word")
     })
   )
 
@@ -7759,6 +7771,53 @@ object SparkEntry {
         |  FROM sc JOIN b USING (source))
         |SELECT source, bucket, COUNT(*)::BIGINT AS n,
         |       MIN(rq) AS min_rq, MAX(rq) AS max_rq
-        |FROM a GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+        |FROM a GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_unigram_segment" ->
+      """WITH RECURSIVE tw0 AS (
+        |  SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+        |wc AS (
+        |  SELECT w, COUNT(*)::BIGINT AS cnt FROM tw0
+        |  WHERE w <> '' GROUP BY w),
+        |p1 AS (
+        |  SELECT w, unnest(generate_series(1, length(w))) AS s FROM tw0
+        |  WHERE w <> ''),
+        |p2 AS (
+        |  SELECT w, s, unnest(generate_series(1,
+        |    LEAST(4, length(w) - s + 1))) AS l FROM p1),
+        |pc AS (
+        |  SELECT substr(w, s, l) AS piece, COUNT(*)::BIGINT AS cnt
+        |  FROM p2 GROUP BY 1),
+        |voc AS (
+        |  SELECT piece, cnt FROM pc ORDER BY cnt DESC, piece LIMIT 200),
+        |tot AS (SELECT SUM(cnt)::BIGINT AS total FROM voc),
+        |vc AS MATERIALIZED (
+        |  SELECT piece,
+        |         CAST(ROUND(LN(total::DOUBLE / cnt::DOUBLE) * 1000000, 0)
+        |              AS BIGINT) AS cost
+        |  FROM voc, tot),
+        |tw AS MATERIALIZED (
+        |  SELECT w, cnt FROM wc ORDER BY cnt DESC, w LIMIT 100),
+        |rec(w, pos, cost, n, seg) AS (
+        |  SELECT w, 0, 0::BIGINT, 0::BIGINT, '' FROM tw
+        |  UNION ALL
+        |  SELECT r.w, r.pos + l.l, r.cost + COALESCE(v.cost, 20000000),
+        |         r.n + 1,
+        |         CASE WHEN r.pos = 0 THEN substr(r.w, 1, l.l)
+        |              ELSE r.seg || ' ' || substr(r.w, r.pos + 1, l.l) END
+        |  FROM rec r
+        |  CROSS JOIN (VALUES (1), (2), (3), (4)) l(l)
+        |  LEFT JOIN vc v ON v.piece = substr(r.w, r.pos + 1, l.l)
+        |  WHERE r.pos + l.l <= length(r.w)
+        |    AND (v.cost IS NOT NULL OR l.l = 1)),
+        |done AS (
+        |  SELECT w, MIN(struct_pack(cost := cost, n := n, seg := seg)) AS b
+        |  FROM rec WHERE pos = length(w) GROUP BY w)
+        |SELECT t.w AS word, t.cnt AS w_cnt,
+        |       struct_extract(d.b, 'seg') AS seg,
+        |       struct_extract(d.b, 'cost') AS cost,
+        |       struct_extract(d.b, 'n') AS n_pieces
+        |FROM tw t JOIN done d ON t.w = d.w
+        |ORDER BY t.cnt DESC, t.w""".stripMargin
   )
 }
