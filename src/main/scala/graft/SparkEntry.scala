@@ -7498,6 +7498,23 @@ object SparkEntry {
       import s.implicits._
       UnigramLm.segmentTopWords(spread(s, t(s, dir, "documents")), "text")
         .orderBy($"w_cnt".desc, $"word")
+    }),
+
+    // HITS hubs/authorities (GraphOps.hits) on the bipartite
+    // user→event_type interaction graph: integer micro-unit L∞
+    // normalization per half-step (driver-scalar max, one fixed division
+    // association) so the oracle's unrolled CTEs replay every round
+    // bit-for-bit; per round two key joins + map-side-combined sums.
+    "q_hits" -> ((s, dir) => {
+      import s.implicits._
+      val (hubs, auths) = GraphOps.hits(
+        t(s, dir, "events").select($"user_id", $"event_type"),
+        "user_id", "event_type")
+      hubs.select(lit("hub").as("side"), $"u".cast("string").as("node"),
+          $"h_micro".as("score"))
+        .unionByName(auths.select(lit("auth").as("side"),
+          $"t".cast("string").as("node"), $"a_micro".as("score")))
+        .orderBy($"side", $"node")
     })
   )
 
@@ -7818,6 +7835,29 @@ object SparkEntry {
         |       struct_extract(d.b, 'cost') AS cost,
         |       struct_extract(d.b, 'n') AS n_pieces
         |FROM tw t JOIN done d ON t.w = d.w
-        |ORDER BY t.cnt DESC, t.w""".stripMargin
+        |ORDER BY t.cnt DESC, t.w""".stripMargin,
+
+    "q_hits" -> {
+      def round_(k: Int): String =
+        s"""a${k}r AS (SELECT t, SUM(h)::BIGINT AS a
+           |  FROM e JOIN h${k - 1} USING (u) GROUP BY t),
+           |a${k}m AS (SELECT MAX(a) AS m FROM a${k}r),
+           |a$k AS MATERIALIZED (
+           |  SELECT t, CAST(ROUND(a::DOUBLE * 1000000 / m, 0) AS BIGINT) AS a
+           |  FROM a${k}r, a${k}m),
+           |h${k}r AS (SELECT u, SUM(a)::BIGINT AS h
+           |  FROM e JOIN a$k USING (t) GROUP BY u),
+           |h${k}m AS (SELECT MAX(h) AS m FROM h${k}r),
+           |h$k AS MATERIALIZED (
+           |  SELECT u, CAST(ROUND(h::DOUBLE * 1000000 / m, 0) AS BIGINT) AS h
+           |  FROM h${k}r, h${k}m)""".stripMargin
+      s"""WITH e AS (SELECT DISTINCT user_id AS u, event_type AS t FROM events),
+         |h0 AS (SELECT DISTINCT u, 1000000::BIGINT AS h FROM e),
+         |${(1 to 3).map(round_).mkString(",\n")}
+         |SELECT 'hub' AS side, u::VARCHAR AS node, h AS score FROM h3
+         |UNION ALL
+         |SELECT 'auth' AS side, t AS node, a AS score FROM a3
+         |ORDER BY side, node""".stripMargin
+    }
   )
 }

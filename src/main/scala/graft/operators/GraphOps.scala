@@ -116,4 +116,45 @@ object GraphOps {
     }
     labels
   }
+
+  /** HITS hubs & authorities over a (possibly bipartite) edge list —
+    * PageRank's dual for graphs where pointing-well matters as much as
+    * being-pointed-at (user→item interaction graphs: hub users curate,
+    * authority items canonicalize).
+    *
+    * Fixed `iters` mutual-reinforcement rounds with integer micro-unit
+    * L∞ normalization after every half-step: scores are exact BIGINT
+    * sums; the per-round max is a single driver scalar (bounded at any
+    * graph size) and re-scaling divides two exact integers in one fixed
+    * association, so the oracle's unrolled CTEs replay every round
+    * bit-for-bit (the q_pca_top power-iteration discipline on a graph).
+    *
+    * Per round: two edge⨝score joins keyed on src/dst (pre-bucketed at
+    * cluster scale), each followed by a map-side-combined sum; score
+    * tables localCheckpoint per round (iterative-lineage discipline).
+    *
+    * Returns (hubs(u, h_micro), authorities(t, a_micro)).
+    */
+  def hits(edges: DataFrame, srcCol: String, dstCol: String,
+           iters: Int = 3): (DataFrame, DataFrame) = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val e = edges.select(col(srcCol).as("u"), col(dstCol).as("t"))
+      .distinct().localCheckpoint(false)
+    var h = e.select(col("u")).distinct()
+      .withColumn("h", lit(1000000L)).localCheckpoint(false)
+    var a: DataFrame = null
+    def renorm(df: DataFrame, c: String): DataFrame = {
+      val m = df.agg(max(col(c))).head.getLong(0)
+      df.select(col(df.columns.head),
+        round(col(c).cast("double") * 1e6 / m.toDouble).cast("long").as(c))
+        .localCheckpoint(false)
+    }
+    for (_ <- 1 to iters) {
+      a = renorm(e.join(h, Seq("u")).groupBy(col("t"))
+        .agg(sum(col("h")).as("a")), "a")
+      h = renorm(e.join(a, Seq("t")).groupBy(col("u"))
+        .agg(sum(col("a")).as("h")), "h")
+    }
+    (h.withColumnRenamed("h", "h_micro"), a.withColumnRenamed("a", "a_micro"))
+  }
 }

@@ -86,4 +86,26 @@ class GraphOpsSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(a == b)
   }
+
+  test("hits: authorities track in-links from strong hubs; scores stay micro-normalized") {
+    import spark.implicits._
+    // hub user 1 touches every item; item "hot" is touched by everyone
+    val edges = Seq(
+      (1L, "hot"), (1L, "warm"), (1L, "cold"),
+      (2L, "hot"), (2L, "warm"),
+      (3L, "hot")
+    ).toDF("u", "t")
+    val (hubs, auths) = GraphOps.hits(edges, "u", "t")
+    val h = hubs.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val a = auths.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // L∞ normalization: the max of each side is exactly 1e6
+    assert(h.values.max == 1000000L && a.values.max == 1000000L)
+    // orderings: user 1 > user 2 > user 3; hot > warm > cold
+    assert(h(1L) > h(2L) && h(2L) > h(3L), h.toString)
+    assert(a("hot") > a("warm") && a("warm") > a("cold"), a.toString)
+    // duplicate edges don't change the result (distinct-edge semantics)
+    val (h2, a2) = GraphOps.hits(edges.union(edges).repartition(9), "u", "t")
+    assert(h2.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap == h)
+    assert(a2.collect().map(r => r.getString(0) -> r.getLong(1)).toMap == a)
+  }
 }
