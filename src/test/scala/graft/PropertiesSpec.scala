@@ -379,4 +379,49 @@ class PropertiesSpec extends SparkSpec {
       }
     }
   }
+
+  test("prop: unigram Viterbi DP == brute-force cover enumeration") {
+    import graft.expressions.UnigramSegment
+    val fallback = 1000L
+    val wordGen = for {
+      n <- Gen.choose(1, 8)
+      cs <- Gen.listOfN(n, Gen.oneOf('a', 'b', 'c'))
+    } yield cs.mkString
+    val vocabGen = for {
+      n <- Gen.choose(1, 10)
+      ps <- Gen.listOfN(n, for {
+        l <- Gen.choose(1, 3)
+        cs <- Gen.listOfN(l, Gen.oneOf('a', 'b', 'c'))
+        c <- Gen.choose(1L, 50L)
+      } yield (cs.mkString, c))
+    } yield ps.toMap.toSeq // dedup pieces, keep one cost each
+
+    def brute(w: String, vocab: Map[String, Long]): (String, Long, Long) = {
+      if (w.isEmpty) return ("", 0L, 0L)
+      def covers(pos: Int): Seq[List[String]] =
+        if (pos == w.length) Seq(Nil)
+        else (1 to math.min(4, w.length - pos)).flatMap { l =>
+          val p = w.substring(pos, pos + l)
+          if (vocab.contains(p) || l == 1)
+            covers(pos + l).map(p :: _)
+          else Seq.empty
+        }
+      covers(0).map { ps =>
+        (ps.map(p => vocab.getOrElse(p, fallback)).sum,
+          ps.length.toLong, ps.mkString(" "))
+      }.min match { case (c, n, s) => (s, c, n) }
+    }
+
+    import spark.implicits._
+    for (seed <- 1L to 30L) {
+      val w = sample(wordGen, seed)
+      val vocab = sample(vocabGen, seed + 1000)
+      val got = Seq(w).toDF("w")
+        .select(UnigramSegment.unigramSegF($"w", vocab, 4, fallback).as("s"))
+        .select("s.seg", "s.cost", "s.n").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).head
+      val want = brute(w, vocab.toMap)
+      assert(got == want, s"seed=$seed word=$w vocab=$vocab: $got vs $want")
+    }
+  }
 }
