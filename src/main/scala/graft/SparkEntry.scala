@@ -7519,6 +7519,19 @@ object SparkEntry {
         .unionByName(auths.select(lit("auth").as("side"),
           $"t".cast("string").as("node"), $"a_micro".as("score")))
         .orderBy($"side", $"node")
+    }),
+
+    // Deterministic range-sharded layout (Layout.rangeShards +
+    // rangeManifest): exact-quantile boundaries (KLL, exact below
+    // capacity) instead of repartitionByRange's run-dependent reservoir
+    // sampling; assignment is a broadcast-literal scan-speed map and the
+    // manifest certifies disjoint shard ranges.
+    "q_range_layout" -> ((s, dir) => {
+      import s.implicits._
+      val d = t(s, dir, "orders")
+        .select(round($"o_totalprice" * 100, 0).cast("long").as("cents"))
+      val (sharded, _) = Layout.rangeShards(d, "cents", 8)
+      Layout.rangeManifest(sharded, "cents")
     })
   )
 
@@ -7862,6 +7875,23 @@ object SparkEntry {
          |UNION ALL
          |SELECT 'auth' AS side, t AS node, a AS score FROM a3
          |ORDER BY side, node""".stripMargin
+    },
+
+    "q_range_layout" -> {
+      val bs = (1 to 7).map(i =>
+        s"quantile_disc(cents, ${i / 8.0}) AS b$i").mkString(", ")
+      val cases = (1 to 7).map(i =>
+        s"WHEN cents <= b$i THEN ${i - 1}").mkString(" ")
+      s"""WITH t AS (
+         |  SELECT CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents
+         |  FROM orders),
+         |b AS (SELECT $bs FROM t),
+         |a AS (
+         |  SELECT cents, (CASE $cases ELSE 7 END)::BIGINT AS shard
+         |  FROM t, b)
+         |SELECT shard, COUNT(*)::BIGINT AS n_rows,
+         |       MIN(cents) AS min_v, MAX(cents) AS max_v
+         |FROM a GROUP BY 1 ORDER BY 1""".stripMargin
     }
   )
 }

@@ -265,4 +265,45 @@ object Layout {
         pmod(coalesce(col("__sa"), lit(0L)) + coalesce(col("__sb"), lit(0L)),
           fold).as("digest_sum"))
   }
+
+  /** Deterministic range-shard assignment for a globally range-sorted
+    * layout (the terasort/ORDER-BY-export shape): shard i holds values in
+    * (b_{i-1}, b_i], with boundaries the exact i/n quantiles from the
+    * mergeable KLL sketch (exact below capacity) — NOT Spark's
+    * `repartitionByRange`, whose reservoir sampling makes boundaries (and
+    * thus file contents) run-dependent; a re-run of a deterministic
+    * pipeline must re-produce byte-identical shards.
+    *
+    * Returns (df + shard column, boundaries). Boundaries are a bounded
+    * driver literal (nShards−1 longs); assignment is a scan-speed map.
+    * Write with `partitionBy("shard")` + `sortWithinPartitions` for the
+    * on-disk sorted layout; `rangeManifest` certifies it.
+    */
+  def rangeShards(df: DataFrame, valueCol: String, nShards: Int,
+                  sketchCap: Int = 262144): (DataFrame, Seq[Long]) = {
+    require(nShards >= 2, s"nShards must be >= 2, got $nShards")
+    import graft.operators.QuantileSketch
+    // below sketchCap rows the boundaries are EXACT order statistics
+    // (quantile_disc); above, KLL-approximate — shard sizes blur but the
+    // layout stays valid (ranges disjoint by construction either way)
+    val qs = (1 until nShards).map(i => BigDecimal(i) / nShards)
+    val bounds = QuantileSketch.quantiles(df, valueCol, qs, sketchCap)
+      .collect().map(_.getLong(1)).toSeq
+    val v = col(valueCol).cast("long")
+    val shard = bounds.zipWithIndex.foldRight(lit(nShards - 1)) {
+      case ((b, i), acc) => when(v <= b, lit(i)).otherwise(acc)
+    }
+    (df.withColumn("shard", shard.cast("long")), bounds)
+  }
+
+  /** Per-shard certificate for a range-sharded layout: row count,
+    * min/max value — non-overlap is checkable by eye (and asserted in
+    * LayoutSpec): shard i's max ≤ shard i+1's min. One map-side-combined
+    * aggregate. */
+  def rangeManifest(sharded: DataFrame, valueCol: String): DataFrame =
+    sharded.groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col(valueCol).cast("long")).as("min_v"),
+        max(col(valueCol).cast("long")).as("max_v"))
+      .orderBy(col("shard"))
 }

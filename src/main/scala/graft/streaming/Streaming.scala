@@ -15,6 +15,9 @@ case class SessionState(startMs: Long, lastMs: Long, nEvents: Long)
 /** O(1)-per-key streaming EWMA state: level, deviation, event count. */
 case class EwmaKeyState(sq: Long, dq: Long, rn: Long)
 
+/** O(1)-per-stratum streaming token-budget state: tokens spent so far. */
+case class BudgetState(spent: Long)
+
 /** Closed session emitted by `Streaming.sessionizeStream`. */
 case class ClosedSession(user_id: Long, session_start: Timestamp,
                          session_end: Timestamp, n_events: Long)
@@ -357,6 +360,51 @@ object Streaming {
       .groupByKey(_._1)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
       .toDF()
+  }
+
+  /** Continuous token-budget admission — the streaming face of
+    * `Sampling.tokenBudgetSample`: each stratum admits documents until
+    * its token budget is spent, carrying ONE long of state per stratum
+    * across micro-batches. A doc is admitted iff the stratum's running
+    * spend is still under budget (≤1-doc overshoot, like the batch op).
+    *
+    * Semantics note: the batch op fills budgets in seeded-HASH order (a
+    * reproducible global sample); a stream cannot — it admits in
+    * (arrival-batch, hash, id) order, i.e. first-come-first-funded with
+    * the batch op's hash order applied WITHIN each micro-batch. That is
+    * the honest streaming contract (admission control), not a replayable
+    * global sample; replaying the same batch sequence reproduces the
+    * same admissions. Input columns: id LONG, stratum STRING, n_tokens
+    * LONG.
+    */
+  def streamTokenBudget(docs: DataFrame, budgets: Map[String, Long],
+                        defaultBudget: Long): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    require(defaultBudget >= 0 && budgets.values.forall(_ >= 0),
+      "budgets must be non-negative")
+
+    def fn(stratum: String, rows: Iterator[(String, Long, Long, Long)],
+           state: GroupState[BudgetState]): Iterator[(Long, String, Long)] = {
+      val budget = budgets.getOrElse(stratum, defaultBudget)
+      var spent = state.getOption.map(_.spent).getOrElse(0L)
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Long)]
+      rows.toArray.sortBy(r => (r._3, r._2)).foreach { case (_, id, _, n) =>
+        if (spent < budget) { out += ((id, stratum, n)); spent += n }
+      }
+      state.update(BudgetState(spent))
+      out.iterator
+    }
+
+    docs
+      .select(col("stratum").cast("string").as("s"),
+        col("id").cast("long").as("id"),
+        Dedup.hash60(col("id").cast("string")).as("h"),
+        col("n_tokens").cast("long").as("n"))
+      .as[(String, Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
+      .toDF("id", "stratum", "n_tokens")
   }
 
   /** Continuous INDEXED vector ingest: `streamInsertDurable` composed

@@ -286,4 +286,29 @@ class LayoutSpec extends SparkSpec {
     assert(after.count() == 3)
     assert(after.filter($"key" === 2L).head.getString(1) == "B")
   }
+
+  test("rangeShards: deterministic disjoint shards; written layout is range-readable") {
+    import spark.implicits._
+    val d = (0 until 4000).map(i => ((i * 2654435761L) % 100000))
+      .toDF("v")
+    val (sharded, bounds) = Layout.rangeShards(d, "v", 4)
+    assert(bounds.length == 3 && bounds == bounds.sorted, bounds.toString)
+    // manifest: disjoint, complete, deterministic across partitionings
+    val m = Layout.rangeManifest(sharded, "v").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(m.map(_._2).sum == 4000)
+    m.sliding(2).foreach { case Array(a, b) =>
+      assert(a._4 <= b._3, s"overlap between shards ${a._1} and ${b._1}")
+    case _ => }
+    val (sharded2, bounds2) = Layout.rangeShards(d.repartition(11), "v", 4)
+    assert(bounds2 == bounds)
+    assert(Layout.rangeManifest(sharded2, "v").collect().toSeq
+      == Layout.rangeManifest(sharded, "v").collect().toSeq)
+    // written layout: one dir per shard; a range probe touches one dir
+    val dir = Files.createTempDirectory("graft_range_").toString + "/tbl"
+    sharded.write.partitionBy("shard").mode("overwrite").parquet(dir)
+    val shard0 = spark.read.parquet(dir).filter($"shard" === 0L)
+    val mx = shard0.agg(max($"v")).head.getLong(0)
+    assert(mx <= bounds.head, s"shard 0 leaks past its boundary: $mx")
+  }
 }

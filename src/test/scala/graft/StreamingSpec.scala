@@ -754,4 +754,35 @@ class StreamingSpec extends SparkSpec {
     assert(want.nonEmpty, "batch twin found no anomaly — fixture broken")
     assert(got == want, s"stream $got vs batch $want")
   }
+
+  test("streamTokenBudget admits across batches until the stratum budget is spent") {
+    import spark.implicits._
+    // stratum "a": budget 50, docs of 20 tokens each → admits 3 (60
+    // tokens, 1-doc overshoot), spread over two micro-batches
+    val b1 = Seq((0L, "a", 20L), (1L, "a", 20L), (10L, "z", 5L))
+    val b2 = Seq((2L, "a", 20L), (3L, "a", 20L), (11L, "z", 5L))
+    val tmp = Files.createTempDirectory("graft_budget_").toString
+    val df1 = b1.toDF("id", "stratum", "n_tokens")
+    df1.write.mode("overwrite").parquet(tmp)
+
+    val stream = spark.readStream.schema(df1.schema).parquet(tmp)
+    val q = Streaming.streamTokenBudget(stream, Map("a" -> 50L), 1000L)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("budget_out").start()
+    q.processAllAvailable()
+    b2.toDF("id", "stratum", "n_tokens").write.mode("append").parquet(tmp)
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark.table("budget_out").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    // batch 1 admits both "a" docs (spent 40); batch 2 admits exactly
+    // one more — the hash-smaller of ids 2/3 (spent 40 < 50 at its turn,
+    // then 60 ≥ 50 blocks the other). "z" admits everything.
+    val hashOrder = Seq(2L, 3L).sortBy(i => (graft.expressions.Md5Kernel
+      .hash60(i.toString.getBytes("UTF-8")), i))
+    val expectA = Set(0L, 1L, hashOrder.head)
+    assert(got.filter(_._2 == "a").map(_._1) == expectA, got.toString)
+    assert(got.filter(_._2 == "z").map(_._1) == Set(10L, 11L), got.toString)
+  }
 }
