@@ -7532,6 +7532,51 @@ object SparkEntry {
         .select(round($"o_totalprice" * 100, 0).cast("long").as("cents"))
       val (sharded, _) = Layout.rangeShards(d, "cents", 8)
       Layout.rangeManifest(sharded, "cents")
+    }),
+
+    // Lexical drift (Mining.lexicalDrift): per-source add-1-smoothed
+    // unigram KL(new‖old) over the old snapshot's bounded vocab —
+    // per-word KL terms quantize to nano units INDEPENDENTLY, so the
+    // per-source sum is an exact integer reduction (summation order
+    // can't move the total). The embedding-free drift early warning.
+    "q_lexical_drift" -> ((s, dir) => {
+      import s.implicits._
+      val d = t(s, dir, "documents")
+      Mining.lexicalDrift(d.filter($"doc_id" % 2 === 0),
+          d.filter($"doc_id" % 2 === 1), "source", "text")
+        .orderBy($"source")
+    }),
+
+    // Inter-arrival burstiness per user: integer second gaps, variance
+    // from DECIMAL-exact (n·Σg² − (Σg)²) so no 64-bit overflow at any
+    // history length (the q_standardize ADVICE applied preemptively),
+    // σ via correctly-rounded sqrt, (σ−μ)/(σ+μ) quantized round-6.
+    "q_interarrival" -> ((s, dir) => {
+      import s.implicits._
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"user_id").orderBy($"tsu", $"event_id")
+      val g = t(s, dir, "events")
+        .select($"user_id", $"event_id", unix_micros($"ts").as("tsu"))
+        .withColumn("prev", lag($"tsu", 1).over(w))
+        .filter($"prev".isNotNull)
+        // `div`, not `/`: Column `/` is DOUBLE division, and a quotient
+        // landing an ulp under an integer would truncate differently
+        // than the oracle's integer `//`
+        .select($"user_id", expr("(tsu - prev) div 1000000").as("g"))
+      val agg = g.groupBy($"user_id").agg(
+        count(lit(1)).as("n"), sum($"g").as("s"),
+        sum($"g".cast("decimal(19,0)") * $"g".cast("decimal(19,0)")).as("ss"))
+        .filter($"n" >= 2)
+      val mu = $"s".cast("double") / $"n"
+      val varD = ($"n".cast("decimal(38,0)") * $"ss" -
+        $"s".cast("decimal(38,0)") * $"s".cast("decimal(38,0)"))
+        .cast("double") / ($"n" * $"n").cast("double")
+      val sigma = sqrt(varD)
+      agg.select($"user_id", $"n".as("n_gaps"),
+          score4(mu).as("mean_gap_s"),
+          when($"s" === 0L, lit(0.0))
+            .otherwise(score6((sigma - mu) / (sigma + mu))).as("burstiness"))
+        .orderBy($"user_id")
     })
   )
 
@@ -7892,6 +7937,69 @@ object SparkEntry {
          |SELECT shard, COUNT(*)::BIGINT AS n_rows,
          |       MIN(cents) AS min_v, MAX(cents) AS max_v
          |FROM a GROUP BY 1 ORDER BY 1""".stripMargin
-    }
+    },
+
+    "q_lexical_drift" ->
+      """WITH od AS (SELECT * FROM documents WHERE doc_id % 2 = 0),
+        |nd AS (SELECT * FROM documents WHERE doc_id % 2 = 1),
+        |wv AS (SELECT unnest(string_split(text, ' ')) AS w FROM od),
+        |voc AS (
+        |  SELECT w, COUNT(*)::BIGINT AS cnt FROM wv WHERE w <> ''
+        |  GROUP BY w ORDER BY cnt DESC, w LIMIT 100),
+        |vc AS (SELECT COUNT(*)::BIGINT AS v FROM voc),
+        |oc AS (
+        |  SELECT source AS g, w, COUNT(*)::BIGINT AS c
+        |  FROM (SELECT source, unnest(string_split(text, ' ')) AS w FROM od) x
+        |  JOIN voc USING (w) GROUP BY 1, 2),
+        |nc AS (
+        |  SELECT source AS g, w, COUNT(*)::BIGINT AS c
+        |  FROM (SELECT source, unnest(string_split(text, ' ')) AS w FROM nd) x
+        |  JOIN voc USING (w) GROUP BY 1, 2),
+        |grid AS (
+        |  SELECT g, w FROM (SELECT DISTINCT source AS g FROM od)
+        |  CROSS JOIN (SELECT w FROM voc)),
+        |j AS (
+        |  SELECT grid.g, grid.w,
+        |         COALESCE(oc.c, 0) AS co, COALESCE(nc.c, 0) AS cn
+        |  FROM grid
+        |  LEFT JOIN oc ON grid.g = oc.g AND grid.w = oc.w
+        |  LEFT JOIN nc ON grid.g = nc.g AND grid.w = nc.w),
+        |tot AS (
+        |  SELECT g, SUM(co)::BIGINT AS no, SUM(cn)::BIGINT AS nn
+        |  FROM j GROUP BY g),
+        |tm AS (
+        |  SELECT j.g,
+        |    CAST(ROUND(((cn + 1)::DOUBLE / (nn + v)::DOUBLE)
+        |      * LN(((cn + 1)::DOUBLE / (nn + v)::DOUBLE)
+        |           / ((co + 1)::DOUBLE / (no + v)::DOUBLE))
+        |      * 1000000000, 0) AS BIGINT) AS term
+        |  FROM j JOIN tot USING (g), vc)
+        |SELECT g AS source, (SELECT v FROM vc) AS n_vocab,
+        |       SUM(term)::BIGINT AS kl_nano
+        |FROM tm GROUP BY g ORDER BY g""".stripMargin,
+
+    "q_interarrival" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS tsu FROM events),
+        |g AS (
+        |  SELECT user_id,
+        |    (tsu - LAG(tsu) OVER (PARTITION BY user_id
+        |       ORDER BY tsu, event_id)) // 1000000 AS g
+        |  FROM e),
+        |a AS (
+        |  SELECT user_id, COUNT(*)::BIGINT AS n, SUM(g)::BIGINT AS s,
+        |         SUM(g::HUGEINT * g::HUGEINT) AS ss
+        |  FROM g WHERE g IS NOT NULL GROUP BY user_id
+        |  HAVING COUNT(*) >= 2)
+        |SELECT user_id, n AS n_gaps,
+        |  ROUND(s::DOUBLE / n, 4) + 0.0 AS mean_gap_s,
+        |  CASE WHEN s = 0 THEN 0.0 ELSE
+        |    ROUND((SQRT((n::HUGEINT * ss - s::HUGEINT * s::HUGEINT)::DOUBLE
+        |                / (n * n)::DOUBLE)
+        |           - s::DOUBLE / n)
+        |          / (SQRT((n::HUGEINT * ss - s::HUGEINT * s::HUGEINT)::DOUBLE
+        |                  / (n * n)::DOUBLE)
+        |             + s::DOUBLE / n), 6) + 0.0 END AS burstiness
+        |FROM a ORDER BY user_id""".stripMargin
   )
 }

@@ -138,4 +138,61 @@ object Mining {
         (round((-col("__top.__nc")).cast("double") / col("n"), 4) + lit(0.0))
           .as("purity"))
   }
+
+  /** Per-group LEXICAL drift between two corpus snapshots: add-1-smoothed
+    * unigram KL(new‖old) over the OLD snapshot's global top-`topN` vocab
+    * — the cheap early-warning sibling of [[embeddingDrift]] (vocabulary
+    * shifts show up before embedding centroids move, and this needs no
+    * embedding at all).
+    *
+    * Exactness: each word's KL term quantizes independently to nano
+    * units — round(p_new·ln(p_new/p_old)·10⁹) — and the per-group sum is
+    * then an exact integer reduction, so summation order can't drift the
+    * total (ln ULP risk only, the zipf/flesch discipline).
+    *
+    * Scale shape: the vocab is a bounded driver literal; both snapshots
+    * fold to (group, word) map-side counts restricted to the vocab; the
+    * term table is groups × topN — bounded — so every downstream step is
+    * driver-cheap. Corpus text is scanned once per snapshot.
+    */
+  def lexicalDrift(oldDocs: DataFrame, newDocs: DataFrame, groupCol: String,
+                   textCol: String, topN: Int = 100): DataFrame = {
+    val vocab: Seq[String] = oldDocs
+      .select(explode(split(col(textCol), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("w"))
+      .limit(topN)
+      .collect().map(_.getString(0)).toSeq
+    val v = vocab.size
+    val vLit = typedLit(vocab)
+
+    def counts(df: DataFrame, c: String): DataFrame = df
+      .select(col(groupCol).as("g"),
+        explode(split(col(textCol), " ")).as("w"))
+      .filter(array_contains(vLit, col("w")))
+      .groupBy(col("g"), col("w")).agg(count(lit(1)).as(c))
+
+    val grid = oldDocs.select(col(groupCol).as("g")).distinct()
+      .crossJoin(broadcast(
+        oldDocs.sparkSession.createDataFrame(
+          vocab.map(Tuple1(_))).toDF("w")))
+    val joined = grid
+      .join(counts(oldDocs, "co"), Seq("g", "w"), "left")
+      .join(counts(newDocs, "cn"), Seq("g", "w"), "left")
+      .select(col("g"), col("w"),
+        coalesce(col("co"), lit(0L)).as("co"),
+        coalesce(col("cn"), lit(0L)).as("cn"))
+    val tot = joined.groupBy(col("g"))
+      .agg(sum(col("co")).as("no"), sum(col("cn")).as("nn"))
+    val pn = (col("cn") + 1).cast("double") / (col("nn") + v).cast("double")
+    val po = (col("co") + 1).cast("double") / (col("no") + v).cast("double")
+    joined.join(broadcast(tot), Seq("g"))
+      .select(col("g"),
+        round(pn * log(pn / po) * 1e9).cast("long").as("term"))
+      .groupBy(col("g"))
+      .agg(sum(col("term")).as("kl_nano"))
+      .select(col("g").as(groupCol), lit(v.toLong).as("n_vocab"),
+        col("kl_nano"))
+  }
 }

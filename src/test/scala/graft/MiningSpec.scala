@@ -72,4 +72,24 @@ class MiningSpec extends SparkSpec {
     assert(got(1L) == ((3L, 5L, 2L, 0.6667)))
     assert(got(2L) == ((2L, 3L, 1L, 0.5)), "tie must break to label 3")
   }
+
+  test("lexicalDrift: zero for identical snapshots, positive under shift") {
+    import spark.implicits._
+    val base = Seq((0L, "a", "x x y z"), (1L, "a", "x y y z"),
+      (2L, "b", "x y z z")).toDF("doc_id", "source", "text")
+    val same = Mining.lexicalDrift(base, base, "source", "text", topN = 10)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(same.values.forall(_ == 0L), same.toString)
+    // new snapshot for source a is all-x → KL(new‖old) must be positive
+    val drifted = Seq((0L, "a", "x x x x"), (1L, "a", "x x x x"),
+      (2L, "b", "x y z z")).toDF("doc_id", "source", "text")
+    val d = Mining.lexicalDrift(base, drifted, "source", "text", topN = 10)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(d("a") > 0L, d.toString)
+    assert(d("b") == 0L, d.toString)
+    // vocab column reports the true bounded vocab size (3 words here)
+    val v = Mining.lexicalDrift(base, base, "source", "text", topN = 10)
+      .head().getLong(1)
+    assert(v == 3L)
+  }
 }
