@@ -7577,6 +7577,35 @@ object SparkEntry {
           when($"s" === 0L, lit(0.0))
             .otherwise(score6((sigma - mu) / (sigma + mu))).as("burstiness"))
         .orderBy($"user_id")
+    }),
+
+    // In-batch negatives for contrastive training: trainer shards →
+    // 16-doc batches → each anchor pairs with the next `off` ∈ {1,2}
+    // docs of its OWN batch (wraparound), the standard in-batch
+    // sampling that makes contrastive training O(batch) not O(corpus).
+    // Deterministic (hash-ordered batches), no window beyond the
+    // trainerShards rank; the batch-size join keys on (shard, batch) —
+    // bounded fan-in of 16.
+    "q_inbatch_negatives" -> ((s, dir) => {
+      import s.implicits._
+      val sh = Packing.trainerShards(t(s, dir, "documents"), $"doc_id",
+          nShards = 8, epoch = 1)
+        .select($"shard", expr("(seq - 1) div 16").as("batch_id"),
+          pmod($"seq" - 1, lit(16L)).as("pos"), $"doc_id")
+      val sz = sh.groupBy($"shard", $"batch_id")
+        .agg(count(lit(1)).as("bsize"))
+      val anchors = sh
+        .join(sz, Seq("shard", "batch_id"))
+        .select($"shard", $"batch_id", $"pos", $"bsize",
+          $"doc_id".as("anchor_id"))
+        .withColumn("off", explode(typedLit(Seq(1L, 2L))))
+        .filter($"off" < $"bsize")
+        .withColumn("neg_pos", pmod($"pos" + $"off", $"bsize"))
+      anchors.join(sh.select($"shard", $"batch_id",
+          $"pos".as("neg_pos"), $"doc_id".as("neg_id")),
+          Seq("shard", "batch_id", "neg_pos"))
+        .select($"anchor_id", $"off", $"neg_id", $"shard", $"batch_id")
+        .orderBy($"anchor_id", $"off")
     })
   )
 
@@ -8000,6 +8029,35 @@ object SparkEntry {
         |          / (SQRT((n::HUGEINT * ss - s::HUGEINT * s::HUGEINT)::DOUBLE
         |                  / (n * n)::DOUBLE)
         |             + s::DOUBLE / n), 6) + 0.0 END AS burstiness
-        |FROM a ORDER BY user_id""".stripMargin
+        |FROM a ORDER BY user_id""".stripMargin,
+
+    "q_inbatch_negatives" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |         ('0x'||substr(md5('1:' || doc_id::VARCHAR), 1, 15))::BIGINT AS hv,
+        |         ('0x'||substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT AS hk
+        |  FROM documents),
+        |sh AS (
+        |  SELECT hv % 8 AS shard,
+        |         CAST(row_number() OVER (PARTITION BY hv % 8
+        |                                 ORDER BY hv, hk) AS BIGINT) AS seq,
+        |         doc_id
+        |  FROM h),
+        |b AS (
+        |  SELECT shard, (seq - 1) // 16 AS batch_id,
+        |         (seq - 1) % 16 AS pos, doc_id
+        |  FROM sh),
+        |sz AS (
+        |  SELECT shard, batch_id, COUNT(*)::BIGINT AS bsize
+        |  FROM b GROUP BY 1, 2)
+        |SELECT a.doc_id AS anchor_id, o.o::BIGINT AS off,
+        |       n.doc_id AS neg_id, a.shard, a.batch_id
+        |FROM b a
+        |JOIN sz USING (shard, batch_id)
+        |CROSS JOIN (VALUES (1), (2)) o(o)
+        |JOIN b n ON n.shard = a.shard AND n.batch_id = a.batch_id
+        |        AND n.pos = (a.pos + o.o) % sz.bsize
+        |WHERE o.o < sz.bsize
+        |ORDER BY anchor_id, off""".stripMargin
   )
 }

@@ -306,4 +306,69 @@ object Layout {
         min(col(valueCol).cast("long")).as("min_v"),
         max(col(valueCol).cast("long")).as("max_v"))
       .orderBy(col("shard"))
+
+  // ------------------------------------------------ versioned snapshots
+
+  private def versionDirs(spark: SparkSession, tableDir: String): Seq[Int] = {
+    val root = new org.apache.hadoop.fs.Path(tableDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .collect { case n if n.startsWith("v") && n.drop(1).forall(_.isDigit) =>
+        n.drop(1).toInt }
+      .sorted.toSeq
+  }
+
+  /** All committed versions of a versioned table, ascending. */
+  def versions(spark: SparkSession, tableDir: String): Seq[Int] =
+    versionDirs(spark, tableDir)
+
+  /** Commit `df` as the table's next immutable snapshot version and
+    * return its number. Prior versions are never touched — time-travel
+    * reads stay byte-identical (LayoutSpec asserts file-level isolation).
+    *
+    * This is SNAPSHOT-granularity copy-on-write: every commit writes the
+    * full frame, which is the right trade for dimension/config/manifest
+    * tables (the audit axis matters, the data is small). For a 100 TB
+    * fact table, version at PARTITION granularity instead — compose
+    * `mergeUpsert` (which already rewrites only touched partitions) with
+    * a version directory per commit holding just the rewritten
+    * partitions plus a manifest referencing inherited ones.
+    */
+  def writeVersion(spark: SparkSession, tableDir: String,
+                   df: DataFrame): Int = {
+    val next = versionDirs(spark, tableDir).lastOption.getOrElse(-1) + 1
+    df.write.mode("errorifexists").parquet(s"$tableDir/v$next")
+    next
+  }
+
+  /** Read a specific snapshot version (default: latest). */
+  def readVersion(spark: SparkSession, tableDir: String,
+                  version: Option[Int] = None): DataFrame = {
+    val vs = versionDirs(spark, tableDir)
+    require(vs.nonEmpty, s"no versions at $tableDir")
+    val v = version.getOrElse(vs.last)
+    require(vs.contains(v), s"version $v not in $vs")
+    spark.read.parquet(s"$tableDir/v$v")
+  }
+
+  /** Key-level upsert as a NEW version: latest snapshot merged with
+    * `updates` (updates win on key), committed immutably; returns the
+    * new version number. Time travel to any prior version is unaffected.
+    */
+  def upsertVersion(spark: SparkSession, tableDir: String,
+                    updates: DataFrame, keyCol: String): Int = {
+    val merged =
+      if (versionDirs(spark, tableDir).isEmpty) updates
+      else {
+        val cur = readVersion(spark, tableDir)
+        cur.join(updates.select(col(keyCol)), Seq(keyCol), "left_anti")
+          .unionByName(updates)
+      }
+    // materialize BEFORE writing: the merged plan reads the latest
+    // version directory, and writing a new sibling dir while the scan
+    // is lazy would be fragile under retries
+    writeVersion(spark, tableDir, merged.localCheckpoint(false))
+  }
 }

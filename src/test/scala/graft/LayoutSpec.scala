@@ -311,4 +311,37 @@ class LayoutSpec extends SparkSpec {
     val mx = shard0.agg(max($"v")).head.getLong(0)
     assert(mx <= bounds.head, s"shard 0 leaks past its boundary: $mx")
   }
+
+  test("versioned snapshots: upsert commits immutably, time travel reads stay fixed") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_ver_").toString + "/tbl"
+    val v0 = Layout.writeVersion(spark,
+      dir, Seq((1L, "a"), (2L, "b")).toDF("key", "val"))
+    assert(v0 == 0 && Layout.versions(spark, dir) == Seq(0))
+    // snapshot v0's file listing, to prove immutability at file level
+    def files(p: String) = {
+      val root = new org.apache.hadoop.fs.Path(p)
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(root).map(s => (s.getPath.getName, s.getLen,
+        s.getModificationTime)).sortBy(_._1).toSeq
+    }
+    val v0files = files(s"$dir/v0")
+
+    val v1 = Layout.upsertVersion(spark,
+      dir, Seq((2L, "B"), (3L, "c")).toDF("key", "val"), "key")
+    assert(v1 == 1 && Layout.versions(spark, dir) == Seq(0, 1))
+    // latest sees the merge
+    val latest = Layout.readVersion(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(latest == Map(1L -> "a", 2L -> "B", 3L -> "c"))
+    // time travel: v0 content unchanged, files untouched
+    val old = Layout.readVersion(spark, dir, Some(0)).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(old == Map(1L -> "a", 2L -> "b"))
+    assert(files(s"$dir/v0") == v0files, "v0 files were touched by the upsert")
+    // unknown version is refused loudly
+    intercept[IllegalArgumentException] {
+      Layout.readVersion(spark, dir, Some(9))
+    }
+  }
 }
