@@ -7606,6 +7606,38 @@ object SparkEntry {
           Seq("shard", "batch_id", "neg_pos"))
         .select($"anchor_id", $"off", $"neg_id", $"shard", $"batch_id")
         .orderBy($"anchor_id", $"off")
+    }),
+
+    // Linear multi-touch attribution: each purchase's cents spread
+    // equally over the user's click/view touches in the 7-day lookback
+    // (floor division — exact integers, remainder unattributed by
+    // contract); untouched purchases drop (inner interval join). The
+    // join is user-equi + time-range — per-user bounded, the asof-join
+    // family's shape, never a cross join.
+    "q_attribution" -> ((s, dir) => {
+      import s.implicits._
+      val ev = t(s, dir, "events")
+      val p = ev.filter($"event_type" === "purchase")
+        .select($"user_id", $"event_id".as("pid"),
+          unix_micros($"ts").as("pts"),
+          round($"value" * 100, 0).cast("long").as("cents"))
+      val tc = ev.filter($"event_type".isin("click", "view"))
+        .select($"user_id", unix_micros($"ts").as("tts"),
+          $"event_type".as("ttype"))
+      val j = p.join(tc, p("user_id") === tc("user_id") &&
+        $"tts" < $"pts" && $"tts" >= $"pts" - lit(7L * 86400L * 1000000L))
+      val perType = j.groupBy($"pid", $"cents", $"ttype")
+        .agg(count(lit(1)).as("nt"))
+      val perPurchase = perType.groupBy($"pid".as("pid2"))
+        .agg(sum($"nt").as("n"))
+      perType.join(perPurchase, $"pid" === $"pid2")
+        .withColumn("credit", expr("cents * nt div n"))
+        .groupBy($"ttype".as("event_type"))
+        .agg(countDistinct($"pid").as("n_conversions"),
+          sum($"credit").as("ac"))
+        .select($"event_type", $"n_conversions",
+          ($"ac".cast("double") / 100.0).as("attributed"))
+        .orderBy($"event_type")
     })
   )
 
@@ -8058,6 +8090,28 @@ object SparkEntry {
         |JOIN b n ON n.shard = a.shard AND n.batch_id = a.batch_id
         |        AND n.pos = (a.pos + o.o) % sz.bsize
         |WHERE o.o < sz.bsize
-        |ORDER BY anchor_id, off""".stripMargin
+        |ORDER BY anchor_id, off""".stripMargin,
+
+    "q_attribution" ->
+      """WITH p AS (
+        |  SELECT user_id, event_id AS pid, epoch_us(ts) AS pts,
+        |         CAST(ROUND(value * 100, 0) AS BIGINT) AS cents
+        |  FROM events WHERE event_type = 'purchase'),
+        |tc AS (
+        |  SELECT user_id, epoch_us(ts) AS tts, event_type AS ttype
+        |  FROM events WHERE event_type IN ('click', 'view')),
+        |j AS (
+        |  SELECT p.pid, p.cents, tc.ttype
+        |  FROM p JOIN tc ON p.user_id = tc.user_id
+        |   AND tc.tts < p.pts AND tc.tts >= p.pts - 604800000000),
+        |pt AS (
+        |  SELECT pid, cents, ttype, COUNT(*)::BIGINT AS nt
+        |  FROM j GROUP BY 1, 2, 3),
+        |pp AS (SELECT pid, SUM(nt)::BIGINT AS n FROM pt GROUP BY pid)
+        |SELECT pt.ttype AS event_type,
+        |       COUNT(DISTINCT pt.pid)::BIGINT AS n_conversions,
+        |       (SUM((pt.cents * pt.nt) // pp.n)::DOUBLE / 100.0) AS attributed
+        |FROM pt JOIN pp USING (pid)
+        |GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }
