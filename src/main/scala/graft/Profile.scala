@@ -466,6 +466,45 @@ object Profile {
       } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
     }
 
+    if (on("link")) {
+      import graft.expressions.JaroWinkler.jaroWinklerF
+      import graft.operators.UnigramLm
+      val cust = spark.read.parquet(s"$sfDir/customer.parquet")
+      // 10x customers = 10x blocks of the SAME bounded size (the name
+      // digits extend, block key stays 7 chars) → linear pair growth
+      def dupCust(n: Int): DataFrame = (0 until n).map(i =>
+        cust.select(($"c_custkey" + lit(i * 10000000L)).as("cid"),
+          concat(lit(s"C$i#"), $"c_name").as("name")))
+        .reduce(_ unionByName _).repartition(32)
+      def linkage(d: DataFrame): Long = {
+        val ln = length($"name")
+        val dirty = when(ascii(substring(md5($"name"), 1, 1)) % 2 === 0,
+          concat($"name".substr(lit(1), ln - 2), $"name".substr(ln, lit(1)),
+            $"name".substr(ln - 1, lit(1))))
+          .otherwise($"name".substr(lit(1), ln - 1))
+        val dd = d.select($"cid".as("dirty_id"), dirty.as("dirty"),
+          $"name".substr(lit(1), ln - 2).as("blk"))
+        val cc = d.select($"cid".as("cand_id"), $"name",
+          $"name".substr(lit(1), length($"name") - 2).as("blk"))
+        dd.join(cc, "blk")
+          .withColumn("jw", round(jaroWinklerF($"dirty", $"name"), 6))
+          .filter($"jw" >= 0.9)
+          .groupBy($"dirty_id")
+          .agg(max(struct($"jw", (-$"cand_id").as("n"))).as("m"))
+          .count()
+      }
+      linkage(dupCust(1).limit(2000)) // JIT warmup
+      time("L1 jaro linkage 1x")(linkage(dupCust(1)))
+      time("L10 jaro linkage 10x (10x blocks)")(linkage(dupCust(10)))
+
+      val docs10 = dupCorpus(10)
+      UnigramLm.segmentTopWords(docs.limit(500), "text") // warmup
+      time("U1 unigram segment 1x")(
+        UnigramLm.segmentTopWords(docs.repartition(32), "text").count())
+      time("U10 unigram segment 10x")(
+        UnigramLm.segmentTopWords(docs10, "text").count())
+    }
+
     if (on("sft")) {
       import graft.operators.{Ewma, SftPrep}
       // skip-gram pair generation: explode factor is O(tokens·window),
