@@ -63,6 +63,31 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q8_market_share: part/region filters push to their scans, no cartesian") {
+    val p = plan("q8_market_share")
+    val pushed = p.linesIterator.filter(_.contains("PushedFilters")).mkString
+    assert(pushed.contains("p_type") && pushed.contains("r_name"),
+      s"part-type and region filters must push to their scans, got: $pushed")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q_sft_pipeline: no cartesian beyond intended broadcasts; packing is the only window") {
+    val p = plan("q_sft_pipeline")
+    assert(!p.contains("CartesianProduct"), s"cartesian in sft pipeline:\n$p")
+    // exactly one Window: packSequences' per-source cumsum — the render
+    // and curation stages must stay window-free
+    val windows = "Window".r.findAllIn(p).size
+    assert(windows == 1, s"expected exactly 1 window (packing), got $windows")
+  }
+
+  test("q_jaro_linkage and q_inbatch_negatives: equi-joins only, no cartesian") {
+    for (q <- Seq("q_jaro_linkage", "q_inbatch_negatives")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$q must stay equi-join only:\n$p")
+    }
+  }
+
   test("OPERATORS.md never references a query that does not exist") {
     // doc-drift guard: every q_/qN oracle name cited in OPERATORS.md must
     // be a real SparkEntry.queries key (rows describing spec-only
