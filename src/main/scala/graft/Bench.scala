@@ -85,7 +85,8 @@ object Bench {
     "q_skipgram_pairs", "q_neg_table", "q_jaro_linkage", "q_ewma_anomaly",
     "q_sft_pipeline", "q_token_budget", "q_quality_calibrate",
     "q_unigram_segment", "q_hits", "q_range_layout", "q_lexical_drift",
-    "q_interarrival", "q_inbatch_negatives", "q_attribution")
+    "q_interarrival", "q_inbatch_negatives", "q_attribution",
+    "q_script_mix")
 
   /** Force FULL materialization of every output column: xxhash64 over all
     * columns, summed. `.count()` alone under-measures — Catalyst prunes

@@ -7638,6 +7638,34 @@ object SparkEntry {
         .select($"event_type", $"n_conversions",
           ($"ac".cast("double") / 100.0).as("attributed"))
         .orderBy($"event_type")
+    }),
+
+    // Unicode-script detection — the multilingual routing step ahead of
+    // per-script tokenizers/filters. The (ASCII) fixture grafts
+    // Cyrillic/Han/Greek suffixes (the q_unicode_clean discipline) so
+    // script classes are genuinely exercised; counts via codepoint-class
+    // strips (Java \p{IsX} ≡ RE2 \p{X}), dominant script by strict
+    // comparisons with a fixed precedence — scan-speed, zero shuffle.
+    "q_script_mix" -> ((s, dir) => {
+      import s.implicits._
+      val synth = concat($"text",
+        when($"doc_id" % 4 === 1, lit(" привет мир"))
+          .when($"doc_id" % 4 === 2, lit(" 你好世界"))
+          .when($"doc_id" % 4 === 3, lit(" γεια σου"))
+          .otherwise(lit("")))
+      def cnt(cls: String) = (length(synth) -
+        length(regexp_replace(synth, cls, ""))).cast("long")
+      val (nl, nc, nh, ng) = (cnt("[A-Za-z]"), cnt("\\p{IsCyrillic}"),
+        cnt("\\p{IsHan}"), cnt("\\p{IsGreek}"))
+      t(s, dir, "documents")
+        .select($"doc_id", nl.as("n_latin"), nc.as("n_cyr"),
+          nh.as("n_han"), ng.as("n_greek"))
+        .withColumn("script",
+          when($"n_cyr" > $"n_latin", "cyrillic")
+            .when($"n_han" > $"n_latin", "han")
+            .when($"n_greek" > $"n_latin", "greek")
+            .otherwise("latin"))
+        .orderBy($"doc_id")
     })
   )
 
@@ -8112,6 +8140,29 @@ object SparkEntry {
         |       COUNT(DISTINCT pt.pid)::BIGINT AS n_conversions,
         |       (SUM((pt.cents * pt.nt) // pp.n)::DOUBLE / 100.0) AS attributed
         |FROM pt JOIN pp USING (pid)
-        |GROUP BY 1 ORDER BY 1""".stripMargin
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_script_mix" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |    text || CASE doc_id % 4
+        |      WHEN 1 THEN ' привет мир'
+        |      WHEN 2 THEN ' 你好世界'
+        |      WHEN 3 THEN ' γεια σου'
+        |      ELSE '' END AS t
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id,
+        |    (length(t) - length(regexp_replace(t, '[A-Za-z]', '', 'g')))::BIGINT AS n_latin,
+        |    (length(t) - length(regexp_replace(t, '\p{Cyrillic}', '', 'g')))::BIGINT AS n_cyr,
+        |    (length(t) - length(regexp_replace(t, '\p{Han}', '', 'g')))::BIGINT AS n_han,
+        |    (length(t) - length(regexp_replace(t, '\p{Greek}', '', 'g')))::BIGINT AS n_greek
+        |  FROM s)
+        |SELECT doc_id, n_latin, n_cyr, n_han, n_greek,
+        |  CASE WHEN n_cyr > n_latin THEN 'cyrillic'
+        |       WHEN n_han > n_latin THEN 'han'
+        |       WHEN n_greek > n_latin THEN 'greek'
+        |       ELSE 'latin' END AS script
+        |FROM c ORDER BY doc_id""".stripMargin
   )
 }
