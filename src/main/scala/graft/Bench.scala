@@ -86,7 +86,9 @@ object Bench {
     "q_sft_pipeline", "q_token_budget", "q_quality_calibrate",
     "q_unigram_segment", "q_hits", "q_range_layout", "q_lexical_drift",
     "q_interarrival", "q_inbatch_negatives", "q_attribution",
-    "q_script_mix")
+    "q_script_mix",
+    // round-8 additions: CCNet ppl bucketing, BLEU pair QA
+    "q_ppl_buckets", "q_bleu_pairs")
 
   /** Force FULL materialization of every output column: xxhash64 over all
     * columns, summed. `.count()` alone under-measures — Catalyst prunes

@@ -8,7 +8,7 @@ import graft.expressions.FloatVectorExpressions.dotF
 import graft.expressions.JaroWinkler.jaroWinklerF
 import graft.expressions.TextHashExpressions.{minhashSigF, simhash32F}
 import graft.functions.{HashFunctions, TextFunctions => T, UrlFunctions, VectorFunctions => V}
-import graft.operators.{Ann, AsofJoin, Bm25, BpeTrain, Classifier, Collocations, CountMin, Curation, Dedup, DistinctSketch, Ewma, GraphOps, HeavyHitters, Mining, Multimodal, Packing, PageRank, Privacy, QuantileSketch, Rerank, RuntimeFilter, Sampling, SftPrep, SkewJoin, Tfidf, TopK, TrigramLm, UnigramLm, Validation}
+import graft.operators.{Ann, AsofJoin, Bm25, BpeTrain, Classifier, Collocations, CountMin, Curation, Dedup, DistinctSketch, Ewma, GraphOps, HeavyHitters, Mining, Multimodal, Packing, PageRank, Privacy, QuantileSketch, Rerank, RuntimeFilter, Sampling, SftPrep, SkewJoin, Tfidf, TextEval, TopK, TrigramLm, UnigramLm, Validation}
 import graft.sources.{Layout, Tables}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -132,12 +132,12 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     vectorQueries ++ relationalQueries ++ eventsQueries ++ textQueries ++
       dedupQueries ++ extraQueries ++ round5Queries ++ round6Queries ++
-      round7Queries
+      round7Queries ++ round8Queries
 
   def oracleSql: Map[String, String] =
     vectorOracles ++ relationalOracles ++ eventsOracles ++ textOracles ++
       dedupOracles ++ extraOracles ++ round5Oracles ++ round6Oracles ++
-      round7Oracles
+      round7Oracles ++ round8Oracles
 
   // ======================================================= vector workload
 
@@ -8164,5 +8164,138 @@ object SparkEntry {
         |       WHEN n_greek > n_latin THEN 'greek'
         |       ELSE 'latin' END AS script
         |FROM c ORDER BY doc_id""".stripMargin
+  )
+
+  // ============================================== round-8 additions
+
+  private def round8Queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // CCNet perplexity bucketing (operators/TrigramLm.pplBuckets, Wenzek
+    // et al. 2020 §4.3): one char-trigram LM per LANGUAGE trained on the
+    // in-domain reference slice (source = src0, the Wikipedia stand-in),
+    // every document scored against its language's LM, then split at the
+    // language's own 33rd/66th nll percentiles into head/middle/tail with
+    // the tail dropped. Models + per-lang stats + tercile bounds are all
+    // bounded broadcasts; the corpus never sorts and shuffles only (doc,
+    // partial-sum) rows.
+    "q_ppl_buckets" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      TrigramLm.pplBuckets(docs, docs.filter($"source" === "src0"),
+          "doc_id", "text", "lang")
+        .orderBy($"doc_id")
+    }),
+
+    // Sentence-level BLEU-2 pair scoring (operators/TextEval.bleu2,
+    // Papineni et al. 2002): clipped-n-gram modified precisions with
+    // brevity penalty — the bitext/paraphrase QA gate. Pairs here are
+    // each doc against the next doc_id in its source (one lead window);
+    // the metric itself is per-row HOF compute, zero joins/shuffles.
+    "q_bleu_pairs" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"source").orderBy($"doc_id")
+      val pairs = t(s, dir, "documents")
+        .select($"doc_id", $"source", $"text",
+          lead($"text", 1).over(w).as("ref_text"))
+        .filter($"ref_text".isNotNull)
+      TextEval.bleu2(pairs, "doc_id", "text", "ref_text")
+        .orderBy($"doc_id")
+    })
+  )
+
+  private def round8Oracles: Map[String, String] = Map(
+
+    "q_ppl_buckets" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang, source,
+        |    trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+        |         ' +', ' ', 'g')) AS nt
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, lang, source,
+        |    unnest(list_transform(generate_series(1, length(nt) - 2),
+        |      i -> substr(nt, i, 3))) AS tri
+        |  FROM d WHERE length(nt) >= 3),
+        |c AS (
+        |  SELECT lang, tri, COUNT(*) AS cnt FROM g
+        |  WHERE source = 'src0' GROUP BY lang, tri),
+        |st AS (
+        |  SELECT lang, SUM(cnt)::DOUBLE AS total, COUNT(*)::DOUBLE AS v
+        |  FROM c GROUP BY lang),
+        |m AS (
+        |  SELECT c.lang, c.tri,
+        |    CAST(ROUND(ROUND(ln((cnt::DOUBLE + 1.0) / (st.total + st.v)), 6)
+        |         * 1000000) AS BIGINT) AS lp
+        |  FROM c JOIN st USING (lang)),
+        |u AS (
+        |  SELECT lang,
+        |    CAST(ROUND(ROUND(ln(1.0 / (total + v)), 6) * 1000000) AS BIGINT)
+        |      AS ulp
+        |  FROM st),
+        |s AS (
+        |  SELECT g.doc_id, g.lang, COUNT(*) AS n_tri,
+        |         SUM(COALESCE(m.lp, u.ulp)) AS lsum
+        |  FROM g JOIN u ON g.lang = u.lang
+        |  LEFT JOIN m ON g.lang = m.lang AND g.tri = m.tri
+        |  GROUP BY g.doc_id, g.lang),
+        |sc AS (
+        |  SELECT doc_id, lang, CAST(n_tri AS BIGINT) AS n_tri,
+        |    ROUND((-lsum)::DOUBLE / 1000000.0 / n_tri::DOUBLE, 4) + 0.0 AS nll
+        |  FROM s),
+        |n4 AS (
+        |  SELECT *, CAST(ROUND(nll * 10000, 0) AS BIGINT) AS v4 FROM sc),
+        |b AS (
+        |  SELECT lang, quantile_disc(v4, 0.33) AS b33,
+        |         quantile_disc(v4, 0.66) AS b66
+        |  FROM n4 GROUP BY lang)
+        |SELECT n4.doc_id, n4.lang, n4.n_tri, n4.nll,
+        |  CASE WHEN v4 <= b33 THEN 'head' WHEN v4 <= b66 THEN 'middle'
+        |       ELSE 'tail' END AS bucket,
+        |  (v4 <= b66) AS kept
+        |FROM n4 JOIN b USING (lang) ORDER BY n4.doc_id""".stripMargin,
+
+    "q_bleu_pairs" ->
+      """WITH d AS (
+        |  SELECT doc_id, source,
+        |    CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+        |         ELSE string_split_regex(trim(text), '\s+') END AS toks
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id, source, toks AS c,
+        |    lead(toks) OVER (PARTITION BY source ORDER BY doc_id) AS r
+        |  FROM d),
+        |pp AS (
+        |  SELECT * FROM p
+        |  WHERE r IS NOT NULL AND len(c) > 0 AND len(r) > 0),
+        |g AS (
+        |  SELECT doc_id, c, r,
+        |    CASE WHEN len(c) < 2 THEN CAST([] AS VARCHAR[])
+        |         ELSE list_transform(generate_series(1, len(c) - 1),
+        |                i -> c[i] || ' ' || c[i + 1]) END AS c2,
+        |    CASE WHEN len(r) < 2 THEN CAST([] AS VARCHAR[])
+        |         ELSE list_transform(generate_series(1, len(r) - 1),
+        |                i -> r[i] || ' ' || r[i + 1]) END AS r2
+        |  FROM pp),
+        |m AS (
+        |  SELECT doc_id, len(c)::BIGINT AS c_len, len(r)::BIGINT AS r_len,
+        |    COALESCE(list_sum(list_transform(list_distinct(c),
+        |      x -> LEAST(len(list_filter(c, y -> y = x)),
+        |                 len(list_filter(r, y -> y = x))))), 0)::BIGINT AS n1,
+        |    COALESCE(list_sum(list_transform(list_distinct(c2),
+        |      x -> LEAST(len(list_filter(c2, y -> y = x)),
+        |                 len(list_filter(r2, y -> y = x))))), 0)::BIGINT AS n2
+        |  FROM g),
+        |f AS (
+        |  SELECT doc_id, c_len, r_len, n1, n2,
+        |    CAST(CASE WHEN c_len >= r_len THEN 1000000
+        |         ELSE ROUND(exp(1.0 - r_len::DOUBLE / c_len::DOUBLE)
+        |                    * 1000000, 0) END AS BIGINT) AS bp_micro,
+        |    (n1 * 1000000) // c_len AS p1m,
+        |    (n2 * 1000000) // GREATEST(c_len - 1, 1) AS p2m
+        |  FROM m)
+        |SELECT doc_id, c_len, r_len, n1, n2, bp_micro,
+        |  CAST(FLOOR(bp_micro::DOUBLE * sqrt((p1m * p2m)::DOUBLE)
+        |       / 1000000.0) AS BIGINT) AS bleu2_micro
+        |FROM f ORDER BY doc_id""".stripMargin
   )
 }

@@ -1,0 +1,83 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-pair evaluation metrics — the QA step of parallel-corpus /
+  * paraphrase / distillation pipelines: score each (candidate, reference)
+  * text pair with clipped-n-gram BLEU (Papineni et al. 2002) so low-overlap
+  * bitext pairs, drifted paraphrases, or degenerate model outputs can be
+  * gated before training. The reference repo has no eval surface at all;
+  * this extends the engine the same way `Ann.rankQualityAtK` does for
+  * retrieval.
+  *
+  * Scale shape: everything is per-row array compute on the pair frame —
+  * zero shuffles, zero joins, whole-stage codegen HOFs. Pair construction
+  * (align candidate to reference) is the caller's join; the metric itself
+  * adds no exchange at any corpus size.
+  *
+  * Cross-engine exactness: modified precisions are integer
+  * millionth-quantized via floor division, the brevity penalty is the only
+  * transcendental (micro-quantized exp, the round-6 ln discipline), and the
+  * final BLEU-2 combines them through exact-in-float64 integer products and
+  * an IEEE-correctly-rounded sqrt, floored — both engines compute identical
+  * doubles at every step (`q_bleu_pairs`).
+  */
+object TextEval {
+
+  /** Whitespace tokens of trimmed text; empty array for blank text. */
+  def toks(text: Column): Column =
+    when(trim(text) === "", array().cast("array<string>"))
+      .otherwise(split(trim(text), "\\s+"))
+
+  /** Adjacent-word bigrams ("a b") of a token array; empty below 2. */
+  def bigrams(t: Column): Column =
+    when(size(t) < 2, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), size(t) - 1),
+        i => concat_ws(" ", element_at(t, i), element_at(t, i + 1))))
+
+  /** Clipped match count: Σ over distinct candidate grams of
+    * min(count-in-candidate, count-in-reference) — BLEU's modified
+    * precision numerator. O(distinct·len) per row; BLEU pairs are
+    * sentence/paragraph scale by construction.
+    */
+  def clippedMatches(cand: Column, ref: Column): Column =
+    coalesce(aggregate(
+      transform(array_distinct(cand),
+        x => least(size(filter(cand, y => y === x)),
+          size(filter(ref, y => y === x))).cast("long")),
+      lit(0L), (acc, v) => acc + v), lit(0L))
+
+  /** Sentence-level BLEU-2 per pair: (idCol, c_len, r_len, n1, n2,
+    * bp_micro, bleu2_micro) — counts exact, brevity penalty and score in
+    * integer millionths. Pairs where either side has no tokens are
+    * omitted (BLEU undefined there).
+    */
+  def bleu2(pairs: DataFrame, idCol: String, candCol: String,
+            refCol: String): DataFrame = {
+    val c = toks(col(candCol))
+    val r = toks(col(refCol))
+    val base = pairs
+      .select(col(idCol), c.as("__c"), r.as("__r"))
+      .filter(size(col("__c")) > 0 && size(col("__r")) > 0)
+      .select(col(idCol), col("__c"), col("__r"),
+        bigrams(col("__c")).as("__c2"), bigrams(col("__r")).as("__r2"))
+    val counted = base.select(col(idCol),
+      size(col("__c")).cast("long").as("c_len"),
+      size(col("__r")).cast("long").as("r_len"),
+      clippedMatches(col("__c"), col("__r")).as("n1"),
+      clippedMatches(col("__c2"), col("__r2")).as("n2"))
+    // true integer floor division (Spark's `/` on longs is double division)
+    val p1m = expr("(n1 * 1000000) div c_len")
+    val p2m = expr("(n2 * 1000000) div greatest(c_len - 1, 1)")
+    val bpMicro = when(col("c_len") >= col("r_len"), lit(1000000L))
+      .otherwise(round(exp(lit(1.0) -
+        col("r_len").cast("double") / col("c_len").cast("double"))
+        * 1000000).cast("long"))
+    counted.select(col(idCol), col("c_len"), col("r_len"), col("n1"),
+      col("n2"), bpMicro.as("bp_micro"),
+      floor(bpMicro.cast("double") *
+        sqrt((p1m * p2m).cast("double")) / 1e6).cast("long")
+        .as("bleu2_micro"))
+  }
+}

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Encoders}
 import org.apache.spark.sql.functions._
 
 /** Character-trigram language model for perplexity filtering — the
@@ -83,5 +83,78 @@ object TrigramLm {
       .select(col(idCol), col("n_tri"),
         (round((-col("__s")).cast("double") / 1000000.0 /
           col("n_tri").cast("double"), 4) + lit(0.0)).as("nll"))
+  }
+
+  /** Per-group trigram counts: (groupCol, tri, cnt) — one per-group model
+    * per distinct group value (CCNet trains one KenLM per LANGUAGE). Still
+    * bounded: ≤ |groups| · 50k rows, so the model table always broadcasts
+    * for any realistic language set.
+    */
+  def trainBy(docs: DataFrame, textCol: String, groupCol: String): DataFrame =
+    docs.select(col(groupCol), explode(trigrams(col(textCol))).as("tri"))
+      .groupBy(col(groupCol), col("tri")).agg(count(lit(1)).as("cnt"))
+
+  /** CCNet perplexity bucketing (Wenzek et al. 2020 §4.3): train one LM per
+    * language on an in-domain REFERENCE corpus (CCNet: Wikipedia; here any
+    * `ref` frame sharing `textCol`/`groupCol`), score every document, then
+    * split each language at its own 33rd/66th perplexity percentiles into
+    * head / middle / tail — `kept` drops the tail, CCNet's default gate.
+    * Returns (idCol, groupCol, n_tri, nll, bucket, kept) for every doc
+    * with ≥ 1 trigram in a group the reference covers (a language with no
+    * reference LM is unscorable and omitted, CCNet's unknown-lang drop).
+    *
+    * Scale shape: the per-group model and the per-group (total, V) stats
+    * are bounded (≤ |langs| · 50k rows) and broadcast, so scoring is a
+    * map-side probe + one (doc, partial-sum) shuffle; the tercile
+    * boundaries come from the mergeable KLL sketch per group (exact below
+    * capacity — quantile_disc semantics, `q_group_quantiles` discipline)
+    * and broadcast back, so bucket assignment is a scan-speed map. The
+    * corpus never sorts and never shuffles text. Per-trigram log-probs are
+    * integer micro-units, nll is round-4, and the tercile compare runs on
+    * integer ten-thousandths — every step cross-engine exact
+    * (`q_ppl_buckets`).
+    */
+  def pplBuckets(docs: DataFrame, ref: DataFrame, idCol: String,
+                 textCol: String, groupCol: String,
+                 sketchCap: Int = 8192): DataFrame = {
+    val counts = trainBy(ref, textCol, groupCol)
+    val stats = counts.groupBy(col(groupCol))
+      .agg(sum(col("cnt")).cast("double").as("__total"),
+        count(lit(1)).cast("double").as("__v"))
+    def micro(p: Column): Column =
+      round(round(log(p), 6) * 1000000).cast("long")
+    val model = counts.join(stats, Seq(groupCol))
+      .select(col(groupCol), col("tri"),
+        micro((col("cnt").cast("double") + 1.0) /
+          (col("__total") + col("__v"))).as("__lp"))
+    val unseen = stats.select(col(groupCol),
+      micro(lit(1.0) / (col("__total") + col("__v"))).as("__ulp"))
+    val scored = docs
+      .select(col(idCol), col(groupCol),
+        explode(trigrams(col(textCol))).as("tri"))
+      .join(broadcast(model), Seq(groupCol, "tri"), "left")
+      .join(broadcast(unseen), Seq(groupCol))
+      .groupBy(col(idCol), col(groupCol))
+      .agg(count(lit(1)).as("n_tri"),
+        sum(coalesce(col("__lp"), col("__ulp"))).as("__s"))
+      .select(col(idCol), col(groupCol), col("n_tri"),
+        (round((-col("__s")).cast("double") / 1000000.0 /
+          col("n_tri").cast("double"), 4) + lit(0.0)).as("nll"))
+    val n4 = round(col("nll") * 10000).cast("long")
+    val sketch = udaf(
+      new QuantileSketch.KllQuantilesAgg(sketchCap, Seq("0.33", "0.66")),
+      Encoders.scalaDouble)
+    val bounds = scored.select(col(groupCol), n4.as("__n4"))
+      .groupBy(col(groupCol))
+      .agg(sketch(col("__n4").cast("double")).as("__qv"))
+      .select(col(groupCol),
+        element_at(col("__qv"), 1).cast("long").as("__b33"),
+        element_at(col("__qv"), 2).cast("long").as("__b66"))
+    scored.join(broadcast(bounds), Seq(groupCol))
+      .select(col(idCol), col(groupCol), col("n_tri"), col("nll"),
+        when(n4 <= col("__b33"), "head")
+          .when(n4 <= col("__b66"), "middle")
+          .otherwise("tail").as("bucket"),
+        (n4 <= col("__b66")).as("kept"))
   }
 }

@@ -88,6 +88,26 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("q_ppl_buckets: model/stats/bounds all broadcast, corpus never sorts") {
+    val p = plan("q_ppl_buckets")
+    // per-lang model, unseen floor, and tercile bounds each join broadcast
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3,
+      s"model/unseen/bounds must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"))
+    // the only Sort allowed is the query's final orderBy presentation
+    assert(!p.contains("Window"), "bucketing must not plan a window")
+  }
+
+  test("q_bleu_pairs: metric adds no exchange beyond the pairing window") {
+    val p = plan("q_bleu_pairs")
+    assert(!p.contains("CartesianProduct") && !p.contains("Join"),
+      s"bleu scoring must be join-free:\n$p")
+    // one Window: the lead() pair construction; the metric itself is
+    // per-row HOF compute
+    assert("Window".r.findAllIn(p).size == 1, s"expected 1 window:\n$p")
+  }
+
   test("OPERATORS.md never references a query that does not exist") {
     // doc-drift guard: every q_/qN oracle name cited in OPERATORS.md must
     // be a real SparkEntry.queries key (rows describing spec-only

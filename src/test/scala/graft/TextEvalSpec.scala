@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.TextEval
+
+class TextEvalSpec extends SparkSpec {
+
+  private def pairs(rows: (Long, String, String)*) = {
+    import spark.implicits._
+    rows.toDF("id", "cand", "ref")
+  }
+
+  test("bleu2: identical pair scores a perfect 1.0") {
+    val out = TextEval.bleu2(
+      pairs((0L, "the quick brown fox", "the quick brown fox")),
+      "id", "cand", "ref").head
+    assert(out.getLong(1) == 4 && out.getLong(2) == 4)      // c_len, r_len
+    assert(out.getLong(3) == 4 && out.getLong(4) == 3)      // n1, n2
+    assert(out.getLong(5) == 1000000L)                      // bp
+    assert(out.getLong(6) == 1000000L)                      // bleu2
+  }
+
+  test("bleu2: disjoint pair scores zero; clipping caps repeated tokens") {
+    val rows = TextEval.bleu2(pairs(
+        (0L, "alpha beta gamma", "delta epsilon zeta"),
+        (1L, "the the the the", "the cat sat down")),
+      "id", "cand", "ref")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(rows(0L).getLong(3) == 0 && rows(0L).getLong(6) == 0)
+    // clipped unigram matches: min(count("the" in cand)=4, in ref=1) = 1
+    assert(rows(1L).getLong(3) == 1)
+    assert(rows(1L).getLong(4) == 0)                        // no shared bigram
+    assert(rows(1L).getLong(6) == 0)                        // p2 = 0 -> bleu 0
+  }
+
+  test("bleu2: brevity penalty fires only when candidate is shorter") {
+    val rows = TextEval.bleu2(pairs(
+        (0L, "the quick brown", "the quick brown fox jumps"),   // c < r
+        (1L, "the quick brown fox jumps", "the quick brown")),  // c > r
+      "id", "cand", "ref")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val bp0 = rows(0L).getLong(5)
+    assert(bp0 == math.round(math.exp(1.0 - 5.0 / 3.0) * 1e6))
+    assert(rows(1L).getLong(5) == 1000000L)
+    // perfect prefix overlap: short side still pays the penalty
+    assert(rows(0L).getLong(6) == bp0)
+    assert(rows(0L).getLong(6) < rows(1L).getLong(6))
+  }
+
+  test("bleu2: pairs with an empty side are omitted") {
+    val out = TextEval.bleu2(pairs(
+        (0L, "", "the cat"), (1L, "the cat", "   "), (2L, "a b", "a b")),
+      "id", "cand", "ref")
+    assert(out.collect().map(_.getLong(0)).toSeq == Seq(2L))
+  }
+}

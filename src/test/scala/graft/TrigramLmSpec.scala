@@ -48,4 +48,40 @@ class TrigramLmSpec extends SparkSpec {
       .head.getDouble(2)
     assert(s10 > scores(3L), "fully-unseen text scores worst")
   }
+
+  test("pplBuckets: per-group terciles, tail dropped, uncovered group omitted") {
+    import spark.implicits._
+    // 9 'en' docs in three nll strata (3 in-domain clones, 3 mild
+    // variants, 3 junk outliers) + 1 'xx' doc whose group has no
+    // reference LM at all. Terciles: b33 = 3rd smallest (clone), b66 =
+    // 6th smallest (worst mild) -> clones head, milds kept, junk tail.
+    val rows =
+      (0L to 2L).map(i => (i, "the quick brown fox jumps the lazy dog", "en")) ++
+      Seq((3L, "the quick brown fox naps near the lazy dog", "en"),
+        (4L, "a quick brown dog jumps over the fox", "en"),
+        (5L, "the lazy fox and the quick dog jump around", "en"),
+        (6L, "zq xv jk qz vx kj weird junk glyphs", "en"),
+        (7L, "ww qq zz xx vv uu strange noise rows", "en"),
+        (8L, "kjkj zxzx vqvq mwmw glitch tokens", "en"),
+        (9L, "hors du corpus de reference", "xx"))
+    val docs = rows.toDF("doc_id", "text", "lang")
+    val ref = docs.filter($"lang" === "en" && $"doc_id" <= 2L)
+    val out = TrigramLm.pplBuckets(docs, ref, "doc_id", "text", "lang")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getDouble(3), r.getString(4), r.getBoolean(5)))).toMap
+    // group 'xx' has no reference model -> unscorable, omitted
+    assert(!out.contains(9L) && out.size == 9)
+    // the in-domain clones land in head and are kept
+    (0L to 2L).foreach { i =>
+      assert(out(i)._2 == "head" && out(i)._3, s"doc $i: ${out(i)}")
+    }
+    // mild variants are kept (head or middle), junk is dropped tail
+    (3L to 5L).foreach { i => assert(out(i)._3, s"doc $i: ${out(i)}") }
+    (6L to 8L).foreach { i =>
+      assert(out(i)._2 == "tail" && !out(i)._3, s"doc $i: ${out(i)}")
+    }
+    // kept <=> not tail; clone nll strictly below junk nll
+    out.values.foreach { case (_, b, k) => assert(k == (b != "tail")) }
+    assert(out(0L)._1 < out(6L)._1)
+  }
 }
