@@ -221,7 +221,10 @@ object Bench {
     // warmup once (codegen compile + page cache), then best of two timed
     // runs: a stop-the-world GC landing on a random query otherwise
     // distorts a single-shot measurement by seconds
-    headline.foreach { name =>
+    // optional args restrict the run to the named queries (dev iteration);
+    // the driver invokes with no args -> full headline sweep
+    val picked = if (args.nonEmpty) headline.filter(args.toSet) else headline
+    picked.foreach { name =>
       SparkEntry.queries.get(name).foreach { fn =>
         try {
           materialize(fn(spark, sfDir)) // warmup

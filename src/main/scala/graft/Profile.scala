@@ -534,6 +534,23 @@ object Profile {
       time("P10 prefpairs 10x")(pp(dupCorpus(10, withSource = true)))
     }
 
+    if (on("range")) {
+      import graft.operators.QuantileSketch
+      import graft.sources.Layout
+      val cents = spark.read.parquet(s"$sfDir/orders.parquet")
+        .select(round($"o_totalprice" * 100, 0).cast("long").as("cents"))
+      println(s"[profile] orders rows: ${cents.count()}")
+      val qs = (1 until 8).map(i => BigDecimal(i) / 8)
+      time("R1 quantiles cap 8192")(
+        QuantileSketch.quantiles(cents, "cents", qs, 8192).collect())
+      time("R2 quantiles cap 262144")(
+        QuantileSketch.quantiles(cents, "cents", qs, 262144).collect())
+      time("R3 rangeShards + manifest")({
+        val (sh, _) = Layout.rangeShards(cents, "cents", 8)
+        Layout.rangeManifest(sh, "cents").collect()
+      })
+    }
+
     spark.stop()
   }
 }

@@ -38,10 +38,21 @@ object TextEval {
 
   /** Clipped match count: Σ over distinct candidate grams of
     * min(count-in-candidate, count-in-reference) — BLEU's modified
-    * precision numerator. O(distinct·len) per row; BLEU pairs are
-    * sentence/paragraph scale by construction.
+    * precision numerator. That sum is exactly the MULTISET intersection
+    * size, so it computes as one sorted-merge pass of the native
+    * `SortedIntersectCount` kernel (which advances BOTH cursors on
+    * equality — multiset, not set, semantics): O(len log len) for the
+    * sorts instead of the HOF spec's O(distinct·len) rescans.
     */
   def clippedMatches(cand: Column, ref: Column): Column =
+    graft.expressions.ArrayExpressions
+      .sortedIntersectCountF(sort_array(cand), sort_array(ref))
+      .cast("long")
+
+  /** Declarative HOF spec for [[clippedMatches]] — agreement-tested in
+    * TextEvalSpec, never the hot path.
+    */
+  def clippedMatchesHof(cand: Column, ref: Column): Column =
     coalesce(aggregate(
       transform(array_distinct(cand),
         x => least(size(filter(cand, y => y === x)),

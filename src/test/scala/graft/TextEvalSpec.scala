@@ -47,6 +47,26 @@ class TextEvalSpec extends SparkSpec {
     assert(rows(0L).getLong(6) < rows(1L).getLong(6))
   }
 
+  test("clippedMatches kernel agrees with the HOF spec on fixture pairs") {
+    import spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"source").orderBy($"doc_id")
+    val p = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select($"doc_id", $"source", TextEval.toks($"text").as("c"),
+        TextEval.toks(lead($"text", 1).over(w)).as("r"))
+      .filter($"r".isNotNull)
+    val mism = p.select(
+        TextEval.clippedMatches($"c", $"r").as("fast"),
+        TextEval.clippedMatchesHof($"c", $"r").as("spec"))
+      .filter($"fast" =!= $"spec").count()
+    assert(mism == 0)
+    // multiset (not set) semantics pinned by hand
+    val one = pairs((0L, "a a a b", "a a c")).select(
+      TextEval.clippedMatches(TextEval.toks($"cand"),
+        TextEval.toks($"ref"))).head.getLong(0)
+    assert(one == 2) // min(3,2) for 'a', plus nothing else
+  }
+
   test("bleu2: pairs with an empty side are omitted") {
     val out = TextEval.bleu2(pairs(
         (0L, "", "the cat"), (1L, "the cat", "   "), (2L, "a b", "a b")),
