@@ -534,6 +534,38 @@ object Profile {
       time("P10 prefpairs 10x")(pp(dupCorpus(10, withSource = true)))
     }
 
+    if (on("ppl")) {
+      import graft.operators.{TextEval, TrigramLm}
+      // CCNet bucketing: model/stats/bounds are size-INDEPENDENT of the
+      // corpus (bounded per-lang trigram space), so 10x docs should cost
+      // ~10x scan+score and nothing superlinear
+      val langd = docs.withColumn("lang",
+        concat(lit("l"), pmod($"doc_id", lit(5))))
+      def ppl(d: DataFrame): Long =
+        TrigramLm.pplBuckets(d, d.filter($"doc_id" % 7 === 0),
+          "doc_id", "text", "lang").count()
+      ppl(langd.limit(500)) // warmup
+      time("PB1 pplBuckets 1x")(ppl(langd.repartition(32)))
+      time("PB10 pplBuckets 10x")(ppl(
+        (0 until 10).map(i => langd.select(
+            ($"doc_id" + lit(i * 1000000L)).as("doc_id"),
+            concat($"text", lit(s" v$i")).as("text"), $"lang"))
+          .reduce(_ unionByName _).repartition(32)))
+
+      // BLEU: pure per-row compute — 10x pairs, ~10x time
+      def bleu(d: DataFrame): Long = {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy($"source").orderBy($"doc_id")
+        TextEval.bleu2(
+          d.select($"doc_id", $"source", $"text",
+            lead($"text", 1).over(w).as("rt")).filter($"rt".isNotNull),
+          "doc_id", "text", "rt").count()
+      }
+      bleu(docs.limit(500)) // warmup
+      time("B1 bleu2 1x")(bleu(docs.repartition(32)))
+      time("B10 bleu2 10x")(bleu(dupCorpus(10, withSource = true)))
+    }
+
     if (on("range")) {
       import graft.operators.QuantileSketch
       import graft.sources.Layout
