@@ -8200,6 +8200,22 @@ object SparkEntry {
         .filter($"ref_text".isNotNull)
       TextEval.bleu2(pairs, "doc_id", "text", "ref_text")
         .orderBy($"doc_id")
+    }),
+
+    // chrF-style char-trigram F2 (TextEval.chrF, Popović 2015): clipped
+    // trigram precision/recall folded as 5PR/(4P+R) in pure integer
+    // arithmetic — no transcendental anywhere, exact at every row. Same
+    // next-doc-in-source pairing as q_bleu_pairs; per-row kernel
+    // compute, the lead window is the only exchange.
+    "q_chrf_pairs" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"source").orderBy($"doc_id")
+      val pairs = t(s, dir, "documents")
+        .select($"doc_id", $"source", $"text",
+          lead($"text", 1).over(w).as("ref_text"))
+        .filter($"ref_text".isNotNull)
+      TextEval.chrF(pairs, "doc_id", "text", "ref_text")
+        .orderBy($"doc_id")
     })
   )
 
@@ -8296,6 +8312,42 @@ object SparkEntry {
         |SELECT doc_id, c_len, r_len, n1, n2, bp_micro,
         |  CAST(FLOOR(bp_micro::DOUBLE * sqrt((p1m * p2m)::DOUBLE)
         |       / 1000000.0) AS BIGINT) AS bleu2_micro
+        |FROM f ORDER BY doc_id""".stripMargin,
+
+    "q_chrf_pairs" ->
+      """WITH d AS (
+        |  SELECT doc_id, source,
+        |    trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+        |         ' +', ' ', 'g')) AS nt
+        |  FROM documents),
+        |t AS (
+        |  SELECT doc_id, source,
+        |    CASE WHEN length(nt) < 3 THEN CAST([] AS VARCHAR[])
+        |         ELSE list_transform(generate_series(1, length(nt) - 2),
+        |                i -> substr(nt, i, 3)) END AS g
+        |  FROM d),
+        |p AS (
+        |  SELECT doc_id, source, g AS c,
+        |    lead(g) OVER (PARTITION BY source ORDER BY doc_id) AS r
+        |  FROM t),
+        |pp AS (
+        |  SELECT doc_id, c, r FROM p
+        |  WHERE r IS NOT NULL AND len(c) > 0 AND len(r) > 0),
+        |m AS (
+        |  SELECT doc_id, len(c)::BIGINT AS n_c, len(r)::BIGINT AS n_r,
+        |    COALESCE(list_sum(list_transform(list_distinct(c),
+        |      x -> LEAST(len(list_filter(c, y -> y = x)),
+        |                 len(list_filter(r, y -> y = x))))), 0)::BIGINT AS n_match
+        |  FROM pp),
+        |f AS (
+        |  SELECT doc_id, n_c, n_r, n_match,
+        |    (n_match * 1000000) // n_c AS p_micro,
+        |    (n_match * 1000000) // n_r AS r_micro
+        |  FROM m)
+        |SELECT doc_id, n_c, n_r, n_match, p_micro, r_micro,
+        |  (CASE WHEN p_micro + r_micro = 0 THEN 0
+        |        ELSE (5 * p_micro * r_micro) // (4 * p_micro + r_micro)
+        |   END)::BIGINT AS chrf_micro
         |FROM f ORDER BY doc_id""".stripMargin
   )
 }

@@ -91,4 +91,38 @@ object TextEval {
         sqrt((p1m * p2m).cast("double")) / 1e6).cast("long")
         .as("bleu2_micro"))
   }
+
+  /** chrF-style character-trigram F-score per pair (Popović 2015, the
+    * n=3 / β=2 core): precision and recall of clipped char-trigram
+    * matches over the [a-z0-9 ]-normalized texts (the `TrigramLm`
+    * alphabet — one shared native kernel), combined as
+    * F_2 = 5PR / (4P + R). Catches morphology-level agreement BLEU's
+    * word n-grams miss; the usual MT-QA companion metric.
+    *
+    * Fully integer-exact: clipped counts are multiset intersections
+    * (sorted-merge kernel), P/R quantize by integer floor division, and
+    * F folds through exact long products — no transcendental anywhere,
+    * so both engines agree bit-for-bit at every row. Returns (idCol,
+    * n_c, n_r, n_match, p_micro, r_micro, chrf_micro); pairs where
+    * either side has no trigrams are omitted.
+    */
+  def chrF(pairs: DataFrame, idCol: String, candCol: String,
+           refCol: String): DataFrame = {
+    val counted = pairs
+      .select(col(idCol),
+        TrigramLm.trigrams(col(candCol)).as("__c"),
+        TrigramLm.trigrams(col(refCol)).as("__r"))
+      .filter(size(col("__c")) > 0 && size(col("__r")) > 0)
+      .select(col(idCol),
+        size(col("__c")).cast("long").as("n_c"),
+        size(col("__r")).cast("long").as("n_r"),
+        clippedMatches(col("__c"), col("__r")).as("n_match"))
+    counted.select(col(idCol), col("n_c"), col("n_r"), col("n_match"),
+        expr("(n_match * 1000000) div n_c").as("p_micro"),
+        expr("(n_match * 1000000) div n_r").as("r_micro"))
+      .withColumn("chrf_micro",
+        when(col("p_micro") + col("r_micro") === 0L, lit(0L))
+          .otherwise(expr(
+            "(5 * p_micro * r_micro) div (4 * p_micro + r_micro)")))
+  }
 }

@@ -73,4 +73,31 @@ class TextEvalSpec extends SparkSpec {
       "id", "cand", "ref")
     assert(out.collect().map(_.getLong(0)).toSeq == Seq(2L))
   }
+
+  test("chrF: perfect match scores 1.0, disjoint scores 0, asymmetry shows in P vs R") {
+    val rows = TextEval.chrF(pairs(
+        (0L, "matching text", "matching text"),
+        (1L, "aaaa bbbb cccc", "xxxx yyyy zzzz"),
+        (2L, "shared prefix words", "shared prefix words and a longer tail")),
+      "id", "cand", "ref")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(rows(0L).getLong(6) == 1000000L)
+    assert(rows(0L).getLong(4) == 1000000L && rows(0L).getLong(5) == 1000000L)
+    assert(rows(1L).getLong(3) == 0 && rows(1L).getLong(6) == 0)
+    // candidate is a prefix of the reference: precision ~1, recall < 1,
+    // and F2 (recall-weighted) sits below precision but above recall
+    val (p2, r2, f2) = (rows(2L).getLong(4), rows(2L).getLong(5),
+      rows(2L).getLong(6))
+    assert(p2 == 1000000L && r2 < p2)
+    assert(f2 > r2 && f2 < p2)
+    // exact integer formula pinned
+    assert(f2 == 5L * p2 * r2 / (4L * p2 + r2))
+  }
+
+  test("chrF: trigram-free sides are omitted (alphabet-normalized)") {
+    val out = TextEval.chrF(pairs(
+        (0L, "!!", "the cat"), (1L, "ab", "cd"), (2L, "abcd", "abcd")),
+      "id", "cand", "ref")
+    assert(out.collect().map(_.getLong(0)).toSeq == Seq(2L))
+  }
 }
