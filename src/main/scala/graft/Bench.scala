@@ -87,8 +87,9 @@ object Bench {
     "q_unigram_segment", "q_hits", "q_range_layout", "q_lexical_drift",
     "q_interarrival", "q_inbatch_negatives", "q_attribution",
     "q_script_mix",
-    // round-8 additions: CCNet ppl bucketing, BLEU/chrF pair QA
-    "q_ppl_buckets", "q_bleu_pairs", "q_chrf_pairs")
+    // round-8 additions: CCNet ppl bucketing, BLEU/chrF pair QA,
+    // TextTiling semantic chunking
+    "q_ppl_buckets", "q_bleu_pairs", "q_chrf_pairs", "q_semantic_chunks")
 
   /** Force FULL materialization of every output column: xxhash64 over all
     * columns, summed. `.count()` alone under-measures — Catalyst prunes

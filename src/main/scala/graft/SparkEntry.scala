@@ -8,7 +8,7 @@ import graft.expressions.FloatVectorExpressions.dotF
 import graft.expressions.JaroWinkler.jaroWinklerF
 import graft.expressions.TextHashExpressions.{minhashSigF, simhash32F}
 import graft.functions.{HashFunctions, TextFunctions => T, UrlFunctions, VectorFunctions => V}
-import graft.operators.{Ann, AsofJoin, Bm25, BpeTrain, Classifier, Collocations, CountMin, Curation, Dedup, DistinctSketch, Ewma, GraphOps, HeavyHitters, Mining, Multimodal, Packing, PageRank, Privacy, QuantileSketch, Rerank, RuntimeFilter, Sampling, SftPrep, SkewJoin, Tfidf, TextEval, TopK, TrigramLm, UnigramLm, Validation}
+import graft.operators.{Ann, AsofJoin, Bm25, BpeTrain, Classifier, Collocations, CountMin, Curation, Dedup, DistinctSketch, Ewma, GraphOps, HeavyHitters, Mining, Multimodal, Packing, PageRank, Privacy, QuantileSketch, Rerank, RuntimeFilter, Sampling, SftPrep, SkewJoin, Tfidf, TextEval, TextTiling, TopK, TrigramLm, UnigramLm, Validation}
 import graft.sources.{Layout, Tables}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -8216,6 +8216,18 @@ object SparkEntry {
         .filter($"ref_text".isNotNull)
       TextEval.chrF(pairs, "doc_id", "text", "ref_text")
         .orderBy($"doc_id")
+    }),
+
+    // TextTiling topic segmentation (operators/TextTiling, Hearst 1997):
+    // semantic chunking for RAG ingest — chunk boundaries open where the
+    // Jaccard cohesion of adjacent 15-word blocks drops below 0.1
+    // (integer millionths, sorted-merge kernel). Pure per-row HOF
+    // compute; the posexplode to block rows is the only reshaping.
+    "q_semantic_chunks" -> ((s, dir) => {
+      import s.implicits._
+      TextTiling.segments(t(s, dir, "documents"), "doc_id", "text",
+          blockWords = 15, thresholdMicro = 100000L)
+        .orderBy($"doc_id", $"block_idx")
     })
   )
 
@@ -8348,6 +8360,45 @@ object SparkEntry {
         |  (CASE WHEN p_micro + r_micro = 0 THEN 0
         |        ELSE (5 * p_micro * r_micro) // (4 * p_micro + r_micro)
         |   END)::BIGINT AS chrf_micro
-        |FROM f ORDER BY doc_id""".stripMargin
+        |FROM f ORDER BY doc_id""".stripMargin,
+
+    "q_semantic_chunks" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+        |         ELSE string_split_regex(trim(text), '\s+') END AS toks
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id, toks, (len(toks) + 14) // 15 AS nb
+        |  FROM d WHERE len(toks) > 0),
+        |k AS (
+        |  SELECT doc_id, nb,
+        |    list_transform(generate_series(0, nb - 1),
+        |      bb -> len(list_slice(toks, bb * 15 + 1, bb * 15 + 15))) AS ns,
+        |    list_transform(generate_series(0, nb - 1),
+        |      bb -> list_distinct(list_slice(toks, bb * 15 + 1, bb * 15 + 15))) AS db
+        |  FROM b),
+        |c AS (
+        |  SELECT doc_id, nb, ns,
+        |    list_transform(generate_series(0, nb - 1), i ->
+        |      CASE WHEN i = 0 THEN -1
+        |      ELSE (len(list_filter(db[i], x -> list_contains(db[i + 1], x)))
+        |            * 1000000)
+        |           // (len(db[i]) + len(db[i + 1])
+        |               - len(list_filter(db[i], x -> list_contains(db[i + 1], x))))
+        |      END) AS coh
+        |  FROM k),
+        |g AS (
+        |  SELECT doc_id, nb, ns, coh,
+        |    list_transform(generate_series(0, nb - 1), i ->
+        |      list_sum(list_transform(list_slice(coh, 1, i + 1),
+        |        cc -> CASE WHEN cc < 100000 THEN 1 ELSE 0 END)) - 1) AS chunk
+        |  FROM c)
+        |SELECT doc_id,
+        |  unnest(generate_series(0, nb - 1))::BIGINT AS block_idx,
+        |  unnest(ns)::BIGINT AS n_tokens,
+        |  unnest(coh)::BIGINT AS cohesion_micro,
+        |  unnest(chunk)::BIGINT AS chunk_idx
+        |FROM g ORDER BY doc_id, block_idx""".stripMargin
   )
 }

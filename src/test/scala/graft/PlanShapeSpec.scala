@@ -108,6 +108,12 @@ class PlanShapeSpec extends SparkSpec {
     assert("Window".r.findAllIn(p).size == 1, s"expected 1 window:\n$p")
   }
 
+  test("q_semantic_chunks: zero joins and zero aggregates — per-row compute only") {
+    val p = plan("q_semantic_chunks")
+    assert(!p.contains("Join") && !p.contains("Window") &&
+      !p.contains("HashAggregate"), s"segmentation must stay per-row:\n$p")
+  }
+
   test("OPERATORS.md never references a query that does not exist") {
     // doc-drift guard: every q_/qN oracle name cited in OPERATORS.md must
     // be a real SparkEntry.queries key (rows describing spec-only
