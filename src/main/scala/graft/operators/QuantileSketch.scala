@@ -130,25 +130,25 @@ object QuantileSketch {
     val spark = df.sparkSession
     import spark.implicits._
     import org.apache.spark.sql.functions.col
-    // Per-partition object-local fold + one partial buffer row per
-    // partition. The typed-Aggregator route re-encodes the WHOLE buffer
-    // through the Seq[Seq[Double]] encoder on every update — O(buffer)
-    // per row, which at a large cap (rangeShards' 262144) degenerated to
-    // minutes for a 150k-row single-file scan (measured 254 s → 0.5 s
-    // here; Profile section `range`). mapPartitions keeps the per-row
-    // cost a plain Vector append and ships exactly one partial per
-    // partition, the same map-side-combine shape the agg would plan.
+    // Per-partition object-local fold + executor-side tree merge. The
+    // typed-Aggregator route re-encodes the WHOLE buffer through the
+    // Seq[Seq[Double]] encoder on every update — O(buffer) per row,
+    // which at a large cap (rangeShards' 262144) degenerated to minutes
+    // for a 150k-row single-file scan (measured 254 s → 3.6 s here;
+    // Profile section `range`). treeAggregate keeps the per-row cost a
+    // plain Vector append AND merges partials on executors, so the
+    // driver receives exactly one ≤ cap·levels buffer regardless of
+    // partition count (a flat collect would ship P·cap doubles — GBs at
+    // 1000 partitions). Below cap any merge order concatenates the same
+    // value multiset, so results stay order-independent there; above
+    // cap compaction order varies with partitioning, the documented
+    // sketch trade-off (same as the agg route).
     val agg = new KllAgg(cap)
     // explicit null filter: a null reaching the primitive Double encoder
     // would silently decode as 0.0 and poison the low quantiles
-    val partials = df.select(col(valueCol).cast("double").as("__v"))
+    val levels = df.select(col(valueCol).cast("double").as("__v"))
       .filter(col("__v").isNotNull).as[Double]
-      .rdd.mapPartitions { it =>
-        var b = agg.zero
-        while (it.hasNext) b = agg.reduce(b, it.next())
-        Iterator.single(b)
-      }.collect()
-    val levels = partials.foldLeft(agg.zero)(agg.merge)
+      .rdd.treeAggregate(agg.zero)(agg.reduce, agg.merge)
     // empty input → zero quantile rows (not a crash): the contract a
     // scheduled pipeline needs when an upstream filter drains a batch
     if (levels.forall(_.isEmpty)) Seq.empty[(Double, Long)].toDF("q", "value")
