@@ -8,7 +8,7 @@ import graft.expressions.FloatVectorExpressions.dotF
 import graft.expressions.JaroWinkler.jaroWinklerF
 import graft.expressions.TextHashExpressions.{minhashSigF, simhash32F}
 import graft.functions.{HashFunctions, TextFunctions => T, UrlFunctions, VectorFunctions => V}
-import graft.operators.{Ann, AsofJoin, Bm25, BpeTrain, Classifier, Collocations, CountMin, Curation, Dedup, DistinctSketch, Ewma, GraphOps, HeavyHitters, Mining, Multimodal, Packing, PageRank, Privacy, QuantileSketch, Rerank, RuntimeFilter, Sampling, SftPrep, SkewJoin, Tfidf, TextEval, TextTiling, TopK, TrigramLm, UnigramLm, Validation}
+import graft.operators.{Ann, AsofJoin, Bm25, BpeTrain, Classifier, Collocations, Coreset, CountMin, Curation, Dedup, DistinctSketch, Ewma, GraphOps, HeavyHitters, Mining, Multimodal, Packing, PageRank, Privacy, QuantileSketch, Rerank, RuntimeFilter, Sampling, SftPrep, SkewJoin, Tfidf, TextEval, TextTiling, TopK, TrigramLm, UnigramLm, Validation}
 import graft.sources.{Layout, Tables}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -132,12 +132,12 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     vectorQueries ++ relationalQueries ++ eventsQueries ++ textQueries ++
       dedupQueries ++ extraQueries ++ round5Queries ++ round6Queries ++
-      round7Queries ++ round8Queries
+      round7Queries ++ round8Queries ++ round9Queries
 
   def oracleSql: Map[String, String] =
     vectorOracles ++ relationalOracles ++ eventsOracles ++ textOracles ++
       dedupOracles ++ extraOracles ++ round5Oracles ++ round6Oracles ++
-      round7Oracles ++ round8Oracles
+      round7Oracles ++ round8Oracles ++ round9Oracles
 
   // ======================================================= vector workload
 
@@ -8400,5 +8400,333 @@ object SparkEntry {
         |  unnest(coh)::BIGINT AS cohesion_micro,
         |  unnest(chunk)::BIGINT AS chunk_idx
         |FROM g ORDER BY doc_id, block_idx""".stripMargin
+  )
+
+  private def round9Queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ROUGE-L pair scoring (operators/TextEval.rougeL, Lin 2004): LCS
+    // precision/recall/F1 over 40-token prefixes via the native
+    // rolling-row DP kernel (expressions/LcsExpression) — the
+    // summarization QA gate beside BLEU (contiguous) and chrF (char
+    // morphology). Per-row kernel compute; the lead window is the only
+    // exchange. Fully integer arithmetic, no float anywhere.
+    "q_rouge_pairs" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"source").orderBy($"doc_id")
+      val pairs = t(s, dir, "documents")
+        .select($"doc_id", $"source", $"text",
+          lead($"text", 1).over(w).as("ref_text"))
+        .filter($"ref_text".isNotNull)
+      TextEval.rougeL(pairs, "doc_id", "text", "ref_text", maxToks = 40)
+        .orderBy($"doc_id")
+    }),
+
+    // Greedy k-center coreset (operators/Coreset, Gonzalez 1985 /
+    // Sener & Savarese 2018): 5 maximally-spread embeddings by
+    // farthest-point traversal — k scans, each one running-min update
+    // against a single broadcast center + one map-side-combined argmax;
+    // driver state is the k-bounded chosen set. Deterministic seed
+    // (min id) and tie-break (min id at equal distance); distances are
+    // round-4-quantized squared L2, so the oracle replays every pick.
+    "q_kcenter" -> ((s, dir) => {
+      import s.implicits._
+      Coreset.farthestPointSample(
+          spread(s, t(s, dir, "embeddings")), "vec_id", "embedding", k = 5)
+        .orderBy($"sel_round")
+    }),
+
+    // k-core peeling (GraphOps.kCore, Seidman 1983) of the item
+    // co-occurrence graph: the density gate between connectedComponents
+    // (too loose) and triangleCount (one global number) — mirror farms
+    // and interlinked rings survive, one-off links peel away. Batch
+    // layer peeling reaches the fixpoint in ~4 rounds here; each round
+    // is one map-side-combined degree count + two semi-joins over
+    // (8-byte, 8-byte) edge ids, and the loop THROWS at maxRounds
+    // rather than returning an under-peeled subgraph.
+    "q_kcore" -> ((s, dir) => {
+      import s.implicits._
+      val ui = t(s, dir, "events").select($"user_id".as("u"),
+        (lit(100000L) + pmod($"event_id", lit(1000L))).as("i"))
+      val edges = GraphOps.cooccurrenceEdges(ui, $"u", $"i", minShared = 3)
+        .select($"ia".as("a"), $"ib".as("b"))
+      GraphOps.kCore(edges, k = 11).orderBy($"node")
+    }),
+
+    // Leakage-safe train/val/test split (Sampling.leakageSafeSplit):
+    // split routing keyed on the near-dup CLUSTER representative, so a
+    // duplicate pair can never straddle train and test — the
+    // eval-contamination hole a row-keyed split leaves open. Same
+    // MinHash-LSH pair list + connectedComponents as q_dedup_clusters
+    // (ids-only shuffles), then the scan-speed hash gate of
+    // q_three_way_split on the cluster rep.
+    "q_leakage_split" -> ((s, dir) => {
+      import s.implicits._
+      val docs = spread(s, t(s, dir, "documents"))
+      val pairs = Dedup.nearDupPairs(docs, "doc_id", "text",
+        shingleSize = 2, numHashes = 16, bands = 4, threshold = 0.2)
+      Sampling.leakageSafeSplit(docs.select($"doc_id", $"source"),
+          "doc_id", pairs, "id_a", "id_b", 0.8, 0.1)
+        .select($"doc_id", $"cluster_rep", $"split")
+        .orderBy($"doc_id")
+    }),
+
+    // Excess-perplexity data selection (TrigramLm.excessSelect, the
+    // RHO-1/DoReMi excess-loss move at document granularity): rank by
+    // nll(general LM) − nll(domain LM) and keep the top half — the
+    // difference cancels the length/vocabulary bias plain perplexity
+    // filtering shares, surfacing in-domain signal the corpus-wide
+    // model hasn't absorbed. Two bounded model broadcasts, one scoring
+    // pass each; the median threshold is one KLL sketch row.
+    "q_excess_ppl" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      TrigramLm.excessSelect(docs, docs.filter($"source" === "src0"),
+          "doc_id", "text")
+        .orderBy($"doc_id")
+    })
+  )
+
+  private def round9Oracles: Map[String, String] = Map(
+
+    // LCS via the row-DP recurrence in a recursive CTE: per reference
+    // token k the new row is the prefix running max of
+    // e[i] = max(dp_old[i], dp_old[i-1] + match_i) — valid because LCS
+    // rows are non-decreasing in i (the same recurrence the native
+    // kernel and the HOF spec implement).
+    "q_rouge_pairs" ->
+      """WITH RECURSIVE d AS (
+        |  SELECT doc_id, source,
+        |    CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+        |         ELSE string_split_regex(trim(text), '\s+') END AS toks
+        |  FROM documents),
+        |p0 AS (
+        |  SELECT doc_id, list_slice(toks, 1, 40) AS c,
+        |    list_slice(lead(toks) OVER (PARTITION BY source ORDER BY doc_id),
+        |               1, 40) AS r
+        |  FROM d),
+        |p AS (
+        |  SELECT doc_id, c, r FROM p0
+        |  WHERE r IS NOT NULL AND len(c) > 0 AND len(r) > 0),
+        |dp(doc_id, k, row) AS (
+        |  SELECT doc_id, 0, list_transform(generate_series(1, len(c)), i -> 0)
+        |  FROM p
+        |  UNION ALL
+        |  SELECT t.doc_id, t.k + 1,
+        |    (WITH cells AS (
+        |       SELECT i, GREATEST(t.row[i], COALESCE(t.row[i-1], 0) +
+        |         CASE WHEN p.c[i] = p.r[t.k + 1] THEN 1 ELSE 0 END) AS e
+        |       FROM (SELECT unnest(generate_series(1, len(p.c))) AS i))
+        |     SELECT list(m ORDER BY i) FROM (
+        |       SELECT i, MAX(e) OVER (ORDER BY i) AS m FROM cells))
+        |  FROM dp t JOIN p USING (doc_id)
+        |  WHERE t.k < len(p.r)),
+        |f AS (
+        |  SELECT t.doc_id, len(p.c)::BIGINT AS c_len, len(p.r)::BIGINT AS r_len,
+        |         t.row[len(p.c)]::BIGINT AS lcs
+        |  FROM dp t JOIN p USING (doc_id) WHERE t.k = len(p.r)),
+        |m AS (
+        |  SELECT doc_id, c_len, r_len, lcs,
+        |    (lcs * 1000000) // c_len AS p_micro,
+        |    (lcs * 1000000) // r_len AS r_micro
+        |  FROM f)
+        |SELECT doc_id, c_len, r_len, lcs, p_micro, r_micro,
+        |  (CASE WHEN p_micro + r_micro = 0 THEN 0
+        |        ELSE (2 * p_micro * r_micro) // (p_micro + r_micro)
+        |   END)::BIGINT AS rouge_l_micro
+        |FROM m ORDER BY doc_id""".stripMargin,
+
+    // Farthest-point traversal unrolled: seed = min id, then 4 rounds
+    // of (distance to the newly chosen center, running min, argmax with
+    // ties to the smallest id). Distances are round-4-quantized squared
+    // L2 over the positionally-zipped unnests (q_embed_neardup
+    // discipline).
+    "q_kcenter" -> {
+      def distCte(r: Int, centerSel: String, excl: String): String =
+        s"""px$r AS (
+           |  SELECT a.vec_id, unnest(a.embedding)::DOUBLE AS x,
+           |         unnest(b.embedding)::DOUBLE AS y
+           |  FROM embeddings a, embeddings b
+           |  WHERE b.vec_id = ($centerSel) AND a.vec_id <> ($centerSel)
+           |    $excl),
+           |n$r AS (
+           |  SELECT vec_id,
+           |    CAST(ROUND(ROUND(SUM((x - y) * (x - y)), 4) * 10000) AS BIGINT)
+           |      AS d4
+           |  FROM px$r GROUP BY vec_id)""".stripMargin
+      val rounds = (1 to 4).map { r =>
+        val centerSel =
+          if (r == 1) "SELECT id FROM c0" else s"SELECT id FROM p${r - 1}"
+        val excl =
+          if (r == 1) ""
+          else s"AND a.vec_id IN (SELECT vec_id FROM m${r - 1}) " +
+            s"AND a.vec_id <> (SELECT id FROM p${r - 1})"
+        val mDef =
+          if (r == 1) s"m1 AS (SELECT vec_id, d4 FROM n1)"
+          else
+            s"""m$r AS (
+               |  SELECT m${r - 1}.vec_id, LEAST(m${r - 1}.d4, n$r.d4) AS d4
+               |  FROM m${r - 1} JOIN n$r USING (vec_id))""".stripMargin
+        s"""${distCte(r, centerSel, excl)},
+           |$mDef,
+           |p$r AS (
+           |  SELECT vec_id AS id, d4 FROM m$r
+           |  ORDER BY d4 DESC, vec_id LIMIT 1)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH c0 AS (SELECT MIN(vec_id) AS id FROM embeddings),
+         |$rounds
+         |SELECT 0 AS sel_round, (SELECT id FROM c0)::VARCHAR AS id,
+         |       CAST(NULL AS BIGINT) AS d4
+         |UNION ALL SELECT 1, (SELECT id FROM p1)::VARCHAR, (SELECT d4 FROM p1)
+         |UNION ALL SELECT 2, (SELECT id FROM p2)::VARCHAR, (SELECT d4 FROM p2)
+         |UNION ALL SELECT 3, (SELECT id FROM p3)::VARCHAR, (SELECT d4 FROM p3)
+         |UNION ALL SELECT 4, (SELECT id FROM p4)::VARCHAR, (SELECT d4 FROM p4)
+         |ORDER BY sel_round""".stripMargin
+    },
+
+    // Layer peeling unrolled 6 rounds (the sf0.01 fixpoint is reached
+    // in 4; peeling at the fixpoint is idempotent, so the extra rounds
+    // are no-ops — the bounded-iteration oracle discipline of
+    // q_pagerank/q_hits).
+    "q_kcore" -> {
+      def peel(r: Int): String =
+        s"""d$r AS MATERIALIZED (
+           |  SELECT n, COUNT(*) AS deg FROM (
+           |    SELECT a AS n FROM e${r - 1} UNION ALL SELECT b FROM e${r - 1})
+           |  GROUP BY n),
+           |k$r AS MATERIALIZED (SELECT n FROM d$r WHERE deg >= 11),
+           |e$r AS MATERIALIZED (
+           |  SELECT a, b FROM e${r - 1}
+           |  WHERE a IN (SELECT n FROM k$r) AND b IN (SELECT n FROM k$r))"""
+          .stripMargin
+      s"""WITH ui AS (
+         |  SELECT DISTINCT user_id AS u, 100000 + event_id % 1000 AS i
+         |  FROM events),
+         |c AS (SELECT u, i, row_number() OVER (PARTITION BY u ORDER BY i) AS rn
+         |      FROM ui),
+         |cap AS (SELECT u, i FROM c WHERE rn <= 256),
+         |e0 AS MATERIALIZED (
+         |  SELECT a.i AS a, b.i AS b
+         |  FROM cap a JOIN cap b ON a.u = b.u AND a.i < b.i
+         |  GROUP BY 1, 2 HAVING COUNT(*) >= 3),
+         |${(1 to 6).map(peel).mkString(",\n")}
+         |SELECT n AS node, COUNT(*)::BIGINT AS deg FROM (
+         |  SELECT a AS n FROM e6 UNION ALL SELECT b FROM e6)
+         |GROUP BY n ORDER BY node""".stripMargin
+    },
+
+    // The q_dedup_clusters transitive-closure chain for the cluster
+    // representative, then the q_three_way_split hash gate keyed on it.
+    "q_leakage_split" ->
+      """WITH RECURSIVE t AS (
+        |  SELECT doc_id, CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[]) ELSE string_split_regex(trim(text), '\s+') END AS toks
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id,
+        |         list_distinct(list_transform(generate_series(1, len(toks)-1),
+        |           i -> toks[i] || ' ' || toks[i+1])) AS sh
+        |  FROM t WHERE len(toks) >= 2),
+        |sig AS (
+        |  SELECT doc_id, sh,
+        |         list_transform(generate_series(0, 15), i ->
+        |           list_min(list_transform(sh, x ->
+        |             ('0x'||substr(md5(i::VARCHAR||':'||x), 1, 15))::BIGINT))) AS sig
+        |  FROM s WHERE len(sh) > 0),
+        |bands AS (
+        |  SELECT doc_id, band_idx,
+        |         md5(array_to_string(sig[band_idx*4+1 : band_idx*4+4], ',')) AS bh
+        |  FROM (SELECT doc_id, sig, unnest(generate_series(0, 3)) AS band_idx FROM sig)),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id da, b.doc_id db
+        |  FROM bands a JOIN bands b
+        |    ON a.band_idx = b.band_idx AND a.bh = b.bh AND a.doc_id < b.doc_id),
+        |p AS (
+        |  SELECT da, db FROM (
+        |    SELECT da, db,
+        |           len(list_intersect(x.sh, y.sh))::DOUBLE /
+        |             (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))) AS jac
+        |    FROM cand JOIN s x ON da = x.doc_id JOIN s y ON db = y.doc_id)
+        |  WHERE jac >= 0.2),
+        |e AS (SELECT da AS a, db AS b FROM p UNION SELECT db, da FROM p),
+        |r AS (
+        |  SELECT a AS node, b AS reach FROM e
+        |  UNION
+        |  SELECT r.node, e.b FROM r JOIN e ON r.reach = e.a),
+        |comp AS (
+        |  SELECT node AS doc_id, LEAST(node, MIN(reach)) AS cid
+        |  FROM r GROUP BY node),
+        |rep AS (
+        |  SELECT d.doc_id, COALESCE(comp.cid, d.doc_id) AS cluster_rep
+        |  FROM documents d LEFT JOIN comp USING (doc_id))
+        |SELECT doc_id, cluster_rep,
+        |  CASE WHEN ('0x' || substr(md5(cluster_rep::VARCHAR), 1, 15))::BIGINT
+        |            % 1000000 < 800000 THEN 'train'
+        |       WHEN ('0x' || substr(md5(cluster_rep::VARCHAR), 1, 15))::BIGINT
+        |            % 1000000 < 900000 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM rep ORDER BY doc_id""".stripMargin,
+
+    // Two +1-smoothed trigram LMs (general = whole corpus, domain =
+    // src0) through the q_ppl_buckets scoring discipline, excess in
+    // integer ten-thousandths, median via quantile_disc (the KLL
+    // sketch's exact-below-capacity semantics).
+    "q_excess_ppl" ->
+      """WITH d AS (
+        |  SELECT doc_id, source,
+        |    trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+        |         ' +', ' ', 'g')) AS nt
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, source,
+        |    unnest(list_transform(generate_series(1, length(nt) - 2),
+        |      i -> substr(nt, i, 3))) AS tri
+        |  FROM d WHERE length(nt) >= 3),
+        |cg AS (SELECT tri, COUNT(*) AS cnt FROM g GROUP BY tri),
+        |sg AS (SELECT SUM(cnt)::DOUBLE AS total, COUNT(*)::DOUBLE AS v FROM cg),
+        |mg AS (
+        |  SELECT tri,
+        |    CAST(ROUND(ROUND(ln((cnt::DOUBLE + 1.0) / (sg.total + sg.v)), 6)
+        |         * 1000000) AS BIGINT) AS lp
+        |  FROM cg, sg),
+        |ug AS (
+        |  SELECT CAST(ROUND(ROUND(ln(1.0 / (total + v)), 6) * 1000000) AS BIGINT)
+        |    AS ulp
+        |  FROM sg),
+        |cd AS (SELECT tri, COUNT(*) AS cnt FROM g WHERE source = 'src0'
+        |       GROUP BY tri),
+        |sd AS (SELECT SUM(cnt)::DOUBLE AS total, COUNT(*)::DOUBLE AS v FROM cd),
+        |md AS (
+        |  SELECT tri,
+        |    CAST(ROUND(ROUND(ln((cnt::DOUBLE + 1.0) / (sd.total + sd.v)), 6)
+        |         * 1000000) AS BIGINT) AS lp
+        |  FROM cd, sd),
+        |ud AS (
+        |  SELECT CAST(ROUND(ROUND(ln(1.0 / (total + v)), 6) * 1000000) AS BIGINT)
+        |    AS ulp
+        |  FROM sd),
+        |scg AS (
+        |  SELECT g.doc_id, COUNT(*) AS n_tri,
+        |         SUM(COALESCE(mg.lp, ug.ulp)) AS lsum
+        |  FROM g LEFT JOIN mg USING (tri) CROSS JOIN ug
+        |  GROUP BY g.doc_id),
+        |scd AS (
+        |  SELECT g.doc_id, SUM(COALESCE(md.lp, ud.ulp)) AS lsum
+        |  FROM g LEFT JOIN md USING (tri) CROSS JOIN ud
+        |  GROUP BY g.doc_id),
+        |sc AS (
+        |  SELECT scg.doc_id, CAST(scg.n_tri AS BIGINT) AS n_tri,
+        |    ROUND((-scg.lsum)::DOUBLE / 1000000.0 / scg.n_tri::DOUBLE, 4) + 0.0
+        |      AS nll_gen,
+        |    ROUND((-scd.lsum)::DOUBLE / 1000000.0 / scg.n_tri::DOUBLE, 4) + 0.0
+        |      AS nll_dom
+        |  FROM scg JOIN scd USING (doc_id)),
+        |ex AS (
+        |  SELECT doc_id, n_tri, nll_gen, nll_dom,
+        |    CAST(ROUND(nll_gen * 10000, 0) AS BIGINT)
+        |      - CAST(ROUND(nll_dom * 10000, 0) AS BIGINT) AS excess4
+        |  FROM sc),
+        |b AS (SELECT quantile_disc(excess4, 0.5) AS med FROM ex)
+        |SELECT doc_id, n_tri, nll_gen, nll_dom, excess4,
+        |  (excess4 >= b.med) AS kept
+        |FROM ex, b ORDER BY doc_id""".stripMargin
   )
 }

@@ -117,6 +117,64 @@ object GraphOps {
     labels
   }
 
+  /** k-CORE of an undirected graph given as canonical (a < b) distinct
+    * edges: the maximal subgraph where every node keeps degree ≥ k —
+    * the density gate the link-quality toolchain uses where
+    * `connectedComponents` is too loose (everything touching merges) and
+    * `triangleCount` too global (one number): mirror farms and
+    * interlinked spam rings survive k-core peeling, isolated tails and
+    * one-off links don't (Seidman 1983; the standard web-graph spam/
+    * cohesion feature next to PageRank and HITS).
+    *
+    * Synchronous batch peeling: each round drops EVERY node whose degree
+    * in the current subgraph is < k, then re-derives the induced edge
+    * set; repeats until a fixpoint. Rounds are bounded by the peel depth
+    * (≤ the graph's degeneracy ordering length; in practice a handful —
+    * each round removes whole layers, not single nodes like the
+    * sequential textbook algorithm), and like `Dedup.connectedComponents`
+    * the loop THROWS at `maxRounds` instead of silently returning an
+    * under-peeled subgraph. Peeling at the fixpoint is idempotent, which
+    * is what lets the oracle unroll a fixed round count.
+    *
+    * Scale shape per round: one map-side-combined degree count (node,
+    * deg) and two semi-joins of the edge list against the surviving node
+    * set — edges shuffle as (8-byte, 8-byte) id pairs only, and the
+    * per-round edge table localCheckpoints (iterative-lineage
+    * discipline). No window, no pairwise blow-up anywhere.
+    *
+    * Returns (node, deg) for k-core members, deg = degree INSIDE the core.
+    */
+  def kCore(edges: DataFrame, k: Int, maxRounds: Int = 30): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(maxRounds >= 1, s"maxRounds must be >= 1, got $maxRounds")
+    def degrees(e: DataFrame): DataFrame =
+      e.select(col("a").as("node"))
+        .unionAll(e.select(col("b").as("node")))
+        .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    var cur = edges.select(col("a"), col("b")).distinct()
+      .localCheckpoint(false)
+    var round = 0
+    while (round < maxRounds) {
+      val deg = degrees(cur)
+      val nDrop = deg.filter(col("deg") < k).count()
+      if (nDrop == 0L)
+        return deg.filter(col("deg") >= k)
+      val keep = deg.filter(col("deg") >= k).select(col("node"))
+      cur = cur
+        .join(keep.withColumnRenamed("node", "a"), Seq("a"), "left_semi")
+        .join(keep.withColumnRenamed("node", "b"), Seq("b"), "left_semi")
+        .select(col("a"), col("b"))
+        .localCheckpoint(false)
+      round += 1
+    }
+    val deg = degrees(cur)
+    if (deg.filter(col("deg") < k).count() == 0L) deg
+    else throw new IllegalStateException(
+      s"kCore did not reach a fixpoint in $maxRounds rounds — raise " +
+        "maxRounds (peel depth exceeds the bound; never silently " +
+        "return an under-peeled subgraph)")
+  }
+
   /** HITS hubs & authorities over a (possibly bipartite) edge list —
     * PageRank's dual for graphs where pointing-well matters as much as
     * being-pointed-at (user→item interaction graphs: hub users curate,

@@ -282,6 +282,34 @@ object Sampling {
         .otherwise(lit("test")))
   }
 
+  /** LEAKAGE-SAFE three-way split: route every document by its near-dup
+    * CLUSTER representative instead of its own id, so a near-duplicate
+    * pair can never straddle train and test (the eval-contamination hole
+    * a row-keyed split leaves open — two crawl copies of the same page
+    * land in different splits and the benchmark leaks). `pairs` is any
+    * symmetric duplicate-pair list (`Dedup.nearDupPairs`,
+    * `embeddingNearDups`, …); docs in no pair are their own singleton
+    * cluster. The representative is the cluster's minimum member id from
+    * `Dedup.connectedComponents` — a pure function of the pair list, so
+    * re-runs and incremental batches route identically (the
+    * [[threeWaySplit]] determinism contract lifted to clusters).
+    *
+    * Scale shape: connectedComponents is O(log diameter) rounds over the
+    * PAIR list only (ids, never text); attaching representatives is one
+    * left join keyed on the doc id; the gate itself is scan-speed hash
+    * arithmetic. Returns the docs frame + (cluster_rep, split).
+    */
+  def leakageSafeSplit(docs: DataFrame, idCol: String, pairs: DataFrame,
+                       aCol: String, bCol: String, fracTrain: Double,
+                       fracVal: Double): DataFrame = {
+    val comps = graft.operators.Dedup.connectedComponents(pairs, aCol, bCol)
+      .withColumnRenamed("node", idCol)
+    val withRep = docs.join(comps, Seq(idCol), "left")
+      .withColumn("cluster_rep", coalesce(col("comp"), col(idCol)))
+      .drop("comp")
+    threeWaySplit(withRep, col("cluster_rep"), fracTrain, fracVal)
+  }
+
   private def hashGate(key: Column, rate: Column): Column =
     pmod(Dedup.hash60(key.cast("string")), lit(Denom)).cast("double") <
       rate * lit(Denom.toDouble)

@@ -92,6 +92,68 @@ object TextEval {
         .as("bleu2_micro"))
   }
 
+  /** Declarative HOF spec of the LCS rolling-row DP — the agreement twin
+    * of the native `LcsLength` kernel (TextEvalSpec), never the hot path
+    * (the prefix-max formulation is O(m²·n)). Row update per reference
+    * token: e[i] = max(dp_old[i], dp_old[i-1] + match_i), then the new
+    * row is the prefix running max of e (valid because LCS rows are
+    * non-decreasing in i and the max-of-three recurrence is exact).
+    */
+  def lcsLengthHof(cand: Column, ref: Column): Column = {
+    val init = transform(sequence(lit(0), size(cand)), _ => lit(0))
+    val folded = aggregate(ref, init, (row, rt) => {
+      val e = transform(sequence(lit(0), size(cand)), i =>
+        when(i === 0, lit(0)).otherwise(
+          greatest(element_at(row, i + 1),
+            element_at(row, i) +
+              when(element_at(cand, i) === rt, lit(1)).otherwise(lit(0)))))
+      transform(sequence(lit(0), size(cand)),
+        i => array_max(slice(e, lit(1), i + 1)))
+    })
+    when(size(cand) === 0 || size(ref) === 0, lit(0))
+      .otherwise(element_at(folded, size(cand) + 1))
+  }
+
+  /** ROUGE-L per pair (Lin 2004): LCS-based precision/recall/F1 over
+    * whitespace tokens — the summarization/compression QA gate beside
+    * [[bleu2]] (contiguous n-grams) and [[chrF]] (char morphology): LCS
+    * rewards in-order content coverage without contiguity, so sentence
+    * compressions and paraphrases score where BLEU's clipped bigrams
+    * collapse. Both sides are truncated to their first `maxToks` tokens
+    * (the `q_edit_distance` prefix discipline — LCS is O(m·n) per pair,
+    * so the caller bounds m and n, not the engine silently).
+    *
+    * Fully integer-exact: the LCS count comes from the native rolling-row
+    * DP kernel (`LcsLength`), P/R quantize by integer floor division and
+    * F1 = 2PR/(P+R) folds through exact long products — no float
+    * anywhere, both engines agree bit-for-bit. Per-row kernel compute,
+    * zero joins/shuffles at any corpus size (pair construction is the
+    * caller's). Returns (idCol, c_len, r_len, lcs, p_micro, r_micro,
+    * rouge_l_micro); pairs where either truncated side is empty are
+    * omitted (ROUGE undefined there).
+    */
+  def rougeL(pairs: DataFrame, idCol: String, candCol: String,
+             refCol: String, maxToks: Int = 40): DataFrame = {
+    require(maxToks >= 1, s"maxToks must be >= 1, got $maxToks")
+    val counted = pairs
+      .select(col(idCol),
+        slice(toks(col(candCol)), 1, maxToks).as("__c"),
+        slice(toks(col(refCol)), 1, maxToks).as("__r"))
+      .filter(size(col("__c")) > 0 && size(col("__r")) > 0)
+      .select(col(idCol),
+        size(col("__c")).cast("long").as("c_len"),
+        size(col("__r")).cast("long").as("r_len"),
+        graft.expressions.LcsExpression
+          .lcsLengthF(col("__c"), col("__r")).cast("long").as("lcs"))
+    counted.select(col(idCol), col("c_len"), col("r_len"), col("lcs"),
+        expr("(lcs * 1000000) div c_len").as("p_micro"),
+        expr("(lcs * 1000000) div r_len").as("r_micro"))
+      .withColumn("rouge_l_micro",
+        when(col("p_micro") + col("r_micro") === 0L, lit(0L))
+          .otherwise(expr(
+            "(2 * p_micro * r_micro) div (p_micro + r_micro)")))
+  }
+
   /** chrF-style character-trigram F-score per pair (Popović 2015, the
     * n=3 / β=2 core): precision and recall of clipped char-trigram
     * matches over the [a-z0-9 ]-normalized texts (the `TrigramLm`

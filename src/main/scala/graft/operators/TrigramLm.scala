@@ -114,6 +114,55 @@ object TrigramLm {
     * integer ten-thousandths — every step cross-engine exact
     * (`q_ppl_buckets`).
     */
+  /** EXCESS-perplexity data selection (the RHO-1 / DoReMi excess-loss
+    * move, Lin et al. 2024, at corpus granularity): score every document
+    * under TWO LMs — a GENERAL model trained on the whole corpus and a
+    * DOMAIN model trained on the in-domain reference slice — and rank by
+    * excess = nll_general − nll_domain. High excess means the domain
+    * model explains the document far better than the corpus-wide model
+    * does: in-domain signal the general distribution hasn't absorbed,
+    * exactly what a targeted data mix wants more of. Ranking by a
+    * DIFFERENCE also cancels the length/vocabulary bias both absolute
+    * perplexities share — the failure mode of plain ppl filtering, which
+    * systematically keeps short formulaic text.
+    *
+    * Selection keeps documents with excess ≥ the corpus median
+    * (`keepFrac = 0.5`; any quantile via the arg). Like [[pplBuckets]]
+    * the threshold comes from the mergeable KLL sketch (exact below
+    * capacity — quantile_disc semantics), computed on integer
+    * ten-thousandths so the compare is cross-engine exact.
+    *
+    * Scale shape: two bounded model broadcasts (≤ ~50k trigram rows
+    * each), one scoring pass shuffling (doc, partial-sum) rows per
+    * model — the corpus is scanned, never sorted; the median is one
+    * sketch row back to the driver. Returns (idCol, n_tri, nll_gen,
+    * nll_dom, excess4, kept) for every doc with ≥ 1 trigram; excess4 is
+    * integer ten-thousandths.
+    */
+  def excessSelect(docs: DataFrame, ref: DataFrame, idCol: String,
+                   textCol: String, keepFrac: Double = 0.5,
+                   sketchCap: Int = 8192): DataFrame = {
+    require(keepFrac > 0.0 && keepFrac < 1.0,
+      s"keepFrac must be in (0,1), got $keepFrac")
+    val gen = score(docs, idCol, textCol, train(docs, textCol))
+      .withColumnRenamed("nll", "nll_gen")
+    val dom = score(docs, idCol, textCol, train(ref, textCol))
+      .withColumnRenamed("nll", "nll_dom").drop("n_tri")
+    val scored = gen.join(dom, Seq(idCol))
+      .withColumn("excess4",
+        (round(col("nll_gen") * 10000) -
+          round(col("nll_dom") * 10000)).cast("long"))
+    val q = f"${1.0 - keepFrac}%.6f" // keep the TOP keepFrac by excess
+    val sketch = udaf(
+      new QuantileSketch.KllQuantilesAgg(sketchCap, Seq(q)),
+      Encoders.scalaDouble)
+    val bound = scored
+      .agg(sketch(col("excess4").cast("double")).as("__qv"))
+      .select(element_at(col("__qv"), 1).cast("long")).head.getLong(0)
+    scored.select(col(idCol), col("n_tri"), col("nll_gen"), col("nll_dom"),
+      col("excess4"), (col("excess4") >= bound).as("kept"))
+  }
+
   def pplBuckets(docs: DataFrame, ref: DataFrame, idCol: String,
                  textCol: String, groupCol: String,
                  sketchCap: Int = 8192): DataFrame = {

@@ -108,4 +108,42 @@ class GraphOpsSpec extends SparkSpec {
     assert(h2.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap == h)
     assert(a2.collect().map(r => r.getString(0) -> r.getLong(1)).toMap == a)
   }
+
+  test("kCore: pendant peels away, core keeps in-core degrees") {
+    import spark.implicits._
+    // triangle 1-2-3 plus pendant 4-1: 2-core = the triangle
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (1L, 4L)).toDF("a", "b")
+    val core = GraphOps.kCore(edges, 2).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(core == Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+  }
+
+  test("kCore: cascading peel reaches the empty fixpoint") {
+    import spark.implicits._
+    // a path graph has no 2-core; peeling eats it from both ends
+    val chain = (1L to 5L).sliding(2).map(s => (s(0), s(1))).toSeq
+      .toDF("a", "b")
+    assert(GraphOps.kCore(chain, 2).count() == 0L)
+  }
+
+  test("kCore throws at maxRounds instead of under-peeling") {
+    import spark.implicits._
+    val chain = (1L to 9L).sliding(2).map(s => (s(0), s(1))).toSeq
+      .toDF("a", "b")
+    intercept[IllegalStateException] {
+      GraphOps.kCore(chain, 2, maxRounds = 1)
+    }
+  }
+
+  test("kCore: duplicate edges and partitioning don't change the result") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L), (2L, 4L),
+      (1L, 4L), (4L, 5L)).toDF("a", "b")
+    val base = GraphOps.kCore(edges, 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(base == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    val dup = GraphOps.kCore(edges.union(edges).repartition(7), 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dup == base)
+  }
 }

@@ -171,4 +171,30 @@ class SamplingSpec extends SparkSpec {
       .select("id").collect().map(_.getLong(0)).toSet
     assert(again == got)
   }
+
+  test("leakageSafeSplit: no duplicate pair ever straddles two splits") {
+    import spark.implicits._
+    val docs = (1L to 200L).map(i => (i, s"doc $i")).toDF("doc_id", "txt")
+    // chains of near-dups: (1,2),(2,3) cluster {1,2,3}; plus far pairs
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (50L, 151L),
+      (151L, 152L), (199L, 200L)).toDF("id_a", "id_b")
+    val out = Sampling.leakageSafeSplit(docs, "doc_id", pairs,
+      "id_a", "id_b", 0.8, 0.1)
+    val split = out.select($"doc_id", $"split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val clusters = Seq(Seq(1L, 2L, 3L), Seq(10L, 11L),
+      Seq(50L, 151L, 152L), Seq(199L, 200L))
+    clusters.foreach { c =>
+      assert(c.map(split).distinct.size == 1,
+        s"cluster $c straddles splits: ${c.map(split)}")
+    }
+    // singletons route exactly like threeWaySplit on their own id
+    val own = Sampling.threeWaySplit(docs.filter($"doc_id" === 42L),
+      $"doc_id", 0.8, 0.1).head.getString(2)
+    assert(split(42L) == own)
+    // cluster members route by the cluster MIN id
+    val repRoute = Sampling.threeWaySplit(
+      Seq(Tuple1(50L)).toDF("k"), $"k", 0.8, 0.1).head.getString(1)
+    assert(split(151L) == repRoute && split(152L) == repRoute)
+  }
 }

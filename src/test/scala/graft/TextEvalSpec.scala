@@ -47,6 +47,66 @@ class TextEvalSpec extends SparkSpec {
     assert(rows(0L).getLong(6) < rows(1L).getLong(6))
   }
 
+  test("rougeL: textbook LCS values, perfect pair, and disjoint pair") {
+    val rows = TextEval.rougeL(pairs(
+        (0L, "a b c b d a b", "b d c a b a"),    // LCS = 4 (b c b a / b d a b)
+        (1L, "the quick brown fox", "the quick brown fox"),
+        (2L, "alpha beta", "gamma delta")),
+      "id", "cand", "ref")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(rows(0L).getLong(3) == 4)                        // lcs
+    assert(rows(0L).getLong(4) == 4000000L / 7)             // p = 4/7
+    assert(rows(0L).getLong(5) == 4000000L / 6)             // r = 4/6
+    assert(rows(1L).getLong(3) == 4 &&
+      rows(1L).getLong(6) == 1000000L)                      // F1 = 1
+    assert(rows(2L).getLong(3) == 0 && rows(2L).getLong(6) == 0)
+  }
+
+  test("rougeL: maxToks truncates both sides before the DP") {
+    val long = (1 to 100).map(i => s"w$i").mkString(" ")
+    val out = TextEval.rougeL(pairs((0L, long, long)),
+      "id", "cand", "ref", maxToks = 40).head
+    assert(out.getLong(1) == 40 && out.getLong(2) == 40)
+    assert(out.getLong(3) == 40 && out.getLong(6) == 1000000L)
+  }
+
+  test("LcsLength kernel agrees with the HOF spec on fixture pairs") {
+    import spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"source").orderBy($"doc_id")
+    val p = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select($"doc_id", $"source",
+        slice(TextEval.toks($"text"), 1, 12).as("c"),
+        slice(TextEval.toks(lead($"text", 1).over(w)), 1, 12).as("r"))
+      .filter($"r".isNotNull)
+    val mism = p.select(
+        graft.expressions.LcsExpression.lcsLengthF($"c", $"r").as("fast"),
+        TextEval.lcsLengthHof($"c", $"r").as("spec"))
+      .filter($"fast" =!= $"spec").count()
+    assert(mism == 0L)
+  }
+
+  test("LcsLength: interpreted eval agrees with codegen") {
+    import spark.implicits._
+    val p = Seq(
+      (Seq("a", "b", "c"), Seq("b", "c", "a")),
+      (Seq.empty[String], Seq("x")),
+      (Seq("x"), Seq.empty[String]),
+      (Seq("a", "a", "a"), Seq("a", "a"))).toDF("c", "r")
+    val fast = p.select(
+      graft.expressions.LcsExpression.lcsLengthF($"c", $"r").as("v"))
+    val codegen = fast.collect().map(_.getInt(0)).toSeq
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    try {
+      val interp = fast.collect().map(_.getInt(0)).toSeq
+      assert(codegen == interp && codegen == Seq(2, 0, 0, 2))
+    } finally {
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+    }
+  }
+
   test("clippedMatches kernel agrees with the HOF spec on fixture pairs") {
     import spark.implicits._
     val w = org.apache.spark.sql.expressions.Window

@@ -84,4 +84,30 @@ class TrigramLmSpec extends SparkSpec {
     out.values.foreach { case (_, b, k) => assert(k == (b != "tail")) }
     assert(out(0L)._1 < out(6L)._1)
   }
+
+  test("excessSelect: in-domain docs outrank generic docs by excess") {
+    import spark.implicits._
+    // domain slice = medical-ish phrasing; the generic mass dominates
+    // the corpus-wide LM, so domain docs carry HIGH excess (the general
+    // model explains them poorly relative to the domain model)
+    val dom = (0L to 3L).map(i =>
+      (i, "dom", "clinical trial dosage protocol patient cohort"))
+    val gen = (4L to 11L).map(i =>
+      (i, "web", "click here for the best deals online today now"))
+    val corpus = (dom ++ gen).toDF("doc_id", "source", "text")
+    val out = TrigramLm.excessSelect(corpus,
+        corpus.filter($"source" === "dom"), "doc_id", "text")
+      .collect().map(r => (r.getLong(0),
+        (r.getLong(4), r.getBoolean(5)))).toMap
+    // every domain doc has strictly higher excess than every generic doc
+    val minDom = (0L to 3L).map(out(_)._1).min
+    val maxGen = (4L to 11L).map(out(_)._1).max
+    assert(minDom > maxGen, s"excess: $out")
+    // domain docs selected, generic mass (below the median) dropped
+    (0L to 3L).foreach(i => assert(out(i)._2, s"doc $i: ${out(i)}"))
+    // identical docs get identical excess (pure function of text)
+    assert((4L to 11L).map(out(_)._1).distinct.size == 1)
+    // kept set is a median split: at least half the docs survive
+    assert(out.values.count(_._2) >= 6)
+  }
 }
