@@ -583,6 +583,68 @@ object Profile {
       })
     }
 
+    // round-5 additions: LCS pairs, k-center, k-core, leakage split,
+    // excess-ppl — each at 1x and the 10x-duplicated decade
+    if (on("r9")) {
+      import graft.operators.{Coreset, GraphOps, Sampling, TextEval, TrigramLm}
+      import org.apache.spark.sql.expressions.Window
+      def rougePairs(d: DataFrame) = {
+        val w = Window.partitionBy($"source").orderBy($"doc_id")
+        d.select($"doc_id", $"source", $"text",
+            lead($"text", 1).over(w).as("ref_text"))
+          .filter($"ref_text".isNotNull)
+      }
+      val d1 = docs
+      val d10 = dupCorpus(10, withSource = true)
+      time("R9 rougeL 1x")(
+        TextEval.rougeL(rougePairs(d1), "doc_id", "text", "ref_text", 40)
+          .agg(sum($"lcs")).collect())
+      time("R9 rougeL 10x")(
+        TextEval.rougeL(rougePairs(d10), "doc_id", "text", "ref_text", 40)
+          .agg(sum($"lcs")).collect())
+      time("R9 excessSelect 1x")(
+        TrigramLm.excessSelect(d1, d1.filter($"source" === "src0"),
+          "doc_id", "text").agg(sum($"excess4")).collect())
+      time("R9 excessSelect 10x")(
+        TrigramLm.excessSelect(d10, d10.filter($"source" === "src0"),
+          "doc_id", "text").agg(sum($"excess4")).collect())
+      time("R9 leakageSplit 1x")({
+        val p = Dedup.nearDupPairs(d1, "doc_id", "text", 2, 16, 4, 0.2)
+        Sampling.leakageSafeSplit(d1.select($"doc_id"), "doc_id", p,
+          "id_a", "id_b", 0.8, 0.1).groupBy($"split").count().collect()
+      })
+      time("R9 leakageSplit 10x")({
+        val p = Dedup.nearDupPairs(d10, "doc_id", "text", 2, 16, 4, 0.2)
+        Sampling.leakageSafeSplit(d10.select($"doc_id"), "doc_id", p,
+          "id_a", "id_b", 0.8, 0.1).groupBy($"split").count().collect()
+      })
+      val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      val emb10 = (0 until 10).map(i =>
+        emb.select(($"vec_id" + lit(i * 1000000L)).as("vec_id"),
+          transform($"embedding",
+            x => x + lit(i.toFloat / 100f)).as("embedding")))
+        .reduce(_ unionByName _).repartition(32)
+      time("R9 kcenter k=16 1x")(
+        Coreset.farthestPointSample(emb, "vec_id", "embedding", 16).collect())
+      time("R9 kcenter k=16 10x")(
+        Coreset.farthestPointSample(emb10, "vec_id", "embedding", 16).collect())
+      val ev = spark.read.parquet(s"$sfDir/events.parquet")
+      def coEdges(e: DataFrame, items: Long) =
+        GraphOps.cooccurrenceEdges(
+          e.select($"user_id".as("u"),
+            (lit(100000L) + pmod($"event_id", lit(items))).as("i")),
+          $"u", $"i", minShared = 3)
+          .select($"ia".as("a"), $"ib".as("b"))
+      for (items <- Seq(4000L, 1000L)) {
+        val e = coEdges(ev, items).localCheckpoint(false)
+        println(s"[profile] kcore items=$items edges: ${e.count()}")
+        time(s"R9 kcore items=$items")({
+          val c = GraphOps.kCore(e, 11)
+          println(s"[profile]   core nodes: ${c.count()}")
+        })
+      }
+    }
+
     spark.stop()
   }
 }

@@ -114,6 +114,40 @@ class PlanShapeSpec extends SparkSpec {
       !p.contains("HashAggregate"), s"segmentation must stay per-row:\n$p")
   }
 
+  test("q_rouge_pairs: LCS scoring is join-free; the pairing window is the only exchange") {
+    val p = plan("q_rouge_pairs")
+    assert(!p.contains("CartesianProduct") && !p.contains("Join"),
+      s"rougeL scoring must be join-free:\n$p")
+    assert("Window".r.findAllIn(p).size == 1, s"expected 1 window:\n$p")
+    assert(p.contains("lcslength"), s"the native LCS kernel must be in the plan:\n$p")
+  }
+
+  test("q_excess_ppl: both LM model probes broadcast, corpus never sorts") {
+    val p = plan("q_excess_ppl")
+    // two scoring passes, each a broadcast model probe
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      s"both LM probes must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"the corpus must never shuffle-sort for a bounded model:\n$p")
+    assert(!p.contains("Window"), s"no window anywhere:\n$p")
+  }
+
+  test("q_leakage_split: gate is scan-speed hash arithmetic — no window, no cartesian") {
+    val p = plan("q_leakage_split")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), s"no cartesian:\n$p")
+    assert(!p.contains("Window"),
+      s"split routing must not serialize through a window:\n$p")
+  }
+
+  test("q_kcore final degree count partial-aggregates before the gather") {
+    val p = plan("q_kcore")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"degree count must map-side combine:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), s"no cartesian:\n$p")
+  }
+
   test("OPERATORS.md never references a query that does not exist") {
     // doc-drift guard: every q_/qN oracle name cited in OPERATORS.md must
     // be a real SparkEntry.queries key (rows describing spec-only
