@@ -89,7 +89,11 @@ object Bench {
     "q_script_mix",
     // round-8 additions: CCNet ppl bucketing, BLEU/chrF pair QA,
     // TextTiling semantic chunking
-    "q_ppl_buckets", "q_bleu_pairs", "q_chrf_pairs", "q_semantic_chunks")
+    "q_ppl_buckets", "q_bleu_pairs", "q_chrf_pairs", "q_semantic_chunks",
+    // round-5-of-build additions: ROUGE-L, coreset, k-core, leak-safe
+    // split, excess-ppl selection
+    "q_rouge_pairs", "q_kcenter", "q_kcore", "q_leakage_split",
+    "q_excess_ppl", "q_wordpiece_train")
 
   /** Force FULL materialization of every output column: xxhash64 over all
     * columns, summed. `.count()` alone under-measures — Catalyst prunes

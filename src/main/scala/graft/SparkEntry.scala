@@ -8483,6 +8483,19 @@ object SparkEntry {
       TrigramLm.excessSelect(docs, docs.filter($"source" === "src0"),
           "doc_id", "text")
         .orderBy($"doc_id")
+    }),
+
+    // WordPiece merge learning (BpeTrain.learnWordPieceMerges, Schuster
+    // & Nakajima 2012): the BERT-tokenizer likelihood-ratio objective —
+    // argmax of count(l,r)/(count(l)·count(r)) as an exact integer
+    // floor division, completing the trainer trio beside BPE (raw pair
+    // count) and the unigram LM (Viterbi EM). Same scale shape: one
+    // corpus word-count aggregation, then bounded driver iteration.
+    "q_wordpiece_train" -> ((s, dir) => {
+      import s.implicits._
+      BpeTrain.learnWordPieceMerges(
+          spread(s, t(s, dir, "documents")), "text", nMerges = 5)
+        .orderBy($"step")
     })
   )
 
@@ -8727,6 +8740,68 @@ object SparkEntry {
         |b AS (SELECT quantile_disc(excess4, 0.5) AS med FROM ex)
         |SELECT doc_id, n_tri, nll_gen, nll_dom, excess4,
         |  (excess4 >= b.med) AS kept
-        |FROM ex, b ORDER BY doc_id""".stripMargin
+        |FROM ex, b ORDER BY doc_id""".stripMargin,
+
+    // The q_bpe_train CTE chain with the argmax swapped to the
+    // WordPiece likelihood-ratio score: c·10¹² // (cnt(l)·cnt(r)) as
+    // HUGEINT floor division (BigInt on the engine side), ties by pair.
+    "q_wordpiece_train" -> {
+      def pairStep(k: Int): String =
+        s"""sym$k AS MATERIALIZED (
+           |  SELECT t AS sym, SUM(cnt) AS scnt FROM (
+           |    SELECT unnest(s.toks) AS t, s.cnt AS cnt FROM seg${k - 1} s)
+           |  GROUP BY t),
+           |pairs$k AS (
+           |  SELECT p.pair, SUM(s.cnt) AS pcnt
+           |  FROM seg${k - 1} s,
+           |    (SELECT unnest(list_transform(generate_series(1, len(s.toks)-1), i ->
+           |        s.toks[i] || '|' || s.toks[i+1])) AS pair) p
+           |  GROUP BY p.pair),
+           |m$k AS MATERIALIZED (
+           |  SELECT l, r, pcnt::BIGINT AS cnt, $k AS step,
+           |    ((pcnt::HUGEINT * 1000000000000)
+           |     // (sl.scnt::HUGEINT * sr.scnt::HUGEINT))::BIGINT AS score12
+           |  FROM (SELECT string_split(pair, '|')[1] AS l,
+           |               string_split(pair, '|')[2] AS r, pcnt, pair
+           |        FROM pairs$k) p
+           |  JOIN sym$k sl ON sl.sym = p.l
+           |  JOIN sym$k sr ON sr.sym = p.r
+           |  ORDER BY score12 DESC, pair LIMIT 1)""".stripMargin
+      def segStep(k: Int): String =
+        s"""app$k(word, cnt, toks, it) AS (
+           |  SELECT word, cnt, toks, 0 AS it FROM seg${k - 1}
+           |  UNION ALL
+           |  SELECT word, cnt,
+           |         toks[1:idx-1] || [toks[idx] || toks[idx+1]] || toks[idx+2:], it + 1
+           |  FROM (
+           |    SELECT a.word, a.cnt, a.toks, a.it,
+           |           list_position(list_transform(generate_series(1, len(a.toks)-1), i ->
+           |             CASE WHEN a.toks[i] = m.l AND a.toks[i+1] = m.r
+           |                  THEN 1 ELSE 0 END), 1) AS idx
+           |    FROM app$k a CROSS JOIN m$k m)
+           |  WHERE idx IS NOT NULL AND idx > 0),
+           |seg$k AS MATERIALIZED (
+           |  SELECT word, cnt, max_by(toks, it) AS toks FROM app$k
+           |  GROUP BY word, cnt)""".stripMargin
+      val parts = (1 to 5).flatMap(k =>
+        Seq(pairStep(k)) ++ (if (k < 5) Seq(segStep(k)) else Nil))
+      val unions = (2 to 5).map(k => s"UNION ALL SELECT * FROM m$k").mkString(" ")
+      s"""WITH RECURSIVE
+         |words AS (
+         |  SELECT w AS word, COUNT(*)::BIGINT AS cnt FROM (
+         |    SELECT regexp_replace(unnest(
+         |        CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+         |             ELSE string_split_regex(trim(lower(text)), '\\s+') END),
+         |      '[^a-z]', '', 'g') AS w
+         |    FROM documents) WHERE w <> '' GROUP BY w),
+         |seg0 AS MATERIALIZED (
+         |  SELECT word, cnt,
+         |    list_transform(generate_series(1, length(word)), i -> substr(word, i, 1))
+         |      AS toks
+         |  FROM words),
+         |${parts.mkString(",\n")}
+         |SELECT step, l, r, cnt, score12
+         |FROM (SELECT * FROM m1 $unions) ORDER BY step""".stripMargin
+    }
   )
 }

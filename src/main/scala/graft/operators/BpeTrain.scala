@@ -47,6 +47,90 @@ object BpeTrain {
     toMergesDF(spark, train(words, nMerges))
   }
 
+  /** WordPiece merge-rule learning (Schuster & Nakajima 2012; the
+    * BERT-tokenizer objective as implemented in HF tokenizers): same
+    * loop as [[learnMerges]] but the argmax maximizes the LIKELIHOOD
+    * RATIO score count(l,r) / (count(l) · count(r)) instead of the raw
+    * pair count — merging the pair that most exceeds its independence
+    * expectation, so rare-but-cohesive morphemes win over frequent
+    * coincidences. (Continuation-marker bookkeeping (##) is rendering,
+    * not learning — omitted here like the BPE side omits byte-fallback.)
+    *
+    * Determinism contract: the score compares as the exact integer
+    * floor division c·10¹² div (count(l)·count(r)) — BigInt driver-side,
+    * HUGEINT in the oracle — ties broken by smallest "l|r"; everything
+    * else (word prep, overlap counting, left-to-right merge) is shared
+    * with BPE, so the two trainers differ in exactly one line of
+    * contract. Scale shape identical: ONE corpus-sized word count, then
+    * bounded driver iteration.
+    *
+    * Returns (step, l, r, cnt, score12) in learn order.
+    */
+  def learnWordPieceMerges(docs: DataFrame, textCol: String, nMerges: Int,
+                           maxVocab: Int = 1 << 20): DataFrame = {
+    require(nMerges >= 1 && maxVocab >= 1)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val words = docs
+      .select(explode(T.tokens(lower(col(textCol)))).as("__tok"))
+      .select(regexp_replace(col("__tok"), "[^a-z]", "").as("word"))
+      .filter(col("word") =!= "")
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("word")).limit(maxVocab)
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    trainWordPiece(words, nMerges).toDF("step", "l", "r", "cnt", "score12")
+  }
+
+  private val Score12 = BigInt(10).pow(12)
+
+  private[graft] def trainWordPiece(words: Array[(String, Long)],
+      nMerges: Int): Seq[(Int, String, String, Long, Long)] = {
+    var segs: Array[Array[String]] = words.map(_._1.map(_.toString).toArray)
+    val counts = words.map(_._2)
+    val merges = Seq.newBuilder[(Int, String, String, Long, Long)]
+    var step = 1
+    var done = false
+    while (step <= nMerges && !done) {
+      val pc = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      val sc = scala.collection.mutable.HashMap.empty[String, Long]
+      var w = 0
+      while (w < segs.length) {
+        val s = segs(w)
+        var i = 0
+        while (i < s.length) {
+          sc.update(s(i), sc.getOrElse(s(i), 0L) + counts(w))
+          if (i < s.length - 1) {
+            val k = (s(i), s(i + 1))
+            pc.update(k, pc.getOrElse(k, 0L) + counts(w))
+          }
+          i += 1
+        }
+        w += 1
+      }
+      if (pc.isEmpty) done = true
+      else {
+        def score(k: (String, String), c: Long): BigInt =
+          (BigInt(c) * Score12) / (BigInt(sc(k._1)) * BigInt(sc(k._2)))
+        val ((a, b), cnt) = pc.minBy { case (k, c) =>
+          (-score(k, c), k._1 + "|" + k._2)
+        }
+        merges += ((step, a, b, cnt, score((a, b), cnt).toLong))
+        segs = segs.map { s =>
+          val out = Array.newBuilder[String]
+          var i = 0
+          while (i < s.length) {
+            if (i < s.length - 1 && s(i) == a && s(i + 1) == b) {
+              out += (a + b); i += 2
+            } else { out += s(i); i += 1 }
+          }
+          out.result()
+        }
+        step += 1
+      }
+    }
+    merges.result()
+  }
+
   /** Driver-side Sennrich loop over the (word, count) vocab table. */
   private[graft] def train(words: Array[(String, Long)],
                            nMerges: Int): Seq[(Int, String, String, Long)] = {

@@ -103,6 +103,25 @@ class TextFunctionsSpec extends SparkSpec {
     assert(BpeTrain.train(Array("a" -> 5L), 3).isEmpty)
   }
 
+  test("trainWordPiece: likelihood-ratio argmax diverges from BPE's raw count") {
+    import graft.operators.BpeTrain
+    // "ab" is the most FREQUENT pair (cnt 4) but both symbols are
+    // common; "xy" is rare (cnt 2) with rare symbols. BPE picks (a,b);
+    // WordPiece's c/(cl·cr) score picks (x,y):
+    //   score(a,b) = 4/(6·6)  = 0.111…, score(x,y) = 2/(2·2) = 0.5
+    val vocab = Array("ab" -> 4L, "xy" -> 2L, "ba" -> 2L)
+    assert(BpeTrain.train(vocab, 1).head == ((1, "a", "b", 4L)))
+    val wp = BpeTrain.trainWordPiece(vocab, 1).head
+    assert(wp == ((1, "x", "y", 2L, 500000000000L)),
+      s"wordpiece must pick the cohesive rare pair, got $wp")
+    // exact floor-division score: 4·10¹² / 36 = 111111111111
+    val wp2 = BpeTrain.trainWordPiece(Array("ab" -> 4L, "ba" -> 2L), 1)
+    assert(wp2.head._5 == 4L * 1000000000000L / 36L)
+    // tie-break on equal scores: lexicographically smallest pair
+    val tie = BpeTrain.trainWordPiece(Array("ab" -> 1L, "cd" -> 1L), 1)
+    assert(tie.head._2 == "a" && tie.head._3 == "b")
+  }
+
   test("CharEntropy native kernel agrees with the HOF spec; hand-checked values") {
     val fixture = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .select(col("doc_id"), col("text"))
