@@ -8496,6 +8496,19 @@ object SparkEntry {
       BpeTrain.learnWordPieceMerges(
           spread(s, t(s, dir, "documents")), "text", nMerges = 5)
         .orderBy($"step")
+    }),
+
+    // Contriever independent-crop positive pairs (SftPrep
+    // .contrastiveCrops, Izacard et al. 2022): two md5-offset token
+    // spans per document — the label-free query/passage supervision for
+    // contrastive retriever pretraining, pairing with
+    // q_inbatch_negatives' negatives. Pure per-row narrow map, zero
+    // shuffle; offsets are a function of the doc id (RNG-free), so both
+    // engines cut identical spans.
+    "q_contrastive_crops" -> ((s, dir) => {
+      import s.implicits._
+      SftPrep.contrastiveCrops(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy($"doc_id")
     })
   )
 
@@ -8802,6 +8815,26 @@ object SparkEntry {
          |${parts.mkString(",\n")}
          |SELECT step, l, r, cnt, score12
          |FROM (SELECT * FROM m1 $unions) ORDER BY step""".stripMargin
-    }
+    },
+
+    "q_contrastive_crops" ->
+      """WITH t AS (
+        |  SELECT doc_id, CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[]) ELSE string_split_regex(trim(text), '\s+') END AS toks
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, toks, len(toks)::BIGINT AS n,
+        |    GREATEST(1, CAST(FLOOR(len(toks) * 0.5) AS INT)) AS l
+        |  FROM t WHERE len(toks) >= 8),
+        |o AS (
+        |  SELECT doc_id, toks, n, l,
+        |    CAST(('0x'||substr(md5(doc_id::VARCHAR || ':a'), 1, 15))::BIGINT
+        |         % (n - l + 1) AS INT) AS off_a,
+        |    CAST(('0x'||substr(md5(doc_id::VARCHAR || ':b'), 1, 15))::BIGINT
+        |         % (n - l + 1) AS INT) AS off_b
+        |  FROM s)
+        |SELECT doc_id, n AS n_tokens, off_a, off_b,
+        |  array_to_string(list_slice(toks, off_a + 1, off_a + l), ' ') AS crop_a,
+        |  array_to_string(list_slice(toks, off_b + 1, off_b + l), ' ') AS crop_b
+        |FROM o ORDER BY doc_id""".stripMargin
   )
 }

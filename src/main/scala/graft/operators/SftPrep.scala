@@ -138,6 +138,48 @@ object SftPrep {
       .limit(topN)
   }
 
+  /** Contriever-style INDEPENDENT-CROP positive pairs (Izacard et al.
+    * 2022 §3.1): two token spans cropped independently from the same
+    * document form an unsupervised positive pair for contrastive dense-
+    * retriever pretraining — the query/passage supervision a 100 TB raw
+    * corpus can manufacture without labels, feeding the same trainer as
+    * `q_inbatch_negatives` (which supplies the negatives).
+    *
+    * Determinism contract: crop length L = max(1, floor(n·cropFrac));
+    * the two start offsets are hash60(id:"a") and hash60(id:"b") mod
+    * (n−L+1) — a pure function of the doc id, so re-runs, retries and
+    * both engines cut identical spans (the mixture-gate RNG-free
+    * discipline). Docs under `minToks` tokens are dropped (a crop of a
+    * tiny doc is the whole doc — no signal).
+    *
+    * Scale shape: per-row narrow map, zero shuffle at any corpus size.
+    * Returns (idCol, n_tokens, off_a, off_b, crop_a, crop_b).
+    */
+  def contrastiveCrops(df: DataFrame, idCol: String, textCol: String,
+                       minToks: Int = 8,
+                       cropFrac: Double = 0.5): DataFrame = {
+    require(minToks >= 2, s"minToks must be >= 2, got $minToks")
+    require(cropFrac > 0.0 && cropFrac <= 1.0,
+      s"cropFrac must be in (0,1], got $cropFrac")
+    val ts = when(trim(col(textCol)) === "",
+      array().cast("array<string>"))
+      .otherwise(split(trim(col(textCol)), "\\s+"))
+    val n = size(ts)
+    val len = greatest(lit(1), floor(n * lit(cropFrac)).cast("int"))
+    val span = (n - len + 1).cast("long")
+    def off(tag: String): Column =
+      pmod(Dedup.hash60(concat(col(idCol).cast("string"), lit(":" + tag))),
+        span).cast("int")
+    df.filter(n >= minToks)
+      .select(col(idCol), ts.as("__t"), n.cast("long").as("n_tokens"),
+        len.as("__l"), off("a").as("off_a"), off("b").as("off_b"))
+      .select(col(idCol), col("n_tokens"), col("off_a"), col("off_b"),
+        array_join(slice(col("__t"), col("off_a") + 1, col("__l")), " ")
+          .as("crop_a"),
+        array_join(slice(col("__t"), col("off_b") + 1, col("__l")), " ")
+          .as("crop_b"))
+  }
+
   /** Word2vec-style negative-sampling table: the top-N unigrams with
     * count^0.75 weights (micro-unit longs) and their cumulative sum —
     * the inverse-CDF lookup table a sampler binary-searches.

@@ -93,4 +93,30 @@ class SftPrepSpec extends SparkSpec {
           .collect().map(_.toString).toSet)
     assert(run(base.repartition(7)) == run(base.coalesce(1)))
   }
+
+  test("contrastiveCrops: deterministic spans, short docs dropped, crops are real substrings") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, (1 to 20).map(i => s"w$i").mkString(" ")),
+      (2L, "too short to crop"),            // 4 toks < minToks=8
+      (3L, (1 to 9).map(i => s"t$i").mkString(" "))).toDF("doc_id", "text")
+    val out = SftPrep.contrastiveCrops(d, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(!out.contains(2L))
+    // crop length = floor(n/2); offsets inside [0, n-l]
+    val r1 = out(1L)
+    assert(r1.getLong(1) == 20L)
+    val (oa, ob) = (r1.getInt(2), r1.getInt(3))
+    assert(oa >= 0 && oa <= 10 && ob >= 0 && ob <= 10)
+    assert(r1.getString(4).split(" ").length == 10)
+    assert(r1.getString(4) != r1.getString(5) || oa == ob)
+    // each crop is the contiguous token span at its offset
+    val toks = (1 to 20).map(i => s"w$i")
+    assert(r1.getString(4) == toks.slice(oa, oa + 10).mkString(" "))
+    assert(r1.getString(5) == toks.slice(ob, ob + 10).mkString(" "))
+    // pure function of the id: repartitioning changes nothing
+    val again = SftPrep.contrastiveCrops(d.repartition(5), "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.toString).toMap
+    assert(again == out.map { case (k, v) => k -> v.toString })
+  }
 }
