@@ -144,11 +144,36 @@ object TrigramLm {
                    sketchCap: Int = 8192): DataFrame = {
     require(keepFrac > 0.0 && keepFrac < 1.0,
       s"keepFrac must be in (0,1), got $keepFrac")
-    val gen = score(docs, idCol, textCol, train(docs, textCol))
-      .withColumnRenamed("nll", "nll_gen")
-    val dom = score(docs, idCol, textCol, train(ref, textCol))
-      .withColumnRenamed("nll", "nll_dom").drop("n_tri")
-    val scored = gen.join(dom, Seq(idCol))
+    // one corpus pass per COUNT table (localCheckpoint pins the bounded
+    // ≤ ~37³-row result so stats + broadcast don't re-scan the corpus),
+    // then BOTH models probe a SINGLE scoring explode — 3 corpus-scale
+    // passes total where the naive twice-through-`score` shape takes 6
+    def micro(p: Column): Column =
+      round(round(log(p), 6) * 1000000).cast("long")
+    def modelOf(counts: DataFrame, lpName: String): (DataFrame, Column) = {
+      val st = counts.agg(sum(col("cnt")), count(lit(1))).head
+      require(!st.isNullAt(0),
+        "excessSelect: a model side has no trainable trigrams")
+      val tv = st.getLong(0).toDouble + st.getLong(1).toDouble
+      (counts.select(col("tri"),
+        micro((col("cnt").cast("double") + 1.0) / lit(tv)).as(lpName)),
+        micro(lit(1.0) / lit(tv)))
+    }
+    val (mGen, uGen) = modelOf(train(docs, textCol).localCheckpoint(false), "__lpg")
+    val (mDom, uDom) = modelOf(train(ref, textCol).localCheckpoint(false), "__lpd")
+    val scored = docs
+      .select(col(idCol), explode(trigrams(col(textCol))).as("tri"))
+      .join(broadcast(mGen), Seq("tri"), "left")
+      .join(broadcast(mDom), Seq("tri"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tri"),
+        sum(coalesce(col("__lpg"), uGen)).as("__sg"),
+        sum(coalesce(col("__lpd"), uDom)).as("__sd"))
+      .select(col(idCol), col("n_tri"),
+        (round((-col("__sg")).cast("double") / 1000000.0 /
+          col("n_tri").cast("double"), 4) + lit(0.0)).as("nll_gen"),
+        (round((-col("__sd")).cast("double") / 1000000.0 /
+          col("n_tri").cast("double"), 4) + lit(0.0)).as("nll_dom"))
       .withColumn("excess4",
         (round(col("nll_gen") * 10000) -
           round(col("nll_dom") * 10000)).cast("long"))
