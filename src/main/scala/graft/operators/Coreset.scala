@@ -64,7 +64,10 @@ object Coreset {
     def vecOf(row: Row): Array[Float] =
       row.getSeq[Float](row.fieldIndex("__v")).toArray
 
-    // deterministic seed: the smallest id (one bounded min aggregate)
+    // deterministic seed: the smallest id (one bounded min aggregate);
+    // remaining-point count tracked driver-side (n − 1 − picks), so no
+    // per-round isEmpty job
+    val n0 = base.count()
     val seedRow = base.orderBy(col("id")).head
     val seedId = seedRow.get(0)
     var chosen = List[(Any, Option[Long], Int)]((seedId, None, 0))
@@ -75,15 +78,19 @@ object Coreset {
       .select(col("id"), col("__v"), dist4(col("__v"), center).as("__d4"))
       .localCheckpoint(false)
 
-    for (r <- 1 until k if !state.isEmpty) {
-      // argmax d4, ties to the smallest id — one map-side-combined agg
+    for (r <- 1 until math.min(k.toLong, n0).toInt) {
+      // argmax d4 with ties to the smallest id, CARRYING the winning
+      // vector in the struct tail (id is unique, so the vector never
+      // participates in the comparison) — one map-side-combined agg per
+      // round instead of agg + a second lookup scan
       val top = state
-        .agg(min(struct((-col("__d4")).as("nd"), col("id").as("i"))).as("t"))
-        .select(col("t.i"), col("t.nd")).head
+        .agg(min(struct((-col("__d4")).as("nd"), col("id").as("i"),
+          col("__v").as("v"))).as("t"))
+        .select(col("t.i"), col("t.nd"), col("t.v")).head
       val pickId = top.get(0)
       val pickD4 = -top.getLong(1)
       chosen = (pickId, Some(pickD4), r) :: chosen
-      center = vecOf(state.filter(col("id") === lit(pickId)).head)
+      center = top.getSeq[Float](2).toArray
       state = state.filter(col("id") =!= lit(pickId))
         .select(col("id"), col("__v"),
           least(col("__d4"), dist4(col("__v"), center)).as("__d4"))
