@@ -93,7 +93,8 @@ object Bench {
     // round-5-of-build additions: ROUGE-L, coreset, k-core, leak-safe
     // split, excess-ppl selection
     "q_rouge_pairs", "q_kcenter", "q_kcore", "q_leakage_split",
-    "q_excess_ppl", "q_wordpiece_train", "q_contrastive_crops")
+    "q_excess_ppl", "q_wordpiece_train", "q_contrastive_crops",
+    "q_kn_ppl")
 
   /** Force FULL materialization of every output column: xxhash64 over all
     * columns, summed. `.count()` alone under-measures — Catalyst prunes

@@ -8509,6 +8509,21 @@ object SparkEntry {
       import s.implicits._
       SftPrep.contrastiveCrops(t(s, dir, "documents"), "doc_id", "text")
         .orderBy($"doc_id")
+    }),
+
+    // Interpolated Kneser-Ney perplexity (TrigramLm.knScore, Kneser &
+    // Ney 1995 / Chen & Goodman 1999) — the KenLM smoothing CCNet
+    // actually ships, beside q_trigram_lm's add-one simplification:
+    // continuation-count lower orders with fixed D=0.75, every level
+    // round-6 quantized so both engines derive identical doubles from
+    // identical integer counts. All model tables alphabet-bounded and
+    // broadcast; one scoring explode, five broadcast probes.
+    "q_kn_ppl" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      TrigramLm.knScore(docs, docs.filter($"source" === "src0"),
+          "doc_id", "text")
+        .orderBy($"doc_id")
     })
   )
 
@@ -8835,6 +8850,84 @@ object SparkEntry {
         |SELECT doc_id, n AS n_tokens, off_a, off_b,
         |  array_to_string(list_slice(toks, off_a + 1, off_a + l), ' ') AS crop_a,
         |  array_to_string(list_slice(toks, off_b + 1, off_b + l), ' ') AS crop_b
-        |FROM o ORDER BY doc_id""".stripMargin
+        |FROM o ORDER BY doc_id""".stripMargin,
+
+    // Each KN level mirrored table-for-table; every stored probability
+    // ROUND(·, 6), log-probs micro-quantized, doc sums exact integers.
+    "q_kn_ppl" ->
+      """WITH d AS (
+        |  SELECT doc_id, source,
+        |    trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+        |         ' +', ' ', 'g')) AS nt
+        |  FROM documents),
+        |gref AS (
+        |  SELECT unnest(list_transform(generate_series(1, length(nt) - 2),
+        |    i -> substr(nt, i, 3))) AS tri
+        |  FROM d WHERE source = 'src0' AND length(nt) >= 3),
+        |t3 AS MATERIALIZED (SELECT tri, COUNT(*) AS cnt FROM gref GROUP BY tri),
+        |nn AS (SELECT COUNT(*)::DOUBLE AS n FROM t3),
+        |uni AS (
+        |  SELECT c, ROUND(n1c::DOUBLE / nn.n, 6) AS pc FROM (
+        |    SELECT substr(tri, 3, 1) AS c, COUNT(*) AS n1c FROM t3 GROUP BY 1), nn),
+        |midctx AS (SELECT substr(tri, 2, 1) AS b, COUNT(*) AS nb FROM t3 GROUP BY 1),
+        |nbt AS (
+        |  SELECT b, COUNT(*) AS nbt FROM (
+        |    SELECT DISTINCT substr(tri, 2, 1) AS b, substr(tri, 3, 1) AS c FROM t3)
+        |  GROUP BY b),
+        |fb AS (
+        |  SELECT m.b, ROUND(0.75 * nbt.nbt / m.nb, 6) AS fb
+        |  FROM midctx m JOIN nbt USING (b)),
+        |mid AS MATERIALIZED (
+        |  SELECT x.b, x.c,
+        |    ROUND(GREATEST(x.n1bc - 0.75, 0.0) / m.nb
+        |          + 0.75 * nbt.nbt / m.nb * u.pc, 6) AS pmid
+        |  FROM (SELECT substr(tri, 2, 1) AS b, substr(tri, 3, 1) AS c,
+        |               COUNT(*) AS n1bc FROM t3 GROUP BY 1, 2) x
+        |  JOIN midctx m USING (b) JOIN nbt USING (b) JOIN uni u USING (c)),
+        |ctx2 AS MATERIALIZED (
+        |  SELECT substr(tri, 1, 1) AS a, substr(tri, 2, 1) AS b,
+        |         SUM(cnt) AS tot3, ROUND(0.75 * COUNT(*) / SUM(cnt), 6) AS lam
+        |  FROM t3 GROUP BY 1, 2),
+        |lp AS MATERIALIZED (
+        |  SELECT t3.tri,
+        |    CAST(ROUND(ROUND(ln(ROUND(GREATEST(t3.cnt - 0.75, 0.0) / c2.tot3
+        |      + c2.lam * mid.pmid, 6)), 6) * 1000000) AS BIGINT) AS lp
+        |  FROM t3
+        |  JOIN ctx2 c2 ON substr(t3.tri, 1, 1) = c2.a AND substr(t3.tri, 2, 1) = c2.b
+        |  JOIN mid ON substr(t3.tri, 2, 1) = mid.b AND substr(t3.tri, 3, 1) = mid.c),
+        |g AS (
+        |  SELECT doc_id, unnest(list_transform(generate_series(1, length(nt) - 2),
+        |    i -> substr(nt, i, 3))) AS tri
+        |  FROM d WHERE length(nt) >= 3),
+        |j AS (
+        |  SELECT g.doc_id, lp.lp, c2.lam, mid.pmid, fb.fb, uni.pc, nn.n
+        |  FROM g
+        |  LEFT JOIN lp USING (tri)
+        |  LEFT JOIN ctx2 c2 ON substr(g.tri, 1, 1) = c2.a AND substr(g.tri, 2, 1) = c2.b
+        |  LEFT JOIN mid ON substr(g.tri, 2, 1) = mid.b AND substr(g.tri, 3, 1) = mid.c
+        |  LEFT JOIN fb ON substr(g.tri, 2, 1) = fb.b
+        |  LEFT JOIN uni ON substr(g.tri, 3, 1) = uni.c
+        |  CROSS JOIN nn),
+        |e1 AS (
+        |  SELECT doc_id, lp, lam, pmid, fb,
+        |    COALESCE(pc, ROUND(1.0 / (2 * n), 6)) AS pce
+        |  FROM j),
+        |e2 AS (
+        |  SELECT doc_id, lp, lam,
+        |    COALESCE(pmid, CASE WHEN fb IS NOT NULL THEN ROUND(fb * pce, 6)
+        |                        ELSE pce END) AS pme
+        |  FROM e1),
+        |e3 AS (
+        |  SELECT doc_id, lp,
+        |    CASE WHEN lam IS NOT NULL THEN ROUND(lam * pme, 6) ELSE pme END AS pf
+        |  FROM e2),
+        |sc AS (
+        |  SELECT doc_id, COUNT(*) AS n_tri,
+        |    SUM(COALESCE(lp,
+        |      CAST(ROUND(ROUND(ln(pf), 6) * 1000000) AS BIGINT))) AS s
+        |  FROM e3 GROUP BY doc_id)
+        |SELECT doc_id, CAST(n_tri AS BIGINT) AS n_tri,
+        |  ROUND((-s)::DOUBLE / 1000000.0 / n_tri::DOUBLE, 4) + 0.0 AS nll
+        |FROM sc ORDER BY doc_id""".stripMargin
   )
 }

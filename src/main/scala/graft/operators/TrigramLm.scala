@@ -114,6 +114,105 @@ object TrigramLm {
     * integer ten-thousandths — every step cross-engine exact
     * (`q_ppl_buckets`).
     */
+  /** Interpolated KNESER-NEY scoring (Kneser & Ney 1995; Chen & Goodman
+    * 1999's interpolated variant — the smoothing KenLM implements and
+    * CCNet actually ships, where [[score]]'s add-one is the teaching
+    * simplification): per-doc mean nll under a char-trigram KN model
+    * with fixed discount D = 0.75 and CONTINUATION-count lower orders —
+    * "how many contexts does this char complete" rather than raw
+    * frequency, the distinction that stops high-count-but-single-context
+    * grams (the "San Francisco" effect) from dominating backoff mass.
+    *
+    * Three quantized levels, every stored value round-6 (the micro-unit
+    * discipline — both engines derive identical doubles from identical
+    * integer counts through identical expression trees):
+    *   pc(c)      = round(N1+(··c) / N, 6)
+    *   pmid(b,c)  = round(max(N1+(·bc)−D,0)/N1+(·b·)
+    *                      + (D·|{c: ·bc seen}|/N1+(·b·))·pc(c), 6)
+    *   ptri(abc)  = round(max(c3−D,0)/c2(ab·) + lam(ab)·pmid(b,c), 6)
+    *   lam(ab)    = round(D·N1+(ab·)/c2(ab·), 6)
+    * Unseen fallbacks (contract, KenLM's backoff-weight-1 shape): seen
+    * ab → round(lam·pmid, 6); unseen ab → pmid; unseen (b,c) but seen
+    * b → round(fb·pc, 6) with fb = round(D·|{c}|/N1+(·b·), 6); unseen
+    * b → pc; unseen c → round(1/(2N), 6). Per-trigram
+    * lp = round(ln(p),6)·10⁶ integer micro, doc sums exact.
+    *
+    * Scale shape identical to [[score]]: every model table is bounded
+    * by the alphabet (≤ 37³ rows) and broadcasts; scoring is ONE corpus
+    * explode probed by five broadcast joins + a per-doc partial sum.
+    * Returns (idCol, n_tri, nll) for docs with ≥ 1 trigram.
+    */
+  def knScore(docs: DataFrame, ref: DataFrame, idCol: String,
+              textCol: String): DataFrame = {
+    val D = 0.75
+    val tri3 = train(ref, textCol).localCheckpoint(false)
+    val n = tri3.count()
+    require(n > 0L, "knScore: reference corpus has no trigrams")
+    val a = substring(col("tri"), 1, 1)
+    val b = substring(col("tri"), 2, 1)
+    val c = substring(col("tri"), 3, 1)
+    val uni = tri3.groupBy(c.as("__c"))
+      .agg(count(lit(1)).as("__n1c"))
+      .select(col("__c"), round(col("__n1c").cast("double") / n, 6).as("__pc"))
+    val midCtx = tri3.groupBy(b.as("__b"))
+      .agg(count(lit(1)).as("__nb"))                       // N1+(·b·)
+    val nbTypes = tri3.select(b.as("__b"), c.as("__c")).distinct()
+      .groupBy(col("__b")).agg(count(lit(1)).as("__nbt"))  // |{c: ·bc}|
+    val fbT = midCtx.join(nbTypes, Seq("__b"))
+      .select(col("__b"),
+        round(lit(D) * col("__nbt") / col("__nb"), 6).as("__fb"))
+    val mid = tri3.groupBy(b.as("__b"), c.as("__c"))
+      .agg(count(lit(1)).as("__n1bc"))                     // N1+(·bc)
+      .join(midCtx, Seq("__b")).join(nbTypes, Seq("__b"))
+      .join(uni, Seq("__c"))
+      .select(col("__b"), col("__c"),
+        round(greatest(col("__n1bc") - lit(D), lit(0.0)) / col("__nb") +
+          lit(D) * col("__nbt") / col("__nb") * col("__pc"), 6).as("__pmid"))
+    val ctx2 = tri3.groupBy(a.as("__a"), b.as("__b"))
+      .agg(sum(col("cnt")).as("__tot3"), count(lit(1)).as("__n1ab"))
+      .select(col("__a"), col("__b"), col("__tot3"),
+        round(lit(D) * col("__n1ab") / col("__tot3"), 6).as("__lam"))
+    val midR = mid.select(col("__b").as("__mb"), col("__c").as("__mc"),
+      col("__pmid"))
+    val lpT = tri3
+      .join(ctx2, a === col("__a") && b === col("__b"))
+      .join(midR, b === col("__mb") && c === col("__mc"))
+      .select(col("tri"),
+        round(round(log(round(greatest(col("cnt") - lit(D), lit(0.0)) /
+            col("__tot3") +
+          col("__lam") * col("__pmid"), 6)), 6) * 1000000)
+          .cast("long").as("__lp"))
+    val pcUnseen = math.floor(1.0 / (2.0 * n) * 1e6 + 0.5) / 1e6
+    val g = docs
+      .select(col(idCol), explode(trigrams(col(textCol))).as("tri"))
+      .select(col(idCol), col("tri"), a.as("__ga"), b.as("__gb"),
+        c.as("__gc"))
+    val joined = g
+      .join(broadcast(lpT), Seq("tri"), "left")
+      .join(broadcast(ctx2.select(col("__a").as("__ga"),
+        col("__b").as("__gb"), col("__lam"))), Seq("__ga", "__gb"), "left")
+      .join(broadcast(mid.select(col("__b").as("__gb"),
+        col("__c").as("__gc"), col("__pmid"))), Seq("__gb", "__gc"), "left")
+      .join(broadcast(fbT.select(col("__b").as("__gb"), col("__fb"))),
+        Seq("__gb"), "left")
+      .join(broadcast(uni.select(col("__c").as("__gc"), col("__pc"))),
+        Seq("__gc"), "left")
+    val pcEff = coalesce(col("__pc"), lit(pcUnseen))
+    val pmidEff = coalesce(col("__pmid"),
+      when(col("__fb").isNotNull, round(col("__fb") * pcEff, 6))
+        .otherwise(pcEff))
+    val pFallback = when(col("__lam").isNotNull,
+      round(col("__lam") * pmidEff, 6)).otherwise(pmidEff)
+    val lpEff = coalesce(col("__lp"),
+      round(round(log(pFallback), 6) * 1000000).cast("long"))
+    joined.select(col(idCol), lpEff.as("__lpe"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tri"), sum(col("__lpe")).as("__s"))
+      .select(col(idCol), col("n_tri"),
+        (round((-col("__s")).cast("double") / 1000000.0 /
+          col("n_tri").cast("double"), 4) + lit(0.0)).as("nll"))
+  }
+
   /** EXCESS-perplexity data selection (the RHO-1 / DoReMi excess-loss
     * move, Lin et al. 2024, at corpus granularity): score every document
     * under TWO LMs — a GENERAL model trained on the whole corpus and a

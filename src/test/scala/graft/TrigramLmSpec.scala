@@ -85,6 +85,76 @@ class TrigramLmSpec extends SparkSpec {
     assert(out(0L)._1 < out(6L)._1)
   }
 
+  test("knScore matches an independent driver-side KN reference bit-for-bit") {
+    import spark.implicits._
+    val ref = docs(
+      (0L, "the mat sat on the mat"),
+      (1L, "a cat sat on a hat"),
+      (2L, "the cat and the hat"))
+    val probe = docs(
+      (10L, "the cat sat"),            // all-seen trigrams
+      (11L, "zq zq xx"),               // unseen chars -> floor path
+      (12L, "the mat"),                // high-count path
+      (13L, "hat on a mat the cat"))   // mixed
+    val out = TrigramLm.knScore(probe, ref, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+
+    // independent reference: plain Scala maps over the same counts
+    def norm(s: String) =
+      s.toLowerCase.replaceAll("[^a-z0-9 ]", " ").replaceAll(" +", " ").trim
+    def tris(s: String) = { val n = norm(s)
+      if (n.length < 3) Seq.empty else (0 to n.length - 3).map(i => n.substring(i, i + 3)) }
+    val cnt = scala.collection.mutable.Map.empty[String, Long]
+    Seq("the mat sat on the mat", "a cat sat on a hat", "the cat and the hat")
+      .foreach(t => tris(t).foreach(g => cnt(g) = cnt.getOrElse(g, 0L) + 1))
+    val D = 0.75
+    val n = cnt.size.toDouble
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    val pc = cnt.keys.groupBy(_.substring(2)).map { case (c, g) =>
+      c -> r6(g.size / n) }
+    val nb = cnt.keys.groupBy(_.substring(1, 2)).map { case (b, g) => b -> g.size }
+    val nbtSet: Set[(String, String)] =
+      cnt.keys.map(t => (t.substring(1, 2), t.substring(2))).toSet
+    val nbt = nbtSet.groupBy(_._1).map { case (b, g) => b -> g.size }
+    val fb = nb.map { case (b, v) => b -> r6(D * nbt(b) / v) }
+    // NB keys.toSeq first: mapping over the key SET would dedupe the
+    // (b, c) projections and silently collapse every N1+(·bc) to 1
+    val pmid = cnt.keys.toSeq.map(t => (t.substring(1, 2), t.substring(2)))
+      .groupBy(identity).map { case ((b, c), g) =>
+        (b, c) -> r6(math.max(g.size - D, 0.0) / nb(b) + D * nbt(b) / nb(b) * pc(c)) }
+    val ctx = cnt.toSeq.groupBy(_._1.substring(0, 2)).map { case (ab, g) =>
+      ab -> (g.map(_._2).sum, r6(D * g.size / g.map(_._2).sum)) }
+    def lpOf(t: String): Long = {
+      val (ab, bc, b, c) = (t.substring(0, 2), (t.substring(1, 2), t.substring(2)),
+        t.substring(1, 2), t.substring(2))
+      val pcE = pc.getOrElse(c, r6(1.0 / (2 * n)))
+      val pmE = pmid.getOrElse(bc,
+        fb.get(b).map(f => r6(f * pcE)).getOrElse(pcE))
+      val p = cnt.get(t) match {
+        case Some(c3) =>
+          val (tot, lam) = ctx(ab)
+          r6(math.max(c3 - D, 0.0) / tot + lam * pmE)
+        case None => ctx.get(ab) match {
+          case Some((_, lam)) => r6(lam * pmE)
+          case None => pmE
+        }
+      }
+      math.round(r6(math.log(p)) * 1e6)
+    }
+    def nllOf(text: String): (Long, Double) = {
+      val ts = tris(text)
+      val s = ts.map(lpOf).sum
+      (ts.size.toLong,
+        math.round(-s / 1e6 / ts.size * 1e4) / 1e4 + 0.0)
+    }
+    Seq(10L -> "the cat sat", 11L -> "zq zq xx", 12L -> "the mat",
+      13L -> "hat on a mat the cat").foreach { case (id, text) =>
+      assert(out(id) == nllOf(text), s"doc $id: ${out(id)} vs ${nllOf(text)}")
+    }
+    // unseen junk scores strictly worse than in-domain text
+    assert(out(11L)._2 > out(10L)._2)
+  }
+
   test("excessSelect: in-domain docs outrank generic docs by excess") {
     import spark.implicits._
     // domain slice = medical-ish phrasing; the generic mass dominates
