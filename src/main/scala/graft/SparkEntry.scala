@@ -8524,6 +8524,17 @@ object SparkEntry {
       TrigramLm.knScore(docs, docs.filter($"source" === "src0"),
           "doc_id", "text")
         .orderBy($"doc_id")
+    }),
+
+    // Curriculum staging (Packing.curriculumStages, Bengio et al.
+    // 2009): quality-score terciles as easy→hard training stages plus
+    // a deterministic within-stage hash order. Boundaries from the KLL
+    // sketch (bounded), assignment scan-speed; the order is a COLUMN,
+    // never a global sort.
+    "q_curriculum" -> ((s, dir) => {
+      import s.implicits._
+      Packing.curriculumStages(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy($"doc_id")
     })
   )
 
@@ -8928,6 +8939,31 @@ object SparkEntry {
         |  FROM e3 GROUP BY doc_id)
         |SELECT doc_id, CAST(n_tri AS BIGINT) AS n_tri,
         |  ROUND((-s)::DOUBLE / 1000000.0 / n_tri::DOUBLE, 4) + 0.0 AS nll
-        |FROM sc ORDER BY doc_id""".stripMargin
+        |FROM sc ORDER BY doc_id""".stripMargin,
+
+    "q_curriculum" ->
+      """WITH x AS (
+        |  SELECT doc_id,
+        |         CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+        |              ELSE string_split_regex(trim(text), '\s+') END AS toks
+        |  FROM documents),
+        |y AS (
+        |  SELECT doc_id, len(toks)::DOUBLE AS nt,
+        |         len(list_filter(toks, t -> list_contains(
+        |           ['the','a','of','and','to','in','is'], t)))::DOUBLE AS stop_hits
+        |  FROM x),
+        |sc AS (
+        |  SELECT doc_id,
+        |    CAST(ROUND(ROUND(LEAST(nt/100.0, 1.0)
+        |         * (0.7 + 0.3 * stop_hits / GREATEST(nt, 1.0)), 4) * 10000)
+        |      AS BIGINT) AS q4
+        |  FROM y),
+        |b AS (
+        |  SELECT quantile_disc(q4, 0.33) AS b33, quantile_disc(q4, 0.66) AS b66
+        |  FROM sc)
+        |SELECT doc_id, q4,
+        |  CASE WHEN q4 > b66 THEN 0 WHEN q4 > b33 THEN 1 ELSE 2 END AS stage,
+        |  ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 1000000 AS ord
+        |FROM sc, b ORDER BY doc_id""".stripMargin
   )
 }

@@ -53,6 +53,42 @@ object Packing {
     * Collision note: ties in the 60-bit hash break by the hash of the
     * key alone, so `seq` stays total as long as keys are unique.
     */
+  /** CURRICULUM staging (Bengio et al. 2009 applied to corpus prep):
+    * assign every document a difficulty tercile from its quality score —
+    * stage 0 = easiest (highest-quality) third, stage 2 = hardest — plus
+    * a deterministic within-stage traversal order, so a trainer can feed
+    * stages in sequence (the easy→hard schedule) while each stage
+    * streams in reproducible hash order.
+    *
+    * Boundaries come from the mergeable KLL sketch over integer
+    * ten-thousandth scores (exact below capacity — quantile_disc
+    * semantics, the pplBuckets discipline), broadcast back as two
+    * literals; stage assignment and the hash order are then scan-speed
+    * per-row compute. Nothing global-sorts: the ORDER is a column
+    * (ord), not a physical sort — the trainer's reader sorts its own
+    * stage shard, which is the only place a sort can be afforded at
+    * 100 TB. Returns (idCol, q4, stage, ord).
+    */
+  def curriculumStages(docs: DataFrame, idCol: String, textCol: String,
+                       sketchCap: Int = 8192): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    val q4 = round(round(graft.functions.TextFunctions
+      .qualityScore(col(textCol)), 4) * 10000).cast("long")
+    val scored = docs.select(col(idCol), q4.as("q4"))
+    val sketch = udaf(
+      new QuantileSketch.KllQuantilesAgg(sketchCap, Seq("0.33", "0.66")),
+      Encoders.scalaDouble)
+    val b = scored.agg(sketch(col("q4").cast("double")).as("__qv"))
+      .select(element_at(col("__qv"), 1).cast("long"),
+        element_at(col("__qv"), 2).cast("long")).head
+    val (b33, b66) = (b.getLong(0), b.getLong(1))
+    // high quality = easy = stage 0; terciles of the SCORE distribution
+    scored.select(col(idCol), col("q4"),
+      when(col("q4") > b66, 0).when(col("q4") > b33, 1).otherwise(2)
+        .as("stage"),
+      pmod(Dedup.hash60(col(idCol).cast("string")), lit(1000000L)).as("ord"))
+  }
+
   def trainerShards(df: DataFrame, key: Column, nShards: Int,
                     epoch: Int): DataFrame = {
     require(nShards > 0, s"nShards must be positive, got $nShards")

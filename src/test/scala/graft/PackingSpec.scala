@@ -66,4 +66,27 @@ class PackingSpec extends SparkSpec {
       Packing.lengthBuckets(d, col("nt"), ladder = Seq(32, 16))
     }
   }
+
+  test("curriculumStages: terciles by quality, highest-quality stage 0, hash order deterministic") {
+    import spark.implicits._
+    // quality = min(n/100,1)·(0.7+0.3·stopratio): long stopword-rich
+    // docs are "easy", terse junk is "hard"
+    val easy = (1L to 3L).map(i =>
+      (i, ("the a of and to in is " * 20).trim))
+    val mid = (4L to 6L).map(i => (i, "plain words without stopwords here"))
+    val hard = (7L to 9L).map(i => (i, "zz"))
+    val d = (easy ++ mid ++ hard).toDF("doc_id", "text")
+    val out = Packing.curriculumStages(d, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getInt(2), r.getLong(3)))
+      .toMap
+    (1L to 3L).foreach(i => assert(out(i)._2 == 0, s"doc $i: ${out(i)}"))
+    (4L to 6L).foreach(i => assert(out(i)._2 == 1, s"doc $i: ${out(i)}"))
+    (7L to 9L).foreach(i => assert(out(i)._2 == 2, s"doc $i: ${out(i)}"))
+    // stage ranks strictly by q4 terciles; ord is in [0, 1e6)
+    assert(out.values.forall(v => v._3 >= 0 && v._3 < 1000000L))
+    val again = Packing.curriculumStages(d.repartition(5), "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getInt(2), r.getLong(3))).toMap
+    assert(again == out)
+  }
 }
