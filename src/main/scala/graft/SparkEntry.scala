@@ -8535,6 +8535,32 @@ object SparkEntry {
       import s.implicits._
       Packing.curriculumStages(t(s, dir, "documents"), "doc_id", "text")
         .orderBy($"doc_id")
+    }),
+
+    // Content-defined chunk dedup (Dedup.cdcChunks — Rabin rolling-hash
+    // boundaries, the LBFS/backup-dedup classic): the third dedup
+    // granularity between whole-doc fingerprints and 8-token window
+    // spans; boundaries are local-content functions, so insertions
+    // re-align instead of desynchronizing every later chunk (the
+    // fixed-size-chunking failure; DedupSpec pins it). One native
+    // O(len) pass per doc, one (8-byte hash, id) shuffle for the
+    // duplicated-chunk set — text never shuffles.
+    "q_cdc_dedup" -> ((s, dir) => {
+      import s.implicits._
+      val d = spread(s, t(s, dir, "documents"))
+        .select($"doc_id", Dedup.cdcChunks($"text").as("__chunks"))
+        .filter(size($"__chunks") > 0)
+      val ex = d.select($"doc_id",
+          explode($"__chunks").as("__c"))
+        .select($"doc_id", Dedup.hash60(col("__c")).as("__h"))
+      val dup = ex.groupBy($"__h").agg(count(lit(1)).as("__n"))
+        .filter($"__n" >= 2).select($"__h")
+      ex.join(dup, Seq("__h"), "left_semi")
+        .groupBy($"doc_id").agg(count(lit(1)).as("n_dup"))
+        .join(d.select($"doc_id", size($"__chunks").cast("long")
+          .as("n_chunks")), Seq("doc_id"), "right")
+        .select($"doc_id", $"n_chunks", coalesce($"n_dup", lit(0L)).as("n_dup"))
+        .orderBy($"doc_id")
     })
   )
 
@@ -8964,6 +8990,47 @@ object SparkEntry {
         |SELECT doc_id, q4,
         |  CASE WHEN q4 > b66 THEN 0 WHEN q4 > b33 THEN 1 ELSE 2 END AS stage,
         |  ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 1000000 AS ord
-        |FROM sc, b ORDER BY doc_id""".stripMargin
+        |FROM sc, b ORDER BY doc_id""".stripMargin,
+
+    // Rolling-hash boundaries replicated with precomputed B^j mod M
+    // power literals (window recomputed per position — the HOF-twin
+    // formulation; the engine's rolling kernel is congruent mod M).
+    "q_cdc_dedup" -> {
+      val M = 1000000007L
+      val B = 257L
+      val w = 16
+      val pows = Array.iterate(1L, w)(p => p * B % M).reverse
+      val hExpr = pows.indices.map(j =>
+        s"ord(substr(nt, p - ${w} + 1 + ${j}, 1))::BIGINT * ${pows(j)}")
+        .mkString("(", " + ", s") % $M")
+      s"""WITH d AS (
+         |  SELECT doc_id,
+         |    trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+         |         ' +', ' ', 'g')) AS nt
+         |  FROM documents),
+         |st AS (
+         |  SELECT doc_id, nt,
+         |    CASE WHEN length(nt) <= $w THEN [0]
+         |    ELSE [0] || list_filter(generate_series($w, length(nt) - 1),
+         |      p -> ($hExpr) % 32 = 31) END AS starts
+         |  FROM d WHERE length(nt) > 0),
+         |ch AS (
+         |  SELECT doc_id, len(starts)::BIGINT AS n_chunks,
+         |    list_transform(generate_series(1, len(starts)), k ->
+         |      substr(nt, starts[k] + 1,
+         |        (CASE WHEN k < len(starts) THEN starts[k + 1]
+         |              ELSE length(nt) END) - starts[k])) AS chunks
+         |  FROM st),
+         |ex AS (
+         |  SELECT doc_id,
+         |    ('0x' || substr(md5(unnest(chunks)), 1, 15))::BIGINT AS h
+         |  FROM ch),
+         |dup AS (SELECT h FROM ex GROUP BY h HAVING COUNT(*) >= 2),
+         |nd AS (
+         |  SELECT doc_id, COUNT(*)::BIGINT AS n_dup FROM ex
+         |  WHERE h IN (SELECT h FROM dup) GROUP BY doc_id)
+         |SELECT ch.doc_id, ch.n_chunks, COALESCE(nd.n_dup, 0) AS n_dup
+         |FROM ch LEFT JOIN nd USING (doc_id) ORDER BY ch.doc_id""".stripMargin
+    }
   )
 }

@@ -26,6 +26,49 @@ object Dedup {
   def hash60(s: Column): Column =
     conv(substring(md5(s.cast("binary")), 1, 15), 16, 10).cast("long")
 
+  /** Content-defined chunks of the TrigramLm-normalized text (Rabin
+    * rolling-hash boundaries via the native `CdcChunkStarts` kernel,
+    * Muthitacharoen et al. 2001 — the LBFS/backup-dedup classic): chunk
+    * boundaries depend only on local window content, so an insertion
+    * shifts at most the chunks up to the first surviving boundary and
+    * everything after re-aligns — the robustness fixed-size chunking
+    * lacks, and the third granularity tier between whole-doc
+    * fingerprints and 8-token window spans. Returns the chunk STRING
+    * array; per-row compute, no shuffle.
+    */
+  def cdcChunks(text: Column, w: Int = 16, d: Int = 32): Column = {
+    val nt = TrigramLm.normalize(text)
+    val starts = graft.expressions.CdcExpression.cdcChunkStartsF(nt, w, d)
+    val nS = size(starts)
+    // sequence(1, 0) would DESCEND — guard the empty-text case
+    when(nS === 0, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), nS), k =>
+        nt.substr(element_at(starts, k) + 1,
+          when(k < nS, element_at(starts, k + 1)).otherwise(length(nt))
+            - element_at(starts, k))))
+  }
+
+  /** Declarative HOF spec of the `CdcChunkStarts` kernel — recomputes
+    * each window hash from scratch (O(len·w)); agreement-tested in
+    * DedupSpec, never the hot path. Mirrors the oracle's formulation:
+    * Σ code·B^(w−1−j) mod M with precomputed power literals.
+    */
+  def cdcStartsHof(ntext: Column, w: Int = 16, d: Int = 32): Column = {
+    val M = 1000000007L
+    val B = 257L
+    val pows = Array.iterate(1L, w)(p => p * B % M).reverse // B^(w-1)..B^0
+    val n = length(ntext)
+    val bounds = filter(sequence(lit(w), greatest(n - 1, lit(w))), p => {
+      val h = pows.indices.map(j =>
+        ascii(ntext.substr(p - lit(w) + lit(1) + lit(j), lit(1))) *
+          lit(pows(j))).reduce(_ + _) % lit(M)
+      p <= n - 1 && h % d === d - 1
+    })
+    when(n === 0, array().cast("array<int>"))
+      .when(n <= w, array(lit(0)))
+      .otherwise(concat(array(lit(0)), transform(bounds, _.cast("int"))))
+  }
+
   /** Distinct word n-gram shingles, SORTED ascending (binary string order);
     * fewer than n tokens → empty set. Sorting costs O(s log s) once per row
     * and buys the zero-allocation merge intersection in `jaccard` for every

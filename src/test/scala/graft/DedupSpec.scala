@@ -570,4 +570,61 @@ class DedupSpec extends SparkSpec {
     assert(kept.zip(kept.drop(1)).forall { case (a, b) => a >= b })
     assert(kept.head == all.count(), "threshold 0 keeps every candidate")
   }
+
+  test("CdcChunkStarts kernel agrees with the HOF spec; chunks tile the text") {
+    import spark.implicits._
+    val fixture = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(graft.operators.TrigramLm.normalize(col("text")).as("nt"))
+    val edge = Seq("", "ab", "a" * 16, "a" * 17, "the quick brown fox " * 10)
+      .toDF("nt")
+    Seq(fixture, edge).foreach { df =>
+      val mism = df.select(
+          graft.expressions.CdcExpression.cdcChunkStartsF($"nt", 16, 32)
+            .as("fast"),
+          Dedup.cdcStartsHof($"nt", 16, 32).as("spec"))
+        .filter(not($"fast" <=> $"spec")).count()
+      assert(mism == 0L)
+    }
+    // chunks concatenate back to the normalized text exactly
+    val bad = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(graft.operators.TrigramLm.normalize(col("text")).as("nt"),
+        Dedup.cdcChunks(col("text")).as("ch"))
+      .filter(length($"nt") > 0 &&
+        concat_ws("", $"ch") =!= $"nt").count()
+    assert(bad == 0L)
+  }
+
+  test("CdcChunkStarts: interpreted eval agrees with codegen") {
+    import spark.implicits._
+    val df = Seq("", "short", "the quick brown fox jumps over the lazy dog " * 5)
+      .toDF("nt")
+    val expr = graft.expressions.CdcExpression.cdcChunkStartsF($"nt", 16, 32)
+    val fast = df.select(expr.as("v"))
+    val codegen = fast.collect().map(_.getSeq[Int](0)).toSeq
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    try {
+      val interp = fast.collect().map(_.getSeq[Int](0)).toSeq
+      assert(codegen == interp)
+    } finally {
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+    }
+  }
+
+  test("CDC boundaries re-align after a prefix insertion (the anti-fixed-size property)") {
+    import spark.implicits._
+    val body = "the quick brown fox jumps over the lazy dog and then " +
+      "runs far away into the deep green forest tonight again and again"
+    val shifted = "inserted new prefix words " + body
+    val Seq(a, b) = Seq(body, shifted).toDF("t")
+      .select(Dedup.cdcChunks($"t").as("ch")).collect()
+      .map(_.getSeq[String](0)).toSeq
+    // every chunk of the original after the first boundary reappears
+    // identically in the shifted version (fixed-size chunking would
+    // desynchronize every chunk after the insertion point)
+    val tailChunks = a.drop(1)
+    assert(tailChunks.nonEmpty && tailChunks.forall(b.contains),
+      s"original tail chunks $tailChunks must survive in $b")
+  }
 }
