@@ -8561,6 +8561,35 @@ object SparkEntry {
           .as("n_chunks")), Seq("doc_id"), "right")
         .select($"doc_id", $"n_chunks", coalesce($"n_dup", lit(0L)).as("n_dup"))
         .orderBy($"doc_id")
+    }),
+
+    // RAG groundedness (TextEval.groundedness — the deterministic core
+    // of RAGAS faithfulness): fraction of the answer's word bigrams
+    // present in the context, clipped multiset semantics via the
+    // sorted-merge kernel. Pairing: each doc as context vs the next
+    // doc in its source as the "generated" answer (values land strictly
+    // inside (0,1) — an extractive answer would pin 1.0, SpecSpec).
+    "q_groundedness" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"source").orderBy($"doc_id")
+      val pairs = t(s, dir, "documents")
+        .select($"doc_id", $"source", $"text",
+          lead($"text", 1).over(w).as("answer"))
+        .filter($"answer".isNotNull)
+      TextEval.groundedness(pairs, "doc_id", "answer", "text")
+        .orderBy($"doc_id")
+    }),
+
+    // l-diversity release audit (Privacy.lDiversityAudit,
+    // Machanavajjhala et al. 2007) — the homogeneity-attack gate
+    // k-anonymity misses: a group must carry >= l distinct sensitive
+    // values to publish. Same bounded group-table shape as
+    // q_k_anonymity; the two gates compose.
+    "q_l_diversity" -> ((s, dir) => {
+      import s.implicits._
+      Privacy.lDiversityAudit(t(s, dir, "documents"),
+          Seq($"source", $"lang"), pmod(length($"text"), lit(4)), l = 3)
+        .orderBy($"source", $"lang")
     })
   )
 
@@ -9031,6 +9060,43 @@ object SparkEntry {
          |  WHERE h IN (SELECT h FROM dup) GROUP BY doc_id)
          |SELECT ch.doc_id, ch.n_chunks, COALESCE(nd.n_dup, 0) AS n_dup
          |FROM ch LEFT JOIN nd USING (doc_id) ORDER BY ch.doc_id""".stripMargin
-    }
+    },
+
+    "q_groundedness" ->
+      """WITH d AS (
+        |  SELECT doc_id, source,
+        |    CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+        |         ELSE string_split_regex(trim(text), '\s+') END AS toks
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id, toks AS ctx,
+        |    lead(toks) OVER (PARTITION BY source ORDER BY doc_id) AS ans
+        |  FROM d),
+        |g AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(ans) < 2 THEN CAST([] AS VARCHAR[])
+        |         ELSE list_transform(generate_series(1, len(ans) - 1),
+        |                i -> ans[i] || ' ' || ans[i + 1]) END AS a2,
+        |    CASE WHEN len(ctx) < 2 THEN CAST([] AS VARCHAR[])
+        |         ELSE list_transform(generate_series(1, len(ctx) - 1),
+        |                i -> ctx[i] || ' ' || ctx[i + 1]) END AS c2
+        |  FROM p WHERE ans IS NOT NULL),
+        |m AS (
+        |  SELECT doc_id, len(a2)::BIGINT AS a_len,
+        |    COALESCE(list_sum(list_transform(list_distinct(a2),
+        |      x -> LEAST(len(list_filter(a2, y -> y = x)),
+        |                 len(list_filter(c2, y -> y = x))))), 0)::BIGINT
+        |      AS n_grounded
+        |  FROM g WHERE len(a2) > 0)
+        |SELECT doc_id, a_len, n_grounded,
+        |  (n_grounded * 1000000) // a_len AS grounded_micro
+        |FROM m ORDER BY doc_id""".stripMargin,
+
+    "q_l_diversity" ->
+      """SELECT source, lang, COUNT(*)::BIGINT AS n,
+        |  COUNT(DISTINCT length(text) % 4)::BIGINT AS n_sensitive,
+        |  COUNT(DISTINCT length(text) % 4) < 3 AS suppress
+        |FROM documents GROUP BY source, lang
+        |ORDER BY source, lang""".stripMargin
   )
 }

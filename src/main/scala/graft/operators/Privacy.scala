@@ -26,6 +26,28 @@ object Privacy {
       .withColumn("suppress", col("n") < k)
   }
 
+  /** l-DIVERSITY audit (Machanavajjhala et al. 2007) — the gate
+    * k-anonymity alone misses: a group of 50 identical quasi-ids is
+    * k-anonymous, but if every row shares ONE sensitive value (all 50
+    * have the same diagnosis), membership still discloses it (the
+    * homogeneity attack). A publishable group needs ≥ l DISTINCT
+    * well-represented sensitive values. Returns one row per quasi-id
+    * combination with (n, n_sensitive, suppress = n_sensitive < l);
+    * compose with the k-audit — both gates must pass.
+    *
+    * Scale shape: one exact-distinct aggregation over (quasi-ids,
+    * sensitive) then a count rollup — map-side combined, output bounded
+    * by the quasi-id combination count like [[kAnonymityAudit]].
+    */
+  def lDiversityAudit(df: DataFrame, quasiIds: Seq[Column],
+                      sensitive: Column, l: Long): DataFrame = {
+    require(l >= 2, s"l must be >= 2, got $l")
+    df.groupBy(quasiIds: _*)
+      .agg(count(lit(1)).as("n"),
+        countDistinct(sensitive).as("n_sensitive"))
+      .withColumn("suppress", col("n_sensitive") < l)
+  }
+
   /** Rows whose quasi-identifier combination clears the k threshold —
     * the publishable subset. The bounded group-count table joins back
     * onto the corpus (broadcast-sized by construction: one row per

@@ -154,6 +154,36 @@ object TextEval {
             "(2 * p_micro * r_micro) div (p_micro + r_micro)")))
   }
 
+  /** GROUNDEDNESS of an answer against its retrieval context — the
+    * RAG faithfulness gate (the deterministic core of RAGAS-style
+    * faithfulness, Es et al. 2023): the fraction of the answer's word
+    * bigrams that appear in the context, clipped multiset semantics
+    * (an answer repeating a claim 3× needs 3 context occurrences to
+    * stay fully grounded). An extractive answer scores 1.0 by
+    * construction; fabricated content pulls toward 0 — gate generated
+    * samples before they enter a training mix.
+    *
+    * Same kernel economics as [[bleu2]]: one sorted-merge
+    * `SortedIntersectCount` pass per pair, pure per-row compute, zero
+    * joins/shuffles (pair construction is the caller's). Integer
+    * arithmetic throughout. Returns (idCol, a_len, n_grounded,
+    * grounded_micro); answers with < 2 tokens are omitted (no bigram
+    * to check).
+    */
+  def groundedness(pairs: DataFrame, idCol: String, answerCol: String,
+                   contextCol: String): DataFrame = {
+    val a2 = bigrams(toks(col(answerCol)))
+    val c2 = bigrams(toks(col(contextCol)))
+    pairs
+      .select(col(idCol), a2.as("__a2"), c2.as("__c2"))
+      .filter(size(col("__a2")) > 0)
+      .select(col(idCol),
+        size(col("__a2")).cast("long").as("a_len"),
+        clippedMatches(col("__a2"), col("__c2")).as("n_grounded"))
+      .withColumn("grounded_micro",
+        expr("(n_grounded * 1000000) div a_len"))
+  }
+
   /** chrF-style character-trigram F-score per pair (Popović 2015, the
     * n=3 / β=2 core): precision and recall of clipped char-trigram
     * matches over the [a-z0-9 ]-normalized texts (the `TrigramLm`

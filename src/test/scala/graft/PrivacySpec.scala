@@ -52,4 +52,21 @@ class PrivacySpec extends SparkSpec {
       .head.getString(0)
     assert(b != a(1L), "a different salt must change the mapping")
   }
+
+  test("lDiversityAudit flags the homogeneous group k-anonymity passes") {
+    import spark.implicits._
+    // group A: 40 rows, ONE sensitive value — k-anonymous at k=20 but
+    // a homogeneity attack discloses the diagnosis; group B: diverse
+    val rows = (1 to 40).map(i => ("A", "flu")) ++
+      (1 to 40).map(i => ("B", Seq("flu", "cold", "ok")(i % 3)))
+    val df = rows.toDF("zip", "diag")
+    val k = Privacy.kAnonymityAudit(df, Seq(col("zip")), 20)
+      .collect().map(r => r.getString(0) -> r.getBoolean(2)).toMap
+    assert(!k("A") && !k("B"), "both groups clear the k gate")
+    val l = Privacy.lDiversityAudit(df, Seq(col("zip")), col("diag"), 3)
+      .collect().map(r => r.getString(0) -> (r.getLong(2), r.getBoolean(3)))
+      .toMap
+    assert(l("A") == ((1L, true)), "homogeneous group must suppress")
+    assert(l("B") == ((3L, false)))
+  }
 }

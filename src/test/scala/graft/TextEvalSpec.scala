@@ -107,6 +107,23 @@ class TextEvalSpec extends SparkSpec {
     }
   }
 
+  test("groundedness: extractive answers score 1.0, fabrication 0, clipping binds") {
+    val rows = TextEval.groundedness(pairs(
+        (0L, "the cat sat on the mat", "yesterday the cat sat on the mat quietly"),
+        (1L, "aliens built the pyramids", "the cat sat on the mat"),
+        (2L, "the cat the cat the cat", "the cat sat"),
+        (3L, "x", "anything at all")),  // 1 token -> omitted
+      "id", "cand", "ref")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(rows(0L).getLong(3) == 1000000L)          // fully grounded
+    assert(rows(1L).getLong(2) == 0 && rows(1L).getLong(3) == 0)
+    // "the cat" appears 3x in the answer but once in context -> clipped 1;
+    // "cat the" 2x vs 0 -> 0. grounded = 1 of 5 bigrams
+    assert(rows(2L).getLong(1) == 5 && rows(2L).getLong(2) == 1)
+    assert(rows(2L).getLong(3) == 1000000L / 5)
+    assert(!rows.contains(3L))
+  }
+
   test("clippedMatches kernel agrees with the HOF spec on fixture pairs") {
     import spark.implicits._
     val w = org.apache.spark.sql.expressions.Window
