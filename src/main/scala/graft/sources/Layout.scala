@@ -353,6 +353,30 @@ object Layout {
     spark.read.parquet(s"$tableDir/v$v")
   }
 
+  /** RETENTION GC for a versioned table ("vacuum"): delete snapshot
+    * directories older than the newest `keepVersions`, returning the
+    * versions removed. The latest version is never deletable
+    * (`keepVersions >= 1` enforced), deletion runs OLDEST-FIRST so a
+    * crash mid-vacuum leaves a contiguous retained suffix (readers of
+    * surviving versions are untouched — snapshots are immutable
+    * directories, so there is no tombstone/manifest rewrite to corrupt),
+    * and re-running after a crash is idempotent. The lakehouse
+    * maintenance counterpart of `compact`: time travel is only free
+    * until storage bills for every version forever.
+    */
+  def vacuumVersions(spark: SparkSession, tableDir: String,
+                     keepVersions: Int): Seq[Int] = {
+    require(keepVersions >= 1, s"keepVersions must be >= 1, got $keepVersions")
+    val vs = versionDirs(spark, tableDir)
+    val drop = vs.dropRight(keepVersions)
+    val fs = new org.apache.hadoop.fs.Path(tableDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    drop.foreach { v =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$tableDir/v$v"), true)
+    }
+    drop
+  }
+
   /** Key-level upsert as a NEW version: latest snapshot merged with
     * `updates` (updates win on key), committed immutably; returns the
     * new version number. Time travel to any prior version is unaffected.

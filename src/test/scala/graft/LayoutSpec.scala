@@ -344,4 +344,27 @@ class LayoutSpec extends SparkSpec {
       Layout.readVersion(spark, dir, Some(9))
     }
   }
+
+  test("vacuumVersions: retention GC keeps the newest N, survivors byte-stable, idempotent") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_vac_").toString + "/tbl"
+    (0 to 4).foreach(i =>
+      Layout.writeVersion(spark, dir, Seq((i.toLong, s"v$i")).toDF("key", "val")))
+    assert(Layout.versions(spark, dir) == Seq(0, 1, 2, 3, 4))
+    val dropped = Layout.vacuumVersions(spark, dir, keepVersions = 2)
+    assert(dropped == Seq(0, 1, 2))
+    assert(Layout.versions(spark, dir) == Seq(3, 4))
+    // survivors still read; vacuumed versions refuse loudly
+    assert(Layout.readVersion(spark, dir, Some(3)).head.getString(1) == "v3")
+    assert(Layout.readVersion(spark, dir).head.getString(1) == "v4")
+    intercept[IllegalArgumentException] {
+      Layout.readVersion(spark, dir, Some(0))
+    }
+    // idempotent re-run: nothing else to drop
+    assert(Layout.vacuumVersions(spark, dir, 2).isEmpty)
+    // the latest version is never deletable
+    intercept[IllegalArgumentException] {
+      Layout.vacuumVersions(spark, dir, 0)
+    }
+  }
 }
