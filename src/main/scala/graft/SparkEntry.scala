@@ -8547,19 +8547,18 @@ object SparkEntry {
     // duplicated-chunk set — text never shuffles.
     "q_cdc_dedup" -> ((s, dir) => {
       import s.implicits._
-      val d = spread(s, t(s, dir, "documents"))
-        .select($"doc_id", Dedup.cdcChunks($"text").as("__chunks"))
-        .filter(size($"__chunks") > 0)
-      val ex = d.select($"doc_id",
-          explode($"__chunks").as("__c"))
+      // ex embeds the O(len) kernel; the dup set re-derives from the
+      // same lineage (2 kernel passes total — corpus-sized frames are
+      // never materialized), and n_chunks/n_dup fold into ONE per-doc
+      // aggregation via a dup-marker left join instead of a third scan
+      val ex = spread(s, t(s, dir, "documents"))
+        .select($"doc_id", explode(Dedup.cdcChunks($"text")).as("__c"))
         .select($"doc_id", Dedup.hash60(col("__c")).as("__h"))
       val dup = ex.groupBy($"__h").agg(count(lit(1)).as("__n"))
-        .filter($"__n" >= 2).select($"__h")
-      ex.join(dup, Seq("__h"), "left_semi")
-        .groupBy($"doc_id").agg(count(lit(1)).as("n_dup"))
-        .join(d.select($"doc_id", size($"__chunks").cast("long")
-          .as("n_chunks")), Seq("doc_id"), "right")
-        .select($"doc_id", $"n_chunks", coalesce($"n_dup", lit(0L)).as("n_dup"))
+        .filter($"__n" >= 2).select($"__h", lit(1).as("__isdup"))
+      ex.join(dup, Seq("__h"), "left")
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_chunks"), count($"__isdup").as("n_dup"))
         .orderBy($"doc_id")
     }),
 
