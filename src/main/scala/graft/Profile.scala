@@ -645,6 +645,53 @@ object Profile {
       }
     }
 
+    // round-5 second batch: CDC chunking, KN scoring, WordPiece,
+    // curriculum, groundedness — 1x vs the 10x decade
+    if (on("r9b")) {
+      import graft.operators.{BpeTrain, Packing, TextEval, TrigramLm}
+      import org.apache.spark.sql.expressions.Window
+      val d1 = docs
+      val d10 = dupCorpus(10, withSource = true)
+      def cdc(d: DataFrame) = {
+        val ex = d.select($"doc_id",
+            explode(Dedup.cdcChunks($"text")).as("__c"))
+          .select($"doc_id", Dedup.hash60($"__c").as("__h"))
+        val dup = ex.groupBy($"__h").agg(count(lit(1)).as("__n"))
+          .filter($"__n" >= 2).select($"__h", lit(1).as("__d"))
+        ex.join(dup, Seq("__h"), "left").groupBy($"doc_id")
+          .agg(count(lit(1)).as("n"), count($"__d").as("nd"))
+          .agg(sum($"n"), sum($"nd")).collect()
+      }
+      time("R9b cdcDedup 1x")(cdc(d1))
+      time("R9b cdcDedup 10x")(cdc(d10))
+      time("R9b knScore 1x")(
+        TrigramLm.knScore(d1, d1.filter($"source" === "src0"),
+          "doc_id", "text").agg(sum($"nll")).collect())
+      time("R9b knScore 10x")(
+        TrigramLm.knScore(d10, d10.filter($"source" === "src0"),
+          "doc_id", "text").agg(sum($"nll")).collect())
+      time("R9b wordpiece 1x")(
+        BpeTrain.learnWordPieceMerges(d1, "text", 5).collect())
+      time("R9b wordpiece 10x")(
+        BpeTrain.learnWordPieceMerges(d10, "text", 5).collect())
+      time("R9b curriculum 1x")(
+        Packing.curriculumStages(d1, "doc_id", "text")
+          .agg(sum($"q4"), sum($"ord")).collect())
+      time("R9b curriculum 10x")(
+        Packing.curriculumStages(d10, "doc_id", "text")
+          .agg(sum($"q4"), sum($"ord")).collect())
+      def ground(d: DataFrame) = {
+        val w = Window.partitionBy($"source").orderBy($"doc_id")
+        val p = d.select($"doc_id", $"source", $"text",
+            lead($"text", 1).over(w).as("ans"))
+          .filter($"ans".isNotNull)
+        TextEval.groundedness(p, "doc_id", "ans", "text")
+          .agg(sum($"grounded_micro")).collect()
+      }
+      time("R9b groundedness 1x")(ground(d1))
+      time("R9b groundedness 10x")(ground(d10))
+    }
+
     spark.stop()
   }
 }

@@ -106,8 +106,85 @@ case class CdcChunkStarts(child: Expression, w: Int, d: Int)
     copy(child = newChild)
 }
 
+/** Fused normalize → boundary → slice kernel: one JVM pass lowercases
+  * and folds to the [a-z0-9 ] alphabet (byte-identical to the
+  * `Trigrams` kernel / `TrigramLm.normalize`), runs the rolling-hash
+  * boundary scan of [[CdcChunkStarts]], and emits the chunk STRINGS
+  * directly. The declarative composition (normalize column → starts
+  * kernel → HOF slice lambda) re-evaluates the normalize regex chain
+  * once per chunk element inside the lambda — the O(len·chunks)
+  * interpreted-lambda trap the `Trigrams` kernel exists for; this
+  * collapses it to O(len). Agreement with the composed form is
+  * spec-tested in DedupSpec.
+  */
+case class CdcChunks(child: Expression, w: Int, d: Int)
+    extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  require(w >= 2 && d >= 2, s"window/divisor must be >= 2, got $w/$d")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case o => TypeCheckResult.TypeCheckFailure(
+      s"CdcChunks requires STRING input, got ${o.simpleString}")
+  }
+
+  private val M = 1000000007L
+  private val B = 257L
+  private val Bw1: Long = {
+    var p = 1L; var i = 0
+    while (i < w - 1) { p = p * B % M; i += 1 }
+    p
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val lowered = input.asInstanceOf[UTF8String].toLowerCase.toString
+    val sb = new java.lang.StringBuilder(lowered.length)
+    var pendingSpace = false
+    var i = 0
+    while (i < lowered.length) {
+      val c = lowered.charAt(i)
+      if ((c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')) {
+        if (pendingSpace && sb.length > 0) sb.append(' ')
+        pendingSpace = false
+        sb.append(c)
+      } else pendingSpace = true
+      i += 1
+    }
+    val s = sb.toString
+    val n = s.length
+    if (n == 0) return new GenericArrayData(Array.empty[Any])
+    val starts = scala.collection.mutable.ArrayBuffer(0)
+    var h = 0L
+    i = 0
+    while (i < n) {
+      if (i >= w) h = (h - s.charAt(i - w) * Bw1 % M + M * M) % M
+      h = (h * B + s.charAt(i)) % M
+      if (i >= w - 1 && h % d == d - 1 && i + 1 < n) starts += (i + 1)
+      i += 1
+    }
+    val out = new Array[Any](starts.length)
+    var k = 0
+    while (k < starts.length) {
+      val end = if (k + 1 < starts.length) starts(k + 1) else n
+      out(k) = UTF8String.fromString(s.substring(starts(k), end))
+      k += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object CdcExpression {
   /** 0-based content-defined chunk start offsets of a string. */
   def cdcChunkStartsF(text: Column, w: Int, d: Int): Column =
     GraftShim.column(CdcChunkStarts(GraftShim.expression(text), w, d))
+
+  /** Fused normalize + chunk kernel: chunk strings of the normalized text. */
+  def cdcChunksF(text: Column, w: Int, d: Int): Column =
+    GraftShim.column(CdcChunks(GraftShim.expression(text), w, d))
 }

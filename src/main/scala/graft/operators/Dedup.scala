@@ -36,7 +36,15 @@ object Dedup {
     * fingerprints and 8-token window spans. Returns the chunk STRING
     * array; per-row compute, no shuffle.
     */
-  def cdcChunks(text: Column, w: Int = 16, d: Int = 32): Column = {
+  def cdcChunks(text: Column, w: Int = 16, d: Int = 32): Column =
+    graft.expressions.CdcExpression.cdcChunksF(text, w, d)
+
+  /** Declarative composition of [[cdcChunks]] — normalize column →
+    * starts kernel → HOF slice; its lambda re-evaluates the normalize
+    * chain per chunk element (the O(len·chunks) interpreted trap), so
+    * it exists for DedupSpec agreement only.
+    */
+  def cdcChunksHof(text: Column, w: Int = 16, d: Int = 32): Column = {
     val nt = TrigramLm.normalize(text)
     val starts = graft.expressions.CdcExpression.cdcChunkStartsF(nt, w, d)
     val nS = size(starts)

@@ -172,10 +172,13 @@ object TextEval {
     */
   def groundedness(pairs: DataFrame, idCol: String, answerCol: String,
                    contextCol: String): DataFrame = {
-    val a2 = bigrams(toks(col(answerCol)))
-    val c2 = bigrams(toks(col(contextCol)))
+    // tokenize into COLUMNS first: bigrams' lambda would otherwise
+    // re-evaluate the split per element (the bleu2 two-step discipline)
     pairs
-      .select(col(idCol), a2.as("__a2"), c2.as("__c2"))
+      .select(col(idCol), toks(col(answerCol)).as("__a"),
+        toks(col(contextCol)).as("__c"))
+      .select(col(idCol), bigrams(col("__a")).as("__a2"),
+        bigrams(col("__c")).as("__c2"))
       .filter(size(col("__a2")) > 0)
       .select(col(idCol),
         size(col("__a2")).cast("long").as("a_len"),

@@ -592,6 +592,12 @@ class DedupSpec extends SparkSpec {
       .filter(length($"nt") > 0 &&
         concat_ws("", $"ch") =!= $"nt").count()
     assert(bad == 0L)
+    // fused kernel == declarative composition on fixture + edge docs
+    val fused = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(Dedup.cdcChunks(col("text")).as("a"),
+        Dedup.cdcChunksHof(col("text")).as("b"))
+      .filter(not($"a" <=> $"b")).count()
+    assert(fused == 0L)
   }
 
   test("CdcChunkStarts: interpreted eval agrees with codegen") {
