@@ -8589,6 +8589,26 @@ object SparkEntry {
       Privacy.lDiversityAudit(t(s, dir, "documents"),
           Seq($"source", $"lang"), pmod(length($"text"), lit(4)), l = 3)
         .orderBy($"source", $"lang")
+    }),
+
+    // NSW-style graph-ANN beam search (Ann.graphBeamSearch, Malkov et
+    // al. 2014): greedy best-first over the knnJoin neighbor graph —
+    // the graph-based ANN family beside IVF/PQ/SQ/BQ/MRL. Search
+    // touches O(beam·degree·hops) vectors regardless of corpus size
+    // (the serving-side property); the graph BUILD is the batch
+    // knnJoin (cell-bounded). Deterministic entry (min id) + tie
+    // order, so the unrolled-hop oracle replays the walk.
+    "q_graph_ann" -> ((s, dir) => {
+      import s.implicits._
+      val e = t(s, dir, "embeddings")
+      val cents = e.filter($"vec_id" < 16)
+        .select($"vec_id".as("cent_id"), $"embedding".as("cvec"))
+      val edges = Ann.knnJoin(e, cents, "vec_id", "embedding",
+        "cent_id", "cvec", 4)
+      val query = e.filter($"vec_id" === 42)
+        .select($"embedding").head.getSeq[Float](0)
+      Ann.graphBeamSearch(edges, e, "vec_id", "embedding", query,
+        beam = 8, hops = 3)
     })
   )
 
@@ -9096,6 +9116,83 @@ object SparkEntry {
         |  COUNT(DISTINCT length(text) % 4)::BIGINT AS n_sensitive,
         |  COUNT(DISTINCT length(text) % 4) < 3 AS suppress
         |FROM documents GROUP BY source, lang
-        |ORDER BY source, lang""".stripMargin
+        |ORDER BY source, lang""".stripMargin,
+
+    // knnJoin edge chain (the q_knn_join oracle at k=4), then the beam
+    // walk unrolled: per hop, frontier out-neighbors minus visited,
+    // score vs the broadcast query, keep the top-8 beam; frontier =
+    // beam entrants.
+    "q_graph_ann" -> {
+      def hop(h: Int): String =
+        s"""cand$h AS MATERIALIZED (
+           |  SELECT DISTINCT e.dst AS id FROM edges e
+           |  WHERE e.src IN (SELECT id FROM f${h - 1})
+           |    AND e.dst NOT IN (SELECT id FROM vis${h - 1})),
+           |vis$h AS MATERIALIZED (
+           |  SELECT id FROM vis${h - 1} UNION SELECT id FROM cand$h),
+           |best$h AS MATERIALIZED (
+           |  SELECT id, s FROM (
+           |    SELECT id, s, row_number() OVER (ORDER BY s DESC, id) AS rn
+           |    FROM (SELECT id, s FROM best${h - 1}
+           |          UNION SELECT c.id, sq.s FROM cand$h c
+           |                JOIN sq ON sq.vec_id = c.id))
+           |  WHERE rn <= 8),
+           |f$h AS MATERIALIZED (
+           |  SELECT id FROM best$h
+           |  WHERE id NOT IN (SELECT id FROM best${h - 1}))""".stripMargin
+      s"""WITH cents AS (
+         |  SELECT vec_id AS cent_id, embedding AS cvec FROM embeddings
+         |  WHERE vec_id < 16),
+         |pc AS (
+         |  SELECT e.vec_id, c.cent_id,
+         |         unnest(e.embedding)::DOUBLE x, unnest(c.cvec)::DOUBLE y
+         |  FROM embeddings e CROSS JOIN cents c),
+         |pagg AS (SELECT vec_id, cent_id, SUM(x*y) dp, SUM(x*x) nx2, SUM(y*y) ny2
+         |         FROM pc GROUP BY vec_id, cent_id),
+         |psc AS (SELECT vec_id, cent_id,
+         |          ROUND(dp/(GREATEST(SQRT(nx2),1e-12)*GREATEST(SQRT(ny2),1e-12)), 6) c
+         |        FROM pagg),
+         |assign AS (
+         |  SELECT vec_id, cent_id AS cell_id FROM (
+         |    SELECT vec_id, cent_id,
+         |           row_number() OVER (PARTITION BY vec_id ORDER BY c DESC, cent_id) rn
+         |    FROM psc) WHERE rn = 1),
+         |pr AS (
+         |  SELECT a.vec_id AS src, b.vec_id AS dst
+         |  FROM assign a JOIN assign b
+         |    ON a.cell_id = b.cell_id AND a.vec_id <> b.vec_id),
+         |px AS (
+         |  SELECT p.src, p.dst,
+         |         unnest(ea.embedding)::DOUBLE x, unnest(eb.embedding)::DOUBLE y
+         |  FROM pr p JOIN embeddings ea ON ea.vec_id = p.src
+         |            JOIN embeddings eb ON eb.vec_id = p.dst),
+         |pxa AS (SELECT src, dst, SUM(x*y) dp, SUM(x*x) nx2, SUM(y*y) ny2
+         |        FROM px GROUP BY src, dst),
+         |esc AS (SELECT src, dst,
+         |         ROUND(dp/(GREATEST(SQRT(nx2),1e-12)*GREATEST(SQRT(ny2),1e-12)), 6)
+         |           + 0.0 AS score
+         |       FROM pxa),
+         |edges AS MATERIALIZED (
+         |  SELECT src, dst FROM (
+         |    SELECT src, dst, row_number() OVER (PARTITION BY src
+         |                       ORDER BY score DESC, dst) AS rn
+         |    FROM esc) WHERE rn <= 4),
+         |qv AS (SELECT embedding AS q FROM embeddings WHERE vec_id = 42),
+         |sq AS MATERIALIZED (
+         |  SELECT vec_id,
+         |    ROUND(SUM(x*y)/(GREATEST(SQRT(SUM(x*x)),1e-12)
+         |          *GREATEST(SQRT(SUM(y*y)),1e-12)), 6) + 0.0 AS s
+         |  FROM (SELECT e.vec_id, unnest(e.embedding)::DOUBLE x,
+         |               unnest(qv.q)::DOUBLE y
+         |        FROM embeddings e, qv)
+         |  GROUP BY vec_id),
+         |vis0 AS (SELECT MIN(vec_id) AS id FROM embeddings),
+         |f0 AS (SELECT id FROM vis0),
+         |best0 AS (SELECT v.id, sq.s FROM vis0 v JOIN sq ON sq.vec_id = v.id),
+         |${(1 to 3).map(hop).mkString(",\n")}
+         |SELECT CAST(row_number() OVER (ORDER BY s DESC, id) AS INT) AS rank,
+         |       id AS vec_id, s AS score
+         |FROM best3 ORDER BY rank""".stripMargin
+    }
   )
 }

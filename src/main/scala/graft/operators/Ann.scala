@@ -292,6 +292,66 @@ object Ann {
       .select(col("src"), col("id").as("dst"), col("score"))
   }
 
+  /** NSW-style GRAPH beam search (Malkov et al. 2014 — the navigable-
+    * small-world family HNSW layers on top): greedy best-first
+    * expansion over a prebuilt kNN neighbor graph. Completes the ANN
+    * tier list with the graph-based family beside IVF (partition-
+    * pruned), PQ/SQ/BQ (compressed) and MRL (truncated): graph search
+    * visits O(beam · degree · hops) vectors regardless of corpus size,
+    * the property that makes it the serving-side default, while the
+    * GRAPH BUILD is the batch job ([[knnJoin]] — cell-bounded, the
+    * 100 TB path).
+    *
+    * Per hop: expand the frontier's out-neighbors (one broadcast-probed
+    * semi-join on the bounded frontier id list), drop visited ids,
+    * score the new candidates against the broadcast query (cosine,
+    * round-6 — the knnJoin quantization), merge into the beam, keep the
+    * top `beam`; the next frontier is the newly-visited survivors.
+    * Driver state (beam, visited) is bounded by beam + hops·beam·degree
+    * ids — the k-bounded-collect contract. Fully deterministic: entry =
+    * smallest id, ties (score desc, id asc), so the unrolled oracle
+    * replays every hop.
+    *
+    * Returns the final beam as (rank, idCol, score) sorted best-first.
+    */
+  def graphBeamSearch(edges: DataFrame, vectors: DataFrame,
+                      idCol: String, vecCol: String, query: Seq[Float],
+                      beam: Int, hops: Int): DataFrame = {
+    require(beam >= 1 && hops >= 0, s"bad beam/hops: $beam/$hops")
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val q = query.toArray
+    def scoreOf(df: DataFrame): Array[(Long, Double)] = {
+      val qn = math.sqrt(q.map(x => x.toDouble * x).sum)
+      df.select(col(idCol).cast("long"),
+          (round(dotF(col(vecCol), lit(q)) /
+            (V.normSafe(col(vecCol)) * lit(qn)), 6) + lit(0.0)).as("s"))
+        .collect().map(r => r.getLong(0) -> r.getDouble(1))
+    }
+    val entry = vectors.agg(min(col(idCol).cast("long"))).head.getLong(0)
+    var visited = Set(entry)
+    var best = scoreOf(vectors.filter(col(idCol) === entry)).toList
+    var frontier = Seq(entry)
+    for (_ <- 1 to hops if frontier.nonEmpty) {
+      val cand = edges
+        .filter(col("src").isin(frontier.map(Long.box): _*))
+        .select(col("dst").cast("long")).distinct()
+        .collect().map(_.getLong(0)).filterNot(visited).toSeq
+      if (cand.nonEmpty) {
+        val scored = scoreOf(
+          vectors.filter(col(idCol).isin(cand.map(Long.box): _*)))
+        visited ++= cand
+        val merged = (best ++ scored)
+          .sortBy { case (id, s) => (-s, id) }.take(beam)
+        frontier = merged.map(_._1).filterNot(best.map(_._1).toSet)
+        best = merged
+      } else frontier = Seq.empty
+    }
+    best.zipWithIndex
+      .map { case ((id, s), r) => (r + 1, id, s) }
+      .toDF("rank", idCol, "score")
+  }
+
   /** Rank-aware quality evaluation — nDCG@k and MRR beside
     * [[recallAtK]]'s set-overlap (recall treats rank 1 and rank k the
     * same; nDCG/MRR grade WHERE the true neighbors land): binary

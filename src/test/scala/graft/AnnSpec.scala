@@ -323,4 +323,36 @@ class AnnSpec extends SparkSpec {
     assert(got(1L) == ((3L, 2L, ndcg1, 1.0)), s"got ${got(1L)}")
     assert(got(2L) == ((3L, 0L, 0.0, 0.0)), "no hits → zero ndcg and mrr")
   }
+
+  test("graphBeamSearch: walks the kNN graph toward the query, beats the entry point") {
+    import spark.implicits._
+    import graft.operators.Ann
+    import org.apache.spark.sql.functions._
+    val e = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val cents = e.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cvec"))
+    val edges = Ann.knnJoin(e, cents, "vec_id", "embedding",
+      "cent_id", "cvec", 4).localCheckpoint(false)
+    val query = e.filter(col("vec_id") === 42)
+      .select(col("embedding")).head.getSeq[Float](0)
+    val beam = Ann.graphBeamSearch(edges, e, "vec_id", "embedding",
+      query, beam = 8, hops = 3).collect()
+    assert(beam.length == 8)
+    assert(beam.map(_.getInt(0)).toSeq == (1 to 8))
+    // scores sorted best-first; the walk found the query itself or its
+    // close neighbors — far better than the entry point's own score
+    val scores = beam.map(_.getDouble(2))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    val entryScore = Ann.graphBeamSearch(edges, e, "vec_id", "embedding",
+      query, beam = 1, hops = 0).head.getDouble(2)
+    assert(scores.head > entryScore,
+      s"beam head ${scores.head} must beat the raw entry $entryScore")
+    // hops=0 returns exactly the entry point
+    assert(Ann.graphBeamSearch(edges, e, "vec_id", "embedding", query,
+      8, 0).count() == 1)
+    // deterministic across partitioning
+    val again = Ann.graphBeamSearch(edges.repartition(7), e.repartition(5),
+      "vec_id", "embedding", query, 8, 3).collect().map(_.toSeq).toSeq
+    assert(again == beam.map(_.toSeq).toSeq)
+  }
 }
