@@ -8591,6 +8591,50 @@ object SparkEntry {
         .orderBy($"source", $"lang")
     }),
 
+    // REAL image decode through the multimodal boundary: deterministic
+    // P6 PPM payloads (md5-derived dims + raster bytes) built per row,
+    // parsed by the actual Multimodal.PpmDecoder (header parse →
+    // channel means → nearest-neighbor luma strip) via the
+    // per-partition decodePartitioned boundary. The oracle NEVER
+    // parses PPM — it recomputes every feature from the generative md5
+    // formula independently, so the engine's parse/resize/feature path
+    // is checked against a derivation that shares none of its code.
+    "q_ppm_decode" -> ((s, dir) => {
+      import s.implicits._
+      def md5hex(str: String): String =
+        graft.expressions.Md5Kernel
+          .digest(str.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      def h60(str: String): Long =
+        java.lang.Long.parseLong(md5hex(str).substring(0, 15), 16)
+      val withBin = t(s, dir, "documents").select($"doc_id").as[Long]
+        .map { id =>
+          val w = (4 + h60(id + ":w") % 5).toInt
+          val h = (4 + h60(id + ":h") % 5).toInt
+          val n = w * h * 3
+          val px = new Array[Byte](n)
+          var block = -1
+          var hex = ""
+          var j = 0
+          while (j < n) {
+            if (j / 16 != block) { block = j / 16; hex = md5hex(id + ":" + block) }
+            px(j) = Integer.parseInt(
+              hex.substring((j % 16) * 2, (j % 16) * 2 + 2), 16).toByte
+            j += 1
+          }
+          (id, Multimodal.Ppm.encode(Multimodal.Ppm.Image(w, h, 255, px)))
+        }.toDF("doc_id", "bin")
+      Multimodal.decodePartitioned(withBin, "bin", Multimodal.PpmDecoder(5))
+        .select($"doc_id", $"decoded.n_bytes".as("n_bytes"),
+          $"decoded.width".as("width"), $"decoded.height".as("height"),
+          $"decoded.format".as("format"),
+          round(element_at($"decoded.features", 1).cast("double"), 4).as("f0"),
+          round(element_at($"decoded.features", 2).cast("double"), 4).as("f1"),
+          round(element_at($"decoded.features", 3).cast("double"), 4).as("f2"),
+          round(element_at($"decoded.features", 4).cast("double"), 4).as("l0"),
+          round(element_at($"decoded.features", 5).cast("double"), 4).as("l1"))
+        .orderBy($"doc_id")
+    }),
+
     // NSW-style graph-ANN beam search (Ann.graphBeamSearch, Malkov et
     // al. 2014): greedy best-first over the knnJoin neighbor graph —
     // the graph-based ANN family beside IVF/PQ/SQ/BQ/MRL. Search
@@ -9117,6 +9161,52 @@ object SparkEntry {
         |  COUNT(DISTINCT length(text) % 4) < 3 AS suppress
         |FROM documents GROUP BY source, lang
         |ORDER BY source, lang""".stripMargin,
+
+    // Every feature recomputed from the md5 generative formula — the
+    // oracle never parses a PPM byte, so the engine's real parser is
+    // checked against an independent derivation.
+    "q_ppm_decode" ->
+      """WITH dims AS (
+        |  SELECT doc_id,
+        |    4 + ('0x'||substr(md5(doc_id::VARCHAR || ':w'), 1, 15))::BIGINT % 5 AS w,
+        |    4 + ('0x'||substr(md5(doc_id::VARCHAR || ':h'), 1, 15))::BIGINT % 5 AS h
+        |  FROM documents),
+        |px AS MATERIALIZED (
+        |  SELECT doc_id, w, h, j,
+        |    ('0x'||substr(md5(doc_id::VARCHAR || ':' || (j // 16)),
+        |      (j % 16) * 2 + 1, 2))::INT AS b
+        |  FROM (SELECT doc_id, w, h, unnest(generate_series(0, w*h*3 - 1)) AS j
+        |        FROM dims)),
+        |ch AS (
+        |  SELECT doc_id, MAX(w) AS w, MAX(h) AS h,
+        |    SUM(CASE WHEN j % 3 = 0 THEN b ELSE 0 END)::DOUBLE AS s0,
+        |    SUM(CASE WHEN j % 3 = 1 THEN b ELSE 0 END)::DOUBLE AS s1,
+        |    SUM(CASE WHEN j % 3 = 2 THEN b ELSE 0 END)::DOUBLE AS s2
+        |  FROM px GROUP BY doc_id),
+        |lu AS (
+        |  SELECT p.doc_id, x.x,
+        |    MAX(CASE WHEN p.j = 3 * (x.x * c.w // 2) THEN p.b END) AS r,
+        |    MAX(CASE WHEN p.j = 3 * (x.x * c.w // 2) + 1 THEN p.b END) AS g,
+        |    MAX(CASE WHEN p.j = 3 * (x.x * c.w // 2) + 2 THEN p.b END) AS bb
+        |  FROM px p JOIN ch c USING (doc_id),
+        |       (SELECT unnest([0, 1]) AS x) x
+        |  GROUP BY p.doc_id, x.x),
+        |lum AS (
+        |  SELECT doc_id,
+        |    MAX(CASE WHEN x = 0 THEN v END) AS l0,
+        |    MAX(CASE WHEN x = 1 THEN v END) AS l1
+        |  FROM (SELECT doc_id, x,
+        |          ROUND(CAST((0.299 * r + 0.587 * g + 0.114 * bb) / 255
+        |                AS FLOAT)::DOUBLE, 4) AS v
+        |        FROM lu)
+        |  GROUP BY doc_id)
+        |SELECT ch.doc_id, (11 + w * h * 3)::BIGINT AS n_bytes,
+        |  w::INT AS width, h::INT AS height, 'ppm' AS format,
+        |  ROUND(CAST(s0 / (w * h) / 255 AS FLOAT)::DOUBLE, 4) AS f0,
+        |  ROUND(CAST(s1 / (w * h) / 255 AS FLOAT)::DOUBLE, 4) AS f1,
+        |  ROUND(CAST(s2 / (w * h) / 255 AS FLOAT)::DOUBLE, 4) AS f2,
+        |  lum.l0, lum.l1
+        |FROM ch JOIN lum USING (doc_id) ORDER BY ch.doc_id""".stripMargin,
 
     // knnJoin edge chain (the q_knn_join oracle at k=4), then the beam
     // walk unrolled: per hop, frontier out-neighbors minus visited,
