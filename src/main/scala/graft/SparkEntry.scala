@@ -8635,6 +8635,52 @@ object SparkEntry {
         .orderBy($"doc_id")
     }),
 
+    // REAL audio decode — the WAV sibling of q_ppm_decode: canonical
+    // PCM payloads with md5-derived int16 samples, parsed by the
+    // actual Multimodal.WavDecoder (RIFF/fmt/data parse → RMS /
+    // zero-crossings / peak), oracle recomputing every feature from
+    // the generative formula without reading a WAV byte.
+    "q_wav_decode" -> ((s, dir) => {
+      import s.implicits._
+      def md5hex(str: String): String =
+        graft.expressions.Md5Kernel
+          .digest(str.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      def h60(str: String): Long =
+        java.lang.Long.parseLong(md5hex(str).substring(0, 15), 16)
+      val withBin = t(s, dir, "documents").select($"doc_id").as[Long]
+        .map { id =>
+          val n = (64 + h60(id + ":n") % 64).toInt
+          val samples = new Array[Short](n)
+          var block = -1
+          var hex = ""
+          var j = 0
+          while (j < n) {
+            val byteIdx = 2 * j
+            if (byteIdx / 16 != block) {
+              block = byteIdx / 16; hex = md5hex(id + ":s:" + block)
+            }
+            val b0 = Integer.parseInt(
+              hex.substring((byteIdx % 16) * 2, (byteIdx % 16) * 2 + 2), 16)
+            val o1 = (byteIdx + 1) % 16
+            val hex1 = if ((byteIdx + 1) / 16 != block)
+              md5hex(id + ":s:" + ((byteIdx + 1) / 16)) else hex
+            val b1 = Integer.parseInt(hex1.substring(o1 * 2, o1 * 2 + 2), 16)
+            samples(j) = ((b1 << 8) | b0).toShort
+            j += 1
+          }
+          (id, Multimodal.Wav.encode(Multimodal.Wav.Audio(8000, 1, samples)))
+        }.toDF("doc_id", "bin")
+      Multimodal.decodePartitioned(withBin, "bin", Multimodal.WavDecoder(3))
+        .select($"doc_id", $"decoded.n_bytes".as("n_bytes"),
+          $"decoded.width".as("sample_rate"),
+          $"decoded.height".as("n_samples"),
+          $"decoded.format".as("format"),
+          round(element_at($"decoded.features", 1).cast("double"), 4).as("rms"),
+          round(element_at($"decoded.features", 2).cast("double"), 4).as("zcr"),
+          round(element_at($"decoded.features", 3).cast("double"), 4).as("peak"))
+        .orderBy($"doc_id")
+    }),
+
     // NSW-style graph-ANN beam search (Ann.graphBeamSearch, Malkov et
     // al. 2014): greedy best-first over the knnJoin neighbor graph —
     // the graph-based ANN family beside IVF/PQ/SQ/BQ/MRL. Search
@@ -9207,6 +9253,45 @@ object SparkEntry {
         |  ROUND(CAST(s2 / (w * h) / 255 AS FLOAT)::DOUBLE, 4) AS f2,
         |  lum.l0, lum.l1
         |FROM ch JOIN lum USING (doc_id) ORDER BY ch.doc_id""".stripMargin,
+
+    "q_wav_decode" ->
+      """WITH nn AS (
+        |  SELECT doc_id,
+        |    64 + ('0x'||substr(md5(doc_id::VARCHAR || ':n'), 1, 15))::BIGINT % 64 AS n
+        |  FROM documents),
+        |sm AS MATERIALIZED (
+        |  SELECT doc_id, n, j,
+        |    ('0x'||substr(md5(doc_id::VARCHAR || ':s:' || (2*j // 16)),
+        |      ((2*j) % 16) * 2 + 1, 2))::INT AS b0,
+        |    ('0x'||substr(md5(doc_id::VARCHAR || ':s:' || ((2*j+1) // 16)),
+        |      ((2*j+1) % 16) * 2 + 1, 2))::INT AS b1
+        |  FROM (SELECT doc_id, n, unnest(generate_series(0, n - 1)) AS j
+        |        FROM nn)),
+        |v AS (
+        |  SELECT doc_id, n, j,
+        |    CASE WHEN b1 * 256 + b0 >= 32768 THEN b1 * 256 + b0 - 65536
+        |         ELSE b1 * 256 + b0 END AS s
+        |  FROM sm),
+        |z AS (
+        |  SELECT doc_id, j, s,
+        |    lag(s) OVER (PARTITION BY doc_id ORDER BY j) AS prev
+        |  FROM v),
+        |agg AS (
+        |  SELECT doc_id, MAX(n) AS n,
+        |    SUM((s::BIGINT) * (s::BIGINT))::DOUBLE AS ss,
+        |    MAX(ABS(s))::DOUBLE AS peak
+        |  FROM v GROUP BY doc_id),
+        |zc AS (
+        |  SELECT doc_id,
+        |    (COUNT(*) FILTER (WHERE prev IS NOT NULL
+        |       AND (s >= 0) <> (prev >= 0)))::DOUBLE AS zc
+        |  FROM z GROUP BY doc_id)
+        |SELECT a.doc_id, (44 + 2 * a.n)::BIGINT AS n_bytes,
+        |  8000 AS sample_rate, a.n::INT AS n_samples, 'wav' AS format,
+        |  ROUND(CAST(sqrt(a.ss / a.n) / 32768 AS FLOAT)::DOUBLE, 4) AS rms,
+        |  ROUND(CAST(zc.zc / a.n AS FLOAT)::DOUBLE, 4) AS zcr,
+        |  ROUND(CAST(a.peak / 32768 AS FLOAT)::DOUBLE, 4) AS peak
+        |FROM agg a JOIN zc USING (doc_id) ORDER BY a.doc_id""".stripMargin,
 
     // knnJoin edge chain (the q_knn_join oracle at k=4), then the beam
     // walk unrolled: per hop, frontier out-neighbors minus visited,

@@ -205,6 +205,105 @@ object Multimodal {
       }
   }
 
+  /** Minimal canonical-PCM WAV codec — the audio sibling of [[Ppm]]:
+    * RIFF/WAVE header, one `fmt ` chunk (PCM, 16-bit), one `data`
+    * chunk of little-endian int16 samples. Pure JVM; turns the AUDIO
+    * modality real the same way PPM did images.
+    */
+  object Wav {
+    final case class Audio(sampleRate: Int, channels: Int,
+                           samples: Array[Short])
+
+    private def le32(b: Array[Byte], i: Int): Int =
+      (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8) |
+        ((b(i + 2) & 0xff) << 16) | ((b(i + 3) & 0xff) << 24)
+    private def le16(b: Array[Byte], i: Int): Int =
+      (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+    private def tag(b: Array[Byte], i: Int, s: String): Boolean =
+      b.length >= i + 4 && (0 until 4).forall(k => b(i + k) == s.charAt(k).toByte)
+
+    /** Strict canonical-layout parser: RIFF..WAVE, fmt(16, PCM=1,
+      * 16-bit), data. None on anything else — decode boundaries absorb
+      * crawl garbage, never throw.
+      */
+    def parse(bytes: Array[Byte]): Option[Audio] = {
+      if (bytes.length < 44 || !tag(bytes, 0, "RIFF") ||
+        !tag(bytes, 8, "WAVE") || !tag(bytes, 12, "fmt ")) return None
+      if (le32(bytes, 16) != 16 || le16(bytes, 20) != 1) return None
+      val channels = le16(bytes, 22)
+      val rate = le32(bytes, 24)
+      if (le16(bytes, 34) != 16 || !tag(bytes, 36, "data")) return None
+      val nBytes = le32(bytes, 40)
+      if (channels < 1 || rate <= 0 || nBytes < 0 ||
+        bytes.length < 44 + nBytes || nBytes % 2 != 0) return None
+      val samples = new Array[Short](nBytes / 2)
+      var j = 0
+      while (j < samples.length) {
+        samples(j) = le16(bytes, 44 + 2 * j).toShort
+        j += 1
+      }
+      Some(Audio(rate, channels, samples))
+    }
+
+    /** Encode (test fixtures + round-trip checks). */
+    def encode(a: Audio): Array[Byte] = {
+      val n = a.samples.length * 2
+      val out = java.nio.ByteBuffer.allocate(44 + n)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      out.put("RIFF".getBytes("US-ASCII")).putInt(36 + n)
+        .put("WAVE".getBytes("US-ASCII"))
+        .put("fmt ".getBytes("US-ASCII")).putInt(16).putShort(1)
+        .putShort(a.channels.toShort).putInt(a.sampleRate)
+        .putInt(a.sampleRate * a.channels * 2)
+        .putShort((a.channels * 2).toShort).putShort(16)
+        .put("data".getBytes("US-ASCII")).putInt(n)
+      a.samples.foreach(out.putShort)
+      out.array()
+    }
+  }
+
+  /** REAL decoder for canonical PCM WAV payloads: parse → signal
+    * features — RMS (exact integer sum of squares, one final
+    * sqrt/round), zero-crossing count (sign changes over (s ≥ 0)), and
+    * peak |sample| normalized — the level/energy triage an audio
+    * curation pipeline gates on before expensive transcription.
+    * features = [rms/32768, zcross/n, peak/32768, duration·10⁻³]
+    * truncated/padded to `featureDim`. Non-WAV payloads decode to
+    * "unknown" with zero features. width/height carry sampleRate and
+    * sample count (the meta slots; a media record is format-tagged).
+    */
+  final case class WavDecoder(featureDim: Int = 4) extends MediaDecoder {
+    override def decode(payload: Array[Byte]): DecodedMedia =
+      Wav.parse(payload) match {
+        case None =>
+          DecodedMedia(payload.length.toLong, 0, 0, "unknown",
+            new Array[Float](featureDim))
+        case Some(a) =>
+          val n = a.samples.length
+          var ss = 0L
+          var zc = 0L
+          var peak = 0L
+          var j = 0
+          while (j < n) {
+            val s = a.samples(j).toLong
+            ss += s * s
+            if (math.abs(s) > peak) peak = math.abs(s)
+            if (j > 0 && (a.samples(j) >= 0) != (a.samples(j - 1) >= 0)) zc += 1
+            j += 1
+          }
+          val feats = new Array[Float](featureDim)
+          if (n > 0) {
+            if (featureDim > 0)
+              feats(0) = (math.sqrt(ss.toDouble / n) / 32768.0).toFloat
+            if (featureDim > 1) feats(1) = (zc.toDouble / n).toFloat
+            if (featureDim > 2) feats(2) = (peak.toDouble / 32768.0).toFloat
+            if (featureDim > 3)
+              feats(3) = (n.toDouble / a.sampleRate / a.channels).toFloat
+          }
+          DecodedMedia(payload.length.toLong, a.sampleRate, n, "wav", feats)
+      }
+  }
+
   private val decodedSchema = StructType(Seq(
     StructField("n_bytes", LongType),
     StructField("width", IntegerType),

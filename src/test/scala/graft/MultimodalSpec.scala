@@ -99,4 +99,42 @@ class MultimodalSpec extends SparkSpec {
     assert(junk.getAs[scala.collection.Seq[Float]]("features").forall(_ == 0.0f))
     assert(junk.getAs[Long]("n_bytes") == "not an image at all".length)
   }
+
+  test("WavDecoder: round-trip, hand-computed signal features, garbage absorbed") {
+    import spark.implicits._
+    import Multimodal.Wav
+    // square wave ±1000, 8 samples: rms = 1000, zcross = 7, peak = 1000
+    val sq = Array.tabulate(8)(i =>
+      (if (i % 2 == 0) 1000 else -1000).toShort)
+    val silent = Array.fill(4)(0.toShort)
+    val rows = Seq(
+      (1L, Wav.encode(Wav.Audio(8000, 1, sq))),
+      (2L, Wav.encode(Wav.Audio(16000, 1, silent))),
+      (3L, "definitely not audio".getBytes("UTF-8")))
+    val out = Multimodal.decodePartitioned(
+        rows.toDF("id", "bin").repartition(2), "bin",
+        Multimodal.WavDecoder(4))
+      .select($"id", $"decoded.*").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // parse round-trips the header fields
+    val w1 = out(1L)
+    assert(w1.getAs[String]("format") == "wav")
+    assert(w1.getAs[Int]("width") == 8000)      // sample rate slot
+    assert(w1.getAs[Int]("height") == 8)        // sample count slot
+    assert(w1.getAs[Long]("n_bytes") == 44 + 16)
+    val f1 = w1.getAs[scala.collection.Seq[Float]]("features")
+    assert(f1(0) == (1000.0 / 32768.0).toFloat)           // rms
+    assert(f1(1) == (7.0 / 8.0).toFloat)                  // zero crossings
+    assert(f1(2) == (1000.0 / 32768.0).toFloat)           // peak
+    assert(f1(3) == (8.0 / 8000.0).toFloat)               // duration
+    // silence: zero rms/zcr/peak, duration still real
+    val f2 = out(2L).getAs[scala.collection.Seq[Float]]("features")
+    assert(f2(0) == 0.0f && f2(1) == 0.0f && f2(2) == 0.0f)
+    assert(f2(3) == (4.0 / 16000.0).toFloat)
+    // garbage absorbs to unknown, never throws
+    assert(out(3L).getAs[String]("format") == "unknown")
+    // parse rejects a truncated data chunk
+    val full = Wav.encode(Wav.Audio(8000, 1, sq))
+    assert(Wav.parse(full.dropRight(2)).isEmpty)
+  }
 }
