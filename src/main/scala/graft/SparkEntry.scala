@@ -8699,6 +8699,25 @@ object SparkEntry {
         .select($"embedding").head.getSeq[Float](0)
       Ann.graphBeamSearch(edges, e, "vec_id", "embedding", query,
         beam = 8, hops = 3)
+    }),
+
+    // BATCHED graph-ANN (Ann.graphBeamSearchBatch): every query's walk
+    // advances simultaneously as DataFrame state — 3·hops jobs for ANY
+    // query count where the driver-loop walk would pay hops jobs per
+    // query. Per hop one frontier⨝edges join, one broadcast-query
+    // scoring join, and the k-bounded two-phase per-query top-k.
+    "q_graph_ann_batch" -> ((s, dir) => {
+      import s.implicits._
+      val e = t(s, dir, "embeddings")
+      val cents = e.filter($"vec_id" < 16)
+        .select($"vec_id".as("cent_id"), $"embedding".as("cvec"))
+      val edges = Ann.knnJoin(e, cents, "vec_id", "embedding",
+        "cent_id", "cvec", 4)
+      val queries = e.filter($"vec_id".isin(42L, 137L, 256L))
+        .select($"vec_id".as("qid"), $"embedding".as("qvec"))
+      Ann.graphBeamSearchBatch(edges, e, queries, "vec_id", "embedding",
+          "qid", "qvec", beam = 8, hops = 3)
+        .orderBy($"qid", $"rank")
     })
   )
 
@@ -9368,6 +9387,92 @@ object SparkEntry {
          |SELECT CAST(row_number() OVER (ORDER BY s DESC, id) AS INT) AS rank,
          |       id AS vec_id, s AS score
          |FROM best3 ORDER BY rank""".stripMargin
+    },
+
+    // The single-query walk's CTE chain lifted to (qid, ·) state — one
+    // set of hop CTEs advances all three walks, mirroring the batched
+    // engine exactly.
+    "q_graph_ann_batch" -> {
+      def hop(h: Int): String =
+        s"""cand$h AS MATERIALIZED (
+           |  SELECT DISTINCT f.qid, e.dst AS id
+           |  FROM f${h - 1} f JOIN edges e ON e.src = f.id
+           |  WHERE NOT EXISTS (SELECT 1 FROM vis${h - 1} v
+           |                    WHERE v.qid = f.qid AND v.id = e.dst)),
+           |vis$h AS MATERIALIZED (
+           |  SELECT qid, id FROM vis${h - 1}
+           |  UNION SELECT qid, id FROM cand$h),
+           |best$h AS MATERIALIZED (
+           |  SELECT qid, id, s FROM (
+           |    SELECT qid, id, s,
+           |      row_number() OVER (PARTITION BY qid ORDER BY s DESC, id) AS rn
+           |    FROM (SELECT qid, id, s FROM best${h - 1}
+           |          UNION SELECT c.qid, c.id, sq.s FROM cand$h c
+           |                JOIN sq ON sq.qid = c.qid AND sq.vec_id = c.id))
+           |  WHERE rn <= 8),
+           |f$h AS MATERIALIZED (
+           |  SELECT b.qid, b.id FROM best$h b
+           |  WHERE NOT EXISTS (SELECT 1 FROM best${h - 1} p
+           |                    WHERE p.qid = b.qid AND p.id = b.id))"""
+          .stripMargin
+      s"""WITH cents AS (
+         |  SELECT vec_id AS cent_id, embedding AS cvec FROM embeddings
+         |  WHERE vec_id < 16),
+         |pc AS (
+         |  SELECT e.vec_id, c.cent_id,
+         |         unnest(e.embedding)::DOUBLE x, unnest(c.cvec)::DOUBLE y
+         |  FROM embeddings e CROSS JOIN cents c),
+         |pagg AS (SELECT vec_id, cent_id, SUM(x*y) dp, SUM(x*x) nx2, SUM(y*y) ny2
+         |         FROM pc GROUP BY vec_id, cent_id),
+         |psc AS (SELECT vec_id, cent_id,
+         |          ROUND(dp/(GREATEST(SQRT(nx2),1e-12)*GREATEST(SQRT(ny2),1e-12)), 6) c
+         |        FROM pagg),
+         |assign AS (
+         |  SELECT vec_id, cent_id AS cell_id FROM (
+         |    SELECT vec_id, cent_id,
+         |           row_number() OVER (PARTITION BY vec_id ORDER BY c DESC, cent_id) rn
+         |    FROM psc) WHERE rn = 1),
+         |pr AS (
+         |  SELECT a.vec_id AS src, b.vec_id AS dst
+         |  FROM assign a JOIN assign b
+         |    ON a.cell_id = b.cell_id AND a.vec_id <> b.vec_id),
+         |px AS (
+         |  SELECT p.src, p.dst,
+         |         unnest(ea.embedding)::DOUBLE x, unnest(eb.embedding)::DOUBLE y
+         |  FROM pr p JOIN embeddings ea ON ea.vec_id = p.src
+         |            JOIN embeddings eb ON eb.vec_id = p.dst),
+         |pxa AS (SELECT src, dst, SUM(x*y) dp, SUM(x*x) nx2, SUM(y*y) ny2
+         |        FROM px GROUP BY src, dst),
+         |esc AS (SELECT src, dst,
+         |         ROUND(dp/(GREATEST(SQRT(nx2),1e-12)*GREATEST(SQRT(ny2),1e-12)), 6)
+         |           + 0.0 AS score
+         |       FROM pxa),
+         |edges AS MATERIALIZED (
+         |  SELECT src, dst FROM (
+         |    SELECT src, dst, row_number() OVER (PARTITION BY src
+         |                       ORDER BY score DESC, dst) AS rn
+         |    FROM esc) WHERE rn <= 4),
+         |qs AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+         |       WHERE vec_id IN (42, 137, 256)),
+         |sq AS MATERIALIZED (
+         |  SELECT qid, vec_id,
+         |    ROUND(SUM(x*y)/(GREATEST(SQRT(SUM(x*x)),1e-12)
+         |          *GREATEST(SQRT(SUM(y*y)),1e-12)), 6) + 0.0 AS s
+         |  FROM (SELECT q.qid, e.vec_id, unnest(e.embedding)::DOUBLE x,
+         |               unnest(q.qv)::DOUBLE y
+         |        FROM embeddings e CROSS JOIN qs q)
+         |  GROUP BY qid, vec_id),
+         |vis0 AS (SELECT qid, (SELECT MIN(vec_id) FROM embeddings) AS id
+         |         FROM qs),
+         |f0 AS (SELECT qid, id FROM vis0),
+         |best0 AS (SELECT v.qid, v.id, sq.s FROM vis0 v
+         |          JOIN sq ON sq.qid = v.qid AND sq.vec_id = v.id),
+         |${(1 to 3).map(hop).mkString(",\n")}
+         |SELECT qid,
+         |  CAST(row_number() OVER (PARTITION BY qid ORDER BY s DESC, id)
+         |       AS INT) AS rank,
+         |  id AS vec_id, s AS score
+         |FROM best3 ORDER BY qid, rank""".stripMargin
     }
   )
 }

@@ -352,6 +352,67 @@ object Ann {
       .toDF("rank", idCol, "score")
   }
 
+  /** BATCHED graph beam search — the fully-DISTRIBUTED face of
+    * [[graphBeamSearch]]: every query's walk advances simultaneously as
+    * DataFrame state, so a 10⁶-query batch is 3·hops jobs total instead
+    * of hops jobs PER query (the driver-loop version is the serving/
+    * debug shape; this is the batch-scoring shape). State per hop:
+    * beam (qid, id, score) ≤ Q·beam rows, visited (qid, id) ≤
+    * Q·beam·degree·hops rows — both localCheckpoint per hop (the
+    * iterative-lineage discipline); per hop ONE frontier⨝edges join
+    * keyed on the graph node, one candidate scoring join against the
+    * broadcast query table, and the k-bounded two-phase
+    * `TopK.topKPerKeyAgg` per query. Same entry/tie determinism as the
+    * single-query walk, so the per-qid unrolled oracle replays every
+    * hop. Returns (qidCol, rank, id, score).
+    */
+  def graphBeamSearchBatch(edges: DataFrame, vectors: DataFrame,
+                           queries: DataFrame, idCol: String, vecCol: String,
+                           qidCol: String, qvecCol: String,
+                           beam: Int, hops: Int): DataFrame = {
+    require(beam >= 1 && hops >= 0, s"bad beam/hops: $beam/$hops")
+    val entry = vectors.agg(min(col(idCol).cast("long"))).head.getLong(0)
+    val q = broadcast(
+      queries.select(col(qidCol).as("__qid"), col(qvecCol).as("__qv"),
+        V.normSafe(col(qvecCol)).as("__qn")).localCheckpoint(false))
+    def scoreCands(cand: DataFrame): DataFrame =
+      cand
+        .join(vectors.select(col(idCol).as("__id"), col(vecCol).as("__v"),
+          V.normSafe(col(vecCol)).as("__n")), Seq("__id"))
+        .join(q, Seq("__qid"))
+        .select(col("__qid"), col("__id"),
+          (round(dotF(col("__v"), col("__qv")) /
+            (col("__n") * col("__qn")), 6) + lit(0.0)).as("__s"))
+    var beamDf = scoreCands(
+      q.select(col("__qid"), lit(entry).as("__id")))
+      .localCheckpoint(false)
+    var frontier = beamDf.select(col("__qid"), col("__id"))
+    var visited = frontier.localCheckpoint(false)
+    for (_ <- 1 to hops) {
+      val cand = frontier
+        .join(edges.select(col("src").cast("long").as("__id"),
+          col("dst").cast("long").as("__dst")), Seq("__id"))
+        .select(col("__qid"), col("__dst").as("__id")).distinct()
+        .join(visited, Seq("__qid", "__id"), "left_anti")
+        .localCheckpoint(false)
+      val merged = TopK.topKPerKeyAgg(
+          beamDf.unionByName(scoreCands(cand)),
+          Seq(col("__qid")), col("__s"), col("__id"), beam)
+        .select(col("__qid"), col("id").as("__id"), col("score").as("__s"))
+        .localCheckpoint(false)
+      frontier = merged.join(beamDf.select(col("__qid"), col("__id")),
+        Seq("__qid", "__id"), "left_anti")
+      visited = visited.unionByName(cand).localCheckpoint(false)
+      beamDf = merged
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__qid")).orderBy(col("__s").desc, col("__id"))
+    beamDf
+      .select(col("__qid").as(qidCol),
+        row_number().over(w).as("rank"),
+        col("__id").as(idCol), col("__s").as("score"))
+  }
+
   /** Rank-aware quality evaluation — nDCG@k and MRR beside
     * [[recallAtK]]'s set-overlap (recall treats rank 1 and rank k the
     * same; nDCG/MRR grade WHERE the true neighbors land): binary

@@ -354,5 +354,20 @@ class AnnSpec extends SparkSpec {
     val again = Ann.graphBeamSearch(edges.repartition(7), e.repartition(5),
       "vec_id", "embedding", query, 8, 3).collect().map(_.toSeq).toSeq
     assert(again == beam.map(_.toSeq).toSeq)
+    // the BATCHED walk agrees with the single-query walk per qid
+    val queries = e.filter(col("vec_id").isin(42L, 137L))
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val batch = Ann.graphBeamSearchBatch(edges, e, queries, "vec_id",
+        "embedding", "qid", "qvec", 8, 3)
+      .collect().groupBy(_.getLong(0))
+    Seq(42L, 137L).foreach { qid =>
+      val qv = e.filter(col("vec_id") === qid)
+        .select(col("embedding")).head.getSeq[Float](0)
+      val single = Ann.graphBeamSearch(edges, e, "vec_id", "embedding",
+        qv, 8, 3).collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+      val b = batch(qid).sortBy(_.getInt(1))
+        .map(r => (r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
+      assert(b == single.toSeq, s"qid $qid: batch $b vs single ${single.toSeq}")
+    }
   }
 }
