@@ -8701,6 +8701,36 @@ object SparkEntry {
         beam = 8, hops = 3)
     }),
 
+    // Dedup QA harness (Dedup.pairEval): precision/recall/F1 of the
+    // MinHash-LSH pair list against a labeled GOLD pair set — the
+    // number a threshold choice is justified by. Gold here = the
+    // fixture's constructed near-dups (identical 80-char prefixes);
+    // the report shows how much of that set LSH at 0.2 recovers and
+    // what it over-captures. Pairs canonicalize to (min, max); one
+    // id-only join family, one output row.
+    "q_dedup_eval" -> ((s, dir) => {
+      import s.implicits._
+      val d = spread(s, t(s, dir, "documents"))
+      val pred = Dedup.nearDupPairs(d, "doc_id", "text",
+        shingleSize = 2, numHashes = 16, bands = 4, threshold = 0.2)
+      val pre = d.select($"doc_id", substring($"text", 1, 80).as("__h"))
+      val gold = pre.select($"doc_id".as("ga"), $"__h")
+        .join(pre.select($"doc_id".as("gb"), $"__h"), Seq("__h"))
+        .filter($"ga" < $"gb")
+        .select($"ga".as("id_a"), $"gb".as("id_b"))
+      Dedup.pairEval(pred, gold, "id_a", "id_b")
+    }),
+
+    // Jackknife error bar for a corpus metric (Validation.jackknifeMean,
+    // Quenouille/Tukey): delete-one-hash-fold SE of the mean event
+    // value — integer-exact leave-one-out means, exact BIGINT variance,
+    // one float sqrt at the end. One bounded (fold, sum, count) agg.
+    "q_jackknife" -> ((s, dir) => {
+      import s.implicits._
+      graft.operators.Validation.jackknifeMean(
+        t(s, dir, "events"), $"value", $"event_id", folds = 10)
+    }),
+
     // BATCHED graph-ANN (Ann.graphBeamSearchBatch): every query's walk
     // advances simultaneously as DataFrame state — 3·hops jobs for ANY
     // query count where the driver-loop walk would pay hops jobs per
@@ -9388,6 +9418,77 @@ object SparkEntry {
          |       id AS vec_id, s AS score
          |FROM best3 ORDER BY rank""".stripMargin
     },
+
+    // LSH pair chain (q_dedup_clusters' CTEs) vs md5-equality gold
+    // pairs; counts via one intersect + two set sizes.
+    "q_dedup_eval" ->
+      """WITH t AS (
+        |  SELECT doc_id, CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[]) ELSE string_split_regex(trim(text), '\s+') END AS toks
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id,
+        |         list_distinct(list_transform(generate_series(1, len(toks)-1),
+        |           i -> toks[i] || ' ' || toks[i+1])) AS sh
+        |  FROM t WHERE len(toks) >= 2),
+        |sig AS (
+        |  SELECT doc_id, sh,
+        |         list_transform(generate_series(0, 15), i ->
+        |           list_min(list_transform(sh, x ->
+        |             ('0x'||substr(md5(i::VARCHAR||':'||x), 1, 15))::BIGINT))) AS sig
+        |  FROM s WHERE len(sh) > 0),
+        |bands AS (
+        |  SELECT doc_id, band_idx,
+        |         md5(array_to_string(sig[band_idx*4+1 : band_idx*4+4], ',')) AS bh
+        |  FROM (SELECT doc_id, sig, unnest(generate_series(0, 3)) AS band_idx FROM sig)),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id da, b.doc_id db
+        |  FROM bands a JOIN bands b
+        |    ON a.band_idx = b.band_idx AND a.bh = b.bh AND a.doc_id < b.doc_id),
+        |p AS (
+        |  SELECT da AS a, db AS b FROM (
+        |    SELECT da, db,
+        |           len(list_intersect(x.sh, y.sh))::DOUBLE /
+        |             (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))) AS jac
+        |    FROM cand JOIN s x ON da = x.doc_id JOIN s y ON db = y.doc_id)
+        |  WHERE jac >= 0.2),
+        |gold AS (
+        |  SELECT a.doc_id AS a, b.doc_id AS b
+        |  FROM documents a JOIN documents b
+        |    ON substr(a.text, 1, 80) = substr(b.text, 1, 80)
+        |   AND a.doc_id < b.doc_id),
+        |c AS (
+        |  SELECT (SELECT COUNT(*) FROM p JOIN gold USING (a, b))::BIGINT AS tp,
+        |         (SELECT COUNT(*) FROM p)::BIGINT AS np,
+        |         (SELECT COUNT(*) FROM gold)::BIGINT AS ng),
+        |m AS (
+        |  SELECT tp, np - tp AS fp, ng - tp AS fn,
+        |    (tp * 1000000) // GREATEST(np, 1) AS p_micro,
+        |    (tp * 1000000) // GREATEST(ng, 1) AS r_micro
+        |  FROM c)
+        |SELECT tp, fp, fn, p_micro, r_micro,
+        |  (CASE WHEN p_micro + r_micro = 0 THEN 0
+        |        ELSE (2 * p_micro * r_micro) // (p_micro + r_micro)
+        |   END)::BIGINT AS f1_micro
+        |FROM m""".stripMargin,
+
+    "q_jackknife" ->
+      """WITH q AS (
+        |  SELECT ('0x'||substr(md5(event_id::VARCHAR), 1, 15))::BIGINT % 10 AS f,
+        |    CAST(ROUND(value * 1000000, 0) AS BIGINT) AS vq
+        |  FROM events),
+        |b AS (SELECT f, SUM(vq)::BIGINT AS s, COUNT(*)::BIGINT AS n
+        |      FROM q GROUP BY f),
+        |t AS (SELECT SUM(s)::BIGINT AS st, SUM(n)::BIGINT AS nt,
+        |             COUNT(*)::BIGINT AS k FROM b),
+        |loo AS (SELECT ((t.st - b.s) // GREATEST(t.nt - b.n, 1)) AS m
+        |        FROM b, t),
+        |mb AS (SELECT (SUM(m) // (SELECT k FROM t)) AS mbar FROM loo),
+        |v AS (SELECT SUM((m - mb.mbar) * (m - mb.mbar))::BIGINT AS varq
+        |      FROM loo, mb)
+        |SELECT t.nt AS n, (t.st // t.nt) AS mean_micro,
+        |  CAST(ROUND(SQRT(v.varq::DOUBLE * (t.k - 1) / t.k), 0) AS BIGINT)
+        |    AS jack_se_micro
+        |FROM t, v""".stripMargin,
 
     // The single-query walk's CTE chain lifted to (qid, ·) state — one
     // set of hop CTEs advances all three walks, mirroring the batched

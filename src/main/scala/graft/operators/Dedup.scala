@@ -663,6 +663,39 @@ object Dedup {
     * md5-derived hash, so even a collision replicates bit-identically in
     * the oracle (`q_decontaminate`).
     */
+  /** Pair-level dedup EVALUATION against a labeled gold set: TP/FP/FN
+    * and integer-micro precision/recall/F1 of a predicted duplicate-
+    * pair list vs gold pairs — the QA harness that turns "we ran LSH"
+    * into "LSH finds 97% of known duplicates at 82% precision", the
+    * number a threshold choice is actually justified by (pairs with
+    * swapped endpoints count once — both sides canonicalize to
+    * (min, max) before comparing).
+    *
+    * Scale shape: two distinct-pair canonicalizations + one full outer
+    * join on the pair key — ids only, never content; output is ONE row.
+    */
+  def pairEval(pred: DataFrame, gold: DataFrame, aCol: String,
+               bCol: String): DataFrame = {
+    def canon(df: DataFrame, tag: String): DataFrame =
+      df.select(least(col(aCol), col(bCol)).as("__a"),
+          greatest(col(aCol), col(bCol)).as("__b"))
+        .distinct().withColumn(tag, lit(1))
+    canon(pred, "__p").join(canon(gold, "__g"),
+        Seq("__a", "__b"), "full_outer")
+      .agg(
+        count(when(col("__p").isNotNull && col("__g").isNotNull, 1))
+          .as("tp"),
+        count(when(col("__p").isNotNull && col("__g").isNull, 1)).as("fp"),
+        count(when(col("__p").isNull && col("__g").isNotNull, 1)).as("fn"))
+      .select(col("tp"), col("fp"), col("fn"),
+        expr("(tp * 1000000) div greatest(tp + fp, 1)").as("p_micro"),
+        expr("(tp * 1000000) div greatest(tp + fn, 1)").as("r_micro"))
+      .withColumn("f1_micro",
+        when(col("p_micro") + col("r_micro") === 0L, 0L)
+          .otherwise(expr(
+            "(2 * p_micro * r_micro) div (p_micro + r_micro)")))
+  }
+
   def contaminationOverlap(train: DataFrame, bench: DataFrame,
                            idCol: String, textCol: String,
                            n: Int = 8): DataFrame = {

@@ -37,6 +37,46 @@ object Validation {
     * `uniqueKeys` entry). Output: (check, column, n_violations, passed)
     * ordered by (check, column).
     */
+  /** JACKKNIFE standard error of a metric mean (Quenouille/Tukey —
+    * delete-one-group over `folds` hash folds): the error bar a corpus
+    * health metric ("mean quality 0.41") needs before anyone compares
+    * two pipeline runs on it. Leave-one-fold-out means are EXACT
+    * integer floor divisions of micro-quantized sums, the variance of
+    * fold means is exact BIGINT arithmetic, and only the final sqrt is
+    * float (round-6) — order-proof at any partitioning, cross-engine
+    * replayable. Hash folds (not row ranges) make the estimate
+    * insensitive to storage order.
+    *
+    * One map-side-combined (fold → sum, count) aggregation — the fold
+    * table is `folds` rows; everything after is driver-free column
+    * arithmetic on that bounded table. Returns one row
+    * (n, mean_micro, jack_se_micro).
+    */
+  def jackknifeMean(df: DataFrame, value: Column, key: Column,
+                    folds: Int = 10): DataFrame = {
+    require(folds >= 2, s"folds must be >= 2, got $folds")
+    val byFold = df
+      .select(pmod(graft.operators.Dedup.hash60(key.cast("string")),
+          lit(folds.toLong)).as("__f"),
+        round(value * 1000000).cast("long").as("__vq"))
+      .groupBy(col("__f"))
+      .agg(sum(col("__vq")).as("__s"), count(lit(1)).as("__n"))
+    val tot = byFold.agg(sum(col("__s")), sum(col("__n")), count(lit(1)))
+      .head
+    val (s, n, k) = (tot.getLong(0), tot.getLong(1), tot.getLong(2))
+    val loo = byFold.select(
+      expr(s"(${s}L - __s) div greatest(${n}L - __n, 1)").as("__m"))
+    val mbar = Math.floorDiv(loo.agg(sum(col("__m"))).head.getLong(0), k)
+    val varq = loo
+      .agg(sum((col("__m") - mbar) * (col("__m") - mbar))).head.getLong(0)
+    val se = BigDecimal(
+        math.sqrt(varq.toDouble * (k - 1).toDouble / k.toDouble))
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    df.sparkSession.range(1).select(
+      lit(n).as("n"), lit(Math.floorDiv(s, n)).as("mean_micro"),
+      lit(se).as("jack_se_micro"))
+  }
+
   def validate(df: DataFrame, checks: Seq[Check],
                uniqueKeys: Seq[String] = Nil): DataFrame = {
     require(checks.nonEmpty || uniqueKeys.nonEmpty, "no checks given")

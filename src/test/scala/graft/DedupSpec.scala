@@ -571,6 +571,21 @@ class DedupSpec extends SparkSpec {
     assert(kept.head == all.count(), "threshold 0 keeps every candidate")
   }
 
+  test("pairEval: hand-computed confusion counts, endpoint order and dups ignored") {
+    import spark.implicits._
+    // pred: (1,2) swapped + duplicated, (3,4), (5,6); gold: (1,2), (3,4), (7,8)
+    val pred = Seq((2L, 1L), (1L, 2L), (3L, 4L), (5L, 6L)).toDF("id_a", "id_b")
+    val gold = Seq((1L, 2L), (4L, 3L), (7L, 8L)).toDF("id_a", "id_b")
+    val r = Dedup.pairEval(pred, gold, "id_a", "id_b").head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((2L, 1L, 1L)))
+    assert(r.getLong(3) == 2000000L / 3)        // precision 2/3
+    assert(r.getLong(4) == 2000000L / 3)        // recall 2/3
+    assert(r.getLong(5) == 666666L)             // F1 = harmonic of equals
+    // empty prediction: zero precision/recall without dividing by zero
+    val e = Dedup.pairEval(pred.limit(0), gold, "id_a", "id_b").head
+    assert(e.getLong(0) == 0 && e.getLong(2) == 3 && e.getLong(5) == 0)
+  }
+
   test("CdcChunkStarts kernel agrees with the HOF spec; chunks tile the text") {
     import spark.implicits._
     val fixture = spark.read.parquet(s"$sf0001/documents.parquet")

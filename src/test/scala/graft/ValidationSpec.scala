@@ -44,4 +44,29 @@ class ValidationSpec extends SparkSpec {
       .findAllIn(rowLocalOnly.queryExecution.executedPlan.toString).size
     assert(scans == 1, s"row-local checks must run in one scan, saw $scans")
   }
+
+  test("jackknifeMean: constant metric has zero SE; SE tracks spread; partitioning-proof") {
+    import spark.implicits._
+    import graft.operators.Validation
+    val const = (1L to 1000L).map(i => (i, 7.5)).toDF("id", "v")
+    val c = Validation.jackknifeMean(const, col("v"), col("id")).head
+    assert(c.getLong(0) == 1000L)
+    assert(c.getLong(1) == 7500000L)        // exact micro mean
+    assert(c.getLong(2) == 0L, "constant metric must have zero SE")
+    // a high-variance metric gets a visibly larger SE than a tight one
+    val tight = (1L to 1000L).map(i => (i, 5.0 + (i % 3) * 0.001))
+      .toDF("id", "v")
+    val wide = (1L to 1000L).map(i => (i, (i % 100).toDouble)).toDF("id", "v")
+    val seT = Validation.jackknifeMean(tight, col("v"), col("id"))
+      .head.getLong(2)
+    val seW = Validation.jackknifeMean(wide, col("v"), col("id"))
+      .head.getLong(2)
+    assert(seW > seT * 10, s"wide SE $seW must dwarf tight SE $seT")
+    // deterministic under repartitioning (order-proof sums)
+    val a = Validation.jackknifeMean(wide.repartition(13), col("v"), col("id"))
+      .head.toSeq
+    val b = Validation.jackknifeMean(wide.coalesce(1), col("v"), col("id"))
+      .head.toSeq
+    assert(a == b)
+  }
 }
