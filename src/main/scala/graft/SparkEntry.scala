@@ -8701,6 +8701,25 @@ object SparkEntry {
         beam = 8, hops = 3)
     }),
 
+    // Mojibake detection (T.mojibakeCount): UTF-8-read-as-Latin-1/cp1252
+    // artifact signatures — the crawl-hygiene flag that catches
+    // double-encoded text before it poisons tokenizers and dedup
+    // shingles. Fixture is ASCII, so every 5th doc gets a deterministic
+    // mojibake suffix appended (identical codepoints on both sides);
+    // the repair kernel (cp1252-first transcode round trip) is
+    // spec-tested. Pure per-row regex count at scan speed.
+    "q_mojibake" -> ((s, dir) => {
+      import s.implicits._
+      val art = " cafÃ© â€™"
+      val d = t(s, dir, "documents")
+        .select($"doc_id",
+          when(pmod($"doc_id", lit(5L)) === 0L, concat($"text", lit(art)))
+            .otherwise($"text").as("__t"))
+      d.select($"doc_id", T.mojibakeCount($"__t").as("n_artifacts"))
+        .withColumn("flagged", $"n_artifacts" > 0L)
+        .orderBy($"doc_id")
+    }),
+
     // Dedup QA harness (Dedup.pairEval): precision/recall/F1 of the
     // MinHash-LSH pair list against a labeled GOLD pair set — the
     // number a threshold choice is justified by. Gold here = the
@@ -9418,6 +9437,26 @@ object SparkEntry {
          |       id AS vec_id, s AS score
          |FROM best3 ORDER BY rank""".stripMargin
     },
+
+    // Same artifact codepoints built with chr(); same RE2-compatible
+    // \x{...} pattern (alternatives start with distinct chars, so
+    // leftmost-first vs leftmost-longest cannot differ).
+    "q_mojibake" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 5 = 0
+        |         THEN text || ' caf' || chr(195) || chr(169) || ' '
+        |              || chr(226) || chr(8364) || chr(8482)
+        |         ELSE text END AS t
+        |  FROM documents)
+        |SELECT doc_id,
+        |  len(regexp_extract_all(t,
+        |    '\x{00c3}[\x{0080}-\x{00ff}]|\x{00e2}\x{20ac}|\x{00c2}[\x{00a0}-\x{00bf}]'
+        |  ))::BIGINT AS n_artifacts,
+        |  len(regexp_extract_all(t,
+        |    '\x{00c3}[\x{0080}-\x{00ff}]|\x{00e2}\x{20ac}|\x{00c2}[\x{00a0}-\x{00bf}]'
+        |  )) > 0 AS flagged
+        |FROM d ORDER BY doc_id""".stripMargin,
 
     // LSH pair chain (q_dedup_clusters' CTEs) vs md5-equality gold
     // pairs; counts via one intersect + two set sizes.

@@ -92,6 +92,59 @@ object TextFunctions {
       .otherwise(lit("en"))
   }
 
+  /** MOJIBAKE artifact patterns: the classic UTF-8-bytes-read-as-
+    * Latin-1/cp1252 signatures — "Ã" + continuation (é è ü …), the
+    * "â€¦"-family punctuation (’ “ ” … –), and stray "Â" before
+    * NBSP/punctuation. Fixed alternation, no lookaround — identical
+    * under Java regex and RE2, so the oracle counts with the same
+    * pattern.
+    */
+  val MojibakePattern: String =
+    "\u00c3[\\x{0080}-\\x{00ff}]|\u00e2\u20ac|\u00c2[\\x{00a0}-\\x{00bf}]"
+
+  /** Mojibake artifact count per document — the crawl-hygiene signal
+    * that catches double-encoded text BEFORE it poisons tokenizers and
+    * dedup shingles (a mojibake'd copy of a page hashes differently
+    * from the clean one, defeating exact dedup). Pure per-row regex
+    * count at scan speed.
+    */
+  def mojibakeCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(MojibakePattern), lit(0)))
+      .cast("long")
+
+  /** REPAIR double-encoded text: re-encode the chars as Latin-1 bytes
+    * and strictly re-decode as UTF-8 — the inverse of the corruption.
+    * Applied only when the round trip fully succeeds AND the text
+    * actually shows artifacts; anything else passes through unchanged
+    * (repair must never corrupt clean text). Driver-free per-row
+    * compute via a deterministic JVM kernel (charset transcode has no
+    * Column-function equivalent); spec-tested on real mojibake
+    * round-trips.
+    */
+  def repairMojibake(s: String): String = {
+    if (s == null) return null
+    val hasArtifact = java.util.regex.Pattern.compile(MojibakePattern)
+      .matcher(s).find()
+    if (!hasArtifact) return s
+    def via(cs: java.nio.charset.Charset): Option[String] =
+      try {
+        val enc = cs.newEncoder()
+          .onMalformedInput(java.nio.charset.CodingErrorAction.REPORT)
+          .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPORT)
+        val dec = java.nio.charset.StandardCharsets.UTF_8.newDecoder()
+          .onMalformedInput(java.nio.charset.CodingErrorAction.REPORT)
+          .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPORT)
+        Some(dec.decode(enc.encode(java.nio.CharBuffer.wrap(s))).toString)
+      } catch {
+        case _: java.nio.charset.CharacterCodingException => None
+      }
+    // cp1252 first (the common corruption — bytes 0x80-0x9F map to
+    // punctuation), Latin-1 as fallback (straight byte identity)
+    via(java.nio.charset.Charset.forName("windows-1252"))
+      .orElse(via(java.nio.charset.StandardCharsets.ISO_8859_1))
+      .getOrElse(s)
+  }
+
   /** BPE-style subword-ish token count: runs of letters, runs of digits,
     * or single non-alphanumeric glyphs — the cheap, regex-only
     * approximation of a GPT-2-flavored pre-tokenizer used for corpus

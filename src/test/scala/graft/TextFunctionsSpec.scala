@@ -420,4 +420,34 @@ class TextFunctionsSpec extends SparkSpec {
     // nor may a self-closing tag pair up with a LATER real close tag
     assert(extract("<script src=\"a\"/><p>x</p><script>y</script>z") == "x z")
   }
+
+  test("mojibake: detection counts artifacts; repair round-trips real corruptions") {
+    import graft.functions.{TextFunctions => T}
+    // corrupt by the actual mechanism: utf-8 bytes re-read as cp1252/latin1
+    def corrupt(clean: String, cs: String): String =
+      new String(clean.getBytes("UTF-8"), java.nio.charset.Charset.forName(cs))
+    val cafe = "café"                      // café
+    val quote = "it’s “fine… – ok"         // cp1252-recoverable punctuation
+    Seq("windows-1252", "ISO-8859-1").foreach { cs =>
+      val badCafe = corrupt(cafe, cs)
+      assert(badCafe != cafe)
+      assert(T.repairMojibake(badCafe) == cafe, s"$cs: $badCafe")
+    }
+    val badQuote = corrupt(quote, "windows-1252")
+    assert(T.repairMojibake(badQuote) == quote)
+    // ” maps through cp1252's UNDEFINED byte 0x9D -> the decoder
+    // replaced it; strict repair correctly refuses and passes through
+    val lossy = corrupt("”", "windows-1252")
+    assert(T.repairMojibake(lossy) == lossy)
+    // clean text (even non-ASCII) passes through untouched
+    assert(T.repairMojibake(cafe) == cafe)
+    assert(T.repairMojibake("plain ascii.") == "plain ascii.")
+    assert(T.repairMojibake(null) == null)
+    // the column-level count sees the corruption and not the clean text
+    import spark.implicits._
+    val n = Seq(corrupt(cafe, "ISO-8859-1"), cafe, "x")
+      .toDF("t").select(T.mojibakeCount(col("t")).as("n"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(n == Seq(1L, 0L, 0L), n.toString)
+  }
 }
