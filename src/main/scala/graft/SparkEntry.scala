@@ -8701,6 +8701,31 @@ object SparkEntry {
         beam = 8, hops = 3)
     }),
 
+    // Sentence-budget chunking (T.sentenceChunks — the LangChain-style
+    // default RAG splitter): sentences stay whole, grouped by a
+    // 40-token budget via prefix-sum assignment (order-proof, never a
+    // greedy reset) — retrieval units that never cut mid-sentence.
+    // Pure per-row HOF compute; the posexplode is the only reshaping.
+    "q_sentence_chunks" -> ((s, dir) => {
+      import s.implicits._
+      // the fixture is terminator-free word soup — sentence-ify it
+      // deterministically (a period closes every 12th token) so the
+      // splitter exercises real boundaries; both engines share the
+      // construction
+      val toks = T.tokens($"text")
+      val sentText = array_join(transform(sequence(lit(1), size(toks)),
+        i => when(pmod(i, lit(12)) === 0,
+          concat(element_at(toks, i), lit(".")))
+          .otherwise(element_at(toks, i))), " ")
+      val staged = t(s, dir, "documents")
+        .select($"doc_id", sentText.as("__t"))
+        .filter(length($"__t") > 0)
+      T.sentenceChunkRows(staged, "__t", maxTokens = 40)
+        .select($"doc_id", $"sent_idx", $"n_tokens", $"chunk_idx",
+          substring($"sent", 1, 30).as("sent_head"))
+        .orderBy($"doc_id", $"sent_idx")
+    }),
+
     // Mojibake detection (T.mojibakeCount): UTF-8-read-as-Latin-1/cp1252
     // artifact signatures — the crawl-hygiene flag that catches
     // double-encoded text before it poisons tokenizers and dedup
@@ -9437,6 +9462,42 @@ object SparkEntry {
          |       id AS vec_id, s AS score
          |FROM best3 ORDER BY rank""".stripMargin
     },
+
+    "q_sentence_chunks" ->
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |    CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+        |         ELSE string_split_regex(trim(text), '\s+') END AS toks
+        |  FROM documents),
+        |sent AS (
+        |  SELECT doc_id,
+        |    array_to_string(list_transform(generate_series(1, len(toks)),
+        |      i -> CASE WHEN i % 12 = 0 THEN toks[i] || '.'
+        |                ELSE toks[i] END), ' ') AS raw
+        |  FROM tk),
+        |d AS (
+        |  SELECT doc_id, trim(raw) AS tt FROM sent
+        |  WHERE trim(raw) <> ''),
+        |s AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(tt, '[.!?]+\s+'), x -> x <> '')
+        |      AS sents
+        |  FROM d),
+        |x AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(generate_series(1, len(sents)), i ->
+        |      {'i': i, 's': sents[i],
+        |       'n': len(string_split_regex(sents[i], '\s+'))})) AS u
+        |  FROM s WHERE len(sents) > 0),
+        |y AS (
+        |  SELECT doc_id, (u.i - 1)::INT AS sent_idx, u.n::BIGINT AS n_tokens,
+        |    COALESCE(SUM(u.n) OVER (PARTITION BY doc_id ORDER BY u.i
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum,
+        |    substr(u.s, 1, 30) AS sent_head
+        |  FROM x)
+        |SELECT doc_id, sent_idx, n_tokens, (cum // 40)::BIGINT AS chunk_idx,
+        |  sent_head
+        |FROM y ORDER BY doc_id, sent_idx""".stripMargin,
 
     // Same artifact codepoints built with chr(); same RE2-compatible
     // \x{...} pattern (alternatives start with distinct chars, so

@@ -145,6 +145,59 @@ object TextFunctions {
       .getOrElse(s)
   }
 
+  /** Sentence segmentation: split on terminator runs followed by
+    * whitespace ("[.!?]+\\s+") — deliberately lookaround-free so Java
+    * regex and RE2 segment identically; empties (leading separators)
+    * drop. The final sentence keeps its terminator (nothing follows to
+    * split on) — a stable, declared contract rather than a lossy
+    * normalize.
+    */
+  def sentenceSplit(text: Column): Column =
+    filter(
+      when(length(trim(text)) === 0, array().cast("array<string>"))
+        .otherwise(split(trim(text), "[.!?]+\\s+")),
+      s => s =!= "")
+
+  /** SENTENCE-budget chunking — the default RAG text splitter
+    * (LangChain-style): sentences stay whole and are grouped by token
+    * budget, so retrieval units never cut mid-sentence (the failure of
+    * fixed token windows) while staying near the embedding model's
+    * length sweet spot. Assignment is by cumulative token offset:
+    * sentence i lands in chunk floor(tokens_before_i / maxTokens) — a
+    * prefix-sum (order-proof, engine-replayable), not a greedy reset,
+    * so a chunk may overflow by at most one sentence.
+    *
+    * DataFrame-level on purpose: the sentence array and its per-
+    * sentence token counts must be STAGED as columns (filter barriers
+    * between projections) — a single Column expression would carry the
+    * split chain inside the prefix-sum lambda and re-evaluate it per
+    * element (the CollapseProject trap q_groundedness hit). Pure
+    * per-row compute; returns one row per sentence:
+    * (input columns…, sent_idx, sent, n_tokens, chunk_idx).
+    */
+  def sentenceChunkRows(df: org.apache.spark.sql.DataFrame, textCol: String,
+                        maxTokens: Int): org.apache.spark.sql.DataFrame = {
+    require(maxTokens >= 1, s"maxTokens must be >= 1, got $maxTokens")
+    val keep = df.columns.filter(_ != textCol).map(col).toSeq
+    df.select(keep :+ sentenceSplit(col(textCol)).as("__sents"): _*)
+      .filter(size(col("__sents")) > 0)
+      .select(keep ++ Seq(col("__sents"),
+        transform(col("__sents"), s => size(split(s, "\\s+")))
+          .as("__ns")): _*)
+      .filter(size(col("__ns")) > 0)
+      .select(keep :+ posexplode(
+        transform(sequence(lit(1), size(col("__sents"))), i =>
+          struct(
+            element_at(col("__sents"), i).as("sent"),
+            element_at(col("__ns"), i).cast("long").as("n_tokens"),
+            floor(aggregate(slice(col("__ns"), lit(1), i - 1), lit(0L),
+              (acc, v) => acc + v) / maxTokens).cast("long")
+              .as("chunk_idx")))).as(Seq("sent_idx", "__u")): _*)
+      .select(keep ++ Seq(col("sent_idx"), col("__u.sent").as("sent"),
+        col("__u.n_tokens").as("n_tokens"),
+        col("__u.chunk_idx").as("chunk_idx")): _*)
+  }
+
   /** BPE-style subword-ish token count: runs of letters, runs of digits,
     * or single non-alphanumeric glyphs — the cheap, regex-only
     * approximation of a GPT-2-flavored pre-tokenizer used for corpus

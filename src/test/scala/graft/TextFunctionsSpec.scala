@@ -421,6 +421,28 @@ class TextFunctionsSpec extends SparkSpec {
     assert(extract("<script src=\"a\"/><p>x</p><script>y</script>z") == "x z")
   }
 
+  test("sentenceChunkRows: whole sentences, prefix-sum budget, bounded overflow") {
+    import spark.implicits._
+    import graft.functions.{TextFunctions => T}
+    val text = "one two three. four five six seven! eight nine? ten"
+    val rows = T.sentenceChunkRows(
+        Seq((1L, text)).toDF("id", "t"), "t", maxTokens = 5)
+      .collect().map(r => (r.getInt(1), r.getString(2), r.getLong(3),
+        r.getLong(4)))
+    // sentences split on terminator+space; last keeps no terminator
+    assert(rows.map(_._2).toSeq ==
+      Seq("one two three", "four five six seven", "eight nine", "ten"))
+    assert(rows.map(_._3).toSeq == Seq(3L, 4L, 2L, 1L))
+    // cum-before: 0, 3, 7, 9 → chunks 0, 0, 1, 1 at budget 5
+    assert(rows.map(_._4).toSeq == Seq(0L, 0L, 1L, 1L))
+    // leading separators yield no empty sentences; blank text yields no rows
+    val edge = T.sentenceChunkRows(
+      Seq((1L, ". leading"), (2L, "   "), (3L, "no terminator here"))
+        .toDF("id", "t"), "t", 5)
+      .collect().map(r => r.getLong(0) -> r.getString(2))
+    assert(edge.toSeq == Seq(1L -> "leading", 3L -> "no terminator here"))
+  }
+
   test("mojibake: detection counts artifacts; repair round-trips real corruptions") {
     import graft.functions.{TextFunctions => T}
     // corrupt by the actual mechanism: utf-8 bytes re-read as cp1252/latin1
