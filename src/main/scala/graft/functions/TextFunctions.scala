@@ -179,23 +179,34 @@ object TextFunctions {
                         maxTokens: Int): org.apache.spark.sql.DataFrame = {
     require(maxTokens >= 1, s"maxTokens must be >= 1, got $maxTokens")
     val keep = df.columns.filter(_ != textCol).map(col).toSeq
+    // Collapse discipline: every staged array is passed through AGAIN at
+    // top level wherever a later lambda consumes it — references inside
+    // LambdaFunctions are invisible to CollapseProject's multi-use
+    // guard, so a lambda-only consumer lets the projection collapse and
+    // the producing expression re-evaluate per element. No filters
+    // either (pushdown would substitute the whole chain into the scan
+    // predicate); empty docs fall out of posexplode on their own.
+    val chunkStructs = when(size(col("__sents")) === 0,
+      array().cast(
+        "array<struct<sent:string,n_tokens:bigint,chunk_idx:bigint>>"))
+      .otherwise(transform(sequence(lit(1), size(col("__sents"))), i =>
+        struct(
+          element_at(col("__sents"), i).as("sent"),
+          element_at(col("__ns"), i).cast("long").as("n_tokens"),
+          floor(aggregate(slice(col("__ns"), lit(1), i - 1), lit(0L),
+            (acc, v) => acc + v) / maxTokens).cast("long")
+            .as("chunk_idx"))))
     df.select(keep :+ sentenceSplit(col(textCol)).as("__sents"): _*)
-      .filter(size(col("__sents")) > 0)
       .select(keep ++ Seq(col("__sents"),
-        transform(col("__sents"), s => size(split(s, "\\s+")))
-          .as("__ns")): _*)
-      .filter(size(col("__ns")) > 0)
-      .select(keep :+ posexplode(
-        transform(sequence(lit(1), size(col("__sents"))), i =>
-          struct(
-            element_at(col("__sents"), i).as("sent"),
-            element_at(col("__ns"), i).cast("long").as("n_tokens"),
-            floor(aggregate(slice(col("__ns"), lit(1), i - 1), lit(0L),
-              (acc, v) => acc + v) / maxTokens).cast("long")
-              .as("chunk_idx")))).as(Seq("sent_idx", "__u")): _*)
-      .select(keep ++ Seq(col("sent_idx"), col("__u.sent").as("sent"),
-        col("__u.n_tokens").as("n_tokens"),
-        col("__u.chunk_idx").as("chunk_idx")): _*)
+        when(size(col("__sents")) === 0, array().cast("array<int>"))
+          .otherwise(transform(col("__sents"),
+            s => size(split(s, "\\s+")))).as("__ns")): _*)
+      .select(keep ++ Seq(col("__sents"), col("__ns"),
+        posexplode(chunkStructs)) : _*)
+      .withColumnRenamed("pos", "sent_idx")
+      .select(keep ++ Seq(col("sent_idx"), col("col.sent").as("sent"),
+        col("col.n_tokens").as("n_tokens"),
+        col("col.chunk_idx").as("chunk_idx")): _*)
   }
 
   /** BPE-style subword-ish token count: runs of letters, runs of digits,
