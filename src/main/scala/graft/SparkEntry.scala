@@ -8701,6 +8701,22 @@ object SparkEntry {
         beam = 8, hops = 3)
     }),
 
+    // SQuAD-style QA scoring (TextEval.squadScore, Rajpurkar et al.
+    // 2016): normalized exact match + clipped-token F1 — the
+    // extractive-QA/RAG harness metric, closing the eval family. Same
+    // lead-window pairing as the other pair metrics; per-row kernel
+    // compute.
+    "q_squad_eval" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"source").orderBy($"doc_id")
+      val pairs = t(s, dir, "documents")
+        .select($"doc_id", $"source", $"text",
+          lead($"text", 1).over(w).as("pred"))
+        .filter($"pred".isNotNull)
+      TextEval.squadScore(pairs, "doc_id", "pred", "text")
+        .orderBy($"doc_id")
+    }),
+
     // Sentence-budget chunking (T.sentenceChunks — the LangChain-style
     // default RAG splitter): sentences stay whole, grouped by a
     // 40-token budget via prefix-sum assignment (order-proof, never a
@@ -9466,6 +9482,42 @@ object SparkEntry {
          |       id AS vec_id, s AS score
          |FROM best3 ORDER BY rank""".stripMargin
     },
+
+    "q_squad_eval" ->
+      """WITH n AS (
+        |  SELECT doc_id, source,
+        |    trim(regexp_replace(regexp_replace(regexp_replace(lower(text),
+        |      '[^a-z0-9 ]', ' ', 'g'), '\b(a|an|the)\b', ' ', 'g'),
+        |      ' +', ' ', 'g')) AS g
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id, g,
+        |    lead(g) OVER (PARTITION BY source ORDER BY doc_id) AS pr
+        |  FROM n),
+        |x AS (
+        |  SELECT doc_id, (pr = g) AS em,
+        |    CASE WHEN pr = '' THEN CAST([] AS VARCHAR[])
+        |         ELSE string_split(pr, ' ') END AS pt,
+        |    CASE WHEN g = '' THEN CAST([] AS VARCHAR[])
+        |         ELSE string_split(g, ' ') END AS gt
+        |  FROM p WHERE pr IS NOT NULL),
+        |m AS (
+        |  SELECT doc_id, em, len(pt)::BIGINT AS n_pred,
+        |    len(gt)::BIGINT AS n_gold,
+        |    COALESCE(list_sum(list_transform(list_distinct(pt),
+        |      t -> LEAST(len(list_filter(pt, y -> y = t)),
+        |                 len(list_filter(gt, y -> y = t))))), 0)::BIGINT
+        |      AS n_overlap
+        |  FROM x)
+        |SELECT doc_id, em, n_pred, n_gold, n_overlap,
+        |  (CASE WHEN n_pred = 0 AND n_gold = 0 THEN 1000000
+        |        WHEN n_overlap = 0 THEN 0
+        |        ELSE (2 * ((n_overlap * 1000000) // n_pred)
+        |              * ((n_overlap * 1000000) // n_gold))
+        |          // (((n_overlap * 1000000) // n_pred)
+        |              + ((n_overlap * 1000000) // n_gold))
+        |   END)::BIGINT AS f1_micro
+        |FROM m ORDER BY doc_id""".stripMargin,
 
     "q_sentence_chunks" ->
       """WITH tk AS (

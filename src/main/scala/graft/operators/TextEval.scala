@@ -154,6 +154,57 @@ object TextEval {
             "(2 * p_micro * r_micro) div (p_micro + r_micro)")))
   }
 
+  /** SQuAD answer normalization (Rajpurkar et al. 2016 `normalize_
+    * answer`): lowercase, punctuation → space, article removal
+    * (a/an/the), whitespace collapse — the canonical QA-eval
+    * preprocessing, word-boundary regex only (identical under Java
+    * regex and RE2).
+    */
+  def squadNorm(text: Column): Column =
+    trim(regexp_replace(regexp_replace(regexp_replace(lower(text),
+      "[^a-z0-9 ]", " "), "\\b(a|an|the)\\b", " "), " +", " "))
+
+  /** SQuAD-style QA scoring (Rajpurkar et al. 2016): EXACT MATCH on the
+    * normalized strings plus token-level F1 via clipped multiset
+    * overlap — the evaluation every extractive-QA and many RAG
+    * harnesses report, closing the eval family beside BLEU (contiguous
+    * n-grams), ROUGE-L (in-order subsequence), chrF (char morphology)
+    * and groundedness (context containment).
+    *
+    * Same kernel economics as the rest: one sorted-merge
+    * `SortedIntersectCount` pass per pair, integer-micro F1, per-row
+    * compute with zero joins. Returns (idCol, em, n_pred, n_gold,
+    * n_overlap, f1_micro); pairs where BOTH sides normalize to empty
+    * score em=true, f1=10⁶ (the SQuAD convention for empty-gold), and
+    * one-sided empties score zero.
+    */
+  def squadScore(pairs: DataFrame, idCol: String, predCol: String,
+                 goldCol: String): DataFrame = {
+    val staged = pairs
+      .select(col(idCol), squadNorm(col(predCol)).as("__p"),
+        squadNorm(col(goldCol)).as("__g"))
+      .select(col(idCol), col("__p"), col("__g"),
+        when(col("__p") === "", array().cast("array<string>"))
+          .otherwise(split(col("__p"), " ")).as("__pt"),
+        when(col("__g") === "", array().cast("array<string>"))
+          .otherwise(split(col("__g"), " ")).as("__gt"))
+      .select(col(idCol), (col("__p") === col("__g")).as("em"),
+        col("__pt"), col("__gt"),
+        size(col("__pt")).cast("long").as("n_pred"),
+        size(col("__gt")).cast("long").as("n_gold"),
+        clippedMatches(col("__pt"), col("__gt")).as("n_overlap"))
+    staged.select(col(idCol), col("em"), col("n_pred"), col("n_gold"),
+      col("n_overlap"),
+      when(col("n_pred") === 0L && col("n_gold") === 0L, lit(1000000L))
+        .when(col("n_overlap") === 0L, lit(0L))
+        .otherwise(expr(
+          """(2 * ((n_overlap * 1000000) div n_pred)
+            |   * ((n_overlap * 1000000) div n_gold))
+            | div (((n_overlap * 1000000) div n_pred)
+            |   + ((n_overlap * 1000000) div n_gold))""".stripMargin))
+        .as("f1_micro"))
+  }
+
   /** GROUNDEDNESS of an answer against its retrieval context — the
     * RAG faithfulness gate (the deterministic core of RAGAS-style
     * faithfulness, Es et al. 2023): the fraction of the answer's word

@@ -107,6 +107,27 @@ class TextEvalSpec extends SparkSpec {
     }
   }
 
+  test("squadScore: normalization, exact match, token F1, empty conventions") {
+    val rows = TextEval.squadScore(pairs(
+        (0L, "The quick FOX!", "quick fox"),        // normalizes to equal
+        (1L, "a cat sat", "the cat ran"),           // partial: cat + sat/ran
+        (2L, "totally wrong", "right answer"),
+        (3L, "the a an", "the an a"),               // all-articles -> both empty
+        (4L, "something", "a the")),                // one-sided empty
+      "id", "cand", "ref")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(rows(0L).getBoolean(1) && rows(0L).getLong(5) == 1000000L)
+    val r1 = rows(1L)
+    assert(!r1.getBoolean(1))
+    // pred [cat, sat], gold [cat, ran]: overlap 1, P = R = 1/2, F1 = 1/2
+    assert(r1.getLong(2) == 2 && r1.getLong(3) == 2 && r1.getLong(4) == 1)
+    assert(r1.getLong(5) == 500000L)
+    assert(rows(2L).getLong(5) == 0L && !rows(2L).getBoolean(1))
+    // SQuAD empty-gold convention: both-empty scores EM + full F1
+    assert(rows(3L).getBoolean(1) && rows(3L).getLong(5) == 1000000L)
+    assert(!rows(4L).getBoolean(1) && rows(4L).getLong(5) == 0L)
+  }
+
   test("groundedness: extractive answers score 1.0, fabrication 0, clipping binds") {
     val rows = TextEval.groundedness(pairs(
         (0L, "the cat sat on the mat", "yesterday the cat sat on the mat quietly"),
