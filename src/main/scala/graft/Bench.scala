@@ -95,7 +95,11 @@ object Bench {
     "q_rouge_pairs", "q_kcenter", "q_kcore", "q_leakage_split",
     "q_excess_ppl", "q_wordpiece_train", "q_contrastive_crops",
     "q_kn_ppl", "q_curriculum", "q_cdc_dedup", "q_groundedness",
-    "q_l_diversity", "q_graph_ann", "q_ppm_decode", "q_wav_decode", "q_graph_ann_batch", "q_dedup_eval", "q_jackknife", "q_mojibake", "q_sentence_chunks", "q_squad_eval")
+    "q_l_diversity", "q_graph_ann", "q_ppm_decode", "q_wav_decode",
+    "q_graph_ann_batch", "q_dedup_eval", "q_jackknife", "q_mojibake",
+    "q_sentence_chunks", "q_squad_eval",
+    // ranking comparison + sentence-alignment provenance
+    "q_rbo_rankers", "q_sentence_align")
 
   /** Force FULL materialization of every output column: xxhash64 over all
     * columns, summed. `.count()` alone under-measures — Catalyst prunes

@@ -68,6 +68,17 @@ object SparkEntry {
   private def spread(s: SparkSession, df: DataFrame): DataFrame =
     df.repartition(s.sparkContext.defaultParallelism)
 
+  /** q_rbo_rankers shared constants (query + oracle built from the SAME
+    * values). Weight(d) = (1-p)p^(d-1)/d scaled by 10^10·2520 with
+    * p = 9/10: (1-p)p^(d-1) = 9^(d-1)/10^d, and every d ≤ 10 divides
+    * 2520 = lcm(1..10), so each weight is an exact Long and the RBO sum
+    * is pure integer arithmetic in both engines.
+    */
+  private val RboQids: Seq[Long] = Seq(7L, 42L, 99L, 123L, 256L)
+  private val RboWeights: Seq[Long] = (0 until 10).map(i =>
+    (BigInt(9).pow(i) * BigInt(10).pow(9 - i) * (2520 / (i + 1))).toLong)
+  private val RboDenom: Double = 2520.0 * 1e10
+
   /** Power-iteration CTE chain (oracle side of `powerIterTop`): ex
     * zips (pos, x); per iteration y = per-vector micro-dot with v,
     * u = per-pos micro-sum of y·x, v = ROUND(u / max|u|, 6).
@@ -5212,6 +5223,47 @@ object SparkEntry {
         .orderBy($"qid")
     }),
 
+    // Rank-biased overlap (Webber et al. 2010) between two rankers: the
+    // full-dim cosine top-10 vs the MRL 16-dim-prefix top-10, per query
+    // — "how much does dimension truncation perturb the RANKING", the
+    // top-weighted list-similarity nDCG/recall can't express (they need
+    // relevance labels; RBO compares two rankings directly). Truncated
+    // RBO@10, p=0.9: (1-p)·Σ_d p^(d-1)·|A_1..d ∩ B_1..d|/d. Each term
+    // ×10^10×2520 is an exact integer ((1-p)p^(d-1) = 9^(d-1)/10^d and
+    // d | 2520), so the per-query sum is a BIGINT both engines compute
+    // identically — no float pow anywhere. One broadcast-queries scan
+    // scores both rankers; per-(query, ranker) top-10 is the k-bounded
+    // two-phase TopKAggregator (the shuffle carries ≤ Q×2×10 hits, never
+    // the N×Q scored rows); the RBO fold runs over two 10-arrays per row.
+    "q_rbo_rankers" -> ((s, dir) => {
+      import s.implicits._
+      val e = t(s, dir, "embeddings")
+      val qdf = broadcast(e.filter($"vec_id".isin(RboQids: _*))
+        .select($"vec_id".as("qid"), $"embedding".as("qvec")))
+      val scored = spread(s, e).crossJoin(qdf)
+        .select($"qid", $"vec_id", explode(map(
+          lit("full"), score6(V.cosine($"embedding", $"qvec")),
+          lit("mrl"), score6(V.cosine(slice($"embedding", 1, 16),
+            slice($"qvec", 1, 16))))).as(Seq("ranker", "s")))
+      val hits = TopK.topKPerKeyAgg(scored, Seq($"qid", $"ranker"), $"s",
+        $"vec_id", 10)
+      // (-score, id) asc == (score desc, id asc); scores are 6-decimal
+      // quantized so negation is exact
+      val arrs = hits.groupBy($"qid", $"ranker")
+        .agg(transform(array_sort(collect_list(
+          struct((-$"score").as("ns"), $"id"))), x => x("id")).as("arr"))
+        .groupBy($"qid").pivot("ranker", Seq("full", "mrl"))
+        .agg(first($"arr"))
+      val wlit = typedLit(RboWeights)
+      val scaled = aggregate(sequence(lit(1), lit(10)), lit(0L),
+        (acc, d) => acc + element_at(wlit, d) *
+          size(array_intersect(slice($"full", lit(1), d),
+            slice($"mrl", lit(1), d))).cast("long"))
+      arrs.select($"qid", scaled.as("rbo_scaled"),
+          (round(scaled.cast("double") / RboDenom, 6) + lit(0.0)).as("rbo"))
+        .orderBy($"qid")
+    }),
+
     // Embedding-norm audit per label: the pre-index sanity check that
     // catches an unnormalized ingest batch BEFORE it corrupts a cosine
     // index (dot-product shortcuts assume unit norms). Norms are per-row
@@ -6537,6 +6589,51 @@ object SparkEntry {
         |FROM ne JOIN idcg i ON ne.qid = i.qid
         |LEFT JOIN perq p ON ne.qid = p.qid
         |ORDER BY ne.qid""".stripMargin,
+
+    // Both rankings via ROW_NUMBER over the quantized scores (score
+    // desc, vec_id asc — the TopKAggregator's total order); overlap at
+    // each depth d is a prefix self-join; the weight table carries the
+    // SAME integer literals the Spark fold uses (RboWeights).
+    "q_rbo_rankers" -> {
+      val wvals = RboWeights.zipWithIndex
+        .map { case (w, i) => s"(${i + 1}, ${w}::BIGINT)" }.mkString(", ")
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+         |           WHERE vec_id IN (${RboQids.mkString(", ")})),
+         |p AS (SELECT q.qid, e.vec_id,
+         |        unnest(e.embedding)::DOUBLE AS x, unnest(q.qe)::DOUBLE AS y,
+         |        unnest(generate_series(1, 64)) AS pos
+         |      FROM embeddings e CROSS JOIN q),
+         |agg AS (SELECT qid, vec_id,
+         |         SUM(x*y) AS dpf, SUM(x*x) AS nxf, SUM(y*y) AS nyf,
+         |         SUM(CASE WHEN pos <= 16 THEN x*y ELSE 0 END) AS dpm,
+         |         SUM(CASE WHEN pos <= 16 THEN x*x ELSE 0 END) AS nxm,
+         |         SUM(CASE WHEN pos <= 16 THEN y*y ELSE 0 END) AS nym
+         |        FROM p GROUP BY qid, vec_id),
+         |sc AS (SELECT qid, vec_id,
+         |        ROUND(dpf / (GREATEST(SQRT(nxf), 1e-12)
+         |          * GREATEST(SQRT(nyf), 1e-12)), 6) + 0.0 AS sf,
+         |        ROUND(dpm / (GREATEST(SQRT(nxm), 1e-12)
+         |          * GREATEST(SQRT(nym), 1e-12)), 6) + 0.0 AS sm
+         |       FROM agg),
+         |rf AS (SELECT qid, vec_id,
+         |         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sf DESC, vec_id) AS r
+         |       FROM sc),
+         |rm AS (SELECT qid, vec_id,
+         |         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sm DESC, vec_id) AS r
+         |       FROM sc),
+         |w AS (SELECT * FROM (VALUES $wvals) AS t(d, wt)),
+         |ov AS (SELECT a.qid, w.d, w.wt, COUNT(*) AS o
+         |       FROM rf a JOIN rm b ON a.qid = b.qid AND a.vec_id = b.vec_id
+         |       CROSS JOIN w
+         |       WHERE a.r <= w.d AND b.r <= w.d
+         |       GROUP BY a.qid, w.d, w.wt),
+         |tot AS (SELECT qid, CAST(SUM(wt * o) AS BIGINT) AS rbo_scaled
+         |        FROM ov GROUP BY qid)
+         |SELECT q.qid, COALESCE(t.rbo_scaled, 0)::BIGINT AS rbo_scaled,
+         |       ROUND(COALESCE(t.rbo_scaled, 0) / 25200000000000.0, 6) + 0.0 AS rbo
+         |FROM q LEFT JOIN tot t ON q.qid = t.qid
+         |ORDER BY q.qid""".stripMargin
+    },
 
     "q_norm_audit" ->
       """WITH ex AS (
@@ -8746,6 +8843,76 @@ object SparkEntry {
         .orderBy($"doc_id", $"sent_idx")
     }),
 
+    // Gale-Church sentence alignment (expressions/GaleChurchAlign): the
+    // raw document's sentence sequence aligned against a deterministic
+    // cleaned REWRITE of itself (per 7-sentence block: sentence 3
+    // dropped, 5+6 merged, a filler inserted after 7) — the provenance
+    // question of every raw→cleaned curation audit and of bitext
+    // mining: which output sentence came from which input sentence,
+    // including deletions (1-0), insertions (0-1), and merges (2-1).
+    // The aligner sees ONLY the char-length arrays; recovering the
+    // constructed move mix is the self-validation (GaleChurchSpec pins
+    // it per-block). DP state packs (cost, 6 move counters) into one
+    // BIGINT so numeric min IS the lexicographic tie-break — the same
+    // single-long cells the oracle's recursive-CTE replay carries.
+    // Per-row kernel compute at scan speed; arrays stage as passthrough
+    // columns (the CollapseProject trap above).
+    "q_sentence_align" -> ((s, dir) => {
+      import s.implicits._
+      val empty = array().cast("array<string>")
+      val toksed = spread(s, t(s, dir, "documents"))
+        .select($"doc_id", T.tokens($"text").as("__tk"))
+        .select($"doc_id", $"__tk",
+          least(ceil(size($"__tk") / lit(12.0)).cast("int"), lit(21))
+            .as("__nsrc"))
+      val srcd = toksed
+        .select($"doc_id", $"__tk", $"__nsrc",
+          when($"__nsrc" === 0, empty).otherwise(
+            transform(sequence(lit(0), $"__nsrc" - 1),
+              b => concat_ws(" ", slice($"__tk", b * 12 + 1, lit(12)))))
+            .as("__src"))
+      def keep(p: Column) =
+        when(p <= col("__nsrc"), array(element_at(col("__src"), p)))
+          .otherwise(array().cast("array<string>"))
+      val tgtd = srcd
+        .select($"doc_id", $"__src", $"__nsrc",
+          when($"__nsrc" === 0, empty).otherwise(
+            flatten(transform(
+              sequence(lit(0), ceil($"__nsrc" / lit(7.0)).cast("int") - 1),
+              b => concat(
+                keep(b * 7 + 1), keep(b * 7 + 2), keep(b * 7 + 4),
+                when(b * 7 + 6 <= $"__nsrc",
+                  array(concat_ws(" ", element_at($"__src", b * 7 + 5),
+                    element_at($"__src", b * 7 + 6))))
+                  .when(b * 7 + 5 <= $"__nsrc",
+                    array(element_at($"__src", b * 7 + 5)))
+                  .otherwise(array().cast("array<string>")),
+                keep(b * 7 + 7),
+                // filler length 10: long enough that absorbing it into
+                // the preceding sentence as a 1-2 split (rel(L, L+10)
+                // + 300) costs more than the flat 0-1 (350) for every
+                // fixture sentence length L ≤ 95
+                when(b * 7 + 7 <= $"__nsrc", array(lit("ins xx ygz")))
+                  .otherwise(array().cast("array<string>"))))))
+            .as("__tgt"))
+      val packed = tgtd
+        .select($"doc_id", size($"__src").as("n_src"),
+          size($"__tgt").as("n_tgt"),
+          graft.expressions.GaleChurchExpression.galeChurchF(
+            transform($"__src", x => length(x).cast("int")),
+            transform($"__tgt", x => length(x).cast("int"))).as("__p"))
+      packed.select($"doc_id",
+          $"n_src".cast("long").as("n_src"), $"n_tgt".cast("long").as("n_tgt"),
+          shiftright($"__p", 30).as("cost"),
+          shiftright($"__p", 25).bitwiseAND(lit(31L)).as("n11"),
+          shiftright($"__p", 20).bitwiseAND(lit(31L)).as("n10"),
+          shiftright($"__p", 15).bitwiseAND(lit(31L)).as("n01"),
+          shiftright($"__p", 10).bitwiseAND(lit(31L)).as("n21"),
+          shiftright($"__p", 5).bitwiseAND(lit(31L)).as("n12"),
+          $"__p".bitwiseAND(lit(31L)).as("n22"))
+        .orderBy($"doc_id")
+    }),
+
     // Mojibake detection (T.mojibakeCount): UTF-8-read-as-Latin-1/cp1252
     // artifact signatures — the crawl-hygiene flag that catches
     // double-encoded text before it poisons tokenizers and dedup
@@ -9554,6 +9721,102 @@ object SparkEntry {
         |SELECT doc_id, sent_idx, n_tokens, (cum // 40)::BIGINT AS chunk_idx,
         |  sent_head
         |FROM y ORDER BY doc_id, sent_idx""".stripMargin,
+
+    // Recursive-CTE replay of the GaleChurchAlign DP: one packed BIGINT
+    // per cell (numeric min == the lexicographic tie-break), two rolling
+    // rows carried as BIGINT lists, the within-row 0-1 chain as the
+    // min-over-prefix formulation (dp[j] = min_k B[k] + (j-k)·step01).
+    // All constants interpolate from GaleChurchConsts — the oracle and
+    // the kernel cannot drift on the cost model.
+    "q_sentence_align" -> {
+      val C = graft.expressions.GaleChurchConsts
+      def rel(a: String, b: String): String =
+        s"((abs(($a) - ($b)) * 1000) // greatest(($a) + ($b), 1))"
+      val ls2 = "CASE WHEN ni >= 2 THEN sl[ni-1] + sl[ni] ELSE 0 END"
+      s"""WITH RECURSIVE tk AS (
+         |  SELECT doc_id,
+         |    CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+         |         ELSE string_split_regex(trim(text), '\\s+') END AS toks
+         |  FROM documents),
+         |base AS (
+         |  SELECT doc_id, toks,
+         |    LEAST(CAST(ceil(len(toks) / 12.0) AS INT), 21) AS nsrc
+         |  FROM tk),
+         |src AS (
+         |  SELECT doc_id, nsrc,
+         |    CASE WHEN nsrc = 0 THEN CAST([] AS VARCHAR[])
+         |         ELSE list_transform(generate_series(0, nsrc - 1), b ->
+         |           array_to_string(list_slice(toks, b*12 + 1, b*12 + 12), ' '))
+         |    END AS s
+         |  FROM base),
+         |tgt AS (
+         |  SELECT doc_id, s,
+         |    CASE WHEN nsrc = 0 THEN CAST([] AS VARCHAR[])
+         |    ELSE flatten(list_transform(
+         |      generate_series(0, CAST(ceil(nsrc / 7.0) AS INT) - 1), b ->
+         |      (CASE WHEN b*7+1 <= nsrc THEN [s[b*7+1]]
+         |            ELSE CAST([] AS VARCHAR[]) END) ||
+         |      (CASE WHEN b*7+2 <= nsrc THEN [s[b*7+2]]
+         |            ELSE CAST([] AS VARCHAR[]) END) ||
+         |      (CASE WHEN b*7+4 <= nsrc THEN [s[b*7+4]]
+         |            ELSE CAST([] AS VARCHAR[]) END) ||
+         |      (CASE WHEN b*7+6 <= nsrc THEN [s[b*7+5] || ' ' || s[b*7+6]]
+         |            WHEN b*7+5 <= nsrc THEN [s[b*7+5]]
+         |            ELSE CAST([] AS VARCHAR[]) END) ||
+         |      (CASE WHEN b*7+7 <= nsrc THEN [s[b*7+7]]
+         |            ELSE CAST([] AS VARCHAR[]) END) ||
+         |      (CASE WHEN b*7+7 <= nsrc THEN ['ins xx ygz']
+         |            ELSE CAST([] AS VARCHAR[]) END)))
+         |    END AS tg
+         |  FROM src),
+         |lens AS (
+         |  SELECT doc_id,
+         |    list_transform(s, x -> CAST(length(x) AS BIGINT)) AS sl,
+         |    list_transform(tg, x -> CAST(length(x) AS BIGINT)) AS tl,
+         |    len(s) AS m, len(tg) AS n
+         |  FROM tgt),
+         |dp AS (
+         |  SELECT doc_id, m, n, sl, tl, 0 AS i,
+         |    list_transform(generate_series(0, n), j -> ${C.INF}::BIGINT)
+         |      AS prev,
+         |    list_transform(generate_series(0, n), j -> j * ${C.STEP01})
+         |      AS curr
+         |  FROM lens
+         |  UNION ALL
+         |  SELECT doc_id, m, n, sl, tl, ni AS i, pv AS prev,
+         |    list_transform(generate_series(0, n), j ->
+         |      list_min(list_transform(generate_series(0, j), k ->
+         |        bb[k + 1] + (j - k) * ${C.STEP01}))) AS curr
+         |  FROM (
+         |    SELECT doc_id, m, n, sl, tl, i + 1 AS ni, curr AS pv,
+         |      list_transform(generate_series(0, n), j ->
+         |        CASE WHEN j = 0 THEN curr[1] + ${C.STEP10}
+         |        ELSE least(
+         |          curr[j] + (${rel("sl[ni]", "tl[j]")} << 30) + ${C.ONE11},
+         |          curr[j + 1] + ${C.STEP10},
+         |          prev[j] + ((${rel(ls2, "tl[j]")} + ${C.PEN_MERGE}) << 30)
+         |            + ${C.ONE21},
+         |          CASE WHEN j >= 2 THEN curr[j - 1]
+         |            + ((${rel("sl[ni]", "tl[j-1] + tl[j]")} + ${C.PEN_MERGE})
+         |               << 30) + ${C.ONE12}
+         |            ELSE ${C.INF} END,
+         |          CASE WHEN j >= 2 THEN prev[j - 1]
+         |            + ((${rel(ls2, "tl[j-1] + tl[j]")} + ${C.PEN_BOTH})
+         |               << 30) + ${C.ONE22}
+         |            ELSE ${C.INF} END)
+         |        END) AS bb
+         |    FROM dp WHERE i < m)),
+         |fin AS (SELECT doc_id, m, n, curr[n + 1] AS p FROM dp WHERE i = m)
+         |SELECT doc_id, m::BIGINT AS n_src, n::BIGINT AS n_tgt,
+         |  (p >> 30)::BIGINT AS cost,
+         |  ((p >> 25) & 31)::BIGINT AS n11,
+         |  ((p >> 20) & 31)::BIGINT AS n10,
+         |  ((p >> 15) & 31)::BIGINT AS n01,
+         |  ((p >> 10) & 31)::BIGINT AS n21,
+         |  ((p >> 5) & 31)::BIGINT AS n12,
+         |  (p & 31)::BIGINT AS n22
+         |FROM fin ORDER BY doc_id""".stripMargin
+    },
 
     // Same artifact codepoints built with chr(); same RE2-compatible
     // \x{...} pattern (alternatives start with distinct chars, so
