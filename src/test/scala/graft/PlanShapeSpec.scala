@@ -148,6 +148,29 @@ class PlanShapeSpec extends SparkSpec {
       !p.contains("BroadcastNestedLoopJoin"), s"no cartesian:\n$p")
   }
 
+  test("q_sentence_align: per-row kernel compute — no joins, no window") {
+    val p = plan("q_sentence_align")
+    assert(!p.contains("Join") && !p.contains("CartesianProduct"),
+      s"alignment is per-row; nothing may join:\n$p")
+    assert(!p.contains("Window"), s"no window anywhere:\n$p")
+    // only the explicit spread() repartition and the output ordering may
+    // exchange — a third exchange means staged arrays leaked a shuffle
+    assert("Exchange".r.findAllIn(p).size <= 2,
+      s"only spread + final orderBy may exchange:\n$p")
+  }
+
+  test("q_rbo_rankers: broadcast cross score, k-bounded two-phase top-k, no window") {
+    val p = plan("q_rbo_rankers")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      "the bounded query set must broadcast against the corpus scan")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"the corpus must never shuffle-sort against the query set:\n$p")
+    assert(p.contains("ObjectHashAggregate"),
+      "per-(query, ranker) top-10 must be the two-phase TopKAggregator")
+    assert(!p.contains("Window"),
+      s"rankings come from the k-bounded aggregate, not row_number:\n$p")
+  }
+
   test("OPERATORS.md never references a query that does not exist") {
     // doc-drift guard: every q_/qN oracle name cited in OPERATORS.md must
     // be a real SparkEntry.queries key (rows describing spec-only
