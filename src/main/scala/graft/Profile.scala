@@ -19,7 +19,8 @@ import graft.operators.Dedup
   * connected components), `parts` (shuffle-partition sensitivity sweep),
   * `graph` (triangle count under a 10⁵-degree hub, 1×/10×), `rf`
   * (runtime-filter join shuffle-byte comparison), `url` (crawl-front
-  * canonicalize/dedup/domain stats U1/U10, V1/V10).
+  * canonicalize/dedup/domain stats U1/U10, V1/V10), `align`
+  * (Gale-Church self-rewrite alignment 1×/10×).
   */
 object Profile {
   def main(args: Array[String]): Unit = {
@@ -690,6 +691,15 @@ object Profile {
       }
       time("R9b groundedness 1x")(ground(d1))
       time("R9b groundedness 10x")(ground(d10))
+    }
+
+    if (on("align")) {
+      import graft.operators.Align
+      def probe(d: DataFrame) =
+        Align.selfRewriteAlign(d.repartition(32), "doc_id", "text")
+          .agg(sum($"cost"), sum($"n11"), sum($"n10"), sum($"n21")).collect()
+      time("ALIGN selfRewriteAlign 1x")(probe(docs))
+      time("ALIGN selfRewriteAlign 10x")(probe(dupCorpus(10)))
     }
 
     spark.stop()

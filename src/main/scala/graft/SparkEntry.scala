@@ -8,7 +8,7 @@ import graft.expressions.FloatVectorExpressions.dotF
 import graft.expressions.JaroWinkler.jaroWinklerF
 import graft.expressions.TextHashExpressions.{minhashSigF, simhash32F}
 import graft.functions.{HashFunctions, TextFunctions => T, UrlFunctions, VectorFunctions => V}
-import graft.operators.{Ann, AsofJoin, Bm25, BpeTrain, Classifier, Collocations, Coreset, CountMin, Curation, Dedup, DistinctSketch, Ewma, GraphOps, HeavyHitters, Mining, Multimodal, Packing, PageRank, Privacy, QuantileSketch, Rerank, RuntimeFilter, Sampling, SftPrep, SkewJoin, Tfidf, TextEval, TextTiling, TopK, TrigramLm, UnigramLm, Validation}
+import graft.operators.{Align, Ann, AsofJoin, Bm25, BpeTrain, Classifier, Collocations, Coreset, CountMin, Curation, Dedup, DistinctSketch, Ewma, GraphOps, HeavyHitters, Mining, Multimodal, Packing, PageRank, Privacy, QuantileSketch, Rerank, RuntimeFilter, Sampling, SftPrep, SkewJoin, Tfidf, TextEval, TextTiling, TopK, TrigramLm, UnigramLm, Validation}
 import graft.sources.{Layout, Tables}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -8859,57 +8859,8 @@ object SparkEntry {
     // columns (the CollapseProject trap above).
     "q_sentence_align" -> ((s, dir) => {
       import s.implicits._
-      val empty = array().cast("array<string>")
-      val toksed = spread(s, t(s, dir, "documents"))
-        .select($"doc_id", T.tokens($"text").as("__tk"))
-        .select($"doc_id", $"__tk",
-          least(ceil(size($"__tk") / lit(12.0)).cast("int"), lit(21))
-            .as("__nsrc"))
-      val srcd = toksed
-        .select($"doc_id", $"__tk", $"__nsrc",
-          when($"__nsrc" === 0, empty).otherwise(
-            transform(sequence(lit(0), $"__nsrc" - 1),
-              b => concat_ws(" ", slice($"__tk", b * 12 + 1, lit(12)))))
-            .as("__src"))
-      def keep(p: Column) =
-        when(p <= col("__nsrc"), array(element_at(col("__src"), p)))
-          .otherwise(array().cast("array<string>"))
-      val tgtd = srcd
-        .select($"doc_id", $"__src", $"__nsrc",
-          when($"__nsrc" === 0, empty).otherwise(
-            flatten(transform(
-              sequence(lit(0), ceil($"__nsrc" / lit(7.0)).cast("int") - 1),
-              b => concat(
-                keep(b * 7 + 1), keep(b * 7 + 2), keep(b * 7 + 4),
-                when(b * 7 + 6 <= $"__nsrc",
-                  array(concat_ws(" ", element_at($"__src", b * 7 + 5),
-                    element_at($"__src", b * 7 + 6))))
-                  .when(b * 7 + 5 <= $"__nsrc",
-                    array(element_at($"__src", b * 7 + 5)))
-                  .otherwise(array().cast("array<string>")),
-                keep(b * 7 + 7),
-                // filler length 10: long enough that absorbing it into
-                // the preceding sentence as a 1-2 split (rel(L, L+10)
-                // + 300) costs more than the flat 0-1 (350) for every
-                // fixture sentence length L ≤ 95
-                when(b * 7 + 7 <= $"__nsrc", array(lit("ins xx ygz")))
-                  .otherwise(array().cast("array<string>"))))))
-            .as("__tgt"))
-      val packed = tgtd
-        .select($"doc_id", size($"__src").as("n_src"),
-          size($"__tgt").as("n_tgt"),
-          graft.expressions.GaleChurchExpression.galeChurchF(
-            transform($"__src", x => length(x).cast("int")),
-            transform($"__tgt", x => length(x).cast("int"))).as("__p"))
-      packed.select($"doc_id",
-          $"n_src".cast("long").as("n_src"), $"n_tgt".cast("long").as("n_tgt"),
-          shiftright($"__p", 30).as("cost"),
-          shiftright($"__p", 25).bitwiseAND(lit(31L)).as("n11"),
-          shiftright($"__p", 20).bitwiseAND(lit(31L)).as("n10"),
-          shiftright($"__p", 15).bitwiseAND(lit(31L)).as("n01"),
-          shiftright($"__p", 10).bitwiseAND(lit(31L)).as("n21"),
-          shiftright($"__p", 5).bitwiseAND(lit(31L)).as("n12"),
-          $"__p".bitwiseAND(lit(31L)).as("n22"))
+      Align.selfRewriteAlign(spread(s, t(s, dir, "documents")),
+          "doc_id", "text")
         .orderBy($"doc_id")
     }),
 
