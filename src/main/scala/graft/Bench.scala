@@ -98,8 +98,8 @@ object Bench {
     "q_l_diversity", "q_graph_ann", "q_ppm_decode", "q_wav_decode",
     "q_graph_ann_batch", "q_dedup_eval", "q_jackknife", "q_mojibake",
     "q_sentence_chunks", "q_squad_eval",
-    // ranking comparison + sentence-alignment provenance
-    "q_rbo_rankers", "q_sentence_align")
+    // ranking comparison + sentence-alignment provenance + video frames
+    "q_rbo_rankers", "q_sentence_align", "q_frame_sample")
 
   /** Force FULL materialization of every output column: xxhash64 over all
     * columns, summed. `.count()` alone under-measures — Catalyst prunes

@@ -8778,6 +8778,52 @@ object SparkEntry {
         .orderBy($"doc_id")
     }),
 
+    // VIDEO frame sampling — the third modality beside q_ppm_decode
+    // (image) and q_wav_decode (audio): per-doc frame-concat videos
+    // (2–6 md5-derived 4×4 P6 frames, the y4m-style raw container),
+    // walked by Multimodal.Video.parseFrames and sampled every 2nd
+    // frame (Multimodal.frameSampled) — one output row per SAMPLED
+    // frame with its channel-mean features; unsampled rasters never
+    // materialize. mapPartitions flatMap, no shuffle; the oracle
+    // replays frame selection + features from the generative formula
+    // without reading a container byte.
+    "q_frame_sample" -> ((s, dir) => {
+      import s.implicits._
+      def md5hex(str: String): String =
+        graft.expressions.Md5Kernel
+          .digest(str.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      def h60(str: String): Long =
+        java.lang.Long.parseLong(md5hex(str).substring(0, 15), 16)
+      val withBin = t(s, dir, "documents").select($"doc_id").as[Long]
+        .map { id =>
+          val nf = (2 + h60(id + ":n") % 5).toInt
+          val frames = (0 until nf).map { f =>
+            val px = new Array[Byte](48)
+            var block = -1
+            var hex = ""
+            var j = 0
+            while (j < 48) {
+              if (j / 16 != block) {
+                block = j / 16; hex = md5hex(id + ":" + f + ":" + block)
+              }
+              px(j) = Integer.parseInt(
+                hex.substring((j % 16) * 2, (j % 16) * 2 + 2), 16).toByte
+              j += 1
+            }
+            Multimodal.Ppm.Image(4, 4, 255, px)
+          }
+          (id, Multimodal.Video.encode(frames))
+        }.toDF("doc_id", "bin")
+      Multimodal.frameSampled(withBin, "bin", every = 2, featureDim = 3)
+        .select($"doc_id", $"frame.frame_idx".as("frame_idx"),
+          $"frame.n_frames".as("n_frames"),
+          $"frame.width".as("width"), $"frame.height".as("height"),
+          round(element_at($"frame.features", 1).cast("double"), 4).as("f0"),
+          round(element_at($"frame.features", 2).cast("double"), 4).as("f1"),
+          round(element_at($"frame.features", 3).cast("double"), 4).as("f2"))
+        .orderBy($"doc_id", $"frame_idx")
+    }),
+
     // NSW-style graph-ANN beam search (Ann.graphBeamSearch, Malkov et
     // al. 2014): greedy best-first over the knnJoin neighbor graph —
     // the graph-based ANN family beside IVF/PQ/SQ/BQ/MRL. Search
@@ -9523,6 +9569,38 @@ object SparkEntry {
         |  ROUND(CAST(zc.zc / a.n AS FLOAT)::DOUBLE, 4) AS zcr,
         |  ROUND(CAST(a.peak / 32768 AS FLOAT)::DOUBLE, 4) AS peak
         |FROM agg a JOIN zc USING (doc_id) ORDER BY a.doc_id""".stripMargin,
+
+    // Frame selection (every 2nd of the md5-derived frame count) and
+    // per-frame channel means replayed from the generative formula —
+    // no container byte is read.
+    "q_frame_sample" ->
+      """WITH nn AS (
+        |  SELECT doc_id,
+        |    CAST(2 + ('0x'||substr(md5(doc_id::VARCHAR || ':n'), 1, 15))::BIGINT % 5
+        |      AS INT) AS nf
+        |  FROM documents),
+        |sf AS (
+        |  SELECT doc_id, nf, f FROM (
+        |    SELECT doc_id, nf, unnest(generate_series(0, nf - 1)) AS f FROM nn)
+        |  WHERE f % 2 = 0),
+        |px AS MATERIALIZED (
+        |  SELECT doc_id, nf, f, j,
+        |    ('0x'||substr(md5(doc_id::VARCHAR || ':' || f || ':' || (j // 16)),
+        |      (j % 16) * 2 + 1, 2))::INT AS b
+        |  FROM (SELECT doc_id, nf, f, unnest(generate_series(0, 47)) AS j
+        |        FROM sf)),
+        |ch AS (
+        |  SELECT doc_id, f, MAX(nf) AS nf,
+        |    SUM(CASE WHEN j % 3 = 0 THEN b ELSE 0 END)::DOUBLE AS s0,
+        |    SUM(CASE WHEN j % 3 = 1 THEN b ELSE 0 END)::DOUBLE AS s1,
+        |    SUM(CASE WHEN j % 3 = 2 THEN b ELSE 0 END)::DOUBLE AS s2
+        |  FROM px GROUP BY doc_id, f)
+        |SELECT doc_id, f::INT AS frame_idx, nf::INT AS n_frames,
+        |  4 AS width, 4 AS height,
+        |  ROUND(CAST(s0 / 16 / 255 AS FLOAT)::DOUBLE, 4) AS f0,
+        |  ROUND(CAST(s1 / 16 / 255 AS FLOAT)::DOUBLE, 4) AS f1,
+        |  ROUND(CAST(s2 / 16 / 255 AS FLOAT)::DOUBLE, 4) AS f2
+        |FROM ch ORDER BY doc_id, frame_idx""".stripMargin,
 
     // knnJoin edge chain (the q_knn_join oracle at k=4), then the beam
     // walk unrolled: per hop, frontier out-neighbors minus visited,

@@ -97,8 +97,15 @@ object Multimodal {
       * None on any malformed input — a decode boundary must never throw
       * on crawl garbage.
       */
-    def parse(bytes: Array[Byte]): Option[Image] = {
-      var i = 0
+    def parse(bytes: Array[Byte]): Option[Image] =
+      parseAt(bytes, 0).map(_._1)
+
+    /** [[parse]] starting at `from`, also returning the offset one past
+      * the raster — the walker primitive the frame-concat VIDEO
+      * container ([[Video.parseFrames]]) iterates.
+      */
+    def parseAt(bytes: Array[Byte], from: Int): Option[(Image, Int)] = {
+      var i = from
       def skipWs(): Unit = {
         var go = true
         while (go && i < bytes.length) {
@@ -115,8 +122,9 @@ object Multimodal {
         if (i == start) None
         else Some(new String(bytes, start, i - start).toInt)
       }
-      if (bytes.length < 2 || bytes(0) != 'P' || bytes(1) != '6') return None
-      i = 2
+      if (bytes.length < from + 2 || bytes(from) != 'P' || bytes(from + 1) != '6')
+        return None
+      i = from + 2
       for {
         w <- int() if w > 0 && w <= (1 << 14)
         h <- int() if h > 0 && h <= (1 << 14)
@@ -125,10 +133,40 @@ object Multimodal {
         _ <- if (i < bytes.length &&
               (bytes(i) == ' ' || bytes(i) == '\n' || bytes(i) == '\r' ||
                 bytes(i) == '\t')) Some(()) else None
-        data = bytes.drop(i + 1)
-        img <- if (data.length >= w * h * 3)
-            Some(Image(w, h, m, data.take(w * h * 3))) else None
-      } yield img
+        img <- if (bytes.length - (i + 1) >= w * h * 3)
+            Some(Image(w, h, m,
+              java.util.Arrays.copyOfRange(bytes, i + 1, i + 1 + w * h * 3)))
+          else None
+      } yield (img, i + 1 + img.width * img.height * 3)
+    }
+
+    /** Per-channel means + luma-strip features of one frame — the
+      * feature path [[PpmDecoder]] and the video frame sampler share.
+      */
+    def features(img: Image, featureDim: Int): Array[Float] = {
+      val n = img.width * img.height
+      val sums = new Array[Long](3)
+      var i = 0
+      while (i < n * 3) { sums(i % 3) += img.pixels(i) & 0xff; i += 1 }
+      val feats = new Array[Float](featureDim)
+      var c = 0
+      while (c < 3 && c < featureDim) {
+        feats(c) = (sums(c).toDouble / n / img.maxval).toFloat
+        c += 1
+      }
+      if (featureDim > 3) {
+        val strip = resizeNearest(img, featureDim - 3, 1)
+        var x = 0
+        while (x < featureDim - 3) {
+          val p = x * 3
+          val luma = 0.299 * (strip.pixels(p) & 0xff) +
+            0.587 * (strip.pixels(p + 1) & 0xff) +
+            0.114 * (strip.pixels(p + 2) & 0xff)
+          feats(3 + x) = (luma / img.maxval).toFloat
+          x += 1
+        }
+      }
+      feats
     }
 
     /** Encode (test fixtures + round-trip checks). */
@@ -178,31 +216,37 @@ object Multimodal {
           DecodedMedia(payload.length.toLong, 0, 0, "unknown",
             new Array[Float](featureDim))
         case Some(img) =>
-          val n = img.width * img.height
-          val sums = new Array[Long](3)
-          var i = 0
-          while (i < n * 3) { sums(i % 3) += img.pixels(i) & 0xff; i += 1 }
-          val feats = new Array[Float](featureDim)
-          var c = 0
-          while (c < 3) {
-            feats(c) = (sums(c).toDouble / n / img.maxval).toFloat
-            c += 1
-          }
-          if (featureDim > 3) {
-            val strip = Ppm.resizeNearest(img, featureDim - 3, 1)
-            var x = 0
-            while (x < featureDim - 3) {
-              val p = x * 3
-              val luma = 0.299 * (strip.pixels(p) & 0xff) +
-                0.587 * (strip.pixels(p + 1) & 0xff) +
-                0.114 * (strip.pixels(p + 2) & 0xff)
-              feats(3 + x) = (luma / img.maxval).toFloat
-              x += 1
-            }
-          }
           DecodedMedia(payload.length.toLong, img.width, img.height, "ppm",
-            feats)
+            Ppm.features(img, featureDim))
       }
+  }
+
+  /** Frame-concat VIDEO container: back-to-back P6 frames (the y4m-style
+    * raw concatenation) — turns the video modality real the way [[Ppm]]
+    * did images and [[Wav]] audio, with no native codec.
+    */
+  object Video {
+    /** Walk the stream frame by frame; stops at the first malformed
+      * frame (a decode boundary absorbs truncated crawl garbage — the
+      * frames before the corruption still decode) or at `maxFrames`.
+      */
+    def parseFrames(bytes: Array[Byte], maxFrames: Int = 1024): Seq[Ppm.Image] = {
+      val out = Seq.newBuilder[Ppm.Image]
+      var off = 0
+      var n = 0
+      var go = true
+      while (go && n < maxFrames && off < bytes.length) {
+        Ppm.parseAt(bytes, off) match {
+          case Some((img, end)) => out += img; off = end; n += 1
+          case None => go = false
+        }
+      }
+      out.result()
+    }
+
+    /** Concatenate frames into one payload (fixtures + round trips). */
+    def encode(frames: Seq[Ppm.Image]): Array[Byte] =
+      frames.toArray.flatMap(Ppm.encode)
   }
 
   /** Minimal canonical-PCM WAV codec — the audio sibling of [[Ppm]]:
@@ -328,6 +372,41 @@ object Multimodal {
         val d = decoder.decode(payload)
         Row.fromSeq(r.toSeq :+ Row(d.nBytes, d.width, d.height, d.format,
           d.features.toSeq))
+      }
+    }(Encoders.row(schema))
+  }
+
+  private val frameSchema = StructType(Seq(
+    StructField("n_frames", IntegerType),
+    StructField("frame_idx", IntegerType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("features", ArrayType(FloatType, containsNull = false))))
+
+  /** Decode the frame-concat video column and keep every `every`-th
+    * frame (indices 0, every, 2·every, …) — the frame-sampling stage a
+    * video-curation pipeline runs before per-frame embedding/dedup. One
+    * OUTPUT row per sampled frame (input row columns ride along, plus a
+    * `frame` struct); `mapPartitions` + flatMap, rows streamed, no
+    * shuffle — only the sampled frames' features materialize, never the
+    * raster. Malformed/empty payloads contribute zero rows (the decode
+    * boundary absorbs crawl garbage).
+    */
+  def frameSampled(df: DataFrame, binCol: String, every: Int,
+                   featureDim: Int = 3): DataFrame = {
+    require(every >= 1, s"every must be >= 1, got $every")
+    val schema = df.schema.add("frame", frameSchema)
+    val idx = df.schema.fieldIndex(binCol)
+    df.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val payload = if (r.isNullAt(idx)) Array.empty[Byte]
+          else r.getAs[Array[Byte]](idx)
+        val frames = Video.parseFrames(payload)
+        Iterator.range(0, frames.length, every).map { f =>
+          val img = frames(f)
+          Row.fromSeq(r.toSeq :+ Row(frames.length, f, img.width, img.height,
+            Ppm.features(img, featureDim).toSeq))
+        }
       }
     }(Encoders.row(schema))
   }

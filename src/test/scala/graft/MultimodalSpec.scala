@@ -137,4 +137,35 @@ class MultimodalSpec extends SparkSpec {
     val full = Wav.encode(Wav.Audio(8000, 1, sq))
     assert(Wav.parse(full.dropRight(2)).isEmpty)
   }
+
+  test("Video: frame-concat round-trip, truncation absorbed, sampling every k-th") {
+    import spark.implicits._
+    import Multimodal.{Ppm, Video}
+    def frame(v: Int) = Ppm.Image(2, 2, 255, Array.fill(12)(v.toByte))
+    val five = (0 until 5).map(frame)
+    // round-trip all frames in order
+    val back = Video.parseFrames(Video.encode(five))
+    assert(back.length == 5 &&
+      back.zip(five).forall { case (a, b) => a.pixels.sameElements(b.pixels) })
+    // truncated tail: the complete leading frames still decode
+    val cut = Video.encode(five).dropRight(5)
+    assert(Video.parseFrames(cut).length == 4)
+    // garbage and empty absorb to zero frames
+    assert(Video.parseFrames("not a video".getBytes).isEmpty)
+    assert(Video.parseFrames(Array.emptyByteArray).isEmpty)
+
+    val df = Seq((1L, Video.encode(five)), (2L, Array.emptyByteArray))
+      .toDF("id", "bin")
+    val rows = Multimodal.frameSampled(df, "bin", every = 2)
+      .select(col("id"), col("frame.frame_idx"), col("frame.n_frames"),
+        element_at(col("frame.features"), 1))
+      .collect()
+    // ids 0, 2, 4 of the 5-frame video; the empty payload contributes none
+    assert(rows.map(r => (r.getLong(0), r.getInt(1))).toSeq ==
+      Seq((1L, 0), (1L, 2), (1L, 4)))
+    assert(rows.forall(_.getInt(2) == 5))
+    // channel mean of the constant-value frame: v / 255
+    assert(rows.map(_.getFloat(3)).toSeq ==
+      Seq(0f, (2.0 / 255).toFloat, (4.0 / 255).toFloat))
+  }
 }
