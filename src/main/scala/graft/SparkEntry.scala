@@ -5310,6 +5310,61 @@ object SparkEntry {
       TopK.topK(agg, $"revenue", $"c_custkey", 20)
     }),
 
+    // TPC-H Q4 (order-priority checking), adapted to the fixture schema:
+    // the reference Q4's EXISTS(l_commitdate < l_receiptdate) becomes
+    // EXISTS(l_returnflag = 'R') — commit/receipt dates aren't in the
+    // fixture; the SHAPE is preserved exactly (quarter-filtered orders,
+    // EXISTS semi-join to lineitem, priority counts). The semi-join
+    // never duplicates orders with many flagged lines.
+    "q4_priority" -> ((s, dir) => {
+      import s.implicits._
+      val lo = lit(java.sql.Timestamp.valueOf("1997-01-01 00:00:00"))
+      val hi = lit(java.sql.Timestamp.valueOf("1997-04-01 00:00:00"))
+      t(s, dir, "orders")
+        .filter($"o_orderdate" >= lo && $"o_orderdate" < hi)
+        .join(t(s, dir, "lineitem").filter($"l_returnflag" === "R"),
+          $"o_orderkey" === $"l_orderkey", "left_semi")
+        .groupBy($"o_orderpriority")
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy($"o_orderpriority")
+    }),
+
+    // TPC-H Q9 (product-type profit), adapted: no partsupp table in the
+    // fixture, so profit = discounted revenue (the supplycost term
+    // drops); the 4-way join shape (lineitem⨝part⨝supplier⨝nation) and
+    // the (nation, year) rollup are Q9's. Part filter pushes to the
+    // part scan; nation broadcasts; cents-quantized order-proof sum.
+    "q9_profit" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "part").filter($"p_name".contains("red")),
+          $"l_partkey" === $"p_partkey")
+        .join(t(s, dir, "supplier"), $"l_suppkey" === $"s_suppkey")
+        .join(broadcast(t(s, dir, "nation")), $"s_nationkey" === $"n_nationkey")
+        .select($"n_name".as("nation"), year($"l_shipdate").as("o_year"),
+          round($"l_extendedprice" * (lit(1.0) - $"l_discount") * 100)
+            .cast("long").as("amt_c"))
+        .groupBy($"nation", $"o_year")
+        .agg((round(sum($"amt_c").cast("double") / 100, 2) + lit(0.0))
+          .as("profit"))
+        .orderBy($"nation", $"o_year".desc)
+    }),
+
+    // TPC-H Q16 (parts/supplier relationship), adapted: lineitem IS the
+    // part↔supplier link (no partsupp fixture), excluded-brand +
+    // size-set filters push to the part scan, supplier_cnt is a
+    // countDistinct over the joined link rows — Q16's
+    // group-by-attributes / count-suppliers shape.
+    "q16_parts" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "part")
+        .filter($"p_brand" =!= "Brand#2" && $"p_size".isin(1, 5, 9))
+        .join(t(s, dir, "lineitem"), $"p_partkey" === $"l_partkey")
+        .groupBy($"p_brand", $"p_type", $"p_size")
+        .agg(countDistinct($"l_suppkey").as("supplier_cnt"))
+        .orderBy($"supplier_cnt".desc, $"p_brand", $"p_type", $"p_size")
+    }),
+
     // kNN-graph construction: every vector's top-3 cosine neighbors
     // within its IVF cell (Ann.knnJoin) — the SemDeDup/kNN-clustering
     // primitive. Candidates are cell-bounded (n²/C, the point of the
@@ -6661,6 +6716,34 @@ object SparkEntry {
         |  AND c_nationkey = n_nationkey
         |GROUP BY c_custkey, c_name, c_acctbal, n_name
         |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+
+    "q4_priority" ->
+      """SELECT o_orderpriority, COUNT(*)::BIGINT AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-04-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q9_profit" ->
+      """SELECT n_name AS nation,
+        |  CAST(year(l_shipdate) AS INT) AS o_year,
+        |  ROUND(SUM(CAST(ROUND(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT))::DOUBLE / 100, 2) + 0.0 AS profit
+        |FROM lineitem, part, supplier, nation
+        |WHERE l_partkey = p_partkey AND l_suppkey = s_suppkey
+        |  AND s_nationkey = n_nationkey
+        |  AND p_name LIKE '%red%'
+        |GROUP BY 1, 2
+        |ORDER BY nation, o_year DESC""".stripMargin,
+
+    "q16_parts" ->
+      """SELECT p_brand, p_type, p_size,
+        |  COUNT(DISTINCT l_suppkey)::BIGINT AS supplier_cnt
+        |FROM part JOIN lineitem ON p_partkey = l_partkey
+        |WHERE p_brand <> 'Brand#2' AND p_size IN (1, 5, 9)
+        |GROUP BY p_brand, p_type, p_size
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
 
     "q_knn_join" ->
       """WITH cents AS (
@@ -8824,6 +8907,58 @@ object SparkEntry {
         .orderBy($"doc_id", $"frame_idx")
     }),
 
+    // Video near-dup: sampled-frame-signature matching over the
+    // frameSampled output — the sample → signature → dedup pipeline a
+    // video corpus runs (full-raster comparison never happens; only the
+    // k-th-frame signatures shuffle). Fixture: replicated-clip groups —
+    // EVEN-index frames seed from the GROUP id (doc_id % 50), odd from
+    // the doc — so videos in a group share exactly the sampled frames.
+    // Signature = per-frame exact integer channel sums (recovered from
+    // the float means: sums ≤ 4080 < 2^24 round-trip float exactly), so
+    // the join key is integer-exact in both engines; pairs need ≥ 2
+    // shared sampled frames. Join carries (frame_idx, 3 sums, id) rows
+    // only — the LSH-bucket shape, bucket size = group size.
+    "q_video_dedup" -> ((s, dir) => {
+      import s.implicits._
+      def md5hex(str: String): String =
+        graft.expressions.Md5Kernel
+          .digest(str.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      def h60(str: String): Long =
+        java.lang.Long.parseLong(md5hex(str).substring(0, 15), 16)
+      val withBin = t(s, dir, "documents").select($"doc_id").as[Long]
+        .map { id =>
+          val nf = (2 + h60(id + ":n") % 5).toInt
+          val frames = (0 until nf).map { f =>
+            val key = if (f % 2 == 0) (id % 50) + "g:" + f else id + ":" + f
+            val px = new Array[Byte](48)
+            var block = -1
+            var hex = ""
+            var j = 0
+            while (j < 48) {
+              if (j / 16 != block) { block = j / 16; hex = md5hex(key + ":" + block) }
+              px(j) = Integer.parseInt(
+                hex.substring((j % 16) * 2, (j % 16) * 2 + 2), 16).toByte
+              j += 1
+            }
+            Multimodal.Ppm.Image(4, 4, 255, px)
+          }
+          (id, Multimodal.Video.encode(frames))
+        }.toDF("doc_id", "bin")
+      val sigs = Multimodal.frameSampled(withBin, "bin", every = 2, featureDim = 3)
+        .select($"doc_id", $"frame.frame_idx".as("f"),
+          round(element_at($"frame.features", 1) * 4080.0).cast("long").as("s0"),
+          round(element_at($"frame.features", 2) * 4080.0).cast("long").as("s1"),
+          round(element_at($"frame.features", 3) * 4080.0).cast("long").as("s2"))
+      sigs.as("a").join(sigs.as("b"),
+          col("a.f") === col("b.f") && col("a.s0") === col("b.s0") &&
+            col("a.s1") === col("b.s1") && col("a.s2") === col("b.s2") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+        .agg(count(lit(1)).as("n_shared"))
+        .filter($"n_shared" >= 2)
+        .orderBy($"id_a", $"id_b")
+    }),
+
     // NSW-style graph-ANN beam search (Ann.graphBeamSearch, Malkov et
     // al. 2014): greedy best-first over the knnJoin neighbor graph —
     // the graph-based ANN family beside IVF/PQ/SQ/BQ/MRL. Search
@@ -9601,6 +9736,37 @@ object SparkEntry {
         |  ROUND(CAST(s1 / 16 / 255 AS FLOAT)::DOUBLE, 4) AS f1,
         |  ROUND(CAST(s2 / 16 / 255 AS FLOAT)::DOUBLE, 4) AS f2
         |FROM ch ORDER BY doc_id, frame_idx""".stripMargin,
+
+    // Only the sampled (even) frames matter for the pair join; their
+    // group-seeded channel sums replay straight from the md5 formula.
+    "q_video_dedup" ->
+      """WITH nn AS (
+        |  SELECT doc_id,
+        |    CAST(2 + ('0x'||substr(md5(doc_id::VARCHAR || ':n'), 1, 15))::BIGINT % 5
+        |      AS INT) AS nf
+        |  FROM documents),
+        |sf AS (
+        |  SELECT doc_id, f FROM (
+        |    SELECT doc_id, unnest(generate_series(0, nf - 1)) AS f FROM nn)
+        |  WHERE f % 2 = 0),
+        |px AS MATERIALIZED (
+        |  SELECT doc_id, f, j,
+        |    ('0x'||substr(md5((doc_id % 50)::VARCHAR || 'g:' || f || ':' || (j // 16)),
+        |      (j % 16) * 2 + 1, 2))::INT AS b
+        |  FROM (SELECT doc_id, f, unnest(generate_series(0, 47)) AS j
+        |        FROM sf)),
+        |ch AS (
+        |  SELECT doc_id, f,
+        |    SUM(CASE WHEN j % 3 = 0 THEN b ELSE 0 END)::BIGINT AS s0,
+        |    SUM(CASE WHEN j % 3 = 1 THEN b ELSE 0 END)::BIGINT AS s1,
+        |    SUM(CASE WHEN j % 3 = 2 THEN b ELSE 0 END)::BIGINT AS s2
+        |  FROM px GROUP BY doc_id, f)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*)::BIGINT AS n_shared
+        |FROM ch a JOIN ch b
+        |  ON a.f = b.f AND a.s0 = b.s0 AND a.s1 = b.s1 AND a.s2 = b.s2
+        |  AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2 HAVING COUNT(*) >= 2
+        |ORDER BY id_a, id_b""".stripMargin,
 
     // knnJoin edge chain (the q_knn_join oracle at k=4), then the beam
     // walk unrolled: per hop, frontier out-neighbors minus visited,
