@@ -743,4 +743,87 @@ object Streaming {
         ()
       }
       .start()
+
+  /** Continuous media ingest with frame-signature near-dup — the
+    * streaming twin of `q_video_dedup`: each micro-batch frame-samples
+    * its videos (`Multimodal.frameSampled`, every `every`-th frame,
+    * rasters never leave the decode boundary), drops videos sharing
+    * ≥ `minShared` sampled-frame signatures with the persisted store or
+    * with a SMALLER-id video of the same batch (greedy drop-larger-id —
+    * the `Dedup.nearDupPairs` removal discipline; signature matches are
+    * not transitive, so the greedy contract is the declared one), and
+    * appends the SURVIVORS' signatures as a batch-addressed partition.
+    *
+    * Signature = (frame_idx, exact integer channel sums) — the
+    * `q_video_dedup` key, integer-exact across engines and replays. The
+    * store holds signatures only (a few longs per sampled frame), so a
+    * year-long media crawl's state is a parquet directory, not executor
+    * heap. Replay-safe the same way as [[streamUrlDedupIngest]]: the
+    * store partition is keyed by batchId and written overwrite-mode, so
+    * a mid-batch crash replays into the same path (no duplicate
+    * signatures) and a replayed batch excludes its own previous
+    * attempt's partition from the store side (no self-dedup of the
+    * retry).
+    */
+  def streamFrameSigIngest(media: DataFrame, idCol: String, binCol: String,
+                           storePath: String, checkpointPath: String,
+                           every: Int = 2, minShared: Int = 2)
+                          (onBatch: (DataFrame, Long) => Unit): StreamingQuery =
+    media.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointPath)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        import graft.operators.Multimodal
+        val sigs = Multimodal.frameSampled(
+            batch.select(col(idCol), col(binCol)), binCol, every, 3)
+          .select(col(idCol).as("__id"),
+            col("frame.frame_idx").as("__f"),
+            round(element_at(col("frame.features"), 1) * 4080.0)
+              .cast("long").as("__s0"),
+            round(element_at(col("frame.features"), 2) * 4080.0)
+              .cast("long").as("__s1"),
+            round(element_at(col("frame.features"), 3) * 4080.0)
+              .cast("long").as("__s2"))
+          .localCheckpoint(false) // store probe + pair join + append
+        val sigCols = Seq("__f", "__s0", "__s1", "__s2")
+        val root = new org.apache.hadoop.fs.Path(storePath)
+        val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val parts =
+          if (fs.exists(root))
+            fs.listStatus(root).filter(_.isDirectory)
+              .map(_.getPath.toString)
+              .filterNot(_.endsWith(s"batch_$batchId"))
+          else Array.empty[String]
+        val store =
+          if (parts.isEmpty) sigs.select(sigCols.map(col): _*).limit(0)
+          else spark.read.parquet(parts.toIndexedSeq: _*)
+        // ≥ minShared sampled frames known to the store → near-dup
+        val storeHits = sigs.join(store, sigCols, "left_semi")
+          .groupBy(col("__id")).agg(count(lit(1)).as("__n"))
+          .filter(col("__n") >= minShared).select(col("__id"))
+        // within the batch: ≥ minShared shared frames with a smaller id
+        // → the larger id drops (only sig rows shuffle, bucket size =
+        // replica-group size — the q_video_dedup join shape)
+        val batchHits = sigs.as("a")
+          .join(sigs.as("b"),
+            col("a.__f") === col("b.__f") && col("a.__s0") === col("b.__s0")
+              && col("a.__s1") === col("b.__s1")
+              && col("a.__s2") === col("b.__s2")
+              && col("a.__id") < col("b.__id"))
+          .groupBy(col("a.__id").as("__w"), col("b.__id").as("__id"))
+          .agg(count(lit(1)).as("__n"))
+          .filter(col("__n") >= minShared).select(col("__id")).distinct()
+        val dropped = storeHits.unionByName(batchHits).distinct()
+          .withColumnRenamed("__id", idCol)
+        val survivors = batch.join(dropped, Seq(idCol), "left_anti")
+          .localCheckpoint(false) // consumed by the append AND onBatch
+        sigs.join(survivors.select(col(idCol).as("__id")), Seq("__id"),
+            "left_semi")
+          .select(sigCols.map(col): _*)
+          .write.mode("overwrite").parquet(s"$storePath/batch_$batchId")
+        onBatch(survivors, batchId)
+        ()
+      }
+      .start()
 }

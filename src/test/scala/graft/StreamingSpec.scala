@@ -785,4 +785,65 @@ class StreamingSpec extends SparkSpec {
     assert(got.filter(_._2 == "a").map(_._1) == expectA, got.toString)
     assert(got.filter(_._2 == "z").map(_._1) == Set(10L, 11L), got.toString)
   }
+
+  test("streamFrameSigIngest: frame-signature near-dup vs store and batch, crash-replay safe") {
+    import spark.implicits._
+    import graft.operators.Multimodal.{Ppm, Video}
+    val in = Files.createTempDirectory("graft_vid_in_").toString
+    val store = Files.createTempDirectory("graft_vid_store_").toString + "/sigs"
+    val ckpt = Files.createTempDirectory("graft_vid_ckpt_").toString + "/c"
+
+    // constant-value 2x2 frames: distinct value => distinct signature
+    def fr(v: Int) = Ppm.Image(2, 2, 255, Array.fill(12)(v.toByte))
+    def vid(vs: Int*) = Video.encode(vs.map(fr))
+
+    def mkStream() = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("bin",
+          org.apache.spark.sql.types.BinaryType))))
+      .option("maxFilesPerTrigger", 1)
+      .parquet(in)
+
+    val survived = scala.collection.mutable.ArrayBuffer[Long]()
+    val crashOnce = new java.util.concurrent.atomic.AtomicBoolean(true)
+    def start() = Streaming.streamFrameSigIngest(mkStream(), "doc_id", "bin",
+      store, ckpt, every = 2, minShared = 2) { (batch, _) =>
+      if (crashOnce.getAndSet(false)) sys.error("injected mid-batch crash")
+      survived ++= batch.select("doc_id").collect().map(_.getLong(0))
+    }
+
+    // batch 1 (sampled frames = indices 0 and 2):
+    //   1: [A B C] samples (A, C); 2: [A X C] samples the SAME (A, C)
+    //   -> greedy drop-larger-id kills 2; 3: [D E F] fresh
+    Seq((1L, vid(10, 20, 30)), (2L, vid(10, 99, 30)), (3L, vid(40, 50, 60)))
+      .toDF("doc_id", "bin").coalesce(1).write.mode("overwrite").parquet(in)
+
+    // attempt 1 dies mid-batch AFTER the store append
+    val q1 = start()
+    intercept[Exception] { q1.processAllAvailable() }
+    q1.stop()
+    assert(survived.isEmpty, "crashed batch must not have been delivered")
+
+    // attempt 2 replays into the same batch partition: no double-append,
+    // no self-dedup of the retry
+    val q2 = start()
+    q2.processAllAvailable(); q2.stop()
+    assert(survived.sorted == Seq(1L, 3L), s"batch-1 survivors: $survived")
+
+    // batch 2: 4 re-samples (A, C) -> store-known, drops; 5 shares only
+    // one sampled frame (D at index 0) -> below minShared, survives;
+    // 6 fresh
+    survived.clear()
+    Seq((4L, vid(10, 77, 30)), (5L, vid(40, 88)), (6L, vid(70, 80, 90)))
+      .toDF("doc_id", "bin").coalesce(1).write.mode("append").parquet(in)
+    val q3 = start()
+    q3.processAllAvailable(); q3.stop()
+    assert(survived.sorted == Seq(5L, 6L), s"batch-2 survivors: $survived")
+
+    // the store holds exactly the survivors' signatures (1, 3, 5, 6:
+    // 2 + 2 + 1 + 2 sampled frames), never a dropped video's
+    assert(spark.read.parquet(s"$store/*").count() == 7)
+  }
 }
