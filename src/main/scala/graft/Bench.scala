@@ -100,8 +100,9 @@ object Bench {
     "q_sentence_chunks", "q_squad_eval",
     // ranking comparison + sentence-alignment provenance + video frames
     "q_rbo_rankers", "q_sentence_align", "q_frame_sample", "q_video_dedup",
-    // TPC-H gap fill (schema-adapted Q4/Q9/Q16)
-    "q4_priority", "q9_profit", "q16_parts")
+    // TPC-H gap fill (schema-adapted Q4/Q9/Q11/Q12/Q16)
+    "q4_priority", "q9_profit", "q16_parts", "q11_brand_value",
+    "q12_priority_class")
 
   /** Force FULL materialization of every output column: xxhash64 over all
     * columns, summed. `.count()` alone under-measures — Catalyst prunes

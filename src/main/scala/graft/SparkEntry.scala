@@ -5350,6 +5350,48 @@ object SparkEntry {
         .orderBy($"nation", $"o_year".desc)
     }),
 
+    // TPC-H Q11 (important stock identification), adapted: no partsupp,
+    // so "value" = extended price by part BRAND; the defining Q11 shape
+    // — a HAVING against a scalar fraction of the GLOBAL total —
+    // survives as an exact integer comparison (brand_c · 25 > total_c
+    // ⟺ share > 4%, no float threshold), with the 1-row total
+    // broadcast, never a second fact scan per group.
+    "q11_brand_value" -> ((s, dir) => {
+      import s.implicits._
+      val per = t(s, dir, "lineitem")
+        .join(t(s, dir, "part"), $"l_partkey" === $"p_partkey")
+        .select($"p_brand", round($"l_extendedprice" * 100).cast("long").as("v_c"))
+        .groupBy($"p_brand").agg(sum($"v_c").as("brand_c"))
+      val tot = per.agg(sum($"brand_c").as("total_c"))
+      per.crossJoin(broadcast(tot))
+        .filter($"brand_c" * 25 > $"total_c")
+        .select($"p_brand",
+          (round($"brand_c".cast("double") / 100, 2) + lit(0.0)).as("value"))
+        .orderBy($"value".desc, $"p_brand")
+    }),
+
+    // TPC-H Q12 (shipping modes / priority), adapted: l_returnflag
+    // stands in for the absent l_shipmode (same low-cardinality
+    // line-level class), receipt-date window becomes a ship-date year —
+    // the defining CASE-sum split of high- vs low-priority orders per
+    // class is Q12's, map-side combined before the one bounded-key
+    // shuffle.
+    "q12_priority_class" -> ((s, dir) => {
+      import s.implicits._
+      val lo = lit(java.sql.Timestamp.valueOf("1997-01-01 00:00:00"))
+      val hi = lit(java.sql.Timestamp.valueOf("1998-01-01 00:00:00"))
+      t(s, dir, "lineitem")
+        .filter($"l_shipdate" >= lo && $"l_shipdate" < hi)
+        .join(t(s, dir, "orders"), $"l_orderkey" === $"o_orderkey")
+        .groupBy($"l_returnflag")
+        .agg(
+          sum(when($"o_orderpriority".isin("1-URGENT", "2-HIGH"), 1L)
+            .otherwise(0L)).as("high_line_count"),
+          sum(when($"o_orderpriority".isin("1-URGENT", "2-HIGH"), 0L)
+            .otherwise(1L)).as("low_line_count"))
+        .orderBy($"l_returnflag")
+    }),
+
     // TPC-H Q16 (parts/supplier relationship), adapted: lineitem IS the
     // part↔supplier link (no partsupp fixture), excluded-brand +
     // size-set filters push to the part scan, supplier_cnt is a
@@ -6736,6 +6778,28 @@ object SparkEntry {
         |  AND p_name LIKE '%red%'
         |GROUP BY 1, 2
         |ORDER BY nation, o_year DESC""".stripMargin,
+
+    "q11_brand_value" ->
+      """WITH v AS (
+        |  SELECT p_brand, CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS v_c
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+        |per AS (SELECT p_brand, SUM(v_c)::BIGINT AS brand_c
+        |        FROM v GROUP BY p_brand),
+        |tot AS (SELECT SUM(brand_c)::BIGINT AS total_c FROM per)
+        |SELECT p_brand, ROUND(brand_c::DOUBLE / 100, 2) + 0.0 AS value
+        |FROM per, tot WHERE brand_c * 25 > total_c
+        |ORDER BY value DESC, p_brand""".stripMargin,
+
+    "q12_priority_class" ->
+      """SELECT l_returnflag,
+        |  SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |           THEN 1 ELSE 0 END)::BIGINT AS high_line_count,
+        |  SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |           THEN 0 ELSE 1 END)::BIGINT AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01'
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q16_parts" ->
       """SELECT p_brand, p_type, p_size,
