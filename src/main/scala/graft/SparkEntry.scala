@@ -8971,17 +8971,19 @@ object SparkEntry {
         .orderBy($"doc_id", $"frame_idx")
     }),
 
-    // Video near-dup: sampled-frame-signature matching over the
-    // frameSampled output — the sample → signature → dedup pipeline a
-    // video corpus runs (full-raster comparison never happens; only the
-    // k-th-frame signatures shuffle). Fixture: replicated-clip groups —
-    // EVEN-index frames seed from the GROUP id (doc_id % 50), odd from
-    // the doc — so videos in a group share exactly the sampled frames.
-    // Signature = per-frame exact integer channel sums (recovered from
-    // the float means: sums ≤ 4080 < 2^24 round-trip float exactly), so
-    // the join key is integer-exact in both engines; pairs need ≥ 2
-    // shared sampled frames. Join carries (frame_idx, 3 sums, id) rows
-    // only — the LSH-bucket shape, bucket size = group size.
+    // Video near-dup: sampled-frame-signature matching
+    // (Multimodal.frameSigPairs) — the sample → signature → dedup
+    // pipeline a video corpus runs (full-raster comparison never
+    // happens; only the sampled-frame signatures shuffle). Fixture:
+    // replicated-clip groups — EVEN-index frames seed from the GROUP id
+    // (doc_id % 50), odd from the doc — so videos in a group share
+    // exactly the sampled frames. Signature = per-frame exact integer
+    // channel sums; pairs need ≥ 2 shared sampled frames. Pair
+    // generation goes through Dedup.cappedPairsByKey — the SAME
+    // hot-bucket cap as text LSH, so a corpus-wide shared frame routes
+    // linearly — then the verify join recomputes each pair's true
+    // shared count (fixture buckets ≈ group size ≈ 10 ≪ cap, so the
+    // oracle's uncapped self-join replays the identical pair set).
     "q_video_dedup" -> ((s, dir) => {
       import s.implicits._
       def md5hex(str: String): String =
@@ -9008,18 +9010,52 @@ object SparkEntry {
           }
           (id, Multimodal.Video.encode(frames))
         }.toDF("doc_id", "bin")
-      val sigs = Multimodal.frameSampled(withBin, "bin", every = 2, featureDim = 3)
-        .select($"doc_id", $"frame.frame_idx".as("f"),
-          round(element_at($"frame.features", 1) * 4080.0).cast("long").as("s0"),
-          round(element_at($"frame.features", 2) * 4080.0).cast("long").as("s1"),
-          round(element_at($"frame.features", 3) * 4080.0).cast("long").as("s2"))
-      sigs.as("a").join(sigs.as("b"),
-          col("a.f") === col("b.f") && col("a.s0") === col("b.s0") &&
-            col("a.s1") === col("b.s1") && col("a.s2") === col("b.s2") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-        .agg(count(lit(1)).as("n_shared"))
-        .filter($"n_shared" >= 2)
+      Multimodal.frameSigPairs(withBin, "doc_id", "bin",
+          every = 2, minShared = 2)
+        .orderBy($"id_a", $"id_b")
+    }),
+
+    // Audio near-dup: window-signature matching (Multimodal.audioSigPairs)
+    // — the audio member of the capped pairwise family, completing
+    // image/video/audio parity: WAV → 16-sample windows → exact integer
+    // (Σs, Σ|s|) signatures → Dedup.sharedSigPairs with the LSH
+    // hot-bucket cap (a corpus-wide station jingle routes linearly) →
+    // true shared-window counts ≥ 2. PCM never shuffles — only
+    // (win_idx, 2 longs) per window. Fixture mirrors q_video_dedup:
+    // EVEN windows seed from the GROUP id (doc_id % 50), odd from the
+    // doc, so clips in a group share exactly the even windows; the
+    // oracle replays the generative md5 byte layout without parsing a
+    // WAV byte.
+    "q_audio_dedup" -> ((s, dir) => {
+      import s.implicits._
+      def md5hex(str: String): String =
+        graft.expressions.Md5Kernel
+          .digest(str.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      def h60(str: String): Long =
+        java.lang.Long.parseLong(md5hex(str).substring(0, 15), 16)
+      val withBin = t(s, dir, "documents").select($"doc_id").as[Long]
+        .map { id =>
+          val nw = (2 + h60(id + ":nw") % 5).toInt
+          val samples = new Array[Short](16 * nw)
+          var w = 0
+          while (w < nw) {
+            val seed = if (w % 2 == 0) (id % 50) + "ga:" + w
+              else id + ":aw:" + w
+            val hex = Array(md5hex(seed + ":0"), md5hex(seed + ":1"))
+            var j = 0
+            while (j < 16) {
+              val bi = 2 * j
+              def byteAt(k: Int): Int = Integer.parseInt(
+                hex(k / 16).substring((k % 16) * 2, (k % 16) * 2 + 2), 16)
+              samples(16 * w + j) = ((byteAt(bi + 1) << 8) | byteAt(bi)).toShort
+              j += 1
+            }
+            w += 1
+          }
+          (id, Multimodal.Wav.encode(Multimodal.Wav.Audio(8000, 1, samples)))
+        }.toDF("doc_id", "bin")
+      Multimodal.audioSigPairs(withBin, "doc_id", "bin",
+          winSize = 16, minShared = 2)
         .orderBy($"id_a", $"id_b")
     }),
 
@@ -9828,6 +9864,43 @@ object SparkEntry {
         |SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*)::BIGINT AS n_shared
         |FROM ch a JOIN ch b
         |  ON a.f = b.f AND a.s0 = b.s0 AND a.s1 = b.s1 AND a.s2 = b.s2
+        |  AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2 HAVING COUNT(*) >= 2
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // Per-window exact integer sums replayed from the generative md5
+    // byte layout (group-seeded even windows), then the pair self-join
+    // on (win_idx, wsum, wabs) with the >= 2 shared-window threshold.
+    "q_audio_dedup" ->
+      """WITH nw AS (
+        |  SELECT doc_id,
+        |    CAST(2 + ('0x'||substr(md5(doc_id::VARCHAR || ':nw'), 1, 15))::BIGINT % 5
+        |      AS INT) AS nw
+        |  FROM documents),
+        |wd AS (
+        |  SELECT doc_id, w,
+        |    CASE WHEN w % 2 = 0 THEN (doc_id % 50)::VARCHAR || 'ga:' || w
+        |         ELSE doc_id::VARCHAR || ':aw:' || w END AS seed
+        |  FROM (SELECT doc_id, unnest(generate_series(0, nw - 1)) AS w FROM nw)),
+        |sm AS MATERIALIZED (
+        |  SELECT doc_id, w, j,
+        |    ('0x'||substr(md5(seed || ':' || (2*j // 16)),
+        |      ((2*j) % 16) * 2 + 1, 2))::INT AS b0,
+        |    ('0x'||substr(md5(seed || ':' || ((2*j+1) // 16)),
+        |      ((2*j+1) % 16) * 2 + 1, 2))::INT AS b1
+        |  FROM (SELECT doc_id, w, seed, unnest(generate_series(0, 15)) AS j
+        |        FROM wd)),
+        |v AS (
+        |  SELECT doc_id, w,
+        |    CASE WHEN b1 * 256 + b0 >= 32768 THEN b1 * 256 + b0 - 65536
+        |         ELSE b1 * 256 + b0 END AS s
+        |  FROM sm),
+        |sg AS (
+        |  SELECT doc_id, w, SUM(s)::BIGINT AS wsum, SUM(ABS(s))::BIGINT AS wabs
+        |  FROM v GROUP BY doc_id, w)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*)::BIGINT AS n_shared
+        |FROM sg a JOIN sg b
+        |  ON a.w = b.w AND a.wsum = b.wsum AND a.wabs = b.wabs
         |  AND a.doc_id < b.doc_id
         |GROUP BY 1, 2 HAVING COUNT(*) >= 2
         |ORDER BY id_a, id_b""".stripMargin,

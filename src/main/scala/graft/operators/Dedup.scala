@@ -285,43 +285,113 @@ object Dedup {
     */
   def lshCandidatePairs(df: DataFrame, idCol: String, bandsCol: String,
                         maxBucket: Int = DefaultMaxBucket): DataFrame = {
-    val explodedPlan = df.select(col(idCol),
+    val exploded = df.select(col(idCol),
       posexplode(col(bandsCol)).as(Seq("band_idx", "bh")))
-    // The capped path consumes the band tuples from THREE branches
-    // (bucket stats, small-bucket pairs, star pairs) — materialize them
-    // once or every branch re-runs the upstream signature/band kernels.
-    // (band_idx, 16-byte hash, id) rows are the smallest table in the
-    // pipeline, far cheaper to hold than to recompute.
-    val exploded =
-      if (maxBucket <= 0) explodedPlan else explodedPlan.localCheckpoint(false)
+    cappedPairsByKey(exploded, idCol, Seq("band_idx", "bh"), maxBucket)
+  }
+
+  /** Candidate pairs (id_a < id_b) sharing at least one bucket KEY — the
+    * hot-bucket-capped pair generator behind every pairwise family:
+    * MinHash-LSH bands ([[lshCandidatePairs]]), video frame signatures
+    * (`Multimodal.frameSigPairs`), audio window signatures. One shared
+    * routing, one shared cap discipline.
+    *
+    * `df` must carry one row per (key, id) with (keyCols, id) distinct —
+    * duplicate rows would emit degenerate (x, x) pairs. Routing (cap ON
+    * by default, `DefaultMaxBucket`):
+    *   1. bucket stats — groupBy keyCols → (count, min id). Bounded-memory
+    *      partial aggregation; no member list for an unbounded bucket.
+    *   2a. buckets with 2 ≤ n ≤ maxBucket: collect the member list
+    *      (buffer bounded by the cap) and emit all within-bucket pairs.
+    *   2b. buckets with n > maxBucket: emit STAR pairs (bucket-min, id)
+    *      streaming from a join — linear in the bucket size, no collect.
+    * Only (keyCols, id) tuples ever shuffle. The capped input is
+    * materialized once (localCheckpoint) because three branches consume
+    * it — without it every branch re-runs the upstream signature kernels.
+    *
+    * Star routing keeps over-cap buckets CONNECTED (to the bucket min)
+    * instead of dropping them, so component/keep-one dedup reaches the
+    * same decisions; what's traded away is full m²/2 pair enumeration
+    * inside a pathological bucket. Consumers that re-verify pairs
+    * ([[sharedSigPairs]], `nearDupPairs`' Jaccard stage) score star pairs
+    * with the TRUE pair statistic, so no fabricated similarity survives.
+    * `maxBucket = 0` disables the cap (small-data exact twins).
+    */
+  def cappedPairsByKey(df: DataFrame, idCol: String, keyCols: Seq[String],
+                       maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    val kc = keyCols.map(col)
+    val keyedPlan = df.select((kc :+ col(idCol)): _*)
+    val keyed =
+      if (maxBucket <= 0) keyedPlan else keyedPlan.localCheckpoint(false)
     if (maxBucket <= 0) {
-      val buckets = exploded
-        .groupBy(col("band_idx"), col("bh"))
+      keyed
+        .groupBy(kc: _*)
         .agg(collect_list(col(idCol)).as("ids"))
         .filter(size(col("ids")) >= 2)
-      buckets.select(explode(fullPairs(array_sort(col("ids")))).as("p"))
+        .select(explode(fullPairs(array_sort(col("ids")))).as("p"))
         .select(col("p.id_a"), col("p.id_b"))
         .distinct()
     } else {
-      val stats = exploded
-        .groupBy(col("band_idx"), col("bh"))
+      val stats = keyed
+        .groupBy(kc: _*)
         .agg(count(lit(1)).as("__n"), min(col(idCol)).as("__min_id"))
         .filter(col("__n") >= 2)
-      val smallPairs = exploded
-        .join(stats.filter(col("__n") <= maxBucket).select(col("band_idx"), col("bh")),
-          Seq("band_idx", "bh"), "left_semi")
-        .groupBy(col("band_idx"), col("bh"))
+      val smallPairs = keyed
+        .join(stats.filter(col("__n") <= maxBucket).select(kc: _*),
+          keyCols, "left_semi")
+        .groupBy(kc: _*)
         .agg(collect_list(col(idCol)).as("ids"))
         .select(explode(fullPairs(array_sort(col("ids")))).as("p"))
         .select(col("p.id_a"), col("p.id_b"))
-      val starPairs = exploded
+      val starPairs = keyed
         .join(stats.filter(col("__n") > maxBucket)
-          .select(col("band_idx"), col("bh"), col("__min_id")),
-          Seq("band_idx", "bh"))
+          .select((kc :+ col("__min_id")): _*), keyCols)
         .filter(col(idCol) =!= col("__min_id"))
         .select(col("__min_id").as("id_a"), col(idCol).as("id_b"))
       smallPairs.unionByName(starPairs).distinct()
     }
+  }
+
+  /** Verified signature near-dup pairs: (id_a, id_b, n_shared) for every
+    * candidate pair sharing ≥ `minShared` signature keys — the
+    * generate-then-verify shape `nearDupPairs` uses for text, applied to
+    * discrete signatures (video frame sums, audio window sums). Candidates
+    * come from [[cappedPairsByKey]] (hot-bucket cap ON by default); the
+    * verify join then recomputes the TRUE shared-key count per pair, so a
+    * star-routed pair from an over-cap bucket is scored against the same
+    * `minShared` contract as an enumerated one — the cap bounds WHICH
+    * pairs are examined, never what a reported pair's count means.
+    *
+    * Cost shape: candidates shuffle as (keyCols, id) tuples; the verify
+    * join is |cands| · m² with m = signatures per item (bounded by the
+    * upstream sampling rate), never corpus-quadratic. The signature table
+    * is materialized once (localCheckpoint) — candidate generation plus
+    * both verify sides consume it.
+    *
+    * What the cap trades away (documented, same as LSH): a true pair
+    * whose shared keys ALL sit in over-cap buckets and whose endpoints
+    * are both non-min is not examined; its members remain connected to
+    * each bucket's canonical min, which is the decision-preserving
+    * guarantee component-based dedup needs (DedupSpec pins it on a
+    * 1000×-shared-signature fixture).
+    */
+  def sharedSigPairs(sigs: DataFrame, idCol: String, keyCols: Seq[String],
+                     minShared: Int = 2,
+                     maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    require(minShared >= 1, s"minShared must be >= 1, got $minShared")
+    val s = sigs.select((col(idCol) +: keyCols.map(col)): _*)
+      .localCheckpoint(false)
+    val cands = cappedPairsByKey(s, idCol, keyCols, maxBucket)
+    val aS = s.toDF("id_a" +: keyCols.map("__a_" + _): _*)
+    val bS = s.toDF("id_b" +: keyCols.map("__b_" + _): _*)
+    cands
+      .join(aS, Seq("id_a"))
+      .join(bS, Seq("id_b"))
+      .filter(keyCols.map(c => col("__a_" + c) === col("__b_" + c))
+        .reduce(_ && _))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
   }
 
   /** All (a, b) with a < b from a SORTED id array. */

@@ -230,7 +230,20 @@ object Multimodal {
       * frame (a decode boundary absorbs truncated crawl garbage — the
       * frames before the corruption still decode) or at `maxFrames`.
       */
-    def parseFrames(bytes: Array[Byte], maxFrames: Int = 1024): Seq[Ppm.Image] = {
+    def parseFrames(bytes: Array[Byte], maxFrames: Int = 1024): Seq[Ppm.Image] =
+      parseFramesEx(bytes, maxFrames)._1
+
+    /** [[parseFrames]] plus a TRUNCATED flag: true iff the walk stopped
+      * at `maxFrames` with bytes still remaining — a longer video must
+      * stay distinguishable from one that is exactly `maxFrames` frames
+      * (its reported n_frames, frame signatures and dedup decisions
+      * otherwise silently alias). Trailing garbage after exactly
+      * `maxFrames` frames also flags (the walker does not parse ahead to
+      * find out); a flagged row is a "re-decode with a larger budget"
+      * signal, not a precise frame count.
+      */
+    def parseFramesEx(bytes: Array[Byte],
+                      maxFrames: Int = 1024): (Seq[Ppm.Image], Boolean) = {
       val out = Seq.newBuilder[Ppm.Image]
       var off = 0
       var n = 0
@@ -241,7 +254,7 @@ object Multimodal {
           case None => go = false
         }
       }
-      out.result()
+      (out.result(), go && off < bytes.length)
     }
 
     /** Concatenate frames into one payload (fixtures + round trips). */
@@ -381,7 +394,8 @@ object Multimodal {
     StructField("frame_idx", IntegerType),
     StructField("width", IntegerType),
     StructField("height", IntegerType),
-    StructField("features", ArrayType(FloatType, containsNull = false))))
+    StructField("features", ArrayType(FloatType, containsNull = false)),
+    StructField("truncated", BooleanType)))
 
   /** Decode the frame-concat video column and keep every `every`-th
     * frame (indices 0, every, 2·every, …) — the frame-sampling stage a
@@ -391,9 +405,15 @@ object Multimodal {
     * shuffle — only the sampled frames' features materialize, never the
     * raster. Malformed/empty payloads contribute zero rows (the decode
     * boundary absorbs crawl garbage).
+    *
+    * Decoding stops at `maxFrames` frames; `frame.truncated` is true on
+    * every row of a video that hit the budget with bytes remaining
+    * (`Video.parseFramesEx`) — n_frames then reports the DECODED count,
+    * and downstream consumers (signatures, dedup) must not treat the
+    * video as exactly-n_frames long.
     */
   def frameSampled(df: DataFrame, binCol: String, every: Int,
-                   featureDim: Int = 3): DataFrame = {
+                   featureDim: Int = 3, maxFrames: Int = 1024): DataFrame = {
     require(every >= 1, s"every must be >= 1, got $every")
     val schema = df.schema.add("frame", frameSchema)
     val idx = df.schema.fieldIndex(binCol)
@@ -401,13 +421,142 @@ object Multimodal {
       rows.flatMap { r =>
         val payload = if (r.isNullAt(idx)) Array.empty[Byte]
           else r.getAs[Array[Byte]](idx)
-        val frames = Video.parseFrames(payload)
+        val (frames, truncated) = Video.parseFramesEx(payload, maxFrames)
         Iterator.range(0, frames.length, every).map { f =>
           val img = frames(f)
           Row.fromSeq(r.toSeq :+ Row(frames.length, f, img.width, img.height,
-            Ppm.features(img, featureDim).toSeq))
+            Ppm.features(img, featureDim).toSeq, truncated))
         }
       }
     }(Encoders.row(schema))
+  }
+
+  private val frameSigSchema = StructType(Seq(
+    StructField("n_frames", IntegerType),
+    StructField("frame_idx", IntegerType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("s0", LongType),
+    StructField("s1", LongType),
+    StructField("s2", LongType),
+    StructField("truncated", BooleanType)))
+
+  /** Sampled-frame SIGNATURES: one row per every-`every`-th frame with
+    * EXACT integer per-channel pixel sums (s0, s1, s2) — the discrete,
+    * engine-exact join key frame-level dedup matches on (a float mean
+    * would need a lossy quantization step; the integer sum needs none).
+    * Same streaming mapPartitions boundary as [[frameSampled]]: rasters
+    * are decoded and reduced in place, only (dims, 3 longs) per sampled
+    * frame ever leaves the partition.
+    */
+  def frameSignatures(df: DataFrame, binCol: String, every: Int = 2,
+                      maxFrames: Int = 1024): DataFrame = {
+    require(every >= 1, s"every must be >= 1, got $every")
+    val schema = df.schema.add("sig", frameSigSchema)
+    val idx = df.schema.fieldIndex(binCol)
+    df.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val payload = if (r.isNullAt(idx)) Array.empty[Byte]
+          else r.getAs[Array[Byte]](idx)
+        val (frames, truncated) = Video.parseFramesEx(payload, maxFrames)
+        Iterator.range(0, frames.length, every).map { f =>
+          val img = frames(f)
+          val sums = new Array[Long](3)
+          var i = 0
+          val n3 = img.width * img.height * 3
+          while (i < n3) { sums(i % 3) += img.pixels(i) & 0xff; i += 1 }
+          Row.fromSeq(r.toSeq :+ Row(frames.length, f, img.width, img.height,
+            sums(0), sums(1), sums(2), truncated))
+        }
+      }
+    }(Encoders.row(schema))
+  }
+
+  /** Video near-dup pairs: (id_a, id_b, n_shared) for videos sharing
+    * ≥ `minShared` sampled-frame signatures — [[frameSignatures]] into
+    * `Dedup.sharedSigPairs`, so the pair generation carries the SAME
+    * hot-bucket cap as text LSH (`Dedup.DefaultMaxBucket`): a
+    * corpus-wide shared frame (platform intro bumper — the video
+    * analogue of boilerplate text) routes as linear star pairs against
+    * the bucket-min video instead of an m²/2 blow-up on one reducer,
+    * and the verify join then scores every candidate by its TRUE shared
+    * count. Signature key = (frame_idx, width, height, s0, s1, s2);
+    * only those tuples shuffle, never a raster.
+    */
+  def frameSigPairs(df: DataFrame, idCol: String, binCol: String,
+                    every: Int = 2, minShared: Int = 2,
+                    maxBucket: Int = Dedup.DefaultMaxBucket,
+                    maxFrames: Int = 1024): DataFrame = {
+    val sigs = frameSignatures(df.select(col(idCol), col(binCol)), binCol,
+        every, maxFrames)
+      .select(col(idCol), col("sig.frame_idx").as("__f"),
+        col("sig.width").as("__w"), col("sig.height").as("__h"),
+        col("sig.s0").as("__s0"), col("sig.s1").as("__s1"),
+        col("sig.s2").as("__s2"))
+    Dedup.sharedSigPairs(sigs, idCol,
+      Seq("__f", "__w", "__h", "__s0", "__s1", "__s2"), minShared, maxBucket)
+  }
+
+  private val audioSigSchema = StructType(Seq(
+    StructField("n_windows", IntegerType),
+    StructField("win_idx", IntegerType),
+    StructField("sample_rate", IntegerType),
+    StructField("wsum", LongType),
+    StructField("wabs", LongType)))
+
+  /** Audio WINDOW signatures: the WAV payload split into fixed
+    * `winSize`-sample windows, each reduced to EXACT integer sums —
+    * (Σ samples, Σ |samples|) — the audio sibling of
+    * [[frameSignatures]] (a trailing partial window is dropped: a
+    * signature over fewer samples would collide across lengths). Same
+    * mapPartitions decode boundary; only (win_idx, 2 longs) per window
+    * leaves the partition, never PCM.
+    */
+  def audioWindowSignatures(df: DataFrame, binCol: String,
+                            winSize: Int = 16): DataFrame = {
+    require(winSize >= 1, s"winSize must be >= 1, got $winSize")
+    val schema = df.schema.add("sig", audioSigSchema)
+    val idx = df.schema.fieldIndex(binCol)
+    df.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val payload = if (r.isNullAt(idx)) Array.empty[Byte]
+          else r.getAs[Array[Byte]](idx)
+        Wav.parse(payload).iterator.flatMap { a =>
+          val nw = a.samples.length / winSize
+          Iterator.range(0, nw).map { w =>
+            var s = 0L
+            var ab = 0L
+            var j = w * winSize
+            val end = j + winSize
+            while (j < end) {
+              val x = a.samples(j).toLong
+              s += x
+              ab += math.abs(x)
+              j += 1
+            }
+            Row.fromSeq(r.toSeq :+ Row(nw, w, a.sampleRate, s, ab))
+          }
+        }
+      }
+    }(Encoders.row(schema))
+  }
+
+  /** Audio near-dup pairs: clips sharing ≥ `minShared` window signatures
+    * — [[audioWindowSignatures]] into `Dedup.sharedSigPairs`, completing
+    * image/video/audio parity in the capped pairwise family. A
+    * corpus-wide shared window (station jingle, silence — the audio
+    * boilerplate) routes as linear star pairs under the same
+    * `Dedup.DefaultMaxBucket` cap, then every candidate is verified by
+    * its true shared-window count.
+    */
+  def audioSigPairs(df: DataFrame, idCol: String, binCol: String,
+                    winSize: Int = 16, minShared: Int = 2,
+                    maxBucket: Int = Dedup.DefaultMaxBucket): DataFrame = {
+    val sigs = audioWindowSignatures(df.select(col(idCol), col(binCol)),
+        binCol, winSize)
+      .select(col(idCol), col("sig.win_idx").as("__w"),
+        col("sig.wsum").as("__ws"), col("sig.wabs").as("__wa"))
+    Dedup.sharedSigPairs(sigs, idCol, Seq("__w", "__ws", "__wa"),
+      minShared, maxBucket)
   }
 }

@@ -746,28 +746,45 @@ object Streaming {
 
   /** Continuous media ingest with frame-signature near-dup — the
     * streaming twin of `q_video_dedup`: each micro-batch frame-samples
-    * its videos (`Multimodal.frameSampled`, every `every`-th frame,
+    * its videos (`Multimodal.frameSignatures`, every `every`-th frame,
     * rasters never leave the decode boundary), drops videos sharing
-    * ≥ `minShared` sampled-frame signatures with the persisted store or
-    * with a SMALLER-id video of the same batch (greedy drop-larger-id —
-    * the `Dedup.nearDupPairs` removal discipline; signature matches are
-    * not transitive, so the greedy contract is the declared one), and
-    * appends the SURVIVORS' signatures as a batch-addressed partition.
+    * ≥ `minShared` sampled-frame signatures with a single persisted
+    * STORE video or with a surviving SMALLER-id video of the same
+    * batch, and appends the SURVIVORS' signatures (keyed by their video
+    * id) as a batch-addressed partition.
     *
-    * Signature = (frame_idx, exact integer channel sums) — the
+    * Matching semantics (both sides mirror `q_video_dedup`'s per-PAIR
+    * ≥ minShared contract):
+    *   - store probe: signatures are grouped by the STORE-side video id
+    *     before the threshold — a batch video sharing one frame each
+    *     with two different stored videos is NOT a near-dup of either
+    *     and survives (a pooled-store count would over-drop).
+    *   - within batch: the pair graph (`Dedup.sharedSigPairs`, hot-
+    *     bucket-capped like text LSH) resolves by GREEDY id order — a
+    *     video drops only for a SURVIVING smaller-id near-dup; a video
+    *     whose smaller near-dups were all themselves dropped (by the
+    *     store or by even smaller ids) is kept, exactly as a sequential
+    *     scan in id order would decide. The fixpoint decides at least
+    *     the minimum undecided id per round (rounds ≤ dependency-chain
+    *     depth, bounded by `maxRounds`, throwing rather than
+    *     mis-deciding on a pathological chain).
+    *
+    * Signature = (frame_idx, dims, exact integer channel sums) — the
     * `q_video_dedup` key, integer-exact across engines and replays. The
-    * store holds signatures only (a few longs per sampled frame), so a
-    * year-long media crawl's state is a parquet directory, not executor
-    * heap. Replay-safe the same way as [[streamUrlDedupIngest]]: the
-    * store partition is keyed by batchId and written overwrite-mode, so
-    * a mid-batch crash replays into the same path (no duplicate
-    * signatures) and a replayed batch excludes its own previous
-    * attempt's partition from the store side (no self-dedup of the
-    * retry).
+    * store holds (video id, signature) rows only (a few longs per
+    * sampled frame), so a year-long media crawl's state is a parquet
+    * directory, not executor heap. Replay-safe the same way as
+    * [[streamUrlDedupIngest]]: the store partition is keyed by batchId
+    * and written overwrite-mode, so a mid-batch crash replays into the
+    * same path (no duplicate signatures) and a replayed batch excludes
+    * its own previous attempt's partition from the store side (no
+    * self-dedup of the retry).
     */
   def streamFrameSigIngest(media: DataFrame, idCol: String, binCol: String,
                            storePath: String, checkpointPath: String,
-                           every: Int = 2, minShared: Int = 2)
+                           every: Int = 2, minShared: Int = 2,
+                           maxBucket: Int = Dedup.DefaultMaxBucket,
+                           maxRounds: Int = 30)
                           (onBatch: (DataFrame, Long) => Unit): StreamingQuery =
     media.writeStream
       .outputMode("append")
@@ -775,18 +792,15 @@ object Streaming {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
         import graft.operators.Multimodal
-        val sigs = Multimodal.frameSampled(
-            batch.select(col(idCol), col(binCol)), binCol, every, 3)
+        val sigs = Multimodal.frameSignatures(
+            batch.select(col(idCol), col(binCol)), binCol, every)
           .select(col(idCol).as("__id"),
-            col("frame.frame_idx").as("__f"),
-            round(element_at(col("frame.features"), 1) * 4080.0)
-              .cast("long").as("__s0"),
-            round(element_at(col("frame.features"), 2) * 4080.0)
-              .cast("long").as("__s1"),
-            round(element_at(col("frame.features"), 3) * 4080.0)
-              .cast("long").as("__s2"))
+            col("sig.frame_idx").as("__f"),
+            col("sig.width").as("__w"), col("sig.height").as("__h"),
+            col("sig.s0").as("__s0"), col("sig.s1").as("__s1"),
+            col("sig.s2").as("__s2"))
           .localCheckpoint(false) // store probe + pair join + append
-        val sigCols = Seq("__f", "__s0", "__s1", "__s2")
+        val sigCols = Seq("__f", "__w", "__h", "__s0", "__s1", "__s2")
         val root = new org.apache.hadoop.fs.Path(storePath)
         val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
         val parts =
@@ -796,31 +810,59 @@ object Streaming {
               .filterNot(_.endsWith(s"batch_$batchId"))
           else Array.empty[String]
         val store =
-          if (parts.isEmpty) sigs.select(sigCols.map(col): _*).limit(0)
+          if (parts.isEmpty)
+            sigs.select((col("__id").as("__vid") +: sigCols.map(col)): _*)
+              .limit(0)
           else spark.read.parquet(parts.toIndexedSeq: _*)
-        // ≥ minShared sampled frames known to the store → near-dup
-        val storeHits = sigs.join(store, sigCols, "left_semi")
-          .groupBy(col("__id")).agg(count(lit(1)).as("__n"))
-          .filter(col("__n") >= minShared).select(col("__id"))
-        // within the batch: ≥ minShared shared frames with a smaller id
-        // → the larger id drops (only sig rows shuffle, bucket size =
-        // replica-group size — the q_video_dedup join shape)
-        val batchHits = sigs.as("a")
-          .join(sigs.as("b"),
-            col("a.__f") === col("b.__f") && col("a.__s0") === col("b.__s0")
-              && col("a.__s1") === col("b.__s1")
-              && col("a.__s2") === col("b.__s2")
-              && col("a.__id") < col("b.__id"))
-          .groupBy(col("a.__id").as("__w"), col("b.__id").as("__id"))
+        // ≥ minShared sampled frames shared with ONE stored video →
+        // near-dup (grouped by the store-side id, never pooled)
+        val storeHits = sigs.join(store, sigCols)
+          .groupBy(col("__id"), col("__vid"))
           .agg(count(lit(1)).as("__n"))
-          .filter(col("__n") >= minShared).select(col("__id")).distinct()
-        val dropped = storeHits.unionByName(batchHits).distinct()
-          .withColumnRenamed("__id", idCol)
-        val survivors = batch.join(dropped, Seq(idCol), "left_anti")
+          .filter(col("__n") >= minShared)
+          .select(col("__id")).distinct()
+          .localCheckpoint(false) // fixpoint seed, re-read every round
+        // within-batch near-dup pair graph (id_a < id_b), hot-bucket
+        // capped — only sig tuples shuffle, bucket = replica-group size
+        val pairs = Dedup
+          .sharedSigPairs(sigs, "__id", sigCols, minShared, maxBucket)
+          .select(col("id_a"), col("id_b"))
+          .localCheckpoint(false)
+        // greedy-by-id fixpoint: kept/dropped/undecided
+        val ids = sigs.select(col("__id")).distinct()
+        var dropped = storeHits
+        var kept = ids.limit(0)
+        var undecided = ids.join(dropped, Seq("__id"), "left_anti")
+          .localCheckpoint(false)
+        var rounds = 0
+        while (!undecided.isEmpty) {
+          if (rounds >= maxRounds)
+            throw new IllegalStateException(
+              s"frame-sig greedy resolution did not converge in $maxRounds" +
+                " rounds; raise maxRounds")
+          // pairs whose smaller side is NOT dropped still block
+          val live = pairs.join(dropped.withColumnRenamed("__id", "id_a"),
+            Seq("id_a"), "left_anti")
+          val byKept = live.join(kept.withColumnRenamed("__id", "id_a"),
+              Seq("id_a"), "left_semi")
+            .select(col("id_b").as("__id")).distinct()
+          val byAny = live.select(col("id_b").as("__id")).distinct()
+          val newDropped = undecided.join(byKept, Seq("__id"), "left_semi")
+          val newKept = undecided.join(byAny, Seq("__id"), "left_anti")
+          dropped = dropped.unionByName(newDropped).localCheckpoint(false)
+          kept = kept.unionByName(newKept).localCheckpoint(false)
+          undecided = undecided
+            .join(newDropped.unionByName(newKept), Seq("__id"), "left_anti")
+            .localCheckpoint(false)
+          rounds += 1
+        }
+        val survivors = batch
+          .join(dropped.withColumnRenamed("__id", idCol), Seq(idCol),
+            "left_anti")
           .localCheckpoint(false) // consumed by the append AND onBatch
         sigs.join(survivors.select(col(idCol).as("__id")), Seq("__id"),
             "left_semi")
-          .select(sigCols.map(col): _*)
+          .select((col("__id").as("__vid") +: sigCols.map(col)): _*)
           .write.mode("overwrite").parquet(s"$storePath/batch_$batchId")
         onBatch(survivors, batchId)
         ()

@@ -648,4 +648,86 @@ class DedupSpec extends SparkSpec {
     assert(tailChunks.nonEmpty && tailChunks.forall(b.contains),
       s"original tail chunks $tailChunks must survive in $b")
   }
+
+  test("cappedPairsByKey: exact pairs under cap, linear star routing over it") {
+    import spark.implicits._
+    // bucket A: 4 members (under any cap); bucket B: 1000 members (hot)
+    val rows = (1L to 4L).map(i => ("A", i)) ++
+      (101L to 1100L).map(i => ("B", i))
+    val df = rows.toDF("k", "id")
+    val uncapped = Dedup.cappedPairsByKey(df, "id", Seq("k"), maxBucket = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(uncapped.size == 6 + 1000 * 999 / 2)
+    val capped = Dedup.cappedPairsByKey(df, "id", Seq("k"), maxBucket = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // bucket A fully enumerated; bucket B = 999 star pairs to min id 101
+    assert(capped.count(_._2 <= 4L) == 6)
+    val star = capped.filter(p => p._1 >= 101L || p._2 >= 101L)
+    assert(star.size == 999 && star.forall(_._1 == 101L), s"got ${star.take(5)}")
+    // decision preservation: every hot-bucket member stays connected to
+    // the bucket canonical (min id) — keep-one-drop-rest reaches the
+    // same survivors as the uncapped enumeration
+    def survivors(pairs: Set[(Long, Long)]): Set[Long] = {
+      val droppedIds = pairs.map(_._2)
+      rows.map(_._2).toSet -- droppedIds
+    }
+    assert(survivors(capped) == survivors(uncapped))
+  }
+
+  test("sharedSigPairs: true shared counts, capped == uncapped decisions on a 1000x-shared-sig fixture") {
+    import spark.implicits._
+    // videos 1 and 2 share sig keys (0,"x") and (1,"y") -> n_shared 2;
+    // video 3 shares only (0,"x") with them -> below minShared;
+    // 1000 clip replicas (ids 100..1099) all share the SAME 3 keys —
+    // the corpus-wide-bumper hot bucket
+    val organic = Seq(
+      (1L, 0, "x"), (1L, 1, "y"), (1L, 2, "z1"),
+      (2L, 0, "x"), (2L, 1, "y"), (2L, 2, "z2"),
+      (3L, 0, "x"), (3L, 1, "q"), (3L, 2, "z3"))
+    val hot = (100L until 1100L).flatMap(i =>
+      Seq((i, 10, "h0"), (i, 11, "h1"), (i, 12, "h2")))
+    val sigs = (organic ++ hot).toDF("id", "f", "s")
+
+    val uncapped = Dedup.sharedSigPairs(sigs, "id", Seq("f", "s"),
+      minShared = 2, maxBucket = 0)
+    val capped = Dedup.sharedSigPairs(sigs, "id", Seq("f", "s"),
+      minShared = 2, maxBucket = 8)
+
+    // organic pair found with its TRUE count in both modes; no (1,3)/(2,3)
+    def organicPairs(df: org.apache.spark.sql.DataFrame) =
+      df.filter(col("id_a") < 100).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(organicPairs(uncapped) == Set((1L, 2L, 2L)))
+    assert(organicPairs(capped) == Set((1L, 2L, 2L)))
+
+    // hot bucket: uncapped enumerates ~500k pairs, capped stays linear
+    // (star pairs to the replica-group min, each verified at TRUE count 3)
+    assert(uncapped.count() == 1 + 1000L * 999 / 2)
+    val star = capped.filter(col("id_a") >= 100).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(star.length == 999 && star.forall(p => p._1 == 100L && p._3 == 3L))
+
+    // DECISIONS (keep-min-drop-rest) identical in both modes
+    def dropped(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("id_b")).distinct().collect().map(_.getLong(0)).toSet
+    assert(dropped(capped) == dropped(uncapped))
+  }
+
+  test("sharedSigPairs: a one-shared-key bumper stays below minShared in both modes, capped emits linear candidates") {
+    import spark.implicits._
+    // 500 distinct videos each containing the SAME intro frame plus
+    // unique content: no pair shares >= 2 keys, so NOTHING is a dup —
+    // and the capped run must reach that verdict without enumerating
+    // the 125k-pair bumper bucket
+    val rows = (1L to 500L).flatMap(i =>
+      Seq((i, 0, "bumper"), (i, 1, s"u$i"), (i, 2, s"v$i")))
+    val sigs = rows.toDF("id", "f", "s")
+    assert(Dedup.sharedSigPairs(sigs, "id", Seq("f", "s"),
+      minShared = 2, maxBucket = 16).count() == 0)
+    assert(Dedup.sharedSigPairs(sigs, "id", Seq("f", "s"),
+      minShared = 2, maxBucket = 0).count() == 0)
+    // candidate generation itself is linear under the cap
+    assert(Dedup.cappedPairsByKey(sigs, "id", Seq("f", "s"),
+      maxBucket = 16).count() == 499)
+  }
 }

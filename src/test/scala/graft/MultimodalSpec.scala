@@ -168,4 +168,122 @@ class MultimodalSpec extends SparkSpec {
     assert(rows.map(_.getFloat(3)).toSeq ==
       Seq(0f, (2.0 / 255).toFloat, (4.0 / 255).toFloat))
   }
+
+  test("frameSampled: maxFrames budget flows through and flags truncation") {
+    import spark.implicits._
+    import Multimodal.{Ppm, Video}
+    def frame(v: Int) = Ppm.Image(2, 2, 255, Array.fill(12)(v.toByte))
+    val five = Video.encode((0 until 5).map(frame))
+    // parseFramesEx: budget hit with bytes remaining -> truncated
+    assert(Multimodal.Video.parseFramesEx(five, maxFrames = 3) match {
+      case (fs, tr) => fs.length == 3 && tr
+    })
+    // exact-length and malformed-tail walks do NOT flag
+    assert(Multimodal.Video.parseFramesEx(five, maxFrames = 5) match {
+      case (fs, tr) => fs.length == 5 && !tr
+    })
+    assert(!Multimodal.Video.parseFramesEx(five.dropRight(5), 1024)._2)
+    val df = Seq((1L, five), (2L, Video.encode(Seq(frame(9))))).toDF("id", "bin")
+    val rows = Multimodal.frameSampled(df, "bin", every = 2, featureDim = 3,
+        maxFrames = 3)
+      .select(col("id"), col("frame.frame_idx"), col("frame.n_frames"),
+        col("frame.truncated"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getBoolean(3)))
+    // video 1 decodes 3 of 5 frames (samples 0, 2), every row flagged;
+    // video 2 fits the budget, unflagged — downstream can tell a
+    // 3-frame video from a longer one that hit the budget
+    assert(rows.toSet == Set((1L, 0, 3, true), (1L, 2, 3, true),
+      (2L, 0, 1, false)))
+  }
+
+  test("frameSignatures: exact integer channel sums, sampled frames only") {
+    import spark.implicits._
+    import Multimodal.{Ppm, Video}
+    // 2x2 frame with hand-set channel values: sums are exact integers
+    val px = Array[Byte](10, 20, 30, 40, 50, 60, 70, 80, 90, 100, 110, 120)
+    val f0 = Ppm.Image(2, 2, 255, px)
+    val f1 = Ppm.Image(2, 2, 255, Array.fill(12)(5.toByte))
+    val df = Seq((7L, Video.encode(Seq(f0, f1, f0)))).toDF("id", "bin")
+    val rows = Multimodal.frameSignatures(df, "bin", every = 2)
+      .select(col("id"), col("sig.frame_idx"), col("sig.s0"), col("sig.s1"),
+        col("sig.s2"), col("sig.n_frames"), col("sig.truncated"))
+      .collect()
+      .map(r => (r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // channels of f0: r = 10+40+70+100, g = 20+50+80+110, b = 30+60+90+120
+    assert(rows.toSeq == Seq((0, 220L, 260L, 300L), (2, 220L, 260L, 300L)))
+  }
+
+  test("frameSigPairs: capped == uncapped decisions on a 1000x-shared-frame fixture") {
+    import spark.implicits._
+    import Multimodal.{Ppm, Video}
+    def frame(v: Int) = Ppm.Image(2, 2, 255, Array.fill(12)(v.toByte))
+    // 1000 replicas of one clip (all sampled frames identical — the
+    // corpus-wide intro bumper gone pathological), plus an organic
+    // near-dup pair (50/51 share sampled frames 0 and 2) and a fresh clip
+    val replicas = (100L until 1100L).map(i =>
+      (i, Video.encode(Seq(frame(1), frame(2), frame(3)))))
+    val organic = Seq(
+      (50L, Video.encode(Seq(frame(10), frame(11), frame(12)))),
+      (51L, Video.encode(Seq(frame(10), frame(99), frame(12)))),
+      (60L, Video.encode(Seq(frame(20), frame(21), frame(22)))))
+    val df = (organic ++ replicas).toDF("id", "bin")
+    val uncapped = Multimodal.frameSigPairs(df, "id", "bin", every = 2,
+      minShared = 2, maxBucket = 0)
+    val capped = Multimodal.frameSigPairs(df, "id", "bin", every = 2,
+      minShared = 2, maxBucket = 8)
+    // organic pair in both; fresh clip in neither
+    def pairs(d: org.apache.spark.sql.DataFrame) = d.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(pairs(uncapped).contains((50L, 51L, 2L)))
+    assert(pairs(capped).contains((50L, 51L, 2L)))
+    assert(!pairs(capped).exists(p => p._1 == 60L || p._2 == 60L))
+    // hot group: uncapped quadratic, capped linear star pairs at the
+    // TRUE shared count (both sampled frames)
+    assert(uncapped.count() == 1 + 1000L * 999 / 2)
+    val star = pairs(capped).filter(_._1 >= 100L)
+    assert(star.size == 999 && star.forall(p => p._1 == 100L && p._3 == 2L))
+    // identical drop decisions (keep-min-drop-rest)
+    def dropped(d: org.apache.spark.sql.DataFrame) =
+      d.select(col("id_b")).distinct().collect().map(_.getLong(0)).toSet
+    assert(dropped(capped) == dropped(uncapped))
+  }
+
+  test("audioWindowSignatures: exact per-window sums, partial tail window dropped, garbage absorbed") {
+    import spark.implicits._
+    import Multimodal.Wav
+    // 10 samples, window 4 -> 2 windows, 2-sample tail dropped
+    val a = Wav.Audio(8000, 1,
+      Array[Short](1, -2, 3, -4, 100, 200, -300, 50, 9, 9))
+    val df = Seq((1L, Wav.encode(a)), (2L, "junk".getBytes)).toDF("id", "bin")
+    val rows = Multimodal.audioWindowSignatures(df, "bin", winSize = 4)
+      .select(col("id"), col("sig.n_windows"), col("sig.win_idx"),
+        col("sig.sample_rate"), col("sig.wsum"), col("sig.wabs"))
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3),
+        r.getLong(4), r.getLong(5)))
+    assert(rows.toSet == Set(
+      (1L, 2, 0, 8000, -2L, 10L),   // 1-2+3-4, |1|+|2|+|3|+|4|
+      (1L, 2, 1, 8000, 50L, 650L))) // 100+200-300+50
+  }
+
+  test("audioSigPairs: shared-window near-dups found, bumper window below minShared, cap linear") {
+    import spark.implicits._
+    import Multimodal.Wav
+    def clip(ws: Seq[Short]*) = Wav.encode(Wav.Audio(8000, 1,
+      ws.flatMap(w => { require(w.length == 4); w }).toArray))
+    val w = (v: Int) => Seq[Short](v.toShort, v.toShort, v.toShort, v.toShort)
+    // 1 and 2 share windows 0 and 2; 3 shares only window 0 with them;
+    // 300 clips (100..399) all share the same jingle in window 1 only
+    val organic = Seq(
+      (1L, clip(w(5), w(6), w(7))),
+      (2L, clip(w(5), w(66), w(7))),
+      (3L, clip(w(5), w(1), w(2))))
+    val jingle = (100L until 400L).map(i =>
+      (i, clip(w(i.toInt), w(42), w(1000 + i.toInt))))
+    val df = (organic ++ jingle).toDF("id", "bin")
+    val got = Multimodal.audioSigPairs(df, "id", "bin", winSize = 4,
+        minShared = 2, maxBucket = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((1L, 2L, 2L)), s"got $got")
+  }
 }

@@ -846,4 +846,62 @@ class StreamingSpec extends SparkSpec {
     // 2 + 2 + 1 + 2 sampled frames), never a dropped video's
     assert(spark.read.parquet(s"$store/*").count() == 7)
   }
+
+  test("streamFrameSigIngest: per-store-video threshold (no pooling) and greedy chains over dropped seeds") {
+    import spark.implicits._
+    import graft.operators.Multimodal.{Ppm, Video}
+    val in = Files.createTempDirectory("graft_vid2_in_").toString
+    val store = Files.createTempDirectory("graft_vid2_store_").toString + "/sigs"
+    val ckpt = Files.createTempDirectory("graft_vid2_ckpt_").toString + "/c"
+    def fr(v: Int) = Ppm.Image(2, 2, 255, Array.fill(12)(v.toByte))
+    def vid(vs: Int*) = Video.encode(vs.map(fr))
+    def mkStream() = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("bin",
+          org.apache.spark.sql.types.BinaryType))))
+      .option("maxFilesPerTrigger", 1)
+      .parquet(in)
+    val survived = scala.collection.mutable.ArrayBuffer[Long]()
+    def start() = Streaming.streamFrameSigIngest(mkStream(), "doc_id", "bin",
+      store, ckpt, every = 2, minShared = 2) { (batch, _) =>
+      survived ++= batch.select("doc_id").collect().map(_.getLong(0))
+    }
+
+    // batch 1 seeds the store: 1 samples (A@0, C@2); 2 samples (D@0, F@2)
+    val (a, c, d, f) = (10, 30, 40, 60)
+    Seq((1L, vid(a, 99, c)), (2L, vid(d, 98, f)))
+      .toDF("doc_id", "bin").coalesce(1).write.mode("overwrite").parquet(in)
+    val q1 = start(); q1.processAllAvailable(); q1.stop()
+    assert(survived.sorted == Seq(1L, 2L))
+    survived.clear()
+
+    // batch 2:
+    //  10 shares ONE frame with stored 1 (A@0) and ONE with stored 2
+    //     (F@2) — a pooled store count would reach 2 and over-drop; the
+    //     per-store-video threshold keeps it
+    //  20 [P,·,Q] / 21 [P,·,Q,·,R] / 22 [z,·,Q,·,R]: pairs (20,21)=2,
+    //     (21,22)=2, (20,22)=1 — greedy keeps 20, drops 21, and KEEPS 22
+    //     because its only blocking neighbor 21 was itself dropped
+    //  30 [A,·,C,·,M] is a store-dup of 1 (A@0, C@2) — dropped; 31
+    //     shares (C@2, M@4) with 30 only — a dropped seed must not drop
+    //     31
+    val (p, qq, r, z, m, z2) = (70, 71, 72, 73, 74, 75)
+    Seq(
+      (10L, vid(a, 97, f)),
+      (20L, vid(p, 96, qq)), (21L, vid(p, 95, qq, 94, r)),
+      (22L, vid(z, 93, qq, 92, r)),
+      (30L, vid(a, 91, c, 90, m)), (31L, vid(z2, 89, c, 88, m)))
+      .toDF("doc_id", "bin").coalesce(1).write.mode("append").parquet(in)
+    val q2 = start(); q2.processAllAvailable(); q2.stop()
+    assert(survived.sorted == Seq(10L, 20L, 22L, 31L), s"got $survived")
+
+    // store = batch-1 survivors (2+2) + batch-2 survivors (2+2+3+3),
+    // each signature keyed by its video id
+    val st = spark.read.parquet(s"$store/*")
+    assert(st.count() == 14)
+    assert(st.select("__vid").distinct().collect().map(_.getLong(0)).sorted
+      .toSeq == Seq(1L, 2L, 10L, 20L, 22L, 31L))
+  }
 }
