@@ -7624,38 +7624,38 @@ object SparkEntry {
     "q_neg_table" -> ((s, dir) =>
       SftPrep.negSamplingTable(spread(s, t(s, dir, "documents")), "text")),
 
-    // Fuzzy record linkage via the native JaroWinkler kernel
-    // (expressions/JaroWinklerExpression — semantics pinned to DuckDB's
-    // independent C++ implementation, JaroWinklerSpec): customer names
-    // perturbed by a seeded md5-parity edit (swap or drop of the trailing
-    // chars), then blocked on the UNPERTURBED name prefix (≤100-member
-    // blocks by construction: the 7-digit block fixes all but the last 2
-    // id digits, and the edit only touches the final two chars, so a
-    // record and its true match always share a block), scored with
-    // round-6 JW, and resolved per dirty record by a map-side-combinable
-    // struct argmax — no window, no all-pairs. Block width is THE
-    // candidate-count knob: 6 digits (1000-member blocks) benched 30.7 s
-    // at sf0.1 vs ~3 s at 7 — linear in block size, as blocking should be.
+    // Fuzzy record linkage (Mining.blockedBestMatch — the library
+    // operator carrying the hot-block cap discipline): customer names
+    // perturbed by a seeded md5-parity edit (swap or drop of the
+    // trailing chars), then blocked on the UNPERTURBED name prefix
+    // (≤100-member blocks by construction: the 7-digit block fixes all
+    // but the last 2 id digits, and the edit only touches the final two
+    // chars, so a record and its true match always share a block),
+    // scored with the native round-6 JaroWinkler kernel, resolved per
+    // dirty record by a map-side-combinable struct argmax — no window,
+    // no all-pairs. Block width is THE candidate-count knob: 6 digits
+    // (1000-member blocks) benched 30.7 s at sf0.1 vs ~3 s at 7 —
+    // linear in block size, as blocking should be. Fixture blocks sit
+    // far under DefaultMaxBlock, so no row is capped (the oracle's
+    // uncapped join replays identically); MiningSpec pins the
+    // capped/flagged route on a hot-block fixture.
     "q_jaro_linkage" -> ((s, dir) => {
       import s.implicits._
       val n = t(s, dir, "customer")
         .select($"c_custkey".as("cid"), $"c_name".as("name"))
       val ln = length($"name")
-      val dirty = when(ascii(substring(md5($"name"), 1, 1)) % 2 === 0,
+      val dirtyName = when(ascii(substring(md5($"name"), 1, 1)) % 2 === 0,
         concat($"name".substr(lit(1), ln - 2),
           $"name".substr(ln, lit(1)),
           $"name".substr(ln - 1, lit(1))))
         .otherwise($"name".substr(lit(1), ln - 1))
-      val d = n.select($"cid".as("dirty_id"), dirty.as("dirty"),
+      val d = n.select($"cid".as("dirty_id"), dirtyName.as("dirty"),
         substring($"name", 10, 7).as("blk"))
       val c = n.select($"cid".as("cand_id"), $"name",
         substring($"name", 10, 7).as("blk"))
-      d.join(c, "blk")
-        .withColumn("jw", round(jaroWinklerF($"dirty", $"name"), 6) + lit(0.0))
-        .filter($"jw" >= 0.9)
-        .groupBy($"dirty_id")
-        .agg(max(struct($"jw".as("jw"), (-$"cand_id").as("nid"))).as("mx"))
-        .select($"dirty_id", (-$"mx.nid").as("best_id"), $"mx.jw".as("best_jw"))
+      Mining.blockedBestMatch(d, "dirty_id", "dirty", c, "cand_id", "name",
+          "blk", minScore = 0.9)
+        .select($"dirty_id", $"best_id", $"best_jw")
         .orderBy($"dirty_id")
     }),
 

@@ -92,4 +92,60 @@ class MiningSpec extends SparkSpec {
       .head().getLong(1)
     assert(v == 3L)
   }
+
+  test("blockedBestMatch: best candidate per dirty record, argmax ties to smallest id, threshold gates") {
+    import spark.implicits._
+    val dirty = Seq(
+      (1L, "jonathan smyth", "b1"),
+      (2L, "zzzz qqqq", "b1"),     // nothing close -> absent from output
+      (3L, "maria lopez", "b2")
+    ).toDF("id", "name", "blk")
+    val cands = Seq(
+      (10L, "jonathan smith", "b1"),
+      (11L, "jonathan smitt", "b1"),
+      (20L, "maria lopes", "b2"),
+      (30L, "maria lopez", "b9")   // right name, wrong block -> unseen
+    ).toDF("id", "name", "blk")
+    val got = Mining.blockedBestMatch(dirty, "id", "name",
+        cands, "id", "name", "blk", minScore = 0.9)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(3))).toSet
+    assert(got.map(_._1) == Set(1L, 3L), s"got $got")
+    assert(got.forall(!_._3), "no block is hot here")
+    assert(got.contains((3L, 20L, false)))
+  }
+
+  test("blockedBestMatch: hot block truncates to the maxBlock smallest ids and flags, cap-0 twin is exact") {
+    import spark.implicits._
+    // a "Smith" block of 500 candidates; the best match for the dirty
+    // record has the LARGEST id, so truncation must (a) flag the row and
+    // (b) fall back to the best among the kept smallest ids
+    val dirty = Seq((1L, "john smith", "smith"), (2L, "ann jones", "j"))
+      .toDF("id", "name", "blk")
+    val hot = (100L until 599L).map(i => (i, s"john smith $i", "smith"))
+    val best = Seq((999L, "john smith", "smith"), (50L, "ann jones", "j"))
+    val cands = (hot ++ best).toDF("id", "name", "blk")
+
+    val capped = Mining.blockedBestMatch(dirty, "id", "name",
+        cands, "id", "name", "blk", minScore = 0.8, maxBlock = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(3)))
+      .toMap2
+    // kept = ids 100..115; all score identically vs "john smith" (same
+    // shared prefix, same-length suffixes) so the argmax ties to the
+    // smallest kept id
+    assert(capped(1L) == ((100L, true)),
+      s"hot block must keep ids 100..115 and flag, got ${capped(1L)}")
+    assert(capped(2L) == ((50L, false)), "cold block must stay exact")
+
+    val uncapped = Mining.blockedBestMatch(dirty, "id", "name",
+        cands, "id", "name", "blk", minScore = 0.8, maxBlock = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(3)))
+      .toMap2
+    assert(uncapped(1L) == ((999L, false)), "uncapped finds the true best")
+  }
+
+  implicit private class Tup3Ops(rows: Array[(Long, Long, Boolean)]) {
+    def toMap2: Map[Long, (Long, Boolean)] =
+      rows.map(t => t._1 -> ((t._2, t._3))).toMap
+  }
 }
