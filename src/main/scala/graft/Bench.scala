@@ -104,7 +104,10 @@ object Bench {
     "q_audio_dedup",
     // TPC-H gap fill (schema-adapted Q4/Q9/Q11/Q12/Q16)
     "q4_priority", "q9_profit", "q16_parts", "q11_brand_value",
-    "q12_priority_class")
+    "q12_priority_class",
+    // round-6: the three hardest TPC-H shapes (correlated min-subquery,
+    // nested-IN selection, multi-EXISTS) complete the sweep
+    "q2_min_cost_supp", "q20_surplus_suppliers", "q21_waiting_suppliers")
 
   /** Force FULL materialization of every output column: xxhash64 over all
     * columns, summed. `.count()` alone under-measures — Catalyst prunes

@@ -5407,6 +5407,114 @@ object SparkEntry {
         .orderBy($"supplier_cnt".desc, $"p_brand", $"p_type", $"p_size")
     }),
 
+    // TPC-H Q2 (minimum-cost supplier), adapted: lineitem is the
+    // part↔supplier link (no partsupp fixture); supply cost per (part,
+    // supplier) = minimum observed line price in exact cents. The
+    // defining Q2 shape — a CORRELATED MIN-SUBQUERY over the
+    // region-scoped offers — planned Spark-first as one bounded
+    // per-part min aggregate joined back (one pass over the offers, no
+    // per-part re-scan, no window); region→nation broadcast into
+    // supplier, supplier dim broadcast into the link. Top-100 output
+    // order is total (s_name, p_partkey unique per row), so the limit
+    // is engine-stable.
+    "q2_min_cost_supp" -> ((s, dir) => {
+      import s.implicits._
+      val link = t(s, dir, "lineitem")
+        .groupBy($"l_partkey", $"l_suppkey")
+        .agg(min(round($"l_extendedprice" * 100).cast("long")).as("cost_c"))
+      val sup = t(s, dir, "supplier")
+        .join(broadcast(t(s, dir, "nation")
+          .join(broadcast(t(s, dir, "region").filter($"r_name" === "EUROPE")),
+            $"n_regionkey" === $"r_regionkey")),
+          $"s_nationkey" === $"n_nationkey")
+        .select($"s_suppkey", $"s_acctbal", $"s_name", $"n_name")
+      val offers = link
+        .join(t(s, dir, "part").filter($"p_type" === "SMALL"),
+          $"l_partkey" === $"p_partkey")
+        .join(broadcast(sup), $"l_suppkey" === $"s_suppkey")
+      val minCost = offers.groupBy($"p_partkey".as("__mk"))
+        .agg(min($"cost_c").as("__min_c"))
+      offers
+        .join(minCost, $"p_partkey" === $"__mk" && $"cost_c" === $"__min_c")
+        .select($"s_acctbal", $"s_name", $"n_name", $"p_partkey", $"p_name",
+          (round($"cost_c".cast("double") / 100, 2) + lit(0.0)).as("cost"))
+        .orderBy($"s_acctbal".desc, $"s_name", $"p_partkey")
+        .limit(100)
+    }),
+
+    // TPC-H Q20 (potential part promotion), adapted: the DOUBLE-NESTED
+    // selection — suppliers IN (pairs over parts IN (name filter) with
+    // a correlated quantity threshold) — with "availqty" := all-time
+    // shipped quantity per (part, supplier) and the Q20 inequality
+    // avail > 2 · qty_1997 (exact integer compare, no float 0.5). Both
+    // IN-subqueries plan as semi-joins: the part filter broadcast-semi
+    // into the link scan, the surviving pairs semi into the
+    // region-filtered supplier dim.
+    "q20_surplus_suppliers" -> ((s, dir) => {
+      import s.implicits._
+      val lo = lit(java.sql.Timestamp.valueOf("1997-01-01 00:00:00"))
+      val hi = lit(java.sql.Timestamp.valueOf("1998-01-01 00:00:00"))
+      val pk = t(s, dir, "part").filter($"p_name".startsWith("small"))
+        .select($"p_partkey")
+      val qty = round($"l_quantity").cast("long")
+      val pairs = t(s, dir, "lineitem")
+        .join(broadcast(pk), $"l_partkey" === $"p_partkey", "left_semi")
+        .groupBy($"l_partkey", $"l_suppkey")
+        .agg(sum(qty).as("avail"),
+          sum(when($"l_shipdate" >= lo && $"l_shipdate" < hi, qty)
+            .otherwise(0L)).as("q97"))
+        .filter($"q97" > 0 && $"avail" > $"q97" * 2)
+      t(s, dir, "supplier")
+        .join(broadcast(t(s, dir, "nation")
+          .join(broadcast(t(s, dir, "region").filter($"r_name" === "ASIA")),
+            $"n_regionkey" === $"r_regionkey")),
+          $"s_nationkey" === $"n_nationkey")
+        .join(pairs.select($"l_suppkey"), $"s_suppkey" === $"l_suppkey",
+          "left_semi")
+        .select($"s_name", $"s_acctbal")
+        .orderBy($"s_name")
+    }),
+
+    // TPC-H Q21 (suppliers who kept orders waiting), adapted: "late" =
+    // shipped > 90 days after the order date (no receipt/commit dates
+    // in the fixture). The classic multi-EXISTS/NOT-EXISTS shape —
+    // another supplier in the order, no OTHER supplier late — is
+    // re-expressed as ONE per-(order, supplier) aggregate + one
+    // per-order rollup (n_suppliers, n_late_suppliers) joined back:
+    // strictly fewer lineitem passes than the three correlated
+    // self-joins (the oracle runs the literal EXISTS form, proving the
+    // rewrite). Pair rows are materialized once for their two
+    // consumers.
+    "q21_waiting_suppliers" -> ((s, dir) => {
+      import s.implicits._
+      val pos = t(s, dir, "lineitem")
+        .join(t(s, dir, "orders").filter($"o_orderstatus" === "F")
+            .select($"o_orderkey", $"o_orderdate"),
+          $"l_orderkey" === $"o_orderkey")
+        .groupBy($"l_orderkey", $"l_suppkey")
+        .agg(max(when(
+            $"l_shipdate" > $"o_orderdate" + expr("INTERVAL 90 DAYS"), 1L)
+          .otherwise(0L)).as("late"))
+        .localCheckpoint(false) // order rollup + final probe
+      val orderStats = pos.groupBy($"l_orderkey".as("__ok"))
+        .agg(count(lit(1)).as("n_supp"), sum($"late").as("n_late"))
+      val sup = t(s, dir, "supplier")
+        .join(broadcast(t(s, dir, "nation")
+          .join(broadcast(t(s, dir, "region")
+            .filter($"r_name" === "AMERICA")),
+            $"n_regionkey" === $"r_regionkey")),
+          $"s_nationkey" === $"n_nationkey")
+        .select($"s_suppkey", $"s_name")
+      pos.filter($"late" === 1L)
+        .join(orderStats,
+          $"l_orderkey" === $"__ok" && $"n_supp" > 1 && $"n_late" === 1L)
+        .join(broadcast(sup), $"l_suppkey" === $"s_suppkey")
+        .groupBy($"s_name")
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy($"numwait".desc, $"s_name")
+        .limit(100)
+    }),
+
     // kNN-graph construction: every vector's top-3 cosine neighbors
     // within its IVF cell (Ann.knnJoin) — the SemDeDup/kNN-clustering
     // primitive. Candidates are cell-bounded (n²/C, the point of the
@@ -6808,6 +6916,77 @@ object SparkEntry {
         |WHERE p_brand <> 'Brand#2' AND p_size IN (1, 5, 9)
         |GROUP BY p_brand, p_type, p_size
         |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+
+    // The literal Q2 correlated-scalar-subquery form — the oracle
+    // proves the engine's agg-plus-join-back rewrite equals it.
+    "q2_min_cost_supp" ->
+      """WITH link AS (
+        |  SELECT l_partkey pk, l_suppkey sk,
+        |    MIN(ROUND(l_extendedprice * 100)::BIGINT) AS cost_c
+        |  FROM lineitem GROUP BY 1, 2),
+        |s AS (
+        |  SELECT s_suppkey, s_acctbal, s_name, n_name FROM supplier
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  WHERE r_name = 'EUROPE')
+        |SELECT s.s_acctbal, s.s_name, s.n_name, p.p_partkey, p.p_name,
+        |  ROUND(l.cost_c / 100.0, 2) + 0.0 AS cost
+        |FROM part p
+        |JOIN link l ON l.pk = p.p_partkey
+        |JOIN s ON s.s_suppkey = l.sk
+        |WHERE p.p_type = 'SMALL' AND l.cost_c = (
+        |  SELECT MIN(l2.cost_c) FROM link l2
+        |  JOIN s s2 ON s2.s_suppkey = l2.sk
+        |  WHERE l2.pk = p.p_partkey)
+        |ORDER BY s_acctbal DESC, s_name, p_partkey
+        |LIMIT 100""".stripMargin,
+
+    // The literal Q20 nested-IN form.
+    "q20_surplus_suppliers" ->
+      """SELECT s_name, s_acctbal FROM supplier
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA' AND s_suppkey IN (
+        |  SELECT l_suppkey FROM lineitem
+        |  WHERE l_partkey IN
+        |    (SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+        |  GROUP BY l_suppkey, l_partkey
+        |  HAVING SUM(CASE WHEN l_shipdate >= '1997-01-01'
+        |               AND l_shipdate < '1998-01-01'
+        |             THEN ROUND(l_quantity)::BIGINT ELSE 0 END) > 0
+        |     AND SUM(ROUND(l_quantity)::BIGINT) >
+        |         2 * SUM(CASE WHEN l_shipdate >= '1997-01-01'
+        |                   AND l_shipdate < '1998-01-01'
+        |                 THEN ROUND(l_quantity)::BIGINT ELSE 0 END))
+        |ORDER BY s_name""".stripMargin,
+
+    // The literal Q21 EXISTS / NOT-EXISTS form (numwait counts DISTINCT
+    // waiting orders — the engine's per-(order, supplier) pair grain).
+    "q21_waiting_suppliers" ->
+      """WITH supa AS (
+        |  SELECT s_suppkey, s_name FROM supplier
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  WHERE r_name = 'AMERICA'),
+        |lt AS (
+        |  SELECT l_orderkey, l_suppkey, l_shipdate, o_orderdate
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE o_orderstatus = 'F')
+        |SELECT s_name, COUNT(DISTINCT l1.l_orderkey)::BIGINT AS numwait
+        |FROM lt l1 JOIN supa ON supa.s_suppkey = l1.l_suppkey
+        |WHERE l1.l_shipdate > l1.o_orderdate + INTERVAL 90 DAY
+        |  AND EXISTS (
+        |    SELECT 1 FROM lt l2
+        |    WHERE l2.l_orderkey = l1.l_orderkey
+        |      AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM lt l3
+        |    WHERE l3.l_orderkey = l1.l_orderkey
+        |      AND l3.l_suppkey <> l1.l_suppkey
+        |      AND l3.l_shipdate > l3.o_orderdate + INTERVAL 90 DAY)
+        |GROUP BY s_name
+        |ORDER BY numwait DESC, s_name
+        |LIMIT 100""".stripMargin,
 
     "q_knn_join" ->
       """WITH cents AS (

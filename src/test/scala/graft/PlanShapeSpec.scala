@@ -171,6 +171,82 @@ class PlanShapeSpec extends SparkSpec {
       s"rankings come from the k-bounded aggregate, not row_number:\n$p")
   }
 
+  test("q2_min_cost_supp: correlated min plans as agg + joins, filters push, no cartesian") {
+    val p = plan("q2_min_cost_supp")
+    val pushed = p.linesIterator.filter(_.contains("PushedFilters")).mkString
+    assert(pushed.contains("p_type") && pushed.contains("r_name"),
+      s"part-type and region filters must push to their scans, got: $pushed")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), s"no cartesian:\n$p")
+    // the per-(part, supplier) cost and the per-part min are both
+    // two-phase aggregates; the "subquery" is a join, not a re-scan
+    assert("HashAggregate".r.findAllIn(p).size >= 4,
+      s"both aggregates must partial-combine map-side:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-100 must be a partial top-k, not a global sort + limit")
+  }
+
+  test("q20_surplus_suppliers: nested INs plan as semi-joins, name filter pushes") {
+    val p = plan("q20_surplus_suppliers")
+    val pushed = p.linesIterator.filter(_.contains("PushedFilters")).mkString
+    assert(pushed.contains("p_name") && pushed.contains("r_name"),
+      s"part-name prefix and region filters must push, got: $pushed")
+    assert("LeftSemi".r.findAllIn(p).size >= 2,
+      s"both IN levels must plan as semi-joins:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), s"no cartesian:\n$p")
+  }
+
+  test("q21_waiting_suppliers: EXISTS rewrite stays window-free with broadcast dims") {
+    val p = plan("q21_waiting_suppliers")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), s"no cartesian:\n$p")
+    assert(!p.contains("Window"),
+      s"the per-order rollup must be an aggregate, not a window:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      "the region-filtered supplier dim must broadcast")
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-100 must be a partial top-k")
+  }
+
+  // AQE-ON twins for the headline queries: PlanShapeSpec pins plans with
+  // AQE off for deterministic strings, but production runs AQE on —
+  // broadcast-threshold decisions and skew-join splitting can change
+  // shapes, so the scale-critical properties are asserted in BOTH modes.
+  private def aqePlan(name: String): String = {
+    val old = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    try {
+      val df = SparkEntry.queries(name)(spark, sf0001)
+      // materialize so AQE finalizes every stage, then read the final plan
+      df.queryExecution.executedPlan.executeCollect()
+      df.queryExecution.executedPlan.toString
+    } finally spark.conf.set("spark.sql.adaptive.enabled", old)
+  }
+
+  test("AQE-on twins: headline plans keep their scale properties under adaptive execution") {
+    val p6 = aqePlan("q6_revenue")
+    assert(p6.linesIterator.filter(_.contains("PushedFilters")).mkString
+        .contains("l_shipdate"), "q6 predicates must still push under AQE")
+    assert("HashAggregate".r.findAllIn(p6).size >= 2)
+
+    val p18 = aqePlan("q18_large_orders")
+    assert(p18.contains("TakeOrderedAndProject") &&
+      !p18.contains("CartesianProduct"))
+
+    val pk = aqePlan("q_dedup_keep_best")
+    assert(!pk.contains("Window"),
+      "keepBestPerCluster must stay window-free under AQE")
+
+    val pg = aqePlan("q_domain_gate")
+    assert(pg.contains("BroadcastHashJoin"),
+      "the domain gate must stay a broadcast probe under AQE")
+
+    val pc = aqePlan("q_curation")
+    assert(!pc.contains("CartesianProduct") && !pc.contains("Window"),
+      s"curation must stay cartesian- and window-free under AQE:\n$pc")
+  }
+
   test("OPERATORS.md never references a query that does not exist") {
     // doc-drift guard: every q_/qN oracle name cited in OPERATORS.md must
     // be a real SparkEntry.queries key (rows describing spec-only
