@@ -342,9 +342,25 @@ object Bench {
 
     val timed = results.filter { case (k, v) => v >= 0 && !k.startsWith("vector_seq_qps") }
     val total = timed.values.sum
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }
+    // queries sorted BY NAME: the driver's artifact capture keeps only
+    // the output tail, so a name-sorted map gives a stable cross-round
+    // diff window; the full map additionally lands in
+    // target/bench_full.json (committed per round as BENCH_FULL_r{N}
+    // .json) so every query is regression-trackable regardless of
+    // truncation.
+    val qs = results.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    try {
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get("target"))
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("target/bench_full.json"), line + "\n")
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] bench_full.json write failed: ${e.getMessage}")
+    }
+    println(line)
     spark.stop()
   }
 }

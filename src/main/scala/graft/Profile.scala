@@ -702,6 +702,56 @@ object Profile {
       time("ALIGN selfRewriteAlign 10x")(probe(dupCorpus(10)))
     }
 
+    if (on("media")) {
+      // Post-cap q_video_dedup scale probe: replica-GROUP size stays
+      // constant as the corpus grows (more groups — the realistic crawl
+      // shape), so wall must grow ~linearly; the "+hot" variant
+      // additionally seeds frame 0 of EVERY video identically (the
+      // corpus-wide intro bumper) — a 10·|corpus| bucket that the
+      // hot-bucket cap must route as linear star pairs, verified down
+      // to nothing (one shared frame < minShared).
+      import graft.operators.Multimodal
+      def md5hex(str: String): String =
+        graft.expressions.Md5Kernel
+          .digest(str.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      def h60(str: String): Long =
+        java.lang.Long.parseLong(md5hex(str).substring(0, 15), 16)
+      def mkVideos(n: Int, hotFrame: Boolean): DataFrame =
+        (0 until n).map(i =>
+            docs.select(($"doc_id" + lit(i * 1000000L)).as("doc_id")))
+          .reduce(_ unionByName _).repartition(32)
+          .as[Long].map { id =>
+            val nf = (2 + h60(id + ":n") % 5).toInt
+            val frames = (0 until nf).map { f =>
+              val key =
+                if (hotFrame && f == 0) "HOTFRAME"
+                else if (f % 2 == 0) (id % (50L * n)) + "g:" + f
+                else id + ":" + f
+              val px = new Array[Byte](48)
+              var block = -1
+              var hex = ""
+              var j = 0
+              while (j < 48) {
+                if (j / 16 != block) {
+                  block = j / 16; hex = md5hex(key + ":" + block)
+                }
+                px(j) = Integer.parseInt(
+                  hex.substring((j % 16) * 2, (j % 16) * 2 + 2), 16).toByte
+                j += 1
+              }
+              Multimodal.Ppm.Image(4, 4, 255, px)
+            }
+            (id, Multimodal.Video.encode(frames))
+          }.toDF("doc_id", "bin")
+      def probe(d: DataFrame) =
+        Multimodal.frameSigPairs(d, "doc_id", "bin", every = 2, minShared = 2)
+          .agg(count(lit(1)), sum($"n_shared")).collect()
+      time("MEDIA frameSigPairs 1x")(probe(mkVideos(1, hotFrame = false)))
+      time("MEDIA frameSigPairs 10x")(probe(mkVideos(10, hotFrame = false)))
+      time("MEDIA frameSigPairs 10x + corpus-wide hot frame")(
+        probe(mkVideos(10, hotFrame = true)))
+    }
+
     spark.stop()
   }
 }
