@@ -9238,6 +9238,53 @@ object SparkEntry {
         .orderBy($"id_a", $"id_b")
     }),
 
+    // Image near-dup: tile-signature matching (Multimodal.imageSigPairs)
+    // — the image member of the capped pairwise trio (near-dup where
+    // q_media_dedup is the exact-byte tier: same art with a local edit
+    // keeps most tile sums). 4×4 PPMs built from four 2×2 quadrants:
+    // quadrant 0 is GROUP-seeded for every doc, quadrant 2 group-seeded
+    // only when doc_id % 3 ≠ 0 (those docs pair: 2 shared tiles; the
+    // %3==0 docs share just one tile and stay below minShared),
+    // quadrants 1/3 doc-seeded. Signature = per-tile exact integer
+    // channel sums through Dedup.sharedSigPairs (hot-bucket capped +
+    // true-count verify); the oracle replays the quadrant byte formula
+    // without parsing a PPM byte.
+    "q_image_dedup" -> ((s, dir) => {
+      import s.implicits._
+      def md5bytes(str: String): Array[Byte] =
+        graft.expressions.Md5Kernel.digest(str.getBytes("UTF-8"))
+      val withBin = t(s, dir, "documents").select($"doc_id").as[Long]
+        .map { id =>
+          val quad = Array.tabulate(4) { q =>
+            val seed =
+              if (q == 0) (id % 50) + "gi:0"
+              else if (q == 2 && id % 3 != 0) (id % 50) + "gi:2"
+              else id + ":qi:" + q
+            md5bytes(seed)
+          }
+          val px = new Array[Byte](48)
+          var y = 0
+          while (y < 4) {
+            var x = 0
+            while (x < 4) {
+              val q = (y / 2) * 2 + (x / 2)
+              val p = (y % 2) * 2 + (x % 2)
+              var c = 0
+              while (c < 3) {
+                px((y * 4 + x) * 3 + c) = quad(q)(p * 3 + c)
+                c += 1
+              }
+              x += 1
+            }
+            y += 1
+          }
+          (id, Multimodal.Ppm.encode(Multimodal.Ppm.Image(4, 4, 255, px)))
+        }.toDF("doc_id", "bin")
+      Multimodal.imageSigPairs(withBin, "doc_id", "bin",
+          grid = 2, minShared = 2)
+        .orderBy($"id_a", $"id_b")
+    }),
+
     // NSW-style graph-ANN beam search (Ann.graphBeamSearch, Malkov et
     // al. 2014): greedy best-first over the knnJoin neighbor graph —
     // the graph-based ANN family beside IVF/PQ/SQ/BQ/MRL. Search
@@ -10081,6 +10128,37 @@ object SparkEntry {
         |FROM sg a JOIN sg b
         |  ON a.w = b.w AND a.wsum = b.wsum AND a.wabs = b.wabs
         |  AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2 HAVING COUNT(*) >= 2
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // Per-quadrant exact channel sums replayed from the generative
+    // quadrant-seed formula (group-seeded tiles 0 and conditionally 2),
+    // then the pair self-join on (tile, s0, s1, s2) with >= 2 shared.
+    "q_image_dedup" ->
+      """WITH q AS (
+        |  SELECT doc_id, qi,
+        |    CASE WHEN qi = 0 THEN (doc_id % 50)::VARCHAR || 'gi:0'
+        |         WHEN qi = 2 AND doc_id % 3 <> 0
+        |           THEN (doc_id % 50)::VARCHAR || 'gi:2'
+        |         ELSE doc_id::VARCHAR || ':qi:' || qi END AS seed
+        |  FROM documents, (SELECT unnest(generate_series(0, 3)) AS qi)),
+        |b AS MATERIALIZED (
+        |  SELECT doc_id, qi, p, c,
+        |    ('0x'||substr(md5(seed), (p*3+c)*2 + 1, 2))::INT AS v
+        |  FROM (SELECT doc_id, qi, seed, unnest(generate_series(0, 3)) AS p
+        |        FROM q),
+        |       (SELECT unnest(generate_series(0, 2)) AS c)),
+        |sg AS (
+        |  SELECT doc_id, qi,
+        |    SUM(CASE WHEN c = 0 THEN v ELSE 0 END)::BIGINT AS s0,
+        |    SUM(CASE WHEN c = 1 THEN v ELSE 0 END)::BIGINT AS s1,
+        |    SUM(CASE WHEN c = 2 THEN v ELSE 0 END)::BIGINT AS s2
+        |  FROM b GROUP BY doc_id, qi)
+        |SELECT a.doc_id AS id_a, bb.doc_id AS id_b,
+        |  COUNT(*)::BIGINT AS n_shared
+        |FROM sg a JOIN sg bb
+        |  ON a.qi = bb.qi AND a.s0 = bb.s0 AND a.s1 = bb.s1 AND a.s2 = bb.s2
+        |  AND a.doc_id < bb.doc_id
         |GROUP BY 1, 2 HAVING COUNT(*) >= 2
         |ORDER BY id_a, id_b""".stripMargin,
 

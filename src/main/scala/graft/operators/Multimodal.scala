@@ -497,6 +497,84 @@ object Multimodal {
       Seq("__f", "__w", "__h", "__s0", "__s1", "__s2"), minShared, maxBucket)
   }
 
+  private val imageTileSigSchema = StructType(Seq(
+    StructField("tile_idx", IntegerType),
+    StructField("tile_w", IntegerType),
+    StructField("tile_h", IntegerType),
+    StructField("s0", LongType),
+    StructField("s1", LongType),
+    StructField("s2", LongType)))
+
+  /** Image TILE signatures: each decodable PPM payload split into a
+    * `grid`×`grid` tile lattice (boundaries floor(i·dim/grid) — the
+    * resizeNearest seam rule, so equal-size images tile identically),
+    * each tile reduced to EXACT integer per-channel pixel sums — the
+    * image member of the discrete-signature family beside
+    * [[frameSignatures]] (video) and [[audioWindowSignatures]] (audio).
+    * A near-dup image (same art, local edit: caption strip, watermark
+    * corner) keeps most tile sums intact while a whole-payload hash
+    * (`q_media_dedup`'s exact tier) loses them all. Same mapPartitions
+    * decode boundary: rasters reduce in place; only (tile meta, 3 longs)
+    * rows leave the partition; non-PPM payloads contribute zero rows.
+    */
+  def imageTileSignatures(df: DataFrame, binCol: String,
+                          grid: Int = 2): DataFrame = {
+    require(grid >= 1, s"grid must be >= 1, got $grid")
+    val schema = df.schema.add("sig", imageTileSigSchema)
+    val idx = df.schema.fieldIndex(binCol)
+    df.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val payload = if (r.isNullAt(idx)) Array.empty[Byte]
+          else r.getAs[Array[Byte]](idx)
+        Ppm.parse(payload).iterator.flatMap { img =>
+          Iterator.range(0, grid * grid).map { t =>
+            val gy = t / grid
+            val gx = t % grid
+            val y0 = (gy.toLong * img.height / grid).toInt
+            val y1 = ((gy + 1).toLong * img.height / grid).toInt
+            val x0 = (gx.toLong * img.width / grid).toInt
+            val x1 = ((gx + 1).toLong * img.width / grid).toInt
+            val sums = new Array[Long](3)
+            var y = y0
+            while (y < y1) {
+              var x = x0
+              while (x < x1) {
+                val p = (y * img.width + x) * 3
+                sums(0) += img.pixels(p) & 0xff
+                sums(1) += img.pixels(p + 1) & 0xff
+                sums(2) += img.pixels(p + 2) & 0xff
+                x += 1
+              }
+              y += 1
+            }
+            Row.fromSeq(r.toSeq :+ Row(t, x1 - x0, y1 - y0,
+              sums(0), sums(1), sums(2)))
+          }
+        }
+      }
+    }(Encoders.row(schema))
+  }
+
+  /** Image near-dup pairs: images sharing ≥ `minShared` tile signatures
+    * — [[imageTileSignatures]] into `Dedup.sharedSigPairs`, so a
+    * corpus-wide shared tile (letterbox bar, logo corner — the image
+    * boilerplate) routes under the same hot-bucket cap as text LSH and
+    * every candidate is verified at its TRUE shared-tile count.
+    */
+  def imageSigPairs(df: DataFrame, idCol: String, binCol: String,
+                    grid: Int = 2, minShared: Int = 2,
+                    maxBucket: Int = Dedup.DefaultMaxBucket): DataFrame = {
+    val sigs = imageTileSignatures(df.select(col(idCol), col(binCol)),
+        binCol, grid)
+      .select(col(idCol), col("sig.tile_idx").as("__t"),
+        col("sig.tile_w").as("__tw"), col("sig.tile_h").as("__th"),
+        col("sig.s0").as("__s0"), col("sig.s1").as("__s1"),
+        col("sig.s2").as("__s2"))
+    Dedup.sharedSigPairs(sigs, idCol,
+      Seq("__t", "__tw", "__th", "__s0", "__s1", "__s2"), minShared,
+      maxBucket)
+  }
+
   private val audioSigSchema = StructType(Seq(
     StructField("n_windows", IntegerType),
     StructField("win_idx", IntegerType),

@@ -786,21 +786,61 @@ object Streaming {
                            maxBucket: Int = Dedup.DefaultMaxBucket,
                            maxRounds: Int = 30)
                           (onBatch: (DataFrame, Long) => Unit): StreamingQuery =
+    streamSigIngest(media, idCol, storePath, checkpointPath,
+      Seq("__f", "__w", "__h", "__s0", "__s1", "__s2"),
+      batch => graft.operators.Multimodal.frameSignatures(
+          batch.select(col(idCol), col(binCol)), binCol, every)
+        .select(col(idCol).as("__id"),
+          col("sig.frame_idx").as("__f"),
+          col("sig.width").as("__w"), col("sig.height").as("__h"),
+          col("sig.s0").as("__s0"), col("sig.s1").as("__s1"),
+          col("sig.s2").as("__s2")),
+      minShared, maxBucket, maxRounds)(onBatch)
+
+  /** Continuous AUDIO ingest with window-signature near-dup — the
+    * `q_audio_dedup` streaming twin, completing image/video/audio parity
+    * on the streaming side: same store/batch matching contract as
+    * [[streamFrameSigIngest]] (per-store-clip threshold, capped batch
+    * pair graph, greedy-by-id fixpoint, batch-addressed replay-safe
+    * store), with signature = (win_idx, Σ samples, Σ |samples|) from
+    * `Multimodal.audioWindowSignatures` — PCM never leaves the decode
+    * boundary.
+    */
+  def streamAudioSigIngest(media: DataFrame, idCol: String, binCol: String,
+                           storePath: String, checkpointPath: String,
+                           winSize: Int = 16, minShared: Int = 2,
+                           maxBucket: Int = Dedup.DefaultMaxBucket,
+                           maxRounds: Int = 30)
+                          (onBatch: (DataFrame, Long) => Unit): StreamingQuery =
+    streamSigIngest(media, idCol, storePath, checkpointPath,
+      Seq("__w", "__ws", "__wa"),
+      batch => graft.operators.Multimodal.audioWindowSignatures(
+          batch.select(col(idCol), col(binCol)), binCol, winSize)
+        .select(col(idCol).as("__id"),
+          col("sig.win_idx").as("__w"),
+          col("sig.wsum").as("__ws"), col("sig.wabs").as("__wa")),
+      minShared, maxBucket, maxRounds)(onBatch)
+
+  /** Shared signature-ingest engine behind the media streaming twins:
+    * `extract` turns a micro-batch into (__id, sigCols…) signature rows;
+    * everything else — store probe grouped by the STORE-side id, capped
+    * within-batch pair graph, greedy-by-id fixpoint, batch-addressed
+    * overwrite-mode store append — is the contract documented on
+    * [[streamFrameSigIngest]].
+    */
+  private def streamSigIngest(media: DataFrame, idCol: String,
+                              storePath: String, checkpointPath: String,
+                              sigCols: Seq[String],
+                              extract: DataFrame => DataFrame,
+                              minShared: Int, maxBucket: Int, maxRounds: Int)
+                             (onBatch: (DataFrame, Long) => Unit): StreamingQuery =
     media.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointPath)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
-        import graft.operators.Multimodal
-        val sigs = Multimodal.frameSignatures(
-            batch.select(col(idCol), col(binCol)), binCol, every)
-          .select(col(idCol).as("__id"),
-            col("sig.frame_idx").as("__f"),
-            col("sig.width").as("__w"), col("sig.height").as("__h"),
-            col("sig.s0").as("__s0"), col("sig.s1").as("__s1"),
-            col("sig.s2").as("__s2"))
+        val sigs = extract(batch)
           .localCheckpoint(false) // store probe + pair join + append
-        val sigCols = Seq("__f", "__w", "__h", "__s0", "__s1", "__s2")
         val root = new org.apache.hadoop.fs.Path(storePath)
         val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
         val parts =

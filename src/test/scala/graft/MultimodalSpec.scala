@@ -248,6 +248,57 @@ class MultimodalSpec extends SparkSpec {
     assert(dropped(capped) == dropped(uncapped))
   }
 
+  test("imageTileSignatures: exact quadrant sums on a hand-built raster, garbage absorbed") {
+    import spark.implicits._
+    import Multimodal.Ppm
+    // 4x4 raster where every pixel's channel value encodes its position:
+    // v = y*16 + x (channels identical) -> quadrant sums are exact
+    // closed-form integers
+    val px = new Array[Byte](48)
+    for (y <- 0 until 4; x <- 0 until 4; c <- 0 until 3)
+      px((y * 4 + x) * 3 + c) = (y * 16 + x).toByte
+    val df = Seq((1L, Ppm.encode(Ppm.Image(4, 4, 255, px))),
+      (2L, "junk".getBytes)).toDF("id", "bin")
+    val got = Multimodal.imageTileSignatures(df, "bin", grid = 2)
+      .select(col("id"), col("sig.tile_idx"), col("sig.tile_w"),
+        col("sig.tile_h"), col("sig.s0"))
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3),
+        r.getLong(4))).toSet
+    // quadrant sum of v = y*16+x over its 2x2 block:
+    //   t0 (y0..1, x0..1): 0+1+16+17 = 34;  t1 (x2..3): 2+3+18+19 = 42
+    //   t2 (y2..3, x0..1): 32+33+48+49=162; t3: 34+35+50+51 = 170
+    assert(got == Set((1L, 0, 2, 2, 34L), (1L, 1, 2, 2, 42L),
+      (1L, 2, 2, 2, 162L), (1L, 3, 2, 2, 170L)), s"got $got")
+  }
+
+  test("imageSigPairs: shared-tile near-dups found; a corpus-wide letterbox tile stays below minShared under the cap") {
+    import spark.implicits._
+    import Multimodal.Ppm
+    def img(t0: Int, t1: Int, t2: Int, t3: Int) = {
+      val px = new Array[Byte](48)
+      for (y <- 0 until 4; x <- 0 until 4; c <- 0 until 3) {
+        val q = (y / 2) * 2 + (x / 2)
+        px((y * 4 + x) * 3 + c) = Seq(t0, t1, t2, t3)(q).toByte
+      }
+      Ppm.encode(Ppm.Image(4, 4, 255, px))
+    }
+    // 1 and 2 share tiles 0 and 1 (same art, bottom edited); 3 shares
+    // only tile 0 with them — below threshold; 200 images (100..299)
+    // all share ONE letterbox tile 0 = 0 (black bar) but nothing else
+    // (200 consecutive values stay distinct mod 256, so no accidental
+    // byte-wrap tile collisions)
+    val organic = Seq(
+      (1L, img(5, 6, 7, 8)), (2L, img(5, 6, 77, 88)), (3L, img(5, 1, 2, 3)))
+    val letterbox = (100L until 300L).map(i =>
+      (i, img(0, i.toInt, 1000 - i.toInt, i.toInt + 7)))
+    val df = (organic ++ letterbox).toDF("id", "bin")
+    val got = Multimodal.imageSigPairs(df, "id", "bin", grid = 2,
+        minShared = 2, maxBucket = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((1L, 2L, 2L)), s"got $got")
+  }
+
   test("audioWindowSignatures: exact per-window sums, partial tail window dropped, garbage absorbed") {
     import spark.implicits._
     import Multimodal.Wav

@@ -904,4 +904,51 @@ class StreamingSpec extends SparkSpec {
     assert(st.select("__vid").distinct().collect().map(_.getLong(0)).sorted
       .toSeq == Seq(1L, 2L, 10L, 20L, 22L, 31L))
   }
+
+  test("streamAudioSigIngest: window-signature near-dup vs store and batch — the audio twin") {
+    import spark.implicits._
+    import graft.operators.Multimodal.Wav
+    val in = Files.createTempDirectory("graft_aud_in_").toString
+    val store = Files.createTempDirectory("graft_aud_store_").toString + "/sigs"
+    val ckpt = Files.createTempDirectory("graft_aud_ckpt_").toString + "/c"
+    // 4-sample constant windows: distinct value => distinct signature
+    def w(v: Int) = Seq[Short](v.toShort, v.toShort, v.toShort, v.toShort)
+    def clip(ws: Seq[Short]*) =
+      Wav.encode(Wav.Audio(8000, 1, ws.flatten.toArray))
+    def mkStream() = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("bin",
+          org.apache.spark.sql.types.BinaryType))))
+      .option("maxFilesPerTrigger", 1)
+      .parquet(in)
+    val survived = scala.collection.mutable.ArrayBuffer[Long]()
+    def start() = Streaming.streamAudioSigIngest(mkStream(), "doc_id", "bin",
+      store, ckpt, winSize = 4, minShared = 2) { (batch, _) =>
+      survived ++= batch.select("doc_id").collect().map(_.getLong(0))
+    }
+
+    // batch 1: 1 [A B C]; 2 [A X C] shares (A@0, C@2) -> greedy drops 2;
+    // 3 fresh
+    Seq((1L, clip(w(10), w(20), w(30))), (2L, clip(w(10), w(99), w(30))),
+      (3L, clip(w(40), w(50), w(60))))
+      .toDF("doc_id", "bin").coalesce(1).write.mode("overwrite").parquet(in)
+    val q1 = start(); q1.processAllAvailable(); q1.stop()
+    assert(survived.sorted == Seq(1L, 3L), s"batch-1 survivors: $survived")
+
+    // batch 2: 4 re-plays (A@0, C@2) -> store-dup of clip 1; 5 shares
+    // only one window with the store -> survives
+    survived.clear()
+    Seq((4L, clip(w(10), w(77), w(30))), (5L, clip(w(40), w(88))))
+      .toDF("doc_id", "bin").coalesce(1).write.mode("append").parquet(in)
+    val q2 = start(); q2.processAllAvailable(); q2.stop()
+    assert(survived.sorted == Seq(5L), s"batch-2 survivors: $survived")
+
+    // store holds survivors' signatures only (1: 3, 3: 3, 5: 2 windows)
+    val st = spark.read.parquet(s"$store/*")
+    assert(st.count() == 8)
+    assert(st.select("__vid").distinct().collect().map(_.getLong(0)).sorted
+      .toSeq == Seq(1L, 3L, 5L))
+  }
 }
