@@ -100,9 +100,9 @@ object Bench {
     "q_sentence_chunks", "q_squad_eval",
     // ranking comparison + sentence-alignment provenance + video frames
     "q_rbo_rankers", "q_sentence_align", "q_frame_sample", "q_video_dedup",
-    // round-6 media-parity additions: capped audio window-signature and
-    // image tile-signature dedup
-    "q_audio_dedup", "q_image_dedup",
+    // round-6 media-parity additions: capped audio window-signature,
+    // image tile-signature, and perceptual dHash dedup
+    "q_audio_dedup", "q_image_dedup", "q_dhash_neardup",
     // TPC-H gap fill (schema-adapted Q4/Q9/Q11/Q12/Q16)
     "q4_priority", "q9_profit", "q16_parts", "q11_brand_value",
     "q12_priority_class",

@@ -9285,6 +9285,55 @@ object SparkEntry {
         .orderBy($"id_a", $"id_b")
     }),
 
+    // Perceptual image near-dup (Multimodal.dhashNearDups): 64-bit
+    // difference hash — integer BT.601 luma, strict row-adjacent
+    // comparisons, MSB-first pack — banded into 4×16-bit exact-match
+    // candidates (pigeonhole-complete for hamming ≤ 3) through the
+    // capped pair engine, verified with exact bit_count(xor). Fixture:
+    // 9×8 PPMs (the dHash grid itself, so resize is the identity and
+    // both engines see the same lumas) whose pixels are GROUP-seeded
+    // except ONE doc-chosen pixel re-seeded per doc — group members
+    // differ in ≤ 2 pixels ⇒ ≤ 4 flipped bits, so some group pairs
+    // fall ≤ 3 and others at 4, exercising the threshold from both
+    // sides; the oracle replays luma → bits → packed hash → full
+    // pairwise hamming in SQL, no banding, proving the banded path
+    // loses nothing.
+    "q_dhash_neardup" -> ((s, dir) => {
+      import s.implicits._
+      def md5hex(str: String): String =
+        graft.expressions.Md5Kernel
+          .digest(str.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      def h60(str: String): Long =
+        java.lang.Long.parseLong(md5hex(str).substring(0, 15), 16)
+      val withBin = t(s, dir, "documents").select($"doc_id").as[Long]
+        .map { id =>
+          val py = (h60(id + ":py") % 8).toInt
+          val px0 = (h60(id + ":px") % 9).toInt
+          val px = new Array[Byte](9 * 8 * 3)
+          var y = 0
+          while (y < 8) {
+            var x = 0
+            while (x < 9) {
+              val seed =
+                (if (y == py && x == px0) id + ":p:" else (id % 50) + "gd:") +
+                  y + ":" + x
+              val hex = md5hex(seed)
+              var c = 0
+              while (c < 3) {
+                px((y * 9 + x) * 3 + c) =
+                  Integer.parseInt(hex.substring(c * 2, c * 2 + 2), 16).toByte
+                c += 1
+              }
+              x += 1
+            }
+            y += 1
+          }
+          (id, Multimodal.Ppm.encode(Multimodal.Ppm.Image(9, 8, 255, px)))
+        }.toDF("doc_id", "bin")
+      Multimodal.dhashNearDups(withBin, "doc_id", "bin", maxHamming = 3)
+        .orderBy($"id_a", $"id_b")
+    }),
+
     // NSW-style graph-ANN beam search (Ann.graphBeamSearch, Malkov et
     // al. 2014): greedy best-first over the knnJoin neighbor graph —
     // the graph-based ANN family beside IVF/PQ/SQ/BQ/MRL. Search
@@ -10160,6 +10209,50 @@ object SparkEntry {
         |  ON a.qi = bb.qi AND a.s0 = bb.s0 AND a.s1 = bb.s1 AND a.s2 = bb.s2
         |  AND a.doc_id < bb.doc_id
         |GROUP BY 1, 2 HAVING COUNT(*) >= 2
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // Full luma → bit → packed-hash → pairwise-hamming replay with NO
+    // banding: the oracle enumerates every pair, so a hash-green row
+    // proves the engine's pigeonhole band candidates lose nothing at
+    // maxHamming = 3.
+    "q_dhash_neardup" ->
+      """WITH px AS (
+        |  SELECT doc_id, y, x,
+        |    CASE WHEN y = ('0x'||substr(md5(doc_id::VARCHAR||':py'),1,15))::BIGINT % 8
+        |          AND x = ('0x'||substr(md5(doc_id::VARCHAR||':px'),1,15))::BIGINT % 9
+        |         THEN doc_id::VARCHAR || ':p:' || y || ':' || x
+        |         ELSE (doc_id % 50)::VARCHAR || 'gd:' || y || ':' || x
+        |    END AS seed
+        |  FROM documents,
+        |       (SELECT unnest(generate_series(0, 7)) AS y),
+        |       (SELECT unnest(generate_series(0, 8)) AS x)),
+        |lm AS MATERIALIZED (
+        |  SELECT doc_id, y, x,
+        |    299 * ('0x'||substr(md5(seed), 1, 2))::BIGINT
+        |      + 587 * ('0x'||substr(md5(seed), 3, 2))::BIGINT
+        |      + 114 * ('0x'||substr(md5(seed), 5, 2))::BIGINT AS l
+        |  FROM px),
+        |bits AS (
+        |  SELECT a.doc_id, a.y, a.x,
+        |    CASE WHEN a.l < b.l THEN 1 ELSE 0 END AS bit
+        |  FROM lm a JOIN lm b
+        |    ON a.doc_id = b.doc_id AND a.y = b.y AND b.x = a.x + 1
+        |  WHERE a.x < 8),
+        |h AS MATERIALIZED (
+        |  SELECT doc_id,
+        |    CAST(CASE WHEN hb >= 9223372036854775808::HUGEINT
+        |              THEN hb - 18446744073709551616::HUGEINT ELSE hb END
+        |      AS BIGINT) AS h
+        |  FROM (
+        |    SELECT doc_id,
+        |      SUM(CASE WHEN bit = 1
+        |          THEN (1::HUGEINT << (63 - (y * 8 + x))) ELSE 0::HUGEINT END)
+        |        AS hb
+        |    FROM bits GROUP BY doc_id))
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  bit_count(xor(a.h, b.h))::INT AS hamming
+        |FROM h a JOIN h b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.h, b.h)) <= 3
         |ORDER BY id_a, id_b""".stripMargin,
 
     // knnJoin edge chain (the q_knn_join oracle at k=4), then the beam

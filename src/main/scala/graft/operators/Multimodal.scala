@@ -575,6 +575,94 @@ object Multimodal {
       maxBucket)
   }
 
+  /** 64-bit difference hash (dHash — the perceptual-hash workhorse of
+    * image dedup pipelines): nearest-neighbor resize to 9×8
+    * ([[Ppm.resizeNearest]], integer seam rule), INTEGER luma
+    * 299·r + 587·g + 114·b per pixel (the BT.601 weights ×1000 — exact
+    * integers, no float anywhere), bit (y, x) = luma(y, x) < luma(y, x+1)
+    * (strict; ties → 0, deterministic), packed row-major MSB-first.
+    * Robust to uniform brightness/contrast shifts and small local edits
+    * (each changed pixel flips ≤ 2 bits) — the property the exact
+    * tile-sum tier ([[imageTileSignatures]]) doesn't have.
+    */
+  def dhash64(img: Ppm.Image): Long = {
+    val r = Ppm.resizeNearest(img, 9, 8)
+    def luma(x: Int, y: Int): Long = {
+      val p = (y * 9 + x) * 3
+      299L * (r.pixels(p) & 0xff) + 587L * (r.pixels(p + 1) & 0xff) +
+        114L * (r.pixels(p + 2) & 0xff)
+    }
+    var h = 0L
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        h = (h << 1) | (if (luma(x, y) < luma(x + 1, y)) 1L else 0L)
+        x += 1
+      }
+      y += 1
+    }
+    h
+  }
+
+  private val dhashSchema = StructType(Seq(
+    StructField("dhash", LongType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType)))
+
+  /** Append a `dh` struct (dhash, width, height) per decodable PPM
+    * payload — mapPartitions decode boundary; non-PPM payloads
+    * contribute zero rows (crawl garbage absorbs).
+    */
+  def dhashed(df: DataFrame, binCol: String): DataFrame = {
+    val schema = df.schema.add("dh", dhashSchema)
+    val idx = df.schema.fieldIndex(binCol)
+    df.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val payload = if (r.isNullAt(idx)) Array.empty[Byte]
+          else r.getAs[Array[Byte]](idx)
+        Ppm.parse(payload).iterator.map { img =>
+          Row.fromSeq(r.toSeq :+ Row(dhash64(img), img.width, img.height))
+        }
+      }
+    }(Encoders.row(schema))
+  }
+
+  /** Perceptual near-dup pairs: images whose dHashes are within
+    * `maxHamming` bits — the SimHash discipline applied to rasters.
+    * Candidates come from exact 16-bit BAND matches (4 bands; by
+    * pigeonhole any pair within hamming ≤ 3 shares at least one exact
+    * band, so recall is GUARANTEED at the default threshold), routed
+    * through `Dedup.cappedPairsByKey` — a corpus-wide hot band (solid
+    * backgrounds collapse to few distinct hashes) routes as linear star
+    * pairs; the verify join then scores every candidate with the exact
+    * `bit_count(a XOR b)` hamming, so banding affects WHICH pairs are
+    * examined, never what a reported pair means. Returns
+    * (id_a, id_b, hamming).
+    */
+  def dhashNearDups(df: DataFrame, idCol: String, binCol: String,
+                    maxHamming: Int = 3,
+                    maxBucket: Int = Dedup.DefaultMaxBucket): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"4-band candidates guarantee recall only for maxHamming <= 3, " +
+        s"got $maxHamming (raise the band count to go looser)")
+    val hashes = dhashed(df.select(col(idCol), col(binCol)), binCol)
+      .select(col(idCol), col("dh.dhash").as("__h"))
+      .localCheckpoint(false) // banding + both verify sides
+    val banded = hashes.select(col(idCol),
+      posexplode(array((0 until 4).map(b =>
+        shiftright(col("__h"), 48 - 16 * b).bitwiseAND(lit(0xFFFFL))): _*))
+        .as(Seq("band_idx", "bv")))
+    val cands = Dedup.cappedPairsByKey(banded, idCol,
+      Seq("band_idx", "bv"), maxBucket)
+    cands
+      .join(hashes.toDF("id_a", "__ha"), Seq("id_a"))
+      .join(hashes.toDF("id_b", "__hb"), Seq("id_b"))
+      .withColumn("hamming", bit_count(col("__ha").bitwiseXOR(col("__hb"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
   private val audioSigSchema = StructType(Seq(
     StructField("n_windows", IntegerType),
     StructField("win_idx", IntegerType),

@@ -299,6 +299,60 @@ class MultimodalSpec extends SparkSpec {
     assert(got == Set((1L, 2L, 2L)), s"got $got")
   }
 
+  test("dhash64: hand-computed bits, brightness invariance, local-edit locality") {
+    import Multimodal.Ppm
+    // 9x8 grayscale ramp: luma strictly increases along x -> every
+    // comparison bit is 1 -> hash = all ones = -1L
+    def ramp(base: Int) = {
+      val px = new Array[Byte](9 * 8 * 3)
+      for (y <- 0 until 8; x <- 0 until 9; c <- 0 until 3)
+        px((y * 9 + x) * 3 + c) = (base + x * 10).toByte
+      Ppm.Image(9, 8, 255, px)
+    }
+    assert(Multimodal.dhash64(ramp(0)) == -1L)
+    // uniform brightness shift leaves every comparison unchanged
+    assert(Multimodal.dhash64(ramp(40)) == Multimodal.dhash64(ramp(0)))
+    // flat image: no strict inequality anywhere -> 0
+    val flat = Ppm.Image(9, 8, 255, Array.fill(9 * 8 * 3)(77.toByte))
+    assert(Multimodal.dhash64(flat) == 0L)
+    // editing ONE pixel flips at most 2 bits
+    val edited = ramp(0)
+    val p = (3 * 9 + 4) * 3
+    edited.pixels(p) = 0; edited.pixels(p + 1) = 0; edited.pixels(p + 2) = 0
+    val d = java.lang.Long.bitCount(
+      Multimodal.dhash64(ramp(0)) ^ Multimodal.dhash64(edited))
+    assert(d >= 1 && d <= 2, s"one-pixel edit flipped $d bits")
+  }
+
+  test("dhashNearDups: exact dups at 0, one-pixel edits within threshold, distinct images absent; hot band stays linear") {
+    import spark.implicits._
+    import Multimodal.Ppm
+    def img(vals: (Int, Int) => Int) = {
+      val px = new Array[Byte](9 * 8 * 3)
+      for (y <- 0 until 8; x <- 0 until 9; c <- 0 until 3)
+        px((y * 9 + x) * 3 + c) = vals(y, x).toByte
+      Ppm.encode(Ppm.Image(9, 8, 255, px))
+    }
+    val base = img((y, x) => x * 10 + (y % 3) * 5)
+    val edit = img((y, x) => if (y == 2 && x == 3) 0 else x * 10 + (y % 3) * 5)
+    val noise = img((y, x) => ((y * 37 + x * 91) % 200))
+    // 300 flat images: all dhash 0 — one hot bucket in EVERY band; the
+    // cap must route them as stars and verify hamming 0 for all
+    val flats = (100L until 400L).map(i => (i, img((_, _) => 60)))
+    val df = (Seq((1L, base), (2L, edit), (3L, noise)) ++ flats)
+      .toDF("id", "bin")
+    val got = Multimodal.dhashNearDups(df, "id", "bin", maxHamming = 3,
+        maxBucket = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.contains((1L, 2L)), "one-pixel edit must pair with its base")
+    assert(!got.exists(p => p._1 == 3L || p._2 == 3L), "noise image alone")
+    // every flat connects to the star min (100) at hamming 0 — the
+    // keep-one decision set is intact without quadratic enumeration
+    val flatPairs = got.filter(p => p._1 >= 100L)
+    assert(flatPairs == (101L until 400L).map((100L, _)).toSet,
+      s"expected 299 star pairs, got ${flatPairs.size}")
+  }
+
   test("audioWindowSignatures: exact per-window sums, partial tail window dropped, garbage absorbed") {
     import spark.implicits._
     import Multimodal.Wav
