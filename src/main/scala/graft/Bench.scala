@@ -108,7 +108,24 @@ object Bench {
     "q12_priority_class",
     // round-6: the three hardest TPC-H shapes (correlated min-subquery,
     // nested-IN selection, multi-EXISTS) complete the sweep
-    "q2_min_cost_supp", "q20_surplus_suppliers", "q21_waiting_suppliers")
+    "q2_min_cost_supp", "q20_surplus_suppliers", "q21_waiting_suppliers",
+    // round-6 census fill: every remaining SparkEntry query, so
+    // BENCH_FULL covers the complete surface and any query's regression
+    // is visible round over round
+    "q_anti_join", "q_approx_sketch", "q_bpe_real", "q_bpe_tokens",
+    "q_chunk_sliding", "q_count_by_label", "q_cube", "q_distinct_users",
+    "q_edit_distance", "q_embed_centroid", "q_filtered_topk",
+    "q_fingerprint", "q_hash_sample", "q_histogram", "q_langid",
+    "q_media_dedup", "q_minhash_bands", "q_minhash_lsh_capped",
+    "q_multimodal", "q_normalize", "q_percentile", "q_pivot",
+    "q_props_json", "q_rag_context", "q_rag_prompt", "q_range_join",
+    "q_rolling_fp", "q_rollup", "q_running_window", "q_sample_exact",
+    "q_scalar_subq", "q_semi_join", "q_setops", "q_shard_route",
+    "q_simhash_dups", "q_sliding", "q_sql_agg", "q_sql_kernels",
+    "q_text_quality", "q_token_stats", "q_topk_l2", "q_topk_l2_decl",
+    "q_trending", "q_zorder",
+    // round-6: cell-bounded margin mining
+    "q_margin_ivf")
 
   /** Force FULL materialization of every output column: xxhash64 over all
     * columns, summed. `.count()` alone under-measures — Catalyst prunes

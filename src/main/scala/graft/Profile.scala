@@ -750,6 +750,49 @@ object Profile {
       time("MEDIA frameSigPairs 10x")(probe(mkVideos(10, hotFrame = false)))
       time("MEDIA frameSigPairs 10x + corpus-wide hot frame")(
         probe(mkVideos(10, hotFrame = true)))
+
+      // dHash probe: same growth discipline — constant group size as the
+      // corpus grows; the "+flat" variant makes 10% of images a SINGLE
+      // flat raster (dhash 0 — one hot bucket in every band), which the
+      // cap must route linearly.
+      def mkImages(n: Int, flatShare: Boolean): DataFrame =
+        (0 until n).map(i =>
+            docs.select(($"doc_id" + lit(i * 1000000L)).as("doc_id")))
+          .reduce(_ unionByName _).repartition(32)
+          .as[Long].map { id =>
+            val px = new Array[Byte](9 * 8 * 3)
+            if (flatShare && id % 10 == 0) {
+              java.util.Arrays.fill(px, 60.toByte)
+            } else {
+              val py = (h60(id + ":py") % 8).toInt
+              val px0 = (h60(id + ":px") % 9).toInt
+              var y = 0
+              while (y < 8) {
+                var x = 0
+                while (x < 9) {
+                  val seed = (if (y == py && x == px0) id + ":p:"
+                    else (id % (50L * n)) + "gd:") + y + ":" + x
+                  val hex = md5hex(seed)
+                  var c = 0
+                  while (c < 3) {
+                    px((y * 9 + x) * 3 + c) = Integer.parseInt(
+                      hex.substring(c * 2, c * 2 + 2), 16).toByte
+                    c += 1
+                  }
+                  x += 1
+                }
+                y += 1
+              }
+            }
+            (id, Multimodal.Ppm.encode(Multimodal.Ppm.Image(9, 8, 255, px)))
+          }.toDF("doc_id", "bin")
+      def dprobe(d: DataFrame) =
+        Multimodal.dhashNearDups(d, "doc_id", "bin", maxHamming = 3)
+          .agg(count(lit(1)), sum($"hamming")).collect()
+      time("MEDIA dhashNearDups 1x")(dprobe(mkImages(1, flatShare = false)))
+      time("MEDIA dhashNearDups 10x")(dprobe(mkImages(10, flatShare = false)))
+      time("MEDIA dhashNearDups 10x + 10% flat images")(
+        dprobe(mkImages(10, flatShare = true)))
     }
 
     spark.stop()

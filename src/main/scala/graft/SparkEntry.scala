@@ -4758,6 +4758,23 @@ object SparkEntry {
         .orderBy($"id_a", $"id_b")
     }),
 
+    // Margin mining at corpus scale (Mining.marginPairsIvf): the
+    // IVF-cell-bounded composition the marginPairs scaladoc names, as
+    // real code — Ann.ivfAssign broadcast-argmax assignment, pair
+    // generation as a CELL equi-join (n²/C candidates), within-cell kNN
+    // density normalization. The oracle replays assignment + bounded
+    // pairs + margin end to end, so the whole approximation contract is
+    // hash-checked, not just described.
+    "q_margin_ivf" -> ((s, dir) => {
+      import s.implicits._
+      val cents = t(s, dir, "embeddings").filter($"vec_id" < 16)
+        .select($"vec_id".as("cent_id"), $"embedding".as("cvec"))
+      Mining.marginPairsIvf(spread(s, t(s, dir, "embeddings")),
+          "vec_id", "embedding", cents, "cent_id", "cvec",
+          k = 8, threshold = 1.05)
+        .orderBy($"id_a", $"id_b")
+    }),
+
     // Fixed-iteration PageRank over the user→item interaction graph —
     // the link-structure quality prior crawl curation keys on. Integer
     // micro-unit ranks (engine-exact); per iteration one src-keyed edge
@@ -5997,6 +6014,56 @@ object SparkEntry {
         |agg AS (SELECT ia, ib, SUM(x*y) dp, SUM(x*x) nx2, SUM(y*y) ny2
         |        FROM p GROUP BY ia, ib),
         |sims AS (SELECT ia, ib,
+        |    CAST(ROUND(dp / (GREATEST(SQRT(nx2), 1e-12) *
+        |                     GREATEST(SQRT(ny2), 1e-12)) * 10000, 0) AS BIGINT)
+        |      AS cosm
+        |  FROM agg),
+        |dirs AS (SELECT ia AS src, ib AS nbr, cosm FROM sims
+        |         UNION ALL SELECT ib, ia, cosm FROM sims),
+        |rk AS (SELECT src, nbr, cosm,
+        |         ROW_NUMBER() OVER (PARTITION BY src ORDER BY cosm DESC, nbr) AS rn
+        |       FROM dirs),
+        |knn AS (SELECT src, SUM(cosm)::BIGINT AS ksum, COUNT(*)::BIGINT AS kn
+        |        FROM rk WHERE rn <= 8 GROUP BY src),
+        |m AS (
+        |  SELECT s.ia AS id_a, s.ib AS id_b,
+        |    ROUND(s.cosm::DOUBLE * (ka.kn + kb.kn) / (ka.ksum + kb.ksum), 4)
+        |      + 0.0 AS margin
+        |  FROM sims s JOIN knn ka ON s.ia = ka.src JOIN knn kb ON s.ib = kb.src)
+        |SELECT id_a, id_b, margin FROM m
+        |WHERE margin >= 1.05 ORDER BY id_a, id_b""".stripMargin,
+
+    // The full composition replayed: 6-dp argmax cell assignment (ties
+    // to the smallest centroid id), WITHIN-CELL pairs only, kNN density
+    // from within-cell neighbors, quantized margin.
+    "q_margin_ivf" ->
+      """WITH cents AS (
+        |  SELECT vec_id AS cent_id, embedding AS cvec FROM embeddings
+        |  WHERE vec_id < 16),
+        |pc AS (
+        |  SELECT e.vec_id, c.cent_id,
+        |         unnest(e.embedding)::DOUBLE x, unnest(c.cvec)::DOUBLE y
+        |  FROM embeddings e CROSS JOIN cents c),
+        |pagg AS (SELECT vec_id, cent_id, SUM(x*y) dp, SUM(x*x) nx2, SUM(y*y) ny2
+        |         FROM pc GROUP BY vec_id, cent_id),
+        |psc AS (SELECT vec_id, cent_id,
+        |          ROUND(dp/(GREATEST(SQRT(nx2),1e-12)*GREATEST(SQRT(ny2),1e-12)), 6) c
+        |        FROM pagg),
+        |assign AS MATERIALIZED (
+        |  SELECT vec_id, cent_id AS cell_id FROM (
+        |    SELECT vec_id, cent_id,
+        |           row_number() OVER (PARTITION BY vec_id ORDER BY c DESC, cent_id) rn
+        |    FROM psc) WHERE rn = 1),
+        |p AS (
+        |  SELECT a.vec_id ia, b.vec_id ib,
+        |         unnest(ea.embedding)::DOUBLE x, unnest(eb.embedding)::DOUBLE y
+        |  FROM assign a JOIN assign b
+        |    ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id
+        |  JOIN embeddings ea ON ea.vec_id = a.vec_id
+        |  JOIN embeddings eb ON eb.vec_id = b.vec_id),
+        |agg AS (SELECT ia, ib, SUM(x*y) dp, SUM(x*x) nx2, SUM(y*y) ny2
+        |        FROM p GROUP BY ia, ib),
+        |sims AS MATERIALIZED (SELECT ia, ib,
         |    CAST(ROUND(dp / (GREATEST(SQRT(nx2), 1e-12) *
         |                     GREATEST(SQRT(ny2), 1e-12)) * 10000, 0) AS BIGINT)
         |      AS cosm

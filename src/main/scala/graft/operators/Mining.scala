@@ -55,7 +55,59 @@ object Mining {
       .select(col("id_a"), col("id_b"),
         round(dotF(col("va"), col("vb")) / (col("na") * col("nb")) * 10000)
           .cast("long").as("cosm"))
+    marginFromSims(sims, k, threshold)
+  }
+
+  /** [[marginPairs]] at corpus scale — the IVF-cell-bounded variant the
+    * marginPairs scaladoc names as the practical approximation
+    * (CCMatrix mines against FAISS shards the same way), implemented:
+    * vectors are assigned to cells (`Ann.ivfAssign`, broadcast
+    * centroids, deterministic 6-dp argmax), pair generation becomes a
+    * CELL equi-join (n²/C instead of n²/2 candidates — the same
+    * bounding `semanticDedup` uses), and the kNN normalization runs
+    * over within-cell neighbors. Same integer ten-thousandths margin
+    * contract; `q_margin_ivf` oracle-checks the whole composition
+    * (assignment argmax + bounded pairs + margin) against DuckDB.
+    *
+    * Contract note (the standard approximation's semantics, declared):
+    * cross-cell pairs are never scored, and a vector's neighborhood
+    * density is estimated from its cell only — near a cell boundary the
+    * margin can differ from the exact [[marginPairs]] value. Mitigation
+    * at corpus scale is more centroids (smaller, tighter cells), not a
+    * wider join.
+    */
+  def marginPairsIvf(emb: DataFrame, idCol: String, vecCol: String,
+                     centroids: DataFrame, centIdCol: String,
+                     centVecCol: String, k: Int = 8,
+                     threshold: Double = 1.0): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val assigned = Ann.ivfAssign(emb, centroids, idCol, vecCol,
+      centIdCol, centVecCol)
+    val e = assigned.select(col(idCol).cast("long").as("__id"),
+        col(vecCol).as("__v"), col("cell_id").as("__c"),
+        greatest(sqrt(dotF(col(vecCol), col(vecCol))), lit(V.NormEps)).as("__n"))
       .localCheckpoint(false)
+    val a = e.select(col("__c"), col("__id").as("id_a"), col("__v").as("va"),
+      col("__n").as("na"))
+    val b = e.select(col("__c"), col("__id").as("id_b"), col("__v").as("vb"),
+      col("__n").as("nb"))
+    val sims = a.join(b, Seq("__c"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(dotF(col("va"), col("vb")) / (col("na") * col("nb")) * 10000)
+          .cast("long").as("cosm"))
+    marginFromSims(sims, k, threshold)
+  }
+
+  /** Shared margin-scoring tail: quantized pair cosines in, thresholded
+    * (id_a, id_b, margin) out — the kNN-density normalization both the
+    * exact and the cell-bounded front ends feed. Sims are materialized
+    * once (localCheckpoint): the kNN stage and the final scoring both
+    * consume them.
+    */
+  private def marginFromSims(simsPlan: DataFrame, k: Int,
+                             threshold: Double): DataFrame = {
+    val sims = simsPlan.localCheckpoint(false)
     val directed = sims
       .select(col("id_a").as("src"), col("id_b").as("nbr"), col("cosm"))
       .unionByName(

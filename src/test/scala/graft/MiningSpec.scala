@@ -93,6 +93,39 @@ class MiningSpec extends SparkSpec {
     assert(v == 3L)
   }
 
+  test("marginPairsIvf: one cell reproduces marginPairs exactly; two cells bound pairs and kNN to cells") {
+    import spark.implicits._
+    def v(xs: Double*) = xs.map(_.toFloat)
+    // two tight clusters far apart in direction
+    val emb = Seq(
+      (1L, v(1, 0, 0.1, 0)), (2L, v(1, 0.05, 0, 0)), (3L, v(0.9, 0.1, 0, 0)),
+      (10L, v(0, 1, 0, 0.1)), (11L, v(0.05, 1, 0, 0)), (12L, v(0, 0.9, 0.1, 0))
+    ).toDF("vec_id", "embedding")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+
+    // single centroid -> one cell -> exact marginPairs agreement
+    val one = Seq((0L, v(1, 1, 0, 0))).toDF("cent_id", "cvec")
+    assert(pairs(Mining.marginPairsIvf(emb, "vec_id", "embedding",
+        one, "cent_id", "cvec", k = 3, threshold = 0.0)) ==
+      pairs(Mining.marginPairs(emb, "vec_id", "embedding",
+        k = 3, threshold = 0.0)))
+
+    // two centroids on the cluster axes: pairs stay within clusters, and
+    // each cluster's margins equal marginPairs run on that cluster alone
+    val two = Seq((0L, v(1, 0, 0, 0)), (1L, v(0, 1, 0, 0)))
+      .toDF("cent_id", "cvec")
+    val ivf = pairs(Mining.marginPairsIvf(emb, "vec_id", "embedding",
+      two, "cent_id", "cvec", k = 3, threshold = 0.0))
+    assert(ivf.forall(p => (p._1 < 10) == (p._2 < 10)),
+      s"cross-cell pairs must not be scored: $ivf")
+    val exactA = pairs(Mining.marginPairs(
+      emb.filter($"vec_id" < 10), "vec_id", "embedding", k = 3, threshold = 0.0))
+    val exactB = pairs(Mining.marginPairs(
+      emb.filter($"vec_id" >= 10), "vec_id", "embedding", k = 3, threshold = 0.0))
+    assert(ivf == exactA ++ exactB, s"got $ivf vs ${exactA ++ exactB}")
+  }
+
   test("blockedBestMatch: best candidate per dirty record, argmax ties to smallest id, threshold gates") {
     import spark.implicits._
     val dirty = Seq(

@@ -209,6 +209,18 @@ class PlanShapeSpec extends SparkSpec {
       "top-100 must be a partial top-k")
   }
 
+  test("media pair queries: no cartesian, no window — capped bucket joins only") {
+    for (q <- Seq("q_video_dedup", "q_audio_dedup", "q_image_dedup",
+        "q_dhash_neardup")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"),
+        s"$q must never plan a cartesian:\n$p")
+      assert(!p.contains("Window"),
+        s"$q pair generation must stay window-free:\n$p")
+    }
+  }
+
   // AQE-ON twins for the headline queries: PlanShapeSpec pins plans with
   // AQE off for deterministic strings, but production runs AQE on —
   // broadcast-threshold decisions and skew-join splitting can change
