@@ -124,8 +124,8 @@ object Bench {
     "q_simhash_dups", "q_sliding", "q_sql_agg", "q_sql_kernels",
     "q_text_quality", "q_token_stats", "q_topk_l2", "q_topk_l2_decl",
     "q_trending", "q_zorder",
-    // round-6: cell-bounded margin mining
-    "q_margin_ivf")
+    // round-6: cell-bounded margin mining + e2e video dedup decisions
+    "q_margin_ivf", "q_video_dedup_e2e")
 
   /** Force FULL materialization of every output column: xxhash64 over all
     * columns, summed. `.count()` alone under-measures — Catalyst prunes

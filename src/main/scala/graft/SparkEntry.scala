@@ -9261,6 +9261,49 @@ object SparkEntry {
         .orderBy($"id_a", $"id_b")
     }),
 
+    // End-to-end video dedup DECISIONS: the q_video_dedup pair list →
+    // connectedComponents (pointer-jumping min-label) → keep the
+    // component representative, drop the rest — the composition a video
+    // corpus actually ships (pairs alone don't dedup anything). The
+    // oracle replays pairs + recursive-CTE transitive closure +
+    // keep-min, so the decision set — the thing the hot-bucket cap
+    // guarantees it preserves — is itself hash-checked.
+    "q_video_dedup_e2e" -> ((s, dir) => {
+      import s.implicits._
+      def md5hex(str: String): String =
+        graft.expressions.Md5Kernel
+          .digest(str.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      def h60(str: String): Long =
+        java.lang.Long.parseLong(md5hex(str).substring(0, 15), 16)
+      val withBin = t(s, dir, "documents").select($"doc_id").as[Long]
+        .map { id =>
+          val nf = (2 + h60(id + ":n") % 5).toInt
+          val frames = (0 until nf).map { f =>
+            val key = if (f % 2 == 0) (id % 50) + "g:" + f else id + ":" + f
+            val px = new Array[Byte](48)
+            var block = -1
+            var hex = ""
+            var j = 0
+            while (j < 48) {
+              if (j / 16 != block) { block = j / 16; hex = md5hex(key + ":" + block) }
+              px(j) = Integer.parseInt(
+                hex.substring((j % 16) * 2, (j % 16) * 2 + 2), 16).toByte
+              j += 1
+            }
+            Multimodal.Ppm.Image(4, 4, 255, px)
+          }
+          (id, Multimodal.Video.encode(frames))
+        }.toDF("doc_id", "bin")
+      val pairs = Multimodal.frameSigPairs(withBin, "doc_id", "bin",
+          every = 2, minShared = 2)
+        .select($"id_a", $"id_b")
+      val comp = Dedup.connectedComponents(pairs, "id_a", "id_b")
+      withBin.select($"doc_id")
+        .join(comp.filter($"node" =!= $"comp").select($"node".as("doc_id")),
+          Seq("doc_id"), "left_anti")
+        .orderBy($"doc_id")
+    }),
+
     // Audio near-dup: window-signature matching (Multimodal.audioSigPairs)
     // — the audio member of the capped pairwise family, completing
     // image/video/audio parity: WAV → 16-sample windows → exact integer
@@ -10209,6 +10252,49 @@ object SparkEntry {
         |  AND a.doc_id < b.doc_id
         |GROUP BY 1, 2 HAVING COUNT(*) >= 2
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // Pairs replayed as in q_video_dedup, then recursive-CTE transitive
+    // closure to the min label and keep-the-representative — the full
+    // decision set, independent of the engine's pointer-jumping rounds.
+    "q_video_dedup_e2e" ->
+      """WITH RECURSIVE nn AS (
+        |  SELECT doc_id,
+        |    CAST(2 + ('0x'||substr(md5(doc_id::VARCHAR || ':n'), 1, 15))::BIGINT % 5
+        |      AS INT) AS nf
+        |  FROM documents),
+        |sf AS (
+        |  SELECT doc_id, f FROM (
+        |    SELECT doc_id, unnest(generate_series(0, nf - 1)) AS f FROM nn)
+        |  WHERE f % 2 = 0),
+        |px AS MATERIALIZED (
+        |  SELECT doc_id, f, j,
+        |    ('0x'||substr(md5((doc_id % 50)::VARCHAR || 'g:' || f || ':' || (j // 16)),
+        |      (j % 16) * 2 + 1, 2))::INT AS b
+        |  FROM (SELECT doc_id, f, unnest(generate_series(0, 47)) AS j
+        |        FROM sf)),
+        |ch AS (
+        |  SELECT doc_id, f,
+        |    SUM(CASE WHEN j % 3 = 0 THEN b ELSE 0 END)::BIGINT AS s0,
+        |    SUM(CASE WHEN j % 3 = 1 THEN b ELSE 0 END)::BIGINT AS s1,
+        |    SUM(CASE WHEN j % 3 = 2 THEN b ELSE 0 END)::BIGINT AS s2
+        |  FROM px GROUP BY doc_id, f),
+        |pr AS (
+        |  SELECT a.doc_id AS da, b.doc_id AS db
+        |  FROM ch a JOIN ch b
+        |    ON a.f = b.f AND a.s0 = b.s0 AND a.s1 = b.s1 AND a.s2 = b.s2
+        |    AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |e AS (SELECT da AS a, db AS b FROM pr UNION SELECT db, da FROM pr),
+        |r AS (
+        |  SELECT a AS node, b AS reach FROM e
+        |  UNION
+        |  SELECT r.node, e.b FROM r JOIN e ON r.reach = e.a),
+        |lab AS (
+        |  SELECT node, LEAST(node, MIN(reach)) AS comp
+        |  FROM r GROUP BY node)
+        |SELECT doc_id FROM documents
+        |WHERE doc_id NOT IN (SELECT node FROM lab WHERE node <> comp)
+        |ORDER BY doc_id""".stripMargin,
 
     // Per-window exact integer sums replayed from the generative md5
     // byte layout (group-seeded even windows), then the pair self-join
