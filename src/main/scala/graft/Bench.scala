@@ -124,8 +124,10 @@ object Bench {
     "q_simhash_dups", "q_sliding", "q_sql_agg", "q_sql_kernels",
     "q_text_quality", "q_token_stats", "q_topk_l2", "q_topk_l2_decl",
     "q_trending", "q_zorder",
-    // round-6: cell-bounded margin mining + e2e video dedup decisions
-    "q_margin_ivf", "q_video_dedup_e2e")
+    // round-6: cell-bounded margin mining + e2e video dedup decisions +
+    // media analysis (VAD-shaped segmentation, shot detection)
+    "q_margin_ivf", "q_video_dedup_e2e", "q_audio_segments",
+    "q_shot_detect")
 
   /** Force FULL materialization of every output column: xxhash64 over all
     * columns, summed. `.count()` alone under-measures — Catalyst prunes

@@ -9348,6 +9348,81 @@ object SparkEntry {
         .orderBy($"id_a", $"id_b")
     }),
 
+    // Audio energy segmentation (Multimodal.audioEnergySegments): the
+    // VAD-shaped triage — integer Σ|samples| threshold per window,
+    // maximal active runs via the islands trick (win − per-clip rank),
+    // one bounded per-clip window then a map-side group. Same fixture
+    // as q_audio_dedup; the 262144 threshold sits at the random-bytes
+    // median so runs form and break naturally.
+    "q_audio_segments" -> ((s, dir) => {
+      import s.implicits._
+      def md5hex(str: String): String =
+        graft.expressions.Md5Kernel
+          .digest(str.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      def h60(str: String): Long =
+        java.lang.Long.parseLong(md5hex(str).substring(0, 15), 16)
+      val withBin = t(s, dir, "documents").select($"doc_id").as[Long]
+        .map { id =>
+          val nw = (2 + h60(id + ":nw") % 5).toInt
+          val samples = new Array[Short](16 * nw)
+          var w = 0
+          while (w < nw) {
+            val seed = if (w % 2 == 0) (id % 50) + "ga:" + w
+              else id + ":aw:" + w
+            val hex = Array(md5hex(seed + ":0"), md5hex(seed + ":1"))
+            var j = 0
+            while (j < 16) {
+              val bi = 2 * j
+              def byteAt(k: Int): Int = Integer.parseInt(
+                hex(k / 16).substring((k % 16) * 2, (k % 16) * 2 + 2), 16)
+              samples(16 * w + j) = ((byteAt(bi + 1) << 8) | byteAt(bi)).toShort
+              j += 1
+            }
+            w += 1
+          }
+          (id, Multimodal.Wav.encode(Multimodal.Wav.Audio(8000, 1, samples)))
+        }.toDF("doc_id", "bin")
+      Multimodal.audioEnergySegments(withBin, "doc_id", "bin",
+          winSize = 16, minAbsSum = 262144L)
+        .orderBy($"doc_id", $"seg_start")
+    }),
+
+    // Video shot detection (Multimodal.videoShots): integer L1 distance
+    // between consecutive frames' exact channel sums opens a shot above
+    // the threshold; two bounded per-video windows (lag + running cut
+    // sum) then one group. Fixture: frame content changes only every 3
+    // frames (key = id:sh:(f/3)), so shots of ~3 frames fall out and
+    // the boundaries are deterministic in both engines.
+    "q_shot_detect" -> ((s, dir) => {
+      import s.implicits._
+      def md5hex(str: String): String =
+        graft.expressions.Md5Kernel
+          .digest(str.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      def h60(str: String): Long =
+        java.lang.Long.parseLong(md5hex(str).substring(0, 15), 16)
+      val withBin = t(s, dir, "documents").select($"doc_id").as[Long]
+        .map { id =>
+          val nf = (4 + h60(id + ":nsh") % 9).toInt
+          val frames = (0 until nf).map { f =>
+            val key = id + ":sh:" + (f / 3)
+            val px = new Array[Byte](48)
+            var block = -1
+            var hex = ""
+            var j = 0
+            while (j < 48) {
+              if (j / 16 != block) { block = j / 16; hex = md5hex(key + ":" + block) }
+              px(j) = Integer.parseInt(
+                hex.substring((j % 16) * 2, (j % 16) * 2 + 2), 16).toByte
+              j += 1
+            }
+            Multimodal.Ppm.Image(4, 4, 255, px)
+          }
+          (id, Multimodal.Video.encode(frames))
+        }.toDF("doc_id", "bin")
+      Multimodal.videoShots(withBin, "doc_id", "bin", threshold = 100L)
+        .orderBy($"doc_id", $"shot_idx")
+    }),
+
     // Image near-dup: tile-signature matching (Multimodal.imageSigPairs)
     // — the image member of the capped pairwise trio (near-dup where
     // q_media_dedup is the exact-byte tier: same art with a local edit
@@ -10332,6 +10407,87 @@ object SparkEntry {
         |  AND a.doc_id < b.doc_id
         |GROUP BY 1, 2 HAVING COUNT(*) >= 2
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // The q_audio_dedup window replay up to (doc, w, wabs), then the
+    // classic gaps-and-islands: active filter, w − rank group key,
+    // per-run min/max/count/sum.
+    "q_audio_segments" ->
+      """WITH nw AS (
+        |  SELECT doc_id,
+        |    CAST(2 + ('0x'||substr(md5(doc_id::VARCHAR || ':nw'), 1, 15))::BIGINT % 5
+        |      AS INT) AS nw
+        |  FROM documents),
+        |wd AS (
+        |  SELECT doc_id, w,
+        |    CASE WHEN w % 2 = 0 THEN (doc_id % 50)::VARCHAR || 'ga:' || w
+        |         ELSE doc_id::VARCHAR || ':aw:' || w END AS seed
+        |  FROM (SELECT doc_id, unnest(generate_series(0, nw - 1)) AS w FROM nw)),
+        |sm AS MATERIALIZED (
+        |  SELECT doc_id, w, j,
+        |    ('0x'||substr(md5(seed || ':' || (2*j // 16)),
+        |      ((2*j) % 16) * 2 + 1, 2))::INT AS b0,
+        |    ('0x'||substr(md5(seed || ':' || ((2*j+1) // 16)),
+        |      ((2*j+1) % 16) * 2 + 1, 2))::INT AS b1
+        |  FROM (SELECT doc_id, w, seed, unnest(generate_series(0, 15)) AS j
+        |        FROM wd)),
+        |v AS (
+        |  SELECT doc_id, w,
+        |    CASE WHEN b1 * 256 + b0 >= 32768 THEN b1 * 256 + b0 - 65536
+        |         ELSE b1 * 256 + b0 END AS s
+        |  FROM sm),
+        |sg AS (
+        |  SELECT doc_id, w, SUM(ABS(s))::BIGINT AS wabs
+        |  FROM v GROUP BY doc_id, w),
+        |act AS (
+        |  SELECT doc_id, w, wabs,
+        |    w - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY w) AS grp
+        |  FROM sg WHERE wabs >= 262144)
+        |SELECT doc_id, MIN(w)::INT AS seg_start, MAX(w)::INT AS seg_end,
+        |  COUNT(*)::BIGINT AS n_windows, SUM(wabs)::BIGINT AS sum_abs
+        |FROM act GROUP BY doc_id, grp
+        |ORDER BY doc_id, seg_start""".stripMargin,
+
+    // Frame sums replayed from the every-3-frames generative key, then
+    // lag-distance cuts and a running cut-sum shot index.
+    "q_shot_detect" ->
+      """WITH nn AS (
+        |  SELECT doc_id,
+        |    CAST(4 + ('0x'||substr(md5(doc_id::VARCHAR || ':nsh'), 1, 15))::BIGINT % 9
+        |      AS INT) AS nf
+        |  FROM documents),
+        |fr AS (
+        |  SELECT doc_id, unnest(generate_series(0, nf - 1)) AS f FROM nn),
+        |px AS MATERIALIZED (
+        |  SELECT doc_id, f, j,
+        |    ('0x'||substr(md5(doc_id::VARCHAR || ':sh:' || (f // 3) || ':' || (j // 16)),
+        |      (j % 16) * 2 + 1, 2))::INT AS b
+        |  FROM (SELECT doc_id, f, unnest(generate_series(0, 47)) AS j
+        |        FROM fr)),
+        |ch AS (
+        |  SELECT doc_id, f,
+        |    SUM(CASE WHEN j % 3 = 0 THEN b ELSE 0 END)::BIGINT AS s0,
+        |    SUM(CASE WHEN j % 3 = 1 THEN b ELSE 0 END)::BIGINT AS s1,
+        |    SUM(CASE WHEN j % 3 = 2 THEN b ELSE 0 END)::BIGINT AS s2
+        |  FROM px GROUP BY doc_id, f),
+        |d AS (
+        |  SELECT doc_id, f, s0, s1, s2,
+        |    lag(s0) OVER w AS p0, lag(s1) OVER w AS p1, lag(s2) OVER w AS p2
+        |  FROM ch WINDOW w AS (PARTITION BY doc_id ORDER BY f)),
+        |c AS (
+        |  SELECT doc_id, f,
+        |    CASE WHEN f = 0 THEN 1
+        |         WHEN abs(s0 - p0) + abs(s1 - p1) + abs(s2 - p2) > 100 THEN 1
+        |         ELSE 0 END AS cut
+        |  FROM d),
+        |sh AS (
+        |  SELECT doc_id, f,
+        |    SUM(cut) OVER (PARTITION BY doc_id ORDER BY f) - 1 AS shot_idx
+        |  FROM c)
+        |SELECT doc_id, shot_idx::BIGINT AS shot_idx,
+        |  MIN(f)::INT AS start_frame, MAX(f)::INT AS end_frame,
+        |  COUNT(*)::BIGINT AS n_frames
+        |FROM sh GROUP BY doc_id, shot_idx
+        |ORDER BY doc_id, shot_idx""".stripMargin,
 
     // Per-quadrant exact channel sums replayed from the generative
     // quadrant-seed formula (group-seeded tiles 0 and conditionally 2),

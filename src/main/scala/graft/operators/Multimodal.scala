@@ -707,6 +707,72 @@ object Multimodal {
     }(Encoders.row(schema))
   }
 
+  /** Audio ENERGY segmentation (voice-activity-detection shape): windows
+    * whose Σ|samples| ≥ `minAbsSum` are ACTIVE; maximal runs of
+    * consecutive active windows become segments — the pre-transcription
+    * triage an audio curation pipeline runs (transcribe speech segments,
+    * skip silence). Integer threshold on the exact window sums, so the
+    * gate is engine-exact. Returns one row per segment:
+    * (id cols…, seg_start, seg_end, n_windows, sum_abs).
+    *
+    * Scale shape: the islands trick (win_idx − per-clip rank of active
+    * windows) needs one window partitioned BY CLIP — state bounded by
+    * windows-per-clip, never corpus-wide — then a map-side-combinable
+    * group; PCM never leaves the decode boundary.
+    */
+  def audioEnergySegments(df: DataFrame, idCol: String, binCol: String,
+                          winSize: Int = 16,
+                          minAbsSum: Long = 16L * 16384): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("__w"))
+    audioWindowSignatures(df.select(col(idCol), col(binCol)), binCol, winSize)
+      .select(col(idCol), col("sig.win_idx").as("__w"),
+        col("sig.wabs").as("__wa"))
+      .filter(col("__wa") >= minAbsSum)
+      .withColumn("__grp", col("__w") - row_number().over(w))
+      .groupBy(col(idCol), col("__grp"))
+      .agg(min(col("__w")).as("seg_start"), max(col("__w")).as("seg_end"),
+        count(lit(1)).as("n_windows"), sum(col("__wa")).as("sum_abs"))
+      .drop("__grp")
+  }
+
+  /** Video SHOT detection: consecutive-frame signature distance (integer
+    * L1 over the exact channel sums) above `threshold` opens a new shot;
+    * frames between boundaries group into (shot_idx, start/end frame,
+    * n_frames) — the scene-segmentation stage a video pipeline runs
+    * before per-shot sampling/captioning. Decodes EVERY frame
+    * (`every = 1`); the cut metric is integer-exact so both engines
+    * place identical boundaries.
+    *
+    * Scale shape: two per-VIDEO windows (lag for the cut flag, running
+    * sum for the shot index) — state bounded by frames-per-video — then
+    * one map-side-combinable group; rasters reduce inside the decode
+    * boundary.
+    */
+  def videoShots(df: DataFrame, idCol: String, binCol: String,
+                 threshold: Long = 100L,
+                 maxFrames: Int = 1024): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("__f"))
+    val cum = w.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    frameSignatures(df.select(col(idCol), col(binCol)), binCol,
+        every = 1, maxFrames)
+      .select(col(idCol), col("sig.frame_idx").as("__f"),
+        col("sig.s0").as("__s0"), col("sig.s1").as("__s1"),
+        col("sig.s2").as("__s2"))
+      .withColumn("__cut",
+        when(col("__f") === 0, lit(1L)).otherwise(
+          when(abs(col("__s0") - lag(col("__s0"), 1).over(w)) +
+            abs(col("__s1") - lag(col("__s1"), 1).over(w)) +
+            abs(col("__s2") - lag(col("__s2"), 1).over(w)) > threshold,
+            1L).otherwise(0L)))
+      .withColumn("shot_idx", sum(col("__cut")).over(cum) - 1)
+      .groupBy(col(idCol), col("shot_idx"))
+      .agg(min(col("__f")).as("start_frame"), max(col("__f")).as("end_frame"),
+        count(lit(1)).as("n_frames"))
+  }
+
   /** Audio near-dup pairs: clips sharing ≥ `minShared` window signatures
     * — [[audioWindowSignatures]] into `Dedup.sharedSigPairs`, completing
     * image/video/audio parity in the capped pairwise family. A

@@ -371,6 +371,43 @@ class MultimodalSpec extends SparkSpec {
       (1L, 2, 1, 8000, 50L, 650L))) // 100+200-300+50
   }
 
+  test("audioEnergySegments: runs split on silence, threshold exact, per-clip isolation") {
+    import spark.implicits._
+    import Multimodal.Wav
+    def w(v: Int) = Seq.fill(4)(v.toShort)
+    // clip 1 windows |sums|: 40, 4, 40, 40, 4, 40 with threshold 40 ->
+    // runs [0,0], [2,3], [5,5]; clip 2 all active -> one run
+    val c1 = Wav.encode(Wav.Audio(8000, 1,
+      (w(10) ++ w(1) ++ w(10) ++ w(-10) ++ w(1) ++ w(10)).toArray))
+    val c2 = Wav.encode(Wav.Audio(8000, 1, (w(50) ++ w(-50)).toArray))
+    val got = Multimodal.audioEnergySegments(
+        Seq((1L, c1), (2L, c2)).toDF("id", "bin"), "id", "bin",
+        winSize = 4, minAbsSum = 40L)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3),
+        r.getLong(4))).toSet
+    assert(got == Set(
+      (1L, 0, 0, 1L, 40L), (1L, 2, 3, 2L, 80L), (1L, 5, 5, 1L, 40L),
+      (2L, 0, 1, 2L, 400L)), s"got $got")
+  }
+
+  test("videoShots: identical runs share a shot, cuts open new ones, first frame always cuts") {
+    import spark.implicits._
+    import Multimodal.{Ppm, Video}
+    def fr(v: Int) = Ppm.Image(2, 2, 255, Array.fill(12)(v.toByte))
+    // frames AABBC with threshold below the A->B distance:
+    // shots [0,1], [2,3], [4,4]
+    val vidBin = Video.encode(Seq(fr(10), fr(10), fr(60), fr(60), fr(120)))
+    val got = Multimodal.videoShots(
+        Seq((7L, vidBin)).toDF("id", "bin"), "id", "bin", threshold = 100L)
+      .collect()
+      .map(r => (r.getLong(1), r.getInt(2), r.getInt(3), r.getLong(4)))
+      .toSet
+    // per-frame channel sums: 4 px * v per channel; A->B L1 = 3*4*50=600
+    assert(got == Set((0L, 0, 1, 2L), (1L, 2, 3, 2L), (2L, 4, 4, 1L)),
+      s"got $got")
+  }
+
   test("audioSigPairs: shared-window near-dups found, bumper window below minShared, cap linear") {
     import spark.implicits._
     import Multimodal.Wav
