@@ -8,7 +8,7 @@ import graft.expressions.FloatVectorExpressions.dotF
 import graft.expressions.JaroWinkler.jaroWinklerF
 import graft.expressions.TextHashExpressions.{minhashSigF, simhash32F}
 import graft.functions.{HashFunctions, TextFunctions => T, UrlFunctions, VectorFunctions => V}
-import graft.operators.{Align, Ann, AsofJoin, Bm25, BpeTrain, Classifier, Collocations, Coreset, CountMin, Curation, Dedup, DistinctSketch, Ewma, GraphOps, HeavyHitters, Mining, Multimodal, Packing, PageRank, Privacy, QuantileSketch, Rerank, RuntimeFilter, Sampling, SftPrep, SkewJoin, Tfidf, TextEval, TextTiling, TopK, TrigramLm, UnigramLm, Validation}
+import graft.operators.{Align, Ann, AsofJoin, Bm25, BpeTrain, Classifier, Collocations, Coreset, CountMin, Curation, Dedup, DistinctSketch, Ewma, GraphOps, HeavyHitters, Hierarchy, Mining, Multimodal, Packing, PageRank, Privacy, QuantileSketch, Rerank, RuntimeFilter, Sampling, SftPrep, SkewJoin, Tfidf, TextEval, TextTiling, TopK, TrigramLm, UnigramLm, Validation}
 import graft.sources.{Layout, Tables}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -9348,6 +9348,21 @@ object SparkEntry {
         .orderBy($"id_a", $"id_b")
     }),
 
+    // Recursive hierarchy closure (Hierarchy.rootAndDepth) — the
+    // WITH RECURSIVE ancestor-expansion surface Spark SQL lacks,
+    // expressed as pointer DOUBLING: O(log depth) rounds instead of one
+    // join per level, fixpoint throw on cycles/dangling chains (the
+    // connectedComponents discipline). Fixture: the binary-heap tree
+    // parent(i) = i/2 over doc ids (node 0 self-parents = root); the
+    // oracle is the literal WITH RECURSIVE chain walk.
+    "q_tree_closure" -> ((s, dir) => {
+      import s.implicits._
+      val edges = t(s, dir, "documents")
+        .select($"doc_id", ($"doc_id" / 2).cast("long").as("parent"))
+      Hierarchy.rootAndDepth(edges, "doc_id", "parent")
+        .orderBy($"node")
+    }),
+
     // Audio energy segmentation (Multimodal.audioEnergySegments): the
     // VAD-shaped triage — integer Σ|samples| threshold per window,
     // maximal active runs via the islands trick (win − per-clip rank),
@@ -10407,6 +10422,20 @@ object SparkEntry {
         |  AND a.doc_id < b.doc_id
         |GROUP BY 1, 2 HAVING COUNT(*) >= 2
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // The literal WITH RECURSIVE chain walk the engine's pointer
+    // doubling must reproduce.
+    "q_tree_closure" ->
+      """WITH RECURSIVE r AS (
+        |  SELECT doc_id AS node, (doc_id // 2)::BIGINT AS anc,
+        |    CASE WHEN doc_id // 2 = doc_id THEN 0 ELSE 1 END AS depth
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT node, (anc // 2)::BIGINT, depth + 1 FROM r
+        |  WHERE anc // 2 <> anc)
+        |SELECT node, anc AS root, depth::BIGINT AS depth FROM r
+        |WHERE anc // 2 = anc
+        |ORDER BY node""".stripMargin,
 
     // The q_audio_dedup window replay up to (doc, w, wabs), then the
     // classic gaps-and-islands: active filter, w − rank group key,
