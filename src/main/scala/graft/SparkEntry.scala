@@ -9363,6 +9363,19 @@ object SparkEntry {
         .orderBy($"node")
     }),
 
+    // Subtree-size rollup (Hierarchy.subtreeSizes): proper-descendant
+    // counts from the closure-doubled ancestor relation — the org/BOM
+    // "how big is each subtree" analytic; n·height closure rows, O(log
+    // height) rounds. Oracle walks the literal recursive ancestor CTE
+    // and groups.
+    "q_subtree_sizes" -> ((s, dir) => {
+      import s.implicits._
+      val edges = t(s, dir, "documents")
+        .select($"doc_id", ($"doc_id" / 2).cast("long").as("parent"))
+      Hierarchy.subtreeSizes(edges, "doc_id", "parent")
+        .orderBy($"node")
+    }),
+
     // Audio energy segmentation (Multimodal.audioEnergySegments): the
     // VAD-shaped triage — integer Σ|samples| threshold per window,
     // maximal active runs via the islands trick (win − per-clip rank),
@@ -10422,6 +10435,16 @@ object SparkEntry {
         |  AND a.doc_id < b.doc_id
         |GROUP BY 1, 2 HAVING COUNT(*) >= 2
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // The literal recursive ancestor chain, grouped by ancestor.
+    "q_subtree_sizes" ->
+      """WITH RECURSIVE r AS (
+        |  SELECT doc_id AS node, (doc_id // 2)::BIGINT AS anc, 1 AS dist
+        |  FROM documents WHERE doc_id >= 1
+        |  UNION ALL
+        |  SELECT node, (anc // 2)::BIGINT, dist + 1 FROM r WHERE anc >= 1)
+        |SELECT anc AS node, COUNT(*)::BIGINT AS n_desc
+        |FROM r GROUP BY anc ORDER BY node""".stripMargin,
 
     // The literal WITH RECURSIVE chain walk the engine's pointer
     // doubling must reproduce.

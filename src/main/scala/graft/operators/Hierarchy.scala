@@ -53,4 +53,60 @@ object Hierarchy {
     }
     state.select(col("node"), col("anc").as("root"), col("depth"))
   }
+
+  /** Full transitive ANCESTOR closure — every (node, ancestor, dist)
+    * pair — by closure doubling: each round joins the closure with
+    * itself ((n, a, d₁) ⋈ (a, b, d₂) → (n, b, d₁+d₂)) and keeps the
+    * MIN distance per pair, so a depth-d hierarchy closes in O(log d)
+    * rounds with at most n·d rows ever materialized (document the d
+    * factor before running this on deep chains — for tree-shaped data
+    * d is the tree height). Works on DAGs and even cyclic graphs as
+    * min-distance reachability (the min aggregate makes the fixpoint
+    * well-defined); self-edges are dropped from the seed. Fixpoint =
+    * no new pairs; `maxIters` bounds the rounds (throw, never a
+    * silently partial closure).
+    */
+  def ancestorClosure(edges: DataFrame, childCol: String, parentCol: String,
+                      maxIters: Int = 30): DataFrame = {
+    var closure = edges
+      .select(col(childCol).cast("long").as("node"),
+        col(parentCol).cast("long").as("anc"))
+      .filter(col("node") =!= col("anc"))
+      .withColumn("dist", lit(1L))
+      .localCheckpoint(false)
+    var prev = -1L
+    var n = closure.count()
+    var iters = 0
+    while (n != prev) {
+      if (iters >= maxIters)
+        throw new IllegalStateException(
+          s"closure did not stabilize in $maxIters doubling rounds")
+      val x = closure.select(col("node"), col("anc").as("__mid"),
+        col("dist").as("__d1"))
+      val y = closure.select(col("node").as("__mid"), col("anc").as("__anc"),
+        col("dist").as("__d2"))
+      val jumped = x.join(y, Seq("__mid"))
+        .select(col("node"), col("__anc").as("anc"),
+          (col("__d1") + col("__d2")).as("dist"))
+      closure = closure.unionByName(jumped)
+        .groupBy(col("node"), col("anc"))
+        .agg(min(col("dist")).as("dist"))
+        .localCheckpoint(false)
+      prev = n
+      n = closure.count()
+      iters += 1
+    }
+    closure
+  }
+
+  /** Proper-descendant counts per node (nodes with zero descendants are
+    * absent — left-join against the node list to zero-fill), from
+    * [[ancestorClosure]]: one map-side-combinable count over the
+    * closure. The "subtree size" rollup of org/category/BOM analytics.
+    */
+  def subtreeSizes(edges: DataFrame, childCol: String,
+                   parentCol: String): DataFrame =
+    ancestorClosure(edges, childCol, parentCol)
+      .groupBy(col("anc").as("node"))
+      .agg(count(lit(1)).as("n_desc"))
 }

@@ -44,6 +44,27 @@ class HierarchySpec extends SparkSpec {
     }
   }
 
+  test("ancestorClosure: every (node, ancestor, dist) pair on a hand-built tree") {
+    import spark.implicits._
+    // 1 <- 2 <- {3, 4}; 3 <- 5
+    val edges = Seq((1L, 1L), (2L, 1L), (3L, 2L), (4L, 2L), (5L, 3L))
+      .toDF("c", "p")
+    val got = Hierarchy.ancestorClosure(edges, "c", "p")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set(
+      (2L, 1L, 1L), (3L, 2L, 1L), (4L, 2L, 1L), (5L, 3L, 1L),
+      (3L, 1L, 2L), (4L, 1L, 2L), (5L, 2L, 2L), (5L, 1L, 3L)), s"got $got")
+  }
+
+  test("subtreeSizes: proper-descendant counts, leaves absent") {
+    import spark.implicits._
+    val edges = Seq((1L, 1L), (2L, 1L), (3L, 2L), (4L, 2L), (5L, 3L))
+      .toDF("c", "p")
+    val got = Hierarchy.subtreeSizes(edges, "c", "p")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == Map(1L -> 4L, 2L -> 3L, 3L -> 1L), s"got $got")
+  }
+
   implicit private class Tup3Ops(rows: Array[(Long, Long, Long)]) {
     def toMap2: Map[Long, (Long, Long)] =
       rows.map(t => t._1 -> ((t._2, t._3))).toMap
