@@ -795,6 +795,32 @@ object Profile {
         dprobe(mkImages(10, flatShare = true)))
     }
 
+    if (on("tree")) {
+      // Hierarchy closure probes: 10× nodes as a FOREST of ten heap
+      // trees (same height — the realistic multi-tenant shape), so
+      // doubling rounds stay constant and wall must stay ~linear in
+      // nodes / closure rows.
+      import graft.operators.Hierarchy
+      def mkTree(n: Int): DataFrame =
+        (0 until n).map(i =>
+            docs.select(($"doc_id" + lit(i.toLong * 1000000L)).as("doc_id")))
+          .reduce(_ unionByName _).repartition(32)
+          .select($"doc_id",
+            when($"doc_id" % 1000000L === 0, $"doc_id")
+              .otherwise(($"doc_id" % 1000000L) / 2
+                + ($"doc_id" - $"doc_id" % 1000000L)).cast("long").as("parent"))
+      def rprobe(d: DataFrame) =
+        Hierarchy.rootAndDepth(d, "doc_id", "parent")
+          .agg(sum($"depth"), count(lit(1))).collect()
+      def cprobe(d: DataFrame) =
+        Hierarchy.ancestorClosure(d, "doc_id", "parent")
+          .agg(sum($"dist"), count(lit(1))).collect()
+      time("TREE rootAndDepth 1x")(rprobe(mkTree(1)))
+      time("TREE rootAndDepth 10x")(rprobe(mkTree(10)))
+      time("TREE ancestorClosure 1x")(cprobe(mkTree(1)))
+      time("TREE ancestorClosure 10x")(cprobe(mkTree(10)))
+    }
+
     spark.stop()
   }
 }

@@ -209,6 +209,15 @@ class PlanShapeSpec extends SparkSpec {
       "top-100 must be a partial top-k")
   }
 
+  test("hierarchy queries: no cartesian, no window — equi-joins and aggregates only") {
+    for (q <- Seq("q_tree_closure", "q_subtree_sizes")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"), s"$q plans a cartesian:\n$p")
+      assert(!p.contains("Window"), s"$q must stay window-free:\n$p")
+    }
+  }
+
   test("media pair queries: no cartesian, no window — capped bucket joins only") {
     for (q <- Seq("q_video_dedup", "q_audio_dedup", "q_image_dedup",
         "q_dhash_neardup")) {
