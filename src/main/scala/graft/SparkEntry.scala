@@ -9547,6 +9547,48 @@ object SparkEntry {
         .orderBy($"id_a", $"id_b")
     }),
 
+    // dHash tuning sweep (Multimodal.dhashSweep): the hamming histogram
+    // to 7 bits (8×8-bit bands — pigeonhole-complete at that threshold)
+    // with running kept-counts — the data-driven threshold picker, same
+    // discipline as q_neardup_sweep for text. Same fixture as
+    // q_dhash_neardup; the oracle histograms the full unbanded pairwise
+    // hamming, proving 8-band recall to 7.
+    "q_dhash_sweep" -> ((s, dir) => {
+      import s.implicits._
+      def md5hex(str: String): String =
+        graft.expressions.Md5Kernel
+          .digest(str.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      def h60(str: String): Long =
+        java.lang.Long.parseLong(md5hex(str).substring(0, 15), 16)
+      val withBin = t(s, dir, "documents").select($"doc_id").as[Long]
+        .map { id =>
+          val py = (h60(id + ":py") % 8).toInt
+          val px0 = (h60(id + ":px") % 9).toInt
+          val px = new Array[Byte](9 * 8 * 3)
+          var y = 0
+          while (y < 8) {
+            var x = 0
+            while (x < 9) {
+              val seed =
+                (if (y == py && x == px0) id + ":p:" else (id % 50) + "gd:") +
+                  y + ":" + x
+              val hex = md5hex(seed)
+              var c = 0
+              while (c < 3) {
+                px((y * 9 + x) * 3 + c) =
+                  Integer.parseInt(hex.substring(c * 2, c * 2 + 2), 16).toByte
+                c += 1
+              }
+              x += 1
+            }
+            y += 1
+          }
+          (id, Multimodal.Ppm.encode(Multimodal.Ppm.Image(9, 8, 255, px)))
+        }.toDF("doc_id", "bin")
+      Multimodal.dhashSweep(withBin, "doc_id", "bin")
+        .orderBy($"hamming")
+    }),
+
     // NSW-style graph-ANN beam search (Ann.graphBeamSearch, Malkov et
     // al. 2014): greedy best-first over the knnJoin neighbor graph —
     // the graph-based ANN family beside IVF/PQ/SQ/BQ/MRL. Search
@@ -10615,6 +10657,50 @@ object SparkEntry {
         |FROM h a JOIN h b ON a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.h, b.h)) <= 3
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // Same hash replay, full unbanded pairwise hamming histogrammed with
+    // the running kept-count.
+    "q_dhash_sweep" ->
+      """WITH px AS (
+        |  SELECT doc_id, y, x,
+        |    CASE WHEN y = ('0x'||substr(md5(doc_id::VARCHAR||':py'),1,15))::BIGINT % 8
+        |          AND x = ('0x'||substr(md5(doc_id::VARCHAR||':px'),1,15))::BIGINT % 9
+        |         THEN doc_id::VARCHAR || ':p:' || y || ':' || x
+        |         ELSE (doc_id % 50)::VARCHAR || 'gd:' || y || ':' || x
+        |    END AS seed
+        |  FROM documents,
+        |       (SELECT unnest(generate_series(0, 7)) AS y),
+        |       (SELECT unnest(generate_series(0, 8)) AS x)),
+        |lm AS MATERIALIZED (
+        |  SELECT doc_id, y, x,
+        |    299 * ('0x'||substr(md5(seed), 1, 2))::BIGINT
+        |      + 587 * ('0x'||substr(md5(seed), 3, 2))::BIGINT
+        |      + 114 * ('0x'||substr(md5(seed), 5, 2))::BIGINT AS l
+        |  FROM px),
+        |bits AS (
+        |  SELECT a.doc_id, a.y, a.x,
+        |    CASE WHEN a.l < b.l THEN 1 ELSE 0 END AS bit
+        |  FROM lm a JOIN lm b
+        |    ON a.doc_id = b.doc_id AND a.y = b.y AND b.x = a.x + 1
+        |  WHERE a.x < 8),
+        |h AS MATERIALIZED (
+        |  SELECT doc_id,
+        |    CAST(CASE WHEN hb >= 9223372036854775808::HUGEINT
+        |              THEN hb - 18446744073709551616::HUGEINT ELSE hb END
+        |      AS BIGINT) AS h
+        |  FROM (
+        |    SELECT doc_id,
+        |      SUM(CASE WHEN bit = 1
+        |          THEN (1::HUGEINT << (63 - (y * 8 + x))) ELSE 0::HUGEINT END)
+        |        AS hb
+        |    FROM bits GROUP BY doc_id)),
+        |hm AS (
+        |  SELECT bit_count(xor(a.h, b.h))::INT AS hamming
+        |  FROM h a JOIN h b ON a.doc_id < b.doc_id
+        |  WHERE bit_count(xor(a.h, b.h)) <= 7)
+        |SELECT hamming, COUNT(*)::BIGINT AS n_pairs,
+        |  SUM(COUNT(*)) OVER (ORDER BY hamming)::BIGINT AS n_kept_at_h
+        |FROM hm GROUP BY hamming ORDER BY hamming""".stripMargin,
 
     // knnJoin edge chain (the q_knn_join oracle at k=4), then the beam
     // walk unrolled: per hop, frontier out-neighbors minus visited,

@@ -641,17 +641,21 @@ object Multimodal {
     * (id_a, id_b, hamming).
     */
   def dhashNearDups(df: DataFrame, idCol: String, binCol: String,
-                    maxHamming: Int = 3,
+                    maxHamming: Int = 3, bands: Int = 4,
                     maxBucket: Int = Dedup.DefaultMaxBucket): DataFrame = {
-    require(maxHamming >= 0 && maxHamming <= 3,
-      s"4-band candidates guarantee recall only for maxHamming <= 3, " +
-        s"got $maxHamming (raise the band count to go looser)")
+    require(bands >= 1 && 64 % bands == 0,
+      s"bands must divide 64, got $bands")
+    require(maxHamming >= 0 && maxHamming < bands,
+      s"$bands-band candidates guarantee recall only for maxHamming <= " +
+        s"${bands - 1}, got $maxHamming (raise the band count to go looser)")
+    val width = 64 / bands
+    val mask = if (width == 64) -1L else (1L << width) - 1
     val hashes = dhashed(df.select(col(idCol), col(binCol)), binCol)
       .select(col(idCol), col("dh.dhash").as("__h"))
       .localCheckpoint(false) // banding + both verify sides
     val banded = hashes.select(col(idCol),
-      posexplode(array((0 until 4).map(b =>
-        shiftright(col("__h"), 48 - 16 * b).bitwiseAND(lit(0xFFFFL))): _*))
+      posexplode(array((0 until bands).map(b =>
+        shiftright(col("__h"), 64 - width * (b + 1)).bitwiseAND(lit(mask))): _*))
         .as(Seq("band_idx", "bv")))
     val cands = Dedup.cappedPairsByKey(banded, idCol,
       Seq("band_idx", "bv"), maxBucket)
@@ -661,6 +665,25 @@ object Multimodal {
       .withColumn("hamming", bit_count(col("__ha").bitwiseXOR(col("__hb"))))
       .filter(col("hamming") <= maxHamming)
       .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
+  /** dHash threshold-tuning sweep — the perceptual sibling of
+    * `Dedup.nearDupThresholdSweep`: the hamming histogram of all pairs
+    * within `maxHamming` (8×8-bit bands by default — pigeonhole-complete
+    * to 7) with the running "pairs kept at threshold ≤ h" count; a
+    * bimodal histogram separates true re-encodes from band-collision
+    * noise, and the knee picks the production threshold from data. The
+    * histogram is ≤ maxHamming+1 rows whatever the corpus size, so the
+    * final running-sum window is driver-cheap.
+    */
+  def dhashSweep(df: DataFrame, idCol: String, binCol: String,
+                 maxHamming: Int = 7, bands: Int = 8,
+                 maxBucket: Int = Dedup.DefaultMaxBucket): DataFrame = {
+    val pairs = dhashNearDups(df, idCol, binCol, maxHamming, bands, maxBucket)
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("hamming"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    pairs.groupBy(col("hamming")).agg(count(lit(1)).as("n_pairs"))
+      .withColumn("n_kept_at_h", sum(col("n_pairs")).over(w))
   }
 
   private val audioSigSchema = StructType(Seq(
