@@ -222,6 +222,29 @@ object Streaming {
       .drop("__rk")
   }
 
+  /** LEFT OUTER [[joinWithin]]: same key + event-time range, but a left
+    * row with NO in-range right match is still emitted (right columns
+    * null) once the WATERMARK passes its match horizon — the
+    * "enrichment with timeout" shape (click ⋈ conversion: unconverted
+    * clicks must surface, not vanish). The null-padded row cannot be
+    * emitted before the watermark closes its window (a match might
+    * still arrive), so outer results trail the watermark delay —
+    * semantics spec-tested with a two-batch watermark advance.
+    */
+  def joinWithinOuter(left: DataFrame, right: DataFrame, key: String,
+                      leftTs: String, rightTs: String, within: String,
+                      watermark: String): DataFrame = {
+    val l = left.withWatermark(leftTs, watermark)
+    val r = right.withWatermark(rightTs, watermark)
+      .withColumnRenamed(key, "__rk")
+    l.join(r,
+      col(key) === col("__rk") &&
+        col(rightTs) >= col(leftTs) - expr(s"INTERVAL $within") &&
+        col(rightTs) <= col(leftTs),
+      "left_outer")
+      .drop("__rk")
+  }
+
   /** Continuous exact dedup: drop rows whose `keyCols` were already seen,
     * keeping state only within the watermark horizon
     * (`dropDuplicatesWithinWatermark` — state is evicted once the

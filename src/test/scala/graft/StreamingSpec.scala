@@ -230,6 +230,52 @@ class StreamingSpec extends SparkSpec {
     assert(got == Set(("e1", "c1"), ("e1", "c2"), ("e2", "c3")))
   }
 
+  test("joinWithinOuter: unmatched lefts emit null-padded AFTER the watermark closes their window") {
+    import spark.implicits._
+    def ts(min: Int) = new java.sql.Timestamp(10800000L + min * 60000L)
+    val ltmp = Files.createTempDirectory("graft_ssol_").toString
+    val rtmp = Files.createTempDirectory("graft_ssor_").toString
+    // left: e1 will match, e2 will not; right: one in-range click for e1.
+    // e2 sits at ts(9) — ABOVE the initial global watermark (min of the
+    // two sides = right's ts(8) − 1 min), so its outer window is still
+    // open after the first drain
+    Seq((1L, ts(10), "e1"), (2L, ts(9), "e2"))
+      .toDF("user_id", "ets", "error_id")
+      .coalesce(1).write.mode("overwrite").parquet(ltmp)
+    Seq((1L, ts(8), "c1")).toDF("user_id", "cts", "click_id")
+      .coalesce(1).write.mode("overwrite").parquet(rtmp)
+    val lSchema = spark.read.parquet(ltmp).schema
+    val rSchema = spark.read.parquet(rtmp).schema
+    val q = Streaming.joinWithinOuter(
+      spark.readStream.schema(lSchema).option("maxFilesPerTrigger", 1)
+        .parquet(ltmp),
+      spark.readStream.schema(rSchema).option("maxFilesPerTrigger", 1)
+        .parquet(rtmp),
+      "user_id", "ets", "cts", "10 MINUTES", "1 minute")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ssouter_out").start()
+    q.processAllAvailable()
+    def got() = spark.table("ssouter_out")
+      .select("error_id", "click_id").collect()
+      .map(r => (r.getString(0), Option(r.getString(1)))).toSet
+    // watermark has not advanced past e2's horizon yet: only the inner
+    // match may have emitted
+    assert(!got().contains(("e2", None)),
+      "unmatched left must NOT emit before its window closes")
+    // advance event time far past e2(6) + 10min + 1min delay on BOTH
+    // sides (the join watermark is the min of the two input watermarks)
+    Seq((9L, ts(120), "e_adv")).toDF("user_id", "ets", "error_id")
+      .coalesce(1).write.mode("append").parquet(ltmp)
+    Seq((9L, ts(120), "c_adv")).toDF("user_id", "cts", "click_id")
+      .coalesce(1).write.mode("append").parquet(rtmp)
+    q.processAllAvailable()
+    q.stop()
+    val res = got()
+    assert(res.contains(("e1", Some("c1"))), s"inner match missing: $res")
+    assert(res.contains(("e2", None)),
+      s"unmatched left must emit null-padded after the watermark: $res")
+  }
+
   test("dedupStream drops repeated keys across micro-batches (bounded state)") {
     import spark.implicits._
     def ts(min: Int) = new java.sql.Timestamp(7200000L + min * 60000L)
