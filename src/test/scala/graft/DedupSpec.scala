@@ -713,6 +713,30 @@ class DedupSpec extends SparkSpec {
     assert(dropped(capped) == dropped(uncapped))
   }
 
+  test("cappedPairsByKey: maxBucket = 1 routes EVERY bucket as stars; empty and singleton inputs yield no pairs") {
+    import spark.implicits._
+    val df = ((1L to 5L).map(i => ("A", i)) ++ Seq(("B", 9L))).toDF("k", "id")
+    // every >=2 bucket over the cap -> pure star routing to the min
+    val star = Dedup.cappedPairsByKey(df, "id", Seq("k"), maxBucket = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(star == (2L to 5L).map((1L, _)).toSet, s"got $star")
+    // singleton bucket and empty input contribute nothing
+    assert(Dedup.cappedPairsByKey(Seq(("X", 1L)).toDF("k", "id"),
+      "id", Seq("k"), maxBucket = 8).count() == 0)
+    assert(Dedup.cappedPairsByKey(Seq.empty[(String, Long)].toDF("k", "id"),
+      "id", Seq("k"), maxBucket = 8).count() == 0)
+  }
+
+  test("sharedSigPairs: minShared = 1 keeps single-key pairs and star pairs verify at their true counts") {
+    import spark.implicits._
+    val sigs = Seq((1L, 0, "x"), (2L, 0, "x"), (2L, 1, "y"), (3L, 1, "y"))
+      .toDF("id", "f", "s")
+    val got = Dedup.sharedSigPairs(sigs, "id", Seq("f", "s"),
+        minShared = 1, maxBucket = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((1L, 2L, 1L), (2L, 3L, 1L)), s"got $got")
+  }
+
   test("sharedSigPairs: a one-shared-key bumper stays below minShared in both modes, capped emits linear candidates") {
     import spark.implicits._
     // 500 distinct videos each containing the SAME intro frame plus
