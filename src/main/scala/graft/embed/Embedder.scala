@@ -22,6 +22,14 @@ trait Embedder extends Serializable {
   /** Called once per partition before any `embed` call (model load). */
   def open(): Unit = ()
 
+  /** Called once per partition after the last `embed` call — the hook
+    * for releasing native resources (ONNX sessions hold off-heap
+    * memory; a long-lived executor that never closes them leaks native
+    * buffers across jobs). Must be idempotent; pure-JVM embedders keep
+    * the default no-op.
+    */
+  def close(): Unit = ()
+
   def embed(text: String): Array[Float]
 
   /** Batched inference — the shape a real model session is fed (B texts
@@ -386,12 +394,29 @@ object Embed {
     val idx = df.schema.fieldIndex(textCol)
     df.mapPartitions { rows =>
       embedder.open()
-      rows.map { r =>
+      closeOnExhaustion(embedder, rows.map { r =>
         val text = if (r.isNullAt(idx)) "" else r.getString(idx)
         Row.fromSeq(r.toSeq :+ (embedder.embed(text).toSeq))
-      }
+      })
     }(Encoders.row(schema))
   }
+
+  /** Wrap a partition iterator so `embedder.close()` fires exactly once
+    * when the iterator is exhausted — the release half of the
+    * open-once-per-partition contract (native ONNX sessions must not
+    * outlive the partition).
+    */
+  private def closeOnExhaustion(embedder: Embedder,
+                                it: Iterator[Row]): Iterator[Row] =
+    new Iterator[Row] {
+      private var closed = false
+      override def hasNext: Boolean = {
+        val h = it.hasNext
+        if (!h && !closed) { closed = true; embedder.close() }
+        h
+      }
+      override def next(): Row = it.next()
+    }
 
   /** `withEmbedding` through the BATCHED inference path: rows are fed to
     * `embedder.embedBatch` in `batchSize` groups — the feeding pattern a
@@ -406,13 +431,13 @@ object Embed {
     val idx = df.schema.fieldIndex(textCol)
     df.mapPartitions { rows =>
       embedder.open()
-      rows.grouped(batchSize).flatMap { chunk =>
+      closeOnExhaustion(embedder, rows.grouped(batchSize).flatMap { chunk =>
         val texts = chunk.map(r => if (r.isNullAt(idx)) "" else r.getString(idx)).toArray
         val vecs = embedder.embedBatch(texts)
         chunk.iterator.zipWithIndex.map { case (r, i) =>
           Row.fromSeq(r.toSeq :+ vecs(i).toSeq)
         }
-      }
+      })
     }(Encoders.row(schema))
   }
 }

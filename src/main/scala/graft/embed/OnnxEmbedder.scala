@@ -57,7 +57,10 @@ object WordPieceTokenizer {
     val cur = new java.lang.StringBuilder
     def flush(): Unit = if (cur.length > 0) { out += cur.toString; cur.setLength(0) }
     var i = 0
-    val t = text.toLowerCase
+    // Locale.ROOT: BERT's lowercasing is locale-independent; the default-
+    // locale overload would turn 'I' into dotless 'ı' on a tr_TR JVM and
+    // silently change token ids.
+    val t = text.toLowerCase(java.util.Locale.ROOT)
     while (i < t.length) {
       val c = t.charAt(i)
       if (Character.isWhitespace(c)) flush()
@@ -180,17 +183,25 @@ final case class OnnxEmbedder(modelPath: String, vocabPath: String,
     val create = tensorClass.getMethod("createTensor",
       Class.forName("ai.onnxruntime.OrtEnvironment"),
       classOf[Object])
-    def tensor(a: Array[Array[Long]]): AnyRef =
-      create.invoke(null, env, a).asInstanceOf[AnyRef]
-    val inputs = new java.util.HashMap[String, AnyRef]()
-    inputs.put("input_ids", tensor(ids))
-    inputs.put("attention_mask", tensor(mask))
-    if (withTokenTypes)
-      inputs.put("token_type_ids", tensor(ids.map(_.map(_ => 0L))))
-    val result = session.getClass
-      .getMethod("run", classOf[java.util.Map[String, _]])
-      .invoke(session, inputs)
+    // OnnxTensor wraps NATIVE (off-heap) memory — every tensor created
+    // for a batch must be close()d or a corpus-scale job leaks native
+    // buffers until the executor dies. Track them all; release in finally.
+    val created = ArrayBuffer.empty[AnyRef]
+    def tensor(a: Array[Array[Long]]): AnyRef = {
+      val t = create.invoke(null, env, a).asInstanceOf[AnyRef]
+      created += t
+      t
+    }
+    var result: AnyRef = null
     try {
+      val inputs = new java.util.HashMap[String, AnyRef]()
+      inputs.put("input_ids", tensor(ids))
+      inputs.put("attention_mask", tensor(mask))
+      if (withTokenTypes)
+        inputs.put("token_type_ids", tensor(ids.map(_.map(_ => 0L))))
+      result = session.getClass
+        .getMethod("run", classOf[java.util.Map[String, _]])
+        .invoke(session, inputs)
       val first = result.getClass.getMethod("get", classOf[Int])
         .invoke(result, Integer.valueOf(0))
       val hidden = first.getClass.getMethod("getValue").invoke(first)
@@ -199,8 +210,19 @@ final case class OnnxEmbedder(modelPath: String, vocabPath: String,
         meanPoolNormalize(hidden(b), mask(b), dim)
       }
     } finally {
-      result.getClass.getMethod("close").invoke(result)
-      ()
+      if (result != null) result.getClass.getMethod("close").invoke(result)
+      created.foreach(t => t.getClass.getMethod("close").invoke(t))
+    }
+  }
+
+  /** Release the native session (idempotent). The OrtEnvironment is a
+    * process-wide singleton and is deliberately NOT closed — other
+    * partitions on the same executor share it.
+    */
+  override def close(): Unit = {
+    if (session != null) {
+      session.getClass.getMethod("close").invoke(session)
+      session = null
     }
   }
 

@@ -370,10 +370,25 @@ object Dedup {
     *
     * What the cap trades away (documented, same as LSH): a true pair
     * whose shared keys ALL sit in over-cap buckets and whose endpoints
-    * are both non-min is not examined; its members remain connected to
-    * each bucket's canonical min, which is the decision-preserving
-    * guarantee component-based dedup needs (DedupSpec pins it on a
-    * 1000×-shared-signature fixture).
+    * are both non-min is not examined directly; connectivity is carried
+    * by the star pairs to each bucket's min — PROVIDED those star pairs
+    * themselves verify at ≥ `minShared`. Two sub-cases:
+    *   - coinciding min: every over-cap bucket the pair shares has the
+    *     SAME min m. Each endpoint then shares ≥ minShared keys with m,
+    *     both star pairs survive the verify, and component decisions
+    *     match the uncapped run (DedupSpec pins this on a
+    *     1000×-shared-signature fixture).
+    *   - different mins: the shared keys sit in over-cap buckets whose
+    *     mins DIFFER, and an endpoint shares < minShared keys with each
+    *     individual min. Those star pairs fail the verify and the pair's
+    *     component can split relative to the uncapped run. This is a
+    *     deliberate precision-first trade-off: the alternative — keeping
+    *     sub-threshold star pairs for connectivity — would let one
+    *     corpus-wide boilerplate key (a station jingle, a black frame)
+    *     fuse every item that touches it into a single component at
+    *     n_shared = 1, which is catastrophically worse than a rare
+    *     split. DedupSpec pins the divergence on a different-min
+    *     fixture so the boundary is test-documented.
     */
   def sharedSigPairs(sigs: DataFrame, idCol: String, keyCols: Seq[String],
                      minShared: Int = 2,

@@ -184,12 +184,14 @@ object Mining {
         val small = cc.join(hot, Seq("__blk"), "left_anti")
           .withColumn("__capped", lit(false))
         // k-bounded per-block selection of the maxBlock smallest ids:
-        // score = -id under the (score desc, id asc) order of the
-        // aggregator ⇒ ascending id; partial buffers stay ≤ maxBlock per
-        // (partition, block) — no full-block sort lands on one reducer
+        // score is a CONSTANT, so the aggregator's exact Long id-asc
+        // tie-break does the whole selection — precision-safe for any
+        // id range (a -id-as-double score would collide above 2^53);
+        // partial buffers stay ≤ maxBlock per (partition, block) — no
+        // full-block sort lands on one reducer
         val keep = TopK.topKPerKeyAgg(
             cc.join(hot, Seq("__blk"), "left_semi"),
-            Seq(col("__blk")), -col("__cid").cast("double"), col("__cid"),
+            Seq(col("__blk")), lit(0.0), col("__cid"),
             maxBlock)
           .select(col("__blk"), col("id").as("__cid"))
         val trimmedFull = cc.join(keep, Seq("__blk", "__cid"), "left_semi")

@@ -876,7 +876,25 @@ object Streaming {
           if (parts.isEmpty)
             sigs.select((col("__id").as("__vid") +: sigCols.map(col)): _*)
               .limit(0)
-          else spark.read.parquet(parts.toIndexedSeq: _*)
+          else {
+            val st = spark.read.parquet(parts.toIndexedSeq: _*)
+            // loud, actionable failure on a store written by an older
+            // signature schema (e.g. the pre-round-6 frame store had only
+            // (__f, __s0..__s2) from rounded float means) — an
+            // AnalysisException deep inside the probe join would be
+            // undiagnosable from a streaming driver log
+            val want = "__vid" +: sigCols
+            val missing = want.filterNot(st.columns.contains)
+            if (missing.nonEmpty)
+              throw new IllegalStateException(
+                s"incompatible signature store at $storePath: existing " +
+                  s"partitions lack column(s) ${missing.mkString(", ")} " +
+                  s"(expected schema: ${want.mkString(", ")}). The store " +
+                  "format changed; point storePath at a fresh directory " +
+                  "and re-ingest — old signatures cannot be migrated " +
+                  "(they were computed by a different kernel).")
+            st
+          }
         // ≥ minShared sampled frames shared with ONE stored video →
         // near-dup (grouped by the store-side id, never pooled)
         val storeHits = sigs.join(store, sigCols)

@@ -713,6 +713,34 @@ class DedupSpec extends SparkSpec {
     assert(dropped(capped) == dropped(uncapped))
   }
 
+  test("sharedSigPairs: DOCUMENTED boundary — different-min over-cap buckets can split a component the uncapped run joins") {
+    import spark.implicits._
+    // x=5000, y=5001 share exactly 2 keys, BOTH sitting in over-cap
+    // buckets whose mins DIFFER (100 and 2000) — and both x,y are
+    // NON-MIN in each bucket. Every other member carries only its own
+    // bucket's key, so each star pair (min, x) verifies at true count
+    // 1 < minShared and is filtered (precision-first: keeping it would
+    // fuse every member of a boilerplate bucket at n_shared = 1).
+    // The uncapped run reports (5000, 5001, 2); the capped run reports
+    // nothing — the trade-off the scaladoc documents, pinned here.
+    val h1 = (100L until 1100L).map(i => (i, 0, "h1"))
+    val h2 = (2000L until 3000L).map(i => (i, 1, "h2"))
+    val xy = Seq((5000L, 0, "h1"), (5000L, 1, "h2"),
+      (5001L, 0, "h1"), (5001L, 1, "h2"))
+    val sigs = (h1 ++ h2 ++ xy).toDF("id", "f", "s")
+    val uncapped = Dedup.sharedSigPairs(sigs, "id", Seq("f", "s"),
+      minShared = 2, maxBucket = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(uncapped == Set((5000L, 5001L, 2L)),
+      s"uncapped must find the organic pair, got $uncapped")
+    val capped = Dedup.sharedSigPairs(sigs, "id", Seq("f", "s"),
+      minShared = 2, maxBucket = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(capped.isEmpty,
+      s"different-min star pairs verify below minShared and are " +
+        s"(deliberately) filtered, got $capped")
+  }
+
   test("cappedPairsByKey: maxBucket = 1 routes EVERY bucket as stars; empty and singleton inputs yield no pairs") {
     import spark.implicits._
     val df = ((1L to 5L).map(i => ("A", i)) ++ Seq(("B", 9L))).toDF("k", "id")

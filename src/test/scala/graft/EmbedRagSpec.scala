@@ -31,6 +31,27 @@ class EmbedRagSpec extends SparkSpec {
       HashingEmbedder(16).embed("alpha beta").toSeq)
   }
 
+  test("Embedder.close() fires exactly once per non-empty partition, after the last row (native-session release contract)") {
+    import spark.implicits._
+    LifecycleCounters.reset()
+    val df = (1L to 40L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+      .repartition(4)
+    Embed.withEmbedding(df, "text", "embedding", CountingEmbedder(8))
+      .count()
+    // local[32] shares one JVM, so the object counters see all "executors"
+    assert(LifecycleCounters.opens.get() == 4,
+      s"open per partition, got ${LifecycleCounters.opens.get()}")
+    assert(LifecycleCounters.closes.get() == 4,
+      s"close per partition, got ${LifecycleCounters.closes.get()}")
+    LifecycleCounters.reset()
+    Embed.withEmbeddingBatched(df, "text", "embedding", CountingEmbedder(8), 7)
+      .count()
+    assert(LifecycleCounters.closes.get() == 4,
+      s"batched path must close too, got ${LifecycleCounters.closes.get()}")
+    assert(LifecycleCounters.outOfOrder.get() == 0,
+      "no embed call may arrive after close")
+  }
+
   test("QuantizedMlpEmbedder: deterministic int8 forward pass, unit norm, batch == single") {
     import graft.embed.QuantizedMlpEmbedder
     val m = QuantizedMlpEmbedder()
@@ -221,5 +242,32 @@ class EmbedRagSpec extends SparkSpec {
     assert(prompt.contains("Context:") && prompt.contains("Question: where do vectors live"))
     assert(prompt.contains("vectors live in shards"),
       "top chunk for the question should come from doc 1")
+  }
+}
+
+/** JVM-wide lifecycle counters — valid because local[*] tests share one
+  * JVM across all "executor" threads.
+  */
+object LifecycleCounters {
+  val opens = new java.util.concurrent.atomic.AtomicInteger(0)
+  val closes = new java.util.concurrent.atomic.AtomicInteger(0)
+  val outOfOrder = new java.util.concurrent.atomic.AtomicInteger(0)
+  def reset(): Unit = { opens.set(0); closes.set(0); outOfOrder.set(0) }
+}
+
+/** Embedder instrumented to verify the open → embed… → close partition
+  * lifecycle `Embed.withEmbedding*` promises native-session embedders.
+  */
+final case class CountingEmbedder(dim: Int) extends graft.embed.Embedder {
+  @transient private var closedHere = false
+  override def open(): Unit = { LifecycleCounters.opens.incrementAndGet(); () }
+  override def close(): Unit = {
+    closedHere = true
+    LifecycleCounters.closes.incrementAndGet()
+    ()
+  }
+  override def embed(text: String): Array[Float] = {
+    if (closedHere) LifecycleCounters.outOfOrder.incrementAndGet()
+    new Array[Float](dim)
   }
 }

@@ -177,6 +177,25 @@ class MiningSpec extends SparkSpec {
     assert(uncapped(1L) == ((999L, false)), "uncapped finds the true best")
   }
 
+  test("blockedBestMatch: hot-block truncation is exact for ids above 2^53 (no double collision)") {
+    import spark.implicits._
+    // consecutive ids at 2^53 are indistinguishable as doubles — a
+    // -id-as-double ranking would select nondeterministically here; the
+    // constant-score + exact-Long-tie-break selection must keep exactly
+    // the maxBlock smallest ids
+    val base = 1L << 53
+    val dirty = Seq((1L, "john smith", "smith")).toDF("id", "name", "blk")
+    val cands = (0L until 40L).map(i => (base + i, "john smith", "smith"))
+      .toDF("id", "name", "blk")
+    val got = Mining.blockedBestMatch(dirty, "id", "name",
+        cands, "id", "name", "blk", minScore = 0.9, maxBlock = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(3)))
+      .toMap2
+    // all candidates score 1.0, so argmax ties to the smallest KEPT id;
+    // kept must be exactly base..base+15, hence best = base
+    assert(got(1L) == ((base, true)), s"got ${got(1L)}")
+  }
+
   implicit private class Tup3Ops(rows: Array[(Long, Long, Boolean)]) {
     def toMap2: Map[Long, (Long, Boolean)] =
       rows.map(t => t._1 -> ((t._2, t._3))).toMap

@@ -18,6 +18,16 @@ class OnnxEmbedderSpec extends AnyFunSuite {
     assert(W.basicTokens("").isEmpty && W.basicTokens("   ").isEmpty)
   }
 
+  test("basicTokens: lowercasing is locale-independent (tr_TR dotless-i trap)") {
+    val prev = java.util.Locale.getDefault
+    try {
+      java.util.Locale.setDefault(new java.util.Locale("tr", "TR"))
+      // default-locale toLowerCase would yield dotless 'ı' here,
+      // changing token ids vs every other deployment
+      assert(W.basicTokens("I LIKE IT").toSeq == Seq("i", "like", "it"))
+    } finally java.util.Locale.setDefault(prev)
+  }
+
   test("wordPieces: greedy LONGEST match with ## continuations") {
     // "unaffable": un + ##affable (greedy takes the longest continuation,
     // not ##aff + ##able)
