@@ -9348,6 +9348,104 @@ object SparkEntry {
         .orderBy($"id_a", $"id_b")
     }),
 
+    // Segment-GATED audio near-dup (Multimodal.activeAudioSigPairs):
+    // the audioEnergySegments gate composed INTO candidate generation —
+    // only windows inside active runs of ≥ minSegWindows reach the pair
+    // engine, so corpus-wide silence (every clip's zero-PCM window w is
+    // an IDENTICAL signature — audio's worst boilerplate bucket) never
+    // generates candidates, and isolated one-window blips are excluded
+    // with it. Fixture = q_audio_dedup's group-seeded layout with every
+    // w%4==3 window zeroed to silence: the silent windows would
+    // otherwise both inflate n_shared corpus-wide and form a giant
+    // bucket; gating drops them and the isolated w=4 window (nw=5
+    // clips) behind them.
+    "q_audio_dedup_gated" -> ((s, dir) => {
+      import s.implicits._
+      def md5hex(str: String): String =
+        graft.expressions.Md5Kernel
+          .digest(str.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      def h60(str: String): Long =
+        java.lang.Long.parseLong(md5hex(str).substring(0, 15), 16)
+      val withBin = t(s, dir, "documents").select($"doc_id").as[Long]
+        .map { id =>
+          val nw = (2 + h60(id + ":nw") % 5).toInt
+          val samples = new Array[Short](16 * nw)
+          var w = 0
+          while (w < nw) {
+            if (w % 4 != 3) { // w%4==3 stays all-zero: silence
+              val seed = if (w % 2 == 0) (id % 50) + "ga:" + w
+                else id + ":aw:" + w
+              val hex = Array(md5hex(seed + ":0"), md5hex(seed + ":1"))
+              var j = 0
+              while (j < 16) {
+                val bi = 2 * j
+                def byteAt(k: Int): Int = Integer.parseInt(
+                  hex(k / 16).substring((k % 16) * 2, (k % 16) * 2 + 2), 16)
+                samples(16 * w + j) = ((byteAt(bi + 1) << 8) | byteAt(bi)).toShort
+                j += 1
+              }
+            }
+            w += 1
+          }
+          (id, Multimodal.Wav.encode(Multimodal.Wav.Audio(8000, 1, samples)))
+        }.toDF("doc_id", "bin")
+      Multimodal.activeAudioSigPairs(withBin, "doc_id", "bin",
+          winSize = 16, minAbsSum = 1L, minSegWindows = 2, minShared = 2)
+        .orderBy($"id_a", $"id_b")
+    }),
+
+    // Shot-level end-to-end video dedup (Multimodal.shotSigPairs →
+    // connectedComponents → keep-representative): the re-cut-robust
+    // twin of q_video_dedup_e2e — shots match by CONTENT (n_frames +
+    // exact channel sums over the shot), with no positional key, so a
+    // video whose shared shots sit behind a doc-unique inserted prefix
+    // still pairs where index-aligned frame matching finds nothing.
+    // Fixture: 2..4 shots of 3 identical frames each; each doc opens
+    // with (doc_id % 3) unique prefix shots, then up to two
+    // GROUP-seeded shots — group members carry the same shot contents
+    // at DIFFERENT shot positions. The oracle replays frame sums, shot
+    // detection, per-shot content rollup, the distinct-shared-shot pair
+    // join, recursive-CTE closure and keep-min.
+    "q_shot_dedup_e2e" -> ((s, dir) => {
+      import s.implicits._
+      def md5hex(str: String): String =
+        graft.expressions.Md5Kernel
+          .digest(str.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      def h60(str: String): Long =
+        java.lang.Long.parseLong(md5hex(str).substring(0, 15), 16)
+      val withBin = t(s, dir, "documents").select($"doc_id").as[Long]
+        .map { id =>
+          val nsh = (2 + h60(id + ":nsd") % 3).toInt
+          val pre = (id % 3).toInt
+          val frames = (0 until nsh * 3).map { f =>
+            val sIdx = f / 3
+            val key = if (sIdx >= pre && sIdx - pre < 2)
+              (id % 50) + "gs:" + (sIdx - pre)
+            else id + ":pd:" + sIdx
+            val px = new Array[Byte](48)
+            var block = -1
+            var hex = ""
+            var j = 0
+            while (j < 48) {
+              if (j / 16 != block) { block = j / 16; hex = md5hex(key + ":" + block) }
+              px(j) = Integer.parseInt(
+                hex.substring((j % 16) * 2, (j % 16) * 2 + 2), 16).toByte
+              j += 1
+            }
+            Multimodal.Ppm.Image(4, 4, 255, px)
+          }
+          (id, Multimodal.Video.encode(frames))
+        }.toDF("doc_id", "bin")
+      val pairs = Multimodal.shotSigPairs(withBin, "doc_id", "bin",
+          threshold = 100L, minShared = 2)
+        .select($"id_a", $"id_b")
+      val comp = Dedup.connectedComponents(pairs, "id_a", "id_b")
+      withBin.select($"doc_id")
+        .join(comp.filter($"node" =!= $"comp").select($"node".as("doc_id")),
+          Seq("doc_id"), "left_anti")
+        .orderBy($"doc_id")
+    }),
+
     // Recursive hierarchy closure (Hierarchy.rootAndDepth) — the
     // WITH RECURSIVE ancestor-expansion surface Spark SQL lacks,
     // expressed as pointer DOUBLING: O(log depth) rounds instead of one
@@ -10477,6 +10575,126 @@ object SparkEntry {
         |  AND a.doc_id < b.doc_id
         |GROUP BY 1, 2 HAVING COUNT(*) >= 2
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // The q_audio_dedup window replay with w%4==3 silenced, then the
+    // gaps-and-islands active gate (runs of >= 2 windows with
+    // wabs >= 1) BEFORE the pair self-join — silence and isolated
+    // blips never become candidates.
+    "q_audio_dedup_gated" ->
+      """WITH nw AS (
+        |  SELECT doc_id,
+        |    CAST(2 + ('0x'||substr(md5(doc_id::VARCHAR || ':nw'), 1, 15))::BIGINT % 5
+        |      AS INT) AS nw
+        |  FROM documents),
+        |wd AS (
+        |  SELECT doc_id, w,
+        |    CASE WHEN w % 2 = 0 THEN (doc_id % 50)::VARCHAR || 'ga:' || w
+        |         ELSE doc_id::VARCHAR || ':aw:' || w END AS seed
+        |  FROM (SELECT doc_id, unnest(generate_series(0, nw - 1)) AS w FROM nw)
+        |  WHERE w % 4 <> 3),
+        |sm AS MATERIALIZED (
+        |  SELECT doc_id, w, j,
+        |    ('0x'||substr(md5(seed || ':' || (2*j // 16)),
+        |      ((2*j) % 16) * 2 + 1, 2))::INT AS b0,
+        |    ('0x'||substr(md5(seed || ':' || ((2*j+1) // 16)),
+        |      ((2*j+1) % 16) * 2 + 1, 2))::INT AS b1
+        |  FROM (SELECT doc_id, w, seed, unnest(generate_series(0, 15)) AS j
+        |        FROM wd)),
+        |v AS (
+        |  SELECT doc_id, w,
+        |    CASE WHEN b1 * 256 + b0 >= 32768 THEN b1 * 256 + b0 - 65536
+        |         ELSE b1 * 256 + b0 END AS s
+        |  FROM sm),
+        |sg AS (
+        |  SELECT doc_id, w, SUM(s)::BIGINT AS wsum, SUM(ABS(s))::BIGINT AS wabs
+        |  FROM v GROUP BY doc_id, w),
+        |act AS (
+        |  SELECT doc_id, w, wsum, wabs,
+        |    w - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY w) AS grp
+        |  FROM sg WHERE wabs >= 1),
+        |gated AS (
+        |  SELECT doc_id, w, wsum, wabs FROM (
+        |    SELECT doc_id, w, wsum, wabs,
+        |      COUNT(*) OVER (PARTITION BY doc_id, grp) AS segn
+        |    FROM act)
+        |  WHERE segn >= 2)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*)::BIGINT AS n_shared
+        |FROM gated a JOIN gated b
+        |  ON a.w = b.w AND a.wsum = b.wsum AND a.wabs = b.wabs
+        |  AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2 HAVING COUNT(*) >= 2
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // Frame sums from the prefix-shifted shot fixture, the q_shot_detect
+    // lag-cut replay, per-shot CONTENT rollup (n_frames + channel-sum
+    // totals, no position), DISTINCT shot contents per video, the
+    // >= 2 distinct-shared-shot pair join, then transitive closure +
+    // keep-min — the full shot-level dedup decision set.
+    "q_shot_dedup_e2e" ->
+      """WITH RECURSIVE nn AS (
+        |  SELECT doc_id,
+        |    CAST(2 + ('0x'||substr(md5(doc_id::VARCHAR || ':nsd'), 1, 15))::BIGINT % 3
+        |      AS INT) AS nsh,
+        |    (doc_id % 3)::INT AS pre
+        |  FROM documents),
+        |fr AS (
+        |  SELECT doc_id, pre, unnest(generate_series(0, nsh * 3 - 1)) AS f
+        |  FROM nn),
+        |ky AS (
+        |  SELECT doc_id, f,
+        |    CASE WHEN (f // 3) >= pre AND (f // 3) - pre < 2
+        |         THEN (doc_id % 50)::VARCHAR || 'gs:' || ((f // 3) - pre)
+        |         ELSE doc_id::VARCHAR || ':pd:' || (f // 3) END AS key
+        |  FROM fr),
+        |px AS MATERIALIZED (
+        |  SELECT doc_id, f, j,
+        |    ('0x'||substr(md5(key || ':' || (j // 16)),
+        |      (j % 16) * 2 + 1, 2))::INT AS b
+        |  FROM (SELECT doc_id, f, key, unnest(generate_series(0, 47)) AS j
+        |        FROM ky)),
+        |ch AS (
+        |  SELECT doc_id, f,
+        |    SUM(CASE WHEN j % 3 = 0 THEN b ELSE 0 END)::BIGINT AS s0,
+        |    SUM(CASE WHEN j % 3 = 1 THEN b ELSE 0 END)::BIGINT AS s1,
+        |    SUM(CASE WHEN j % 3 = 2 THEN b ELSE 0 END)::BIGINT AS s2
+        |  FROM px GROUP BY doc_id, f),
+        |d AS (
+        |  SELECT doc_id, f, s0, s1, s2,
+        |    lag(s0) OVER w AS p0, lag(s1) OVER w AS p1, lag(s2) OVER w AS p2
+        |  FROM ch WINDOW w AS (PARTITION BY doc_id ORDER BY f)),
+        |c AS (
+        |  SELECT doc_id, f, s0, s1, s2,
+        |    CASE WHEN f = 0 THEN 1
+        |         WHEN abs(s0 - p0) + abs(s1 - p1) + abs(s2 - p2) > 100 THEN 1
+        |         ELSE 0 END AS cut
+        |  FROM d),
+        |sh AS (
+        |  SELECT doc_id, f, s0, s1, s2,
+        |    SUM(cut) OVER (PARTITION BY doc_id ORDER BY f) - 1 AS shot_idx
+        |  FROM c),
+        |sg AS (
+        |  SELECT DISTINCT doc_id, n_frames, t0, t1, t2 FROM (
+        |    SELECT doc_id, shot_idx, COUNT(*)::BIGINT AS n_frames,
+        |      SUM(s0)::BIGINT AS t0, SUM(s1)::BIGINT AS t1,
+        |      SUM(s2)::BIGINT AS t2
+        |    FROM sh GROUP BY doc_id, shot_idx)),
+        |pr AS (
+        |  SELECT a.doc_id AS da, b.doc_id AS db
+        |  FROM sg a JOIN sg b
+        |    ON a.n_frames = b.n_frames AND a.t0 = b.t0 AND a.t1 = b.t1
+        |    AND a.t2 = b.t2 AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |e AS (SELECT da AS a, db AS b FROM pr UNION SELECT db, da FROM pr),
+        |r AS (
+        |  SELECT a AS node, b AS reach FROM e
+        |  UNION
+        |  SELECT r.node, e.b FROM r JOIN e ON r.reach = e.a),
+        |lab AS (
+        |  SELECT node, LEAST(node, MIN(reach)) AS comp
+        |  FROM r GROUP BY node)
+        |SELECT doc_id FROM documents
+        |WHERE doc_id NOT IN (SELECT node FROM lab WHERE node <> comp)
+        |ORDER BY doc_id""".stripMargin,
 
     // The literal recursive ancestor chain, grouped by ancestor.
     "q_subtree_sizes" ->

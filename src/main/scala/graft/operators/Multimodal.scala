@@ -774,7 +774,20 @@ object Multimodal {
     */
   def videoShots(df: DataFrame, idCol: String, binCol: String,
                  threshold: Long = 100L,
-                 maxFrames: Int = 1024): DataFrame = {
+                 maxFrames: Int = 1024): DataFrame =
+    shotIndexedFrames(df, idCol, binCol, threshold, maxFrames)
+      .groupBy(col(idCol), col("shot_idx"))
+      .agg(min(col("__f")).as("start_frame"), max(col("__f")).as("end_frame"),
+        count(lit(1)).as("n_frames"))
+
+  /** Per-frame rows with their shot index — the shared detection stage
+    * behind [[videoShots]] (boundary rollup) and [[shotSignatures]]
+    * (content rollup): integer L1 lag distance over the exact channel
+    * sums opens a shot above `threshold`; running cut-sum numbers the
+    * shots. Two bounded per-VIDEO windows, state = frames-per-video.
+    */
+  private def shotIndexedFrames(df: DataFrame, idCol: String, binCol: String,
+                                threshold: Long, maxFrames: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(idCol)).orderBy(col("__f"))
     val cum = w.rowsBetween(
@@ -791,9 +804,48 @@ object Multimodal {
             abs(col("__s2") - lag(col("__s2"), 1).over(w)) > threshold,
             1L).otherwise(0L)))
       .withColumn("shot_idx", sum(col("__cut")).over(cum) - 1)
+  }
+
+  /** Shot-level CONTENT signatures: [[videoShots]] boundaries, each shot
+    * reduced to (n_frames, exact channel sums over ALL its frames) —
+    * deliberately NO positional component, so a re-cut video (shots
+    * re-ordered, a trimmed or inserted prefix) still matches
+    * shot-for-shot where index-aligned frame matching
+    * ([[frameSigPairs]] keys on frame_idx) loses every pair. One row
+    * per (video, shot): (id, shot_idx, n_frames, t0, t1, t2).
+    */
+  def shotSignatures(df: DataFrame, idCol: String, binCol: String,
+                     threshold: Long = 100L,
+                     maxFrames: Int = 1024): DataFrame =
+    shotIndexedFrames(df, idCol, binCol, threshold, maxFrames)
       .groupBy(col(idCol), col("shot_idx"))
-      .agg(min(col("__f")).as("start_frame"), max(col("__f")).as("end_frame"),
-        count(lit(1)).as("n_frames"))
+      .agg(count(lit(1)).as("n_frames"),
+        sum(col("__s0")).as("t0"), sum(col("__s1")).as("t1"),
+        sum(col("__s2")).as("t2"))
+
+  /** Shot-level video near-dup pairs: videos sharing ≥ `minShared`
+    * DISTINCT shot contents — [[shotSignatures]] into
+    * `Dedup.sharedSigPairs` keyed on (n_frames, t0, t1, t2) with NO
+    * shot index, the re-cut-robust twin of [[frameSigPairs]]: a video
+    * whose shared shots sit at different positions (platform intro
+    * inserted, opening trimmed) still pairs, because shots match by
+    * content alone. Within-video repeats collapse to one signature row
+    * first (sharedSigPairs needs (key, id) distinct; n_shared counts
+    * distinct shared shot contents, not occurrences). Same hot-bucket
+    * cap discipline: a corpus-wide shot (platform bumper) routes as
+    * linear star pairs, then true distinct-shot counts verify each
+    * candidate.
+    */
+  def shotSigPairs(df: DataFrame, idCol: String, binCol: String,
+                   threshold: Long = 100L, minShared: Int = 2,
+                   maxBucket: Int = Dedup.DefaultMaxBucket,
+                   maxFrames: Int = 1024): DataFrame = {
+    val sigs = shotSignatures(df, idCol, binCol, threshold, maxFrames)
+      .select(col(idCol), col("n_frames").as("__nf"), col("t0").as("__t0"),
+        col("t1").as("__t1"), col("t2").as("__t2"))
+      .distinct()
+    Dedup.sharedSigPairs(sigs, idCol, Seq("__nf", "__t0", "__t1", "__t2"),
+      minShared, maxBucket)
   }
 
   /** Audio near-dup pairs: clips sharing ≥ `minShared` window signatures
@@ -812,6 +864,44 @@ object Multimodal {
       .select(col(idCol), col("sig.win_idx").as("__w"),
         col("sig.wsum").as("__ws"), col("sig.wabs").as("__wa"))
     Dedup.sharedSigPairs(sigs, idCol, Seq("__w", "__ws", "__wa"),
+      minShared, maxBucket)
+  }
+
+  /** Segment-GATED audio near-dup pairs: [[audioSigPairs]] restricted to
+    * windows inside qualifying energy segments — the
+    * [[audioEnergySegments]] gate composed INTO candidate generation, so
+    * corpus-wide silence windows (every clip's zero-PCM window w is an
+    * identical signature — the worst boilerplate bucket audio has) never
+    * enter the pair engine at all, and isolated sub-`minSegWindows`
+    * blips (clicks, pops) are excluded with them. Gating is the same
+    * islands computation audioEnergySegments runs, kept at WINDOW
+    * granularity: active filter (Σ|samples| ≥ `minAbsSum`), run key
+    * (win − per-clip rank), then a per-(clip, run) count window —
+    * bounded by windows-per-clip — instead of a range join back against
+    * materialized segments. Precision first, and strictly fewer
+    * candidates: silence contributes neither pairs nor n_shared.
+    */
+  def activeAudioSigPairs(df: DataFrame, idCol: String, binCol: String,
+                          winSize: Int = 16,
+                          minAbsSum: Long = 16L * 16384,
+                          minSegWindows: Int = 2, minShared: Int = 2,
+                          maxBucket: Int = Dedup.DefaultMaxBucket): DataFrame = {
+    require(minSegWindows >= 1,
+      s"minSegWindows must be >= 1, got $minSegWindows")
+    val byClip = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("__w"))
+    val gated = audioWindowSignatures(df.select(col(idCol), col(binCol)),
+        binCol, winSize)
+      .select(col(idCol), col("sig.win_idx").as("__w"),
+        col("sig.wsum").as("__ws"), col("sig.wabs").as("__wa"))
+      .filter(col("__wa") >= minAbsSum)
+      .withColumn("__grp", col("__w") - row_number().over(byClip))
+      .withColumn("__segn", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col(idCol), col("__grp"))))
+      .filter(col("__segn") >= minSegWindows)
+      .select(col(idCol), col("__w"), col("__ws"), col("__wa"))
+    Dedup.sharedSigPairs(gated, idCol, Seq("__w", "__ws", "__wa"),
       minShared, maxBucket)
   }
 }

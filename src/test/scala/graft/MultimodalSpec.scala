@@ -428,4 +428,58 @@ class MultimodalSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(got == Set((1L, 2L, 2L)), s"got $got")
   }
+
+  test("shotSigPairs: a re-cut video pairs by shot CONTENT where index-aligned frame matching finds nothing") {
+    import spark.implicits._
+    import Multimodal.{Ppm, Video}
+    def fr(v: Int) = Ppm.Image(2, 2, 255, Array.fill(12)(v.toByte))
+    def shot(v: Int) = Seq(fr(v), fr(v), fr(v))
+    // A = [X X X | Y Y Y]; B = [Z Z Z | X X X | Y Y Y] — B is A with an
+    // inserted opening shot, so every shared frame sits at a SHIFTED
+    // index (adjacent-shot L1 distances all far above the 100 threshold)
+    val a = Video.encode(shot(10) ++ shot(60))
+    val b = Video.encode(shot(120) ++ shot(10) ++ shot(60))
+    val df = Seq((1L, a), (2L, b)).toDF("id", "bin")
+    // index-aligned frame matching loses every pair...
+    val framePairs = Multimodal.frameSigPairs(df, "id", "bin",
+        every = 1, minShared = 2)
+      .collect()
+    assert(framePairs.isEmpty,
+      s"frame_idx-keyed matching must miss the re-cut, got ${framePairs.toSeq}")
+    // ...shot-content matching recovers it (2 distinct shared shots)
+    val shotPairs = Multimodal.shotSigPairs(df, "id", "bin",
+        threshold = 100L, minShared = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(shotPairs == Set((1L, 2L, 2L)), s"got $shotPairs")
+  }
+
+  test("activeAudioSigPairs: silence and isolated blips never generate candidates; the ungated twin pairs on them") {
+    import spark.implicits._
+    import Multimodal.Wav
+    def clip(ws: Seq[Short]*) = Wav.encode(Wav.Audio(8000, 1,
+      ws.flatMap(w => { require(w.length == 4); w }).toArray))
+    val w = (v: Int) => Seq[Short](v.toShort, v.toShort, v.toShort, v.toShort)
+    val df = Seq(
+      // 1,2 share ONLY their two leading SILENT windows
+      (1L, clip(w(0), w(0), w(5))),
+      (2L, clip(w(0), w(0), w(9))),
+      // 3,4 share an ACTIVE run of length 2 — the genuine near-dup
+      (3L, clip(w(7), w(8), w(3))),
+      (4L, clip(w(7), w(8), w(4))),
+      // 5,6 share two ISOLATED one-window blips around silence
+      (5L, clip(w(3), w(0), w(4))),
+      (6L, clip(w(3), w(0), w(4) /* + tail differs */, w(99))),
+      (7L, clip(w(3), w(0), w(4), w(77)))).toDF("id", "bin")
+    def pairs(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val ungated = pairs(Multimodal.audioSigPairs(df, "id", "bin",
+      winSize = 4, minShared = 2))
+    // silence-driven (1,2) and blip-driven (5,6),(5,7),(6,7) pairs exist ungated
+    assert(ungated.contains((1L, 2L, 2L)) && ungated.contains((3L, 4L, 2L)) &&
+      ungated.contains((5L, 6L, 3L)), s"got $ungated")
+    val gated = pairs(Multimodal.activeAudioSigPairs(df, "id", "bin",
+      winSize = 4, minAbsSum = 1L, minSegWindows = 2, minShared = 2))
+    assert(gated == Set((3L, 4L, 2L)),
+      s"gating must keep only the active-run pair, got $gated")
+  }
 }
