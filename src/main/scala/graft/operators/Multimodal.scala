@@ -643,20 +643,27 @@ object Multimodal {
   def dhashNearDups(df: DataFrame, idCol: String, binCol: String,
                     maxHamming: Int = 3, bands: Int = 4,
                     maxBucket: Int = Dedup.DefaultMaxBucket): DataFrame = {
+    val hashes = dhashed(df.select(col(idCol), col(binCol)), binCol)
+      .select(col(idCol), col("dh.dhash").as("__h"))
+      .localCheckpoint(false) // banding + both verify sides
+    dhashPairsFromHashes(hashes, idCol, maxHamming, bands, maxBucket)
+  }
+
+  /** [[dhashNearDups]] from an already-hashed (id, __h) table — the
+    * band-candidate + exact-hamming-verify stage alone, shared with the
+    * streaming image ingest (which hashes once per micro-batch and
+    * must not re-decode). Caller owns materialization of `hashes`
+    * (three consumers: banding + both verify sides).
+    */
+  def dhashPairsFromHashes(hashes: DataFrame, idCol: String,
+                           maxHamming: Int = 3, bands: Int = 4,
+                           maxBucket: Int = Dedup.DefaultMaxBucket): DataFrame = {
     require(bands >= 1 && 64 % bands == 0,
       s"bands must divide 64, got $bands")
     require(maxHamming >= 0 && maxHamming < bands,
       s"$bands-band candidates guarantee recall only for maxHamming <= " +
         s"${bands - 1}, got $maxHamming (raise the band count to go looser)")
-    val width = 64 / bands
-    val mask = if (width == 64) -1L else (1L << width) - 1
-    val hashes = dhashed(df.select(col(idCol), col(binCol)), binCol)
-      .select(col(idCol), col("dh.dhash").as("__h"))
-      .localCheckpoint(false) // banding + both verify sides
-    val banded = hashes.select(col(idCol),
-      posexplode(array((0 until bands).map(b =>
-        shiftright(col("__h"), 64 - width * (b + 1)).bitwiseAND(lit(mask))): _*))
-        .as(Seq("band_idx", "bv")))
+    val banded = bandedHashes(hashes, idCol, bands)
     val cands = Dedup.cappedPairsByKey(banded, idCol,
       Seq("band_idx", "bv"), maxBucket)
     cands
@@ -665,6 +672,18 @@ object Multimodal {
       .withColumn("hamming", bit_count(col("__ha").bitwiseXOR(col("__hb"))))
       .filter(col("hamming") <= maxHamming)
       .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
+  /** Explode a 64-bit hash column `__h` into `bands` fixed-width band
+    * values: (id, band_idx, bv) — the pigeonhole candidate key.
+    */
+  def bandedHashes(hashes: DataFrame, idCol: String, bands: Int): DataFrame = {
+    val width = 64 / bands
+    val mask = if (width == 64) -1L else (1L << width) - 1
+    hashes.select(col(idCol),
+      posexplode(array((0 until bands).map(b =>
+        shiftright(col("__h"), 64 - width * (b + 1)).bitwiseAND(lit(mask))): _*))
+        .as(Seq("band_idx", "bv")))
   }
 
   /** dHash threshold-tuning sweep — the perceptual sibling of

@@ -857,6 +857,79 @@ object Streaming {
                               extract: DataFrame => DataFrame,
                               minShared: Int, maxBucket: Int, maxRounds: Int)
                              (onBatch: (DataFrame, Long) => Unit): StreamingQuery =
+    streamDedupIngest(media, idCol, storePath, checkpointPath, sigCols,
+      extract,
+      // ≥ minShared signatures shared with ONE stored item → near-dup
+      // (grouped by the store-side id, never pooled)
+      (sigs, store) => sigs.join(store, sigCols)
+        .groupBy(col("__id"), col("__vid"))
+        .agg(count(lit(1)).as("__n"))
+        .filter(col("__n") >= minShared)
+        .select(col("__id")).distinct(),
+      // within-batch near-dup pair graph (id_a < id_b), hot-bucket
+      // capped — only sig tuples shuffle, bucket = replica-group size
+      sigs => Dedup.sharedSigPairs(sigs, "__id", sigCols, minShared, maxBucket)
+        .select(col("id_a"), col("id_b")),
+      maxRounds)(onBatch)
+
+  /** Continuous IMAGE ingest with perceptual (dHash) near-dup — the
+    * `q_dhash_neardup` streaming twin, completing the media-streaming
+    * matrix beside [[streamFrameSigIngest]] (video) and
+    * [[streamAudioSigIngest]] (audio). Per micro-batch: each decodable
+    * PPM payload hashes once (`Multimodal.dhashed`); the store probe is
+    * band-candidates (pigeonhole-complete for hamming ≤ bands−1)
+    * verified by exact `bit_count(xor)` against every stored hash it
+    * bands with; the within-batch pair graph is
+    * `Multimodal.dhashPairsFromHashes` (capped band buckets, exact
+    * verify); decisions and the batch-addressed replay-safe store
+    * append follow the [[streamFrameSigIngest]] contract. Store rows
+    * are (__vid, __h) — one long per image; bands recompute from the
+    * hash on read, so the store never persists derivable columns.
+    */
+  def streamImageSigIngest(media: DataFrame, idCol: String, binCol: String,
+                           storePath: String, checkpointPath: String,
+                           maxHamming: Int = 3, bands: Int = 4,
+                           maxBucket: Int = Dedup.DefaultMaxBucket,
+                           maxRounds: Int = 30)
+                          (onBatch: (DataFrame, Long) => Unit): StreamingQuery =
+    streamDedupIngest(media, idCol, storePath, checkpointPath, Seq("__h"),
+      batch => graft.operators.Multimodal.dhashed(
+          batch.select(col(idCol), col(binCol)), binCol)
+        .select(col(idCol).as("__id"), col("dh.dhash").as("__h")),
+      (sigs, store) => {
+        val sb = graft.operators.Multimodal.bandedHashes(sigs, "__id", bands)
+        val stb = graft.operators.Multimodal.bandedHashes(
+          store.select(col("__vid"), col("__h")), "__vid", bands)
+        sb.join(stb, Seq("band_idx", "bv"))
+          .select(col("__id"), col("__vid")).distinct()
+          .join(sigs, Seq("__id"))
+          .join(store.select(col("__vid"), col("__h").as("__sh")),
+            Seq("__vid"))
+          .filter(bit_count(col("__h").bitwiseXOR(col("__sh"))) <= maxHamming)
+          .select(col("__id")).distinct()
+      },
+      sigs => graft.operators.Multimodal.dhashPairsFromHashes(
+          sigs, "__id", maxHamming, bands, maxBucket)
+        .select(col("id_a"), col("id_b")),
+      maxRounds)(onBatch)
+
+  /** Shared continuous-dedup-ingest engine behind ALL the media
+    * streaming twins: `extract` turns a micro-batch into
+    * (__id, storeCols…) signature rows; `probe(sigs, store)` returns
+    * the batch __ids that near-dup ANY stored item; `pairGen(sigs)`
+    * builds the within-batch (id_a, id_b) pair graph. Everything else —
+    * store listing/schema-guarding, greedy-by-id fixpoint,
+    * batch-addressed overwrite-mode store append — is the contract
+    * documented on [[streamFrameSigIngest]].
+    */
+  private def streamDedupIngest(media: DataFrame, idCol: String,
+                                storePath: String, checkpointPath: String,
+                                storeCols: Seq[String],
+                                extract: DataFrame => DataFrame,
+                                probe: (DataFrame, DataFrame) => DataFrame,
+                                pairGen: DataFrame => DataFrame,
+                                maxRounds: Int)
+                               (onBatch: (DataFrame, Long) => Unit): StreamingQuery =
     media.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointPath)
@@ -874,7 +947,7 @@ object Streaming {
           else Array.empty[String]
         val store =
           if (parts.isEmpty)
-            sigs.select((col("__id").as("__vid") +: sigCols.map(col)): _*)
+            sigs.select((col("__id").as("__vid") +: storeCols.map(col)): _*)
               .limit(0)
           else {
             val st = spark.read.parquet(parts.toIndexedSeq: _*)
@@ -883,7 +956,7 @@ object Streaming {
             // (__f, __s0..__s2) from rounded float means) — an
             // AnalysisException deep inside the probe join would be
             // undiagnosable from a streaming driver log
-            val want = "__vid" +: sigCols
+            val want = "__vid" +: storeCols
             val missing = want.filterNot(st.columns.contains)
             if (missing.nonEmpty)
               throw new IllegalStateException(
@@ -895,19 +968,9 @@ object Streaming {
                   "(they were computed by a different kernel).")
             st
           }
-        // ≥ minShared sampled frames shared with ONE stored video →
-        // near-dup (grouped by the store-side id, never pooled)
-        val storeHits = sigs.join(store, sigCols)
-          .groupBy(col("__id"), col("__vid"))
-          .agg(count(lit(1)).as("__n"))
-          .filter(col("__n") >= minShared)
-          .select(col("__id")).distinct()
+        val storeHits = probe(sigs, store)
           .localCheckpoint(false) // fixpoint seed, re-read every round
-        // within-batch near-dup pair graph (id_a < id_b), hot-bucket
-        // capped — only sig tuples shuffle, bucket = replica-group size
-        val pairs = Dedup
-          .sharedSigPairs(sigs, "__id", sigCols, minShared, maxBucket)
-          .select(col("id_a"), col("id_b"))
+        val pairs = pairGen(sigs)
           .localCheckpoint(false)
         // greedy-by-id fixpoint: kept/dropped/undecided
         val ids = sigs.select(col("__id")).distinct()
@@ -943,7 +1006,7 @@ object Streaming {
           .localCheckpoint(false) // consumed by the append AND onBatch
         sigs.join(survivors.select(col(idCol).as("__id")), Seq("__id"),
             "left_semi")
-          .select((col("__id").as("__vid") +: sigCols.map(col)): _*)
+          .select((col("__id").as("__vid") +: storeCols.map(col)): _*)
           .write.mode("overwrite").parquet(s"$storePath/batch_$batchId")
         onBatch(survivors, batchId)
         ()

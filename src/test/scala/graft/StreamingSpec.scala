@@ -997,4 +997,67 @@ class StreamingSpec extends SparkSpec {
     assert(st.select("__vid").distinct().collect().map(_.getLong(0)).sorted
       .toSeq == Seq(1L, 3L, 5L))
   }
+
+  test("streamImageSigIngest: perceptual dHash near-dup vs store and batch, crash-replay safe — the image twin") {
+    import spark.implicits._
+    import graft.operators.Multimodal.Ppm
+    val in = Files.createTempDirectory("graft_img_in_").toString
+    val store = Files.createTempDirectory("graft_img_store_").toString + "/sigs"
+    val ckpt = Files.createTempDirectory("graft_img_ckpt_").toString + "/c"
+    def img(vals: (Int, Int) => Int) = {
+      val px = new Array[Byte](9 * 8 * 3)
+      for (y <- 0 until 8; x <- 0 until 9; c <- 0 until 3)
+        px((y * 9 + x) * 3 + c) = vals(y, x).toByte
+      Ppm.encode(Ppm.Image(9, 8, 255, px))
+    }
+    val base = img((y, x) => x * 10 + (y % 3) * 5)
+    val edit = img((y, x) => if (y == 2 && x == 3) 0 else x * 10 + (y % 3) * 5)
+    val edit2 = img((y, x) => if (y == 5 && x == 6) 0 else x * 10 + (y % 3) * 5)
+    val noise = img((y, x) => ((y * 37 + x * 91) % 200))
+    val noise2 = img((y, x) => ((y * 53 + x * 17) % 211))
+    def mkStream() = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("bin",
+          org.apache.spark.sql.types.BinaryType))))
+      .option("maxFilesPerTrigger", 1)
+      .parquet(in)
+    val survived = scala.collection.mutable.ArrayBuffer[Long]()
+    val crashOnce = new java.util.concurrent.atomic.AtomicBoolean(true)
+    def start() = Streaming.streamImageSigIngest(mkStream(), "doc_id", "bin",
+      store, ckpt, maxHamming = 3) { (batch, _) =>
+      if (crashOnce.getAndSet(false)) sys.error("injected mid-batch crash")
+      survived ++= batch.select("doc_id").collect().map(_.getLong(0))
+    }
+
+    // batch 1: 2 is a one-pixel edit of 1 (hamming <= 3) -> greedy drops
+    // 2; 3 is unrelated noise -> survives
+    Seq((1L, base), (2L, edit), (3L, noise))
+      .toDF("doc_id", "bin").coalesce(1).write.mode("overwrite").parquet(in)
+    val q1 = start()
+    intercept[Exception] { q1.processAllAvailable() }
+    q1.stop()
+    assert(survived.isEmpty, "crashed batch must not have been delivered")
+    // replay lands in the same batch partition: no double-append, no
+    // self-dedup of the retry
+    val q2 = start()
+    q2.processAllAvailable(); q2.stop()
+    assert(survived.sorted == Seq(1L, 3L), s"batch-1 survivors: $survived")
+
+    // batch 2: 4 is another near-edit of stored 1 -> store-dup, dropped;
+    // 5 is fresh noise -> survives
+    survived.clear()
+    Seq((4L, edit2), (5L, noise2))
+      .toDF("doc_id", "bin").coalesce(1).write.mode("append").parquet(in)
+    val q3 = start()
+    q3.processAllAvailable(); q3.stop()
+    assert(survived.sorted == Seq(5L), s"batch-2 survivors: $survived")
+
+    // store = one (vid, hash) row per surviving image
+    val st = spark.read.parquet(s"$store/*")
+    assert(st.columns.sorted.toSeq == Seq("__h", "__vid"))
+    assert(st.select("__vid").collect().map(_.getLong(0)).sorted
+      .toSeq == Seq(1L, 3L, 5L))
+  }
 }
