@@ -46,27 +46,86 @@ object WordPieceTokenizer {
     Vocab(ids, need(Cls), need(Sep), need(Unk), ids.getOrElse(Pad, 0))
   }
 
-  private def isPunct(c: Char): Boolean =
-    !Character.isLetterOrDigit(c) && !Character.isWhitespace(c)
+  /** BERT's `_is_punctuation`: the four ASCII symbol ranges (which pull
+    * in `$`, `+`, `` ` ``, `~` — category S, not P) plus every Unicode
+    * P* category. NOT Java's "neither letter nor digit": a math symbol
+    * like `∀` (Sm) stays inside its word, exactly as HF tokenizes it.
+    */
+  private def isPunct(c: Char): Boolean = {
+    val cp = c.toInt
+    (cp >= 33 && cp <= 47) || (cp >= 58 && cp <= 64) ||
+    (cp >= 91 && cp <= 96) || (cp >= 123 && cp <= 126) || {
+      val t = Character.getType(c)
+      t == Character.CONNECTOR_PUNCTUATION ||
+      t == Character.DASH_PUNCTUATION ||
+      t == Character.START_PUNCTUATION ||
+      t == Character.END_PUNCTUATION ||
+      t == Character.INITIAL_QUOTE_PUNCTUATION ||
+      t == Character.FINAL_QUOTE_PUNCTUATION ||
+      t == Character.OTHER_PUNCTUATION
+    }
+  }
 
-  /** BasicTokenizer subset: lowercase, whitespace split, punctuation
-    * split into standalone single-char tokens.
+  /** BERT's `_is_whitespace`: \t \n \r, space, or category Zs — which
+    * includes U+00A0 NBSP (Java's isWhitespace does NOT).
+    */
+  private def isWs(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\r' ||
+      Character.getType(c) == Character.SPACE_SEPARATOR
+
+  /** BERT's `_is_chinese_char` CJK-ideograph ranges (each becomes its
+    * own token — CJK has no whitespace word boundaries).
+    */
+  private def isCjk(cp: Int): Boolean =
+    (cp >= 0x4E00 && cp <= 0x9FFF) || (cp >= 0x3400 && cp <= 0x4DBF) ||
+    (cp >= 0x20000 && cp <= 0x2A6DF) || (cp >= 0x2A700 && cp <= 0x2B73F) ||
+    (cp >= 0x2B740 && cp <= 0x2B81F) || (cp >= 0x2B820 && cp <= 0x2CEAF) ||
+    (cp >= 0xF900 && cp <= 0xFAFF) || (cp >= 0x2F800 && cp <= 0x2FA1F)
+
+  /** The full do_lower_case=True BERT BasicTokenizer recipe (HF
+    * `BasicTokenizer.tokenize`): clean (drop NUL/U+FFFD/control chars,
+    * normalize whitespace), isolate CJK ideographs as single-char
+    * tokens, lowercase with Locale.ROOT (BERT's lowercasing is
+    * locale-independent; the default-locale overload would turn 'I'
+    * into dotless 'ı' on a tr_TR JVM), strip accents (NFD, drop Mn
+    * combining marks), then whitespace-split with punctuation isolated
+    * into standalone single-char tokens.
     */
   def basicTokens(text: String): Array[String] = {
+    // clean + CJK isolation (surrogate-pair aware for non-BMP CJK)
+    val cleaned = new java.lang.StringBuilder
+    var i = 0
+    while (i < text.length) {
+      val cp = text.codePointAt(i)
+      val typ = Character.getType(cp)
+      val control = cp != '\t' && cp != '\n' && cp != '\r' &&
+        (typ == Character.CONTROL || typ == Character.FORMAT ||
+          typ == Character.UNASSIGNED || typ == Character.PRIVATE_USE ||
+          typ == Character.SURROGATE)
+      if (cp == 0 || cp == 0xFFFD || control) ()
+      else if (isCjk(cp)) {
+        cleaned.append(' '); cleaned.appendCodePoint(cp); cleaned.append(' ')
+      } else if (cp == ' ' || cp == '\t' || cp == '\n' || cp == '\r' ||
+          typ == Character.SPACE_SEPARATOR)
+        cleaned.append(' ')
+      else cleaned.appendCodePoint(cp)
+      i += Character.charCount(cp)
+    }
+    // lowercase + accent strip: NFD then drop NON_SPACING_MARK
+    val nfd = java.text.Normalizer.normalize(
+      cleaned.toString.toLowerCase(java.util.Locale.ROOT),
+      java.text.Normalizer.Form.NFD)
     val out = ArrayBuffer.empty[String]
     val cur = new java.lang.StringBuilder
     def flush(): Unit = if (cur.length > 0) { out += cur.toString; cur.setLength(0) }
-    var i = 0
-    // Locale.ROOT: BERT's lowercasing is locale-independent; the default-
-    // locale overload would turn 'I' into dotless 'ı' on a tr_TR JVM and
-    // silently change token ids.
-    val t = text.toLowerCase(java.util.Locale.ROOT)
-    while (i < t.length) {
-      val c = t.charAt(i)
-      if (Character.isWhitespace(c)) flush()
+    var j = 0
+    while (j < nfd.length) {
+      val c = nfd.charAt(j)
+      if (Character.getType(c) == Character.NON_SPACING_MARK) ()
+      else if (isWs(c)) flush()
       else if (isPunct(c)) { flush(); out += c.toString }
       else cur.append(c)
-      i += 1
+      j += 1
     }
     flush()
     out.toArray

@@ -28,6 +28,44 @@ class OnnxEmbedderSpec extends AnyFunSuite {
     } finally java.util.Locale.setDefault(prev)
   }
 
+  test("basicTokens: BERT BasicTokenizer golden fixtures — CJK isolation, accent strip, NBSP, control chars, symbol retention") {
+    // Each expectation hand-derived from the published HF
+    // BasicTokenizer(do_lower_case=True) algorithm — the strongest
+    // real-tokenizer check the no-network sandbox allows.
+    // CJK ideographs: one token per character, even inside latin text
+    assert(W.basicTokens("天气好").toSeq == Seq("天", "气", "好"))
+    assert(W.basicTokens("the天气test").toSeq ==
+      Seq("the", "天", "气", "test"))
+    // accents strip via NFD + Mn-drop (both precomposed and combining)
+    assert(W.basicTokens("Café").toSeq == Seq("cafe"))
+    assert(W.basicTokens("Cafe\u0301").toSeq == Seq("cafe"))
+    assert(W.basicTokens("naïve résumé").toSeq == Seq("naive", "resume"))
+    // U+00A0 NBSP is Zs whitespace in BERT (Java isWhitespace says no)
+    assert(W.basicTokens("the\u00A0run").toSeq == Seq("the", "run"))
+    // NUL / replacement / control chars are DROPPED (the word joins)
+    assert(W.basicTokens("th\u0000e ru\uFFFDn a\u0007b").toSeq ==
+      Seq("the", "run", "ab"))
+    // ASCII symbol ranges split (BERT punctuation even though category S)
+    assert(W.basicTokens("a+b=c").toSeq == Seq("a", "+", "b", "=", "c"))
+    // non-ASCII math symbol (Sm) is NOT punctuation — stays in the word
+    assert(W.basicTokens("a∀b").toSeq == Seq("a∀b"))
+    // Unicode punctuation (Pd em-dash, Pi/Pf quotes) splits
+    assert(W.basicTokens("“quote”—end").toSeq ==
+      Seq("“", "quote", "”", "—", "end"))
+  }
+
+  test("encode: real bert-base-uncased ids for the canonical smoke string") {
+    // Token ids from the published bert-base-uncased vocab ([CLS]=101,
+    // [SEP]=102, [UNK]=100, hello=7592, world=2088, ','=1010, '!'=999) —
+    // a real-model golden fixture small enough to hand-verify.
+    val real = W.fromTokens(Map(
+      "[PAD]" -> 0, "[UNK]" -> 100, "[CLS]" -> 101, "[SEP]" -> 102,
+      "hello" -> 7592, "world" -> 2088, "," -> 1010, "!" -> 999))
+    val (ids, mask) = W.encode("Hello, World!", real, maxLen = 128)
+    assert(ids.toSeq == Seq(101L, 7592L, 1010L, 2088L, 999L, 102L))
+    assert(mask.toSeq == Seq.fill(6)(1L))
+  }
+
   test("wordPieces: greedy LONGEST match with ## continuations") {
     // "unaffable": un + ##affable (greedy takes the longest continuation,
     // not ##aff + ##able)
