@@ -34,7 +34,15 @@ object Hierarchy {
       .withColumn("done", col("anc") === col("node"))
       .localCheckpoint(false)
     var iters = 0
-    while (state.filter(!col("done")).limit(1).count() > 0) {
+    // convergence probe = ONE full-scan aggregate per round; a limit(1)
+    // probe would stop after the first undone partition and leave the
+    // lazy localCheckpoint partially cached, forcing the next round's
+    // join to recompute the rest — the full aggregate materializes every
+    // partition AND answers convergence in the same job
+    def undone(): Long = state
+      .agg(coalesce(sum(when(col("done"), 0L).otherwise(1L)), lit(0L)).as("u"))
+      .head.getLong(0)
+    while (undone() > 0) {
       if (iters >= maxIters)
         throw new IllegalStateException(
           s"hierarchy did not close in $maxIters pointer-doubling rounds " +
@@ -58,16 +66,23 @@ object Hierarchy {
     * pair — by closure doubling: each round joins the closure with
     * itself ((n, a, d₁) ⋈ (a, b, d₂) → (n, b, d₁+d₂)) and keeps the
     * MIN distance per pair, so a depth-d hierarchy closes in O(log d)
-    * rounds with at most n·d rows ever materialized (document the d
-    * factor before running this on deep chains — for tree-shaped data
-    * d is the tree height). Works on DAGs and even cyclic graphs as
-    * min-distance reachability (the min aggregate makes the fixpoint
-    * well-defined); self-edges are dropped from the seed. Fixpoint =
-    * no new pairs; `maxIters` bounds the rounds (throw, never a
-    * silently partial closure).
+    * rounds with at most n·d rows ever materialized. The n·d row count
+    * is the closure's DEFINITION, not an implementation detail — a
+    * 100k-message reply thread (one linear chain, d = n) closes to
+    * n²/2 ≈ 5 billion rows. `maxRows` is the budget that makes that
+    * loud: the per-round fixpoint count is checked against it and the
+    * run THROWS (same discipline as `maxIters` — never a silently
+    * partial or cluster-melting closure). Size it to rows you are
+    * willing to shuffle; for tree-shaped data expect ≈ nodes × height.
+    * Works on DAGs and even cyclic graphs as min-distance reachability
+    * (the min aggregate makes the fixpoint well-defined); self-edges
+    * are dropped from the seed. Fixpoint = no new pairs; `maxIters`
+    * bounds the rounds.
     */
   def ancestorClosure(edges: DataFrame, childCol: String, parentCol: String,
-                      maxIters: Int = 30): DataFrame = {
+                      maxIters: Int = 30,
+                      maxRows: Long = 1L << 31): DataFrame = {
+    require(maxRows >= 1, s"maxRows must be >= 1, got $maxRows")
     var closure = edges
       .select(col(childCol).cast("long").as("node"),
         col(parentCol).cast("long").as("anc"))
@@ -77,6 +92,14 @@ object Hierarchy {
     var prev = -1L
     var n = closure.count()
     var iters = 0
+    def checkBudget(): Unit = if (n > maxRows)
+      throw new IllegalStateException(
+        s"ancestor closure exceeded the $maxRows-row budget at $n rows " +
+          "(closure size is nodes × depth by definition — a deep chain " +
+          "like a linear reply thread closes quadratically; raise maxRows " +
+          "only if you intend to shuffle that many rows, or use " +
+          "rootAndDepth for per-node root/depth without the full closure)")
+    checkBudget()
     while (n != prev) {
       if (iters >= maxIters)
         throw new IllegalStateException(
@@ -94,6 +117,7 @@ object Hierarchy {
         .localCheckpoint(false)
       prev = n
       n = closure.count()
+      checkBudget()
       iters += 1
     }
     closure
@@ -104,9 +128,9 @@ object Hierarchy {
     * [[ancestorClosure]]: one map-side-combinable count over the
     * closure. The "subtree size" rollup of org/category/BOM analytics.
     */
-  def subtreeSizes(edges: DataFrame, childCol: String,
-                   parentCol: String): DataFrame =
-    ancestorClosure(edges, childCol, parentCol)
+  def subtreeSizes(edges: DataFrame, childCol: String, parentCol: String,
+                   maxIters: Int = 30, maxRows: Long = 1L << 31): DataFrame =
+    ancestorClosure(edges, childCol, parentCol, maxIters, maxRows)
       .groupBy(col("anc").as("node"))
       .agg(count(lit(1)).as("n_desc"))
 }

@@ -65,6 +65,25 @@ class HierarchySpec extends SparkSpec {
     assert(got == Map(1L -> 4L, 2L -> 3L, 3L -> 1L), s"got $got")
   }
 
+  test("ancestorClosure: the maxRows budget throws loudly on a deep chain instead of shuffling a quadratic closure") {
+    import spark.implicits._
+    // a 200-deep linear chain (the reply-thread shape): closure is
+    // 200·201/2 = 20100 rows — over a 10k budget the run must THROW,
+    // not silently truncate or quietly melt the cluster
+    val chain = (1L to 200L).map(i => (i, i - 1)) :+ ((0L, 0L))
+    val edges = chain.toDF("c", "p")
+    val e = intercept[IllegalStateException] {
+      Hierarchy.ancestorClosure(edges, "c", "p", maxRows = 10000L).count()
+    }
+    assert(e.getMessage.contains("budget"), e.getMessage)
+    assert(e.getMessage.contains("rootAndDepth"),
+      "the error must point at the bounded alternative")
+    // the same chain under a sufficient budget closes exactly
+    val n = Hierarchy.ancestorClosure(edges, "c", "p", maxRows = 30000L)
+      .count()
+    assert(n == 200L * 201 / 2, s"got $n")
+  }
+
   implicit private class Tup3Ops(rows: Array[(Long, Long, Long)]) {
     def toMap2: Map[Long, (Long, Long)] =
       rows.map(t => t._1 -> ((t._2, t._3))).toMap
