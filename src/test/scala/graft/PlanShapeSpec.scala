@@ -268,6 +268,22 @@ class PlanShapeSpec extends SparkSpec {
       s"curation must stay cartesian- and window-free under AQE:\n$pc")
   }
 
+  test("AQE-on twins: capped pair-engine queries keep star/small routing, no cartesian, no window") {
+    // skew-join splitting is exactly the runtime optimization that could
+    // re-shape star-pair joins — assert the scale properties survive it
+    for (q <- Seq("q_dhash_neardup", "q_video_dedup_e2e", "q_audio_dedup")) {
+      val p = aqePlan(q)
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"),
+        s"$q must never plan a cartesian under AQE:\n$p")
+      assert(!p.contains("Window"),
+        s"$q pair generation must stay window-free under AQE:\n$p")
+      assert(p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin") ||
+        p.contains("ShuffledHashJoin"),
+        s"$q candidate/verify joins must stay equi-joins under AQE:\n$p")
+    }
+  }
+
   test("OPERATORS.md never references a query that does not exist") {
     // doc-drift guard: every q_/qN oracle name cited in OPERATORS.md must
     // be a real SparkEntry.queries key (rows describing spec-only
