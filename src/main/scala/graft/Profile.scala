@@ -795,6 +795,94 @@ object Profile {
         dprobe(mkImages(10, flatShare = true)))
     }
 
+    if (on("audio")) {
+      // Audio near-dup scale probe, same discipline as the video/dHash
+      // curves: constant replica-group size as the corpus grows; the
+      // "+jingle" variant seeds window 0 of EVERY clip identically (the
+      // corpus-wide station jingle) — a |corpus|-member bucket the cap
+      // must route as linear star pairs, verified down to nothing (one
+      // shared window < minShared).
+      import graft.operators.Multimodal
+      def md5hexA(str: String): String =
+        graft.expressions.Md5Kernel
+          .digest(str.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      def h60A(str: String): Long =
+        java.lang.Long.parseLong(md5hexA(str).substring(0, 15), 16)
+      def mkClips(n: Int, jingle: Boolean): DataFrame =
+        (0 until n).map(i =>
+            docs.select(($"doc_id" + lit(i * 1000000L)).as("doc_id")))
+          .reduce(_ unionByName _).repartition(32)
+          .as[Long].map { id =>
+            val nw = (2 + h60A(id + ":nw") % 5).toInt
+            val samples = new Array[Short](16 * nw)
+            var w = 0
+            while (w < nw) {
+              val seed =
+                if (jingle && w == 0) "JINGLE"
+                else if (w % 2 == 0) (id % (50L * n)) + "ga:" + w
+                else id + ":aw:" + w
+              val hex = Array(md5hexA(seed + ":0"), md5hexA(seed + ":1"))
+              var j = 0
+              while (j < 16) {
+                val bi = 2 * j
+                def byteAt(k: Int): Int = Integer.parseInt(
+                  hex(k / 16).substring((k % 16) * 2, (k % 16) * 2 + 2), 16)
+                samples(16 * w + j) =
+                  ((byteAt(bi + 1) << 8) | byteAt(bi)).toShort
+                j += 1
+              }
+              w += 1
+            }
+            (id, Multimodal.Wav.encode(Multimodal.Wav.Audio(8000, 1, samples)))
+          }.toDF("doc_id", "bin")
+      def aprobe(d: DataFrame) =
+        Multimodal.audioSigPairs(d, "doc_id", "bin", winSize = 16,
+            minShared = 2)
+          .agg(count(lit(1)), sum($"n_shared")).collect()
+      time("AUDIO audioSigPairs 1x")(aprobe(mkClips(1, jingle = false)))
+      time("AUDIO audioSigPairs 10x")(aprobe(mkClips(10, jingle = false)))
+      time("AUDIO audioSigPairs 10x + corpus-wide jingle window")(
+        aprobe(mkClips(10, jingle = true)))
+    }
+
+    if (on("shots")) {
+      // Shot-detection scale probe along the OTHER axis: frames PER
+      // video (the per-video window state bound) — 10× the frames of
+      // each video, wall must stay ~linear in total frames because the
+      // lag/cut windows partition by video.
+      import graft.operators.Multimodal
+      def md5hexS(str: String): String =
+        graft.expressions.Md5Kernel
+          .digest(str.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      def h60S(str: String): Long =
+        java.lang.Long.parseLong(md5hexS(str).substring(0, 15), 16)
+      def mkShotVids(mult: Int): DataFrame =
+        docs.repartition(32).as[Long].map { id =>
+          val nf = (4 + h60S(id + ":nsh") % 9).toInt * mult
+          val frames = (0 until nf).map { f =>
+            val key = id + ":sh:" + (f / 3)
+            val px = new Array[Byte](48)
+            var block = -1
+            var hex = ""
+            var j = 0
+            while (j < 48) {
+              if (j / 16 != block) { block = j / 16; hex = md5hexS(key + ":" + block) }
+              px(j) = Integer.parseInt(
+                hex.substring((j % 16) * 2, (j % 16) * 2 + 2), 16).toByte
+              j += 1
+            }
+            Multimodal.Ppm.Image(4, 4, 255, px)
+          }
+          (id, Multimodal.Video.encode(frames))
+        }.toDF("doc_id", "bin")
+      def sprobe(d: DataFrame) =
+        Multimodal.videoShots(d, "doc_id", "bin", threshold = 100L,
+            maxFrames = 2048)
+          .agg(count(lit(1)), sum($"n_frames")).collect()
+      time("SHOTS videoShots 1x frames")(sprobe(mkShotVids(1)))
+      time("SHOTS videoShots 10x frames per video")(sprobe(mkShotVids(10)))
+    }
+
     if (on("tree")) {
       // Hierarchy closure probes: 10× nodes as a FOREST of ten heap
       // trees (same height — the realistic multi-tenant shape), so
@@ -819,6 +907,25 @@ object Profile {
       time("TREE rootAndDepth 10x")(rprobe(mkTree(10)))
       time("TREE ancestorClosure 1x")(cprobe(mkTree(1)))
       time("TREE ancestorClosure 10x")(cprobe(mkTree(10)))
+
+      // Deep-chain budget probe: a 2000-deep linear chain (reply-thread
+      // shape, closure = 2M rows by definition) under a 100k budget must
+      // throw FAST — after at most ~2× budget rows ever shuffle — not
+      // after materializing the quadratic closure.
+      def chain(depth: Int): DataFrame =
+        (1 to depth).map(i => (i.toLong, i - 1L))
+          .toDF("doc_id", "parent")
+          .unionByName(Seq((0L, 0L)).toDF("doc_id", "parent"))
+          .repartition(32)
+      time("TREE ancestorClosure deep-chain budget throw (2000-deep, 100k cap)") {
+        try {
+          Hierarchy.ancestorClosure(chain(2000), "doc_id", "parent",
+            maxRows = 100000L).count()
+          sys.error("budget must have thrown")
+        } catch { case e: IllegalStateException =>
+          require(e.getMessage.contains("budget")); "threw-as-designed"
+        }
+      }
     }
 
     spark.stop()
