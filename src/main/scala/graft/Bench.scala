@@ -127,7 +127,10 @@ object Bench {
     // round-6: cell-bounded margin mining + e2e video dedup decisions +
     // media analysis (VAD-shaped segmentation, shot detection)
     "q_margin_ivf", "q_video_dedup_e2e", "q_audio_segments",
-    "q_shot_detect", "q_tree_closure", "q_subtree_sizes", "q_dhash_sweep")
+    "q_shot_detect", "q_tree_closure", "q_subtree_sizes", "q_dhash_sweep",
+    // round-7 additions: shot-level e2e video dedup (re-cut robust) and
+    // segment-gated audio near-dup
+    "q_shot_dedup_e2e", "q_audio_dedup_gated")
 
   /** Force FULL materialization of every output column: xxhash64 over all
     * columns, summed. `.count()` alone under-measures — Catalyst prunes
