@@ -128,9 +128,11 @@ object Bench {
     // media analysis (VAD-shaped segmentation, shot detection)
     "q_margin_ivf", "q_video_dedup_e2e", "q_audio_segments",
     "q_shot_detect", "q_tree_closure", "q_subtree_sizes", "q_dhash_sweep",
-    // round-7 additions: shot-level e2e video dedup (re-cut robust) and
-    // segment-gated audio near-dup
-    "q_shot_dedup_e2e", "q_audio_dedup_gated")
+    // round-7 additions: shot-level e2e video dedup (re-cut robust),
+    // segment-gated audio near-dup, and the image/audio e2e decision
+    // pipelines completing the media trio
+    "q_shot_dedup_e2e", "q_audio_dedup_gated", "q_image_dedup_e2e",
+    "q_audio_dedup_e2e")
 
   /** Force FULL materialization of every output column: xxhash64 over all
     * columns, summed. `.count()` alone under-measures — Catalyst prunes

@@ -9505,6 +9505,24 @@ object SparkEntry {
         .orderBy($"id_a", $"id_b")
     }),
 
+    // End-to-end segment-gated audio dedup DECISIONS: gated pairs →
+    // connectedComponents → keep-representative — the audio member of
+    // the decision-pipeline trio. Silence never drives a drop (it never
+    // generated a candidate), and the surviving-clip set is hash-checked
+    // against the gated-replay + closure + keep-min oracle.
+    "q_audio_dedup_e2e" -> ((s, dir) => {
+      import s.implicits._
+      val withBin = audioGroupFixture(s, dir, silence4 = true)
+      val pairs = Multimodal.activeAudioSigPairs(withBin, "doc_id", "bin",
+          winSize = 16, minAbsSum = 1L, minSegWindows = 2, minShared = 2)
+        .select($"id_a", $"id_b")
+      val comp = Dedup.connectedComponents(pairs, "id_a", "id_b")
+      withBin.select($"doc_id")
+        .join(comp.filter($"node" =!= $"comp").select($"node".as("doc_id")),
+          Seq("doc_id"), "left_anti")
+        .orderBy($"doc_id")
+    }),
+
     // Shot-level end-to-end video dedup (Multimodal.shotSigPairs →
     // connectedComponents → keep-representative): the re-cut-robust
     // twin of q_video_dedup_e2e — shots match by CONTENT (n_frames +
@@ -9650,6 +9668,26 @@ object SparkEntry {
       Multimodal.dhashNearDups(dhashFixture(s, dir), "doc_id", "bin",
           maxHamming = 3)
         .orderBy($"id_a", $"id_b")
+    }),
+
+    // End-to-end perceptual image dedup DECISIONS: dHash pairs →
+    // connectedComponents → keep the component representative — the
+    // image member of the decision-pipeline trio beside
+    // q_video_dedup_e2e and q_audio_dedup_e2e (pairs alone don't dedup
+    // anything). The oracle replays the full UNBANDED pairwise hamming
+    // plus recursive-CTE closure + keep-min, so the decision set — what
+    // the banded candidates + hot-bucket cap promise to preserve — is
+    // itself hash-checked.
+    "q_image_dedup_e2e" -> ((s, dir) => {
+      import s.implicits._
+      val pairs = Multimodal.dhashNearDups(dhashFixture(s, dir),
+          "doc_id", "bin", maxHamming = 3)
+        .select($"id_a", $"id_b")
+      val comp = Dedup.connectedComponents(pairs, "id_a", "id_b")
+      dhashFixture(s, dir).select($"doc_id")
+        .join(comp.filter($"node" =!= $"comp").select($"node".as("doc_id")),
+          Seq("doc_id"), "left_anti")
+        .orderBy($"doc_id")
     }),
 
     // dHash tuning sweep (Multimodal.dhashSweep): the hamming histogram
@@ -10602,6 +10640,64 @@ object SparkEntry {
         |GROUP BY 1, 2 HAVING COUNT(*) >= 2
         |ORDER BY id_a, id_b""".stripMargin,
 
+    // The gated-pair replay, then transitive closure + keep-min — the
+    // audio decision set (silence never drives a drop).
+    "q_audio_dedup_e2e" ->
+      """WITH RECURSIVE nw AS (
+        |  SELECT doc_id,
+        |    CAST(2 + ('0x'||substr(md5(doc_id::VARCHAR || ':nw'), 1, 15))::BIGINT % 5
+        |      AS INT) AS nw
+        |  FROM documents),
+        |wd AS (
+        |  SELECT doc_id, w,
+        |    CASE WHEN w % 2 = 0 THEN (doc_id % 50)::VARCHAR || 'ga:' || w
+        |         ELSE doc_id::VARCHAR || ':aw:' || w END AS seed
+        |  FROM (SELECT doc_id, unnest(generate_series(0, nw - 1)) AS w FROM nw)
+        |  WHERE w % 4 <> 3),
+        |sm AS MATERIALIZED (
+        |  SELECT doc_id, w, j,
+        |    ('0x'||substr(md5(seed || ':' || (2*j // 16)),
+        |      ((2*j) % 16) * 2 + 1, 2))::INT AS b0,
+        |    ('0x'||substr(md5(seed || ':' || ((2*j+1) // 16)),
+        |      ((2*j+1) % 16) * 2 + 1, 2))::INT AS b1
+        |  FROM (SELECT doc_id, w, seed, unnest(generate_series(0, 15)) AS j
+        |        FROM wd)),
+        |v AS (
+        |  SELECT doc_id, w,
+        |    CASE WHEN b1 * 256 + b0 >= 32768 THEN b1 * 256 + b0 - 65536
+        |         ELSE b1 * 256 + b0 END AS s
+        |  FROM sm),
+        |sg AS (
+        |  SELECT doc_id, w, SUM(s)::BIGINT AS wsum, SUM(ABS(s))::BIGINT AS wabs
+        |  FROM v GROUP BY doc_id, w),
+        |act AS (
+        |  SELECT doc_id, w, wsum, wabs,
+        |    w - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY w) AS grp
+        |  FROM sg WHERE wabs >= 1),
+        |gated AS (
+        |  SELECT doc_id, w, wsum, wabs FROM (
+        |    SELECT doc_id, w, wsum, wabs,
+        |      COUNT(*) OVER (PARTITION BY doc_id, grp) AS segn
+        |    FROM act)
+        |  WHERE segn >= 2),
+        |pr AS (
+        |  SELECT a.doc_id AS da, b.doc_id AS db
+        |  FROM gated a JOIN gated b
+        |    ON a.w = b.w AND a.wsum = b.wsum AND a.wabs = b.wabs
+        |    AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |e AS (SELECT da AS a, db AS b FROM pr UNION SELECT db, da FROM pr),
+        |r AS (
+        |  SELECT a AS node, b AS reach FROM e
+        |  UNION
+        |  SELECT r.node, e.b FROM r JOIN e ON r.reach = e.a),
+        |lab AS (
+        |  SELECT node, LEAST(node, MIN(reach)) AS comp
+        |  FROM r GROUP BY node)
+        |SELECT doc_id FROM documents
+        |WHERE doc_id NOT IN (SELECT node FROM lab WHERE node <> comp)
+        |ORDER BY doc_id""".stripMargin,
+
     // Frame sums from the prefix-shifted shot fixture, the q_shot_detect
     // lag-cut replay, per-shot CONTENT rollup (n_frames + channel-sum
     // totals, no position), DISTINCT shot contents per video, the
@@ -10852,6 +10948,58 @@ object SparkEntry {
         |FROM h a JOIN h b ON a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.h, b.h)) <= 3
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // The q_dhash_neardup hash replay (full unbanded pairwise hamming),
+    // then transitive closure + keep-min — the image decision set.
+    "q_image_dedup_e2e" ->
+      """WITH RECURSIVE px AS (
+        |  SELECT doc_id, y, x,
+        |    CASE WHEN y = ('0x'||substr(md5(doc_id::VARCHAR||':py'),1,15))::BIGINT % 8
+        |          AND x = ('0x'||substr(md5(doc_id::VARCHAR||':px'),1,15))::BIGINT % 9
+        |         THEN doc_id::VARCHAR || ':p:' || y || ':' || x
+        |         ELSE (doc_id % 50)::VARCHAR || 'gd:' || y || ':' || x
+        |    END AS seed
+        |  FROM documents,
+        |       (SELECT unnest(generate_series(0, 7)) AS y),
+        |       (SELECT unnest(generate_series(0, 8)) AS x)),
+        |lm AS MATERIALIZED (
+        |  SELECT doc_id, y, x,
+        |    299 * ('0x'||substr(md5(seed), 1, 2))::BIGINT
+        |      + 587 * ('0x'||substr(md5(seed), 3, 2))::BIGINT
+        |      + 114 * ('0x'||substr(md5(seed), 5, 2))::BIGINT AS l
+        |  FROM px),
+        |bits AS (
+        |  SELECT a.doc_id, a.y, a.x,
+        |    CASE WHEN a.l < b.l THEN 1 ELSE 0 END AS bit
+        |  FROM lm a JOIN lm b
+        |    ON a.doc_id = b.doc_id AND a.y = b.y AND b.x = a.x + 1
+        |  WHERE a.x < 8),
+        |h AS MATERIALIZED (
+        |  SELECT doc_id,
+        |    CAST(CASE WHEN hb >= 9223372036854775808::HUGEINT
+        |              THEN hb - 18446744073709551616::HUGEINT ELSE hb END
+        |      AS BIGINT) AS h
+        |  FROM (
+        |    SELECT doc_id,
+        |      SUM(CASE WHEN bit = 1
+        |          THEN (1::HUGEINT << (63 - (y * 8 + x))) ELSE 0::HUGEINT END)
+        |        AS hb
+        |    FROM bits GROUP BY doc_id)),
+        |pr AS (
+        |  SELECT a.doc_id AS da, b.doc_id AS db
+        |  FROM h a JOIN h b ON a.doc_id < b.doc_id
+        |  WHERE bit_count(xor(a.h, b.h)) <= 3),
+        |e AS (SELECT da AS a, db AS b FROM pr UNION SELECT db, da FROM pr),
+        |r AS (
+        |  SELECT a AS node, b AS reach FROM e
+        |  UNION
+        |  SELECT r.node, e.b FROM r JOIN e ON r.reach = e.a),
+        |lab AS (
+        |  SELECT node, LEAST(node, MIN(reach)) AS comp
+        |  FROM r GROUP BY node)
+        |SELECT doc_id FROM documents
+        |WHERE doc_id NOT IN (SELECT node FROM lab WHERE node <> comp)
+        |ORDER BY doc_id""".stripMargin,
 
     // Same hash replay, full unbanded pairwise hamming histogrammed with
     // the running kept-count.
