@@ -352,12 +352,12 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     vectorQueries ++ relationalQueries ++ eventsQueries ++ textQueries ++
       dedupQueries ++ extraQueries ++ round5Queries ++ round6Queries ++
-      round7Queries ++ round8Queries ++ round9Queries
+      round7Queries ++ round8Queries ++ round9Queries ++ round10Queries
 
   def oracleSql: Map[String, String] =
     vectorOracles ++ relationalOracles ++ eventsOracles ++ textOracles ++
       dedupOracles ++ extraOracles ++ round5Oracles ++ round6Oracles ++
-      round7Oracles ++ round8Oracles ++ round9Oracles
+      round7Oracles ++ round8Oracles ++ round9Oracles ++ round10Oracles
 
   // ======================================================= vector workload
 
@@ -11466,5 +11466,186 @@ object SparkEntry {
          |  id AS vec_id, s AS score
          |FROM best3 ORDER BY qid, rank""".stripMargin
     }
+  )
+
+  // ======================================== index lifecycle at scale
+
+  /** Data-relative rebalance thresholds (1.05× / 0.9× of the mean cell
+    * size, integer arithmetic so both engines agree exactly): tight
+    * enough that the near-uniform fixture assignment yields BOTH hot and
+    * tiny cells at every SF (verified sf0.001/0.01/0.1).
+    */
+  private def rebalanceBounds(n: Long): (Long, Long) =
+    (math.max(1L, 21L * n / 320L), 9L * n / 160L)
+
+  private def rebalanced(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    import s.implicits._
+    val e = t(s, dir, "embeddings")
+    val cents = e.filter($"vec_id" < 16)
+      .select($"vec_id".as("cent_id"), $"embedding".as("cvec"))
+    val assigned = Ann.ivfAssign(e, cents, "vec_id", "embedding", "cent_id", "cvec")
+    val (maxCell, minCell) = rebalanceBounds(e.count())
+    Ann.rebalanceIvf(assigned, cents, "vec_id", "embedding",
+      "cent_id", "cvec", maxCell, minCell)
+  }
+
+  private def round10Queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // IVF maintenance: deterministic split/merge rebalance (Ann.rebalanceIvf).
+    // Output: the post-rebalance cell census — every surviving/child cell
+    // with its member count. The oracle replays the ENTIRE maintenance
+    // pass in SQL (assignment, sizing, classification, seeded-Voronoi
+    // split, nearest-survivor merge), so a hash match certifies each
+    // row-level re-homing decision, not just aggregate counts.
+    "q_ivf_rebalance" -> ((s, dir) => {
+      import s.implicits._
+      val (aN, _) = rebalanced(s, dir)
+      aN.groupBy($"cell_id").agg(count(lit(1)).as("n"))
+        .withColumn("is_child", ($"cell_id" > 15).cast("int"))
+        .orderBy($"cell_id")
+    }),
+
+    // Search over the rebalanced index: probe 4 of the NEW cells for the
+    // fixture query, score only their members, top-10. Pins that the
+    // maintenance pass preserves searchability end to end (cell routing,
+    // membership, ranking) — the invariant rebalancing exists to protect.
+    "q_ivf_rebalance_search" -> ((s, dir) => {
+      import s.implicits._
+      val (aN, cN) = rebalanced(s, dir)
+      val e = t(s, dir, "embeddings")
+      val query = e.filter($"vec_id" === 42).select($"embedding").head.getSeq[Float](0)
+      val probes = Ann.probeCellIds(cN, query, "cent_id", "cvec", 4)
+      val cand = aN.filter($"cell_id".isin(probes: _*))
+      val scored = cand
+        .withColumn("score", score6(V.cosine($"embedding", typedLit(query))))
+      TopK.topK(scored, $"score", $"vec_id", 10)
+        .select($"vec_id", $"score")
+    })
+  )
+
+  /** Shared oracle prefix: the full rebalance pass in SQL — assignment
+    * (the q_ann_ivf CTEs), data-relative bounds, hot/tiny classification,
+    * smallest-id seed selection with child numbering, hot-member
+    * re-assignment to nearest child, tiny-member re-assignment to nearest
+    * survivor, and the merged final assignment + survivor centroid set.
+    */
+  private val rebalanceSqlPrefix: String =
+    """WITH cents AS (
+      |  SELECT vec_id AS cent_id, embedding AS cvec FROM embeddings WHERE vec_id < 16),
+      |pc AS (
+      |  SELECT e.vec_id, c.cent_id,
+      |         unnest(e.embedding)::DOUBLE x, unnest(c.cvec)::DOUBLE y
+      |  FROM embeddings e CROSS JOIN cents c),
+      |pagg AS (SELECT vec_id, cent_id, SUM(x*y) dp, SUM(x*x) nx2, SUM(y*y) ny2
+      |         FROM pc GROUP BY vec_id, cent_id),
+      |psc AS (SELECT vec_id, cent_id,
+      |          ROUND(dp/(GREATEST(SQRT(nx2),1e-12)*GREATEST(SQRT(ny2),1e-12)), 6) c
+      |        FROM pagg),
+      |assign AS (
+      |  SELECT vec_id, cent_id AS cell_id FROM (
+      |    SELECT vec_id, cent_id,
+      |           row_number() OVER (PARTITION BY vec_id ORDER BY c DESC, cent_id) rn
+      |    FROM psc) WHERE rn = 1),
+      |par AS (SELECT GREATEST(1, (21 * COUNT(*)) // 320) AS maxcell,
+      |               (9 * COUNT(*)) // 160 AS mincell
+      |        FROM embeddings),
+      |sizes AS (
+      |  SELECT c.cent_id AS cell_id, COALESCE(s.n, 0) AS n
+      |  FROM cents c LEFT JOIN (
+      |    SELECT cell_id, COUNT(*) AS n FROM assign GROUP BY cell_id) s
+      |  ON c.cent_id = s.cell_id),
+      |cls AS (
+      |  SELECT z.cell_id, z.n,
+      |         (z.n > p.maxcell) AS hot,
+      |         (z.n <= p.maxcell AND z.n < p.mincell) AS tiny
+      |  FROM sizes z CROSS JOIN par p),
+      |seeds AS (
+      |  SELECT parent, seed_id,
+      |         row_number() OVER (ORDER BY parent, seed_id) + 15 AS child_id
+      |  FROM (
+      |    SELECT a.cell_id AS parent, a.vec_id AS seed_id,
+      |           row_number() OVER (PARTITION BY a.cell_id ORDER BY a.vec_id) rn,
+      |           (c.n + p.maxcell - 1) // p.maxcell AS s
+      |    FROM assign a
+      |    JOIN cls c ON c.cell_id = a.cell_id AND c.hot
+      |    CROSS JOIN par p)
+      |  WHERE rn <= s),
+      |childv AS (
+      |  SELECT s.child_id, s.parent, e.embedding AS cvec
+      |  FROM seeds s JOIN embeddings e ON e.vec_id = s.seed_id),
+      |hotpairs AS (
+      |  SELECT m.vec_id, cv.child_id,
+      |         unnest(e.embedding)::DOUBLE x, unnest(cv.cvec)::DOUBLE y
+      |  FROM assign m
+      |  JOIN cls ON cls.cell_id = m.cell_id AND cls.hot
+      |  JOIN embeddings e ON e.vec_id = m.vec_id
+      |  JOIN childv cv ON cv.parent = m.cell_id),
+      |hotsc AS (
+      |  SELECT vec_id, child_id,
+      |         ROUND(SUM(x*y)/(GREATEST(SQRT(SUM(x*x)),1e-12)
+      |               *GREATEST(SQRT(SUM(y*y)),1e-12)), 6) c
+      |  FROM hotpairs GROUP BY vec_id, child_id),
+      |hotre AS (
+      |  SELECT vec_id, child_id AS cell_id FROM (
+      |    SELECT vec_id, child_id,
+      |           row_number() OVER (PARTITION BY vec_id ORDER BY c DESC, child_id) rn
+      |    FROM hotsc) WHERE rn = 1),
+      |surv AS (
+      |  SELECT c.cent_id AS cell_id, c.cvec FROM cents c
+      |  JOIN cls ON cls.cell_id = c.cent_id AND NOT cls.hot AND NOT cls.tiny
+      |  UNION ALL
+      |  SELECT child_id AS cell_id, cvec FROM childv),
+      |tinypairs AS (
+      |  SELECT m.vec_id, sv.cell_id AS scell,
+      |         unnest(e.embedding)::DOUBLE x, unnest(sv.cvec)::DOUBLE y
+      |  FROM assign m
+      |  JOIN cls ON cls.cell_id = m.cell_id AND cls.tiny
+      |  JOIN embeddings e ON e.vec_id = m.vec_id
+      |  CROSS JOIN surv sv),
+      |tinysc AS (
+      |  SELECT vec_id, scell,
+      |         ROUND(SUM(x*y)/(GREATEST(SQRT(SUM(x*x)),1e-12)
+      |               *GREATEST(SQRT(SUM(y*y)),1e-12)), 6) c
+      |  FROM tinypairs GROUP BY vec_id, scell),
+      |tinyre AS (
+      |  SELECT vec_id, scell AS cell_id FROM (
+      |    SELECT vec_id, scell,
+      |           row_number() OVER (PARTITION BY vec_id ORDER BY c DESC, scell) rn
+      |    FROM tinysc) WHERE rn = 1),
+      |finala AS (
+      |  SELECT a.vec_id, a.cell_id FROM assign a
+      |  JOIN cls ON cls.cell_id = a.cell_id AND NOT cls.hot AND NOT cls.tiny
+      |  UNION ALL SELECT vec_id, cell_id FROM hotre
+      |  UNION ALL SELECT vec_id, cell_id FROM tinyre)""".stripMargin
+
+  private def round10Oracles: Map[String, String] = Map(
+
+    "q_ivf_rebalance" ->
+      s"""$rebalanceSqlPrefix
+         |SELECT cell_id, COUNT(*) AS n, CAST(cell_id > 15 AS INT) AS is_child
+         |FROM finala GROUP BY cell_id ORDER BY cell_id""".stripMargin,
+
+    "q_ivf_rebalance_search" ->
+      s"""$rebalanceSqlPrefix,
+         |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 42),
+         |probepairs AS (
+         |  SELECT sv.cell_id, unnest(sv.cvec)::DOUBLE x, unnest(q.qe)::DOUBLE y
+         |  FROM surv sv CROSS JOIN q),
+         |probesc AS (
+         |  SELECT cell_id,
+         |         ROUND(SUM(x*y)/(GREATEST(SQRT(SUM(x*x)),1e-12)
+         |               *GREATEST(SQRT(SUM(y*y)),1e-12)), 6) c
+         |  FROM probepairs GROUP BY cell_id),
+         |probes AS (SELECT cell_id FROM probesc ORDER BY c DESC, cell_id LIMIT 4),
+         |cand AS (SELECT f.vec_id FROM finala f JOIN probes p ON f.cell_id = p.cell_id),
+         |qp AS (
+         |  SELECT e.vec_id, unnest(e.embedding)::DOUBLE x, unnest(q.qe)::DOUBLE y
+         |  FROM embeddings e JOIN cand ON cand.vec_id = e.vec_id CROSS JOIN q),
+         |qsc AS (
+         |  SELECT vec_id,
+         |         ROUND(SUM(x*y)/(GREATEST(SQRT(SUM(x*x)),1e-12)
+         |               *GREATEST(SQRT(SUM(y*y)),1e-12)), 6) + 0.0 AS score
+         |  FROM qp GROUP BY vec_id)
+         |SELECT vec_id, score FROM qsc ORDER BY score DESC, vec_id LIMIT 10""".stripMargin
   )
 }

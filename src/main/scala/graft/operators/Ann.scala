@@ -718,4 +718,155 @@ object Ann {
         acc + round(deq * element_at(qv, i) * 1000000.0, 0).cast("long")
       }).cast("double") / 1000000.0, 4) + lit(0.0)
   }
+
+  /** IVF cell rebalancing — the index-maintenance half of continuous
+    * ingest (the split/merge discipline of SPFresh, Xu et al. SOSP'23,
+    * made deterministic): cells that grew past `maxCell` SPLIT into
+    * ceil(n/maxCell) children; cells that shrank below `minCell`
+    * DISSOLVE, their members re-homing to the nearest surviving cell.
+    * `streamInsertIndexed` appends into fixed cells forever — this is
+    * the compaction job that keeps probe-pruning effective as the data
+    * distribution drifts.
+    *
+    * Determinism (and engine replicability — the DuckDB oracle replays
+    * the whole maintenance pass in SQL): no Lloyd iterations, no RNG. A
+    * hot cell's child centroids are the vectors of its s member rows
+    * with the SMALLEST ids (s = ceil(n/maxCell)); members re-assign to
+    * the nearest child by the same quantized-cosine total order as
+    * [[ivfAssign]] (round 6, ties to the lowest id). Children are
+    * numbered maxCentId + rank, seeds ordered (parent asc, seed id asc).
+    * The one-pass seeded Voronoi split is the approximation a
+    * maintenance job wants: geometric (children tile the parent around
+    * real member vectors) without iterating, and a later `kmeansTrain`
+    * refinement can always follow.
+    *
+    * Scale shape: the pass touches ONLY imbalanced rows. Cell sizes are
+    * one map-side-combined count (C rows to the driver — index-structure
+    * sized, the same bound as the centroid literal in [[ivfAssign]]).
+    * Seed selection is the k-bounded [[TopKAggregator]] with a CONSTANT
+    * score and exact Long-id tie-break (no full sort of hot-cell rows,
+    * no double-cast id collisions above 2^53). Rows in healthy cells
+    * pass through UNTOUCHED — their new cell_id is their old one, a
+    * no-op projection; split and merge re-assignments are per-row argmax
+    * projections over in-literal seed/survivor matrices, so the whole
+    * pass adds no join and no exchange beyond the one sizes count.
+    * Driver state — cell stats and seeds — is bounded by the index
+    * structure (ΣceilI(n_c/maxCell) children ≤ rows/maxCell + #cells),
+    * never by the corpus.
+    *
+    * Loud-failure discipline (throws, never degrades): minCell > maxCell
+    * or maxCell < 1; assigned rows pointing at unknown cells; the
+    * degenerate corpus where every cell would dissolve.
+    *
+    * Returns (assignedNew, centroidsNew): the same row multiset as
+    * `assigned` with updated `cell_id`, and the surviving + child
+    * centroids as (centIdCol BIGINT, centVecCol ARRAY<FLOAT>).
+    * `idCol` must be integral (it rides the Long-typed seed buffer).
+    */
+  def rebalanceIvf(assigned: DataFrame, centroids: DataFrame,
+                   idCol: String, vecCol: String,
+                   centIdCol: String, centVecCol: String,
+                   maxCell: Long, minCell: Long): (DataFrame, DataFrame) = {
+    require(maxCell >= 1, "rebalanceIvf: maxCell must be >= 1")
+    require(minCell >= 0 && minCell <= maxCell,
+      "rebalanceIvf: need 0 <= minCell <= maxCell")
+    val spark = assigned.sparkSession
+    import spark.implicits._
+
+    val centRows: Seq[(Long, Seq[Float])] = centroids
+      .select(col(centIdCol).cast("long"), col(centVecCol))
+      .collect().toSeq
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+      .sortBy(_._1)
+    require(centRows.nonEmpty, "rebalanceIvf: centroids must be non-empty")
+    val allCentIds = centRows.map(_._1).toSet
+    val maxCentId = centRows.map(_._1).max
+
+    // one map-side-combined count; C rows to the driver
+    val sizes: Map[Long, Long] = assigned.groupBy(col("cell_id"))
+      .agg(count(lit(1)).as("__n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val unknown = sizes.keySet -- allCentIds
+    require(unknown.isEmpty,
+      s"rebalanceIvf: assigned rows reference unknown cells ${unknown.toSeq.sorted.take(5)}")
+
+    val hot = centRows.map(_._1).filter(c => sizes.getOrElse(c, 0L) > maxCell).toSet
+    val tiny = centRows.map(_._1)
+      .filter(c => !hot(c) && sizes.getOrElse(c, 0L) < minCell).toSet
+    val keep = centRows.filter { case (c, _) => !hot(c) && !tiny(c) }
+    require(keep.nonEmpty || hot.nonEmpty,
+      "rebalanceIvf: every cell is below minCell — rebalance would dissolve " +
+        "the whole index; lower minCell or retrain instead")
+
+    // seed selection: k-bounded per-cell smallest ids (constant score,
+    // exact Long tie-break), then the bounded seed set joins back for
+    // its vectors — never a full sort of the hot rows
+    val children: Seq[(Long, Long, Long, Seq[Float])] = // (childId, parent, seedId, vec)
+      if (hot.isEmpty) Seq.empty
+      else {
+        val sOf: Map[Long, Int] = hot.iterator
+          .map(c => c -> ((sizes(c) + maxCell - 1) / maxCell).toInt).toMap
+        val maxS = sOf.values.max
+        val hotRows = assigned
+          .filter(col("cell_id").isin(hot.toSeq.sorted: _*))
+        val picked = TopK.topKPerKeyAgg(
+          hotRows.select(col("cell_id"), col(idCol)),
+          Seq(col("cell_id")), lit(0.0), col(idCol), maxS)
+          .select(col("cell_id").cast("long"), col("id").cast("long"))
+          .collect().map(r => (r.getLong(0), r.getLong(1)))
+        val seedIds = picked.groupBy(_._1).toSeq.flatMap { case (c, rows) =>
+          rows.map(_._2).sorted.take(sOf(c)).map(c -> _).toSeq
+        }
+        val wanted = seedIds.map(_._2).distinct
+        val vecOf: Map[(Long, Long), Seq[Float]] = assigned
+          .filter(col(idCol).isin(wanted: _*))
+          .select(col("cell_id").cast("long"), col(idCol).cast("long"), col(vecCol))
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1)) -> r.getSeq[Float](2)).toMap
+        seedIds.sortBy(p => (p._1, p._2)).zipWithIndex.map { case ((c, sid), i) =>
+          (maxCentId + i + 1, c, sid, vecOf((c, sid)))
+        }
+      }
+
+    def normOf(v: Seq[Float]): Double = {
+      var n2 = 0.0
+      v.foreach(x => n2 += x.toDouble * x.toDouble)
+      math.max(math.sqrt(n2), V.NormEps)
+    }
+    val vn = greatest(sqrt(dotF(col(vecCol), col(vecCol))), lit(V.NormEps))
+    def argmaxOver(cands: Seq[(Long, Seq[Float])]): Column = {
+      val structs = cands.map { case (cid, cvec) =>
+        struct(
+          round(dotF(col(vecCol), typedLit(cvec)) / (vn * lit(normOf(cvec))), 6)
+            .as("score"),
+          lit(-cid).as("negid"))
+      }
+      -array_max(array(structs: _*)).getField("negid")
+    }
+
+    val survivors: Seq[(Long, Seq[Float])] =
+      keep ++ children.map(ch => (ch._1, ch._4))
+    val byParent: Map[Long, Seq[(Long, Seq[Float])]] =
+      children.groupBy(_._2).map { case (p, cs) => p -> cs.map(c => (c._1, c._4)) }
+
+    val mergeBase =
+      if (tiny.isEmpty) col("cell_id")
+      else when(col("cell_id").isin(tiny.toSeq.sorted: _*),
+        argmaxOver(survivors)).otherwise(col("cell_id"))
+    val newCell =
+      if (hot.isEmpty) mergeBase
+      else {
+        val splitCase = hot.toSeq.sorted.foldLeft(lit(null).cast("long")) {
+          (acc, h) => when(col("cell_id") === h, argmaxOver(byParent(h))).otherwise(acc)
+        }
+        when(col("cell_id").isin(hot.toSeq.sorted: _*), splitCase)
+          .otherwise(mergeBase)
+      }
+
+    val assignedNew = assigned.withColumn("cell_id", newCell)
+    val centroidsNew = survivors.sortBy(_._1)
+      .toDF(centIdCol, centVecCol)
+      .withColumn(centVecCol, col(centVecCol).cast("array<float>"))
+    (assignedNew, centroidsNew)
+  }
 }
