@@ -132,7 +132,11 @@ object Bench {
     // segment-gated audio near-dup, and the image/audio e2e decision
     // pipelines completing the media trio
     "q_shot_dedup_e2e", "q_audio_dedup_gated", "q_image_dedup_e2e",
-    "q_audio_dedup_e2e")
+    "q_audio_dedup_e2e",
+    // round-7 index-lifecycle additions: deterministic IVF rebalance,
+    // merge-on-read tombstone vacuum, reshard planning
+    "q_ivf_rebalance", "q_ivf_rebalance_search", "q_tombstone_vacuum",
+    "q_reshard_plan")
 
   /** Force FULL materialization of every output column: xxhash64 over all
     * columns, summed. `.count()` alone under-measures — Catalyst prunes

@@ -11520,6 +11520,65 @@ object SparkEntry {
         .withColumn("score", score6(V.cosine($"embedding", typedLit(query))))
       TopK.topK(scored, $"score", $"vec_id", 10)
         .select($"vec_id", $"score")
+    }),
+
+    // Merge-on-read delete lifecycle end to end: partitioned write →
+    // tombstone append (heavy deletes on even-suffixed sources, trickle
+    // on the rest) → threshold vacuum at 0.3 → per-source logical live
+    // count and SURVIVING sidecar size. The oracle recomputes the gate
+    // arithmetic from the delete rule, so the hash certifies both the
+    // reader's delete semantics and which partitions the vacuum chose.
+    // (The whole lifecycle — write, delete, vacuum — IS the operator
+    // under test, so it runs inside the query; TombstoneSpec pins the
+    // physical claims: untouched partitions byte-identical, fully-dead
+    // directories removed, idempotent re-run.)
+    "q_tombstone_vacuum" -> ((s, dir) => {
+      import s.implicits._
+      val d = java.nio.file.Files.createTempDirectory("graft_tomb_q_").toFile
+      jsonlTmpCleanup(d)
+      val path = new java.io.File(d, "docs").getAbsolutePath
+      val docs = t(s, dir, "documents")
+      docs.write.mode("overwrite").partitionBy("source").parquet(path)
+      // doc_id is round-robin over the 20 sources, so delete rules use
+      // moduli coprime to 20: heavy (~2/3 dead, past the gate) on
+      // even-suffixed sources, trickle (~1/7) on the rest
+      val heavy = substring($"source", 4, 10).cast("int") % 2 === 0
+      val dels = docs.select($"doc_id", $"source")
+        .filter((heavy && $"doc_id" % 3 =!= 0) || (!heavy && $"doc_id" % 7 === 0))
+      Layout.appendTombstones(s, path, dels, "doc_id", "source")
+      Layout.vacuumTombstones(s, path, "doc_id", "source", 0.3)
+      val side = s.read.parquet(s"$path/_tombstones")
+        .groupBy($"source").agg(count(lit(1)).as("n_tomb"))
+      Layout.readLogical(s, path, "doc_id", "source")
+        .groupBy($"source").agg(count(lit(1)).as("n_live"))
+        .join(side, Seq("source"), "left")
+        .select($"source", $"n_live", coalesce($"n_tomb", lit(0L)).as("n_tomb"))
+        .orderBy($"source")
+    }),
+
+    // Reshard planning 8 → 10 shards: the reference's md5-mod-N routing
+    // re-homes nearly every key when N changes; rendezvous hashing moves
+    // only the keys whose argmax lands on a new shard (~2/10). One row
+    // per scheme with the measured moved fraction — the migration-cost
+    // estimate a reshard runbook starts from.
+    "q_reshard_plan" -> ((s, dir) => {
+      import s.implicits._
+      val base = t(s, dir, "embeddings").select(
+        HashFunctions.shardHash($"vec_id", 8).as("m8"),
+        HashFunctions.shardHash($"vec_id", 10).as("m10"),
+        HashFunctions.rendezvousShard($"vec_id", 8).as("r8"),
+        HashFunctions.rendezvousShard($"vec_id", 10).as("r10"))
+      val mod = base.agg(
+        sum(($"m8" =!= $"m10").cast("long")).as("moved"),
+        count(lit(1)).as("total"))
+        .select(lit("mod").as("scheme"), $"moved", $"total",
+          score6($"moved".cast("double") / $"total").as("moved_pct"))
+      val rdv = base.agg(
+        sum(($"r8" =!= $"r10").cast("long")).as("moved"),
+        count(lit(1)).as("total"))
+        .select(lit("rendezvous").as("scheme"), $"moved", $"total",
+          score6($"moved".cast("double") / $"total").as("moved_pct"))
+      mod.unionByName(rdv).orderBy($"scheme")
     })
   )
 
@@ -11646,6 +11705,60 @@ object SparkEntry {
          |         ROUND(SUM(x*y)/(GREATEST(SQRT(SUM(x*x)),1e-12)
          |               *GREATEST(SQRT(SUM(y*y)),1e-12)), 6) + 0.0 AS score
          |  FROM qp GROUP BY vec_id)
-         |SELECT vec_id, score FROM qsc ORDER BY score DESC, vec_id LIMIT 10""".stripMargin
+         |SELECT vec_id, score FROM qsc ORDER BY score DESC, vec_id LIMIT 10""".stripMargin,
+
+    // the logical live count is vacuum-invariant by construction; the
+    // sidecar column replays the 0.3 dead-fraction gate per source
+    "q_tombstone_vacuum" ->
+      """WITH dels AS (
+        |  SELECT doc_id, source FROM documents
+        |  WHERE (CAST(substr(source, 4) AS INT) % 2 = 0 AND doc_id % 3 <> 0)
+        |     OR (CAST(substr(source, 4) AS INT) % 2 = 1 AND doc_id % 7 = 0)),
+        |agg AS (
+        |  SELECT d.source, COUNT(*) AS n_total, COUNT(x.doc_id) AS n_dead
+        |  FROM documents d LEFT JOIN dels x ON d.doc_id = x.doc_id
+        |  GROUP BY d.source)
+        |SELECT source, n_total - n_dead AS n_live,
+        |       CASE WHEN CAST(n_dead AS DOUBLE) / n_total >= 0.3
+        |            THEN 0 ELSE n_dead END AS n_tomb
+        |FROM agg ORDER BY source""".stripMargin,
+
+    "q_reshard_plan" -> {
+      // the Horner md5-fold of q_shard_route, parameterized by modulus
+      def modShard(n: Int) =
+        s"""SELECT vec_id,
+           |  (((((('0x'||substr(hx, 1,8))::BIGINT % $n) * 4294967296
+           |      + ('0x'||substr(hx, 9,8))::BIGINT) % $n) * 4294967296
+           |      + ('0x'||substr(hx,17,8))::BIGINT) % $n
+           |      * 4294967296 + ('0x'||substr(hx,25,8))::BIGINT) % $n AS shard
+           |FROM (SELECT vec_id, md5(vec_id::VARCHAR) AS hx FROM embeddings)""".stripMargin
+      def rdvShard(n: Int) =
+        s"""SELECT vec_id, s AS shard FROM (
+           |  SELECT vec_id, s,
+           |         row_number() OVER (PARTITION BY vec_id ORDER BY w DESC, s) rn
+           |  FROM (
+           |    SELECT e.vec_id, g.s,
+           |           ('0x'||substr(md5(e.vec_id::VARCHAR||':'||g.s::VARCHAR),1,15))::BIGINT w
+           |    FROM embeddings e CROSS JOIN (SELECT unnest(range($n)) AS s) g))
+           |WHERE rn = 1""".stripMargin
+      s"""WITH m8 AS (${modShard(8)}),
+         |m10 AS (${modShard(10)}),
+         |r8 AS (${rdvShard(8)}),
+         |r10 AS (${rdvShard(10)})
+         |SELECT 'mod' AS scheme,
+         |       SUM(CASE WHEN a.shard <> b.shard THEN 1 ELSE 0 END) AS moved,
+         |       COUNT(*) AS total,
+         |       ROUND(SUM(CASE WHEN a.shard <> b.shard THEN 1 ELSE 0 END)::DOUBLE
+         |             / COUNT(*), 6) + 0.0 AS moved_pct
+         |FROM m8 a JOIN m10 b ON a.vec_id = b.vec_id
+         |UNION ALL
+         |SELECT 'rendezvous' AS scheme,
+         |       SUM(CASE WHEN a.shard <> b.shard THEN 1 ELSE 0 END) AS moved,
+         |       COUNT(*) AS total,
+         |       ROUND(SUM(CASE WHEN a.shard <> b.shard THEN 1 ELSE 0 END)::DOUBLE
+         |             / COUNT(*), 6) + 0.0 AS moved_pct
+         |FROM r8 a JOIN r10 b ON a.vec_id = b.vec_id
+         |ORDER BY scheme""".stripMargin
+    }
   )
 }

@@ -30,4 +30,35 @@ object HashFunctions {
       pmod(m * two32 + chunk, lit(nShards.toLong))
     }
   }
+
+  /** Rendezvous (highest-random-weight) shard routing — Thaler &
+    * Ravishankar 1996: shard = argmax over s of w(id, s) where
+    * w = the first 60 bits of md5("id:s") (ties, i.e. 60-bit collisions,
+    * to the lowest s). Unlike the reference's mod-N (above), growing
+    * N → N+k moves ONLY the keys whose new argmax lands on a new shard —
+    * k/(N+k) of the data in expectation, versus ~(1 − 1/N) for mod-N
+    * where nearly every key re-homes. At 100 TB that is the difference
+    * between copying ~17% and copying ~90% of the corpus when going
+    * 8 → 10 shards; `q_reshard_plan` measures both on the fixture and
+    * HashFunctionsSpec pins the only-into-new-shards property.
+    *
+    * The argmax is an in-literal `array_max` over per-shard
+    * (weight, -s) structs — a pure per-row projection, no join, no
+    * shuffle, same discipline as `Ann.ivfAssign`. Cost is O(nShards)
+    * md5 calls per row; for thousand-shard fleets prefer a log-time
+    * scheme (jump hash) — this surface targets the reference's
+    * coordinator-scale shard counts.
+    */
+  def rendezvousShard(id: Column, nShards: Int): Column = {
+    require(nShards > 0 && nShards <= 4096,
+      "rendezvousShard: nShards must be in [1, 4096] (O(n) weights per row)")
+    val idStr = id.cast("string")
+    val weights = (0 until nShards).map { s =>
+      val hex = md5(concat(idStr, lit(":" + s)).cast("binary"))
+      struct(
+        conv(substring(hex, 1, 15), 16, 10).cast("long").as("w"),
+        lit(-s.toLong).as("negs"))
+    }
+    -array_max(array(weights: _*)).getField("negs")
+  }
 }

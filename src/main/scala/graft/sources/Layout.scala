@@ -395,4 +395,134 @@ object Layout {
     // is lazy would be fragile under retries
     writeVersion(spark, tableDir, merged.localCheckpoint(false))
   }
+
+  // ---------------------------------------------------------------------
+  // merge-on-read deletes: tombstone sidecar + threshold-gated vacuum
+  //
+  // `mergeCdc` applies deletes copy-on-write — every delete batch
+  // rewrites its partitions. At 100 TB with trickle deletes (GDPR keys,
+  // retention sweeps) that rewrites the same hot partitions daily for a
+  // handful of dead rows each. The merge-on-read discipline (Delta/
+  // Iceberg deletion vectors, Hudi MOR) decouples the two costs:
+  // deleting APPENDS a tombstone (O(batch)); readers anti-join the
+  // sidecar (bounded, broadcast); and `vacuumTombstones` pays the
+  // rewrite ONLY where tombstones have accumulated past a threshold —
+  // the physical delete is amortized, never per-batch.
+  //
+  // The sidecar lives at `<tableDir>/_tombstones`; underscore-prefixed
+  // paths are invisible to Spark's file listing, so plain
+  // `spark.read.parquet(tableDir)` still sees the raw table and ONLY
+  // [[readLogical]] applies deletes. Same preconditions as `mergeCdc`:
+  // keys unique table-wide, partCol a pure function of keyCol (which is
+  // why every tombstone can carry its partition).
+  // ---------------------------------------------------------------------
+
+  private def tombstonePath(tableDir: String) = s"$tableDir/_tombstones"
+
+  /** Record deletes as tombstones — an APPEND of (keyCol, partCol) rows
+    * to the sidecar; no table file is touched. Duplicate tombstones for
+    * a key are harmless (anti-join semantics) and collapse at vacuum.
+    */
+  def appendTombstones(spark: SparkSession, tableDir: String,
+                       deletes: DataFrame, keyCol: String,
+                       partCol: String): Unit =
+    deletes.select(col(keyCol), col(partCol))
+      .write.mode("append").parquet(tombstonePath(tableDir))
+
+  private def tombstones(spark: SparkSession, tableDir: String,
+                         keyCol: String, partCol: String): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(tombstonePath(tableDir))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) spark.read.parquet(tombstonePath(tableDir))
+    else spark.read.parquet(tableDir).select(col(keyCol), col(partCol)).limit(0)
+  }
+
+  /** The logical table: raw files minus tombstoned keys. The sidecar is
+    * bounded (vacuum keeps it trimmed), so the anti-join broadcasts it —
+    * a reader pays one in-memory hash probe per row, never a shuffle.
+    */
+  def readLogical(spark: SparkSession, tableDir: String, keyCol: String,
+                  partCol: String): DataFrame =
+    spark.read.parquet(tableDir).join(
+      broadcast(tombstones(spark, tableDir, keyCol, partCol)
+        .select(col(keyCol)).distinct()),
+      Seq(keyCol), "left_anti")
+
+  /** Physically purge tombstoned rows from every partition whose dead
+    * fraction (tombstones / physical rows) has reached `minDeadFraction`
+    * — the amortization gate: cold partitions with a stray tombstone
+    * stay merge-on-read, hot ones pay one rewrite and shed their
+    * sidecar entries. Partitions that end up FULLY dead have their
+    * directories removed (dynamic partition overwrite cannot write an
+    * empty partition). The sidecar is rewritten to exactly the surviving
+    * tombstones, de-duplicated. Re-running is a no-op (vacuumed
+    * partitions have no tombstones left).
+    *
+    * Scale shape: only partitions NAMED BY TOMBSTONES are ever read
+    * (isin pruning), and of those only the ones past the gate are
+    * rewritten; dead/live counts are two map-side-combined aggregates
+    * over the pruned scan. Driver state: one (partition, counts) row per
+    * tombstoned partition.
+    *
+    * Returns (partitions rewritten or removed, tombstones purged).
+    */
+  def vacuumTombstones(spark: SparkSession, tableDir: String,
+                       keyCol: String, partCol: String,
+                       minDeadFraction: Double): (Int, Long) = {
+    require(minDeadFraction > 0.0 && minDeadFraction <= 1.0,
+      s"minDeadFraction must be in (0, 1], got $minDeadFraction")
+    val ts = tombstones(spark, tableDir, keyCol, partCol)
+      .select(col(keyCol), col(partCol)).distinct()
+      .localCheckpoint(true) // the sidecar dir itself gets rewritten below
+    val deadPerPart = ts.groupBy(col(partCol)).agg(count(lit(1)).as("__dead"))
+    val parts = deadPerPart.select(col(partCol)).collect().map(_.get(0))
+    if (parts.isEmpty) return (0, 0L)
+
+    val tableSchema = org.apache.spark.sql.types.StructType(
+      spark.read.parquet(tableDir).schema.fields.toSeq
+        .sortBy(f => if (f.name == partCol) 1 else 0))
+    val touched = spark.read.schema(tableSchema).parquet(tableDir)
+      .filter(col(partCol).isin(parts: _*)) // partition-pruned scan
+    val livePerPart = touched.groupBy(col(partCol)).agg(count(lit(1)).as("__rows"))
+    val gate = deadPerPart.join(livePerPart, Seq(partCol))
+      .select(col(partCol), col("__dead"), col("__rows"))
+      .collect()
+      .map(r => (r.get(0), r.getLong(1), r.getLong(2)))
+    val chosen = gate.filter { case (_, d, n) =>
+      n > 0 && d.toDouble / n >= minDeadFraction
+    }
+    if (chosen.isEmpty) return (0, 0L)
+    val chosenVals = chosen.map(_._1)
+    val fullyDead = chosen.filter { case (_, d, n) => d == n }.map(_._1)
+    val partial = chosenVals.filterNot(fullyDead.contains)
+
+    // rewrite the partially-dead partitions without their tombstoned keys
+    if (partial.nonEmpty) {
+      val doomedKeys = ts.filter(col(partCol).isin(partial: _*)).select(col(keyCol))
+      val kept = touched.filter(col(partCol).isin(partial: _*))
+        .join(doomedKeys, Seq(keyCol), "left_anti")
+        .select(tableSchema.fieldNames.map(col): _*)
+        .localCheckpoint(true) // read completes before the overwrite
+      val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      try kept.write.mode("overwrite").partitionBy(partCol).parquet(tableDir)
+      finally prev match {
+        case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+        case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
+    }
+    // fully-dead partitions: no surviving row to carry the overwrite —
+    // remove the directory itself
+    val fs = new org.apache.hadoop.fs.Path(tableDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fullyDead.foreach { v =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$tableDir/$partCol=$v"), true): Unit
+    }
+    // sidecar compaction: only non-vacuumed partitions keep tombstones
+    val purged = ts.filter(col(partCol).isin(chosenVals: _*)).count()
+    val survive = ts.filter(!col(partCol).isin(chosenVals: _*))
+      .localCheckpoint(true)
+    survive.write.mode("overwrite").parquet(tombstonePath(tableDir))
+    (chosenVals.length, purged)
+  }
 }

@@ -36,4 +36,53 @@ class HashFunctionsSpec extends SparkSpec {
       .select(HashFunctions.shardHash(col("id"), 8)).head.getLong(0)
     assert(got == oracle("42", 8))
   }
+
+  /** Independent rendezvous oracle: argmax over first 60 bits of
+    * md5("id:s"), ties to lowest s.
+    */
+  private def rdvOracle(id: String, n: Int): Long = {
+    (0 until n).map { s =>
+      val hex = MessageDigest.getInstance("MD5")
+        .digest(s"$id:$s".getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString
+      (java.lang.Long.parseLong(hex.take(15), 16), s.toLong)
+    }.maxBy { case (w, s) => (w, -s) }._2
+  }
+
+  test("rendezvousShard replicates the 60-bit HRW argmax exactly") {
+    import spark.implicits._
+    for (n <- Seq(1, 2, 8, 10, 31)) {
+      val ids = (0 until 200).map(_.toString) ++ Seq("abc", "x:y", "")
+      val got = ids.toDF("id")
+        .select(col("id"), HashFunctions.rendezvousShard(col("id"), n))
+        .collect.map(r => r.getString(0) -> r.getLong(1)).toMap
+      ids.foreach(id => assert(got(id) == rdvOracle(id, n), s"id=$id n=$n"))
+    }
+  }
+
+  test("rendezvous growth 8 -> 10 moves keys ONLY into the new shards") {
+    import spark.implicits._
+    val df = (0 until 2000).map(_.toString).toDF("id")
+      .select(col("id"),
+        HashFunctions.rendezvousShard(col("id"), 8).as("s8"),
+        HashFunctions.rendezvousShard(col("id"), 10).as("s10"))
+    // the minimal-movement property: a key either keeps its shard or
+    // lands on shard 8/9 — no lateral churn among the old shards
+    assert(df.filter(col("s8") =!= col("s10") && col("s10") < 8).count() == 0)
+    // expected movement ~ 2/10; allow a wide deterministic band
+    val moved = df.filter(col("s8") =!= col("s10")).count()
+    assert(moved > 2000 * 0.12 && moved < 2000 * 0.28, s"moved=$moved")
+    // and each of 10 shards gets a reasonable share (balance sanity)
+    val sizes = df.groupBy("s10").count().collect().map(_.getLong(1))
+    assert(sizes.length == 10 && sizes.min > 100, sizes.mkString(","))
+  }
+
+  test("rendezvousShard plan is a pure projection: no Exchange, no Join") {
+    import spark.implicits._
+    val df = (0 until 100).map(_.toString).toDF("id")
+      .select(HashFunctions.rendezvousShard(col("id"), 8).as("s"))
+    df.count()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") && !plan.contains("Join"), plan)
+  }
 }
