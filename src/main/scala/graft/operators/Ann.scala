@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.expressions.FloatVectorExpressions.dotF
 import graft.functions.{VectorFunctions => V}
+import graft.sources.Layout
 
 /** Approximate nearest-neighbor search: IVF (inverted-file) coarse
   * quantization over the embedding column.
@@ -767,25 +768,126 @@ object Ann {
                    idCol: String, vecCol: String,
                    centIdCol: String, centVecCol: String,
                    maxCell: Long, minCell: Long): (DataFrame, DataFrame) = {
-    require(maxCell >= 1, "rebalanceIvf: maxCell must be >= 1")
-    require(minCell >= 0 && minCell <= maxCell,
-      "rebalanceIvf: need 0 <= minCell <= maxCell")
     val spark = assigned.sparkSession
     import spark.implicits._
-
-    val centRows: Seq[(Long, Seq[Float])] = centroids
-      .select(col(centIdCol).cast("long"), col(centVecCol))
-      .collect().toSeq
-      .map(r => (r.getLong(0), r.getSeq[Float](1)))
-      .sortBy(_._1)
-    require(centRows.nonEmpty, "rebalanceIvf: centroids must be non-empty")
-    val allCentIds = centRows.map(_._1).toSet
-    val maxCentId = centRows.map(_._1).max
-
+    val centRows = collectCentroids(centroids, centIdCol, centVecCol,
+      "rebalanceIvf")
     // one map-side-combined count; C rows to the driver
     val sizes: Map[Long, Long] = assigned.groupBy(col("cell_id"))
       .agg(count(lit(1)).as("__n"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val plan = planRebalance(centRows, sizes,
+      cells => assigned.filter(col("cell_id").isin(cells: _*)),
+      idCol, vecCol, maxCell, minCell)
+    val assignedNew = assigned
+      .withColumn("cell_id", newCellColumn(plan, vecCol))
+    val centroidsNew = plan.survivors.sortBy(_._1)
+      .toDF(centIdCol, centVecCol)
+      .withColumn(centVecCol, col(centVecCol).cast("array<float>"))
+    (assignedNew, centroidsNew)
+  }
+
+  /** [[rebalanceIvf]] against an ON-DISK IVF index ([[writeIvfIndex]]
+    * layout: one directory per cell) — the maintenance pass a
+    * `streamInsertIndexed` table needs as ingest skews its cells.
+    * Disk-side scale shape, the reason this variant exists:
+    *
+    *   - cell SIZES come from a partition-column-only count — parquet
+    *     footers + directory listing, no data column is read;
+    *   - only the HOT and TINY cells' directories are ever READ
+    *     (PartitionFilters pruning via [[Layout.readPartitions]]);
+    *   - only those directories plus the merge DESTINATIONS are ever
+    *     WRITTEN: re-homed rows append to their new cell's directory,
+    *     dissolved parents' directories are removed. Healthy cells are
+    *     untouched bytes on disk (RebalanceSpec asserts the listing).
+    *
+    * Durability caveat (documented, not hidden): append-then-delete is
+    * two filesystem operations; a crash between them leaves the moved
+    * rows present in BOTH their old and new directories until a re-run
+    * completes the delete. Plain parquet directories have no
+    * cross-directory commit; a table format's transaction log is the
+    * production answer, and this op keeps the same per-partition
+    * semantics underneath it.
+    *
+    * Returns (#cells rewritten-or-removed, new centroid table).
+    */
+  def rebalanceIvfOnDisk(spark: org.apache.spark.sql.SparkSession,
+                         path: String, centroids: DataFrame,
+                         idCol: String, vecCol: String,
+                         centIdCol: String, centVecCol: String,
+                         maxCell: Long, minCell: Long): (Int, DataFrame) = {
+    import spark.implicits._
+    val centRows = collectCentroids(centroids, centIdCol, centVecCol,
+      "rebalanceIvfOnDisk")
+    val table = spark.read.parquet(path)
+    // partition-column-only aggregation: footer row counts, no data scan
+    val sizes: Map[Long, Long] = table
+      .groupBy(col("cell_id").cast("long").as("cell_id"))
+      .agg(count(lit(1)).as("__n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val plan = planRebalance(centRows, sizes,
+      cells => Layout.readPartitions(spark, path, "cell_id", cells)
+        .withColumn("cell_id", col("cell_id").cast("long")),
+      idCol, vecCol, maxCell, minCell)
+    val centroidsNew = plan.survivors.sortBy(_._1)
+      .toDF(centIdCol, centVecCol)
+      .withColumn(centVecCol, col(centVecCol).cast("array<float>"))
+    val touched = (plan.hot ++ plan.tiny).toSeq.sorted
+    if (touched.isEmpty) return (0, centroidsNew)
+    // move = re-home the imbalanced cells' rows (pruned read), append to
+    // their destination directories, then drop the dissolved parents
+    val moved = Layout.readPartitions(spark, path, "cell_id", touched)
+      .withColumn("cell_id", col("cell_id").cast("long"))
+    val dataCols = moved.columns.filter(_ != "cell_id").map(col)
+    val rehomed = moved
+      .withColumn("cell_id", newCellColumn(plan, vecCol))
+      .select(dataCols :+ col("cell_id"): _*)
+      .localCheckpoint(true) // the read must finish before dirs change
+    rehomed.write.mode("append").partitionBy("cell_id").parquet(path)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    touched.foreach { c =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$path/cell_id=$c"), true): Unit
+    }
+    (touched.length, centroidsNew)
+  }
+
+  /** Driver-bounded rebalance decision state: which cells split, which
+    * dissolve, the surviving (id, vector) centroid set, and each hot
+    * parent's child centroids.
+    */
+  private final case class RebalPlan(
+      hot: Set[Long], tiny: Set[Long],
+      survivors: Seq[(Long, Seq[Float])],
+      byParent: Map[Long, Seq[(Long, Seq[Float])]])
+
+  private def collectCentroids(centroids: DataFrame, centIdCol: String,
+                               centVecCol: String,
+                               who: String): Seq[(Long, Seq[Float])] = {
+    val rows = centroids
+      .select(col(centIdCol).cast("long"), col(centVecCol))
+      .collect().toSeq
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+      .sortBy(_._1)
+    require(rows.nonEmpty, s"$who: centroids must be non-empty")
+    rows
+  }
+
+  /** The shared planning core of [[rebalanceIvf]] / [[rebalanceIvfOnDisk]]:
+    * classify cells, pick split seeds from the hot rows (fetched lazily
+    * and ONLY for hot cells via `rowsOf`), number children, assemble the
+    * survivor set. All state driver-bounded by the index structure.
+    */
+  private def planRebalance(centRows: Seq[(Long, Seq[Float])],
+                            sizes: Map[Long, Long],
+                            rowsOf: Seq[Long] => DataFrame,
+                            idCol: String, vecCol: String,
+                            maxCell: Long, minCell: Long): RebalPlan = {
+    require(maxCell >= 1, "rebalanceIvf: maxCell must be >= 1")
+    require(minCell >= 0 && minCell <= maxCell,
+      "rebalanceIvf: need 0 <= minCell <= maxCell")
+    val allCentIds = centRows.map(_._1).toSet
+    val maxCentId = centRows.map(_._1).max
     val unknown = sizes.keySet -- allCentIds
     require(unknown.isEmpty,
       s"rebalanceIvf: assigned rows reference unknown cells ${unknown.toSeq.sorted.take(5)}")
@@ -807,8 +909,7 @@ object Ann {
         val sOf: Map[Long, Int] = hot.iterator
           .map(c => c -> ((sizes(c) + maxCell - 1) / maxCell).toInt).toMap
         val maxS = sOf.values.max
-        val hotRows = assigned
-          .filter(col("cell_id").isin(hot.toSeq.sorted: _*))
+        val hotRows = rowsOf(hot.toSeq.sorted)
         val picked = TopK.topKPerKeyAgg(
           hotRows.select(col("cell_id"), col(idCol)),
           Seq(col("cell_id")), lit(0.0), col(idCol), maxS)
@@ -818,7 +919,7 @@ object Ann {
           rows.map(_._2).sorted.take(sOf(c)).map(c -> _).toSeq
         }
         val wanted = seedIds.map(_._2).distinct
-        val vecOf: Map[(Long, Long), Seq[Float]] = assigned
+        val vecOf: Map[(Long, Long), Seq[Float]] = hotRows
           .filter(col(idCol).isin(wanted: _*))
           .select(col("cell_id").cast("long"), col(idCol).cast("long"), col(vecCol))
           .collect()
@@ -828,6 +929,18 @@ object Ann {
         }
       }
 
+    val survivors = keep ++ children.map(ch => (ch._1, ch._4))
+    val byParent: Map[Long, Seq[(Long, Seq[Float])]] =
+      children.groupBy(_._2).map { case (p, cs) => p -> cs.map(c => (c._1, c._4)) }
+    RebalPlan(hot, tiny, survivors, byParent)
+  }
+
+  /** The re-homing projection: healthy rows keep their cell, hot-cell
+    * rows argmax over their parent's children, tiny-cell rows argmax
+    * over all survivors — quantized-cosine total order, in-literal
+    * matrices, no join, no exchange.
+    */
+  private def newCellColumn(plan: RebalPlan, vecCol: String): Column = {
     def normOf(v: Seq[Float]): Double = {
       var n2 = 0.0
       v.foreach(x => n2 += x.toDouble * x.toDouble)
@@ -843,30 +956,18 @@ object Ann {
       }
       -array_max(array(structs: _*)).getField("negid")
     }
-
-    val survivors: Seq[(Long, Seq[Float])] =
-      keep ++ children.map(ch => (ch._1, ch._4))
-    val byParent: Map[Long, Seq[(Long, Seq[Float])]] =
-      children.groupBy(_._2).map { case (p, cs) => p -> cs.map(c => (c._1, c._4)) }
-
     val mergeBase =
-      if (tiny.isEmpty) col("cell_id")
-      else when(col("cell_id").isin(tiny.toSeq.sorted: _*),
-        argmaxOver(survivors)).otherwise(col("cell_id"))
-    val newCell =
-      if (hot.isEmpty) mergeBase
-      else {
-        val splitCase = hot.toSeq.sorted.foldLeft(lit(null).cast("long")) {
-          (acc, h) => when(col("cell_id") === h, argmaxOver(byParent(h))).otherwise(acc)
-        }
-        when(col("cell_id").isin(hot.toSeq.sorted: _*), splitCase)
-          .otherwise(mergeBase)
+      if (plan.tiny.isEmpty) col("cell_id")
+      else when(col("cell_id").isin(plan.tiny.toSeq.sorted: _*),
+        argmaxOver(plan.survivors)).otherwise(col("cell_id"))
+    if (plan.hot.isEmpty) mergeBase
+    else {
+      val splitCase = plan.hot.toSeq.sorted.foldLeft(lit(null).cast("long")) {
+        (acc, h) =>
+          when(col("cell_id") === h, argmaxOver(plan.byParent(h))).otherwise(acc)
       }
-
-    val assignedNew = assigned.withColumn("cell_id", newCell)
-    val centroidsNew = survivors.sortBy(_._1)
-      .toDF(centIdCol, centVecCol)
-      .withColumn(centVecCol, col(centVecCol).cast("array<float>"))
-    (assignedNew, centroidsNew)
+      when(col("cell_id").isin(plan.hot.toSeq.sorted: _*), splitCase)
+        .otherwise(mergeBase)
+    }
   }
 }

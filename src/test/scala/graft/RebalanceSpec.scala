@@ -103,6 +103,47 @@ class RebalanceSpec extends SparkSpec {
     assert(via == brute)
   }
 
+  private def listing(path: String): Seq[(String, Long, Long)] = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root)
+      .filter(_.getPath.getName.endsWith(".parquet"))
+      .map(s => (s.getPath.getName, s.getLen, s.getModificationTime))
+      .sortBy(_._1).toSeq
+  }
+
+  test("on-disk rebalance touches only imbalanced cell dirs; agrees with in-memory") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_reb_").toFile
+    dir.deleteOnExit()
+    val path = new java.io.File(dir, "ivf").getAbsolutePath
+    graft.operators.Ann.writeIvfIndex(assigned, path)
+    val healthyBefore = listing(s"$path/cell_id=1")
+    val (nTouched, cN) = Ann.rebalanceIvfOnDisk(spark, path, cents,
+      "vec_id", "embedding", "cent_id", "cvec", maxCell = 4, minCell = 2)
+    assert(nTouched == 3, "hot cell 0, tiny cell 2, and empty cell 3 (no dir to remove)")
+    // the healthy cell's ORIGINAL file is still there untouched (the
+    // tiny merge APPENDS a new file beside it, never rewrites)
+    val healthyAfter = listing(s"$path/cell_id=1")
+    assert(healthyBefore.forall(healthyAfter.contains),
+      s"cell 1's original files must survive byte-identical: " +
+        s"$healthyBefore vs $healthyAfter")
+    assert(healthyAfter.size > healthyBefore.size, "merge destination appends")
+    // dissolved parents are gone; children exist
+    assert(listing(s"$path/cell_id=0").isEmpty && listing(s"$path/cell_id=2").isEmpty)
+    assert(listing(s"$path/cell_id=4").nonEmpty && listing(s"$path/cell_id=5").nonEmpty
+      && listing(s"$path/cell_id=6").nonEmpty)
+    // row-level agreement with the in-memory pass
+    val (aMem, cMem) = Ann.rebalanceIvf(assigned, cents, "vec_id", "embedding",
+      "cent_id", "cvec", maxCell = 4, minCell = 2)
+    val disk = spark.read.parquet(path)
+      .select(col("vec_id"), col("cell_id").cast("long").as("cell_id"))
+    assert(disk.exceptAll(aMem.select("vec_id", "cell_id")).count() == 0)
+    assert(aMem.select("vec_id", "cell_id").exceptAll(disk).count() == 0)
+    assert(cN.collect().map(_.getLong(0)).sorted.toSeq ==
+      cMem.collect().map(_.getLong(0)).sorted.toSeq)
+  }
+
   test("loud failures: bad bounds, unknown cells, index-wide dissolution") {
     import spark.implicits._
     intercept[IllegalArgumentException] {
