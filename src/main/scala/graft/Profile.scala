@@ -20,7 +20,8 @@ import graft.operators.Dedup
   * `graph` (triangle count under a 10⁵-degree hub, 1×/10×), `rf`
   * (runtime-filter join shuffle-byte comparison), `url` (crawl-front
   * canonicalize/dedup/domain stats U1/U10, V1/V10), `align`
-  * (Gale-Church self-rewrite alignment 1×/10×).
+  * (Gale-Church self-rewrite alignment 1×/10×), `ivfmaint` (IVF
+  * rebalance 1×/10× + one-hot-cell split, tombstone vacuum 1×/10×).
   */
 object Profile {
   def main(args: Array[String]): Unit = {
@@ -926,6 +927,76 @@ object Profile {
           require(e.getMessage.contains("budget")); "threw-as-designed"
         }
       }
+    }
+
+    // IVF-maintenance scale probes: rebalance cost must track the
+    // IMBALANCED rows (hot splits + tiny merges), never the table, and
+    // a single grossly-hot cell must split in time linear in its own
+    // size. Vacuum cost must track the tombstoned partitions.
+    if (on("ivfmaint")) {
+      import graft.operators.Ann
+      import graft.sources.Layout
+      val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        .select($"vec_id", $"embedding").repartition(32)
+      val cents = e.filter($"vec_id" < 16)
+        .select($"vec_id".as("cent_id"), $"embedding".as("cvec"))
+      def dupE(k: Int): DataFrame =
+        (0 until k).map(i =>
+          e.withColumn("vec_id", $"vec_id" + lit(i * 1000000L)))
+          .reduce(_ unionByName _).repartition(32)
+      // fixtures (union lineage + assignment) materialize OUTSIDE the
+      // timed region — the probe times the MAINTENANCE PASS, per the
+      // de-fixturing discipline (VERDICT r6 item 4)
+      def assigned(d: DataFrame): DataFrame =
+        Ann.ivfAssign(d, cents, "vec_id", "embedding", "cent_id", "cvec")
+          .localCheckpoint(true)
+      def reb(a: DataFrame, mx: Long, mn: Long): Long = {
+        val (aN, _) = Ann.rebalanceIvf(a, cents, "vec_id", "embedding",
+          "cent_id", "cvec", mx, mn)
+        aN.groupBy($"cell_id").count().count()
+      }
+      def bounds(n: Long): (Long, Long) =
+        (math.max(1L, 21L * n / 320L), 9L * n / 160L)
+      val a1 = assigned(dupE(1)); val n1 = a1.count()
+      val a10 = assigned(dupE(10)); val n10 = a10.count()
+      val (x1, m1) = bounds(n1); val (x10, m10) = bounds(n10)
+      reb(a1, x1, m1) // warmup
+      time("IV1 rebalance 1x")(println("  cells=" + reb(a1, x1, m1)))
+      time("IV10 rebalance 10x")(println("  cells10=" + reb(a10, x10, m10)))
+      // one grossly-hot cell: the base corpus plus 20 extra copies of a
+      // single cell's members. ABSOLUTE bounds (400/50) keep every other
+      // cell healthy, so the pass touches only the one hot cell — cost
+      // must track its rows, not the table
+      val a0 = assigned(e)
+      val hotCell = a0.groupBy($"cell_id").count()
+        .orderBy($"count".desc, $"cell_id").head.getLong(0)
+      val hotMembers = a0.filter($"cell_id" === hotCell)
+        .select($"vec_id", $"embedding")
+      val aH = assigned((0 until 20).map(i =>
+        hotMembers.withColumn("vec_id", $"vec_id" + lit((i + 1) * 10000000L)))
+        .reduce(_ unionByName _).unionByName(e).repartition(32))
+      time("IVH rebalance, one 21x-hot cell")(
+        println("  cellsH=" + reb(aH, 400L, 50L)))
+
+      def vac(k: Int): Unit = {
+        val dir = java.nio.file.Files.createTempDirectory("graft_pvac_").toFile
+        dir.deleteOnExit()
+        val path = new java.io.File(dir, "t").getAbsolutePath
+        val d = (0 until k).map(i =>
+          docs.select(($"doc_id" + lit(i * 10000000L)).as("doc_id"), $"source"))
+          .reduce(_ unionByName _).repartition(32)
+        d.write.mode("overwrite").partitionBy("source").parquet(path)
+        val heavy = substring($"source", 4, 10).cast("int") % 2 === 0
+        val dels = d.filter((heavy && $"doc_id" % 3 =!= 0) ||
+          (!heavy && $"doc_id" % 7 === 0)).select($"doc_id", $"source")
+        Layout.appendTombstones(spark, path, dels, "doc_id", "source")
+        val (nP, purged) =
+          Layout.vacuumTombstones(spark, path, "doc_id", "source", 0.3)
+        println(s"  vacuumed=$nP purged=$purged")
+      }
+      vac(1) // warmup
+      time("TV1 tombstone vacuum 1x")(vac(1))
+      time("TV10 tombstone vacuum 10x")(vac(10))
     }
 
     spark.stop()
