@@ -852,6 +852,60 @@ object Ann {
     (touched.length, centroidsNew)
   }
 
+  /** A computed rebalance DECISION, exposed so storage layouts beyond
+    * [[writeIvfIndex]]'s one-dir-per-cell shape (e.g. the maintained
+    * streaming ingest's batch-addressed layout in
+    * `graft.streaming.Streaming.streamInsertIndexedMaintained`) can run
+    * the same deterministic split/merge policy against their own
+    * move/commit mechanics. Everything here is driver-bounded by the
+    * INDEX structure (centroids + seeds), never the corpus.
+    */
+  final class IvfRebalance private[operators] (
+      private val plan: RebalPlan,
+      centIdCol: String, centVecCol: String) {
+    /** Cells that split or dissolve — the ONLY cells whose rows move. */
+    val touchedCells: Seq[Long] = (plan.hot ++ plan.tiny).toSeq.sorted
+    /** True when every cell is within bounds: nothing to move, the
+      * centroid table is unchanged.
+      */
+    def isNoop: Boolean = touchedCells.isEmpty
+    /** The re-homing projection for rows of touched cells — same
+      * quantized-cosine total order as [[ivfAssign]] (see
+      * [[rebalanceIvf]]'s determinism contract); healthy rows map to
+      * their current cell. Pure per-row argmax over in-literal seed /
+      * survivor matrices: no join, no exchange.
+      */
+    def rehomeColumn(vecCol: String): Column = newCellColumn(plan, vecCol)
+    /** Post-rebalance centroid table as (centIdCol BIGINT, centVecCol
+      * ARRAY<FLOAT>) — survivors plus split children.
+      */
+    def centroidsNew(spark: org.apache.spark.sql.SparkSession): DataFrame = {
+      import spark.implicits._
+      plan.survivors.sortBy(_._1).toDF(centIdCol, centVecCol)
+        .withColumn(centVecCol, col(centVecCol).cast("array<float>"))
+    }
+  }
+
+  /** Plan-only face of [[rebalanceIvf]]: classify cells against
+    * (`maxCell`, `minCell`), pick split seeds (fetching rows ONLY for hot
+    * cells via `rowsOf`), and return the decision without moving
+    * anything. `sizes` is the per-cell row count (one footer/partition
+    * count at any scale); `rowsOf(cells)` must return those cells' rows
+    * with at least (cell_id, idCol, vecCol). Same loud-failure contract
+    * as [[rebalanceIvf]].
+    */
+  def planIvfRebalance(centroids: DataFrame, sizes: Map[Long, Long],
+                       rowsOf: Seq[Long] => DataFrame,
+                       idCol: String, vecCol: String,
+                       centIdCol: String, centVecCol: String,
+                       maxCell: Long, minCell: Long): IvfRebalance = {
+    val centRows = collectCentroids(centroids, centIdCol, centVecCol,
+      "planIvfRebalance")
+    new IvfRebalance(
+      planRebalance(centRows, sizes, rowsOf, idCol, vecCol, maxCell, minCell),
+      centIdCol, centVecCol)
+  }
+
   /** Driver-bounded rebalance decision state: which cells split, which
     * dissolve, the surviving (id, vector) centroid set, and each hot
     * parent's child centroids.

@@ -164,6 +164,9 @@
   *    ingest, media signature ingest (video frame, audio window, image
   *    dHash) with batch-addressed replay-safe stores:
   *    [[graft.streaming.Streaming]]
+  *  - Continuous IVF ingest with in-stream index maintenance
+  *    (insert + crash-safe split/merge rebalance, versioned centroid
+  *    store): [[graft.streaming.Streaming.streamInsertIndexedMaintained]]
   *
   * ==SQL surface==
   *

@@ -456,6 +456,203 @@ object Streaming {
       .start()
   }
 
+  /** [[streamInsertIndexed]] WITH index maintenance: continuous IVF
+    * ingest that runs [[graft.operators.Ann.rebalanceIvf]]'s
+    * deterministic split/merge policy against the growing table whenever
+    * ingest skews its cells — the full continuous-ingest lifecycle
+    * (SPFresh's insert+rebalance loop, Xu et al. SOSP'23) as ONE
+    * streaming query, instead of an external cron job racing the writer.
+    *
+    * Layout: rows land under `cell_id=<c>/__b=<n>` — cell directories
+    * (the IVF index: probes prune to probed cells, exactly like
+    * [[graft.operators.Ann.readIvfCells]]) subdivided by a batch
+    * address. The batch address is what makes foreachBatch's
+    * at-least-once exactly-once WITHOUT the file-sink `_spark_metadata`
+    * manifest (a static manifest cannot survive a rebalance moving files
+    * between directories): ingest batch n writes only `__b=n` subdirs,
+    * so a replayed batch deletes its own subdirs and re-appends.
+    * Maintenance within batch n's invocation writes re-homed rows under
+    * `__b=-(n+1)` (a disjoint address space) and commits through a
+    * versioned centroid store:
+    *
+    *   1. re-homed rows of hot/tiny cells append under `__b=-(n+1)`;
+    *   2. the post-rebalance centroid table writes to `_centroids/v_n`;
+    *   3. a `_GRAFT_COMMIT` file (listing the source cells) lands inside
+    *      `v_n` — THE commit point;
+    *   4. the source cell directories are deleted.
+    *
+    * Crash recovery on replay (detected by the batch's `_attempts`
+    * marker, so the recovery listings cost nothing on the happy path):
+    * an uncommitted `v_n` rolls BACK (delete `v_n` and the `__b=-(n+1)`
+    * subdirs — the sources are still intact), a committed one rolls
+    * FORWARD (re-delete the listed source dirs, idempotent); then the
+    * batch's own `__b=n` debris is deleted and the batch re-runs against
+    * the latest COMMITTED centroids. Either way every input row lands
+    * exactly once and the table's cells always match the committed
+    * centroid table — the probe-correctness invariant. StreamingSpec
+    * injects crashes at both windows plus after the batch append.
+    *
+    * Scale shape per batch: assignment is the zero-shuffle in-literal
+    * projection; cell sizes are one footer-only count (gated to every
+    * `checkEvery` batches); planning fetches rows ONLY for imbalanced
+    * cells; moves touch only those cells' directories (healthy cell
+    * dirs stay untouched bytes — spec-asserted by file listing).
+    * Directory count grows one `__b` subdir per cell per batch;
+    * `Layout.compact` per cell directory is the small-file maintenance
+    * pass, the same obligation every log-structured table format carries.
+    *
+    * `minCell` = 0 (default) disables dissolution — raise it only once
+    * the index is warm, or early near-empty cells dissolve. Ids must be
+    * integral (they ride the rebalance's Long-typed seed buffer; hash
+    * string ids to longs first). `onMaintain(batchId, nTouched)` fires
+    * after each committed rebalance. `maintHook` is a TEST SEAM, called
+    * at "maint-appended" / "maint-committed" / "batch-appended".
+    */
+  def streamInsertIndexedMaintained(
+      stream: DataFrame, dim: Int, numShards: Int,
+      centroids: DataFrame, centIdCol: String, centVecCol: String,
+      tablePath: String, checkpointPath: String,
+      maxCell: Long, minCell: Long = 0L, checkEvery: Int = 1,
+      onMaintain: (Long, Int) => Unit = (_, _) => (),
+      maintHook: String => Unit = _ => ()): StreamingQuery = {
+    import graft.operators.Ann
+    import org.apache.hadoop.fs.Path
+    require(checkEvery >= 1, "checkEvery must be >= 1")
+    stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointPath)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val idType = batch.schema("id").dataType
+        require(idType == org.apache.spark.sql.types.LongType ||
+          idType == org.apache.spark.sql.types.IntegerType,
+          s"streamInsertIndexedMaintained needs integral ids, got $idType")
+        val root = new Path(tablePath)
+        val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val attempts = new Path(root, "_attempts")
+        val attempt = new Path(attempts, s"a_$batchId")
+        val replay = fs.exists(attempt)
+        if (!replay) {
+          fs.mkdirs(attempts)
+          fs.create(attempt, true).close()
+        }
+        // this batch firing at all means every earlier batch committed;
+        // dead markers are pruned so the marker set stays O(1)
+        fs.listStatus(attempts).map(_.getPath)
+          .filter(p => p.getName.stripPrefix("a_").toLong < batchId)
+          .foreach(p => fs.delete(p, false): Unit)
+
+        def cellDirs(): Seq[Path] =
+          if (!fs.exists(root)) Seq.empty
+          else fs.listStatus(root).filter(_.isDirectory).map(_.getPath)
+            .filter(_.getName.startsWith("cell_id=")).toSeq
+        def deleteSubdirs(b: Long): Unit = cellDirs().foreach { d =>
+          val p = new Path(d, s"__b=$b")
+          if (fs.exists(p)) {
+            fs.delete(p, true): Unit
+            // a cell directory exists iff it holds data — an emptied one
+            // must go, or the next footer count reads a file-less table
+            if (fs.listStatus(d).isEmpty) fs.delete(d, true): Unit
+          }
+        }
+        val vDir = new Path(new Path(root, "_centroids"), s"v_$batchId")
+        val commitFile = new Path(vDir, "_GRAFT_COMMIT")
+        if (replay) {
+          if (fs.exists(commitFile)) {
+            // maintenance committed: roll FORWARD — finish the source
+            // deletes (idempotent), keep the re-homed rows + centroids
+            val in = fs.open(commitFile)
+            val srcs =
+              try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+              finally in.close()
+            srcs.filter(_.nonEmpty).foreach { c =>
+              val p = new Path(root, s"cell_id=$c")
+              if (fs.exists(p)) fs.delete(p, true): Unit
+            }
+          } else {
+            // uncommitted: roll BACK — sources are intact, drop the
+            // centroid draft and any re-homed debris
+            if (fs.exists(vDir)) fs.delete(vDir, true): Unit
+            deleteSubdirs(-(batchId + 1))
+          }
+          deleteSubdirs(batchId) // the batch's own dead append
+        }
+
+        var cents = maintainedCentroids(spark, tablePath, centroids)
+
+        if (batchId % checkEvery == 0 && cellDirs().nonEmpty) {
+          // footer-only: count over the partition column reads no data
+          val sizes: Map[Long, Long] = spark.read.parquet(tablePath)
+            .groupBy(col("cell_id").cast("long").as("c"))
+            .agg(count(lit(1)).as("n"))
+            .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+          val dec = Ann.planIvfRebalance(cents, sizes,
+            cs => graft.sources.Layout
+              .readPartitions(spark, tablePath, "cell_id", cs)
+              .withColumn("cell_id", col("cell_id").cast("long")),
+            "id", "embedding", centIdCol, centVecCol, maxCell, minCell)
+          if (!dec.isNoop) {
+            val touched = dec.touchedCells
+            val moved = graft.sources.Layout
+              .readPartitions(spark, tablePath, "cell_id", touched)
+              .withColumn("cell_id", col("cell_id").cast("long"))
+            val dataCols = moved.columns
+              .filter(c => c != "cell_id" && c != "__b").map(col)
+            val rehomed = moved
+              .withColumn("cell_id", dec.rehomeColumn("embedding"))
+              .select(dataCols :+ col("cell_id"): _*)
+              .withColumn("__b", lit(-(batchId + 1)))
+              .localCheckpoint(true) // read must finish before dirs change
+            rehomed.write.mode("append")
+              .partitionBy("cell_id", "__b").parquet(tablePath)
+            maintHook("maint-appended")
+            dec.centroidsNew(spark).repartition(1)
+              .write.mode("overwrite").parquet(vDir.toString)
+            val out = fs.create(commitFile, true)
+            try out.write(touched.mkString("", "\n", "\n").getBytes("UTF-8"))
+            finally out.close()
+            maintHook("maint-committed")
+            touched.foreach { c =>
+              fs.delete(new Path(root, s"cell_id=$c"), true): Unit
+            }
+            cents = dec.centroidsNew(spark)
+            onMaintain(batchId, touched.length)
+          }
+        }
+
+        Ann.ivfAssign(VectorStore.prepare(batch, dim, numShards),
+            cents, "id", "embedding", centIdCol, centVecCol)
+          .withColumn("__b", lit(batchId))
+          .write.mode("append").partitionBy("cell_id", "__b")
+          .parquet(tablePath)
+        maintHook("batch-appended")
+        ()
+      }
+      .start()
+  }
+
+  /** Latest COMMITTED centroid table of a
+    * [[streamInsertIndexedMaintained]] table — the centroid set probes
+    * must use. Falls back to `fallback` before the first rebalance.
+    * Centroid versions accumulate (each is index-structure-sized, a few
+    * KB); prune superseded `v_*` dirs out-of-band once no reader can
+    * still hold them — never the latest committed one.
+    */
+  def maintainedCentroids(spark: org.apache.spark.sql.SparkSession,
+                          tablePath: String, fallback: DataFrame): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val centsRoot = new Path(new Path(tablePath), "_centroids")
+    val fs = centsRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(centsRoot)) fallback
+    else fs.listStatus(centsRoot).map(_.getPath)
+      .filter(p => p.getName.startsWith("v_") &&
+        fs.exists(new Path(p, "_GRAFT_COMMIT")))
+      .sortBy(_.getName.stripPrefix("v_").toLong)
+      .lastOption
+      .map(p => spark.read.parquet(p.toString))
+      .getOrElse(fallback)
+  }
+
   /** Continuous query SERVING: a stream of (query id, embedding) rows
     * answered against a static corpus — the reference's request loop
     * (`coordinator/main.py:58-86`) as a structured stream instead of an

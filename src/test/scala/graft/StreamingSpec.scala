@@ -1060,4 +1060,182 @@ class StreamingSpec extends SparkSpec {
     assert(st.select("__vid").collect().map(_.getLong(0)).sorted
       .toSeq == Seq(1L, 3L, 5L))
   }
+
+  // ---- maintained indexed ingest (insert + rebalance lifecycle) ----
+
+  private val maintSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("id",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("embedding",
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.FloatType))))
+
+  /** 6 vectors near e1 (→ cell 0, over maxCell=4) + 1 near e2 (cell 1).
+    * The hot cell is two tight 3-member sub-clusters with the two
+    * SMALLEST ids (= the split seeds) in different sub-clusters, so the
+    * seeded-Voronoi split lands 3/3 — a stable state the maintenance
+    * re-check after a crash replay must leave alone.
+    */
+  private def maintBatch1(implicit s: org.apache.spark.sql.SparkSession) = {
+    import s.implicits._
+    Seq(
+      (1L, Seq(9f, 1f, 0.1f, 0f)), (2L, Seq(9f, 0.1f, 4f, 0f)),
+      (3L, Seq(9f, 1.1f, 0f, 0f)), (4L, Seq(9f, 0.9f, 0f, 0.1f)),
+      (5L, Seq(9f, 0f, 4.2f, 0f)), (6L, Seq(9f, 0.2f, 3.9f, 0f)),
+      (100L, Seq(0f, 9f, 1f, 0f))).toDF("id", "embedding")
+  }
+
+  test("streamInsertIndexedMaintained splits a hot cell: exactly-once rows, committed centroids, untouched healthy dirs, correct probes") {
+    import spark.implicits._
+    val in = Files.createTempDirectory("graft_mnt_in_").toString
+    val table = Files.createTempDirectory("graft_mnt_tbl_").toString + "/t"
+    val ckpt = Files.createTempDirectory("graft_mnt_ckpt_").toString + "/c"
+    val cents = Seq(
+      (0L, Seq(1f, 0f, 0f, 0f)), (1L, Seq(0f, 1f, 0f, 0f))
+    ).toDF("cent_id", "cvec")
+    val maint = scala.collection.mutable.ArrayBuffer[(Long, Int)]()
+
+    def start() = Streaming.streamInsertIndexedMaintained(
+      spark.readStream.schema(maintSchema).parquet(in),
+      dim = 4, numShards = 2, cents, "cent_id", "cvec", table, ckpt,
+      maxCell = 4L, onMaintain = (b, n) => maint += ((b, n)))
+
+    maintBatch1(spark).coalesce(1).write.mode("overwrite").parquet(in)
+    val q = start()
+    q.processAllAvailable()
+    // batch 0 landed; no maintenance yet (the check precedes the append)
+    assert(maint.isEmpty)
+    assert(Streaming.maintainedCentroids(spark, table, cents)
+      .select("cent_id").collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(0L, 1L))
+    def listing(sub: String): Seq[(String, Long)] = {
+      val d = new java.io.File(s"$table/$sub")
+      if (!d.exists()) Seq.empty
+      else d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => (f.getName, f.length())).sorted.toSeq
+    }
+    val healthyBefore = listing("cell_id=1/__b=0")
+    assert(healthyBefore.nonEmpty)
+
+    // batch 1 triggers maintenance: cell 0 (6 rows > maxCell=4) splits
+    // into ceil(6/4)=2 children seeded from its two smallest ids
+    Seq((7L, Seq(8f, 0.5f, 0f, 0f)), (101L, Seq(0f, 8f, 0f, 1f)))
+      .toDF("id", "embedding").coalesce(1).write.mode("append").parquet(in)
+    q.processAllAvailable()
+    q.stop()
+
+    assert(maint.toSeq == Seq((1L, 1)), maint)
+    // committed centroids: survivor 1 + children 2, 3 (parent 0 gone)
+    val centsNew = Streaming.maintainedCentroids(spark, table, cents)
+    assert(centsNew.select("cent_id").collect().map(_.getLong(0)).sorted
+      .toSeq == Seq(1L, 2L, 3L))
+    // the parent's directory is deleted; the healthy cell's existing
+    // batch subdir is byte-untouched (maintenance never rewrites it)
+    assert(!new java.io.File(s"$table/cell_id=0").exists())
+    assert(listing("cell_id=1/__b=0") == healthyBefore)
+
+    // every ingested id exactly once, cells ⊆ committed centroids
+    val t = spark.read.parquet(table)
+      .withColumn("cell_id", col("cell_id").cast("long"))
+    val ids = t.select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids == Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L, 100L, 101L), ids)
+    val cellSet = t.select("cell_id").distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(cellSet.subsetOf(Set(1L, 2L, 3L)), cellSet)
+
+    // probe with the committed centroids: top-1 for id-4's own vector is
+    // id 4, scanning only the probed child cells' directories
+    val centRows = centsNew.collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1))).sortBy(_._1)
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      val na = math.sqrt(a.map(x => x.toDouble * x.toDouble).sum)
+      val nb = math.sqrt(b.map(x => x.toDouble * x.toDouble).sum)
+      dot / (na * nb)
+    }
+    val qv = Seq(9f, 0.9f, 0f, 0.1f) // id 4's own vector
+    val probes = centRows.sortBy { case (_, cv) => -cos(qv, cv) }
+      .take(2).map(_._1).toSeq
+    val hit = graft.operators.Ann.readIvfCells(spark, table, probes)
+      .withColumn("s", V.cosine(col("embedding"), typedLit(qv)))
+      .orderBy(col("s").desc).select("id").head().getLong(0)
+    assert(hit == 4L, s"probe over cells $probes returned $hit")
+  }
+
+  test("streamInsertIndexedMaintained crash-replay at every window: rollback, rollforward, and batch-append are all exactly-once") {
+    import spark.implicits._
+    for (crashAt <- Seq("maint-appended", "maint-committed", "batch-appended")) {
+      val in = Files.createTempDirectory(s"graft_mntc_in_").toString
+      val table = Files.createTempDirectory(s"graft_mntc_tbl_").toString + "/t"
+      val ckpt = Files.createTempDirectory(s"graft_mntc_ckpt_").toString + "/c"
+      val cents = Seq(
+        (0L, Seq(1f, 0f, 0f, 0f)), (1L, Seq(0f, 1f, 0f, 0f))
+      ).toDF("cent_id", "cvec")
+      val crashOnce = new java.util.concurrent.atomic.AtomicBoolean(true)
+      def start() = Streaming.streamInsertIndexedMaintained(
+        spark.readStream.schema(maintSchema).parquet(in),
+        dim = 4, numShards = 2, cents, "cent_id", "cvec", table, ckpt,
+        maxCell = 4L,
+        maintHook = p =>
+          if (p == crashAt && crashOnce.getAndSet(false))
+            sys.error(s"injected crash at $p"))
+
+      maintBatch1(spark).coalesce(1).write.mode("overwrite").parquet(in)
+      if (crashAt == "batch-appended") {
+        // batch 0's own append is the window: rows written, not committed
+        val q0 = start()
+        intercept[Exception] { q0.processAllAvailable() }
+        q0.stop()
+        assert(new java.io.File(s"$table").listFiles()
+          .filter(_.getName.startsWith("cell_id="))
+          .exists(d => new java.io.File(d, "__b=0").exists()),
+          "append window: dead batch's subdirs must exist pre-recovery")
+      } else {
+        // maintenance only opens at batch 1 (the check precedes the
+        // append, so batch 0 lands cleanly); feed batch 1 to crash it
+        val q0 = start()
+        q0.processAllAvailable()
+        q0.stop()
+        Seq((7L, Seq(8f, 0.5f, 0f, 0f)), (101L, Seq(0f, 8f, 0f, 1f)))
+          .toDF("id", "embedding").coalesce(1).write.mode("append").parquet(in)
+        val q1 = start()
+        intercept[Exception] { q1.processAllAvailable() }
+        q1.stop()
+        // the crash window is REAL: dead maintenance left its phase state
+        if (crashAt == "maint-appended")
+          assert(new java.io.File(s"$table").listFiles()
+            .filter(_.getName.startsWith("cell_id="))
+            .exists(d => new java.io.File(d, "__b=-2").exists()),
+            "rollback window: re-homed debris must exist pre-recovery")
+        if (crashAt == "maint-committed") {
+          assert(new java.io.File(s"$table/_centroids/v_1/_GRAFT_COMMIT").exists())
+          assert(new java.io.File(s"$table/cell_id=0").exists(),
+            "rollforward window: sources must still exist pre-recovery")
+        }
+      }
+      // restart from the same checkpoint: recovery + replay must heal
+      val q2 = start()
+      q2.processAllAvailable()
+      q2.stop()
+
+      val t = spark.read.parquet(table)
+        .withColumn("cell_id", col("cell_id").cast("long"))
+      val want =
+        if (crashAt == "batch-appended") Seq(1L, 2L, 3L, 4L, 5L, 6L, 100L)
+        else Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L, 100L, 101L)
+      val ids = t.select("id").collect().map(_.getLong(0)).sorted.toSeq
+      assert(ids == want, s"$crashAt: ids after heal: $ids")
+      if (crashAt != "batch-appended") {
+        // maintenance completed exactly once: parent cell gone, committed
+        // centroid table is {1, 2, 3}, table cells within it
+        assert(!new java.io.File(s"$table/cell_id=0").exists(), crashAt)
+        val cc = Streaming.maintainedCentroids(spark, table, cents)
+          .select("cent_id").collect().map(_.getLong(0)).sorted.toSeq
+        assert(cc == Seq(1L, 2L, 3L), s"$crashAt: $cc")
+        val cellSet = t.select("cell_id").distinct()
+          .collect().map(_.getLong(0)).toSet
+        assert(cellSet.subsetOf(Set(1L, 2L, 3L)), s"$crashAt: $cellSet")
+      }
+    }
+  }
 }
