@@ -21,7 +21,9 @@ import graft.operators.Dedup
   * (runtime-filter join shuffle-byte comparison), `url` (crawl-front
   * canonicalize/dedup/domain stats U1/U10, V1/V10), `align`
   * (Gale-Church self-rewrite alignment 1×/10×), `ivfmaint` (IVF
-  * rebalance 1×/10× + one-hot-cell split, tombstone vacuum 1×/10×).
+  * rebalance 1×/10× + one-hot-cell split, tombstone vacuum 1×/10×),
+  * `maintdrift` (maintained streaming ingest: healthy vs surge vs
+  * rebalance-carrying micro-batch, 20×/200× hot-cell surge).
   */
 object Profile {
   def main(args: Array[String]): Unit = {
@@ -997,6 +999,62 @@ object Profile {
       vac(1) // warmup
       time("TV1 tombstone vacuum 1x")(vac(1))
       time("TV10 tombstone vacuum 10x")(vac(10))
+    }
+
+    // Maintained streaming-ingest drift probe: a healthy micro-batch
+    // must cost assignment + a footer count; the batch that carries a
+    // rebalance must cost ~linear in the HOT CELL's rows (surge size),
+    // not the table.
+    if (on("maintdrift")) {
+      import graft.operators.Ann
+      import graft.streaming.{Streaming => Strm}
+      val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        .select($"vec_id".as("id"), $"embedding")
+      val dim = e.select($"embedding").head().getSeq[Float](0).length
+      val cents = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        .filter($"vec_id" < 16)
+        .select($"vec_id".as("cent_id"), $"embedding".as("cvec"))
+      val a0 = Ann.ivfAssign(e, cents, "id", "embedding", "cent_id", "cvec")
+        .groupBy($"cell_id").count().collect()
+        .map(r => r.getLong(0) -> r.getLong(1))
+      val (hotCell, h) = a0.maxBy(r => (r._2, -r._1))
+      val hotMembers = Ann
+        .ivfAssign(e, cents, "id", "embedding", "cent_id", "cvec")
+        .filter($"cell_id" === hotCell).select($"id", $"embedding")
+        .localCheckpoint(true)
+      println(s"  hot cell $hotCell has $h of ${e.count()} rows")
+
+      def run(tag: String, surge: Int): Unit = {
+        val in = java.nio.file.Files
+          .createTempDirectory("graft_mdrift_in_").toString
+        val table = java.nio.file.Files
+          .createTempDirectory("graft_mdrift_t_").toString + "/t"
+        val ckpt = java.nio.file.Files
+          .createTempDirectory("graft_mdrift_c_").toString + "/c"
+        val q = Strm.streamInsertIndexedMaintained(
+          spark.readStream.schema(e.schema).parquet(in),
+          dim, 8, cents, "cent_id", "cvec", table, ckpt,
+          maxCell = 3L * h, minCell = 0L,
+          onMaintain = (b, n) =>
+            println(s"  [$tag] rebalance at batch $b: $n cells touched"))
+        e.write.mode("append").parquet(in)
+        q.processAllAvailable() // batch 0: warm + first corpus
+        e.select(($"id" + lit(10000000L)).as("id"), $"embedding")
+          .write.mode("append").parquet(in)
+        time(s"$tag healthy batch (full corpus)")(q.processAllAvailable())
+        (0 until surge).map(i =>
+          hotMembers.select(($"id" + lit((i + 2) * 10000000L)).as("id"),
+            $"embedding"))
+          .reduce(_ unionByName _).repartition(32)
+          .write.mode("append").parquet(in)
+        time(s"$tag surge append (${surge}x hot cell)")(q.processAllAvailable())
+        e.limit(100).select(($"id" + lit(900000000L)).as("id"), $"embedding")
+          .coalesce(1).write.mode("append").parquet(in)
+        time(s"$tag maintenance batch (split carries)")(q.processAllAvailable())
+        q.stop()
+      }
+      run("MD1", 20)
+      run("MD10", 200)
     }
 
     spark.stop()

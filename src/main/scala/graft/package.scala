@@ -166,7 +166,9 @@
   *    [[graft.streaming.Streaming]]
   *  - Continuous IVF ingest with in-stream index maintenance
   *    (insert + crash-safe split/merge rebalance, versioned centroid
-  *    store): [[graft.streaming.Streaming.streamInsertIndexedMaintained]]
+  *    store): [[graft.streaming.Streaming.streamInsertIndexedMaintained]];
+  *    offline small-file compaction for its table:
+  *    [[graft.streaming.Streaming.compactMaintained]]
   *
   * ==SQL surface==
   *

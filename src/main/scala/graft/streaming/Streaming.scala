@@ -498,8 +498,9 @@ object Streaming {
     * cells; moves touch only those cells' directories (healthy cell
     * dirs stay untouched bytes — spec-asserted by file listing).
     * Directory count grows one `__b` subdir per cell per batch;
-    * `Layout.compact` per cell directory is the small-file maintenance
-    * pass, the same obligation every log-structured table format carries.
+    * [[compactMaintained]] is the offline small-file pass that folds
+    * committed subdirs (sparing the replayable tail), the same
+    * obligation every log-structured table format carries.
     *
     * `minCell` = 0 (default) disables dissolution — raise it only once
     * the index is warm, or early near-empty cells dissolve. Ids must be
@@ -529,6 +530,14 @@ object Streaming {
           s"streamInsertIndexedMaintained needs integral ids, got $idType")
         val root = new Path(tablePath)
         val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        // a crashed [[compactMaintained]] leaves fold rows beside their
+        // sources — ingesting on top would count duplicates into
+        // maintenance sizes; refuse until the compactor re-runs recovery
+        val compDir = new Path(root, "_compactions")
+        if (fs.exists(compDir) &&
+          fs.listStatus(compDir).exists(_.getPath.getName.endsWith(".intent")))
+          sys.error(s"unrecovered compaction at $tablePath: re-run " +
+            "compactMaintained before resuming ingest")
         val attempts = new Path(root, "_attempts")
         val attempt = new Path(attempts, s"a_$batchId")
         val replay = fs.exists(attempt)
@@ -651,6 +660,171 @@ object Streaming {
       .lastOption
       .map(p => spark.read.parquet(p.toString))
       .getOrElse(fallback)
+  }
+
+  /** Probe-pruned top-k search over a [[streamInsertIndexedMaintained]]
+    * table — the serving face of the maintained index: rank `nProbes`
+    * cells against the latest COMMITTED centroids (driver-side; the
+    * centroid table is index-structure-bounded), then scan ONLY those
+    * cells' directories — the `cell_id` isin filter is partition
+    * pruning, so the table on disk IS the inverted file. Same
+    * quantized-cosine scoring and k-bounded top-k as
+    * [[graft.operators.Ann.search]]. Returns (id, score), score desc.
+    */
+  def searchMaintained(spark: org.apache.spark.sql.SparkSession,
+                       tablePath: String, fallbackCentroids: DataFrame,
+                       centIdCol: String, centVecCol: String,
+                       query: Seq[Float], nProbes: Int, k: Int): DataFrame = {
+    import graft.expressions.FloatVectorExpressions.dotF
+    import graft.functions.{VectorFunctions => V}
+    import graft.operators.{Ann, TopK}
+    val cents = maintainedCentroids(spark, tablePath, fallbackCentroids)
+    val probes = Ann.probeCellIds(cents, query, centIdCol, centVecCol, nProbes)
+    val cand = Ann.readIvfCells(spark, tablePath, probes)
+      .withColumn("__nv",
+        greatest(sqrt(dotF(col("embedding"), col("embedding"))), lit(V.NormEps)))
+    val qn = math.max(math.sqrt(query.map(x => x.toDouble * x).sum), V.NormEps)
+    val scored = cand.withColumn("score",
+      dotF(col("embedding"), typedLit(query)) / (col("__nv") * lit(qn)))
+    TopK.topK(scored, col("score"), col("id"), k)
+      .select(col("id"), col("score"))
+  }
+
+  /** Small-file compaction for a [[streamInsertIndexedMaintained]]
+    * table — the maintenance pass its per-batch `__b` subdirs make
+    * inevitable (every log-structured format carries the same
+    * obligation). Folds all COMMITTED batch subdirs of each cell into
+    * one fold subdir per cell (`__b` ≤ −2⁴⁰, a reserved address space
+    * disjoint from ingest batches ≥ 0 and maintenance moves −(n+1)),
+    * then deletes the sources. Returns the number of subdirs folded
+    * away.
+    *
+    * Replay safety: the LARGEST ingest batch address is never folded —
+    * it may be an uncommitted batch that replays on restart and
+    * re-addresses its own subdirs; likewise its maintenance address
+    * −(max+1) when `_centroids/v_max` is uncommitted (a rolled-back
+    * move must stay rollback-able). Everything older is committed and
+    * can never be re-addressed.
+    *
+    * Crash safety (same discipline as the ingest): an INTENT marker
+    * (`_compactions/c_<fold>.intent`) lands before the fold append, the
+    * COMMIT marker (`c_<fold>`, listing the source subdirs) after it —
+    * a re-run rolls an intent-only epoch BACK (drop fold dirs, sources
+    * intact) and an intent+commit epoch FORWARD (finish the source
+    * deletes). The ingest REFUSES to start while an intent is pending
+    * (a crashed fold leaves rows duplicated beside their sources until
+    * recovery — sizes would double-count), so run this with the writer
+    * STOPPED and re-run it after any crash; both are idempotent.
+    *
+    * `cells` restricts folding (incremental compaction at scale);
+    * recovery always sweeps the whole table. `hook` is a TEST SEAM
+    * ("compact-intent" / "compact-appended" / "compact-committed").
+    */
+  def compactMaintained(spark: org.apache.spark.sql.SparkSession,
+                        tablePath: String,
+                        cells: Option[Seq[Long]] = None,
+                        hook: String => Unit = _ => ()): Int = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(tablePath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return 0
+    def cellDirs(): Seq[Path] =
+      fs.listStatus(root).filter(_.isDirectory).map(_.getPath)
+        .filter(_.getName.startsWith("cell_id=")).toSeq
+    def subAddrs(d: Path): Seq[Long] =
+      fs.listStatus(d).map(_.getPath.getName).filter(_.startsWith("__b="))
+        .map(_.stripPrefix("__b=").toLong).toSeq
+    val compDir = new Path(root, "_compactions")
+
+    // ---- recovery of any crashed prior epoch ----
+    if (fs.exists(compDir)) {
+      val names = fs.listStatus(compDir).map(_.getPath.getName)
+      names.filter(_.endsWith(".intent")).foreach { iname =>
+        val cname = iname.stripSuffix(".intent")
+        val commit = new Path(compDir, cname)
+        if (fs.exists(commit)) {
+          // committed: finish the source deletes
+          val in = fs.open(commit)
+          val srcs =
+            try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+            finally in.close()
+          srcs.filter(_.nonEmpty).foreach { rel =>
+            val p = new Path(root, rel)
+            if (fs.exists(p)) fs.delete(p, true): Unit
+          }
+        } else {
+          // uncommitted: drop the fold dirs, sources are intact
+          val f = cname.stripPrefix("c_").toLong
+          cellDirs().foreach { d =>
+            val p = new Path(d, s"__b=$f")
+            if (fs.exists(p)) fs.delete(p, true): Unit
+          }
+        }
+        fs.delete(new Path(compDir, iname), false): Unit
+      }
+      // intent-less commit markers are fully done — prune them
+      fs.listStatus(compDir).map(_.getPath)
+        .filter(!_.getName.endsWith(".intent"))
+        .foreach(p => fs.delete(p, false): Unit)
+    }
+
+    // ---- plan ----
+    val dirs = cellDirs()
+    if (dirs.isEmpty) return 0
+    val allAddrs = dirs.flatMap(subAddrs).distinct
+    val ingest = allAddrs.filter(_ >= 0)
+    if (ingest.isEmpty) return 0
+    val maxIngest = ingest.max
+    val vMaxCommitted = fs.exists(new Path(
+      new Path(new Path(root, "_centroids"), s"v_$maxIngest"), "_GRAFT_COMMIT"))
+    val excluded: Set[Long] =
+      Set(maxIngest) ++
+        (if (!vMaxCommitted) Set(-(maxIngest + 1)) else Set.empty[Long])
+    val FoldBase = -(1L << 40)
+    val newFold =
+      allAddrs.filter(_ <= FoldBase).minOption.getOrElse(FoldBase + 1) - 1
+    val targetDirs = cells match {
+      case Some(cs) =>
+        val want = cs.toSet
+        dirs.filter(d => want(d.getName.stripPrefix("cell_id=").toLong))
+      case None => dirs
+    }
+    val sources: Seq[(Path, Long, Long)] = targetDirs.flatMap { d =>
+      val cell = d.getName.stripPrefix("cell_id=").toLong
+      subAddrs(d).filterNot(excluded).map(b => (new Path(d, s"__b=$b"), cell, b))
+    }
+      // a cell with a single foldable subdir gains nothing — rewriting
+      // it would churn bytes for the same file count
+      .groupBy(_._2).filter(_._2.length >= 2).values.flatten.toSeq
+    if (sources.isEmpty) return 0
+    val foldB = sources.map(_._3).distinct
+    val foldCells = sources.map(_._2).distinct
+
+    // ---- execute: intent → fold append → commit → source deletes ----
+    val rows = spark.read.parquet(tablePath)
+      .filter(col("cell_id").cast("long").isin(foldCells: _*) &&
+        col("__b").cast("long").isin(foldB: _*))
+      .withColumn("cell_id", col("cell_id").cast("long"))
+      .withColumn("__b", lit(newFold))
+    fs.mkdirs(compDir)
+    val intent = new Path(compDir, s"c_$newFold.intent")
+    fs.create(intent, true).close()
+    hook("compact-intent")
+    rows.repartition(col("cell_id"))
+      .write.mode("append").partitionBy("cell_id", "__b").parquet(tablePath)
+    hook("compact-appended")
+    val commit = new Path(compDir, s"c_$newFold")
+    val out = fs.create(commit, true)
+    try out.write(sources
+      .map { case (_, c, b) => s"cell_id=$c/__b=$b" }
+      .mkString("", "\n", "\n").getBytes("UTF-8"))
+    finally out.close()
+    hook("compact-committed")
+    sources.foreach { case (p, _, _) =>
+      if (fs.exists(p)) fs.delete(p, true): Unit
+    }
+    fs.delete(intent, false)
+    sources.length
   }
 
   /** Continuous query SERVING: a stream of (query id, embedding) rows

@@ -1143,23 +1143,14 @@ class StreamingSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet
     assert(cellSet.subsetOf(Set(1L, 2L, 3L)), cellSet)
 
-    // probe with the committed centroids: top-1 for id-4's own vector is
-    // id 4, scanning only the probed child cells' directories
-    val centRows = centsNew.collect()
-      .map(r => (r.getLong(0), r.getSeq[Float](1))).sortBy(_._1)
-    def cos(a: Seq[Float], b: Seq[Float]): Double = {
-      val dot = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
-      val na = math.sqrt(a.map(x => x.toDouble * x.toDouble).sum)
-      val nb = math.sqrt(b.map(x => x.toDouble * x.toDouble).sum)
-      dot / (na * nb)
-    }
+    // probe through the serving face: top-1 for id-4's own vector is
+    // id 4, scanning only the probed cells' directories (plan-pruned)
     val qv = Seq(9f, 0.9f, 0f, 0.1f) // id 4's own vector
-    val probes = centRows.sortBy { case (_, cv) => -cos(qv, cv) }
-      .take(2).map(_._1).toSeq
-    val hit = graft.operators.Ann.readIvfCells(spark, table, probes)
-      .withColumn("s", V.cosine(col("embedding"), typedLit(qv)))
-      .orderBy(col("s").desc).select("id").head().getLong(0)
-    assert(hit == 4L, s"probe over cells $probes returned $hit")
+    val hits = Streaming.searchMaintained(spark, table, cents,
+      "cent_id", "cvec", qv, nProbes = 2, k = 3)
+    val scan = hits.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters: ["), scan)
+    assert(hits.head().getLong(0) == 4L, hits.collect().toSeq)
   }
 
   test("streamInsertIndexedMaintained crash-replay at every window: rollback, rollforward, and batch-append are all exactly-once") {
@@ -1237,5 +1228,100 @@ class StreamingSpec extends SparkSpec {
         assert(cellSet.subsetOf(Set(1L, 2L, 3L)), s"$crashAt: $cellSet")
       }
     }
+  }
+
+  test("compactMaintained folds committed subdirs, spares the replayable tail, recovers from crashes, and the ingest guard holds") {
+    import spark.implicits._
+    val in = Files.createTempDirectory("graft_cmp_in_").toString
+    val table = Files.createTempDirectory("graft_cmp_tbl_").toString + "/t"
+    val ckpt = Files.createTempDirectory("graft_cmp_ckpt_").toString + "/c"
+    val cents = Seq(
+      (0L, Seq(1f, 0f, 0f, 0f)), (1L, Seq(0f, 1f, 0f, 0f))
+    ).toDF("cent_id", "cvec")
+    val F0 = -(1L << 40)
+    val crash = new java.util.concurrent.atomic.AtomicReference[String](null)
+    def start(batchHook: String => Unit = _ => ()) =
+      Streaming.streamInsertIndexedMaintained(
+        spark.readStream.schema(maintSchema).parquet(in),
+        dim = 4, numShards = 2, cents, "cent_id", "cvec", table, ckpt,
+        maxCell = 1000000L, maintHook = batchHook)
+    def feed(k: Long): Unit =
+      Seq((k * 1000 + 1, Seq(9f, 1f, 0f, 0f)), (k * 1000 + 2, Seq(0f, 9f, 1f, 0f)))
+        .toDF("id", "embedding").coalesce(1).write.mode("append").parquet(in)
+    def subdirsOf(cell: Long): Set[Long] = {
+      val d = new java.io.File(s"$table/cell_id=$cell")
+      if (!d.exists()) Set.empty
+      else d.listFiles().filter(_.getName.startsWith("__b="))
+        .map(_.getName.stripPrefix("__b=").toLong).toSet
+    }
+    def idsNow(): Seq[Long] = spark.read.parquet(table)
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    def wantIds(ks: Seq[Long]): Seq[Long] =
+      ks.flatMap(k => Seq(k * 1000 + 1, k * 1000 + 2)).sorted
+
+    // three clean batches, stream stopped: fold {0, 1}, spare max (2)
+    val q1 = start()
+    feed(0); q1.processAllAvailable()
+    feed(1); q1.processAllAvailable()
+    feed(2); q1.processAllAvailable()
+    q1.stop()
+    val n1 = Streaming.compactMaintained(spark, table)
+    assert(n1 == 4, s"folded $n1 subdirs") // {0,1} × 2 cells
+    assert(subdirsOf(0L) == Set(F0, 2L) && subdirsOf(1L) == Set(F0, 2L),
+      (subdirsOf(0L), subdirsOf(1L)))
+    assert(idsNow() == wantIds(0L to 2L), idsNow())
+
+    // epoch chaining: batch 3, then the next run folds {F0, 2} into F0-1
+    feed(3)
+    val q2 = start(); q2.processAllAvailable(); q2.stop()
+    assert(Streaming.compactMaintained(spark, table) == 4)
+    assert(subdirsOf(0L) == Set(F0 - 1, 3L), subdirsOf(0L))
+    assert(idsNow() == wantIds(0L to 3L))
+
+    // crash after fold append (intent, no commit): the ingest refuses to
+    // start; a compact re-run rolls back then folds cleanly
+    feed(4)
+    val q3 = start(); q3.processAllAvailable(); q3.stop()
+    crash.set("compact-appended")
+    intercept[RuntimeException] {
+      Streaming.compactMaintained(spark, table, hook = p =>
+        if (p == crash.get) sys.error(s"injected crash at $p"))
+    }
+    feed(5)
+    val qGuard = start()
+    val guardEx = intercept[Exception] { qGuard.processAllAvailable() }
+    qGuard.stop()
+    assert(guardEx.getMessage.contains("unrecovered compaction") ||
+      Option(guardEx.getCause).exists(_.getMessage.contains("unrecovered compaction")),
+      guardEx.getMessage)
+    assert(Streaming.compactMaintained(spark, table) == 4) // {F0-1, 3} × 2
+    assert(subdirsOf(0L) == Set(F0 - 2, 4L), subdirsOf(0L))
+    assert(idsNow() == wantIds(0L to 4L), "rollback must not lose or dup")
+
+    // batch 5 now lands (the guard cleared), then crash after the commit
+    // marker: re-run rolls FORWARD (sources deleted exactly once)
+    val q4 = start(); q4.processAllAvailable(); q4.stop()
+    crash.set("compact-committed")
+    intercept[RuntimeException] {
+      Streaming.compactMaintained(spark, table, hook = p =>
+        if (p == crash.get) sys.error(s"injected crash at $p"))
+    }
+    crash.set(null)
+    Streaming.compactMaintained(spark, table): Unit // recovery, then no-op or fold
+    assert(idsNow() == wantIds(0L to 5L), "rollforward must not lose or dup")
+
+    // compaction below a crashed INGEST tail: batch 6 dies post-append,
+    // compact (spares __b=6), restart replays batch 6 — exactly-once
+    val crashOnce = new java.util.concurrent.atomic.AtomicBoolean(true)
+    feed(6)
+    val q5 = start(p =>
+      if (p == "batch-appended" && crashOnce.getAndSet(false))
+        sys.error("injected ingest crash"))
+    intercept[Exception] { q5.processAllAvailable() }
+    q5.stop()
+    Streaming.compactMaintained(spark, table): Unit
+    val q6 = start(); q6.processAllAvailable(); q6.stop()
+    assert(idsNow() == wantIds(0L to 6L),
+      "replayed tail after compaction must be exactly-once")
   }
 }
