@@ -957,8 +957,8 @@ object Profile {
           "cent_id", "cvec", mx, mn)
         aN.groupBy($"cell_id").count().count()
       }
-      def bounds(n: Long): (Long, Long) =
-        (math.max(1L, 21L * n / 320L), 9L * n / 160L)
+      // the SAME thresholds the benched query uses — one Scala site
+      def bounds(n: Long): (Long, Long) = SparkEntry.rebalanceBounds(n)
       val a1 = assigned(dupE(1)); val n1 = a1.count()
       val a10 = assigned(dupE(10)); val n10 = a10.count()
       val (x1, m1) = bounds(n1); val (x10, m10) = bounds(n10)
@@ -1048,7 +1048,9 @@ object Profile {
           .reduce(_ unionByName _).repartition(32)
           .write.mode("append").parquet(in)
         time(s"$tag surge append (${surge}x hot cell)")(q.processAllAvailable())
-        e.limit(100).select(($"id" + lit(900000000L)).as("id"), $"embedding")
+        // trickle offset clears every surge copy's range (surge i uses
+        // (i+2)·10⁷, up to ~2·10⁹ at 200×) — no id collisions
+        e.limit(100).select(($"id" + lit(10000000000L)).as("id"), $"embedding")
           .coalesce(1).write.mode("append").parquet(in)
         time(s"$tag maintenance batch (split carries)")(q.processAllAvailable())
         q.stop()

@@ -11473,9 +11473,11 @@ object SparkEntry {
   /** Data-relative rebalance thresholds (1.05× / 0.9× of the mean cell
     * size, integer arithmetic so both engines agree exactly): tight
     * enough that the near-uniform fixture assignment yields BOTH hot and
-    * tiny cells at every SF (verified sf0.001/0.01/0.1).
+    * tiny cells at every SF (verified sf0.001/0.01/0.1). Public (and the
+    * ONE Scala site — the SQL oracle replays the same formula) so
+    * `Profile ivfmaint` probes the exact bounds the benched query uses.
     */
-  private def rebalanceBounds(n: Long): (Long, Long) =
+  def rebalanceBounds(n: Long): (Long, Long) =
     (math.max(1L, 21L * n / 320L), 9L * n / 160L)
 
   private def rebalanced(s: SparkSession, dir: String): (DataFrame, DataFrame) = {

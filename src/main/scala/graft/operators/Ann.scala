@@ -763,6 +763,14 @@ object Ann {
     * `assigned` with updated `cell_id`, and the surviving + child
     * centroids as (centIdCol BIGINT, centVecCol ARRAY<FLOAT>).
     * `idCol` must be integral (it rides the Long-typed seed buffer).
+    *
+    * Execution count: the pass runs ONE full action over `assigned`
+    * (the sizes count) plus one materialization of the hot-cell subset
+    * (shared by both bounded seed collects); the caller's downstream
+    * action re-executes the `assigned` lineage once more. If that
+    * lineage is expensive (not a plain scan/projection),
+    * `localCheckpoint` it before calling — the probes in `Profile
+    * ivfmaint` do exactly that.
     */
   def rebalanceIvf(assigned: DataFrame, centroids: DataFrame,
                    idCol: String, vecCol: String,
@@ -963,7 +971,10 @@ object Ann {
         val sOf: Map[Long, Int] = hot.iterator
           .map(c => c -> ((sizes(c) + maxCell - 1) / maxCell).toInt).toMap
         val maxS = sOf.values.max
-        val hotRows = rowsOf(hot.toSeq.sorted)
+        // two driver collects read this (seed top-k, then seed vectors);
+        // checkpoint the bounded hot subset so the source lineage runs
+        // once for both, not once per collect
+        val hotRows = rowsOf(hot.toSeq.sorted).localCheckpoint(false)
         val picked = TopK.topKPerKeyAgg(
           hotRows.select(col("cell_id"), col(idCol)),
           Seq(col("cell_id")), lit(0.0), col(idCol), maxS)

@@ -484,17 +484,22 @@ object Layout {
     val touched = spark.read.schema(tableSchema).parquet(tableDir)
       .filter(col(partCol).isin(parts: _*)) // partition-pruned scan
     val livePerPart = touched.groupBy(col(partCol)).agg(count(lit(1)).as("__rows"))
-    val gate = deadPerPart.join(livePerPart, Seq(partCol))
-      .select(col(partCol), col("__dead"), col("__rows"))
+    // LEFT join: a tombstoned partition with ZERO physical rows (its dir
+    // was fully vacuumed earlier, then an at-least-once delete retried)
+    // must still reach the gate — an inner join would orphan its
+    // tombstones in the sidecar forever
+    val gate = deadPerPart.join(livePerPart, Seq(partCol), "left")
+      .select(col(partCol), col("__dead"),
+        coalesce(col("__rows"), lit(0L)).as("__rows"))
       .collect()
       .map(r => (r.get(0), r.getLong(1), r.getLong(2)))
     val chosen = gate.filter { case (_, d, n) =>
-      n > 0 && d.toDouble / n >= minDeadFraction
+      n == 0 || d.toDouble / n >= minDeadFraction
     }
     if (chosen.isEmpty) return (0, 0L)
     val chosenVals = chosen.map(_._1)
-    val fullyDead = chosen.filter { case (_, d, n) => d == n }.map(_._1)
-    val partial = chosenVals.filterNot(fullyDead.contains)
+    val fullyDead = chosen.filter { case (_, d, n) => n > 0 && d == n }.map(_._1)
+    val partial = chosen.filter { case (_, d, n) => n > 0 && d < n }.map(_._1)
 
     // rewrite the partially-dead partitions without their tombstoned keys
     if (partial.nonEmpty) {
@@ -516,13 +521,19 @@ object Layout {
     val fs = new org.apache.hadoop.fs.Path(tableDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     fullyDead.foreach { v =>
-      fs.delete(new org.apache.hadoop.fs.Path(s"$tableDir/$partCol=$v"), true): Unit
+      // Spark escapes special characters in partition directory names
+      // (':', '=', '%', …) — the delete must target the ESCAPED path or
+      // it silently no-ops while the tombstones below ARE purged,
+      // resurrecting the "deleted" rows
+      val dir = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+        .getPartitionPathString(partCol, String.valueOf(v))
+      fs.delete(new org.apache.hadoop.fs.Path(s"$tableDir/$dir"), true): Unit
     }
     // sidecar compaction: only non-vacuumed partitions keep tombstones
     val purged = ts.filter(col(partCol).isin(chosenVals: _*)).count()
     val survive = ts.filter(!col(partCol).isin(chosenVals: _*))
       .localCheckpoint(true)
     survive.write.mode("overwrite").parquet(tombstonePath(tableDir))
-    (chosenVals.length, purged)
+    (chosen.count(_._3 > 0), purged)
   }
 }

@@ -589,7 +589,15 @@ object Streaming {
 
         var cents = maintainedCentroids(spark, tablePath, centroids)
 
-        if (batchId % checkEvery == 0 && cellDirs().nonEmpty) {
+        // at most ONE rebalance generation per batch id: a committed v_n
+        // means this batch's maintenance already ran (we are in a replay
+        // after a later crash) — re-running would reuse the __b=-(n+1)
+        // address and overwrite the committed centroid version, so a
+        // crash in the second pass could delete the first pass's
+        // committed rows or keep its own debris; residual imbalance is
+        // the NEXT batch's check to catch
+        if (batchId % checkEvery == 0 && cellDirs().nonEmpty &&
+            !fs.exists(commitFile)) {
           // footer-only: count over the partition column reads no data
           val sizes: Map[Long, Long] = spark.read.parquet(tablePath)
             .groupBy(col("cell_id").cast("long").as("c"))
@@ -617,9 +625,16 @@ object Streaming {
             maintHook("maint-appended")
             dec.centroidsNew(spark).repartition(1)
               .write.mode("overwrite").parquet(vDir.toString)
-            val out = fs.create(commitFile, true)
+            // the commit point must be ATOMIC: a half-written source list
+            // would roll forward deleting only SOME sources, leaving the
+            // rest duplicated beside their re-homed copies — write to a
+            // temp name and rename (the one atomic filesystem commit)
+            val commitTmp = new Path(vDir, "_GRAFT_COMMIT.tmp")
+            val out = fs.create(commitTmp, true)
             try out.write(touched.mkString("", "\n", "\n").getBytes("UTF-8"))
             finally out.close()
+            require(fs.rename(commitTmp, commitFile),
+              s"could not commit maintenance marker $commitFile")
             maintHook("maint-committed")
             touched.foreach { c =>
               fs.delete(new Path(root, s"cell_id=$c"), true): Unit
@@ -701,10 +716,11 @@ object Streaming {
     *
     * Replay safety: the LARGEST ingest batch address is never folded —
     * it may be an uncommitted batch that replays on restart and
-    * re-addresses its own subdirs; likewise its maintenance address
-    * −(max+1) when `_centroids/v_max` is uncommitted (a rolled-back
-    * move must stay rollback-able). Everything older is committed and
-    * can never be re-addressed.
+    * re-addresses its own subdirs; likewise EVERY maintenance address
+    * −(b+1) whose `_centroids/v_b` is uncommitted (such debris belongs
+    * to a crashed rebalance the next stream start rolls BACK, so it
+    * must stay at its rollback-able address). Everything else is
+    * committed and can never be re-addressed.
     *
     * Crash safety (same discipline as the ingest): an INTENT marker
     * (`_compactions/c_<fold>.intent`) lands before the fold append, the
@@ -775,12 +791,18 @@ object Streaming {
     val ingest = allAddrs.filter(_ >= 0)
     if (ingest.isEmpty) return 0
     val maxIngest = ingest.max
-    val vMaxCommitted = fs.exists(new Path(
-      new Path(new Path(root, "_centroids"), s"v_$maxIngest"), "_GRAFT_COMMIT"))
+    val FoldBase = -(1L << 40)
+    // spare the replayable tail (the largest ingest batch), and EVERY
+    // maintenance address whose centroid version is uncommitted: such
+    // debris belongs to a crashed rebalance that the next stream start
+    // will roll BACK — folding it into a permanent fold address would
+    // put rolled-back rows beyond the rollback's reach (duplicates once
+    // the re-run re-homes the still-intact sources again)
+    def vCommitted(b: Long): Boolean = fs.exists(new Path(
+      new Path(new Path(root, "_centroids"), s"v_$b"), "_GRAFT_COMMIT"))
     val excluded: Set[Long] =
       Set(maxIngest) ++
-        (if (!vMaxCommitted) Set(-(maxIngest + 1)) else Set.empty[Long])
-    val FoldBase = -(1L << 40)
+        allAddrs.filter(a => a < 0 && a > FoldBase && !vCommitted(-a - 1)).toSet
     val newFold =
       allAddrs.filter(_ <= FoldBase).minOption.getOrElse(FoldBase + 1) - 1
     val targetDirs = cells match {
@@ -813,12 +835,17 @@ object Streaming {
     rows.repartition(col("cell_id"))
       .write.mode("append").partitionBy("cell_id", "__b").parquet(tablePath)
     hook("compact-appended")
+    // atomic commit: temp-write + rename, so a crash can never leave a
+    // half-listed source set that rolls forward partially
     val commit = new Path(compDir, s"c_$newFold")
-    val out = fs.create(commit, true)
+    val commitTmp = new Path(compDir, s"c_$newFold.tmp")
+    val out = fs.create(commitTmp, true)
     try out.write(sources
       .map { case (_, c, b) => s"cell_id=$c/__b=$b" }
       .mkString("", "\n", "\n").getBytes("UTF-8"))
     finally out.close()
+    require(fs.rename(commitTmp, commit),
+      s"could not commit compaction marker $commit")
     hook("compact-committed")
     sources.foreach { case (p, _, _) =>
       if (fs.exists(p)) fs.delete(p, true): Unit

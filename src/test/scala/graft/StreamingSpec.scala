@@ -1230,6 +1230,137 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("replay after a post-maintenance crash runs NO second rebalance generation in the same batch; the next batch catches residual imbalance") {
+    import spark.implicits._
+    val in = Files.createTempDirectory("graft_gen_in_").toString
+    val table = Files.createTempDirectory("graft_gen_tbl_").toString + "/t"
+    val ckpt = Files.createTempDirectory("graft_gen_ckpt_").toString + "/c"
+    val cents = Seq(
+      (0L, Seq(1f, 0f, 0f, 0f)), (1L, Seq(0f, 1f, 0f, 0f))
+    ).toDF("cent_id", "cvec")
+    val maint = scala.collection.mutable.ArrayBuffer[(Long, Int)]()
+    val appends = new java.util.concurrent.atomic.AtomicInteger(0)
+    val crashOnce = new java.util.concurrent.atomic.AtomicBoolean(true)
+    def start() = Streaming.streamInsertIndexedMaintained(
+      spark.readStream.schema(maintSchema).parquet(in),
+      dim = 4, numShards = 2, cents, "cent_id", "cvec", table, ckpt,
+      maxCell = 4L, onMaintain = (b, n) => maint += ((b, n)),
+      maintHook = p =>
+        // die right after BATCH 1's append: its maintenance committed,
+        // so the replay must skip re-planning even though a child is
+        // still hot (one rebalance generation per batch id)
+        if (p == "batch-appended" && appends.incrementAndGet() == 2 &&
+            crashOnce.getAndSet(false))
+          sys.error("injected crash after batch 1 append"))
+
+    // LOPSIDED hot cell: both split seeds' clusters are uneven — ids
+    // {1,3,4,5,6} sit near seed 1, only id 2 near seed 2, so child
+    // cell 2 is born with 5 rows > maxCell (still hot after the split)
+    Seq((1L, Seq(9f, 1f, 0f, 0f)), (2L, Seq(9f, 0f, 4f, 0f)),
+      (3L, Seq(9f, 1.1f, 0f, 0f)), (4L, Seq(9f, 0.9f, 0f, 0f)),
+      (5L, Seq(9f, 1f, 0.1f, 0f)), (6L, Seq(9f, 0.95f, 0f, 0.1f)),
+      (100L, Seq(0f, 9f, 1f, 0f)))
+      .toDF("id", "embedding").coalesce(1).write.mode("overwrite").parquet(in)
+    val q0 = start()
+    q0.processAllAvailable()
+    // batch 1 (near seed 2's child, keeping child 2 at exactly 5 rows):
+    // maintenance splits cell 0 → {2, 3}, commits, appends, then dies
+    Seq((7L, Seq(9f, 0.05f, 4.1f, 0f)))
+      .toDF("id", "embedding").coalesce(1).write.mode("append").parquet(in)
+    intercept[Exception] { q0.processAllAvailable() }
+    q0.stop()
+    assert(maint.toSeq == Seq((1L, 1)), maint)
+
+    // replay batch 1: rollforward keeps v_1, the re-check is SKIPPED
+    // (committed generation exists) even though child 2 holds 5 > 4
+    val q1 = start()
+    q1.processAllAvailable()
+    assert(maint.toSeq == Seq((1L, 1)),
+      s"replay must not re-run batch 1's maintenance: $maint")
+    // batch 2 catches the residual imbalance: child 2 splits in its own
+    // generation (v_2), children numbered past the first generation's
+    Seq((8L, Seq(0f, 8f, 0f, 1f)))
+      .toDF("id", "embedding").coalesce(1).write.mode("append").parquet(in)
+    q1.processAllAvailable()
+    q1.stop()
+    assert(maint.toSeq == Seq((1L, 1), (2L, 1)), maint)
+    val cc = Streaming.maintainedCentroids(spark, table, cents)
+      .select("cent_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(cc == Seq(1L, 3L, 4L, 5L), cc)
+    val t = spark.read.parquet(table)
+    val ids = t.select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids == Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L, 8L, 100L), ids)
+  }
+
+  test("compactMaintained leaves an UNCOMMITTED maintenance address unfolded so the stream's rollback can still reach it") {
+    import spark.implicits._
+    val in = Files.createTempDirectory("graft_cspare_in_").toString
+    val table = Files.createTempDirectory("graft_cspare_tbl_").toString + "/t"
+    val ckpt = Files.createTempDirectory("graft_cspare_ckpt_").toString + "/c"
+    val F0 = -(1L << 40)
+    // three cells; cell 1 will sit below minCell and dissolve INTO cell
+    // 0 (its row leans toward e1), so the crash debris lands in a cell
+    // with committed history — the case a naive exclusion folds away
+    val cents = Seq(
+      (0L, Seq(1f, 0f, 0f, 0f)), (1L, Seq(0f, 1f, 0f, 0f)),
+      (2L, Seq(0f, 0f, 1f, 0f))
+    ).toDF("cent_id", "cvec")
+    val crashOnce = new java.util.concurrent.atomic.AtomicBoolean(true)
+    def start(armed: Boolean) = Streaming.streamInsertIndexedMaintained(
+      spark.readStream.schema(maintSchema).parquet(in),
+      dim = 4, numShards = 2, cents, "cent_id", "cvec", table, ckpt,
+      maxCell = 1000L, minCell = 2L, checkEvery = 4,
+      maintHook = p =>
+        if (armed && p == "maint-appended" && crashOnce.getAndSet(false))
+          sys.error("injected crash mid-maintenance"))
+    def feed(rows: (Long, Seq[Float])*): Unit =
+      rows.toDF("id", "embedding").coalesce(1).write.mode("append").parquet(in)
+
+    val q0 = start(armed = true)
+    feed((1L, Seq(9f, 0f, 0f, 0f)), (100L, Seq(1f, 9f, 0f, 0f)))
+    q0.processAllAvailable() // batch 0
+    feed((2L, Seq(9f, 0.1f, 0f, 0f))); q0.processAllAvailable() // batch 1
+    feed((3L, Seq(9f, 0.2f, 0f, 0f))); q0.processAllAvailable() // batch 2
+    feed((4L, Seq(9f, 0.3f, 0f, 0f))); q0.processAllAvailable() // batch 3
+    // batch 4: checkEvery fires, cell 1 (1 row < minCell=2) dissolves,
+    // its row re-homes into cell 0 at __b=-5 — and the crash hits
+    feed((5L, Seq(9f, 0.4f, 0f, 0f)))
+    intercept[Exception] { q0.processAllAvailable() }
+    q0.stop()
+    def subdirs(cell: Long): Set[Long] = {
+      val d = new java.io.File(s"$table/cell_id=$cell")
+      if (!d.exists()) Set.empty
+      else d.listFiles().filter(_.getName.startsWith("__b="))
+        .map(_.getName.stripPrefix("__b=").toLong).toSet
+    }
+    assert(subdirs(0L) == Set(0L, 1L, 2L, 3L, -5L), subdirs(0L))
+
+    // offline compaction with the writer stopped (the prescribed use):
+    // folds committed {0,1,2}, spares max ingest 3 AND the uncommitted
+    // maintenance debris -5
+    val folded = Streaming.compactMaintained(spark, table)
+    assert(folded == 3, s"folded $folded")
+    assert(subdirs(0L) == Set(F0, 3L, -5L), subdirs(0L))
+
+    // restart: batch 4 replays — rollback deletes -5 (still reachable),
+    // maintenance re-runs and commits, the batch lands; exactly-once
+    val q1 = start(armed = false)
+    q1.processAllAvailable()
+    q1.stop()
+    val t = spark.read.parquet(table)
+    val ids = t.select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids == Seq(1L, 2L, 3L, 4L, 5L, 100L), ids)
+    assert(!new java.io.File(s"$table/cell_id=1").exists(),
+      "tiny cell must be dissolved by the re-run")
+    // cells 1 (one row) AND 2 (zero rows) sit below minCell — both
+    // dissolve; cell 0 is the sole survivor
+    val cc = Streaming.maintainedCentroids(spark, table, cents)
+      .select("cent_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(cc == Seq(0L), cc)
+    // id 100's row rehomed into cell 0 exactly once
+    assert(t.filter(col("id") === 100L).count() == 1)
+  }
+
   test("compactMaintained folds committed subdirs, spares the replayable tail, recovers from crashes, and the ingest guard holds") {
     import spark.implicits._
     val in = Files.createTempDirectory("graft_cmp_in_").toString

@@ -106,6 +106,46 @@ class TombstoneSpec extends SparkSpec {
     }
   }
 
+  test("tombstones against a vanished partition are purged, not orphaned") {
+    import spark.implicits._
+    val path = freshTable()
+    Layout.appendTombstones(spark, path, tombs(path), "k", "part")
+    Layout.vacuumTombstones(spark, path, "k", "part", 0.4): Unit // removes c
+    assert(!new java.io.File(s"$path/part=c").exists())
+    // an at-least-once delete retries c's keys after the dir is gone —
+    // the gate must still purge them (zero physical rows, nothing to
+    // rewrite) or the sidecar grows without bound
+    Layout.appendTombstones(spark, path,
+      (200L until 204L).map(i => (i, "c")).toDF("k", "part"), "k", "part")
+    val (nP, purged) = Layout.vacuumTombstones(spark, path, "k", "part", 0.4)
+    assert(nP == 0 && purged == 4L, (nP, purged))
+    val (n2, p2) = Layout.vacuumTombstones(spark, path, "k", "part", 0.4)
+    assert(n2 == 0 && p2 == 0L, "second vacuum must find a clean sidecar")
+    assert(Layout.readLogical(spark, path, "k", "part").count() == 14)
+  }
+
+  test("fully-dead partition with ESCAPED characters in its value is physically removed") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_tombesc_").toFile
+    dir.deleteOnExit()
+    val path = new java.io.File(dir, "t").getAbsolutePath
+    // ':' and ' ' are escaped in partition dir names (ts-shaped value)
+    val hot = "2026-01-01 00:00:00"
+    ((0L until 4L).map(i => (i, hot)) ++ (10L until 20L).map(i => (i, "cold")))
+      .toDF("k", "part").write.mode("overwrite").partitionBy("part").parquet(path)
+    Layout.appendTombstones(spark, path,
+      (0L until 4L).map(i => (i, hot)).toDF("k", "part"), "k", "part")
+    val (nP, purged) = Layout.vacuumTombstones(spark, path, "k", "part", 0.4)
+    assert(nP == 1 && purged == 4L, (nP, purged))
+    // the escaped directory must be GONE — a raw-path delete would
+    // silently no-op and resurrect the rows once the sidecar is purged
+    val dirs = new java.io.File(path).listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(dirs.forall(!_.contains("2026")), dirs)
+    assert(spark.read.parquet(path).count() == 10)
+    assert(Layout.readLogical(spark, path, "k", "part").count() == 10)
+  }
+
   test("readLogical broadcasts the sidecar: no shuffle on the table side") {
     val path = freshTable()
     Layout.appendTombstones(spark, path, tombs(path), "k", "part")
