@@ -901,16 +901,29 @@ object Ann {
     * count at any scale); `rowsOf(cells)` must return those cells' rows
     * with at least (cell_id, idCol, vecCol). Same loud-failure contract
     * as [[rebalanceIvf]].
+    *
+    * `maxChildrenPerPass` caps how many children one hot cell spawns in
+    * a single pass: a grossly-hot cell (ceil(n/maxCell) large) would
+    * otherwise put an argmax over hundreds of in-literal child vectors
+    * in the re-home projection — past codegen-friendly expression size.
+    * Capped, the cell splits into at most that many children, a child
+    * may still be hot, and the CALLER's next maintenance round splits it
+    * again — geometric convergence, bounded expression size per pass
+    * (the maintained streaming ingest relies on exactly this).
     */
   def planIvfRebalance(centroids: DataFrame, sizes: Map[Long, Long],
                        rowsOf: Seq[Long] => DataFrame,
                        idCol: String, vecCol: String,
                        centIdCol: String, centVecCol: String,
-                       maxCell: Long, minCell: Long): IvfRebalance = {
+                       maxCell: Long, minCell: Long,
+                       maxChildrenPerPass: Int = Int.MaxValue): IvfRebalance = {
+    require(maxChildrenPerPass >= 2,
+      "maxChildrenPerPass must be >= 2 (a 1-child split is a rename)")
     val centRows = collectCentroids(centroids, centIdCol, centVecCol,
       "planIvfRebalance")
     new IvfRebalance(
-      planRebalance(centRows, sizes, rowsOf, idCol, vecCol, maxCell, minCell),
+      planRebalance(centRows, sizes, rowsOf, idCol, vecCol, maxCell, minCell,
+        maxChildrenPerPass),
       centIdCol, centVecCol)
   }
 
@@ -944,7 +957,8 @@ object Ann {
                             sizes: Map[Long, Long],
                             rowsOf: Seq[Long] => DataFrame,
                             idCol: String, vecCol: String,
-                            maxCell: Long, minCell: Long): RebalPlan = {
+                            maxCell: Long, minCell: Long,
+                            maxChildren: Int = Int.MaxValue): RebalPlan = {
     require(maxCell >= 1, "rebalanceIvf: maxCell must be >= 1")
     require(minCell >= 0 && minCell <= maxCell,
       "rebalanceIvf: need 0 <= minCell <= maxCell")
@@ -969,7 +983,8 @@ object Ann {
       if (hot.isEmpty) Seq.empty
       else {
         val sOf: Map[Long, Int] = hot.iterator
-          .map(c => c -> ((sizes(c) + maxCell - 1) / maxCell).toInt).toMap
+          .map(c => c -> math.min(maxChildren,
+            ((sizes(c) + maxCell - 1) / maxCell).toInt)).toMap
         val maxS = sOf.values.max
         // two driver collects read this (seed top-k, then seed vectors);
         // checkpoint the bounded hot subset so the source lineage runs

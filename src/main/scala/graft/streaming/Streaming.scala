@@ -505,15 +505,20 @@ object Streaming {
     * `minCell` = 0 (default) disables dissolution — raise it only once
     * the index is warm, or early near-empty cells dissolve. Ids must be
     * integral (they ride the rebalance's Long-typed seed buffer; hash
-    * string ids to longs first). `onMaintain(batchId, nTouched)` fires
-    * after each committed rebalance. `maintHook` is a TEST SEAM, called
-    * at "maint-appended" / "maint-committed" / "batch-appended".
+    * string ids to longs first). `maxChildrenPerPass` (default 16)
+    * bounds one pass's split fan-out so the re-home projection stays
+    * codegen-sized under a grossly-hot surge; a still-hot child is the
+    * next batch's check to split again (geometric convergence,
+    * spec-pinned). `onMaintain(batchId, nTouched)` fires after each
+    * committed rebalance. `maintHook` is a TEST SEAM, called at
+    * "maint-appended" / "maint-committed" / "batch-appended".
     */
   def streamInsertIndexedMaintained(
       stream: DataFrame, dim: Int, numShards: Int,
       centroids: DataFrame, centIdCol: String, centVecCol: String,
       tablePath: String, checkpointPath: String,
       maxCell: Long, minCell: Long = 0L, checkEvery: Int = 1,
+      maxChildrenPerPass: Int = 16,
       onMaintain: (Long, Int) => Unit = (_, _) => (),
       maintHook: String => Unit = _ => ()): StreamingQuery = {
     import graft.operators.Ann
@@ -607,7 +612,8 @@ object Streaming {
             cs => graft.sources.Layout
               .readPartitions(spark, tablePath, "cell_id", cs)
               .withColumn("cell_id", col("cell_id").cast("long")),
-            "id", "embedding", centIdCol, centVecCol, maxCell, minCell)
+            "id", "embedding", centIdCol, centVecCol, maxCell, minCell,
+            maxChildrenPerPass)
           if (!dec.isNoop) {
             val touched = dec.touchedCells
             val moved = graft.sources.Layout

@@ -1361,6 +1361,54 @@ class StreamingSpec extends SparkSpec {
     assert(t.filter(col("id") === 100L).count() == 1)
   }
 
+  test("maxChildrenPerPass bounds each split generation and repeated checks converge geometrically") {
+    import spark.implicits._
+    val in = Files.createTempDirectory("graft_cap_in_").toString
+    val table = Files.createTempDirectory("graft_cap_tbl_").toString + "/t"
+    val ckpt = Files.createTempDirectory("graft_cap_ckpt_").toString + "/c"
+    val cents = Seq((0L, Seq(1f, 0f, 0f, 0f))).toDF("cent_id", "cvec")
+    val maint = scala.collection.mutable.ArrayBuffer[(Long, Int)]()
+    val q = Streaming.streamInsertIndexedMaintained(
+      spark.readStream.schema(maintSchema).parquet(in),
+      dim = 4, numShards = 2, cents, "cent_id", "cvec", table, ckpt,
+      maxCell = 2L, maxChildrenPerPass = 2,
+      onMaintain = (b, n) => maint += ((b, n)))
+    // 8 rows in one cell: uncapped, ceil(8/2) = 4 children in one pass;
+    // capped at 2, each generation splits a hot cell two ways and the
+    // NEXT check catches any still-hot child
+    (1 to 8).map(i =>
+      (i.toLong, Seq(9f, if (i % 2 == 0) 1f else -1f,
+        if (i % 4 < 2) 1f else -1f, i * 0.01f)))
+      .toDF("id", "embedding").coalesce(1).write.mode("overwrite").parquet(in)
+    q.processAllAvailable()
+    def centCount(): Long =
+      Streaming.maintainedCentroids(spark, table, cents).count()
+    def maxCellSize(): Long = spark.read.parquet(table)
+      .groupBy(col("cell_id")).count()
+      .agg(max(col("count"))).head().getLong(0)
+    var rounds = 0
+    var prevCents = centCount()
+    while (maxCellSize() > 2L && rounds < 12) {
+      // an empty trailing batch carries the next maintenance check
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], maintSchema)
+        .coalesce(1).write.mode("append").parquet(in)
+      q.processAllAvailable()
+      val c = centCount()
+      // one generation adds at most (cap − 1) centroids per touched cell
+      assert(c - prevCents <= maint.lastOption.map(_._2.toLong * 1).getOrElse(1L),
+        s"generation grew $prevCents -> $c with ${maint.lastOption} touched")
+      prevCents = c
+      rounds += 1
+    }
+    q.stop()
+    assert(maxCellSize() <= 2L, s"did not converge in $rounds rounds")
+    assert(maint.length >= 2, s"cap must force multiple generations: $maint")
+    val ids = spark.read.parquet(table)
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids == (1L to 8L), ids)
+  }
+
   test("compactMaintained folds committed subdirs, spares the replayable tail, recovers from crashes, and the ingest guard holds") {
     import spark.implicits._
     val in = Files.createTempDirectory("graft_cmp_in_").toString
