@@ -11581,6 +11581,68 @@ object SparkEntry {
         .select(lit("rendezvous").as("scheme"), $"moved", $"total",
           score6($"moved".cast("double") / $"total").as("moved_pct"))
       mod.unionByName(rdv).orderBy($"scheme")
+    }),
+
+    // Schema evolution on a partitioned table: generation-1 partitions
+    // (doc_id%4 ∈ {0,1}) lack `score`, generation-2 partitions carry
+    // score = n_chars·2. Branch "mor" answers merge-on-read
+    // (readEvolved fills holes with the derived default n_chars+7);
+    // branch "phys" answers AFTER backfillColumn materialized the same
+    // default into only the lagging partitions. The two branches must
+    // hash-agree — the merge-on-read ≡ post-backfill equivalence the
+    // live-reader contract promises.
+    "q_schema_evolve" -> ((s, dir) => {
+      import s.implicits._
+      val d = java.nio.file.Files.createTempDirectory("graft_evo_q_").toFile
+      jsonlTmpCleanup(d)
+      val path = new java.io.File(d, "t").getAbsolutePath
+      val docs = t(s, dir, "documents")
+        .select($"doc_id", $"n_chars", pmod($"doc_id", lit(4)).as("part"))
+      docs.filter($"part" < 2)
+        .write.mode("overwrite").partitionBy("part").parquet(path)
+      docs.filter($"part" >= 2)
+        .withColumn("score", ($"n_chars" * 2).cast("long"))
+        .write.mode("append").partitionBy("part").parquet(path)
+      val default = ($"n_chars" + lit(7)).cast("long")
+      def agg(df: DataFrame, tag: String): DataFrame =
+        df.groupBy(col("part").cast("long").as("part"))
+          .agg(sum($"score").cast("long").as("s"), count(lit(1)).as("n"))
+          .select(lit(tag).as("branch"), $"part", $"s", $"n")
+      // materialize the merge-on-read answer BEFORE the backfill
+      // replaces the generation-1 files it has already listed
+      val mor = agg(Layout.readEvolved(s, path, Map("score" -> default)), "mor")
+        .localCheckpoint(true)
+      Layout.backfillColumn(s, path, "part", "score", default)
+      val phys = agg(s.read.parquet(path), "phys")
+      mor.unionByName(phys).orderBy($"branch", $"part")
+    }),
+
+    // Incremental materialized rollup: build the per-(source, lang)
+    // summary, append a delta into ONE source partition, refresh — the
+    // refresh must touch exactly that partition (n_refreshed = 1 rides
+    // every output row, oracle-pinned) and the summary must equal a
+    // from-scratch recompute over base ∪ delta.
+    "q_incremental_rollup" -> ((s, dir) => {
+      import s.implicits._
+      val d = java.nio.file.Files.createTempDirectory("graft_mv_q_").toFile
+      jsonlTmpCleanup(d)
+      val src = new java.io.File(d, "src").getAbsolutePath
+      val dst = new java.io.File(d, "mv").getAbsolutePath
+      val docs = t(s, dir, "documents")
+        .select($"doc_id", $"lang", $"n_chars", $"source")
+      docs.write.mode("overwrite").partitionBy("source").parquet(src)
+      val aggs = Seq(count(lit(1)).as("n_docs"),
+        sum($"n_chars").cast("long").as("sum_chars"))
+      Layout.materializeRollup(s, src, dst, "source", Seq("lang"), aggs)
+      docs.filter($"source" === "src0")
+        .select(($"doc_id" + lit(1000000L)).as("doc_id"), $"lang",
+          ($"n_chars" + lit(11L)).as("n_chars"), $"source")
+        .write.mode("append").partitionBy("source").parquet(src)
+      val refreshed = Layout.refreshRollup(s, src, dst, "source", Seq("lang"), aggs)
+      s.read.parquet(dst)
+        .select($"source", $"lang", $"n_docs", $"sum_chars",
+          lit(refreshed).cast("long").as("n_refreshed"))
+        .orderBy($"source", $"lang")
     })
   )
 
@@ -11761,6 +11823,37 @@ object SparkEntry {
          |             / COUNT(*), 6) + 0.0 AS moved_pct
          |FROM r8 a JOIN r10 b ON a.vec_id = b.vec_id
          |ORDER BY scheme""".stripMargin
-    }
+    },
+
+    // both branches replay identically: gen-2 parts (doc_id%4 >= 2)
+    // carry score = n_chars*2, gen-1 holes fill with n_chars+7 — on
+    // merge-on-read via coalesce, physically via backfillColumn
+    "q_schema_evolve" ->
+      """WITH e AS (
+        |  SELECT doc_id % 4 AS part,
+        |         CASE WHEN doc_id % 4 >= 2 THEN n_chars * 2
+        |              ELSE n_chars + 7 END AS score
+        |  FROM documents),
+        |a AS (SELECT part, SUM(score) AS s, COUNT(*) AS n
+        |      FROM e GROUP BY part)
+        |SELECT 'mor' AS branch, part, s, n FROM a
+        |UNION ALL
+        |SELECT 'phys' AS branch, part, s, n FROM a
+        |ORDER BY branch, part""".stripMargin,
+
+    // base ∪ delta recompute; the engine's incremental bookkeeping must
+    // land on the same table AND report exactly one refreshed partition
+    "q_incremental_rollup" ->
+      """WITH delta AS (
+        |  SELECT doc_id + 1000000 AS doc_id, lang, n_chars + 11 AS n_chars,
+        |         source
+        |  FROM documents WHERE source = 'src0'),
+        |allrows AS (
+        |  SELECT doc_id, lang, n_chars, source FROM documents
+        |  UNION ALL SELECT * FROM delta)
+        |SELECT source, lang, COUNT(*) AS n_docs, SUM(n_chars) AS sum_chars,
+        |       1 AS n_refreshed
+        |FROM allrows GROUP BY source, lang
+        |ORDER BY source, lang""".stripMargin
   )
 }

@@ -152,7 +152,10 @@
   * ==Storage layout and interchange==
   *
   *  - Range-sorted shard layout, disjointness manifests, z-order,
-  *    content digests, versioned time-travel snapshots:
+  *    parquet bloom indexes (writeBloomIndexed), content digests,
+  *    versioned time-travel snapshots, merge-on-read tombstones +
+  *    vacuum, schema evolution (readEvolved / backfillColumn),
+  *    incremental materialized rollups (refreshRollup):
   *    [[graft.sources.Layout]]
   *  - Table loading and synthetic corpora: [[graft.sources.Tables]],
   *    [[graft.sources.Synthetic]]
@@ -167,7 +170,9 @@
   *  - Continuous IVF ingest with in-stream index maintenance
   *    (insert + crash-safe split/merge rebalance, versioned centroid
   *    store): [[graft.streaming.Streaming.streamInsertIndexedMaintained]];
-  *    offline small-file compaction for its table:
+  *    probe-pruned serving: [[graft.streaming.Streaming.searchMaintained]];
+  *    merge-on-read deletes made physical at compaction:
+  *    [[graft.streaming.Streaming.deleteMaintained]],
   *    [[graft.streaming.Streaming.compactMaintained]]
   *
   * ==SQL surface==

@@ -57,6 +57,30 @@ object Layout {
     }
   }
 
+  /** Write with per-column PARQUET BLOOM FILTERS — the point-lookup
+    * complement to [[writeZOrdered]]'s min/max skipping: an equality
+    * probe on a high-cardinality UNSORTED column (doc ids, url hashes,
+    * join keys) gets row-group skipping from the bloom even though its
+    * min/max stats span everything, and without spending the one sort
+    * order the layout has on it. Costs ~`ndv`-sized bitsets per row
+    * group at write time, nothing at all on non-probe reads. Readers
+    * need no code change: Spark pushes the equality predicate into
+    * parquet-mr, which consults the bloom per row group before
+    * decoding a byte (LayoutSpec probes the written blooms directly —
+    * present keys hit, absent keys miss — and pins that only the
+    * listed columns carry one).
+    */
+  def writeBloomIndexed(df: DataFrame, path: String, cols: Seq[String],
+                        expectedNdv: Long = 100000L): Unit = {
+    require(cols.nonEmpty, "writeBloomIndexed: name at least one column")
+    val missing = cols.filterNot(df.columns.contains)
+    require(missing.isEmpty, s"writeBloomIndexed: no such columns $missing")
+    cols.foldLeft(df.write.mode("overwrite")) { (w, c) =>
+      w.option(s"parquet.bloom.filter.enabled#$c", "true")
+        .option(s"parquet.bloom.filter.expected.ndv#$c", expectedNdv.toString)
+    }.parquet(path)
+  }
+
   /** Sort by the interleaved z-value and write `numFiles` files — the
     * write-side half of two-dimensional data skipping.
     */
@@ -135,6 +159,186 @@ object Layout {
                   keyCol: String, partCol: String): Int =
     mergeCdc(spark, tableDir, updates,
       updates.select(col(keyCol), col(partCol)).limit(0), keyCol, partCol)
+
+  /** Build (or fully seed) a materialized ROLLUP — see [[refreshRollup]],
+    * which this delegates to: on an empty destination every source
+    * partition counts as changed, so the initial build and the
+    * incremental refresh are literally the same operation.
+    */
+  def materializeRollup(spark: SparkSession, srcPath: String, dstPath: String,
+                        partCol: String, dims: Seq[String],
+                        aggs: Seq[Column]): Int =
+    refreshRollup(spark, srcPath, dstPath, partCol, dims, aggs)
+
+  /** Incrementally refresh a materialized rollup (summary table) over a
+    * PARTITIONED source — the incremental-view-maintenance staple:
+    * summary rows are `groupBy(partCol, dims).agg(aggs)` WITHIN each
+    * source partition, stored partitioned by the same column beside a
+    * `_rollup_manifest` that records each source partition's FILE
+    * FINGERPRINT (md5 of the sorted name:length file listing — a
+    * metadata-only decision, no source data is read for unchanged
+    * partitions). A refresh recomputes ONLY partitions whose
+    * fingerprint changed or appeared, deletes summary partitions whose
+    * source vanished, and leaves every other summary partition
+    * byte-identical on disk (file-listing-asserted in LayoutSpec).
+    * Returns #partitions refreshed + removed; 0 means nothing changed.
+    *
+    * Crash safety by idempotence: the manifest writes LAST, so a crash
+    * mid-refresh leaves stale fingerprints and the next run simply
+    * re-derives those partitions (recompute-on-doubt — no marker
+    * protocol, unlike the maintained-table moves where rows change
+    * ADDRESS; here recomputation is pure).
+    *
+    * The summary grain must include `partCol`; cross-partition grains
+    * aggregate the summary further at read time (the standard
+    * two-level rollup — counts/sums/mins/maxes compose). `aggs` are
+    * pre-aliased aggregate Columns. A rollup over a NON-composable
+    * aggregate (exact median, …) belongs in a sketch column instead.
+    */
+  def refreshRollup(spark: SparkSession, srcPath: String, dstPath: String,
+                    partCol: String, dims: Seq[String],
+                    aggs: Seq[Column]): Int = {
+    require(aggs.nonEmpty, "refreshRollup: name at least one aggregate")
+    val srcRoot = new org.apache.hadoop.fs.Path(srcPath)
+    val fs = srcRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(srcRoot), s"refreshRollup: no source at $srcPath")
+    def fingerprint(d: org.apache.hadoop.fs.Path): String = {
+      val listing = fs.listStatus(d).filter(_.isFile)
+        .map(s => s.getPath.getName + ":" + s.getLen).sorted
+        .mkString("\n")
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(listing.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    }
+    // keys are the ESCAPED directory names — the one spelling that is
+    // stable across listing, writing, and deleting
+    val srcParts: Map[String, String] = fs.listStatus(srcRoot)
+      .filter(_.isDirectory).map(_.getPath)
+      .filter(_.getName.startsWith(s"$partCol="))
+      .map(d => d.getName -> fingerprint(d)).toMap
+    val manifestPath = s"$dstPath/_rollup_manifest"
+    val manifest: Map[String, String] =
+      if (!fs.exists(new org.apache.hadoop.fs.Path(manifestPath))) Map.empty
+      else spark.read.parquet(manifestPath)
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val changed = srcParts.collect {
+      case (p, fp) if !manifest.get(p).contains(fp) => p
+    }.toSeq.sorted
+    val removed = (manifest.keySet -- srcParts.keySet).toSeq.sorted
+    if (changed.isEmpty && removed.isEmpty) return 0
+
+    // a changed partition that became file-less produces no summary
+    // rows (dynamic overwrite would leave its stale dir) — treat it
+    // like a removed one
+    val (changedEmpty, changedLive) = changed.partition(p =>
+      fingerprintIsEmptySource(fs, new org.apache.hadoop.fs.Path(s"$srcPath/$p")))
+    if (changedLive.nonEmpty) {
+      val rows = spark.read.option("basePath", srcPath)
+        .parquet(changedLive.map(p => s"$srcPath/$p"): _*)
+        .groupBy((partCol +: dims).map(col): _*)
+        .agg(aggs.head, aggs.tail: _*)
+      val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      try rows
+        .select(rows.columns.filter(_ != partCol).map(col) :+ col(partCol): _*)
+        .write.mode("overwrite").partitionBy(partCol).parquet(dstPath)
+      finally prev match {
+        case Some(v) =>
+          spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+        case None =>
+          spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
+    }
+    (changedEmpty ++ removed).foreach { p =>
+      val sd = new org.apache.hadoop.fs.Path(s"$dstPath/$p")
+      if (fs.exists(sd)) fs.delete(sd, true): Unit
+    }
+    // manifest LAST (see crash-safety note)
+    import spark.implicits._
+    srcParts.toSeq.sortBy(_._1).toDF("part", "fp")
+      .coalesce(1).write.mode("overwrite").parquet(manifestPath)
+    changed.length + removed.length
+  }
+
+  private def fingerprintIsEmptySource(
+      fs: org.apache.hadoop.fs.FileSystem,
+      d: org.apache.hadoop.fs.Path): Boolean =
+    !fs.exists(d) || fs.listStatus(d).forall(!_.isFile)
+
+  /** Read a table whose files span SCHEMA GENERATIONS (additive column
+    * evolution): `mergeSchema` unions the per-file schemas, and
+    * `defaults` fills the null holes older-generation files leave —
+    * merge-on-read for COLUMNS, the way the tombstone sidecar is
+    * merge-on-read for deletes. Adding a column to a 100 TB table costs
+    * NOTHING at write time (new files simply carry it); every reader
+    * pays one `coalesce` per evolved column until [[backfillColumn]]
+    * materializes it. A default may be any Column over the row's other
+    * columns (a DERIVED backfill, e.g. `length(col("text"))`), not just
+    * a literal. Columns in `defaults` that no file carries yet are
+    * created outright, so the read schema is stable across the whole
+    * evolution window.
+    */
+  def readEvolved(spark: SparkSession, path: String,
+                  defaults: Map[String, Column]): DataFrame = {
+    val df = spark.read.option("mergeSchema", "true").parquet(path)
+    defaults.toSeq.sortBy(_._1).foldLeft(df) { case (d, (name, default)) =>
+      if (d.columns.contains(name))
+        d.withColumn(name, coalesce(col(name), default))
+      else d.withColumn(name, default)
+    }
+  }
+
+  /** Materialize an evolved column PHYSICALLY, touching only the
+    * partitions whose files still lack it: the decision reads parquet
+    * FOOTERS per partition directory (no data), lagging partitions are
+    * rewritten with `value` computed from their existing columns, and
+    * every already-evolved partition stays byte-identical on disk
+    * (dynamic partition overwrite names only the lagging ones — the
+    * [[vacuumTombstones]] scope discipline). Idempotent: a second run
+    * finds no lagging partition and rewrites nothing. Returns the
+    * number of partitions rewritten.
+    *
+    * `value` must replay the [[readEvolved]] default exactly if readers
+    * are live during the backfill — merge-on-read and post-backfill
+    * answers then agree bit-for-bit (q_schema_evolve hash-checks
+    * exactly that equivalence).
+    *
+    * Detection is per DIRECTORY: a directory where some file already
+    * carries the column counts as evolved (its older files' null holes
+    * remain [[readEvolved]]'s to fill). Partition-aligned writes
+    * (`partitionBy`, the maintained ingest) never produce that mixed
+    * shape.
+    */
+  def backfillColumn(spark: SparkSession, path: String, partCol: String,
+                     colName: String, value: Column): Int = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dirs = fs.listStatus(root).filter(_.isDirectory).map(_.getPath)
+      .filter(_.getName.startsWith(s"$partCol=")).toSeq
+    val lagging = dirs.filter { d =>
+      !spark.read.option("mergeSchema", "true").parquet(d.toString)
+        .schema.fieldNames.contains(colName)
+    }
+    if (lagging.isEmpty) return 0
+    // a lagging dir carries the column in NO file (merged-schema check
+    // above), so the backfill is a plain projection over its rows
+    val evolved = spark.read.option("basePath", path)
+      .option("mergeSchema", "true")
+      .parquet(lagging.map(_.toString): _*)
+      .withColumn(colName, value)
+      .localCheckpoint(true) // the read must finish before the overwrite
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try evolved
+      .select(evolved.columns.filter(_ != partCol).map(col) :+ col(partCol): _*)
+      .write.mode("overwrite").partitionBy(partCol).parquet(path)
+    finally prev match {
+      case Some(v) =>
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None =>
+        spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+    lagging.length
+  }
 
   /** CDC merge — [[mergeUpsert]] plus DELETES (the full
     * change-data-capture apply a lakehouse MERGE statement performs):

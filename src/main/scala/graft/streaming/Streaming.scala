@@ -683,13 +683,65 @@ object Streaming {
       .getOrElse(fallback)
   }
 
+  /** Merge-on-read DELETES for a [[streamInsertIndexedMaintained]]
+    * table: ids append to an id-only tombstone sidecar (`_deletes/`,
+    * an underscore directory the table read never sees).
+    * [[searchMaintained]] anti-joins the sidecar (broadcast — it holds
+    * 8-byte ids, bounded by total delete volume), and
+    * [[compactMaintained]] makes the deletes PHYSICAL for every row it
+    * folds — the LSM discipline: tombstones become rewrites only at
+    * compaction, never on the delete path (no table file is touched
+    * here). Appending is idempotent by nature (a doubly-deleted id is
+    * one id after the read-side distinct), so no batch addressing is
+    * needed.
+    *
+    * SEMANTICS — terminal per id: the sidecar carries no ordering, so
+    * re-inserting a previously deleted id leaves the new row hidden
+    * too (rows can sit at re-homed/folded addresses that no longer
+    * carry their ingest batch, so a cutoff-based rule cannot be
+    * evaluated). The reference's store is append-only
+    * (`coordinator/main.py:47-56` has no delete at all); use
+    * `VectorStore.upsert` for replace-by-id workflows.
+    */
+  def deleteMaintained(spark: org.apache.spark.sql.SparkSession,
+                       tablePath: String, ids: DataFrame,
+                       idCol: String): Unit =
+    ids.select(col(idCol).cast("long").as("id")).distinct()
+      .write.mode("append").parquet(s"$tablePath/_deletes")
+
+  /** Streaming face of [[deleteMaintained]]: a stream of ids to delete
+    * (e.g. a GDPR purge feed) appends to the tombstone sidecar per
+    * micro-batch. No batch addressing: delete appends are idempotent by
+    * nature (the read side distincts), so a replayed batch re-appending
+    * the same ids changes nothing.
+    */
+  def streamDeleteIngest(ids: DataFrame, idCol: String, tablePath: String,
+                         checkpointPath: String): StreamingQuery =
+    ids.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointPath)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        deleteMaintained(batch.sparkSession, tablePath, batch, idCol)
+      }
+      .start()
+
+  private def maintainedDeletes(
+      spark: org.apache.spark.sql.SparkSession,
+      tablePath: String): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(tablePath, "_deletes")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) Some(spark.read.parquet(p.toString).distinct())
+    else None
+  }
+
   /** Probe-pruned top-k search over a [[streamInsertIndexedMaintained]]
     * table — the serving face of the maintained index: rank `nProbes`
     * cells against the latest COMMITTED centroids (driver-side; the
     * centroid table is index-structure-bounded), then scan ONLY those
     * cells' directories — the `cell_id` isin filter is partition
-    * pruning, so the table on disk IS the inverted file. Same
-    * quantized-cosine scoring and k-bounded top-k as
+    * pruning, so the table on disk IS the inverted file. Rows deleted
+    * via [[deleteMaintained]] are anti-joined out (broadcast sidecar).
+    * Same quantized-cosine scoring and k-bounded top-k as
     * [[graft.operators.Ann.search]]. Returns (id, score), score desc.
     */
   def searchMaintained(spark: org.apache.spark.sql.SparkSession,
@@ -701,9 +753,12 @@ object Streaming {
     import graft.operators.{Ann, TopK}
     val cents = maintainedCentroids(spark, tablePath, fallbackCentroids)
     val probes = Ann.probeCellIds(cents, query, centIdCol, centVecCol, nProbes)
-    val cand = Ann.readIvfCells(spark, tablePath, probes)
-      .withColumn("__nv",
-        greatest(sqrt(dotF(col("embedding"), col("embedding"))), lit(V.NormEps)))
+    val scanned = Ann.readIvfCells(spark, tablePath, probes)
+    val alive = maintainedDeletes(spark, tablePath)
+      .map(d => scanned.join(broadcast(d), Seq("id"), "left_anti"))
+      .getOrElse(scanned)
+    val cand = alive.withColumn("__nv",
+      greatest(sqrt(dotF(col("embedding"), col("embedding"))), lit(V.NormEps)))
     val qn = math.max(math.sqrt(query.map(x => x.toDouble * x).sum), V.NormEps)
     val scored = cand.withColumn("score",
       dotF(col("embedding"), typedLit(query)) / (col("__nv") * lit(qn)))
@@ -717,8 +772,10 @@ object Streaming {
     * obligation). Folds all COMMITTED batch subdirs of each cell into
     * one fold subdir per cell (`__b` ≤ −2⁴⁰, a reserved address space
     * disjoint from ingest batches ≥ 0 and maintenance moves −(n+1)),
-    * then deletes the sources. Returns the number of subdirs folded
-    * away.
+    * then deletes the sources; rows tombstoned via [[deleteMaintained]]
+    * are PURGED from the folded output (tombstones become physical at
+    * compaction — the LSM discipline). Returns the number of subdirs
+    * folded away.
     *
     * Replay safety: the LARGEST ingest batch address is never folded —
     * it may be an uncommitted batch that replays on restart and
@@ -829,9 +886,15 @@ object Streaming {
     val foldCells = sources.map(_._2).distinct
 
     // ---- execute: intent → fold append → commit → source deletes ----
-    val rows = spark.read.parquet(tablePath)
+    // folding is where merge-on-read deletes become PHYSICAL: folded
+    // output drops tombstoned ids (the sidecar itself is retained —
+    // unfolded subdirs may still carry matching rows)
+    val folded0 = spark.read.parquet(tablePath)
       .filter(col("cell_id").cast("long").isin(foldCells: _*) &&
         col("__b").cast("long").isin(foldB: _*))
+    val rows = maintainedDeletes(spark, tablePath)
+      .map(d => folded0.join(broadcast(d), Seq("id"), "left_anti"))
+      .getOrElse(folded0)
       .withColumn("cell_id", col("cell_id").cast("long"))
       .withColumn("__b", lit(newFold))
     fs.mkdirs(compDir)
@@ -854,7 +917,14 @@ object Streaming {
       s"could not commit compaction marker $commit")
     hook("compact-committed")
     sources.foreach { case (p, _, _) =>
-      if (fs.exists(p)) fs.delete(p, true): Unit
+      if (fs.exists(p)) {
+        fs.delete(p, true): Unit
+        // a cell whose every folded row was tombstoned writes no fold
+        // subdir — drop the emptied directory (dir exists iff data)
+        val parent = p.getParent
+        if (fs.exists(parent) && fs.listStatus(parent).isEmpty)
+          fs.delete(parent, true): Unit
+      }
     }
     fs.delete(intent, false)
     sources.length

@@ -367,4 +367,155 @@ class LayoutSpec extends SparkSpec {
       Layout.vacuumVersions(spark, dir, 0)
     }
   }
+
+  test("incremental rollup: refresh recomputes only changed partitions, removes vanished ones, and is idempotent") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_mv_").toFile
+    dir.deleteOnExit()
+    val src = new java.io.File(dir, "src").getAbsolutePath
+    val dst = new java.io.File(dir, "mv").getAbsolutePath
+    def write(rows: Seq[(Long, String, String, Long)], mode: String): Unit =
+      rows.toDF("k", "grp", "part", "x")
+        .write.mode(mode).partitionBy("part").parquet(src)
+    write(Seq((1L, "a", "p1", 10L), (2L, "a", "p1", 20L), (3L, "b", "p1", 5L),
+      (4L, "a", "p2", 7L), (5L, "b", "p3", 1L)), "overwrite")
+    val dims = Seq("grp")
+    val aggs = Seq(count(lit(1)).as("n"), sum(col("x")).cast("long").as("sx"))
+    def summary(): Map[(String, String), (Long, Long)] =
+      spark.read.parquet(dst).collect()
+        .map(r => (r.getAs[String]("part"), r.getAs[String]("grp")) ->
+          ((r.getAs[Long]("n"), r.getAs[Long]("sx")))).toMap
+    def listing(p: String): Seq[(String, Long)] = {
+      val d = new java.io.File(s"$dst/part=$p")
+      if (!d.exists()) Seq.empty
+      else d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => (f.getName, f.length())).sorted.toSeq
+    }
+
+    // initial build: every partition counts as changed
+    assert(Layout.materializeRollup(spark, src, dst, "part", dims, aggs) == 3)
+    assert(summary() == Map(("p1", "a") -> ((2L, 30L)), ("p1", "b") -> ((1L, 5L)),
+      ("p2", "a") -> ((1L, 7L)), ("p3", "b") -> ((1L, 1L))))
+    val p2Before = listing("p2"); val p3Before = listing("p3")
+
+    // nothing changed: refresh is a no-op
+    assert(Layout.refreshRollup(spark, src, dst, "part", dims, aggs) == 0)
+    assert(listing("p2") == p2Before && listing("p3") == p3Before)
+
+    // append into p1 only: exactly one partition refreshes, the others
+    // stay byte-identical
+    write(Seq((6L, "b", "p1", 100L)), "append")
+    assert(Layout.refreshRollup(spark, src, dst, "part", dims, aggs) == 1)
+    assert(summary()(("p1", "b")) == ((2L, 105L)))
+    assert(listing("p2") == p2Before && listing("p3") == p3Before)
+
+    // source partition vanishes: its summary partition goes with it
+    val fs = new org.apache.hadoop.fs.Path(src)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$src/part=p3"), true)
+    assert(Layout.refreshRollup(spark, src, dst, "part", dims, aggs) == 1)
+    assert(!new java.io.File(s"$dst/part=p3").exists())
+    assert(summary().keySet.map(_._1) == Set("p1", "p2"))
+    assert(Layout.refreshRollup(spark, src, dst, "part", dims, aggs) == 0)
+  }
+
+  test("writeBloomIndexed: listed columns carry row-group blooms that hit present keys and miss absent ones") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_bloom_").toFile
+    dir.deleteOnExit()
+    val path = new java.io.File(dir, "t").getAbsolutePath
+    val rows = (0L until 50000L).map(i => (i * 7L + 3L, s"payload_$i"))
+    Layout.writeBloomIndexed(rows.toDF("k", "payload").repartition(2),
+      path, Seq("k"), expectedNdv = 50000L)
+
+    // probe the written blooms through parquet-mr directly
+    import scala.jdk.CollectionConverters._
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import org.apache.parquet.column.values.bloomfilter.BloomFilter
+    import org.apache.parquet.io.api.Binary
+    val conf = spark.sparkContext.hadoopConfiguration
+    val files = new java.io.File(path).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath).sorted
+    assert(files.length == 2)
+    var probed = 0
+    files.foreach { f =>
+      val reader = ParquetFileReader.open(
+        HadoopInputFile.fromPath(new org.apache.hadoop.fs.Path(f), conf))
+      try {
+        reader.getRowGroups.forEach { rg =>
+          val kMeta = rg.getColumns.asScala.find(
+            _.getPath.toDotString == "k").get
+          val pMeta = rg.getColumns.asScala.find(
+            _.getPath.toDotString == "payload").get
+          val bbr = reader.getBloomFilterDataReader(rg)
+          val bloom: BloomFilter = bbr.readBloomFilter(kMeta)
+          assert(bloom != null, "indexed column must carry a bloom")
+          assert(bbr.readBloomFilter(pMeta) == null,
+            "unlisted column must NOT pay for a bloom")
+          // a key that IS somewhere in the table: k ≡ 3 (mod 7)
+          val present = bloom.findHash(bloom.hash(17L * 7L + 3L))
+          // keys ≡ 5 (mod 7) never exist: the bloom must miss nearly
+          // all of them (allow the design FP rate, assert the bulk)
+          val misses = (0 until 100).count { j =>
+            !bloom.findHash(bloom.hash(j * 7L + 5L))
+          }
+          assert(misses >= 95, s"bloom must reject absent keys: $misses/100")
+          probed += (if (present) 1 else 0)
+        }
+      } finally reader.close()
+    }
+    assert(probed >= 1, "the present key must hit in at least one row group")
+    // reads are unchanged semantically; the equality probe pushes down
+    val hit = spark.read.parquet(path).filter(col("k") === (17L * 7L + 3L))
+    assert(hit.count() == 1)
+    val plan = hit.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(k), EqualTo(k,"), plan)
+  }
+
+  test("schema evolution: readEvolved fills generation holes; backfillColumn rewrites ONLY lagging partitions, idempotently") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_evo_").toFile
+    dir.deleteOnExit()
+    val path = new java.io.File(dir, "t").getAbsolutePath
+    // generation 1: two partitions without the `score` column
+    Seq((1L, "aa", "p1"), (2L, "bbbb", "p1"), (3L, "cc", "p2"))
+      .toDF("k", "payload", "part")
+      .write.mode("overwrite").partitionBy("part").parquet(path)
+    // generation 2: a new partition born WITH the column
+    Seq((10L, "dddddd", "p3", 60L)).toDF("k", "payload", "part", "score")
+      .write.mode("append").partitionBy("part").parquet(path)
+
+    // merge-on-read: old rows get the DERIVED default, new keep theirs
+    val defaults = Map("score" -> (length(col("payload")) * 10L).cast("long"))
+    val evolved = Layout.readEvolved(spark, path, defaults)
+    val got = evolved.select("k", "score").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 20L, 2L -> 40L, 3L -> 20L, 10L -> 60L), got)
+    // a column NO file carries yet is created outright
+    val fresh = Layout.readEvolved(spark, path,
+      defaults + ("epoch" -> lit(7L)))
+    assert(fresh.columns.contains("epoch") &&
+      fresh.select("epoch").distinct().head().getLong(0) == 7L)
+
+    // physical backfill: only p1/p2 rewrite, p3 stays byte-identical
+    def files(p: String): Seq[(String, Long)] = {
+      val d = new java.io.File(s"$path/part=$p")
+      d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => (f.getName, f.length())).sorted.toSeq
+    }
+    val p3Before = files("p3")
+    val n = Layout.backfillColumn(spark, path, "part", "score",
+      (length(col("payload")) * 10L).cast("long"))
+    assert(n == 2, s"backfilled $n")
+    assert(files("p3") == p3Before, "evolved partition must stay untouched")
+    // plain read (no mergeSchema magic) now sees the column everywhere,
+    // bit-equal to the merge-on-read answer
+    val plain = spark.read.parquet(path).select("k", "score").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(plain == got, plain)
+    // idempotent: nothing lagging on a second run
+    assert(Layout.backfillColumn(spark, path, "part", "score",
+      (length(col("payload")) * 10L).cast("long")) == 0)
+  }
 }

@@ -1361,6 +1361,66 @@ class StreamingSpec extends SparkSpec {
     assert(t.filter(col("id") === 100L).count() == 1)
   }
 
+  test("deleteMaintained hides ids from search immediately; compaction makes folded deletes physical; the sidecar is terminal per id") {
+    import spark.implicits._
+    val in = Files.createTempDirectory("graft_del_in_").toString
+    val table = Files.createTempDirectory("graft_del_tbl_").toString + "/t"
+    val ckpt = Files.createTempDirectory("graft_del_ckpt_").toString + "/c"
+    val cents = Seq(
+      (0L, Seq(1f, 0f, 0f, 0f)), (1L, Seq(0f, 1f, 0f, 0f))
+    ).toDF("cent_id", "cvec")
+    def start() = Streaming.streamInsertIndexedMaintained(
+      spark.readStream.schema(maintSchema).parquet(in),
+      dim = 4, numShards = 2, cents, "cent_id", "cvec", table, ckpt,
+      maxCell = 1000000L)
+    def feed(rows: (Long, Seq[Float])*): Unit =
+      rows.toDF("id", "embedding").coalesce(1).write.mode("append").parquet(in)
+    val q = start()
+    feed((1L, Seq(9f, 1f, 0f, 0f)), (2L, Seq(9f, 2f, 0f, 0f)))
+    q.processAllAvailable() // batch 0 (foldable later)
+    feed((3L, Seq(9f, 3f, 0f, 0f))); q.processAllAvailable() // batch 1
+    feed((4L, Seq(9f, 0f, 1f, 0f))); q.processAllAvailable() // batch 2 (tail)
+    q.stop()
+
+    // delete id 2 (sits in foldable batch 0) and id 4 (in the tail)
+    Streaming.deleteMaintained(spark, table, Seq(2L, 4L).toDF("id"), "id")
+    def hits(): Seq[Long] =
+      Streaming.searchMaintained(spark, table, cents, "cent_id", "cvec",
+        Seq(9f, 1f, 0.5f, 0f), nProbes = 2, k = 10)
+        .collect().map(_.getLong(0)).toSeq
+    assert(hits().sorted == Seq(1L, 3L), s"merge-on-read hide: ${hits()}")
+    // no table file was touched by the delete — raw rows all present
+    assert(spark.read.parquet(table).count() == 4)
+
+    // compaction folds batches {0, 1} (tail 2 spared): the folded copy
+    // of id 2 is purged physically; tail id 4 stays physical but hidden
+    Streaming.compactMaintained(spark, table): Unit
+    val raw = spark.read.parquet(table)
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(raw == Seq(1L, 3L, 4L), s"fold must purge deleted rows: $raw")
+    assert(hits().sorted == Seq(1L, 3L))
+
+    // terminal per id: re-inserting id 2 leaves it hidden (documented)
+    val q2 = start()
+    feed((2L, Seq(9f, 2f, 0f, 0f))); q2.processAllAvailable()
+    q2.stop()
+    assert(hits().sorted == Seq(1L, 3L), "tombstones are terminal per id")
+
+    // streaming twin: a delete feed tombstones per micro-batch, and a
+    // replayed append of the same ids is a no-op by idempotence
+    val delIn = Files.createTempDirectory("graft_del_feed_").toString
+    val delCkpt = Files.createTempDirectory("graft_del_fc_").toString + "/c"
+    val delSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType)))
+    Seq(3L).toDF("id").coalesce(1).write.mode("overwrite").parquet(delIn)
+    val dq = Streaming.streamDeleteIngest(
+      spark.readStream.schema(delSchema).parquet(delIn), "id", table, delCkpt)
+    dq.processAllAvailable()
+    dq.stop()
+    assert(hits().sorted == Seq(1L), s"stream delete must hide id 3: ${hits()}")
+  }
+
   test("maxChildrenPerPass bounds each split generation and repeated checks converge geometrically") {
     import spark.implicits._
     val in = Files.createTempDirectory("graft_cap_in_").toString
