@@ -23,7 +23,9 @@ import graft.operators.Dedup
   * (Gale-Church self-rewrite alignment 1×/10×), `ivfmaint` (IVF
   * rebalance 1×/10× + one-hot-cell split, tombstone vacuum 1×/10×),
   * `maintdrift` (maintained streaming ingest: healthy vs surge vs
-  * rebalance-carrying micro-batch, 20×/200× hot-cell surge).
+  * rebalance-carrying micro-batch, 20×/200× hot-cell surge), `mvprobe`
+  * (rollup refresh + schema backfill with the touched partition held
+  * constant while the table grows 10×).
   */
 object Profile {
   def main(args: Array[String]): Unit = {
@@ -1057,6 +1059,56 @@ object Profile {
       }
       run("MD1", 20)
       run("MD10", 200)
+    }
+
+    // Rollup-refresh + schema-backfill probes: the CHANGED/LAGGING
+    // partition is held at constant size while the rest of the table
+    // grows 10×, so maintenance cost must stay ~flat — it tracks the
+    // partitions it touches, never the table. No-change refresh is a
+    // metadata-only listing.
+    if (on("mvprobe")) {
+      import graft.sources.Layout
+      val aggs = Seq(count(lit(1)).as("n"),
+        sum($"n_chars").cast("long").as("sc"))
+      def probe(tag: String, k: Int): Unit = {
+        val d = java.nio.file.Files.createTempDirectory("graft_mvp_").toFile
+        d.deleteOnExit()
+        val src = new java.io.File(d, "src").getAbsolutePath
+        val dst = new java.io.File(d, "mv").getAbsolutePath
+        val evo = new java.io.File(d, "evo").getAbsolutePath
+        val base = docs.select($"doc_id", $"lang", $"n_chars", $"source")
+        // src0 stays 1×; every other source grows k×
+        val big = ((0 until k).map(i =>
+          base.filter($"source" =!= "src0").select(
+            ($"doc_id" + lit(i * 10000000L)).as("doc_id"),
+            $"lang", $"n_chars", $"source")) :+
+          base.filter($"source" === "src0"))
+          .reduce(_ unionByName _).repartition(32)
+          .localCheckpoint(true)
+        big.write.mode("overwrite").partitionBy("source").parquet(src)
+        Layout.materializeRollup(spark, src, dst, "source", Seq("lang"), aggs)
+        time(s"$tag rollup refresh, nothing changed")(
+          println("  refreshed=" + Layout.refreshRollup(
+            spark, src, dst, "source", Seq("lang"), aggs)))
+        base.filter($"source" === "src0").limit(50)
+          .select(($"doc_id" + lit(990000000L)).as("doc_id"),
+            $"lang", $"n_chars", $"source")
+          .coalesce(1).write.mode("append").partitionBy("source").parquet(src)
+        time(s"$tag rollup refresh, 1 of 20 changed (constant-size)")(
+          println("  refreshed=" + Layout.refreshRollup(
+            spark, src, dst, "source", Seq("lang"), aggs)))
+        // schema evolution: only src0 (constant size) lags the column
+        big.filter($"source" =!= "src0")
+          .withColumn("score", ($"n_chars" * 2).cast("long"))
+          .write.mode("overwrite").partitionBy("source").parquet(evo)
+        base.filter($"source" === "src0")
+          .write.mode("append").partitionBy("source").parquet(evo)
+        time(s"$tag backfill, 1 of 20 lagging (constant-size)")(
+          println("  backfilled=" + Layout.backfillColumn(
+            spark, evo, "source", "score", ($"n_chars" * 2).cast("long"))))
+      }
+      probe("MV1", 1)
+      probe("MV10", 10)
     }
 
     spark.stop()
