@@ -155,8 +155,8 @@
   *    parquet bloom indexes (writeBloomIndexed), content digests,
   *    versioned time-travel snapshots, merge-on-read tombstones +
   *    vacuum, schema evolution (readEvolved / backfillColumn),
-  *    incremental materialized rollups (refreshRollup):
-  *    [[graft.sources.Layout]]
+  *    incremental materialized rollups (refreshRollup), fingerprint-
+  *    cached derived artifacts (derive): [[graft.sources.Layout]]
   *  - Table loading and synthetic corpora: [[graft.sources.Tables]],
   *    [[graft.sources.Synthetic]]
   *
@@ -170,7 +170,9 @@
   *  - Continuous IVF ingest with in-stream index maintenance
   *    (insert + crash-safe split/merge rebalance, versioned centroid
   *    store): [[graft.streaming.Streaming.streamInsertIndexedMaintained]];
-  *    probe-pruned serving: [[graft.streaming.Streaming.searchMaintained]];
+  *    probe-pruned serving, single and batched (one scan per query
+  *    batch): [[graft.streaming.Streaming.searchMaintained]],
+  *    [[graft.streaming.Streaming.searchMaintainedBatch]];
   *    merge-on-read deletes made physical at compaction:
   *    [[graft.streaming.Streaming.deleteMaintained]],
   *    [[graft.streaming.Streaming.compactMaintained]]

@@ -264,6 +264,62 @@ object Layout {
       d: org.apache.hadoop.fs.Path): Boolean =
     !fs.exists(d) || fs.listStatus(d).forall(!_.isFile)
 
+  /** Derived-artifact CACHE keyed by input file fingerprints — the
+    * generalization of [[refreshRollup]]'s change detection to ANY
+    * pipeline stage: `derive(spark, inputs, dstPath)(compute)` returns
+    * the parquet at `dstPath`, recomputing it only when some input
+    * table's recursive file listing (name:length, metadata-only)
+    * changed since the artifact was built. A 100 TB pipeline re-run
+    * after a partial upstream refresh then skips every stage whose
+    * inputs are untouched — make(1) semantics for DataFrames.
+    *
+    * Crash safety by idempotence (the [[refreshRollup]] discipline):
+    * the fingerprint manifest (`_derive_manifest` beside the artifact)
+    * writes LAST, so a crash mid-compute leaves a stale manifest and
+    * the next call recomputes. `compute` must be DETERMINISTIC in its
+    * inputs — that is what makes the cached artifact equivalent to a
+    * fresh run (the same contract an incremental build system's rule
+    * carries). Returns (artifact, recomputed?).
+    */
+  def derive(spark: SparkSession, inputs: Seq[String], dstPath: String)
+            (compute: => DataFrame): (DataFrame, Boolean) = {
+    require(inputs.nonEmpty, "derive: name at least one input path")
+    val conf = spark.sparkContext.hadoopConfiguration
+    def fingerprint(root: String): String = {
+      val p = new org.apache.hadoop.fs.Path(root)
+      val fs = p.getFileSystem(conf)
+      val parts = scala.collection.mutable.ArrayBuffer.empty[String]
+      def walk(d: org.apache.hadoop.fs.Path): Unit =
+        fs.listStatus(d).sortBy(_.getPath.getName).foreach { st =>
+          if (st.isDirectory) walk(st.getPath)
+          else parts += st.getPath.toUri.getPath + ":" + st.getLen
+        }
+      if (fs.exists(p)) walk(p) else parts += "<absent>"
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(parts.mkString("\n").getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    }
+    val now: Seq[(String, String)] =
+      inputs.sorted.map(i => i -> fingerprint(i))
+    val manifestPath = s"$dstPath/_derive_manifest"
+    val dst = new org.apache.hadoop.fs.Path(dstPath)
+    val fs = dst.getFileSystem(conf)
+    val cached =
+      fs.exists(new org.apache.hadoop.fs.Path(manifestPath)) && {
+        val prev = spark.read.parquet(manifestPath)
+          .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+        prev.sorted == now
+      }
+    if (cached) (spark.read.parquet(dstPath), false)
+    else {
+      compute.write.mode("overwrite").parquet(dstPath)
+      import spark.implicits._
+      now.toDF("input", "fp").coalesce(1)
+        .write.mode("overwrite").parquet(manifestPath)
+      (spark.read.parquet(dstPath), true)
+    }
+  }
+
   /** Read a table whose files span SCHEMA GENERATIONS (additive column
     * evolution): `mergeSchema` unions the per-file schemas, and
     * `defaults` fills the null holes older-generation files leave —

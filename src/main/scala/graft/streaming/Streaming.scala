@@ -766,6 +766,55 @@ object Streaming {
       .select(col("id"), col("score"))
   }
 
+  /** Batched [[searchMaintained]]: answer a whole query TABLE against
+    * the maintained index with ONE pruned scan. Per query the `nProbes`
+    * cells rank in-plan against the committed centroids (broadcast
+    * cross join — centroids are index-bounded); the UNION of all probed
+    * cells is collected (bounded by #cells, never by queries) and read
+    * once with partition pruning; a broadcast (query, cell) routing
+    * join restricts scoring so each query scores ONLY its probed cells'
+    * rows; per-query top-k is the k-bounded aggregator (exchange ≤
+    * partitions × Q × k entries). Tombstoned rows are anti-joined out.
+    * The per-request loop pays one scan per query — this pays one scan
+    * per BATCH, the amortization that turns 10⁶-query serving into a
+    * join problem. Returns (qidCol, id, score).
+    */
+  def searchMaintainedBatch(spark: org.apache.spark.sql.SparkSession,
+                            tablePath: String, fallbackCentroids: DataFrame,
+                            centIdCol: String, centVecCol: String,
+                            queries: DataFrame, qidCol: String,
+                            qVecCol: String, nProbes: Int, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.expressions.FloatVectorExpressions.dotF
+    import graft.functions.{VectorFunctions => V}
+    import graft.operators.{Ann, TopK}
+    require(nProbes >= 1 && k >= 1, s"need nProbes, k >= 1; got $nProbes, $k")
+    val cents = maintainedCentroids(spark, tablePath, fallbackCentroids)
+    val pw = Window.partitionBy(col(qidCol))
+      .orderBy(col("__c").desc, col(centIdCol))
+    val probes = cents
+      .crossJoin(broadcast(queries.select(col(qidCol), col(qVecCol))))
+      .withColumn("__c", round(V.cosine(col(centVecCol), col(qVecCol)), 6))
+      .withColumn("__rn", row_number().over(pw))
+      .filter(col("__rn") <= nProbes)
+      .select(col(qidCol), col(qVecCol), col(centIdCol).cast("long").as("cell_id"))
+    val cellsToScan = probes.select(col("cell_id")).distinct()
+      .collect().map(_.getLong(0)).toSeq.sorted
+    val scanned = Ann.readIvfCells(spark, tablePath, cellsToScan)
+      .withColumn("cell_id", col("cell_id").cast("long"))
+    val alive = maintainedDeletes(spark, tablePath)
+      .map(d => scanned.join(broadcast(d), Seq("id"), "left_anti"))
+      .getOrElse(scanned)
+    val scored = alive.join(broadcast(probes), Seq("cell_id"))
+      .withColumn("score",
+        round(dotF(col("embedding"), col(qVecCol)) /
+          (greatest(sqrt(dotF(col("embedding"), col("embedding"))), lit(V.NormEps)) *
+            greatest(sqrt(dotF(col(qVecCol), col(qVecCol))), lit(V.NormEps))),
+          6) + lit(0.0))
+    TopK.topKPerKeyAgg(scored, Seq(col(qidCol)), col("score"), col("id"), k)
+      .select(col(qidCol), col("id"), col("score"))
+  }
+
   /** Small-file compaction for a [[streamInsertIndexedMaintained]]
     * table — the maintenance pass its per-batch `__b` subdirs make
     * inevitable (every log-structured format carries the same

@@ -368,6 +368,43 @@ class LayoutSpec extends SparkSpec {
     }
   }
 
+  test("derive caches a stage by input fingerprints: cache hit on no change, recompute on any input change") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_derive_").toFile
+    dir.deleteOnExit()
+    val src = new java.io.File(dir, "src").getAbsolutePath
+    val aux = new java.io.File(dir, "aux").getAbsolutePath
+    val dst = new java.io.File(dir, "out").getAbsolutePath
+    Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("k", "grp")
+      .write.mode("overwrite").parquet(src)
+    var computes = 0
+    def stage(): (org.apache.spark.sql.DataFrame, Boolean) =
+      Layout.derive(spark, Seq(src, aux), dst) {
+        computes += 1
+        spark.read.parquet(src).groupBy("grp")
+          .agg(count(lit(1)).as("n"))
+      }
+    def rows(): Map[String, Long] = spark.read.parquet(dst).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+
+    // first run computes (aux does not exist yet: fingerprinted absent)
+    val (_, r1) = stage()
+    assert(r1 && computes == 1 && rows() == Map("a" -> 2L, "b" -> 1L))
+    // unchanged inputs: cache hit, compute not invoked
+    val (_, r2) = stage()
+    assert(!r2 && computes == 1)
+    // an input table changes: recompute
+    Seq((4L, "b")).toDF("k", "grp").write.mode("append").parquet(src)
+    val (_, r3) = stage()
+    assert(r3 && computes == 2 && rows() == Map("a" -> 2L, "b" -> 2L))
+    // an input APPEARING is a change too, even if compute ignores it
+    Seq((9L, "x")).toDF("k", "grp").write.mode("overwrite").parquet(aux)
+    val (_, r4) = stage()
+    assert(r4 && computes == 3)
+    val (_, r5) = stage()
+    assert(!r5 && computes == 3, "steady state caches again")
+  }
+
   test("incremental rollup: refresh recomputes only changed partitions, removes vanished ones, and is idempotent") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_mv_").toFile

@@ -1421,6 +1421,52 @@ class StreamingSpec extends SparkSpec {
     assert(hits().sorted == Seq(1L), s"stream delete must hide id 3: ${hits()}")
   }
 
+  test("searchMaintainedBatch: one pruned scan answers the whole query table, per-query results equal searchMaintained, deletes honored") {
+    import spark.implicits._
+    val in = Files.createTempDirectory("graft_smb_in_").toString
+    val table = Files.createTempDirectory("graft_smb_tbl_").toString + "/t"
+    val ckpt = Files.createTempDirectory("graft_smb_ckpt_").toString + "/c"
+    val cents = Seq(
+      (0L, Seq(1f, 0f, 0f, 0f)), (1L, Seq(0f, 1f, 0f, 0f))
+    ).toDF("cent_id", "cvec")
+    val q = Streaming.streamInsertIndexedMaintained(
+      spark.readStream.schema(maintSchema).parquet(in),
+      dim = 4, numShards = 2, cents, "cent_id", "cvec", table, ckpt,
+      maxCell = 1000000L)
+    Seq((1L, Seq(9f, 1f, 0f, 0f)), (2L, Seq(9f, 2f, 0f, 0f)),
+      (3L, Seq(1f, 9f, 0f, 0f)), (4L, Seq(2f, 9f, 0f, 0f)))
+      .toDF("id", "embedding").coalesce(1).write.mode("overwrite").parquet(in)
+    q.processAllAvailable()
+    q.stop()
+
+    val queries = Seq((100L, Seq(9f, 1.5f, 0f, 0f)), (200L, Seq(1.5f, 9f, 0f, 0f)))
+    val batch = Streaming.searchMaintainedBatch(spark, table, cents,
+      "cent_id", "cvec", queries.toDF("qid", "qvec"), "qid", "qvec",
+      nProbes = 1, k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        math.round(r.getDouble(2) * 1e6))).toSet
+    val singles = queries.flatMap { case (qid, qv) =>
+      Streaming.searchMaintained(spark, table, cents, "cent_id", "cvec",
+        qv, nProbes = 1, k = 2)
+        .collect().map(r => (qid, r.getLong(0),
+          math.round(r.getDouble(1) * 1e6)))
+    }.toSet
+    assert(batch == singles, s"batch $batch vs singles $singles")
+    assert(batch.map(_._1) == Set(100L, 200L))
+    // nProbes=1 routes each query to ITS cell only: q100 must only see
+    // cell-0 ids {1,2}, q200 only cell-1 ids {3,4}
+    assert(batch.filter(_._1 == 100L).map(_._2).subsetOf(Set(1L, 2L)))
+    assert(batch.filter(_._1 == 200L).map(_._2).subsetOf(Set(3L, 4L)))
+
+    // deletes are honored in the batch path too
+    Streaming.deleteMaintained(spark, table, Seq(2L).toDF("id"), "id")
+    val after = Streaming.searchMaintainedBatch(spark, table, cents,
+      "cent_id", "cvec", queries.toDF("qid", "qvec"), "qid", "qvec",
+      nProbes = 1, k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!after.contains((100L, 2L)), after)
+  }
+
   test("maxChildrenPerPass bounds each split generation and repeated checks converge geometrically") {
     import spark.implicits._
     val in = Files.createTempDirectory("graft_cap_in_").toString
