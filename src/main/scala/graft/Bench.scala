@@ -265,6 +265,37 @@ object Bench {
       assigned.unpersist()
     }
 
+    // maintained ON-DISK serving: the same 200-query batch shape
+    // answered against a streamInsertIndexedMaintained-layout table
+    // through searchMaintainedBatch — one partition-pruned scan per
+    // batch (4/16 cells probed per query), vs vector_batch_200q's
+    // in-memory full scan. The delta between the two rows is the price
+    // of serving from the continuously-maintained index instead of a
+    // cached table.
+    {
+      import graft.streaming.{Streaming => Strm}
+      import graft.operators.Ann
+      import spark.implicits._
+      val e = Tables.load(spark, sfDir, "embeddings")
+      val cents = e.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("cent_id"), col("embedding").as("cvec"))
+      val d = java.nio.file.Files.createTempDirectory("graft_bench_mnt_").toFile
+      d.deleteOnExit()
+      val table = new java.io.File(d, "t").getAbsolutePath
+      Ann.ivfAssign(
+          graft.search.VectorStore.prepare(
+            e.select(col("vec_id").as("id"), col("embedding")), dim, 8),
+          cents, "id", "embedding", "cent_id", "cvec")
+        .withColumn("__b", lit(0L))
+        .write.mode("overwrite").partitionBy("cell_id", "__b").parquet(table)
+      val queries = (0 until 200).map(i => (i.toLong, randUnit()))
+        .toDF("qid", "qvec")
+      def run(): Long = Strm.searchMaintainedBatch(spark, table, cents,
+        "cent_id", "cvec", queries, "qid", "qvec", nProbes = 4, k = 10).count()
+      run() // warmup
+      results("maintained_batch_200q") = math.min(time(run()), time(run()))
+    }
+
     // -------- 2. headline analytics / dedup queries ---------------------
     // warmup once (codegen compile + page cache), then best of two timed
     // runs: a stop-the-world GC landing on a random query otherwise
