@@ -1465,6 +1465,23 @@ class StreamingSpec extends SparkSpec {
       nProbes = 1, k = 2)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(!after.contains((100L, 2L)), after)
+
+    // AQE-on twin (the PlanShapeSpec discipline): the routing and
+    // delete joins must stay broadcast probes over the PRUNED scan
+    // under adaptive execution — no sort-merge, no cartesian
+    val old = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    try {
+      val df = Streaming.searchMaintainedBatch(spark, table, cents,
+        "cent_id", "cvec", queries.toDF("qid", "qvec"), "qid", "qvec",
+        nProbes = 1, k = 2)
+      df.queryExecution.executedPlan.executeCollect(): Unit
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin")
+        && !p.contains("CartesianProduct"), p)
+      assert(p.contains("PartitionFilters: ["),
+        s"probed-cell pruning must survive AQE:\n$p")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", old)
   }
 
   test("maxChildrenPerPass bounds each split generation and repeated checks converge geometrically") {
