@@ -231,24 +231,27 @@ object Layout {
     // like a removed one
     val (changedEmpty, changedLive) = changed.partition(p =>
       fingerprintIsEmptySource(fs, new org.apache.hadoop.fs.Path(s"$srcPath/$p")))
+    var truncated: Seq[String] = Seq.empty
     if (changedLive.nonEmpty) {
       val rows = spark.read.option("basePath", srcPath)
         .parquet(changedLive.map(p => s"$srcPath/$p"): _*)
         .groupBy((partCol +: dims).map(col): _*)
         .agg(aggs.head, aggs.tail: _*)
-      val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-      try rows
-        .select(rows.columns.filter(_ != partCol).map(col) :+ col(partCol): _*)
-        .write.mode("overwrite").partitionBy(partCol).parquet(dstPath)
-      finally prev match {
-        case Some(v) =>
-          spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-        case None =>
-          spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+        .localCheckpoint(false) // reused: the write + the produced-set
+      withDynamicPartitionOverwrite(spark) {
+        rows
+          .select(rows.columns.filter(_ != partCol).map(col) :+ col(partCol): _*)
+          .write.mode("overwrite").partitionBy(partCol).parquet(dstPath)
       }
+      // a changed partition whose files hold ZERO rows (truncated by an
+      // external writer) also emits nothing — the overwrite left its
+      // stale summary; find it by diffing the produced partition set
+      val producedDirs = rows.select(col(partCol)).distinct().collect()
+        .map(r => org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+          .getPartitionPathString(partCol, String.valueOf(r.get(0)))).toSet
+      truncated = changedLive.filterNot(producedDirs)
     }
-    (changedEmpty ++ removed).foreach { p =>
+    (changedEmpty ++ truncated ++ removed).foreach { p =>
       val sd = new org.apache.hadoop.fs.Path(s"$dstPath/$p")
       if (fs.exists(sd)) fs.delete(sd, true): Unit
     }
@@ -263,6 +266,22 @@ object Layout {
       fs: org.apache.hadoop.fs.FileSystem,
       d: org.apache.hadoop.fs.Path): Boolean =
     !fs.exists(d) || fs.listStatus(d).forall(!_.isFile)
+
+  /** Run `body` with `partitionOverwriteMode=dynamic`, restoring the
+    * previous session value after — the shared wrapper for every
+    * partition-scoped rewrite in this file.
+    */
+  private def withDynamicPartitionOverwrite[T](spark: SparkSession)
+                                              (body: => T): T = {
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "dynamic")
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
 
   /** Derived-artifact CACHE keyed by input file fingerprints — the
     * generalization of [[refreshRollup]]'s change detection to ANY
@@ -368,13 +387,23 @@ object Layout {
                      colName: String, value: Column): Int = {
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // file-less dirs cannot lag (nothing to read or rewrite) and would
+    // crash schema inference — skip them
     val dirs = fs.listStatus(root).filter(_.isDirectory).map(_.getPath)
-      .filter(_.getName.startsWith(s"$partCol=")).toSeq
-    val lagging = dirs.filter { d =>
+      .filter(_.getName.startsWith(s"$partCol="))
+      .filterNot(fingerprintIsEmptySource(fs, _)).toSeq
+    val lagging0 = dirs.filter { d =>
       !spark.read.option("mergeSchema", "true").parquet(d.toString)
         .schema.fieldNames.contains(colName)
     }
-    if (lagging.isEmpty) return 0
+    // a lagging dir whose files hold ZERO rows can never be rewritten
+    // (dynamic overwrite writes no empty partition) and would make
+    // every later run re-count it — drop the empty dir instead (the
+    // dir-exists-iff-data discipline)
+    val (laggingEmpty, lagging) = lagging0.partition(d =>
+      spark.read.parquet(d.toString).isEmpty)
+    laggingEmpty.foreach(d => fs.delete(d, true): Unit)
+    if (lagging.isEmpty) return laggingEmpty.length
     // a lagging dir carries the column in NO file (merged-schema check
     // above), so the backfill is a plain projection over its rows
     val evolved = spark.read.option("basePath", path)
@@ -382,18 +411,12 @@ object Layout {
       .parquet(lagging.map(_.toString): _*)
       .withColumn(colName, value)
       .localCheckpoint(true) // the read must finish before the overwrite
-    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try evolved
-      .select(evolved.columns.filter(_ != partCol).map(col) :+ col(partCol): _*)
-      .write.mode("overwrite").partitionBy(partCol).parquet(path)
-    finally prev match {
-      case Some(v) =>
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-      case None =>
-        spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    withDynamicPartitionOverwrite(spark) {
+      evolved
+        .select(evolved.columns.filter(_ != partCol).map(col) :+ col(partCol): _*)
+        .write.mode("overwrite").partitionBy(partCol).parquet(path)
     }
-    lagging.length
+    laggingEmpty.length + lagging.length
   }
 
   /** CDC merge — [[mergeUpsert]] plus DELETES (the full
@@ -471,13 +494,8 @@ object Layout {
     // checkpoint a production run would use (same convention as the
     // dedup pipelines).
     val snap = merged.localCheckpoint(true)
-    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try
+    withDynamicPartitionOverwrite(spark) {
       snap.write.mode("overwrite").partitionBy(partCol).parquet(tableDir)
-    finally prev match {
-      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
     }
     parts.length
   }
@@ -768,12 +786,8 @@ object Layout {
         .join(doomedKeys, Seq(keyCol), "left_anti")
         .select(tableSchema.fieldNames.map(col): _*)
         .localCheckpoint(true) // read completes before the overwrite
-      val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-      try kept.write.mode("overwrite").partitionBy(partCol).parquet(tableDir)
-      finally prev match {
-        case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-        case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      withDynamicPartitionOverwrite(spark) {
+        kept.write.mode("overwrite").partitionBy(partCol).parquet(tableDir)
       }
     }
     // fully-dead partitions: no surviving row to carry the overwrite —

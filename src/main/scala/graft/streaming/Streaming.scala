@@ -524,6 +524,10 @@ object Streaming {
     import graft.operators.Ann
     import org.apache.hadoop.fs.Path
     require(checkEvery >= 1, "checkEvery must be >= 1")
+    // fail at construction, not hours later when the first hot cell
+    // reaches the planner mid-stream
+    require(maxChildrenPerPass >= 2,
+      "maxChildrenPerPass must be >= 2 (a 1-child split is a rename)")
     stream.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointPath)
@@ -760,8 +764,12 @@ object Streaming {
     val cand = alive.withColumn("__nv",
       greatest(sqrt(dotF(col("embedding"), col("embedding"))), lit(V.NormEps)))
     val qn = math.max(math.sqrt(query.map(x => x.toDouble * x).sum), V.NormEps)
+    // quantized to 6 decimals — the same stable total order the batch
+    // face and every other scorer use, so batch ≡ single holds even on
+    // knife-edge near-ties
     val scored = cand.withColumn("score",
-      dotF(col("embedding"), typedLit(query)) / (col("__nv") * lit(qn)))
+      round(dotF(col("embedding"), typedLit(query)) / (col("__nv") * lit(qn)),
+        6) + lit(0.0))
     TopK.topK(scored, col("score"), col("id"), k)
       .select(col("id"), col("score"))
   }
@@ -789,15 +797,25 @@ object Streaming {
     import graft.functions.{VectorFunctions => V}
     import graft.operators.{Ann, TopK}
     require(nProbes >= 1 && k >= 1, s"need nProbes, k >= 1; got $nProbes, $k")
+    // the output is (qidCol, "id", "score") — a qidCol named like the
+    // hit columns would emit duplicate names downstream can't address
+    require(qidCol != "id" && qidCol != "score",
+      s"qidCol must not be named 'id' or 'score' (output columns clash); got '$qidCol'")
     val cents = maintainedCentroids(spark, tablePath, fallbackCentroids)
-    val pw = Window.partitionBy(col(qidCol))
+    // query columns are re-aliased IMMEDIATELY: a qVecCol named like
+    // the table's own vector column ("embedding" — the natural choice)
+    // would otherwise collide at the routing join
+    val q = queries.select(col(qidCol).as("__qid"), col(qVecCol).as("__qv"))
+    val pw = Window.partitionBy(col("__qid"))
       .orderBy(col("__c").desc, col(centIdCol))
+    // used twice (cell-set collect + routing join): materialize once
     val probes = cents
-      .crossJoin(broadcast(queries.select(col(qidCol), col(qVecCol))))
-      .withColumn("__c", round(V.cosine(col(centVecCol), col(qVecCol)), 6))
+      .crossJoin(broadcast(q))
+      .withColumn("__c", round(V.cosine(col(centVecCol), col("__qv")), 6))
       .withColumn("__rn", row_number().over(pw))
       .filter(col("__rn") <= nProbes)
-      .select(col(qidCol), col(qVecCol), col(centIdCol).cast("long").as("cell_id"))
+      .select(col("__qid"), col("__qv"), col(centIdCol).cast("long").as("cell_id"))
+      .localCheckpoint(false)
     val cellsToScan = probes.select(col("cell_id")).distinct()
       .collect().map(_.getLong(0)).toSeq.sorted
     val scanned = Ann.readIvfCells(spark, tablePath, cellsToScan)
@@ -807,12 +825,12 @@ object Streaming {
       .getOrElse(scanned)
     val scored = alive.join(broadcast(probes), Seq("cell_id"))
       .withColumn("score",
-        round(dotF(col("embedding"), col(qVecCol)) /
+        round(dotF(col("embedding"), col("__qv")) /
           (greatest(sqrt(dotF(col("embedding"), col("embedding"))), lit(V.NormEps)) *
-            greatest(sqrt(dotF(col(qVecCol), col(qVecCol))), lit(V.NormEps))),
+            greatest(sqrt(dotF(col("__qv"), col("__qv"))), lit(V.NormEps))),
           6) + lit(0.0))
-    TopK.topKPerKeyAgg(scored, Seq(col(qidCol)), col("score"), col("id"), k)
-      .select(col(qidCol), col("id"), col("score"))
+    TopK.topKPerKeyAgg(scored, Seq(col("__qid")), col("score"), col("id"), k)
+      .select(col("__qid").as(qidCol), col("id"), col("score"))
   }
 
   /** Small-file compaction for a [[streamInsertIndexedMaintained]]
@@ -871,14 +889,21 @@ object Streaming {
         val cname = iname.stripSuffix(".intent")
         val commit = new Path(compDir, cname)
         if (fs.exists(commit)) {
-          // committed: finish the source deletes
+          // committed: finish the source deletes (dropping any cell dir
+          // the deletes empty — the dir-exists-iff-data invariant the
+          // normal path keeps must survive recovery too)
           val in = fs.open(commit)
           val srcs =
             try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
             finally in.close()
           srcs.filter(_.nonEmpty).foreach { rel =>
             val p = new Path(root, rel)
-            if (fs.exists(p)) fs.delete(p, true): Unit
+            if (fs.exists(p)) {
+              fs.delete(p, true): Unit
+              val parent = p.getParent
+              if (fs.exists(parent) && fs.listStatus(parent).isEmpty)
+                fs.delete(parent, true): Unit
+            }
           }
         } else {
           // uncommitted: drop the fold dirs, sources are intact

@@ -446,13 +446,22 @@ class LayoutSpec extends SparkSpec {
     assert(summary()(("p1", "b")) == ((2L, 105L)))
     assert(listing("p2") == p2Before && listing("p3") == p3Before)
 
+    // a partition TRUNCATED to a 0-row file (external writer): its
+    // stale summary must go too, not survive behind an updated manifest
+    Seq.empty[(Long, String, Long)].toDF("k", "grp", "x")
+      .coalesce(1).write.mode("overwrite").parquet(s"$src/part=p2")
+    assert(Layout.refreshRollup(spark, src, dst, "part", dims, aggs) == 1)
+    assert(!new java.io.File(s"$dst/part=p2").exists(),
+      "truncated partition's summary must be dropped")
+    assert(summary().keySet.map(_._1) == Set("p1", "p3"))
+
     // source partition vanishes: its summary partition goes with it
     val fs = new org.apache.hadoop.fs.Path(src)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.delete(new org.apache.hadoop.fs.Path(s"$src/part=p3"), true)
     assert(Layout.refreshRollup(spark, src, dst, "part", dims, aggs) == 1)
     assert(!new java.io.File(s"$dst/part=p3").exists())
-    assert(summary().keySet.map(_._1) == Set("p1", "p2"))
+    assert(summary().keySet.map(_._1) == Set("p1"))
     assert(Layout.refreshRollup(spark, src, dst, "part", dims, aggs) == 0)
   }
 
@@ -552,6 +561,20 @@ class LayoutSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(plain == got, plain)
     // idempotent: nothing lagging on a second run
+    assert(Layout.backfillColumn(spark, path, "part", "score",
+      (length(col("payload")) * 10L).cast("long")) == 0)
+
+    // degenerate dirs must not break the loop: a FILE-LESS partition
+    // dir is skipped (nothing to read), a lagging dir whose only file
+    // holds ZERO rows is dropped (it can never be rewritten) — and the
+    // run after that is a clean 0 again
+    new java.io.File(s"$path/part=p9").mkdirs()
+    Seq.empty[(Long, String)].toDF("k", "payload")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/part=p4")
+    assert(Layout.backfillColumn(spark, path, "part", "score",
+      (length(col("payload")) * 10L).cast("long")) == 1)
+    assert(!new java.io.File(s"$path/part=p4").exists(),
+      "zero-row lagging partition must be dropped, not re-counted forever")
     assert(Layout.backfillColumn(spark, path, "part", "score",
       (length(col("payload")) * 10L).cast("long")) == 0)
   }

@@ -1466,6 +1466,19 @@ class StreamingSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(!after.contains((100L, 2L)), after)
 
+    // a query VECTOR column named like the table's own ("embedding")
+    // must not collide at the routing join (re-aliased internally);
+    // a qid named like the hit columns is refused loudly
+    val clash = Streaming.searchMaintainedBatch(spark, table, cents,
+      "cent_id", "cvec", queries.toDF("qid", "embedding"), "qid", "embedding",
+      nProbes = 1, k = 2)
+    assert(clash.collect().map(_.getLong(0)).toSet == Set(100L, 200L))
+    intercept[IllegalArgumentException] {
+      Streaming.searchMaintainedBatch(spark, table, cents,
+        "cent_id", "cvec", queries.toDF("id", "qvec"), "id", "qvec",
+        nProbes = 1, k = 2)
+    }
+
     // AQE-on twin (the PlanShapeSpec discipline): the routing and
     // delete joins must stay broadcast probes over the PRUNED scan
     // under adaptive execution — no sort-merge, no cartesian
