@@ -136,7 +136,10 @@ object Bench {
     // round-7 index-lifecycle additions: deterministic IVF rebalance,
     // merge-on-read tombstone vacuum, reshard planning
     "q_ivf_rebalance", "q_ivf_rebalance_search", "q_tombstone_vacuum",
-    "q_reshard_plan", "q_schema_evolve", "q_incremental_rollup")
+    "q_reshard_plan", "q_schema_evolve", "q_incremental_rollup",
+    // round-7 serving additions: selectivity-routed filtered search and
+    // namespaced (multi-tenant) batch search
+    "q_filtered_ann_pre", "q_filtered_ann_post", "q_ns_search")
 
   /** Force FULL materialization of every output column: xxhash64 over all
     * columns, summed. `.count()` alone under-measures — Catalyst prunes

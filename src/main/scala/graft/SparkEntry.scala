@@ -11643,6 +11643,55 @@ object SparkEntry {
         .select($"source", $"lang", $"n_docs", $"sum_chars",
           lit(refreshed).cast("long").as("n_refreshed"))
         .orderBy($"source", $"lang")
+    }),
+
+    // Metadata-FILTERED vector search, narrow predicate: label = 5 holds
+    // ~10% of rows, under the 4/16 probed-cell fraction, so the cost
+    // switch takes the PRE-filter path — exact top-k over just the
+    // survivors (the `path` column rides the output; the oracle asserting
+    // 'pre' + the exact-filter ranking certifies the routing decision,
+    // since the post path would miss out-of-probe candidates and hash
+    // differently).
+    "q_filtered_ann_pre" -> ((s, dir) => {
+      import s.implicits._
+      val e = t(s, dir, "embeddings")
+      val cents = e.filter($"vec_id" < 16)
+        .select($"vec_id".as("cent_id"), $"embedding".as("cvec"))
+      val query = e.filter($"vec_id" === 42).select($"embedding").head.getSeq[Float](0)
+      Ann.searchFiltered(e, cents, "vec_id", "embedding", "cent_id", "cvec",
+        query, 10, $"label" === 5, 4)
+    }),
+
+    // Filtered search, broad predicate: even labels hold ~50% of rows —
+    // scanning the survivors would touch half the corpus, so the switch
+    // takes the POST-filter path: probe 4 cells, apply the predicate to
+    // the probed candidates, top-k the rest. The oracle replays probe
+    // selection + assignment + predicate, certifying the IVF-side
+    // candidate set and the branch choice.
+    "q_filtered_ann_post" -> ((s, dir) => {
+      import s.implicits._
+      val e = t(s, dir, "embeddings")
+      val cents = e.filter($"vec_id" < 16)
+        .select($"vec_id".as("cent_id"), $"embedding".as("cvec"))
+      val query = e.filter($"vec_id" === 42).select($"embedding").head.getSeq[Float](0)
+      Ann.searchFiltered(e, cents, "vec_id", "embedding", "cent_id", "cvec",
+        query, 10, $"label" % 2 === 0, 4)
+    }),
+
+    // Namespaced (multi-tenant) batch search: every ...42-suffixed vector
+    // queries its OWN label's namespace — candidates are structurally
+    // rows in (query's namespace ∩ query's probed cells), expressed as an
+    // equi-join so no tenant's query ever scans another tenant's rows.
+    // Query count scales with the table (5 at sf0.001, 20 at sf0.1).
+    "q_ns_search" -> ((s, dir) => {
+      import s.implicits._
+      val e = t(s, dir, "embeddings")
+      val cents = e.filter($"vec_id" < 16)
+        .select($"vec_id".as("cent_id"), $"embedding".as("cvec"))
+      val qs = e.filter($"vec_id" % 100 === 42)
+        .select($"vec_id".as("qid"), $"embedding".as("qvec"), $"label".as("qns"))
+      Ann.searchNamespacedBatch(e, cents, "vec_id", "embedding", "label",
+        "cent_id", "cvec", qs, "qid", "qvec", "qns", 4, 5)
     })
   )
 
@@ -11854,6 +11903,119 @@ object SparkEntry {
         |SELECT source, lang, COUNT(*) AS n_docs, SUM(n_chars) AS sum_chars,
         |       1 AS n_refreshed
         |FROM allrows GROUP BY source, lang
-        |ORDER BY source, lang""".stripMargin
+        |ORDER BY source, lang""".stripMargin,
+
+    "q_filtered_ann_pre" ->
+      """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 42),
+        |pairs AS (
+        |  SELECT e.vec_id, unnest(e.embedding)::DOUBLE x, unnest(q.qe)::DOUBLE y
+        |  FROM embeddings e CROSS JOIN q WHERE e.label = 5),
+        |agg AS (SELECT vec_id, SUM(x*y) dp, SUM(x*x) nx2, SUM(y*y) ny2
+        |        FROM pairs GROUP BY vec_id),
+        |sc AS (SELECT vec_id,
+        |         ROUND(dp/(GREATEST(SQRT(nx2),1e-12)*GREATEST(SQRT(ny2),1e-12)), 6)
+        |           + 0.0 AS score
+        |       FROM agg)
+        |SELECT vec_id, score, 'pre' AS path
+        |FROM sc ORDER BY score DESC, vec_id LIMIT 10""".stripMargin,
+
+    "q_filtered_ann_post" ->
+      """WITH cents AS (
+        |  SELECT vec_id AS cent_id, embedding AS cvec FROM embeddings WHERE vec_id < 16),
+        |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 42),
+        |cp AS (
+        |  SELECT c.cent_id, unnest(c.cvec)::DOUBLE x, unnest(q.qe)::DOUBLE y
+        |  FROM cents c CROSS JOIN q),
+        |cagg AS (SELECT cent_id, SUM(x*y) dp, SUM(x*x) nx2, SUM(y*y) ny2
+        |         FROM cp GROUP BY cent_id),
+        |probes AS (
+        |  SELECT cent_id AS cell_id FROM (
+        |    SELECT cent_id,
+        |           ROUND(dp/(GREATEST(SQRT(nx2),1e-12)*GREATEST(SQRT(ny2),1e-12)), 6) c
+        |    FROM cagg ORDER BY c DESC, cent_id LIMIT 4)),
+        |pc AS (
+        |  SELECT e.vec_id, c.cent_id,
+        |         unnest(e.embedding)::DOUBLE x, unnest(c.cvec)::DOUBLE y
+        |  FROM embeddings e CROSS JOIN cents c),
+        |pagg AS (SELECT vec_id, cent_id, SUM(x*y) dp, SUM(x*x) nx2, SUM(y*y) ny2
+        |         FROM pc GROUP BY vec_id, cent_id),
+        |psc AS (SELECT vec_id, cent_id,
+        |          ROUND(dp/(GREATEST(SQRT(nx2),1e-12)*GREATEST(SQRT(ny2),1e-12)), 6) c
+        |        FROM pagg),
+        |assign AS (
+        |  SELECT vec_id, cent_id AS cell_id FROM (
+        |    SELECT vec_id, cent_id,
+        |           row_number() OVER (PARTITION BY vec_id ORDER BY c DESC, cent_id) rn
+        |    FROM psc) WHERE rn = 1),
+        |cand AS (
+        |  SELECT a.vec_id FROM assign a
+        |  JOIN probes p ON p.cell_id = a.cell_id
+        |  JOIN embeddings e ON e.vec_id = a.vec_id AND e.label % 2 = 0),
+        |pairs AS (
+        |  SELECT e.vec_id, unnest(e.embedding)::DOUBLE x, unnest(q.qe)::DOUBLE y
+        |  FROM embeddings e JOIN cand cd ON cd.vec_id = e.vec_id CROSS JOIN q),
+        |agg AS (SELECT vec_id, SUM(x*y) dp, SUM(x*x) nx2, SUM(y*y) ny2
+        |        FROM pairs GROUP BY vec_id),
+        |sc AS (SELECT vec_id,
+        |         ROUND(dp/(GREATEST(SQRT(nx2),1e-12)*GREATEST(SQRT(ny2),1e-12)), 6)
+        |           + 0.0 AS score
+        |       FROM agg)
+        |SELECT vec_id, score, 'post' AS path
+        |FROM sc ORDER BY score DESC, vec_id LIMIT 10""".stripMargin,
+
+    "q_ns_search" ->
+      """WITH cents AS (
+        |  SELECT vec_id AS cent_id, embedding AS cvec FROM embeddings WHERE vec_id < 16),
+        |qs AS (SELECT vec_id AS qid, embedding AS qvec, label AS qns
+        |       FROM embeddings WHERE vec_id % 100 = 42),
+        |cp AS (
+        |  SELECT q.qid, c.cent_id, unnest(c.cvec)::DOUBLE x, unnest(q.qvec)::DOUBLE y
+        |  FROM cents c CROSS JOIN qs q),
+        |cagg AS (SELECT qid, cent_id, SUM(x*y) dp, SUM(x*x) nx2, SUM(y*y) ny2
+        |         FROM cp GROUP BY qid, cent_id),
+        |csc AS (SELECT qid, cent_id,
+        |          ROUND(dp/(GREATEST(SQRT(nx2),1e-12)*GREATEST(SQRT(ny2),1e-12)), 6) c
+        |        FROM cagg),
+        |probes AS (
+        |  SELECT qid, cent_id AS cell_id FROM (
+        |    SELECT qid, cent_id,
+        |           row_number() OVER (PARTITION BY qid ORDER BY c DESC, cent_id) rn
+        |    FROM csc) WHERE rn <= 4),
+        |pc AS (
+        |  SELECT e.vec_id, c.cent_id,
+        |         unnest(e.embedding)::DOUBLE x, unnest(c.cvec)::DOUBLE y
+        |  FROM embeddings e CROSS JOIN cents c),
+        |pagg AS (SELECT vec_id, cent_id, SUM(x*y) dp, SUM(x*x) nx2, SUM(y*y) ny2
+        |         FROM pc GROUP BY vec_id, cent_id),
+        |psc AS (SELECT vec_id, cent_id,
+        |          ROUND(dp/(GREATEST(SQRT(nx2),1e-12)*GREATEST(SQRT(ny2),1e-12)), 6) c
+        |        FROM pagg),
+        |assign AS (
+        |  SELECT vec_id, cent_id AS cell_id FROM (
+        |    SELECT vec_id, cent_id,
+        |           row_number() OVER (PARTITION BY vec_id ORDER BY c DESC, cent_id) rn
+        |    FROM psc) WHERE rn = 1),
+        |cand AS (
+        |  SELECT q.qid, e.vec_id
+        |  FROM qs q
+        |  JOIN embeddings e ON e.label = q.qns
+        |  JOIN assign a ON a.vec_id = e.vec_id
+        |  JOIN probes p ON p.qid = q.qid AND p.cell_id = a.cell_id),
+        |spairs AS (
+        |  SELECT cd.qid, cd.vec_id,
+        |         unnest(e.embedding)::DOUBLE x, unnest(q.qvec)::DOUBLE y
+        |  FROM cand cd
+        |  JOIN embeddings e ON e.vec_id = cd.vec_id
+        |  JOIN qs q ON q.qid = cd.qid),
+        |sagg AS (SELECT qid, vec_id, SUM(x*y) dp, SUM(x*x) nx2, SUM(y*y) ny2
+        |         FROM spairs GROUP BY qid, vec_id),
+        |ssc AS (SELECT qid, vec_id,
+        |          ROUND(dp/(GREATEST(SQRT(nx2),1e-12)*GREATEST(SQRT(ny2),1e-12)), 6)
+        |            + 0.0 AS score
+        |        FROM sagg)
+        |SELECT qid, vec_id, score FROM (
+        |  SELECT qid, vec_id, score,
+        |         row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) rn
+        |  FROM ssc) WHERE rn <= 5 ORDER BY qid, vec_id""".stripMargin
   )
 }

@@ -491,6 +491,135 @@ object Ann {
       .select(col(idCol).as("id"), col("score"))
   }
 
+  /** Metadata-FILTERED top-k — the vector-DB "filtered search" every
+    * production deployment needs (search only `lang = 'en'`, only one
+    * tenant, only docs after a date). Returns the top `k` rows of
+    * `vectors` SATISFYING `pred` by cosine against `query`, plus a
+    * `path` column naming the physical strategy taken.
+    *
+    * Two physical paths, chosen by predicate selectivity:
+    *
+    *  - `pre`  (exact): scan only the rows matching `pred` and score
+    *    them all. Cost ∝ sel·N; recall 1.0 by construction. Right when
+    *    the filter is NARROW — scanning the few survivors beats probing.
+    *  - `post` (IVF): probe the query's `nProbes` nearest cells, apply
+    *    `pred` to the probed candidates, top-k the survivors. Cost ∝
+    *    (nProbes/C)·N regardless of selectivity; recall bounded by the
+    *    probe like any IVF search. Right when the filter is BROAD — a
+    *    50% filter would make the pre path scan half the corpus.
+    *
+    * The switch is the cost crossover: `pre` iff sel ≤ nProbes/C (the
+    * filtered scan touches no more rows than the probed cells would,
+    * and it is exact, so ties go to `pre`). Selectivity comes from one
+    * aggregate-only scan (two longs reach the driver — no row data);
+    * callers holding catalog stats or a maintained count rollup pass
+    * `knownSelectivity` and skip even that. The decision is therefore
+    * deterministic and engine-replicable — the oracle fixes the same
+    * predicate and takes the same branch at every scale factor.
+    *
+    * Scale shape: `pre` is scan + TakeOrderedAndProject (k rows per
+    * partition to the driver); `post` is the [[search]] plan with one
+    * extra pushed predicate — against an on-disk IVF layout the cell
+    * filter is partition pruning and `pred` prunes further via parquet
+    * row-group stats. Neither path shuffles anything but the k winners.
+    * A 1000-executor run differs only in partition count.
+    *
+    * The starvation case is inherent to `post`: a narrow filter inside
+    * probed cells can leave fewer than k survivors (fewer rows come
+    * back). That is exactly the regime the switch routes to `pre`, which
+    * cannot starve. Ref: flat scan `shard/fallback_numpy_index.py:28-32`
+    * — the reference has no filter support at all; SURVEY §2.2.
+    */
+  def searchFiltered(vectors: DataFrame, centroids: DataFrame, idCol: String,
+                     vecCol: String, centIdCol: String, centVecCol: String,
+                     query: Seq[Float], k: Int, pred: Column, nProbes: Int,
+                     knownSelectivity: Option[Double] = None): DataFrame = {
+    require(k >= 1 && nProbes >= 1, s"need k, nProbes >= 1; got $k, $nProbes")
+    val numCells = centroids.count()
+    require(numCells >= 1, "centroids must be non-empty")
+    val sel = knownSelectivity.getOrElse {
+      val r = vectors.agg(count(lit(1)).as("n"),
+        count(when(pred, lit(1))).as("m")).head
+      if (r.getLong(0) == 0L) 0.0 else r.getLong(1).toDouble / r.getLong(0)
+    }
+    require(sel >= 0.0 && sel <= 1.0, s"selectivity must be in [0,1], got $sel")
+    val qn = {
+      var s = 0.0
+      query.foreach(x => s += x.toDouble * x.toDouble)
+      math.max(math.sqrt(s), V.NormEps)
+    }
+    def scoreCol: Column =
+      round(dotF(col(vecCol), typedLit(query)) /
+        (greatest(sqrt(dotF(col(vecCol), col(vecCol))), lit(V.NormEps)) *
+          lit(qn)), 6) + lit(0.0)
+    if (sel <= nProbes.toDouble / numCells) {
+      val scored = vectors.filter(pred).withColumn("score", scoreCol)
+      TopK.topK(scored, col("score"), col(idCol), k)
+        .select(col(idCol), col("score"), lit("pre").as("path"))
+    } else {
+      val assigned = ivfAssign(vectors, centroids, idCol, vecCol,
+        centIdCol, centVecCol)
+      val probes = probeCellIds(centroids, query, centIdCol, centVecCol, nProbes)
+      val cand = assigned.filter(col("cell_id").isin(probes: _*)).filter(pred)
+        .withColumn("score", scoreCol)
+      TopK.topK(cand, col("score"), col(idCol), k)
+        .select(col(idCol), col("score"), lit("post").as("path"))
+    }
+  }
+
+  /** NAMESPACED batch search — the multi-tenant shape (Pinecone
+    * "namespaces", Milvus "partitions"): every query carries a namespace
+    * key and must only ever see vectors in that namespace. One job for
+    * the whole query table.
+    *
+    * The namespace constraint is expressed as an EQUI-JOIN key next to
+    * the probed cell id, not a post-hoc filter: candidates are exactly
+    * `rows in the query's namespace ∩ the query's probed cells`, so a
+    * tenant's query does zero work on other tenants' rows, and isolation
+    * is structural — no predicate to forget, nothing to leak. Against an
+    * on-disk layout partitioned by (namespace, cell) the join becomes
+    * partition pruning: a 1000-tenant corpus serves each tenant's query
+    * from its own directories.
+    *
+    * Scale shape: same as [[searchBatchIvf]] — broadcast centroid×query
+    * probe ranking, ONE broadcast join routing corpus rows to the
+    * queries probing their (namespace, cell), codegen dot scoring, and a
+    * k-bounded per-query reduction ([[TopK.topKPerKeyAgg]] — partial
+    * k-heaps before the exchange, never a full sort). Corpus-side cost:
+    * one scan + one scoring pass over the probed fraction of each
+    * queried namespace, at any batch size.
+    */
+  def searchNamespacedBatch(vectors: DataFrame, centroids: DataFrame,
+                            idCol: String, vecCol: String, nsCol: String,
+                            centIdCol: String, centVecCol: String,
+                            queries: DataFrame, qidCol: String,
+                            qvecCol: String, qnsCol: String,
+                            nProbes: Int, k: Int): DataFrame = {
+    require(nProbes >= 1 && k >= 1, s"need nProbes, k >= 1; got $nProbes, $k")
+    import org.apache.spark.sql.expressions.Window
+    val assigned = ivfAssign(vectors, centroids, idCol, vecCol,
+      centIdCol, centVecCol)
+    val pw = Window.partitionBy(col(qidCol))
+      .orderBy(col("__c").desc, col(centIdCol))
+    val probes = centroids
+      .crossJoin(broadcast(
+        queries.select(col(qidCol), col(qvecCol), col(qnsCol).as("__qns"))))
+      .withColumn("__c", round(V.cosine(col(centVecCol), col(qvecCol)), 6))
+      .withColumn("__rn", row_number().over(pw))
+      .filter(col("__rn") <= nProbes)
+      .select(col(qidCol), col(qvecCol), col("__qns"),
+        col(centIdCol).as("cell_id"))
+    val scored = assigned.join(broadcast(probes),
+        col(nsCol) === col("__qns") && assigned("cell_id") === probes("cell_id"))
+      .withColumn("score",
+        round(dotF(col(vecCol), col(qvecCol)) /
+          (greatest(sqrt(dotF(col(vecCol), col(vecCol))), lit(V.NormEps)) *
+            greatest(sqrt(dotF(col(qvecCol), col(qvecCol))), lit(V.NormEps))),
+          6) + lit(0.0))
+    TopK.topKPerKeyAgg(scored, Seq(col(qidCol)), col("score"), col(idCol), k)
+      .select(col(qidCol), col("id").as(idCol), col("score"))
+  }
+
   /** End-to-end IVF-PQ search (the FAISS IVFPQ composition, Jégou et al.
     * 2011): IVF cell routing prunes the scan to `nProbes` cells, PQ codes
     * + a per-query ADC lookup table replace full-precision scoring inside

@@ -370,4 +370,101 @@ class AnnSpec extends SparkSpec {
       assert(b == single.toSeq, s"qid $qid: batch $b vs single ${single.toSeq}")
     }
   }
+
+  test("searchFiltered routes narrow→pre (exact) and broad→post (⊆ probed cells)") {
+    import spark.implicits._
+    val query = e.filter($"vec_id" === 42).head.getSeq[Float](1)
+    // narrow: label=5 is ~10% < 4/16 probed fraction → pre, and pre is
+    // EXACT: must equal brute-force top-k over the filtered rows
+    val pre = Ann.searchFiltered(e, cents, "vec_id", "embedding", "cent_id",
+      "cvec", query, 10, $"label" === 5, 4).collect()
+    assert(pre.forall(_.getString(2) == "pre"))
+    val brute = TopK.topK(
+      e.filter($"label" === 5)
+        .withColumn("score", round(V.cosine($"embedding", typedLit(query)), 6)),
+      $"score", $"vec_id", 10).collect().map(_.getLong(0)).toSeq
+    assert(pre.map(_.getLong(0)).toSeq == brute)
+    // broad: even labels ~50% > 25% → post; every hit must sit in a
+    // probed cell AND satisfy the predicate
+    val post = Ann.searchFiltered(e, cents, "vec_id", "embedding", "cent_id",
+      "cvec", query, 10, $"label" % 2 === 0, 4).collect()
+    assert(post.nonEmpty && post.forall(_.getString(2) == "post"))
+    val probes = Ann.probeCellIds(cents, query, "cent_id", "cvec", 4).toSet
+    val cellOf = Ann.ivfAssign(e, cents, "vec_id", "embedding", "cent_id", "cvec")
+      .select($"vec_id", $"cell_id", $"label").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getInt(2))).toMap
+    post.foreach { r =>
+      val (cell, label) = cellOf(r.getLong(0))
+      assert(probes.contains(cell), s"hit ${r.getLong(0)} outside probed cells")
+      assert(label % 2 == 0, s"hit ${r.getLong(0)} violates the predicate")
+    }
+  }
+
+  test("searchFiltered: knownSelectivity overrides the scan, and post can starve") {
+    import spark.implicits._
+    val query = e.filter($"vec_id" === 42).head.getSeq[Float](1)
+    // force the post path onto a narrow predicate: fewer than k survivors
+    // may remain inside the probed cells — the starvation regime the
+    // switch normally routes to pre (which cannot starve)
+    val forced = Ann.searchFiltered(e, cents, "vec_id", "embedding", "cent_id",
+      "cvec", query, 10, $"label" === 5, 4, knownSelectivity = Some(0.9))
+      .collect()
+    assert(forced.forall(_.getString(2) == "post"))
+    val exactN = Ann.searchFiltered(e, cents, "vec_id", "embedding", "cent_id",
+      "cvec", query, 10, $"label" === 5, 4).collect().length
+    assert(forced.length <= exactN,
+      s"post path returned ${forced.length} > pre's $exactN for the same ask")
+    // and the reverse override: a broad predicate forced onto pre stays exact
+    val forcedPre = Ann.searchFiltered(e, cents, "vec_id", "embedding",
+      "cent_id", "cvec", query, 10, $"label" % 2 === 0, 4,
+      knownSelectivity = Some(0.01)).collect()
+    assert(forcedPre.forall(_.getString(2) == "pre"))
+    assert(forcedPre.length == 10)
+  }
+
+  test("searchNamespacedBatch: structural tenant isolation; full probe == exact per namespace") {
+    import spark.implicits._
+    val qs = e.filter($"vec_id" % 100 === 42)
+      .select($"vec_id".as("qid"), $"embedding".as("qvec"), $"label".as("qns"))
+    val hits = Ann.searchNamespacedBatch(e, cents, "vec_id", "embedding",
+      "label", "cent_id", "cvec", qs, "qid", "qvec", "qns", nProbes = 16, k = 5)
+    val nsOf = e.select($"vec_id", $"label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val qns = qs.select($"qid", $"qns").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val got = hits.collect()
+    assert(got.nonEmpty)
+    // isolation: every hit lives in its query's namespace
+    got.foreach { r =>
+      assert(nsOf(r.getLong(1)) == qns(r.getLong(0)),
+        s"qid ${r.getLong(0)} leaked a hit from namespace ${nsOf(r.getLong(1))}")
+    }
+    // probing ALL cells makes the namespace search exact: per query it
+    // must equal brute-force top-k within the namespace
+    val byQ = got.groupBy(_.getLong(0))
+    qns.foreach { case (qid, ns) =>
+      val qv = e.filter($"vec_id" === qid).head.getSeq[Float](1)
+      val brute = TopK.topK(
+        e.filter($"label" === ns)
+          .withColumn("score", round(V.cosine($"embedding", typedLit(qv)), 6)),
+        $"score", $"vec_id", 5).collect().map(_.getLong(0)).toSeq
+      val mine = byQ(qid).sortBy(r => (-r.getDouble(2), r.getLong(1)))
+        .map(_.getLong(1)).toSeq
+      assert(mine == brute, s"qid $qid: $mine vs exact $brute")
+    }
+  }
+
+  test("searchNamespacedBatch plan: no cartesian, broadcast probe join") {
+    import spark.implicits._
+    val qs = e.filter($"vec_id" % 100 === 42)
+      .select($"vec_id".as("qid"), $"embedding".as("qvec"), $"label".as("qns"))
+    val hits = Ann.searchNamespacedBatch(e, cents, "vec_id", "embedding",
+      "label", "cent_id", "cvec", qs, "qid", "qvec", "qns", 4, 5)
+    hits.count()
+    val plan = hits.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      s"namespace routing must be an equi-join, not a cartesian:\n$plan")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
+      s"probe table must broadcast:\n$plan")
+  }
 }
