@@ -1111,6 +1111,44 @@ object Profile {
       probe("MV10", 10)
     }
 
+    // Filtered + namespaced search: pre-path cost must track the
+    // predicate's survivors, post-path cost the probed fraction, and the
+    // namespaced batch one probed-namespace scan — all ~linear in corpus
+    // size at a fixed predicate/probe shape.
+    if (on("fsearch")) {
+      import graft.operators.Ann
+      val e = spark.read.parquet(s"$sfDir/embeddings.parquet").repartition(32)
+      val cents = e.filter($"vec_id" < 16)
+        .select($"vec_id".as("cent_id"), $"embedding".as("cvec"))
+      def dupE(k: Int): DataFrame =
+        (0 until k).map(i =>
+          e.withColumn("vec_id", $"vec_id" + lit(i * 1000000L)))
+          .reduce(_ unionByName _).repartition(32).localCheckpoint(true)
+      val query = e.filter($"vec_id" === 42)
+        .select($"embedding").head.getSeq[Float](0)
+      val e1 = dupE(1); val e10 = dupE(10)
+      def filt(d: DataFrame, pred: org.apache.spark.sql.Column,
+               sel: Double): Long =
+        Ann.searchFiltered(d, cents, "vec_id", "embedding", "cent_id",
+          "cvec", query, 10, pred, 4, knownSelectivity = Some(sel)).count()
+      filt(e1, $"label" === 5, 0.1) // warmup
+      time("FS1 pre-path (label=5, sel .1) 1x")(filt(e1, $"label" === 5, 0.1))
+      time("FS10 pre-path 10x")(filt(e10, $"label" === 5, 0.1))
+      time("FP1 post-path (even labels, sel .5) 1x")(
+        filt(e1, $"label" % 2 === 0, 0.5))
+      time("FP10 post-path 10x")(filt(e10, $"label" % 2 === 0, 0.5))
+      def ns(d: DataFrame): Long = {
+        val qs = d.filter($"vec_id" % 100 === 42).limit(20)
+          .select($"vec_id".as("qid"), $"embedding".as("qvec"),
+            $"label".as("qns"))
+        Ann.searchNamespacedBatch(d, cents, "vec_id", "embedding", "label",
+          "cent_id", "cvec", qs, "qid", "qvec", "qns", 4, 5).count()
+      }
+      ns(e1) // warmup
+      time("NS1 namespaced batch (20q) 1x")(ns(e1))
+      time("NS10 namespaced batch (20q) 10x")(ns(e10))
+    }
+
     spark.stop()
   }
 }

@@ -111,6 +111,33 @@ class LayoutSpec extends SparkSpec {
     assert(hits.count() <= 5)
   }
 
+  test("on-disk filtered post path: partition pruning and parquet predicate pushdown co-operate") {
+    import spark.implicits._
+    val e = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val cents = e.filter($"vec_id" < 16)
+      .select($"vec_id".as("cent_id"), $"embedding".as("cvec"))
+    val assigned = Ann.ivfAssign(e, cents, "vec_id", "embedding", "cent_id", "cvec")
+    val path = Files.createTempDirectory("graft_fivf_").toString + "/index"
+    Ann.writeIvfIndex(assigned, path)
+
+    val query = e.filter($"vec_id" === 42).head.getSeq[Float](1)
+    val probes = Ann.probeCellIds(cents, query, "cent_id", "cvec", 4)
+    // the disk-backed post path: probed-cell read + metadata predicate
+    val cand = Ann.readIvfCells(spark, path, probes).filter($"label" === 5)
+    cand.count()
+    val scan = cand.queryExecution.executedPlan.toString
+    // cell routing prunes DIRECTORIES, the predicate prunes ROW GROUPS —
+    // both must reach the scan node for the 100 TB cost model to hold
+    assert(scan.contains("PartitionFilters"), s"cell filter must prune partitions:\n$scan")
+    assert(scan.contains("PushedFilters") && scan.contains("EqualTo(label,5)"),
+      s"label predicate must push to parquet:\n$scan")
+    // correctness: the disk composition scores exactly like the in-memory
+    // post path (assignment is deterministic, so membership agrees)
+    val mem = assigned.filter($"cell_id".isin(probes: _*)).filter($"label" === 5)
+    assert(cand.select($"vec_id").exceptAll(mem.select($"vec_id")).count() == 0)
+    assert(mem.select($"vec_id").exceptAll(cand.select($"vec_id")).count() == 0)
+  }
+
   test("CSV and ORC round-trips survive adversarial text (quotes, commas, newlines, unicode)") {
     import spark.implicits._
     val nasty = Seq(
