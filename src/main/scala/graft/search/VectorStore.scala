@@ -172,9 +172,12 @@ object VectorStore {
     * dim-validate (the reference 400s bad rows, `shard/server.py:62-64`),
     * L2-normalize, md5-mod-N shard-route. Stateless per-row, so the same
     * transform serves batch `insert` and the durable streaming sink
-    * (`Streaming.streamInsertDurable`). Output: (id, embedding, shard).
+    * (`Streaming.streamInsertDurable`). Output: (id, embedding, shard),
+    * plus any `keepCols` passed through verbatim — the metadata columns
+    * (lang, source, tenant, …) filtered serving needs in the table.
     */
-  def prepare(batch: DataFrame, dim: Int, numShards: Int): DataFrame =
+  def prepare(batch: DataFrame, dim: Int, numShards: Int,
+              keepCols: Seq[String] = Nil): DataFrame =
     batch
       .withColumn("embedding",
         when(size(col("embedding")) === dim, col("embedding"))
@@ -188,7 +191,7 @@ object VectorStore {
       .withColumn("embedding",
         transform(col("embedding"), x => (x.cast("double") / col("__n")).cast("float")))
       .withColumn("shard", HashFunctions.shardHash(col("id"), numShards))
-      .select("id", "embedding", "shard")
+      .select(("id" +: "embedding" +: "shard" +: keepCols).map(col): _*)
 
   /** Re-open a durable ingest table (rows already `prepare`d — written by
     * `Streaming.streamInsertDurable`) as a queryable store. The parquet

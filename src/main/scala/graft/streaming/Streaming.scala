@@ -2,7 +2,7 @@ package graft.streaming
 
 import java.sql.Timestamp
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
 
@@ -654,7 +654,16 @@ object Streaming {
           }
         }
 
-        Ann.ivfAssign(VectorStore.prepare(batch, dim, numShards),
+        // metadata columns ride along into the table (consistent across
+        // batches — the usual table-schema contract) so the serving
+        // faces can filter on them; reserved layout names would corrupt
+        // the partition addressing, so they fail loudly here
+        val keep = batch.columns.toSeq.filterNot(Set("id", "embedding"))
+        val reserved = keep.filter(Set("shard", "cell_id", "__b"))
+        require(reserved.isEmpty,
+          s"batch columns ${reserved.mkString(", ")} collide with reserved " +
+            "maintained-table layout columns (shard, cell_id, __b)")
+        Ann.ivfAssign(VectorStore.prepare(batch, dim, numShards, keep),
             cents, "id", "embedding", centIdCol, centVecCol)
           .withColumn("__b", lit(batchId))
           .write.mode("append").partitionBy("cell_id", "__b")
@@ -747,11 +756,21 @@ object Streaming {
     * via [[deleteMaintained]] are anti-joined out (broadcast sidecar).
     * Same quantized-cosine scoring and k-bounded top-k as
     * [[graft.operators.Ann.search]]. Returns (id, score), score desc.
+    *
+    * `pred` restricts the search to rows satisfying a metadata
+    * predicate (columns the ingest passed through) — the POST-filter
+    * path of [[graft.operators.Ann.searchFiltered]] against the
+    * maintained table: the predicate lands on the pruned scan, so
+    * parquet row-group stats prune inside the probed cell directories.
+    * A narrow predicate can leave fewer than k survivors inside the
+    * probed cells (the starvation regime); raise `nProbes` or run the
+    * exact pre-filter path over the whole table when that matters.
     */
   def searchMaintained(spark: org.apache.spark.sql.SparkSession,
                        tablePath: String, fallbackCentroids: DataFrame,
                        centIdCol: String, centVecCol: String,
-                       query: Seq[Float], nProbes: Int, k: Int): DataFrame = {
+                       query: Seq[Float], nProbes: Int, k: Int,
+                       pred: Column = lit(true)): DataFrame = {
     import graft.expressions.FloatVectorExpressions.dotF
     import graft.functions.{VectorFunctions => V}
     import graft.operators.{Ann, TopK}
@@ -761,6 +780,7 @@ object Streaming {
     val alive = maintainedDeletes(spark, tablePath)
       .map(d => scanned.join(broadcast(d), Seq("id"), "left_anti"))
       .getOrElse(scanned)
+      .filter(pred)
     val cand = alive.withColumn("__nv",
       greatest(sqrt(dotF(col("embedding"), col("embedding"))), lit(V.NormEps)))
     val qn = math.max(math.sqrt(query.map(x => x.toDouble * x).sum), V.NormEps)
@@ -786,12 +806,19 @@ object Streaming {
     * The per-request loop pays one scan per query — this pays one scan
     * per BATCH, the amortization that turns 10⁶-query serving into a
     * join problem. Returns (qidCol, id, score).
+    *
+    * `pred` filters the scanned rows on passthrough metadata columns
+    * (same contract as [[searchMaintained]]): one predicate applied to
+    * the shared pruned scan, i.e. every query in the batch searches the
+    * same filtered view — per-query predicates are the namespaced shape
+    * ([[graft.operators.Ann.searchNamespacedBatch]]).
     */
   def searchMaintainedBatch(spark: org.apache.spark.sql.SparkSession,
                             tablePath: String, fallbackCentroids: DataFrame,
                             centIdCol: String, centVecCol: String,
                             queries: DataFrame, qidCol: String,
-                            qVecCol: String, nProbes: Int, k: Int): DataFrame = {
+                            qVecCol: String, nProbes: Int, k: Int,
+                            pred: Column = lit(true)): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import graft.expressions.FloatVectorExpressions.dotF
     import graft.functions.{VectorFunctions => V}
@@ -823,6 +850,7 @@ object Streaming {
     val alive = maintainedDeletes(spark, tablePath)
       .map(d => scanned.join(broadcast(d), Seq("id"), "left_anti"))
       .getOrElse(scanned)
+      .filter(pred)
     val scored = alive.join(broadcast(probes), Seq("cell_id"))
       .withColumn("score",
         round(dotF(col("embedding"), col("__qv")) /

@@ -1497,6 +1497,81 @@ class StreamingSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", old)
   }
 
+  test("maintained metadata passthrough: filtered serving on both faces, pushdown on the pruned scan, reserved names refused") {
+    import spark.implicits._
+    val in = Files.createTempDirectory("graft_smf_in_").toString
+    val table = Files.createTempDirectory("graft_smf_tbl_").toString + "/t"
+    val ckpt = Files.createTempDirectory("graft_smf_ckpt_").toString + "/c"
+    val cents = Seq(
+      (0L, Seq(1f, 0f, 0f, 0f)), (1L, Seq(0f, 1f, 0f, 0f))
+    ).toDF("cent_id", "cvec")
+    val schema = org.apache.spark.sql.types.StructType(maintSchema.fields :+
+      org.apache.spark.sql.types.StructField("lang",
+        org.apache.spark.sql.types.StringType))
+    val q = Streaming.streamInsertIndexedMaintained(
+      spark.readStream.schema(schema).parquet(in),
+      dim = 4, numShards = 2, cents, "cent_id", "cvec", table, ckpt,
+      maxCell = 1000000L)
+    Seq((1L, Seq(9f, 1f, 0f, 0f), "en"), (2L, Seq(9f, 2f, 0f, 0f), "de"),
+      (3L, Seq(1f, 9f, 0f, 0f), "en"), (4L, Seq(2f, 9f, 0f, 0f), "de"))
+      .toDF("id", "embedding", "lang")
+      .coalesce(1).write.mode("overwrite").parquet(in)
+    q.processAllAvailable()
+    q.stop()
+
+    // the metadata column landed in the table beside the layout columns
+    val t = spark.read.parquet(table)
+    assert(t.columns.contains("lang"), t.columns.toSeq)
+    assert(t.filter(col("lang") === "en").count() == 2)
+
+    // single face: probe BOTH cells, restrict to lang='en' — exactly
+    // the en rows come back, ranked; and the predicate reaches the
+    // parquet scan (row-group pruning inside the probed directories)
+    val qv = Seq(9f, 1.5f, 0f, 0f)
+    val hits = Streaming.searchMaintained(spark, table, cents,
+      "cent_id", "cvec", qv, nProbes = 2, k = 4, pred = col("lang") === "en")
+    assert(hits.collect().map(_.getLong(0)).toSet == Set(1L, 3L))
+    val plan = hits.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: ["), plan)
+    assert(plan.contains("EqualTo(lang,en)"),
+      s"lang predicate must push to the pruned scan:\n$plan")
+
+    // batch face: one shared predicate over the shared pruned scan
+    val queries = Seq((100L, Seq(9f, 1.5f, 0f, 0f)), (200L, Seq(1.5f, 9f, 0f, 0f)))
+    val batch = Streaming.searchMaintainedBatch(spark, table, cents,
+      "cent_id", "cvec", queries.toDF("qid", "qvec"), "qid", "qvec",
+      nProbes = 2, k = 4, pred = col("lang") === "de")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(batch == Set((100L, 2L), (100L, 4L), (200L, 2L), (200L, 4L)), batch)
+
+    // deletes and the predicate compose
+    Streaming.deleteMaintained(spark, table, Seq(3L).toDF("id"), "id")
+    assert(Streaming.searchMaintained(spark, table, cents, "cent_id", "cvec",
+      qv, nProbes = 2, k = 4, pred = col("lang") === "en")
+      .collect().map(_.getLong(0)).toSeq == Seq(1L))
+
+    // a metadata column named like a reserved layout column must be
+    // refused loudly at ingest, not silently corrupt the addressing
+    val in2 = Files.createTempDirectory("graft_smf_in2_").toString
+    val table2 = Files.createTempDirectory("graft_smf_tbl2_").toString + "/t"
+    val ckpt2 = Files.createTempDirectory("graft_smf_ckpt2_").toString + "/c"
+    val badSchema = org.apache.spark.sql.types.StructType(maintSchema.fields :+
+      org.apache.spark.sql.types.StructField("cell_id",
+        org.apache.spark.sql.types.LongType))
+    val q2 = Streaming.streamInsertIndexedMaintained(
+      spark.readStream.schema(badSchema).parquet(in2),
+      dim = 4, numShards = 2, cents, "cent_id", "cvec", table2, ckpt2,
+      maxCell = 1000000L)
+    Seq((1L, Seq(9f, 1f, 0f, 0f), 7L)).toDF("id", "embedding", "cell_id")
+      .coalesce(1).write.mode("overwrite").parquet(in2)
+    val err = intercept[Exception] { q2.processAllAvailable() }
+    q2.stop()
+    assert(err.getMessage != null &&
+      (err.getMessage.contains("reserved") ||
+        Option(err.getCause).exists(_.getMessage.contains("reserved"))),
+      s"expected the reserved-name refusal, got: ${err.getMessage}")
+  }
+
   test("maxChildrenPerPass bounds each split generation and repeated checks converge geometrically") {
     import spark.implicits._
     val in = Files.createTempDirectory("graft_cap_in_").toString
