@@ -139,7 +139,8 @@ object Bench {
     "q_reshard_plan", "q_schema_evolve", "q_incremental_rollup",
     // round-7 serving additions: selectivity-routed filtered search and
     // namespaced (multi-tenant) batch search
-    "q_filtered_ann_pre", "q_filtered_ann_post", "q_ns_search")
+    "q_filtered_ann_pre", "q_filtered_ann_post", "q_ns_search",
+    "q_silhouette")
 
   /** Force FULL materialization of every output column: xxhash64 over all
     * columns, summed. `.count()` alone under-measures — Catalyst prunes

@@ -11692,6 +11692,22 @@ object SparkEntry {
         .select($"vec_id".as("qid"), $"embedding".as("qvec"), $"label".as("qns"))
       Ann.searchNamespacedBatch(e, cents, "vec_id", "embedding", "label",
         "cent_id", "cvec", qs, "qid", "qvec", "qns", 4, 5)
+    }),
+
+    // Index-quality report: per-cell simplified silhouette (cosine
+    // distance to own vs nearest-other centroid). mean_s near 1 = tight,
+    // separable cells (probe-pruning works); near 0 = boundary-heavy
+    // cells that need wider probes. One projection over in-literal
+    // centroids + a C-bounded aggregation; per-row values quantize to
+    // integer micro-units so the means are exact long sums in both
+    // engines.
+    "q_silhouette" -> ((s, dir) => {
+      import s.implicits._
+      val e = t(s, dir, "embeddings")
+      val cents = e.filter($"vec_id" < 16)
+        .select($"vec_id".as("cent_id"), $"embedding".as("cvec"))
+      Ann.silhouetteSimplified(e, cents, "vec_id", "embedding",
+        "cent_id", "cvec").orderBy($"cell_id")
     })
   )
 
@@ -12016,6 +12032,42 @@ object SparkEntry {
         |SELECT qid, vec_id, score FROM (
         |  SELECT qid, vec_id, score,
         |         row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) rn
-        |  FROM ssc) WHERE rn <= 5 ORDER BY qid, vec_id""".stripMargin
+        |  FROM ssc) WHERE rn <= 5 ORDER BY qid, vec_id""".stripMargin,
+
+    "q_silhouette" ->
+      """WITH cents AS (
+        |  SELECT vec_id AS cent_id, embedding AS cvec FROM embeddings WHERE vec_id < 16),
+        |pc AS (
+        |  SELECT e.vec_id, c.cent_id,
+        |         unnest(e.embedding)::DOUBLE x, unnest(c.cvec)::DOUBLE y
+        |  FROM embeddings e CROSS JOIN cents c),
+        |pagg AS (SELECT vec_id, cent_id, SUM(x*y) dp, SUM(x*x) nx2, SUM(y*y) ny2
+        |         FROM pc GROUP BY vec_id, cent_id),
+        |psc AS (SELECT vec_id, cent_id,
+        |          ROUND(dp/(GREATEST(SQRT(nx2),1e-12)*GREATEST(SQRT(ny2),1e-12)), 6) c
+        |        FROM pagg),
+        |own AS (
+        |  SELECT vec_id, cent_id, c FROM (
+        |    SELECT vec_id, cent_id, c,
+        |           row_number() OVER (PARTITION BY vec_id ORDER BY c DESC, cent_id) rn
+        |    FROM psc) WHERE rn = 1),
+        |oth AS (
+        |  SELECT p.vec_id, MAX(p.c) AS mc
+        |  FROM psc p JOIN own o ON o.vec_id = p.vec_id AND p.cent_id <> o.cent_id
+        |  GROUP BY p.vec_id),
+        |sil AS (
+        |  SELECT o.cent_id AS cell_id, (1.0 - o.c) AS a, (1.0 - t.mc) AS b
+        |  FROM own o JOIN oth t ON t.vec_id = o.vec_id),
+        |sq AS (
+        |  SELECT cell_id,
+        |         CAST(ROUND(a * 1000000, 0) AS BIGINT) AS a6,
+        |         CAST(ROUND((CASE WHEN GREATEST(a, b) <= 0 THEN 0.0
+        |              ELSE ROUND((b - a) / GREATEST(a, b), 6) END) * 1000000, 0)
+        |           AS BIGINT) AS s6
+        |  FROM sil)
+        |SELECT cell_id, COUNT(*) AS n,
+        |       ROUND(SUM(a6) / 1000000.0 / COUNT(*), 6) + 0.0 AS mean_a,
+        |       ROUND(SUM(s6) / 1000000.0 / COUNT(*), 6) + 0.0 AS mean_s
+        |FROM sq GROUP BY cell_id ORDER BY cell_id""".stripMargin
   )
 }

@@ -567,6 +567,91 @@ object Ann {
     }
   }
 
+  /** Per-cell SIMPLIFIED SILHOUETTE — the clustering-quality metric for
+    * an IVF index (Hruschka et al.'s centroid-based silhouette: a(i) =
+    * cosine distance to the OWN centroid, b(i) = distance to the nearest
+    * OTHER centroid, s(i) = (b−a)/max(a,b) ∈ [−1, 1]). Near 1: the cell
+    * is tight and well-separated (probe-pruning is effective); near 0:
+    * rows sit on cell boundaries (probes must widen to hold recall);
+    * negative: rows are closer to another centroid than their own — the
+    * assignment is stale and [[rebalanceIvf]] / [[kmeansTrain]] is due.
+    * The full-silhouette's O(n²) pairwise distances collapse to n×C
+    * centroid distances — the only formulation that exists at corpus
+    * scale.
+    *
+    * With `assignCol = None` the own cell is the fresh argmax (the
+    * [[ivfAssign]] rule), so a ≤ b and s ∈ [0, 1] by construction —
+    * this grades the PARTITION GEOMETRY (how separable the cells are).
+    * With `assignCol = Some(c)` the own cell is the STORED assignment
+    * in column `c` — the drift diagnostic for a maintained index whose
+    * centroids moved after rows were filed: rows now closer to another
+    * centroid score NEGATIVE, and a cell's mean_s sinking below 0 is
+    * the re-file signal ([[rebalanceIvf]]).
+    *
+    * Output: one row per cell — (cell_id, n, mean_a, mean_s), means
+    * rounded to 6. Scale shape: one per-row PROJECTION over in-literal
+    * centroids (the [[ivfAssign]] shape — no join, no window), then one
+    * C-bounded aggregation; per-row s quantizes to integer MICRO-UNITS
+    * before summing so the mean is an exact long sum — order-independent
+    * across partitionings, bit-replicated by the DuckDB oracle.
+    * Requires ≥ 2 centroids (b is undefined otherwise); a stored
+    * assignment pointing at a dropped centroid throws (null own score).
+    */
+  def silhouetteSimplified(vectors: DataFrame, centroids: DataFrame,
+                           idCol: String, vecCol: String, centIdCol: String,
+                           centVecCol: String,
+                           assignCol: Option[String] = None): DataFrame = {
+    val cents: Seq[(Long, Seq[Float], Double)] = centroids
+      .select(col(centIdCol).cast("long"), col(centVecCol))
+      .collect().toSeq
+      .map { r =>
+        val cvec = r.getSeq[Float](1)
+        var n2 = 0.0
+        cvec.foreach(x => n2 += x.toDouble * x.toDouble)
+        (r.getLong(0), cvec, math.max(math.sqrt(n2), V.NormEps))
+      }
+      .sortBy(_._1)
+    require(cents.length >= 2,
+      s"silhouette needs >= 2 centroids, got ${cents.length}")
+    val vn = greatest(sqrt(dotF(col(vecCol), col(vecCol))), lit(V.NormEps))
+    val perCent = cents.map { case (cid, cvec, cn) =>
+      struct(
+        round(dotF(col(vecCol), typedLit(cvec)) / (vn * lit(cn)), 6).as("score"),
+        lit(-cid).as("negid"))
+    }
+    val arr = array(perCent: _*)
+    val (cellId, ownScore) = assignCol match {
+      case None =>
+        val own = array_max(arr)
+        (-own.getField("negid"), own.getField("score"))
+      case Some(c) =>
+        val scoreByCell = map_from_arrays(
+          typedLit(cents.map(_._1)),
+          array(perCent.map(_.getField("score")): _*))
+        val looked = element_at(scoreByCell, col(c).cast("long"))
+        (col(c).cast("long"),
+          when(looked.isNull, raise_error(concat(
+            lit("stored assignment points at a dropped centroid: cell "),
+            col(c).cast("string")))).otherwise(looked))
+    }
+    val other = array_max(filter(arr,
+      x => x.getField("negid") =!= -cellId))
+    val a = lit(1.0) - ownScore
+    val b = lit(1.0) - other.getField("score")
+    val s = when(greatest(a, b) <= 0.0, lit(0.0))
+      .otherwise(round((b - a) / greatest(a, b), 6))
+    vectors
+      .withColumn("cell_id", cellId)
+      .withColumn("__a6", round(a * 1e6, 0).cast("long"))
+      .withColumn("__s6", round(s * 1e6, 0).cast("long"))
+      .groupBy(col("cell_id"))
+      .agg(count(lit(1)).as("n"),
+        (round(sum(col("__a6")).cast("double") / 1e6 /
+          count(lit(1)).cast("double"), 6) + lit(0.0)).as("mean_a"),
+        (round(sum(col("__s6")).cast("double") / 1e6 /
+          count(lit(1)).cast("double"), 6) + lit(0.0)).as("mean_s"))
+  }
+
   /** NAMESPACED batch search — the multi-tenant shape (Pinecone
     * "namespaces", Milvus "partitions"): every query carries a namespace
     * key and must only ever see vectors in that namespace. One job for

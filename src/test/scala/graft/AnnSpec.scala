@@ -454,6 +454,50 @@ class AnnSpec extends SparkSpec {
     }
   }
 
+  test("silhouetteSimplified: fresh s ∈ [0,1] (1 at tight clusters); stale assignment negative; dropped centroid throws") {
+    import spark.implicits._
+    val v = Seq(
+      (0L, Seq(1f, 0f, 0f, 0f)), (1L, Seq(1f, 0.01f, 0f, 0f)),
+      (10L, Seq(0f, 1f, 0f, 0f)), (11L, Seq(0f, 1f, 0.01f, 0f)))
+      .toDF("vec_id", "embedding")
+    val cc = Seq((0L, Seq(1f, 0f, 0f, 0f)), (1L, Seq(0f, 1f, 0f, 0f)))
+      .toDF("cent_id", "cvec")
+    // members sitting (almost) on their centroids: a ≈ 0, s ≈ 1
+    val fresh = Ann.silhouetteSimplified(v, cc, "vec_id", "embedding",
+      "cent_id", "cvec").collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(fresh.map(_._1).toSet == Set(0L, 1L))
+    fresh.foreach { case (cell, n, meanA, meanS) =>
+      assert(n == 2 && meanA < 0.001 && meanS > 0.99, (cell, n, meanA, meanS))
+    }
+    // the real corpus: fresh-assignment silhouette is in [0, 1] and
+    // covers every row
+    val rep = Ann.silhouetteSimplified(e, cents, "vec_id", "embedding",
+      "cent_id", "cvec").collect()
+    assert(rep.map(_.getLong(1)).sum == e.count())
+    rep.foreach { r =>
+      val s = r.getDouble(3)
+      assert(s >= 0.0 && s <= 1.0, s"fresh mean_s out of [0,1]: $s")
+    }
+    // a maximally STALE stored assignment (every row filed in the other
+    // cluster's cell): s = −1 per row
+    val staled = v.withColumn("cell",
+      when($"vec_id" < 10L, 1L).otherwise(0L))
+    val st = Ann.silhouetteSimplified(staled, cc, "vec_id", "embedding",
+      "cent_id", "cvec", assignCol = Some("cell")).collect()
+    st.foreach { r =>
+      assert(r.getDouble(3) < -0.99,
+        s"misfiled cell ${r.getLong(0)} must score ~-1, got ${r.getDouble(3)}")
+    }
+    // an assignment pointing at a dropped centroid fails loudly
+    val dangling = v.withColumn("cell", lit(99L))
+    val ex = intercept[Exception] {
+      Ann.silhouetteSimplified(dangling, cc, "vec_id", "embedding",
+        "cent_id", "cvec", assignCol = Some("cell")).collect()
+    }
+    assert(ex.getMessage != null)
+  }
+
   test("searchNamespacedBatch plan: no cartesian, broadcast probe join") {
     import spark.implicits._
     val qs = e.filter($"vec_id" % 100 === 42)
