@@ -11708,6 +11708,23 @@ object SparkEntry {
         .select($"vec_id".as("cent_id"), $"embedding".as("cvec"))
       Ann.silhouetteSimplified(e, cents, "vec_id", "embedding",
         "cent_id", "cvec").orderBy($"cell_id")
+    }),
+
+    // Probe auto-tuning: the (nProbes, recall) curve at doubling probe
+    // counts with the cheapest count meeting recall ≥ 0.95 marked — the
+    // parameter decision an IVF operator makes before serving. Recall is
+    // the micro-average (total hits / total exact), integer-exact in
+    // both engines; the exact side is the full-probe search, computed
+    // once.
+    "q_probe_tune" -> ((s, dir) => {
+      import s.implicits._
+      val e = t(s, dir, "embeddings")
+      val cents = e.filter($"vec_id" < 16)
+        .select($"vec_id".as("cent_id"), $"embedding".as("cvec"))
+      val qs = e.filter($"vec_id" % 100 === 42)
+        .select($"vec_id".as("qid"), $"embedding".as("qvec"))
+      Ann.probeRecallSweep(e, cents, "vec_id", "embedding", "cent_id",
+        "cvec", qs, "qid", "qvec", 10, 0.95).orderBy($"n_probes")
     })
   )
 
@@ -12068,6 +12085,88 @@ object SparkEntry {
         |SELECT cell_id, COUNT(*) AS n,
         |       ROUND(SUM(a6) / 1000000.0 / COUNT(*), 6) + 0.0 AS mean_a,
         |       ROUND(SUM(s6) / 1000000.0 / COUNT(*), 6) + 0.0 AS mean_s
-        |FROM sq GROUP BY cell_id ORDER BY cell_id""".stripMargin
+        |FROM sq GROUP BY cell_id ORDER BY cell_id""".stripMargin,
+
+    "q_probe_tune" -> probeTuneSql
   )
+
+  /** q_probe_tune oracle, builder-authored (the pcaCtesSql pattern): one
+    * shared scoring pass (every query × every row, cell rank attached),
+    * a top-10 block per swept probe count {1,2,4,8,16}, hit counts vs
+    * the 16-probe (exact) side, and the chosen-level window.
+    */
+  private lazy val probeTuneSql: String = {
+    val levels = Seq(1, 2, 4, 8, 16)
+    val topBlocks = levels.map { p =>
+      s"""top_$p AS (
+         |  SELECT qid, vec_id FROM (
+         |    SELECT s.qid, s.vec_id,
+         |           row_number() OVER (PARTITION BY s.qid
+         |                              ORDER BY s.score DESC, s.vec_id) rn
+         |    FROM allsc s JOIN cr ON cr.qid = s.qid AND cr.vec_id = s.vec_id
+         |    WHERE cr.cellrank <= $p) WHERE rn <= 10)""".stripMargin
+    }.mkString(",\n")
+    val lvRows = levels.map { p =>
+      s"""  SELECT $p AS n_probes,
+         |    (SELECT COUNT(*) FROM top_$p t
+         |      JOIN top_16 x ON x.qid = t.qid AND x.vec_id = t.vec_id) AS n_hit,
+         |    (SELECT COUNT(*) FROM top_16) AS n_exact""".stripMargin
+    }.mkString("\n  UNION ALL\n")
+    s"""WITH cents AS (
+       |  SELECT vec_id AS cent_id, embedding AS cvec FROM embeddings WHERE vec_id < 16),
+       |qs AS (SELECT vec_id AS qid, embedding AS qvec
+       |       FROM embeddings WHERE vec_id % 100 = 42),
+       |cp AS (
+       |  SELECT q.qid, c.cent_id, unnest(c.cvec)::DOUBLE x, unnest(q.qvec)::DOUBLE y
+       |  FROM cents c CROSS JOIN qs q),
+       |cagg AS (SELECT qid, cent_id, SUM(x*y) dp, SUM(x*x) nx2, SUM(y*y) ny2
+       |         FROM cp GROUP BY qid, cent_id),
+       |pranks AS (
+       |  SELECT qid, cent_id,
+       |         row_number() OVER (PARTITION BY qid ORDER BY
+       |           ROUND(dp/(GREATEST(SQRT(nx2),1e-12)*GREATEST(SQRT(ny2),1e-12)), 6)
+       |             DESC, cent_id) AS rn
+       |  FROM cagg),
+       |pc AS (
+       |  SELECT e.vec_id, c.cent_id,
+       |         unnest(e.embedding)::DOUBLE x, unnest(c.cvec)::DOUBLE y
+       |  FROM embeddings e CROSS JOIN cents c),
+       |pagg AS (SELECT vec_id, cent_id, SUM(x*y) dp, SUM(x*x) nx2, SUM(y*y) ny2
+       |         FROM pc GROUP BY vec_id, cent_id),
+       |psc AS (SELECT vec_id, cent_id,
+       |          ROUND(dp/(GREATEST(SQRT(nx2),1e-12)*GREATEST(SQRT(ny2),1e-12)), 6) c
+       |        FROM pagg),
+       |assign AS (
+       |  SELECT vec_id, cent_id AS cell_id FROM (
+       |    SELECT vec_id, cent_id,
+       |           row_number() OVER (PARTITION BY vec_id ORDER BY c DESC, cent_id) rn
+       |    FROM psc) WHERE rn = 1),
+       |cr AS (
+       |  SELECT pr.qid, a.vec_id, pr.rn AS cellrank
+       |  FROM assign a JOIN pranks pr ON pr.cent_id = a.cell_id),
+       |sp AS (
+       |  SELECT q.qid, e.vec_id,
+       |         unnest(e.embedding)::DOUBLE x, unnest(q.qvec)::DOUBLE y
+       |  FROM embeddings e CROSS JOIN qs q),
+       |sagg AS (SELECT qid, vec_id, SUM(x*y) dp, SUM(x*x) nx2, SUM(y*y) ny2
+       |         FROM sp GROUP BY qid, vec_id),
+       |allsc AS (SELECT qid, vec_id,
+       |            ROUND(dp/(GREATEST(SQRT(nx2),1e-12)*GREATEST(SQRT(ny2),1e-12)), 6)
+       |              + 0.0 AS score
+       |          FROM sagg),
+       |$topBlocks,
+       |lv AS (
+       |$lvRows),
+       |rl AS (
+       |  SELECT n_probes, n_hit, n_exact,
+       |         ROUND(CASE WHEN n_exact = 0 THEN 1.0
+       |               ELSE n_hit * 1.0 / n_exact END, 6) + 0.0 AS recall
+       |  FROM lv),
+       |ch AS (SELECT COALESCE(MIN(n_probes) FILTER (WHERE recall >= 0.95), 16) AS cp
+       |       FROM rl)
+       |SELECT n_probes, n_hit, n_exact, recall,
+       |       CAST(recall >= 0.95 AS INT) AS meets,
+       |       CAST(n_probes = ch.cp AS INT) AS chosen
+       |FROM rl, ch ORDER BY n_probes""".stripMargin
+  }
 }

@@ -567,6 +567,72 @@ object Ann {
     }
   }
 
+  /** Probe AUTO-TUNING: the recall-vs-cost sweep behind the one
+    * operational question every IVF deployment answers — "how many
+    * probes do I need for recall ≥ X?". Runs [[searchBatchIvf]] at
+    * doubling probe counts (1, 2, 4, …, C — the log₂C grid that brackets
+    * the knee), scores each against the EXACT side (nProbes = C), and
+    * marks the cheapest count meeting `targetRecall`.
+    *
+    * Recall is the MICRO-average — total hits over total exact results
+    * across the query set (two exact long counts per probe level, one
+    * division) — not a mean of per-query ratios, so the number is an
+    * integer-exact cross-engine comparison and heavy queries weigh what
+    * they cost. Output: one row per swept count — (n_probes, n_hit,
+    * n_exact, recall, meets, chosen) — `chosen` marks the smallest
+    * meeting count (none meeting → C, exact search, which always meets
+    * by construction).
+    *
+    * Scale shape: log₂C batch searches, each one corpus scan over the
+    * probed fraction (the [[searchBatchIvf]] shape); the exact side is
+    * computed ONCE and localCheckpointed — at a 10⁶-query tuning set
+    * the whole sweep stays a handful of scans, and the result is the
+    * (nProbes, recall) curve an operator pins in a dashboard. The
+    * driver holds only 3 longs per level.
+    */
+  def probeRecallSweep(vectors: DataFrame, centroids: DataFrame,
+                       idCol: String, vecCol: String, centIdCol: String,
+                       centVecCol: String, queries: DataFrame,
+                       qidCol: String, qvecCol: String, k: Int,
+                       targetRecall: Double): DataFrame = {
+    require(targetRecall > 0.0 && targetRecall <= 1.0,
+      s"targetRecall must be in (0, 1], got $targetRecall")
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val c = centroids.count().toInt
+    require(c >= 1, "centroids must be non-empty")
+    val grid = (Iterator.iterate(1)(_ * 2).takeWhile(_ < c).toSeq :+ c).distinct
+    val exact = searchBatchIvf(vectors, centroids, idCol, vecCol,
+      centIdCol, centVecCol, queries, qidCol, qvecCol, c, k)
+      .select(col(qidCol), col(idCol))
+      .localCheckpoint(true)
+    val nExact = exact.count()
+    val levels: Seq[(Int, Long, Long)] = grid.map { p =>
+      val nHit =
+        if (p == c) nExact // exact vs itself — no second scan needed
+        else searchBatchIvf(vectors, centroids, idCol, vecCol,
+          centIdCol, centVecCol, queries, qidCol, qvecCol, p, k)
+          .select(col(qidCol), col(idCol))
+          .join(exact, Seq(qidCol, idCol), "left_semi")
+          .count()
+      (p, nHit, nExact)
+    }
+    // the meets/chosen decision is made on the ROUNDED recall — the same
+    // value the output column carries — so a knife-edge ratio can't make
+    // the driver-side choice disagree with the visible numbers
+    def r6(x: Double): Double = java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    val chosenP = levels
+      .filter { case (_, h, e) => e == 0L || r6(h.toDouble / e) >= targetRecall }
+      .map(_._1).minOption.getOrElse(c)
+    levels.toDF("n_probes", "n_hit", "n_exact")
+      .withColumn("recall",
+        round(when(col("n_exact") === 0L, lit(1.0))
+          .otherwise(col("n_hit").cast("double") / col("n_exact")), 6) + lit(0.0))
+      .withColumn("meets", (col("recall") >= targetRecall).cast("int"))
+      .withColumn("chosen", (col("n_probes") === chosenP).cast("int"))
+  }
+
   /** Per-cell SIMPLIFIED SILHOUETTE — the clustering-quality metric for
     * an IVF index (Hruschka et al.'s centroid-based silhouette: a(i) =
     * cosine distance to the OWN centroid, b(i) = distance to the nearest

@@ -454,6 +454,39 @@ class AnnSpec extends SparkSpec {
     }
   }
 
+  test("probeRecallSweep: monotone curve, exact level always meets, separable clusters tune to 1 probe") {
+    import spark.implicits._
+    // the real corpus: recall must be non-decreasing in probes and the
+    // full-probe level is exact (recall 1.0, meets, chosen fallback)
+    val qs = e.filter($"vec_id" % 100 === 42)
+      .select($"vec_id".as("qid"), $"embedding".as("qvec"))
+    val sweep = Ann.probeRecallSweep(e, cents, "vec_id", "embedding",
+      "cent_id", "cvec", qs, "qid", "qvec", 10, 0.999)
+      .orderBy($"n_probes").collect()
+    assert(sweep.map(_.getInt(0)).toSeq == Seq(1, 2, 4, 8, 16))
+    val recalls = sweep.map(_.getDouble(3))
+    assert(recalls.zip(recalls.tail).forall { case (a, b) => a <= b },
+      recalls.toSeq)
+    assert(recalls.last == 1.0 && sweep.last.getInt(4) == 1)
+    assert(sweep.map(_.getInt(5)).sum == 1, "exactly one chosen level")
+    // two tight, well-separated clusters with on-centroid queries:
+    // 1 probe already captures the full top-k → chosen = 1
+    val pts = (0 until 12).map(i => (i.toLong,
+      Seq(1f, i * 0.001f, 0f, 0f))) ++ (0 until 12).map(i =>
+      (100L + i, Seq(0f, i * 0.001f, 1f, 0f)))
+    val v = pts.toDF("vec_id", "embedding")
+    val cc = Seq((0L, Seq(1f, 0f, 0f, 0f)), (1L, Seq(0f, 0f, 1f, 0f)))
+      .toDF("cent_id", "cvec")
+    val qs2 = Seq((900L, Seq(1f, 0f, 0f, 0f)), (901L, Seq(0f, 0f, 1f, 0f)))
+      .toDF("qid", "qvec")
+    val tuned = Ann.probeRecallSweep(v, cc, "vec_id", "embedding",
+      "cent_id", "cvec", qs2, "qid", "qvec", 10, 0.95)
+      .orderBy($"n_probes").collect()
+    assert(tuned.map(_.getInt(0)).toSeq == Seq(1, 2))
+    assert(tuned.head.getDouble(3) == 1.0 && tuned.head.getInt(5) == 1,
+      tuned.toSeq.toString)
+  }
+
   test("silhouetteSimplified: fresh s ∈ [0,1] (1 at tight clusters); stale assignment negative; dropped centroid throws") {
     import spark.implicits._
     val v = Seq(
