@@ -11725,6 +11725,21 @@ object SparkEntry {
         .select($"vec_id".as("qid"), $"embedding".as("qvec"))
       Ann.probeRecallSweep(e, cents, "vec_id", "embedding", "cent_id",
         "cvec", qs, "qid", "qvec", 10, 0.95).orderBy($"n_probes")
+    }),
+
+    // PQ distortion sweep: mean per-row quantization error at m ∈
+    // {2,4,8} subspaces (the storage/accuracy trade-off curve — m IS
+    // the code bytes per vector). The error reuses the encode argmin
+    // arithmetic, quantized to integer micro-units per subspace, so the
+    // corpus means replicate bit-exactly.
+    "q_pq_distortion" -> ((s, dir) => {
+      import s.implicits._
+      val e = t(s, dir, "embeddings")
+      val cbs: Seq[Seq[Float]] = e.filter($"vec_id" < 16)
+        .orderBy($"vec_id").select($"embedding")
+        .collect().map(_.getSeq[Float](0)).toSeq
+      Ann.pqDistortionSweep(e, "embedding", cbs, Seq(2, 4, 8))
+        .orderBy($"m")
     })
   )
 
@@ -12087,8 +12102,40 @@ object SparkEntry {
         |       ROUND(SUM(s6) / 1000000.0 / COUNT(*), 6) + 0.0 AS mean_s
         |FROM sq GROUP BY cell_id ORDER BY cell_id""".stripMargin,
 
-    "q_probe_tune" -> probeTuneSql
+    "q_probe_tune" -> probeTuneSql,
+
+    "q_pq_distortion" -> pqDistortionSql
   )
+
+  /** q_pq_distortion oracle: per m ∈ {2,4,8}, the per-(vec, subspace)
+    * argmin subvector distance (round 6 → micro-units — the q_ann_pq
+    * encode arithmetic), summed per vec, micro-averaged over the corpus.
+    */
+  private lazy val pqDistortionSql: String = {
+    val blocks = Seq(2, 4, 8).map { m =>
+      val dsub = 64 / m
+      s"""  SELECT $m AS m, COUNT(*) AS n,
+         |    ROUND(SUM(dsum) / 1000000.0 / COUNT(*), 6) + 0.0 AS mean_sqerr
+         |  FROM (
+         |    SELECT vec_id, SUM(du) AS dsum FROM (
+         |      SELECT e.vec_id, mis.mi,
+         |        CAST(ROUND(list_min(list_transform(cbl.cbs, cand ->
+         |          ROUND(list_sum(list_transform(generate_series(1, $dsub), j ->
+         |            (e.embedding[mis.mi*$dsub+j]::DOUBLE - cand[mis.mi*$dsub+j]::DOUBLE)
+         |            * (e.embedding[mis.mi*$dsub+j]::DOUBLE - cand[mis.mi*$dsub+j]::DOUBLE))), 6)))
+         |          * 1000000) AS BIGINT) AS du
+         |      FROM embeddings e
+         |      CROSS JOIN (SELECT unnest(generate_series(0, ${m - 1})) AS mi) mis
+         |      CROSS JOIN cbl)
+         |    GROUP BY vec_id)""".stripMargin
+    }.mkString("\n  UNION ALL\n")
+    s"""WITH cbl AS (
+       |  SELECT list(embedding ORDER BY vec_id) AS cbs
+       |  FROM embeddings WHERE vec_id < 16)
+       |SELECT * FROM (
+       |$blocks
+       |) ORDER BY m""".stripMargin
+  }
 
   /** q_probe_tune oracle, builder-authored (the pcaCtesSql pattern): one
     * shared scoring pass (every query × every row, cell rank attached),

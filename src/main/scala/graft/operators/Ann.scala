@@ -896,6 +896,64 @@ object Ann {
     })
   }
 
+  /** PQ DISTORTION SWEEP — the codebook-fit report behind the "which m
+    * do I ship?" decision: for each subspace count in `ms`, the mean
+    * per-row quantization error. The error reuses the encode arithmetic
+    * itself: the argmin subvector distance IS the subspace's squared
+    * reconstruction error, so per-row distortion = Σ_mi min_cand
+    * ‖sub − cand‖² — no separate reconstruction pass. Each subspace
+    * minimum is quantized (round 6 → integer micro-units) before
+    * summing, so row distortions are exact longs and the corpus means
+    * replicate bit-exactly in the oracle.
+    *
+    * Output: one row per m — (m, n, mean_sqerr), mean rounded 6; more
+    * subspaces → finer quantization → lower distortion, and the curve
+    * against m (= code bytes per vector) is the storage/accuracy
+    * trade-off. Scale shape: ONE scan computing all levels as parallel
+    * projection columns, one all-rows aggregation carrying |ms| longs;
+    * the driver holds |ms| sums. Interpreted HOF arithmetic — an
+    * offline report, not a serving path (the serving encode is the
+    * codegen [[pqEncode]]).
+    */
+  def pqDistortionSweep(vectors: DataFrame, vecCol: String,
+                        codebooks: Seq[Seq[Float]],
+                        ms: Seq[Int]): DataFrame = {
+    require(ms.nonEmpty && codebooks.nonEmpty)
+    val dim = codebooks.head.length
+    ms.foreach(m => require(m >= 1 && dim % m == 0,
+      s"m=$m must divide the vector dim $dim"))
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val cb = typedLit(codebooks)
+    def distortion(m: Int): Column = {
+      val dsub = dim / m
+      aggregate(sequence(lit(0), lit(m - 1)), lit(0L), (acc, mi) => {
+        val dists = transform(cb, cand =>
+          round(aggregate(sequence(lit(1), lit(dsub)), lit(0.0), (a2, j) => {
+            val idx = (mi * dsub + j).cast("int")
+            val dxy = element_at(col(vecCol), idx).cast("double") -
+              element_at(cand, idx).cast("double")
+            a2 + dxy * dxy
+          }), 6))
+        acc + round(array_min(dists) * 1e6, 0).cast("long")
+      })
+    }
+    val projected = ms.zipWithIndex.foldLeft(vectors) { case (d, (m, i)) =>
+      d.withColumn(s"__d$i", distortion(m))
+    }
+    val aggd = projected.agg(
+      count(lit(1)).as("n"),
+      ms.indices.map(i => sum(col(s"__d$i")).as(s"__s$i")): _*).head
+    val n = aggd.getLong(0)
+    ms.zipWithIndex.map { case (m, i) =>
+      val mean =
+        if (n == 0L) 0.0
+        else java.math.BigDecimal.valueOf(aggd.getLong(i + 1).toDouble / 1e6 / n)
+          .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+      (m, n, mean + 0.0)
+    }.toDF("m", "n", "mean_sqerr")
+  }
+
   /** Per-query ADC lookup table in integer MICRO-UNITS:
     * lut(mi)(c) = round(dot(querySub_mi, codebook(c)_mi), 6) · 10⁶ —
     * quantized so the per-row score sum is exact integer arithmetic

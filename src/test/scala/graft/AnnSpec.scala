@@ -454,6 +454,27 @@ class AnnSpec extends SparkSpec {
     }
   }
 
+  test("pqDistortionSweep: distortion decreases in m, codewords quantize losslessly, bad m throws") {
+    import spark.implicits._
+    val cbs: Seq[Seq[Float]] = e.filter($"vec_id" < 16)
+      .orderBy($"vec_id").select($"embedding")
+      .collect().map(_.getSeq[Float](0)).toSeq
+    val sweep = Ann.pqDistortionSweep(e, "embedding", cbs, Seq(2, 4, 8))
+      .orderBy($"m").collect()
+    assert(sweep.map(_.getInt(0)).toSeq == Seq(2, 4, 8))
+    val errs = sweep.map(_.getDouble(2))
+    assert(errs.forall(_ > 0.0), errs.toSeq)
+    assert(errs.zip(errs.tail).forall { case (a, b) => a >= b },
+      s"more subspaces must not increase distortion: ${errs.toSeq}")
+    // a corpus that IS the codebook reconstructs exactly: zero error
+    val exact = Ann.pqDistortionSweep(
+      e.filter($"vec_id" < 16), "embedding", cbs, Seq(2, 4, 8)).collect()
+    assert(exact.forall(_.getDouble(2) == 0.0), exact.toSeq.toString)
+    intercept[IllegalArgumentException] {
+      Ann.pqDistortionSweep(e, "embedding", cbs, Seq(3))
+    }
+  }
+
   test("probeRecallSweep: monotone curve, exact level always meets, separable clusters tune to 1 probe") {
     import spark.implicits._
     // the real corpus: recall must be non-decreasing in probes and the
