@@ -794,6 +794,30 @@ object Streaming {
       .select(col("id"), col("score"))
   }
 
+  /** Stored-assignment silhouette of a [[streamInsertIndexedMaintained]]
+    * table — [[graft.operators.Ann.silhouetteSimplified]] in `assignCol`
+    * mode over the table's own `cell_id` against the latest COMMITTED
+    * centroids: the drift report for a live index. Right after a
+    * rebalance every row is filed at its argmax, so mean_s ≥ 0
+    * everywhere; as ingest drifts (or centroids are retrained
+    * externally), misfiled rows pull cells negative — the re-file
+    * signal, one scan to compute. Tombstoned rows are excluded (they
+    * will never be served, so they must not color the report).
+    */
+  def silhouetteMaintained(spark: org.apache.spark.sql.SparkSession,
+                           tablePath: String, fallbackCentroids: DataFrame,
+                           centIdCol: String, centVecCol: String): DataFrame = {
+    import graft.operators.Ann
+    val cents = maintainedCentroids(spark, tablePath, fallbackCentroids)
+    val t = spark.read.parquet(tablePath)
+      .withColumn("cell_id", col("cell_id").cast("long"))
+    val alive = maintainedDeletes(spark, tablePath)
+      .map(d => t.join(broadcast(d), Seq("id"), "left_anti"))
+      .getOrElse(t)
+    Ann.silhouetteSimplified(alive, cents, "id", "embedding",
+      centIdCol, centVecCol, assignCol = Some("cell_id"))
+  }
+
   /** Batched [[searchMaintained]]: answer a whole query TABLE against
     * the maintained index with ONE pruned scan. Per query the `nProbes`
     * cells rank in-plan against the committed centroids (broadcast

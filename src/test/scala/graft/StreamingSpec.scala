@@ -1572,6 +1572,49 @@ class StreamingSpec extends SparkSpec {
       s"expected the reserved-name refusal, got: ${err.getMessage}")
   }
 
+  test("silhouetteMaintained: fresh table ≥ 0, externally retrained centroids drive it negative, tombstones excluded") {
+    import spark.implicits._
+    val in = Files.createTempDirectory("graft_sil_in_").toString
+    val table = Files.createTempDirectory("graft_sil_tbl_").toString + "/t"
+    val ckpt = Files.createTempDirectory("graft_sil_ckpt_").toString + "/c"
+    val cents = Seq(
+      (0L, Seq(1f, 0f, 0f, 0f)), (1L, Seq(0f, 1f, 0f, 0f))
+    ).toDF("cent_id", "cvec")
+    val q = Streaming.streamInsertIndexedMaintained(
+      spark.readStream.schema(maintSchema).parquet(in),
+      dim = 4, numShards = 2, cents, "cent_id", "cvec", table, ckpt,
+      maxCell = 1000000L)
+    Seq((1L, Seq(9f, 1f, 0f, 0f)), (2L, Seq(9f, 2f, 0f, 0f)),
+      (3L, Seq(1f, 9f, 0f, 0f)), (4L, Seq(2f, 9f, 0f, 0f)))
+      .toDF("id", "embedding").coalesce(1).write.mode("overwrite").parquet(in)
+    q.processAllAvailable()
+    q.stop()
+
+    // freshly filed: every cell's stored assignment is the argmax → ≥ 0
+    val fresh = Streaming.silhouetteMaintained(spark, table, cents,
+      "cent_id", "cvec").collect()
+    assert(fresh.map(_.getLong(1)).sum == 4L)
+    fresh.foreach(r => assert(r.getDouble(3) >= 0.0, r.toString))
+
+    // an external retrain SWAPS the centroids (committed v_99) without
+    // re-filing rows: every stored assignment is now maximally stale
+    val vDir = new java.io.File(s"$table/_centroids/v_99")
+    Seq((0L, Seq(0f, 1f, 0f, 0f)), (1L, Seq(1f, 0f, 0f, 0f)))
+      .toDF("cent_id", "cvec").coalesce(1)
+      .write.mode("overwrite").parquet(vDir.getAbsolutePath)
+    assert(new java.io.File(vDir, "_GRAFT_COMMIT").createNewFile())
+    val stale = Streaming.silhouetteMaintained(spark, table, cents,
+      "cent_id", "cvec").collect()
+    stale.foreach(r => assert(r.getDouble(3) < 0.0,
+      s"swapped centroids must drive cell ${r.getLong(0)} negative: $r"))
+
+    // tombstoned rows never serve, so they must not color the report
+    Streaming.deleteMaintained(spark, table, Seq(1L).toDF("id"), "id")
+    val afterDel = Streaming.silhouetteMaintained(spark, table, cents,
+      "cent_id", "cvec").collect()
+    assert(afterDel.map(_.getLong(1)).sum == 3L, afterDel.toSeq.toString)
+  }
+
   test("maxChildrenPerPass bounds each split generation and repeated checks converge geometrically") {
     import spark.implicits._
     val in = Files.createTempDirectory("graft_cap_in_").toString
