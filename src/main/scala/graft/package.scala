@@ -20,6 +20,16 @@
   *    IVF search, graph (NSW-style) beam search single and batched, kNN
   *    join, recall/rank-quality evaluation, index persistence:
   *    [[graft.operators.Ann]]
+  *  - Filtered search (selectivity-routed pre/post-filter paths) and
+  *    namespaced multi-tenant batch search:
+  *    [[graft.operators.Ann.searchFiltered]],
+  *    [[graft.operators.Ann.searchNamespacedBatch]]
+  *  - Index quality and tuning — per-cell simplified silhouette (fresh
+  *    geometry + stored-assignment drift modes), probe auto-tuning
+  *    (recall-vs-cost sweep with chosen level), PQ distortion sweep:
+  *    [[graft.operators.Ann.silhouetteSimplified]],
+  *    [[graft.operators.Ann.probeRecallSweep]],
+  *    [[graft.operators.Ann.pqDistortionSweep]]
   *  - Lexical retrieval — BM25 with bounded shuffles, positional
   *    postings + exact phrase search, pseudo-relevance-feedback
   *    expansion, score normalization/blending, reciprocal-rank fusion:
@@ -171,11 +181,14 @@
   *    (insert + crash-safe split/merge rebalance, versioned centroid
   *    store): [[graft.streaming.Streaming.streamInsertIndexedMaintained]];
   *    probe-pruned serving, single and batched (one scan per query
-  *    batch): [[graft.streaming.Streaming.searchMaintained]],
+  *    batch), both with metadata-predicate filtering over passthrough
+  *    columns: [[graft.streaming.Streaming.searchMaintained]],
   *    [[graft.streaming.Streaming.searchMaintainedBatch]];
   *    merge-on-read deletes made physical at compaction:
   *    [[graft.streaming.Streaming.deleteMaintained]],
-  *    [[graft.streaming.Streaming.compactMaintained]]
+  *    [[graft.streaming.Streaming.compactMaintained]];
+  *    stored-assignment drift report against committed centroids:
+  *    [[graft.streaming.Streaming.silhouetteMaintained]]
   *
   * ==SQL surface==
   *
