@@ -552,17 +552,47 @@ class AnnSpec extends SparkSpec {
     assert(ex.getMessage != null)
   }
 
-  test("searchNamespacedBatch plan: no cartesian, broadcast probe join") {
+  test("searchNamespacedBatch plan: no cartesian, broadcast probe join — with and without AQE") {
     import spark.implicits._
     val qs = e.filter($"vec_id" % 100 === 42)
       .select($"vec_id".as("qid"), $"embedding".as("qvec"), $"label".as("qns"))
-    val hits = Ann.searchNamespacedBatch(e, cents, "vec_id", "embedding",
-      "label", "cent_id", "cvec", qs, "qid", "qvec", "qns", 4, 5)
-    hits.count()
-    val plan = hits.queryExecution.executedPlan.toString
+    def planOf(): String = {
+      val hits = Ann.searchNamespacedBatch(e, cents, "vec_id", "embedding",
+        "label", "cent_id", "cvec", qs, "qid", "qvec", "qns", 4, 5)
+      hits.queryExecution.executedPlan.executeCollect(): Unit
+      hits.queryExecution.executedPlan.toString
+    }
+    val plan = planOf()
     assert(!plan.contains("CartesianProduct"),
       s"namespace routing must be an equi-join, not a cartesian:\n$plan")
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
       s"probe table must broadcast:\n$plan")
+    // adaptive execution must keep the same shape (skew-join splitting
+    // is exactly the rewrite that could re-plan the routing join)
+    val old = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    try {
+      val p = planOf()
+      assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+        s"AQE must not re-shape the namespace join:\n$p")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", old)
+  }
+
+  test("searchFiltered post-path plan under AQE: pruned isin scan, no exchange before top-k") {
+    import spark.implicits._
+    val query = e.filter($"vec_id" === 42).head.getSeq[Float](1)
+    val old = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    try {
+      val post = Ann.searchFiltered(e, cents, "vec_id", "embedding",
+        "cent_id", "cvec", query, 10, $"label" % 2 === 0, 4,
+        knownSelectivity = Some(0.5))
+      post.queryExecution.executedPlan.executeCollect(): Unit
+      val p = post.queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct") && !p.contains("Join"),
+        s"post path is a pure pruned scan + top-k, no join:\n$p")
+      assert(p.contains("TakeOrderedAndProject"),
+        s"top-k must be TakeOrderedAndProject (k rows per partition):\n$p")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", old)
   }
 }
