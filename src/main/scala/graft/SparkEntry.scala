@@ -11740,6 +11740,19 @@ object SparkEntry {
         .collect().map(_.getSeq[Float](0)).toSeq
       Ann.pqDistortionSweep(e, "embedding", cbs, Seq(2, 4, 8))
         .orderBy($"m")
+    }),
+
+    // Two-sample KS drift test on doc length between even- and odd-
+    // suffixed sources: per-value counts → one cumulative pass over the
+    // distinct-value grid → exact D in DECIMAL(38,0) cross-products →
+    // the α=0.05 decision on the rounded statistic. State bounded by
+    // the metric's support, never the row count.
+    "q_ks_drift" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val sfx = substring($"source", 4, 10).cast("int")
+      Mining.ksDrift(docs.filter(sfx % 2 === 0), docs.filter(sfx % 2 =!= 0),
+        "n_chars")
     })
   )
 
@@ -12104,7 +12117,35 @@ object SparkEntry {
 
     "q_probe_tune" -> probeTuneSql,
 
-    "q_pq_distortion" -> pqDistortionSql
+    "q_pq_distortion" -> pqDistortionSql,
+
+    "q_ks_drift" ->
+      """WITH ga AS (
+        |  SELECT n_chars AS v, COUNT(*) AS na FROM documents
+        |  WHERE CAST(substr(source, 4) AS INT) % 2 = 0 GROUP BY 1),
+        |gb AS (
+        |  SELECT n_chars AS v, COUNT(*) AS nb FROM documents
+        |  WHERE CAST(substr(source, 4) AS INT) % 2 <> 0 GROUP BY 1),
+        |m AS (
+        |  SELECT COALESCE(ga.v, gb.v) AS v, COALESCE(na, 0) AS na,
+        |         COALESCE(nb, 0) AS nb
+        |  FROM ga FULL OUTER JOIN gb ON ga.v = gb.v),
+        |c AS (
+        |  SELECT SUM(na) OVER (ORDER BY v) AS ca,
+        |         SUM(nb) OVER (ORDER BY v) AS cb FROM m),
+        |t AS (SELECT SUM(na) AS tna, SUM(nb) AS tnb FROM m),
+        |d AS (
+        |  SELECT MAX(ABS(ca * t.tnb - cb * t.tna)) AS dd,
+        |         ANY_VALUE(t.tna) AS na, ANY_VALUE(t.tnb) AS nb
+        |  FROM c, t),
+        |r AS (
+        |  SELECT na, nb,
+        |         ROUND(dd * 1.0 / (na * 1.0 * nb), 6) + 0.0 AS ks FROM d)
+        |SELECT na AS n_a, nb AS n_b, ks,
+        |       ROUND(ks * SQRT(na * 1.0 * nb / (na + nb)), 6) + 0.0 AS ks_stat,
+        |       CAST(ROUND(ks * SQRT(na * 1.0 * nb / (na + nb)), 6) > 1.358 AS INT)
+        |         AS reject
+        |FROM r""".stripMargin
   )
 
   /** q_pq_distortion oracle: per m ∈ {2,4,8}, the per-(vec, subspace)

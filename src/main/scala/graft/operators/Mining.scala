@@ -288,6 +288,62 @@ object Mining {
     * term table is groups × topN — bounded — so every downstream step is
     * driver-cheap. Corpus text is scanned once per snapshot.
     */
+  /** Two-sample KOLMOGOROV–SMIRNOV drift test on an integer-valued
+    * metric column — the distribution-shape monitor completing the
+    * drift family ([[embeddingDrift]] watches centroids,
+    * [[lexicalDrift]] vocabulary; this watches any scalar quality
+    * metric: doc length, token count, quality score). D = max |F_a −
+    * F_b| over the pooled support, computed EXACTLY: per-value counts,
+    * one ordered cumulative pass, and the max of |cumA·n_b − cumB·n_a|
+    * in DECIMAL(38,0) (counts up to 10¹² keep the cross-product exact
+    * where a long would overflow) — D is then one division, and the
+    * α = 0.05 decision (c = 1.358, Smirnov's asymptotic) is made on the
+    * ROUNDED statistic both engines print.
+    *
+    * Scale shape: two count aggregations (map-side combined), a
+    * full-outer merge on value, ONE window pass over the DISTINCT
+    * value grid — state bounded by the metric's support, not the row
+    * count (quantize real-valued metrics first; doc metrics are
+    * integers already). Returns one row: (n_a, n_b, ks, ks_stat,
+    * reject).
+    */
+  def ksDrift(a: DataFrame, b: DataFrame, valueCol: String): DataFrame = {
+    val ca = a.groupBy(col(valueCol).cast("long").as("v"))
+      .agg(count(lit(1)).as("__na"))
+    val cb = b.groupBy(col(valueCol).cast("long").as("v"))
+      .agg(count(lit(1)).as("__nb"))
+    val merged = ca.join(cb, Seq("v"), "full_outer")
+      .select(col("v"),
+        coalesce(col("__na"), lit(0L)).as("__na"),
+        coalesce(col("__nb"), lit(0L)).as("__nb"))
+    val w = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = merged
+      .withColumn("__ca", sum(col("__na")).over(w).cast("decimal(38,0)"))
+      .withColumn("__cb", sum(col("__nb")).over(w).cast("decimal(38,0)"))
+    // totals first (two longs to the driver), then the exact D pass
+    val tot = merged.agg(sum(col("__na")), sum(col("__nb"))).head
+    val (nA, nB) = (tot.getLong(0), tot.getLong(1))
+    require(nA > 0 && nB > 0, s"both sides need rows, got $nA / $nB")
+    val dRow = cum.agg(max(abs(
+      col("__ca") * lit(nB).cast("decimal(38,0)") -
+        col("__cb") * lit(nA).cast("decimal(38,0)"))).as("d")).head
+    // the division happens in DOUBLE on both engines (D and n_a·n_b are
+    // exact below 2^53 at any realistic support size) — identical IEEE
+    // quotient, then the same HALF_UP rounding
+    val d = BigDecimal(dRow.getDecimal(0)).toDouble
+    val ks = java.math.BigDecimal.valueOf(
+        d / (nA.toDouble * nB.toDouble))
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    val stat = java.math.BigDecimal.valueOf(
+        ks * math.sqrt(nA.toDouble * nB.toDouble / (nA.toDouble + nB.toDouble)))
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    val spark = a.sparkSession
+    import spark.implicits._
+    Seq((nA, nB, ks + 0.0, stat + 0.0, if (stat > 1.358) 1 else 0))
+      .toDF("n_a", "n_b", "ks", "ks_stat", "reject")
+  }
+
   def lexicalDrift(oldDocs: DataFrame, newDocs: DataFrame, groupCol: String,
                    textCol: String, topN: Int = 100): DataFrame = {
     val vocab: Seq[String] = oldDocs

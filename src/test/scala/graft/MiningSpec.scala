@@ -200,4 +200,24 @@ class MiningSpec extends SparkSpec {
     def toMap2: Map[Long, (Long, Boolean)] =
       rows.map(t => t._1 -> ((t._2, t._3))).toMap
   }
+
+  test("ksDrift: identical samples score 0, disjoint supports score 1 and reject, partition-independent") {
+    import spark.implicits._
+    val a = (1L to 400L).map(i => i % 20).toDF("v")
+    // identical distribution → D = 0, keep
+    val same = Mining.ksDrift(a, a, "v").head
+    assert(same.getDouble(2) == 0.0 && same.getInt(4) == 0, same.toString)
+    // disjoint supports → D = 1 and (at n=400 a side) a confident reject
+    val b = (1L to 400L).map(i => 100L + i % 20).toDF("v")
+    val dis = Mining.ksDrift(a, b, "v").head
+    assert(dis.getDouble(2) == 1.0 && dis.getInt(4) == 1, dis.toString)
+    // the exact-integer D is partition-independent
+    val p = Mining.ksDrift(a.repartition(7), b.repartition(5), "v").head
+    assert(p.getDouble(2) == dis.getDouble(2) &&
+      p.getDouble(3) == dis.getDouble(3))
+    // an empty side fails loudly
+    intercept[IllegalArgumentException] {
+      Mining.ksDrift(a.filter($"v" < 0), a, "v")
+    }
+  }
 }
