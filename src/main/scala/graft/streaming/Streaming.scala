@@ -115,6 +115,67 @@ object Streaming {
       .select(col("win.start").as("win_start"), col("j"), col("b"), col("c"))
   }
 
+  /** Per-window two-sample KS drift against a STATIC reference — the
+    * streaming twin of [[graft.operators.Mining.ksDrift]], the alarm a
+    * live ingest pipeline actually wants ("did this hour's doc-length
+    * distribution drift from the accepted corpus?"). Values quantize
+    * into the caller's `bins` (ascending upper-inclusive boundaries;
+    * one overflow bin above the last — KS is then exact for the
+    * QUANTIZED metric, the same statistic batch `ksDrift` yields on the
+    * binned values), the reference's bin CDF is computed ONCE and
+    * embedded as literals, and each window aggregates just B bin counts
+    * — state per open window is B longs, regardless of row volume. The
+    * D maximum unrolls over the B bins as a literal `greatest` chain in
+    * DECIMAL(38,0) cross-products (the batch twin's exactness), so the
+    * whole computation stays in-plan — no second aggregation, no
+    * foreachBatch. Returns (win_start, n_a, n_b, ks, ks_stat, reject)
+    * per closed window.
+    */
+  def windowedKsDrift(events: DataFrame, valueCol: String,
+                      windowDur: String, watermark: String,
+                      reference: DataFrame, bins: Seq[Long]): DataFrame = {
+    require(bins.nonEmpty && bins.size <= 256,
+      s"need 1..256 bin boundaries, got ${bins.size}")
+    require(bins == bins.sorted && bins.distinct.size == bins.size,
+      "bin boundaries must be strictly ascending")
+    val b = bins.size + 1
+    def binOf(c: Column): Column =
+      bins.zipWithIndex.foldRight(lit(b - 1): Column) { case ((up, i), acc) =>
+        when(c <= up, i).otherwise(acc)
+      }
+    val refCounts: Array[Long] = {
+      val m = reference.select(binOf(col(valueCol).cast("long")).as("__b"))
+        .groupBy(col("__b")).agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      (0 until b).map(i => m.getOrElse(i, 0L)).toArray
+    }
+    val nB = refCounts.sum
+    require(nB > 0, "reference must be non-empty")
+    val cumB: Array[Long] = refCounts.scanLeft(0L)(_ + _).tail
+    val binned = events
+      .filter(col(valueCol).isNotNull)
+      .withWatermark("ts", watermark)
+      .withColumn("__b", binOf(col(valueCol).cast("long")))
+    val counted = binned
+      .groupBy(window(col("ts"), windowDur).as("win"))
+      .agg(count(lit(1)).as("n_a"),
+        (0 until b).map(i =>
+          sum((col("__b") === i).cast("long")).as(s"__c$i")): _*)
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    val cumA: Seq[Column] = (0 until b).map(i =>
+      (0 to i).map(j => col(s"__c$j")).reduce(_ + _))
+    val dTerms = (0 until b).map(i =>
+      abs(dec(cumA(i)) * dec(lit(nB)) - dec(lit(cumB(i))) * dec(col("n_a"))))
+    val d = if (dTerms.size == 1) dTerms.head else greatest(dTerms: _*)
+    val ks = round(d.cast("double") /
+      (col("n_a").cast("double") * lit(nB.toDouble)), 6) + lit(0.0)
+    val stat = round(ks * sqrt(col("n_a").cast("double") * lit(nB.toDouble) /
+      (col("n_a").cast("double") + lit(nB.toDouble))), 6) + lit(0.0)
+    counted.select(col("win.start").as("win_start"), col("n_a"),
+      lit(nB).as("n_b"), ks.as("ks"), stat.as("ks_stat"),
+      (stat > 1.358).cast("int").as("reject"))
+  }
+
   /** Tumbling-window DISTINCT COUNT via the KMV sketch
     * (`DistinctSketch.KmvAgg` through `functions.udaf`): continuous
     * per-window cardinality with ≤ k longs of state per window instead

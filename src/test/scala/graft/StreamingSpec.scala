@@ -85,6 +85,57 @@ class StreamingSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("windowedKsDrift: streaming per-window KS equals batch ksDrift on binned values; drifted window rejects") {
+    import spark.implicits._
+    val events = Tables.load(spark, sf0001, "events")
+      .withColumn("v", col("value").cast("long"))
+    val tmp = Files.createTempDirectory("graft_stream_ks_").toString
+    events.repartition(4).write.mode("overwrite").parquet(tmp)
+    val bins = Seq(10L, 30L, 70L, 120L)
+    // reference = the corpus itself → windows drawn from it should KEEP
+    val stream = spark.readStream.schema(events.schema).parquet(tmp)
+    val q = Streaming.windowedKsDrift(stream, "v", "24 hours",
+        "10 minutes", events, bins)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("stream_ks").start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("stream_ks").collect()
+      .map(r => r.getTimestamp(0).getTime ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4),
+          r.getInt(5))).toMap
+    assert(got.nonEmpty)
+    // per window, the streamed statistic must equal batch ksDrift over
+    // the SAME binned values (bin index as the metric)
+    def binCol(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      bins.zipWithIndex.foldRight(lit(bins.size.toLong): org.apache.spark.sql.Column) {
+        case ((up, i), acc) => when(c <= up, i.toLong).otherwise(acc)
+      }
+    got.foreach { case (winMs, (nA, nB, ks, stat, rej)) =>
+      val lo = new java.sql.Timestamp(winMs)
+      val hi = new java.sql.Timestamp(winMs + 24L * 3600 * 1000)
+      val winRows = events.filter(col("ts") >= lit(lo) && col("ts") < lit(hi))
+        .select(binCol(col("v")).as("bv"))
+      val ref = events.select(binCol(col("v")).as("bv"))
+      val want = graft.operators.Mining.ksDrift(winRows, ref, "bv").head
+      assert((want.getLong(0), want.getLong(1), want.getDouble(2),
+        want.getDouble(3), want.getInt(4)) == ((nA, nB, ks, stat, rej)),
+        s"window $lo: stream ($nA,$nB,$ks,$stat,$rej) vs batch $want")
+    }
+    // a shifted reference (everything beyond the last bin) must reject
+    val refFar = events.select((col("v") + 1000L).as("v"))
+    val q2 = Streaming.windowedKsDrift(
+        spark.readStream.schema(events.schema).parquet(tmp), "v",
+        "24 hours", "10 minutes", refFar, bins)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("stream_ks2").start()
+    q2.processAllAvailable()
+    q2.stop()
+    val far = spark.table("stream_ks2").collect()
+    assert(far.nonEmpty && far.forall(_.getInt(5) == 1),
+      far.map(_.toString).toSeq.toString)
+  }
+
   test("windowedCountMin: streaming bucket table equals batch; state is d*w-bounded") {
     val events = Tables.load(spark, sf0001, "events")
     val tmp = Files.createTempDirectory("graft_stream_cms_").toString
