@@ -424,4 +424,67 @@ class PropertiesSpec extends SparkSpec {
       assert(got == want, s"seed=$seed word=$w vocab=$vocab: $got vs $want")
     }
   }
+
+  // integer metric samples with deliberate repeats (small value space)
+  private val metricRows: Gen[List[Long]] = for {
+    n <- Gen.choose(1, 200)
+    vs <- Gen.listOfN(n, Gen.choose(0L, 15L))
+  } yield vs
+
+  test("prop: ksDrift is symmetric, bounded in [0,1], zero iff identical counts, brute-force exact") {
+    import spark.implicits._
+    (1 to 6).foreach { seed =>
+      val va = sample(metricRows, seed + 500)
+      val vb = sample(metricRows, seed * 37 + 1)
+      val a = va.toDF("v").repartition(3)
+      val b = vb.toDF("v").repartition(5)
+      val ab = graft.operators.Mining.ksDrift(a, b, "v").head
+      val ba = graft.operators.Mining.ksDrift(b, a, "v").head
+      assert(ab.getDouble(2) == ba.getDouble(2), s"seed=$seed not symmetric")
+      val ks = ab.getDouble(2)
+      assert(ks >= 0.0 && ks <= 1.0, s"seed=$seed ks=$ks")
+      // brute-force ECDF max-gap on the pooled support
+      val support = (va ++ vb).distinct.sorted
+      val na = va.size.toDouble
+      val nb = vb.size.toDouble
+      val brute = support.map { x =>
+        math.abs(va.count(_ <= x) / na - vb.count(_ <= x) / nb)
+      }.max
+      val bruteR = java.math.BigDecimal.valueOf(brute)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+      assert(math.abs(ks - bruteR) < 2e-6,
+        s"seed=$seed ks=$ks brute=$bruteR")
+      if (va.groupBy(identity).view.mapValues(_.size).toMap ==
+        vb.groupBy(identity).view.mapValues(_.size).toMap)
+        assert(ks == 0.0)
+    }
+  }
+
+  test("prop: searchFiltered results always satisfy the predicate and never beat exact") {
+    import spark.implicits._
+    val e = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val cents = e.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cvec"))
+    val query = e.filter(col("vec_id") === 42).head.getSeq[Float](1)
+    (1 to 4).foreach { seed =>
+      val m = sample(Gen.choose(2L, 5L), seed + 900)
+      val r = sample(Gen.choose(0L, 1L), seed * 41 + 7)
+      val pred = col("vec_id") % m === r
+      val sel = sample(Gen.choose(0, 1).map(_.toDouble), seed * 7) // force both paths
+      val hits = graft.operators.Ann.searchFiltered(e, cents, "vec_id",
+        "embedding", "cent_id", "cvec", query, 10, pred, 4,
+        knownSelectivity = Some(if (sel == 0.0) 0.01 else 0.9)).collect()
+      val allowed = e.filter(pred).select("vec_id")
+        .collect().map(_.getLong(0)).toSet
+      hits.foreach(h => assert(allowed.contains(h.getLong(0)),
+        s"seed=$seed hit ${h.getLong(0)} violates pred vec_id % $m = $r"))
+      // the post path can only ever return a SUBSET-scored ranking: its
+      // best score never exceeds the exact pre path's best
+      val exactTop = graft.operators.Ann.searchFiltered(e, cents, "vec_id",
+        "embedding", "cent_id", "cvec", query, 10, pred, 4,
+        knownSelectivity = Some(0.0)).collect()
+      if (hits.nonEmpty && exactTop.nonEmpty)
+        assert(hits.head.getDouble(1) <= exactTop.head.getDouble(1) + 1e-9)
+    }
+  }
 }
