@@ -783,6 +783,30 @@ object Streaming {
     ids.select(col(idCol).cast("long").as("id")).distinct()
       .write.mode("append").parquet(s"$tablePath/_deletes")
 
+  /** Predicate delete — [[deleteMaintained]] for a METADATA condition
+    * instead of an id list: one scan resolves the matching ids (the
+    * predicate pushes to parquet row groups; with a partition-prunable
+    * condition the scan never opens untouched cells), and the ids
+    * append to the same tombstone sidecar. This is the GDPR/tenant
+    * purge over the ingest's passthrough columns ("delete everything
+    * with tenant = X / lang = Y") — the delete path still touches no
+    * table file; tombstones become physical at [[compactMaintained]].
+    * Returns the number of ids tombstoned.
+    *
+    * Rows INSERTED to a matching state after this call are NOT covered
+    * — the predicate is evaluated once, now, against the current table
+    * (a standing rule would be a filter in the serving `pred`, not a
+    * delete).
+    */
+  def deleteMaintainedWhere(spark: org.apache.spark.sql.SparkSession,
+                            tablePath: String, pred: Column): Long = {
+    val ids = spark.read.parquet(tablePath).filter(pred)
+      .select(col("id")).distinct().localCheckpoint(true)
+    val n = ids.count()
+    if (n > 0) deleteMaintained(spark, tablePath, ids, "id")
+    n
+  }
+
   /** Streaming face of [[deleteMaintained]]: a stream of ids to delete
     * (e.g. a GDPR purge feed) appends to the tombstone sidecar per
     * micro-batch. No batch addressing: delete appends are idempotent by
@@ -826,12 +850,22 @@ object Streaming {
     * A narrow predicate can leave fewer than k survivors inside the
     * probed cells (the starvation regime); raise `nProbes` or run the
     * exact pre-filter path over the whole table when that matters.
+    *
+    * `after` is the KEYSET-pagination cursor — the (score, id) of the
+    * previous page's LAST row: the next page is the top-k of everything
+    * strictly after it in the (score desc, id asc) total order. Keyset
+    * beats offset at scale (an offset-n page scores and discards n rows
+    * per request; the cursor filter is one pushed comparison) and is
+    * stable under concurrent inserts — rows landing above the cursor
+    * can't shift this page. Pages agree with one big top-k because the
+    * order is total (quantized score, id tie-break; spec-pinned).
     */
   def searchMaintained(spark: org.apache.spark.sql.SparkSession,
                        tablePath: String, fallbackCentroids: DataFrame,
                        centIdCol: String, centVecCol: String,
                        query: Seq[Float], nProbes: Int, k: Int,
-                       pred: Column = lit(true)): DataFrame = {
+                       pred: Column = lit(true),
+                       after: Option[(Double, Long)] = None): DataFrame = {
     import graft.expressions.FloatVectorExpressions.dotF
     import graft.functions.{VectorFunctions => V}
     import graft.operators.{Ann, TopK}
@@ -851,7 +885,12 @@ object Streaming {
     val scored = cand.withColumn("score",
       round(dotF(col("embedding"), typedLit(query)) / (col("__nv") * lit(qn)),
         6) + lit(0.0))
-    TopK.topK(scored, col("score"), col("id"), k)
+    val paged = after match {
+      case None => scored
+      case Some((s, i)) => scored.filter(
+        col("score") < s || (col("score") === s && col("id") > i))
+    }
+    TopK.topK(paged, col("score"), col("id"), k)
       .select(col("id"), col("score"))
   }
 

@@ -1666,6 +1666,57 @@ class StreamingSpec extends SparkSpec {
     assert(afterDel.map(_.getLong(1)).sum == 3L, afterDel.toSeq.toString)
   }
 
+  test("maintained serving: keyset pagination chains to one big top-k; predicate delete purges by metadata") {
+    import spark.implicits._
+    val in = Files.createTempDirectory("graft_pg_in_").toString
+    val table = Files.createTempDirectory("graft_pg_tbl_").toString + "/t"
+    val ckpt = Files.createTempDirectory("graft_pg_ckpt_").toString + "/c"
+    val cents = Seq(
+      (0L, Seq(1f, 0f, 0f, 0f)), (1L, Seq(0f, 1f, 0f, 0f))
+    ).toDF("cent_id", "cvec")
+    val schema = org.apache.spark.sql.types.StructType(maintSchema.fields :+
+      org.apache.spark.sql.types.StructField("lang",
+        org.apache.spark.sql.types.StringType))
+    val q = Streaming.streamInsertIndexedMaintained(
+      spark.readStream.schema(schema).parquet(in),
+      dim = 4, numShards = 2, cents, "cent_id", "cvec", table, ckpt,
+      maxCell = 1000000L)
+    (1 to 12).map(i =>
+      (i.toLong, Seq(9f, i * 0.1f, 0f, 0f), if (i % 3 == 0) "de" else "en"))
+      .toDF("id", "embedding", "lang")
+      .coalesce(1).write.mode("overwrite").parquet(in)
+    q.processAllAvailable()
+    q.stop()
+
+    val qv = Seq(9f, 0.5f, 0f, 0f)
+    def page(after: Option[(Double, Long)], k: Int) =
+      Streaming.searchMaintained(spark, table, cents, "cent_id", "cvec",
+        qv, nProbes = 2, k = k, after = after)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val all = page(None, 12)
+    assert(all.size == 12)
+    // three 4-row pages, each cursored from the previous page's last
+    // row, must replay the one big ranking exactly
+    val p1 = page(None, 4)
+    val p2 = page(Some((p1.last._2, p1.last._1)), 4)
+    val p3 = page(Some((p2.last._2, p2.last._1)), 4)
+    assert(p1 ++ p2 ++ p3 == all, s"pages ${p1 ++ p2 ++ p3} vs $all")
+    // and past the end: an empty page, not an error
+    assert(page(Some((p3.last._2, p3.last._1)), 4).size == all.size - 12)
+
+    // predicate purge: everything with lang='de' (ids 3, 6, 9, 12)
+    val n = Streaming.deleteMaintainedWhere(spark, table, col("lang") === "de")
+    assert(n == 4L, s"expected 4 tombstones, got $n")
+    val after = page(None, 12).map(_._1).toSet
+    assert(after == Set(1L, 2L, 4L, 5L, 7L, 8L, 10L, 11L), after)
+    // idempotent: tombstones are merge-on-read, so the matching rows
+    // are still physically in the table and the re-run re-resolves the
+    // same 4 ids — the read-side distinct keeps them a single tombstone
+    assert(Streaming.deleteMaintainedWhere(spark, table,
+      col("lang") === "de") == 4L)
+    assert(page(None, 12).map(_._1).toSet == after)
+  }
+
   test("maxChildrenPerPass bounds each split generation and repeated checks converge geometrically") {
     import spark.implicits._
     val in = Files.createTempDirectory("graft_cap_in_").toString
