@@ -298,6 +298,30 @@ object Bench {
         "cent_id", "cvec", queries, "qid", "qvec", nProbes = 4, k = 10).count()
       run() // warmup
       results("maintained_batch_200q") = math.min(time(run()), time(run()))
+
+      // the hot-query shape at the scale where routing fan-out bites:
+      // 20k query slots, only 25 unique vectors (800 copies each — a
+      // production cache-miss storm). The plain batch pays the
+      // 20k-query routing join; the collapsed batch pays a 25-query
+      // one plus two broadcast fan-back joins. The pair is the direct
+      // measurement of what duplicate collapse buys.
+      val hotQueries = (0 until 20000).map(i => (i.toLong, i % 25))
+        .toDF("qid", "__u")
+        .join(broadcast((0 until 25).map(u => (u, randUnit()))
+          .toDF("__u", "qvec")), Seq("__u"))
+        .select(col("qid"), col("qvec"))
+        .localCheckpoint(true)
+      def runHotPlain(): Long = Strm.searchMaintainedBatch(spark, table,
+        cents, "cent_id", "cvec", hotQueries, "qid", "qvec",
+        nProbes = 4, k = 10).count()
+      def runHotColl(): Long = Strm.searchMaintainedBatchCollapsed(spark,
+        table, cents, "cent_id", "cvec", hotQueries, "qid", "qvec",
+        nProbes = 4, k = 10).count()
+      runHotPlain(); runHotColl() // warmup
+      results("maintained_batch_hot20k_plain") =
+        math.min(time(runHotPlain()), time(runHotPlain()))
+      results("maintained_batch_hot20k_collapsed") =
+        math.min(time(runHotColl()), time(runHotColl()))
     }
 
     // -------- 2. headline analytics / dedup queries ---------------------

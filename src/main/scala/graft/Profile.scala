@@ -1149,6 +1149,40 @@ object Profile {
       time("NS10 namespaced batch (20q) 10x")(ns(e10))
     }
 
+    // Duplicate-query collapse: plain batch cost grows with query SLOTS
+    // (routing join fan-out), collapsed cost with UNIQUE vectors — the
+    // curves must diverge as the duplication factor rises.
+    if (on("collapse")) {
+      import graft.streaming.{Streaming => Strm}
+      import graft.operators.Ann
+      val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      val cents = e.filter($"vec_id" < 16)
+        .select($"vec_id".as("cent_id"), $"embedding".as("cvec"))
+      val d = java.nio.file.Files.createTempDirectory("graft_cp_").toFile
+      d.deleteOnExit()
+      val table = new java.io.File(d, "t").getAbsolutePath
+      Ann.ivfAssign(graft.search.VectorStore.prepare(
+          e.select($"vec_id".as("id"), $"embedding"), 64, 8),
+        cents, "id", "embedding", "cent_id", "cvec")
+        .withColumn("__b", lit(0L))
+        .write.mode("overwrite").partitionBy("cell_id", "__b").parquet(table)
+      val uniq = e.filter($"vec_id" < 25)
+        .select($"vec_id".cast("int").as("__u"), $"embedding".as("qvec"))
+      for (q <- Seq(200, 2000, 20000)) {
+        val queries = (0 until q).map(i => (i.toLong, i % 25))
+          .toDF("qid", "__u")
+          .join(broadcast(uniq), Seq("__u")).select($"qid", $"qvec")
+          .localCheckpoint(true)
+        def plain(): Long = Strm.searchMaintainedBatch(spark, table, cents,
+          "cent_id", "cvec", queries, "qid", "qvec", 4, 10).count()
+        def coll(): Long = Strm.searchMaintainedBatchCollapsed(spark, table,
+          cents, "cent_id", "cvec", queries, "qid", "qvec", 4, 10).count()
+        plain(); coll() // warmup
+        time(s"CQ$q plain batch, $q slots / 25 unique")(plain())
+        time(s"CQ$q collapsed")(coll())
+      }
+    }
+
     spark.stop()
   }
 }

@@ -985,6 +985,35 @@ object Streaming {
       .select(col("__qid").as(qidCol), col("id"), col("score"))
   }
 
+  /** [[searchMaintainedBatch]] with DUPLICATE-QUERY COLLAPSE — the
+    * hot-query optimization for production batches (real query streams
+    * are heavily repeated: the same embedding arrives thousands of
+    * times an hour). Queries group by their EXACT vector (array
+    * equality — no fingerprint, so no collision can merge two distinct
+    * queries), one representative per group runs through the batch
+    * search, and results fan back to every original query id with one
+    * broadcast join. Scoring cost scales with UNIQUE vectors, not batch
+    * size; a batch of 10⁶ copies of one hot query costs one search.
+    * Results are row-for-row identical to the uncollapsed call
+    * (spec-pinned) because scoring depends only on the vector.
+    */
+  def searchMaintainedBatchCollapsed(
+      spark: org.apache.spark.sql.SparkSession,
+      tablePath: String, fallbackCentroids: DataFrame,
+      centIdCol: String, centVecCol: String,
+      queries: DataFrame, qidCol: String, qVecCol: String,
+      nProbes: Int, k: Int, pred: Column = lit(true)): DataFrame = {
+    val q = queries.select(col(qidCol).as("__oqid"), col(qVecCol).as("__oqv"))
+    val reps = q.groupBy(col("__oqv")).agg(min(col("__oqid")).as("__rep"))
+    val repHits = searchMaintainedBatch(spark, tablePath, fallbackCentroids,
+      centIdCol, centVecCol,
+      reps.select(col("__rep"), col("__oqv").as("__rv")), "__rep", "__rv",
+      nProbes, k, pred)
+    q.join(broadcast(reps), Seq("__oqv"))
+      .join(broadcast(repHits), Seq("__rep"))
+      .select(col("__oqid").as(qidCol), col("id"), col("score"))
+  }
+
   /** Small-file compaction for a [[streamInsertIndexedMaintained]]
     * table — the maintenance pass its per-batch `__b` subdirs make
     * inevitable (every log-structured format carries the same

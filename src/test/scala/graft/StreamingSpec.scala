@@ -1666,6 +1666,39 @@ class StreamingSpec extends SparkSpec {
     assert(afterDel.map(_.getLong(1)).sum == 3L, afterDel.toSeq.toString)
   }
 
+  test("searchMaintainedBatchCollapsed: identical to uncollapsed on a duplicate-heavy batch") {
+    import spark.implicits._
+    val in = Files.createTempDirectory("graft_col_in_").toString
+    val table = Files.createTempDirectory("graft_col_tbl_").toString + "/t"
+    val ckpt = Files.createTempDirectory("graft_col_ckpt_").toString + "/c"
+    val cents = Seq(
+      (0L, Seq(1f, 0f, 0f, 0f)), (1L, Seq(0f, 1f, 0f, 0f))
+    ).toDF("cent_id", "cvec")
+    val q = Streaming.streamInsertIndexedMaintained(
+      spark.readStream.schema(maintSchema).parquet(in),
+      dim = 4, numShards = 2, cents, "cent_id", "cvec", table, ckpt,
+      maxCell = 1000000L)
+    Seq((1L, Seq(9f, 1f, 0f, 0f)), (2L, Seq(9f, 2f, 0f, 0f)),
+      (3L, Seq(1f, 9f, 0f, 0f)), (4L, Seq(2f, 9f, 0f, 0f)))
+      .toDF("id", "embedding").coalesce(1).write.mode("overwrite").parquet(in)
+    q.processAllAvailable()
+    q.stop()
+    // 12 queries, only 2 unique vectors — the hot-query shape
+    val hot = Seq(Seq(9f, 1.5f, 0f, 0f), Seq(1.5f, 9f, 0f, 0f))
+    val queries = (0 until 12).map(i => (100L + i, hot(i % 2)))
+      .toDF("qid", "qvec")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        math.round(r.getDouble(2) * 1e6))).toSet
+    val collapsed = rows(Streaming.searchMaintainedBatchCollapsed(spark,
+      table, cents, "cent_id", "cvec", queries, "qid", "qvec", 2, 2))
+    val plain = rows(Streaming.searchMaintainedBatch(spark, table, cents,
+      "cent_id", "cvec", queries, "qid", "qvec", 2, 2))
+    assert(collapsed == plain, s"collapsed $collapsed vs plain $plain")
+    assert(collapsed.map(_._1) == (100L until 112L).toSet,
+      "every original qid answered")
+  }
+
   test("maintained serving: keyset pagination chains to one big top-k; predicate delete purges by metadata") {
     import spark.implicits._
     val in = Files.createTempDirectory("graft_pg_in_").toString
