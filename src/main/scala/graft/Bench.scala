@@ -299,13 +299,13 @@ object Bench {
       run() // warmup
       results("maintained_batch_200q") = math.min(time(run()), time(run()))
 
-      // the hot-query shape at the scale where routing fan-out bites:
-      // 20k query slots, only 25 unique vectors (800 copies each — a
-      // production cache-miss storm). The plain batch pays the
-      // 20k-query routing join; the collapsed batch pays a 25-query
-      // one plus two broadcast fan-back joins. The pair is the direct
-      // measurement of what duplicate collapse buys.
-      val hotQueries = (0 until 20000).map(i => (i.toLong, i % 25))
+      // the hot-query shape: 2000 query slots, only 25 unique vectors
+      // (80 copies each). The plain batch pays the 2000-query routing
+      // join; the collapsed batch pays a 25-query one plus two
+      // broadcast fan-back joins. The pair is the direct measurement
+      // of what duplicate collapse buys; the full 200/2k/20k storm
+      // curve (7x at 20k slots) lives in Profile `collapse`.
+      val hotQueries = (0 until 2000).map(i => (i.toLong, i % 25))
         .toDF("qid", "__u")
         .join(broadcast((0 until 25).map(u => (u, randUnit()))
           .toDF("__u", "qvec")), Seq("__u"))
@@ -318,9 +318,9 @@ object Bench {
         table, cents, "cent_id", "cvec", hotQueries, "qid", "qvec",
         nProbes = 4, k = 10).count()
       runHotPlain(); runHotColl() // warmup
-      results("maintained_batch_hot20k_plain") =
+      results("maintained_batch_hot2k_plain") =
         math.min(time(runHotPlain()), time(runHotPlain()))
-      results("maintained_batch_hot20k_collapsed") =
+      results("maintained_batch_hot2k_collapsed") =
         math.min(time(runHotColl()), time(runHotColl()))
     }
 
