@@ -783,6 +783,51 @@ object Streaming {
     ids.select(col(idCol).cast("long").as("id")).distinct()
       .write.mode("append").parquet(s"$tablePath/_deletes")
 
+  /** Tombstone-sidecar vacuum — drops DEAD tombstones (ids no longer
+    * present anywhere in the table: compaction already made their
+    * deletes physical) and folds the sidecar's accumulated per-batch
+    * append files into one, so serving's broadcast anti-join stops
+    * re-reading an ever-growing pile of small files. Returns
+    * (kept, dropped).
+    *
+    * Crash safety without an atomic swap: the compacted file APPENDS
+    * first, the superseded files delete after — at every intermediate
+    * point the sidecar's union is a SUPERSET of the needed tombstones
+    * (extra tombstones for absent ids are harmless: the anti-join has
+    * nothing to hide), and the read side distincts. Idempotent re-run.
+    * Run with delete writers stopped (the compaction discipline).
+    *
+    * SEMANTICS — this is the deliberate exit from [[deleteMaintained]]'s
+    * terminal-per-id rule: a vacuumed id (purged from the table AND
+    * sidecar) that is later RE-INSERTED surfaces as a fresh live row —
+    * the purge-then-return lifecycle (GDPR delete, user comes back).
+    * Ids still physically present keep their tombstones and stay
+    * hidden.
+    */
+  def vacuumDeletes(spark: org.apache.spark.sql.SparkSession,
+                    tablePath: String): (Long, Long) = {
+    import org.apache.hadoop.fs.Path
+    val p = new Path(tablePath, "_deletes")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return (0L, 0L)
+    val before = fs.listStatus(p).map(_.getPath)
+      .filter(f => f.getName.endsWith(".parquet") ||
+        f.getName.startsWith("part-")).toSeq
+    val dels = spark.read.parquet(p.toString).distinct()
+    val live = spark.read.parquet(tablePath).select(col("id"))
+    val kept = dels.join(live, Seq("id"), "left_semi").localCheckpoint(true)
+    val keptN = kept.count()
+    val total = dels.count()
+    if (keptN == 0L) {
+      // nothing left to hide: the whole sidecar is dead weight
+      fs.delete(p, true): Unit
+    } else {
+      kept.coalesce(1).write.mode("append").parquet(p.toString)
+      before.foreach(f => if (fs.exists(f)) fs.delete(f, false): Unit)
+    }
+    (keptN, total - keptN)
+  }
+
   /** Predicate delete — [[deleteMaintained]] for a METADATA condition
     * instead of an id list: one scan resolves the matching ids (the
     * predicate pushes to parquet row groups; with a partition-prunable

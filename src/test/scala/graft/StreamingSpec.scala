@@ -1666,6 +1666,62 @@ class StreamingSpec extends SparkSpec {
     assert(afterDel.map(_.getLong(1)).sum == 3L, afterDel.toSeq.toString)
   }
 
+  test("vacuumDeletes: dead tombstones drop after compaction, live ones survive, purged ids can return") {
+    import spark.implicits._
+    val in = Files.createTempDirectory("graft_vd_in_").toString
+    val table = Files.createTempDirectory("graft_vd_tbl_").toString + "/t"
+    val ckpt = Files.createTempDirectory("graft_vd_ckpt_").toString + "/c"
+    val cents = Seq(
+      (0L, Seq(1f, 0f, 0f, 0f)), (1L, Seq(0f, 1f, 0f, 0f))
+    ).toDF("cent_id", "cvec")
+    def start() = Streaming.streamInsertIndexedMaintained(
+      spark.readStream.schema(maintSchema).parquet(in),
+      dim = 4, numShards = 2, cents, "cent_id", "cvec", table, ckpt,
+      maxCell = 1000000L)
+    val q = start()
+    Seq((1L, Seq(9f, 1f, 0f, 0f)), (2L, Seq(9f, 2f, 0f, 0f)))
+      .toDF("id", "embedding").coalesce(1).write.mode("overwrite").parquet(in)
+    q.processAllAvailable()
+    Seq((5L, Seq(9f, 3f, 0f, 0f))).toDF("id", "embedding")
+      .coalesce(1).write.mode("append").parquet(in)
+    q.processAllAvailable()
+    Seq((3L, Seq(1f, 9f, 0f, 0f)), (4L, Seq(2f, 9f, 0f, 0f)))
+      .toDF("id", "embedding").coalesce(1).write.mode("append").parquet(in)
+    q.processAllAvailable()
+    q.stop()
+    // two separate delete appends → two sidecar files
+    Streaming.deleteMaintained(spark, table, Seq(2L).toDF("id"), "id")
+    Streaming.deleteMaintained(spark, table, Seq(3L).toDF("id"), "id")
+    // compaction folds cell 0's batches 0 and 1 (the largest ingest
+    // batch, 2, is spared) and makes id 2's delete physical; id 3 sits
+    // in the spared batch and stays merge-on-read
+    assert(Streaming.compactMaintained(spark, table) > 0)
+    val ids = spark.read.parquet(table).select("id")
+      .collect().map(_.getLong(0)).toSet
+    assert(!ids.contains(2L) && ids.contains(3L), ids)
+
+    val (kept, dropped) = Streaming.vacuumDeletes(spark, table)
+    assert((kept, dropped) == ((1L, 1L)), s"kept=$kept dropped=$dropped")
+    // the sidecar folded to one file and still hides id 3
+    val sideFiles = new java.io.File(s"$table/_deletes").listFiles()
+      .filter(_.getName.startsWith("part-"))
+    assert(sideFiles.length == 1, sideFiles.map(_.getName).toSeq)
+    def visible(): Set[Long] = Streaming.searchMaintained(spark, table,
+      cents, "cent_id", "cvec", Seq(9f, 1f, 0f, 0f), 2, 10)
+      .collect().map(_.getLong(0)).toSet
+    assert(visible() == Set(1L, 4L, 5L), visible())
+    // idempotent re-run
+    assert(Streaming.vacuumDeletes(spark, table) == ((1L, 0L)))
+    // the purge-then-return lifecycle: a vacuumed id re-inserted later
+    // SURFACES (the deliberate exit from terminal-per-id)
+    val q2 = start()
+    Seq((2L, Seq(9f, 2f, 0f, 0f))).toDF("id", "embedding")
+      .coalesce(1).write.mode("append").parquet(in)
+    q2.processAllAvailable()
+    q2.stop()
+    assert(visible() == Set(1L, 2L, 4L, 5L), visible())
+  }
+
   test("searchMaintainedBatchCollapsed: identical to uncollapsed on a duplicate-heavy batch") {
     import spark.implicits._
     val in = Files.createTempDirectory("graft_col_in_").toString
