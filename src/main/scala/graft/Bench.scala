@@ -140,7 +140,8 @@ object Bench {
     // round-7 serving additions: selectivity-routed filtered search and
     // namespaced (multi-tenant) batch search
     "q_filtered_ann_pre", "q_filtered_ann_post", "q_ns_search",
-    "q_silhouette", "q_probe_tune", "q_pq_distortion", "q_ks_drift")
+    "q_silhouette", "q_probe_tune", "q_pq_distortion", "q_ks_drift",
+    "q_jsonl_tolerant")
 
   /** Force FULL materialization of every output column: xxhash64 over all
     * columns, summed. `.count()` alone under-measures — Catalyst prunes

@@ -11753,6 +11753,37 @@ object SparkEntry {
       val sfx = substring($"source", 4, 10).cast("int")
       Mining.ksDrift(docs.filter(sfx % 2 === 0), docs.filter(sfx % 2 =!= 0),
         "n_chars")
+    }),
+
+    // Corrupt-tolerant JSONL ingest — the crawl-front reality: malformed
+    // lines must quarantine, not kill the job or silently vanish. Every
+    // doc_id % 7 == 0 line is written BROKEN (truncated value); the
+    // PERMISSIVE read routes them to _corrupt_record and the report
+    // proves (a) the bad-line census matches the corruption rule and
+    // (b) the good lines' content survived parsing (sum of n_chars).
+    "q_jsonl_tolerant" -> ((s, dir) => {
+      import s.implicits._
+      val tmpDir = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_jsonl_tol_${Integer.toHexString(dir.hashCode)}_" +
+          ProcessHandle.current().pid())
+      val tmp = tmpDir.getAbsolutePath
+      jsonlTmpCleanup(tmpDir)
+      t(s, dir, "documents").select(
+        when($"doc_id" % 7 === 0,
+          concat(lit("{\"doc_id\": "), $"doc_id", lit(", \"n_chars\": oops")))
+          .otherwise(to_json(struct($"doc_id", $"n_chars")))
+          .as("value"))
+        .write.mode("overwrite").text(tmp)
+      val back = s.read
+        .schema("doc_id LONG, n_chars LONG, _corrupt_record STRING")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(tmp)
+      back.agg(
+        count(when($"_corrupt_record".isNull, 1)).as("n_good"),
+        count(when($"_corrupt_record".isNotNull, 1)).as("n_bad"),
+        sum(when($"_corrupt_record".isNull, $"n_chars")
+          .otherwise(0L)).cast("long").as("sum_chars"))
     })
   )
 
@@ -12145,7 +12176,14 @@ object SparkEntry {
         |       ROUND(ks * SQRT(na * 1.0 * nb / (na + nb)), 6) + 0.0 AS ks_stat,
         |       CAST(ROUND(ks * SQRT(na * 1.0 * nb / (na + nb)), 6) > 1.358 AS INT)
         |         AS reject
-        |FROM r""".stripMargin
+        |FROM r""".stripMargin,
+
+    "q_jsonl_tolerant" ->
+      """SELECT COUNT(*) FILTER (WHERE doc_id % 7 <> 0) AS n_good,
+        |       COUNT(*) FILTER (WHERE doc_id % 7 = 0) AS n_bad,
+        |       COALESCE(SUM(n_chars) FILTER (WHERE doc_id % 7 <> 0), 0)
+        |         AS sum_chars
+        |FROM documents""".stripMargin
   )
 
   /** q_pq_distortion oracle: per m ∈ {2,4,8}, the per-(vec, subspace)
