@@ -188,7 +188,13 @@
   *    [[graft.streaming.Streaming.deleteMaintained]],
   *    [[graft.streaming.Streaming.compactMaintained]];
   *    stored-assignment drift report against committed centroids:
-  *    [[graft.streaming.Streaming.silhouetteMaintained]]
+  *    [[graft.streaming.Streaming.silhouetteMaintained]];
+  *    duplicate-query collapse, keyset pagination, predicate purge,
+  *    tombstone-sidecar vacuum, one-call state report:
+  *    [[graft.streaming.Streaming.searchMaintainedBatchCollapsed]],
+  *    [[graft.streaming.Streaming.deleteMaintainedWhere]],
+  *    [[graft.streaming.Streaming.vacuumDeletes]],
+  *    [[graft.streaming.Streaming.describeMaintained]]
   *
   * ==SQL surface==
   *

@@ -783,6 +783,67 @@ object Streaming {
     ids.select(col(idCol).cast("long").as("id")).distinct()
       .write.mode("append").parquet(s"$tablePath/_deletes")
 
+  /** Operational state report for a [[streamInsertIndexedMaintained]]
+    * table — the `DESCRIBE INDEX` every runbook starts from, in one
+    * call: per-cell (rows, batch subdirs, bytes) from parquet footers
+    * and listings plus table-level rollups rendered as (metric, cell,
+    * value) long-format rows —
+    *  - `rows` / `subdirs` / `bytes` per cell (subdir count above 1 is
+    *    COMPACTION DEBT: what [[compactMaintained]] would fold),
+    *  - `tombstones` (−1 cell): sidecar id count awaiting
+    *    [[vacuumDeletes]] / physical purge,
+    *  - `centroid_version` (−1 cell): latest COMMITTED version, −1
+    *    before the first rebalance,
+    *  - `pending_compaction` (−1 cell): 1 if an unrecovered compaction
+    *    intent blocks ingest.
+    * Everything reads listings + footers — no data pages; cost is
+    * index-structure-bounded, not corpus-bounded.
+    */
+  def describeMaintained(spark: org.apache.spark.sql.SparkSession,
+                         tablePath: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    import spark.implicits._
+    val root = new Path(tablePath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(root), s"no maintained table at $tablePath")
+    val cellDirs = fs.listStatus(root).filter(_.isDirectory).map(_.getPath)
+      .filter(_.getName.startsWith("cell_id=")).toSeq
+    val perCell: Seq[(String, Long, Long)] = cellDirs.flatMap { d =>
+      val cell = d.getName.stripPrefix("cell_id=").toLong
+      val subs = fs.listStatus(d).filter(_.isDirectory)
+        .count(_.getPath.getName.startsWith("__b="))
+      val bytes = fs.getContentSummary(d).getLength
+      Seq(("subdirs", cell, subs.toLong), ("bytes", cell, bytes))
+    }
+    val rowsPerCell: Seq[(String, Long, Long)] =
+      if (cellDirs.isEmpty) Seq.empty
+      else spark.read.parquet(tablePath)
+        .groupBy(col("cell_id").cast("long").as("c"))
+        .agg(count(lit(1)).as("n"))
+        .collect().map(r => ("rows", r.getLong(0), r.getLong(1))).toSeq
+    val tomb = maintainedDeletes(spark, tablePath)
+      .map(_.count()).getOrElse(0L)
+    val centsRoot = new Path(root, "_centroids")
+    val ver =
+      if (!fs.exists(centsRoot)) -1L
+      else fs.listStatus(centsRoot).map(_.getPath)
+        .filter(p => p.getName.startsWith("v_") &&
+          fs.exists(new Path(p, "_GRAFT_COMMIT")))
+        .map(_.getName.stripPrefix("v_").toLong)
+        .maxOption.getOrElse(-1L)
+    val compDir = new Path(root, "_compactions")
+    val pending =
+      if (fs.exists(compDir) && fs.listStatus(compDir)
+        .exists(_.getPath.getName.endsWith(".intent"))) 1L
+      else 0L
+    (perCell ++ rowsPerCell ++ Seq(
+      ("tombstones", -1L, tomb),
+      ("centroid_version", -1L, ver),
+      ("pending_compaction", -1L, pending)))
+      .toDF("metric", "cell", "value")
+      .orderBy($"metric", $"cell")
+  }
+
   /** Tombstone-sidecar vacuum — drops DEAD tombstones (ids no longer
     * present anywhere in the table: compaction already made their
     * deletes physical) and folds the sidecar's accumulated per-batch

@@ -1666,6 +1666,49 @@ class StreamingSpec extends SparkSpec {
     assert(afterDel.map(_.getLong(1)).sum == 3L, afterDel.toSeq.toString)
   }
 
+  test("describeMaintained: per-cell census, tombstone count, centroid version, compaction debt") {
+    import spark.implicits._
+    val in = Files.createTempDirectory("graft_dm_in_").toString
+    val table = Files.createTempDirectory("graft_dm_tbl_").toString + "/t"
+    val ckpt = Files.createTempDirectory("graft_dm_ckpt_").toString + "/c"
+    val cents = Seq(
+      (0L, Seq(1f, 0f, 0f, 0f)), (1L, Seq(0f, 1f, 0f, 0f))
+    ).toDF("cent_id", "cvec")
+    val q = Streaming.streamInsertIndexedMaintained(
+      spark.readStream.schema(maintSchema).parquet(in),
+      dim = 4, numShards = 2, cents, "cent_id", "cvec", table, ckpt,
+      maxCell = 1000000L)
+    Seq((1L, Seq(9f, 1f, 0f, 0f)), (2L, Seq(9f, 2f, 0f, 0f)),
+      (3L, Seq(1f, 9f, 0f, 0f))).toDF("id", "embedding")
+      .coalesce(1).write.mode("overwrite").parquet(in)
+    q.processAllAvailable()
+    Seq((4L, Seq(9f, 3f, 0f, 0f))).toDF("id", "embedding")
+      .coalesce(1).write.mode("append").parquet(in)
+    q.processAllAvailable()
+    Seq((5L, Seq(1f, 8f, 0f, 0f))).toDF("id", "embedding")
+      .coalesce(1).write.mode("append").parquet(in)
+    q.processAllAvailable()
+    q.stop()
+    Streaming.deleteMaintained(spark, table, Seq(3L).toDF("id"), "id")
+    val rep = Streaming.describeMaintained(spark, table).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(rep(("rows", 0L)) == 3L && rep(("rows", 1L)) == 2L, rep)
+    // cell 0 holds two batch subdirs (compaction debt), cell 1 two
+    assert(rep(("subdirs", 0L)) == 2L && rep(("subdirs", 1L)) == 2L, rep)
+    assert(rep(("bytes", 0L)) > 0L)
+    assert(rep(("tombstones", -1L)) == 1L)
+    // no rebalance ran → no committed centroid version yet
+    assert(rep(("centroid_version", -1L)) == -1L)
+    assert(rep(("pending_compaction", -1L)) == 0L)
+    // after compaction cell 0's debt clears (its two batches are both
+    // foldable; cell 1's second subdir is the spared replay tail)
+    assert(Streaming.compactMaintained(spark, table) > 0)
+    val rep2 = Streaming.describeMaintained(spark, table).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(rep2(("subdirs", 0L)) == 1L && rep2(("subdirs", 1L)) == 2L, rep2)
+    assert(rep2(("pending_compaction", -1L)) == 0L)
+  }
+
   test("vacuumDeletes: dead tombstones drop after compaction, live ones survive, purged ids can return") {
     import spark.implicits._
     val in = Files.createTempDirectory("graft_vd_in_").toString
