@@ -583,18 +583,21 @@ object Ann {
     * meeting count (none meeting → C, exact search, which always meets
     * by construction).
     *
-    * Scale shape: log₂C batch searches, each one corpus scan over the
-    * probed fraction (the [[searchBatchIvf]] shape); the exact side is
-    * computed ONCE and localCheckpointed — at a 10⁶-query tuning set
-    * the whole sweep stays a handful of scans, and the result is the
-    * (nProbes, recall) curve an operator pins in a dashboard. The
-    * driver holds only 3 longs per level.
+    * Scale shape: ONE corpus scoring pass serves every level — each
+    * scored (query, row) pair carries its cell's per-query probe RANK,
+    * explodes to the grid levels that would include it (≤ log₂C
+    * copies), and reduces through the k-bounded per-(query, level)
+    * aggregator, so the exchange carries ≤ partitions × Q × levels × k
+    * entries and nothing is scanned twice. At a 10⁶-query tuning set
+    * the whole sweep is one scan + one bounded reduction + one overlap
+    * join; the driver holds 3 longs per level.
     */
   def probeRecallSweep(vectors: DataFrame, centroids: DataFrame,
                        idCol: String, vecCol: String, centIdCol: String,
                        centVecCol: String, queries: DataFrame,
                        qidCol: String, qvecCol: String, k: Int,
                        targetRecall: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     require(targetRecall > 0.0 && targetRecall <= 1.0,
       s"targetRecall must be in (0, 1], got $targetRecall")
     val spark = vectors.sparkSession
@@ -602,21 +605,41 @@ object Ann {
     val c = centroids.count().toInt
     require(c >= 1, "centroids must be non-empty")
     val grid = (Iterator.iterate(1)(_ * 2).takeWhile(_ < c).toSeq :+ c).distinct
-    val exact = searchBatchIvf(vectors, centroids, idCol, vecCol,
-      centIdCol, centVecCol, queries, qidCol, qvecCol, c, k)
-      .select(col(qidCol), col(idCol))
+    val gridLit = typedLit(grid)
+    val assigned = ivfAssign(vectors, centroids, idCol, vecCol,
+      centIdCol, centVecCol)
+    // per-(query, cell) probe rank — the searchBatchIvf ranking, kept
+    // for ALL cells so one join scores every level's candidate set
+    val pw = Window.partitionBy(col("__qid"))
+      .orderBy(col("__c").desc, col(centIdCol))
+    val cellRanks = centroids
+      .crossJoin(broadcast(queries.select(
+        col(qidCol).as("__qid"), col(qvecCol).as("__qv"))))
+      .withColumn("__c", round(V.cosine(col(centVecCol), col("__qv")), 6))
+      .withColumn("__rn", row_number().over(pw))
+      .select(col("__qid"), col("__qv"), col("__rn"),
+        col(centIdCol).cast("long").as("cell_id"))
+    val scored = assigned.join(broadcast(cellRanks), Seq("cell_id"))
+      .withColumn("__score",
+        round(dotF(col(vecCol), col("__qv")) /
+          (greatest(sqrt(dotF(col(vecCol), col(vecCol))), lit(V.NormEps)) *
+            greatest(sqrt(dotF(col("__qv"), col("__qv"))), lit(V.NormEps))),
+          6) + lit(0.0))
+      // a pair whose cell ranks __rn participates in every level ≥ __rn
+      .select(col("__qid"), col(idCol), col("__score"),
+        explode(filter(gridLit, p => p >= col("__rn"))).as("__lvl"))
+    val hits = TopK.topKPerKeyAgg(scored,
+        Seq(col("__qid"), col("__lvl")), col("__score"), col(idCol), k)
+      .select(col("__qid"), col("__lvl"), col("id"))
       .localCheckpoint(true)
+    val exact = hits.filter(col("__lvl") === c).select(col("__qid"), col("id"))
     val nExact = exact.count()
-    val levels: Seq[(Int, Long, Long)] = grid.map { p =>
-      val nHit =
-        if (p == c) nExact // exact vs itself — no second scan needed
-        else searchBatchIvf(vectors, centroids, idCol, vecCol,
-          centIdCol, centVecCol, queries, qidCol, qvecCol, p, k)
-          .select(col(qidCol), col(idCol))
-          .join(exact, Seq(qidCol, idCol), "left_semi")
-          .count()
-      (p, nHit, nExact)
-    }
+    val hitCounts: Map[Int, Long] = hits
+      .join(exact, Seq("__qid", "id"), "left_semi")
+      .groupBy(col("__lvl")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val levels: Seq[(Int, Long, Long)] =
+      grid.map(p => (p, hitCounts.getOrElse(p, 0L), nExact))
     // the meets/chosen decision is made on the ROUNDED recall — the same
     // value the output column carries — so a knife-edge ratio can't make
     // the driver-side choice disagree with the visible numbers
