@@ -10,6 +10,7 @@ import graft.expressions.TextHashExpressions.{minhashSigF, simhash32F}
 import graft.functions.{HashFunctions, TextFunctions => T, UrlFunctions, VectorFunctions => V}
 import graft.operators.{Align, Ann, AsofJoin, Bm25, BpeTrain, Classifier, Collocations, Coreset, CountMin, Curation, Dedup, DistinctSketch, Ewma, GraphOps, HeavyHitters, Hierarchy, Mining, Multimodal, Packing, PageRank, Privacy, QuantileSketch, Rerank, RuntimeFilter, Sampling, SftPrep, SkewJoin, Tfidf, TextEval, TextTiling, TopK, TrigramLm, UnigramLm, Validation}
 import graft.sources.{Layout, Tables}
+import graft.streaming.Streaming
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -11784,6 +11785,53 @@ object SparkEntry {
         count(when($"_corrupt_record".isNotNull, 1)).as("n_bad"),
         sum(when($"_corrupt_record".isNull, $"n_chars")
           .otherwise(0L)).cast("long").as("sum_chars"))
+    }),
+
+    // The COMPLETE maintained-index lifecycle, oracle-checked end to
+    // end: three-batch streaming ingest (normalize → assign → batch-
+    // addressed append) → rule-based deletes → compaction (tombstones
+    // in folded subdirs become physical; the largest ingest batch is
+    // spared) → sidecar vacuum (dead tombstones retired) → probe-pruned
+    // search. The oracle replays EVERY stage in SQL — float32
+    // normalization, assignment, per-cell fold eligibility (≥ 2
+    // foldable batch subdirs), the purge/keep split, probe selection,
+    // and the final ranking — so the hash certifies the lifecycle's
+    // row-level decisions, not just that something ran.
+    "q_maintained_lifecycle" -> ((s, dir) => {
+      import s.implicits._
+      val e = t(s, dir, "embeddings")
+      val cents = e.filter($"vec_id" < 16)
+        .select($"vec_id".as("cent_id"), $"embedding".as("cvec"))
+      val d = java.nio.file.Files.createTempDirectory("graft_ml_q_").toFile
+      jsonlTmpCleanup(d)
+      val in = new java.io.File(d, "in").getAbsolutePath
+      val table = new java.io.File(d, "t").getAbsolutePath
+      val ckpt = new java.io.File(d, "c").getAbsolutePath
+      val src = e.select($"vec_id".as("id"), $"embedding")
+      src.filter($"id" < 200).coalesce(1)
+        .write.mode("overwrite").parquet(in)
+      val stream = Streaming.streamInsertIndexedMaintained(
+        s.readStream.schema(src.schema).parquet(in),
+        dim = 64, numShards = 8, cents, "cent_id", "cvec", table, ckpt,
+        maxCell = 1000000L)
+      stream.processAllAvailable()
+      src.filter($"id" >= 200 && $"id" < 250).coalesce(1)
+        .write.mode("append").parquet(in)
+      stream.processAllAvailable()
+      src.filter($"id" >= 250).coalesce(1)
+        .write.mode("append").parquet(in)
+      stream.processAllAvailable()
+      stream.stop()
+      Streaming.deleteMaintained(s, table,
+        src.filter($"id" % 10 === 3).select($"id"), "id")
+      Streaming.compactMaintained(s, table)
+      val (kept, dropped) = Streaming.vacuumDeletes(s, table)
+      val query = e.filter($"vec_id" === 42).select($"embedding")
+        .head.getSeq[Float](0)
+      Streaming.searchMaintained(s, table, cents, "cent_id", "cvec",
+          query, nProbes = 4, k = 10)
+        .select($"id", $"score", lit(kept).as("tomb_kept"),
+          lit(dropped).as("tomb_dropped"))
     })
   )
 
@@ -12183,7 +12231,75 @@ object SparkEntry {
         |       COUNT(*) FILTER (WHERE doc_id % 7 = 0) AS n_bad,
         |       COALESCE(SUM(n_chars) FILTER (WHERE doc_id % 7 <> 0), 0)
         |         AS sum_chars
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+
+    // Replays the ENTIRE maintained lifecycle: float32 normalization
+    // (the ingest's prepare step), assignment of normalized vectors,
+    // per-cell fold eligibility (>= 2 foldable batch subdirs, the
+    // largest ingest batch spared), the tombstone purge/keep split,
+    // probe selection, and the delete-aware final ranking.
+    "q_maintained_lifecycle" ->
+      """WITH cents AS (
+        |  SELECT vec_id AS cent_id, embedding AS cvec FROM embeddings WHERE vec_id < 16),
+        |nrm AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x::DOUBLE /
+        |      GREATEST(SQRT(list_sum(list_transform(embedding,
+        |        y -> y::DOUBLE * y::DOUBLE))), 1e-12) AS REAL)) AS emb
+        |  FROM embeddings),
+        |pc AS (
+        |  SELECT n.vec_id, c.cent_id,
+        |         unnest(n.emb)::DOUBLE x, unnest(c.cvec)::DOUBLE y
+        |  FROM nrm n CROSS JOIN cents c),
+        |pagg AS (SELECT vec_id, cent_id, SUM(x*y) dp, SUM(x*x) nx2, SUM(y*y) ny2
+        |         FROM pc GROUP BY vec_id, cent_id),
+        |psc AS (SELECT vec_id, cent_id,
+        |          ROUND(dp/(GREATEST(SQRT(nx2),1e-12)*GREATEST(SQRT(ny2),1e-12)), 6) c
+        |        FROM pagg),
+        |assign AS (
+        |  SELECT vec_id, cent_id AS cell_id FROM (
+        |    SELECT vec_id, cent_id,
+        |           row_number() OVER (PARTITION BY vec_id ORDER BY c DESC, cent_id) rn
+        |    FROM psc) WHERE rn = 1),
+        |bmem AS (
+        |  SELECT a.vec_id, a.cell_id,
+        |         CASE WHEN a.vec_id < 200 THEN 0
+        |              WHEN a.vec_id < 250 THEN 1 ELSE 2 END AS b
+        |  FROM assign a),
+        |fold AS (
+        |  SELECT cell_id FROM bmem WHERE b < 2
+        |  GROUP BY cell_id HAVING COUNT(DISTINCT b) >= 2),
+        |dels AS (SELECT vec_id, cell_id, b FROM bmem WHERE vec_id % 10 = 3),
+        |dr AS (SELECT COUNT(*) AS c FROM dels JOIN fold USING (cell_id)
+        |       WHERE b < 2),
+        |tot AS (SELECT COUNT(*) AS c FROM dels),
+        |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 42),
+        |cp AS (
+        |  SELECT c.cent_id, unnest(c.cvec)::DOUBLE x, unnest(q.qe)::DOUBLE y
+        |  FROM cents c CROSS JOIN q),
+        |cagg AS (SELECT cent_id, SUM(x*y) dp, SUM(x*x) nx2, SUM(y*y) ny2
+        |         FROM cp GROUP BY cent_id),
+        |probes AS (
+        |  SELECT cent_id AS cell_id FROM (
+        |    SELECT cent_id,
+        |           ROUND(dp/(GREATEST(SQRT(nx2),1e-12)*GREATEST(SQRT(ny2),1e-12)), 6) c
+        |    FROM cagg ORDER BY c DESC, cent_id LIMIT 4)),
+        |cand AS (
+        |  SELECT a.vec_id FROM assign a JOIN probes p ON p.cell_id = a.cell_id
+        |  WHERE a.vec_id % 10 <> 3),
+        |sp AS (
+        |  SELECT n.vec_id, unnest(n.emb)::DOUBLE x, unnest(q.qe)::DOUBLE y
+        |  FROM nrm n JOIN cand cd ON cd.vec_id = n.vec_id CROSS JOIN q),
+        |sagg AS (SELECT vec_id, SUM(x*y) dp, SUM(x*x) nx2, SUM(y*y) ny2
+        |         FROM sp GROUP BY vec_id),
+        |sc AS (SELECT vec_id,
+        |         ROUND(dp/(GREATEST(SQRT(nx2),1e-12)*GREATEST(SQRT(ny2),1e-12)), 6)
+        |           + 0.0 AS score
+        |       FROM sagg)
+        |SELECT vec_id AS id, score, (tot.c - dr.c) AS tomb_kept,
+        |       dr.c AS tomb_dropped
+        |FROM sc CROSS JOIN dr CROSS JOIN tot
+        |ORDER BY score DESC, id LIMIT 10""".stripMargin
   )
 
   /** q_pq_distortion oracle: per m ∈ {2,4,8}, the per-(vec, subspace)
