@@ -1091,6 +1091,64 @@ object Streaming {
       .select(col("__qid").as(qidCol), col("id"), col("score"))
   }
 
+  /** NAMESPACED [[searchMaintainedBatch]] — the multi-tenant serving
+    * face over the maintained table: every query carries a namespace
+    * key matched as an EQUI-JOIN condition against one of the ingest's
+    * passthrough metadata columns, so candidates are structurally
+    * (query's namespace ∩ query's probed cells) — no tenant's query
+    * scores another tenant's rows, and there is no predicate to forget
+    * (the [[graft.operators.Ann.searchNamespacedBatch]] contract,
+    * against the on-disk index). One pruned scan per batch; per-query
+    * reduction through the k-bounded aggregator; tombstones honored.
+    * Per query it equals [[searchMaintained]] with
+    * `pred = col(nsCol) === thatNamespace` (spec-pinned).
+    */
+  def searchMaintainedNamespacedBatch(
+      spark: org.apache.spark.sql.SparkSession,
+      tablePath: String, fallbackCentroids: DataFrame,
+      centIdCol: String, centVecCol: String,
+      queries: DataFrame, qidCol: String, qVecCol: String,
+      qnsCol: String, nsCol: String,
+      nProbes: Int, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.expressions.FloatVectorExpressions.dotF
+    import graft.functions.{VectorFunctions => V}
+    import graft.operators.{Ann, TopK}
+    require(nProbes >= 1 && k >= 1, s"need nProbes, k >= 1; got $nProbes, $k")
+    require(qidCol != "id" && qidCol != "score",
+      s"qidCol must not be named 'id' or 'score'; got '$qidCol'")
+    val cents = maintainedCentroids(spark, tablePath, fallbackCentroids)
+    val q = queries.select(col(qidCol).as("__qid"), col(qVecCol).as("__qv"),
+      col(qnsCol).as("__qns"))
+    val pw = Window.partitionBy(col("__qid"))
+      .orderBy(col("__c").desc, col(centIdCol))
+    val probes = cents
+      .crossJoin(broadcast(q))
+      .withColumn("__c", round(V.cosine(col(centVecCol), col("__qv")), 6))
+      .withColumn("__rn", row_number().over(pw))
+      .filter(col("__rn") <= nProbes)
+      .select(col("__qid"), col("__qv"), col("__qns"),
+        col(centIdCol).cast("long").as("cell_id"))
+      .localCheckpoint(false)
+    val cellsToScan = probes.select(col("cell_id")).distinct()
+      .collect().map(_.getLong(0)).toSeq.sorted
+    val scanned = Ann.readIvfCells(spark, tablePath, cellsToScan)
+      .withColumn("cell_id", col("cell_id").cast("long"))
+    val alive = maintainedDeletes(spark, tablePath)
+      .map(d => scanned.join(broadcast(d), Seq("id"), "left_anti"))
+      .getOrElse(scanned)
+    val scored = alive.join(broadcast(probes),
+        alive("cell_id") === probes("cell_id") &&
+          col(nsCol) === col("__qns"))
+      .withColumn("score",
+        round(dotF(col("embedding"), col("__qv")) /
+          (greatest(sqrt(dotF(col("embedding"), col("embedding"))), lit(V.NormEps)) *
+            greatest(sqrt(dotF(col("__qv"), col("__qv"))), lit(V.NormEps))),
+          6) + lit(0.0))
+    TopK.topKPerKeyAgg(scored, Seq(col("__qid")), col("score"), col("id"), k)
+      .select(col("__qid").as(qidCol), col("id"), col("score"))
+  }
+
   /** [[searchMaintainedBatch]] with DUPLICATE-QUERY COLLAPSE — the
     * hot-query optimization for production batches (real query streams
     * are heavily repeated: the same embedding arrives thousands of

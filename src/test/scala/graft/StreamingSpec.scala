@@ -1666,6 +1666,52 @@ class StreamingSpec extends SparkSpec {
     assert(afterDel.map(_.getLong(1)).sum == 3L, afterDel.toSeq.toString)
   }
 
+  test("searchMaintainedNamespacedBatch: tenant isolation on disk, per-query equals the filtered single face") {
+    import spark.implicits._
+    val in = Files.createTempDirectory("graft_nsb_in_").toString
+    val table = Files.createTempDirectory("graft_nsb_tbl_").toString + "/t"
+    val ckpt = Files.createTempDirectory("graft_nsb_ckpt_").toString + "/c"
+    val cents = Seq(
+      (0L, Seq(1f, 0f, 0f, 0f)), (1L, Seq(0f, 1f, 0f, 0f))
+    ).toDF("cent_id", "cvec")
+    val schema = org.apache.spark.sql.types.StructType(maintSchema.fields :+
+      org.apache.spark.sql.types.StructField("tenant",
+        org.apache.spark.sql.types.StringType))
+    val q = Streaming.streamInsertIndexedMaintained(
+      spark.readStream.schema(schema).parquet(in),
+      dim = 4, numShards = 2, cents, "cent_id", "cvec", table, ckpt,
+      maxCell = 1000000L)
+    // both tenants have rows in BOTH cells — isolation must come from
+    // the join, not from cell geometry
+    Seq((1L, Seq(9f, 1f, 0f, 0f), "a"), (2L, Seq(9f, 2f, 0f, 0f), "b"),
+      (3L, Seq(1f, 9f, 0f, 0f), "a"), (4L, Seq(2f, 9f, 0f, 0f), "b"))
+      .toDF("id", "embedding", "tenant")
+      .coalesce(1).write.mode("overwrite").parquet(in)
+    q.processAllAvailable()
+    q.stop()
+    Streaming.deleteMaintained(spark, table, Seq(4L).toDF("id"), "id")
+    val queries = Seq(
+      (100L, Seq(9f, 1.5f, 0f, 0f), "a"), (200L, Seq(9f, 1.5f, 0f, 0f), "b"),
+      (300L, Seq(1.5f, 9f, 0f, 0f), "b")).toDF("qid", "qvec", "qns")
+    val got = Streaming.searchMaintainedNamespacedBatch(spark, table, cents,
+      "cent_id", "cvec", queries, "qid", "qvec", "qns", "tenant",
+      nProbes = 2, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // isolation + deletes: tenant a sees {1,3}; tenant b sees {2} (4 deleted)
+    assert(got.filter(_._1 == 100L).map(_._2).toSet == Set(1L, 3L))
+    assert(got.filter(_._1 == 200L).map(_._2).toSet == Set(2L))
+    assert(got.filter(_._1 == 300L).map(_._2).toSet == Set(2L))
+    // per query ≡ the filtered single face with pred = tenant
+    queries.collect().foreach { r =>
+      val (qid, qv, ns) = (r.getLong(0), r.getSeq[Float](1), r.getString(2))
+      val single = Streaming.searchMaintained(spark, table, cents,
+        "cent_id", "cvec", qv, 2, 5, pred = col("tenant") === ns)
+        .collect().map(x => (x.getLong(0), x.getDouble(1))).toSet
+      val mine = got.filter(_._1 == qid).map(x => (x._2, x._3)).toSet
+      assert(mine == single, s"qid $qid: $mine vs single $single")
+    }
+  }
+
   test("describeMaintained: per-cell census, tombstone count, centroid version, compaction debt") {
     import spark.implicits._
     val in = Files.createTempDirectory("graft_dm_in_").toString
