@@ -6804,27 +6804,9 @@ object SparkEntry {
         |       ROUND(c::DOUBLE / n, 4) + 0.0 AS purity
         |FROM r WHERE rn = 1 ORDER BY cell_id""".stripMargin,
 
-    "q_label_prop" -> {
-      def round(k: Int): String = {
-        val p = k - 1
-        s"""c$k AS (
-           |  SELECT s.dst AS node, l.lab, COUNT(*) AS c
-           |  FROM sym s JOIN l$p l ON s.src = l.node
-           |  GROUP BY 1, 2),
-           |l$k AS (
-           |  SELECT node, lab FROM (
-           |    SELECT node, lab,
-           |           row_number() OVER (PARTITION BY node ORDER BY c DESC, lab) AS rn
-           |    FROM c$k) WHERE rn = 1)""".stripMargin
-      }
-      s"""WITH e0 AS (
-         |  SELECT DISTINCT user_id AS src, 100000 + event_id % 50 AS dst
-         |  FROM events),
-         |sym AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
-         |l0 AS (SELECT DISTINCT src AS node, src AS lab FROM sym),
-         |${(1 to 3).map(round).mkString(",\n")}
-         |SELECT node, lab FROM l3 ORDER BY node""".stripMargin
-    },
+    "q_label_prop" ->
+      s"""WITH $lpaCtes
+         |SELECT node, lab FROM l3 ORDER BY node""".stripMargin,
 
     "q_token_fertility" ->
       """WITH x AS (
@@ -11832,6 +11814,20 @@ object SparkEntry {
           query, nProbes = 4, k = 10)
         .select($"id", $"score", lit(kept).as("tomb_kept"),
           lit(dropped).as("tomb_dropped"))
+    }),
+
+    // Community-quality gate: Newman modularity of the LPA communities
+    // over the same edge fixture — the accept/retune score for a
+    // community run. The per-community term 4·m·e_c − d_c² accumulates
+    // as exact integers; one double division at the end.
+    "q_modularity" -> ((s, dir) => {
+      import s.implicits._
+      val e = t(s, dir, "events")
+        .select($"user_id".as("src"),
+          (lit(100000L) + $"event_id" % 50).as("dst"))
+        .distinct()
+      val labels = GraphOps.labelPropagation(e, "src", "dst", rounds = 3)
+      GraphOps.modularity(e, "src", "dst", labels, "node", "lab")
     })
   )
 
@@ -12299,7 +12295,32 @@ object SparkEntry {
         |SELECT vec_id AS id, score, (tot.c - dr.c) AS tomb_kept,
         |       dr.c AS tomb_dropped
         |FROM sc CROSS JOIN dr CROSS JOIN tot
-        |ORDER BY score DESC, id LIMIT 10""".stripMargin
+        |ORDER BY score DESC, id LIMIT 10""".stripMargin,
+
+    "q_modularity" ->
+      s"""WITH $lpaCtes,
+         |und AS (
+         |  SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+         |  FROM e0 WHERE src <> dst),
+         |mm AS (SELECT COUNT(*) AS m FROM und),
+         |la AS (SELECT node, lab FROM l3),
+         |el AS (
+         |  SELECT x.lab AS ca, y.lab AS cb FROM und
+         |  JOIN la x ON x.node = und.a
+         |  JOIN la y ON y.node = und.b),
+         |ec AS (SELECT ca AS c, COUNT(*) AS e FROM el WHERE ca = cb GROUP BY 1),
+         |deg AS (
+         |  SELECT n, COUNT(*) AS d FROM (
+         |    SELECT a AS n FROM und UNION ALL SELECT b FROM und) GROUP BY 1),
+         |dc AS (
+         |  SELECT l.lab AS c, SUM(d) AS dsum
+         |  FROM deg JOIN la l ON l.node = deg.n GROUP BY 1),
+         |terms AS (
+         |  SELECT 4 * mm.m * COALESCE(ec.e, 0) - dc.dsum * dc.dsum AS t
+         |  FROM dc LEFT JOIN ec ON ec.c = dc.c CROSS JOIN mm)
+         |SELECT mm.m AS m, (SELECT COUNT(*) FROM dc) AS n_comm,
+         |       ROUND(SUM(t)::DOUBLE / (4.0 * mm.m * mm.m), 6) + 0.0 AS modularity
+         |FROM terms CROSS JOIN mm GROUP BY mm.m""".stripMargin
   )
 
   /** q_pq_distortion oracle: per m ∈ {2,4,8}, the per-(vec, subspace)
@@ -12330,6 +12351,30 @@ object SparkEntry {
        |SELECT * FROM (
        |$blocks
        |) ORDER BY m""".stripMargin
+  }
+
+  /** Shared LPA CTE chain (q_label_prop and q_modularity): the events
+    * bipartite edge fixture, symmetric closure, 3 max-label rounds.
+    */
+  private lazy val lpaCtes: String = {
+    def round(k: Int): String = {
+      val p = k - 1
+      s"""c$k AS (
+         |  SELECT s.dst AS node, l.lab, COUNT(*) AS c
+         |  FROM sym s JOIN l$p l ON s.src = l.node
+         |  GROUP BY 1, 2),
+         |l$k AS (
+         |  SELECT node, lab FROM (
+         |    SELECT node, lab,
+         |           row_number() OVER (PARTITION BY node ORDER BY c DESC, lab) AS rn
+         |    FROM c$k) WHERE rn = 1)""".stripMargin
+    }
+    s"""e0 AS (
+       |  SELECT DISTINCT user_id AS src, 100000 + event_id % 50 AS dst
+       |  FROM events),
+       |sym AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+       |l0 AS (SELECT DISTINCT src AS node, src AS lab FROM sym),
+       |${(1 to 3).map(round).mkString(",\n")}""".stripMargin
   }
 
   /** q_probe_tune oracle, builder-authored (the pcaCtesSql pattern): one

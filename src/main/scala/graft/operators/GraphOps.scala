@@ -215,4 +215,63 @@ object GraphOps {
     }
     (h.withColumnRenamed("h", "h_micro"), a.withColumnRenamed("a", "a_micro"))
   }
+
+  /** Newman MODULARITY of a community assignment — the score that
+    * grades what [[labelPropagation]] (or any clustering) produced:
+    * Q = Σ_c (e_c/m − (d_c/2m)²) over communities c, where e_c counts
+    * intra-community edges and d_c sums member degrees. Q ≈ 0 means no
+    * better than random wiring at the same degrees; Q → 1 means dense
+    * communities with sparse cut — the ACCEPT/RETUNE gate for a
+    * community run, exactly as [[Mining.clusterPurity]] gates label
+    * agreement.
+    *
+    * Arithmetic is exact until the one final division: the per-
+    * community term is the integer `4·m·e_c − d_c²` accumulated in
+    * DECIMAL(38,0) (d_c ≤ 2m, so the square fits far past any real
+    * edge count), and Q = Σterms / 4m² happens once in DOUBLE, rounded
+    * to 6 — order-independent across partitionings and replicated by
+    * the oracle term for term. Scale shape: one distinct-edge pass,
+    * two label joins, a degree aggregation — every intermediate is
+    * edge- or community-bounded; nothing quadratic, no windows.
+    * Returns one row: (m, n_comm, modularity). Self-loops are dropped
+    * (the standard simple-graph convention); `labels` must cover every
+    * endpoint (inner joins — a missing node fails loudly in counts).
+    */
+  def modularity(edges: DataFrame, srcCol: String, dstCol: String,
+                 labels: DataFrame, nodeCol: String, labCol: String): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val und = edges
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+      .localCheckpoint(true)
+    val m = und.count()
+    require(m > 0, "modularity needs at least one non-loop edge")
+    val lab = labels.select(col(nodeCol).as("__n"), col(labCol).as("__c"))
+    val el = und
+      .join(lab.select(col("__n").as("a"), col("__c").as("__ca")), Seq("a"))
+      .join(lab.select(col("__n").as("b"), col("__c").as("__cb")), Seq("b"))
+    val ec = el.filter(col("__ca") === col("__cb"))
+      .groupBy(col("__ca").as("__c")).agg(count(lit(1)).as("__e"))
+    val deg = und.select(col("a").as("__n"))
+      .unionAll(und.select(col("b").as("__n")))
+      .groupBy(col("__n")).agg(count(lit(1)).as("__d"))
+    val dc = deg.join(lab, Seq("__n"))
+      .groupBy(col("__c")).agg(sum(col("__d")).as("__dsum"))
+    val terms = dc.join(ec, Seq("__c"), "left")
+      .select(((lit(4L) * lit(m)).cast("decimal(38,0)") *
+        coalesce(col("__e"), lit(0L)).cast("decimal(38,0)"))
+        .minus(col("__dsum").cast("decimal(38,0)") *
+          col("__dsum").cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .as("__t"))
+    val agg = terms.agg(sum(col("__t")).as("t"),
+      count(lit(1)).as("n_comm")).head
+    val q = java.math.BigDecimal.valueOf(
+        BigDecimal(agg.getDecimal(0)).toDouble / (4.0 * m * m))
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    Seq((m, agg.getLong(1), q + 0.0)).toDF("m", "n_comm", "modularity")
+  }
 }

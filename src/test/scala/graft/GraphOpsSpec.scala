@@ -146,4 +146,36 @@ class GraphOpsSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(dup == base)
   }
+
+  test("modularity: two cliques + bridge score high, one community exactly 0, anti-partition negative") {
+    import spark.implicits._
+    // two 4-cliques joined by one bridge edge: 13 edges total
+    def clique(ids: Seq[Long]): Seq[(Long, Long)] =
+      for (a <- ids; b <- ids if a < b) yield (a, b)
+    val edges = (clique(Seq(0L, 1L, 2L, 3L)) ++
+      clique(Seq(10L, 11L, 12L, 13L)) :+ ((3L, 10L))).toDF("src", "dst")
+    val natural = Seq(0L, 1L, 2L, 3L).map((_, 0L)) ++
+      Seq(10L, 11L, 12L, 13L).map((_, 1L))
+    val q = GraphOps.modularity(edges, "src", "dst",
+      natural.toDF("node", "lab"), "node", "lab").head
+    assert(q.getLong(0) == 13L && q.getLong(1) == 2L)
+    assert(q.getDouble(2) > 0.4, s"natural split must score high: $q")
+    // everything in one community: Q = 0 exactly (4m·m − (2m)² = 0)
+    val one = GraphOps.modularity(edges, "src", "dst",
+      natural.map(n => (n._1, 0L)).toDF("node", "lab"), "node", "lab").head
+    assert(one.getDouble(2) == 0.0, one.toString)
+    // the worst split — each clique sliced in half across communities —
+    // scores BELOW the single-community baseline
+    val anti = Seq(0L, 1L, 10L, 11L).map((_, 0L)) ++
+      Seq(2L, 3L, 12L, 13L).map((_, 1L))
+    val a = GraphOps.modularity(edges, "src", "dst",
+      anti.toDF("node", "lab"), "node", "lab").head
+    assert(a.getDouble(2) < 0.0, a.toString)
+    // duplicate + reversed edges collapse to the same undirected set
+    val messy = edges.unionAll(edges.select($"dst".as("src"), $"src".as("dst")))
+      .repartition(7)
+    val q2 = GraphOps.modularity(messy, "src", "dst",
+      natural.toDF("node", "lab"), "node", "lab").head
+    assert(q2.getDouble(2) == q.getDouble(2) && q2.getLong(0) == 13L)
+  }
 }
