@@ -11828,6 +11828,19 @@ object SparkEntry {
         .distinct()
       val labels = GraphOps.labelPropagation(e, "src", "dst", rounds = 3)
       GraphOps.modularity(e, "src", "dst", labels, "node", "lab")
+    }),
+
+    // Population stability index on doc length between even- and odd-
+    // suffixed sources — the binned drift score beside q_ks_drift's CDF
+    // gap: Laplace-smoothed bin shares, per-bin term quantized to
+    // integer nano-units (the lexicalDrift KL discipline), the standard
+    // < 0.1 / < 0.25 band read.
+    "q_psi_drift" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val sfx = substring($"source", 4, 10).cast("int")
+      Mining.psiDrift(docs.filter(sfx % 2 === 0), docs.filter(sfx % 2 =!= 0),
+        "n_chars", Seq(150L, 250L, 350L, 450L))
     })
   )
 
@@ -12320,7 +12333,41 @@ object SparkEntry {
          |  FROM dc LEFT JOIN ec ON ec.c = dc.c CROSS JOIN mm)
          |SELECT mm.m AS m, (SELECT COUNT(*) FROM dc) AS n_comm,
          |       ROUND(SUM(t)::DOUBLE / (4.0 * mm.m * mm.m), 6) + 0.0 AS modularity
-         |FROM terms CROSS JOIN mm GROUP BY mm.m""".stripMargin
+         |FROM terms CROSS JOIN mm GROUP BY mm.m""".stripMargin,
+
+    "q_psi_drift" ->
+      """WITH base AS (
+        |  SELECT n_chars, CAST(substr(source, 4) AS INT) % 2 AS par
+        |  FROM documents),
+        |bi AS (
+        |  SELECT par,
+        |         CASE WHEN n_chars <= 150 THEN 0 WHEN n_chars <= 250 THEN 1
+        |              WHEN n_chars <= 350 THEN 2 WHEN n_chars <= 450 THEN 3
+        |              ELSE 4 END AS b
+        |  FROM base),
+        |ga AS (SELECT b, COUNT(*) AS c FROM bi WHERE par = 0 GROUP BY 1),
+        |gb AS (SELECT b, COUNT(*) AS c FROM bi WHERE par <> 0 GROUP BY 1),
+        |na AS (SELECT COUNT(*) AS c FROM bi WHERE par = 0),
+        |nb AS (SELECT COUNT(*) AS c FROM bi WHERE par <> 0),
+        |grid AS (SELECT unnest(generate_series(0, 4)) AS b),
+        |t AS (
+        |  SELECT CAST(ROUND(
+        |    ((COALESCE(ga.c, 0) + 1.0) / (na.c + 5)
+        |      - (COALESCE(gb.c, 0) + 1.0) / (nb.c + 5))
+        |    * LN(((COALESCE(ga.c, 0) + 1.0) / (na.c + 5))
+        |         / ((COALESCE(gb.c, 0) + 1.0) / (nb.c + 5)))
+        |    * 1000000000) AS BIGINT) AS term
+        |  FROM grid LEFT JOIN ga USING (b) LEFT JOIN gb USING (b)
+        |  CROSS JOIN na CROSS JOIN nb),
+        |r AS (
+        |  SELECT (SELECT c FROM na) AS n_a, (SELECT c FROM nb) AS n_b,
+        |         ROUND(SUM(term) / 1000000000.0, 6) + 0.0 AS psi
+        |  FROM t)
+        |SELECT n_a, n_b, psi,
+        |       CASE WHEN psi < 0.1 THEN 'stable'
+        |            WHEN psi < 0.25 THEN 'moderate'
+        |            ELSE 'shifted' END AS band
+        |FROM r""".stripMargin
   )
 
   /** q_pq_distortion oracle: per m ∈ {2,4,8}, the per-(vec, subspace)

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -342,6 +342,58 @@ object Mining {
     import spark.implicits._
     Seq((nA, nB, ks + 0.0, stat + 0.0, if (stat > 1.358) 1 else 0))
       .toDF("n_a", "n_b", "ks", "ks_stat", "reject")
+  }
+
+  /** POPULATION STABILITY INDEX — the binned drift score ML monitoring
+    * dashboards standardize on (banking/model-risk lineage): PSI =
+    * Σ_bins (p_a − p_b)·ln(p_a/p_b) with the conventional read
+    * < 0.1 stable, 0.1–0.25 moderate shift, ≥ 0.25 shifted. The
+    * directional complement to [[ksDrift]]: KS finds the worst single
+    * CDF gap, PSI integrates shift across all bins.
+    *
+    * Values quantize into the caller's `bins` (ascending upper-
+    * inclusive boundaries + one overflow bin); Laplace add-1 smoothing
+    * keeps empty bins finite and deterministic. Each bin's term
+    * quantizes to integer NANO-units before summing (the
+    * [[lexicalDrift]] KL discipline — ln ULP risk confined per-term),
+    * so the sum is order-independent and oracle-replicable. State is
+    * B-bounded everywhere. Returns one row:
+    * (n_a, n_b, psi, band).
+    */
+  def psiDrift(a: DataFrame, b: DataFrame, valueCol: String,
+               bins: Seq[Long]): DataFrame = {
+    require(bins.nonEmpty && bins.size <= 256,
+      s"need 1..256 bin boundaries, got ${bins.size}")
+    require(bins == bins.sorted && bins.distinct.size == bins.size,
+      "bin boundaries must be strictly ascending")
+    val bCount = bins.size + 1
+    def binOf(c: Column): Column =
+      bins.zipWithIndex.foldRight(lit(bCount - 1): Column) {
+        case ((up, i), acc) => when(c <= up, i).otherwise(acc)
+      }
+    def counts(df: DataFrame): Map[Int, Long] = df
+      .groupBy(binOf(col(valueCol).cast("long")).as("__b"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val ca = counts(a)
+    val cb = counts(b)
+    val nA = ca.values.sum
+    val nB = cb.values.sum
+    require(nA > 0 && nB > 0, s"both sides need rows, got $nA / $nB")
+    // bounded per-bin terms: the whole computation is B-sized, so it
+    // finishes driver-side on exact longs — no job, no ordering hazard
+    val sumNano = (0 until bCount).map { i =>
+      val pa = (ca.getOrElse(i, 0L) + 1.0) / (nA + bCount)
+      val pb = (cb.getOrElse(i, 0L) + 1.0) / (nB + bCount)
+      math.round((pa - pb) * math.log(pa / pb) * 1e9)
+    }.sum
+    val psi = java.math.BigDecimal.valueOf(sumNano.toDouble / 1e9)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    val band =
+      if (psi < 0.1) "stable" else if (psi < 0.25) "moderate" else "shifted"
+    val spark = a.sparkSession
+    import spark.implicits._
+    Seq((nA, nB, psi + 0.0, band)).toDF("n_a", "n_b", "psi", "band")
   }
 
   def lexicalDrift(oldDocs: DataFrame, newDocs: DataFrame, groupCol: String,

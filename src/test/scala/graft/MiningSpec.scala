@@ -220,4 +220,27 @@ class MiningSpec extends SparkSpec {
       Mining.ksDrift(a.filter($"v" < 0), a, "v")
     }
   }
+
+  test("psiDrift: identical samples stable at ~0, mass shifted off-support flags shifted, asymmetry-free bands") {
+    import spark.implicits._
+    val bins = Seq(10L, 20L, 30L)
+    val a = (1L to 400L).map(_ % 40).toDF("v")
+    val same = Mining.psiDrift(a, a, "v", bins).head
+    assert(same.getDouble(2) == 0.0 && same.getString(3) == "stable",
+      same.toString)
+    // everything pushed past the last boundary: a maximal shift
+    val b = (1L to 400L).map(i => 100L + i % 40).toDF("v")
+    val dis = Mining.psiDrift(a, b, "v", bins).head
+    assert(dis.getDouble(2) >= 0.25 && dis.getString(3) == "shifted",
+      dis.toString)
+    // PSI is symmetric under side swap (the (p−q)·ln(p/q) form)
+    val rev = Mining.psiDrift(b, a, "v", bins).head
+    assert(rev.getDouble(2) == dis.getDouble(2))
+    // partition-independent
+    val p = Mining.psiDrift(a.repartition(7), b.repartition(3), "v", bins).head
+    assert(p.getDouble(2) == dis.getDouble(2))
+    intercept[IllegalArgumentException] {
+      Mining.psiDrift(a, b, "v", Seq(3L, 2L))
+    }
+  }
 }
