@@ -176,6 +176,57 @@ object Streaming {
       (stat > 1.358).cast("int").as("reject"))
   }
 
+  /** Per-window POPULATION STABILITY INDEX against a static reference
+    * — [[windowedKsDrift]]'s integral-shift sibling (same bins, same
+    * B-longs-per-window state): the reference's Laplace-smoothed bin
+    * shares embed as literals, each window's terms unroll in-plan as a
+    * literal sum over the B bins with per-term integer-NANO
+    * quantization (the [[graft.operators.Mining.psiDrift]] discipline —
+    * Spark SQL's `log` is the same JVM Math.log the batch twin calls,
+    * so stream ≡ batch exactly). Returns (win_start, n_a, n_b, psi,
+    * band) per closed window.
+    */
+  def windowedPsiDrift(events: DataFrame, valueCol: String,
+                       windowDur: String, watermark: String,
+                       reference: DataFrame, bins: Seq[Long]): DataFrame = {
+    require(bins.nonEmpty && bins.size <= 256,
+      s"need 1..256 bin boundaries, got ${bins.size}")
+    require(bins == bins.sorted && bins.distinct.size == bins.size,
+      "bin boundaries must be strictly ascending")
+    val b = bins.size + 1
+    def binOf(c: Column): Column =
+      bins.zipWithIndex.foldRight(lit(b - 1): Column) { case ((up, i), acc) =>
+        when(c <= up, i).otherwise(acc)
+      }
+    val refCounts: Array[Long] = {
+      val m = reference.select(binOf(col(valueCol).cast("long")).as("__b"))
+        .groupBy(col("__b")).agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      (0 until b).map(i => m.getOrElse(i, 0L)).toArray
+    }
+    val nB = refCounts.sum
+    require(nB > 0, "reference must be non-empty")
+    val counted = events
+      .filter(col(valueCol).isNotNull)
+      .withWatermark("ts", watermark)
+      .withColumn("__b", binOf(col(valueCol).cast("long")))
+      .groupBy(window(col("ts"), windowDur).as("win"))
+      .agg(count(lit(1)).as("n_a"),
+        (0 until b).map(i =>
+          sum((col("__b") === i).cast("long")).as(s"__c$i")): _*)
+    val nA = col("n_a").cast("double") + lit(b.toDouble)
+    val terms: Seq[Column] = (0 until b).map { i =>
+      val pa = (col(s"__c$i").cast("double") + lit(1.0)) / nA
+      val pb = lit((refCounts(i) + 1.0) / (nB + b))
+      round((pa - pb) * log(pa / pb) * 1e9, 0).cast("long")
+    }
+    val psi = round(terms.reduce(_ + _).cast("double") / 1e9, 6) + lit(0.0)
+    counted.select(col("win.start").as("win_start"), col("n_a"),
+      lit(nB).as("n_b"), psi.as("psi"),
+      when(psi < 0.1, "stable").when(psi < 0.25, "moderate")
+        .otherwise("shifted").as("band"))
+  }
+
   /** Tumbling-window DISTINCT COUNT via the KMV sketch
     * (`DistinctSketch.KmvAgg` through `functions.udaf`): continuous
     * per-window cardinality with ≤ k longs of state per window instead

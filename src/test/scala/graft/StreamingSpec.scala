@@ -136,6 +136,49 @@ class StreamingSpec extends SparkSpec {
       far.map(_.toString).toSeq.toString)
   }
 
+  test("windowedPsiDrift: streaming per-window PSI equals batch psiDrift; shifted reference flags every window") {
+    import spark.implicits._
+    val events = Tables.load(spark, sf0001, "events")
+      .withColumn("v", col("value").cast("long"))
+    val tmp = Files.createTempDirectory("graft_stream_psi_").toString
+    events.repartition(4).write.mode("overwrite").parquet(tmp)
+    val bins = Seq(10L, 30L, 70L, 120L)
+    val stream = spark.readStream.schema(events.schema).parquet(tmp)
+    val q = Streaming.windowedPsiDrift(stream, "v", "24 hours",
+        "10 minutes", events, bins)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("stream_psi").start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("stream_psi").collect()
+      .map(r => r.getTimestamp(0).getTime ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getString(4))).toMap
+    assert(got.nonEmpty)
+    got.foreach { case (winMs, (nA, nB, psi, band)) =>
+      val lo = new java.sql.Timestamp(winMs)
+      val hi = new java.sql.Timestamp(winMs + 24L * 3600 * 1000)
+      val winRows = events
+        .filter(col("ts") >= lit(lo) && col("ts") < lit(hi)).select("v")
+      val want = graft.operators.Mining.psiDrift(winRows, events.select("v"),
+        "v", bins).head
+      assert((want.getLong(0), want.getLong(1), want.getDouble(2),
+        want.getString(3)) == ((nA, nB, psi, band)),
+        s"window $lo: stream ($nA,$nB,$psi,$band) vs batch $want")
+    }
+    // a reference shifted past every bin boundary flags each window
+    val refFar = events.select((col("v") + 1000L).as("v"))
+    val q2 = Streaming.windowedPsiDrift(
+        spark.readStream.schema(events.schema).parquet(tmp), "v",
+        "24 hours", "10 minutes", refFar, bins)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("stream_psi2").start()
+    q2.processAllAvailable()
+    q2.stop()
+    val far = spark.table("stream_psi2").collect()
+    assert(far.nonEmpty && far.forall(_.getString(4) == "shifted"),
+      far.map(_.toString).toSeq.toString)
+  }
+
   test("windowedCountMin: streaming bucket table equals batch; state is d*w-bounded") {
     val events = Tables.load(spark, sf0001, "events")
     val tmp = Files.createTempDirectory("graft_stream_cms_").toString
