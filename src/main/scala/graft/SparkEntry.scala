@@ -11841,6 +11841,33 @@ object SparkEntry {
       val sfx = substring($"source", 4, 10).cast("int")
       Mining.psiDrift(docs.filter(sfx % 2 === 0), docs.filter(sfx % 2 =!= 0),
         "n_chars", Seq(150L, 250L, 350L, 450L))
+    }),
+
+    // Embedding-collapse diagnostic: per-label ANISOTROPY = the norm of
+    // the mean UNIT vector — 0 for perfectly spread directions, → 1 as
+    // the space collapses onto one direction (the contrastive-training
+    // failure mode; Ethayarajh 2019's anisotropy lens). Integer-exact:
+    // unit elements quantize to micro-units, per-dim means re-quantize,
+    // the squared-norm sums 64 exact longs, ONE sqrt at the end.
+    "q_anisotropy" -> ((s, dir) => {
+      import s.implicits._
+      val e = t(s, dir, "embeddings")
+      val nrm = greatest(sqrt(dotF($"embedding", $"embedding")), lit(V.NormEps))
+      e.withColumn("__n", nrm)
+        .select($"label", posexplode($"embedding").as(Seq("pos", "x")),
+          $"__n")
+        .select($"label", $"pos",
+          round(($"x".cast("double") / $"__n") * 1e6, 0).cast("long").as("u6"))
+        .groupBy($"label", $"pos")
+        .agg(sum($"u6").as("s"), count(lit(1)).as("nn"))
+        .select($"label", $"nn",
+          round(round($"s".cast("double") / 1e6 / $"nn", 6) * 1e6, 0)
+            .cast("long").as("m6"))
+        .groupBy($"label")
+        .agg(max($"nn").as("n"),
+          (round(sqrt(sum($"m6" * $"m6").cast("double")) / 1e6, 6) + lit(0.0))
+            .as("anisotropy"))
+        .orderBy($"label")
     })
   )
 
@@ -12367,7 +12394,26 @@ object SparkEntry {
         |       CASE WHEN psi < 0.1 THEN 'stable'
         |            WHEN psi < 0.25 THEN 'moderate'
         |            ELSE 'shifted' END AS band
-        |FROM r""".stripMargin
+        |FROM r""".stripMargin,
+
+    "q_anisotropy" ->
+      """WITH u AS (
+        |  SELECT label, p.pos, CAST(ROUND(
+        |    p.x::DOUBLE / GREATEST(SQRT(list_sum(list_transform(embedding,
+        |      y -> y::DOUBLE * y::DOUBLE))), 1e-12) * 1000000) AS BIGINT) AS u6
+        |  FROM embeddings,
+        |       LATERAL (SELECT unnest(embedding) AS x,
+        |                       generate_subscripts(embedding, 1) - 1 AS pos) p),
+        |m AS (
+        |  SELECT label, pos,
+        |         CAST(ROUND(ROUND(SUM(u6)::DOUBLE / 1000000.0 / COUNT(*), 6)
+        |           * 1000000) AS BIGINT) AS m6,
+        |         COUNT(*) AS nn
+        |  FROM u GROUP BY label, pos)
+        |SELECT label, MAX(nn) AS n,
+        |       ROUND(SQRT(SUM(m6 * m6)::DOUBLE) / 1000000.0, 6) + 0.0
+        |         AS anisotropy
+        |FROM m GROUP BY label ORDER BY label""".stripMargin
   )
 
   /** q_pq_distortion oracle: per m ∈ {2,4,8}, the per-(vec, subspace)
