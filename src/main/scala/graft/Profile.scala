@@ -1147,6 +1147,23 @@ object Profile {
       ns(e1) // warmup
       time("NS1 namespaced batch (20q) 1x")(ns(e1))
       time("NS10 namespaced batch (20q) 10x")(ns(e10))
+      // hot namespace: 90% of rows in ONE tenant — a query against the
+      // hot tenant pays that tenant's probed fraction, a cold tenant's
+      // stays tiny; the join must not degrade to anything row-global
+      val hot = e10.withColumn("label",
+        when($"vec_id" % 10 < 9, lit(0)).otherwise(lit(1)))
+        .localCheckpoint(true)
+      def nsOne(lbl: Int): Long = {
+        val qs = hot.filter($"label" === lbl && $"vec_id" % 100 === 42)
+          .limit(10)
+          .select($"vec_id".as("qid"), $"embedding".as("qvec"),
+            $"label".as("qns"))
+        Ann.searchNamespacedBatch(hot, cents, "vec_id", "embedding", "label",
+          "cent_id", "cvec", qs, "qid", "qvec", "qns", 4, 5).count()
+      }
+      nsOne(0) // warmup
+      time("NSH hot tenant (90% of rows), 10q")(nsOne(0))
+      time("NSC cold tenant (10% of rows), 10q")(nsOne(1))
     }
 
     // Duplicate-query collapse: plain batch cost grows with query SLOTS
