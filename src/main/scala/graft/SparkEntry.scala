@@ -11868,6 +11868,21 @@ object SparkEntry {
           (round(sqrt(sum($"m6" * $"m6").cast("double")) / 1e6, 6) + lit(0.0))
             .as("anisotropy"))
         .orderBy($"label")
+    }),
+
+    // Calibration audit: reliability diagram + ECE over a deterministic
+    // confidence (uniform via doc_id·37 mod 1000) against the
+    // length-rule label — the audit every confidence-thresholded
+    // quality gate needs before `conf > t` means anything. Per-bin
+    // micro-means, ECE from the same rounded values the rows display.
+    "q_reliability" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+        .select((pmod($"doc_id" * 37, lit(1000)).cast("double") / 1000.0)
+          .as("conf"),
+          ($"n_chars" > 300).cast("long").as("y"))
+      Mining.reliabilityReport(docs, "conf", "y", nBins = 10)
+        .orderBy($"bin")
     })
   )
 
@@ -12413,7 +12428,33 @@ object SparkEntry {
         |SELECT label, MAX(nn) AS n,
         |       ROUND(SQRT(SUM(m6 * m6)::DOUBLE) / 1000000.0, 6) + 0.0
         |         AS anisotropy
-        |FROM m GROUP BY label ORDER BY label""".stripMargin
+        |FROM m GROUP BY label ORDER BY label""".stripMargin,
+
+    "q_reliability" ->
+      """WITH x AS (
+        |  SELECT ((doc_id * 37) % 1000)::DOUBLE / 1000.0 AS conf,
+        |         CAST(n_chars > 300 AS BIGINT) AS y
+        |  FROM documents),
+        |b AS (
+        |  SELECT LEAST(CAST(FLOOR(conf * 10) AS INT), 9) AS bin,
+        |         CAST(ROUND(conf * 1000000) AS BIGINT) AS c6, y
+        |  FROM x),
+        |g AS (
+        |  SELECT bin, COUNT(*) AS n,
+        |         CAST(ROUND(ROUND(SUM(c6)::DOUBLE / 1000000.0 / COUNT(*), 6)
+        |           * 1000000) AS BIGINT) AS cm6,
+        |         CAST(ROUND(ROUND(SUM(y)::DOUBLE / COUNT(*), 6)
+        |           * 1000000) AS BIGINT) AS am6
+        |  FROM b GROUP BY bin),
+        |e AS (
+        |  SELECT ROUND(SUM(ABS(cm6 - am6) * n)::DOUBLE / SUM(n) / 1000000.0, 6)
+        |           + 0.0 AS ece
+        |  FROM g)
+        |SELECT bin, n,
+        |       ROUND(cm6::DOUBLE / 1000000.0, 6) + 0.0 AS mean_conf,
+        |       ROUND(am6::DOUBLE / 1000000.0, 6) + 0.0 AS acc,
+        |       e.ece
+        |FROM g CROSS JOIN e ORDER BY bin""".stripMargin
   )
 
   /** q_pq_distortion oracle: per m ∈ {2,4,8}, the per-(vec, subspace)

@@ -396,6 +396,61 @@ object Mining {
     Seq((nA, nB, psi + 0.0, band)).toDF("n_a", "n_b", "psi", "band")
   }
 
+  /** RELIABILITY DIAGRAM + expected calibration error — the standard
+    * audit for any confidence-thresholded filter (quality classifiers
+    * gate corpora on `conf > t`; if conf is miscalibrated the threshold
+    * means nothing). Rows land in `nBins` equal-width confidence bins;
+    * each bin reports its size, mean confidence, and empirical accuracy
+    * (the label mean), and every row carries the dataset-level ECE =
+    * Σ_b (n_b/N)·|acc_b − conf_b| computed from the same rounded
+    * per-bin means the rows display (no hidden higher-precision value
+    * can disagree with the table a human reads).
+    *
+    * Integer-exact: confidences quantize to micro-units at entry, bin
+    * means re-quantize (the micro-mean discipline), the ECE numerator
+    * sums n_b·|Δmicro| exactly in DECIMAL(38,0), one division at the
+    * end. State is nBins-bounded. Confidence outside [0, 1] or a
+    * non-0/1 label throws — a silent clamp would fake calibration.
+    * Returns (bin, n, mean_conf, acc, ece) rows, bin ascending.
+    */
+  def reliabilityReport(df: DataFrame, confCol: String, labelCol: String,
+                        nBins: Int = 10): DataFrame = {
+    require(nBins >= 1 && nBins <= 1000, s"need 1..1000 bins, got $nBins")
+    val conf = col(confCol).cast("double")
+    val lab = col(labelCol).cast("long")
+    val checked = df.select(
+      when(conf.isNull || conf < 0.0 || conf > 1.0,
+        raise_error(concat(lit("confidence outside [0,1]: "),
+          conf.cast("string")))).otherwise(conf).as("__cf"),
+      when(lab.isNull || (lab =!= 0L && lab =!= 1L),
+        raise_error(concat(lit("label must be 0/1, got "),
+          lab.cast("string")))).otherwise(lab).as("__y"))
+    val binned = checked.select(
+      least(floor(col("__cf") * nBins).cast("int"), lit(nBins - 1)).as("bin"),
+      round(col("__cf") * 1e6, 0).cast("long").as("__c6"), col("__y"))
+    val perBin = binned.groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("__c6")).as("__sc"),
+        sum(col("__y")).as("__sy"))
+      .select(col("bin"), col("n"),
+        round(round(col("__sc").cast("double") / 1e6 / col("n"), 6) * 1e6, 0)
+          .cast("long").as("__cm6"),
+        round(round(col("__sy").cast("double") / col("n"), 6) * 1e6, 0)
+          .cast("long").as("__am6"))
+      .localCheckpoint(true)
+    val tot = perBin.agg(
+      sum(col("n")).as("__N"),
+      sum(abs(col("__cm6") - col("__am6")).cast("decimal(38,0)") *
+        col("n").cast("decimal(38,0)")).as("__num")).head
+    val n = tot.getLong(0)
+    val ece = java.math.BigDecimal.valueOf(
+        BigDecimal(tot.getDecimal(1)).toDouble / n / 1e6)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    perBin.select(col("bin"), col("n"),
+      (round(col("__cm6").cast("double") / 1e6, 6) + lit(0.0)).as("mean_conf"),
+      (round(col("__am6").cast("double") / 1e6, 6) + lit(0.0)).as("acc"),
+      lit(ece + 0.0).as("ece"))
+  }
+
   def lexicalDrift(oldDocs: DataFrame, newDocs: DataFrame, groupCol: String,
                    textCol: String, topN: Int = 100): DataFrame = {
     val vocab: Seq[String] = oldDocs

@@ -129,7 +129,7 @@
   *  - As-of join: [[graft.operators.AsofJoin]]; salted skew join:
   *    [[graft.operators.SkewJoin]]; Bloom runtime-filtered join:
   *    [[graft.operators.RuntimeFilter]]
-  *  - The TPC-H 22/22 sweep and 282 oracle-checked relational/pipeline
+  *  - The TPC-H 22/22 sweep and 283 oracle-checked relational/pipeline
   *    queries: [[graft.SparkEntry]]
   *
   * ==Embedding and RAG==

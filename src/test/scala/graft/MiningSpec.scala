@@ -243,4 +243,35 @@ class MiningSpec extends SparkSpec {
       Mining.psiDrift(a, b, "v", Seq(3L, 2L))
     }
   }
+
+  test("reliabilityReport: perfect calibration scores ECE 0, inverted scores ~1, bad inputs throw") {
+    import spark.implicits._
+    // perfectly calibrated: conf c ⇒ exactly fraction c of labels are 1
+    // (bins of 10 rows at conf .05,.15,…, k ones each → acc == conf? use
+    // conf equal to the bin's realized accuracy directly)
+    val perfect = (0 until 10).flatMap { b =>
+      val conf = (b * 10 + 5) / 100.0 // mid-bin confidence
+      val ones = math.round(conf * 20).toInt
+      (0 until 20).map(i => (conf, if (i < ones) 1L else 0L))
+    }.toDF("conf", "y")
+    val p = Mining.reliabilityReport(perfect, "conf", "y", 10)
+      .orderBy($"bin").collect()
+    assert(p.length == 10)
+    assert(p.head.getDouble(4) == 0.0, s"perfect calibration must ECE 0: ${p.head}")
+    p.foreach(r => assert(r.getDouble(2) == r.getDouble(3), r.toString))
+    // inverted: high confidence on the 0 class → ECE near 1
+    val inverted = (0 until 100).map(i =>
+      (if (i < 50) 0.995 else 0.005, if (i < 50) 0L else 1L)).toDF("conf", "y")
+    val inv = Mining.reliabilityReport(inverted, "conf", "y", 10).collect()
+    assert(inv.head.getDouble(4) > 0.98, inv.head.toString)
+    // loud failures: conf out of range, label not 0/1
+    intercept[Exception] {
+      Mining.reliabilityReport(Seq((1.5, 1L)).toDF("conf", "y"), "conf", "y")
+        .collect()
+    }
+    intercept[Exception] {
+      Mining.reliabilityReport(Seq((0.5, 2L)).toDF("conf", "y"), "conf", "y")
+        .collect()
+    }
+  }
 }
