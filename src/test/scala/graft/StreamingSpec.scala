@@ -1753,6 +1753,20 @@ class StreamingSpec extends SparkSpec {
       val mine = got.filter(_._1 == qid).map(x => (x._2, x._3)).toSet
       assert(mine == single, s"qid $qid: $mine vs single $single")
     }
+    // AQE-on twin: the tenant routing join must stay a broadcast probe
+    // over the pruned scan under adaptive execution
+    val old = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    try {
+      val df = Streaming.searchMaintainedNamespacedBatch(spark, table, cents,
+        "cent_id", "cvec", queries, "qid", "qvec", "qns", "tenant", 2, 5)
+      df.queryExecution.executedPlan.executeCollect(): Unit
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+        s"AQE must not re-shape the tenant join:\n$p")
+      assert(p.contains("PartitionFilters: ["),
+        s"probed-cell pruning must survive AQE:\n$p")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", old)
   }
 
   test("describeMaintained: per-cell census, tombstone count, centroid version, compaction debt") {
