@@ -8,7 +8,7 @@ import graft.expressions.FloatVectorExpressions.dotF
 import graft.expressions.JaroWinkler.jaroWinklerF
 import graft.expressions.TextHashExpressions.{minhashSigF, simhash32F}
 import graft.functions.{HashFunctions, TextFunctions => T, UrlFunctions, VectorFunctions => V}
-import graft.operators.{Align, Ann, AsofJoin, Bm25, BpeTrain, Classifier, Collocations, Coreset, CountMin, Curation, Dedup, DistinctSketch, Ewma, GraphOps, HeavyHitters, Hierarchy, Mining, Multimodal, Packing, PageRank, Privacy, QuantileSketch, Rerank, RuntimeFilter, Sampling, SftPrep, SkewJoin, Tfidf, TextEval, TextTiling, TopK, TrigramLm, UnigramLm, Validation}
+import graft.operators.{Align, Ann, AsofJoin, Bm25, BpeTrain, Classifier, Collocations, Coreset, CountMin, Curation, Dedup, DistinctSketch, Ewma, GraphOps, HeavyHitters, Hierarchy, Mining, Multimodal, Packing, PageRank, Privacy, QuantileSketch, Rerank, RuntimeFilter, Sampling, SftPrep, SkewJoin, Sparse, Tfidf, TextEval, TextTiling, TopK, TrigramLm, UnigramLm, Validation}
 import graft.sources.{Layout, Tables}
 import graft.streaming.Streaming
 
@@ -353,12 +353,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     vectorQueries ++ relationalQueries ++ eventsQueries ++ textQueries ++
       dedupQueries ++ extraQueries ++ round5Queries ++ round6Queries ++
-      round7Queries ++ round8Queries ++ round9Queries ++ round10Queries
+      round7Queries ++ round8Queries ++ round9Queries ++ round10Queries ++
+      round11Queries
 
   def oracleSql: Map[String, String] =
     vectorOracles ++ relationalOracles ++ eventsOracles ++ textOracles ++
       dedupOracles ++ extraOracles ++ round5Oracles ++ round6Oracles ++
-      round7Oracles ++ round8Oracles ++ round9Oracles ++ round10Oracles
+      round7Oracles ++ round8Oracles ++ round9Oracles ++ round10Oracles ++
+      round11Oracles
 
   // ======================================================= vector workload
 
@@ -12590,4 +12592,197 @@ object SparkEntry {
        |       CAST(n_probes = ch.cp AS INT) AS chosen
        |FROM rl, ch ORDER BY n_probes""".stripMargin
   }
+
+  /** The q_sparse_* query: term → micro-unit weight, the learned-sparse
+    * shape (a model would emit these; here hand-pinned so both engines
+    * share the literal).
+    */
+  private val SparseQuery: Seq[(String, Long)] = Seq(
+    "vector" -> 2500000L, "join" -> 1500000L,
+    "scan" -> 1000000L, "data" -> 500000L)
+
+  private def sparseQueryCaseSql: String =
+    SparseQuery.map { case (t, w) => s"WHEN '$t' THEN $w" }
+      .mkString("CASE term ", " ", " ELSE 0 END")
+
+  private def sparseQueryInSql: String =
+    SparseQuery.map(q => s"'${q._1}'").mkString("(", ", ", ")")
+
+  // ============================================== round-11 serving surface
+
+  private def round11Queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Recommend-by-examples (Rocchio relevance feedback; the vector-DB
+    // "recommend" API): q = mean(pos) − mean(neg), examples excluded,
+    // cosine top-10. The oracle replays the micro-unit per-dimension
+    // means, so the hash certifies the synthetic query vector itself,
+    // not just the ranking.
+    "q_recommend" -> ((s, dir) => {
+      import s.implicits._
+      Ann.recommend(t(s, dir, "embeddings"), "vec_id", "embedding",
+          posIds = Seq(1L, 2L, 3L), negIds = Seq(10L, 11L), k = 10)
+        .select($"id".as("vec_id"), $"score")
+    }),
+
+    // Filtered recommend, no negatives: pred restricts the searched
+    // rows (label = 3) and the empty negative set drops the subtrahend
+    // — the two optional-path branches in one oracle.
+    "q_recommend_filtered" -> ((s, dir) => {
+      import s.implicits._
+      Ann.recommend(t(s, dir, "embeddings"), "vec_id", "embedding",
+          posIds = Seq(1L, 2L, 3L), negIds = Seq.empty, k = 10,
+          pred = col("label") === 3)
+        .select($"id".as("vec_id"), $"score")
+    }),
+
+    // Grouped search (vector-DB group_by: top-5 groups by their best
+    // hit, top-3 hits each — the RAG chunk→parent-doc dedupe shape).
+    // Group = label; candidates scored by cosine against vec 0.
+    "q_grouped_search" -> ((s, dir) => {
+      import s.implicits._
+      val e = t(s, dir, "embeddings")
+      val qv = e.filter($"vec_id" === 0).select($"embedding").head.getSeq[Float](0)
+      val scored = e.withColumn("score",
+        score6(V.cosine($"embedding", typedLit(qv))))
+      TopK.groupedTopK(scored, "label", $"score", $"vec_id", 5, 3)
+        .select($"label", $"grp_rank", $"rnk", $"id".as("vec_id"), $"score")
+    }),
+
+    // Learned-sparse (SPLADE-shape) retrieval: tf-idf postings as the
+    // sparse index, a term→micro-weight query, inverted-index dot
+    // product — only the query terms' posting lists are scanned.
+    "q_sparse_search" -> ((s, dir) => {
+      import s.implicits._
+      val post = Tfidf.vectorize(spread(s, t(s, dir, "documents")),
+        "doc_id", "text")
+      Sparse.sparseSearch(post, "doc_id", "term", "wq", SparseQuery, 10)
+        .select($"doc_id", $"score")
+    }),
+
+    // Champion-list static pruning: cap every posting list at its 20
+    // highest-impact entries, then run the SAME sparse query over the
+    // pruned index. The oracle replays the per-term truncation, so the
+    // hash certifies exactly which postings survive — the documented
+    // recall trade of impact-ordered indexes.
+    "q_sparse_pruned" -> ((s, dir) => {
+      import s.implicits._
+      val post = Tfidf.vectorize(spread(s, t(s, dir, "documents")),
+        "doc_id", "text")
+      val pruned = Sparse.championPrune(post, "doc_id", "term", "wq", 20)
+      Sparse.sparseSearch(pruned, "doc_id", "term", "wq", SparseQuery, 10)
+        .select($"doc_id", $"score")
+    })
+  )
+
+  private def round11Oracles: Map[String, String] = Map(
+
+    "q_recommend" ->
+      """WITH ex AS MATERIALIZED (
+        |  SELECT vec_id, unnest(generate_series(1, 64)) AS pos,
+        |         unnest(embedding)::DOUBLE AS x
+        |  FROM embeddings),
+        |ps AS (SELECT pos, SUM(CAST(ROUND(x * 1000000, 0) AS BIGINT)) AS s
+        |       FROM ex WHERE vec_id IN (1, 2, 3) GROUP BY pos),
+        |ns AS (SELECT pos, SUM(CAST(ROUND(x * 1000000, 0) AS BIGINT)) AS s
+        |       FROM ex WHERE vec_id IN (10, 11) GROUP BY pos),
+        |qv AS (SELECT ps.pos,
+        |              ROUND(ps.s::DOUBLE / 3000000.0 - ns.s::DOUBLE / 2000000.0, 6)
+        |                + 0.0 AS q
+        |       FROM ps JOIN ns USING (pos)),
+        |agg AS (SELECT e.vec_id, SUM(e.x * qv.q) AS dp,
+        |               SUM(e.x * e.x) AS nx2, SUM(qv.q * qv.q) AS nq2
+        |        FROM ex e JOIN qv USING (pos)
+        |        WHERE e.vec_id NOT IN (1, 2, 3, 10, 11) GROUP BY e.vec_id),
+        |sc AS (SELECT vec_id,
+        |              ROUND(dp / (GREATEST(SQRT(nx2), 1e-12) * GREATEST(SQRT(nq2), 1e-12)), 6)
+        |                + 0.0 AS score
+        |       FROM agg)
+        |SELECT vec_id, score FROM sc ORDER BY score DESC, vec_id LIMIT 10""".stripMargin,
+
+    "q_recommend_filtered" ->
+      """WITH ex AS MATERIALIZED (
+        |  SELECT vec_id, label, unnest(generate_series(1, 64)) AS pos,
+        |         unnest(embedding)::DOUBLE AS x
+        |  FROM embeddings),
+        |ps AS (SELECT pos, SUM(CAST(ROUND(x * 1000000, 0) AS BIGINT)) AS s
+        |       FROM ex WHERE vec_id IN (1, 2, 3) GROUP BY pos),
+        |qv AS (SELECT pos, ROUND(s::DOUBLE / 3000000.0, 6) + 0.0 AS q FROM ps),
+        |agg AS (SELECT e.vec_id, SUM(e.x * qv.q) AS dp,
+        |               SUM(e.x * e.x) AS nx2, SUM(qv.q * qv.q) AS nq2
+        |        FROM ex e JOIN qv USING (pos)
+        |        WHERE e.label = 3 AND e.vec_id NOT IN (1, 2, 3)
+        |        GROUP BY e.vec_id),
+        |sc AS (SELECT vec_id,
+        |              ROUND(dp / (GREATEST(SQRT(nx2), 1e-12) * GREATEST(SQRT(nq2), 1e-12)), 6)
+        |                + 0.0 AS score
+        |       FROM agg)
+        |SELECT vec_id, score FROM sc ORDER BY score DESC, vec_id LIMIT 10""".stripMargin,
+
+    "q_grouped_search" ->
+      """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+        |pairs AS (
+        |  SELECT e.vec_id, e.label, unnest(e.embedding)::DOUBLE AS x,
+        |         unnest(q.qe)::DOUBLE AS y
+        |  FROM embeddings e CROSS JOIN q),
+        |agg AS (SELECT vec_id, label, SUM(x*y) AS dp, SUM(x*x) AS nx2, SUM(y*y) AS ny2
+        |        FROM pairs GROUP BY vec_id, label),
+        |sc AS (SELECT vec_id, label,
+        |              ROUND(dp / (GREATEST(SQRT(nx2), 1e-12) * GREATEST(SQRT(ny2), 1e-12)), 6)
+        |                + 0.0 AS score
+        |       FROM agg),
+        |h AS (SELECT label, vec_id, score,
+        |             row_number() OVER (PARTITION BY label ORDER BY score DESC, vec_id) AS rnk
+        |      FROM sc),
+        |best AS (SELECT label, score FROM h WHERE rnk = 1),
+        |topg AS (SELECT label,
+        |                row_number() OVER (ORDER BY score DESC, label) AS grp_rank
+        |         FROM (SELECT label, score FROM best
+        |               ORDER BY score DESC, label LIMIT 5)),
+        |hk AS (SELECT * FROM h WHERE rnk <= 3)
+        |SELECT hk.label, topg.grp_rank, hk.rnk, hk.vec_id, hk.score
+        |FROM hk JOIN topg USING (label)
+        |ORDER BY grp_rank, rnk""".stripMargin,
+
+    "q_sparse_search" ->
+      s"""WITH t AS (
+        |  SELECT doc_id, CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[]) ELSE string_split_regex(trim(lower(text)), '\\s+') END AS toks
+        |  FROM documents),
+        |tok AS (SELECT doc_id, unnest(toks) AS term FROM t),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term),
+        |nn AS (SELECT COUNT(*)::DOUBLE AS n FROM documents),
+        |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+        |idf AS (SELECT term, ROUND(ln((nn.n + 1.0) / (df.df::DOUBLE + 1.0)) + 1.0, 6) AS idf
+        |        FROM df CROSS JOIN nn),
+        |w AS (SELECT tf.doc_id, tf.term,
+        |             CAST(ROUND(tf.tf::DOUBLE * idf.idf * 1000000) AS BIGINT) AS wq
+        |      FROM tf JOIN idf USING (term)),
+        |c AS (SELECT doc_id, SUM(wq * ($sparseQueryCaseSql)) AS dot
+        |      FROM w WHERE term IN $sparseQueryInSql GROUP BY doc_id)
+        |SELECT doc_id, ROUND(dot::DOUBLE / 1000000000000.0, 6) + 0.0 AS score
+        |FROM c WHERE dot > 0
+        |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
+
+    "q_sparse_pruned" ->
+      s"""WITH t AS (
+        |  SELECT doc_id, CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[]) ELSE string_split_regex(trim(lower(text)), '\\s+') END AS toks
+        |  FROM documents),
+        |tok AS (SELECT doc_id, unnest(toks) AS term FROM t),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term),
+        |nn AS (SELECT COUNT(*)::DOUBLE AS n FROM documents),
+        |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+        |idf AS (SELECT term, ROUND(ln((nn.n + 1.0) / (df.df::DOUBLE + 1.0)) + 1.0, 6) AS idf
+        |        FROM df CROSS JOIN nn),
+        |w AS (SELECT tf.doc_id, tf.term,
+        |             CAST(ROUND(tf.tf::DOUBLE * idf.idf * 1000000) AS BIGINT) AS wq
+        |      FROM tf JOIN idf USING (term)),
+        |pr AS (SELECT doc_id, term, wq FROM (
+        |         SELECT doc_id, term, wq,
+        |                row_number() OVER (PARTITION BY term ORDER BY wq DESC, doc_id) AS rn
+        |         FROM w) WHERE rn <= 20),
+        |c AS (SELECT doc_id, SUM(wq * ($sparseQueryCaseSql)) AS dot
+        |      FROM pr WHERE term IN $sparseQueryInSql GROUP BY doc_id)
+        |SELECT doc_id, ROUND(dot::DOUBLE / 1000000000000.0, 6) + 0.0 AS score
+        |FROM c WHERE dot > 0
+        |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin
+  )
 }

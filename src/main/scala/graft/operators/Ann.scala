@@ -491,6 +491,57 @@ object Ann {
       .select(col(idCol).as("id"), col("score"))
   }
 
+  /** Recommend-by-examples (the vector-DB "recommend" surface: Qdrant
+    * recommend, Weaviate near-object with negatives) via Rocchio
+    * relevance feedback (SMART, 1971): the synthetic query is
+    * q_j = round(β·mean(pos)_j − γ·mean(neg)_j, 6), the example rows
+    * themselves are excluded, and the corpus is ranked by cosine
+    * against q. `posIds` must be non-empty; an empty `negIds` drops
+    * the subtrahend; `pred` optionally restricts the searched rows
+    * (filtered recommend).
+    *
+    * Determinism across engines: per-dimension example means are exact
+    * integer reductions — each element quantizes to micro-units
+    * (×1e6, round, long) before summing, the float-sum ordering problem
+    * never arises, and the single divide + round-6 happens once per
+    * dimension. The example pull is tiny by contract (a handful of ids,
+    * `IN` pushed to the scan; `dim` rows reach the driver), the scan is
+    * the proven broadcast-literal cosine shape, and top-k is the
+    * per-partition-heap merge — nothing here grows with the corpus
+    * except the one scored scan.
+    */
+  def recommend(vectors: DataFrame, idCol: String, vecCol: String,
+                posIds: Seq[Long], negIds: Seq[Long], k: Int,
+                beta: Double = 1.0, gamma: Double = 1.0,
+                pred: Column = lit(true)): DataFrame = {
+    require(posIds.nonEmpty, "recommend needs at least one positive example")
+    // per-dimension micro-unit sums over an example set: dim rows back
+    def microSums(ids: Seq[Long]): Map[Int, Long] = vectors
+      .filter(col(idCol).isInCollection(ids))
+      .select(posexplode(col(vecCol)).as(Seq("__pos", "__x")))
+      .groupBy(col("__pos"))
+      .agg(sum(round(col("__x").cast("double") * lit(1000000.0), 0)
+        .cast("long")).as("__s"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val dim = vectors.select(size(col(vecCol))).head.getInt(0)
+    val ps = microSums(posIds)
+    val ns = if (negIds.isEmpty) Map.empty[Int, Long] else microSums(negIds)
+    val q: Seq[Double] = (0 until dim).map { j =>
+      val p = beta * (ps.getOrElse(j, 0L).toDouble / (posIds.size * 1e6))
+      val n = if (negIds.isEmpty) 0.0
+              else gamma * (ns.getOrElse(j, 0L).toDouble / (negIds.size * 1e6))
+      java.math.BigDecimal.valueOf(p - n)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue() + 0.0
+    }
+    val excluded = posIds ++ negIds
+    val scored = vectors
+      .filter(pred && !col(idCol).isInCollection(excluded))
+      .withColumn("score",
+        round(V.cosine(col(vecCol), typedLit(q)), 6) + lit(0.0))
+    TopK.topK(scored, col("score"), col(idCol), k)
+      .select(col(idCol).as("id"), col("score"))
+  }
+
   /** Metadata-FILTERED top-k — the vector-DB "filtered search" every
     * production deployment needs (search only `lang = 'en'`, only one
     * tenant, only docs after a date). Returns the top `k` rows of

@@ -76,6 +76,42 @@ object TopK {
       .select((key.map(c => col(c.toString)) :+
         col("__hit.score").as("score") :+ col("__hit.id").as("id")): _*)
   }
+
+  /** Grouped search (the vector-DB `group_by` surface: Qdrant
+    * search_groups, Milvus group-by search): from a scored candidate
+    * set, return the top `nGroups` groups — ranked by each group's
+    * best hit — with the top `perGroup` hits inside each. The RAG
+    * serving shape: a chunk-level index where `group` is the parent
+    * document, so one strong document cannot flood the result page
+    * with its own chunks.
+    *
+    * Scale shape: ONE pass over the scored rows through the k-bounded
+    * two-phase aggregator (exchange ≤ groups × perGroup entries, never
+    * the candidates); group ranking is a per-partition-heap
+    * `TakeOrderedAndProject` over the one-best-row-per-group set; the
+    * winning `nGroups` rows broadcast back to trim the hits. The only
+    * unpartitioned windows run over ≤ nGroups and ≤ nGroups × perGroup
+    * rows respectively — driver-bounded by the request, not the data.
+    *
+    * Ties: quantize `score` before calling (the caller's `round`),
+    * hits order (score desc, id asc), groups order (best desc, group
+    * asc). Output: (group, grp_rank, rnk, id, score), ordered.
+    */
+  def groupedTopK(scored: DataFrame, groupCol: String, score: Column,
+                  id: Column, nGroups: Int, perGroup: Int): DataFrame = {
+    val g = col(groupCol)
+    val hits = topKPerKeyAgg(scored, Seq(g), score, id, perGroup)
+    val best = topKPerKeyAgg(hits, Seq(g), col("score"), col("id"), 1)
+    val top = topK(best.select(g, col("score")), col("score"), g, nGroups)
+    val ranked = top.withColumn("grp_rank",
+        row_number().over(Window.orderBy(col("score").desc, g.asc)))
+      .select(g, col("grp_rank"))
+    hits.join(broadcast(ranked), Seq(groupCol))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(g).orderBy(col("score").desc, col("id").asc)))
+      .select(g, col("grp_rank"), col("rnk"), col("id"), col("score"))
+      .orderBy(col("grp_rank"), col("rnk"))
+  }
 }
 
 /** Scored hit for `TopKAggregator` — id type is generic (LONG for the
