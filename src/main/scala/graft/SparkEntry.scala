@@ -12052,14 +12052,14 @@ object SparkEntry {
          |r8 AS (${rdvShard(8)}),
          |r10 AS (${rdvShard(10)})
          |SELECT 'mod' AS scheme,
-         |       SUM(CASE WHEN a.shard <> b.shard THEN 1 ELSE 0 END) AS moved,
+         |       SUM(CASE WHEN a.shard <> b.shard THEN 1 ELSE 0 END)::BIGINT AS moved,
          |       COUNT(*) AS total,
          |       ROUND(SUM(CASE WHEN a.shard <> b.shard THEN 1 ELSE 0 END)::DOUBLE
          |             / COUNT(*), 6) + 0.0 AS moved_pct
          |FROM m8 a JOIN m10 b ON a.vec_id = b.vec_id
          |UNION ALL
          |SELECT 'rendezvous' AS scheme,
-         |       SUM(CASE WHEN a.shard <> b.shard THEN 1 ELSE 0 END) AS moved,
+         |       SUM(CASE WHEN a.shard <> b.shard THEN 1 ELSE 0 END)::BIGINT AS moved,
          |       COUNT(*) AS total,
          |       ROUND(SUM(CASE WHEN a.shard <> b.shard THEN 1 ELSE 0 END)::DOUBLE
          |             / COUNT(*), 6) + 0.0 AS moved_pct
@@ -12076,7 +12076,7 @@ object SparkEntry {
         |         CASE WHEN doc_id % 4 >= 2 THEN n_chars * 2
         |              ELSE n_chars + 7 END AS score
         |  FROM documents),
-        |a AS (SELECT part, SUM(score) AS s, COUNT(*) AS n
+        |a AS (SELECT part, SUM(score)::BIGINT AS s, COUNT(*) AS n
         |      FROM e GROUP BY part)
         |SELECT 'mor' AS branch, part, s, n FROM a
         |UNION ALL
@@ -12093,8 +12093,8 @@ object SparkEntry {
         |allrows AS (
         |  SELECT doc_id, lang, n_chars, source FROM documents
         |  UNION ALL SELECT * FROM delta)
-        |SELECT source, lang, COUNT(*) AS n_docs, SUM(n_chars) AS sum_chars,
-        |       1 AS n_refreshed
+        |SELECT source, lang, COUNT(*) AS n_docs, SUM(n_chars)::BIGINT AS sum_chars,
+        |       CAST(1 AS BIGINT) AS n_refreshed
         |FROM allrows GROUP BY source, lang
         |ORDER BY source, lang""".stripMargin,
 
@@ -12273,7 +12273,7 @@ object SparkEntry {
         |r AS (
         |  SELECT na, nb,
         |         ROUND(dd * 1.0 / (na * 1.0 * nb), 6) + 0.0 AS ks FROM d)
-        |SELECT na AS n_a, nb AS n_b, ks,
+        |SELECT na::BIGINT AS n_a, nb::BIGINT AS n_b, ks,
         |       ROUND(ks * SQRT(na * 1.0 * nb / (na + nb)), 6) + 0.0 AS ks_stat,
         |       CAST(ROUND(ks * SQRT(na * 1.0 * nb / (na + nb)), 6) > 1.358 AS INT)
         |         AS reject
@@ -12282,7 +12282,7 @@ object SparkEntry {
     "q_jsonl_tolerant" ->
       """SELECT COUNT(*) FILTER (WHERE doc_id % 7 <> 0) AS n_good,
         |       COUNT(*) FILTER (WHERE doc_id % 7 = 0) AS n_bad,
-        |       COALESCE(SUM(n_chars) FILTER (WHERE doc_id % 7 <> 0), 0)
+        |       COALESCE(SUM(n_chars) FILTER (WHERE doc_id % 7 <> 0), 0)::BIGINT
         |         AS sum_chars
         |FROM documents""".stripMargin,
 

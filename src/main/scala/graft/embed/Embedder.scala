@@ -404,19 +404,30 @@ object Embed {
   /** Wrap a partition iterator so `embedder.close()` fires exactly once
     * when the iterator is exhausted — the release half of the
     * open-once-per-partition contract (native ONNX sessions must not
-    * outlive the partition).
+    * outlive the partition). Exhaustion alone is not enough: a `limit`/
+    * `take` that short-circuits, or an exception thrown mid-partition by
+    * `embed`/`embedBatch`, abandons the iterator without draining it —
+    * so the close is ALSO registered as a task-completion listener
+    * (fires on success, failure, and cancellation alike). The two paths
+    * share one flag, so `close()` still fires exactly once per
+    * partition whichever path gets there first.
     */
   private def closeOnExhaustion(embedder: Embedder,
-                                it: Iterator[Row]): Iterator[Row] =
+                                it: Iterator[Row]): Iterator[Row] = {
+    val closed = new java.util.concurrent.atomic.AtomicBoolean(false)
+    def closeOnce(): Unit =
+      if (closed.compareAndSet(false, true)) embedder.close()
+    val tc = org.apache.spark.TaskContext.get()
+    if (tc != null) tc.addTaskCompletionListener[Unit](_ => closeOnce())
     new Iterator[Row] {
-      private var closed = false
       override def hasNext: Boolean = {
         val h = it.hasNext
-        if (!h && !closed) { closed = true; embedder.close() }
+        if (!h) closeOnce()
         h
       }
       override def next(): Row = it.next()
     }
+  }
 
   /** `withEmbedding` through the BATCHED inference path: rows are fed to
     * `embedder.embedBatch` in `batchSize` groups — the feeding pattern a

@@ -233,8 +233,25 @@ object Layout {
       fingerprintIsEmptySource(fs, new org.apache.hadoop.fs.Path(s"$srcPath/$p")))
     var truncated: Seq[String] = Seq.empty
     if (changedLive.nonEmpty) {
-      val rows = spark.read.option("basePath", srcPath)
+      val read0 = spark.read.option("basePath", srcPath)
         .parquet(changedLive.map(p => s"$srcPath/$p"): _*)
+      // when every changed partition is the NULL-keyed one, partition
+      // inference sees only __HIVE_DEFAULT_PARTITION__ and types the
+      // column VOID — unpartitionable on the rewrite. Recover the real
+      // type from the full source (a listing-cost schema read, same
+      // metadata the fingerprints already walked).
+      val read =
+        if (read0.schema(partCol).dataType !=
+            org.apache.spark.sql.types.NullType) read0
+        else {
+          val t = spark.read.parquet(srcPath).schema(partCol).dataType match {
+            case org.apache.spark.sql.types.NullType =>
+              org.apache.spark.sql.types.StringType
+            case other => other
+          }
+          read0.withColumn(partCol, col(partCol).cast(t))
+        }
+      val rows = read
         .groupBy((partCol +: dims).map(col): _*)
         .agg(aggs.head, aggs.tail: _*)
         .localCheckpoint(false) // reused: the write + the produced-set
@@ -246,9 +263,15 @@ object Layout {
       // a changed partition whose files hold ZERO rows (truncated by an
       // external writer) also emits nothing — the overwrite left its
       // stale summary; find it by diffing the produced partition set
+      // NULL partition values must reach getPartitionPathString AS null
+      // (it emits the __HIVE_DEFAULT_PARTITION__ escape Spark writes);
+      // String.valueOf(null) would build "part=null", never matching the
+      // written dir, so a null-keyed truncated partition would keep its
+      // stale summary
       val producedDirs = rows.select(col(partCol)).distinct().collect()
         .map(r => org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-          .getPartitionPathString(partCol, String.valueOf(r.get(0)))).toSet
+          .getPartitionPathString(partCol,
+            if (r.isNullAt(0)) null else String.valueOf(r.get(0)))).toSet
       truncated = changedLive.filterNot(producedDirs)
     }
     (changedEmpty ++ truncated ++ removed).foreach { p =>
@@ -799,8 +822,10 @@ object Layout {
       // (':', '=', '%', …) — the delete must target the ESCAPED path or
       // it silently no-ops while the tombstones below ARE purged,
       // resurrecting the "deleted" rows
+      // NULL passes through as null → __HIVE_DEFAULT_PARTITION__ escape
       val dir = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-        .getPartitionPathString(partCol, String.valueOf(v))
+        .getPartitionPathString(partCol,
+          if (v == null) null else String.valueOf(v))
       fs.delete(new org.apache.hadoop.fs.Path(s"$tableDir/$dir"), true): Unit
     }
     // sidecar compaction: only non-vacuumed partitions keep tombstones

@@ -926,6 +926,18 @@ object Streaming {
       .filter(f => f.getName.endsWith(".parquet") ||
         f.getName.startsWith("part-")).toSeq
     val dels = spark.read.parquet(p.toString).distinct()
+    // dir-exists-iff-data: a fully-deleted-then-compacted table has no
+    // cell_id= dirs left, only underscore sidecars — a bare read would
+    // throw 'unable to infer schema'. No live rows ⇒ every tombstone is
+    // dead ⇒ drop the whole sidecar.
+    val root = new Path(tablePath)
+    val anyCells = fs.exists(root) && fs.listStatus(root)
+      .exists(st => st.isDirectory && st.getPath.getName.startsWith("cell_id="))
+    if (!anyCells) {
+      val total = dels.count()
+      fs.delete(p, true): Unit
+      return (0L, total)
+    }
     val live = spark.read.parquet(tablePath).select(col("id"))
     val kept = dels.join(live, Seq("id"), "left_semi").localCheckpoint(true)
     val keptN = kept.count()
@@ -957,6 +969,13 @@ object Streaming {
     */
   def deleteMaintainedWhere(spark: org.apache.spark.sql.SparkSession,
                             tablePath: String, pred: Column): Long = {
+    // an emptied table (all cells deleted then compacted away) has no
+    // cell_id= dirs — nothing can match, and the bare read would throw
+    val rootP = new org.apache.hadoop.fs.Path(tablePath)
+    val rootFs = rootP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val anyCells = rootFs.exists(rootP) && rootFs.listStatus(rootP)
+      .exists(st => st.isDirectory && st.getPath.getName.startsWith("cell_id="))
+    if (!anyCells) return 0L
     val ids = spark.read.parquet(tablePath).filter(pred)
       .select(col("id")).distinct().localCheckpoint(true)
     val n = ids.count()
@@ -1218,6 +1237,9 @@ object Streaming {
       centIdCol: String, centVecCol: String,
       queries: DataFrame, qidCol: String, qVecCol: String,
       nProbes: Int, k: Int, pred: Column = lit(true)): DataFrame = {
+    // same output contract as the uncollapsed call: (qidCol, id, score)
+    require(qidCol != "id" && qidCol != "score",
+      s"qidCol must not be named 'id' or 'score' (output columns clash); got '$qidCol'")
     val q = queries.select(col(qidCol).as("__oqid"), col(qVecCol).as("__oqv"))
     val reps = q.groupBy(col("__oqv")).agg(min(col("__oqid")).as("__rep"))
     val repHits = searchMaintainedBatch(spark, tablePath, fallbackCentroids,

@@ -52,6 +52,25 @@ class EmbedRagSpec extends SparkSpec {
       "no embed call may arrive after close")
   }
 
+  test("Embedder.close() fires even when the partition iterator is abandoned early (limit short-circuit)") {
+    import spark.implicits._
+    LifecycleCounters.reset()
+    // one partition, 40 rows, but the action takes only 3 — the wrapper
+    // iterator is never drained; the task-completion listener must
+    // still release the session (the native-leak path the listener
+    // exists for), and exactly once (shared flag with the exhaustion
+    // check)
+    val df = (1L to 40L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+      .coalesce(1)
+    val taken = Embed.withEmbedding(df, "text", "embedding", CountingEmbedder(8))
+      .limit(3).collect()
+    assert(taken.length == 3)
+    assert(LifecycleCounters.opens.get() == LifecycleCounters.closes.get(),
+      s"abandoned iterator leaked a session: opens=${LifecycleCounters.opens.get()} " +
+        s"closes=${LifecycleCounters.closes.get()}")
+    assert(LifecycleCounters.closes.get() >= 1, "at least one partition ran")
+  }
+
   test("QuantizedMlpEmbedder: deterministic int8 forward pass, unit norm, batch == single") {
     import graft.embed.QuantizedMlpEmbedder
     val m = QuantizedMlpEmbedder()

@@ -492,6 +492,38 @@ class LayoutSpec extends SparkSpec {
     assert(Layout.refreshRollup(spark, src, dst, "part", dims, aggs) == 0)
   }
 
+  test("incremental rollup: a NULL-keyed partition truncated to zero rows drops its stale summary") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_mvnull_").toFile
+    dir.deleteOnExit()
+    val src = new java.io.File(dir, "src").getAbsolutePath
+    val dst = new java.io.File(dir, "mv").getAbsolutePath
+    // Spark writes the null partition as part=__HIVE_DEFAULT_PARTITION__
+    Seq((1L, "a", "p1", 10L), (2L, "a", "", 20L), (3L, "b", "", 5L))
+      .toDF("k", "grp", "part", "x")
+      .withColumn("part", when(col("part") === "", lit(null: String))
+        .otherwise(col("part")))
+      .write.mode("overwrite").partitionBy("part").parquet(src)
+    val dims = Seq("grp")
+    val aggs = Seq(count(lit(1)).as("n"), sum(col("x")).cast("long").as("sx"))
+    assert(Layout.materializeRollup(spark, src, dst, "part", dims, aggs) == 2)
+    val nullDir = "part=__HIVE_DEFAULT_PARTITION__"
+    assert(new java.io.File(s"$dst/$nullDir").exists(),
+      "null-keyed summary partition must use the Hive default escape")
+    // truncate ONLY the null-keyed source partition to a 0-row file: its
+    // produced summary set goes empty, and the stale summary dir must be
+    // dropped (String.valueOf(null) would build part=null and miss it)
+    Seq.empty[(Long, String, Long)].toDF("k", "grp", "x")
+      .coalesce(1).write.mode("overwrite").parquet(s"$src/$nullDir")
+    assert(Layout.refreshRollup(spark, src, dst, "part", dims, aggs) == 1)
+    assert(!new java.io.File(s"$dst/$nullDir").exists(),
+      "truncated null-keyed partition's stale summary must be dropped")
+    val left = spark.read.parquet(dst).collect()
+      .map(r => (r.getAs[String]("part"), r.getAs[String]("grp")) ->
+        ((r.getAs[Long]("n"), r.getAs[Long]("sx")))).toMap
+    assert(left == Map(("p1", "a") -> ((1L, 10L))), left)
+  }
+
   test("writeBloomIndexed: listed columns carry row-group blooms that hit present keys and miss absent ones") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_bloom_").toFile

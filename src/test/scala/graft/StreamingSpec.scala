@@ -1899,6 +1899,62 @@ class StreamingSpec extends SparkSpec {
     assert(collapsed == plain, s"collapsed $collapsed vs plain $plain")
     assert(collapsed.map(_._1) == (100L until 112L).toSet,
       "every original qid answered")
+    // output contract (qidCol, id, score): a qidCol named like the hit
+    // columns must throw here exactly as in the uncollapsed call
+    for (bad <- Seq("id", "score")) {
+      val e = intercept[IllegalArgumentException] {
+        Streaming.searchMaintainedBatchCollapsed(spark, table, cents,
+          "cent_id", "cvec", queries.withColumnRenamed("qid", bad),
+          bad, "qvec", 2, 2)
+      }
+      assert(e.getMessage.contains(bad), e.getMessage)
+    }
+  }
+
+  test("vacuumDeletes and deleteMaintainedWhere survive a fully-emptied table (no cell dirs left)") {
+    import spark.implicits._
+    val in = Files.createTempDirectory("graft_emp_in_").toString
+    val table = Files.createTempDirectory("graft_emp_tbl_").toString + "/t"
+    val ckpt = Files.createTempDirectory("graft_emp_ckpt_").toString + "/c"
+    val cents = Seq((0L, Seq(1f, 0f, 0f, 0f))).toDF("cent_id", "cvec")
+    val q = Streaming.streamInsertIndexedMaintained(
+      spark.readStream.schema(maintSchema).parquet(in),
+      dim = 4, numShards = 1, cents, "cent_id", "cvec", table, ckpt,
+      maxCell = 1000000L)
+    Seq((1L, Seq(9f, 1f, 0f, 0f))).toDF("id", "embedding")
+      .coalesce(1).write.mode("overwrite").parquet(in)
+    q.processAllAvailable()
+    Seq((2L, Seq(9f, 2f, 0f, 0f))).toDF("id", "embedding")
+      .coalesce(1).write.mode("append").parquet(in)
+    q.processAllAvailable()
+    q.stop()
+    // tombstone EVERY row, then put the table in the emptied state the
+    // dir-exists-iff-data discipline produces (compaction purging a
+    // fully-tombstoned cell, or ingest-replay rollback of the only
+    // batch): no cell_id= dirs, only underscore sidecars — a bare
+    // parquet read of the table root would throw 'unable to infer
+    // schema'
+    Streaming.deleteMaintained(spark, table, Seq(1L, 2L).toDF("id"), "id")
+    val tblDir = new java.io.File(table)
+    tblDir.listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("cell_id="))
+      .foreach { d =>
+        val fs = new org.apache.hadoop.fs.Path(table)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(d.getAbsolutePath), true): Unit
+      }
+    val cellDirs = tblDir.listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("cell_id="))
+    assert(cellDirs.isEmpty, cellDirs.map(_.getName).toSeq)
+    // no live rows ⇒ every tombstone is dead: vacuum drops the sidecar
+    val (kept, dropped) = Streaming.vacuumDeletes(spark, table)
+    assert((kept, dropped) == ((0L, 2L)), s"kept=$kept dropped=$dropped")
+    assert(!new java.io.File(s"$table/_deletes").exists(),
+      "fully-dead sidecar must be dropped")
+    // and a predicate delete has nothing to match — 0, not a throw
+    assert(Streaming.deleteMaintainedWhere(spark, table, lit(true)) == 0L)
+    // idempotent re-vacuum on the now-sidecar-less table
+    assert(Streaming.vacuumDeletes(spark, table) == ((0L, 0L)))
   }
 
   test("maintained serving: keyset pagination chains to one big top-k; predicate delete purges by metadata") {

@@ -56,6 +56,19 @@ def main(sf_dir, out_dir):
             print(f"[BAD ] {name}: rows {len(got)} vs oracle {len(want)}")
             n_bad += 1
             continue
+        # the driver HASHES values, so representation matters: a DuckDB
+        # HUGEINT surfacing as float64 (un-cast SUM of integers) hashes
+        # differently from Spark's int64 even when numerically equal.
+        # Width differences (int32 vs int64, datetime ns vs us) hash the
+        # same driver-side (CORRECTNESS_r07 evidence), so compare KIND.
+        dtype_bad = [c for c in got.columns
+                     if got[c].dtype.kind != want[c].dtype.kind]
+        if dtype_bad:
+            print(f"[BAD ] {name}: dtype mismatch "
+                  + ", ".join(f"{c}: spark {got[c].dtype} vs oracle {want[c].dtype}"
+                              for c in dtype_bad))
+            n_bad += 1
+            continue
         try:
             pd.testing.assert_frame_equal(got, want, check_dtype=False,
                                           check_exact=True)
