@@ -11771,6 +11771,27 @@ object SparkEntry {
           .otherwise(0L)).cast("long").as("sum_chars"))
     }),
 
+    // Embedding-level train/eval decontamination: every ...17-suffixed
+    // vector plays the benchmark set, the rest the training corpus;
+    // train docs cosine-≥-0.3 close to any eval doc are flagged with
+    // their best match. Eval broadcasts, train assigns to cells once,
+    // candidates are (train ∩ eval's probed cells) — the oracle replays
+    // assignment, probe selection, and the best-match total order, so
+    // the hash certifies the ANN routing, not just the cosine.
+    "q_semantic_decontaminate" -> ((s, dir) => {
+      import s.implicits._
+      val e = t(s, dir, "embeddings")
+      val cents = e.filter($"vec_id" < 16)
+        .select($"vec_id".as("cent_id"), $"embedding".as("cvec"))
+      val ev = e.filter($"vec_id" % 50 === 17)
+        .select($"vec_id", $"embedding")
+      val train = spread(s, e.filter($"vec_id" % 50 =!= 17))
+        .select($"vec_id", $"embedding")
+      Mining.semanticDecontaminate(train, "vec_id", "embedding",
+          ev, "vec_id", "embedding", cents, "cent_id", "cvec", 4, 0.3)
+        .orderBy($"train_id")
+    }),
+
     // The COMPLETE maintained-index lifecycle, oracle-checked end to
     // end: three-batch streaming ingest (normalize → assign → batch-
     // addressed append) → rule-based deletes → compaction (tombstones
@@ -12285,6 +12306,65 @@ object SparkEntry {
         |       COALESCE(SUM(n_chars) FILTER (WHERE doc_id % 7 <> 0), 0)::BIGINT
         |         AS sum_chars
         |FROM documents""".stripMargin,
+
+    // Replays the full ANN-decontamination composition: train cell
+    // assignment (6-dp argmax), per-eval probe selection (top-4 cells),
+    // candidate generation in probed cells, quantized-cosine verify,
+    // and the (score desc, eval_id asc) best-match total order.
+    "q_semantic_decontaminate" ->
+      """WITH cents AS (
+        |  SELECT vec_id AS cent_id, embedding AS cvec FROM embeddings WHERE vec_id < 16),
+        |ev AS (SELECT vec_id AS eid, embedding AS evec FROM embeddings
+        |       WHERE vec_id % 50 = 17),
+        |tr AS (SELECT vec_id AS tid, embedding AS tvec FROM embeddings
+        |       WHERE vec_id % 50 <> 17),
+        |tp AS (
+        |  SELECT t.tid, c.cent_id,
+        |         unnest(t.tvec)::DOUBLE x, unnest(c.cvec)::DOUBLE y
+        |  FROM tr t CROSS JOIN cents c),
+        |ta AS (SELECT tid, cent_id, SUM(x*y) dp, SUM(x*x) nx2, SUM(y*y) ny2
+        |       FROM tp GROUP BY tid, cent_id),
+        |tsc AS (SELECT tid, cent_id,
+        |          ROUND(dp/(GREATEST(SQRT(nx2),1e-12)*GREATEST(SQRT(ny2),1e-12)), 6) c
+        |        FROM ta),
+        |assign AS (
+        |  SELECT tid, cent_id AS cell_id FROM (
+        |    SELECT tid, cent_id,
+        |           row_number() OVER (PARTITION BY tid ORDER BY c DESC, cent_id) rn
+        |    FROM tsc) WHERE rn = 1),
+        |ep AS (
+        |  SELECT e.eid, c.cent_id,
+        |         unnest(e.evec)::DOUBLE x, unnest(c.cvec)::DOUBLE y
+        |  FROM ev e CROSS JOIN cents c),
+        |ea AS (SELECT eid, cent_id, SUM(x*y) dp, SUM(x*x) nx2, SUM(y*y) ny2
+        |       FROM ep GROUP BY eid, cent_id),
+        |esc AS (SELECT eid, cent_id,
+        |          ROUND(dp/(GREATEST(SQRT(nx2),1e-12)*GREATEST(SQRT(ny2),1e-12)), 6) c
+        |        FROM ea),
+        |probes AS (
+        |  SELECT eid, cent_id AS cell_id FROM (
+        |    SELECT eid, cent_id,
+        |           row_number() OVER (PARTITION BY eid ORDER BY c DESC, cent_id) rn
+        |    FROM esc) WHERE rn <= 4),
+        |cp AS (
+        |  SELECT a.tid, p.eid,
+        |         unnest(t.tvec)::DOUBLE x, unnest(e.evec)::DOUBLE y
+        |  FROM assign a JOIN probes p ON a.cell_id = p.cell_id
+        |  JOIN tr t ON t.tid = a.tid
+        |  JOIN ev e ON e.eid = p.eid),
+        |cagg AS (SELECT tid, eid, SUM(x*y) dp, SUM(x*x) nx2, SUM(y*y) ny2
+        |         FROM cp GROUP BY tid, eid),
+        |csc AS (SELECT tid, eid,
+        |          ROUND(dp/(GREATEST(SQRT(nx2),1e-12)*GREATEST(SQRT(ny2),1e-12)), 6)
+        |            + 0.0 AS score
+        |        FROM cagg),
+        |flt AS (SELECT * FROM csc WHERE score >= 0.3),
+        |best AS (
+        |  SELECT tid, eid, score,
+        |         row_number() OVER (PARTITION BY tid ORDER BY score DESC, eid) rn
+        |  FROM flt)
+        |SELECT tid AS train_id, eid AS eval_id, score
+        |FROM best WHERE rn = 1 ORDER BY train_id""".stripMargin,
 
     // Replays the ENTIRE maintained lifecycle: float32 normalization
     // (the ingest's prepare step), assignment of normalized vectors,

@@ -451,6 +451,64 @@ object Mining {
       lit(ece + 0.0).as("ece"))
   }
 
+  /** EMBEDDING-level train/eval decontamination — the semantic twin of
+    * the exact n-gram decontamination pass (`q_decontaminate`): flag
+    * every training document whose embedding is cosine-≥-`tau` close to
+    * ANY benchmark/eval document, so paraphrased or lightly-edited eval
+    * leakage (which exact n-gram matching misses by construction) is
+    * caught before training. Output: one row per contaminated train doc
+    * — (train_id, eval_id, score) with its single BEST eval match
+    * (score desc, eval_id asc — a total order).
+    *
+    * Scale shape: the eval set is benchmark-sized (thousands), the train
+    * side is the 100 TB corpus — so eval BROADCASTS and train never
+    * self-joins. Train rows assign to IVF cells once (broadcast
+    * centroids, the `ivfAssign` 6-dp argmax); each eval vector probes
+    * its `nProbes` nearest cells; candidates are structurally
+    * (train ∩ probed cells) via the cell equi-join; the exact cosine
+    * verify and the k-bounded best-match aggregation touch only
+    * candidates. Per-train-doc reduction through `topKPerKeyAgg` — the
+    * exchange carries at most one (score, eval_id) per train doc, never
+    * the candidate set.
+    *
+    * Contract note (the ANN trade, declared): a contaminated pair whose
+    * train doc lands outside all of its eval doc's probed cells is
+    * missed — recall follows the probe count exactly as in IVF search
+    * (`probeRecallSweep` measures it). `tau` membership is decided on
+    * the 6-dp-quantized score (the engine-wide convention).
+    */
+  def semanticDecontaminate(train: DataFrame, trainIdCol: String,
+                            trainVecCol: String, evalDf: DataFrame,
+                            evalIdCol: String, evalVecCol: String,
+                            centroids: DataFrame, centIdCol: String,
+                            centVecCol: String, nProbes: Int,
+                            tau: Double): DataFrame = {
+    require(nProbes >= 1, s"nProbes must be >= 1, got $nProbes")
+    val assigned = Ann.ivfAssign(train, centroids, trainIdCol, trainVecCol,
+        centIdCol, centVecCol)
+      .select(col(trainIdCol).cast("long").as("train_id"),
+        col("cell_id").cast("long").as("cell_id"),
+        col(trainVecCol).as("__tv"))
+    val q = evalDf.select(col(evalIdCol).cast("long").as("__eid"),
+      col(evalVecCol).as("__ev"))
+    val pw = Window.partitionBy(col("__eid"))
+      .orderBy(col("__c").desc, col(centIdCol))
+    val probes = centroids
+      .crossJoin(broadcast(q))
+      .withColumn("__c", round(V.cosine(col(centVecCol), col("__ev")), 6))
+      .withColumn("__rn", row_number().over(pw))
+      .filter(col("__rn") <= nProbes)
+      .select(col("__eid"), col("__ev"),
+        col(centIdCol).cast("long").as("cell_id"))
+    val scored = assigned.join(broadcast(probes), Seq("cell_id"))
+      .withColumn("score",
+        round(V.cosine(col("__tv"), col("__ev")), 6) + lit(0.0))
+      .filter(col("score") >= tau)
+    TopK.topKPerKeyAgg(scored, Seq(col("train_id")), col("score"),
+        col("__eid"), 1)
+      .select(col("train_id"), col("id").as("eval_id"), col("score"))
+  }
+
   def lexicalDrift(oldDocs: DataFrame, newDocs: DataFrame, groupCol: String,
                    textCol: String, topN: Int = 100): DataFrame = {
     val vocab: Seq[String] = oldDocs

@@ -102,7 +102,9 @@
   *  - Decontamination (broadcast hash-set + Bloom pre-filter,
   *    leakage-safe splits): `q_decontaminate` / `q_bloom_decontaminate`
   *    / `q_leakage_split` in [[graft.SparkEntry]],
-  *    [[graft.operators.RuntimeFilter]]
+  *    [[graft.operators.RuntimeFilter]]; EMBEDDING-level semantic
+  *    decontamination (IVF-bounded cosine vs a broadcast eval set):
+  *    [[graft.operators.Mining.semanticDecontaminate]]
   *
   * ==Sketches and aggregation==
   *

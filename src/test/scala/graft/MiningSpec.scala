@@ -244,6 +244,42 @@ class MiningSpec extends SparkSpec {
     }
   }
 
+  test("semanticDecontaminate: flags near-eval train docs with their best match; probe count gates recall") {
+    import spark.implicits._
+    val cents = Seq((0L, Seq(1f, 0f, 0f, 0f)), (1L, Seq(0f, 1f, 0f, 0f)))
+      .toDF("cent_id", "cvec")
+    val ev = Seq(
+      (100L, Seq(0.9f, 0.1f, 0f, 0f)),   // ≈ t1
+      (101L, Seq(1f, 0f, 0f, 0f)),       // = t3
+      (102L, Seq(1f, 0f, 0f, 0f)),       // duplicate of 101: tie-break case
+      (103L, Seq(0.71f, 0.70f, 0f, 0f))  // probes cell 0 at nProbes=1, but t5 lives in cell 1
+    ).toDF("vec_id", "embedding")
+    val train = Seq(
+      (1L, Seq(0.9f, 0.1f, 0f, 0f)),  // contaminated: exactly e100
+      (2L, Seq(0f, 0f, 1f, 0f)),      // clean: orthogonal to every eval doc
+      (3L, Seq(1f, 0f, 0f, 0f)),      // contaminated: equals e101 AND e102
+      (5L, Seq(0.6f, 0.8f, 0f, 0f))   // near e103 but assigned to cell 1
+    ).toDF("vec_id", "embedding")
+    def run(nProbes: Int) = Mining.semanticDecontaminate(
+        train, "vec_id", "embedding", ev, "vec_id", "embedding",
+        cents, "cent_id", "cvec", nProbes, 0.8)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val full = run(2)
+    // t1's best match is e100 at exactly 1.0; t2 is never flagged
+    assert(full(1L) == ((100L, 1.0)), full)
+    assert(!full.contains(2L), full)
+    // t3 scores 1.0 against BOTH e101 and e102 — the (score desc,
+    // eval_id asc) total order must pick 101
+    assert(full(3L) == ((101L, 1.0)), full)
+    // t5 ~0.99-close to e103: caught when both cells are probed
+    assert(full.contains(5L) && full(5L)._1 == 103L, full)
+    // ...but at nProbes=1 e103 probes only cell 0 while t5 sits in
+    // cell 1 — the declared ANN recall trade: the pair is missed
+    val narrow = run(1)
+    assert(!narrow.contains(5L), narrow)
+    assert(narrow(1L) == ((100L, 1.0)) && narrow(3L) == ((101L, 1.0)), narrow)
+  }
+
   test("reliabilityReport: perfect calibration scores ECE 0, inverted scores ~1, bad inputs throw") {
     import spark.implicits._
     // perfectly calibrated: conf c ⇒ exactly fraction c of labels are 1
