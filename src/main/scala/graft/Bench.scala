@@ -143,8 +143,9 @@ object Bench {
     "q_silhouette", "q_probe_tune", "q_pq_distortion", "q_ks_drift",
     "q_jsonl_tolerant", "q_maintained_lifecycle", "q_modularity",
     "q_psi_drift", "q_anisotropy", "q_reliability",
-    // round-8 additions: embedding-level train/eval decontamination
-    "q_semantic_decontaminate")
+    // round-8 additions: embedding-level train/eval decontamination +
+    // snapshot-pinned serving over the maintained table
+    "q_semantic_decontaminate", "q_maintained_snapshot")
 
   /** Force FULL materialization of every output column: xxhash64 over all
     * columns, summed. `.count()` alone under-measures — Catalyst prunes

@@ -11839,6 +11839,51 @@ object SparkEntry {
           lit(dropped).as("tomb_dropped"))
     }),
 
+    // SNAPSHOT-pinned serving: the pin is taken after two ingest
+    // batches, then a third batch lands, a delete fires, and a
+    // compaction FOLDS pre-pin batches to new addresses — the pinned
+    // search must still answer exactly the two-batch table (minus the
+    // delete: right-to-erasure reads current), because visibility rides
+    // the permanent __b0 row version, not the folded directory address.
+    // The oracle replays ingest normalization, assignment, probe
+    // selection, the visibility rule (id < 250 ≡ batches ≤ pin), and
+    // the delete — certifying the snapshot's row-level decisions.
+    "q_maintained_snapshot" -> ((s, dir) => {
+      import s.implicits._
+      val e = t(s, dir, "embeddings")
+      val cents = e.filter($"vec_id" < 16)
+        .select($"vec_id".as("cent_id"), $"embedding".as("cvec"))
+      val d = java.nio.file.Files.createTempDirectory("graft_snap_q_").toFile
+      jsonlTmpCleanup(d)
+      val in = new java.io.File(d, "in").getAbsolutePath
+      val table = new java.io.File(d, "t").getAbsolutePath
+      val ckpt = new java.io.File(d, "c").getAbsolutePath
+      val src = e.select($"vec_id".as("id"), $"embedding")
+      src.filter($"id" < 200).coalesce(1)
+        .write.mode("overwrite").parquet(in)
+      val stream = Streaming.streamInsertIndexedMaintained(
+        s.readStream.schema(src.schema).parquet(in),
+        dim = 64, numShards = 8, cents, "cent_id", "cvec", table, ckpt,
+        maxCell = 1000000L)
+      stream.processAllAvailable()
+      src.filter($"id" >= 200 && $"id" < 250).coalesce(1)
+        .write.mode("append").parquet(in)
+      stream.processAllAvailable()
+      val pin = Streaming.maintainedSnapshot(s, table)
+      src.filter($"id" >= 250).coalesce(1)
+        .write.mode("append").parquet(in)
+      stream.processAllAvailable()
+      stream.stop()
+      Streaming.deleteMaintained(s, table,
+        src.filter($"id" % 10 === 3).select($"id"), "id")
+      Streaming.compactMaintained(s, table)
+      val query = e.filter($"vec_id" === 42).select($"embedding")
+        .head.getSeq[Float](0)
+      Streaming.searchMaintained(s, table, cents, "cent_id", "cvec",
+          query, nProbes = 4, k = 10, asOf = Some(pin))
+        .select($"id", $"score", lit(pin).cast("long").as("pin"))
+    }),
+
     // Community-quality gate: Newman modularity of the LPA communities
     // over the same edge fixture — the accept/retune score for a
     // community run. The per-community term 4·m·e_c − d_c² accumulates
@@ -12433,6 +12478,60 @@ object SparkEntry {
         |       dr.c AS tomb_dropped
         |FROM sc CROSS JOIN dr CROSS JOIN tot
         |ORDER BY score DESC, id LIMIT 10""".stripMargin,
+
+    // Replays the pinned-visibility rule (the pin covers ingest batches
+    // 0 and 1 ≡ vec_id < 250), the post-pin delete (reads current), the
+    // ingest normalization, assignment, probe selection, and the final
+    // ranking — the post-pin fold must be invisible to every one of
+    // these decisions.
+    "q_maintained_snapshot" ->
+      """WITH cents AS (
+        |  SELECT vec_id AS cent_id, embedding AS cvec FROM embeddings WHERE vec_id < 16),
+        |nrm AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x::DOUBLE /
+        |      GREATEST(SQRT(list_sum(list_transform(embedding,
+        |        y -> y::DOUBLE * y::DOUBLE))), 1e-12) AS REAL)) AS emb
+        |  FROM embeddings),
+        |pc AS (
+        |  SELECT n.vec_id, c.cent_id,
+        |         unnest(n.emb)::DOUBLE x, unnest(c.cvec)::DOUBLE y
+        |  FROM nrm n CROSS JOIN cents c),
+        |pagg AS (SELECT vec_id, cent_id, SUM(x*y) dp, SUM(x*x) nx2, SUM(y*y) ny2
+        |         FROM pc GROUP BY vec_id, cent_id),
+        |psc AS (SELECT vec_id, cent_id,
+        |          ROUND(dp/(GREATEST(SQRT(nx2),1e-12)*GREATEST(SQRT(ny2),1e-12)), 6) c
+        |        FROM pagg),
+        |assign AS (
+        |  SELECT vec_id, cent_id AS cell_id FROM (
+        |    SELECT vec_id, cent_id,
+        |           row_number() OVER (PARTITION BY vec_id ORDER BY c DESC, cent_id) rn
+        |    FROM psc) WHERE rn = 1),
+        |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 42),
+        |cp AS (
+        |  SELECT c.cent_id, unnest(c.cvec)::DOUBLE x, unnest(q.qe)::DOUBLE y
+        |  FROM cents c CROSS JOIN q),
+        |cagg AS (SELECT cent_id, SUM(x*y) dp, SUM(x*x) nx2, SUM(y*y) ny2
+        |         FROM cp GROUP BY cent_id),
+        |probes AS (
+        |  SELECT cent_id AS cell_id FROM (
+        |    SELECT cent_id,
+        |           ROUND(dp/(GREATEST(SQRT(nx2),1e-12)*GREATEST(SQRT(ny2),1e-12)), 6) c
+        |    FROM cagg ORDER BY c DESC, cent_id LIMIT 4)),
+        |cand AS (
+        |  SELECT a.vec_id FROM assign a JOIN probes p ON p.cell_id = a.cell_id
+        |  WHERE a.vec_id < 250 AND a.vec_id % 10 <> 3),
+        |sp AS (
+        |  SELECT n.vec_id, unnest(n.emb)::DOUBLE x, unnest(q.qe)::DOUBLE y
+        |  FROM nrm n JOIN cand cd ON cd.vec_id = n.vec_id CROSS JOIN q),
+        |sagg AS (SELECT vec_id, SUM(x*y) dp, SUM(x*x) nx2, SUM(y*y) ny2
+        |         FROM sp GROUP BY vec_id),
+        |sc AS (SELECT vec_id,
+        |         ROUND(dp/(GREATEST(SQRT(nx2),1e-12)*GREATEST(SQRT(ny2),1e-12)), 6)
+        |           + 0.0 AS score
+        |       FROM sagg)
+        |SELECT vec_id AS id, score, CAST(1 AS BIGINT) AS pin
+        |FROM sc ORDER BY score DESC, id LIMIT 10""".stripMargin,
 
     "q_modularity" ->
       s"""WITH $lpaCtes,

@@ -191,6 +191,9 @@
   *    [[graft.streaming.Streaming.compactMaintained]];
   *    stored-assignment drift report against committed centroids:
   *    [[graft.streaming.Streaming.silhouetteMaintained]];
+  *    SNAPSHOT-pinned reads (a permanent `__b0` row version survives
+  *    folds and moves; deletes read current):
+  *    [[graft.streaming.Streaming.maintainedSnapshot]];
   *    duplicate-query collapse, keyset pagination, predicate purge,
   *    tombstone-sidecar vacuum, one-call state report:
   *    [[graft.streaming.Streaming.searchMaintainedBatchCollapsed]],

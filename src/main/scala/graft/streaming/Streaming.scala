@@ -28,6 +28,52 @@ case class ClosedSession(user_id: Long, session_start: Timestamp,
   */
 object Streaming {
 
+  /** Reserved `__b` address space for compaction folds: every fold
+    * subdir lives at ≤ this value, disjoint from ingest batches (≥ 0)
+    * and rebalance moves (−(n+1), bounded by live batch ids).
+    */
+  private[streaming] val FoldBase = -(1L << 40)
+
+  /** Current SNAPSHOT PIN of a [[streamInsertIndexedMaintained]] table —
+    * the largest ingest batch address present on disk (−1 on an empty
+    * table). Listing-cost only. Pass the pin to the serving faces'
+    * `asOf` to answer a whole serving session (a paginated scroll, a
+    * query batch fanned over minutes) against ONE consistent table
+    * version while ingest keeps appending.
+    */
+  def maintainedSnapshot(spark: org.apache.spark.sql.SparkSession,
+                         tablePath: String): Long = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(tablePath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return -1L
+    fs.listStatus(root).filter(_.isDirectory).map(_.getPath)
+      .filter(_.getName.startsWith("cell_id="))
+      .flatMap(d => fs.listStatus(d).map(_.getPath.getName)
+        .filter(_.startsWith("__b="))
+        .map(_.stripPrefix("__b=").toLong))
+      .filter(_ >= 0L).maxOption.getOrElse(-1L)
+  }
+
+  /** Visibility predicate for an `asOf` snapshot pin: a row is visible
+    * iff its PERMANENT ingest-batch version `__b0` (stamped at ingest,
+    * preserved verbatim through rebalance moves and compaction folds —
+    * unlike the `__b` directory address those rewrite) is ≤ the pin. So
+    * a pin stays correct even when maintenance reshapes the table after
+    * the pin was taken: the moved/folded copy of a pre-pin row is still
+    * visible, a post-pin row swept into a fold is still hidden.
+    *
+    * SEMANTICS — snapshot isolation for INSERTS only: tombstones always
+    * read CURRENT, so a delete issued after the pin still hides its row
+    * from pinned reads (right-to-erasure outranks repeatable reads —
+    * the one place a "stale" answer would be a liability, not a
+    * consistency feature).
+    */
+  private def visibleAsOf(asOf: Option[Long]): Column = asOf match {
+    case None => lit(true)
+    case Some(m) => col("__b0").cast("long") <= m
+  }
+
   /** Tumbling-window count/sum per event type, with a watermark for state
     * eviction. The same plan runs in batch (watermark is a no-op) and
     * streaming (append-mode emission after the watermark passes) — tested
@@ -771,12 +817,18 @@ object Streaming {
         // faces can filter on them; reserved layout names would corrupt
         // the partition addressing, so they fail loudly here
         val keep = batch.columns.toSeq.filterNot(Set("id", "embedding"))
-        val reserved = keep.filter(Set("shard", "cell_id", "__b"))
+        val reserved = keep.filter(Set("shard", "cell_id", "__b", "__b0"))
         require(reserved.isEmpty,
           s"batch columns ${reserved.mkString(", ")} collide with reserved " +
-            "maintained-table layout columns (shard, cell_id, __b)")
+            "maintained-table layout columns (shard, cell_id, __b, __b0)")
+        // __b0 is the row's PERMANENT ingest-batch version: unlike the
+        // __b directory address (rewritten by rebalance moves and
+        // compaction folds), it rides as a data column through every
+        // maintenance rewrite — snapshot (asOf) visibility reads it, so
+        // a pin stays correct even when maintenance runs after the pin
         Ann.ivfAssign(VectorStore.prepare(batch, dim, numShards, keep),
             cents, "id", "embedding", centIdCol, centVecCol)
+          .withColumn("__b0", lit(batchId))
           .withColumn("__b", lit(batchId))
           .write.mode("append").partitionBy("cell_id", "__b")
           .parquet(tablePath)
@@ -1035,19 +1087,34 @@ object Streaming {
     * stable under concurrent inserts — rows landing above the cursor
     * can't shift this page. Pages agree with one big top-k because the
     * order is total (quantized score, id tie-break; spec-pinned).
+    *
+    * `asOf` pins the read to a SNAPSHOT — a batch address from
+    * [[maintainedSnapshot]]: only rows whose permanent ingest version
+    * `__b0` is at-or-before the pin are visible (their rebalance moves
+    * and compaction folds included — the version column survives
+    * maintenance rewrites). Within an unfolded batch directory
+    * `__b0` is constant, so the pushed filter skips whole files on
+    * parquet stats. The repeatable-read contract a multi-request
+    * serving session (pages of one scroll, a long query batch) needs
+    * while ingest keeps appending. Deletes deliberately read CURRENT —
+    * see `visibleAsOf`.
     */
   def searchMaintained(spark: org.apache.spark.sql.SparkSession,
                        tablePath: String, fallbackCentroids: DataFrame,
                        centIdCol: String, centVecCol: String,
                        query: Seq[Float], nProbes: Int, k: Int,
                        pred: Column = lit(true),
-                       after: Option[(Double, Long)] = None): DataFrame = {
+                       after: Option[(Double, Long)] = None,
+                       asOf: Option[Long] = None): DataFrame = {
     import graft.expressions.FloatVectorExpressions.dotF
     import graft.functions.{VectorFunctions => V}
     import graft.operators.{Ann, TopK}
     val cents = maintainedCentroids(spark, tablePath, fallbackCentroids)
     val probes = Ann.probeCellIds(cents, query, centIdCol, centVecCol, nProbes)
+    // __b0 is constant per unfolded batch dir, so the pushed version
+    // filter skips post-pin files on parquet row-group stats
     val scanned = Ann.readIvfCells(spark, tablePath, probes)
+      .filter(visibleAsOf(asOf))
     val alive = maintainedDeletes(spark, tablePath)
       .map(d => scanned.join(broadcast(d), Seq("id"), "left_anti"))
       .getOrElse(scanned)
@@ -1118,7 +1185,8 @@ object Streaming {
                             centIdCol: String, centVecCol: String,
                             queries: DataFrame, qidCol: String,
                             qVecCol: String, nProbes: Int, k: Int,
-                            pred: Column = lit(true)): DataFrame = {
+                            pred: Column = lit(true),
+                            asOf: Option[Long] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import graft.expressions.FloatVectorExpressions.dotF
     import graft.functions.{VectorFunctions => V}
@@ -1146,6 +1214,7 @@ object Streaming {
     val cellsToScan = probes.select(col("cell_id")).distinct()
       .collect().map(_.getLong(0)).toSeq.sorted
     val scanned = Ann.readIvfCells(spark, tablePath, cellsToScan)
+      .filter(visibleAsOf(asOf))
       .withColumn("cell_id", col("cell_id").cast("long"))
     val alive = maintainedDeletes(spark, tablePath)
       .map(d => scanned.join(broadcast(d), Seq("id"), "left_anti"))
@@ -1179,7 +1248,7 @@ object Streaming {
       centIdCol: String, centVecCol: String,
       queries: DataFrame, qidCol: String, qVecCol: String,
       qnsCol: String, nsCol: String,
-      nProbes: Int, k: Int): DataFrame = {
+      nProbes: Int, k: Int, asOf: Option[Long] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import graft.expressions.FloatVectorExpressions.dotF
     import graft.functions.{VectorFunctions => V}
@@ -1203,6 +1272,7 @@ object Streaming {
     val cellsToScan = probes.select(col("cell_id")).distinct()
       .collect().map(_.getLong(0)).toSeq.sorted
     val scanned = Ann.readIvfCells(spark, tablePath, cellsToScan)
+      .filter(visibleAsOf(asOf))
       .withColumn("cell_id", col("cell_id").cast("long"))
     val alive = maintainedDeletes(spark, tablePath)
       .map(d => scanned.join(broadcast(d), Seq("id"), "left_anti"))
@@ -1236,7 +1306,8 @@ object Streaming {
       tablePath: String, fallbackCentroids: DataFrame,
       centIdCol: String, centVecCol: String,
       queries: DataFrame, qidCol: String, qVecCol: String,
-      nProbes: Int, k: Int, pred: Column = lit(true)): DataFrame = {
+      nProbes: Int, k: Int, pred: Column = lit(true),
+      asOf: Option[Long] = None): DataFrame = {
     // same output contract as the uncollapsed call: (qidCol, id, score)
     require(qidCol != "id" && qidCol != "score",
       s"qidCol must not be named 'id' or 'score' (output columns clash); got '$qidCol'")
@@ -1245,7 +1316,7 @@ object Streaming {
     val repHits = searchMaintainedBatch(spark, tablePath, fallbackCentroids,
       centIdCol, centVecCol,
       reps.select(col("__rep"), col("__oqv").as("__rv")), "__rep", "__rv",
-      nProbes, k, pred)
+      nProbes, k, pred, asOf)
     q.join(broadcast(reps), Seq("__oqv"))
       .join(broadcast(repHits), Seq("__rep"))
       .select(col("__oqid").as(qidCol), col("id"), col("score"))
@@ -1346,7 +1417,6 @@ object Streaming {
     val ingest = allAddrs.filter(_ >= 0)
     if (ingest.isEmpty) return 0
     val maxIngest = ingest.max
-    val FoldBase = -(1L << 40)
     // spare the replayable tail (the largest ingest batch), and EVERY
     // maintenance address whose centroid version is uncommitted: such
     // debris belongs to a crashed rebalance that the next stream start

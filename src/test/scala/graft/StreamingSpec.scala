@@ -1911,6 +1911,72 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("maintainedSnapshot pins serving to a table version: post-pin inserts invisible, deletes still win, pages stay consistent") {
+    import spark.implicits._
+    val in = Files.createTempDirectory("graft_pin_in_").toString
+    val table = Files.createTempDirectory("graft_pin_tbl_").toString + "/t"
+    val ckpt = Files.createTempDirectory("graft_pin_ckpt_").toString + "/c"
+    val cents = Seq(
+      (0L, Seq(1f, 0f, 0f, 0f)), (1L, Seq(0f, 1f, 0f, 0f))
+    ).toDF("cent_id", "cvec")
+    val q = Streaming.streamInsertIndexedMaintained(
+      spark.readStream.schema(maintSchema).parquet(in),
+      dim = 4, numShards = 2, cents, "cent_id", "cvec", table, ckpt,
+      maxCell = 1000000L)
+    Seq((1L, Seq(9f, 1f, 0f, 0f)), (2L, Seq(9f, 2f, 0f, 0f)))
+      .toDF("id", "embedding").coalesce(1).write.mode("overwrite").parquet(in)
+    q.processAllAvailable()
+    Seq((3L, Seq(9f, 3f, 0f, 0f))).toDF("id", "embedding")
+      .coalesce(1).write.mode("append").parquet(in)
+    q.processAllAvailable()
+    val pin = Streaming.maintainedSnapshot(spark, table)
+    assert(pin == 1L, s"two ingest batches → pin 1, got $pin")
+    val qv = Seq(9f, 0.5f, 0f, 0f)
+    def ids(asOf: Option[Long], after: Option[(Double, Long)] = None,
+            k: Int = 10): Seq[(Long, Double)] =
+      Streaming.searchMaintained(spark, table, cents, "cent_id", "cvec",
+        qv, nProbes = 2, k = k, after = after, asOf = asOf)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val page1 = ids(Some(pin), k = 2)
+    // a post-pin batch lands; an unpinned read sees it, the pin doesn't
+    Seq((4L, Seq(9f, 0.5f, 0f, 0f))).toDF("id", "embedding")
+      .coalesce(1).write.mode("append").parquet(in)
+    q.processAllAvailable()
+    q.stop()
+    assert(ids(None).map(_._1).toSet == Set(1L, 2L, 3L, 4L))
+    assert(ids(Some(pin)).map(_._1).toSet == Set(1L, 2L, 3L),
+      "pinned read must not see the post-pin batch")
+    // page 2 of the PINNED scroll: id 4 scores top-1 for qv, so an
+    // unpinned scroll would have it invade the page boundary — the pin
+    // keeps page1 ++ page2 equal to the one big pinned top-k
+    val p1last = page1.last
+    val page2 = ids(Some(pin), after = Some((p1last._2, p1last._1)), k = 2)
+    assert((page1 ++ page2) == ids(Some(pin), k = 4),
+      s"pinned pages must replay the pinned ranking: $page1 ++ $page2")
+    // the batch face honors the same pin
+    val batchHits = Streaming.searchMaintainedBatch(spark, table, cents,
+      "cent_id", "cvec", Seq((100L, qv)).toDF("qid", "qvec"),
+      "qid", "qvec", 2, 10, asOf = Some(pin))
+      .collect().map(_.getLong(1)).toSet
+    assert(batchHits == Set(1L, 2L, 3L), batchHits)
+    // right-to-erasure outranks repeatable reads: a delete issued AFTER
+    // the pin still hides its row from pinned reads
+    Streaming.deleteMaintained(spark, table, Seq(2L).toDF("id"), "id")
+    assert(ids(Some(pin)).map(_._1).toSet == Set(1L, 3L),
+      "post-pin delete must apply to pinned reads")
+    // POST-PIN COMPACTION: batches 0 and 1 fold to a new __b address —
+    // the __b0 version column (not the directory address) carries the
+    // pin, so the folded copies of pre-pin rows stay visible and the
+    // spared post-pin row stays hidden
+    assert(Streaming.compactMaintained(spark, table) > 0)
+    assert(ids(Some(pin)).map(_._1).toSet == Set(1L, 3L),
+      "pinned read must survive a post-pin fold")
+    assert(ids(None).map(_._1).toSet == Set(1L, 3L, 4L))
+    // an empty table pins at -1
+    assert(Streaming.maintainedSnapshot(spark,
+      Files.createTempDirectory("graft_pin_none_").toString + "/nope") == -1L)
+  }
+
   test("vacuumDeletes and deleteMaintainedWhere survive a fully-emptied table (no cell dirs left)") {
     import spark.implicits._
     val in = Files.createTempDirectory("graft_emp_in_").toString
