@@ -145,7 +145,8 @@ object Bench {
     "q_psi_drift", "q_anisotropy", "q_reliability",
     // round-8 additions: embedding-level train/eval decontamination +
     // snapshot-pinned serving over the maintained table
-    "q_semantic_decontaminate", "q_maintained_snapshot")
+    "q_semantic_decontaminate", "q_maintained_snapshot",
+    "q_maintained_recall")
 
   /** Force FULL materialization of every output column: xxhash64 over all
     * columns, summed. `.count()` alone under-measures — Catalyst prunes

@@ -11839,6 +11839,37 @@ object SparkEntry {
           lit(dropped).as("tomb_dropped"))
     }),
 
+    // Recall audit of the maintained index's probed serving against the
+    // exact full scan — per ...42-suffixed query, recall@5 of nProbes=2
+    // vs ground truth. The oracle replays ingest normalization,
+    // assignment, per-query probe selection, BOTH rankings, and the
+    // semi-join hit count — certifying the audit's numbers, not just
+    // that an audit ran.
+    "q_maintained_recall" -> ((s, dir) => {
+      import s.implicits._
+      val e = t(s, dir, "embeddings")
+      val cents = e.filter($"vec_id" < 16)
+        .select($"vec_id".as("cent_id"), $"embedding".as("cvec"))
+      val d = java.nio.file.Files.createTempDirectory("graft_rec_q_").toFile
+      jsonlTmpCleanup(d)
+      val in = new java.io.File(d, "in").getAbsolutePath
+      val table = new java.io.File(d, "t").getAbsolutePath
+      val ckpt = new java.io.File(d, "c").getAbsolutePath
+      val src = e.select($"vec_id".as("id"), $"embedding")
+      src.coalesce(1).write.mode("overwrite").parquet(in)
+      val stream = Streaming.streamInsertIndexedMaintained(
+        s.readStream.schema(src.schema).parquet(in),
+        dim = 64, numShards = 8, cents, "cent_id", "cvec", table, ckpt,
+        maxCell = 1000000L)
+      stream.processAllAvailable()
+      stream.stop()
+      val qs = e.filter($"vec_id" % 100 === 42)
+        .select($"vec_id".as("qid"), $"embedding".as("qvec"))
+      Streaming.recallMaintained(s, table, cents, "cent_id", "cvec",
+          qs, "qid", "qvec", nProbes = 2, k = 5)
+        .orderBy($"qid")
+    }),
+
     // SNAPSHOT-pinned serving: the pin is taken after two ingest
     // batches, then a third batch lands, a delete fires, and a
     // compaction FOLDS pre-pin batches to new addresses — the pinned
@@ -12478,6 +12509,83 @@ object SparkEntry {
         |       dr.c AS tomb_dropped
         |FROM sc CROSS JOIN dr CROSS JOIN tot
         |ORDER BY score DESC, id LIMIT 10""".stripMargin,
+
+    // Replays the recall audit end to end: stored vectors are the
+    // ingest-normalized float32s, probe selection is per-query top-2
+    // cells, approx restricts scoring to probed cells, exact ranks the
+    // full corpus, and recall is the semi-join hit count over k.
+    "q_maintained_recall" ->
+      """WITH cents AS (
+        |  SELECT vec_id AS cent_id, embedding AS cvec FROM embeddings WHERE vec_id < 16),
+        |nrm AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x::DOUBLE /
+        |      GREATEST(SQRT(list_sum(list_transform(embedding,
+        |        y -> y::DOUBLE * y::DOUBLE))), 1e-12) AS REAL)) AS emb
+        |  FROM embeddings),
+        |pc AS (
+        |  SELECT n.vec_id, c.cent_id,
+        |         unnest(n.emb)::DOUBLE x, unnest(c.cvec)::DOUBLE y
+        |  FROM nrm n CROSS JOIN cents c),
+        |pagg AS (SELECT vec_id, cent_id, SUM(x*y) dp, SUM(x*x) nx2, SUM(y*y) ny2
+        |         FROM pc GROUP BY vec_id, cent_id),
+        |psc AS (SELECT vec_id, cent_id,
+        |          ROUND(dp/(GREATEST(SQRT(nx2),1e-12)*GREATEST(SQRT(ny2),1e-12)), 6) c
+        |        FROM pagg),
+        |assign AS (
+        |  SELECT vec_id, cent_id AS cell_id FROM (
+        |    SELECT vec_id, cent_id,
+        |           row_number() OVER (PARTITION BY vec_id ORDER BY c DESC, cent_id) rn
+        |    FROM psc) WHERE rn = 1),
+        |qs AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings
+        |       WHERE vec_id % 100 = 42),
+        |pcq AS (
+        |  SELECT q.qid, c.cent_id,
+        |         unnest(c.cvec)::DOUBLE x, unnest(q.qvec)::DOUBLE y
+        |  FROM cents c CROSS JOIN qs q),
+        |pq AS (SELECT qid, cent_id, SUM(x*y) dp, SUM(x*x) nx2, SUM(y*y) ny2
+        |       FROM pcq GROUP BY qid, cent_id),
+        |pqs AS (SELECT qid, cent_id,
+        |          ROUND(dp/(GREATEST(SQRT(nx2),1e-12)*GREATEST(SQRT(ny2),1e-12)), 6) c
+        |        FROM pq),
+        |probes AS (
+        |  SELECT qid, cent_id AS cell_id FROM (
+        |    SELECT qid, cent_id,
+        |           row_number() OVER (PARTITION BY qid ORDER BY c DESC, cent_id) rn
+        |    FROM pqs) WHERE rn <= 2),
+        |sp AS (
+        |  SELECT n.vec_id, q.qid,
+        |         unnest(n.emb)::DOUBLE x, unnest(q.qvec)::DOUBLE y
+        |  FROM nrm n CROSS JOIN qs q),
+        |sagg AS (SELECT vec_id, qid, SUM(x*y) dp, SUM(x*x) nx2, SUM(y*y) ny2
+        |         FROM sp GROUP BY vec_id, qid),
+        |sc AS (SELECT vec_id, qid,
+        |         ROUND(dp/(GREATEST(SQRT(nx2),1e-12)*GREATEST(SQRT(ny2),1e-12)), 6)
+        |           + 0.0 AS score
+        |       FROM sagg),
+        |exact AS (
+        |  SELECT qid, vec_id FROM (
+        |    SELECT qid, vec_id,
+        |           row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) rn
+        |    FROM sc) WHERE rn <= 5),
+        |approx AS (
+        |  SELECT qid, vec_id FROM (
+        |    SELECT s.qid, s.vec_id,
+        |           row_number() OVER (PARTITION BY s.qid ORDER BY s.score DESC, s.vec_id) rn
+        |    FROM sc s
+        |    JOIN assign a ON a.vec_id = s.vec_id
+        |    JOIN probes p ON p.qid = s.qid AND p.cell_id = a.cell_id)
+        |  WHERE rn <= 5),
+        |ne AS (SELECT qid, COUNT(*) AS n_exact FROM exact GROUP BY qid),
+        |nh AS (SELECT e.qid, COUNT(*) AS n_hit
+        |       FROM exact e JOIN approx ap
+        |         ON ap.qid = e.qid AND ap.vec_id = e.vec_id
+        |       GROUP BY e.qid)
+        |SELECT ne.qid, ne.n_exact,
+        |       COALESCE(nh.n_hit, 0)::BIGINT AS n_hit,
+        |       ROUND(COALESCE(nh.n_hit, 0)::DOUBLE / ne.n_exact, 6) + 0.0 AS recall
+        |FROM ne LEFT JOIN nh ON nh.qid = ne.qid
+        |ORDER BY ne.qid""".stripMargin,
 
     // Replays the pinned-visibility rule (the pin covers ingest batches
     // 0 and 1 ≡ vec_id < 250), the post-pin delete (reads current), the

@@ -194,6 +194,9 @@
   *    SNAPSHOT-pinned reads (a permanent `__b0` row version survives
   *    folds and moves; deletes read current):
   *    [[graft.streaming.Streaming.maintainedSnapshot]];
+  *    exact-scan ground truth + per-query recall audit of the probed
+  *    serving: [[graft.streaming.Streaming.searchMaintainedExact]],
+  *    [[graft.streaming.Streaming.recallMaintained]];
   *    duplicate-query collapse, keyset pagination, predicate purge,
   *    tombstone-sidecar vacuum, one-call state report:
   *    [[graft.streaming.Streaming.searchMaintainedBatchCollapsed]],

@@ -1137,6 +1137,78 @@ object Streaming {
       .select(col("id"), col("score"))
   }
 
+  /** EXACT top-k over the maintained table — every cell scanned, no
+    * probe pruning: the ground-truth face. Same quantized scoring,
+    * tombstone, `pred`, and `asOf` semantics as [[searchMaintained]],
+    * so the two are comparable row for row. Use for recall audits
+    * ([[recallMaintained]]) and for the narrow-predicate starvation
+    * regime where probed cells can't fill k; at corpus scale this reads
+    * the whole table — an audit/fallback cost, not a serving one.
+    */
+  def searchMaintainedExact(spark: org.apache.spark.sql.SparkSession,
+                            tablePath: String, query: Seq[Float], k: Int,
+                            pred: Column = lit(true),
+                            asOf: Option[Long] = None): DataFrame = {
+    import graft.expressions.FloatVectorExpressions.dotF
+    import graft.functions.{VectorFunctions => V}
+    import graft.operators.TopK
+    val scanned = spark.read.parquet(tablePath).filter(visibleAsOf(asOf))
+    val alive = maintainedDeletes(spark, tablePath)
+      .map(d => scanned.join(broadcast(d), Seq("id"), "left_anti"))
+      .getOrElse(scanned)
+      .filter(pred)
+    val qn = math.max(math.sqrt(query.map(x => x.toDouble * x).sum), V.NormEps)
+    val scored = alive.withColumn("score",
+      round(dotF(col("embedding"), typedLit(query)) /
+        (greatest(sqrt(dotF(col("embedding"), col("embedding"))), lit(V.NormEps)) *
+          lit(qn)), 6) + lit(0.0))
+    TopK.topK(scored, col("score"), col("id"), k)
+      .select(col("id"), col("score"))
+  }
+
+  /** RECALL AUDIT of the maintained index's probed serving against the
+    * exact scan — the one-call answer to "is nProbes enough for THIS
+    * table as it stands today": for each query in the batch, recall@k
+    * of [[searchMaintainedBatch]] (probe-pruned) against the exact
+    * full-scan ranking. Output: (qidCol, n_exact, n_hit, recall) per
+    * query. Both sides share one table read each; the exact side is a
+    * single scan scored against the BROADCAST query batch with the
+    * k-bounded per-query aggregator — audit cost is one full pass, not
+    * one pass per query. Run it after drift reports
+    * ([[silhouetteMaintained]]) flag misfiled rows: misfiling is
+    * exactly what turns probe pruning into recall loss.
+    */
+  def recallMaintained(spark: org.apache.spark.sql.SparkSession,
+                       tablePath: String, fallbackCentroids: DataFrame,
+                       centIdCol: String, centVecCol: String,
+                       queries: DataFrame, qidCol: String, qVecCol: String,
+                       nProbes: Int, k: Int,
+                       asOf: Option[Long] = None): DataFrame = {
+    import graft.expressions.FloatVectorExpressions.dotF
+    import graft.functions.{VectorFunctions => V}
+    import graft.operators.{Ann, TopK}
+    require(qidCol != "id" && qidCol != "score",
+      s"qidCol must not be named 'id' or 'score'; got '$qidCol'")
+    val approx = searchMaintainedBatch(spark, tablePath, fallbackCentroids,
+      centIdCol, centVecCol, queries, qidCol, qVecCol, nProbes, k,
+      asOf = asOf)
+    val q = queries.select(col(qidCol).as("__qid"), col(qVecCol).as("__qv"))
+    val scanned = spark.read.parquet(tablePath).filter(visibleAsOf(asOf))
+    val alive = maintainedDeletes(spark, tablePath)
+      .map(d => scanned.join(broadcast(d), Seq("id"), "left_anti"))
+      .getOrElse(scanned)
+    val scored = alive.crossJoin(broadcast(q))
+      .withColumn("score",
+        round(dotF(col("embedding"), col("__qv")) /
+          (greatest(sqrt(dotF(col("embedding"), col("embedding"))), lit(V.NormEps)) *
+            greatest(sqrt(dotF(col("__qv"), col("__qv"))), lit(V.NormEps))),
+          6) + lit(0.0))
+    val exact = TopK.topKPerKeyAgg(scored, Seq(col("__qid")), col("score"),
+        col("id"), k)
+      .select(col("__qid").as(qidCol), col("id"))
+    Ann.recallAtK(exact, approx.select(col(qidCol), col("id")), qidCol, "id")
+  }
+
   /** Stored-assignment silhouette of a [[streamInsertIndexedMaintained]]
     * table — [[graft.operators.Ann.silhouetteSimplified]] in `assignCol`
     * mode over the table's own `cell_id` against the latest COMMITTED

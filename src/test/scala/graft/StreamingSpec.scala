@@ -1977,6 +1977,49 @@ class StreamingSpec extends SparkSpec {
       Files.createTempDirectory("graft_pin_none_").toString + "/nope") == -1L)
   }
 
+  test("searchMaintainedExact is ground truth; recallMaintained quantifies the probe trade per query") {
+    import spark.implicits._
+    val in = Files.createTempDirectory("graft_rec_in_").toString
+    val table = Files.createTempDirectory("graft_rec_tbl_").toString + "/t"
+    val ckpt = Files.createTempDirectory("graft_rec_ckpt_").toString + "/c"
+    val cents = Seq(
+      (0L, Seq(1f, 0f, 0f, 0f)), (1L, Seq(0f, 1f, 0f, 0f))
+    ).toDF("cent_id", "cvec")
+    val q = Streaming.streamInsertIndexedMaintained(
+      spark.readStream.schema(maintSchema).parquet(in),
+      dim = 4, numShards = 2, cents, "cent_id", "cvec", table, ckpt,
+      maxCell = 1000000L)
+    // ids 1, 2 file in cell 0; id 3 files in cell 1 but is the QUERY's
+    // second-nearest row — the row probe-1 serving must miss
+    Seq((1L, Seq(9f, 1f, 0f, 0f)), (2L, Seq(9f, 8f, 0f, 0f)),
+      (3L, Seq(8f, 9f, 0f, 0f)))
+      .toDF("id", "embedding").coalesce(1).write.mode("overwrite").parquet(in)
+    q.processAllAvailable()
+    q.stop()
+    val qv = Seq(9f, 7f, 0f, 0f)
+    val exact = Streaming.searchMaintainedExact(spark, table, qv, 2)
+      .collect().map(_.getLong(0)).toSeq
+    assert(exact == Seq(2L, 3L), exact)
+    // exact ≡ probed serving at nProbes = #cells, row for row
+    val full = Streaming.searchMaintained(spark, table, cents, "cent_id",
+      "cvec", qv, nProbes = 2, k = 2).collect().map(_.getLong(0)).toSeq
+    assert(full == exact)
+    def recall(nProbes: Int): Map[Long, (Long, Long, Double)] =
+      Streaming.recallMaintained(spark, table, cents, "cent_id", "cvec",
+        Seq((100L, qv)).toDF("qid", "qvec"), "qid", "qvec", nProbes, 2)
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+        .toMap
+    // probe-1 scans only cell 0: id 3 (true #2) is missed — recall 0.5
+    assert(recall(1)(100L) == ((2L, 1L, 0.5)), recall(1))
+    assert(recall(2)(100L) == ((2L, 2L, 1.0)), recall(2))
+    // the exact face honors tombstones like every serving face
+    Streaming.deleteMaintained(spark, table, Seq(2L).toDF("id"), "id")
+    val afterDel = Streaming.searchMaintainedExact(spark, table, qv, 2)
+      .collect().map(_.getLong(0)).toSeq
+    assert(afterDel == Seq(3L, 1L), afterDel)
+  }
+
   test("vacuumDeletes and deleteMaintainedWhere survive a fully-emptied table (no cell dirs left)") {
     import spark.implicits._
     val in = Files.createTempDirectory("graft_emp_in_").toString
