@@ -11839,6 +11839,57 @@ object SparkEntry {
           lit(dropped).as("tomb_dropped"))
     }),
 
+    // Deterministic k-means training, oracle-certified: one Lloyd
+    // iteration from the lowest-8-id init over the embeddings table —
+    // the oracle replays the argmax assignment and the exact micro-unit
+    // per-(cell, dim) means (half-even on the mean, half-up on the
+    // element quantization), so the trained centroids themselves are
+    // hash-checked, not just the searches they feed.
+    "q_kmeans_train" -> ((s, dir) => {
+      import s.implicits._
+      val e = t(s, dir, "embeddings")
+      Ann.kmeansTrain(e, "vec_id", "embedding", 8, 1)
+        .select($"cent_id", posexplode($"cvec").as(Seq("pos", "v")))
+        .orderBy($"cent_id", $"pos")
+    }),
+
+    // Full index REBUILD, oracle-certified end to end: ingest → rule
+    // delete → retrainMaintained (k-means over the live normalized
+    // rows, tombstones purged physically, every row re-homed, centroid
+    // version committed) → probe-pruned search against the RETRAINED
+    // centroids. The oracle replays normalization, the post-delete
+    // training set, one Lloyd iteration (init = lowest live ids,
+    // micro-unit means), re-assignment, probe selection, and the final
+    // ranking — the rebuild's arithmetic is hash-checked, not just its
+    // bookkeeping.
+    "q_maintained_retrain" -> ((s, dir) => {
+      import s.implicits._
+      val e = t(s, dir, "embeddings")
+      val cents = e.filter($"vec_id" < 16)
+        .select($"vec_id".as("cent_id"), $"embedding".as("cvec"))
+      val d = java.nio.file.Files.createTempDirectory("graft_rt_q_").toFile
+      jsonlTmpCleanup(d)
+      val in = new java.io.File(d, "in").getAbsolutePath
+      val table = new java.io.File(d, "t").getAbsolutePath
+      val ckpt = new java.io.File(d, "c").getAbsolutePath
+      val src = e.select($"vec_id".as("id"), $"embedding")
+      src.coalesce(1).write.mode("overwrite").parquet(in)
+      val stream = Streaming.streamInsertIndexedMaintained(
+        s.readStream.schema(src.schema).parquet(in),
+        dim = 64, numShards = 8, cents, "cent_id", "cvec", table, ckpt,
+        maxCell = 1000000L)
+      stream.processAllAvailable()
+      stream.stop()
+      Streaming.deleteMaintained(s, table,
+        src.filter($"id" % 10 === 3).select($"id"), "id")
+      val v = Streaming.retrainMaintained(s, table, k = 8, iters = 1)
+      val query = e.filter($"vec_id" === 42).select($"embedding")
+        .head.getSeq[Float](0)
+      Streaming.searchMaintained(s, table, cents, "cent_id", "cvec",
+          query, nProbes = 2, k = 10)
+        .select($"id", $"score", lit(v).cast("long").as("version"))
+    }),
+
     // Recall audit of the maintained index's probed serving against the
     // exact full scan — per ...42-suffixed query, recall@5 of nProbes=2
     // vs ground truth. The oracle replays ingest normalization,
@@ -12509,6 +12560,142 @@ object SparkEntry {
         |       dr.c AS tomb_dropped
         |FROM sc CROSS JOIN dr CROSS JOIN tot
         |ORDER BY score DESC, id LIMIT 10""".stripMargin,
+
+    // Replays one Lloyd iteration exactly: init = the 8 lowest-id
+    // vectors (cent_id = rank), assignment by 6-dp-quantized cosine
+    // argmax (ties to lowest cent), per-(cell, dim) means as exact
+    // integer micro-unit sums with the half-even final rounding Spark's
+    // math.rint applies, float32 cast, no-member cells keep their init.
+    "q_kmeans_train" ->
+      """WITH init AS (
+        |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cent_id,
+        |         embedding AS cvec
+        |  FROM embeddings ORDER BY vec_id LIMIT 8),
+        |pc AS (
+        |  SELECT e.vec_id, i.cent_id,
+        |         unnest(e.embedding)::DOUBLE x, unnest(i.cvec)::DOUBLE y
+        |  FROM embeddings e CROSS JOIN init i),
+        |pagg AS (SELECT vec_id, cent_id, SUM(x*y) dp, SUM(x*x) nx2, SUM(y*y) ny2
+        |         FROM pc GROUP BY vec_id, cent_id),
+        |psc AS (SELECT vec_id, cent_id,
+        |          ROUND(dp/(GREATEST(SQRT(nx2),1e-12)*GREATEST(SQRT(ny2),1e-12)), 6) c
+        |        FROM pagg),
+        |assign AS (
+        |  SELECT vec_id, cent_id AS cell_id FROM (
+        |    SELECT vec_id, cent_id,
+        |           row_number() OVER (PARTITION BY vec_id ORDER BY c DESC, cent_id) rn
+        |    FROM psc) WHERE rn = 1),
+        |memb0 AS (
+        |  SELECT a.cell_id, e.embedding AS emb,
+        |         unnest(generate_series(1, len(e.embedding))) AS i
+        |  FROM assign a JOIN embeddings e ON e.vec_id = a.vec_id),
+        |members AS (
+        |  SELECT cell_id, i - 1 AS pos,
+        |         ROUND(emb[i]::DOUBLE * 1e6, 0)::BIGINT AS xm
+        |  FROM memb0),
+        |means AS (
+        |  SELECT cell_id, pos,
+        |         CAST(ROUND_EVEN(SUM(xm)::DOUBLE / COUNT(*), 0) / 1e6 AS REAL) AS v
+        |  FROM members GROUP BY cell_id, pos),
+        |grid AS (
+        |  SELECT i.cent_id, gs.i - 1 AS pos,
+        |         CAST(i.cvec[gs.i] AS REAL) AS v0
+        |  FROM init i CROSS JOIN
+        |       (SELECT unnest(generate_series(1, 64)) AS i) gs
+        |  WHERE gs.i <= len(i.cvec))
+        |SELECT g.cent_id, g.pos, COALESCE(m.v, g.v0) AS v
+        |FROM grid g LEFT JOIN means m
+        |  ON m.cell_id = g.cent_id AND m.pos = g.pos
+        |ORDER BY g.cent_id, g.pos""".stripMargin,
+
+    // Replays the rebuild: normalized float32 rows, the delete rule,
+    // one Lloyd iteration from the lowest-8 LIVE ids (micro-unit means,
+    // half-even), argmax re-assignment to the retrained centroids,
+    // top-2 probe selection, delete-aware ranking. Retrained cell ids
+    // shift by a constant (disjoint from the old ids), which preserves
+    // every tie-break order, so the oracle ranks with rank-as-id.
+    "q_maintained_retrain" ->
+      """WITH nrm AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x::DOUBLE /
+        |      GREATEST(SQRT(list_sum(list_transform(embedding,
+        |        y -> y::DOUBLE * y::DOUBLE))), 1e-12) AS REAL)) AS emb
+        |  FROM embeddings),
+        |live AS (SELECT vec_id, emb FROM nrm WHERE vec_id % 10 <> 3),
+        |init AS (
+        |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cent_id,
+        |         emb AS cvec
+        |  FROM live ORDER BY vec_id LIMIT 8),
+        |pc AS (
+        |  SELECT l.vec_id, i.cent_id,
+        |         unnest(l.emb)::DOUBLE x, unnest(i.cvec)::DOUBLE y
+        |  FROM live l CROSS JOIN init i),
+        |pagg AS (SELECT vec_id, cent_id, SUM(x*y) dp, SUM(x*x) nx2, SUM(y*y) ny2
+        |         FROM pc GROUP BY vec_id, cent_id),
+        |psc AS (SELECT vec_id, cent_id,
+        |          ROUND(dp/(GREATEST(SQRT(nx2),1e-12)*GREATEST(SQRT(ny2),1e-12)), 6) c
+        |        FROM pagg),
+        |assign0 AS (
+        |  SELECT vec_id, cent_id AS cell_id FROM (
+        |    SELECT vec_id, cent_id,
+        |           row_number() OVER (PARTITION BY vec_id ORDER BY c DESC, cent_id) rn
+        |    FROM psc) WHERE rn = 1),
+        |memb0 AS (
+        |  SELECT a.cell_id, l.emb,
+        |         unnest(generate_series(1, len(l.emb))) AS i
+        |  FROM assign0 a JOIN live l ON l.vec_id = a.vec_id),
+        |means AS (
+        |  SELECT cell_id, i - 1 AS pos,
+        |         CAST(ROUND_EVEN(SUM(ROUND(emb[i]::DOUBLE * 1e6, 0)::BIGINT)::DOUBLE
+        |                / COUNT(*), 0) / 1e6 AS REAL) AS v
+        |  FROM memb0 GROUP BY cell_id, i),
+        |newc AS (
+        |  SELECT i.cent_id,
+        |         list(COALESCE(m.v, CAST(i.cvec[gs.i] AS REAL))
+        |              ORDER BY gs.i) AS cvec
+        |  FROM init i
+        |  CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) gs
+        |  LEFT JOIN means m ON m.cell_id = i.cent_id AND m.pos = gs.i - 1
+        |  WHERE gs.i <= len(i.cvec)
+        |  GROUP BY i.cent_id),
+        |rc AS (
+        |  SELECT l.vec_id, n.cent_id,
+        |         unnest(l.emb)::DOUBLE x, unnest(n.cvec)::DOUBLE y
+        |  FROM live l CROSS JOIN newc n),
+        |ragg AS (SELECT vec_id, cent_id, SUM(x*y) dp, SUM(x*x) nx2, SUM(y*y) ny2
+        |         FROM rc GROUP BY vec_id, cent_id),
+        |rsc AS (SELECT vec_id, cent_id,
+        |          ROUND(dp/(GREATEST(SQRT(nx2),1e-12)*GREATEST(SQRT(ny2),1e-12)), 6) c
+        |        FROM ragg),
+        |rassign AS (
+        |  SELECT vec_id, cent_id AS cell_id FROM (
+        |    SELECT vec_id, cent_id,
+        |           row_number() OVER (PARTITION BY vec_id ORDER BY c DESC, cent_id) rn
+        |    FROM rsc) WHERE rn = 1),
+        |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 42),
+        |qc AS (
+        |  SELECT n.cent_id, unnest(n.cvec)::DOUBLE x, unnest(q.qe)::DOUBLE y
+        |  FROM newc n CROSS JOIN q),
+        |qagg AS (SELECT cent_id, SUM(x*y) dp, SUM(x*x) nx2, SUM(y*y) ny2
+        |         FROM qc GROUP BY cent_id),
+        |probes AS (
+        |  SELECT cent_id AS cell_id FROM (
+        |    SELECT cent_id,
+        |           ROUND(dp/(GREATEST(SQRT(nx2),1e-12)*GREATEST(SQRT(ny2),1e-12)), 6) c
+        |    FROM qagg ORDER BY c DESC, cent_id LIMIT 2)),
+        |cand AS (
+        |  SELECT a.vec_id FROM rassign a JOIN probes p ON p.cell_id = a.cell_id),
+        |sp AS (
+        |  SELECT l.vec_id, unnest(l.emb)::DOUBLE x, unnest(q.qe)::DOUBLE y
+        |  FROM live l JOIN cand cd ON cd.vec_id = l.vec_id CROSS JOIN q),
+        |sagg AS (SELECT vec_id, SUM(x*y) dp, SUM(x*x) nx2, SUM(y*y) ny2
+        |         FROM sp GROUP BY vec_id),
+        |sc AS (SELECT vec_id,
+        |         ROUND(dp/(GREATEST(SQRT(nx2),1e-12)*GREATEST(SQRT(ny2),1e-12)), 6)
+        |           + 0.0 AS score
+        |       FROM sagg)
+        |SELECT vec_id AS id, score, CAST(1 AS BIGINT) AS version
+        |FROM sc ORDER BY score DESC, id LIMIT 10""".stripMargin,
 
     // Replays the recall audit end to end: stored vectors are the
     // ingest-normalized float32s, probe selection is per-query top-2

@@ -197,6 +197,9 @@
   *    exact-scan ground truth + per-query recall audit of the probed
   *    serving: [[graft.streaming.Streaming.searchMaintainedExact]],
   *    [[graft.streaming.Streaming.recallMaintained]];
+  *    crash-safe FULL CENTROID RETRAIN (k-means rebuild, tombstones
+  *    purged, intent/commit recovery, ingest refusal over a crashed
+  *    rebuild): [[graft.streaming.Streaming.retrainMaintained]];
   *    duplicate-query collapse, keyset pagination, predicate purge,
   *    tombstone-sidecar vacuum, one-call state report:
   *    [[graft.streaming.Streaming.searchMaintainedBatchCollapsed]],

@@ -705,6 +705,14 @@ object Streaming {
           fs.listStatus(compDir).exists(_.getPath.getName.endsWith(".intent")))
           sys.error(s"unrecovered compaction at $tablePath: re-run " +
             "compactMaintained before resuming ingest")
+        // same refusal for a crashed retrain: its debris rows would
+        // double-count into maintenance sizes, and a fresh batch id
+        // could collide with its maintenance address
+        val retrDir = new Path(root, "_retrain")
+        if (fs.exists(retrDir) &&
+          fs.listStatus(retrDir).exists(_.getPath.getName.endsWith(".intent")))
+          sys.error(s"unrecovered retrain at $tablePath: re-run " +
+            "retrainMaintained before resuming ingest")
         val attempts = new Path(root, "_attempts")
         val attempt = new Path(attempts, s"a_$batchId")
         val replay = fs.exists(attempt)
@@ -945,6 +953,148 @@ object Streaming {
       ("pending_compaction", -1L, pending)))
       .toDF("metric", "cell", "value")
       .orderBy($"metric", $"cell")
+  }
+
+  /** FULL CENTROID RETRAIN of a [[streamInsertIndexedMaintained]] table
+    * — the index REBUILD for when drift has gone past what incremental
+    * split/merge rebalance can repair (the [[silhouetteMaintained]] /
+    * [[recallMaintained]] escalation path): k-means over the live rows
+    * ([[graft.operators.Ann.kmeansTrain]] — deterministic lowest-id
+    * init, exact micro-unit means), then EVERY row re-homes to its new
+    * cell. Tombstoned rows are purged in the rewrite (a rebuild is a
+    * natural compaction point) and the `_deletes` sidecar retires; the
+    * permanent `__b0` row versions ride through, so snapshot pins stay
+    * valid across the rebuild.
+    *
+    * Crash safety — the maintenance marker discipline: intent file
+    * (`_retrain/r_<v>.intent`) → re-homed rows append at the reserved
+    * maintenance address `__b = −(v+1)` → centroid draft `_centroids/
+    * v_<v>` → ATOMIC commit (temp-write + rename of `_GRAFT_COMMIT`,
+    * whose content lists the superseded cell dirs) → source deletes →
+    * intent retires. A re-run rolls an uncommitted retrain BACK (draft
+    * + debris deleted) and a committed one FORWARD (source deletes
+    * finish); the ingest REFUSES to start over an unrecovered retrain,
+    * exactly as it does over an unrecovered compaction. New cell ids
+    * start past the largest existing id, so a replayed roll-forward
+    * delete can never touch a rebuilt directory.
+    *
+    * Version `v` = max(next ingest batch, next centroid version): the
+    * numerically-latest committed version serves, and a later in-stream
+    * rebalance at a higher batch id supersedes it — the one shared
+    * version line. Run with the WRITER STOPPED (the compaction
+    * discipline); run [[compactMaintained]] first if a crashed fold is
+    * pending (this throws otherwise). Returns the committed version.
+    *
+    * Cost is declared: train + rebuild reads and rewrites the live
+    * table — the full-pass price an index rebuild is, by definition.
+    * `hook` is a TEST SEAM ("retrain-intent" / "retrain-appended" /
+    * "retrain-committed").
+    */
+  def retrainMaintained(spark: org.apache.spark.sql.SparkSession,
+                        tablePath: String, k: Int, iters: Int = 2,
+                        hook: String => Unit = _ => ()): Long = {
+    import org.apache.hadoop.fs.Path
+    import graft.operators.Ann
+    require(k >= 1 && iters >= 0, s"need k >= 1, iters >= 0; got $k, $iters")
+    val root = new Path(tablePath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(root), s"no maintained table at $tablePath")
+    val compDir = new Path(root, "_compactions")
+    require(!fs.exists(compDir) || !fs.listStatus(compDir)
+        .exists(_.getPath.getName.endsWith(".intent")),
+      s"unrecovered compaction at $tablePath: run compactMaintained first")
+    val retrainDir = new Path(root, "_retrain")
+    def cellDirs(): Seq[Path] =
+      fs.listStatus(root).filter(_.isDirectory).map(_.getPath)
+        .filter(_.getName.startsWith("cell_id=")).toSeq
+    def centsDir(v: Long) = new Path(new Path(root, "_centroids"), s"v_$v")
+
+    // ---- recovery of a crashed prior retrain ----
+    if (fs.exists(retrainDir)) {
+      fs.listStatus(retrainDir).map(_.getPath.getName)
+        .filter(_.endsWith(".intent")).foreach { iname =>
+          val v = iname.stripSuffix(".intent").stripPrefix("r_").toLong
+          val commit = new Path(centsDir(v), "_GRAFT_COMMIT")
+          if (fs.exists(commit)) {
+            // committed: finish the source deletes (idempotent)
+            val in = fs.open(commit)
+            val srcs =
+              try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+              finally in.close()
+            srcs.filter(_.nonEmpty).foreach { c =>
+              val p = new Path(root, s"cell_id=$c")
+              if (fs.exists(p)) fs.delete(p, true): Unit
+            }
+            val dels = new Path(root, "_deletes")
+            if (fs.exists(dels)) fs.delete(dels, true): Unit
+          } else {
+            // uncommitted: sources intact — drop draft + re-homed debris
+            if (fs.exists(centsDir(v))) fs.delete(centsDir(v), true): Unit
+            cellDirs().foreach { d =>
+              val p = new Path(d, s"__b=${-(v + 1)}")
+              if (fs.exists(p)) {
+                fs.delete(p, true): Unit
+                if (fs.listStatus(d).isEmpty) fs.delete(d, true): Unit
+              }
+            }
+          }
+          fs.delete(new Path(retrainDir, iname), false): Unit
+        }
+    }
+
+    val dirs = cellDirs()
+    require(dirs.nonEmpty, s"empty maintained table at $tablePath")
+    val oldCells = dirs.map(_.getName.stripPrefix("cell_id=").toLong).sorted
+    val newBase = oldCells.max + 1
+    val centsRoot = new Path(root, "_centroids")
+    val maxVersion =
+      if (!fs.exists(centsRoot)) -1L
+      else fs.listStatus(centsRoot).map(_.getPath.getName)
+        .filter(_.startsWith("v_")).map(_.stripPrefix("v_").toLong)
+        .maxOption.getOrElse(-1L)
+    val v = math.max(maintainedSnapshot(spark, tablePath) + 1, maxVersion + 1)
+
+    // pin the input BEFORE the table starts changing shape: training
+    // iterates the frame and the re-home append must not re-list itself
+    val scanned = spark.read.parquet(tablePath)
+    val live = maintainedDeletes(spark, tablePath)
+      .map(d => scanned.join(broadcast(d), Seq("id"), "left_anti"))
+      .getOrElse(scanned)
+      .localCheckpoint(true)
+    val cents = Ann.kmeansTrain(live, "id", "embedding", k, iters)
+      .select((col("cent_id") + lit(newBase)).as("cent_id"), col("cvec"))
+      .localCheckpoint(true)
+
+    fs.mkdirs(retrainDir)
+    val intent = new Path(retrainDir, s"r_$v.intent")
+    fs.create(intent, true).close()
+    hook("retrain-intent")
+    val dataCols = live.columns
+      .filter(c => c != "cell_id" && c != "__b").map(col)
+    Ann.ivfAssign(live.select(dataCols: _*), cents, "id", "embedding",
+        "cent_id", "cvec")
+      .withColumn("__b", lit(-(v + 1)))
+      .write.mode("append").partitionBy("cell_id", "__b").parquet(tablePath)
+    cents.repartition(1).write.mode("overwrite")
+      .parquet(centsDir(v).toString)
+    hook("retrain-appended")
+    val commit = new Path(centsDir(v), "_GRAFT_COMMIT")
+    val commitTmp = new Path(centsDir(v), "_GRAFT_COMMIT.tmp")
+    val out = fs.create(commitTmp, true)
+    try out.write(oldCells.mkString("", "\n", "\n").getBytes("UTF-8"))
+    finally out.close()
+    require(fs.rename(commitTmp, commit),
+      s"could not commit retrain marker $commit")
+    hook("retrain-committed")
+    oldCells.foreach { c =>
+      val p = new Path(root, s"cell_id=$c")
+      if (fs.exists(p)) fs.delete(p, true): Unit
+    }
+    // every tombstone is now physical — the sidecar is dead weight
+    val dels = new Path(root, "_deletes")
+    if (fs.exists(dels)) fs.delete(dels, true): Unit
+    fs.delete(intent, false): Unit
+    v
   }
 
   /** Tombstone-sidecar vacuum — drops DEAD tombstones (ids no longer

@@ -2020,6 +2020,127 @@ class StreamingSpec extends SparkSpec {
     assert(afterDel == Seq(3L, 1L), afterDel)
   }
 
+  test("retrainMaintained rebuilds the index: new cells serve, tombstones purge physically, ingest resumes in the new space") {
+    import spark.implicits._
+    val in = Files.createTempDirectory("graft_rt_in_").toString
+    val table = Files.createTempDirectory("graft_rt_tbl_").toString + "/t"
+    val ckpt = Files.createTempDirectory("graft_rt_ckpt_").toString + "/c"
+    // stale centroids: the data lives on the z/w axes, the centroids on
+    // x/y — every row ties to cell 0, probe pruning is useless
+    val cents = Seq(
+      (0L, Seq(1f, 0f, 0f, 0f)), (1L, Seq(0f, 1f, 0f, 0f))
+    ).toDF("cent_id", "cvec")
+    def start() = Streaming.streamInsertIndexedMaintained(
+      spark.readStream.schema(maintSchema).parquet(in),
+      dim = 4, numShards = 2, cents, "cent_id", "cvec", table, ckpt,
+      maxCell = 1000000L)
+    val q = start()
+    Seq((1L, Seq(0f, 0f, 9f, 1f)), (2L, Seq(0f, 0f, 9f, 2f)),
+      (3L, Seq(0f, 0f, 1f, 9f)), (4L, Seq(0f, 0f, 2f, 9f)))
+      .toDF("id", "embedding").coalesce(1).write.mode("overwrite").parquet(in)
+    q.processAllAvailable()
+    q.stop()
+    Streaming.deleteMaintained(spark, table, Seq(4L).toDF("id"), "id")
+    def liveCells(): Set[Long] = new java.io.File(table).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("cell_id="))
+      .map(_.getName.stripPrefix("cell_id=").toLong).toSet
+    // every row tied to cell 0 under the stale centroids (cos 0 to both)
+    val oldCells = liveCells()
+    assert(oldCells == Set(0L), oldCells)
+    val v = Streaming.retrainMaintained(spark, table, k = 2, iters = 2)
+    // old cell dirs gone; new cell ids start past the old ones
+    val cellIds = liveCells()
+    assert(cellIds.forall(_ > oldCells.max) && (cellIds & oldCells).isEmpty,
+      s"new cells must be disjoint from and above the old: $cellIds")
+    assert(cellIds.size == 2, s"k=2 rebuild → 2 cells, got $cellIds")
+    // the tombstone is PHYSICAL now: sidecar gone, row gone
+    assert(!new java.io.File(s"$table/_deletes").exists())
+    val ids = spark.read.parquet(table).select("id")
+      .collect().map(_.getLong(0)).toSet
+    assert(ids == Set(1L, 2L, 3L), ids)
+    // the committed version serves: probe-1 search in the retrained
+    // space routes the w-axis query straight to id 3's cell
+    val rep = Streaming.describeMaintained(spark, table).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(rep(("centroid_version", -1L)) == v, rep)
+    val hits = Streaming.searchMaintained(spark, table, cents, "cent_id",
+        "cvec", Seq(0f, 0f, 0f, 1f), nProbes = 1, k = 2)
+      .collect().map(_.getLong(0)).toSeq
+    assert(hits.head == 3L, hits)
+    // ingest resumes against the retrained centroids: a new w-axis row
+    // files into id 3's (new-space) cell
+    val q2 = start()
+    Seq((5L, Seq(0f, 0f, 1f, 8f))).toDF("id", "embedding")
+      .coalesce(1).write.mode("append").parquet(in)
+    q2.processAllAvailable()
+    q2.stop()
+    val cellOf = spark.read.parquet(table)
+      .select(col("id"), col("cell_id").cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cellOf(5L) == cellOf(3L), cellOf)
+    // snapshot pins survive the rebuild: __b0 versions rode through
+    val pinned = Streaming.searchMaintained(spark, table, cents, "cent_id",
+        "cvec", Seq(0f, 0f, 0f, 1f), nProbes = 2, k = 10, asOf = Some(0L))
+      .collect().map(_.getLong(0)).toSet
+    assert(pinned == Set(1L, 2L, 3L), s"pin 0 predates the rebuild: $pinned")
+  }
+
+  test("retrainMaintained crash windows: uncommitted rolls back, committed rolls forward, ingest refuses a pending intent") {
+    import spark.implicits._
+    val in = Files.createTempDirectory("graft_rtc_in_").toString
+    val table = Files.createTempDirectory("graft_rtc_tbl_").toString + "/t"
+    val ckpt = Files.createTempDirectory("graft_rtc_ckpt_").toString + "/c"
+    val cents = Seq(
+      (0L, Seq(1f, 0f, 0f, 0f)), (1L, Seq(0f, 1f, 0f, 0f))
+    ).toDF("cent_id", "cvec")
+    val q = Streaming.streamInsertIndexedMaintained(
+      spark.readStream.schema(maintSchema).parquet(in),
+      dim = 4, numShards = 2, cents, "cent_id", "cvec", table, ckpt,
+      maxCell = 1000000L)
+    Seq((1L, Seq(0f, 0f, 9f, 1f)), (2L, Seq(0f, 0f, 9f, 2f)),
+      (3L, Seq(0f, 0f, 1f, 9f)))
+      .toDF("id", "embedding").coalesce(1).write.mode("overwrite").parquet(in)
+    q.processAllAvailable()
+    q.stop()
+    def allRows(): Seq[Long] = spark.read.parquet(table)
+      .select("id").collect().map(_.getLong(0)).toSeq.sorted
+    // crash AFTER the re-home append, BEFORE commit: rows are briefly
+    // duplicated on disk; recovery must roll the debris back
+    intercept[RuntimeException] {
+      Streaming.retrainMaintained(spark, table, k = 2, iters = 1,
+        hook = s => if (s == "retrain-appended") sys.error("boom"))
+    }
+    // the ingest refuses to resume over the pending intent
+    val qRefuse = Streaming.streamInsertIndexedMaintained(
+      spark.readStream.schema(maintSchema).parquet(in),
+      dim = 4, numShards = 2, cents, "cent_id", "cvec", table,
+      Files.createTempDirectory("graft_rtc_ck2_").toString + "/c",
+      maxCell = 1000000L)
+    Seq((9L, Seq(0f, 0f, 5f, 5f))).toDF("id", "embedding")
+      .coalesce(1).write.mode("append").parquet(in)
+    val refuse = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      qRefuse.processAllAvailable()
+    }
+    qRefuse.stop()
+    assert(refuse.getMessage.contains("unrecovered retrain"), refuse.getMessage)
+    // re-run: rollback (debris gone) then a clean retrain completes
+    val v1 = Streaming.retrainMaintained(spark, table, k = 2, iters = 1)
+    assert(allRows() == Seq(1L, 2L, 3L), allRows())
+    // crash AFTER commit, BEFORE source deletes: recovery rolls forward
+    intercept[RuntimeException] {
+      Streaming.retrainMaintained(spark, table, k = 2, iters = 1,
+        hook = s => if (s == "retrain-committed") sys.error("boom"))
+    }
+    val v2 = Streaming.retrainMaintained(spark, table, k = 2, iters = 1)
+    assert(v2 > v1)
+    assert(allRows() == Seq(1L, 2L, 3L),
+      s"exactly-once across both crash recoveries: ${allRows()}")
+    val hits = Streaming.searchMaintained(spark, table, cents, "cent_id",
+        "cvec", Seq(0f, 0f, 9f, 1.5f), nProbes = 2, k = 3)
+      .collect().map(_.getLong(0)).toSet
+    assert(hits == Set(1L, 2L, 3L), hits)
+  }
+
   test("vacuumDeletes and deleteMaintainedWhere survive a fully-emptied table (no cell dirs left)") {
     import spark.implicits._
     val in = Files.createTempDirectory("graft_emp_in_").toString
