@@ -1200,6 +1200,73 @@ object Profile {
       }
     }
 
+    // Round-8 probes: full retrain cost must track the table ~linearly
+    // (it is a declared full-pass rebuild); the recall audit must track
+    // table + query-batch, never table × queries; semantic
+    // decontamination must track the TRAIN side ~linearly with a
+    // benchmark-sized eval broadcast, even when one eval doc is
+    // corpus-hot (candidates stay cell-bounded).
+    if (on("round8")) {
+      import graft.operators.{Ann, Mining}
+      import graft.streaming.{Streaming => Strm}
+      val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        .select($"vec_id", $"embedding").repartition(32)
+      val cents = e.filter($"vec_id" < 16)
+        .select($"vec_id".as("cent_id"), $"embedding".as("cvec"))
+      def dupE(k: Int): DataFrame =
+        (0 until k).map(i =>
+          e.withColumn("vec_id", $"vec_id" + lit(i * 1000000L)))
+          .reduce(_ unionByName _).repartition(32)
+      def mkTable(k: Int): String = {
+        val d = java.nio.file.Files.createTempDirectory("graft_p8_").toFile
+        d.deleteOnExit()
+        val table = new java.io.File(d, "t").getAbsolutePath
+        Ann.ivfAssign(graft.search.VectorStore.prepare(
+            dupE(k).select($"vec_id".as("id"), $"embedding"), 64, 8),
+          cents, "id", "embedding", "cent_id", "cvec")
+          .withColumn("__b0", lit(0L))
+          .withColumn("__b", lit(0L))
+          .write.mode("overwrite").partitionBy("cell_id", "__b").parquet(table)
+        table
+      }
+      val t1 = mkTable(1); val t10 = mkTable(10)
+      def retrain(t: String): Long =
+        Strm.retrainMaintained(spark, t, k = 16, iters = 1)
+      time("R8a retrain 1x")(println("  v=" + retrain(t1)))
+      time("R8a retrain 10x")(println("  v10=" + retrain(t10)))
+
+      val qs = e.filter($"vec_id" % 100 === 42)
+        .select($"vec_id".as("qid"), $"embedding".as("qvec"))
+        .localCheckpoint(true)
+      def audit(t: String): Long = Strm.recallMaintained(spark, t, cents,
+        "cent_id", "cvec", qs, "qid", "qvec", 2, 10).count()
+      audit(t1) // warmup
+      time("R8b recall audit 1x table")(println("  q=" + audit(t1)))
+      time("R8b recall audit 10x table")(println("  q10=" + audit(t10)))
+
+      val ev = e.filter($"vec_id" % 50 === 17)
+        .select($"vec_id".as("eid"), $"embedding".as("evec"))
+        .localCheckpoint(true)
+      // corpus-hot eval doc: every train row in one 1000-copy clump
+      // shares an eval doc's exact vector — flagged rows grow, candidate
+      // generation must stay cell-bounded
+      val hotVec = e.filter($"vec_id" === 17).select($"embedding")
+        .head.getSeq[Float](0)
+      def hotTrain(k: Int): DataFrame = dupE(k).unionByName(
+        spark.range(1000).select(($"id" + 900000000L).as("vec_id"),
+          typedLit(hotVec).as("embedding"))).repartition(32)
+      def decon(d: DataFrame): Long = Mining.semanticDecontaminate(
+        d, "vec_id", "embedding", ev, "eid", "evec",
+        cents, "cent_id", "cvec", 4, 0.3).count()
+      val h1 = hotTrain(1).localCheckpoint(true)
+      val h10 = hotTrain(10).localCheckpoint(true)
+      decon(h1) // warmup
+      time("R8c semantic decon 1x train + hot eval")(
+        println("  flagged=" + decon(h1)))
+      time("R8c semantic decon 10x train + hot eval")(
+        println("  flagged10=" + decon(h10)))
+    }
+
     spark.stop()
   }
 }

@@ -104,7 +104,9 @@
   *    / `q_leakage_split` in [[graft.SparkEntry]],
   *    [[graft.operators.RuntimeFilter]]; EMBEDDING-level semantic
   *    decontamination (IVF-bounded cosine vs a broadcast eval set):
-  *    [[graft.operators.Mining.semanticDecontaminate]]
+  *    [[graft.operators.Mining.semanticDecontaminate]], with a
+  *    continuous ingest-gate twin
+  *    [[graft.streaming.Streaming.streamDecontaminateIngest]]
   *
   * ==Sketches and aggregation==
   *

@@ -1907,6 +1907,45 @@ object Streaming {
       }
       .start()
 
+  /** Continuous EVAL-LEAKAGE gate — the streaming twin of
+    * [[graft.operators.Mining.semanticDecontaminate]]: every micro-batch
+    * of incoming training docs is checked against the STATIC benchmark
+    * set (broadcast-sized by nature), and the callback receives the
+    * clean survivors plus the flagged audit rows
+    * (train id, best eval match, score) — quarantine-don't-train, with
+    * the evidence attached. The crawl front is exactly where eval
+    * leakage enters a corpus; gating at ingest beats re-sweeping 100 TB
+    * later.
+    *
+    * Stateless by construction: the eval set is fixed for the stream's
+    * lifetime (a new benchmark drop = a new stream + one batch sweep of
+    * the backlog), so each batch's verdict is a pure function of the
+    * batch — replay is idempotent with no store, no watermark, no
+    * batch-addressed partition to exclude.
+    */
+  def streamDecontaminateIngest(docs: DataFrame, idCol: String,
+                                vecCol: String, evalDf: DataFrame,
+                                evalIdCol: String, evalVecCol: String,
+                                centroids: DataFrame, centIdCol: String,
+                                centVecCol: String, nProbes: Int,
+                                tau: Double, checkpointPath: String)
+                               (onBatch: (DataFrame, DataFrame, Long) => Unit)
+      : StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointPath)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val flagged = graft.operators.Mining.semanticDecontaminate(
+            batch, idCol, vecCol, evalDf, evalIdCol, evalVecCol,
+            centroids, centIdCol, centVecCol, nProbes, tau)
+          .localCheckpoint(false) // consumed by the anti-join + callback
+        val clean = batch.join(
+          flagged.select(col("train_id").as(idCol)), Seq(idCol), "left_anti")
+        onBatch(clean, flagged, batchId)
+        ()
+      }
+      .start()
+
   /** Continuous paragraph-level ingest dedup — the streaming twin of
     * `Dedup.incrementalParagraphDedup`: each micro-batch is rewritten
     * against the paragraph-fingerprint store (corpus-known paragraphs

@@ -2141,6 +2141,51 @@ class StreamingSpec extends SparkSpec {
     assert(hits == Set(1L, 2L, 3L), hits)
   }
 
+  test("streamDecontaminateIngest gates eval leakage at ingest, batch-twin exact, evidence attached") {
+    import spark.implicits._
+    val in = Files.createTempDirectory("graft_sd_in_").toString
+    val ckpt = Files.createTempDirectory("graft_sd_ckpt_").toString + "/c"
+    val cents = Seq((0L, Seq(1f, 0f, 0f, 0f)), (1L, Seq(0f, 1f, 0f, 0f)))
+      .toDF("cent_id", "cvec")
+    val ev = Seq((100L, Seq(0.9f, 0.1f, 0f, 0f)), (101L, Seq(0f, 1f, 0f, 0f)))
+      .toDF("eid", "evec")
+    val cleanRows = scala.collection.mutable.ArrayBuffer[Long]()
+    val flaggedRows = scala.collection.mutable.ArrayBuffer[(Long, Long, Double)]()
+    val schema = "id LONG, embedding ARRAY<FLOAT>"
+    val q = Streaming.streamDecontaminateIngest(
+      spark.readStream.schema(schema).parquet(in),
+      "id", "embedding", ev, "eid", "evec", cents, "cent_id", "cvec",
+      nProbes = 2, tau = 0.9, ckpt) { (clean, flagged, _) =>
+      cleanRows ++= clean.select("id").collect().map(_.getLong(0))
+      flaggedRows ++= flagged.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      ()
+    }
+    // batch 0: id 1 leaks e100 verbatim, id 2 is orthogonal-clean
+    Seq((1L, Seq(0.9f, 0.1f, 0f, 0f)), (2L, Seq(0f, 0f, 1f, 0f)))
+      .toDF("id", "embedding").coalesce(1).write.mode("overwrite").parquet(in)
+    q.processAllAvailable()
+    // batch 1: id 3 leaks e101, id 4 is near-but-below-tau
+    Seq((3L, Seq(0f, 1f, 0f, 0f)), (4L, Seq(0.6f, 0.8f, 0f, 0f)))
+      .toDF("id", "embedding").coalesce(1).write.mode("append").parquet(in)
+    q.processAllAvailable()
+    q.stop()
+    assert(cleanRows.sorted == Seq(2L, 4L), cleanRows)
+    assert(flaggedRows.map(f => (f._1, f._2)).sorted == Seq((1L, 100L), (3L, 101L)),
+      flaggedRows)
+    assert(flaggedRows.forall(_._3 >= 0.9), flaggedRows)
+    // batch-twin: the stream's verdicts equal the batch operator's on
+    // the full backlog
+    val all = Seq((1L, Seq(0.9f, 0.1f, 0f, 0f)), (2L, Seq(0f, 0f, 1f, 0f)),
+      (3L, Seq(0f, 1f, 0f, 0f)), (4L, Seq(0.6f, 0.8f, 0f, 0f)))
+      .toDF("id", "embedding")
+    val batchFlag = graft.operators.Mining.semanticDecontaminate(
+        all, "id", "embedding", ev, "eid", "evec",
+        cents, "cent_id", "cvec", 2, 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(batchFlag == flaggedRows.toSet, s"$batchFlag vs $flaggedRows")
+  }
+
   test("vacuumDeletes and deleteMaintainedWhere survive a fully-emptied table (no cell dirs left)") {
     import spark.implicits._
     val in = Files.createTempDirectory("graft_emp_in_").toString
