@@ -284,6 +284,36 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("AQE-on twins: semantic decontamination broadcasts the eval side, never cartesians, stays window-free") {
+    val p = aqePlan("q_semantic_decontaminate")
+    assert(!p.contains("CartesianProduct"),
+      s"decontamination must never cartesian:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      "the eval-probe routing must stay a broadcast equi-join under AQE")
+    // the per-train best match is the k-bounded aggregator, not a window
+    // over all candidates; the ONE window in the plan is probe selection
+    // over the (centroids × eval) cross — bounded by index × benchmark
+    // size, never the train corpus
+    assert(p.contains("topkaggregator"),
+      "best-match selection must be the k-bounded aggregator under AQE")
+    // the AQE string prints Final + Initial plans — count nodes in the
+    // final section only
+    val finalP = p.split("== Initial Plan ==").head
+    assert(finalP.linesIterator.count(_.contains("Window [")) <= 1,
+      s"only the bounded probe-selection window node is allowed:\n$finalP")
+  }
+
+  test("q_maintained_recall: the exact side is ONE scan against the broadcast query batch, k-bounded reduction") {
+    val p = plan("q_maintained_recall")
+    // the only acceptable product is the deliberate (row × broadcast
+    // query-batch) scoring cross — bounded by the benchmark-sized batch
+    assert(!p.contains("CartesianProduct") ||
+      p.contains("BroadcastNestedLoopJoin"),
+      s"exact side must score against a broadcast batch:\n$p")
+    assert(!p.contains("Window"),
+      "both rankings reduce through the k-bounded aggregator, not a window")
+  }
+
   test("OPERATORS.md never references a query that does not exist") {
     // doc-drift guard: every q_/qN oracle name cited in OPERATORS.md must
     // be a real SparkEntry.queries key (rows describing spec-only
