@@ -202,6 +202,10 @@
   *    crash-safe FULL CENTROID RETRAIN (k-means rebuild, tombstones
   *    purged, intent/commit recovery, ingest refusal over a crashed
   *    rebuild): [[graft.streaming.Streaming.retrainMaintained]];
+  *    the maintenance RUNBOOK AS CODE (census + drift → compact /
+  *    vacuum / retrain advice, one-call safe-order execution):
+  *    [[graft.streaming.Streaming.adviseMaintenance]],
+  *    [[graft.streaming.Streaming.autoMaintain]];
   *    duplicate-query collapse, keyset pagination, predicate purge,
   *    tombstone-sidecar vacuum, one-call state report:
   *    [[graft.streaming.Streaming.searchMaintainedBatchCollapsed]],

@@ -1097,6 +1097,109 @@ object Streaming {
     v
   }
 
+  /** MAINTENANCE ADVISOR — the runbook as code: one index-structure-
+    * bounded pass over [[describeMaintained]]'s census plus (when the
+    * index has ≥ 2 centroids) [[silhouetteMaintained]]'s drift report,
+    * emitting the actions a maintenance window should run. Output:
+    * (action, reason, metric) rows, empty = healthy. Advice, not
+    * execution — [[autoMaintain]] executes it in the safe order.
+    *
+    *  - `compact` — a crashed fold is pending (recovery first, the
+    *    ingest is refusing anyway), or some cell's subdir count exceeds
+    *    `maxSubdirsPerCell` (small-file debt: every scan pays file-open
+    *    + footer per subdir).
+    *  - `vacuum` — the tombstone sidecar holds ≥ `maxDeadFraction` of
+    *    the table's rows: the serving anti-join broadcast is carrying
+    *    dead weight worth retiring (run after compact makes them
+    *    physical).
+    *  - `retrain` — the row-weighted stored-assignment silhouette fell
+    *    below `silhouetteFloor`: ingest has drifted past what the cell
+    *    geometry can serve; probe-pruned recall is decaying
+    *    ([[recallMaintained]] quantifies exactly how much).
+    */
+  def adviseMaintenance(spark: org.apache.spark.sql.SparkSession,
+                        tablePath: String, fallbackCentroids: DataFrame,
+                        centIdCol: String, centVecCol: String,
+                        maxSubdirsPerCell: Long = 4L,
+                        maxDeadFraction: Double = 0.2,
+                        silhouetteFloor: Double = 0.1): DataFrame = {
+    import spark.implicits._
+    val rep = describeMaintained(spark, tablePath).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val out = scala.collection.mutable.ArrayBuffer[(String, String, Double)]()
+    if (rep(("pending_compaction", -1L)) == 1L)
+      out += (("compact", "crashed compaction pending recovery", 1.0))
+    val subdirs = rep.collect { case (("subdirs", c), v) if c >= 0 => (c, v) }
+    if (subdirs.nonEmpty) {
+      val (worstCell, worst) = subdirs.maxBy { case (c, v) => (v, -c) }
+      if (worst > maxSubdirsPerCell)
+        out += (("compact",
+          s"cell $worstCell holds $worst subdirs (> $maxSubdirsPerCell)",
+          worst.toDouble))
+    }
+    val rows = rep.collect { case (("rows", c), v) if c >= 0 => v }.sum
+    val tomb = rep(("tombstones", -1L))
+    if (rows > 0 && tomb.toDouble / rows >= maxDeadFraction)
+      out += (("vacuum",
+        s"$tomb tombstones over $rows rows rides every serving anti-join",
+        tomb.toDouble / rows))
+    val nCents = maintainedCentroids(spark, tablePath, fallbackCentroids)
+      .count()
+    if (rows > 0 && nCents >= 2) {
+      val sil = silhouetteMaintained(spark, tablePath, fallbackCentroids,
+          centIdCol, centVecCol)
+        .agg(sum(col("mean_s") * col("n")).cast("double").as("sw"),
+          sum(col("n")).cast("double").as("nw")).head
+      val meanS = if (sil.getDouble(1) == 0.0) 1.0
+        else sil.getDouble(0) / sil.getDouble(1)
+      if (meanS < silhouetteFloor)
+        out += (("retrain",
+          f"row-weighted stored-assignment silhouette $meanS%.4f < floor",
+          meanS))
+    }
+    out.toSeq.toDF("action", "reason", "metric")
+  }
+
+  /** Execute [[adviseMaintenance]] in the safe order — compact (folds
+    * make tombstones physical and clear small-file debt, and recovers
+    * any crashed fold first), then vacuum (retire the now-dead
+    * tombstones), then retrain (the rebuild reads the post-compaction
+    * table once). Returns the actions run, in order. Run with the
+    * writer stopped, like every offline maintenance pass. `retrainK`
+    * defaults to the current centroid count — drift repair, not
+    * re-sizing; pass an explicit k to re-size while rebuilding.
+    */
+  def autoMaintain(spark: org.apache.spark.sql.SparkSession,
+                   tablePath: String, fallbackCentroids: DataFrame,
+                   centIdCol: String, centVecCol: String,
+                   maxSubdirsPerCell: Long = 4L,
+                   maxDeadFraction: Double = 0.2,
+                   silhouetteFloor: Double = 0.1,
+                   retrainK: Option[Int] = None,
+                   retrainIters: Int = 2): Seq[String] = {
+    val advice = adviseMaintenance(spark, tablePath, fallbackCentroids,
+        centIdCol, centVecCol, maxSubdirsPerCell, maxDeadFraction,
+        silhouetteFloor)
+      .select(col("action")).collect().map(_.getString(0)).toSet
+    val ran = scala.collection.mutable.ArrayBuffer[String]()
+    if (advice("compact")) {
+      compactMaintained(spark, tablePath): Unit
+      ran += "compact"
+    }
+    if (advice("vacuum")) {
+      vacuumDeletes(spark, tablePath): Unit
+      ran += "vacuum"
+    }
+    if (advice("retrain")) {
+      val k = retrainK.getOrElse(
+        maintainedCentroids(spark, tablePath, fallbackCentroids)
+          .count().toInt)
+      retrainMaintained(spark, tablePath, k, retrainIters): Unit
+      ran += "retrain"
+    }
+    ran.toSeq
+  }
+
   /** Tombstone-sidecar vacuum — drops DEAD tombstones (ids no longer
     * present anywhere in the table: compaction already made their
     * deletes physical) and folds the sidecar's accumulated per-batch

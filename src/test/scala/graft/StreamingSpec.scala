@@ -2186,6 +2186,55 @@ class StreamingSpec extends SparkSpec {
     assert(batchFlag == flaggedRows.toSet, s"$batchFlag vs $flaggedRows")
   }
 
+  test("adviseMaintenance names each debt; autoMaintain heals the table to empty advice") {
+    import spark.implicits._
+    val in = Files.createTempDirectory("graft_am_in_").toString
+    val table = Files.createTempDirectory("graft_am_tbl_").toString + "/t"
+    val ckpt = Files.createTempDirectory("graft_am_ckpt_").toString + "/c"
+    // stale centroids on x/y, data on z/w: every row misfiles into cell
+    // 0 → deep drift (stored-assignment silhouette < 0)
+    val cents = Seq(
+      (0L, Seq(1f, 0f, 0f, 0f)), (1L, Seq(0f, 1f, 0f, 0f))
+    ).toDF("cent_id", "cvec")
+    val q = Streaming.streamInsertIndexedMaintained(
+      spark.readStream.schema(maintSchema).parquet(in),
+      dim = 4, numShards = 2, cents, "cent_id", "cvec", table, ckpt,
+      maxCell = 1000000L)
+    // four micro-batches into one cell = subdir debt past the threshold
+    Seq((1L, Seq(0f, 0f, 9f, 1f)), (2L, Seq(0f, 0f, 9f, 2f)))
+      .toDF("id", "embedding").coalesce(1).write.mode("overwrite").parquet(in)
+    q.processAllAvailable()
+    for (i <- 3 to 5) {
+      Seq((i.toLong, Seq(0f, 0f, i.toFloat, 9f))).toDF("id", "embedding")
+        .coalesce(1).write.mode("append").parquet(in)
+      q.processAllAvailable()
+    }
+    q.stop()
+    // tombstone 2 of 5 rows = 40% dead weight
+    Streaming.deleteMaintained(spark, table, Seq(2L, 4L).toDF("id"), "id")
+    def advice(): Map[String, String] =
+      Streaming.adviseMaintenance(spark, table, cents, "cent_id", "cvec",
+        maxSubdirsPerCell = 2L, maxDeadFraction = 0.2, silhouetteFloor = 0.1)
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val a = advice()
+    assert(a.keySet == Set("compact", "vacuum", "retrain"), a)
+    assert(a("compact").contains("subdirs") && a("vacuum").contains("tombstones"),
+      a)
+    val ran = Streaming.autoMaintain(spark, table, cents, "cent_id", "cvec",
+      maxSubdirsPerCell = 2L, maxDeadFraction = 0.2, silhouetteFloor = 0.1)
+    assert(ran == Seq("compact", "vacuum", "retrain"), ran)
+    // healed: retrained geometry files rows at their argmax, tombstones
+    // are physical and retired, subdirs folded — advice is empty
+    assert(advice().isEmpty, advice())
+    val ids = spark.read.parquet(table).select("id")
+      .collect().map(_.getLong(0)).toSet
+    assert(ids == Set(1L, 3L, 5L), ids)
+    // a second pass is a no-op
+    assert(Streaming.autoMaintain(spark, table, cents, "cent_id", "cvec",
+      maxSubdirsPerCell = 2L, maxDeadFraction = 0.2,
+      silhouetteFloor = 0.1).isEmpty)
+  }
+
   test("vacuumDeletes and deleteMaintainedWhere survive a fully-emptied table (no cell dirs left)") {
     import spark.implicits._
     val in = Files.createTempDirectory("graft_emp_in_").toString
