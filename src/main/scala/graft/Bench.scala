@@ -146,7 +146,8 @@ object Bench {
     // round-8 additions: embedding-level train/eval decontamination +
     // snapshot-pinned serving over the maintained table
     "q_semantic_decontaminate", "q_maintained_snapshot",
-    "q_maintained_recall", "q_kmeans_train", "q_maintained_retrain")
+    "q_maintained_recall", "q_kmeans_train", "q_maintained_retrain",
+    "q_maintained_grouped")
 
   /** Force FULL materialization of every output column: xxhash64 over all
     * columns, summed. `.count()` alone under-measures — Catalyst prunes

@@ -11921,6 +11921,36 @@ object SparkEntry {
         .orderBy($"qid")
     }),
 
+    // GROUPED serving against the on-disk maintained index — the RAG
+    // page shape: labels play the parent document, the answer is the
+    // top-3 groups by best hit with 2 hits each, from a probe-pruned
+    // scan. The oracle replays ingest normalization, assignment, probe
+    // selection, and the full group-rank/hit-rank total orders.
+    "q_maintained_grouped" -> ((s, dir) => {
+      import s.implicits._
+      val e = t(s, dir, "embeddings")
+      val cents = e.filter($"vec_id" < 16)
+        .select($"vec_id".as("cent_id"), $"embedding".as("cvec"))
+      val d = java.nio.file.Files.createTempDirectory("graft_gr_q_").toFile
+      jsonlTmpCleanup(d)
+      val in = new java.io.File(d, "in").getAbsolutePath
+      val table = new java.io.File(d, "t").getAbsolutePath
+      val ckpt = new java.io.File(d, "c").getAbsolutePath
+      val src = e.select($"vec_id".as("id"), $"embedding", $"label")
+      src.coalesce(1).write.mode("overwrite").parquet(in)
+      val stream = Streaming.streamInsertIndexedMaintained(
+        s.readStream.schema(src.schema).parquet(in),
+        dim = 64, numShards = 8, cents, "cent_id", "cvec", table, ckpt,
+        maxCell = 1000000L)
+      stream.processAllAvailable()
+      stream.stop()
+      val query = e.filter($"vec_id" === 42).select($"embedding")
+        .head.getSeq[Float](0)
+      Streaming.searchMaintainedGrouped(s, table, cents, "cent_id", "cvec",
+          query, "label", nProbes = 2, nGroups = 3, perGroup = 2)
+        .orderBy($"grp_rank", $"rnk")
+    }),
+
     // SNAPSHOT-pinned serving: the pin is taken after two ingest
     // batches, then a third batch lands, a delete fires, and a
     // compaction FOLDS pre-pin batches to new addresses — the pinned
@@ -12773,6 +12803,69 @@ object SparkEntry {
         |       ROUND(COALESCE(nh.n_hit, 0)::DOUBLE / ne.n_exact, 6) + 0.0 AS recall
         |FROM ne LEFT JOIN nh ON nh.qid = ne.qid
         |ORDER BY ne.qid""".stripMargin,
+
+    // Replays the grouped page against the maintained table: the stored
+    // vectors are the ingest-normalized float32s, candidates bind to
+    // the query's top-2 probed cells, and both the within-group hit
+    // rank and the cross-group rank replay as total orders.
+    "q_maintained_grouped" ->
+      """WITH cents AS (
+        |  SELECT vec_id AS cent_id, embedding AS cvec FROM embeddings WHERE vec_id < 16),
+        |nrm AS (
+        |  SELECT vec_id, label,
+        |    list_transform(embedding, x -> CAST(x::DOUBLE /
+        |      GREATEST(SQRT(list_sum(list_transform(embedding,
+        |        y -> y::DOUBLE * y::DOUBLE))), 1e-12) AS REAL)) AS emb
+        |  FROM embeddings),
+        |pc AS (
+        |  SELECT n.vec_id, c.cent_id,
+        |         unnest(n.emb)::DOUBLE x, unnest(c.cvec)::DOUBLE y
+        |  FROM nrm n CROSS JOIN cents c),
+        |pagg AS (SELECT vec_id, cent_id, SUM(x*y) dp, SUM(x*x) nx2, SUM(y*y) ny2
+        |         FROM pc GROUP BY vec_id, cent_id),
+        |psc AS (SELECT vec_id, cent_id,
+        |          ROUND(dp/(GREATEST(SQRT(nx2),1e-12)*GREATEST(SQRT(ny2),1e-12)), 6) c
+        |        FROM pagg),
+        |assign AS (
+        |  SELECT vec_id, cent_id AS cell_id FROM (
+        |    SELECT vec_id, cent_id,
+        |           row_number() OVER (PARTITION BY vec_id ORDER BY c DESC, cent_id) rn
+        |    FROM psc) WHERE rn = 1),
+        |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 42),
+        |qc AS (
+        |  SELECT c.cent_id, unnest(c.cvec)::DOUBLE x, unnest(q.qe)::DOUBLE y
+        |  FROM cents c CROSS JOIN q),
+        |qagg AS (SELECT cent_id, SUM(x*y) dp, SUM(x*x) nx2, SUM(y*y) ny2
+        |         FROM qc GROUP BY cent_id),
+        |probes AS (
+        |  SELECT cent_id AS cell_id FROM (
+        |    SELECT cent_id,
+        |           ROUND(dp/(GREATEST(SQRT(nx2),1e-12)*GREATEST(SQRT(ny2),1e-12)), 6) c
+        |    FROM qagg ORDER BY c DESC, cent_id LIMIT 2)),
+        |cand AS (
+        |  SELECT a.vec_id FROM assign a JOIN probes p ON p.cell_id = a.cell_id),
+        |sp AS (
+        |  SELECT n.vec_id, n.label,
+        |         unnest(n.emb)::DOUBLE x, unnest(q.qe)::DOUBLE y
+        |  FROM nrm n JOIN cand cd ON cd.vec_id = n.vec_id CROSS JOIN q),
+        |sagg AS (SELECT vec_id, label, SUM(x*y) dp, SUM(x*x) nx2, SUM(y*y) ny2
+        |         FROM sp GROUP BY vec_id, label),
+        |sc AS (SELECT vec_id, label,
+        |         ROUND(dp/(GREATEST(SQRT(nx2),1e-12)*GREATEST(SQRT(ny2),1e-12)), 6)
+        |           + 0.0 AS score
+        |       FROM sagg),
+        |h AS (SELECT label, vec_id, score,
+        |             row_number() OVER (PARTITION BY label ORDER BY score DESC, vec_id) AS rnk
+        |      FROM sc),
+        |best AS (SELECT label, score FROM h WHERE rnk = 1),
+        |topg AS (SELECT label,
+        |                row_number() OVER (ORDER BY score DESC, label) AS grp_rank
+        |         FROM (SELECT label, score FROM best
+        |               ORDER BY score DESC, label LIMIT 3)),
+        |hk AS (SELECT * FROM h WHERE rnk <= 2)
+        |SELECT hk.label, topg.grp_rank, hk.rnk, hk.vec_id AS id, hk.score
+        |FROM hk JOIN topg USING (label)
+        |ORDER BY grp_rank, rnk""".stripMargin,
 
     // Replays the pinned-visibility rule (the pin covers ingest batches
     // 0 and 1 ≡ vec_id < 250), the post-pin delete (reads current), the

@@ -199,6 +199,8 @@
   *    exact-scan ground truth + per-query recall audit of the probed
   *    serving: [[graft.streaming.Streaming.searchMaintainedExact]],
   *    [[graft.streaming.Streaming.recallMaintained]];
+  *    grouped (top-documents) serving against the on-disk index:
+  *    [[graft.streaming.Streaming.searchMaintainedGrouped]];
   *    crash-safe FULL CENTROID RETRAIN (k-means rebuild, tombstones
   *    purged, intent/commit recovery, ingest refusal over a crashed
   *    rebuild): [[graft.streaming.Streaming.retrainMaintained]];

@@ -1462,6 +1462,43 @@ object Streaming {
     Ann.recallAtK(exact, approx.select(col(qidCol), col("id")), qidCol, "id")
   }
 
+  /** GROUPED search over the maintained table — the RAG serving shape
+    * against the on-disk index: the table is a chunk-level index whose
+    * `groupCol` (a passthrough metadata column — the parent document
+    * id) groups hits, and the answer is the top `nGroups` groups ranked
+    * by their best hit with `perGroup` hits inside each, so one strong
+    * document cannot flood the page with its own chunks
+    * ([[graft.operators.TopK.groupedTopK]] semantics, probe-pruned
+    * scan, tombstones honored, `asOf` snapshot pin supported). Output:
+    * (groupCol, grp_rank, rnk, id, score), ordered.
+    */
+  def searchMaintainedGrouped(spark: org.apache.spark.sql.SparkSession,
+                              tablePath: String, fallbackCentroids: DataFrame,
+                              centIdCol: String, centVecCol: String,
+                              query: Seq[Float], groupCol: String,
+                              nProbes: Int, nGroups: Int, perGroup: Int,
+                              asOf: Option[Long] = None): DataFrame = {
+    import graft.expressions.FloatVectorExpressions.dotF
+    import graft.functions.{VectorFunctions => V}
+    import graft.operators.{Ann, TopK}
+    require(groupCol != "id" && groupCol != "score",
+      s"groupCol must not be named 'id' or 'score'; got '$groupCol'")
+    val cents = maintainedCentroids(spark, tablePath, fallbackCentroids)
+    val probes = Ann.probeCellIds(cents, query, centIdCol, centVecCol, nProbes)
+    val scanned = Ann.readIvfCells(spark, tablePath, probes)
+      .filter(visibleAsOf(asOf))
+    val alive = maintainedDeletes(spark, tablePath)
+      .map(d => scanned.join(broadcast(d), Seq("id"), "left_anti"))
+      .getOrElse(scanned)
+    val qn = math.max(math.sqrt(query.map(x => x.toDouble * x).sum), V.NormEps)
+    val scored = alive.withColumn("score",
+      round(dotF(col("embedding"), typedLit(query)) /
+        (greatest(sqrt(dotF(col("embedding"), col("embedding"))), lit(V.NormEps)) *
+          lit(qn)), 6) + lit(0.0))
+    TopK.groupedTopK(scored, groupCol, col("score"), col("id"),
+      nGroups, perGroup)
+  }
+
   /** Stored-assignment silhouette of a [[streamInsertIndexedMaintained]]
     * table — [[graft.operators.Ann.silhouetteSimplified]] in `assignCol`
     * mode over the table's own `cell_id` against the latest COMMITTED
