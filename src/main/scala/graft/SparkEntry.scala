@@ -13325,7 +13325,8 @@ object SparkEntry {
         |      FROM tf JOIN idf USING (term)),
         |c AS (SELECT doc_id, SUM(wq * ($sparseQueryCaseSql)) AS dot
         |      FROM w WHERE term IN $sparseQueryInSql GROUP BY doc_id)
-        |SELECT doc_id, ROUND(dot::DOUBLE / 1000000000000.0, 6) + 0.0 AS score
+        |SELECT doc_id,
+        |       ((dot + 500000) // 1000000)::DOUBLE / 1000000.0 + 0.0 AS score
         |FROM c WHERE dot > 0
         |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
 
@@ -13348,7 +13349,8 @@ object SparkEntry {
         |         FROM w) WHERE rn <= 20),
         |c AS (SELECT doc_id, SUM(wq * ($sparseQueryCaseSql)) AS dot
         |      FROM pr WHERE term IN $sparseQueryInSql GROUP BY doc_id)
-        |SELECT doc_id, ROUND(dot::DOUBLE / 1000000000000.0, 6) + 0.0 AS score
+        |SELECT doc_id,
+        |       ((dot + 500000) // 1000000)::DOUBLE / 1000000.0 + 0.0 AS score
         |FROM c WHERE dot > 0
         |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin
   )

@@ -57,9 +57,15 @@ object Sparse {
       .groupBy(col(idCol))
       .agg(sum(col("__c")).as("__dot"))
       .filter(col("__dot") > 0)
+      // HALF_UP to 6 decimals IN INTEGER SPACE: the dot is an exact
+      // micro×micro long, and a double round of dot/1e12 hits .5
+      // knife-edges differently across engines (canonical-repr HALF_UP
+      // vs multiply-and-round saw 32.2865085 flip at sf0.001). Integer
+      // (dot + 5e5) div 1e6 is the same HALF_UP, bit-exact everywhere,
+      // and never loses precision past 2^53.
       .select(col(idCol),
-        (round(col("__dot").cast("double") / lit(1e12), 6) + lit(0.0))
-          .as("score"))
+        (expr("(__dot + 500000) div 1000000").cast("double") / lit(1e6) +
+          lit(0.0)).as("score"))
     TopK.topK(scored, col("score"), col(idCol), k)
   }
 
