@@ -9,6 +9,7 @@ import graft.expressions.JaroWinkler.jaroWinklerF
 import graft.expressions.TextHashExpressions.{minhashSigF, simhash32F}
 import graft.functions.{HashFunctions, TextFunctions => T, UrlFunctions, VectorFunctions => V}
 import graft.operators.{Align, Ann, AsofJoin, Bm25, BpeTrain, Classifier, Collocations, Coreset, CountMin, Curation, Dedup, DistinctSketch, Ewma, GraphOps, HeavyHitters, Hierarchy, Mining, Multimodal, Packing, PageRank, Privacy, QuantileSketch, Rerank, RuntimeFilter, Sampling, SftPrep, SkewJoin, Sparse, Tfidf, TextEval, TextTiling, TopK, TrigramLm, UnigramLm, Validation}
+import graft.rag.Rag
 import graft.sources.{Layout, Tables}
 import graft.streaming.Streaming
 
@@ -11951,6 +11952,38 @@ object SparkEntry {
         .orderBy($"grp_rank", $"rnk")
     }),
 
+    // RAG ask against the maintained on-disk index: chunk text rides
+    // the table as passthrough metadata, retrieval is one probe-pruned
+    // scan, and the assembled context + prompt are hash-checked — the
+    // oracle replays normalization, assignment, probe selection, the
+    // top-4 ranking, and the ordered string assembly.
+    "q_rag_maintained" -> ((s, dir) => {
+      import s.implicits._
+      val e = t(s, dir, "embeddings")
+      val cents = e.filter($"vec_id" < 16)
+        .select($"vec_id".as("cent_id"), $"embedding".as("cvec"))
+      val d = java.nio.file.Files.createTempDirectory("graft_rag_q_").toFile
+      jsonlTmpCleanup(d)
+      val in = new java.io.File(d, "in").getAbsolutePath
+      val table = new java.io.File(d, "t").getAbsolutePath
+      val ckpt = new java.io.File(d, "c").getAbsolutePath
+      val docs = t(s, dir, "documents")
+        .select($"doc_id", substring($"text", 1, 40).as("chunk"))
+      val src = e.join(docs, e("vec_id") === docs("doc_id"))
+        .select($"vec_id".as("id"), $"embedding", $"chunk")
+      src.coalesce(1).write.mode("overwrite").parquet(in)
+      val stream = Streaming.streamInsertIndexedMaintained(
+        s.readStream.schema(src.schema).parquet(in),
+        dim = 64, numShards = 8, cents, "cent_id", "cvec", table, ckpt,
+        maxCell = 1000000L)
+      stream.processAllAvailable()
+      stream.stop()
+      val query = e.filter($"vec_id" === 42).select($"embedding")
+        .head.getSeq[Float](0)
+      Rag.askMaintained(s, table, cents, "cent_id", "cvec", query,
+        "where do vectors live", "chunk", nProbes = 2, k = 4)
+    }),
+
     // SNAPSHOT-pinned serving: the pin is taken after two ingest
     // batches, then a third batch lands, a delete fires, and a
     // compaction FOLDS pre-pin batches to new addresses — the pinned
@@ -12866,6 +12899,72 @@ object SparkEntry {
         |SELECT hk.label, topg.grp_rank, hk.rnk, hk.vec_id AS id, hk.score
         |FROM hk JOIN topg USING (label)
         |ORDER BY grp_rank, rnk""".stripMargin,
+
+    // Replays the maintained RAG ask: the corpus is embeddings ⋈
+    // documents (chunk text as metadata), stored vectors are the
+    // ingest-normalized float32s, candidates bind to the query's top-2
+    // probed cells, and the context assembles in the (score desc, id)
+    // hit order with the exact prompt template.
+    "q_rag_maintained" ->
+      """WITH src AS (
+        |  SELECT e.vec_id, e.embedding, substr(d.text, 1, 40) AS chunk
+        |  FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id),
+        |cents AS (
+        |  SELECT vec_id AS cent_id, embedding AS cvec FROM embeddings WHERE vec_id < 16),
+        |nrm AS (
+        |  SELECT vec_id, chunk,
+        |    list_transform(embedding, x -> CAST(x::DOUBLE /
+        |      GREATEST(SQRT(list_sum(list_transform(embedding,
+        |        y -> y::DOUBLE * y::DOUBLE))), 1e-12) AS REAL)) AS emb
+        |  FROM src),
+        |pc AS (
+        |  SELECT n.vec_id, c.cent_id,
+        |         unnest(n.emb)::DOUBLE x, unnest(c.cvec)::DOUBLE y
+        |  FROM nrm n CROSS JOIN cents c),
+        |pagg AS (SELECT vec_id, cent_id, SUM(x*y) dp, SUM(x*x) nx2, SUM(y*y) ny2
+        |         FROM pc GROUP BY vec_id, cent_id),
+        |psc AS (SELECT vec_id, cent_id,
+        |          ROUND(dp/(GREATEST(SQRT(nx2),1e-12)*GREATEST(SQRT(ny2),1e-12)), 6) c
+        |        FROM pagg),
+        |assign AS (
+        |  SELECT vec_id, cent_id AS cell_id FROM (
+        |    SELECT vec_id, cent_id,
+        |           row_number() OVER (PARTITION BY vec_id ORDER BY c DESC, cent_id) rn
+        |    FROM psc) WHERE rn = 1),
+        |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 42),
+        |qc AS (
+        |  SELECT c.cent_id, unnest(c.cvec)::DOUBLE x, unnest(q.qe)::DOUBLE y
+        |  FROM cents c CROSS JOIN q),
+        |qagg AS (SELECT cent_id, SUM(x*y) dp, SUM(x*x) nx2, SUM(y*y) ny2
+        |         FROM qc GROUP BY cent_id),
+        |probes AS (
+        |  SELECT cent_id AS cell_id FROM (
+        |    SELECT cent_id,
+        |           ROUND(dp/(GREATEST(SQRT(nx2),1e-12)*GREATEST(SQRT(ny2),1e-12)), 6) c
+        |    FROM qagg ORDER BY c DESC, cent_id LIMIT 2)),
+        |cand AS (
+        |  SELECT a.vec_id FROM assign a JOIN probes p ON p.cell_id = a.cell_id),
+        |sp AS (
+        |  SELECT n.vec_id, n.chunk,
+        |         unnest(n.emb)::DOUBLE x, unnest(q.qe)::DOUBLE y
+        |  FROM nrm n JOIN cand cd ON cd.vec_id = n.vec_id CROSS JOIN q),
+        |sagg AS (SELECT vec_id, chunk, SUM(x*y) dp, SUM(x*x) nx2, SUM(y*y) ny2
+        |         FROM sp GROUP BY vec_id, chunk),
+        |sc AS (SELECT vec_id, chunk,
+        |         ROUND(dp/(GREATEST(SQRT(nx2),1e-12)*GREATEST(SQRT(ny2),1e-12)), 6)
+        |           AS score
+        |       FROM sagg),
+        |top AS (SELECT vec_id, chunk, score FROM sc
+        |        ORDER BY score DESC, vec_id LIMIT 4),
+        |ctx AS (
+        |  SELECT string_agg('- ' || chunk, chr(10)||chr(10)
+        |                    ORDER BY score DESC, vec_id) AS context
+        |  FROM top)
+        |SELECT 'where do vectors live' AS question, context,
+        |       'Answer strictly from the context.'||chr(10)||chr(10)||
+        |       'Context:'||chr(10)||context||chr(10)||chr(10)||
+        |       'Question: where do vectors live'||chr(10)||'Answer:' AS prompt
+        |FROM ctx""".stripMargin,
 
     // Replays the pinned-visibility rule (the pin covers ingest batches
     // 0 and 1 ≡ vec_id < 250), the post-pin delete (reads current), the

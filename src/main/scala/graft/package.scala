@@ -145,7 +145,10 @@
   *  - Real-weights ONNX session boundary (reflective load, WordPiece
   *    encode, mask-mean-pool + L2): [[graft.embed.OnnxEmbedder]]
   *  - RAG ingest (chunk → embed → store) and ask (retrieve → assemble →
-  *    generate): [[graft.rag.Rag]], [[graft.rag.Generation]]
+  *    generate): [[graft.rag.Rag]], [[graft.rag.Generation]]; the ask
+  *    face against the MAINTAINED on-disk index (chunk text as
+  *    passthrough metadata, probe-pruned retrieval, snapshot pins):
+  *    [[graft.rag.Rag.askMaintained]]
   *
   * ==Multimodal plumbing==
   *

@@ -61,4 +61,55 @@ object Rag {
         "Answer strictly from the context.\n\nContext:\n%s\n\nQuestion: %s\nAnswer:",
         col("context"), lit(question)).as("prompt"))
   }
+
+  /** [[ask]] against a MAINTAINED on-disk index
+    * ([[graft.streaming.Streaming.streamInsertIndexedMaintained]]) —
+    * the serving half of a continuously-ingested RAG store: the chunk
+    * TEXT rides the table as a passthrough metadata column (`textCol`),
+    * so retrieval is one probe-pruned scan (tombstones honored, `asOf`
+    * snapshot pins supported) and context assembly joins the hits back
+    * to their own pruned rows — no side chunk table to keep in sync.
+    * Output one row: (question, context, prompt), hits ordered
+    * (score desc, id asc) in the context.
+    */
+  def askMaintained(spark: SparkSession, tablePath: String,
+                    fallbackCentroids: DataFrame, centIdCol: String,
+                    centVecCol: String, queryVec: Seq[Float],
+                    question: String, textCol: String, nProbes: Int,
+                    k: Int = 4,
+                    asOf: Option[Long] = None): DataFrame = {
+    import graft.streaming.Streaming
+    val hits = Streaming.searchMaintained(spark, tablePath,
+      fallbackCentroids, centIdCol, centVecCol, queryVec, nProbes, k,
+      asOf = asOf)
+    val texts = spark.read.parquet(tablePath)
+      .select(col("id"), col(textCol).as("__t"))
+    val ctx = broadcast(hits).join(texts, Seq("id"))
+      .agg(array_join(
+        transform(
+          array_sort(collect_list(struct(
+            (-round(col("score"), 6)).as("negs"), col("id").as("cid"),
+            col("__t").as("t")))),
+          x => concat(lit("- "), x.getField("t"))),
+        "\n\n").as("context"))
+    ctx.select(
+      lit(question).as("question"),
+      col("context"),
+      format_string(
+        "Answer strictly from the context.\n\nContext:\n%s\n\nQuestion: %s\nAnswer:",
+        col("context"), lit(question)).as("prompt"))
+  }
+
+  /** [[askMaintained]] with the question EMBEDDED by `embedder` — the
+    * text-in face (`rag_demo/ask.py:27-34`: embed the question with the
+    * same model as ingest, then search).
+    */
+  def askMaintained(spark: SparkSession, tablePath: String,
+                    fallbackCentroids: DataFrame, centIdCol: String,
+                    centVecCol: String, embedder: Embedder,
+                    question: String, textCol: String, nProbes: Int,
+                    k: Int): DataFrame =
+    askMaintained(spark, tablePath, fallbackCentroids, centIdCol,
+      centVecCol, embedder.embed(question).toSeq, question, textCol,
+      nProbes, k)
 }
