@@ -100,6 +100,43 @@ object Rag {
         col("context"), lit(question)).as("prompt"))
   }
 
+  /** CONTINUOUS RAG ingest into a maintained on-disk index — the full
+    * reference ingest (`rag_demo/ingest.py`: chunk → embed → insert)
+    * as ONE streaming query against
+    * [[graft.streaming.Streaming.streamInsertIndexedMaintained]]'s
+    * table: chunking is a per-row explode, embedding runs through the
+    * per-partition `Embedder` lifecycle, and the chunk TEXT (plus the
+    * content-hash chunk id) rides into the table as passthrough
+    * metadata, so [[askMaintained]] serves context without any side
+    * chunk table. Row ids synthesize as `doc_id · 2²⁰ + chunk_idx` —
+    * integral (the maintained-table id contract), collision-free while
+    * `chunk_idx < 2²⁰` and `doc_id < 2⁴³` (guarded per batch).
+    */
+  def ingestMaintained(docs: DataFrame, idCol: String, textCol: String,
+                       embedder: Embedder, centroids: DataFrame,
+                       centIdCol: String, centVecCol: String,
+                       tablePath: String, checkpointPath: String,
+                       chunkTokens: Int = 120, numShards: Int = 8,
+                       maxCell: Long = 1000000L)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val chunks = chunkDocs(docs, idCol, textCol, chunkTokens)
+    // the range guard lives INSIDE the id expression so column pruning
+    // can never optimize the check away
+    val idExpr = when(
+      col("doc_id") >= 0 && col("doc_id") < (1L << 43) &&
+        col("chunk_idx") < (1 << 20),
+      col("doc_id") * lit(1L << 20) + col("chunk_idx"))
+      .otherwise(raise_error(lit(
+        "ingestMaintained id synthesis needs 0 <= doc_id < 2^43 and " +
+          "chunk_idx < 2^20")).cast("long"))
+    val embedded = Embed.withEmbedding(chunks, "chunk", "embedding", embedder)
+      .select(idExpr.cast("long").as("id"),
+        col("embedding"), col("chunk_id"), col("chunk"))
+    graft.streaming.Streaming.streamInsertIndexedMaintained(
+      embedded, embedder.dim, numShards, centroids, centIdCol, centVecCol,
+      tablePath, checkpointPath, maxCell = maxCell)
+  }
+
   /** [[askMaintained]] with the question EMBEDDED by `embedder` — the
     * text-in face (`rag_demo/ask.py:27-34`: embed the question with the
     * same model as ingest, then search).

@@ -238,6 +238,48 @@ class EmbedRagSpec extends SparkSpec {
     assert(a.exceptAll(c).count() > 0, "different seed must change vectors")
   }
 
+  test("Rag.ingestMaintained streams chunk→embed→index to disk; askMaintained serves the loop continuously") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_ragm_").toFile
+    dir.deleteOnExit()
+    val in = new java.io.File(dir, "in").getAbsolutePath
+    new java.io.File(in).mkdirs()
+    val table = new java.io.File(dir, "t").getAbsolutePath
+    val ckpt = new java.io.File(dir, "c").getAbsolutePath
+    val embedder = HashingEmbedder(32)
+    // centroids from two distinctive phrases so cells separate
+    val cents = Seq(
+      (0L, embedder.embed("spark rules the cluster").toSeq),
+      (1L, embedder.embed("vectors live in shards").toSeq)
+    ).toDF("cent_id", "cvec")
+    val schema = "doc_id LONG, text STRING"
+    val q = Rag.ingestMaintained(
+      spark.readStream.schema(schema).parquet(in),
+      "doc_id", "text", embedder, cents, "cent_id", "cvec",
+      table, ckpt, chunkTokens = 40)
+    Seq((0L, ("spark rules the cluster " * 30).trim))
+      .toDF("doc_id", "text").coalesce(1).write.mode("overwrite").parquet(in)
+    q.processAllAvailable()
+    // the second batch arrives AFTER the first is already servable —
+    // the continuous-ingest story
+    Seq((1L, ("vectors live in shards " * 30).trim), (2L, "tiny doc"))
+      .toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(in)
+    q.processAllAvailable()
+    q.stop()
+    // 3 chunks each for docs 0,1; 1 for doc 2; ids = doc_id·2^20 + idx
+    val rows = spark.read.parquet(table)
+    assert(rows.count() == 7)
+    val ids = rows.select("id").collect().map(_.getLong(0)).toSet
+    assert(ids == Set(0L, 1L, 2L, (1L << 20), (1L << 20) + 1,
+      (1L << 20) + 2, 2L << 20), ids)
+    val ans = Rag.askMaintained(spark, table, cents, "cent_id", "cvec",
+      embedder, "where do vectors live", "chunk", nProbes = 1, k = 2).head
+    assert(ans.getString(0) == "where do vectors live")
+    assert(ans.getString(1).contains("vectors live in shards"),
+      s"top chunks must come from doc 1: ${ans.getString(1).take(120)}")
+    assert(ans.getString(2).startsWith("Answer strictly from the context."))
+  }
+
   test("Rag.ingest chunks, embeds and stores normalized vectors; ask assembles a prompt") {
     import spark.implicits._
     val docs = Seq(
