@@ -147,7 +147,7 @@ object Bench {
     // snapshot-pinned serving over the maintained table
     "q_semantic_decontaminate", "q_maintained_snapshot",
     "q_maintained_recall", "q_kmeans_train", "q_maintained_retrain",
-    "q_maintained_grouped", "q_rag_maintained")
+    "q_maintained_grouped", "q_rag_maintained", "q_maintained_maxsim")
 
   /** Force FULL materialization of every output column: xxhash64 over all
     * columns, summed. `.count()` alone under-measures — Catalyst prunes

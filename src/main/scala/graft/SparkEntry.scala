@@ -11984,6 +11984,35 @@ object SparkEntry {
         "where do vectors live", "chunk", nProbes = 2, k = 4)
     }),
 
+    // Late-interaction (ColBERT MaxSim) serving against the maintained
+    // index: full-vector probing for candidates, exact per-slice MaxSim
+    // re-rank on the probed rows. The oracle replays normalization,
+    // assignment, probe selection, and the slice-cosine max/sum
+    // arithmetic over the STORED normalized float32s.
+    "q_maintained_maxsim" -> ((s, dir) => {
+      import s.implicits._
+      val e = t(s, dir, "embeddings")
+      val cents = e.filter($"vec_id" < 16)
+        .select($"vec_id".as("cent_id"), $"embedding".as("cvec"))
+      val d = java.nio.file.Files.createTempDirectory("graft_ms_q_").toFile
+      jsonlTmpCleanup(d)
+      val in = new java.io.File(d, "in").getAbsolutePath
+      val table = new java.io.File(d, "t").getAbsolutePath
+      val ckpt = new java.io.File(d, "c").getAbsolutePath
+      val src = e.select($"vec_id".as("id"), $"embedding")
+      src.coalesce(1).write.mode("overwrite").parquet(in)
+      val stream = Streaming.streamInsertIndexedMaintained(
+        s.readStream.schema(src.schema).parquet(in),
+        dim = 64, numShards = 8, cents, "cent_id", "cvec", table, ckpt,
+        maxCell = 1000000L)
+      stream.processAllAvailable()
+      stream.stop()
+      val query = e.filter($"vec_id" === 42).select($"embedding")
+        .head.getSeq[Float](0)
+      Streaming.searchMaintainedMaxSim(s, table, cents, "cent_id", "cvec",
+        query, nSlices = 4, nProbes = 2, k = 10)
+    }),
+
     // SNAPSHOT-pinned serving: the pin is taken after two ingest
     // batches, then a third batch lands, a delete fires, and a
     // compaction FOLDS pre-pin batches to new addresses — the pinned
@@ -12965,6 +12994,69 @@ object SparkEntry {
         |       'Context:'||chr(10)||context||chr(10)||chr(10)||
         |       'Question: where do vectors live'||chr(10)||'Answer:' AS prompt
         |FROM ctx""".stripMargin,
+
+    // Replays the maintained MaxSim: normalized float32 corpus,
+    // full-vector assignment + top-2 probe selection, then the exact
+    // 4×4 slice-cosine grid (max per query slice, micro-unit sum) over
+    // the probed candidates.
+    "q_maintained_maxsim" ->
+      """WITH cents AS (
+        |  SELECT vec_id AS cent_id, embedding AS cvec FROM embeddings WHERE vec_id < 16),
+        |nrm AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x::DOUBLE /
+        |      GREATEST(SQRT(list_sum(list_transform(embedding,
+        |        y -> y::DOUBLE * y::DOUBLE))), 1e-12) AS REAL)) AS emb
+        |  FROM embeddings),
+        |pc AS (
+        |  SELECT n.vec_id, c.cent_id,
+        |         unnest(n.emb)::DOUBLE x, unnest(c.cvec)::DOUBLE y
+        |  FROM nrm n CROSS JOIN cents c),
+        |pagg AS (SELECT vec_id, cent_id, SUM(x*y) dp, SUM(x*x) nx2, SUM(y*y) ny2
+        |         FROM pc GROUP BY vec_id, cent_id),
+        |psc AS (SELECT vec_id, cent_id,
+        |          ROUND(dp/(GREATEST(SQRT(nx2),1e-12)*GREATEST(SQRT(ny2),1e-12)), 6) c
+        |        FROM pagg),
+        |assign AS (
+        |  SELECT vec_id, cent_id AS cell_id FROM (
+        |    SELECT vec_id, cent_id,
+        |           row_number() OVER (PARTITION BY vec_id ORDER BY c DESC, cent_id) rn
+        |    FROM psc) WHERE rn = 1),
+        |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 42),
+        |qc AS (
+        |  SELECT c.cent_id, unnest(c.cvec)::DOUBLE x, unnest(q.qe)::DOUBLE y
+        |  FROM cents c CROSS JOIN q),
+        |qagg AS (SELECT cent_id, SUM(x*y) dp, SUM(x*x) nx2, SUM(y*y) ny2
+        |         FROM qc GROUP BY cent_id),
+        |probes AS (
+        |  SELECT cent_id AS cell_id FROM (
+        |    SELECT cent_id,
+        |           ROUND(dp/(GREATEST(SQRT(nx2),1e-12)*GREATEST(SQRT(ny2),1e-12)), 6) c
+        |    FROM qagg ORDER BY c DESC, cent_id LIMIT 2)),
+        |cand AS (
+        |  SELECT n.vec_id, n.emb FROM nrm n
+        |  JOIN assign a ON a.vec_id = n.vec_id
+        |  JOIN probes p ON p.cell_id = a.cell_id),
+        |grid AS (
+        |  SELECT a.qi, b.dj FROM (SELECT unnest(generate_series(0,3)) qi) a
+        |  CROSS JOIN (SELECT unnest(generate_series(0,3)) dj) b),
+        |cs AS (
+        |  SELECT e.vec_id, g.qi, g.dj,
+        |    ROUND(
+        |      list_sum(list_transform(generate_series(1,16), i ->
+        |        e.emb[g.dj*16+i]::DOUBLE * q.qe[g.qi*16+i]::DOUBLE))
+        |      / (GREATEST(SQRT(list_sum(list_transform(generate_series(1,16), i ->
+        |           e.emb[g.dj*16+i]::DOUBLE * e.emb[g.dj*16+i]::DOUBLE))), 1e-12)
+        |       * GREATEST(SQRT(list_sum(list_transform(generate_series(1,16), i ->
+        |           q.qe[g.qi*16+i]::DOUBLE * q.qe[g.qi*16+i]::DOUBLE))), 1e-12)), 6) AS c
+        |  FROM cand e CROSS JOIN q CROSS JOIN grid g),
+        |mx AS (SELECT vec_id, qi, CAST(ROUND(MAX(c) * 1000000, 0) AS BIGINT) AS m
+        |       FROM cs GROUP BY vec_id, qi),
+        |sc AS (SELECT vec_id,
+        |         ROUND(CAST(SUM(m) AS BIGINT)::DOUBLE / 1000000.0, 6) + 0.0 AS score
+        |       FROM mx GROUP BY vec_id)
+        |SELECT vec_id AS id, score FROM sc
+        |ORDER BY score DESC, id LIMIT 10""".stripMargin,
 
     // Replays the pinned-visibility rule (the pin covers ingest batches
     // 0 and 1 ≡ vec_id < 250), the post-pin delete (reads current), the

@@ -204,6 +204,9 @@
   *    [[graft.streaming.Streaming.recallMaintained]];
   *    grouped (top-documents) serving against the on-disk index:
   *    [[graft.streaming.Streaming.searchMaintainedGrouped]];
+  *    late-interaction (ColBERT MaxSim) serving — full-vector probe,
+  *    exact per-slice re-rank:
+  *    [[graft.streaming.Streaming.searchMaintainedMaxSim]];
   *    crash-safe FULL CENTROID RETRAIN (k-means rebuild, tombstones
   *    purged, intent/commit recovery, ingest refusal over a crashed
   *    rebuild): [[graft.streaming.Streaming.retrainMaintained]];

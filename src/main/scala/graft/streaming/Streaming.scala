@@ -1499,6 +1499,55 @@ object Streaming {
       nGroups, perGroup)
   }
 
+  /** LATE-INTERACTION (ColBERT MaxSim) serving over the maintained
+    * table — the multi-vector scoring mode against the on-disk index:
+    * query and stored vectors are read as `nSlices` token slices,
+    * score = Σ over query slices of max over doc slices of the
+    * 6-dp-quantized slice cosine. Candidate generation probes with the
+    * FULL pooled query vector (the standard ColBERT-over-IVF
+    * first stage), the exact MaxSim re-rank touches only probed cells;
+    * tombstones and `asOf` pins honored. Slice cosines are invariant
+    * to the ingest's full-vector normalization (uniform scaling scales
+    * every slice), so scores mean the same thing as over raw vectors.
+    */
+  def searchMaintainedMaxSim(spark: org.apache.spark.sql.SparkSession,
+                             tablePath: String, fallbackCentroids: DataFrame,
+                             centIdCol: String, centVecCol: String,
+                             query: Seq[Float], nSlices: Int, nProbes: Int,
+                             k: Int,
+                             asOf: Option[Long] = None): DataFrame = {
+    import graft.expressions.FloatVectorExpressions.dotF
+    import graft.functions.{VectorFunctions => V}
+    import graft.operators.{Ann, TopK}
+    require(nSlices >= 1 && query.length % nSlices == 0,
+      s"query length ${query.length} must be a multiple of nSlices $nSlices")
+    val d = query.length / nSlices
+    val cents = maintainedCentroids(spark, tablePath, fallbackCentroids)
+    val probes = Ann.probeCellIds(cents, query, centIdCol, centVecCol, nProbes)
+    val scanned = Ann.readIvfCells(spark, tablePath, probes)
+      .filter(visibleAsOf(asOf))
+    val alive = maintainedDeletes(spark, tablePath)
+      .map(dd => scanned.join(broadcast(dd), Seq("id"), "left_anti"))
+      .getOrElse(scanned)
+    def dslice(j: Int) = slice(col("embedding"), j * d + 1, d)
+    def dnorm(j: Int) =
+      greatest(sqrt(dotF(dslice(j), dslice(j))), lit(V.NormEps))
+    val perQuerySlice = (0 until nSlices).map { qi =>
+      val qs = query.slice(qi * d, qi * d + d)
+      val qn = math.max(
+        math.sqrt(qs.map(x => x.toDouble * x.toDouble).sum), V.NormEps)
+      val cands = (0 until nSlices).map(dj =>
+        round(dotF(dslice(dj), typedLit(qs)) / (dnorm(dj) * lit(qn)), 6))
+      val maxCos = if (cands.size == 1) cands.head else greatest(cands: _*)
+      round(maxCos * 1000000).cast("long")
+    }
+    val scored = alive.withColumn("score",
+      round(perQuerySlice.reduce(_ + _).cast("double") / 1000000.0, 6)
+        + lit(0.0))
+    TopK.topK(scored, col("score"), col("id"), k)
+      .select(col("id"), col("score"))
+  }
+
   /** Stored-assignment silhouette of a [[streamInsertIndexedMaintained]]
     * table — [[graft.operators.Ann.silhouetteSimplified]] in `assignCol`
     * mode over the table's own `cell_id` against the latest COMMITTED
