@@ -93,15 +93,29 @@ object Ann {
     * balanced cells are what make probe-pruning effective.
     */
   def kmeansTrain(vectors: DataFrame, idCol: String, vecCol: String,
-                  c: Int, iters: Int = 3): DataFrame = {
+                  c: Int, iters: Int = 3,
+                  init: Option[DataFrame] = None): DataFrame = {
     require(c >= 1 && iters >= 0)
     val spark = vectors.sparkSession
     import spark.implicits._
     val dim = vectors.select(size(col(vecCol))).head.getInt(0)
-    var cents: Seq[(Long, Seq[Float])] = vectors
-      .orderBy(col(idCol)).limit(c)
-      .select(col(vecCol)).collect().toSeq.zipWithIndex
-      .map { case (r, i) => (i.toLong, r.getSeq[Float](0)) }
+    // WARM START: `init` = a (cent_id, cvec) table (e.g. the index's
+    // current committed centroids) — drift repair iterates from the
+    // geometry the rows are already filed under instead of re-seeding,
+    // so healthy cells barely move. Ids pass through as given; `c` is
+    // ignored on this path (the centroid count is init's row count).
+    var cents: Seq[(Long, Seq[Float])] = init match {
+      case Some(df) =>
+        val rows = df.collect().toSeq
+          .map(r => (r.getLong(0), r.getSeq[Float](1)))
+          .sortBy(_._1)
+        require(rows.nonEmpty, "kmeansTrain: empty init centroid table")
+        rows
+      case None => vectors
+        .orderBy(col(idCol)).limit(c)
+        .select(col(vecCol)).collect().toSeq.zipWithIndex
+        .map { case (r, i) => (i.toLong, r.getSeq[Float](0)) }
+    }
     for (_ <- 0 until iters) {
       val cdf = cents.toDF("cent_id", "cvec")
       val assigned = ivfAssign(vectors, cdf, idCol, vecCol, "cent_id", "cvec")

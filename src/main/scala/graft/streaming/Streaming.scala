@@ -992,7 +992,9 @@ object Streaming {
     */
   def retrainMaintained(spark: org.apache.spark.sql.SparkSession,
                         tablePath: String, k: Int, iters: Int = 2,
-                        hook: String => Unit = _ => ()): Long = {
+                        hook: String => Unit = _ => (),
+                        warmStart: Option[(DataFrame, String, String)] = None)
+      : Long = {
     import org.apache.hadoop.fs.Path
     import graft.operators.Ann
     require(k >= 1 && iters >= 0, s"need k >= 1, iters >= 0; got $k, $iters")
@@ -1061,7 +1063,14 @@ object Streaming {
       .map(d => scanned.join(broadcast(d), Seq("id"), "left_anti"))
       .getOrElse(scanned)
       .localCheckpoint(true)
-    val cents = Ann.kmeansTrain(live, "id", "embedding", k, iters)
+    // warm start: iterate from the CURRENT committed centroids instead
+    // of re-seeding — drift repair that barely moves healthy cells
+    // (pass (fallbackCentroids, centIdCol, centVecCol); k is ignored)
+    val init = warmStart.map { case (fb, cid, cv) =>
+      maintainedCentroids(spark, tablePath, fb)
+        .select(col(cid).cast("long").as("cent_id"), col(cv).as("cvec"))
+    }
+    val cents = Ann.kmeansTrain(live, "id", "embedding", k, iters, init)
       .select((col("cent_id") + lit(newBase)).as("cent_id"), col("cvec"))
       .localCheckpoint(true)
 

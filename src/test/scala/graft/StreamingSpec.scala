@@ -2083,6 +2083,17 @@ class StreamingSpec extends SparkSpec {
         "cvec", Seq(0f, 0f, 0f, 1f), nProbes = 2, k = 10, asOf = Some(0L))
       .collect().map(_.getLong(0)).toSet
     assert(pinned == Set(1L, 2L, 3L), s"pin 0 predates the rebuild: $pinned")
+    // WARM-START retrain from the committed (already-good) centroids:
+    // k is ignored, geometry barely moves, membership is preserved
+    val v2 = Streaming.retrainMaintained(spark, table, k = 99, iters = 1,
+      warmStart = Some((cents, "cent_id", "cvec")))
+    assert(v2 > v)
+    val cellOf2 = spark.read.parquet(table)
+      .select(col("id"), col("cell_id").cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cellOf2(1L) == cellOf2(2L) && cellOf2(3L) == cellOf2(5L) &&
+      cellOf2(1L) != cellOf2(3L),
+      s"warm retrain must preserve the healthy membership: $cellOf2")
   }
 
   test("retrainMaintained crash windows: uncommitted rolls back, committed rolls forward, ingest refuses a pending intent") {
