@@ -214,6 +214,9 @@
   *    vacuum / retrain advice, one-call safe-order execution):
   *    [[graft.streaming.Streaming.adviseMaintenance]],
   *    [[graft.streaming.Streaming.autoMaintain]];
+  *    storage-integrity fsck (duplicates, misfiled rows, rollback
+  *    debris, dead tombstones, pending intents):
+  *    [[graft.streaming.Streaming.fsckMaintained]];
   *    duplicate-query collapse, keyset pagination, predicate purge,
   *    tombstone-sidecar vacuum, one-call state report:
   *    [[graft.streaming.Streaming.searchMaintainedBatchCollapsed]],

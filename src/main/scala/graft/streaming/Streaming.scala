@@ -1209,6 +1209,94 @@ object Streaming {
     ran.toSeq
   }
 
+  /** FSCK for a maintained table — the storage-integrity audit every
+    * log-structured store needs before trusting a recovery or blaming
+    * an operator: one pass verifies the invariants the lifecycle
+    * maintains and counts violations. Output rows
+    * (check, bad_count, detail); all-zero = sound. Checks:
+    *
+    *  - `duplicate_ids` — an id stored more than once among live rows
+    *    (a half-rolled-back maintenance or double ingest would show
+    *    here first). One shuffle of (id, count ≥ 2).
+    *  - `misfiled_rows` — rows whose stored `cell_id` is not the argmax
+    *    under the COMMITTED centroids: the exact drift count behind
+    *    [[silhouetteMaintained]]'s score (in-literal argmax projection,
+    *    no join).
+    *  - `uncommitted_maintenance` — rebalance/retrain addresses
+    *    `__b = −(n+1)` whose centroid version n never committed:
+    *    rollback debris the next stream start would remove; its rows
+    *    are double-counted until then.
+    *  - `dead_tombstones` — sidecar ids absent from the table
+    *    ([[vacuumDeletes]] candidates riding every serving anti-join).
+    *  - `pending_compaction` / `pending_retrain` — crashed-maintenance
+    *    intents awaiting recovery (the ingest is refusing while these
+    *    exist).
+    */
+  def fsckMaintained(spark: org.apache.spark.sql.SparkSession,
+                     tablePath: String, fallbackCentroids: DataFrame,
+                     centIdCol: String, centVecCol: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    import spark.implicits._
+    import graft.operators.Ann
+    val root = new Path(tablePath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(root), s"no maintained table at $tablePath")
+    val cellDirs = fs.listStatus(root).filter(_.isDirectory).map(_.getPath)
+      .filter(_.getName.startsWith("cell_id=")).toSeq
+    val out = scala.collection.mutable.ArrayBuffer[(String, Long, String)]()
+    if (cellDirs.isEmpty) {
+      out += (("duplicate_ids", 0L, "")); out += (("misfiled_rows", 0L, ""))
+      out += (("uncommitted_maintenance", 0L, ""))
+    } else {
+      val t = spark.read.parquet(tablePath)
+        .withColumn("cell_id", col("cell_id").cast("long"))
+        .withColumn("__b", col("__b").cast("long"))
+      val dups = t.groupBy(col("id")).count().filter(col("count") > 1)
+        .agg(count(lit(1)), sum(col("count") - 1)).head
+      out += (("duplicate_ids",
+        if (dups.isNullAt(1)) 0L else dups.getLong(1),
+        if (dups.getLong(0) == 0) ""
+        else s"${dups.getLong(0)} ids stored more than once"))
+      val cents = maintainedCentroids(spark, tablePath, fallbackCentroids)
+      val assigned = Ann.ivfAssign(
+        t.select(col("id"), col("embedding"), col("cell_id").as("__stored")),
+        cents, "id", "embedding", centIdCol, centVecCol)
+      val misfiled = assigned.filter(col("cell_id") =!= col("__stored")).count()
+      out += (("misfiled_rows", misfiled,
+        if (misfiled == 0) "" else "stored cell != argmax under committed centroids"))
+      val maintAddrs = cellDirs.flatMap(d =>
+        fs.listStatus(d).map(_.getPath.getName).filter(_.startsWith("__b="))
+          .map(_.stripPrefix("__b=").toLong))
+        .distinct.filter(a => a < 0 && a > FoldBase)
+      val bad = maintAddrs.filterNot { a =>
+        fs.exists(new Path(new Path(new Path(root, "_centroids"),
+          s"v_${-a - 1}"), "_GRAFT_COMMIT"))
+      }
+      out += (("uncommitted_maintenance", bad.size.toLong,
+        if (bad.isEmpty) "" else s"addresses ${bad.sorted.mkString(",")}"))
+    }
+    val delsP = new Path(root, "_deletes")
+    val dead =
+      if (!fs.exists(delsP)) 0L
+      else if (cellDirs.isEmpty)
+        spark.read.parquet(delsP.toString).distinct().count()
+      else {
+        val ds = spark.read.parquet(delsP.toString).distinct()
+        ds.join(spark.read.parquet(tablePath).select(col("id")),
+          Seq("id"), "left_anti").count()
+      }
+    out += (("dead_tombstones", dead,
+      if (dead == 0) "" else "vacuumDeletes candidates"))
+    def intents(dir: String): Long = {
+      val p = new Path(root, dir)
+      if (!fs.exists(p)) 0L
+      else fs.listStatus(p).count(_.getPath.getName.endsWith(".intent")).toLong
+    }
+    out += (("pending_compaction", intents("_compactions"), ""))
+    out += (("pending_retrain", intents("_retrain"), ""))
+    out.toSeq.toDF("check", "bad_count", "detail").orderBy($"check")
+  }
+
   /** Tombstone-sidecar vacuum — drops DEAD tombstones (ids no longer
     * present anywhere in the table: compaction already made their
     * deletes physical) and folds the sidecar's accumulated per-batch

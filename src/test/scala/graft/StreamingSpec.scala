@@ -2246,6 +2246,54 @@ class StreamingSpec extends SparkSpec {
       silhouetteFloor = 0.1).isEmpty)
   }
 
+  test("fsckMaintained: healthy table audits all-zero; each injected fault is counted by its check") {
+    import spark.implicits._
+    val in = Files.createTempDirectory("graft_fk_in_").toString
+    val table = Files.createTempDirectory("graft_fk_tbl_").toString + "/t"
+    val ckpt = Files.createTempDirectory("graft_fk_ckpt_").toString + "/c"
+    val cents = Seq(
+      (0L, Seq(1f, 0f, 0f, 0f)), (1L, Seq(0f, 1f, 0f, 0f))
+    ).toDF("cent_id", "cvec")
+    val q = Streaming.streamInsertIndexedMaintained(
+      spark.readStream.schema(maintSchema).parquet(in),
+      dim = 4, numShards = 2, cents, "cent_id", "cvec", table, ckpt,
+      maxCell = 1000000L)
+    Seq((1L, Seq(9f, 1f, 0f, 0f)), (2L, Seq(1f, 9f, 0f, 0f)))
+      .toDF("id", "embedding").coalesce(1).write.mode("overwrite").parquet(in)
+    q.processAllAvailable()
+    q.stop()
+    def fsck(): Map[String, (Long, String)] =
+      Streaming.fsckMaintained(spark, table, cents, "cent_id", "cvec")
+        .collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    val clean = fsck()
+    assert(clean.size == 6 && clean.values.forall(_._1 == 0L), clean)
+    // fault 1: a duplicate copy of id 1 smuggled into cell 0's batch dir
+    val dupDir = s"$table/cell_id=0/__b=0"
+    spark.read.parquet(dupDir).limit(1)
+      .write.mode("append").parquet(dupDir)
+    assert(fsck()("duplicate_ids")._1 == 1L, fsck())
+    // fault 2: a tombstone for an id that was never stored
+    Streaming.deleteMaintained(spark, table, Seq(99L).toDF("id"), "id")
+    assert(fsck()("dead_tombstones")._1 == 1L, fsck())
+    // fault 3: rebalance debris at an uncommitted maintenance address
+    spark.read.parquet(dupDir).limit(1)
+      .write.mode("overwrite").parquet(s"$table/cell_id=0/__b=-8")
+    val f3 = fsck()
+    assert(f3("uncommitted_maintenance")._1 == 1L &&
+      f3("uncommitted_maintenance")._2.contains("-8"), f3)
+    // fault 4: stale geometry — swap the committed centroids so every
+    // row misfiles (write v_1 with crossed axes + commit marker)
+    val vdir = s"$table/_centroids/v_1"
+    Seq((0L, Seq(0f, 0f, 9f, 0f)), (1L, Seq(0f, 0f, 0f, 9f)))
+      .toDF("cent_id", "cvec").coalesce(1)
+      .write.mode("overwrite").parquet(vdir)
+    new java.io.File(vdir, "_GRAFT_COMMIT").createNewFile()
+    // both rows are orthogonal to both new centroids → cosine ties →
+    // argmax falls to cent 0, so exactly the cell-1 row misfiles
+    assert(fsck()("misfiled_rows")._1 == 1L, fsck())
+  }
+
   test("vacuumDeletes and deleteMaintainedWhere survive a fully-emptied table (no cell dirs left)") {
     import spark.implicits._
     val in = Files.createTempDirectory("graft_emp_in_").toString
