@@ -297,6 +297,7 @@ object Bench {
           graft.search.VectorStore.prepare(
             e.select(col("vec_id").as("id"), col("embedding")), dim, 8),
           cents, "id", "embedding", "cent_id", "cvec")
+        .withColumn("__b0", lit(0L)) // the ingest's permanent row version
         .withColumn("__b", lit(0L))
         .write.mode("overwrite").partitionBy("cell_id", "__b").parquet(table)
       val queries = (0 until 200).map(i => (i.toLong, randUnit()))

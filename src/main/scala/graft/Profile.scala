@@ -1181,6 +1181,7 @@ object Profile {
       Ann.ivfAssign(graft.search.VectorStore.prepare(
           e.select($"vec_id".as("id"), $"embedding"), 64, 8),
         cents, "id", "embedding", "cent_id", "cvec")
+        .withColumn("__b0", lit(0L))
         .withColumn("__b", lit(0L))
         .write.mode("overwrite").partitionBy("cell_id", "__b").parquet(table)
       val uniq = e.filter($"vec_id" < 25)
