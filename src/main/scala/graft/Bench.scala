@@ -342,6 +342,9 @@ object Bench {
     picked.foreach { name =>
       SparkEntry.queries.get(name).foreach { fn =>
         try {
+          // stderr breadcrumb so any mid-census log line (codegen
+          // fallback, GC warning) attributes to a query by position
+          System.err.println(s"[bench] running $name")
           materialize(fn(spark, sfDir)) // warmup
           // collect garbage from the warmup OUTSIDE the timed window: a
           // stop-the-world pause from earlier allocation otherwise lands
