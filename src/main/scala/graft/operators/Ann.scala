@@ -331,7 +331,8 @@ object Ann {
     */
   def graphBeamSearch(edges: DataFrame, vectors: DataFrame,
                       idCol: String, vecCol: String, query: Seq[Float],
-                      beam: Int, hops: Int): DataFrame = {
+                      beam: Int, hops: Int,
+                      entryId: Option[Long] = None): DataFrame = {
     require(beam >= 1 && hops >= 0, s"bad beam/hops: $beam/$hops")
     val spark = vectors.sparkSession
     import spark.implicits._
@@ -343,7 +344,11 @@ object Ann {
             (V.normSafe(col(vecCol)) * lit(qn)), 6) + lit(0.0)).as("s"))
         .collect().map(r => r.getLong(0) -> r.getDouble(1))
     }
-    val entry = vectors.agg(min(col(idCol).cast("long"))).head.getLong(0)
+    // entryId overrides the default smallest-id entry — the HNSW
+    // hierarchy's descent ([[hnswSearch]]) lands the walk next to the
+    // query before the beam ever runs
+    val entry = entryId.getOrElse(
+      vectors.agg(min(col(idCol).cast("long"))).head.getLong(0))
     var visited = Set(entry)
     var best = scoreOf(vectors.filter(col(idCol) === entry)).toList
     var frontier = Seq(entry)
@@ -426,6 +431,139 @@ object Ann {
       .select(col("__qid").as(qidCol),
         row_number().over(w).as("rank"),
         col("__id").as(idCol), col("__s").as("score"))
+  }
+
+  /** Deterministic HNSW level assignment (Malkov & Yashunin 2018 §4.1's
+    * geometric level draw, derandomized): level(id) = the largest
+    * l ≤ maxLevel with md5(id) ≡ 0 (mod fanout^l) — an expected 1/fanout
+    * of each level's nodes graduate to the next, the same pyramid the
+    * paper's exponential draw produces, but REPLAYABLE (same id → same
+    * level in both engines, the [[graft.functions.HashFunctions]]
+    * md5-Horner fold) and stable under re-ingest. Nested by
+    * construction: h ≡ 0 (mod f^l) implies h ≡ 0 (mod f^(l−1)), so the
+    * indicator sum IS the max level. Requires fanout^maxLevel < 2³¹.
+    */
+  def hnswLevel(id: Column, fanout: Int, maxLevel: Int): Column = {
+    require(fanout >= 2 && maxLevel >= 1 &&
+      math.pow(fanout.toDouble, maxLevel.toDouble) < Int.MaxValue.toDouble,
+      s"need fanout >= 2, maxLevel >= 1, fanout^maxLevel < 2^31; " +
+        s"got $fanout^$maxLevel")
+    (1 to maxLevel).map { l =>
+      val m = math.pow(fanout.toDouble, l.toDouble).toLong.toInt
+      when(graft.functions.HashFunctions.shardHash(id, m) === 0L, lit(1))
+        .otherwise(lit(0))
+    }.reduce(_ + _)
+  }
+
+  /** HNSW-layered graph build: one [[knnJoin]] kNN graph PER LEVEL,
+    * level l's graph spanning only the nodes whose [[hnswLevel]] ≥ l —
+    * upper layers are progressively sparser subgraphs of the corpus
+    * (expected n/fanout^l nodes), the express lanes the descent rides.
+    * Each level also COARSENS the IVF cells (the lowest-id
+    * ⌈C/fanout^l⌉ centroids): sparser membership over bigger cells is
+    * exactly HNSW's "upper links are longer" property — the top layer
+    * approaches one cell spanning the whole corpus, so the descent can
+    * cross regions layer 0's cell-bounded graph never connects (the
+    * knnJoin probe-1 boundary caveat, repaired by the hierarchy).
+    * Index i of the returned seq = level i's edge table (level 0 is the
+    * full NSW graph [[graphBeamSearch]] always walked).
+    *
+    * Scale shape: level l's within-cell pair count is
+    * ≈ (n/f^l)²/(C/f^l) = n²/(C·f^l) — a GEOMETRIC DECAY of the flat
+    * build's n²/C, so the whole hierarchy costs < f/(f−1) ≈ 1.14× (f=8)
+    * of the flat build: extra edge tables on disk instead of HNSW's
+    * resident-memory layers.
+    */
+  def hnswBuild(vectors: DataFrame, centroids: DataFrame,
+                idCol: String, vecCol: String,
+                centIdCol: String, centVecCol: String,
+                k: Int, fanout: Int, maxLevel: Int): Seq[DataFrame] = {
+    val lvl = hnswLevel(col(idCol), fanout, maxLevel)
+    val nCents = centroids.count()
+    (0 to maxLevel).map { l =>
+      val members = if (l == 0) vectors else vectors.filter(lvl >= l)
+      val m = math.max(1L,
+        math.ceil(nCents / math.pow(fanout.toDouble, l.toDouble)).toLong)
+      val coarse =
+        if (l == 0) centroids
+        else centroids.orderBy(col(centIdCol)).limit(m.toInt)
+      knnJoin(members, coarse, idCol, vecCol, centIdCol, centVecCol, k)
+    }
+  }
+
+  /** The HNSW DESCENT: from the smallest id of the highest non-empty
+    * layer, greedy-walk each upper layer's graph toward the query (move
+    * to the best-scoring out-neighbor while it strictly improves, up to
+    * `descentHops` moves per layer, quantized-cosine ties to the
+    * smallest id), then hand the reached node down a layer. Returns the
+    * layer-0 entry node. Every step touches ONE node's out-neighbors
+    * (≤ graph degree rows collected — bounded by the index structure),
+    * so entry selection costs O(levels · descentHops · degree) vector
+    * scores instead of the flat walk's corpus-diameter hops from a
+    * fixed arbitrary entry.
+    */
+  def hnswDescend(layers: Seq[DataFrame], vectors: DataFrame,
+                  idCol: String, vecCol: String, query: Seq[Float],
+                  fanout: Int, descentHops: Int): Long = {
+    require(layers.nonEmpty && descentHops >= 0,
+      s"need layers and descentHops >= 0")
+    val maxLevel = layers.length - 1
+    val q = query.toArray
+    val qn = math.sqrt(q.map(x => x.toDouble * x).sum)
+    def scoreOf(ids: Seq[Long]): Seq[(Long, Double)] =
+      vectors.filter(col(idCol).isin(ids.map(Long.box): _*))
+        .select(col(idCol).cast("long"),
+          (round(dotF(col(vecCol), lit(q)) /
+            (V.normSafe(col(vecCol)) * lit(qn)), 6) + lit(0.0)).as("s"))
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toSeq
+    val lvl = hnswLevel(col(idCol), fanout, maxLevel)
+    // entry = smallest id of the highest non-empty layer
+    val tops = vectors.select(col(idCol).cast("long").as("__id"),
+        lvl.as("__l"))
+      .groupBy(col("__l")).agg(min(col("__id")).as("__e"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val topLevel = (maxLevel to 0 by -1)
+      .find(l => tops.keys.exists(_ >= l))
+      .getOrElse(0)
+    var cur = (topLevel to maxLevel).flatMap(tops.get).min
+    var curScore = scoreOf(Seq(cur)).head._2
+    for (l <- topLevel to 1 by -1) {
+      var moved = true
+      var step = 0
+      while (moved && step < descentHops) {
+        val nbrs = layers(l)
+          .filter(col("src").cast("long") === cur)
+          .select(col("dst").cast("long"))
+          .collect().map(_.getLong(0)).toSeq
+        if (nbrs.isEmpty) moved = false
+        else {
+          val (bid, bs) = (scoreOf(nbrs) :+ (cur, curScore))
+            .minBy { case (i, s) => (-s, i) }
+          if (bid != cur) { cur = bid; curScore = bs } else moved = false
+        }
+        step += 1
+      }
+    }
+    cur
+  }
+
+  /** HNSW search (`rag_demo/ingest.py:13-14` names HNSW as the
+    * reference's aspirational index): [[hnswDescend]] picks the layer-0
+    * entry in O(levels · degree) work, then [[graphBeamSearch]] runs
+    * the layer-0 beam from there — so the beam spends its hops
+    * REFINING inside the query's neighborhood instead of crossing the
+    * corpus from the fixed smallest-id entry. At equal recall the flat
+    * walk needs strictly more layer-0 hops on clustered data (AnnSpec
+    * pins this on the spec fixture). Returns (rank, idCol, score).
+    */
+  def hnswSearch(layers: Seq[DataFrame], vectors: DataFrame,
+                 idCol: String, vecCol: String, query: Seq[Float],
+                 fanout: Int, beam: Int, hops: Int,
+                 descentHops: Int = 2): DataFrame = {
+    val entry = hnswDescend(layers, vectors, idCol, vecCol, query,
+      fanout, descentHops)
+    graphBeamSearch(layers.head, vectors, idCol, vecCol, query, beam,
+      hops, entryId = Some(entry))
   }
 
   /** Rank-aware quality evaluation — nDCG@k and MRR beside
@@ -1443,10 +1581,39 @@ object Ann {
 
   /** The re-homing projection: healthy rows keep their cell, hot-cell
     * rows argmax over their parent's children, tiny-cell rows argmax
-    * over all survivors — quantized-cosine total order, in-literal
-    * matrices, no join, no exchange.
+    * over all survivors — quantized-cosine total order, no join, no
+    * exchange. The argmax runs in the [[graft.expressions.RehomeArgmax]]
+    * kernel whose candidate matrices ride as ONE reference object, so
+    * the projection's generated code is FAN-OUT-INDEPENDENT: any number
+    * of split children compiles to the same few bytecodes (the earlier
+    * per-child case-chain crossed the JVM 64 KB method limit at the
+    * sf0.1 bench's split fan-out and fell back to interpreted
+    * projection). `maxChildrenPerPass` stays a POLICY knob — geometric
+    * split convergence — not a codegen crutch.
     */
   private def newCellColumn(plan: RebalPlan, vecCol: String): Column = {
+    val cands: Map[Long, Seq[(Long, Seq[Float])]] =
+      plan.tiny.iterator.map(t => t -> plan.survivors).toMap ++
+        plan.hot.iterator.map(h => h -> plan.byParent(h))
+    if (cands.isEmpty) col("cell_id")
+    else graft.expressions.RehomeExpressions.rehome(
+      col("cell_id"), col(vecCol), cands, V.NormEps)
+  }
+
+  /** The pre-kernel EXPRESSION-TREE formulation of [[newCellColumn]] —
+    * kept as the agreement oracle for RebalanceSpec (kernel ≡ unrolled
+    * struct-argmax on the same plan, row for row), not used in any
+    * production path: its size grows with the split fan-out.
+    */
+  private[graft] def newCellColumnUnrolled(
+      hotCells: Set[Long], tinyCells: Set[Long],
+      survivorSet: Seq[(Long, Seq[Float])],
+      childrenByParent: Map[Long, Seq[(Long, Seq[Float])]],
+      vecCol: String): Column =
+    newCellColumnExpr(
+      RebalPlan(hotCells, tinyCells, survivorSet, childrenByParent), vecCol)
+
+  private def newCellColumnExpr(plan: RebalPlan, vecCol: String): Column = {
     def normOf(v: Seq[Float]): Double = {
       var n2 = 0.0
       v.foreach(x => n2 += x.toDouble * x.toDouble)

@@ -78,12 +78,25 @@ object Rag {
                     question: String, textCol: String, nProbes: Int,
                     k: Int = 4,
                     asOf: Option[Long] = None): DataFrame = {
+    import graft.operators.Ann
     import graft.streaming.Streaming
     val hits = Streaming.searchMaintained(spark, tablePath,
       fallbackCentroids, centIdCol, centVecCol, queryVec, nProbes, k,
       asOf = asOf)
-    val texts = spark.read.parquet(tablePath)
+    // texts come from the SAME probed cells the hits did (probe ranking
+    // is deterministic, so every hit's row is in this pruned scan) — a
+    // k-row context join must not pay a whole-table scan; the
+    // dropDuplicates guards the committed-but-unrecovered maintenance
+    // window where an id can briefly be stored twice (fsckMaintained's
+    // duplicate_ids check anticipates exactly this)
+    val cents = Streaming.maintainedCentroids(spark, tablePath,
+      fallbackCentroids)
+    val probes = Ann.probeCellIds(cents, queryVec, centIdCol, centVecCol,
+      nProbes)
+    val texts = Ann.readIvfCells(spark, tablePath, probes)
+      .filter(Streaming.visibleAsOf(asOf))
       .select(col("id"), col(textCol).as("__t"))
+      .dropDuplicates("id")
     val ctx = broadcast(hits).join(texts, Seq("id"))
       .agg(array_join(
         transform(

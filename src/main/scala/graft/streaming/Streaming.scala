@@ -36,10 +36,18 @@ object Streaming {
 
   /** Current SNAPSHOT PIN of a [[streamInsertIndexedMaintained]] table —
     * the largest ingest batch address present on disk (−1 on an empty
-    * table). Listing-cost only. Pass the pin to the serving faces'
-    * `asOf` to answer a whole serving session (a paginated scroll, a
-    * query batch fanned over minutes) against ONE consistent table
-    * version while ingest keeps appending.
+    * table). Listing-cost on the happy path. Pass the pin to the
+    * serving faces' `asOf` to answer a whole serving session (a
+    * paginated scroll, a query batch fanned over minutes) against ONE
+    * consistent table version while ingest keeps appending.
+    *
+    * When maintenance has rewritten EVERY ingest-batch directory to a
+    * negative address (a [[retrainMaintained]] by the pre-spared-tail
+    * protocol, or a retrain whose spared tail was fully tombstoned) the
+    * listing alone would say −1 — and a pin of −1 would hide every row
+    * of a non-empty table. In that one window the pin falls back to
+    * `max(__b0)` read from the data (parquet column-stats cheap): the
+    * permanent row versions always know the true high-water mark.
     */
   def maintainedSnapshot(spark: org.apache.spark.sql.SparkSession,
                          tablePath: String): Long = {
@@ -47,12 +55,24 @@ object Streaming {
     val root = new Path(tablePath)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) return -1L
-    fs.listStatus(root).filter(_.isDirectory).map(_.getPath)
+    val anyCells = fs.listStatus(root).filter(_.isDirectory).map(_.getPath)
       .filter(_.getName.startsWith("cell_id="))
+    val listed = anyCells
       .flatMap(d => fs.listStatus(d).map(_.getPath.getName)
         .filter(_.startsWith("__b="))
         .map(_.stripPrefix("__b=").toLong))
-      .filter(_ >= 0L).maxOption.getOrElse(-1L)
+      .filter(_ >= 0L).maxOption
+    listed.getOrElse {
+      if (anyCells.isEmpty) -1L
+      else {
+        val t = spark.read.parquet(tablePath)
+        if (!t.columns.contains("__b0")) -1L
+        else {
+          val r = t.agg(max(col("__b0").cast("long"))).head
+          if (r.isNullAt(0)) -1L else r.getLong(0)
+        }
+      }
+    }
   }
 
   /** Visibility predicate for an `asOf` snapshot pin: a row is visible
@@ -69,7 +89,7 @@ object Streaming {
     * the one place a "stale" answer would be a liability, not a
     * consistency feature).
     */
-  private def visibleAsOf(asOf: Option[Long]): Column = asOf match {
+  private[graft] def visibleAsOf(asOf: Option[Long]): Column = asOf match {
     case None => lit(true)
     case Some(m) => col("__b0").cast("long") <= m
   }
@@ -749,8 +769,12 @@ object Streaming {
             val srcs =
               try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
               finally in.close()
+            // rebalance markers list bare cell ids; a retrain marker
+            // (same version line — its v can equal a later batch id)
+            // lists relative paths. Both roll forward as path deletes.
             srcs.filter(_.nonEmpty).foreach { c =>
-              val p = new Path(root, s"cell_id=$c")
+              val p = new Path(root,
+                if (c.contains("=") || c.contains("/")) c else s"cell_id=$c")
               if (fs.exists(p)) fs.delete(p, true): Unit
             }
           } else {
@@ -962,21 +986,42 @@ object Streaming {
     * ([[graft.operators.Ann.kmeansTrain]] — deterministic lowest-id
     * init, exact micro-unit means), then EVERY row re-homes to its new
     * cell. Tombstoned rows are purged in the rewrite (a rebuild is a
-    * natural compaction point) and the `_deletes` sidecar retires; the
-    * permanent `__b0` row versions ride through, so snapshot pins stay
-    * valid across the rebuild.
+    * natural compaction point); the permanent `__b0` row versions ride
+    * through, so snapshot pins stay valid across the rebuild.
+    *
+    * THE REPLAYABLE TAIL IS SPARED, exactly like [[compactMaintained]]:
+    * rows of the largest ingest batch re-home to the new cells but KEEP
+    * their directory address `__b=maxIngest`. If the stream had crashed
+    * after appending that batch but before its checkpoint commit, the
+    * resumed replay deletes its own `__b=maxIngest` subdirs (finding
+    * precisely the re-homed copies) and re-appends — exactly-once holds
+    * across a retrain-in-the-crash-window. For the same reason the
+    * tombstone sidecar entries covering the spared tail SURVIVE the
+    * rebuild (a replayed tail re-appends its deleted ids too); all
+    * other tombstones become physical and retire. [[vacuumDeletes]]
+    * drops the survivors once the stream has moved past the tail.
     *
     * Crash safety — the maintenance marker discipline: intent file
-    * (`_retrain/r_<v>.intent`) → re-homed rows append at the reserved
-    * maintenance address `__b = −(v+1)` → centroid draft `_centroids/
-    * v_<v>` → ATOMIC commit (temp-write + rename of `_GRAFT_COMMIT`,
-    * whose content lists the superseded cell dirs) → source deletes →
-    * intent retires. A re-run rolls an uncommitted retrain BACK (draft
-    * + debris deleted) and a committed one FORWARD (source deletes
-    * finish); the ingest REFUSES to start over an unrecovered retrain,
-    * exactly as it does over an unrecovered compaction. New cell ids
-    * start past the largest existing id, so a replayed roll-forward
-    * delete can never touch a rebuilt directory.
+    * (`_retrain/r_<v>.intent`, recording the first new cell id) → kept
+    * sidecar subset appends (a subset: no rollback needed) → re-homed
+    * rows append (non-tail at the reserved maintenance address
+    * `__b = −(v+1)`, tail at `__b=maxIngest`, all in cells ≥ newBase) →
+    * centroid draft `_centroids/v_<v>` → ATOMIC commit (temp-write +
+    * rename of `_GRAFT_COMMIT`, whose content lists the superseded cell
+    * dirs and sidecar files as relative paths) → marker deletes →
+    * intent retires. [[recoverRetrain]] rolls an uncommitted retrain
+    * BACK (draft cells ≥ newBase + centroid draft deleted) and a
+    * committed one FORWARD (marker deletes finish); the ingest REFUSES
+    * to start over an unrecovered retrain, exactly as it does over an
+    * unrecovered compaction. New cell ids start past the largest
+    * existing id, so a replayed roll-forward delete can never touch a
+    * rebuilt directory.
+    *
+    * A stopped-writer preamble additionally settles any crashed
+    * IN-STREAM rebalance the resumed stream would have settled itself —
+    * the latest committed version's source deletes finish, uncommitted
+    * maintenance debris rolls back — so the rebuild's full-table read
+    * never double-counts a row beside its re-homed copy.
     *
     * Version `v` = max(next ingest batch, next centroid version): the
     * numerically-latest committed version serves, and a later in-stream
@@ -990,6 +1035,107 @@ object Streaming {
     * `hook` is a TEST SEAM ("retrain-intent" / "retrain-appended" /
     * "retrain-committed").
     */
+  /** Apply a retrain commit marker's roll-forward deletes — idempotent,
+    * so recovery can re-run it after any crash. Lines are RELATIVE paths
+    * under the table root: `cell_id=<c>` for superseded source cells,
+    * `_deletes/<file>` for superseded tombstone-sidecar files (the kept
+    * spared-tail subset was appended as a NEW file before the commit, so
+    * deleting the listed old ones leaves exactly the subset). Legacy
+    * markers (pre-spared-tail protocol) list bare cell ids and imply the
+    * whole sidecar retires — but only when the caller KNOWS the marker
+    * is a retrain's (`retireLegacySidecar`): an in-stream rebalance
+    * marker is also bare ids and its roll-forward must never touch
+    * tombstones.
+    */
+  private def applyRetrainCommit(fs: org.apache.hadoop.fs.FileSystem,
+                                 root: org.apache.hadoop.fs.Path,
+                                 lines: Seq[String],
+                                 retireLegacySidecar: Boolean): Unit = {
+    import org.apache.hadoop.fs.Path
+    val ls = lines.filter(_.nonEmpty)
+    val legacy = ls.nonEmpty && ls.forall(_.forall(_.isDigit))
+    ls.foreach { line =>
+      val p = new Path(root, if (legacy) s"cell_id=$line" else line)
+      if (fs.exists(p)) fs.delete(p, true): Unit
+    }
+    val dels = new Path(root, "_deletes")
+    if (legacy && retireLegacySidecar) {
+      if (fs.exists(dels)) fs.delete(dels, true): Unit
+    } else if (fs.exists(dels) && !fs.listStatus(dels).exists { st =>
+        val n = st.getPath.getName
+        n.endsWith(".parquet") || n.startsWith("part-")
+      }) {
+      // no data files left (only _SUCCESS debris): a bare read of the
+      // dir would throw 'unable to infer schema' — an empty sidecar IS
+      // no sidecar
+      fs.delete(dels, true): Unit
+    }
+  }
+
+  /** Recovery of a crashed [[retrainMaintained]] — every pending intent
+    * rolls its rebuild BACK (uncommitted: centroid draft + re-homed
+    * draft cells deleted; the intent records the first new cell id, so
+    * every draft directory is removable by name) or FORWARD (committed:
+    * the marker's relative-path deletes finish). Idempotent; runs at
+    * the top of every retrain, and [[autoMaintain]] runs it when advice
+    * surfaces a pending intent — which blocks ALL ingest until
+    * recovered, whether or not any drift metric trips.
+    */
+  def recoverRetrain(spark: org.apache.spark.sql.SparkSession,
+                     tablePath: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(tablePath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val retrainDir = new Path(root, "_retrain")
+    if (!fs.exists(retrainDir)) return
+    def centsDir(v: Long) = new Path(new Path(root, "_centroids"), s"v_$v")
+    def cellDirs(): Seq[Path] =
+      fs.listStatus(root).filter(_.isDirectory).map(_.getPath)
+        .filter(_.getName.startsWith("cell_id=")).toSeq
+    fs.listStatus(retrainDir).map(_.getPath.getName)
+      .filter(_.endsWith(".intent")).foreach { iname =>
+        val v = iname.stripSuffix(".intent").stripPrefix("r_").toLong
+        val ipath = new Path(retrainDir, iname)
+        val commit = new Path(centsDir(v), "_GRAFT_COMMIT")
+        if (fs.exists(commit)) {
+          // committed: finish the marker's deletes (idempotent)
+          val in = fs.open(commit)
+          val srcs =
+            try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+            finally in.close()
+          applyRetrainCommit(fs, root, srcs, retireLegacySidecar = true)
+        } else {
+          // uncommitted: sources intact — drop draft + re-homed debris
+          if (fs.exists(centsDir(v))) fs.delete(centsDir(v), true): Unit
+          val iin = fs.open(ipath)
+          val icontent =
+            try scala.io.Source.fromInputStream(iin, "UTF-8").getLines().toList
+            finally iin.close()
+          icontent.find(_.startsWith("newBase="))
+            .map(_.stripPrefix("newBase=").toLong) match {
+            case Some(nb) =>
+              // every draft row landed in a NEW cell (ids >= newBase,
+              // allocated past the old max): whole-dir deletes roll the
+              // table back exactly, spared-tail copies included
+              cellDirs()
+                .filter(_.getName.stripPrefix("cell_id=").toLong >= nb)
+                .foreach(d => fs.delete(d, true): Unit)
+            case None =>
+              // legacy intent (pre-spared-tail): draft rows live only
+              // at the reserved maintenance address
+              cellDirs().foreach { d =>
+                val p = new Path(d, s"__b=${-(v + 1)}")
+                if (fs.exists(p)) {
+                  fs.delete(p, true): Unit
+                  if (fs.listStatus(d).isEmpty) fs.delete(d, true): Unit
+                }
+              }
+          }
+        }
+        fs.delete(ipath, false): Unit
+      }
+  }
+
   def retrainMaintained(spark: org.apache.spark.sql.SparkSession,
                         tablePath: String, k: Int, iters: Int = 2,
                         hook: String => Unit = _ => (),
@@ -1009,52 +1155,67 @@ object Streaming {
     def cellDirs(): Seq[Path] =
       fs.listStatus(root).filter(_.isDirectory).map(_.getPath)
         .filter(_.getName.startsWith("cell_id=")).toSeq
+    def subAddrs(d: Path): Seq[Long] =
+      fs.listStatus(d).map(_.getPath.getName).filter(_.startsWith("__b="))
+        .map(_.stripPrefix("__b=").toLong).toSeq
     def centsDir(v: Long) = new Path(new Path(root, "_centroids"), s"v_$v")
 
     // ---- recovery of a crashed prior retrain ----
-    if (fs.exists(retrainDir)) {
-      fs.listStatus(retrainDir).map(_.getPath.getName)
-        .filter(_.endsWith(".intent")).foreach { iname =>
-          val v = iname.stripSuffix(".intent").stripPrefix("r_").toLong
-          val commit = new Path(centsDir(v), "_GRAFT_COMMIT")
-          if (fs.exists(commit)) {
-            // committed: finish the source deletes (idempotent)
-            val in = fs.open(commit)
-            val srcs =
-              try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
-              finally in.close()
-            srcs.filter(_.nonEmpty).foreach { c =>
-              val p = new Path(root, s"cell_id=$c")
-              if (fs.exists(p)) fs.delete(p, true): Unit
-            }
-            val dels = new Path(root, "_deletes")
-            if (fs.exists(dels)) fs.delete(dels, true): Unit
-          } else {
-            // uncommitted: sources intact — drop draft + re-homed debris
-            if (fs.exists(centsDir(v))) fs.delete(centsDir(v), true): Unit
-            cellDirs().foreach { d =>
-              val p = new Path(d, s"__b=${-(v + 1)}")
-              if (fs.exists(p)) {
-                fs.delete(p, true): Unit
-                if (fs.listStatus(d).isEmpty) fs.delete(d, true): Unit
-              }
-            }
-          }
-          fs.delete(new Path(retrainDir, iname), false): Unit
+    recoverRetrain(spark, tablePath)
+
+    // ---- stopped-writer preamble: the STREAM may have crashed mid-
+    // flight too. Finish the latest committed in-stream rebalance's
+    // source deletes (idempotent — exactly what its own replay would
+    // do) and roll back uncommitted rebalance debris, so the full-table
+    // read below never double-counts a row beside its re-homed copy.
+    // Safe only because the writer is stopped (the retrain contract):
+    // an uncommitted address with a live writer would be in-flight, not
+    // crashed. Listed sources can never be legitimately re-created
+    // later — new cell ids always allocate past the committed max.
+    val centsRoot = new Path(root, "_centroids")
+    if (fs.exists(centsRoot)) {
+      fs.listStatus(centsRoot).map(_.getPath)
+        .filter(p => p.getName.startsWith("v_") &&
+          fs.exists(new Path(p, "_GRAFT_COMMIT")))
+        .sortBy(_.getName.stripPrefix("v_").toLong)
+        .lastOption.foreach { p =>
+          val in = fs.open(new Path(p, "_GRAFT_COMMIT"))
+          val srcs =
+            try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+            finally in.close()
+          applyRetrainCommit(fs, root, srcs, retireLegacySidecar = false)
         }
+    }
+    cellDirs().foreach { d =>
+      subAddrs(d)
+        .filter(a => a < 0 && a > FoldBase &&
+          !fs.exists(new Path(centsDir(-a - 1), "_GRAFT_COMMIT")))
+        .foreach { a =>
+          fs.delete(new Path(d, s"__b=$a"), true): Unit
+          val draft = centsDir(-a - 1)
+          if (fs.exists(draft)) fs.delete(draft, true): Unit
+        }
+      if (fs.exists(d) && fs.listStatus(d).isEmpty) fs.delete(d, true): Unit
     }
 
     val dirs = cellDirs()
     require(dirs.nonEmpty, s"empty maintained table at $tablePath")
     val oldCells = dirs.map(_.getName.stripPrefix("cell_id=").toLong).sorted
     val newBase = oldCells.max + 1
-    val centsRoot = new Path(root, "_centroids")
     val maxVersion =
       if (!fs.exists(centsRoot)) -1L
       else fs.listStatus(centsRoot).map(_.getPath.getName)
         .filter(_.startsWith("v_")).map(_.stripPrefix("v_").toLong)
         .maxOption.getOrElse(-1L)
     val v = math.max(maintainedSnapshot(spark, tablePath) + 1, maxVersion + 1)
+    // SPARE THE REPLAYABLE TAIL (the compaction discipline): rows of the
+    // largest ingest batch re-home to the new cells like everything
+    // else, but KEEP their directory address `__b=maxIngest` — if the
+    // stream crashed after appending that batch but before its
+    // checkpoint commit, the replay's delete-own-subdirs finds exactly
+    // the re-homed copies and the re-append stays exactly-once.
+    val maxIngest: Option[Long] =
+      dirs.flatMap(subAddrs).filter(_ >= 0L).maxOption
 
     // pin the input BEFORE the table starts changing shape: training
     // iterates the frame and the re-home append must not re-list itself
@@ -1076,13 +1237,42 @@ object Streaming {
 
     fs.mkdirs(retrainDir)
     val intent = new Path(retrainDir, s"r_$v.intent")
-    fs.create(intent, true).close()
+    val iout = fs.create(intent, true)
+    try iout.write(s"newBase=$newBase\n".getBytes("UTF-8"))
+    finally iout.close()
     hook("retrain-intent")
+
+    // tombstones covering the spared tail must SURVIVE the rebuild (a
+    // replayed tail re-appends its deleted ids too). Append the kept
+    // subset as a new sidecar file FIRST — a subset append leaves the
+    // read-side distinct union unchanged, so an uncommitted crash needs
+    // no sidecar rollback — and list the superseded files in the commit
+    // marker: roll-forward deletes them, leaving exactly the subset.
+    val delsDir = new Path(root, "_deletes")
+    val oldDelFiles: Seq[String] =
+      if (!fs.exists(delsDir)) Seq.empty
+      else fs.listStatus(delsDir).map(_.getPath.getName)
+        .filter(n => n.endsWith(".parquet") || n.startsWith("part-")).toSeq
+    if (oldDelFiles.nonEmpty) {
+      maxIngest.foreach { b =>
+        val kept = spark.read.parquet(delsDir.toString).distinct()
+          .join(scanned.filter(col("__b").cast("long") === b)
+            .select(col("id")), Seq("id"), "left_semi")
+          .localCheckpoint(true)
+        if (kept.count() > 0)
+          kept.coalesce(1).write.mode("append").parquet(delsDir.toString)
+      }
+    }
+
     val dataCols = live.columns
       .filter(c => c != "cell_id" && c != "__b").map(col)
-    Ann.ivfAssign(live.select(dataCols: _*), cents, "id", "embedding",
-        "cent_id", "cvec")
-      .withColumn("__b", lit(-(v + 1)))
+    val sparedAddr = maxIngest.getOrElse(Long.MinValue)
+    Ann.ivfAssign(
+        live.select(dataCols :+ col("__b").cast("long").as("__origb"): _*),
+        cents, "id", "embedding", "cent_id", "cvec")
+      .withColumn("__b", when(col("__origb") === lit(sparedAddr),
+        lit(sparedAddr)).otherwise(lit(-(v + 1))))
+      .drop("__origb")
       .write.mode("append").partitionBy("cell_id", "__b").parquet(tablePath)
     cents.repartition(1).write.mode("overwrite")
       .parquet(centsDir(v).toString)
@@ -1090,18 +1280,15 @@ object Streaming {
     val commit = new Path(centsDir(v), "_GRAFT_COMMIT")
     val commitTmp = new Path(centsDir(v), "_GRAFT_COMMIT.tmp")
     val out = fs.create(commitTmp, true)
-    try out.write(oldCells.mkString("", "\n", "\n").getBytes("UTF-8"))
+    try out.write(
+      (oldCells.map(c => s"cell_id=$c") ++ oldDelFiles.map(f => s"_deletes/$f"))
+        .mkString("", "\n", "\n").getBytes("UTF-8"))
     finally out.close()
     require(fs.rename(commitTmp, commit),
       s"could not commit retrain marker $commit")
     hook("retrain-committed")
-    oldCells.foreach { c =>
-      val p = new Path(root, s"cell_id=$c")
-      if (fs.exists(p)) fs.delete(p, true): Unit
-    }
-    // every tombstone is now physical — the sidecar is dead weight
-    val dels = new Path(root, "_deletes")
-    if (fs.exists(dels)) fs.delete(dels, true): Unit
+    applyRetrainCommit(fs, root, oldCells.map(c => s"cell_id=$c") ++
+      oldDelFiles.map(f => s"_deletes/$f"), retireLegacySidecar = true)
     fs.delete(intent, false): Unit
     v
   }
@@ -1125,6 +1312,10 @@ object Streaming {
     *    below `silhouetteFloor`: ingest has drifted past what the cell
     *    geometry can serve; probe-pruned recall is decaying
     *    ([[recallMaintained]] quantifies exactly how much).
+    *  - `recover_retrain` — a crashed retrain intent is pending: ALL
+    *    ingest refuses to start until [[recoverRetrain]] settles it,
+    *    whether or not any drift metric trips — a "healthy" census over
+    *    a table whose writer cannot start is not healthy.
     */
   def adviseMaintenance(spark: org.apache.spark.sql.SparkSession,
                         tablePath: String, fallbackCentroids: DataFrame,
@@ -1133,9 +1324,25 @@ object Streaming {
                         maxDeadFraction: Double = 0.2,
                         silhouetteFloor: Double = 0.1): DataFrame = {
     import spark.implicits._
+    val out = scala.collection.mutable.ArrayBuffer[(String, String, Double)]()
+    // a pending retrain intent preempts EVERYTHING: ingest refuses while
+    // it exists, and an uncommitted draft's debris rows (cells past the
+    // committed centroid set) would poison every census below — so the
+    // only actionable advice is recovery
+    val retrP = new org.apache.hadoop.fs.Path(tablePath, "_retrain")
+    val retrFs = retrP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val pendingRetrain =
+      if (!retrFs.exists(retrP)) 0L
+      else retrFs.listStatus(retrP)
+        .count(_.getPath.getName.endsWith(".intent")).toLong
+    if (pendingRetrain > 0L) {
+      out += (("recover_retrain",
+        s"$pendingRetrain crashed retrain intent(s) block all ingest",
+        pendingRetrain.toDouble))
+      return out.toSeq.toDF("action", "reason", "metric")
+    }
     val rep = describeMaintained(spark, tablePath).collect()
       .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
-    val out = scala.collection.mutable.ArrayBuffer[(String, String, Double)]()
     if (rep(("pending_compaction", -1L)) == 1L)
       out += (("compact", "crashed compaction pending recovery", 1.0))
     val subdirs = rep.collect { case (("subdirs", c), v) if c >= 0 => (c, v) }
@@ -1169,14 +1376,17 @@ object Streaming {
     out.toSeq.toDF("action", "reason", "metric")
   }
 
-  /** Execute [[adviseMaintenance]] in the safe order — compact (folds
-    * make tombstones physical and clear small-file debt, and recovers
-    * any crashed fold first), then vacuum (retire the now-dead
-    * tombstones), then retrain (the rebuild reads the post-compaction
-    * table once). Returns the actions run, in order. Run with the
-    * writer stopped, like every offline maintenance pass. `retrainK`
-    * defaults to the current centroid count — drift repair, not
-    * re-sizing; pass an explicit k to re-size while rebuilding.
+  /** Execute [[adviseMaintenance]] in the safe order — recover any
+    * crashed retrain first (its intent blocks all ingest AND a pending
+    * uncommitted draft would distort every census the other actions
+    * read), then compact (folds make tombstones physical and clear
+    * small-file debt, and recover any crashed fold), then vacuum
+    * (retire the now-dead tombstones), then retrain (the rebuild reads
+    * the post-compaction table once). Returns the actions run, in
+    * order. Run with the writer stopped, like every offline maintenance
+    * pass. `retrainK` defaults to the current centroid count — drift
+    * repair, not re-sizing; pass an explicit k to re-size while
+    * rebuilding.
     */
   def autoMaintain(spark: org.apache.spark.sql.SparkSession,
                    tablePath: String, fallbackCentroids: DataFrame,
@@ -1186,11 +1396,20 @@ object Streaming {
                    silhouetteFloor: Double = 0.1,
                    retrainK: Option[Int] = None,
                    retrainIters: Int = 2): Seq[String] = {
+    val ran = scala.collection.mutable.ArrayBuffer[String]()
+    // recovery runs BEFORE the advice census: an uncommitted draft's
+    // debris rows would distort every metric the other actions read
+    val retrP = new org.apache.hadoop.fs.Path(tablePath, "_retrain")
+    val retrFs = retrP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (retrFs.exists(retrP) && retrFs.listStatus(retrP)
+        .exists(_.getPath.getName.endsWith(".intent"))) {
+      recoverRetrain(spark, tablePath)
+      ran += "recover_retrain"
+    }
     val advice = adviseMaintenance(spark, tablePath, fallbackCentroids,
         centIdCol, centVecCol, maxSubdirsPerCell, maxDeadFraction,
         silhouetteFloor)
       .select(col("action")).collect().map(_.getString(0)).toSet
-    val ran = scala.collection.mutable.ArrayBuffer[String]()
     if (advice("compact")) {
       compactMaintained(spark, tablePath): Unit
       ran += "compact"
@@ -1401,6 +1620,19 @@ object Streaming {
       }
       .start()
 
+  /** Dir-exists-iff-data: a fully-deleted-then-compacted table has no
+    * `cell_id=` dirs left, only underscore sidecars — a bare read would
+    * throw 'unable to infer schema', so every face that reads the whole
+    * table checks this first and answers empty instead.
+    */
+  private def maintainedHasCells(spark: org.apache.spark.sql.SparkSession,
+                                 tablePath: String): Boolean = {
+    val root = new org.apache.hadoop.fs.Path(tablePath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(root) && fs.listStatus(root).exists(st =>
+      st.isDirectory && st.getPath.getName.startsWith("cell_id="))
+  }
+
   private def maintainedDeletes(
       spark: org.apache.spark.sql.SparkSession,
       tablePath: String): Option[DataFrame] = {
@@ -1502,6 +1734,8 @@ object Streaming {
     import graft.expressions.FloatVectorExpressions.dotF
     import graft.functions.{VectorFunctions => V}
     import graft.operators.TopK
+    if (!maintainedHasCells(spark, tablePath))
+      return spark.range(0).select(col("id"), lit(0.0).as("score"))
     val scanned = spark.read.parquet(tablePath).filter(visibleAsOf(asOf))
     val alive = maintainedDeletes(spark, tablePath)
       .map(d => scanned.join(broadcast(d), Seq("id"), "left_anti"))
@@ -1539,6 +1773,9 @@ object Streaming {
     import graft.operators.{Ann, TopK}
     require(qidCol != "id" && qidCol != "score",
       s"qidCol must not be named 'id' or 'score'; got '$qidCol'")
+    if (!maintainedHasCells(spark, tablePath))
+      return queries.limit(0).select(col(qidCol), lit(0L).as("n_exact"),
+        lit(0L).as("n_hit"), lit(0.0).as("recall"))
     val approx = searchMaintainedBatch(spark, tablePath, fallbackCentroids,
       centIdCol, centVecCol, queries, qidCol, qVecCol, nProbes, k,
       asOf = asOf)

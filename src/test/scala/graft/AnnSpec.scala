@@ -595,4 +595,81 @@ class AnnSpec extends SparkSpec {
         s"top-k must be TakeOrderedAndProject (k rows per partition):\n$p")
     } finally spark.conf.set("spark.sql.adaptive.enabled", old)
   }
+
+  test("hnswLevel: nested md5 pyramid — level fractions ≈ 1/fanout per step, deterministic") {
+    import spark.implicits._
+    val ids = (0L until 4096L).toDF("id")
+    val lv = ids.select(col("id"),
+        Ann.hnswLevel(col("id"), fanout = 8, maxLevel = 2).as("l"))
+      .groupBy("l").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val n1 = lv.getOrElse(1, 0L) + lv.getOrElse(2, 0L)
+    val n2 = lv.getOrElse(2, 0L)
+    // expected 4096/8 = 512 at level >= 1, 64 at level >= 2 (md5 is
+    // uniform; allow wide tolerance, the pyramid SHAPE is the claim)
+    assert(n1 > 256 && n1 < 1024, s"level>=1 count: $n1")
+    assert(n2 > 16 && n2 < 256, s"level>=2 count: $n2")
+    // determinism: same ids, same levels
+    val again = ids.select(Ann.hnswLevel(col("id"), 8, 2).as("l"))
+      .groupBy("l").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(again == lv)
+  }
+
+  test("hnswSearch: the layered descent reaches a cluster the flat walk's fixed entry NEVER can") {
+    import spark.implicits._
+    // Two far-apart clusters, one IVF cell each at layer 0 — the knnJoin
+    // graph has NO cross-cell edge, so a flat walk entering in cluster A
+    // is trapped there at ANY hop count. The HNSW hierarchy's top layer
+    // coarsens to ONE cell spanning both clusters: the descent crosses.
+    // Cluster membership is chosen around the (deterministic) md5
+    // levels: compute them first, then put level>=1 nodes in BOTH
+    // clusters and the smallest id in cluster A.
+    val candidates = (0L until 200L).toDF("id")
+      .select(col("id"), Ann.hnswLevel(col("id"), 4, 1).as("l"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val elevated = candidates.filter(_._2 >= 1).keys.toSeq.sorted
+    assert(elevated.size >= 2, s"fixture needs two level-1 ids: $elevated")
+    val (ea, eb) = (elevated(0), elevated(1))
+    // cluster A on the x-axis (includes id 0 = the flat entry and ea),
+    // cluster B on the y-axis (includes eb) — query points at B
+    def va(i: Long) = Seq(9f, (i % 7).toFloat * 0.1f, 0f, 0f)
+    def vb(i: Long) = Seq(0f, 0.1f * (i % 5).toFloat, 9f, 0f)
+    // fillers are LEVEL-0 ids only, so the top layer is exactly
+    // {ea, eb} — one long-range link between the clusters, the HNSW
+    // picture in miniature
+    val level0 = candidates.filter(_._2 == 0).keys.toSeq.sorted
+    val aIds = (Seq(ea) ++ level0.take(8)).distinct
+    val bIds = (Seq(eb) ++ level0.drop(8).take(8)).distinct
+    val rows = aIds.map(i => (i, va(i))) ++ bIds.map(i => (i, vb(i)))
+    val vecs = rows.toDF("id", "embedding")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+    val cc = Seq((0L, Seq(1f, 0f, 0f, 0f)), (1L, Seq(0f, 0f, 1f, 0f)))
+      .toDF("cent_id", "cvec")
+      .withColumn("cvec", col("cvec").cast("array<float>"))
+    val layers = Ann.hnswBuild(vecs, cc, "id", "embedding", "cent_id",
+      "cvec", k = 4, fanout = 4, maxLevel = 1)
+    val query = Seq(0f, 0f, 9f, 1f) // cluster B's direction
+    // flat walk from the fixed smallest-id entry (id 0, cluster A):
+    // trapped — its best hit is an A vector, near-orthogonal to q
+    val flat = Ann.graphBeamSearch(layers.head, vecs, "id", "embedding",
+      query, beam = 4, hops = 6)
+    assert(flat.head.getDouble(2) < 0.2,
+      s"flat walk must be trapped in cluster A: ${flat.collect().toSeq}")
+    // hnsw: the coarse top layer spans both clusters, the descent lands
+    // in B, and the layer-0 beam refines to the true top-3
+    val hnsw = Ann.hnswSearch(layers, vecs, "id", "embedding", query,
+      fanout = 4, beam = 6, hops = 3)
+    val got = hnsw.collect().map(_.getLong(1)).toSeq.take(3)
+    val brute = TopK.topK(
+      vecs.withColumn("score", round(V.cosine(col("embedding"),
+        typedLit(query)), 6)), col("score"), col("id"), 3)
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == brute, s"hnsw $got must equal brute-force $brute")
+    // the descent itself is the O(levels·degree) part: it must land in
+    // cluster B before the beam runs
+    val entry = Ann.hnswDescend(layers, vecs, "id", "embedding", query,
+      fanout = 4, descentHops = 3)
+    assert(bIds.contains(entry), s"descent entry $entry must be in B $bIds")
+  }
 }

@@ -166,4 +166,75 @@ class RebalanceSpec extends SparkSpec {
         "cent_id", "cvec", maxCell = 10, minCell = 5)
     }
   }
+
+  test("re-home kernel ≡ unrolled expression-tree argmax on a hot+tiny plan, knife-edge ties included") {
+    import spark.implicits._
+    import graft.expressions.RehomeExpressions
+    val children = Seq((4L, vec(1, 0.3, 0, 0)), (5L, vec(1, 0, 0.3, 0)),
+      (6L, vec(1, 0, 0, 0.3)))
+    val survivors = Seq((1L, vec(0, 1, 0, 0))) ++ children
+    val hot = Set(0L); val tiny = Set(2L, 3L)
+    val byParent = Map(0L -> children)
+    val plan: Map[Long, Seq[(Long, Seq[Float])]] =
+      tiny.iterator.map(t => t -> survivors).toMap ++
+        hot.iterator.map(h => h -> byParent(h))
+    // the fixture rows PLUS exact-tie rows: (1,0,0,0) ties all three
+    // children at the same quantized score — smallest child id must win
+    // in BOTH formulations; healthy cell 1 rows pass through untouched
+    val rows = assigned.select(col("vec_id"), col("embedding"),
+        col("cell_id"))
+      .union(Seq((900L, vec(1, 0, 0, 0), 0L), (901L, vec(0, 0, 0, 1), 2L))
+        .toDF("vec_id", "embedding", "cell_id"))
+    val kernel = rows.withColumn("nc",
+        RehomeExpressions.rehome(col("cell_id"), col("embedding"), plan,
+          V.NormEps))
+      .select(col("vec_id"), col("nc"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val unrolled = rows.withColumn("nc",
+        Ann.newCellColumnUnrolled(hot, tiny, survivors, byParent,
+          "embedding"))
+      .select(col("vec_id"), col("nc").cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(kernel == unrolled, s"kernel $kernel vs unrolled $unrolled")
+    assert(kernel(900L) == 4L, s"exact tie must break to smallest child id")
+    assert(kernel(200L) == 1L, "healthy cell keeps its rows")
+  }
+
+  test("re-home codegen survives a 2000-child fan-out (the old case-chain crossed the 64 KB method limit)") {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.catalyst.expressions.codegen.GenerateUnsafeProjection
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.sql.types.{ArrayType, FloatType, LongType}
+    import graft.expressions.{RehomeArgmax, RehomePlanData}
+    val cands: Seq[(Long, Seq[Float])] =
+      (1L to 2000L).map(i => i -> Seq(i.toFloat, 1f, 0f, 0f))
+    val data = RehomePlanData(Map(0L -> cands), V.NormEps)
+    val expr = RehomeArgmax(
+      BoundReference(0, LongType, nullable = false),
+      BoundReference(1, ArrayType(FloatType, containsNull = false),
+        nullable = false), data)
+    // generate() THROWS on a method-limit overflow instead of silently
+    // falling back — compiling proves fan-out independence
+    val proj = GenerateUnsafeProjection.generate(Seq(expr))
+    val v = Array(3.2f, 1f, 0f, 0f)
+    val row = InternalRow(0L, ArrayData.toArrayData(v))
+    val viaProj = proj(row).getLong(0)
+    assert(viaProj == expr.eval(row).asInstanceOf[Long],
+      "interpreted and codegen paths must agree")
+    // driver-side replay of the exact scoring (same rounding, same tie
+    // order) certifies the argmax, not just determinism
+    def round6(x: Double) = java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    val vn = math.max(math.sqrt(v.map(x => x.toDouble * x).sum), V.NormEps)
+    val expected = cands.map { case (cid, cv) =>
+      val cn = math.max(math.sqrt(cv.map(x => x.toDouble * x).sum), V.NormEps)
+      val dot = v.zip(cv).map { case (a, b) => a.toDouble * b.toDouble }.sum
+      (round6(dot / (vn * cn)), cid)
+    }.maxBy { case (s, cid) => (s, -cid) }._2
+    assert(viaProj == expected, s"argmax: got $viaProj want $expected")
+    // a cell absent from the plan keeps its rows
+    val keep = InternalRow(77L, ArrayData.toArrayData(v))
+    assert(expr.eval(keep).asInstanceOf[Long] == 77L)
+  }
 }

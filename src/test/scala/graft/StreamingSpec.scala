@@ -2053,11 +2053,22 @@ class StreamingSpec extends SparkSpec {
     assert(cellIds.forall(_ > oldCells.max) && (cellIds & oldCells).isEmpty,
       s"new cells must be disjoint from and above the old: $cellIds")
     assert(cellIds.size == 2, s"k=2 rebuild → 2 cells, got $cellIds")
-    // the tombstone is PHYSICAL now: sidecar gone, row gone
-    assert(!new java.io.File(s"$table/_deletes").exists())
+    // the tombstoned row is PHYSICALLY purged — but its sidecar entry
+    // SURVIVES: id 4 rode the spared replayable tail (batch 0 is the
+    // largest ingest batch), and a crashed-checkpoint replay would
+    // re-append it, so the tombstone must still be there to hide it
+    val sidecar = spark.read.parquet(s"$table/_deletes")
+      .collect().map(_.getLong(0)).toSet
+    assert(sidecar == Set(4L), sidecar)
     val ids = spark.read.parquet(table).select("id")
       .collect().map(_.getLong(0)).toSet
     assert(ids == Set(1L, 2L, 3L), ids)
+    // the spared tail kept its REPLAYABLE directory address (__b=0) even
+    // though its rows re-homed to the new cells
+    assert(new java.io.File(table).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("cell_id="))
+      .exists(d => new java.io.File(d, "__b=0").exists()),
+      "spared tail must keep its __b=0 address in the new cells")
     // the committed version serves: probe-1 search in the retrained
     // space routes the w-axis query straight to id 3's cell
     val rep = Streaming.describeMaintained(spark, table).collect()
@@ -2094,6 +2105,207 @@ class StreamingSpec extends SparkSpec {
     assert(cellOf2(1L) == cellOf2(2L) && cellOf2(3L) == cellOf2(5L) &&
       cellOf2(1L) != cellOf2(3L),
       s"warm retrain must preserve the healthy membership: $cellOf2")
+    // the tail moved on (batch 1 is now the spared tail; id 4 is not in
+    // it): the surviving tombstone retired with the second rebuild
+    assert(!new java.io.File(s"$table/_deletes").exists(),
+      "tombstone covering a non-tail batch must retire at retrain")
+  }
+
+  test("retrainMaintained spares the replayable tail: a crashed-checkpoint replay stays exactly-once across the rebuild") {
+    import spark.implicits._
+    val in = Files.createTempDirectory("graft_rtt_in_").toString
+    val table = Files.createTempDirectory("graft_rtt_tbl_").toString + "/t"
+    val ckpt = Files.createTempDirectory("graft_rtt_ckpt_").toString + "/c"
+    val cents = Seq(
+      (0L, Seq(1f, 0f, 0f, 0f)), (1L, Seq(0f, 1f, 0f, 0f))
+    ).toDF("cent_id", "cvec")
+    val crashOnce = new java.util.concurrent.atomic.AtomicBoolean(false)
+    def start() = Streaming.streamInsertIndexedMaintained(
+      spark.readStream.schema(maintSchema).parquet(in),
+      dim = 4, numShards = 2, cents, "cent_id", "cvec", table, ckpt,
+      maxCell = 1000000L,
+      maintHook = p =>
+        if (p == "batch-appended" && crashOnce.getAndSet(false))
+          sys.error("injected crash after batch append"))
+    // batch 0 commits cleanly
+    Seq((1L, Seq(0f, 0f, 9f, 1f)), (2L, Seq(0f, 0f, 9f, 2f)))
+      .toDF("id", "embedding").coalesce(1).write.mode("overwrite").parquet(in)
+    val q0 = start()
+    q0.processAllAvailable()
+    q0.stop()
+    // batch 1 appends, then the "process" dies before its checkpoint
+    // commit — the ADVICE-flagged window
+    crashOnce.set(true)
+    Seq((3L, Seq(0f, 0f, 1f, 9f)), (4L, Seq(0f, 0f, 2f, 9f)))
+      .toDF("id", "embedding").coalesce(1).write.mode("append").parquet(in)
+    val q1 = start()
+    intercept[Exception] { q1.processAllAvailable() }
+    q1.stop()
+    // a delete lands against the not-yet-committed tail too
+    Streaming.deleteMaintained(spark, table, Seq(4L).toDF("id"), "id")
+    // operator retrains over the crashed table (writer stopped — they
+    // cannot know the last checkpoint never committed)
+    val v = Streaming.retrainMaintained(spark, table, k = 2, iters = 1)
+    assert(v >= 2L, s"version past both batches: $v")
+    // tail rows re-homed but KEPT address __b=1; sidecar kept id 4
+    val tailDirs = new java.io.File(table).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("cell_id="))
+      .filter(d => new java.io.File(d, "__b=1").exists())
+    assert(tailDirs.nonEmpty, "spared tail address must survive the rebuild")
+    // resume: batch 1 REPLAYS — deletes its own (re-homed) subdirs and
+    // re-appends; every id lands exactly once, the tombstone still hides 4
+    val q2 = start()
+    q2.processAllAvailable()
+    q2.stop()
+    val rows = spark.read.parquet(table).select("id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(rows.sorted == Seq(1L, 2L, 3L, 4L),
+      s"exactly-once across retrain + replay: $rows")
+    val served = Streaming.searchMaintained(spark, table, cents, "cent_id",
+        "cvec", Seq(0f, 0f, 1f, 1f), nProbes = 2, k = 10)
+      .collect().map(_.getLong(0)).toSet
+    assert(served == Set(1L, 2L, 3L), s"tombstone survived the replay: $served")
+    // the replayed rows route under the RETRAINED committed centroids
+    val cellIds = spark.read.parquet(table)
+      .select(col("cell_id").cast("long")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    val committed = Streaming.maintainedCentroids(spark, table, cents)
+      .select(col("cent_id").cast("long"))
+      .collect().map(_.getLong(0)).toSet
+    assert(cellIds.subsetOf(committed),
+      s"cells $cellIds must sit inside committed centroids $committed")
+  }
+
+  test("maintainedSnapshot falls back to max(__b0) when maintenance rewrote every non-negative address") {
+    import spark.implicits._
+    val in = Files.createTempDirectory("graft_snapfb_in_").toString
+    val table = Files.createTempDirectory("graft_snapfb_tbl_").toString + "/t"
+    val ckpt = Files.createTempDirectory("graft_snapfb_ckpt_").toString + "/c"
+    val cents = Seq(
+      (0L, Seq(1f, 0f, 0f, 0f)), (1L, Seq(0f, 1f, 0f, 0f))
+    ).toDF("cent_id", "cvec")
+    def start() = Streaming.streamInsertIndexedMaintained(
+      spark.readStream.schema(maintSchema).parquet(in),
+      dim = 4, numShards = 2, cents, "cent_id", "cvec", table, ckpt,
+      maxCell = 1000000L)
+    val q0 = start()
+    Seq((1L, Seq(0f, 0f, 9f, 1f)), (2L, Seq(0f, 0f, 1f, 9f)))
+      .toDF("id", "embedding").coalesce(1).write.mode("overwrite").parquet(in)
+    q0.processAllAvailable()
+    q0.stop()
+    val q1 = start()
+    Seq((3L, Seq(0f, 0f, 5f, 5f))).toDF("id", "embedding")
+      .coalesce(1).write.mode("append").parquet(in)
+    q1.processAllAvailable()
+    q1.stop()
+    assert(Streaming.maintainedSnapshot(spark, table) == 1L)
+    // delete the WHOLE tail batch, then retrain: the spared-tail copies
+    // are all tombstone-purged, so no __b>=0 directory survives — the
+    // post-rebuild window the listing alone cannot answer
+    Streaming.deleteMaintained(spark, table, Seq(3L).toDF("id"), "id")
+    Streaming.retrainMaintained(spark, table, k = 2, iters = 1)
+    val addrs = new java.io.File(table).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("cell_id="))
+      .flatMap(_.listFiles()).map(_.getName)
+      .filter(_.startsWith("__b=")).map(_.stripPrefix("__b=").toLong)
+    assert(addrs.forall(_ < 0), s"fixture must have no ingest dirs: ${addrs.toSeq}")
+    // the pin falls back to max(__b0): batch-0 rows are still version 0
+    val pin = Streaming.maintainedSnapshot(spark, table)
+    assert(pin == 0L, s"fallback pin: $pin")
+    val pinned = Streaming.searchMaintained(spark, table, cents, "cent_id",
+        "cvec", Seq(0f, 0f, 9f, 1f), nProbes = 2, k = 10, asOf = Some(pin))
+      .collect().map(_.getLong(0)).toSet
+    assert(pinned == Set(1L, 2L), s"a fresh pin must see the live table: $pinned")
+  }
+
+  test("adviseMaintenance surfaces a crashed retrain intent; autoMaintain recovers it before anything else") {
+    import spark.implicits._
+    val in = Files.createTempDirectory("graft_advr_in_").toString
+    val table = Files.createTempDirectory("graft_advr_tbl_").toString + "/t"
+    val ckpt = Files.createTempDirectory("graft_advr_ckpt_").toString + "/c"
+    val cents = Seq(
+      (0L, Seq(1f, 0f, 0f, 0f)), (1L, Seq(0f, 1f, 0f, 0f))
+    ).toDF("cent_id", "cvec")
+    val q = Streaming.streamInsertIndexedMaintained(
+      spark.readStream.schema(maintSchema).parquet(in),
+      dim = 4, numShards = 2, cents, "cent_id", "cvec", table, ckpt,
+      maxCell = 1000000L)
+    Seq((1L, Seq(0f, 0f, 9f, 1f)), (2L, Seq(0f, 0f, 1f, 9f)))
+      .toDF("id", "embedding").coalesce(1).write.mode("overwrite").parquet(in)
+    q.processAllAvailable()
+    q.stop()
+    intercept[RuntimeException] {
+      Streaming.retrainMaintained(spark, table, k = 2, iters = 1,
+        hook = s => if (s == "retrain-appended") sys.error("boom"))
+    }
+    // the intent blocks all ingest — and the advisor must SAY so even
+    // though no drift metric trips on this tiny healthy table
+    val a = Streaming.adviseMaintenance(spark, table, cents, "cent_id",
+        "cvec").collect().map(r => r.getString(0)).toSet
+    assert(a.contains("recover_retrain"), a)
+    val ran = Streaming.autoMaintain(spark, table, cents, "cent_id", "cvec")
+    assert(ran.contains("recover_retrain"), ran)
+    // healed: no intent, rolled back to the pre-retrain table, ingest OK
+    assert(!new java.io.File(s"$table/_retrain").exists() ||
+      new java.io.File(s"$table/_retrain").listFiles()
+        .forall(f => !f.getName.endsWith(".intent")))
+    val rows = spark.read.parquet(table).select("id")
+      .collect().map(_.getLong(0)).toSeq.sorted
+    assert(rows == Seq(1L, 2L), rows)
+    val a2 = Streaming.adviseMaintenance(spark, table, cents, "cent_id",
+        "cvec").collect().map(r => r.getString(0)).toSet
+    assert(!a2.contains("recover_retrain"), a2)
+  }
+
+  test("searchMaintainedExact and recallMaintained answer empty on a fully-emptied table instead of throwing") {
+    import spark.implicits._
+    val in = Files.createTempDirectory("graft_emex_in_").toString
+    val table = Files.createTempDirectory("graft_emex_tbl_").toString + "/t"
+    val ckpt = Files.createTempDirectory("graft_emex_ckpt_").toString + "/c"
+    val cents = Seq(
+      (0L, Seq(1f, 0f, 0f, 0f)), (1L, Seq(0f, 1f, 0f, 0f))
+    ).toDF("cent_id", "cvec")
+    val q = Streaming.streamInsertIndexedMaintained(
+      spark.readStream.schema(maintSchema).parquet(in),
+      dim = 4, numShards = 2, cents, "cent_id", "cvec", table, ckpt,
+      maxCell = 1000000L)
+    Seq((1L, Seq(9f, 0f, 0f, 0f)), (2L, Seq(0f, 9f, 0f, 0f)),
+      (3L, Seq(5f, 5f, 0f, 0f)))
+      .toDF("id", "embedding").coalesce(1).write.mode("overwrite").parquet(in)
+    q.processAllAvailable()
+    q.stop()
+    // empty the table: delete everything, fold the deletes physical
+    Streaming.deleteMaintained(spark, table, Seq(1L, 2L, 3L).toDF("id"), "id")
+    // force-foldable: append a second batch address so every cell folds
+    val q2 = Streaming.streamInsertIndexedMaintained(
+      spark.readStream.schema(maintSchema).parquet(in),
+      dim = 4, numShards = 2, cents, "cent_id", "cvec", table, ckpt,
+      maxCell = 1000000L)
+    Seq((4L, Seq(9f, 1f, 0f, 0f))).toDF("id", "embedding")
+      .coalesce(1).write.mode("append").parquet(in)
+    q2.processAllAvailable()
+    q2.stop()
+    Streaming.deleteMaintained(spark, table, Seq(4L).toDF("id"), "id")
+    Streaming.compactMaintained(spark, table)
+    // compaction spares the tail; fold again after it becomes foldable —
+    // or simply assert the guard on whatever emptied state we reached by
+    // deleting the remaining cell dirs the way a full purge would
+    new java.io.File(table).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("cell_id="))
+      .foreach { d =>
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete(): Unit
+        }
+        rm(d)
+      }
+    val qv = Seq(9f, 0f, 0f, 0f)
+    val ex = Streaming.searchMaintainedExact(spark, table, qv, 5)
+    assert(ex.columns.toSeq == Seq("id", "score") && ex.count() == 0L)
+    val rec = Streaming.recallMaintained(spark, table, cents, "cent_id",
+      "cvec", Seq((7L, qv)).toDF("qid", "qvec"), "qid", "qvec", 2, 5)
+    assert(rec.columns.toSeq == Seq("qid", "n_exact", "n_hit", "recall") &&
+      rec.count() == 0L)
   }
 
   test("retrainMaintained crash windows: uncommitted rolls back, committed rolls forward, ingest refuses a pending intent") {
