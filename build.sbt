@@ -3,6 +3,13 @@ ThisBuild / version := "0.1.0"
 name := "vectordatabasewithgpuaccelerationforllmretrievalspark"
 // Spark jars ship with the image at /opt/spark/jars (zero-egress):
 unmanagedBase := file("/opt/spark/jars")
+// Vendor drop-point: any jar placed in lib/ joins the compile AND test
+// classpath with no build change — the one-file-drop deployment path
+// for optional runtimes (e.g. com.microsoft.onnxruntime:onnxruntime,
+// which OnnxEmbedder loads reflectively and its end-to-end spec
+// auto-skips without). See OPERATORS.md "Real-weights ONNX".
+Compile / unmanagedJars ++= ((baseDirectory.value / "lib") * "*.jar").classpath
+Test / unmanagedJars ++= ((baseDirectory.value / "lib") * "*.jar").classpath
 // Test-only deps resolve from the pre-warmed coursier cache; anything
 // else is intentionally not resolvable (COURSIER_MODE=offline).
 libraryDependencies ++= Seq(

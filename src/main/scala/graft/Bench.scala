@@ -147,7 +147,9 @@ object Bench {
     // snapshot-pinned serving over the maintained table
     "q_semantic_decontaminate", "q_maintained_snapshot",
     "q_maintained_recall", "q_kmeans_train", "q_maintained_retrain",
-    "q_maintained_grouped", "q_rag_maintained", "q_maintained_maxsim")
+    "q_maintained_grouped", "q_rag_maintained", "q_maintained_maxsim",
+    // round-9: HNSW layered graph-ANN
+    "q_hnsw_ann")
 
   /** Force FULL materialization of every output column: xxhash64 over all
     * columns, summed. `.count()` alone under-measures — Catalyst prunes
@@ -192,6 +194,16 @@ object Bench {
 
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()
 
+    // Optional args restrict the run: headline queries filter by exact
+    // name, and the vector/ann/maintained/skew sections run only when
+    // unrestricted or when an arg names one of their rows. Combined
+    // with `run / fork := true`, `runMain graft.Bench <row...>` is a
+    // FRESH-JVM isolated timing of exactly those rows — the
+    // noise-adjudication tool (tools/isolated_bench.sh drives it).
+    val only = args.toSet
+    def sectionOn(prefix: String): Boolean =
+      only.isEmpty || only.exists(_.startsWith(prefix))
+
     // -------- 1. vector workload (reference bench shape) ----------------
     val dim = 64
     val rnd = new scala.util.Random(42)
@@ -203,17 +215,20 @@ object Bench {
 
     // the "in-memory index": normalized store, cached like the shard matrix
     val e = Tables.load(spark, sfDir, "embeddings")
-    val store = e
-      .withColumn("__n", greatest(sqrt(dotF(col("embedding"), col("embedding"))),
-        lit(1e-12)))
-      .withColumn("embedding",
-        transform(col("embedding"), x => (x.cast("double") / col("__n")).cast("float")))
-      .select(col("vec_id"), col("embedding"))
-      .persist()
-    store.count() // materialize
+    lazy val store = {
+      val s = e
+        .withColumn("__n", greatest(sqrt(dotF(col("embedding"), col("embedding"))),
+          lit(1e-12)))
+        .withColumn("embedding",
+          transform(col("embedding"), x => (x.cast("double") / col("__n")).cast("float")))
+        .select(col("vec_id"), col("embedding"))
+        .persist()
+      s.count() // materialize
+      s
+    }
 
     // batched: 200 queries in ONE job — broadcast queries, score, topk/query
-    {
+    if (sectionOn("vector")) {
       import spark.implicits._
       val queries = (0 until 200).map(i => (i.toLong, randUnit())).toDF("qid", "qe")
       def scored() = store.crossJoin(broadcast(queries))
@@ -231,7 +246,7 @@ object Bench {
     }
 
     // sequential: 20 single-query jobs for latency percentiles
-    {
+    if (sectionOn("vector")) {
       val lats = (0 until 20).map { _ =>
         val q = randUnit()
         time {
@@ -249,7 +264,7 @@ object Bench {
     // IVF probe sweep: measured cost of scanning 1/2/4/8 of 16 cells —
     // the accuracy/cost dial an operator actually turns (recall@10 per
     // probe count is pinned in AnnSpec; this is the latency half).
-    {
+    if (sectionOn("ann_ivf")) {
       import graft.operators.Ann
       val e = Tables.load(spark, sfDir, "embeddings")
       val cents = e.filter(col("vec_id") < 16)
@@ -283,7 +298,7 @@ object Bench {
     // in-memory full scan. The delta between the two rows is the price
     // of serving from the continuously-maintained index instead of a
     // cached table.
-    {
+    if (sectionOn("maintained")) {
       import graft.streaming.{Streaming => Strm}
       import graft.operators.Ann
       import spark.implicits._
@@ -330,6 +345,53 @@ object Bench {
         math.min(time(runHotPlain()), time(runHotPlain()))
       results("maintained_batch_hot2k_collapsed") =
         math.min(time(runHotColl()), time(runHotColl()))
+
+      // ---- serve-only twins (round-9): the q_maintained_* oracle
+      // queries necessarily build their fixture INSIDE the timed query
+      // (the oracle must replay the build); these rows time the
+      // serving/maintenance OPERATOR alone against the table built once
+      // above, so the bench diff tracks the operator, not the fixture.
+      // A 1% tombstone sidecar first: serving without the anti-join
+      // path would flatter every row below.
+      Strm.deleteMaintained(spark, table,
+        e.filter(pmod(col("vec_id"), lit(100)) === 0)
+          .select(col("vec_id").as("id")), "id")
+      val oneQ = randUnit()
+      def runServe(): Long = Strm.searchMaintained(spark, table, cents,
+        "cent_id", "cvec", oneQ, nProbes = 4, k = 10).count()
+      runServe() // warmup
+      results("maintained_search_serve") =
+        math.min(time(runServe()), time(runServe()))
+      val pin = Strm.maintainedSnapshot(spark, table)
+      def runPinned(): Long = Strm.searchMaintained(spark, table, cents,
+        "cent_id", "cvec", oneQ, nProbes = 4, k = 10,
+        asOf = Some(pin)).count()
+      runPinned() // warmup
+      results("maintained_snapshot_serve") =
+        math.min(time(runPinned()), time(runPinned()))
+      def runExact(): Long = Strm.searchMaintainedExact(spark, table,
+        oneQ, k = 10).count()
+      runExact() // warmup
+      results("maintained_exact_serve") =
+        math.min(time(runExact()), time(runExact()))
+      val recallQs = (0 until 20).map(i => (i.toLong, randUnit()))
+        .toDF("qid", "qvec")
+      def runRecall(): Long = Strm.recallMaintained(spark, table, cents,
+        "cent_id", "cvec", recallQs, "qid", "qvec", nProbes = 4,
+        k = 10).count()
+      runRecall() // warmup
+      results("maintained_recall_serve") =
+        math.min(time(runRecall()), time(runRecall()))
+      // the rebuild op itself, isolated from fixture build: each timed
+      // run is a FULL retrain of the tombstone-bearing table (k-means
+      // over live rows, re-home, physical purge) — no warmup row, the
+      // first rebuild is the one a maintenance window pays
+      results("maintained_retrain_op") = {
+        val t1 = time(Strm.retrainMaintained(spark, table, k = 16,
+          iters = 1))
+        math.min(t1, time(Strm.retrainMaintained(spark, table, k = 16,
+          iters = 1)))
+      }
     }
 
     // -------- 2. headline analytics / dedup queries ---------------------
@@ -372,7 +434,7 @@ object Bench {
     // reducer while 31 cores idle. Broadcast is disabled for all three runs
     // to model the big⋈big case where salting is the tool; AQE's runtime
     // skew-join split is measured beside explicit salting.
-    {
+    if (sectionOn("skew")) {
       val li = Tables.load(spark, sfDir, "lineitem")
         .withColumn("rep", explode(sequence(lit(0), lit(7))))
         .withColumn("k",

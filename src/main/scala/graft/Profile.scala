@@ -25,7 +25,9 @@ import graft.operators.Dedup
   * `maintdrift` (maintained streaming ingest: healthy vs surge vs
   * rebalance-carrying micro-batch, 20×/200× hot-cell surge), `mvprobe`
   * (rollup refresh + schema backfill with the touched partition held
-  * constant while the table grows 10×).
+  * constant while the table grows 10×), `scale100` (two-decade
+  * 1×/10×/100× curves: maintained lifecycle, skewed CC, substring-span
+  * dedup, semantic decontamination).
   */
 object Profile {
   def main(args: Array[String]): Unit = {
@@ -1266,6 +1268,112 @@ object Profile {
         println("  flagged=" + decon(h1)))
       time("R8c semantic decon 10x train + hot eval")(
         println("  flagged10=" + decon(h10)))
+    }
+
+    // 100× scale CURVES (round-9) for the headline scale shapes:
+    // maintained lifecycle, skewed CC, substring-span dedup, semantic
+    // decontamination — each at 1×/10×/100× so the growth EXPONENT is
+    // visible (two decades separate linear from quadratic; one decade
+    // can hide a 2× constant behind job overhead). The 128 GiB box
+    // holds 100× of these fixtures comfortably (embeddings sf0.1 =
+    // 2 000 rows → 200 000 at 100×; documents 5 000 → 500 000).
+    if (on("scale100")) {
+      import graft.operators.{Ann, Mining}
+      import graft.streaming.{Streaming => Strm}
+      val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        .select($"vec_id", $"embedding").repartition(32)
+      val cents = e.filter($"vec_id" < 16)
+        .select($"vec_id".as("cent_id"), $"embedding".as("cvec"))
+      def dupE(k: Int): DataFrame =
+        (0 until k).map(i =>
+          e.withColumn("vec_id", $"vec_id" + lit(i * 1000000L)))
+          .reduce(_ unionByName _).repartition(32)
+
+      // -- maintained lifecycle: 3-batch build → 1% delete → compact
+      //    (folds 2 committed batches, spares the tail) → vacuum →
+      //    probed serve. Build time excluded (separately timed): the
+      //    curve grades each MAINTENANCE op, not parquet write speed.
+      for (n <- Seq(1, 10, 100)) {
+        val d = java.nio.file.Files.createTempDirectory(s"graft_p100_").toFile
+        d.deleteOnExit()
+        val table = new java.io.File(d, "t").getAbsolutePath
+        val rows = Ann.ivfAssign(graft.search.VectorStore.prepare(
+            dupE(n).select($"vec_id".as("id"), $"embedding"), 64, 8),
+          cents, "id", "embedding", "cent_id", "cvec")
+          .localCheckpoint(true)
+        time(s"S100-ML build 3 batches ${n}x") {
+          for (b <- 0L until 3L)
+            rows.filter(pmod($"id", lit(3)) === b)
+              .withColumn("__b0", lit(b)).withColumn("__b", lit(b))
+              .write.mode("append").partitionBy("cell_id", "__b")
+              .parquet(table)
+        }
+        time(s"S100-ML delete 1% ${n}x")(
+          Strm.deleteMaintained(spark, table,
+            rows.filter(pmod($"id", lit(100)) === 0).select($"id"), "id"))
+        time(s"S100-ML compact ${n}x")(
+          println("  folded=" + Strm.compactMaintained(spark, table)))
+        time(s"S100-ML vacuum ${n}x")(
+          println("  kept/dead=" + Strm.vacuumDeletes(spark, table)))
+        val q42 = e.filter($"vec_id" === 42).select($"embedding")
+          .head.getSeq[Float](0)
+        def serve(): Long = Strm.searchMaintained(spark, table, cents,
+          "cent_id", "cvec", q42, nProbes = 4, k = 10).count()
+        serve() // warmup
+        time(s"S100-ML probed serve ${n}x")(println("  k=" + serve()))
+      }
+
+      // -- skewed CC: hub degree and small-component count scale n×,
+      //    chain diameter constant (rounds must stay ~constant: pointer
+      //    jumping is log-diameter, independent of edge count)
+      for (n <- Seq(1, 10, 100)) {
+        val chain = spark.range(0, 2047)
+          .select($"id".as("id_a"), ($"id" + 1).as("id_b"))
+        val star = spark.range(0, 98000L * n)
+          .select(lit(0L).as("id_a"), ($"id" + 10000L).as("id_b"))
+        val small = spark.range(0, 100000L * n)
+          .select(($"id" * 2 + 100000000L).as("id_a"),
+            ($"id" * 2 + 100000001L).as("id_b"))
+        val pairs = chain.unionByName(star).unionByName(small)
+          .repartition(32).localCheckpoint()
+        time(s"S100-CC skewed ${n}x (hub ${98000L * n})") {
+          val (labels, r) =
+            Dedup.connectedComponentsWithRounds(pairs, "id_a", "id_b")
+          println("  components=" + labels.groupBy($"comp").count().count()
+            + s" rounds=$r")
+        }
+      }
+
+      // -- substring-span dedup: rolling-hash spans over n× corpus
+      {
+        def removal(d: DataFrame): Long =
+          Dedup.removeDuplicatedSpans(d, "doc_id", "text", minLen = 8)
+            .agg(sum($"n_removed")).collect().head.getLong(0)
+        val d1 = docs.repartition(32)
+        removal(d1) // warmup
+        time("S100-SS substr removal 1x")(println("  removed=" + removal(d1)))
+        time("S100-SS substr removal 10x")(
+          println("  removed=" + removal(dupCorpus(10))))
+        time("S100-SS substr removal 100x")(
+          println("  removed=" + removal(dupCorpus(100))))
+      }
+
+      // -- semantic decontamination: n× train vs fixed eval set
+      {
+        val ev = e.filter($"vec_id" % 50 === 17)
+          .select($"vec_id".as("eid"), $"embedding".as("evec"))
+          .localCheckpoint(true)
+        def decon(d: DataFrame): Long = Mining.semanticDecontaminate(
+          d, "vec_id", "embedding", ev, "eid", "evec",
+          cents, "cent_id", "cvec", 4, 0.3).count()
+        val t1 = dupE(1).localCheckpoint(true)
+        decon(t1) // warmup
+        time("S100-SD semantic decon 1x")(println("  flagged=" + decon(t1)))
+        time("S100-SD semantic decon 10x")(
+          println("  flagged=" + decon(dupE(10).localCheckpoint(true))))
+        time("S100-SD semantic decon 100x")(
+          println("  flagged=" + decon(dupE(100).localCheckpoint(true))))
+      }
     }
 
     spark.stop()

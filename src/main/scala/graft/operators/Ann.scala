@@ -24,6 +24,24 @@ import graft.sources.Layout
   */
 object Ann {
 
+  /** Documented driver-side ceiling for centroid tables that ride the
+    * driver (kmeans means buffer = C × dim longs, warm-start collect):
+    * a misconfigured C fails HERE at validation, loudly, instead of
+    * OOMing the driver mid-collect hours into a job. 100 000 × 384-dim
+    * floats ≈ 300 MB of working state — the top of what a driver
+    * should ever hold; a bigger codebook wants hierarchical routing
+    * (coarse cells → [[kmeansTrain]] per cell), not one flat table.
+    */
+  val MaxCentroids = 100000
+
+  /** Ceiling for centroid sets embedded as IN-LITERAL projections
+    * ([[ivfAssign]] / [[silhouetteSimplified]]'s per-row argmax over a
+    * literal matrix): past a few thousand the generated expression
+    * stops fitting codegen budgets and plan time balloons. Routing at
+    * larger C belongs to the two-level path, not a wider literal.
+    */
+  val MaxInlineCentroids = 4096
+
   /** Assign each vector to its nearest centroid by cosine (tie: lowest
     * centroid id). `centroids` must be small — it is pulled to the driver
     * ONCE and embedded as literals, the DataFrame equivalent of a
@@ -96,6 +114,10 @@ object Ann {
                   c: Int, iters: Int = 3,
                   init: Option[DataFrame] = None): DataFrame = {
     require(c >= 1 && iters >= 0)
+    require(c <= MaxCentroids,
+      s"kmeansTrain c = $c exceeds the driver-bound ceiling " +
+        s"MaxCentroids = $MaxCentroids (the means buffer is C × dim on " +
+        "the driver); train a two-level codebook instead")
     val spark = vectors.sparkSession
     import spark.implicits._
     val dim = vectors.select(size(col(vecCol))).head.getInt(0)
@@ -106,10 +128,15 @@ object Ann {
     // ignored on this path (the centroid count is init's row count).
     var cents: Seq[(Long, Seq[Float])] = init match {
       case Some(df) =>
-        val rows = df.collect().toSeq
+        // limit-guarded collect: even a grossly oversized init table
+        // pulls at most MaxCentroids + 1 rows before the loud require
+        val rows = df.limit(MaxCentroids + 1).collect().toSeq
           .map(r => (r.getLong(0), r.getSeq[Float](1)))
           .sortBy(_._1)
         require(rows.nonEmpty, "kmeansTrain: empty init centroid table")
+        require(rows.length <= MaxCentroids,
+          s"kmeansTrain warm-start table exceeds MaxCentroids = " +
+            s"$MaxCentroids rows — not a centroid table")
         rows
       case None => vectors
         .orderBy(col(idCol)).limit(c)
@@ -895,6 +922,7 @@ object Ann {
                            assignCol: Option[String] = None): DataFrame = {
     val cents: Seq[(Long, Seq[Float], Double)] = centroids
       .select(col(centIdCol).cast("long"), col(centVecCol))
+      .limit(MaxInlineCentroids + 1) // bound the pull BEFORE collecting
       .collect().toSeq
       .map { r =>
         val cvec = r.getSeq[Float](1)
@@ -905,6 +933,10 @@ object Ann {
       .sortBy(_._1)
     require(cents.length >= 2,
       s"silhouette needs >= 2 centroids, got ${cents.length}")
+    require(cents.length <= MaxInlineCentroids,
+      s"silhouetteSimplified centroid table exceeds MaxInlineCentroids " +
+        s"= $MaxInlineCentroids (the per-row argmax embeds C literal " +
+        "structs) — grade a coarser level of the hierarchy instead")
     val vn = greatest(sqrt(dotF(col(vecCol), col(vecCol))), lit(V.NormEps))
     val perCent = cents.map { case (cid, cvec, cn) =>
       struct(

@@ -717,6 +717,15 @@ object Streaming {
           s"streamInsertIndexedMaintained needs integral ids, got $idType")
         val root = new Path(tablePath)
         val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        // one writer per table: acquire (or re-entrantly renew — the
+        // heartbeat) the epoch-fenced lease. A second driver pointed at
+        // this table refuses HERE, before touching any file; a zombie
+        // driver that lost the lease is caught by the commit-point
+        // fences below. The streaming writer never releases — the lease
+        // goes stale `graft.maintained.leaseMs` after the last batch,
+        // which is the intended hand-off point for a replacement.
+        val lease = MaintainedLock.acquire(fs, root,
+          MaintainedLock.ownerOf(spark), MaintainedLock.staleMsOf(spark))
         // a crashed [[compactMaintained]] leaves fold rows beside their
         // sources — ingesting on top would count duplicates into
         // maintenance sizes; refuse until the compactor re-runs recovery
@@ -833,6 +842,10 @@ object Streaming {
             val out = fs.create(commitTmp, true)
             try out.write(touched.mkString("", "\n", "\n").getBytes("UTF-8"))
             finally out.close()
+            // THE FENCE: a zombie writer (lease lost to a replacement
+            // driver) must abort BEFORE the rename — its appended
+            // debris is the uncommitted-crash window replay rolls back
+            MaintainedLock.check(fs, root, lease)
             require(fs.rename(commitTmp, commitFile),
               s"could not commit maintenance marker $commitFile")
             maintHook("maint-committed")
@@ -858,6 +871,7 @@ object Streaming {
         // compaction folds), it rides as a data column through every
         // maintenance rewrite — snapshot (asOf) visibility reads it, so
         // a pin stays correct even when maintenance runs after the pin
+        MaintainedLock.check(fs, root, lease) // fence the batch append too
         Ann.ivfAssign(VectorStore.prepare(batch, dim, numShards, keep),
             cents, "id", "embedding", centIdCol, centVecCol)
           .withColumn("__b0", lit(batchId))
@@ -915,8 +929,11 @@ object Streaming {
   def deleteMaintained(spark: org.apache.spark.sql.SparkSession,
                        tablePath: String, ids: DataFrame,
                        idCol: String): Unit =
-    ids.select(col(idCol).cast("long").as("id")).distinct()
-      .write.mode("append").parquet(s"$tablePath/_deletes")
+    MaintainedLock.withLease(spark,
+        new org.apache.hadoop.fs.Path(tablePath)) { _ =>
+      ids.select(col(idCol).cast("long").as("id")).distinct()
+        .write.mode("append").parquet(s"$tablePath/_deletes")
+    }
 
   /** Operational state report for a [[streamInsertIndexedMaintained]]
     * table — the `DESCRIBE INDEX` every runbook starts from, in one
@@ -1083,6 +1100,14 @@ object Streaming {
     */
   def recoverRetrain(spark: org.apache.spark.sql.SparkSession,
                      tablePath: String): Unit = {
+    val rootP = new org.apache.hadoop.fs.Path(tablePath)
+    MaintainedLock.withLease(spark, rootP) { _ =>
+      recoverRetrainImpl(spark, tablePath)
+    }
+  }
+
+  private def recoverRetrainImpl(spark: org.apache.spark.sql.SparkSession,
+                                 tablePath: String): Unit = {
     import org.apache.hadoop.fs.Path
     val root = new Path(tablePath)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -1140,7 +1165,19 @@ object Streaming {
                         tablePath: String, k: Int, iters: Int = 2,
                         hook: String => Unit = _ => (),
                         warmStart: Option[(DataFrame, String, String)] = None)
-      : Long = {
+      : Long =
+    MaintainedLock.withLease(spark,
+        new org.apache.hadoop.fs.Path(tablePath)) { lease =>
+      retrainMaintainedImpl(spark, tablePath, k, iters, hook, warmStart,
+        lease)
+    }
+
+  private def retrainMaintainedImpl(
+      spark: org.apache.spark.sql.SparkSession,
+      tablePath: String, k: Int, iters: Int,
+      hook: String => Unit,
+      warmStart: Option[(DataFrame, String, String)],
+      lease: MaintainedLock.Lease): Long = {
     import org.apache.hadoop.fs.Path
     import graft.operators.Ann
     require(k >= 1 && iters >= 0, s"need k >= 1, iters >= 0; got $k, $iters")
@@ -1284,6 +1321,10 @@ object Streaming {
       (oldCells.map(c => s"cell_id=$c") ++ oldDelFiles.map(f => s"_deletes/$f"))
         .mkString("", "\n", "\n").getBytes("UTF-8"))
     finally out.close()
+    // THE FENCE: abort before the rename if a replacement writer took
+    // over — the appended rebuild rows under the uncommitted address
+    // are exactly what recoverRetrain rolls back
+    MaintainedLock.check(fs, root, lease)
     require(fs.rename(commitTmp, commit),
       s"could not commit retrain marker $commit")
     hook("retrain-committed")
@@ -1538,7 +1579,14 @@ object Streaming {
     * hidden.
     */
   def vacuumDeletes(spark: org.apache.spark.sql.SparkSession,
-                    tablePath: String): (Long, Long) = {
+                    tablePath: String): (Long, Long) =
+    MaintainedLock.withLease(spark,
+        new org.apache.hadoop.fs.Path(tablePath)) { _ =>
+      vacuumDeletesImpl(spark, tablePath)
+    }
+
+  private def vacuumDeletesImpl(spark: org.apache.spark.sql.SparkSession,
+                                tablePath: String): (Long, Long) = {
     import org.apache.hadoop.fs.Path
     val p = new Path(tablePath, "_deletes")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -1956,8 +2004,15 @@ object Streaming {
       .filter(col("__rn") <= nProbes)
       .select(col("__qid"), col("__qv"), col(centIdCol).cast("long").as("cell_id"))
       .localCheckpoint(false)
+    // the union of probed cells is ⊆ the centroid table, so this pull
+    // is index-structure-bounded; the limit guard makes a mis-sized
+    // "centroid" table fail loudly here instead of OOMing the driver
     val cellsToScan = probes.select(col("cell_id")).distinct()
+      .limit(Ann.MaxCentroids + 1)
       .collect().map(_.getLong(0)).toSeq.sorted
+    require(cellsToScan.length <= Ann.MaxCentroids,
+      s"probed cell union exceeds Ann.MaxCentroids = ${Ann.MaxCentroids}" +
+        " cells — the routing table is not index-structure-sized")
     val scanned = Ann.readIvfCells(spark, tablePath, cellsToScan)
       .filter(visibleAsOf(asOf))
       .withColumn("cell_id", col("cell_id").cast("long"))
@@ -2014,8 +2069,15 @@ object Streaming {
       .select(col("__qid"), col("__qv"), col("__qns"),
         col(centIdCol).cast("long").as("cell_id"))
       .localCheckpoint(false)
+    // the union of probed cells is ⊆ the centroid table, so this pull
+    // is index-structure-bounded; the limit guard makes a mis-sized
+    // "centroid" table fail loudly here instead of OOMing the driver
     val cellsToScan = probes.select(col("cell_id")).distinct()
+      .limit(Ann.MaxCentroids + 1)
       .collect().map(_.getLong(0)).toSeq.sorted
+    require(cellsToScan.length <= Ann.MaxCentroids,
+      s"probed cell union exceeds Ann.MaxCentroids = ${Ann.MaxCentroids}" +
+        " cells — the routing table is not index-structure-sized")
     val scanned = Ann.readIvfCells(spark, tablePath, cellsToScan)
       .filter(visibleAsOf(asOf))
       .withColumn("cell_id", col("cell_id").cast("long"))
@@ -2108,6 +2170,18 @@ object Streaming {
     val root = new Path(tablePath)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) return 0
+    MaintainedLock.withLease(spark, root) { lease =>
+      compactMaintainedImpl(spark, tablePath, cells, hook, lease)
+    }
+  }
+
+  private def compactMaintainedImpl(
+      spark: org.apache.spark.sql.SparkSession,
+      tablePath: String, cells: Option[Seq[Long]],
+      hook: String => Unit, lease: MaintainedLock.Lease): Int = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(tablePath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     def cellDirs(): Seq[Path] =
       fs.listStatus(root).filter(_.isDirectory).map(_.getPath)
         .filter(_.getName.startsWith("cell_id=")).toSeq
@@ -2220,6 +2294,9 @@ object Streaming {
       .map { case (_, c, b) => s"cell_id=$c/__b=$b" }
       .mkString("", "\n", "\n").getBytes("UTF-8"))
     finally out.close()
+    // THE FENCE: a zombie compactor aborts before the rename — its
+    // intent + fold rows are the intent-only window recovery rolls back
+    MaintainedLock.check(fs, root, lease)
     require(fs.rename(commitTmp, commit),
       s"could not commit compaction marker $commit")
     hook("compact-committed")

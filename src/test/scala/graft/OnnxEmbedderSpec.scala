@@ -99,12 +99,51 @@ class OnnxEmbedderSpec extends AnyFunSuite {
     assert(math.abs(norm - 1.0) < 1e-6)
   }
 
+  private def onnxRuntimePresent: Boolean =
+    try { Class.forName("ai.onnxruntime.OrtEnvironment"); true }
+    catch { case _: ClassNotFoundException => false }
+
   test("open() without an ONNX runtime raises the documented classpath error") {
+    assume(!onnxRuntimePresent,
+      "onnxruntime jar is on the classpath — the absent-runtime error " +
+        "path cannot be exercised (the end-to-end test below runs instead)")
     val e = intercept[IllegalStateException] {
       OnnxEmbedder("/nonexistent/model.onnx", "/nonexistent/vocab.txt").open()
     }
     assert(e.getMessage.contains("ONNX Runtime is not on the classpath"))
     assert(e.getMessage.contains("QuantizedAttentionEmbedder"),
       "the error must point at the sandbox fallback")
+  }
+
+  test("END-TO-END real weights (auto-skips without the vendored jar + model): session runs, unit-norm vectors, semantic neighbors outscore strangers") {
+    // The one-file-drop deployment path: `lib/*.jar` joins the
+    // classpath (build.sbt unmanagedJars), the exported model + vocab
+    // land at lib/model.onnx + lib/vocab.txt (or GRAFT_ONNX_MODEL /
+    // GRAFT_ONNX_VOCAB). Absent any piece, this CANCELS (not fails) —
+    // the sandbox has no egress; a deployment runs it for real.
+    val model = sys.env.getOrElse("GRAFT_ONNX_MODEL", "lib/model.onnx")
+    val vocabPath = sys.env.getOrElse("GRAFT_ONNX_VOCAB", "lib/vocab.txt")
+    assume(onnxRuntimePresent, "no onnxruntime jar in lib/ — drop " +
+      "onnxruntime-<ver>.jar there to enable the real-weights run")
+    assume(new java.io.File(model).isFile && new java.io.File(vocabPath).isFile,
+      s"no model/vocab at $model / $vocabPath — export MiniLM to ONNX " +
+        "and place both files (or set GRAFT_ONNX_MODEL/GRAFT_ONNX_VOCAB)")
+    val e = OnnxEmbedder(model, vocabPath)
+    e.open()
+    try {
+      val out = e.embedBatch(Array(
+        "the cat sat on the mat",
+        "a kitten rests on a rug",
+        "stochastic gradient descent converges"))
+      assert(out.length == 3 && out.forall(_.length == e.dim))
+      out.foreach { v =>
+        val n = math.sqrt(v.map(x => x.toDouble * x).sum)
+        assert(math.abs(n - 1.0) < 1e-3, s"not unit-norm: $n")
+      }
+      def cos(a: Array[Float], b: Array[Float]) =
+        a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+      assert(cos(out(0), out(1)) > cos(out(0), out(2)),
+        "semantically close pair must outscore the unrelated pair")
+    } finally e.close()
   }
 }

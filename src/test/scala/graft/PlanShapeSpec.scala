@@ -326,4 +326,18 @@ class PlanShapeSpec extends SparkSpec {
     val ghosts = cited.diff(known)
     assert(ghosts.isEmpty, s"OPERATORS.md cites nonexistent queries: $ghosts")
   }
+
+  test("REVERSE census: every SparkEntry.queries key appears in OPERATORS.md") {
+    // the component table must provably COVER the oracle suite — an
+    // implemented-but-undocumented query is coverage the inventory
+    // can't account for (the forward test above catches the opposite
+    // drift: documented-but-unimplemented)
+    val text = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("OPERATORS.md")), "UTF-8")
+    val cited = "`(q[0-9]*_[a-z0-9_]+)`".r.findAllMatchIn(text)
+      .map(_.group(1)).toSet
+    val orphans = SparkEntry.queries.keySet.diff(cited)
+    assert(orphans.isEmpty,
+      s"queries missing from the OPERATORS.md census: ${orphans.toSeq.sorted}")
+  }
 }
