@@ -148,8 +148,8 @@ object Bench {
     "q_semantic_decontaminate", "q_maintained_snapshot",
     "q_maintained_recall", "q_kmeans_train", "q_maintained_retrain",
     "q_maintained_grouped", "q_rag_maintained", "q_maintained_maxsim",
-    // round-9: HNSW layered graph-ANN
-    "q_hnsw_ann")
+    // round-9: HNSW layered graph-ANN, single + batched
+    "q_hnsw_ann", "q_hnsw_ann_batch")
 
   /** Force FULL materialization of every output column: xxhash64 over all
     * columns, summed. `.count()` alone under-measures — Catalyst prunes

@@ -9731,6 +9731,27 @@ object SparkEntry {
         fanout = 4, beam = 8, hops = 3, descentHops = 2)
     }),
 
+    // BATCHED HNSW (Ann.hnswSearchBatch): the layered descent AND the
+    // beams advance for every query simultaneously as DataFrame state —
+    // levels·descentHops + 3·hops jobs for ANY query count, vs that
+    // many per query on the driver-loop face. Entries are per-query
+    // (the descent seam into graphBeamSearchBatch); determinism
+    // identical to the single face, so the oracle replays qid-keyed
+    // descent hops and beam hops.
+    "q_hnsw_ann_batch" -> ((s, dir) => {
+      import s.implicits._
+      val e = t(s, dir, "embeddings")
+      val cents = e.filter($"vec_id" < 16)
+        .select($"vec_id".as("cent_id"), $"embedding".as("cvec"))
+      val layers = Ann.hnswBuild(e, cents, "vec_id", "embedding",
+        "cent_id", "cvec", k = 4, fanout = 4, maxLevel = 1)
+      val queries = e.filter($"vec_id".isin(42L, 137L, 256L))
+        .select($"vec_id".as("qid"), $"embedding".as("qvec"))
+      Ann.hnswSearchBatch(layers, e, queries, "vec_id", "embedding",
+          "qid", "qvec", fanout = 4, beam = 8, hops = 3, descentHops = 2)
+        .orderBy($"qid", $"rank")
+    }),
+
     // SQuAD-style QA scoring (TextEval.squadScore, Rajpurkar et al.
     // 2016): normalized exact match + clipped-token F1 — the
     // extractive-QA/RAG harness metric, closing the eval family. Same
@@ -11242,6 +11263,129 @@ object SparkEntry {
          |SELECT CAST(row_number() OVER (ORDER BY s DESC, id) AS INT) AS rank,
          |       id AS vec_id, s AS score
          |FROM best3 ORDER BY rank""".stripMargin
+    },
+
+    // The q_hnsw_ann replay batched: the SAME level/edge CTEs, the same
+    // GLOBAL entry (entry selection is query-independent), then
+    // qid-keyed descent hops (argmin per qid over cur ∪ out-neighbors)
+    // and the q_graph_ann_batch per-qid beam from each query's
+    // descended entry.
+    "q_hnsw_ann_batch" -> {
+      def knn(sfx: String, members: String, cents: String): String =
+        s"""pc$sfx AS (
+           |  SELECT e.vec_id, c.cent_id,
+           |         unnest(e.embedding)::DOUBLE x, unnest(c.cvec)::DOUBLE y
+           |  FROM $members e CROSS JOIN $cents c),
+           |pagg$sfx AS (SELECT vec_id, cent_id, SUM(x*y) dp, SUM(x*x) nx2, SUM(y*y) ny2
+           |         FROM pc$sfx GROUP BY vec_id, cent_id),
+           |psc$sfx AS (SELECT vec_id, cent_id,
+           |          ROUND(dp/(GREATEST(SQRT(nx2),1e-12)*GREATEST(SQRT(ny2),1e-12)), 6) c
+           |        FROM pagg$sfx),
+           |assign$sfx AS (
+           |  SELECT vec_id, cent_id AS cell_id FROM (
+           |    SELECT vec_id, cent_id,
+           |           row_number() OVER (PARTITION BY vec_id ORDER BY c DESC, cent_id) rn
+           |    FROM psc$sfx) WHERE rn = 1),
+           |pr$sfx AS (
+           |  SELECT a.vec_id AS src, b.vec_id AS dst
+           |  FROM assign$sfx a JOIN assign$sfx b
+           |    ON a.cell_id = b.cell_id AND a.vec_id <> b.vec_id),
+           |px$sfx AS (
+           |  SELECT p.src, p.dst,
+           |         unnest(ea.embedding)::DOUBLE x, unnest(eb.embedding)::DOUBLE y
+           |  FROM pr$sfx p JOIN embeddings ea ON ea.vec_id = p.src
+           |            JOIN embeddings eb ON eb.vec_id = p.dst),
+           |pxa$sfx AS (SELECT src, dst, SUM(x*y) dp, SUM(x*x) nx2, SUM(y*y) ny2
+           |        FROM px$sfx GROUP BY src, dst),
+           |esc$sfx AS (SELECT src, dst,
+           |         ROUND(dp/(GREATEST(SQRT(nx2),1e-12)*GREATEST(SQRT(ny2),1e-12)), 6)
+           |           + 0.0 AS score
+           |       FROM pxa$sfx),
+           |edges$sfx AS MATERIALIZED (
+           |  SELECT src, dst FROM (
+           |    SELECT src, dst, row_number() OVER (PARTITION BY src
+           |                       ORDER BY score DESC, dst) AS rn
+           |    FROM esc$sfx) WHERE rn <= 4)""".stripMargin
+      def descend(h: Int): String =
+        s"""dq$h AS MATERIALIZED (
+           |  SELECT qid, id FROM (
+           |    SELECT cand.qid, cand.id,
+           |      row_number() OVER (PARTITION BY cand.qid
+           |                         ORDER BY sq.s DESC, cand.id) rn
+           |    FROM (SELECT d.qid, e.dst AS id FROM dq${h - 1} d
+           |          JOIN edges1 e ON e.src = d.id
+           |          UNION SELECT qid, id FROM dq${h - 1}) cand
+           |    JOIN sq ON sq.qid = cand.qid AND sq.vec_id = cand.id)
+           |  WHERE rn = 1)""".stripMargin
+      def hop(h: Int): String =
+        s"""cand$h AS MATERIALIZED (
+           |  SELECT DISTINCT f.qid, e.dst AS id
+           |  FROM f${h - 1} f JOIN edges0 e ON e.src = f.id
+           |  WHERE NOT EXISTS (SELECT 1 FROM vis${h - 1} v
+           |                    WHERE v.qid = f.qid AND v.id = e.dst)),
+           |vis$h AS MATERIALIZED (
+           |  SELECT qid, id FROM vis${h - 1}
+           |  UNION SELECT qid, id FROM cand$h),
+           |best$h AS MATERIALIZED (
+           |  SELECT qid, id, s FROM (
+           |    SELECT qid, id, s,
+           |      row_number() OVER (PARTITION BY qid ORDER BY s DESC, id) AS rn
+           |    FROM (SELECT qid, id, s FROM best${h - 1}
+           |          UNION SELECT c.qid, c.id, sq.s FROM cand$h c
+           |                JOIN sq ON sq.qid = c.qid AND sq.vec_id = c.id))
+           |  WHERE rn <= 8),
+           |f$h AS MATERIALIZED (
+           |  SELECT b.qid, b.id FROM best$h b
+           |  WHERE NOT EXISTS (SELECT 1 FROM best${h - 1} p
+           |                    WHERE p.qid = b.qid AND p.id = b.id))"""
+          .stripMargin
+      s"""WITH lvh AS (
+         |  SELECT vec_id, md5(vec_id::VARCHAR) AS hx FROM embeddings),
+         |lvc AS (
+         |  SELECT vec_id,
+         |         ('0x'||substr(hx, 1,8))::BIGINT AS c0,
+         |         ('0x'||substr(hx, 9,8))::BIGINT AS c1,
+         |         ('0x'||substr(hx,17,8))::BIGINT AS c2,
+         |         ('0x'||substr(hx,25,8))::BIGINT AS c3 FROM lvh),
+         |lv AS MATERIALIZED (
+         |  SELECT vec_id,
+         |    CASE WHEN (((((c0 % 4) * 4294967296 + c1) % 4) * 4294967296 + c2) % 4
+         |               * 4294967296 + c3) % 4 = 0 THEN 1 ELSE 0 END AS lvl
+         |  FROM lvc),
+         |cents AS (
+         |  SELECT vec_id AS cent_id, embedding AS cvec FROM embeddings
+         |  WHERE vec_id < 16),
+         |coarse1 AS (SELECT cent_id, cvec FROM cents ORDER BY cent_id LIMIT 4),
+         |mem1 AS (
+         |  SELECT e.* FROM embeddings e
+         |  JOIN lv ON lv.vec_id = e.vec_id AND lv.lvl >= 1),
+         |${knn("0", "embeddings", "cents")},
+         |${knn("1", "mem1", "coarse1")},
+         |qs AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+         |       WHERE vec_id IN (42, 137, 256)),
+         |sq AS MATERIALIZED (
+         |  SELECT qid, vec_id,
+         |    ROUND(SUM(x*y)/(GREATEST(SQRT(SUM(x*x)),1e-12)
+         |          *GREATEST(SQRT(SUM(y*y)),1e-12)), 6) + 0.0 AS s
+         |  FROM (SELECT q.qid, e.vec_id, unnest(e.embedding)::DOUBLE x,
+         |               unnest(q.qv)::DOUBLE y
+         |        FROM embeddings e CROSS JOIN qs q)
+         |  GROUP BY qid, vec_id),
+         |d0 AS MATERIALIZED (
+         |  SELECT COALESCE((SELECT MIN(vec_id) FROM lv WHERE lvl >= 1),
+         |                  (SELECT MIN(vec_id) FROM lv)) AS id),
+         |dq0 AS (SELECT qid, (SELECT id FROM d0) AS id FROM qs),
+         |${(1 to 2).map(descend).mkString(",\n")},
+         |vis0 AS (SELECT qid, id FROM dq2),
+         |f0 AS (SELECT qid, id FROM vis0),
+         |best0 AS (SELECT v.qid, v.id, sq.s FROM vis0 v
+         |          JOIN sq ON sq.qid = v.qid AND sq.vec_id = v.id),
+         |${(1 to 3).map(hop).mkString(",\n")}
+         |SELECT qid,
+         |  CAST(row_number() OVER (PARTITION BY qid ORDER BY s DESC, id)
+         |       AS INT) AS rank,
+         |  id AS vec_id, s AS score
+         |FROM best3 ORDER BY qid, rank""".stripMargin
     },
 
     "q_squad_eval" ->

@@ -412,16 +412,30 @@ object Ann {
     * `TopK.topKPerKeyAgg` per query. Same entry/tie determinism as the
     * single-query walk, so the per-qid unrolled oracle replays every
     * hop. Returns (qidCol, rank, id, score).
+    *
+    * `entries` overrides the shared smallest-id entry with a PER-QUERY
+    * entry table (first column = the query id, second = the entry node
+    * id) — the seam [[hnswSearchBatch]]'s layered descent feeds, so
+    * each query's beam starts inside its own neighborhood.
     */
   def graphBeamSearchBatch(edges: DataFrame, vectors: DataFrame,
                            queries: DataFrame, idCol: String, vecCol: String,
                            qidCol: String, qvecCol: String,
-                           beam: Int, hops: Int): DataFrame = {
+                           beam: Int, hops: Int,
+                           entries: Option[DataFrame] = None): DataFrame = {
     require(beam >= 1 && hops >= 0, s"bad beam/hops: $beam/$hops")
-    val entry = vectors.agg(min(col(idCol).cast("long"))).head.getLong(0)
     val q = broadcast(
       queries.select(col(qidCol).as("__qid"), col(qvecCol).as("__qv"),
         V.normSafe(col(qvecCol)).as("__qn")).localCheckpoint(false))
+    val seed = entries match {
+      case Some(ent) =>
+        broadcast(ent.select(col(ent.columns(0)).as("__qid"),
+          col(ent.columns(1)).cast("long").as("__id"))
+          .localCheckpoint(false))
+      case None =>
+        val entry = vectors.agg(min(col(idCol).cast("long"))).head.getLong(0)
+        q.select(col("__qid"), lit(entry).as("__id"))
+    }
     def scoreCands(cand: DataFrame): DataFrame =
       cand
         .join(vectors.select(col(idCol).as("__id"), col(vecCol).as("__v"),
@@ -430,8 +444,7 @@ object Ann {
         .select(col("__qid"), col("__id"),
           (round(dotF(col("__v"), col("__qv")) /
             (col("__n") * col("__qn")), 6) + lit(0.0)).as("__s"))
-    var beamDf = scoreCands(
-      q.select(col("__qid"), lit(entry).as("__id")))
+    var beamDf = scoreCands(seed)
       .localCheckpoint(false)
     var frontier = beamDf.select(col("__qid"), col("__id"))
     var visited = frontier.localCheckpoint(false)
@@ -591,6 +604,83 @@ object Ann {
       fanout, descentHops)
     graphBeamSearch(layers.head, vectors, idCol, vecCol, query, beam,
       hops, entryId = Some(entry))
+  }
+
+  /** BATCHED HNSW descent — the distributed face of [[hnswDescend]]:
+    * every query's greedy walk down the upper layers advances
+    * simultaneously as Q-row DataFrame state, so a 10⁶-query batch
+    * costs levels · descentHops bounded jobs TOTAL instead of that
+    * many per query. The entry (smallest id of the highest non-empty
+    * layer) is query-independent — one structure-bounded agg; per hop
+    * ONE cur⨝edges join (cur is Q rows), candidate scoring against the
+    * broadcast query table, and an argmin per query with
+    * [[hnswDescend]]'s exact tie order (quantized score desc, id asc).
+    * Running every hop unconditionally equals the single face's
+    * early-stop loop row for row: the argmin over {cur} ∪ nbrs(cur) is
+    * hop-idempotent at its fixed point (same neighbor set → same
+    * argmin), AnnSpec pins batch ≡ single per qid. Returns
+    * (qidCol, "entry").
+    */
+  def hnswDescendBatch(layers: Seq[DataFrame], vectors: DataFrame,
+                       idCol: String, vecCol: String,
+                       queries: DataFrame, qidCol: String, qvecCol: String,
+                       fanout: Int, descentHops: Int): DataFrame = {
+    require(layers.nonEmpty && descentHops >= 0,
+      s"need layers and descentHops >= 0")
+    val maxLevel = layers.length - 1
+    val lvl = hnswLevel(col(idCol), fanout, maxLevel)
+    val tops = vectors.select(col(idCol).cast("long").as("__id"),
+        lvl.as("__l"))
+      .groupBy(col("__l")).agg(min(col("__id")).as("__e"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val topLevel = (maxLevel to 0 by -1)
+      .find(l => tops.keys.exists(_ >= l))
+      .getOrElse(0)
+    val entry = (topLevel to maxLevel).flatMap(tops.get).min
+    val q = broadcast(queries.select(col(qidCol).as("__qid"),
+        col(qvecCol).as("__qv"), V.normSafe(col(qvecCol)).as("__qn"))
+      .localCheckpoint(false))
+    def scoreCands(cand: DataFrame): DataFrame =
+      cand
+        .join(vectors.select(col(idCol).cast("long").as("__id"),
+          col(vecCol).as("__v"), V.normSafe(col(vecCol)).as("__n")),
+          Seq("__id"))
+        .join(q, Seq("__qid"))
+        .select(col("__qid"), col("__id"),
+          (round(dotF(col("__v"), col("__qv")) /
+            (col("__n") * col("__qn")), 6) + lit(0.0)).as("__s"))
+    var cur = q.select(col("__qid"), lit(entry).as("__id"))
+    for (l <- topLevel to 1 by -1; _ <- 1 to descentHops) {
+      val nbrs = cur
+        .join(layers(l).select(col("src").cast("long").as("__id"),
+          col("dst").cast("long").as("__dst")), Seq("__id"))
+        .select(col("__qid"), col("__dst").as("__id"))
+      val cands = cur.unionByName(nbrs).distinct()
+      cur = TopK.topKPerKeyAgg(scoreCands(cands), Seq(col("__qid")),
+          col("__s"), col("__id"), 1)
+        .select(col("__qid"), col("id").cast("long").as("__id"))
+        .localCheckpoint(false) // Q-row state; cut the iterative lineage
+    }
+    cur.select(col("__qid").as(qidCol), col("__id").as("entry"))
+  }
+
+  /** BATCHED HNSW search — [[hnswDescendBatch]] picks every query's
+    * layer-0 entry simultaneously, then ONE [[graphBeamSearchBatch]]
+    * runs all beams from their per-query entries: the whole batch costs
+    * levels·descentHops + 3·hops jobs regardless of query count, and
+    * each beam spends its hops refining inside its own query's
+    * neighborhood (the [[hnswSearch]] property, batch-scaled). Returns
+    * (qidCol, rank, idCol, score).
+    */
+  def hnswSearchBatch(layers: Seq[DataFrame], vectors: DataFrame,
+                      queries: DataFrame, idCol: String, vecCol: String,
+                      qidCol: String, qvecCol: String,
+                      fanout: Int, beam: Int, hops: Int,
+                      descentHops: Int = 2): DataFrame = {
+    val entries = hnswDescendBatch(layers, vectors, idCol, vecCol,
+      queries, qidCol, qvecCol, fanout, descentHops)
+    graphBeamSearchBatch(layers.head, vectors, queries, idCol, vecCol,
+      qidCol, qvecCol, beam, hops, entries = Some(entries))
   }
 
   /** Rank-aware quality evaluation — nDCG@k and MRR beside

@@ -672,4 +672,52 @@ class AnnSpec extends SparkSpec {
       fanout = 4, descentHops = 3)
     assert(bIds.contains(entry), s"descent entry $entry must be in B $bIds")
   }
+
+  test("hnswSearchBatch ≡ hnswSearch per qid; the batched descent lands every query's own entry") {
+    import spark.implicits._
+    // same two-cluster fixture as the single-face test: queries pointed
+    // at BOTH clusters, so the batch must descend to DIFFERENT entries
+    val candidates = (0L until 200L).toDF("id")
+      .select(col("id"), Ann.hnswLevel(col("id"), 4, 1).as("l"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val elevated = candidates.filter(_._2 >= 1).keys.toSeq.sorted
+    val (ea, eb) = (elevated(0), elevated(1))
+    def va(i: Long) = Seq(9f, (i % 7).toFloat * 0.1f, 0f, 0f)
+    def vb(i: Long) = Seq(0f, 0.1f * (i % 5).toFloat, 9f, 0f)
+    val level0 = candidates.filter(_._2 == 0).keys.toSeq.sorted
+    val aIds = (Seq(ea) ++ level0.take(8)).distinct
+    val bIds = (Seq(eb) ++ level0.drop(8).take(8)).distinct
+    val rows = aIds.map(i => (i, va(i))) ++ bIds.map(i => (i, vb(i)))
+    val vecs = rows.toDF("id", "embedding")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+    val cc = Seq((0L, Seq(1f, 0f, 0f, 0f)), (1L, Seq(0f, 0f, 1f, 0f)))
+      .toDF("cent_id", "cvec")
+      .withColumn("cvec", col("cvec").cast("array<float>"))
+    val layers = Ann.hnswBuild(vecs, cc, "id", "embedding", "cent_id",
+      "cvec", k = 4, fanout = 4, maxLevel = 1)
+    val qA = Seq(9f, 0.2f, 0f, 0.5f)
+    val qB = Seq(0f, 0f, 9f, 1f)
+    val queries = Seq((1L, qA), (2L, qB)).toDF("qid", "qvec")
+      .withColumn("qvec", col("qvec").cast("array<float>"))
+    // batched descent picks each query's OWN entry (A-query → A,
+    // B-query → B — per-query entries, not one shared seed)
+    val entries = Ann.hnswDescendBatch(layers, vecs, "id", "embedding",
+        queries, "qid", "qvec", fanout = 4, descentHops = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(aIds.contains(entries(1L)), s"A-query entry: ${entries(1L)}")
+    assert(bIds.contains(entries(2L)), s"B-query entry: ${entries(2L)}")
+    // batch ≡ single, row for row per qid
+    val batch = Ann.hnswSearchBatch(layers, vecs, queries, "id",
+        "embedding", "qid", "qvec", fanout = 4, beam = 6, hops = 3,
+        descentHops = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    val single = Seq((1L, qA), (2L, qB)).flatMap { case (qid, qv) =>
+      Ann.hnswSearch(layers, vecs, "id", "embedding", qv, fanout = 4,
+          beam = 6, hops = 3, descentHops = 3)
+        .collect().map(r => (qid, r.getInt(0), r.getLong(1),
+          r.getDouble(2)))
+    }.toSet
+    assert(batch == single, s"batch $batch != singles $single")
+  }
 }

@@ -19,12 +19,15 @@ done
 log="$(mktemp /tmp/isolated_bench_XXXX.log)"
 sbt "$cmds" > "$log" 2>&1
 # every fork prints one JSON line {"metric":"total",...,"queries":{"<q>":t}}
-grep -o '{"metric":"total".*}' "$log" | python3 - "$out" <<'EOF'
-import sys, json
-out = open(sys.argv[1], 'a')
-for line in sys.stdin:
+python3 - "$log" "$out" <<'EOF'
+import sys, json, re
+out = open(sys.argv[2], 'a')
+for line in open(sys.argv[1], errors='replace'):
+    m = re.search(r'\{"metric":"total".*\}', line)
+    if not m:
+        continue
     try:
-        d = json.loads(line)
+        d = json.loads(m.group(0))
     except Exception:
         continue
     for k, v in d.get("queries", {}).items():
