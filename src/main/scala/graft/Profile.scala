@@ -1374,6 +1374,51 @@ object Profile {
         time("S100-SD semantic decon 100x")(
           println("  flagged=" + decon(dupE(100).localCheckpoint(true))))
       }
+
+      // -- HNSW: layered build (per-level knnJoin + src-sorted persist,
+      //    Ann.writeHnswLayers) and the DISTRIBUTED batch search at
+      //    1×/10×/100×. The honest 100 TB shape scales the CELL COUNT
+      //    with the corpus (C ∝ n keeps cell size ~constant, so the
+      //    within-cell pair count — the build's only superlinear hazard
+      //    — stays n²/C ∝ n); copies are JITTERED so duplicate vectors
+      //    can't collapse onto one centroid and fake the balance.
+      {
+        def jitterE(n: Int): DataFrame =
+          (0 until n).map(i =>
+            e.withColumn("vec_id", $"vec_id" + lit(i * 1000000L))
+              .withColumn("embedding", transform($"embedding",
+                x => (x + pmod($"vec_id", lit(997L)).cast("float")
+                  / lit(10000.0f)).cast("float"))))
+            .reduce(_ unionByName _).repartition(32)
+        val qrnd = new scala.util.Random(7)
+        val queries = (0 until 200).map { i =>
+          (i.toLong, Seq.fill(64)(qrnd.nextGaussian().toFloat))
+        }.toDF("qid", "qvec")
+          .withColumn("qvec", $"qvec".cast("array<float>"))
+          .localCheckpoint(true)
+        for (n <- Seq(1, 10, 100)) {
+          val vecs = jitterE(n).localCheckpoint(true)
+          val cc = vecs.filter(pmod($"vec_id", lit(1000000L)) < 16)
+            .select($"vec_id".as("cent_id"), $"embedding".as("cvec"))
+            .localCheckpoint(true)
+          val hd = java.nio.file.Files
+            .createTempDirectory("graft_p100_hnsw_").toFile
+          hd.deleteOnExit()
+          val ipath = new java.io.File(hd, "layers").getAbsolutePath
+          time(s"S100-HNSW build+persist ${n}x (C=${16 * n})") {
+            val layers = Ann.hnswBuild(vecs, cc, "vec_id", "embedding",
+              "cent_id", "cvec", k = 4, fanout = 4, maxLevel = 1)
+            Ann.writeHnswLayers(layers, ipath, files = 16)
+          }
+          val layers = Ann.readHnswLayers(spark, ipath, maxLevel = 1)
+          def batch(): Long = Ann.hnswSearchBatch(layers, vecs, queries,
+            "vec_id", "embedding", "qid", "qvec", fanout = 4, beam = 8,
+            hops = 3, descentHops = 2).count()
+          batch() // warmup
+          time(s"S100-HNSW batch search 200q ${n}x")(
+            println("  rows=" + batch()))
+        }
+      }
     }
 
     spark.stop()

@@ -365,7 +365,9 @@ object Ann {
     import spark.implicits._
     val q = query.toArray
     def scoreOf(df: DataFrame): Array[(Long, Double)] = {
-      val qn = math.sqrt(q.map(x => x.toDouble * x).sum)
+      // clamp like V.normSafe so a zero-norm query scores 0, not NaN —
+      // keeps the batch face (normSafe on __qn) pinned ≡ this one
+      val qn = math.max(math.sqrt(q.map(x => x.toDouble * x).sum), V.NormEps)
       df.select(col(idCol).cast("long"),
           (round(dotF(col(vecCol), lit(q)) /
             (V.normSafe(col(vecCol)) * lit(qn)), 6) + lit(0.0)).as("s"))
@@ -549,7 +551,9 @@ object Ann {
       s"need layers and descentHops >= 0")
     val maxLevel = layers.length - 1
     val q = query.toArray
-    val qn = math.sqrt(q.map(x => x.toDouble * x).sum)
+    // NormEps clamp: zero-norm queries score 0 (the batch face's
+    // normSafe treatment), so batch ≡ single holds for them too
+    val qn = math.max(math.sqrt(q.map(x => x.toDouble * x).sum), V.NormEps)
     def scoreOf(ids: Seq[Long]): Seq[(Long, Double)] =
       vectors.filter(col(idCol).isin(ids.map(Long.box): _*))
         .select(col(idCol).cast("long"),
@@ -682,6 +686,42 @@ object Ann {
     graphBeamSearchBatch(layers.head, vectors, queries, idCol, vecCol,
       qidCol, qvecCol, beam, hops, entries = Some(entries))
   }
+
+  /** Persist an NSW/HNSW edge table LAYOUT-SORTED by `src`: range-
+    * partitioned into `files` files, each sorted within, so every
+    * parquet row group carries tight min/max `src` stats and a
+    * serving-time hop filter (`src = cur` in [[hnswDescend]] /
+    * [[graphBeamSearch]], `src IN frontier` in the batch faces) PRUNES
+    * row groups instead of scanning the whole edge list — the on-disk
+    * index property that keeps per-hop cost O(degree) at any graph
+    * size. Layer i of an [[hnswBuild]] result goes to `<path>/layer_i`
+    * via [[writeHnswLayers]]; read back with [[readHnswLayers]].
+    */
+  def writeEdges(edges: DataFrame, path: String, files: Int = 16): Unit = {
+    require(files >= 1, s"files must be >= 1, got $files")
+    edges.repartitionByRange(files, col("src"))
+      .sortWithinPartitions("src", "dst")
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** [[writeEdges]] for every layer of an [[hnswBuild]] hierarchy:
+    * layer i lands at `<path>/layer_i`, src-sorted. Upper layers are
+    * geometrically smaller — they land in proportionally fewer files
+    * (≥ 1), keeping row groups dense enough to prune.
+    */
+  def writeHnswLayers(layers: Seq[DataFrame], path: String,
+                      files: Int = 16): Unit =
+    layers.zipWithIndex.foreach { case (l, i) =>
+      writeEdges(l, s"$path/layer_$i", math.max(1, files >> i))
+    }
+
+  /** Read an [[writeHnswLayers]] hierarchy back as the layers seq the
+    * search faces take. The scans inherit the written layout: a hop
+    * filter pushes to parquet and prunes on the sorted `src` stats.
+    */
+  def readHnswLayers(spark: org.apache.spark.sql.SparkSession, path: String,
+                     maxLevel: Int): Seq[DataFrame] =
+    (0 to maxLevel).map(i => spark.read.parquet(s"$path/layer_$i"))
 
   /** Rank-aware quality evaluation — nDCG@k and MRR beside
     * [[recallAtK]]'s set-overlap (recall treats rank 1 and rank k the

@@ -18,6 +18,29 @@ object Sampling {
 
   private val Denom = 1000000L
 
+  /** Ceiling on stratum cardinality for every per-stratum driver pull
+    * ([[ratesForMixture]], [[temperatureRates]], [[tokenMixtureRates]])
+    * and literal CASE chain ([[stratifiedSample]], [[tokenBudgetSample]]).
+    * Strata are domains/languages/sources — thousands at most; a
+    * mis-keyed stratum column (URL, doc id) would otherwise pull the
+    * corpus cardinality to the driver. Every pull is `limit(MaxStrata+1)`
+    * BEFORE collecting, so the validation itself is driver-bounded
+    * (the `Ann.MaxCentroids` discipline).
+    */
+  val MaxStrata = 10000
+
+  /** Bounded stratum pull: at most [[MaxStrata]]+1 rows reach the
+    * driver; one row past the ceiling throws loudly instead of OOMing.
+    */
+  private def boundedStrata(df: DataFrame, what: String): Array[org.apache.spark.sql.Row] = {
+    val rows = df.limit(MaxStrata + 1).collect()
+    require(rows.length <= MaxStrata,
+      s"$what exceeds MaxStrata = $MaxStrata distinct strata — the " +
+        "stratum column looks mis-keyed (URL/id instead of " +
+        "domain/language); per-stratum rates must stay driver-bounded")
+    rows
+  }
+
   /** Keep a row iff its hashed key falls under `rate` (0.0–1.0). */
   def hashSample(df: DataFrame, key: Column, rate: Double): DataFrame = {
     require(rate >= 0.0 && rate <= 1.0, s"rate must be in [0,1], got $rate")
@@ -60,6 +83,9 @@ object Sampling {
                        defaultRate: Double): DataFrame = {
     (rates.values.toSeq :+ defaultRate).foreach(r =>
       require(r >= 0.0 && r <= 1.0, s"rate must be in [0,1], got $r"))
+    require(rates.size <= MaxStrata,
+      s"rates map has ${rates.size} strata > MaxStrata = $MaxStrata — " +
+        "the literal CASE chain must stay plan-bounded")
     val rateCol = rates.toSeq.sortBy(_._1).foldLeft(lit(defaultRate)) {
       case (acc, (k, v)) => when(stratum === k, lit(v)).otherwise(acc)
     }
@@ -69,14 +95,17 @@ object Sampling {
   /** Per-stratum keep-rates that hit a target mixture: stratum s gets
     * rate min(1, targetWeight(s) · targetSize / count(s)). The stratum
     * count table is tiny by definition (one row per domain), so it is
-    * collected driver-side — the 100 TB corpus itself is only ever
-    * touched by the resulting scan-speed filter.
+    * collected driver-side — bounded by [[MaxStrata]] with a loud
+    * require (a mis-keyed stratum column must fail validation, not OOM
+    * the driver); the 100 TB corpus itself is only ever touched by the
+    * resulting scan-speed filter.
     */
   def ratesForMixture(df: DataFrame, stratum: Column,
                       targetWeights: Map[String, Double],
                       targetSize: Long): Map[String, Double] = {
-    val counts = df.groupBy(stratum.as("__s")).count()
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val counts = boundedStrata(df.groupBy(stratum.as("__s")).count(),
+        "ratesForMixture stratum count table")
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
     targetWeights.map { case (s, w) =>
       val n = counts.getOrElse(s, 0L)
       s -> (if (n == 0) 0.0 else math.min(1.0, w * targetSize / n))
@@ -101,8 +130,9 @@ object Sampling {
                        targetSize: Long): Map[String, Double] = {
     require(alpha > 0.0 && alpha <= 1.0, s"alpha in (0,1], got $alpha")
     require(targetSize > 0, s"targetSize must be positive, got $targetSize")
-    val counts = df.groupBy(stratum.as("__s")).count()
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val counts = boundedStrata(df.groupBy(stratum.as("__s")).count(),
+        "temperatureRates stratum count table")
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
     val sumPow = counts.toSeq.sortBy(_._1)
       .map { case (_, n) => math.pow(n.toDouble, alpha) }.sum
     counts.map { case (s, n) =>
@@ -129,9 +159,10 @@ object Sampling {
                         targetProps: Map[String, Double]): Map[String, Double] = {
     targetProps.values.foreach(p =>
       require(p > 0.0 && p <= 1.0, s"proportion must be in (0,1], got $p"))
-    val totals = df.groupBy(stratum.as("__s"))
-      .agg(sum(tokenCount).as("__t"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val totals = boundedStrata(df.groupBy(stratum.as("__s"))
+        .agg(sum(tokenCount).as("__t")),
+        "tokenMixtureRates stratum token-total table")
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
     val achievable = targetProps.flatMap { case (s, p) =>
       totals.get(s).map(t => t.toDouble / p)
     }
@@ -215,46 +246,89 @@ object Sampling {
     * gate over (token:doc:pos), so the thinned corpus is reproducible
     * across runs, partitionings, and engines.
     *
-    * Scale shape: ONE bounded vocab-count aggregation (map-side
-    * combined) collapses to driver rates that ride back as a literal
-    * map; per-row gating is then a pure projection over the token
-    * array — no corpus-sized shuffle. (Past literal-map size — corpora
-    * with unbounded vocab — swap the literal for a broadcast join on
-    * the exploded tokens; same result, one extra map-side stage.)
+    * Scale shape — two paths, bit-identical results, chosen by the
+    * MEASURED vocabulary size (a bounded `limit(maxVocabLiteral+1)`
+    * probe, never an unbounded pull):
+    *   - vocab ≤ `maxVocabLiteral`: the vocab-count aggregation
+    *     (map-side combined) collapses to driver rates that ride back
+    *     as a literal map; gating is a pure projection over the token
+    *     array — no corpus-sized shuffle, no join.
+    *   - vocab > `maxVocabLiteral` (web-scale corpora: 10⁸–10⁹ distinct
+    *     tokens of typos/URLs): rates stay DISTRIBUTED — the same rate
+    *     formula runs as a projection over the frequency table, the
+    *     gate becomes a posexplode → rate-join → re-aggregate pipeline
+    *     (AQE broadcasts the rate side while it fits, shuffle-joins
+    *     past that), and nothing corpus-cardinality ever reaches the
+    *     driver. Same micro-unit quantization (Spark's round(x, 0) IS
+    *     BigDecimal HALF_UP on doubles), same hash gate, so both paths
+    *     and both engines agree row for row.
     *
     * Returns (idCol, n_orig, n_kept) per document.
     */
   def subsampleFrequent(docs: DataFrame, idCol: String, textCol: String,
-                        threshold: Double = 0.001): DataFrame = {
+                        threshold: Double = 0.001,
+                        maxVocabLiteral: Int = 65536): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0)
+    require(maxVocabLiteral >= 0,
+      s"maxVocabLiteral must be >= 0, got $maxVocabLiteral")
     import graft.functions.{TextFunctions => T}
     val id = col(idCol)
     val base = docs
       .select(id, T.tokens(lower(col(textCol))).as("__toks"))
       .localCheckpoint(false) // consumed by the vocab agg AND gating
-    val freq = base.select(explode(col("__toks")).as("__tk"))
+    val freqDf = base.select(explode(col("__toks")).as("__tk"))
       .groupBy(col("__tk")).agg(count(lit(1)).as("f"))
-      .collect().map(r => r.getString(0) -> r.getLong(1))
-    val tT = threshold * freq.map(_._2).sum.toDouble
-    val rateMicro: Map[String, Long] = freq.map { case (w, f) =>
-      val p = (math.sqrt(f.toDouble / tT) + 1.0) * tT / f.toDouble
-      w -> java.math.BigDecimal.valueOf(math.min(p, 1.0) * 1000000)
-        .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
-    }.toMap
-    val ratesLit = typedLit(rateMicro)
-    val keepAt = (i: Column) => {
-      val w = element_at(col("__toks"), i)
-      pmod(Dedup.hash60(
-        concat(w, lit(":"), id.cast("string"), lit(":"), i.cast("string"))),
-        lit(Denom)) < element_at(ratesLit, w)
+      .localCheckpoint(false) // consumed by the size probe AND one path
+    // bounded probe: at most maxVocabLiteral + 1 rows decide the path
+    val head = freqDf.limit(maxVocabLiteral + 1).collect()
+    if (head.length <= maxVocabLiteral) {
+      // literal path: head IS the whole vocabulary
+      val freq = head.map(r => r.getString(0) -> r.getLong(1))
+      val tT = threshold * freq.map(_._2).sum.toDouble
+      val rateMicro: Map[String, Long] = freq.map { case (w, f) =>
+        val p = (math.sqrt(f.toDouble / tT) + 1.0) * tT / f.toDouble
+        w -> java.math.BigDecimal.valueOf(math.min(p, 1.0) * 1000000)
+          .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+      }.toMap
+      val ratesLit = typedLit(rateMicro)
+      val keepAt = (i: Column) => {
+        val w = element_at(col("__toks"), i)
+        pmod(Dedup.hash60(
+          concat(w, lit(":"), id.cast("string"), lit(":"), i.cast("string"))),
+          lit(Denom)) < element_at(ratesLit, w)
+      }
+      base.select(id,
+        size(col("__toks")).cast("long").as("n_orig"),
+        when(size(col("__toks")) === 0, lit(0L)).otherwise(
+          aggregate(
+            transform(sequence(lit(1), size(col("__toks"))),
+              i => when(keepAt(i), lit(1L)).otherwise(lit(0L))),
+            lit(0L), (acc, x) => acc + x)).as("n_kept"))
+    } else {
+      // distributed path: only the ONE-row token total reaches the
+      // driver; t·T is a scalar in the rate projection below, which
+      // replays the literal path's exact double op sequence
+      // ((√(f/tT) + 1) · tT / f, min 1, ·10⁶, HALF_UP)
+      val tT = threshold *
+        freqDf.agg(sum(col("f"))).head.getLong(0).toDouble
+      val f = col("f").cast("double")
+      val rates = freqDf.select(col("__tk"),
+        round(least((sqrt(f / lit(tT)) + lit(1.0)) * lit(tT) / f,
+          lit(1.0)) * lit(1000000.0), 0).cast("long").as("__rate"))
+      // posexplode_outer keeps zero-token docs as one null row → the
+      // left join misses → the keep test is null → counted 0
+      val positions = base.select(id,
+          size(col("__toks")).cast("long").as("__no"),
+          posexplode_outer(col("__toks")).as(Seq("__p", "__w")))
+        .join(rates, col("__w") === col("__tk"), "left")
+      val keep = pmod(Dedup.hash60(
+        concat(col("__w"), lit(":"), id.cast("string"), lit(":"),
+          (col("__p") + 1).cast("string"))),
+        lit(Denom)) < col("__rate")
+      positions.groupBy(id)
+        .agg(max(col("__no")).as("n_orig"),
+          sum(when(keep, lit(1L)).otherwise(lit(0L))).as("n_kept"))
     }
-    base.select(id,
-      size(col("__toks")).cast("long").as("n_orig"),
-      when(size(col("__toks")) === 0, lit(0L)).otherwise(
-        aggregate(
-          transform(sequence(lit(1), size(col("__toks"))),
-            i => when(keepAt(i), lit(1L)).otherwise(lit(0L))),
-          lit(0L), (acc, x) => acc + x)).as("n_kept"))
   }
 
   /** Deterministic train/val/test split: the row's hash bucket
@@ -342,6 +416,9 @@ object Sampling {
       s"buckets must be a power of two in [2, 2^20], got $buckets")
     require(defaultBudget >= 0 && budgets.values.forall(_ >= 0),
       s"budgets must be non-negative")
+    require(budgets.size <= MaxStrata,
+      s"budgets map has ${budgets.size} strata > MaxStrata = $MaxStrata — " +
+        "the literal CASE chain must stay plan-bounded")
     val shift = 60 - java.lang.Integer.numberOfTrailingZeros(buckets)
     import org.apache.spark.sql.expressions.Window
 

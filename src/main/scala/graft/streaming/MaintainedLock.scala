@@ -31,7 +31,20 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   *     past `staleMs`, then resumed) sees the higher epoch and ABORTS
   *     before renaming — its appended debris is exactly the
   *     uncommitted-crash window the existing replay recovery already
-  *     rolls back, so a fenced writer can never tear a commit.
+  *     rolls back.
+  *
+  * The fence is BEST-EFFORT, the standard filesystem-lease limitation:
+  * check-then-rename is not atomic, so a takeover landing inside that
+  * window still renames (and two different-owner racers on the same
+  * stale lease can briefly both believe they hold it — the loser is
+  * caught at its next [[check]]). What the protocol guarantees is
+  * narrower and sufficient: a writer paused LONGER than the window
+  * between its last [[check]] and its rename cannot commit after a
+  * takeover, and every mixed outcome is one writer's atomic rename
+  * plus uncommitted debris the replay recovery rolls back. True
+  * mutual exclusion needs a coordination service (ZooKeeper/etcd)
+  * issuing monotonic fencing tokens the STORAGE validates; a
+  * filesystem cannot validate tokens at rename time.
   *
   * Owner identity defaults to the Spark `applicationId` (one lease per
   * driver, shared by the streaming writer and any same-driver
@@ -91,7 +104,16 @@ object MaintainedLock {
     require(staleMs > 0, s"staleMs must be positive; got $staleMs")
     live(fs, root) match {
       case Some((e, o, p, _)) if o == owner =>
-        fs.setTimes(p, nowMs(), -1) // heartbeat
+        // heartbeat: bump the lease file's mtime. Object-store
+        // FileSystems (S3A & friends) don't support setTimes — fall
+        // back to rewriting the file in place (create-overwrite of the
+        // SAME path refreshes mtime and keeps the filename-encoded
+        // epoch/owner identity; racing a same-owner rewrite is benign)
+        try fs.setTimes(p, nowMs(), -1)
+        catch { case _: UnsupportedOperationException =>
+          val out = fs.create(p, true)
+          try out.write(owner.getBytes("UTF-8")) finally out.close()
+        }
         Lease(e, owner, p, reentrant = true)
       case Some((e, o, _, hb)) if nowMs() - hb <= staleMs =>
         sys.error(s"maintained table $root is held by writer '$o' " +

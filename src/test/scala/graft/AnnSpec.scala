@@ -720,4 +720,78 @@ class AnnSpec extends SparkSpec {
     }.toSet
     assert(batch == single, s"batch $batch != singles $single")
   }
+
+  test("zero-norm query: single faces clamp like the batch faces — batch ≡ single, scores 0, never NaN") {
+    import spark.implicits._
+    val vecs = (0L until 12L).map(i =>
+        (i, Seq(1f + (i % 3), (i % 5).toFloat, 1f, 0f)))
+      .toDF("id", "embedding")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+    val cc = Seq((0L, Seq(1f, 0f, 0f, 0f))).toDF("cent_id", "cvec")
+      .withColumn("cvec", col("cvec").cast("array<float>"))
+    val edges = Ann.knnJoin(vecs, cc, "id", "embedding", "cent_id",
+      "cvec", 3)
+    val zero = Seq(0f, 0f, 0f, 0f)
+    val single = Ann.graphBeamSearch(edges, vecs, "id", "embedding",
+        zero, beam = 4, hops = 2)
+      .collect().map(r => (r.getLong(1), r.getDouble(2))).toSet
+    assert(single.forall(!_._2.isNaN), s"NaN scores: $single")
+    assert(single.forall(_._2 == 0.0), s"zero query must score 0: $single")
+    val batch = Ann.graphBeamSearchBatch(edges, vecs,
+        Seq((7L, zero)).toDF("qid", "qvec")
+          .withColumn("qvec", col("qvec").cast("array<float>")),
+        "id", "embedding", "qid", "qvec", beam = 4, hops = 2)
+      .collect().map(r => (r.getLong(2), r.getDouble(3))).toSet
+    assert(batch == single, s"batch $batch != single $single")
+    // the layered descent uses the same clamp
+    val layers = Ann.hnswBuild(vecs, cc, "id", "embedding", "cent_id",
+      "cvec", k = 3, fanout = 4, maxLevel = 1)
+    val e1 = Ann.hnswDescend(layers, vecs, "id", "embedding", zero,
+      fanout = 4, descentHops = 2)
+    val eB = Ann.hnswDescendBatch(layers, vecs, "id", "embedding",
+        Seq((7L, zero)).toDF("qid", "qvec")
+          .withColumn("qvec", col("qvec").cast("array<float>")),
+        "qid", "qvec", fanout = 4, descentHops = 2)
+      .head.getLong(1)
+    assert(e1 == eB, s"descent entries diverge on a zero query: $e1 vs $eB")
+  }
+
+  test("writeEdges layout: a hop filter row-group-prunes the src-sorted edge table") {
+    import spark.implicits._
+    // a chain graph over 4096 nodes — enough rows that range layout
+    // spreads real row groups across the requested files
+    val edges = (0L until 4096L).map(i => (i, (i + 1) % 4096L))
+      .toDF("src", "dst")
+    val dir = java.nio.file.Files.createTempDirectory("graft_edges_")
+      .toString
+    Ann.writeEdges(edges, dir, files = 8)
+    val total = new java.io.File(dir).listFiles()
+      .count(f => f.getName.endsWith(".parquet"))
+    assert(total >= 8, s"expected >= 8 range files, got $total")
+    val back = spark.read.parquet(dir)
+    val probe = back.filter(col("src") === 2048L)
+    // the hop filter reaches the parquet scan...
+    val formatted = probe.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(formatted.contains("PushedFilters") &&
+      formatted.contains("EqualTo(src,2048)"),
+      s"src filter must push to parquet:\n$formatted")
+    // ...and the sorted layout makes it PRUNE: every file/row group
+    // whose [min,max] src range misses 2048 is skipped on footer stats,
+    // so the SCAN emits at most one range file's rows (4096/8), not the
+    // whole edge list — the per-hop O(degree) on-disk serving property
+    assert(probe.collect().map(_.getLong(1)).toSeq == Seq(2049L))
+    val exec = probe.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    val scan = exec.collectLeaves().collectFirst {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.get
+    val scanned = scan.metrics("numOutputRows").value
+    assert(scanned > 0 && scanned <= 4096 / 8,
+      s"scan emitted $scanned rows — row groups did not prune " +
+        "(unsorted layout would surface ~4096)")
+  }
 }

@@ -187,4 +187,61 @@ class MaintainedLockSpec extends SparkSpec {
       .select("cent_id").collect().map(_.getLong(0)).sorted.toSeq
     assert(cc == Seq(1L, 2L, 3L), cc)
   }
+
+  test("heartbeat survives setTimes-unsupported filesystems (object-store fallback rewrites the lease file)") {
+    // S3A & friends throw UnsupportedOperationException from setTimes;
+    // the fallback rewrites the lease file in place, which refreshes
+    // mtime and keeps the filename-encoded epoch/owner identity
+    val fs = new NoSetTimesFs
+    fs.initialize(java.net.URI.create("file:///"),
+      spark.sparkContext.hadoopConfiguration)
+    val root = new Path(Files.createTempDirectory("graft_lock_uoe_").toString)
+    val a = MaintainedLock.acquire(fs, root, "A", staleMs = 600000)
+    assert(a.epoch == 1L && !a.reentrant)
+    val mt0 = fs.getFileStatus(a.path).getModificationTime
+    Thread.sleep(25)
+    // re-acquire = heartbeat; must NOT throw despite setTimes failing
+    val a2 = MaintainedLock.acquire(fs, root, "A", staleMs = 600000)
+    assert(a2.epoch == 1L && a2.reentrant)
+    val mt1 = fs.getFileStatus(a2.path).getModificationTime
+    assert(mt1 > mt0, s"heartbeat did not refresh mtime: $mt0 -> $mt1")
+    // the renewed lease still fences a foreign writer
+    val e = intercept[RuntimeException] {
+      MaintainedLock.acquire(fs, root, "B", staleMs = 600000)
+    }
+    assert(e.getMessage.contains("held by writer 'A'"), e.getMessage)
+  }
+
+  test("fence census: every commit rename in Streaming.scala sits behind a MaintainedLock.check") {
+    // grep-census (the OPERATORS.md census pattern): a future writer-path
+    // helper that renames a commit file without the fence fails this
+    // test at review time, not in production
+    val lines = java.nio.file.Files.readAllLines(java.nio.file.Paths.get(
+      "src/main/scala/graft/streaming/Streaming.scala"))
+    import scala.jdk.CollectionConverters._
+    val renames = lines.asScala.zipWithIndex.filter { case (l, _) =>
+      l.contains("fs.rename(") &&
+        !l.trim.startsWith("*") && !l.trim.startsWith("//")
+    }
+    assert(renames.size >= 3,
+      s"census is vacuous: expected >= 3 rename sites, found ${renames.size}")
+    renames.foreach { case (l, i) =>
+      assert(l.contains("commit"),
+        s"Streaming.scala:${i + 1} renames a non-commit path — extend " +
+          s"this census consciously if that is intended: $l")
+      val before = lines.asScala.slice(math.max(0, i - 3), i)
+      assert(before.exists(_.contains("MaintainedLock.check(")),
+        s"commit rename at Streaming.scala:${i + 1} has no " +
+          "MaintainedLock.check in the 3 preceding lines — unfenced " +
+          "commit point")
+    }
+  }
+}
+
+/** RawLocalFileSystem twin of an object-store FS: setTimes unsupported
+  * (the S3AFileSystem behavior the heartbeat fallback exists for).
+  */
+class NoSetTimesFs extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def setTimes(p: Path, mtime: Long, atime: Long): Unit =
+    throw new UnsupportedOperationException("setTimes is not supported")
 }

@@ -197,4 +197,89 @@ class SamplingSpec extends SparkSpec {
       Seq(Tuple1(50L)).toDF("k"), $"k", 0.8, 0.1).head.getString(1)
     assert(split(151L) == repRoute && split(152L) == repRoute)
   }
+
+  private def textDocs = {
+    import spark.implicits._
+    // zipfy word soup: "the" dominates, tail words are rare
+    (0L until 60L).map { i =>
+      val words = (0 until 20).map { j =>
+        val r = (i * 20 + j) % 10
+        if (r < 5) "the" else if (r < 8) s"mid${r}" else s"rare${i % 13}_$j"
+      }
+      (i, words.mkString(" "))
+    }.toDF("doc_id", "text")
+  }
+
+  test("subsampleFrequent: distributed (join) path equals the literal path row for row") {
+    val d = textDocs
+    val lit = Sampling.subsampleFrequent(d, "doc_id", "text", 0.05)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1).toSeq
+    // maxVocabLiteral = 0 forces the distributed path for ANY vocab
+    val joined = Sampling.subsampleFrequent(d, "doc_id", "text", 0.05,
+        maxVocabLiteral = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1).toSeq
+    assert(lit.nonEmpty && lit == joined,
+      s"paths diverge:\n lit=${lit.take(5)}\n join=${joined.take(5)}")
+    // the subsampling did something: frequent words thinned
+    assert(lit.exists { case (_, o, k) => k < o },
+      "threshold 0.05 must drop some frequent-word positions")
+  }
+
+  test("subsampleFrequent: below the vocab ceiling the plan has no join; above it, rates stay distributed") {
+    val d = textDocs
+    val litPlan = Sampling.subsampleFrequent(d, "doc_id", "text", 0.05)
+      .queryExecution.executedPlan.toString
+    assert(!litPlan.contains("Join"),
+      s"small-vocab path must gate with a literal map, not a join:\n$litPlan")
+    val joinPlan = Sampling.subsampleFrequent(d, "doc_id", "text", 0.05,
+        maxVocabLiteral = 0)
+      .queryExecution.executedPlan.toString
+    assert(joinPlan.contains("Join"),
+      s"past the ceiling the rates must ride a join, not a driver literal:\n$joinPlan")
+  }
+
+  test("subsampleFrequent: zero-token docs survive both paths with n_kept = 0") {
+    import spark.implicits._
+    val d = Seq((1L, "the the the"), (2L, ""), (3L, "rare")).toDF("doc_id", "text")
+    for (ceiling <- Seq(65536, 0)) {
+      val rows = Sampling.subsampleFrequent(d, "doc_id", "text", 0.5,
+          maxVocabLiteral = ceiling)
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      assert(rows(2L) == ((0L, 0L)), s"ceiling=$ceiling: ${rows(2L)}")
+      assert(rows(3L)._1 == 1L, s"ceiling=$ceiling")
+    }
+  }
+
+  test("MaxStrata: per-stratum driver pulls refuse corpus-cardinality stratum columns loudly") {
+    import spark.implicits._
+    val wide = spark.range(Sampling.MaxStrata + 1)
+      .select(col("id").cast("string").as("s"), lit(10L).as("n"))
+    val e1 = intercept[IllegalArgumentException] {
+      Sampling.ratesForMixture(wide, col("s"), Map("x" -> 1.0), 100L)
+    }
+    assert(e1.getMessage.contains("MaxStrata"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      Sampling.temperatureRates(wide, col("s"), 0.5, 100L)
+    }
+    assert(e2.getMessage.contains("MaxStrata"), e2.getMessage)
+    val e3 = intercept[IllegalArgumentException] {
+      Sampling.tokenMixtureRates(wide, col("s"), col("n"), Map("x" -> 0.5))
+    }
+    assert(e3.getMessage.contains("MaxStrata"), e3.getMessage)
+    // literal CASE chains refuse oversized maps at validation too
+    val hugeRates = (0 to Sampling.MaxStrata).map(i => s"s$i" -> 0.5).toMap
+    val e4 = intercept[IllegalArgumentException] {
+      Sampling.stratifiedSample(docs(10), col("source"), col("id"),
+        hugeRates, 0.1)
+    }
+    assert(e4.getMessage.contains("MaxStrata"), e4.getMessage)
+    val hugeBudgets = (0 to Sampling.MaxStrata).map(i => s"s$i" -> 5L).toMap
+    val e5 = intercept[IllegalArgumentException] {
+      Sampling.tokenBudgetSample(docs(10), col("source"), col("id"),
+        lit(1L), hugeBudgets, 5L)
+    }
+    assert(e5.getMessage.contains("MaxStrata"), e5.getMessage)
+  }
 }
