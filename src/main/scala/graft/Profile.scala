@@ -1277,7 +1277,10 @@ object Profile {
     // can hide a 2× constant behind job overhead). The 128 GiB box
     // holds 100× of these fixtures comfortably (embeddings sf0.1 =
     // 2 000 rows → 200 000 at 100×; documents 5 000 → 500 000).
-    if (on("scale100")) {
+    // `scale100-hnsw` runs ONLY the HNSW curves (build/search/insert) —
+    // the full scale100 sweep's skewed-CC 100× probe alone costs ~20 min
+    if (on("scale100") || sections.contains("scale100-hnsw")) {
+      val hnswOnly = !on("scale100")
       import graft.operators.{Ann, Mining}
       import graft.streaming.{Streaming => Strm}
       val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
@@ -1293,7 +1296,7 @@ object Profile {
       //    (folds 2 committed batches, spares the tail) → vacuum →
       //    probed serve. Build time excluded (separately timed): the
       //    curve grades each MAINTENANCE op, not parquet write speed.
-      for (n <- Seq(1, 10, 100)) {
+      if (!hnswOnly) for (n <- Seq(1, 10, 100)) {
         val d = java.nio.file.Files.createTempDirectory(s"graft_p100_").toFile
         d.deleteOnExit()
         val table = new java.io.File(d, "t").getAbsolutePath
@@ -1326,7 +1329,7 @@ object Profile {
       // -- skewed CC: hub degree and small-component count scale n×,
       //    chain diameter constant (rounds must stay ~constant: pointer
       //    jumping is log-diameter, independent of edge count)
-      for (n <- Seq(1, 10, 100)) {
+      if (!hnswOnly) for (n <- Seq(1, 10, 100)) {
         val chain = spark.range(0, 2047)
           .select($"id".as("id_a"), ($"id" + 1).as("id_b"))
         val star = spark.range(0, 98000L * n)
@@ -1345,7 +1348,7 @@ object Profile {
       }
 
       // -- substring-span dedup: rolling-hash spans over n× corpus
-      {
+      if (!hnswOnly) {
         def removal(d: DataFrame): Long =
           Dedup.removeDuplicatedSpans(d, "doc_id", "text", minLen = 8)
             .agg(sum($"n_removed")).collect().head.getLong(0)
@@ -1359,7 +1362,7 @@ object Profile {
       }
 
       // -- semantic decontamination: n× train vs fixed eval set
-      {
+      if (!hnswOnly) {
         val ev = e.filter($"vec_id" % 50 === 17)
           .select($"vec_id".as("eid"), $"embedding".as("evec"))
           .localCheckpoint(true)
@@ -1417,6 +1420,20 @@ object Profile {
           batch() // warmup
           time(s"S100-HNSW batch search 200q ${n}x")(
             println("  rows=" + batch()))
+          // incremental ingest: a FIXED 2k batch into the n×-grown
+          // persisted hierarchy (deltaOnly — the rows a refresh writes).
+          // The steady-state crawl shape: flat across the decades is
+          // the batch-proportional claim, measured.
+          val nb = e.withColumn("vec_id", $"vec_id" + lit(900000000L))
+            .withColumn("embedding", transform($"embedding",
+              x => (x + lit(0.0003f)).cast("float")))
+            .localCheckpoint(true)
+          def ins(): Long = Ann.hnswInsert(layers, vecs, nb, cc,
+            "vec_id", "embedding", "cent_id", "cvec", k = 4, fanout = 4,
+            deltaOnly = true).map(_.count()).sum
+          ins() // warmup
+          time(s"S100-HNSW insert 2k-batch ${n}x")(
+            println("  delta edges=" + ins()))
         }
       }
     }

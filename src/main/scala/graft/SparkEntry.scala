@@ -9752,6 +9752,33 @@ object SparkEntry {
         .orderBy($"qid", $"rank")
     }),
 
+    // INCREMENTAL HNSW ingest (Ann.hnswInsert): the reference's
+    // append-only insert (shard/server.py:60-67 appends to the served
+    // matrix) for the graph index — a 10% batch lands in a hierarchy
+    // built on the other 90% without a rebuild. New nodes take their
+    // top-k in-cell neighbors (new ∪ touched existing), touched
+    // existing nodes re-rank stored adjacency ∪ new candidates back to
+    // bounded degree, untouched cells pass through byte-identical.
+    // Output = the whole merged hierarchy, so the oracle verifies the
+    // delta AND the pass-through.
+    "q_hnsw_insert" -> ((s, dir) => {
+      import s.implicits._
+      val e = t(s, dir, "embeddings")
+      val existing = e.filter(pmod($"vec_id", lit(10)) =!= 7)
+      val batch = e.filter(pmod($"vec_id", lit(10)) === 7)
+      val cents = existing.filter($"vec_id" < 18)
+        .select($"vec_id".as("cent_id"), $"embedding".as("cvec"))
+      val layers = Ann.hnswBuild(existing, cents, "vec_id", "embedding",
+        "cent_id", "cvec", k = 4, fanout = 4, maxLevel = 1)
+      val merged = Ann.hnswInsert(layers, existing, batch, cents,
+        "vec_id", "embedding", "cent_id", "cvec", k = 4, fanout = 4)
+      merged.zipWithIndex
+        .map { case (df, l) => df.withColumn("level", lit(l)) }
+        .reduce(_.unionByName(_))
+        .select($"level", $"src", $"dst", $"score")
+        .orderBy($"level", $"src", $"dst")
+    }),
+
     // SQuAD-style QA scoring (TextEval.squadScore, Rajpurkar et al.
     // 2016): normalized exact match + clipped-token F1 — the
     // extractive-QA/RAG harness metric, closing the eval family. Same
@@ -11386,6 +11413,112 @@ object SparkEntry {
          |       AS INT) AS rank,
          |  id AS vec_id, s AS score
          |FROM best3 ORDER BY qid, rank""".stripMargin
+    },
+
+    // The q_hnsw_insert replay: rebuild the existing-only hierarchy
+    // (same per-level assignment + in-cell kNN CTEs as q_hnsw_ann,
+    // scores RETAINED), then per level: assign the new batch to the
+    // coarse cells, pair new×(new ∪ touched-existing) within cells for
+    // the new nodes' top-k, union touched existing nodes' stored edges
+    // with their new-node candidates and re-rank to k, pass untouched
+    // srcs through. Output = whole merged hierarchy.
+    "q_hnsw_insert" -> {
+      def asg(sfx: String, members: String, cents: String): String =
+        s"""pc$sfx AS (
+           |  SELECT e.vec_id, c.cent_id,
+           |         unnest(e.embedding)::DOUBLE x, unnest(c.cvec)::DOUBLE y
+           |  FROM $members e CROSS JOIN $cents c),
+           |pagg$sfx AS (SELECT vec_id, cent_id, SUM(x*y) dp, SUM(x*x) nx2, SUM(y*y) ny2
+           |         FROM pc$sfx GROUP BY vec_id, cent_id),
+           |psc$sfx AS (SELECT vec_id, cent_id,
+           |          ROUND(dp/(GREATEST(SQRT(nx2),1e-12)*GREATEST(SQRT(ny2),1e-12)), 6) c
+           |        FROM pagg$sfx),
+           |asg$sfx AS MATERIALIZED (
+           |  SELECT vec_id, cell_id FROM (
+           |    SELECT vec_id, cent_id AS cell_id,
+           |           row_number() OVER (PARTITION BY vec_id ORDER BY c DESC, cent_id) rn
+           |    FROM psc$sfx) WHERE rn = 1)""".stripMargin
+      def sc(sfx: String, pairs: String): String =
+        s"""px$sfx AS (
+           |  SELECT p.src, p.dst,
+           |         unnest(ea.embedding)::DOUBLE x, unnest(eb.embedding)::DOUBLE y
+           |  FROM $pairs p JOIN embeddings ea ON ea.vec_id = p.src
+           |            JOIN embeddings eb ON eb.vec_id = p.dst),
+           |pxa$sfx AS (SELECT src, dst, SUM(x*y) dp, SUM(x*x) nx2, SUM(y*y) ny2
+           |        FROM px$sfx GROUP BY src, dst),
+           |esc$sfx AS (SELECT src, dst,
+           |         ROUND(dp/(GREATEST(SQRT(nx2),1e-12)*GREATEST(SQRT(ny2),1e-12)), 6)
+           |           + 0.0 AS score
+           |       FROM pxa$sfx)""".stripMargin
+      def rank(name: String, from: String): String =
+        s"""$name AS (
+           |  SELECT src, dst, score FROM (
+           |    SELECT src, dst, score, row_number() OVER (PARTITION BY src
+           |                       ORDER BY score DESC, dst) AS rn
+           |    FROM $from) WHERE rn <= 4)""".stripMargin
+      def level(l: Int, exm: String, nbm: String, cents: String): String =
+        s"""${asg(s"e$l", exm, cents)},
+           |${asg(s"n$l", nbm, cents)},
+           |pre$l AS (
+           |  SELECT a.vec_id AS src, b.vec_id AS dst
+           |  FROM asge$l a JOIN asge$l b
+           |    ON a.cell_id = b.cell_id AND a.vec_id <> b.vec_id),
+           |${sc(s"b$l", s"pre$l")},
+           |${rank(s"edges$l", s"escb$l")},
+           |aet$l AS MATERIALIZED (
+           |  SELECT vec_id, cell_id FROM asge$l
+           |  WHERE cell_id IN (SELECT DISTINCT cell_id FROM asgn$l)),
+           |prn$l AS (
+           |  SELECT a.vec_id AS src, b.vec_id AS dst
+           |  FROM asgn$l a
+           |  JOIN (SELECT vec_id, cell_id FROM asgn$l
+           |        UNION ALL SELECT vec_id, cell_id FROM aet$l) b
+           |    ON a.cell_id = b.cell_id AND a.vec_id <> b.vec_id),
+           |${sc(s"w$l", s"prn$l")},
+           |${rank(s"newe$l", s"escw$l")},
+           |prx$l AS (
+           |  SELECT a.vec_id AS src, b.vec_id AS dst
+           |  FROM aet$l a JOIN asgn$l b ON a.cell_id = b.cell_id),
+           |${sc(s"x$l", s"prx$l")},
+           |${rank(s"rr$l",
+               s"""(SELECT e.src, e.dst, e.score FROM edges$l e
+           |          WHERE e.src IN (SELECT vec_id FROM aet$l)
+           |          UNION ALL SELECT src, dst, score FROM escx$l)""")},
+           |out$l AS (
+           |  SELECT $l AS level, src, dst, score FROM edges$l
+           |  WHERE src NOT IN (SELECT vec_id FROM aet$l)
+           |  UNION ALL SELECT $l, src, dst, score FROM rr$l
+           |  UNION ALL SELECT $l, src, dst, score FROM newe$l)""".stripMargin
+      s"""WITH ex AS (SELECT * FROM embeddings WHERE vec_id % 10 <> 7),
+         |nb AS (SELECT * FROM embeddings WHERE vec_id % 10 = 7),
+         |cents AS (
+         |  SELECT vec_id AS cent_id, embedding AS cvec FROM ex
+         |  WHERE vec_id < 18),
+         |coarse1 AS (SELECT cent_id, cvec FROM cents ORDER BY cent_id LIMIT 4),
+         |lvh AS (
+         |  SELECT vec_id, md5(vec_id::VARCHAR) AS hx FROM embeddings),
+         |lvc AS (
+         |  SELECT vec_id,
+         |         ('0x'||substr(hx, 1,8))::BIGINT AS c0,
+         |         ('0x'||substr(hx, 9,8))::BIGINT AS c1,
+         |         ('0x'||substr(hx,17,8))::BIGINT AS c2,
+         |         ('0x'||substr(hx,25,8))::BIGINT AS c3 FROM lvh),
+         |lv AS MATERIALIZED (
+         |  SELECT vec_id,
+         |    CASE WHEN (((((c0 % 4) * 4294967296 + c1) % 4) * 4294967296 + c2) % 4
+         |               * 4294967296 + c3) % 4 = 0 THEN 1 ELSE 0 END AS lvl
+         |  FROM lvc),
+         |exm1 AS (
+         |  SELECT e.* FROM ex e
+         |  JOIN lv ON lv.vec_id = e.vec_id AND lv.lvl >= 1),
+         |nbm1 AS (
+         |  SELECT e.* FROM nb e
+         |  JOIN lv ON lv.vec_id = e.vec_id AND lv.lvl >= 1),
+         |${level(0, "ex", "nb", "cents")},
+         |${level(1, "exm1", "nbm1", "coarse1")}
+         |SELECT CAST(level AS INT) AS level, src, dst, score
+         |FROM (SELECT * FROM out0 UNION ALL SELECT * FROM out1)
+         |ORDER BY level, src, dst""".stripMargin
     },
 
     "q_squad_eval" ->

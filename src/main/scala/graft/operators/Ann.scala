@@ -723,6 +723,107 @@ object Ann {
                      maxLevel: Int): Seq[DataFrame] =
     (0 to maxLevel).map(i => spark.read.parquet(s"$path/layer_$i"))
 
+  /** INCREMENTAL HNSW ingest — append a batch of new vectors into an
+    * existing [[hnswBuild]] hierarchy without rebuilding it: the
+    * reference's append-only insert (`coordinator/main.py:33-44` routes,
+    * `shard/server.py:60-67` appends to the served matrix) re-expressed
+    * for the graph index its README aspires to
+    * (`rag_demo/ingest.py:13-14`), and the graph-family sibling of the
+    * maintained IVF table's `streamInsertIndexedMaintained`.
+    *
+    * Per level l ≤ [[hnswLevel]](id) of each new vector (same
+    * derandomized geometric draw as the build — re-ingesting the same id
+    * lands the same level): assign the new members to the level's coarse
+    * cells (zero-shuffle in-literal argmax), score them against the
+    * EXISTING members of the touched cells only, then
+    *  - each new node keeps its top-k neighbors (new ∪ touched existing
+    *    in its cell — a batch with internal near-dups self-links), and
+    *  - each touched existing node re-ranks its stored adjacency UNION
+    *    its new-node candidates back down to k (the HNSW bounded-degree
+    *    repair; stored edges already carry their round-6 scores, so no
+    *    old pair is ever rescored).
+    * Nodes in untouched cells pass through byte-identical.
+    *
+    * Scale shape: cost is BATCH-proportional — |B|·|touched cell| pair
+    * scores plus a k-bounded re-rank of the touched adjacency — never
+    * the build's n²/C, and never a full-graph rewrite: the output
+    * layers are (src, dst, score) tables whose untouched rows are the
+    * input rows, so a [[writeHnswLayers]] refresh rewrites only the
+    * range files whose `src` ranges intersect touched cells. At corpus
+    * scale the per-level cell assignment of EXISTING members would ride
+    * a persisted column written at build time (the `Dedup.signatureStore`
+    * discipline); recomputing it here is the one full-corpus cost and is
+    * a zero-shuffle scan projection.
+    *
+    * Contract: batch ids are disjoint from existing ids (the reference's
+    * append-only model — no upsert; dedup first via the Dedup family).
+    * Determinism: every score is round-6 quantized, ranks tie
+    * (score desc, id asc), level membership is the md5 draw — the whole
+    * delta replays closed-form in the DuckDB oracle (`q_hnsw_insert`)
+    * and is partition-count-independent (AnnSpec pins both).
+    *
+    * Returns the merged hierarchy, index i = level i's edge table, same
+    * (src, dst, score) shape [[hnswSearch]]/[[hnswSearchBatch]] walk.
+    * With `deltaOnly = true`, each level carries ONLY the rows an
+    * incremental refresh writes (new nodes' edges + touched existing
+    * nodes' re-ranked adjacency) — the batch-proportional working set,
+    * with no pass-through scan of the untouched edge list.
+    */
+  def hnswInsert(layers: Seq[DataFrame], existing: DataFrame,
+                 batch: DataFrame, centroids: DataFrame,
+                 idCol: String, vecCol: String,
+                 centIdCol: String, centVecCol: String,
+                 k: Int, fanout: Int,
+                 deltaOnly: Boolean = false): Seq[DataFrame] = {
+    require(layers.nonEmpty, "layers must be non-empty")
+    require(k >= 1 && fanout >= 2, s"need k >= 1, fanout >= 2; got $k, $fanout")
+    val maxLevel = layers.length - 1
+    val nCents = centroids.count()
+    val lvl = hnswLevel(col(idCol), fanout, maxLevel)
+    (0 to maxLevel).map { l =>
+      val newM = if (l == 0) batch else batch.filter(lvl >= l)
+      val exM = if (l == 0) existing else existing.filter(lvl >= l)
+      val m = math.max(1L,
+        math.ceil(nCents / math.pow(fanout.toDouble, l.toDouble)).toLong)
+      val coarse =
+        if (l == 0) centroids
+        else centroids.orderBy(col(centIdCol)).limit(m.toInt)
+      def assign(df: DataFrame): DataFrame =
+        ivfAssign(df, coarse, idCol, vecCol, centIdCol, centVecCol)
+          .select(col("cell_id"), col(idCol).cast("long").as("__id"),
+            col(vecCol).as("__v"), V.normSafe(col(vecCol)).as("__n"))
+      val an = assign(newM).localCheckpoint(false) // 3 uses; assign runs once
+      // the batch's cell set is ≤ C rows — broadcast-prune the existing
+      // side to touched cells before any pairing
+      val newCells = an.select(col("cell_id")).distinct()
+      val aeT = assign(exM).join(broadcast(newCells), Seq("cell_id"))
+        .localCheckpoint(false)
+      def score(a: DataFrame, b: DataFrame): DataFrame =
+        a.select(col("cell_id"), col("__id").as("src"),
+            col("__v").as("__ea"), col("__n").as("__na"))
+          .join(b.select(col("cell_id"), col("__id").as("dst"),
+            col("__v").as("__eb"), col("__n").as("__nb")), Seq("cell_id"))
+          .filter(col("src") =!= col("dst"))
+          .select(col("src"), col("dst"),
+            (round(dotF(col("__ea"), col("__eb")) /
+              (col("__na") * col("__nb")), 6) + lit(0.0)).as("score"))
+      def rankK(pairs: DataFrame): DataFrame =
+        TopK.topKPerKeyAgg(pairs, Seq(col("src")), col("score"),
+            col("dst"), k)
+          .select(col("src"), col("id").as("dst"), col("score"))
+      val old = layers(l).select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst"),
+        (col("score") + lit(0.0)).as("score"))
+      val touched = aeT.select(col("__id").as("src"))
+      val newEdges = rankK(score(an, an.unionByName(aeT)))
+      val reRanked = rankK(old.join(touched, Seq("src"))
+        .unionByName(score(aeT, an)))
+      val delta = reRanked.unionByName(newEdges)
+      if (deltaOnly) delta
+      else old.join(touched, Seq("src"), "left_anti").unionByName(delta)
+    }
+  }
+
   /** Rank-aware quality evaluation — nDCG@k and MRR beside
     * [[recallAtK]]'s set-overlap (recall treats rank 1 and rank k the
     * same; nDCG/MRR grade WHERE the true neighbors land): binary

@@ -756,6 +756,127 @@ class AnnSpec extends SparkSpec {
     assert(e1 == eB, s"descent entries diverge on a zero query: $e1 vs $eB")
   }
 
+  test("hnswInsert: batch ingest without a rebuild — bounded degree, new nodes reachable, untouched cells byte-identical, partition-independent, empty batch = identity") {
+    import spark.implicits._
+    // the two-cluster fixture, with a HELD-OUT insert batch: three
+    // level-0 ids + one elevated id, all pointed at cluster B, so cell 0
+    // (cluster A) is untouched at layer 0 and the level-1 path is
+    // exercised by the elevated id. Geometry is class-controlled under
+    // round-6 quantization: same-class existing vectors are IDENTICAL
+    // (cos 1.0), cross-class cos ≈ 0.999938, and each new vector sits at
+    // cos ≈ 0.999985 from its class — strictly between, so it must enter
+    // its class peers' top-4 yet never ties 1.0 with any existing vector
+    val candidates = (0L until 200L).toDF("id")
+      .select(col("id"), Ann.hnswLevel(col("id"), 4, 1).as("l"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val elevated = candidates.filter(_._2 >= 1).keys.toSeq.sorted
+    assert(elevated.size >= 3, s"fixture needs three level-1 ids: $elevated")
+    val (ea, eb, en) = (elevated(0), elevated(1), elevated(2))
+    def va(i: Long) = Seq(9f, (i % 7).toFloat * 0.1f, 0f, 0f)
+    def vb(i: Long) = Seq(0f, 0.1f * (i % 5).toFloat, 9f, 0f)
+    def vn(i: Long) = Seq(0f, 0.1f * (i % 5).toFloat, 9f, 0.05f)
+    val level0 = candidates.filter(_._2 == 0).keys.toSeq.sorted
+    val aIds = (Seq(ea) ++ level0.take(8)).distinct
+    // ≤ 2 existing members per mod-5 class: every class member's top-4
+    // keeps room below its (≤ 2) same-class 1.0 twins for the new node
+    val bPool = level0.drop(8)
+    val bIds = (Seq(eb) ++
+      (0 until 5).flatMap(c => bPool.filter(_ % 5 == c).take(2))).distinct
+    val used = (aIds ++ bIds).toSet
+    // one new id per class PRESENT in bIds → every new vector is
+    // round-6-unique and has same-class existing peers to link through
+    val bClasses = bIds.map(_ % 5).toSet
+    val newPool = level0.filterNot(used)
+    val newL0 = newPool.filter(i => bClasses.contains(i % 5))
+      .groupBy(_ % 5).toSeq.sortBy(_._1).map(_._2.head).take(3)
+    assert(newL0.size == 3, s"fixture needs 3 class-aligned new ids")
+    val newIds = Seq(en) ++ newL0
+    val existing = (aIds.map(i => (i, va(i))) ++ bIds.map(i => (i, vb(i))))
+      .toDF("id", "embedding")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+    val batch = newIds.map(i => (i, vn(i))).toDF("id", "embedding")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+    val cc = Seq((0L, Seq(1f, 0f, 0f, 0f)), (1L, Seq(0f, 0f, 1f, 0f)))
+      .toDF("cent_id", "cvec")
+      .withColumn("cvec", col("cvec").cast("array<float>"))
+    val layers = Ann.hnswBuild(existing, cc, "id", "embedding", "cent_id",
+      "cvec", k = 4, fanout = 4, maxLevel = 1)
+    val merged = Ann.hnswInsert(layers, existing, batch, cc, "id",
+      "embedding", "cent_id", "cvec", k = 4, fanout = 4)
+    def edgeSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select(col("src").cast("long"), col("dst").cast("long"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // 1. bounded degree everywhere, both layers
+    merged.zipWithIndex.foreach { case (layer, l) =>
+      val maxDeg = layer.groupBy(col("src")).count()
+        .agg(max(col("count"))).head.getLong(0)
+      assert(maxDeg <= 4, s"layer $l degree $maxDeg exceeds k=4")
+    }
+    // 2. every new node is linked: src of its own edges; the
+    // class-aligned ones are dst of an EXISTING node's re-ranked
+    // adjacency (reachability depends on the reverse link), and the
+    // elevated one is linked by both upper-layer nodes (coarse layer-1
+    // cell holds only {ea, eb, en} — everything fits in k)
+    val l0 = edgeSet(merged.head)
+    newIds.foreach { n =>
+      assert(l0.exists(_._1 == n), s"new node $n has no out-edges")
+    }
+    newL0.foreach { n =>
+      assert(l0.exists { case (s, d) => d == n && !newIds.contains(s) },
+        s"no existing node links new node $n")
+    }
+    val l1 = edgeSet(merged(1))
+    assert(l1.contains((ea, en)) && l1.contains((eb, en)),
+      s"layer-1 must link the elevated new node $en: $l1")
+    // 3. a search over the merged graph FINDS a new node: query = the
+    // round-6-unique vector of a class-distinct new id, rank 1 = itself
+    // (the insert-then-serve contract), checked against brute force
+    val qId = newL0.find(_ % 5 != en % 5).get
+    val all = existing.unionByName(batch)
+    val brute = TopK.topK(
+      all.withColumn("score", round(V.cosine(col("embedding"),
+        typedLit(vn(qId))), 6)), col("score"), col("id"), 1)
+      .head.getLong(0)
+    assert(brute == qId, s"fixture: brute top-1 $brute must be $qId")
+    val hit = Ann.hnswSearch(merged, all, "id", "embedding",
+      vn(qId), fanout = 4, beam = 6, hops = 3)
+    assert(hit.head.getLong(1) == qId,
+      s"merged-graph search must find the new node $qId: " +
+        s"${hit.collect().toSeq}")
+    // 4. untouched pass-through: every new vector lands in cell 1, so
+    // cluster A's layer-0 adjacency is byte-identical to the build's
+    assert(edgeSet(merged.head.filter(col("src").isin(aIds: _*))) ==
+      edgeSet(layers.head.filter(col("src").isin(aIds: _*))),
+      "untouched cell-0 adjacency must pass through unchanged")
+    // 5. partition-count independence
+    val merged2 = Ann.hnswInsert(layers, existing.repartition(5),
+      batch.repartition(3), cc, "id", "embedding", "cent_id", "cvec",
+      k = 4, fanout = 4)
+    merged.zip(merged2).zipWithIndex.foreach { case ((m1, m2), l) =>
+      assert(edgeSet(m1) == edgeSet(m2),
+        s"layer $l edges differ across partitionings")
+    }
+    // 6. empty batch = identity
+    val mergedEmpty = Ann.hnswInsert(layers, existing, batch.limit(0),
+      cc, "id", "embedding", "cent_id", "cvec", k = 4, fanout = 4)
+    layers.zip(mergedEmpty).zipWithIndex.foreach { case ((b, m), l) =>
+      assert(edgeSet(b) == edgeSet(m), s"layer $l not identity on empty batch")
+    }
+    // 7. deltaOnly carries exactly the refresh-writer rows: merged =
+    // delta ∪ (old edges of srcs the delta does not rewrite)
+    val delta = Ann.hnswInsert(layers, existing, batch, cc, "id",
+      "embedding", "cent_id", "cvec", k = 4, fanout = 4,
+      deltaOnly = true)
+    merged.zip(delta).zip(layers).zipWithIndex.foreach {
+      case (((m, d), b), l) =>
+        val dSet = edgeSet(d)
+        val dSrcs = dSet.map(_._1)
+        val passThrough = edgeSet(b).filterNot(e => dSrcs.contains(e._1))
+        assert(edgeSet(m) == dSet ++ passThrough,
+          s"layer $l: merged != delta ∪ untouched pass-through")
+    }
+  }
+
   test("writeEdges layout: a hop filter row-group-prunes the src-sorted edge table") {
     import spark.implicits._
     // a chain graph over 4096 nodes — enough rows that range layout
