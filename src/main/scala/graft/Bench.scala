@@ -457,11 +457,23 @@ object Bench {
       val iidx = new java.io.File(d, "ins_layers").getAbsolutePath
       Ann.writeHnswLayers(ibuilt, iidx)
       val ilayers = Ann.readHnswLayers(spark, iidx, maxLevel = 1)
+      // build-time assignment sidecar, persisted partitioned by cell —
+      // the steady-state ingest path (touched-cell partitions only)
+      val iasg = new java.io.File(d, "ins_assigned").getAbsolutePath
+      Ann.hnswAssignLevels(exist, icents, "vec_id", "embedding",
+          "cent_id", "cvec", fanout = 4, maxLevel = 1)
+        .zipWithIndex.foreach { case (a, i) =>
+          a.write.partitionBy("cell_id").mode("overwrite")
+            .parquet(s"$iasg/level_$i")
+        }
+      val iassigned = (0 to 1).map(i =>
+        spark.read.parquet(s"$iasg/level_$i"))
       // deltaOnly: time the rows a refresh WRITES (new + re-ranked
       // adjacency), not a pass-through scan of the untouched edge list
       def runInsert(): Long = Ann.hnswInsert(ilayers, exist, batch,
         icents, "vec_id", "embedding", "cent_id", "cvec", k = 4,
-        fanout = 4, deltaOnly = true).map(_.count()).sum
+        fanout = 4, deltaOnly = true,
+        existingAssigned = iassigned).map(_.count()).sum
       runInsert() // warmup
       results("hnsw_insert_op") =
         math.min(time(runInsert()), time(runInsert()))

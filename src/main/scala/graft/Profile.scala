@@ -1421,18 +1421,31 @@ object Profile {
           time(s"S100-HNSW batch search 200q ${n}x")(
             println("  rows=" + batch()))
           // incremental ingest: a FIXED 2k batch into the n×-grown
-          // persisted hierarchy (deltaOnly — the rows a refresh writes).
-          // The steady-state crawl shape: flat across the decades is
-          // the batch-proportional claim, measured.
+          // persisted hierarchy (deltaOnly — the rows a refresh writes)
+          // through the build-time assignment SIDECAR (persisted
+          // partitioned by cell_id; the touched-cell join prunes).
+          // The recompute fallback was measured once at 100×: 307 s —
+          // ≈ 56% of a full rebuild, all of it the n·C re-assignment
+          // dots — which is exactly what the sidecar amortizes to
+          // build time. This curve grades the steady-state op.
+          val apath = new java.io.File(hd, "assigned").getAbsolutePath
+          Ann.hnswAssignLevels(vecs, cc, "vec_id", "embedding",
+              "cent_id", "cvec", fanout = 4, maxLevel = 1)
+            .zipWithIndex.foreach { case (a, i) =>
+              a.write.partitionBy("cell_id").mode("overwrite")
+                .parquet(s"$apath/level_$i")
+            }
+          val asg = (0 to 1).map(i =>
+            spark.read.parquet(s"$apath/level_$i"))
           val nb = e.withColumn("vec_id", $"vec_id" + lit(900000000L))
             .withColumn("embedding", transform($"embedding",
               x => (x + lit(0.0003f)).cast("float")))
             .localCheckpoint(true)
           def ins(): Long = Ann.hnswInsert(layers, vecs, nb, cc,
             "vec_id", "embedding", "cent_id", "cvec", k = 4, fanout = 4,
-            deltaOnly = true).map(_.count()).sum
+            deltaOnly = true, existingAssigned = asg).map(_.count()).sum
           ins() // warmup
-          time(s"S100-HNSW insert 2k-batch ${n}x")(
+          time(s"S100-HNSW insert 2k-batch ${n}x (sidecar)")(
             println("  delta edges=" + ins()))
         }
       }

@@ -856,6 +856,17 @@ class AnnSpec extends SparkSpec {
       assert(edgeSet(m1) == edgeSet(m2),
         s"layer $l edges differ across partitionings")
     }
+    // 5b. the persisted-assignment sidecar path is bit-identical to the
+    // recompute path (assignment is deterministic)
+    val asg = Ann.hnswAssignLevels(existing, cc, "id", "embedding",
+      "cent_id", "cvec", fanout = 4, maxLevel = 1)
+    val mergedAsg = Ann.hnswInsert(layers, existing, batch, cc, "id",
+      "embedding", "cent_id", "cvec", k = 4, fanout = 4,
+      existingAssigned = asg)
+    merged.zip(mergedAsg).zipWithIndex.foreach { case ((m1, m2), l) =>
+      assert(edgeSet(m1) == edgeSet(m2),
+        s"layer $l: sidecar path differs from recompute path")
+    }
     // 6. empty batch = identity
     val mergedEmpty = Ann.hnswInsert(layers, existing, batch.limit(0),
       cc, "id", "embedding", "cent_id", "cvec", k = 4, fanout = 4)
