@@ -153,8 +153,9 @@ object Bench {
     "q_maintained_grouped", "q_rag_maintained", "q_maintained_maxsim",
     // round-9: HNSW layered graph-ANN, single + batched
     "q_hnsw_ann", "q_hnsw_ann_batch",
-    // round-10: incremental HNSW ingest (batch insert, no rebuild)
-    "q_hnsw_insert",
+    // round-10: incremental HNSW ingest (batch insert, no rebuild) +
+    // soft delete (tombstones route but never surface)
+    "q_hnsw_insert", "q_hnsw_delete",
     // round-10 census fill (BenchCensusSpec now pins headline ⊇
     // SparkEntry.queries, so a gap like this can't recur silently):
     // sparse/grouped/recommend serving faces that predated the census

@@ -9779,6 +9779,29 @@ object SparkEntry {
         .orderBy($"level", $"src", $"dst")
     }),
 
+    // HNSW soft delete (Ann.hnswSearchDeleted): tombstoned nodes stay
+    // in the edge tables as ROUTING nodes (ripping them out severs the
+    // small-world shortcuts until a rebuild) but are filtered from the
+    // RESULTS — one broadcast anti-join after the beam, re-rank, k-trim.
+    // Completes the graph-index lifecycle (build → insert → delete →
+    // search) as the twin of the maintained family's deleteMaintained.
+    "q_hnsw_delete" -> ((s, dir) => {
+      import s.implicits._
+      val e = t(s, dir, "embeddings")
+      val cents = e.filter($"vec_id" < 16)
+        .select($"vec_id".as("cent_id"), $"embedding".as("cvec"))
+      val layers = Ann.hnswBuild(e, cents, "vec_id", "embedding",
+        "cent_id", "cvec", k = 4, fanout = 4, maxLevel = 1)
+      val query = e.filter($"vec_id" === 42)
+        .select($"embedding").head.getSeq[Float](0)
+      val tomb = e.filter(pmod($"vec_id", lit(17)) === 3)
+        .select($"vec_id".as("id"))
+      Ann.hnswSearchDeleted(layers, e, "vec_id", "embedding", query,
+          tomb, "id", fanout = 4, beam = 8, hops = 3, k = 5,
+          descentHops = 2)
+        .orderBy($"rank")
+    }),
+
     // SQuAD-style QA scoring (TextEval.squadScore, Rajpurkar et al.
     // 2016): normalized exact match + clipped-token F1 — the
     // extractive-QA/RAG harness metric, closing the eval family. Same
@@ -11519,6 +11542,117 @@ object SparkEntry {
          |SELECT CAST(level AS INT) AS level, src, dst, score
          |FROM (SELECT * FROM out0 UNION ALL SELECT * FROM out1)
          |ORDER BY level, src, dst""".stripMargin
+    },
+
+    // The q_hnsw_ann replay with a SOFT-DELETE tail: the beam walks the
+    // FULL graph (tombstoned nodes route), then the final page filters
+    // the tombstone set, re-ranks survivors (score desc, id asc) and
+    // trims to k=5.
+    "q_hnsw_delete" -> {
+      def knn(sfx: String, members: String, cents: String): String =
+        s"""pc$sfx AS (
+           |  SELECT e.vec_id, c.cent_id,
+           |         unnest(e.embedding)::DOUBLE x, unnest(c.cvec)::DOUBLE y
+           |  FROM $members e CROSS JOIN $cents c),
+           |pagg$sfx AS (SELECT vec_id, cent_id, SUM(x*y) dp, SUM(x*x) nx2, SUM(y*y) ny2
+           |         FROM pc$sfx GROUP BY vec_id, cent_id),
+           |psc$sfx AS (SELECT vec_id, cent_id,
+           |          ROUND(dp/(GREATEST(SQRT(nx2),1e-12)*GREATEST(SQRT(ny2),1e-12)), 6) c
+           |        FROM pagg$sfx),
+           |assign$sfx AS (
+           |  SELECT vec_id, cent_id AS cell_id FROM (
+           |    SELECT vec_id, cent_id,
+           |           row_number() OVER (PARTITION BY vec_id ORDER BY c DESC, cent_id) rn
+           |    FROM psc$sfx) WHERE rn = 1),
+           |pr$sfx AS (
+           |  SELECT a.vec_id AS src, b.vec_id AS dst
+           |  FROM assign$sfx a JOIN assign$sfx b
+           |    ON a.cell_id = b.cell_id AND a.vec_id <> b.vec_id),
+           |px$sfx AS (
+           |  SELECT p.src, p.dst,
+           |         unnest(ea.embedding)::DOUBLE x, unnest(eb.embedding)::DOUBLE y
+           |  FROM pr$sfx p JOIN embeddings ea ON ea.vec_id = p.src
+           |            JOIN embeddings eb ON eb.vec_id = p.dst),
+           |pxa$sfx AS (SELECT src, dst, SUM(x*y) dp, SUM(x*x) nx2, SUM(y*y) ny2
+           |        FROM px$sfx GROUP BY src, dst),
+           |esc$sfx AS (SELECT src, dst,
+           |         ROUND(dp/(GREATEST(SQRT(nx2),1e-12)*GREATEST(SQRT(ny2),1e-12)), 6)
+           |           + 0.0 AS score
+           |       FROM pxa$sfx),
+           |edges$sfx AS MATERIALIZED (
+           |  SELECT src, dst FROM (
+           |    SELECT src, dst, row_number() OVER (PARTITION BY src
+           |                       ORDER BY score DESC, dst) AS rn
+           |    FROM esc$sfx) WHERE rn <= 4)""".stripMargin
+      def descend(h: Int): String =
+        s"""d$h AS MATERIALIZED (
+           |  SELECT id FROM (
+           |    SELECT cand.id, row_number() OVER (ORDER BY sq.s DESC, cand.id) rn
+           |    FROM (SELECT e.dst AS id FROM edges1 e
+           |          WHERE e.src = (SELECT id FROM d${h - 1})
+           |          UNION SELECT id FROM d${h - 1}) cand
+           |    JOIN sq ON sq.vec_id = cand.id) WHERE rn = 1)""".stripMargin
+      def hop(h: Int): String =
+        s"""cand$h AS MATERIALIZED (
+           |  SELECT DISTINCT e.dst AS id FROM edges0 e
+           |  WHERE e.src IN (SELECT id FROM f${h - 1})
+           |    AND e.dst NOT IN (SELECT id FROM vis${h - 1})),
+           |vis$h AS MATERIALIZED (
+           |  SELECT id FROM vis${h - 1} UNION SELECT id FROM cand$h),
+           |best$h AS MATERIALIZED (
+           |  SELECT id, s FROM (
+           |    SELECT id, s, row_number() OVER (ORDER BY s DESC, id) AS rn
+           |    FROM (SELECT id, s FROM best${h - 1}
+           |          UNION SELECT c.id, sq.s FROM cand$h c
+           |                JOIN sq ON sq.vec_id = c.id))
+           |  WHERE rn <= 8),
+           |f$h AS MATERIALIZED (
+           |  SELECT id FROM best$h
+           |  WHERE id NOT IN (SELECT id FROM best${h - 1}))""".stripMargin
+      s"""WITH lvh AS (
+         |  SELECT vec_id, md5(vec_id::VARCHAR) AS hx FROM embeddings),
+         |lvc AS (
+         |  SELECT vec_id,
+         |         ('0x'||substr(hx, 1,8))::BIGINT AS c0,
+         |         ('0x'||substr(hx, 9,8))::BIGINT AS c1,
+         |         ('0x'||substr(hx,17,8))::BIGINT AS c2,
+         |         ('0x'||substr(hx,25,8))::BIGINT AS c3 FROM lvh),
+         |lv AS MATERIALIZED (
+         |  SELECT vec_id,
+         |    CASE WHEN (((((c0 % 4) * 4294967296 + c1) % 4) * 4294967296 + c2) % 4
+         |               * 4294967296 + c3) % 4 = 0 THEN 1 ELSE 0 END AS lvl
+         |  FROM lvc),
+         |cents AS (
+         |  SELECT vec_id AS cent_id, embedding AS cvec FROM embeddings
+         |  WHERE vec_id < 16),
+         |coarse1 AS (SELECT cent_id, cvec FROM cents ORDER BY cent_id LIMIT 4),
+         |mem1 AS (
+         |  SELECT e.* FROM embeddings e
+         |  JOIN lv ON lv.vec_id = e.vec_id AND lv.lvl >= 1),
+         |${knn("0", "embeddings", "cents")},
+         |${knn("1", "mem1", "coarse1")},
+         |qv AS (SELECT embedding AS q FROM embeddings WHERE vec_id = 42),
+         |sq AS MATERIALIZED (
+         |  SELECT vec_id,
+         |    ROUND(SUM(x*y)/(GREATEST(SQRT(SUM(x*x)),1e-12)
+         |          *GREATEST(SQRT(SUM(y*y)),1e-12)), 6) + 0.0 AS s
+         |  FROM (SELECT e.vec_id, unnest(e.embedding)::DOUBLE x,
+         |               unnest(qv.q)::DOUBLE y
+         |        FROM embeddings e, qv)
+         |  GROUP BY vec_id),
+         |d0 AS MATERIALIZED (
+         |  SELECT COALESCE((SELECT MIN(vec_id) FROM lv WHERE lvl >= 1),
+         |                  (SELECT MIN(vec_id) FROM lv)) AS id),
+         |${(1 to 2).map(descend).mkString(",\n")},
+         |vis0 AS (SELECT id FROM d2),
+         |f0 AS (SELECT id FROM vis0),
+         |best0 AS (SELECT v.id, sq.s FROM vis0 v JOIN sq ON sq.vec_id = v.id),
+         |${(1 to 3).map(hop).mkString(",\n")}
+         |SELECT rank, vec_id, score FROM (
+         |  SELECT CAST(row_number() OVER (ORDER BY s DESC, id) AS INT) AS rank,
+         |         id AS vec_id, s AS score
+         |  FROM best3 WHERE id % 17 <> 3)
+         |WHERE rank <= 5 ORDER BY rank""".stripMargin
     },
 
     "q_squad_eval" ->

@@ -687,6 +687,67 @@ object Ann {
       qidCol, qvecCol, beam, hops, entries = Some(entries))
   }
 
+  /** Tombstone-aware HNSW serving — the graph-family twin of the
+    * maintained IVF table's `deleteMaintained` + tombstone-honoring
+    * search (the reference's store is append-only with no delete
+    * endpoint, `shard/server.py`; every production vector DB grows
+    * one): SOFT delete. Tombstoned nodes stay in the edge tables as
+    * ROUTING nodes — ripping them out would sever the small-world
+    * shortcuts and strand whole regions until a rebuild (re-linking is
+    * the next [[hnswBuild]]/refresh's job, the compaction discipline) —
+    * but are filtered from the RESULTS. The filter is one broadcast
+    * anti-join on the (small) tombstone set AFTER the beam, then a
+    * re-rank and `k`-trim over ≤ beam rows; size `beam ≥ k + expected
+    * tombstones per neighborhood` so survivors fill the page. Fully
+    * deterministic (same beam, same quantized scores, filter + (score
+    * desc, id asc) re-rank), so the oracle replays search + NOT IN.
+    * Returns (rank, idCol, score), rank 1..≤k.
+    */
+  def hnswSearchDeleted(layers: Seq[DataFrame], vectors: DataFrame,
+                        idCol: String, vecCol: String, query: Seq[Float],
+                        tombstones: DataFrame, tombIdCol: String,
+                        fanout: Int, beam: Int, hops: Int, k: Int,
+                        descentHops: Int = 2): DataFrame = {
+    require(k >= 1 && k <= beam, s"need 1 <= k <= beam; got k=$k beam=$beam")
+    val res = hnswSearch(layers, vectors, idCol, vecCol, query, fanout,
+      beam, hops, descentHops)
+    val t = broadcast(tombstones
+      .select(col(tombIdCol).cast("long").as("__tid")).distinct())
+    res.join(t, col(idCol).cast("long") === col("__tid"), "left_anti")
+      .select(col(idCol), col("score"))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("score").desc, col(idCol))))
+      .filter(col("rank") <= k)
+      .select(col("rank"), col(idCol), col("score"))
+  }
+
+  /** Batched [[hnswSearchDeleted]]: ONE [[hnswSearchBatch]] for the
+    * whole query table, one broadcast anti-join, per-qid re-rank +
+    * k-trim (window over ≤ beam rows per qid). Returns (qidCol, rank,
+    * idCol, score).
+    */
+  def hnswSearchBatchDeleted(layers: Seq[DataFrame], vectors: DataFrame,
+                             queries: DataFrame, idCol: String,
+                             vecCol: String, qidCol: String,
+                             qvecCol: String, tombstones: DataFrame,
+                             tombIdCol: String, fanout: Int, beam: Int,
+                             hops: Int, k: Int,
+                             descentHops: Int = 2): DataFrame = {
+    require(k >= 1 && k <= beam, s"need 1 <= k <= beam; got k=$k beam=$beam")
+    val res = hnswSearchBatch(layers, vectors, queries, idCol, vecCol,
+      qidCol, qvecCol, fanout, beam, hops, descentHops)
+    val t = broadcast(tombstones
+      .select(col(tombIdCol).cast("long").as("__tid")).distinct())
+    res.join(t, col(idCol).cast("long") === col("__tid"), "left_anti")
+      .select(col(qidCol), col(idCol), col("score"))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col(qidCol))
+          .orderBy(col("score").desc, col(idCol))))
+      .filter(col("rank") <= k)
+      .select(col(qidCol), col("rank"), col(idCol), col("score"))
+  }
+
   /** Persist an NSW/HNSW edge table LAYOUT-SORTED by `src`: range-
     * partitioned into `files` files, each sorted within, so every
     * parquet row group carries tight min/max `src` stats and a

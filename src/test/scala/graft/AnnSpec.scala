@@ -888,6 +888,62 @@ class AnnSpec extends SparkSpec {
     }
   }
 
+  test("hnswSearchDeleted: a tombstoned bridge still ROUTES but never surfaces; batch ≡ single") {
+    import spark.implicits._
+    // the two-cluster fixture: eb is the ONLY layer-1 node in cluster B,
+    // i.e. the only descent bridge from A to B. Tombstone it: a hard
+    // delete (dropping it from the graph) would strand cluster B —
+    // soft delete must still answer B-pointed queries THROUGH eb while
+    // never returning it.
+    val candidates = (0L until 200L).toDF("id")
+      .select(col("id"), Ann.hnswLevel(col("id"), 4, 1).as("l"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val elevated = candidates.filter(_._2 >= 1).keys.toSeq.sorted
+    val (ea, eb) = (elevated(0), elevated(1))
+    def va(i: Long) = Seq(9f, (i % 7).toFloat * 0.1f, 0f, 0f)
+    def vb(i: Long) = Seq(0f, 0.1f * (i % 5).toFloat, 9f, 0f)
+    val level0 = candidates.filter(_._2 == 0).keys.toSeq.sorted
+    val aIds = (Seq(ea) ++ level0.take(8)).distinct
+    val bIds = (Seq(eb) ++ level0.drop(8).take(8)).distinct
+    val rows = aIds.map(i => (i, va(i))) ++ bIds.map(i => (i, vb(i)))
+    val vecs = rows.toDF("id", "embedding")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+    val cc = Seq((0L, Seq(1f, 0f, 0f, 0f)), (1L, Seq(0f, 0f, 1f, 0f)))
+      .toDF("cent_id", "cvec")
+      .withColumn("cvec", col("cvec").cast("array<float>"))
+    val layers = Ann.hnswBuild(vecs, cc, "id", "embedding", "cent_id",
+      "cvec", k = 4, fanout = 4, maxLevel = 1)
+    val query = Seq(0f, 0f, 9f, 1f) // cluster B's direction
+    val tomb = Seq(Tuple1(eb)).toDF("id")
+    val got = Ann.hnswSearchDeleted(layers, vecs, "id", "embedding",
+      query, tomb, "id", fanout = 4, beam = 6, hops = 3, k = 3)
+    val gotIds = got.collect().map(_.getLong(1)).toSeq
+    assert(!gotIds.contains(eb), s"tombstoned $eb surfaced: $gotIds")
+    assert(gotIds.forall(bIds.contains),
+      s"B-cluster results expected (routing through the tombstoned " +
+        s"bridge): $gotIds")
+    // survivors = brute-force top-3 excluding the tombstone
+    val brute = TopK.topK(
+      vecs.filter(col("id") =!= eb)
+        .withColumn("score", round(V.cosine(col("embedding"),
+          typedLit(query)), 6)), col("score"), col("id"), 3)
+      .collect().map(_.getLong(0)).toSeq
+    assert(gotIds == brute, s"got $gotIds, brute-minus-tombstone $brute")
+    // ranks are a clean 1..k page after the filter
+    assert(got.collect().map(_.getInt(0)).toSeq == Seq(1, 2, 3))
+    // batch face ≡ single face per qid
+    val queries = Seq((7L, query)).toDF("qid", "qvec")
+      .withColumn("qvec", col("qvec").cast("array<float>"))
+    val batch = Ann.hnswSearchBatchDeleted(layers, vecs, queries, "id",
+        "embedding", "qid", "qvec", tomb, "id", fanout = 4, beam = 6,
+        hops = 3, k = 3)
+      .collect().map(r => (r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .toSeq
+    val single = got.collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(batch == single, s"batch $batch != single $single")
+  }
+
   test("writeEdges layout: a hop filter row-group-prunes the src-sorted edge table") {
     import spark.implicits._
     // a chain graph over 4096 nodes — enough rows that range layout
