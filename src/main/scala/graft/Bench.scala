@@ -154,8 +154,9 @@ object Bench {
     // round-9: HNSW layered graph-ANN, single + batched
     "q_hnsw_ann", "q_hnsw_ann_batch",
     // round-10: incremental HNSW ingest (batch insert, no rebuild) +
-    // soft delete (tombstones route but never surface)
-    "q_hnsw_insert", "q_hnsw_delete",
+    // soft delete (tombstones route but never surface) + tombstone
+    // purge (touched-cell re-link ≡ build-on-survivors)
+    "q_hnsw_insert", "q_hnsw_delete", "q_hnsw_compact",
     // round-10 census fill (BenchCensusSpec now pins headline ⊇
     // SparkEntry.queries, so a gap like this can't recur silently):
     // sparse/grouped/recommend serving faces that predated the census

@@ -9802,6 +9802,30 @@ object SparkEntry {
         .orderBy($"rank")
     }),
 
+    // HNSW tombstone purge (Ann.hnswCompact): re-link ONLY the cells
+    // holding a tombstoned member (survivor×survivor top-k — the build
+    // recipe on survivors), pass every other cell through
+    // byte-identical, drop dead srcs. The contract is EXACT: compacted
+    // ≡ hnswBuild on the survivors, level for level — so the oracle
+    // replays a build on the tombstone-filtered member sets.
+    "q_hnsw_compact" -> ((s, dir) => {
+      import s.implicits._
+      val e = t(s, dir, "embeddings")
+      val cents = e.filter($"vec_id" < 16)
+        .select($"vec_id".as("cent_id"), $"embedding".as("cvec"))
+      val layers = Ann.hnswBuild(e, cents, "vec_id", "embedding",
+        "cent_id", "cvec", k = 4, fanout = 4, maxLevel = 1)
+      val tomb = e.filter(pmod($"vec_id", lit(17)) === 3)
+        .select($"vec_id".as("id"))
+      val compacted = Ann.hnswCompact(layers, e, tomb, "id", cents,
+        "vec_id", "embedding", "cent_id", "cvec", k = 4, fanout = 4)
+      compacted.zipWithIndex
+        .map { case (df, l) => df.withColumn("level", lit(l)) }
+        .reduce(_.unionByName(_))
+        .select($"level", $"src", $"dst", $"score")
+        .orderBy($"level", $"src", $"dst")
+    }),
+
     // SQuAD-style QA scoring (TextEval.squadScore, Rajpurkar et al.
     // 2016): normalized exact match + clipped-token F1 — the
     // extractive-QA/RAG harness metric, closing the eval family. Same
@@ -11653,6 +11677,75 @@ object SparkEntry {
          |         id AS vec_id, s AS score
          |  FROM best3 WHERE id % 17 <> 3)
          |WHERE rank <= 5 ORDER BY rank""".stripMargin
+    },
+
+    // The q_hnsw_compact replay exploits the operator's pinned
+    // identity — compacted ≡ build on survivors under the same
+    // centroids — so the oracle is simply the q_hnsw_ann build CTEs
+    // (scores retained) over tombstone-filtered member sets.
+    "q_hnsw_compact" -> {
+      def knn(sfx: String, members: String, cents: String): String =
+        s"""pc$sfx AS (
+           |  SELECT e.vec_id, c.cent_id,
+           |         unnest(e.embedding)::DOUBLE x, unnest(c.cvec)::DOUBLE y
+           |  FROM $members e CROSS JOIN $cents c),
+           |pagg$sfx AS (SELECT vec_id, cent_id, SUM(x*y) dp, SUM(x*x) nx2, SUM(y*y) ny2
+           |         FROM pc$sfx GROUP BY vec_id, cent_id),
+           |psc$sfx AS (SELECT vec_id, cent_id,
+           |          ROUND(dp/(GREATEST(SQRT(nx2),1e-12)*GREATEST(SQRT(ny2),1e-12)), 6) c
+           |        FROM pagg$sfx),
+           |assign$sfx AS (
+           |  SELECT vec_id, cent_id AS cell_id FROM (
+           |    SELECT vec_id, cent_id,
+           |           row_number() OVER (PARTITION BY vec_id ORDER BY c DESC, cent_id) rn
+           |    FROM psc$sfx) WHERE rn = 1),
+           |pr$sfx AS (
+           |  SELECT a.vec_id AS src, b.vec_id AS dst
+           |  FROM assign$sfx a JOIN assign$sfx b
+           |    ON a.cell_id = b.cell_id AND a.vec_id <> b.vec_id),
+           |px$sfx AS (
+           |  SELECT p.src, p.dst,
+           |         unnest(ea.embedding)::DOUBLE x, unnest(eb.embedding)::DOUBLE y
+           |  FROM pr$sfx p JOIN embeddings ea ON ea.vec_id = p.src
+           |            JOIN embeddings eb ON eb.vec_id = p.dst),
+           |pxa$sfx AS (SELECT src, dst, SUM(x*y) dp, SUM(x*x) nx2, SUM(y*y) ny2
+           |        FROM px$sfx GROUP BY src, dst),
+           |esc$sfx AS (SELECT src, dst,
+           |         ROUND(dp/(GREATEST(SQRT(nx2),1e-12)*GREATEST(SQRT(ny2),1e-12)), 6)
+           |           + 0.0 AS score
+           |       FROM pxa$sfx),
+           |edges$sfx AS MATERIALIZED (
+           |  SELECT src, dst, score FROM (
+           |    SELECT src, dst, score, row_number() OVER (PARTITION BY src
+           |                       ORDER BY score DESC, dst) AS rn
+           |    FROM esc$sfx) WHERE rn <= 4)""".stripMargin
+      s"""WITH surv AS (SELECT * FROM embeddings WHERE vec_id % 17 <> 3),
+         |cents AS (
+         |  SELECT vec_id AS cent_id, embedding AS cvec FROM embeddings
+         |  WHERE vec_id < 16),
+         |coarse1 AS (SELECT cent_id, cvec FROM cents ORDER BY cent_id LIMIT 4),
+         |lvh AS (
+         |  SELECT vec_id, md5(vec_id::VARCHAR) AS hx FROM embeddings),
+         |lvc AS (
+         |  SELECT vec_id,
+         |         ('0x'||substr(hx, 1,8))::BIGINT AS c0,
+         |         ('0x'||substr(hx, 9,8))::BIGINT AS c1,
+         |         ('0x'||substr(hx,17,8))::BIGINT AS c2,
+         |         ('0x'||substr(hx,25,8))::BIGINT AS c3 FROM lvh),
+         |lv AS MATERIALIZED (
+         |  SELECT vec_id,
+         |    CASE WHEN (((((c0 % 4) * 4294967296 + c1) % 4) * 4294967296 + c2) % 4
+         |               * 4294967296 + c3) % 4 = 0 THEN 1 ELSE 0 END AS lvl
+         |  FROM lvc),
+         |mem1 AS (
+         |  SELECT e.* FROM surv e
+         |  JOIN lv ON lv.vec_id = e.vec_id AND lv.lvl >= 1),
+         |${knn("0", "surv", "cents")},
+         |${knn("1", "mem1", "coarse1")}
+         |SELECT CAST(level AS INT) AS level, src, dst, score FROM (
+         |  SELECT 0 AS level, src, dst, score FROM edges0
+         |  UNION ALL SELECT 1, src, dst, score FROM edges1)
+         |ORDER BY level, src, dst""".stripMargin
     },
 
     "q_squad_eval" ->

@@ -687,6 +687,99 @@ object Ann {
       qidCol, qvecCol, beam, hops, entries = Some(entries))
   }
 
+  /** HNSW tombstone PURGE — the compaction half of soft delete (the
+    * "re-linking is the next refresh's job" promise of
+    * [[hnswSearchDeleted]], delivered): drop tombstoned nodes from the
+    * hierarchy and re-link ONLY where the graph actually changed.
+    * Edges are strictly within-cell by construction ([[knnJoin]]), so a
+    * tombstone can only appear — as src or dst — inside its own cell's
+    * adjacency: per level, the cells containing a tombstoned member are
+    * re-linked (survivor×survivor pairs within the cell, top-k — the
+    * build recipe on survivors), and every other cell's adjacency
+    * passes through byte-identical.
+    *
+    * The semantic contract is EXACT, not approximate: the compacted
+    * hierarchy equals [[hnswBuild]] run on the survivors under the same
+    * centroids, level for level, edge for edge (same assignment, same
+    * quantized scores, same ties — AnnSpec pins the equality), because
+    * a survivor's top-k among its cell's survivors is the same set
+    * whether the dead rows were removed yesterday or never existed.
+    * The DuckDB oracle exploits the same identity: it replays a build
+    * on the tombstone-filtered member sets.
+    *
+    * Cost is TOMBSTONE-LOCAL: Σ over touched cells of |cell survivors|²
+    * pair scores + a k-bounded rank — never the full build's n²/C —
+    * and with the [[hnswAssignLevels]] sidecar nothing corpus-sized is
+    * recomputed (the touched-cell join partition-prunes). `deltaOnly`
+    * returns only the re-linked touched-cell adjacency (the refresh
+    * write set; tombstoned srcs simply have no rows — a refresh writer
+    * rewrites exactly the touched range files from the delta).
+    */
+  def hnswCompact(layers: Seq[DataFrame], existing: DataFrame,
+                  tombstones: DataFrame, tombIdCol: String,
+                  centroids: DataFrame, idCol: String, vecCol: String,
+                  centIdCol: String, centVecCol: String,
+                  k: Int, fanout: Int,
+                  deltaOnly: Boolean = false,
+                  existingAssigned: Seq[DataFrame] = Nil): Seq[DataFrame] = {
+    require(layers.nonEmpty, "layers must be non-empty")
+    require(k >= 1 && fanout >= 2, s"need k >= 1, fanout >= 2; got $k, $fanout")
+    require(existingAssigned.isEmpty || existingAssigned.length == layers.length,
+      s"existingAssigned must carry one table per layer " +
+        s"(${layers.length}), got ${existingAssigned.length}")
+    val maxLevel = layers.length - 1
+    val nCents = centroids.count()
+    val lvl = hnswLevel(col(idCol), fanout, maxLevel)
+    val tomb = broadcast(tombstones
+      .select(col(tombIdCol).cast("long").as("__tid")).distinct())
+    (0 to maxLevel).map { l =>
+      val exM = if (l == 0) existing else existing.filter(lvl >= l)
+      val m = math.max(1L,
+        math.ceil(nCents / math.pow(fanout.toDouble, l.toDouble)).toLong)
+      val coarse =
+        if (l == 0) centroids
+        else centroids.orderBy(col(centIdCol)).limit(m.toInt)
+      val ae =
+        if (existingAssigned.nonEmpty)
+          existingAssigned(l).select(col("cell_id"),
+            col(idCol).cast("long").as("__id"), col(vecCol).as("__v"),
+            V.normSafe(col(vecCol)).as("__n"))
+        else
+          ivfAssign(exM, coarse, idCol, vecCol, centIdCol, centVecCol)
+            .select(col("cell_id"), col(idCol).cast("long").as("__id"),
+              col(vecCol).as("__v"), V.normSafe(col(vecCol)).as("__n"))
+      // touched cells = cells holding a tombstoned level-l member;
+      // the tombstone set is small by contract — broadcast both hops
+      val tCells = ae.join(tomb, col("__id") === col("__tid"))
+        .select(col("cell_id")).distinct()
+      val aeT = ae.join(broadcast(tCells), Seq("cell_id"))
+        .localCheckpoint(false)
+      val survivors = aeT.join(tomb, col("__id") === col("__tid"),
+        "left_anti")
+      val a = survivors.select(col("cell_id"), col("__id").as("src"),
+        col("__v").as("__ea"), col("__n").as("__na"))
+      val b = survivors.select(col("cell_id"), col("__id").as("dst"),
+        col("__v").as("__eb"), col("__n").as("__nb"))
+      val relinked = TopK.topKPerKeyAgg(
+          a.join(b, Seq("cell_id"))
+            .filter(col("src") =!= col("dst"))
+            .select(col("src"), col("dst"),
+              (round(dotF(col("__ea"), col("__eb")) /
+                (col("__na") * col("__nb")), 6) + lit(0.0)).as("score")),
+          Seq(col("src")), col("score"), col("dst"), k)
+        .select(col("src"), col("id").as("dst"), col("score"))
+      if (deltaOnly) relinked
+      else {
+        val old = layers(l).select(col("src").cast("long").as("src"),
+          col("dst").cast("long").as("dst"),
+          (col("score") + lit(0.0)).as("score"))
+        old.join(aeT.select(col("__id").as("src")), Seq("src"),
+            "left_anti")
+          .unionByName(relinked)
+      }
+    }
+  }
+
   /** Tombstone-aware HNSW serving — the graph-family twin of the
     * maintained IVF table's `deleteMaintained` + tombstone-honoring
     * search (the reference's store is append-only with no delete

@@ -944,6 +944,76 @@ class AnnSpec extends SparkSpec {
     assert(batch == single, s"batch $batch != single $single")
   }
 
+  test("hnswCompact: purge = build-on-survivors exactly; untouched cells pass through; empty tombstones = identity") {
+    import spark.implicits._
+    // two-cluster fixture; tombstone TWO cluster-B members (cell 1), so
+    // cell 0 is untouched and must pass through byte-identical
+    val candidates = (0L until 200L).toDF("id")
+      .select(col("id"), Ann.hnswLevel(col("id"), 4, 1).as("l"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val elevated = candidates.filter(_._2 >= 1).keys.toSeq.sorted
+    val (ea, eb) = (elevated(0), elevated(1))
+    def va(i: Long) = Seq(9f, (i % 7).toFloat * 0.1f, 0f, 0f)
+    def vb(i: Long) = Seq(0f, 0.1f * (i % 5).toFloat, 9f, 0f)
+    val level0 = candidates.filter(_._2 == 0).keys.toSeq.sorted
+    val aIds = (Seq(ea) ++ level0.take(8)).distinct
+    val bIds = (Seq(eb) ++ level0.drop(8).take(8)).distinct
+    val rows = aIds.map(i => (i, va(i))) ++ bIds.map(i => (i, vb(i)))
+    val vecs = rows.toDF("id", "embedding")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+    val cc = Seq((0L, Seq(1f, 0f, 0f, 0f)), (1L, Seq(0f, 0f, 1f, 0f)))
+      .toDF("cent_id", "cvec")
+      .withColumn("cvec", col("cvec").cast("array<float>"))
+    val layers = Ann.hnswBuild(vecs, cc, "id", "embedding", "cent_id",
+      "cvec", k = 4, fanout = 4, maxLevel = 1)
+    val dead = Seq(bIds(1), bIds(2))
+    val tomb = dead.map(Tuple1(_)).toDF("id")
+    def edgeSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select(col("src").cast("long"), col("dst").cast("long"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val compacted = Ann.hnswCompact(layers, vecs, tomb, "id", cc, "id",
+      "embedding", "cent_id", "cvec", k = 4, fanout = 4)
+    // THE contract: compacted ≡ build on survivors, level for level
+    val survivors = vecs.filter(!col("id").isin(dead.map(Long.box): _*))
+    val rebuilt = Ann.hnswBuild(survivors, cc, "id", "embedding",
+      "cent_id", "cvec", k = 4, fanout = 4, maxLevel = 1)
+    compacted.zip(rebuilt).zipWithIndex.foreach { case ((c, r), l) =>
+      assert(edgeSet(c) == edgeSet(r),
+        s"layer $l: compacted != build-on-survivors")
+    }
+    // no dead src or dst anywhere
+    val all = compacted.map(edgeSet).reduce(_ ++ _)
+    dead.foreach { d =>
+      assert(!all.exists(e => e._1 == d || e._2 == d),
+        s"tombstoned $d survives in $all")
+    }
+    // untouched cell 0 (cluster A) passes through byte-identical
+    assert(edgeSet(compacted.head.filter(col("src").isin(aIds: _*))) ==
+      edgeSet(layers.head.filter(col("src").isin(aIds: _*))),
+      "untouched cell-0 adjacency must pass through unchanged")
+    // deltaOnly = exactly the re-linked touched-cell adjacency:
+    // compacted minus pass-through
+    val delta = Ann.hnswCompact(layers, vecs, tomb, "id", cc, "id",
+      "embedding", "cent_id", "cvec", k = 4, fanout = 4,
+      deltaOnly = true)
+    compacted.zip(delta).zip(layers).zipWithIndex.foreach {
+      case (((c, d), b), l) =>
+        val dSet = edgeSet(d)
+        val dSrcs = dSet.map(_._1)
+        val dDead = dead.toSet
+        val passThrough = edgeSet(b).filterNot(e =>
+          dSrcs.contains(e._1) || dDead.contains(e._1))
+        assert(edgeSet(c) == dSet ++ passThrough,
+          s"layer $l: compacted != delta ∪ pass-through")
+    }
+    // empty tombstones = identity
+    val ident = Ann.hnswCompact(layers, vecs, tomb.limit(0), "id", cc,
+      "id", "embedding", "cent_id", "cvec", k = 4, fanout = 4)
+    layers.zip(ident).zipWithIndex.foreach { case ((b, m), l) =>
+      assert(edgeSet(b) == edgeSet(m), s"layer $l not identity")
+    }
+  }
+
   test("writeEdges layout: a hop filter row-group-prunes the src-sorted edge table") {
     import spark.implicits._
     // a chain graph over 4096 nodes — enough rows that range layout
