@@ -1447,6 +1447,24 @@ object Profile {
           ins() // warmup
           time(s"S100-HNSW insert 2k-batch ${n}x (sidecar)")(
             println("  delta edges=" + ins()))
+          // tombstone purge, LOCALIZED (the claim worth measuring:
+          // cost ∝ touched cells, not corpus) — purge ~1/7 of ONE
+          // cell's members; under C ∝ n the cell size is ~constant,
+          // so the curve must stay FLAT across the decades. A purge
+          // SPREAD over all cells degenerates to the build's pair
+          // stage by design (every cell re-links) — that regime is
+          // the documented rebuild-instead threshold, not this row.
+          val tomb = asg(0).filter($"cell_id" === 0 &&
+              pmod($"vec_id", lit(7)) === 0)
+            .select($"vec_id".as("id")).localCheckpoint(true)
+          def cmp(): Long = Ann.hnswCompact(layers, vecs, tomb, "id",
+            cc, "vec_id", "embedding", "cent_id", "cvec", k = 4,
+            fanout = 4, deltaOnly = true, existingAssigned = asg)
+            .map(_.count()).sum
+          cmp() // warmup
+          time(s"S100-HNSW compact 1-cell purge ${n}x (sidecar)")(
+            println("  tombstones=" + tomb.count() +
+              " relinked=" + cmp()))
         }
       }
     }
