@@ -42,6 +42,43 @@ object Ann {
     */
   val MaxInlineCentroids = 4096
 
+  /** Ceiling on tombstone sets that ride a BROADCAST (the soft-delete
+    * anti-joins [[hnswSearchDeleted]]/[[hnswSearchBatchDeleted]] and
+    * the [[hnswCompact]] touched-cell joins). "Small by contract" was
+    * previously doc-only: a mis-keyed delete (tombstoning half the
+    * corpus) would hit Spark's broadcast limit as an opaque executor
+    * OOM hours in, instead of a loud require up front — the
+    * [[graft.operators.Sampling.MaxStrata]] discipline. The count is
+    * `limit(ceiling + 1)`-guarded so the validation itself is bounded.
+    * Override per session with `graft.maintained.maxTombstones` (a
+    * legitimate mass delete should run the physical purge —
+    * [[hnswCompact]] / `Streaming.vacuumDeletes` — not a bigger
+    * broadcast).
+    */
+  val MaxTombstones = 1000000
+
+  /** The distinct, long-cast, [[MaxTombstones]]-guarded broadcast
+    * tombstone set every soft-delete face joins against (column
+    * `__tid`). Throws loudly past the ceiling instead of OOMing.
+    */
+  private[graft] def boundedTombstones(tombstones: DataFrame,
+                                       tombIdCol: String): DataFrame = {
+    val ceiling = tombstones.sparkSession.conf
+      .getOption("graft.maintained.maxTombstones")
+      .map(_.toLong).getOrElse(MaxTombstones.toLong)
+    require(ceiling >= 1, s"graft.maintained.maxTombstones must be >= 1")
+    val t = tombstones.select(col(tombIdCol).cast("long").as("__tid"))
+      .distinct()
+    val n = t.limit(math.min(ceiling + 1, Int.MaxValue.toLong).toInt).count()
+    require(n <= ceiling,
+      s"tombstone set holds > $ceiling distinct ids — past the broadcast " +
+        "ceiling (graft.maintained.maxTombstones). A delete this large " +
+        "should be a physical purge (hnswCompact / vacuumDeletes), not " +
+        "a broadcast anti-join; raise the conf only if the driver and " +
+        "executors can actually hold the set")
+    broadcast(t)
+  }
+
   /** Assign each vector to its nearest centroid by cosine (tie: lowest
     * centroid id). `centroids` must be small — it is pulled to the driver
     * ONCE and embedded as literals, the DataFrame equivalent of a
@@ -708,12 +745,27 @@ object Ann {
     * on the tombstone-filtered member sets.
     *
     * Cost is TOMBSTONE-LOCAL: Σ over touched cells of |cell survivors|²
-    * pair scores + a k-bounded rank — never the full build's n²/C —
-    * and with the [[hnswAssignLevels]] sidecar nothing corpus-sized is
-    * recomputed (the touched-cell join partition-prunes). `deltaOnly`
-    * returns only the re-linked touched-cell adjacency (the refresh
-    * write set; tombstoned srcs simply have no rows — a refresh writer
-    * rewrites exactly the touched range files from the delta).
+    * pair scores + a k-bounded rank — never the full build's n²/C. With
+    * the [[hnswAssignLevels]] sidecar the MEMBER reads partition-prune
+    * to the touched cells; the touched-cell DISCOVERY itself still
+    * joins the tombstone set against the whole per-level assignment
+    * table — a (cell_id, id) two-column pruned scan, metadata-light but
+    * corpus-row-count-sized (ids give parquet stats nothing to prune
+    * on). `deltaOnly` returns only the re-linked touched-cell adjacency
+    * (the refresh write set; tombstoned srcs simply have no rows — a
+    * refresh writer rewrites exactly the touched range files from the
+    * delta — [[graft.streaming.HnswIndex]] is that writer).
+    *
+    * Sidecar INVARIANT: `existingAssigned` must cover exactly
+    * `existing`'s rows — after an [[hnswInsert]] the build-time sidecar
+    * no longer does (the batch is missing) and a compact against it
+    * would silently break the EXACT contract: inserted nodes in touched
+    * cells would neither re-link nor stand as survivor candidates, and
+    * their edges to tombstoned dsts would dangle. Refresh the sidecar
+    * after every ingest ([[hnswAssignLevels]] on the batch is the
+    * ingest's sidecar delta; [[graft.streaming.HnswIndex]] maintains it
+    * transactionally); `verifySidecar` (one count on each side, on by
+    * default) turns a stale sidecar into a loud error.
     */
   def hnswCompact(layers: Seq[DataFrame], existing: DataFrame,
                   tombstones: DataFrame, tombIdCol: String,
@@ -721,17 +773,27 @@ object Ann {
                   centIdCol: String, centVecCol: String,
                   k: Int, fanout: Int,
                   deltaOnly: Boolean = false,
-                  existingAssigned: Seq[DataFrame] = Nil): Seq[DataFrame] = {
+                  existingAssigned: Seq[DataFrame] = Nil,
+                  verifySidecar: Boolean = true): Seq[DataFrame] = {
     require(layers.nonEmpty, "layers must be non-empty")
     require(k >= 1 && fanout >= 2, s"need k >= 1, fanout >= 2; got $k, $fanout")
     require(existingAssigned.isEmpty || existingAssigned.length == layers.length,
       s"existingAssigned must carry one table per layer " +
         s"(${layers.length}), got ${existingAssigned.length}")
+    if (existingAssigned.nonEmpty && verifySidecar) {
+      val nSide = existingAssigned.head.count()
+      val nEx = existing.count()
+      require(nSide == nEx,
+        s"hnswCompact: existingAssigned level-0 sidecar covers $nSide " +
+          s"rows but existing has $nEx — a stale sidecar (e.g. not " +
+          "refreshed after an hnswInsert) silently violates the " +
+          "compact-equals-rebuild contract; re-derive it with " +
+          "hnswAssignLevels or apply the ingest's sidecar delta")
+    }
     val maxLevel = layers.length - 1
     val nCents = centroids.count()
     val lvl = hnswLevel(col(idCol), fanout, maxLevel)
-    val tomb = broadcast(tombstones
-      .select(col(tombIdCol).cast("long").as("__tid")).distinct())
+    val tomb = boundedTombstones(tombstones, tombIdCol)
     (0 to maxLevel).map { l =>
       val exM = if (l == 0) existing else existing.filter(lvl >= l)
       val m = math.max(1L,
@@ -748,8 +810,10 @@ object Ann {
           ivfAssign(exM, coarse, idCol, vecCol, centIdCol, centVecCol)
             .select(col("cell_id"), col(idCol).cast("long").as("__id"),
               col(vecCol).as("__v"), V.normSafe(col(vecCol)).as("__n"))
-      // touched cells = cells holding a tombstoned level-l member;
-      // the tombstone set is small by contract — broadcast both hops
+      // touched cells = cells holding a tombstoned level-l member; the
+      // tombstone set is MaxTombstones-guarded — broadcast both hops.
+      // This discovery join scans ae's (cell_id, __id) columns in full
+      // (ids defeat min/max pruning); only the member read below prunes
       val tCells = ae.join(tomb, col("__id") === col("__tid"))
         .select(col("cell_id")).distinct()
       val aeT = ae.join(broadcast(tCells), Seq("cell_id"))
@@ -804,15 +868,19 @@ object Ann {
     require(k >= 1 && k <= beam, s"need 1 <= k <= beam; got k=$k beam=$beam")
     val res = hnswSearch(layers, vectors, idCol, vecCol, query, fanout,
       beam, hops, descentHops)
-    val t = broadcast(tombstones
-      .select(col(tombIdCol).cast("long").as("__tid")).distinct())
+    val t = boundedTombstones(tombstones, tombIdCol)
+    // ≤ beam rows survive the anti-join — re-rank them driver-side
+    // (sort + take, the graphBeamSearch k-bounded-collect discipline)
+    // instead of a partition-less global Window funneling one partition
+    val spark = vectors.sparkSession
+    import spark.implicits._
     res.join(t, col(idCol).cast("long") === col("__tid"), "left_anti")
-      .select(col(idCol), col("score"))
-      .withColumn("rank", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .orderBy(col("score").desc, col(idCol))))
-      .filter(col("rank") <= k)
-      .select(col("rank"), col(idCol), col("score"))
+      .select(col(idCol).cast("long"), col("score"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+      .sortBy { case (id, s) => (-s, id) }
+      .take(k).toSeq.zipWithIndex
+      .map { case ((id, s), r) => (r + 1, id, s) }
+      .toDF("rank", idCol, "score")
   }
 
   /** Batched [[hnswSearchDeleted]]: ONE [[hnswSearchBatch]] for the
@@ -830,8 +898,7 @@ object Ann {
     require(k >= 1 && k <= beam, s"need 1 <= k <= beam; got k=$k beam=$beam")
     val res = hnswSearchBatch(layers, vectors, queries, idCol, vecCol,
       qidCol, qvecCol, fanout, beam, hops, descentHops)
-    val t = broadcast(tombstones
-      .select(col(tombIdCol).cast("long").as("__tid")).distinct())
+    val t = boundedTombstones(tombstones, tombIdCol)
     res.join(t, col(idCol).cast("long") === col("__tid"), "left_anti")
       .select(col(qidCol), col(idCol), col("score"))
       .withColumn("rank", row_number().over(
@@ -938,6 +1005,12 @@ object Ann {
     *
     * Contract: batch ids are disjoint from existing ids (the reference's
     * append-only model — no upsert; dedup first via the Dedup family).
+    * ENFORCED, not doc-only: a colliding id would silently emit up to
+    * 2k edges for that src (its re-ranked old adjacency AND a new-node
+    * edge set — bounded degree broken with no error), so `checkDisjoint`
+    * (on by default) runs one limit-1-guarded semi-join and throws
+    * loudly on the first collision; disable only inside a wrapper that
+    * already guarantees disjointness transactionally.
     * Determinism: every score is round-6 quantized, ranks tie
     * (score desc, id asc), level membership is the md5 draw — the whole
     * delta replays closed-form in the DuckDB oracle (`q_hnsw_insert`)
@@ -960,6 +1033,15 @@ object Ann {
     * store the sidecar partitioned by `cell_id` and the broadcast
     * touched-cell join prunes partitions dynamically). The two paths
     * are bit-identical (assignment is deterministic; AnnSpec pins it).
+    *
+    * Sidecar INVARIANT: `existingAssigned` must cover exactly
+    * `existing`'s rows. After this ingest the sidecar is STALE — it is
+    * missing the batch; refresh it before the next incremental op by
+    * appending [[hnswAssignLevels]] run on the batch alone (that IS the
+    * ingest's sidecar delta — same levels, same coarse cells), or let
+    * [[graft.streaming.HnswIndex]] maintain layers + sidecar in one
+    * commit. `verifySidecar` (one count each side, on by default) turns
+    * a stale sidecar into a loud error instead of a silent wrong graph.
     */
   def hnswInsert(layers: Seq[DataFrame], existing: DataFrame,
                  batch: DataFrame, centroids: DataFrame,
@@ -967,12 +1049,39 @@ object Ann {
                  centIdCol: String, centVecCol: String,
                  k: Int, fanout: Int,
                  deltaOnly: Boolean = false,
-                 existingAssigned: Seq[DataFrame] = Nil): Seq[DataFrame] = {
+                 existingAssigned: Seq[DataFrame] = Nil,
+                 checkDisjoint: Boolean = true,
+                 verifySidecar: Boolean = true): Seq[DataFrame] = {
     require(layers.nonEmpty, "layers must be non-empty")
     require(k >= 1 && fanout >= 2, s"need k >= 1, fanout >= 2; got $k, $fanout")
     require(existingAssigned.isEmpty || existingAssigned.length == layers.length,
       s"existingAssigned must carry one table per layer " +
         s"(${layers.length}), got ${existingAssigned.length}")
+    if (checkDisjoint) {
+      // the sidecar, when present, IS existing's id set (the invariant
+      // verified below) and its scan column-prunes to (id) — prefer it
+      val exIds =
+        (if (existingAssigned.nonEmpty) existingAssigned.head else existing)
+          .select(col(idCol).cast("long").as("__id"))
+      val clash = batch.select(col(idCol).cast("long").as("__id"))
+        .join(exIds, Seq("__id"), "left_semi")
+        .limit(1).collect()
+      require(clash.isEmpty,
+        s"hnswInsert: batch id ${clash.head.getLong(0)} already exists " +
+          "in the hierarchy — ids are append-only (no upsert); dedup " +
+          "the batch first (Dedup family) or route updates through " +
+          "delete + insert")
+    }
+    if (existingAssigned.nonEmpty && verifySidecar) {
+      val nSide = existingAssigned.head.count()
+      val nEx = existing.count()
+      require(nSide == nEx,
+        s"hnswInsert: existingAssigned level-0 sidecar covers $nSide " +
+          s"rows but existing has $nEx — a stale sidecar (e.g. not " +
+          "refreshed after a previous ingest/purge) yields a silently " +
+          "wrong graph; re-derive it with hnswAssignLevels or apply " +
+          "the previous ingest's sidecar delta")
+    }
     val maxLevel = layers.length - 1
     val nCents = centroids.count()
     val lvl = hnswLevel(col(idCol), fanout, maxLevel)

@@ -1052,4 +1052,77 @@ class AnnSpec extends SparkSpec {
       s"scan emitted $scanned rows — row groups did not prune " +
         "(unsorted layout would surface ~4096)")
   }
+
+  test("incremental-op guards throw loudly: id collision, stale sidecar, oversized tombstone set") {
+    import spark.implicits._
+    def vecs(ids: Seq[Long]) = ids.map(i => (i, Seq(1f, (i % 7).toFloat)))
+      .toDF("id", "embedding")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+    val existing = vecs(0L until 20L)
+    val cc = Seq((0L, Seq(1f, 0f)), (1L, Seq(0f, 1f))).toDF("cent_id", "cvec")
+      .withColumn("cvec", col("cvec").cast("array<float>"))
+    val layers = Ann.hnswBuild(existing, cc, "id", "embedding", "cent_id",
+      "cvec", k = 2, fanout = 4, maxLevel = 1)
+    // 1. batch-ids-disjoint contract ENFORCED: a colliding id would
+    // silently carry both its re-ranked old adjacency and a new-node
+    // edge set (bounded degree broken) — now it throws, naming the id
+    val collide = intercept[IllegalArgumentException] {
+      Ann.hnswInsert(layers, existing, vecs(Seq(5L, 100L)), cc, "id",
+        "embedding", "cent_id", "cvec", k = 2, fanout = 4)
+    }
+    assert(collide.getMessage.contains("5") &&
+      collide.getMessage.contains("already exists"), collide.getMessage)
+    // ...and checkDisjoint = false is the documented transactional-
+    // wrapper escape hatch (same call, disjoint batch, no throw)
+    assert(Ann.hnswInsert(layers, existing, vecs(Seq(100L)), cc, "id",
+      "embedding", "cent_id", "cvec", k = 2, fanout = 4,
+      checkDisjoint = false).nonEmpty)
+    // 2. a STALE sidecar (missing rows vs existing — the state after an
+    // unrefreshed ingest) fails the coverage require on both ops
+    val stale = Ann.hnswAssignLevels(existing.filter(col("id") < 10), cc,
+      "id", "embedding", "cent_id", "cvec", fanout = 4, maxLevel = 1)
+    val staleIns = intercept[IllegalArgumentException] {
+      Ann.hnswInsert(layers, existing, vecs(Seq(100L)), cc, "id",
+        "embedding", "cent_id", "cvec", k = 2, fanout = 4,
+        existingAssigned = stale)
+    }
+    assert(staleIns.getMessage.contains("stale sidecar"), staleIns.getMessage)
+    val staleCmp = intercept[IllegalArgumentException] {
+      Ann.hnswCompact(layers, existing, Seq(3L).toDF("id"), "id", cc,
+        "id", "embedding", "cent_id", "cvec", k = 2, fanout = 4,
+        existingAssigned = stale)
+    }
+    assert(staleCmp.getMessage.contains("stale sidecar"), staleCmp.getMessage)
+    // 3. tombstone sets past the broadcast ceiling refuse loudly (conf-
+    // lowered so the spec doesn't need 10⁶ rows); the count is
+    // limit-guarded so even a huge mis-keyed set can't OOM the check
+    spark.conf.set("graft.maintained.maxTombstones", "3")
+    try {
+      val tomb = Seq(1L, 2L, 3L, 4L, 5L).toDF("id")
+      val big = intercept[IllegalArgumentException] {
+        Ann.hnswCompact(layers, existing, tomb, "id", cc, "id",
+          "embedding", "cent_id", "cvec", k = 2, fanout = 4)
+      }
+      assert(big.getMessage.contains("maxTombstones"), big.getMessage)
+      val bigSearch = intercept[IllegalArgumentException] {
+        Ann.hnswSearchDeleted(layers, existing, "id", "embedding",
+          Seq(1f, 0f), tomb, "id", fanout = 4, beam = 4, hops = 2, k = 2)
+      }
+      assert(bigSearch.getMessage.contains("maxTombstones"),
+        bigSearch.getMessage)
+      val bigBatch = intercept[IllegalArgumentException] {
+        Ann.hnswSearchBatchDeleted(layers, existing,
+          Seq((0L, Seq(1f, 0f))).toDF("qid", "qvec")
+            .withColumn("qvec", col("qvec").cast("array<float>")),
+          "id", "embedding", "qid", "qvec", tomb, "id", fanout = 4,
+          beam = 4, hops = 2, k = 2)
+      }
+      assert(bigBatch.getMessage.contains("maxTombstones"),
+        bigBatch.getMessage)
+      // within the ceiling the same faces run clean
+      assert(Ann.hnswSearchDeleted(layers, existing, "id", "embedding",
+        Seq(1f, 0f), Seq(1L, 2L).toDF("id"), "id", fanout = 4, beam = 4,
+        hops = 2, k = 2).count() > 0)
+    } finally spark.conf.unset("graft.maintained.maxTombstones")
+  }
 }
