@@ -1686,8 +1686,27 @@ object Streaming {
       tablePath: String): Option[DataFrame] = {
     val p = new org.apache.hadoop.fs.Path(tablePath, "_deletes")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(p)) Some(spark.read.parquet(p.toString).distinct())
-    else None
+    if (!fs.exists(p)) None
+    else {
+      // the sidecar rides a broadcast anti-join on every serving call —
+      // ceiling-guarded (graft.maintained.maxTombstones, the
+      // Ann.MaxTombstones discipline): a runaway delete volume must
+      // surface as a loud "vacuum first", not an opaque broadcast OOM.
+      // The limit-bounded count reads the id column only.
+      val d = spark.read.parquet(p.toString).distinct()
+      val ceiling = spark.conf.getOption("graft.maintained.maxTombstones")
+        .map(_.toLong)
+        .getOrElse(graft.operators.Ann.MaxTombstones.toLong)
+      val n = d.limit(math.min(ceiling + 1, Int.MaxValue.toLong).toInt)
+        .count()
+      require(n <= ceiling,
+        s"$tablePath/_deletes holds > $ceiling distinct tombstones — " +
+          "past the serving broadcast ceiling " +
+          "(graft.maintained.maxTombstones). Run vacuumDeletes / " +
+          "compactMaintained to make the deletes physical, or raise " +
+          "the conf only if the executors can hold the set")
+      Some(d)
+    }
   }
 
   /** Probe-pruned top-k search over a [[streamInsertIndexedMaintained]]

@@ -1513,6 +1513,16 @@ class StreamingSpec extends SparkSpec {
     dq.processAllAvailable()
     dq.stop()
     assert(hits().sorted == Seq(1L), s"stream delete must hide id 3: ${hits()}")
+
+    // the serving-side tombstone broadcast is ceiling-guarded: past
+    // graft.maintained.maxTombstones the sidecar read refuses loudly
+    // ("vacuum first") instead of OOMing the anti-join broadcast
+    spark.conf.set("graft.maintained.maxTombstones", "2")
+    try {
+      val oversized = intercept[IllegalArgumentException](hits())
+      assert(oversized.getMessage.contains("vacuumDeletes"),
+        oversized.getMessage)
+    } finally spark.conf.unset("graft.maintained.maxTombstones")
   }
 
   test("searchMaintainedBatch: one pruned scan answers the whole query table, per-query results equal searchMaintained, deletes honored") {
