@@ -1,0 +1,317 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.Ann
+import graft.streaming.HnswIndex
+
+/** The durable on-disk HNSW index: build → ingest → purge as fenced
+  * intent→append→commit transactions, serve-from-refreshed ≡
+  * serve-from-merged under injected crashes at both windows, sidecar
+  * kept exactly fresh, appended files immutable, streaming ingest
+  * exactly-once under checkpoint replay.
+  */
+class HnswIndexSpec extends SparkSpec {
+
+  private def freshDir(tag: String): String =
+    Files.createTempDirectory(tag).toString + "/idx"
+
+  // the q_hnsw_insert fixture: embeddings split 90/10, centroids from
+  // the existing side — multi-level, multi-cell, deterministic
+  private lazy val e = spark.read
+    .parquet(s"$sf0001/embeddings.parquet")
+    .select(col("vec_id"), col("embedding"))
+  private lazy val existing = e.filter(pmod(col("vec_id"), lit(10)) =!= 7)
+  private lazy val batch = e.filter(pmod(col("vec_id"), lit(10)) === 7)
+  private lazy val cents = existing.filter(col("vec_id") < 18)
+    .select(col("vec_id").as("cent_id"), col("embedding").as("cvec"))
+
+  private def buildAt(path: String): Unit =
+    HnswIndex.build(spark, path, existing, cents, "vec_id", "embedding",
+      "cent_id", "cvec", k = 4, fanout = 4, maxLevel = 1)
+
+  private def edgeSet(df: DataFrame): Set[(Long, Long, Double)] =
+    df.select(col("src").cast("long"), col("dst").cast("long"),
+        col("score").cast("double"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+
+  private def layersOf(path: String): Seq[Set[(Long, Long, Double)]] =
+    HnswIndex.readLayers(spark, path).map(edgeSet)
+
+  private def allFiles(path: String): Map[String, (Long, Long)] = {
+    val base = new java.io.File(path)
+    def walk(f: java.io.File): Seq[java.io.File] = {
+      val kids = Option(f.listFiles()).map(_.toSeq).getOrElse(Seq.empty)
+      kids.filter(_.isFile) ++ kids.filter(_.isDirectory).flatMap(walk)
+    }
+    walk(base).filter(_.getName.endsWith(".parquet"))
+      .map(f => f.getAbsolutePath.stripPrefix(base.getAbsolutePath) ->
+        (f.length(), f.lastModified()))
+      .toMap
+  }
+
+  test("build + readLayers/readVectors round-trips the hnswBuild hierarchy exactly") {
+    val path = freshDir("graft_hidx_build_")
+    buildAt(path)
+    val built = Ann.hnswBuild(existing, cents, "vec_id", "embedding",
+      "cent_id", "cvec", k = 4, fanout = 4, maxLevel = 1)
+    layersOf(path).zip(built.map(edgeSet)).zipWithIndex.foreach {
+      case ((got, want), l) =>
+        assert(got == want, s"layer $l differs from hnswBuild")
+    }
+    val ids = HnswIndex.readVectors(spark, path)
+      .select(col("vec_id").cast("long")).collect().map(_.getLong(0)).toSet
+    val want = existing.select(col("vec_id").cast("long"))
+      .collect().map(_.getLong(0)).toSet
+    assert(ids == want, "readVectors must hold exactly the built corpus")
+    // self-describing: meta round-trips
+    val m = HnswIndex.readMeta(spark, path)
+    assert(m.idCol == "vec_id" && m.k == 4 && m.fanout == 4 &&
+      m.maxLevel == 1 && m.bucketWidth >= 1)
+    // a second build into the same dir refuses
+    val dup = intercept[IllegalArgumentException](buildAt(path))
+    assert(dup.getMessage.contains("already holds"), dup.getMessage)
+  }
+
+  test("ingest: serve-from-refreshed ≡ serve-from-merged; sidecar exactly fresh; appended files immutable; superseded leaves GC'd") {
+    val path = freshDir("graft_hidx_ing_")
+    buildAt(path)
+    val before = allFiles(path)
+    val layers = Ann.hnswBuild(existing, cents, "vec_id", "embedding",
+      "cent_id", "cvec", k = 4, fanout = 4, maxLevel = 1)
+    val merged = Ann.hnswInsert(layers, existing, batch, cents, "vec_id",
+      "embedding", "cent_id", "cvec", k = 4, fanout = 4)
+    val epoch = HnswIndex.ingest(spark, path, batch)
+    assert(epoch == 1L)
+    layersOf(path).zip(merged.map(edgeSet)).zipWithIndex.foreach {
+      case ((got, want), l) =>
+        assert(got == want, s"layer $l: refreshed index != hnswInsert merge")
+    }
+    // sidecar freshness: level-0 covers existing ∪ batch with the same
+    // assignment hnswAssignLevels computes on the full corpus
+    val all = existing.unionByName(batch)
+    val wantSide = Ann.hnswAssignLevels(all, cents, "vec_id", "embedding",
+        "cent_id", "cvec", fanout = 4, maxLevel = 1)
+      .map(_.select(col("cell_id").cast("long"), col("vec_id").cast("long"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
+    HnswIndex.readSidecar(spark, path)
+      .map(_.select(col("cell_id"), col("vec_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
+      .zip(wantSide).zipWithIndex.foreach { case ((got, want), l) =>
+        assert(got == want, s"level $l sidecar not exactly fresh")
+      }
+    // immutability: every surviving pre-ingest file is byte-identical
+    // (same length, same mtime) — the refresh APPENDED new leaves and
+    // GC'd superseded ones, it never rewrote a file in place
+    val after = allFiles(path)
+    val survived = before.keySet.intersect(after.keySet)
+    survived.foreach { f =>
+      assert(before(f) == after(f), s"pre-existing file rewritten: $f")
+    }
+    assert(before.keySet.diff(after.keySet).nonEmpty,
+      "GC must have removed at least one superseded leaf file")
+    assert(after.keySet.diff(before.keySet).nonEmpty,
+      "the refresh must have appended new leaf files")
+    // bucket LOCALITY: a one-vector ingest touches only its own cell's
+    // members' buckets. Cells are semantic while buckets are id
+    // ranges, so the touched-bucket count tracks |touched cell|, not
+    // the corpus — with buckets ≫ cell size most layer-0 edge leaves
+    // survive byte-identical (the 10% batch above spans every bucket
+    // of the default-16 layout, so this needs the finer layout)
+    val path1 = freshDir("graft_hidx_loc_")
+    HnswIndex.build(spark, path1, existing, cents, "vec_id", "embedding",
+      "cent_id", "cvec", k = 4, fanout = 4, maxLevel = 1, buckets = 64)
+    val before1 = allFiles(path1)
+    HnswIndex.ingest(spark, path1, batch.orderBy(col("vec_id")).limit(1))
+    val after1 = allFiles(path1)
+    val survived1 = before1.keySet.intersect(after1.keySet)
+      .filter(f => before1(f) == after1(f))
+    val l0Before = before1.keySet.count(_.contains("layer_0"))
+    val l0Survived = survived1.count(_.contains("layer_0"))
+    assert(l0Survived > 0 && l0Survived >= l0Before / 2,
+      s"one-vector ingest must leave most layer-0 bucket leaves " +
+        s"untouched: $l0Survived of $l0Before survived")
+    // serve: a search over the refreshed index finds a batch vector
+    val q = batch.orderBy(col("vec_id")).select(col("embedding"))
+      .head.getSeq[Float](0)
+    val hits = HnswIndex.search(spark, path, q, beam = 8, hops = 3)
+      .collect().map(_.getLong(1)).toSet
+    assert(hits.nonEmpty)
+    // a replayed epoch is skipped whole: same epoch → same state
+    val snap = allFiles(path)
+    assert(HnswIndex.ingest(spark, path, batch, epoch = Some(1L)) == 1L)
+    assert(allFiles(path) == snap, "replay of a committed epoch must no-op")
+  }
+
+  test("purge ≡ hnswCompact ≡ build-on-survivors; ingest-then-purge proves the sidecar stays usable across ops") {
+    val path = freshDir("graft_hidx_prg_")
+    buildAt(path)
+    val tomb = existing.filter(pmod(col("vec_id"), lit(17)) === 3)
+      .select(col("vec_id").as("id"))
+    HnswIndex.purge(spark, path, tomb, "id")
+    val survivors = existing.join(tomb,
+      existing("vec_id") === tomb("id"), "left_anti")
+    val want = Ann.hnswBuild(survivors, cents, "vec_id", "embedding",
+      "cent_id", "cvec", k = 4, fanout = 4, maxLevel = 1)
+    layersOf(path).zip(want.map(edgeSet)).zipWithIndex.foreach {
+      case ((got, w), l) =>
+        assert(got == w, s"layer $l: purged index != build on survivors")
+    }
+    val ids = HnswIndex.readVectors(spark, path)
+      .select(col("vec_id").cast("long")).collect().map(_.getLong(0)).toSet
+    val wantIds = survivors.select(col("vec_id").cast("long"))
+      .collect().map(_.getLong(0)).toSet
+    assert(ids == wantIds, "purge must drop tombstones from the sidecar")
+
+    // the LIFECYCLE the raw operators cannot do safely by hand
+    // (ADVICE: a stale sidecar after insert breaks compact): ingest a
+    // batch, then purge — the transactional sidecar refresh makes the
+    // compact exact, so the result equals a fresh build on the final
+    // survivor set
+    val path2 = freshDir("graft_hidx_life_")
+    buildAt(path2)
+    HnswIndex.ingest(spark, path2, batch)
+    val tomb2 = e.filter(pmod(col("vec_id"), lit(17)) === 3)
+      .select(col("vec_id").as("id"))
+    HnswIndex.purge(spark, path2, tomb2, "id")
+    val fin = e.join(tomb2, e("vec_id") === tomb2("id"), "left_anti")
+    val want2 = Ann.hnswBuild(fin, cents, "vec_id", "embedding",
+      "cent_id", "cvec", k = 4, fanout = 4, maxLevel = 1)
+    layersOf(path2).zip(want2.map(edgeSet)).zipWithIndex.foreach {
+      case ((got, w), l) =>
+        assert(got == w,
+          s"layer $l: ingest→purge != build on final survivors")
+    }
+  }
+
+  test("crash windows: pre-commit rolls back to the old state, post-commit is already visible; recovery converges both") {
+    val path = freshDir("graft_hidx_crash_")
+    buildAt(path)
+    val pre = layersOf(path)
+    val layers = Ann.hnswBuild(existing, cents, "vec_id", "embedding",
+      "cent_id", "cvec", k = 4, fanout = 4, maxLevel = 1)
+    val merged = Ann.hnswInsert(layers, existing, batch, cents, "vec_id",
+      "embedding", "cent_id", "cvec", k = 4, fanout = 4).map(edgeSet)
+
+    // window 1: crash AFTER the appends, BEFORE the commit rename —
+    // the new leaves are invisible (uncommitted), serving is unchanged
+    class Boom extends RuntimeException("injected crash")
+    intercept[Boom] {
+      HnswIndex.ingest(spark, path, batch,
+        hook = s => if (s == "appended") throw new Boom)
+    }
+    assert(layersOf(path) == pre,
+      "uncommitted appends must stay invisible to readers")
+    // the intent is still on disk; re-running the op recovers (rolls
+    // the debris back) and applies cleanly
+    val e1 = HnswIndex.ingest(spark, path, batch)
+    assert(e1 == 1L)
+    assert(layersOf(path) == merged, "post-recovery refresh != merged")
+
+    // window 2: crash AFTER the commit rename, BEFORE GC — the refresh
+    // is already fully visible; a replay skips whole and recovery
+    // finishes the GC
+    val path2 = freshDir("graft_hidx_crash2_")
+    buildAt(path2)
+    intercept[Boom] {
+      HnswIndex.ingest(spark, path2, batch,
+        hook = s => if (s == "committed") throw new Boom)
+    }
+    assert(layersOf(path2) == merged,
+      "a committed refresh must be visible even before GC")
+    val filesPreGc = allFiles(path2)
+    assert(HnswIndex.ingest(spark, path2, batch, epoch = Some(1L)) == 1L)
+    assert(layersOf(path2) == merged)
+    assert(allFiles(path2).size < filesPreGc.size,
+      "recovery must finish the interrupted GC")
+    // no intent debris left behind on either index
+    Seq(path, path2).foreach { p =>
+      val left = Option(new java.io.File(p + "/_refresh").listFiles())
+        .map(_.toSeq).getOrElse(Seq.empty)
+        .filter(_.getName.endsWith(".intent"))
+      assert(left.isEmpty, s"intent debris at $p: $left")
+    }
+  }
+
+  test("ingest guards: colliding id refuses loudly; empty batch is a no-op") {
+    val path = freshDir("graft_hidx_grd_")
+    buildAt(path)
+    val snap = allFiles(path)
+    val dup = existing.limit(1)
+    val clash = intercept[IllegalArgumentException] {
+      HnswIndex.ingest(spark, path, dup)
+    }
+    assert(clash.getMessage.contains("already exists"), clash.getMessage)
+    assert(allFiles(path) == snap, "a refused ingest must write nothing")
+    assert(HnswIndex.ingest(spark, path, batch.limit(0)) == 0L)
+    assert(allFiles(path) == snap, "an empty ingest must write nothing")
+  }
+
+  test("streamInsertHnswMaintained: two micro-batches land exactly-once; checkpoint replay adds nothing") {
+    val base = Files.createTempDirectory("graft_hidx_str_").toString
+    val path = base + "/idx"
+    val in = base + "/in"
+    val ckpt = base + "/ckpt"
+    buildAt(path)
+    // split the held-out batch (ids ≡ 7 mod 10) into two micro-batches
+    val b1 = batch.filter(pmod(col("vec_id"), lit(20)) === 7)
+    val b2 = batch.filter(pmod(col("vec_id"), lit(20)) === 17)
+    val schema = batch.schema
+    def start() = HnswIndex.streamInsertHnswMaintained(
+      spark.readStream.schema(schema).parquet(in), path, ckpt)
+    b1.coalesce(1).write.mode("overwrite").parquet(in)
+    val q = start()
+    q.processAllAvailable()
+    b2.coalesce(1).write.mode("append").parquet(in)
+    q.processAllAvailable()
+    q.stop()
+    // the sequential raw-operator contract: insert b1 then b2
+    val layers = Ann.hnswBuild(existing, cents, "vec_id", "embedding",
+      "cent_id", "cvec", k = 4, fanout = 4, maxLevel = 1)
+    val step1 = Ann.hnswInsert(layers, existing, b1, cents, "vec_id",
+      "embedding", "cent_id", "cvec", k = 4, fanout = 4)
+    val step2 = Ann.hnswInsert(step1, existing.unionByName(b1), b2,
+      cents, "vec_id", "embedding", "cent_id", "cvec", k = 4, fanout = 4)
+    layersOf(path).zip(step2.map(edgeSet)).zipWithIndex.foreach {
+      case ((got, want), l) =>
+        assert(got == want, s"layer $l: streamed index != sequential inserts")
+    }
+    // restart on the same checkpoint with no new input: nothing changes
+    val snap = allFiles(path)
+    val q2 = start()
+    q2.processAllAvailable()
+    q2.stop()
+    assert(allFiles(path) == snap, "checkpoint replay must be exactly-once")
+    // the final index serves every inserted vector's own neighborhood
+    val qv = b2.orderBy(col("vec_id")).select(col("embedding"))
+      .head.getSeq[Float](0)
+    assert(HnswIndex.search(spark, path, qv, beam = 8, hops = 3)
+      .count() > 0)
+  }
+
+  test("fence census: every commit rename in HnswIndex.scala sits behind a MaintainedLock.check") {
+    val lines = java.nio.file.Files.readAllLines(java.nio.file.Paths.get(
+      "src/main/scala/graft/streaming/HnswIndex.scala"))
+    import scala.jdk.CollectionConverters._
+    val renames = lines.asScala.zipWithIndex.filter { case (l, _) =>
+      l.contains("fs.rename(") &&
+        !l.trim.startsWith("*") && !l.trim.startsWith("//")
+    }
+    assert(renames.size >= 2,
+      s"census is vacuous: expected >= 2 rename sites, found ${renames.size}")
+    renames.foreach { case (l, i) =>
+      assert(l.contains("commit"),
+        s"HnswIndex.scala:${i + 1} renames a non-commit path — extend " +
+          s"this census consciously if that is intended: $l")
+      val before = lines.asScala.slice(math.max(0, i - 4), i)
+      assert(before.exists(_.contains("MaintainedLock.check(")),
+        s"commit rename at HnswIndex.scala:${i + 1} has no " +
+          "MaintainedLock.check in the 4 preceding lines — unfenced " +
+          "commit point")
+    }
+  }
+}
