@@ -11,7 +11,7 @@ import graft.functions.{HashFunctions, TextFunctions => T, UrlFunctions, VectorF
 import graft.operators.{Align, Ann, AsofJoin, Bm25, BpeTrain, Classifier, Collocations, Coreset, CountMin, Curation, Dedup, DistinctSketch, Ewma, GraphOps, HeavyHitters, Hierarchy, Mining, Multimodal, Packing, PageRank, Privacy, QuantileSketch, Rerank, RuntimeFilter, Sampling, SftPrep, SkewJoin, Sparse, Tfidf, TextEval, TextTiling, TopK, TrigramLm, UnigramLm, Validation}
 import graft.rag.Rag
 import graft.sources.{Layout, Tables}
-import graft.streaming.Streaming
+import graft.streaming.{HnswIndex, Streaming}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -14069,6 +14069,69 @@ object SparkEntry {
       val pruned = Sparse.championPrune(post, "doc_id", "term", "wq", 20)
       Sparse.sparseSearch(pruned, "doc_id", "term", "wq", SparseQuery, 10)
         .select($"doc_id", $"score")
+    }),
+
+    // The DURABLE HNSW index end to end (HnswIndex + its streaming
+    // ingest loop — the graph twin of q_maintained_lifecycle): build
+    // the existing-only hierarchy + sidecar on disk, stream the
+    // held-out 10% batch through streamInsertHnswMaintained (one
+    // fenced intent→append→commit refresh, exactly-once under replay),
+    // then read the SERVED hierarchy back off disk. The output equals
+    // Ann.hnswInsert's merged hierarchy edge for edge, so the oracle is
+    // the q_hnsw_insert closed-form replay verbatim — the hash
+    // certifies the whole durable loop (delta computation, touched-
+    // bucket rewrite, pass-through, commit visibility), not just the
+    // operator.
+    "q_hnsw_maintained" -> ((s, dir) => {
+      import s.implicits._
+      val e = t(s, dir, "embeddings").select($"vec_id", $"embedding")
+      val existing = e.filter(pmod($"vec_id", lit(10)) =!= 7)
+      val batch = e.filter(pmod($"vec_id", lit(10)) === 7)
+      val cents = existing.filter($"vec_id" < 18)
+        .select($"vec_id".as("cent_id"), $"embedding".as("cvec"))
+      val d = java.nio.file.Files.createTempDirectory("graft_hidx_q_").toFile
+      jsonlTmpCleanup(d)
+      val idx = new java.io.File(d, "idx").getAbsolutePath
+      val in = new java.io.File(d, "in").getAbsolutePath
+      val ckpt = new java.io.File(d, "c").getAbsolutePath
+      HnswIndex.build(s, idx, existing, cents, "vec_id", "embedding",
+        "cent_id", "cvec", k = 4, fanout = 4, maxLevel = 1)
+      batch.coalesce(1).write.mode("overwrite").parquet(in)
+      val q = HnswIndex.streamInsertHnswMaintained(
+        s.readStream.schema(batch.schema).parquet(in), idx, ckpt)
+      q.processAllAvailable()
+      q.stop()
+      HnswIndex.readLayers(s, idx).zipWithIndex
+        .map { case (df, l) => df.withColumn("level", lit(l)) }
+        .reduce(_.unionByName(_))
+        .select($"level", $"src", $"dst", $"score")
+        .orderBy($"level", $"src", $"dst")
+    }),
+
+    // Durable PHYSICAL purge (HnswIndex.purge): build the full index
+    // on disk, tombstone-purge it in one fenced transaction (touched
+    // cells re-linked, dead rows dropped from edges AND sidecar), read
+    // the served hierarchy back. By the compact-equals-rebuild
+    // contract the result is hnswBuild on the survivors, so the oracle
+    // is the q_hnsw_compact replay verbatim.
+    "q_hnsw_maintained_purge" -> ((s, dir) => {
+      import s.implicits._
+      val e = t(s, dir, "embeddings").select($"vec_id", $"embedding")
+      val cents = e.filter($"vec_id" < 16)
+        .select($"vec_id".as("cent_id"), $"embedding".as("cvec"))
+      val d = java.nio.file.Files.createTempDirectory("graft_hidxp_q_").toFile
+      jsonlTmpCleanup(d)
+      val idx = new java.io.File(d, "idx").getAbsolutePath
+      HnswIndex.build(s, idx, e, cents, "vec_id", "embedding",
+        "cent_id", "cvec", k = 4, fanout = 4, maxLevel = 1)
+      val tomb = e.filter(pmod($"vec_id", lit(17)) === 3)
+        .select($"vec_id".as("id"))
+      HnswIndex.purge(s, idx, tomb, "id")
+      HnswIndex.readLayers(s, idx).zipWithIndex
+        .map { case (df, l) => df.withColumn("level", lit(l)) }
+        .reduce(_.unionByName(_))
+        .select($"level", $"src", $"dst", $"score")
+        .orderBy($"level", $"src", $"dst")
     })
   )
 
@@ -14184,5 +14247,11 @@ object SparkEntry {
         |       ((dot + 500000) // 1000000)::DOUBLE / 1000000.0 + 0.0 AS score
         |FROM c WHERE dot > 0
         |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin
-  )
+  ) ++ Map(
+    // serve-from-refreshed ≡ serve-from-merged: the durable rows replay
+    // the SAME closed-form oracles as their in-memory operator twins —
+    // the identity the refresh writer's spec pins is exactly what lets
+    // the oracle be shared verbatim
+    "q_hnsw_maintained" -> round9Oracles("q_hnsw_insert"),
+    "q_hnsw_maintained_purge" -> round9Oracles("q_hnsw_compact"))
 }
