@@ -157,6 +157,11 @@ object Bench {
     // soft delete (tombstones route but never surface) + tombstone
     // purge (touched-cell re-link ≡ build-on-survivors)
     "q_hnsw_insert", "q_hnsw_delete", "q_hnsw_compact",
+    // round-11: the DURABLE on-disk HNSW index — streamed fenced ingest
+    // and physical purge, served back off disk (oracle rows are
+    // fixture-inclusive; hnsw_refresh_op/hnsw_compact_op isolate the
+    // op costs)
+    "q_hnsw_maintained", "q_hnsw_maintained_purge",
     // round-10 census fill (BenchCensusSpec now pins headline ⊇
     // SparkEntry.queries, so a gap like this can't recur silently):
     // sparse/grouped/recommend serving faces that predated the census
@@ -479,6 +484,50 @@ object Bench {
       runInsert() // warmup
       results("hnsw_insert_op") =
         math.min(time(runInsert()), time(runInsert()))
+
+      // soft-delete SERVING twin: q_hnsw_delete is build-inclusive by
+      // oracle necessity; this times the tombstone-filtered search
+      // against the persisted src-sorted hierarchy alone
+      val tomb = e.filter(pmod(col("vec_id"), lit(17)) === 3)
+        .select(col("vec_id").as("id")).localCheckpoint(true)
+      def runDel(): Long = Ann.hnswSearchDeleted(layers, e, "vec_id",
+        "embedding", query, tomb, "id", fanout = 4, beam = 8, hops = 3,
+        k = 5, descentHops = 2).count()
+      runDel() // warmup
+      results("hnsw_delete_serve") =
+        math.min(time(runDel()), time(runDel()))
+
+      // purge OP twin: the compact delta through the persisted
+      // sidecar — the maintenance-window cost beside hnsw_insert_op
+      // (q_hnsw_compact is build-inclusive). verifySidecar = false is
+      // the steady-state path: the durable index maintains the
+      // coverage invariant transactionally
+      val ctomb = exist.filter(pmod(col("vec_id"), lit(17)) === 3)
+        .select(col("vec_id").as("id")).localCheckpoint(true)
+      def runCompact(): Long = Ann.hnswCompact(ilayers, exist, ctomb,
+        "id", icents, "vec_id", "embedding", "cent_id", "cvec", k = 4,
+        fanout = 4, deltaOnly = true, existingAssigned = iassigned,
+        verifySidecar = false).map(_.count()).sum
+      runCompact() // warmup
+      results("hnsw_compact_op") =
+        math.min(time(runCompact()), time(runCompact()))
+
+      // the DURABLE refresh end to end: HnswIndex.ingest applies a
+      // batch to the persisted bucketed index under the fence —
+      // intent, touched-bucket rewrite, sidecar refresh, atomic
+      // commit, GC. Epochs are one-shot (a replay skips), so the two
+      // timed runs ingest the two halves of the 10% batch (~5% each)
+      // into the same index and fold min; no warmup run exists for a
+      // write-once op
+      val midx = new java.io.File(d, "m_idx").getAbsolutePath
+      graft.streaming.HnswIndex.build(spark, midx, exist, icents,
+        "vec_id", "embedding", "cent_id", "cvec", k = 4, fanout = 4,
+        maxLevel = 1)
+      val mb1 = batch.filter(pmod(col("vec_id"), lit(20)) === 7)
+      val mb2 = batch.filter(pmod(col("vec_id"), lit(20)) === 17)
+      results("hnsw_refresh_op") = math.min(
+        time(graft.streaming.HnswIndex.ingest(spark, midx, mb1)),
+        time(graft.streaming.HnswIndex.ingest(spark, midx, mb2)))
     }
 
     // -------- 2. headline analytics / dedup queries ---------------------
