@@ -11,39 +11,46 @@ import graft.operators.Ann
 /** The DURABLE on-disk HNSW index — the gap between "HNSW lifecycle
   * operators" and "HNSW index", closed: [[Ann.hnswInsert]] /
   * [[Ann.hnswCompact]] produce batch-proportional `deltaOnly` write
-  * sets, and this writer APPLIES them to a persisted hierarchy by
-  * rewriting only the bucket files whose `src` ranges the delta
-  * touches, keeps the [[Ann.hnswAssignLevels]] assignment sidecar
-  * fresh in the SAME commit (the sidecar-staleness hazard of calling
-  * the raw operators by hand cannot arise here), and fences every
-  * commit through [[MaintainedLock]] with the maintained family's
-  * intent → append → atomic-commit → recovery protocol. The reference
-  * analogue is the coordinator's continuous insert path into a served
-  * index (`coordinator/main.py:47-56` routes, `shard/server.py:60-67`
+  * sets, and this writer APPLIES them to a persisted hierarchy, keeps
+  * the [[Ann.hnswAssignLevels]] assignment sidecar fresh in the SAME
+  * commit (the sidecar-staleness hazard of calling the raw operators
+  * by hand cannot arise here), and fences every commit through
+  * [[MaintainedLock]] with the maintained family's intent → append →
+  * atomic-commit → recovery protocol. The reference analogue is the
+  * coordinator's continuous insert path into a served index
+  * (`coordinator/main.py:47-56` routes, `shard/server.py:60-67`
   * appends); this is that loop for the graph index its README aspires
   * to (`rag_demo/ingest.py:13-14`), crash-safe on a shared filesystem.
   *
   * == Layout ==
   * {{{
   * <root>/
-  *   _META                          idCol/vecCol/… + bucketWidth (k=v lines)
+  *   _META                          idCol/vecCol/… (k=v lines)
   *   _centroids/                    the coarse centroids (immutable)
   *   _LOCK/                         MaintainedLock lease files
-  *   layer_<l>/__bk=<b>/__e=<n>/    edge rows (src, dst, score), src-sorted
+  *   layer_<l>/__c=<cell>/__e=<n>/  edge rows (cell_id, src, dst, score)
   *   _sidecar/level_<l>/__c=<c>/__e=<n>/   (cell_id, id, vec) rows
   *   _refresh/e_<n>.intent          touched leaf-parent dirs, pre-append
   *   _refresh/e_<n>.commit          THE commit point (atomic rename)
   * }}}
   *
-  * Edges bucket by `src div bucketWidth` (boundaries FIXED at build —
-  * `repartitionByRange`'s sampled boundaries would drift between
-  * refreshes) and each leaf file is sorted by `src`, so serving-time
-  * hop filters row-group-prune exactly like [[Ann.writeEdges]] layout,
-  * and a refresh rewrites only the touched buckets' leaves. The
-  * sidecar partitions by cell, so an ingest reads ONLY the touched
-  * cells' directories — the n·C build-time assignment is never
-  * recomputed (the `existingAssigned` scale path, measured 18.9 s vs
-  * 307 s recomputed at the 100× profile).
+  * Edge leaves partition by the src's LEVEL-l CELL, not by id range —
+  * the load-bearing choice. HNSW edges are strictly within-cell, and
+  * the repair semantics of [[Ann.hnswInsert]]/[[Ann.hnswCompact]] mean
+  * every member of a touched cell gets a complete new adjacency while
+  * untouched cells change nothing — so a refresh writes EXACTLY the
+  * changed rows (delta = the touched cells' full new content, zero
+  * read-modify-write of old edge rows) and rewrites exactly the
+  * touched cells' leaf dirs. An id-range bucketing would be rewritten
+  * nearly in full every refresh: a batch's touched members scatter
+  * uniformly across the id space, so every range bucket intersects
+  * the delta — write amplification ∝ corpus, not batch. Per-cell
+  * leaves keep it ∝ batch at any corpus size. Directory count is
+  * structure-bounded (cells ≤ [[Ann.MaxCentroids]], never corpus-
+  * bounded); each leaf file is sorted by `src`, so serving-time hop
+  * filters still row-group-prune on footer stats (the cost moved from
+  * "scan few range files" to "check C footers, read O(degree) rows" —
+  * index-structure-bounded either way).
   *
   * == Visibility and crash safety ==
   * Every leaf directory is versioned by an epoch subdir and data files
@@ -72,11 +79,9 @@ import graft.operators.Ann
   *
   * Scale shape per refresh: touched-cell pair scoring + k-bounded
   * re-rank (batch-proportional, [[Ann.hnswInsert]]'s contract), reads
-  * of touched sidecar cells and touched edge buckets only, writes of
-  * the same — never a full-graph rewrite. Ids must be non-negative
-  * integrals (they address buckets). Directory counts are structure-
-  * bounded: buckets/layer at build's `buckets`, cells at the centroid
-  * count, epochs GC'd to one per touched leaf after every commit.
+  * of touched sidecar/edge cells only, writes of exactly the touched
+  * cells. Ids must be non-negative integral. Epochs GC to one per
+  * touched leaf after every commit.
   */
 object HnswIndex {
 
@@ -85,7 +90,7 @@ object HnswIndex {
     */
   final case class Meta(idCol: String, vecCol: String, centIdCol: String,
                         centVecCol: String, maxLevel: Int, fanout: Int,
-                        k: Int, bucketWidth: Long)
+                        k: Int)
 
   private def fsOf(spark: SparkSession, root: Path): FileSystem =
     root.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -121,9 +126,9 @@ object HnswIndex {
     }.toSet
   }
 
-  /** Current leaf (highest committed `__e=` subdir) of one bucket/cell
-    * parent dir. An empty leaf dir (no files) is a real state — it
-    * supersedes older epochs with "no rows here anymore".
+  /** Current leaf (highest committed `__e=` subdir) of one cell parent
+    * dir. An empty leaf dir (no files) is a real state — it supersedes
+    * older epochs with "no rows here anymore".
     */
   private def currentLeaf(fs: FileSystem, parent: Path,
                           committed: Set[Long]): Option[Path] = {
@@ -137,24 +142,34 @@ object HnswIndex {
     if (es.isEmpty) None else Some(es.maxBy(_._1)._2)
   }
 
-  /** Current leaf dirs under `dir` whose parent name passes `keep`,
-    * restricted to leaves that actually hold parquet files.
+  /** Current leaf dirs under `dir` (`__c=` parents), restricted to
+    * leaves that actually hold parquet files.
     */
   private def currentLeaves(fs: FileSystem, dir: Path,
-                            committed: Set[Long],
-                            keep: String => Boolean): Seq[Path] = {
+                            committed: Set[Long]): Seq[Path] = {
     if (!fs.exists(dir)) return Seq.empty
     fs.listStatus(dir).filter(_.isDirectory).map(_.getPath)
-      .filter(p => keep(p.getName))
+      .filter(_.getName.startsWith("__c="))
       .flatMap(p => currentLeaf(fs, p, committed))
       .filter(leaf => fs.exists(leaf) && fs.listStatus(leaf)
         .exists(_.getPath.getName.endsWith(".parquet")))
       .toSeq
   }
 
+  /** Current leaves of the NAMED cells only — path-level pruning: the
+    * listing is per requested cell, never the whole index.
+    */
+  private def cellLeaves(fs: FileSystem, dir: Path, committed: Set[Long],
+                         cells: Seq[Long]): Seq[Path] =
+    cells.map(c => new Path(dir, s"__c=$c"))
+      .filter(fs.exists(_))
+      .flatMap(p => currentLeaf(fs, p, committed))
+      .filter(leaf => fs.listStatus(leaf)
+        .exists(_.getPath.getName.endsWith(".parquet")))
+
   private def edgeSchema = StructType(Seq(
-    StructField("src", LongType), StructField("dst", LongType),
-    StructField("score", DoubleType)))
+    StructField("cell_id", LongType), StructField("src", LongType),
+    StructField("dst", LongType), StructField("score", DoubleType)))
 
   private def sidecarSchema(meta: Meta) = StructType(Seq(
     StructField("cell_id", LongType), StructField(meta.idCol, LongType),
@@ -177,8 +192,7 @@ object HnswIndex {
         val i = l.indexOf('='); l.substring(0, i) -> l.substring(i + 1)
       }.toMap
     Meta(kv("idCol"), kv("vecCol"), kv("centIdCol"), kv("centVecCol"),
-      kv("maxLevel").toInt, kv("fanout").toInt, kv("k").toInt,
-      kv("bucketWidth").toLong)
+      kv("maxLevel").toInt, kv("fanout").toInt, kv("k").toInt)
   }
 
   /** The coarse centroid table the index was built under (immutable —
@@ -187,10 +201,11 @@ object HnswIndex {
   def readCentroids(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(new Path(new Path(path), "_centroids").toString)
 
-  /** The current committed hierarchy, index i = level i's edge table —
-    * the exact `layers` shape every [[Ann]] search face walks. Scans
-    * inherit the bucketed src-sorted layout: a hop filter row-group-
-    * prunes to O(degree) rows.
+  /** The current committed hierarchy, index i = level i's edge table
+    * as (cell_id, src, dst, score) — the `layers` shape every [[Ann]]
+    * search face walks (they select src/dst/score; cell_id rides along
+    * for cell-pruned reads). Each leaf file is src-sorted, so a hop
+    * filter row-group-prunes on footer stats.
     */
   def readLayers(spark: SparkSession, path: String): Seq[DataFrame] = {
     val root = new Path(path)
@@ -198,9 +213,8 @@ object HnswIndex {
     val meta = readMeta(spark, path)
     val committed = committedEpochs(fs, root)
     (0 to meta.maxLevel).map { l =>
-      readPaths(spark,
-        currentLeaves(fs, layerDir(root, l), committed,
-          _.startsWith("__bk=")), edgeSchema)
+      readPaths(spark, currentLeaves(fs, layerDir(root, l), committed),
+        edgeSchema)
     }
   }
 
@@ -221,55 +235,26 @@ object HnswIndex {
     val meta = readMeta(spark, path)
     val committed = committedEpochs(fs, root)
     (0 to meta.maxLevel).map { l =>
-      readPaths(spark,
-        currentLeaves(fs, sidecarDir(root, l), committed,
-          _.startsWith("__c=")), sidecarSchema(meta))
+      readPaths(spark, currentLeaves(fs, sidecarDir(root, l), committed),
+        sidecarSchema(meta))
     }
   }
 
-  /** Touched-cell restriction of one sidecar level — reads ONLY the
-    * named cells' current leaf dirs (path-level pruning: the listing
-    * is per requested cell, never the whole corpus).
-    */
-  private def readSidecarCells(spark: SparkSession, root: Path,
-                               meta: Meta, committed: Set[Long],
-                               l: Int, cells: Seq[Long]): DataFrame = {
-    val fs = fsOf(spark, root)
-    val leaves = cells.map(c => new Path(sidecarDir(root, l), s"__c=$c"))
-      .filter(fs.exists(_))
-      .flatMap(p => currentLeaf(fs, p, committed))
-      .filter(leaf => fs.listStatus(leaf)
-        .exists(_.getPath.getName.endsWith(".parquet")))
-    readPaths(spark, leaves, sidecarSchema(meta))
-  }
-
-  /** Edge rows of the named buckets' current leaves at one level. */
-  private def readEdgeBuckets(spark: SparkSession, root: Path,
-                              committed: Set[Long], l: Int,
-                              buckets: Seq[Long]): DataFrame = {
-    val fs = fsOf(spark, root)
-    val leaves = buckets.map(b => new Path(layerDir(root, l), s"__bk=$b"))
-      .filter(fs.exists(_))
-      .flatMap(p => currentLeaf(fs, p, committed))
-      .filter(leaf => fs.listStatus(leaf)
-        .exists(_.getPath.getName.endsWith(".parquet")))
-    readPaths(spark, leaves, edgeSchema)
-  }
-
-  /** Append one level's edge rows as `__bk=<b>/__e=<epoch>` leaves —
+  /** Append one level's edge rows as `__c=<cell>/__e=<epoch>` leaves —
     * never touching an existing file. Each leaf file is src-sorted so
     * hop filters keep their row-group pruning after any refresh.
     */
-  private def writeEdgeLeaves(edges: DataFrame, dir: Path, width: Long,
+  private def writeEdgeLeaves(edges: DataFrame, dir: Path,
                               epoch: Long): Unit =
-    edges.select(col("src").cast("long").as("src"),
+    edges.select(col("cell_id").cast("long").as("cell_id"),
+        col("src").cast("long").as("src"),
         col("dst").cast("long").as("dst"),
         col("score").cast("double").as("score"))
-      .withColumn("__bk", floor(col("src") / lit(width)).cast("long"))
+      .withColumn("__c", col("cell_id"))
       .withColumn("__e", lit(epoch))
-      .repartition(col("__bk"))
-      .sortWithinPartitions("__bk", "src", "dst")
-      .write.mode("append").partitionBy("__bk", "__e")
+      .repartition(col("__c"))
+      .sortWithinPartitions("__c", "src", "dst")
+      .write.mode("append").partitionBy("__c", "__e")
       .parquet(dir.toString)
 
   /** Append one level's sidecar rows as `__c=<cell>/__e=<epoch>`
@@ -287,8 +272,9 @@ object HnswIndex {
       .parquet(dir.toString)
 
   /** Make sure every touched parent dir carries an `__e=<epoch>` leaf:
-    * a touched bucket/cell whose new content is EMPTY still needs the
-    * epoch dir, or its superseded rows would stay current.
+    * a touched cell whose new content is EMPTY (fully-tombstoned cell,
+    * edge-less singleton) still needs the epoch dir, or its superseded
+    * rows would stay current.
     */
   private def ensureLeaves(fs: FileSystem, root: Path, dirs: Seq[String],
                            epoch: Long): Unit =
@@ -349,17 +335,14 @@ object HnswIndex {
 
   /** Build the index from scratch at `path` (must not already hold
     * one): [[Ann.hnswBuild]] hierarchy + [[Ann.hnswAssignLevels]]
-    * sidecar + centroids + meta, committed as epoch 0. `buckets` sets
-    * the fixed-width src bucketing of layer 0 (upper layers reuse the
-    * width; being geometrically sparser they simply populate fewer
-    * rows per bucket).
+    * sidecar + centroids + meta, committed as epoch 0. Edge rows get
+    * their level-l cell from the sidecar (edges are within-cell, so
+    * the src's assignment IS the edge's cell).
     */
   def build(spark: SparkSession, path: String, vectors: DataFrame,
             centroids: DataFrame, idCol: String, vecCol: String,
             centIdCol: String, centVecCol: String,
-            k: Int, fanout: Int, maxLevel: Int,
-            buckets: Int = 16): Unit = {
-    require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+            k: Int, fanout: Int, maxLevel: Int): Unit = {
     val root = new Path(path)
     val fs = fsOf(spark, root)
     require(!fs.exists(metaPath(root)) && committedEpochs(fs, root).isEmpty,
@@ -368,18 +351,22 @@ object HnswIndex {
     MaintainedLock.withLease(spark, root) { lease =>
       val v = vectors.select(col(idCol).cast("long").as(idCol),
         col(vecCol))
-      val bounds = v.agg(min(col(idCol)), max(col(idCol))).head
-      require(!bounds.isNullAt(0) && bounds.getLong(0) >= 0,
-        "ids must be non-negative (they address src buckets)")
-      val width = math.max(1L, bounds.getLong(1) / buckets + 1L)
+      val neg = v.filter(col(idCol) < 0).limit(1).collect()
+      require(neg.isEmpty, "ids must be non-negative integrals")
       val meta = Meta(idCol, vecCol, centIdCol, centVecCol, maxLevel,
-        fanout, k, width)
+        fanout, k)
       val layers = Ann.hnswBuild(v, centroids, idCol, vecCol, centIdCol,
         centVecCol, k, fanout, maxLevel)
       val sidecar = Ann.hnswAssignLevels(v, centroids, idCol, vecCol,
         centIdCol, centVecCol, fanout, maxLevel)
       layers.zipWithIndex.foreach { case (edges, l) =>
-        writeEdgeLeaves(edges, layerDir(root, l), width, epoch = 0L)
+        val withCell = edges
+          .select(col("src").cast("long").as("src"),
+            col("dst").cast("long").as("dst"),
+            col("score").cast("double").as("score"))
+          .join(sidecar(l).select(col(idCol).cast("long").as("src"),
+            col("cell_id").cast("long").as("cell_id")), Seq("src"))
+        writeEdgeLeaves(withCell, layerDir(root, l), epoch = 0L)
       }
       sidecar.zipWithIndex.foreach { case (rows, l) =>
         writeSidecarLeaves(rows, meta, sidecarDir(root, l), epoch = 0L)
@@ -391,7 +378,7 @@ object HnswIndex {
       writeFile(fs, metaPath(root),
         s"idCol=$idCol\nvecCol=$vecCol\ncentIdCol=$centIdCol\n" +
           s"centVecCol=$centVecCol\nmaxLevel=$maxLevel\nfanout=$fanout\n" +
-          s"k=$k\nbucketWidth=$width\n")
+          s"k=$k\n")
       fs.mkdirs(refreshDir(root)): Unit
       val tmp = new Path(refreshDir(root), "e_0.commit.tmp")
       writeFile(fs, tmp, "build\n")
@@ -402,53 +389,33 @@ object HnswIndex {
   }
 
   /** One refresh transaction shared by [[ingest]] and [[purge]]:
-    * given, per level, the replacement adjacency (`delta`), the srcs
-    * it supersedes (`replaced`, covering every src whose old rows must
-    * go — including row-less ones like tombstones), the touched cells
-    * and their new sidecar content — write intent, append `__e=epoch`
+    * given, per level, the touched cells, their COMPLETE new adjacency
+    * (`delta` — the repair rewrites every touched cell's member, so
+    * the delta IS the cell's new content; no old edge row is read) and
+    * their new sidecar content — write intent, append `__e=epoch`
     * leaves, fence, commit atomically, GC. `hook` is the test seam for
     * crash injection ("intent" / "appended" / "committed").
     */
   private def applyRefresh(spark: SparkSession, root: Path, meta: Meta,
       lease: MaintainedLock.Lease, committed: Set[Long], epoch: Long,
-      perLevel: Seq[(DataFrame, DataFrame, Seq[Long], DataFrame)],
+      perLevel: Seq[(Seq[Long], DataFrame, DataFrame)],
       hook: String => Unit): Unit = {
     val fs = fsOf(spark, root)
-    // touched parent dirs, computed BEFORE any write so the intent is
-    // complete: edge buckets come from replaced ∪ delta srcs (delta
-    // srcs ⊆ replaced ∪ new nodes — both sides bounded); the distinct
-    // bucket list is structure-sized, safe to collect
-    val levelPlans = perLevel.zipWithIndex.map {
-      case ((delta, replaced, cells, newSidecar), l) =>
-        val buckets = replaced.select(col("__rid").as("s"))
-          .unionByName(delta.select(col("src").cast("long").as("s")))
-          .select(floor(col("s") / lit(meta.bucketWidth)).cast("long")
-            .as("b"))
-          .distinct().collect().map(_.getLong(0)).sorted.toSeq
-        (l, delta, replaced, buckets, cells, newSidecar)
-    }
-    val touchedDirs = levelPlans.flatMap { case (l, _, _, bks, cells, _) =>
-      bks.map(b => s"layer_$l/__bk=$b") ++
-        cells.map(c => s"_sidecar/level_$l/__c=$c")
+    val touchedDirs = perLevel.zipWithIndex.flatMap {
+      case ((cells, _, _), l) =>
+        cells.map(c => s"layer_$l/__c=$c") ++
+          cells.map(c => s"_sidecar/level_$l/__c=$c")
     }
     if (touchedDirs.isEmpty) return // nothing to refresh at any level
     fs.mkdirs(refreshDir(root)): Unit
     writeFile(fs, intentPath(root, epoch),
       touchedDirs.mkString("", "\n", "\n"))
     hook("intent")
-    levelPlans.foreach { case (l, delta, replaced, bks, cells, newSide) =>
-      if (bks.nonEmpty) {
-        val old = readEdgeBuckets(spark, root, committed, l, bks)
-        val next = old
-          .join(replaced.withColumnRenamed("__rid", "src"), Seq("src"),
-            "left_anti")
-          .unionByName(delta.select(col("src").cast("long").as("src"),
-            col("dst").cast("long").as("dst"),
-            col("score").cast("double").as("score")))
-        writeEdgeLeaves(next, layerDir(root, l), meta.bucketWidth, epoch)
-      }
-      if (cells.nonEmpty)
+    perLevel.zipWithIndex.foreach { case ((cells, delta, newSide), l) =>
+      if (cells.nonEmpty) {
+        writeEdgeLeaves(delta, layerDir(root, l), epoch)
         writeSidecarLeaves(newSide, meta, sidecarDir(root, l), epoch)
+      }
     }
     ensureLeaves(fs, root, touchedDirs, epoch)
     hook("appended")
@@ -484,17 +451,28 @@ object HnswIndex {
     }
   }
 
+  /** Attach each delta edge's level-l cell from the touched-cell
+    * id→cell map (srcs of a refresh delta are exactly the touched
+    * cells' members ∪ the batch — both present in `idCells`).
+    */
+  private def withCells(delta: DataFrame, idCells: DataFrame): DataFrame =
+    delta.select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst"),
+        col("score").cast("double").as("score"))
+      .join(broadcast(idCells), Seq("src"))
+
   /** Append a batch of new vectors DURABLY: compute the
     * [[Ann.hnswInsert]] delta against the persisted hierarchy through
     * the persisted sidecar (touched cells only), rewrite exactly the
-    * touched edge buckets, refresh the touched sidecar cells (old
-    * members ∪ batch — the sidecar covers the index EXACTLY after
-    * every commit), all in one fenced intent→append→commit→GC
-    * transaction. Batch ids must be new (loud require — the
-    * [[Ann.hnswInsert]] contract, checked here against the full
-    * level-0 sidecar id column). Returns the committed epoch; a replay
-    * whose epoch already committed is skipped whole and returns it
-    * unchanged.
+    * touched cells' edge leaves (the delta is their complete new
+    * adjacency — nothing else changed, nothing else is read or
+    * written), refresh the touched sidecar cells (old members ∪ batch
+    * — the sidecar covers the index EXACTLY after every commit), all
+    * in one fenced intent→append→commit→GC transaction. Batch ids
+    * must be new (loud require — the [[Ann.hnswInsert]] contract,
+    * checked here against the full level-0 sidecar id column).
+    * Returns the committed epoch; a replay whose epoch already
+    * committed is skipped whole and returns it unchanged.
     */
   def ingest(spark: SparkSession, path: String, batch: DataFrame,
              epoch: Option[Long] = None,
@@ -514,8 +492,7 @@ object HnswIndex {
         col(meta.vecCol)).localCheckpoint(false)
       val bounds = b.agg(min(col(meta.idCol)), max(col(meta.idCol))).head
       if (bounds.isNullAt(0)) return committed.max // empty batch: no-op
-      require(bounds.getLong(0) >= 0,
-        "ids must be non-negative (they address src buckets)")
+      require(bounds.getLong(0) >= 0, "ids must be non-negative integrals")
       // disjointness against the FULL membership (a collision's twin
       // can live in an untouched cell): id-column-pruned scan, limit-1
       val allIds = readVectors(spark, path)
@@ -532,26 +509,21 @@ object HnswIndex {
       val perLevel = (0 to meta.maxLevel).map { l =>
         val cells = bAsg(l).select(col("cell_id").cast("long"))
           .distinct().collect().map(_.getLong(0)).sorted.toSeq
-        val touchedSide = readSidecarCells(spark, root, meta, committed,
-          l, cells)
+        val touchedSide = readPaths(spark,
+          cellLeaves(fs, sidecarDir(root, l), committed, cells),
+          sidecarSchema(meta))
         (cells, touchedSide,
           touchedSide.unionByName(
             bAsg(l).select(col("cell_id").cast("long").as("cell_id"),
               col(meta.idCol), col(meta.vecCol))))
       }
-      // restricted current layers: only buckets a replaced-or-new src
-      // can live in are ever read (hnswInsert joins them to the
-      // touched srcs anyway — this makes the read itself bucket-local)
+      // restricted current layers: the delta only reuses the stored
+      // adjacency of touched cells' members — read exactly those leaves
       val restricted = (0 to meta.maxLevel).map { l =>
-        val (_, touchedSide, _) = perLevel(l)
-        val srcs = touchedSide
-          .select(col(meta.idCol).cast("long").as("s"))
-          .unionByName(bAsg(l).select(col(meta.idCol).cast("long")
-            .as("s")))
-        val bks = srcs.select(floor(col("s") / lit(meta.bucketWidth))
-            .cast("long").as("b"))
-          .distinct().collect().map(_.getLong(0)).toSeq
-        readEdgeBuckets(spark, root, committed, l, bks)
+        readPaths(spark,
+          cellLeaves(fs, layerDir(root, l), committed, perLevel(l)._1),
+          edgeSchema)
+          .select(col("src"), col("dst"), col("score"))
       }
       val vectors = readVectors(spark, path)
         .select(col(meta.idCol), col(meta.vecCol))
@@ -560,14 +532,14 @@ object HnswIndex {
         meta.k, meta.fanout, deltaOnly = true,
         existingAssigned = perLevel.map(_._2),
         checkDisjoint = false, verifySidecar = false)
-        .map(_.localCheckpoint(false))
       val plans = (0 to meta.maxLevel).map { l =>
-        val (cells, touchedSide, newSide) = perLevel(l)
-        val replaced = touchedSide
-          .select(col(meta.idCol).cast("long").as("__rid"))
-          .unionByName(bAsg(l).select(col(meta.idCol).cast("long")
-            .as("__rid")))
-        (deltas(l), replaced, cells, newSide)
+        val (cells, _, newSide) = perLevel(l)
+        // id→cell of everything a delta src can be: the new sidecar
+        // content (touched members ∪ batch) — broadcast, batch-bounded
+        val idCells = newSide
+          .select(col(meta.idCol).cast("long").as("src"),
+            col("cell_id").cast("long").as("cell_id"))
+        (cells, withCells(deltas(l), idCells), newSide)
       }
       applyRefresh(spark, root, meta, lease, committed, e, plans, hook)
       e
@@ -577,13 +549,13 @@ object HnswIndex {
   /** PHYSICAL tombstone purge, durable: the [[Ann.hnswCompact]] delta
     * (survivor×survivor re-link of exactly the cells holding a
     * tombstoned member) applied to the persisted hierarchy, dead rows
-    * dropped from the touched sidecar cells in the same commit — the
-    * compacted index equals a fresh [[build]] on the survivors (the
-    * operator's EXACT contract; HnswIndexSpec and the
+    * dropped from the touched cells' edges AND sidecar in the same
+    * commit — the compacted index equals a fresh [[build]] on the
+    * survivors (the operator's EXACT contract; HnswIndexSpec and the
     * `q_hnsw_maintained_purge` oracle both pin it). Tombstone→cell
     * discovery scans the per-level sidecar's (cell_id, id) columns
     * (ids defeat min/max pruning); member reads and every write stay
-    * cell/bucket-local. Unknown ids are ignored (idempotent replay).
+    * cell-local. Unknown ids are ignored (idempotent replay).
     */
   def purge(spark: SparkSession, path: String, tombstones: DataFrame,
             tombIdCol: String, epoch: Option[Long] = None,
@@ -608,22 +580,20 @@ object HnswIndex {
           .join(tomb, col("__id") === col("__tid"))
           .select(col("cell_id")).distinct()
           .collect().map(_.getLong(0)).sorted.toSeq
-        val members = readSidecarCells(spark, root, meta, committed, l,
-          cells).localCheckpoint(false)
+        val members = readPaths(spark,
+          cellLeaves(fs, sidecarDir(root, l), committed, cells),
+          sidecarSchema(meta)).localCheckpoint(false)
         val survivors = members.join(tomb,
           col(meta.idCol).cast("long") === col("__tid"), "left_anti")
-        val replaced = members
-          .select(col(meta.idCol).cast("long").as("__rid"))
-        (cells, members, survivors, replaced)
+        (cells, members, survivors)
       }
-      // the compact delta, against restricted layers (only touched
-      // srcs' buckets are joined — make the read bucket-local too)
+      // the compact delta, against restricted layers (the touched
+      // cells' leaves — the only stored adjacency the purge re-links)
       val restricted = (0 to meta.maxLevel).map { l =>
-        val bks = plans(l)._4
-          .select(floor(col("__rid") / lit(meta.bucketWidth)).cast("long")
-            .as("b"))
-          .distinct().collect().map(_.getLong(0)).toSeq
-        readEdgeBuckets(spark, root, committed, l, bks)
+        readPaths(spark,
+          cellLeaves(fs, layerDir(root, l), committed, plans(l)._1),
+          edgeSchema)
+          .select(col("src"), col("dst"), col("score"))
       }
       val vectors = readVectors(spark, path)
         .select(col(meta.idCol), col(meta.vecCol))
@@ -632,10 +602,12 @@ object HnswIndex {
         meta.centIdCol, meta.centVecCol, meta.k, meta.fanout,
         deltaOnly = true, existingAssigned = plans.map(_._2),
         verifySidecar = false)
-        .map(_.localCheckpoint(false))
       val perLevel = (0 to meta.maxLevel).map { l =>
-        val (cells, _, survivors, replaced) = plans(l)
-        (deltas(l), replaced, cells, survivors)
+        val (cells, _, survivors) = plans(l)
+        val idCells = survivors
+          .select(col(meta.idCol).cast("long").as("src"),
+            col("cell_id").cast("long").as("cell_id"))
+        (cells, withCells(deltas(l), idCells), survivors)
       }
       applyRefresh(spark, root, meta, lease, committed, e, perLevel, hook)
       e

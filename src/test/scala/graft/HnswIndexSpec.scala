@@ -71,7 +71,7 @@ class HnswIndexSpec extends SparkSpec {
     // self-describing: meta round-trips
     val m = HnswIndex.readMeta(spark, path)
     assert(m.idCol == "vec_id" && m.k == 4 && m.fanout == 4 &&
-      m.maxLevel == 1 && m.bucketWidth >= 1)
+      m.maxLevel == 1)
     // a second build into the same dir refuses
     val dup = intercept[IllegalArgumentException](buildAt(path))
     assert(dup.getMessage.contains("already holds"), dup.getMessage)
@@ -116,25 +116,30 @@ class HnswIndexSpec extends SparkSpec {
       "GC must have removed at least one superseded leaf file")
     assert(after.keySet.diff(before.keySet).nonEmpty,
       "the refresh must have appended new leaf files")
-    // bucket LOCALITY: a one-vector ingest touches only its own cell's
-    // members' buckets. Cells are semantic while buckets are id
-    // ranges, so the touched-bucket count tracks |touched cell|, not
-    // the corpus — with buckets ≫ cell size most layer-0 edge leaves
-    // survive byte-identical (the 10% batch above spans every bucket
-    // of the default-16 layout, so this needs the finer layout)
+    // cell LOCALITY — the load-bearing layout property: a one-vector
+    // ingest rewrites EXACTLY its own cell's leaf per level; every
+    // other cell's leaf files survive byte-identical. (An id-range
+    // bucketing would fail this: the touched cell's members scatter
+    // across the id space, intersecting every range bucket.)
     val path1 = freshDir("graft_hidx_loc_")
-    HnswIndex.build(spark, path1, existing, cents, "vec_id", "embedding",
-      "cent_id", "cvec", k = 4, fanout = 4, maxLevel = 1, buckets = 64)
+    buildAt(path1)
     val before1 = allFiles(path1)
     HnswIndex.ingest(spark, path1, batch.orderBy(col("vec_id")).limit(1))
     val after1 = allFiles(path1)
     val survived1 = before1.keySet.intersect(after1.keySet)
       .filter(f => before1(f) == after1(f))
-    val l0Before = before1.keySet.count(_.contains("layer_0"))
-    val l0Survived = survived1.count(_.contains("layer_0"))
-    assert(l0Survived > 0 && l0Survived >= l0Before / 2,
-      s"one-vector ingest must leave most layer-0 bucket leaves " +
-        s"untouched: $l0Survived of $l0Before survived")
+    def cellsOf(files: Set[String], layer: String): Set[String] =
+      files.filter(_.contains(layer)).flatMap(
+        _.split("/").find(_.startsWith("__c=")))
+    val l0CellsBefore = cellsOf(before1.keySet, "layer_0")
+    val l0CellsSurvived = cellsOf(survived1, "layer_0")
+    assert(l0CellsBefore.diff(l0CellsSurvived).size <= 1,
+      s"one-vector ingest must rewrite at most its ONE layer-0 cell; " +
+        s"rewritten: ${l0CellsBefore.diff(l0CellsSurvived)}")
+    assert(l0CellsSurvived.size >= l0CellsBefore.size - 1 &&
+      l0CellsBefore.size >= 10,
+      s"expected a multi-cell fixture with all but one cell untouched: " +
+        s"${l0CellsSurvived.size} of ${l0CellsBefore.size}")
     // serve: a search over the refreshed index finds a batch vector
     val q = batch.orderBy(col("vec_id")).select(col("embedding"))
       .head.getSeq[Float](0)
