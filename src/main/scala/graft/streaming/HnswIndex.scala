@@ -638,6 +638,160 @@ object HnswIndex {
       qidCol, qvecCol, meta.fanout, beam, hops, descentHops)
   }
 
+  /** Operational state report — the `DESCRIBE INDEX` runbook surface,
+    * the [[Streaming.describeMaintained]] twin for the graph index:
+    * per level (cells, edge rows, members, leaf files, bytes) from
+    * listings and parquet footers plus table-level rollups, as
+    * (metric, level, value) long-format rows. `epoch_debt` counts leaf
+    * dirs still holding more than one committed epoch (un-GC'd — a
+    * crashed post-commit window [[recover]] would fold);
+    * `pending_refresh` counts intents awaiting recovery. Cost is
+    * index-structure-bounded: listings + footers, no data pages.
+    */
+  def describe(spark: SparkSession, path: String): DataFrame = {
+    val root = new Path(path)
+    val fs = fsOf(spark, root)
+    val meta = readMeta(spark, path)
+    val committed = committedEpochs(fs, root)
+    import spark.implicits._
+    val out = scala.collection.mutable.ArrayBuffer[(String, Int, Long)]()
+    def leafStats(dir: Path): (Long, Long, Long, Long) = {
+      // (parents, leaf files, bytes, multi-epoch parents)
+      if (!fs.exists(dir)) return (0L, 0L, 0L, 0L)
+      val parents = fs.listStatus(dir).filter(_.isDirectory).map(_.getPath)
+        .filter(_.getName.startsWith("__c="))
+      var files = 0L; var bytes = 0L; var debt = 0L
+      parents.foreach { p =>
+        val es = fs.listStatus(p).filter(_.isDirectory).map(_.getPath)
+          .filter(q => q.getName.startsWith("__e=") &&
+            committed.contains(
+              q.getName.stripPrefix("__e=").toLong))
+        if (es.length > 1) debt += 1
+        es.foreach { leaf =>
+          fs.listStatus(leaf)
+            .filter(_.getPath.getName.endsWith(".parquet"))
+            .foreach { st => files += 1; bytes += st.getLen }
+        }
+      }
+      (parents.length.toLong, files, bytes, debt)
+    }
+    var debtTotal = 0L
+    (0 to meta.maxLevel).foreach { l =>
+      val (cells, files, bytes, debt) = leafStats(layerDir(root, l))
+      val (_, sFiles, sBytes, sDebt) = leafStats(sidecarDir(root, l))
+      debtTotal += debt + sDebt
+      out += (("cells", l, cells))
+      out += (("edge_rows", l,
+        readPaths(spark, currentLeaves(fs, layerDir(root, l), committed),
+          edgeSchema).count()))
+      out += (("members", l,
+        readPaths(spark,
+          currentLeaves(fs, sidecarDir(root, l), committed),
+          sidecarSchema(meta)).count()))
+      out += (("files", l, files + sFiles))
+      out += (("bytes", l, bytes + sBytes))
+    }
+    out += (("epochs_committed", -1, committed.size.toLong))
+    out += (("max_epoch", -1, if (committed.isEmpty) -1L else committed.max))
+    out += (("epoch_debt", -1, debtTotal))
+    val pend =
+      if (!fs.exists(refreshDir(root))) 0L
+      else fs.listStatus(refreshDir(root))
+        .count(_.getPath.getName.endsWith(".intent")).toLong
+    out += (("pending_refresh", -1, pend))
+    out.toSeq.toDF("metric", "level", "value").orderBy($"metric", $"level")
+  }
+
+  /** Structural invariant check — the [[Streaming.fsckMaintained]]
+    * twin: returns (check, bad_count, detail) rows, all zero on a
+    * healthy index. Checks: duplicate sidecar ids; members whose
+    * stored cell is not the argmax under the stored centroids; edge
+    * rows whose src/dst is absent from the level's membership
+    * (dangling adjacency); edge rows filed under a different cell than
+    * their src's assignment; srcs past the bounded degree k;
+    * uncommitted leaf debris no intent covers ([[recover]] cannot see
+    * it — a manual listing, this is the check that finds it); pending
+    * refresh intents. Full-scan by design (fsck is the offline audit).
+    */
+  def fsck(spark: SparkSession, path: String): DataFrame = {
+    val root = new Path(path)
+    val fs = fsOf(spark, root)
+    val meta = readMeta(spark, path)
+    val committed = committedEpochs(fs, root)
+    import spark.implicits._
+    val out = scala.collection.mutable.ArrayBuffer[(String, Long, String)]()
+    val side = readSidecar(spark, path)
+    val dups = side.head.groupBy(col(meta.idCol)).count()
+      .filter(col("count") > 1)
+      .agg(count(lit(1)), sum(col("count") - 1)).head
+    out += (("duplicate_ids",
+      if (dups.isNullAt(1)) 0L else dups.getLong(1),
+      if (dups.getLong(0) == 0) ""
+      else s"${dups.getLong(0)} ids stored more than once"))
+    val cents = readCentroids(spark, path)
+    val misfiled = Ann.ivfAssign(
+        side.head.select(col(meta.idCol), col(meta.vecCol),
+          col("cell_id").as("__stored")),
+        cents, meta.idCol, meta.vecCol, meta.centIdCol, meta.centVecCol)
+      .filter(col("cell_id") =!= col("__stored")).count()
+    out += (("misfiled_members", misfiled,
+      if (misfiled == 0) ""
+      else "stored cell != argmax under stored centroids"))
+    var dangling = 0L; var crossCell = 0L; var overdeg = 0L
+    (0 to meta.maxLevel).foreach { l =>
+      val edges = readPaths(spark,
+        currentLeaves(fs, layerDir(root, l), committed), edgeSchema)
+      val ids = side(l).select(col(meta.idCol).cast("long").as("__id"),
+        col("cell_id").cast("long").as("__mc"))
+      dangling += edges.join(ids, col("src") === col("__id"), "left_anti")
+        .count()
+      dangling += edges.join(ids, col("dst") === col("__id"), "left_anti")
+        .count()
+      crossCell += edges.join(ids, col("src") === col("__id"))
+        .filter(col("cell_id") =!= col("__mc")).count()
+      val od = edges.groupBy(col("src")).count()
+        .filter(col("count") > meta.k).count()
+      overdeg += od
+    }
+    out += (("dangling_edges", dangling,
+      if (dangling == 0) "" else "edge endpoint absent from membership"))
+    out += (("cross_cell_edges", crossCell,
+      if (crossCell == 0) "" else "edge filed under a foreign cell"))
+    out += (("overdegree_srcs", overdeg,
+      if (overdeg == 0) "" else s"adjacency larger than k=${meta.k}"))
+    // uncommitted debris: __e dirs whose epoch never committed AND no
+    // intent lists them (crash inside the intent write window, or a
+    // hand-damaged tree) — recover() cannot find these via intents
+    var debris = 0L
+    def scanDebris(dir: Path): Unit =
+      if (fs.exists(dir))
+        fs.listStatus(dir).filter(_.isDirectory).map(_.getPath)
+          .filter(_.getName.startsWith("__c="))
+          .foreach { p =>
+            fs.listStatus(p).filter(_.isDirectory).map(_.getPath)
+              .foreach { q =>
+                val n = q.getName
+                if (n.startsWith("__e=") &&
+                  !committed.contains(n.stripPrefix("__e=").toLong))
+                  debris += 1
+              }
+          }
+    (0 to meta.maxLevel).foreach { l =>
+      scanDebris(layerDir(root, l)); scanDebris(sidecarDir(root, l))
+    }
+    val intents =
+      if (!fs.exists(refreshDir(root))) 0L
+      else fs.listStatus(refreshDir(root))
+        .count(_.getPath.getName.endsWith(".intent")).toLong
+    out += (("uncommitted_debris", debris,
+      if (debris == 0) ""
+      else s"$debris uncommitted leaf dirs (run recover; " +
+        s"$intents intents pending)"))
+    out += (("pending_refresh", intents,
+      if (intents == 0) "" else "run recover"))
+    out.toSeq.toDF("check", "bad_count", "detail").orderBy($"check")
+  }
+
   /** Continuous durable ingest — the graph-index twin of
     * [[Streaming.streamInsertIndexedMaintained]]: every micro-batch of
     * (idCol, vecCol) rows lands in the persisted hierarchy through ONE

@@ -298,6 +298,66 @@ class HnswIndexSpec extends SparkSpec {
       .count() > 0)
   }
 
+  test("describe + fsck: healthy index reports clean; crash debris, GC debt and hand-damage surface with names") {
+    import spark.implicits._
+    val path = freshDir("graft_hidx_ops_")
+    buildAt(path)
+    HnswIndex.ingest(spark, path, batch)
+    // healthy: every fsck check zero, describe structure coherent
+    val checks = HnswIndex.fsck(spark, path).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(checks.values.forall(_ == 0L), s"healthy index not clean: " +
+      checks.filter(_._2 != 0L).toSeq.sorted.mkString(", "))
+    val desc = HnswIndex.describe(spark, path).collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(desc(("members", 0)) == e.count(),
+      "level-0 members must equal the full corpus after ingest")
+    assert(desc(("epochs_committed", -1)) == 2L &&
+      desc(("max_epoch", -1)) == 1L)
+    assert(desc(("epoch_debt", -1)) == 0L &&
+      desc(("pending_refresh", -1)) == 0L)
+    assert(desc(("edge_rows", 0)) > desc(("edge_rows", 1)),
+      "upper layer must be geometrically sparser")
+
+    // crash AFTER commit, BEFORE GC: describe reports epoch debt and a
+    // pending intent; recover() folds both back to zero
+    class Boom extends RuntimeException("injected")
+    val tomb = e.filter(pmod($"vec_id", lit(17)) === 3)
+      .select($"vec_id".as("id"))
+    intercept[Boom] {
+      HnswIndex.purge(spark, path, tomb, "id",
+        hook = s => if (s == "committed") throw new Boom)
+    }
+    val descCrash = HnswIndex.describe(spark, path).collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(descCrash(("epoch_debt", -1)) > 0L &&
+      descCrash(("pending_refresh", -1)) == 1L,
+      s"post-commit crash must surface as debt + intent: $descCrash")
+    HnswIndex.recover(spark, path)
+    val descRec = HnswIndex.describe(spark, path).collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(descRec(("epoch_debt", -1)) == 0L &&
+      descRec(("pending_refresh", -1)) == 0L)
+
+    // hand-damage the tree: a foreign uncommitted leaf dir (no intent
+    // covers it) and a duplicated sidecar row — fsck names both
+    val root = new java.io.File(path)
+    val cellDir = new java.io.File(root, "layer_0").listFiles()
+      .filter(_.getName.startsWith("__c=")).head
+    assert(new java.io.File(cellDir, "__e=999").mkdirs())
+    val sideLeaf = new java.io.File(root, "_sidecar/level_0").listFiles()
+      .filter(_.getName.startsWith("__c=")).head.listFiles()
+      .filter(_.getName.startsWith("__e=")).head
+    val dupRow = spark.read.parquet(sideLeaf.getAbsolutePath).limit(1)
+    dupRow.write.mode("append").parquet(sideLeaf.getAbsolutePath)
+    val damaged = HnswIndex.fsck(spark, path).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(damaged("uncommitted_debris") == 1L,
+      s"fsck must find the orphan leaf: $damaged")
+    assert(damaged("duplicate_ids") == 1L,
+      s"fsck must find the duplicated member: $damaged")
+  }
+
   test("fence census: every commit rename in HnswIndex.scala sits behind a MaintainedLock.check") {
     val lines = java.nio.file.Files.readAllLines(java.nio.file.Paths.get(
       "src/main/scala/graft/streaming/HnswIndex.scala"))
