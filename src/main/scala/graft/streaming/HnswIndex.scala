@@ -453,13 +453,16 @@ object HnswIndex {
 
   /** Attach each delta edge's level-l cell from the touched-cell
     * id→cell map (srcs of a refresh delta are exactly the touched
-    * cells' members ∪ the batch — both present in `idCells`).
+    * cells' members ∪ the batch — both present in `idCells`). No
+    * broadcast hint: the map is touched-cell-bounded, which is small
+    * for a cell-local batch but corpus-sized for a scattered one —
+    * let AQE pick the join side from the real size.
     */
   private def withCells(delta: DataFrame, idCells: DataFrame): DataFrame =
     delta.select(col("src").cast("long").as("src"),
         col("dst").cast("long").as("dst"),
         col("score").cast("double").as("score"))
-      .join(broadcast(idCells), Seq("src"))
+      .join(idCells, Seq("src"))
 
   /** Append a batch of new vectors DURABLY: compute the
     * [[Ann.hnswInsert]] delta against the persisted hierarchy through
@@ -535,7 +538,7 @@ object HnswIndex {
       val plans = (0 to meta.maxLevel).map { l =>
         val (cells, _, newSide) = perLevel(l)
         // id→cell of everything a delta src can be: the new sidecar
-        // content (touched members ∪ batch) — broadcast, batch-bounded
+        // content (touched members ∪ batch)
         val idCells = newSide
           .select(col(meta.idCol).cast("long").as("src"),
             col("cell_id").cast("long").as("cell_id"))
