@@ -1465,6 +1465,53 @@ object Profile {
           time(s"S100-HNSW compact 1-cell purge ${n}x (sidecar)")(
             println("  tombstones=" + tomb.count() +
               " relinked=" + cmp()))
+          // DURABLE index: build once (per-cell epoch-versioned leaves
+          // + sidecar + fenced commit), then a CELL-LOCAL refresh —
+          // 500 new vectors jittered off cell 0's members, so the
+          // touched set is ~one cell and the transaction writes ~one
+          // cell's leaves per level. Under C ∝ n the cell size is
+          // constant, so this curve must stay FLAT across the decades
+          // — the "refresh cost tracks the batch, not the corpus"
+          // claim, measured end to end (delta + leaf rewrite + sidecar
+          // + commit + GC + the full-membership disjointness scan,
+          // which is the one corpus-row-count term and is an
+          // id-column-only read). A batch SPREAD over all cells
+          // re-links every cell by the repair semantics — that regime
+          // is the documented rebuild-instead threshold, not this row.
+          val mpath = new java.io.File(hd, "midx").getAbsolutePath
+          time(s"S100-HNSW durable build+persist ${n}x")(
+            graft.streaming.HnswIndex.build(spark, mpath, vecs, cc,
+              "vec_id", "embedding", "cent_id", "cvec", k = 4,
+              fanout = 4, maxLevel = 1))
+          def cell0Batch(idBase: Long): DataFrame =
+            asg(0).filter($"cell_id" === 0)
+              .select($"vec_id", $"embedding")
+              .orderBy($"vec_id").limit(500)
+              .withColumn("vec_id", $"vec_id" + lit(idBase))
+              .withColumn("embedding", transform($"embedding",
+                x => (x + lit(0.0001f)).cast("float")))
+              .localCheckpoint(true)
+          // phase breakdown rides the crash-injection hook: pre-intent
+          // = planning collects + the full-membership disjointness
+          // scan (the one corpus-row-count term); intent→appended =
+          // delta compute + touched-cell leaf writes; the rest is
+          // fence + commit + GC
+          val t0 = System.nanoTime()
+          val marks = scala.collection.mutable.LinkedHashMap[String, Double]()
+          time(s"S100-HNSW durable 1-cell refresh ${n}x")(
+            println("  epoch=" + graft.streaming.HnswIndex.ingest(
+              spark, mpath, cell0Batch(950000000L),
+              hook = s => marks(s) = (System.nanoTime() - t0) / 1e9)))
+          println(f"  phases: pre-intent=${marks("intent")}%.2f" +
+            f" write=${marks("appended") - marks("intent")}%.2f" +
+            f" commit+gc(rest) — total at ${n}x")
+          // the same refresh with the disjointness scan SKIPPED (the
+          // structurally-fresh-ids contract): isolates how much of the
+          // curve's growth is that scan vs the cell-local work
+          time(s"S100-HNSW durable 1-cell refresh ${n}x (no-check)")(
+            println("  epoch=" + graft.streaming.HnswIndex.ingest(
+              spark, mpath, cell0Batch(960000000L),
+              checkDisjoint = false)))
         }
       }
     }

@@ -473,13 +473,20 @@ object HnswIndex {
     * — the sidecar covers the index EXACTLY after every commit), all
     * in one fenced intent→append→commit→GC transaction. Batch ids
     * must be new (loud require — the [[Ann.hnswInsert]] contract,
-    * checked here against the full level-0 sidecar id column).
-    * Returns the committed epoch; a replay whose epoch already
-    * committed is skipped whole and returns it unchanged.
+    * checked here against the full level-0 sidecar id column; this is
+    * the ONE corpus-row-count term in the refresh — an id-only
+    * column-pruned scan. `checkDisjoint = false` skips it for
+    * producers that guarantee fresh ids structurally, e.g. a crawler
+    * assigning monotonic ids — the collision failure mode is then
+    * silent graph corruption, so leave it on unless the scan is
+    * measured to matter). Returns the committed epoch; a replay whose
+    * epoch already committed is skipped whole and returns it
+    * unchanged.
     */
   def ingest(spark: SparkSession, path: String, batch: DataFrame,
              epoch: Option[Long] = None,
-             hook: String => Unit = _ => ()): Long = {
+             hook: String => Unit = _ => (),
+             checkDisjoint: Boolean = true): Long = {
     val root = new Path(path)
     MaintainedLock.withLease(spark, root) { lease =>
       recover(spark, path)
@@ -496,16 +503,18 @@ object HnswIndex {
       val bounds = b.agg(min(col(meta.idCol)), max(col(meta.idCol))).head
       if (bounds.isNullAt(0)) return committed.max // empty batch: no-op
       require(bounds.getLong(0) >= 0, "ids must be non-negative integrals")
-      // disjointness against the FULL membership (a collision's twin
-      // can live in an untouched cell): id-column-pruned scan, limit-1
-      val allIds = readVectors(spark, path)
-        .select(col(meta.idCol).cast("long").as("__id"))
-      val clash = b.select(col(meta.idCol).cast("long").as("__id"))
-        .join(allIds, Seq("__id"), "left_semi").limit(1).collect()
-      require(clash.isEmpty,
-        s"ingest: batch id ${clash.head.getLong(0)} already exists in " +
-          "the index — ids are append-only; dedup the batch or route " +
-          "updates through purge + ingest")
+      val vecTable = readVectors(spark, path)
+      if (checkDisjoint) {
+        // disjointness against the FULL membership (a collision's twin
+        // can live in an untouched cell): id-column-pruned scan, limit-1
+        val allIds = vecTable.select(col(meta.idCol).cast("long").as("__id"))
+        val clash = b.select(col(meta.idCol).cast("long").as("__id"))
+          .join(allIds, Seq("__id"), "left_semi").limit(1).collect()
+        require(clash.isEmpty,
+          s"ingest: batch id ${clash.head.getLong(0)} already exists in " +
+            "the index — ids are append-only; dedup the batch or route " +
+            "updates through purge + ingest")
+      }
       val bAsg = Ann.hnswAssignLevels(b, cents, meta.idCol, meta.vecCol,
         meta.centIdCol, meta.centVecCol, meta.fanout, meta.maxLevel)
         .map(_.localCheckpoint(false))
@@ -528,8 +537,7 @@ object HnswIndex {
           edgeSchema)
           .select(col("src"), col("dst"), col("score"))
       }
-      val vectors = readVectors(spark, path)
-        .select(col(meta.idCol), col(meta.vecCol))
+      val vectors = vecTable.select(col(meta.idCol), col(meta.vecCol))
       val deltas = Ann.hnswInsert(restricted, vectors, b, cents,
         meta.idCol, meta.vecCol, meta.centIdCol, meta.centVecCol,
         meta.k, meta.fanout, deltaOnly = true,
@@ -810,14 +818,16 @@ object HnswIndex {
   def streamInsertHnswMaintained(stream: DataFrame, indexPath: String,
       checkpointPath: String,
       onIngest: (Long, Long) => Unit = (_, _) => (),
-      hook: String => Unit = _ => ()): StreamingQuery =
+      hook: String => Unit = _ => (),
+      checkDisjoint: Boolean = true): StreamingQuery =
     stream.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointPath)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
           val e = ingest(batch.sparkSession, indexPath, batch,
-            epoch = Some(batchId + 1L), hook = hook)
+            epoch = Some(batchId + 1L), hook = hook,
+            checkDisjoint = checkDisjoint)
           onIngest(batchId, e)
         }
         ()

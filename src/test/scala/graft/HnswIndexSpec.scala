@@ -358,6 +358,42 @@ class HnswIndexSpec extends SparkSpec {
       s"fsck must find the duplicated member: $damaged")
   }
 
+  test("zombie fence: a writer that loses its lease mid-refresh aborts before the commit; the heal applies exactly-once") {
+    val path = freshDir("graft_hidx_znb_")
+    buildAt(path)
+    val pre = layersOf(path)
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // between the appends and the commit rename a replacement driver
+    // takes over (simulated as its higher-epoch lease file appearing —
+    // what acquire() writes after staleness)
+    val fenced = intercept[RuntimeException] {
+      HnswIndex.ingest(spark, path, batch, hook = s =>
+        if (s == "appended") {
+          val out = fs.create(new org.apache.hadoop.fs.Path(root,
+            "_LOCK/e_99__driverZ.lease"), true)
+          try out.write("driverZ".getBytes("UTF-8")) finally out.close()
+        })
+    }
+    assert(fenced.getMessage.contains("fenced"), fenced.getMessage)
+    // NO TORN COMMIT: the rename never happened — the appended leaves
+    // are invisible uncommitted debris, serving still sees the build
+    assert(!new java.io.File(s"$path/_refresh/e_1.commit").exists(),
+      "fenced writer must not have committed")
+    assert(layersOf(path) == pre, "fenced refresh must stay invisible")
+    // the usurper died too; sweep its lease and re-run: recovery rolls
+    // the debris back and the refresh applies exactly once
+    fs.delete(new org.apache.hadoop.fs.Path(root,
+      "_LOCK/e_99__driverZ.lease"), false)
+    assert(HnswIndex.ingest(spark, path, batch) == 1L)
+    val layers = Ann.hnswBuild(existing, cents, "vec_id", "embedding",
+      "cent_id", "cvec", k = 4, fanout = 4, maxLevel = 1)
+    val merged = Ann.hnswInsert(layers, existing, batch, cents, "vec_id",
+      "embedding", "cent_id", "cvec", k = 4, fanout = 4)
+    assert(layersOf(path) == merged.map(edgeSet),
+      "post-heal refresh must equal the merge exactly once")
+  }
+
   test("fence census: every commit rename in HnswIndex.scala sits behind a MaintainedLock.check") {
     val lines = java.nio.file.Files.readAllLines(java.nio.file.Paths.get(
       "src/main/scala/graft/streaming/HnswIndex.scala"))
