@@ -161,4 +161,128 @@ object RehomeExpressions {
       GraftShim.expression(cellCol.cast("long")),
       GraftShim.expression(vecCol),
       RehomePlanData(plan, eps)))
+
+  /** Column API: nearest-centroid argmax over ONE flat centroid matrix
+    * — the [[AssignArgmax]] kernel `Ann.ivfAssign` switches to past its
+    * unroll threshold.
+    */
+  def assignArgmax(vecCol: Column, cents: Seq[(Long, Seq[Float])],
+                   eps: Double): Column =
+    GraftShim.column(AssignArgmax(GraftShim.expression(vecCol),
+      AssignMatrixData(cents, eps)))
+}
+
+/** The flat centroid matrix for [[AssignArgmax]] — `Ann.ivfAssign`'s
+  * kernel twin of [[RehomePlanData]] (no per-cell keying: every row
+  * scores against the SAME matrix). One reference object rides the
+  * projection, so the generated code is CENTROID-COUNT-INDEPENDENT: the
+  * unrolled in-literal argmax crosses the JVM's 64 KB method limit near
+  * C ≈ 1500 (dim 64) and every stage then pays a janino compile attempt
+  * before falling back to interpreted projection — the C-linear term
+  * the round-11 100× refresh phase breakdown exposed. Scoring
+  * replicates the expression-tree path BIT-EXACTLY: sequential
+  * left-fold double dot (the codegen dot kernel's order), round₆
+  * HALF_UP, nanSafeCompare double order, ties to the smallest centroid
+  * id (AnnSpec pins kernel ≡ unrolled across the threshold).
+  */
+final class AssignMatrixData private (
+    private val cids: Array[Long],
+    private val vecs: Array[Array[Float]],
+    private val norms: Array[Double],
+    private val eps: Double) extends Serializable {
+
+  private def cmp(x: Double, y: Double): Int =
+    if (x < y) -1
+    else if (x > y) 1
+    else if (java.lang.Double.isNaN(x)) { if (java.lang.Double.isNaN(y)) 0 else 1 }
+    else if (java.lang.Double.isNaN(y)) -1
+    else 0
+
+  private def round6(x: Double): Double =
+    if (java.lang.Double.isNaN(x) || java.lang.Double.isInfinite(x)) x
+    else java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  def assign(v: ArrayData): Long = {
+    val n = v.numElements()
+    var dvv = 0.0
+    var i = 0
+    while (i < n) {
+      val x = v.getFloat(i).toDouble
+      dvv += x * x
+      i += 1
+    }
+    val vn = math.max(math.sqrt(dvv), eps)
+    var bestId = Long.MinValue
+    var bestScore = 0.0
+    var first = true
+    var j = 0
+    while (j < cids.length) {
+      val cv = vecs(j)
+      val m = math.min(n, cv.length)
+      var dot = 0.0
+      i = 0
+      while (i < m) {
+        dot += v.getFloat(i).toDouble * cv(i).toDouble
+        i += 1
+      }
+      val s = round6(dot / (vn * norms(j)))
+      val c = if (first) 1 else cmp(s, bestScore)
+      if (c > 0 || (c == 0 && cids(j) < bestId)) {
+        bestScore = s
+        bestId = cids(j)
+      }
+      first = false
+      j += 1
+    }
+    bestId
+  }
+}
+
+object AssignMatrixData {
+  def apply(cents: Seq[(Long, Seq[Float])], eps: Double): AssignMatrixData = {
+    require(cents.nonEmpty, "centroid matrix must be non-empty")
+    val sorted = cents.sortBy(_._1)
+    new AssignMatrixData(
+      sorted.map(_._1).toArray,
+      sorted.map(_._2.toArray).toArray,
+      sorted.map { case (_, cv) =>
+        var n2 = 0.0
+        cv.foreach(x => n2 += x.toDouble * x.toDouble)
+        math.max(math.sqrt(n2), eps)
+      }.toArray,
+      eps)
+  }
+}
+
+/** Centroid-count-independent nearest-centroid projection:
+  * `assign(vec)` against an [[AssignMatrixData]] reference object.
+  * Interpreted and codegen paths call the SAME compiled kernel, so they
+  * agree by construction and the generated method body is one call.
+  */
+case class AssignArgmax(child: Expression, matrix: AssignMatrixData)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"AssignArgmax requires ARRAY<FLOAT>, got ${other.simpleString}")
+    }
+
+  override def nullSafeEval(v: Any): Any =
+    matrix.assign(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("assignMatrix", matrix,
+      classOf[AssignMatrixData].getName)
+    nullSafeCodeGen(ctx, ev, v => s"${ev.value} = $ref.assign($v);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }

@@ -100,6 +100,17 @@ object Ann {
     * struct comparison gives max score, ties to the LOWEST centroid id.
     * Per-centroid norms are computed driver-side with the same sequential
     * left-fold summation as the codegen dot kernel, keeping bit parity.
+    *
+    * TWO formulations, bit-identical (AnnSpec pins equality across the
+    * threshold): up to [[UnrollCentroids]] the argmax unrolls as
+    * in-literal expressions (codegen folds each centroid to constants —
+    * fastest at serving C); past it, one [[graft.expressions]]
+    * `AssignArgmax` kernel rides the projection as a reference object,
+    * so generated code stays CENTROID-COUNT-INDEPENDENT — the unrolled
+    * form crosses the JVM 64 KB method limit near C ≈ 1500 (dim 64)
+    * and every stage then pays a janino compile attempt before falling
+    * back to interpreted projection (the C-linear term the round-11
+    * 100× refresh phase breakdown measured).
     */
   def ivfAssign(vectors: DataFrame, centroids: DataFrame, idCol: String,
                 vecCol: String, centIdCol: String, centVecCol: String): DataFrame = {
@@ -114,15 +125,28 @@ object Ann {
       }
       .sortBy(_._1)
     require(cents.nonEmpty, "centroids must be non-empty")
-    val vn = greatest(sqrt(dotF(col(vecCol), col(vecCol))), lit(V.NormEps))
-    val perCent = cents.map { case (cid, cvec, cn) =>
-      struct(
-        round(dotF(col(vecCol), typedLit(cvec)) / (vn * lit(cn)), 6).as("score"),
-        lit(-cid).as("negid"))
+    if (cents.length > UnrollCentroids)
+      vectors.withColumn("cell_id",
+        graft.expressions.RehomeExpressions.assignArgmax(col(vecCol),
+          cents.map(c => (c._1, c._2)), V.NormEps))
+    else {
+      val vn = greatest(sqrt(dotF(col(vecCol), col(vecCol))), lit(V.NormEps))
+      val perCent = cents.map { case (cid, cvec, cn) =>
+        struct(
+          round(dotF(col(vecCol), typedLit(cvec)) / (vn * lit(cn)), 6).as("score"),
+          lit(-cid).as("negid"))
+      }
+      val best = array_max(array(perCent: _*))
+      vectors.withColumn("cell_id", -best.getField("negid"))
     }
-    val best = array_max(array(perCent: _*))
-    vectors.withColumn("cell_id", -best.getField("negid"))
   }
+
+  /** Unroll ceiling for [[ivfAssign]]'s in-literal argmax: past this the
+    * kernel formulation takes over. 256 × dim-64 dot expressions sit
+    * comfortably under codegen budgets; the cliff (janino 64 KB) is
+    * near C ≈ 1500.
+    */
+  private[graft] val UnrollCentroids = 256
 
   /** Deterministic k-means (Lloyd) centroid training in DataFrames.
     *

@@ -1053,6 +1053,69 @@ class AnnSpec extends SparkSpec {
         "(unsorted layout would surface ~4096)")
   }
 
+  test("ivfAssign kernel path ≡ unrolled path bit-exactly; >threshold assignment matches the driver-side fold") {
+    import spark.implicits._
+    // vectors: deterministic spread + a zero vector (eps clamp) + rows
+    // landing on exact ties (duplicate centroid vectors)
+    val vecs = ((0L until 100L).map { i =>
+      (i, Seq.tabulate(8)(d => ((i * (d + 3)) % 97).toFloat / 10f))
+    } :+ (100L, Seq.fill(8)(0f)))
+      .toDF("id", "embedding")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+    def centSeq(c: Int): Seq[(Long, Seq[Float])] =
+      (0 until c).map { j =>
+        // centroids 7 and 8 are EXACT duplicates — ties must break to 7
+        val k = if (j == 8) 7 else j
+        (j.toLong, Seq.tabulate(8)(d => ((k * (d + 5)) % 89).toFloat / 10f))
+      }
+    val small = centSeq(40)
+    val smallDf = small.toDF("cent_id", "cvec")
+      .withColumn("cvec", col("cvec").cast("array<float>"))
+    // 1. same centroid set: the public (unrolled, C < threshold) path
+    // and the kernel expression agree row for row
+    val unrolled = Ann.ivfAssign(vecs, smallDf, "id", "embedding",
+        "cent_id", "cvec")
+      .select(col("id"), col("cell_id"))
+    val kernel = vecs.withColumn("cell_id",
+        graft.expressions.RehomeExpressions.assignArgmax(col("embedding"),
+          small, graft.functions.VectorFunctions.NormEps))
+      .select(col("id"), col("cell_id"))
+    assert(unrolled.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      kernel.collect().map(r => (r.getLong(0), r.getLong(1))).toSet,
+      "kernel and unrolled assignment must agree bit-exactly")
+    // the duplicate-centroid tie resolves to the LOWEST id on both paths
+    assert(!unrolled.collect().exists(_.getLong(1) == 8L) &&
+      !kernel.collect().exists(_.getLong(1) == 8L),
+      "exact duplicate centroid must never win over its lower-id twin")
+    // 2. past the threshold the public API switches to the kernel —
+    // verify against an independent driver-side fold with the same
+    // sequential-sum + HALF_UP round + (score desc, id asc) order
+    val big = centSeq(Ann.UnrollCentroids + 44)
+    val bigDf = big.toDF("cent_id", "cvec")
+      .withColumn("cvec", col("cvec").cast("array<float>"))
+    val got = Ann.ivfAssign(vecs, bigDf, "id", "embedding",
+        "cent_id", "cvec")
+      .select(col("id"), col("cell_id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def round6(x: Double) =
+      java.math.BigDecimal.valueOf(x)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    val eps = graft.functions.VectorFunctions.NormEps
+    val rows = vecs.collect().map(r => r.getLong(0) -> r.getSeq[Float](1))
+    rows.foreach { case (id, v) =>
+      val vn = math.max(math.sqrt(
+        v.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble)), eps)
+      val want = big.map { case (cid, cv) =>
+        val cn = math.max(math.sqrt(
+          cv.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble)), eps)
+        val dot = v.zip(cv).foldLeft(0.0)((a, p) =>
+          a + p._1.toDouble * p._2.toDouble)
+        (round6(dot / (vn * cn)), cid)
+      }.minBy { case (s, cid) => (-s, cid) }._2
+      assert(got(id) == want, s"row $id: kernel ${got(id)} != fold $want")
+    }
+  }
+
   test("incremental-op guards throw loudly: id collision, stale sidecar, oversized tombstone set") {
     import spark.implicits._
     def vecs(ids: Seq[Long]) = ids.map(i => (i, Seq(1f, (i % 7).toFloat)))
