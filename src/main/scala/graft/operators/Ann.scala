@@ -798,7 +798,8 @@ object Ann {
                   k: Int, fanout: Int,
                   deltaOnly: Boolean = false,
                   existingAssigned: Seq[DataFrame] = Nil,
-                  verifySidecar: Boolean = true): Seq[DataFrame] = {
+                  verifySidecar: Boolean = true,
+                  boundedTomb: Option[DataFrame] = None): Seq[DataFrame] = {
     require(layers.nonEmpty, "layers must be non-empty")
     require(k >= 1 && fanout >= 2, s"need k >= 1, fanout >= 2; got $k, $fanout")
     require(existingAssigned.isEmpty || existingAssigned.length == layers.length,
@@ -817,7 +818,11 @@ object Ann {
     val maxLevel = layers.length - 1
     val nCents = centroids.count()
     val lvl = hnswLevel(col(idCol), fanout, maxLevel)
-    val tomb = boundedTombstones(tombstones, tombIdCol)
+    // `boundedTomb`: a caller that already ran [[boundedTombstones]]
+    // (e.g. HnswIndex.purge, which needs the distinct set for its own
+    // cell discovery) passes it through — its `__tid` column is the
+    // contract — so the ceiling count job runs once per purge, not twice
+    val tomb = boundedTomb.getOrElse(boundedTombstones(tombstones, tombIdCol))
     (0 to maxLevel).map { l =>
       val exM = if (l == 0) existing else existing.filter(lvl >= l)
       val m = math.max(1L,
@@ -882,7 +887,11 @@ object Ann {
     * tombstones per neighborhood` so survivors fill the page. Fully
     * deterministic (same beam, same quantized scores, filter + (score
     * desc, id asc) re-rank), so the oracle replays search + NOT IN.
-    * Returns (rank, idCol, score), rank 1..≤k.
+    * Returns (rank, idCol, score), rank 1..≤k. NOTE the driver-side
+    * re-rank emits `idCol` as LongType regardless of the input id type
+    * (the non-negative-integral-id contract every graph face already
+    * requires); a null score — possible only from a null stored vector
+    * — ranks last rather than NPE-ing the re-rank.
     */
   def hnswSearchDeleted(layers: Seq[DataFrame], vectors: DataFrame,
                         idCol: String, vecCol: String, query: Seq[Float],
@@ -900,7 +909,8 @@ object Ann {
     import spark.implicits._
     res.join(t, col(idCol).cast("long") === col("__tid"), "left_anti")
       .select(col(idCol).cast("long"), col("score"))
-      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) Double.NegativeInfinity else r.getDouble(1)))
       .sortBy { case (id, s) => (-s, id) }
       .take(k).toSeq.zipWithIndex
       .map { case ((id, s), r) => (r + 1, id, s) }

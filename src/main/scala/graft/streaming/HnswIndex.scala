@@ -612,7 +612,7 @@ object HnswIndex {
         tombIdCol, readCentroids(spark, path), meta.idCol, meta.vecCol,
         meta.centIdCol, meta.centVecCol, meta.k, meta.fanout,
         deltaOnly = true, existingAssigned = plans.map(_._2),
-        verifySidecar = false)
+        verifySidecar = false, boundedTomb = Some(tomb))
       val perLevel = (0 to meta.maxLevel).map { l =>
         val (cells, _, survivors) = plans(l)
         val idCells = survivors
