@@ -162,6 +162,11 @@ object Bench {
     // fixture-inclusive; hnsw_refresh_op/hnsw_compact_op isolate the
     // op costs)
     "q_hnsw_maintained", "q_hnsw_maintained_purge",
+    // round-12: durable soft delete (streamed tombstones, honored by
+    // the serve faces) and the vacuum (purge everything pending +
+    // retire the sidecar); hnsw_softdelete_op / hnsw_sdserve_op
+    // isolate the op costs beside the fixture-inclusive oracle rows
+    "q_hnsw_maintained_delete", "q_hnsw_maintained_vacuum",
     // round-10 census fill (BenchCensusSpec now pins headline ⊇
     // SparkEntry.queries, so a gap like this can't recur silently):
     // sparse/grouped/recommend serving faces that predated the census
@@ -528,6 +533,32 @@ object Bench {
       results("hnsw_refresh_op") = math.min(
         time(graft.streaming.HnswIndex.ingest(spark, midx, mb1)),
         time(graft.streaming.HnswIndex.ingest(spark, midx, mb2)))
+
+      // durable SOFT-delete twin: the fenced tombstone-sidecar commit
+      // (no data file touched) — two disjoint delete sets, fold min
+      // (write-once epochs, the hnsw_refresh_op discipline)
+      val sdt1 = exist.filter(pmod(col("vec_id"), lit(34)) === 3)
+        .select(col("vec_id").as("id"))
+      val sdt2 = exist.filter(pmod(col("vec_id"), lit(34)) === 20)
+        .select(col("vec_id").as("id"))
+      results("hnsw_softdelete_op") = math.min(
+        time(graft.streaming.HnswIndex.softDelete(spark, midx, sdt1, "id")),
+        time(graft.streaming.HnswIndex.softDelete(spark, midx, sdt2, "id")))
+
+      // tombstone-honoring durable serve twin: beam over the persisted
+      // hierarchy + broadcast anti-join + k-trim, deletes pending
+      val sq = exist.filter(col("vec_id") === 42)
+        .select(col("embedding")).head.getSeq[Float](0)
+      def runSdServe(): Long = graft.streaming.HnswIndex.search(
+        spark, midx, sq, beam = 8, hops = 3, k = 5).count()
+      runSdServe() // warmup
+      results("hnsw_sdserve_op") =
+        math.min(time(runSdServe()), time(runSdServe()))
+
+      // the VACUUM twin: purge everything pending + retire the sidecar
+      // in one fenced transaction (write-once: single timed run)
+      results("hnsw_vacuum_op") =
+        time(graft.streaming.HnswIndex.purgeDeletes(spark, midx))
     }
 
     // -------- 2. headline analytics / dedup queries ---------------------

@@ -1473,9 +1473,12 @@ object Profile {
           // constant, so this curve must stay FLAT across the decades
           // — the "refresh cost tracks the batch, not the corpus"
           // claim, measured end to end (delta + leaf rewrite + sidecar
-          // + commit + GC + the full-membership disjointness scan,
-          // which is the one corpus-row-count term and is an
-          // id-column-only read). A batch SPREAD over all cells
+          // + commit + GC + the id-group BITMAP disjointness probe,
+          // which since round 12 reads only the batch's own groups'
+          // leaves — the former full-membership id-column scan, the
+          // one corpus-row-count term, is gone; the check-on and
+          // no-check rows below should now coincide at every scale).
+          // A batch SPREAD over all cells
           // re-links every cell by the repair semantics — that regime
           // is the documented rebuild-instead threshold, not this row.
           val mpath = new java.io.File(hd, "midx").getAbsolutePath
@@ -1492,10 +1495,9 @@ object Profile {
                 x => (x + lit(0.0001f)).cast("float")))
               .localCheckpoint(true)
           // phase breakdown rides the crash-injection hook: pre-intent
-          // = planning collects + the full-membership disjointness
-          // scan (the one corpus-row-count term); intent→appended =
-          // delta compute + touched-cell leaf writes; the rest is
-          // fence + commit + GC
+          // = planning collects + the group-pruned bitmap probe;
+          // intent→appended = delta compute + touched-cell leaf
+          // writes; the rest is fence + commit + GC
           val t0 = System.nanoTime()
           val marks = scala.collection.mutable.LinkedHashMap[String, Double]()
           time(s"S100-HNSW durable 1-cell refresh ${n}x")(
@@ -1505,9 +1507,9 @@ object Profile {
           println(f"  phases: pre-intent=${marks("intent")}%.2f" +
             f" write=${marks("appended") - marks("intent")}%.2f" +
             f" commit+gc(rest) — total at ${n}x")
-          // the same refresh with the disjointness scan SKIPPED (the
-          // structurally-fresh-ids contract): isolates how much of the
-          // curve's growth is that scan vs the cell-local work
+          // the same refresh with the disjointness probe SKIPPED (the
+          // structurally-fresh-ids contract): with the bitmap probe
+          // batch-bounded, this row should match the check-on row
           time(s"S100-HNSW durable 1-cell refresh ${n}x (no-check)")(
             println("  epoch=" + graft.streaming.HnswIndex.ingest(
               spark, mpath, cell0Batch(960000000L),

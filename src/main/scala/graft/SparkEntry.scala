@@ -355,13 +355,13 @@ object SparkEntry {
     vectorQueries ++ relationalQueries ++ eventsQueries ++ textQueries ++
       dedupQueries ++ extraQueries ++ round5Queries ++ round6Queries ++
       round7Queries ++ round8Queries ++ round9Queries ++ round10Queries ++
-      round11Queries
+      round11Queries ++ round12Queries
 
   def oracleSql: Map[String, String] =
     vectorOracles ++ relationalOracles ++ eventsOracles ++ textOracles ++
       dedupOracles ++ extraOracles ++ round5Oracles ++ round6Oracles ++
       round7Oracles ++ round8Oracles ++ round9Oracles ++ round10Oracles ++
-      round11Oracles
+      round11Oracles ++ round12Oracles
 
   // ======================================================= vector workload
 
@@ -14254,4 +14254,80 @@ object SparkEntry {
     // the oracle be shared verbatim
     "q_hnsw_maintained" -> round9Oracles("q_hnsw_insert"),
     "q_hnsw_maintained_purge" -> round9Oracles("q_hnsw_compact"))
+
+  private def round12Queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Durable SOFT delete (HnswIndex.softDelete): the delete-cheap-now
+    // third of the maintained lifecycle — tombstones STREAM into the
+    // persisted index's _deletes sidecar through the exactly-once
+    // delete loop (streamDeleteHnswMaintained), no data file touched,
+    // and the tombstone-honoring serve (search = beam over the full
+    // graph, tombstones filtered from the page, survivors re-ranked,
+    // k-trim) reads them back from disk. Deterministic end to end, so
+    // the oracle is the q_hnsw_delete replay verbatim — the hash
+    // certifies the durable sidecar write, the fenced commit, AND the
+    // serving filter in one row.
+    "q_hnsw_maintained_delete" -> ((s, dir) => {
+      import s.implicits._
+      val e = t(s, dir, "embeddings").select($"vec_id", $"embedding")
+      val cents = e.filter($"vec_id" < 16)
+        .select($"vec_id".as("cent_id"), $"embedding".as("cvec"))
+      val d = java.nio.file.Files.createTempDirectory("graft_hidxd_q_").toFile
+      jsonlTmpCleanup(d)
+      val idx = new java.io.File(d, "idx").getAbsolutePath
+      val in = new java.io.File(d, "in").getAbsolutePath
+      val ckpt = new java.io.File(d, "c").getAbsolutePath
+      HnswIndex.build(s, idx, e, cents, "vec_id", "embedding",
+        "cent_id", "cvec", k = 4, fanout = 4, maxLevel = 1)
+      val tomb = e.filter(pmod($"vec_id", lit(17)) === 3)
+        .select($"vec_id".as("id"))
+      tomb.coalesce(1).write.mode("overwrite").parquet(in)
+      val q = HnswIndex.streamDeleteHnswMaintained(
+        s.readStream.schema(tomb.schema).parquet(in), "id", idx, ckpt)
+      q.processAllAvailable()
+      q.stop()
+      val query = e.filter($"vec_id" === 42)
+        .select($"embedding").head.getSeq[Float](0)
+      HnswIndex.search(s, idx, query, beam = 8, hops = 3, k = 5)
+        .orderBy($"rank")
+    }),
+
+    // Durable VACUUM (HnswIndex.purgeDeletes): soft-deleted tombstones
+    // become physical in one fenced purge transaction and the sidecar
+    // retires WITH it — the query requires the sidecar empty before
+    // returning, so the hash certifies softDelete → purgeDeletes →
+    // rebuilt-on-survivors end to end. By the compact-equals-rebuild
+    // contract the oracle is the q_hnsw_compact replay verbatim.
+    "q_hnsw_maintained_vacuum" -> ((s, dir) => {
+      import s.implicits._
+      val e = t(s, dir, "embeddings").select($"vec_id", $"embedding")
+      val cents = e.filter($"vec_id" < 16)
+        .select($"vec_id".as("cent_id"), $"embedding".as("cvec"))
+      val d = java.nio.file.Files.createTempDirectory("graft_hidxv_q_").toFile
+      jsonlTmpCleanup(d)
+      val idx = new java.io.File(d, "idx").getAbsolutePath
+      HnswIndex.build(s, idx, e, cents, "vec_id", "embedding",
+        "cent_id", "cvec", k = 4, fanout = 4, maxLevel = 1)
+      val tomb = e.filter(pmod($"vec_id", lit(17)) === 3)
+        .select($"vec_id".as("id"))
+      HnswIndex.softDelete(s, idx, tomb, "id")
+      HnswIndex.purgeDeletes(s, idx)
+      require(HnswIndex.readDeletes(s, idx).isEmpty,
+        "purgeDeletes must retire the tombstones it makes physical")
+      HnswIndex.readLayers(s, idx).zipWithIndex
+        .map { case (df, l) => df.withColumn("level", lit(l)) }
+        .reduce(_.unionByName(_))
+        .select($"level", $"src", $"dst", $"score")
+        .orderBy($"level", $"src", $"dst")
+    })
+  )
+
+  private def round12Oracles: Map[String, String] = Map(
+    // tombstones route, never surface: the q_hnsw_delete closed-form
+    // replay IS the durable soft-delete serve, and compact-equals-
+    // rebuild makes the q_hnsw_compact replay the vacuum's oracle —
+    // shared verbatim, the serve-from-durable ≡ serve-from-operator
+    // identity the spec pins
+    "q_hnsw_maintained_delete" -> round9Oracles("q_hnsw_delete"),
+    "q_hnsw_maintained_vacuum" -> round9Oracles("q_hnsw_compact"))
 }

@@ -1,7 +1,7 @@
 package graft.streaming
 
 import org.apache.hadoop.fs.{FileSystem, Path}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
 import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType, LongType, StructField, StructType}
@@ -30,8 +30,15 @@ import graft.operators.Ann
   *   _LOCK/                         MaintainedLock lease files
   *   layer_<l>/__c=<cell>/__e=<n>/  edge rows (cell_id, src, dst, score)
   *   _sidecar/level_<l>/__c=<c>/__e=<n>/   (cell_id, id, vec) rows
+  *   _deletes/__e=<n>/              soft-delete tombstone ids (__tid)
+  *   _membership/__c=<g>/__e=<n>/   id-group bitmap (grp, word_idx,
+  *                                  word) — the exact disjointness
+  *                                  probe, g = id >> memberShift
   *   _refresh/e_<n>.intent          touched leaf-parent dirs, pre-append
-  *   _refresh/e_<n>.commit          THE commit point (atomic rename)
+  *   _refresh/e_<n>.commit          THE commit point (atomic rename);
+  *                                  line 1 `txn=<writer>:<batch>` is the
+  *                                  writer-identity record, the rest the
+  *                                  touched dirs
   * }}}
   *
   * Edge leaves partition by the src's LEVEL-l CELL, not by id range —
@@ -61,21 +68,45 @@ import graft.operators.Ann
   * and a committed crash is already fully visible; [[recover]] (run
   * automatically at the start of every maintenance op) rolls the
   * intent's listed dirs back (delete uncommitted `__e=<n>`) or forward
-  * (garbage-collect superseded epochs), both idempotent. A zombie
-  * writer that lost its lease is stopped by [[MaintainedLock.check]]
-  * immediately before the commit rename — its appended debris is
-  * exactly the uncommitted window recovery rolls back. HnswIndexSpec
-  * injects crashes at both windows and proves serve-from-refreshed ≡
-  * serve-from-merged either way.
+  * (garbage-collect superseded epochs), both idempotent. [[build]]
+  * itself rides the same protocol: its `e_0.intent` is written before
+  * the first data file, so a crash mid-build is rolled back by
+  * [[recover]] (the index dirs are wiped back to empty) instead of
+  * demanding hand deletion. A zombie writer that lost its lease is
+  * stopped by [[MaintainedLock.check]] immediately before the commit
+  * rename — its appended debris is exactly the uncommitted window
+  * recovery rolls back. HnswIndexSpec injects crashes at both windows
+  * and proves serve-from-refreshed ≡ serve-from-merged either way.
+  *
+  * == Read snapshots and GC retention ==
+  * Every serve call resolves the committed-epoch set ONCE and shares
+  * it across all layer, sidecar and tombstone reads — edges and
+  * vectors always come from the same snapshot even while a refresh
+  * commits concurrently. GC keeps the newest `graft.hnsw.gcRetain`
+  * committed generations per leaf (default 1); raise it to give
+  * in-flight readers a grace window (a reader's resolved leaf paths
+  * stay on disk across that many subsequent refreshes) and to widen
+  * the [[search]] `asOf` pin horizon — a pinned serve resolves only
+  * while its generation is retained, and fails LOUDLY (never silently
+  * partial) when GC has passed it.
   *
   * == Exactly-once streaming ==
-  * [[streamInsertHnswMaintained]] maps micro-batch n to epoch n + 1
-  * (epoch 0 is the build): a replayed batch whose commit marker exists
-  * is skipped whole (the refresh already happened — idempotent), one
-  * whose intent never committed is rolled back and re-applied. Do not
-  * mix manual [[ingest]] calls into a live stream's epoch space; run
-  * them before the stream starts or after it stops (the lease enforces
-  * the single-writer half of this).
+  * Replay identity is WRITER-SCOPED, the Delta `txnAppId`+`txnVersion`
+  * discipline: every commit marker records `txn=<writer>:<batch>` on
+  * its first line, epochs are allocated as max-committed + 1 (never
+  * positionally from a batch id), and a refresh carrying a (writer,
+  * batch) txn is skipped whole iff THAT writer's latest committed
+  * batch id is >= the incoming one — a replayed micro-batch after a
+  * crash re-finds its own commit and no-ops, while a manual [[ingest]]
+  * before, between, or during stream restarts simply takes the next
+  * epoch and can never cause a stream batch to be mistaken for a
+  * replay (there is no epoch collision to mis-read: epochs never
+  * encode batch ids). A stream restarted on a FRESH checkpoint gets a
+  * new writer identity, so its re-delivered batch 0 is treated as new
+  * work and the id-disjointness guard refuses it LOUDLY instead of
+  * silently dropping it. [[streamInsertHnswMaintained]] derives the
+  * writer identity from the checkpoint path (the checkpoint IS the
+  * replay scope); manual calls default to txn-less, which never skips.
   *
   * Scale shape per refresh: touched-cell pair scoring + k-bounded
   * re-rank (batch-proportional, [[Ann.hnswInsert]]'s contract), reads
@@ -90,7 +121,7 @@ object HnswIndex {
     */
   final case class Meta(idCol: String, vecCol: String, centIdCol: String,
                         centVecCol: String, maxLevel: Int, fanout: Int,
-                        k: Int)
+                        k: Int, memberShift: Int = -1)
 
   private def fsOf(spark: SparkSession, root: Path): FileSystem =
     root.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -124,6 +155,67 @@ object HnswIndex {
       case n if n.startsWith("e_") && n.endsWith(".commit") =>
         n.stripPrefix("e_").stripSuffix(".commit").toLong
     }.toSet
+  }
+
+  /** Commit-marker body: the writer-identity line then the touched
+    * dirs. `txn` is (writerId, batchId) for a stream micro-batch,
+    * None for a manual op (recorded as `manual`, which never skips).
+    */
+  private def commitBody(txn: Option[(String, Long)],
+                         dirs: Seq[String]): String = {
+    val line = txn match {
+      case Some((w, b)) => s"txn=$w:$b"
+      case None => "txn=manual"
+    }
+    (line +: dirs).mkString("", "\n", "\n")
+  }
+
+  /** Parse a commit marker's writer-identity line. Markers written
+    * before the txn discipline (or the legacy `build` body) parse as
+    * None — treated like manual commits.
+    */
+  private def commitTxn(body: String): Option[(String, Long)] =
+    body.linesIterator.toSeq.headOption
+      .filter(l => l.startsWith("txn=") && l.contains(":"))
+      .flatMap { l =>
+        val kv = l.stripPrefix("txn=")
+        val i = kv.lastIndexOf(':')
+        scala.util.Try(kv.substring(i + 1).toLong).toOption
+          .map(b => (kv.substring(0, i), b))
+      }
+
+  /** The dirs a commit marker touched (every line after the txn line;
+    * legacy markers carry dirs from line 1, or the bare word `build`).
+    */
+  private def commitDirs(body: String): Seq[String] =
+    body.linesIterator
+      .filterNot(l => l.startsWith("txn=") || l == "build" || l.isEmpty)
+      .toSeq
+
+  /** This writer's latest committed (batchId, epoch), scanning markers
+    * from the newest epoch down and stopping at the first hit — O(1)
+    * marker reads for a live stream (its own last commit sits at or
+    * near the top), one full scan only on a writer's very first batch.
+    */
+  private def lastTxn(fs: FileSystem, root: Path, committed: Set[Long],
+                      writer: String): Option[(Long, Long)] = {
+    committed.toSeq.sorted.reverse.foreach { e =>
+      commitTxn(readFile(fs, commitPath(root, e))) match {
+        case Some((w, b)) if w == writer => return Some((b, e))
+        case _ => ()
+      }
+    }
+    None
+  }
+
+  /** Committed generations GC retains per leaf — the concurrent-reader
+    * grace window and the `asOf` pin horizon.
+    */
+  private def gcRetain(spark: SparkSession): Int = {
+    val r = spark.conf.getOption("graft.hnsw.gcRetain")
+      .map(_.toInt).getOrElse(1)
+    require(r >= 1, s"graft.hnsw.gcRetain must be >= 1, got $r")
+    r
   }
 
   /** Current leaf (highest committed `__e=` subdir) of one cell parent
@@ -192,7 +284,8 @@ object HnswIndex {
         val i = l.indexOf('='); l.substring(0, i) -> l.substring(i + 1)
       }.toMap
     Meta(kv("idCol"), kv("vecCol"), kv("centIdCol"), kv("centVecCol"),
-      kv("maxLevel").toInt, kv("fanout").toInt, kv("k").toInt)
+      kv("maxLevel").toInt, kv("fanout").toInt, kv("k").toInt,
+      kv.getOrElse("memberShift", "-1").toInt)
   }
 
   /** The coarse centroid table the index was built under (immutable —
@@ -209,9 +302,13 @@ object HnswIndex {
     */
   def readLayers(spark: SparkSession, path: String): Seq[DataFrame] = {
     val root = new Path(path)
+    readLayersAt(spark, root, readMeta(spark, path),
+      committedEpochs(fsOf(spark, root), root))
+  }
+
+  private def readLayersAt(spark: SparkSession, root: Path, meta: Meta,
+                           committed: Set[Long]): Seq[DataFrame] = {
     val fs = fsOf(spark, root)
-    val meta = readMeta(spark, path)
-    val committed = committedEpochs(fs, root)
     (0 to meta.maxLevel).map { l =>
       readPaths(spark, currentLeaves(fs, layerDir(root, l), committed),
         edgeSchema)
@@ -224,6 +321,12 @@ object HnswIndex {
     */
   def readVectors(spark: SparkSession, path: String): DataFrame =
     readSidecar(spark, path).head
+
+  private def readVectorsAt(spark: SparkSession, root: Path, meta: Meta,
+                            committed: Set[Long]): DataFrame =
+    readPaths(spark,
+      currentLeaves(fsOf(spark, root), sidecarDir(root, 0), committed),
+      sidecarSchema(meta))
 
   /** The current committed assignment sidecar, one table per level —
     * the [[Ann.hnswAssignLevels]] shape [[Ann.hnswInsert]] /
@@ -239,6 +342,135 @@ object HnswIndex {
         sidecarSchema(meta))
     }
   }
+
+  private def deletesDir(root: Path) = new Path(root, "_deletes")
+
+  private def deletesSchema = StructType(Seq(StructField("__tid", LongType)))
+
+  /** The current committed tombstone sidecar (column `__tid`) at a
+    * snapshot — empty when the index has never seen a soft delete.
+    */
+  private def readDeletesAt(spark: SparkSession, root: Path,
+                            committed: Set[Long]): DataFrame = {
+    val fs = fsOf(spark, root)
+    val d = deletesDir(root)
+    val leaf = if (fs.exists(d)) currentLeaf(fs, d, committed) else None
+    leaf.filter(p => fs.listStatus(p)
+        .exists(_.getPath.getName.endsWith(".parquet")))
+      .map(p => spark.read.schema(deletesSchema).parquet(p.toString))
+      .getOrElse(readPaths(spark, Seq.empty, deletesSchema))
+  }
+
+  /** The current committed soft-delete tombstone set, one `id` column —
+    * the ids [[softDelete]] has hidden from serving that no [[purge]]
+    * has yet made physical.
+    */
+  def readDeletes(spark: SparkSession, path: String): DataFrame = {
+    val root = new Path(path)
+    readDeletesAt(spark, root, committedEpochs(fsOf(spark, root), root))
+      .select(col("__tid").as("id"))
+  }
+
+  private def membershipDir(root: Path) = new Path(root, "_membership")
+
+  private def memberSchema = StructType(Seq(
+    StructField("grp", LongType), StructField("word_idx", LongType),
+    StructField("word", LongType)))
+
+  /** (grp, word_idx, mask) rows for an id column under `shift`: ids
+    * group by `id >> shift` (one `__c=<grp>` dir per occupied group),
+    * and the in-group offset addresses one bit of a dense word array —
+    * an EXACT, deletable membership structure (the "existing bitmap
+    * machinery" alternative to a Bloom: no false-positive path, purge
+    * clears bits instead of rebuilding). `bitRows` folds them to the
+    * stored (grp, word_idx, word) shape with `bit_or`.
+    */
+  private def idBits(df: DataFrame, id: Column, shift: Int): DataFrame = {
+    val g = shiftright(id, shift)
+    val off = id.bitwiseAND(lit((1L << shift) - 1L))
+    df.select(id.cast("long").as("__mid"), g.as("grp"),
+        shiftright(off, 6).as("word_idx"),
+        off.cast("int").bitwiseAND(lit(63)).as("__bit"))
+      .withColumn("mask",
+        expr("shiftleft(CAST(1 AS BIGINT), __bit)"))
+      .drop("__bit")
+  }
+
+  private def bitRows(bits: DataFrame): DataFrame =
+    bits.groupBy(col("grp"), col("word_idx"))
+      .agg(expr("bit_or(mask)").as("word"))
+
+  /** The batch's distinct occupied groups, driver-collected for
+    * path-level pruning — loudly capped at [[MaxProbeGroups]]: a batch
+    * scattering wider would bloat the intent's dir list without bound;
+    * split such a batch (or rebuild the membership at a wider shift).
+    */
+  private def batchGroups(df: DataFrame, id: Column,
+                          shift: Int): Seq[Long] = {
+    val gs = df.select(shiftright(id, shift).cast("long").as("g"))
+      .distinct().limit(MaxProbeGroups + 1)
+      .collect().map(_.getLong(0))
+    require(gs.length <= MaxProbeGroups,
+      s"batch spans more than $MaxProbeGroups membership id-groups " +
+        s"(shift ${shift}) — split the batch, or buildMembership at a " +
+        "wider shift for this id space")
+    gs.sorted.toSeq
+  }
+
+  /** The occupied-group ceiling for a driver-side group collect — a
+    * batch scattering past it falls back to the full-membership scan
+    * (the pre-round-12 behavior) instead of listing an unbounded dir
+    * set.
+    */
+  private val MaxProbeGroups = 65536
+
+  /** The shift [[build]] picks: groups of 2^20 ids, widened so the
+    * build's own id range occupies at most ~4096 groups — group count
+    * grows only with the id RANGE afterwards (one new group per 2^shift
+    * fresh ids), never with corpus rows.
+    */
+  private def autoShift(maxId: Long): Int = {
+    var shift = 20
+    while (shift < 62 && (maxId >> shift) > 4096) shift += 1
+    shift
+  }
+
+  /** Write membership (grp, word_idx, word) rows as
+    * `__c=<grp>/__e=<epoch>` leaves — the sidecar-leaf discipline.
+    */
+  private def writeMemberLeaves(rows: DataFrame, root: Path,
+                                epoch: Long): Unit =
+    rows.select(col("grp").cast("long").as("grp"),
+        col("word_idx").cast("long").as("word_idx"),
+        col("word").cast("long").as("word"))
+      .withColumn("__c", col("grp"))
+      .withColumn("__e", lit(epoch))
+      .repartition(col("__c"))
+      .sortWithinPartitions("__c", "word_idx")
+      .write.mode("append").partitionBy("__c", "__e")
+      .parquet(membershipDir(root).toString)
+
+  /** Whether the membership bitmap is PRESENT and usable: the shift is
+    * recorded and at least one committed leaf exists (a recorded shift
+    * with zero committed content — a crashed [[buildMembership]] —
+    * must NOT silently pass probes, so it reads as absent and the
+    * disjointness check falls back to the full scan).
+    */
+  private def membershipUsable(fs: FileSystem, root: Path, meta: Meta,
+                               committed: Set[Long]): Boolean =
+    meta.memberShift >= 0 && fs.exists(membershipDir(root)) &&
+      fs.listStatus(membershipDir(root)).filter(_.isDirectory)
+        .map(_.getPath).exists(p => p.getName.startsWith("__c=") &&
+          currentLeaf(fs, p, committed).nonEmpty)
+
+  /** Write one complete (non-cell-partitioned) `__e=<epoch>` leaf —
+    * the `_deletes` sidecar shape: the set is [[Ann.MaxTombstones]]-
+    * bounded, so each generation is one small file.
+    */
+  private def writePlainLeaf(df: DataFrame, root: Path, rel: String,
+                             epoch: Long): Unit =
+    df.coalesce(1).write.mode("overwrite")
+      .parquet(new Path(root, s"$rel/__e=$epoch").toString)
 
   /** Append one level's edge rows as `__c=<cell>/__e=<epoch>` leaves —
     * never touching an existing file. Each leaf file is src-sorted so
@@ -283,12 +515,14 @@ object HnswIndex {
       if (!fs.exists(leaf)) { fs.mkdirs(leaf): Unit }
     }
 
-  /** Garbage-collect the listed parent dirs down to their single
-    * highest committed epoch (idempotent — safe to re-run from
-    * recovery after a post-commit crash).
+  /** Garbage-collect the listed parent dirs down to their newest
+    * `retain` committed epochs (idempotent — safe to re-run from
+    * recovery after a post-commit crash). Uncommitted epochs are
+    * debris and always go; retained generations are the concurrent-
+    * reader grace window and the `asOf` pin horizon.
     */
   private def gc(fs: FileSystem, root: Path, dirs: Seq[String],
-                 committed: Set[Long]): Unit =
+                 committed: Set[Long], retain: Int): Unit =
     dirs.foreach { d =>
       val parent = new Path(root, d)
       if (fs.exists(parent)) {
@@ -298,19 +532,33 @@ object HnswIndex {
             if (n.startsWith("__e=")) Some(n.stripPrefix("__e=").toLong -> p)
             else None
           }
-        val keep = es.filter(e => committed.contains(e._1))
-          .sortBy(_._1).lastOption.map(_._1)
+        val keep = es.map(_._1).filter(committed.contains)
+          .sorted.takeRight(retain).toSet
         es.foreach { case (e, p) =>
           if (!keep.contains(e)) { fs.delete(p, true): Unit }
         }
       }
     }
 
+  /** The build intent's sentinel body — a crashed [[build]] has no dir
+    * list yet (cells come from the data), so its rollback is "wipe the
+    * index back to empty": every root child except the lease dir and
+    * the refresh markers goes.
+    */
+  private val BuildIntentBody = "__BUILD__"
+
+  private def rollbackBuild(fs: FileSystem, root: Path): Unit =
+    if (fs.exists(root))
+      fs.listStatus(root).map(_.getPath)
+        .filterNot(p => p.getName == "_LOCK" || p.getName == "_refresh")
+        .foreach { p => fs.delete(p, true): Unit }
+
   /** Roll every leftover refresh intent back (uncommitted: delete its
-    * epoch's leaves) or forward (committed: finish the GC), then drop
-    * the intent. Runs automatically at the head of [[ingest]] /
-    * [[purge]]; call directly to clean a crashed index before serving
-    * storage is reclaimed. Idempotent.
+    * epoch's leaves — for a crashed [[build]], wipe the half-built
+    * index) or forward (committed: finish the GC), then drop the
+    * intent. Runs automatically at the head of [[ingest]] / [[purge]]
+    * / [[build]]; call directly to clean a crashed index before
+    * serving storage is reclaimed. Idempotent.
     */
   def recover(spark: SparkSession, path: String): Unit = {
     val root = new Path(path)
@@ -318,13 +566,18 @@ object HnswIndex {
     val d = refreshDir(root)
     if (!fs.exists(d)) return
     val committed = committedEpochs(fs, root)
+    val retain = gcRetain(spark)
     fs.listStatus(d).map(_.getPath)
       .filter(p => p.getName.startsWith("e_") &&
         p.getName.endsWith(".intent"))
       .foreach { ip =>
         val e = ip.getName.stripPrefix("e_").stripSuffix(".intent").toLong
-        val dirs = readFile(fs, ip).linesIterator.filter(_.nonEmpty).toSeq
-        if (committed.contains(e)) gc(fs, root, dirs, committed)
+        val body = readFile(fs, ip)
+        val dirs = body.linesIterator.filter(_.nonEmpty).toSeq
+        if (committed.contains(e)) {
+          if (!dirs.contains(BuildIntentBody))
+            gc(fs, root, dirs, committed, retain)
+        } else if (dirs.contains(BuildIntentBody)) rollbackBuild(fs, root)
         else dirs.foreach { dir =>
           val leaf = new Path(new Path(root, dir), s"__e=$e")
           if (fs.exists(leaf)) { fs.delete(leaf, true): Unit }
@@ -333,28 +586,51 @@ object HnswIndex {
       }
   }
 
+  /** List a parent family's `__c=` dirs as root-relative strings. */
+  private def cellDirsOf(fs: FileSystem, root: Path,
+                         rel: String): Seq[String] = {
+    val d = new Path(root, rel)
+    if (!fs.exists(d)) Seq.empty
+    else fs.listStatus(d).filter(_.isDirectory).map(_.getPath.getName)
+      .filter(_.startsWith("__c=")).map(n => s"$rel/$n").toSeq
+  }
+
   /** Build the index from scratch at `path` (must not already hold
-    * one): [[Ann.hnswBuild]] hierarchy + [[Ann.hnswAssignLevels]]
-    * sidecar + centroids + meta, committed as epoch 0. Edge rows get
-    * their level-l cell from the sidecar (edges are within-cell, so
-    * the src's assignment IS the edge's cell).
+    * one — a build CRASHED mid-flight is rolled back automatically
+    * via its own `e_0.intent`, so no hand deletion is ever needed):
+    * [[Ann.hnswBuild]] hierarchy + [[Ann.hnswAssignLevels]] sidecar +
+    * centroids + meta, committed as epoch 0 behind the same intent →
+    * append → fence → atomic-rename protocol every refresh uses. Edge
+    * rows get their level-l cell from the sidecar (edges are
+    * within-cell, so the src's assignment IS the edge's cell). The
+    * commit marker records the built dirs, which [[search]]'s `asOf`
+    * retention check reads. `hook` is the crash-injection test seam
+    * ("intent" / "appended" / "committed").
     */
   def build(spark: SparkSession, path: String, vectors: DataFrame,
             centroids: DataFrame, idCol: String, vecCol: String,
             centIdCol: String, centVecCol: String,
-            k: Int, fanout: Int, maxLevel: Int): Unit = {
+            k: Int, fanout: Int, maxLevel: Int,
+            hook: String => Unit = _ => ()): Unit = {
     val root = new Path(path)
     val fs = fsOf(spark, root)
-    require(!fs.exists(metaPath(root)) && committedEpochs(fs, root).isEmpty,
-      s"$path already holds an HNSW index — build into a fresh " +
-        "directory (a half-built one must be deleted by hand)")
     MaintainedLock.withLease(spark, root) { lease =>
+      recover(spark, path) // rolls a crashed prior build back to empty
+      require(!fs.exists(metaPath(root)) &&
+        committedEpochs(fs, root).isEmpty,
+        s"$path already holds an HNSW index — build into a fresh " +
+          "directory (purge/retrain maintain an existing one)")
       val v = vectors.select(col(idCol).cast("long").as(idCol),
         col(vecCol))
       val neg = v.filter(col(idCol) < 0).limit(1).collect()
       require(neg.isEmpty, "ids must be non-negative integrals")
+      val maxId = v.agg(max(col(idCol))).head
+      val shift = autoShift(if (maxId.isNullAt(0)) 0L else maxId.getLong(0))
       val meta = Meta(idCol, vecCol, centIdCol, centVecCol, maxLevel,
-        fanout, k)
+        fanout, k, shift)
+      fs.mkdirs(refreshDir(root)): Unit
+      writeFile(fs, intentPath(root, 0L), BuildIntentBody + "\n")
+      hook("intent")
       val layers = Ann.hnswBuild(v, centroids, idCol, vecCol, centIdCol,
         centVecCol, k, fanout, maxLevel)
       val sidecar = Ann.hnswAssignLevels(v, centroids, idCol, vecCol,
@@ -371,6 +647,8 @@ object HnswIndex {
       sidecar.zipWithIndex.foreach { case (rows, l) =>
         writeSidecarLeaves(rows, meta, sidecarDir(root, l), epoch = 0L)
       }
+      writeMemberLeaves(bitRows(idBits(v, col(idCol), shift)), root,
+        epoch = 0L)
       centroids.select(col(centIdCol).cast("long").as(centIdCol),
           col(centVecCol))
         .write.mode("overwrite")
@@ -378,13 +656,19 @@ object HnswIndex {
       writeFile(fs, metaPath(root),
         s"idCol=$idCol\nvecCol=$vecCol\ncentIdCol=$centIdCol\n" +
           s"centVecCol=$centVecCol\nmaxLevel=$maxLevel\nfanout=$fanout\n" +
-          s"k=$k\n")
-      fs.mkdirs(refreshDir(root)): Unit
+          s"k=$k\nmemberShift=$shift\n")
+      hook("appended")
+      val builtDirs = ((0 to maxLevel).flatMap { l =>
+        cellDirsOf(fs, root, s"layer_$l") ++
+          cellDirsOf(fs, root, s"_sidecar/level_$l")
+      } ++ cellDirsOf(fs, root, "_membership")) :+ "_centroids"
       val tmp = new Path(refreshDir(root), "e_0.commit.tmp")
-      writeFile(fs, tmp, "build\n")
+      writeFile(fs, tmp, commitBody(Some(("build", 0L)), builtDirs))
       MaintainedLock.check(fs, root, lease)
       require(fs.rename(tmp, commitPath(root, 0L)),
         s"could not commit build marker at $path")
+      hook("committed")
+      fs.delete(intentPath(root, 0L), false): Unit
     }
   }
 
@@ -396,17 +680,25 @@ object HnswIndex {
     * leaves, fence, commit atomically, GC. `hook` is the test seam for
     * crash injection ("intent" / "appended" / "committed").
     */
+  /** Extra non-level write sets riding a refresh transaction in the
+    * SAME commit: `dirs` join the intent/marker lists (so recovery and
+    * GC cover them) and `write(epoch)` appends their `__e=<epoch>`
+    * leaves between the intent and the fence.
+    */
+  private final case class Extra(dirs: Seq[String], write: Long => Unit)
+
   private def applyRefresh(spark: SparkSession, root: Path, meta: Meta,
       lease: MaintainedLock.Lease, committed: Set[Long], epoch: Long,
       perLevel: Seq[(Seq[Long], DataFrame, DataFrame)],
-      hook: String => Unit): Unit = {
+      hook: String => Unit, txn: Option[(String, Long)],
+      extras: Seq[Extra] = Nil): Boolean = {
     val fs = fsOf(spark, root)
     val touchedDirs = perLevel.zipWithIndex.flatMap {
       case ((cells, _, _), l) =>
         cells.map(c => s"layer_$l/__c=$c") ++
           cells.map(c => s"_sidecar/level_$l/__c=$c")
-    }
-    if (touchedDirs.isEmpty) return // nothing to refresh at any level
+    } ++ extras.flatMap(_.dirs)
+    if (touchedDirs.isEmpty) return false // nothing to refresh anywhere
     fs.mkdirs(refreshDir(root)): Unit
     writeFile(fs, intentPath(root, epoch),
       touchedDirs.mkString("", "\n", "\n"))
@@ -417,38 +709,42 @@ object HnswIndex {
         writeSidecarLeaves(newSide, meta, sidecarDir(root, l), epoch)
       }
     }
+    extras.foreach(_.write(epoch))
     ensureLeaves(fs, root, touchedDirs, epoch)
     hook("appended")
     val tmp = new Path(refreshDir(root), s"e_$epoch.commit.tmp")
-    writeFile(fs, tmp, touchedDirs.mkString("", "\n", "\n"))
+    writeFile(fs, tmp, commitBody(txn, touchedDirs))
     // THE FENCE: a writer that lost its lease must abort here — its
     // appended leaves are the uncommitted debris recovery rolls back
     MaintainedLock.check(fs, root, lease)
     require(fs.rename(tmp, commitPath(root, epoch)),
       s"could not commit refresh marker for epoch $epoch")
     hook("committed")
-    gc(fs, root, touchedDirs, committed + epoch)
+    gc(fs, root, touchedDirs, committed + epoch, gcRetain(spark))
     fs.delete(intentPath(root, epoch), false): Unit
+    true
   }
 
-  /** Resolve this op's epoch: explicit (the streaming replay contract)
-    * or next after the highest committed. Returns None if the explicit
-    * epoch is already committed — the whole refresh already applied.
+  /** Resolve this op's epoch under the writer-scoped replay rule:
+    * a txn-carrying op whose writer already committed this (or a
+    * later) batch id is a REPLAY — return Left(that epoch) to skip
+    * whole; otherwise allocate max committed + 1. Epochs never encode
+    * batch ids, so manual ops and stream batches interleave freely.
     */
-  private def resolveEpoch(committed: Set[Long],
-                           epoch: Option[Long]): Option[Long] = {
+  private def resolveTxn(fs: FileSystem, root: Path, committed: Set[Long],
+      txn: Option[(String, Long)]): Either[Long, Long] = {
     require(committed.nonEmpty,
       "index has no committed build epoch — build() first")
-    val maxC = committed.max
-    epoch match {
-      case Some(e) if committed.contains(e) => None
-      case Some(e) =>
-        require(e > maxC,
-          s"explicit epoch $e is below max committed $maxC — epochs " +
-            "are monotonic (one stream OR manual calls, not both)")
-        Some(e)
-      case None => Some(maxC + 1L)
+    txn.foreach { case (w, b) =>
+      require(w.nonEmpty && !w.contains(":") && !w.contains("\n"),
+        s"txn writer id must be non-empty without ':' — got '$w'")
+      require(b >= 0, s"txn batch id must be >= 0, got $b")
     }
+    txn.flatMap { case (w, b) =>
+      lastTxn(fs, root, committed, w).collect {
+        case (lastB, e) if lastB >= b => Left(e)
+      }
+    }.getOrElse(Right(committed.max + 1L))
   }
 
   /** Attach each delta edge's level-l cell from the touched-cell
@@ -472,19 +768,25 @@ object HnswIndex {
     * written), refresh the touched sidecar cells (old members ∪ batch
     * — the sidecar covers the index EXACTLY after every commit), all
     * in one fenced intent→append→commit→GC transaction. Batch ids
-    * must be new (loud require — the [[Ann.hnswInsert]] contract,
-    * checked here against the full level-0 sidecar id column; this is
-    * the ONE corpus-row-count term in the refresh — an id-only
-    * column-pruned scan. `checkDisjoint = false` skips it for
-    * producers that guarantee fresh ids structurally, e.g. a crawler
-    * assigning monotonic ids — the collision failure mode is then
-    * silent graph corruption, so leave it on unless the scan is
-    * measured to matter). Returns the committed epoch; a replay whose
-    * epoch already committed is skipped whole and returns it
-    * unchanged.
+    * must be new (loud require — the [[Ann.hnswInsert]] contract),
+    * checked against the id-group membership BITMAP sidecar: the probe
+    * reads only the batch's own groups' leaves — an exact bit test,
+    * batch-bounded at any corpus size — and the bitmap folds the
+    * batch's bits in within the SAME commit, so it is never stale.
+    * (Indexes built before the sidecar existed fall back to the full
+    * id-column scan — the pre-round-12 corpus-row-count term — until
+    * [[buildMembership]] upgrades them.) `checkDisjoint = false` skips
+    * the probe for producers that guarantee fresh ids structurally —
+    * the collision failure mode is then silent graph corruption, and
+    * with the probe now batch-bounded there is little reason left to
+    * use it. Returns the committed epoch. `txn` =
+    * (writerId, batchId) is the writer-scoped replay identity: a txn
+    * whose writer already committed this (or a later) batch id is
+    * skipped whole and returns the epoch it committed at; manual
+    * (txn-less) calls never skip.
     */
   def ingest(spark: SparkSession, path: String, batch: DataFrame,
-             epoch: Option[Long] = None,
+             txn: Option[(String, Long)] = None,
              hook: String => Unit = _ => (),
              checkDisjoint: Boolean = true): Long = {
     val root = new Path(path)
@@ -493,9 +795,9 @@ object HnswIndex {
       val fs = fsOf(spark, root)
       val meta = readMeta(spark, path)
       val committed = committedEpochs(fs, root)
-      val e = resolveEpoch(committed, epoch) match {
-        case None => return epoch.get // already applied — idempotent
-        case Some(v) => v
+      val e = resolveTxn(fs, root, committed, txn) match {
+        case Left(done) => return done // replay — already applied
+        case Right(v) => v
       }
       val cents = readCentroids(spark, path)
       val b = batch.select(col(meta.idCol).cast("long").as(meta.idCol),
@@ -504,17 +806,53 @@ object HnswIndex {
       if (bounds.isNullAt(0)) return committed.max // empty batch: no-op
       require(bounds.getLong(0) >= 0, "ids must be non-negative integrals")
       val vecTable = readVectors(spark, path)
+      val memOk = membershipUsable(fs, root, meta, committed)
+      val bGroups =
+        if (memOk) batchGroups(b, col(meta.idCol), meta.memberShift)
+        else Seq.empty[Long]
       if (checkDisjoint) {
-        // disjointness against the FULL membership (a collision's twin
-        // can live in an untouched cell): id-column-pruned scan, limit-1
-        val allIds = vecTable.select(col(meta.idCol).cast("long").as("__id"))
-        val clash = b.select(col(meta.idCol).cast("long").as("__id"))
-          .join(allIds, Seq("__id"), "left_semi").limit(1).collect()
+        // disjointness via the id-group BITMAP sidecar when present:
+        // the probe reads ONLY the batch's own groups' leaves (exact
+        // bit test, no false-positive path) — batch-bounded at any
+        // corpus size. Legacy indexes without the sidecar fall back to
+        // the full-membership id-column scan (one-time: run
+        // buildMembership to upgrade).
+        val clash =
+          if (memOk) {
+            val mem = readPaths(spark,
+              cellLeaves(fs, membershipDir(root), committed, bGroups),
+              memberSchema)
+            idBits(b, col(meta.idCol), meta.memberShift)
+              .join(mem, Seq("grp", "word_idx"))
+              .filter(col("word").bitwiseAND(col("mask")) =!= lit(0L))
+              .select(col("__mid")).limit(1).collect()
+          } else {
+            val allIds = vecTable
+              .select(col(meta.idCol).cast("long").as("__id"))
+            b.select(col(meta.idCol).cast("long").as("__id"))
+              .join(allIds, Seq("__id"), "left_semi").limit(1).collect()
+          }
         require(clash.isEmpty,
           s"ingest: batch id ${clash.head.getLong(0)} already exists in " +
             "the index — ids are append-only; dedup the batch or route " +
             "updates through purge + ingest")
       }
+      // the bitmap stays EXACT in the same commit: touched groups'
+      // words fold the batch's bits in (groups the batch does not
+      // touch are untouched — batch-bounded maintenance)
+      val memExtras: Seq[Extra] =
+        if (!memOk) Nil
+        else {
+          val memCur = readPaths(spark,
+            cellLeaves(fs, membershipDir(root), committed, bGroups),
+            memberSchema)
+          val folded = bitRows(memCur
+            .select(col("grp"), col("word_idx"), col("word").as("mask"))
+            .unionByName(idBits(b, col(meta.idCol), meta.memberShift)
+              .select(col("grp"), col("word_idx"), col("mask"))))
+          Seq(Extra(bGroups.map(g => s"_membership/__c=$g"),
+            ep => writeMemberLeaves(folded, root, ep)))
+        }
       val bAsg = Ann.hnswAssignLevels(b, cents, meta.idCol, meta.vecCol,
         meta.centIdCol, meta.centVecCol, meta.fanout, meta.maxLevel)
         .map(_.localCheckpoint(false))
@@ -552,7 +890,58 @@ object HnswIndex {
             col("cell_id").cast("long").as("cell_id"))
         (cells, withCells(deltas(l), idCells), newSide)
       }
-      applyRefresh(spark, root, meta, lease, committed, e, plans, hook)
+      if (applyRefresh(spark, root, meta, lease, committed, e, plans,
+        hook, txn, extras = memExtras)) e
+      else committed.max
+    }
+  }
+
+  /** SOFT delete, durable — the cheap third of the maintained
+    * lifecycle the IVF family already has (`deleteMaintained` →
+    * tombstone-honoring serving → `vacuumDeletes`), now on the graph
+    * index: the ids append to the `_deletes` tombstone sidecar in one
+    * fenced commit and NO data file is touched — tombstoned nodes stay
+    * in the edge tables as ROUTING nodes (ripping them out severs the
+    * small-world shortcuts, [[Ann.hnswSearchDeleted]]'s rationale) but
+    * [[search]]/[[searchBatch]] filter them from every RESULT page.
+    * Re-linking is deferred to [[purge]] (the compaction), which also
+    * RETIRES the tombstones it makes physical — delete cheap now,
+    * rewrite at compaction, the LSM discipline. The sidecar is
+    * [[Ann.MaxTombstones]]-guarded (conf
+    * `graft.maintained.maxTombstones`): serving broadcasts it, so a
+    * backlog past the ceiling refuses loudly and names [[purgeDeletes]]
+    * as the fix. Unknown ids are accepted (they hide nothing and
+    * retire at the next purge); deletes are terminal per id until
+    * purged — re-inserting a soft-deleted id leaves the new row hidden
+    * too (route updates through purge + ingest, the
+    * `Streaming.deleteMaintained` semantics). Returns the committed
+    * epoch; `txn` is the writer-scoped replay identity, as [[ingest]].
+    */
+  def softDelete(spark: SparkSession, path: String, ids: DataFrame,
+                 idCol: String, txn: Option[(String, Long)] = None,
+                 hook: String => Unit = _ => ()): Long = {
+    val root = new Path(path)
+    MaintainedLock.withLease(spark, root) { lease =>
+      recover(spark, path)
+      val fs = fsOf(spark, root)
+      val meta = readMeta(spark, path)
+      val committed = committedEpochs(fs, root)
+      val e = resolveTxn(fs, root, committed, txn) match {
+        case Left(done) => return done // replay — already applied
+        case Right(v) => v
+      }
+      val fresh = ids.select(col(idCol).cast("long").as("__tid"))
+        .distinct()
+      if (fresh.isEmpty) return committed.max // empty delete: no-op
+      val union = readDeletesAt(spark, root, committed)
+        .unionByName(fresh).distinct().localCheckpoint(false)
+      // the ceiling guards the UNION — it is what serving broadcasts
+      val guarded = Ann.boundedTombstones(union, "__tid")
+      val perLevel = (0 to meta.maxLevel).map(_ =>
+        (Seq.empty[Long], union, union))
+      applyRefresh(spark, root, meta, lease, committed, e, perLevel,
+        hook, txn, extras = Seq(Extra(Seq("_deletes"),
+          ep => writePlainLeaf(guarded, root, "_deletes", ep)))): Unit
       e
     }
   }
@@ -569,7 +958,7 @@ object HnswIndex {
     * cell-local. Unknown ids are ignored (idempotent replay).
     */
   def purge(spark: SparkSession, path: String, tombstones: DataFrame,
-            tombIdCol: String, epoch: Option[Long] = None,
+            tombIdCol: String, txn: Option[(String, Long)] = None,
             hook: String => Unit = _ => ()): Long = {
     val root = new Path(path)
     MaintainedLock.withLease(spark, root) { lease =>
@@ -577,9 +966,9 @@ object HnswIndex {
       val fs = fsOf(spark, root)
       val meta = readMeta(spark, path)
       val committed = committedEpochs(fs, root)
-      val e = resolveEpoch(committed, epoch) match {
-        case None => return epoch.get
-        case Some(v) => v
+      val e = resolveTxn(fs, root, committed, txn) match {
+        case Left(done) => return done // replay — already applied
+        case Right(v) => v
       }
       val tomb = Ann.boundedTombstones(tombstones, tombIdCol)
         .localCheckpoint(false)
@@ -620,42 +1009,193 @@ object HnswIndex {
             col("cell_id").cast("long").as("cell_id"))
         (cells, withCells(deltas(l), idCells), survivors)
       }
-      applyRefresh(spark, root, meta, lease, committed, e, perLevel, hook)
-      e
+      // RETIRE the tombstones this purge makes physical from the
+      // soft-delete sidecar, in the SAME commit — the vacuum half of
+      // the delete-cheap-now / re-link-at-compaction lifecycle. Only
+      // when the sidecar exists: a purge on a never-soft-deleted index
+      // should not conjure one up.
+      val retire =
+        if (!fs.exists(deletesDir(root))) Nil
+        else {
+          val cur = readDeletesAt(spark, root, committed)
+          val kept = cur.join(tomb.select(col("__tid").as("__pid")),
+            col("__tid") === col("__pid"), "left_anti")
+          Seq(Extra(Seq("_deletes"),
+            ep => writePlainLeaf(kept, root, "_deletes", ep)))
+        }
+      // the bitmap is DELETABLE: the purged ids' bits clear in the
+      // same commit (only groups that actually hold a tombstoned id
+      // rewrite — tombstone-bounded), so a purged id re-ingests
+      val memExtras: Seq[Extra] =
+        if (!membershipUsable(fs, root, meta, committed)) Nil
+        else {
+          val tGroups = batchGroups(tomb, col("__tid"), meta.memberShift)
+            .filter(g => fs.exists(
+              new Path(membershipDir(root), s"__c=$g")))
+          if (tGroups.isEmpty) Nil
+          else {
+            val memCur = readPaths(spark,
+              cellLeaves(fs, membershipDir(root), committed, tGroups),
+              memberSchema)
+            val tBits = bitRows(
+              idBits(tomb, col("__tid"), meta.memberShift))
+              .withColumnRenamed("word", "tmask")
+            val cleared = memCur
+              .join(tBits, Seq("grp", "word_idx"), "left")
+              .select(col("grp"), col("word_idx"),
+                expr("word & ~coalesce(tmask, CAST(0 AS BIGINT))")
+                  .as("word"))
+              .filter(col("word") =!= lit(0L))
+            Seq(Extra(tGroups.map(g => s"_membership/__c=$g"),
+              ep => writeMemberLeaves(cleared, root, ep)))
+          }
+        }
+      if (applyRefresh(spark, root, meta, lease, committed, e, perLevel,
+        hook, txn, extras = retire ++ memExtras)) e
+      else committed.max
     }
   }
 
+  /** Build (or rebuild) the id-group membership bitmap for an index
+    * created before it existed — the one-time upgrade that turns
+    * [[ingest]]'s disjointness check from a full id-column scan into a
+    * batch-bounded group probe. One fenced refresh commit writes every
+    * occupied group's words, then `_META` records the shift (in that
+    * order: a crash in between leaves the shift unrecorded, the sidecar
+    * unused, and a re-run convergent — never a half-trusted bitmap).
+    * No-op if the bitmap is already usable.
+    */
+  def buildMembership(spark: SparkSession, path: String): Unit = {
+    val root = new Path(path)
+    MaintainedLock.withLease(spark, root) { lease =>
+      recover(spark, path)
+      val fs = fsOf(spark, root)
+      val meta = readMeta(spark, path)
+      val committed = committedEpochs(fs, root)
+      if (membershipUsable(fs, root, meta, committed)) return
+      val ids = readVectorsAt(spark, root, meta, committed)
+        .select(col(meta.idCol).cast("long").as("__id"))
+        .localCheckpoint(false)
+      val maxId = ids.agg(max(col("__id"))).head
+      val shift =
+        if (meta.memberShift >= 0) meta.memberShift
+        else autoShift(if (maxId.isNullAt(0)) 0L else maxId.getLong(0))
+      val groups = batchGroups(ids, col("__id"), shift)
+      require(groups.nonEmpty, "index holds no members")
+      val rows = bitRows(idBits(ids, col("__id"), shift))
+      val e = committed.max + 1L
+      val perLevel = (0 to meta.maxLevel).map(_ =>
+        (Seq.empty[Long], ids, ids))
+      applyRefresh(spark, root, meta, lease, committed, e, perLevel,
+        _ => (), None, extras = Seq(Extra(
+          groups.map(g => s"_membership/__c=$g"),
+          ep => writeMemberLeaves(rows, root, ep)))): Unit
+      writeFile(fs, metaPath(root),
+        s"idCol=${meta.idCol}\nvecCol=${meta.vecCol}\n" +
+          s"centIdCol=${meta.centIdCol}\ncentVecCol=${meta.centVecCol}\n" +
+          s"maxLevel=${meta.maxLevel}\nfanout=${meta.fanout}\n" +
+          s"k=${meta.k}\nmemberShift=$shift\n")
+    }
+  }
+
+  /** The VACUUM: make every pending [[softDelete]] physical in one
+    * fenced [[purge]] transaction and retire the emptied tombstone
+    * sidecar with it. No-op (no epoch consumed) when nothing is
+    * pending. Returns the committed epoch (or the current max when
+    * nothing was pending).
+    */
+  def purgeDeletes(spark: SparkSession, path: String,
+                   txn: Option[(String, Long)] = None,
+                   hook: String => Unit = _ => ()): Long = {
+    val root = new Path(path)
+    val pending = readDeletes(spark, path)
+    if (pending.isEmpty)
+      committedEpochs(fsOf(spark, root), root).max
+    else purge(spark, path, pending, "id", txn, hook)
+  }
+
   /** Serve one query from the persisted index — descent + beam over
-    * the current committed hierarchy and vector table.
+    * the current committed hierarchy and vector table. The
+    * committed-epoch set is resolved ONCE and shared by the layer,
+    * sidecar AND tombstone reads, so everything comes from the same
+    * snapshot even while a refresh commits concurrently (with
+    * `graft.hnsw.gcRetain` > 1 the snapshot's files also survive that
+    * refresh's GC for the retained window). Pending [[softDelete]]
+    * tombstones are honored: tombstoned nodes still ROUTE the beam but
+    * never surface in the page — survivors re-rank and trim to `k`
+    * ([[Ann.hnswSearchDeleted]] semantics; size `beam >= k + expected
+    * tombstones per neighborhood` so survivors fill the page). `k <= 0`
+    * means k = beam. Returns (rank, idCol, score).
     */
   def search(spark: SparkSession, path: String, query: Seq[Float],
-             beam: Int, hops: Int, descentHops: Int = 2): DataFrame = {
+             beam: Int, hops: Int, descentHops: Int = 2,
+             k: Int = 0): DataFrame = {
+    val root = new Path(path)
     val meta = readMeta(spark, path)
-    Ann.hnswSearch(readLayers(spark, path), readVectors(spark, path),
-      meta.idCol, meta.vecCol, query, meta.fanout, beam, hops,
-      descentHops)
+    val committed = committedEpochs(fsOf(spark, root), root)
+    val layers = readLayersAt(spark, root, meta, committed)
+    val vectors = readVectorsAt(spark, root, meta, committed)
+    val dels = readDeletesAt(spark, root, committed)
+    val page = if (k <= 0) beam else k
+    if (hasRows(spark, root, "_deletes", committed))
+      Ann.hnswSearchDeleted(layers, vectors, meta.idCol, meta.vecCol,
+        query, dels, "__tid", meta.fanout, beam, hops, page, descentHops)
+    else {
+      val res = Ann.hnswSearch(layers, vectors, meta.idCol, meta.vecCol,
+        query, meta.fanout, beam, hops, descentHops)
+      if (page >= beam) res else res.filter(col("rank") <= page)
+    }
   }
 
   /** Serve a query TABLE from the persisted index — the distributed
     * batch face ([[Ann.hnswSearchBatch]]): bounded jobs for any query
-    * count.
+    * count. Reads share one committed-epoch snapshot and pending
+    * [[softDelete]] tombstones are honored per qid, as [[search]].
+    * Returns (qidCol, rank, idCol, score).
     */
   def searchBatch(spark: SparkSession, path: String, queries: DataFrame,
                   qidCol: String, qvecCol: String, beam: Int, hops: Int,
-                  descentHops: Int = 2): DataFrame = {
+                  descentHops: Int = 2, k: Int = 0): DataFrame = {
+    val root = new Path(path)
     val meta = readMeta(spark, path)
-    Ann.hnswSearchBatch(readLayers(spark, path),
-      readVectors(spark, path), queries, meta.idCol, meta.vecCol,
-      qidCol, qvecCol, meta.fanout, beam, hops, descentHops)
+    val committed = committedEpochs(fsOf(spark, root), root)
+    val layers = readLayersAt(spark, root, meta, committed)
+    val vectors = readVectorsAt(spark, root, meta, committed)
+    val dels = readDeletesAt(spark, root, committed)
+    val page = if (k <= 0) beam else k
+    if (hasRows(spark, root, "_deletes", committed))
+      Ann.hnswSearchBatchDeleted(layers, vectors, queries, meta.idCol,
+        meta.vecCol, qidCol, qvecCol, dels, "__tid", meta.fanout, beam,
+        hops, page, descentHops)
+    else {
+      val res = Ann.hnswSearchBatch(layers, vectors, queries,
+        meta.idCol, meta.vecCol,
+        qidCol, qvecCol, meta.fanout, beam, hops, descentHops)
+      if (page >= beam) res else res.filter(col("rank") <= page)
+    }
+  }
+
+  /** Whether a plain epoch-versioned dir currently holds any parquet
+    * file — a LISTING check (no data read, no Spark job), so the
+    * no-tombstone serving path stays job-identical to before.
+    */
+  private def hasRows(spark: SparkSession, root: Path, rel: String,
+                      committed: Set[Long]): Boolean = {
+    val fs = fsOf(spark, root)
+    val d = new Path(root, rel)
+    fs.exists(d) && currentLeaf(fs, d, committed).exists(p =>
+      fs.listStatus(p).exists(_.getPath.getName.endsWith(".parquet")))
   }
 
   /** Operational state report — the `DESCRIBE INDEX` runbook surface,
     * the [[Streaming.describeMaintained]] twin for the graph index:
     * per level (cells, edge rows, members, leaf files, bytes) from
     * listings and parquet footers plus table-level rollups, as
-    * (metric, level, value) long-format rows. `epoch_debt` counts leaf
-    * dirs still holding more than one committed epoch (un-GC'd — a
-    * crashed post-commit window [[recover]] would fold);
+    * (metric, level, value) long-format rows. `tombstones` (level −1)
+    * counts pending [[softDelete]] ids awaiting [[purgeDeletes]];
+    * `epoch_debt` counts leaf dirs still holding more committed epochs
+    * than `graft.hnsw.gcRetain` (un-GC'd — a crashed post-commit
+    * window [[recover]] would fold);
     * `pending_refresh` counts intents awaiting recovery. Cost is
     * index-structure-bounded: listings + footers, no data pages.
     */
@@ -672,12 +1212,13 @@ object HnswIndex {
       val parents = fs.listStatus(dir).filter(_.isDirectory).map(_.getPath)
         .filter(_.getName.startsWith("__c="))
       var files = 0L; var bytes = 0L; var debt = 0L
+      val retain = gcRetain(spark)
       parents.foreach { p =>
         val es = fs.listStatus(p).filter(_.isDirectory).map(_.getPath)
           .filter(q => q.getName.startsWith("__e=") &&
             committed.contains(
               q.getName.stripPrefix("__e=").toLong))
-        if (es.length > 1) debt += 1
+        if (es.length > retain) debt += 1
         es.foreach { leaf =>
           fs.listStatus(leaf)
             .filter(_.getPath.getName.endsWith(".parquet"))
@@ -702,6 +1243,12 @@ object HnswIndex {
       out += (("files", l, files + sFiles))
       out += (("bytes", l, bytes + sBytes))
     }
+    out += (("tombstones", -1,
+      readDeletesAt(spark, root, committed).count()))
+    out += (("membership_groups", -1,
+      if (!fs.exists(membershipDir(root))) 0L
+      else fs.listStatus(membershipDir(root)).count(st =>
+        st.isDirectory && st.getPath.getName.startsWith("__c=")).toLong))
     out += (("epochs_committed", -1, committed.size.toLong))
     out += (("max_epoch", -1, if (committed.isEmpty) -1L else committed.max))
     out += (("epoch_debt", -1, debtTotal))
@@ -764,6 +1311,32 @@ object HnswIndex {
         .filter(col("count") > meta.k).count()
       overdeg += od
     }
+    if (membershipUsable(fs, root, meta, committed)) {
+      val want = bitRows(idBits(
+        side.head.select(col(meta.idCol).cast("long").as("__sid")),
+        col("__sid"), meta.memberShift))
+      val got = readPaths(spark,
+        currentLeaves(fs, membershipDir(root), committed), memberSchema)
+      val mismatch =
+        got.join(want, Seq("grp", "word_idx", "word"), "left_anti")
+          .count() +
+        want.join(got, Seq("grp", "word_idx", "word"), "left_anti")
+          .count()
+      out += (("membership_mismatch", mismatch,
+        if (mismatch == 0) ""
+        else "id-group bitmap words differ from the level-0 sidecar " +
+          "ids — run buildMembership to rebuild"))
+    } else out += (("membership_mismatch", 0L,
+      if (meta.memberShift >= 0) ""
+      else "no membership bitmap (legacy index) — ingest falls back " +
+        "to the full scan; run buildMembership"))
+    val stale = readDeletesAt(spark, root, committed)
+      .join(side.head.select(col(meta.idCol).cast("long").as("__mid")),
+        col("__tid") === col("__mid"), "left_anti").count()
+    out += (("stale_tombstones", stale,
+      if (stale == 0) ""
+      else "tombstoned ids absent from membership (already physical — " +
+        "purgeDeletes retires them)"))
     out += (("dangling_edges", dangling,
       if (dangling == 0) "" else "edge endpoint absent from membership"))
     out += (("cross_cell_edges", crossCell,
@@ -803,12 +1376,27 @@ object HnswIndex {
     out.toSeq.toDF("check", "bad_count", "detail").orderBy($"check")
   }
 
+  /** The stream's writer identity for the txn commit records: the
+    * checkpoint path IS the replay scope (a restart on the same
+    * checkpoint re-delivers the same batch ids; a fresh checkpoint
+    * restarts the ids from 0 as a genuinely new writer), so the
+    * identity is a digest of the normalized checkpoint path.
+    */
+  private[graft] def writerId(checkpointPath: String): String =
+    "ckpt-" + java.security.MessageDigest.getInstance("MD5")
+      .digest(checkpointPath.replaceAll("/+$", "").getBytes("UTF-8"))
+      .take(8).map("%02x".format(_)).mkString
+
   /** Continuous durable ingest — the graph-index twin of
     * [[Streaming.streamInsertIndexedMaintained]]: every micro-batch of
     * (idCol, vecCol) rows lands in the persisted hierarchy through ONE
-    * fenced [[ingest]] transaction, exactly-once under replay
-    * (micro-batch n is epoch n + 1; a committed epoch skips whole, an
-    * uncommitted crash rolls back and re-applies). Chunk→embed
+    * fenced [[ingest]] transaction, exactly-once under replay: the
+    * commit marker records (writer = [[writerId]] of the checkpoint
+    * path, batch id), a replayed batch re-finds its own commit and
+    * skips whole, an uncommitted crash rolls back and re-applies, and
+    * manual [[ingest]]/[[purge]] calls interleave freely between (or
+    * during) stream restarts — they take their own epochs and can
+    * never be mistaken for this stream's replays. Chunk→embed
     * upstream transforms compose in front of `stream` as ordinary
     * DataFrame ops (the `streamDecontaminateIngest` precedent).
     * `onIngest(batchId, epoch)` fires after each committed refresh;
@@ -819,18 +1407,48 @@ object HnswIndex {
       checkpointPath: String,
       onIngest: (Long, Long) => Unit = (_, _) => (),
       hook: String => Unit = _ => (),
-      checkDisjoint: Boolean = true): StreamingQuery =
+      checkDisjoint: Boolean = true): StreamingQuery = {
+    val w = writerId(checkpointPath)
     stream.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointPath)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
           val e = ingest(batch.sparkSession, indexPath, batch,
-            epoch = Some(batchId + 1L), hook = hook,
+            txn = Some((w, batchId)), hook = hook,
             checkDisjoint = checkDisjoint)
           onIngest(batchId, e)
         }
         ()
       }
       .start()
+  }
+
+  /** Continuous soft-delete ingest — the delete stream beside the
+    * insert stream: every micro-batch of ids lands in the `_deletes`
+    * tombstone sidecar through ONE fenced [[softDelete]] commit,
+    * exactly-once under replay via the same writer-scoped txn records
+    * (use a DIFFERENT checkpoint than the insert stream — the
+    * checkpoint is the writer identity). Serving filters the
+    * tombstones immediately; [[purgeDeletes]] re-links lazily at
+    * compaction. `onDelete(batchId, epoch)` fires per committed batch.
+    */
+  def streamDeleteHnswMaintained(ids: DataFrame, idCol: String,
+      indexPath: String, checkpointPath: String,
+      onDelete: (Long, Long) => Unit = (_, _) => (),
+      hook: String => Unit = _ => ()): StreamingQuery = {
+    val w = writerId(checkpointPath)
+    ids.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointPath)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val e = softDelete(batch.sparkSession, indexPath, batch,
+            idCol, txn = Some((w, batchId)), hook = hook)
+          onDelete(batchId, e)
+        }
+        ()
+      }
+      .start()
+  }
 }

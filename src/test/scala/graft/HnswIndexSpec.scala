@@ -85,7 +85,8 @@ class HnswIndexSpec extends SparkSpec {
       "cent_id", "cvec", k = 4, fanout = 4, maxLevel = 1)
     val merged = Ann.hnswInsert(layers, existing, batch, cents, "vec_id",
       "embedding", "cent_id", "cvec", k = 4, fanout = 4)
-    val epoch = HnswIndex.ingest(spark, path, batch)
+    val epoch = HnswIndex.ingest(spark, path, batch,
+      txn = Some(("wA", 0L)))
     assert(epoch == 1L)
     layersOf(path).zip(merged.map(edgeSet)).zipWithIndex.foreach {
       case ((got, want), l) =>
@@ -146,10 +147,11 @@ class HnswIndexSpec extends SparkSpec {
     val hits = HnswIndex.search(spark, path, q, beam = 8, hops = 3)
       .collect().map(_.getLong(1)).toSet
     assert(hits.nonEmpty)
-    // a replayed epoch is skipped whole: same epoch → same state
+    // a replayed txn is skipped whole: same (writer, batch) → same state
     val snap = allFiles(path)
-    assert(HnswIndex.ingest(spark, path, batch, epoch = Some(1L)) == 1L)
-    assert(allFiles(path) == snap, "replay of a committed epoch must no-op")
+    assert(HnswIndex.ingest(spark, path, batch,
+      txn = Some(("wA", 0L))) == 1L)
+    assert(allFiles(path) == snap, "replay of a committed txn must no-op")
   }
 
   test("purge ≡ hnswCompact ≡ build-on-survivors; ingest-then-purge proves the sidecar stays usable across ops") {
@@ -223,13 +225,14 @@ class HnswIndexSpec extends SparkSpec {
     val path2 = freshDir("graft_hidx_crash2_")
     buildAt(path2)
     intercept[Boom] {
-      HnswIndex.ingest(spark, path2, batch,
+      HnswIndex.ingest(spark, path2, batch, txn = Some(("wB", 0L)),
         hook = s => if (s == "committed") throw new Boom)
     }
     assert(layersOf(path2) == merged,
       "a committed refresh must be visible even before GC")
     val filesPreGc = allFiles(path2)
-    assert(HnswIndex.ingest(spark, path2, batch, epoch = Some(1L)) == 1L)
+    assert(HnswIndex.ingest(spark, path2, batch,
+      txn = Some(("wB", 0L))) == 1L)
     assert(layersOf(path2) == merged)
     assert(allFiles(path2).size < filesPreGc.size,
       "recovery must finish the interrupted GC")
@@ -392,6 +395,321 @@ class HnswIndexSpec extends SparkSpec {
       "embedding", "cent_id", "cvec", k = 4, fanout = 4)
     assert(layersOf(path) == merged.map(edgeSet),
       "post-heal refresh must equal the merge exactly once")
+  }
+
+  test("writer-scoped replay: manual ingest between stream restarts loses nothing; fresh-checkpoint replay refuses loudly") {
+    val base = Files.createTempDirectory("graft_hidx_txn_").toString
+    val path = base + "/idx"
+    val in = base + "/in"
+    val ckpt = base + "/ckpt"
+    buildAt(path)
+    val b1 = batch.filter(pmod(col("vec_id"), lit(20)) === 7)
+    val b2 = batch.filter(pmod(col("vec_id"), lit(20)) === 17)
+    // a manual batch with ids disjoint from the whole fixture
+    val m = b1.limit(3).withColumn("vec_id", col("vec_id") + lit(9000000L))
+    val schema = batch.schema
+    def start(ck: String) = HnswIndex.streamInsertHnswMaintained(
+      spark.readStream.schema(schema).parquet(in), path, ck)
+    b1.coalesce(1).write.mode("overwrite").parquet(in)
+    val q1 = start(ckpt)
+    q1.processAllAvailable(); q1.stop()
+    // the ADVICE scenario: a manual ingest BETWEEN stream restarts —
+    // under the old epoch-positional skip the stream's next batch
+    // would land on a committed epoch and be silently dropped
+    HnswIndex.ingest(spark, path, m)
+    b2.coalesce(1).write.mode("append").parquet(in)
+    val q2 = start(ckpt)
+    q2.processAllAvailable(); q2.stop()
+    val layers = Ann.hnswBuild(existing, cents, "vec_id", "embedding",
+      "cent_id", "cvec", k = 4, fanout = 4, maxLevel = 1)
+    val s1 = Ann.hnswInsert(layers, existing, b1, cents, "vec_id",
+      "embedding", "cent_id", "cvec", k = 4, fanout = 4)
+    val s2 = Ann.hnswInsert(s1, existing.unionByName(b1), m, cents,
+      "vec_id", "embedding", "cent_id", "cvec", k = 4, fanout = 4)
+    val s3 = Ann.hnswInsert(s2,
+      existing.unionByName(b1).unionByName(m), b2, cents, "vec_id",
+      "embedding", "cent_id", "cvec", k = 4, fanout = 4)
+    layersOf(path).zip(s3.map(edgeSet)).zipWithIndex.foreach {
+      case ((got, want), l) =>
+        assert(got == want,
+          s"layer $l: stream + interleaved manual != sequential inserts")
+    }
+    // a restart on a FRESH checkpoint is a NEW writer: its re-delivered
+    // batch 0 is new work, and the disjointness guard refuses it loudly
+    // instead of silently skipping it as a replay
+    val q3 = start(base + "/ckpt_fresh")
+    val boom = intercept[Exception] {
+      q3.processAllAvailable()
+    }
+    q3.stop()
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(boom).exists(_.contains("already exists")),
+      s"fresh-checkpoint replay must hit the disjointness guard: " +
+        messages(boom).mkString(" | "))
+  }
+
+  test("build is crash-recoverable: a half-built index rolls back via its own intent; no hand deletion") {
+    val path = freshDir("graft_hidx_bcr_")
+    class Boom extends RuntimeException("injected")
+    intercept[Boom] {
+      HnswIndex.build(spark, path, existing, cents, "vec_id",
+        "embedding", "cent_id", "cvec", k = 4, fanout = 4, maxLevel = 1,
+        hook = s => if (s == "appended") throw new Boom)
+    }
+    // debris is on disk (uncommitted), intent pending
+    assert(new java.io.File(path, "_refresh/e_0.intent").exists())
+    assert(!new java.io.File(path, "_refresh/e_0.commit").exists())
+    // a re-build rolls the debris back itself and succeeds
+    buildAt(path)
+    val built = Ann.hnswBuild(existing, cents, "vec_id", "embedding",
+      "cent_id", "cvec", k = 4, fanout = 4, maxLevel = 1)
+    layersOf(path).zip(built.map(edgeSet)).zipWithIndex.foreach {
+      case ((got, want), l) =>
+        assert(got == want, s"layer $l differs after crash-recovered build")
+    }
+    // standalone recover() on a crashed build wipes it back to empty
+    val path2 = freshDir("graft_hidx_bcr2_")
+    intercept[Boom] {
+      HnswIndex.build(spark, path2, existing, cents, "vec_id",
+        "embedding", "cent_id", "cvec", k = 4, fanout = 4, maxLevel = 1,
+        hook = s => if (s == "appended") throw new Boom)
+    }
+    HnswIndex.recover(spark, path2)
+    val left = Option(new java.io.File(path2).listFiles())
+      .map(_.toSeq).getOrElse(Seq.empty).map(_.getName)
+      .filterNot(n => n == "_LOCK" || n == "_refresh")
+    assert(left.isEmpty, s"recover must wipe a crashed build: $left")
+  }
+
+  test("gcRetain: a retained superseded generation keeps a concurrent reader's snapshot readable across a refresh") {
+    val path = freshDir("graft_hidx_ret_")
+    spark.conf.set("graft.hnsw.gcRetain", "2")
+    try {
+      buildAt(path)
+      val before = allFiles(path)
+      // a reader resolves its snapshot (epoch 0) ...
+      val pinned = HnswIndex.readLayers(spark, path)
+      val want = pinned.map(edgeSet)
+      // ... a refresh commits concurrently ...
+      HnswIndex.ingest(spark, path, batch)
+      // ... every pre-refresh file is still on disk (retained), so the
+      // already-resolved snapshot still collects, byte-identical
+      val after = allFiles(path)
+      assert(before.keySet.subsetOf(after.keySet),
+        "gcRetain=2 must keep the superseded generation on disk: " +
+          before.keySet.diff(after.keySet).take(3).mkString(", "))
+      assert(pinned.map(edgeSet) == want,
+        "a pre-refresh snapshot must still serve after the refresh")
+      // the window slides: a second refresh retires epoch 0's leaves
+      // in the cells it touches
+      HnswIndex.purge(spark, path,
+        batch.limit(2).select(col("vec_id").as("id")), "id")
+      val after2 = allFiles(path)
+      assert(before.keySet.diff(after2.keySet).nonEmpty ||
+        after2.size < after.size,
+        "the retention window must slide, not grow without bound")
+    } finally spark.conf.unset("graft.hnsw.gcRetain")
+  }
+
+  test("softDelete: tombstones route but never surface; no data file touched; purge retires them; purged ids re-ingest") {
+    val path = freshDir("graft_hidx_sd_")
+    HnswIndex.build(spark, path, e, cents, "vec_id", "embedding",
+      "cent_id", "cvec", k = 4, fanout = 4, maxLevel = 1)
+    val before = allFiles(path)
+    val tomb = e.filter(pmod(col("vec_id"), lit(17)) === 3)
+      .select(col("vec_id").as("id"))
+    val tombIds = tomb.collect().map(_.getLong(0)).toSet
+    HnswIndex.softDelete(spark, path, tomb, "id")
+    // delete-cheap-now: NO data file was touched — only the _deletes
+    // sidecar (and its commit marker) appeared
+    val after = allFiles(path)
+    before.keySet.foreach { f =>
+      assert(after.get(f).contains(before(f)),
+        s"softDelete must not touch data files: $f")
+    }
+    assert(after.keySet.diff(before.keySet)
+      .forall(_.contains("_deletes")),
+      "softDelete may only write the tombstone sidecar")
+    // tombstoned nodes still ROUTE (edges unchanged) ...
+    val layers = Ann.hnswBuild(e, cents, "vec_id", "embedding",
+      "cent_id", "cvec", k = 4, fanout = 4, maxLevel = 1)
+    layersOf(path).zip(layers.map(edgeSet)).foreach { case (got, want) =>
+      assert(got == want, "softDelete must leave the hierarchy intact")
+    }
+    // ... but never SURFACE: both serve faces match the raw operator
+    // twins, and no tombstone appears in any page
+    val q = e.filter(col("vec_id") === 42)
+      .select(col("embedding")).head.getSeq[Float](0)
+    val got = HnswIndex.search(spark, path, q, beam = 8, hops = 3, k = 5)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    val want = Ann.hnswSearchDeleted(layers, e, "vec_id", "embedding",
+        q, tomb, "id", fanout = 4, beam = 8, hops = 3, k = 5)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq == want.toSeq,
+      "durable tombstone-honoring serve must equal hnswSearchDeleted")
+    assert(got.forall { case (_, id, _) => !tombIds.contains(id) })
+    val queries = e.filter(col("vec_id").isin(42L, 137L))
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val gotB = HnswIndex.searchBatch(spark, path, queries, "qid",
+      "qvec", beam = 8, hops = 3, k = 5).collect()
+    assert(gotB.nonEmpty &&
+      gotB.forall(r => !tombIds.contains(r.getLong(2))),
+      "batch serve must filter tombstones")
+    // describe surfaces the backlog; fsck stays clean (soft-deleted
+    // ids are still members — that is the point)
+    val desc = HnswIndex.describe(spark, path).collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(desc(("tombstones", -1)) == tombIds.size.toLong)
+    val checks = HnswIndex.fsck(spark, path).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(checks.values.forall(_ == 0L),
+      s"soft-deleted index must fsck clean: ${checks.filter(_._2 != 0L)}")
+    // the VACUUM: purgeDeletes re-links physically, retires the
+    // sidecar, and the result equals a fresh build on the survivors
+    HnswIndex.purgeDeletes(spark, path)
+    assert(HnswIndex.readDeletes(spark, path).isEmpty,
+      "purgeDeletes must retire the tombstones it makes physical")
+    val survivors = e.join(tomb, e("vec_id") === tomb("id"), "left_anti")
+    val wantP = Ann.hnswBuild(survivors, cents, "vec_id", "embedding",
+      "cent_id", "cvec", k = 4, fanout = 4, maxLevel = 1)
+    layersOf(path).zip(wantP.map(edgeSet)).zipWithIndex.foreach {
+      case ((g, w), l) =>
+        assert(g == w, s"layer $l: purgeDeletes != build on survivors")
+    }
+    // the serve path is back to the plain face (k-trim only)
+    val postRows = HnswIndex.search(spark, path, q, beam = 8, hops = 3)
+      .collect()
+    assert(postRows.nonEmpty)
+    // the documented update path: a purged id re-ingests cleanly
+    val reborn = e.filter(col("vec_id") === tombIds.head)
+      .select(col("vec_id"), col("embedding"))
+    HnswIndex.ingest(spark, path, reborn)
+    val ids = HnswIndex.readVectors(spark, path)
+      .select(col("vec_id").cast("long")).collect()
+      .map(_.getLong(0)).toSet
+    assert(ids.contains(tombIds.head),
+      "a purged id must be re-ingestable (purge + ingest = update)")
+    // a second purgeDeletes with nothing pending consumes no epoch
+    val snap = allFiles(path)
+    HnswIndex.purgeDeletes(spark, path)
+    assert(allFiles(path) == snap, "empty vacuum must be a no-op")
+  }
+
+  test("streamDeleteHnswMaintained: delete micro-batches land exactly-once and serve around immediately") {
+    val base = Files.createTempDirectory("graft_hidx_sds_").toString
+    val path = base + "/idx"
+    val in = base + "/in"
+    val ckpt = base + "/ckpt"
+    HnswIndex.build(spark, path, e, cents, "vec_id", "embedding",
+      "cent_id", "cvec", k = 4, fanout = 4, maxLevel = 1)
+    val d1 = e.filter(pmod(col("vec_id"), lit(34)) === 3)
+      .select(col("vec_id").as("id"))
+    val d2 = e.filter(pmod(col("vec_id"), lit(34)) === 20)
+      .select(col("vec_id").as("id"))
+    def start() = HnswIndex.streamDeleteHnswMaintained(
+      spark.readStream.schema(d1.schema).parquet(in), "id", path, ckpt)
+    d1.coalesce(1).write.mode("overwrite").parquet(in)
+    val q1 = start(); q1.processAllAvailable(); q1.stop()
+    d2.coalesce(1).write.mode("append").parquet(in)
+    val q2 = start(); q2.processAllAvailable(); q2.stop()
+    val want = d1.unionByName(d2).collect().map(_.getLong(0)).toSet
+    assert(HnswIndex.readDeletes(spark, path).collect()
+      .map(_.getLong(0)).toSet == want)
+    // replay on the same checkpoint adds nothing (no new epoch)
+    val snap = allFiles(path)
+    val q3 = start(); q3.processAllAvailable(); q3.stop()
+    assert(allFiles(path) == snap, "delete replay must be exactly-once")
+    // serving filters the streamed tombstones
+    val qv = e.filter(col("vec_id") === 42)
+      .select(col("embedding")).head.getSeq[Float](0)
+    val hits = HnswIndex.search(spark, path, qv, beam = 8, hops = 3)
+      .collect().map(_.getLong(1)).toSet
+    assert(hits.intersect(want).isEmpty)
+    // the ceiling guards the sidecar: a delete pushing past
+    // maxTombstones refuses loudly, naming the vacuum
+    spark.conf.set("graft.maintained.maxTombstones", "4")
+    try {
+      val big = e.limit(9).select(col("vec_id").as("id"))
+      val boom = intercept[IllegalArgumentException] {
+        HnswIndex.softDelete(spark, path, big, "id")
+      }
+      assert(boom.getMessage.contains("purge"), boom.getMessage)
+    } finally spark.conf.unset("graft.maintained.maxTombstones")
+  }
+
+  test("membership bitmap: exact group-pruned disjointness probe, folded in the same commit, cleared by purge, legacy-upgradable") {
+    val path = freshDir("graft_hidx_mem_")
+    buildAt(path)
+    def fsckMap() = HnswIndex.fsck(spark, path).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    def descMap() = HnswIndex.describe(spark, path).collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(descMap()(("membership_groups", -1)) > 0L,
+      "build must write the membership bitmap")
+    assert(fsckMap()("membership_mismatch") == 0L)
+    // exact collision detection through the bitmap probe
+    val clash = intercept[IllegalArgumentException] {
+      HnswIndex.ingest(spark, path, existing.limit(1))
+    }
+    assert(clash.getMessage.contains("already exists"), clash.getMessage)
+    // the bitmap folds the batch in within the SAME commit — never stale
+    HnswIndex.ingest(spark, path, batch)
+    assert(fsckMap()("membership_mismatch") == 0L,
+      "bitmap must cover existing ∪ batch after the ingest commit")
+    val reClash = intercept[IllegalArgumentException] {
+      HnswIndex.ingest(spark, path, batch.limit(1))
+    }
+    assert(reClash.getMessage.contains("already exists"))
+    // purge CLEARS bits (deletable, no rebuild): the purged id
+    // re-ingests, and the bitmap still matches the sidecar exactly
+    val victim = batch.orderBy(col("vec_id")).limit(1)
+    HnswIndex.purge(spark, path,
+      victim.select(col("vec_id").as("id")), "id")
+    assert(fsckMap()("membership_mismatch") == 0L,
+      "bitmap must drop purged ids in the purge commit")
+    HnswIndex.ingest(spark, path, victim)
+    assert(fsckMap()("membership_mismatch") == 0L)
+    // LEGACY upgrade: an index without the sidecar (pre-round-12
+    // layout) falls back to the full scan — and still catches the
+    // collision — then buildMembership turns the probe on
+    val path2 = freshDir("graft_hidx_mem2_")
+    buildAt(path2)
+    def rmrf(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rmrf)); f.delete(): Unit
+    }
+    rmrf(new java.io.File(path2, "_membership"))
+    val metaF = new java.io.File(path2, "_META")
+    val stripped = scala.io.Source.fromFile(metaF).getLines()
+      .filterNot(_.startsWith("memberShift=")).mkString("", "\n", "\n")
+    val w = new java.io.PrintWriter(metaF); w.write(stripped); w.close()
+    // drop the local-fs checksum sidecar the hand-edit invalidated
+    new java.io.File(path2, "._META.crc").delete(): Unit
+    val legacyClash = intercept[IllegalArgumentException] {
+      HnswIndex.ingest(spark, path2, existing.limit(1))
+    }
+    assert(legacyClash.getMessage.contains("already exists"),
+      "legacy fallback must still catch collisions")
+    val legacyChecks = HnswIndex.fsck(spark, path2).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(legacyChecks("membership_mismatch")._1 == 0L &&
+      legacyChecks("membership_mismatch")._2.contains("buildMembership"),
+      "fsck must name the missing bitmap on a legacy index")
+    HnswIndex.buildMembership(spark, path2)
+    assert(HnswIndex.readMeta(spark, path2).memberShift >= 0)
+    val upChecks = HnswIndex.fsck(spark, path2).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(upChecks("membership_mismatch") == 0L,
+      "rebuilt bitmap must match the sidecar exactly")
+    val upClash = intercept[IllegalArgumentException] {
+      HnswIndex.ingest(spark, path2, existing.limit(1))
+    }
+    assert(upClash.getMessage.contains("already exists"))
+    // buildMembership is idempotent
+    val snap = allFiles(path2)
+    HnswIndex.buildMembership(spark, path2)
+    assert(allFiles(path2) == snap, "a second buildMembership must no-op")
   }
 
   test("fence census: every commit rename in HnswIndex.scala sits behind a MaintainedLock.check") {
