@@ -167,6 +167,9 @@ object Bench {
     // retire the sidecar); hnsw_softdelete_op / hnsw_sdserve_op
     // isolate the op costs beside the fixture-inclusive oracle rows
     "q_hnsw_maintained_delete", "q_hnsw_maintained_vacuum",
+    // round-12: metadata-filtered durable serving (passthrough columns
+    // riding the sidecar; hnsw_filtered_serve isolates the op)
+    "q_hnsw_maintained_filtered",
     // round-10 census fill (BenchCensusSpec now pins headline ⊇
     // SparkEntry.queries, so a gap like this can't recur silently):
     // sparse/grouped/recommend serving faces that predated the census
@@ -559,6 +562,21 @@ object Bench {
       // in one fenced transaction (write-once: single timed run)
       results("hnsw_vacuum_op") =
         time(graft.streaming.HnswIndex.purgeDeletes(spark, midx))
+
+      // METADATA-FILTERED durable serve twin: beam + sidecar-metadata
+      // join + pred + re-rank over a passthrough-carrying index
+      val fidx = new java.io.File(d, "f_idx").getAbsolutePath
+      val eLbl = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        .select(col("vec_id"), col("embedding"), col("label"))
+      graft.streaming.HnswIndex.build(spark, fidx, eLbl, icents,
+        "vec_id", "embedding", "cent_id", "cvec", k = 4, fanout = 4,
+        maxLevel = 1, passthrough = Seq("label"))
+      def runFiltered(): Long = graft.streaming.HnswIndex.searchFiltered(
+        spark, fidx, sq, pmod(col("label"), lit(2)) === 0, beam = 8,
+        hops = 3, k = 5).count()
+      runFiltered() // warmup
+      results("hnsw_filtered_serve") =
+        math.min(time(runFiltered()), time(runFiltered()))
     }
 
     // -------- 2. headline analytics / dedup queries ---------------------

@@ -14292,6 +14292,33 @@ object SparkEntry {
         .orderBy($"rank")
     }),
 
+    // Durable METADATA-FILTERED serving (HnswIndex.searchFiltered):
+    // parity with searchMaintained's pred — passthrough columns
+    // declared at build ride the level-0 sidecar through every commit,
+    // the beam walks the FULL graph (filtered-out nodes still route,
+    // the tombstone discipline), and the page joins the sidecar's
+    // carried metadata, filters, re-ranks, k-trims. The oracle joins
+    // the ORIGINAL table's label while Spark reads the sidecar copy —
+    // the hash certifies the passthrough plumbing itself.
+    "q_hnsw_maintained_filtered" -> ((s, dir) => {
+      import s.implicits._
+      val e = t(s, dir, "embeddings")
+        .select($"vec_id", $"embedding", $"label")
+      val cents = e.filter($"vec_id" < 16)
+        .select($"vec_id".as("cent_id"), $"embedding".as("cvec"))
+      val d = java.nio.file.Files.createTempDirectory("graft_hidxf_q_").toFile
+      jsonlTmpCleanup(d)
+      val idx = new java.io.File(d, "idx").getAbsolutePath
+      HnswIndex.build(s, idx, e, cents, "vec_id", "embedding",
+        "cent_id", "cvec", k = 4, fanout = 4, maxLevel = 1,
+        passthrough = Seq("label"))
+      val query = e.filter($"vec_id" === 42)
+        .select($"embedding").head.getSeq[Float](0)
+      HnswIndex.searchFiltered(s, idx, query,
+          pmod($"label", lit(2)) === 0, beam = 8, hops = 3, k = 5)
+        .orderBy($"rank")
+    }),
+
     // Durable VACUUM (HnswIndex.purgeDeletes): soft-deleted tombstones
     // become physical in one fenced purge transaction and the sidecar
     // retires WITH it — the query requires the sidecar empty before
@@ -14329,5 +14356,12 @@ object SparkEntry {
     // shared verbatim, the serve-from-durable ≡ serve-from-operator
     // identity the spec pins
     "q_hnsw_maintained_delete" -> round9Oracles("q_hnsw_delete"),
-    "q_hnsw_maintained_vacuum" -> round9Oracles("q_hnsw_compact"))
+    "q_hnsw_maintained_vacuum" -> round9Oracles("q_hnsw_compact"),
+    // the filtered replay = the soft-delete replay with the final page
+    // filter swapped from NOT-IN-tombstones to a label-parity join on
+    // the ORIGINAL table (Spark reads the sidecar's carried copy)
+    "q_hnsw_maintained_filtered" -> round9Oracles("q_hnsw_delete")
+      .replace("FROM best3 WHERE id % 17 <> 3",
+        "FROM best3 JOIN embeddings em ON em.vec_id = best3.id " +
+          "WHERE em.label % 2 = 0"))
 }

@@ -121,7 +121,8 @@ object HnswIndex {
     */
   final case class Meta(idCol: String, vecCol: String, centIdCol: String,
                         centVecCol: String, maxLevel: Int, fanout: Int,
-                        k: Int, memberShift: Int = -1)
+                        k: Int, memberShift: Int = -1,
+                        passthrough: Seq[StructField] = Nil)
 
   private def fsOf(spark: SparkSession, root: Path): FileSystem =
     root.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -265,7 +266,7 @@ object HnswIndex {
 
   private def sidecarSchema(meta: Meta) = StructType(Seq(
     StructField("cell_id", LongType), StructField(meta.idCol, LongType),
-    StructField(meta.vecCol, ArrayType(FloatType))))
+    StructField(meta.vecCol, ArrayType(FloatType))) ++ meta.passthrough)
 
   private def readPaths(spark: SparkSession, paths: Seq[Path],
                         schema: StructType): DataFrame =
@@ -285,14 +286,27 @@ object HnswIndex {
       }.toMap
     Meta(kv("idCol"), kv("vecCol"), kv("centIdCol"), kv("centVecCol"),
       kv("maxLevel").toInt, kv("fanout").toInt, kv("k").toInt,
-      kv.getOrElse("memberShift", "-1").toInt)
+      kv.getOrElse("memberShift", "-1").toInt,
+      kv.get("passthrough").filter(_.nonEmpty)
+        .map(ddl => StructType.fromDDL(ddl).fields.toSeq)
+        .getOrElse(Nil))
   }
 
-  /** The coarse centroid table the index was built under (immutable —
-    * a retrain is a rebuild, the [[Ann.hnswBuild]] contract).
+  /** The current committed coarse centroid table. Epoch-versioned
+    * since round 12 (`_centroids/__e=<n>` — [[retrainHnsw]] commits a
+    * new generation atomically with the rebuilt hierarchy); indexes
+    * written before that read the legacy flat layout.
     */
-  def readCentroids(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet(new Path(new Path(path), "_centroids").toString)
+  def readCentroids(spark: SparkSession, path: String): DataFrame = {
+    val root = new Path(path)
+    val fs = fsOf(spark, root)
+    val d = new Path(root, "_centroids")
+    val committed = committedEpochs(fs, root)
+    currentLeaf(fs, d, committed) match {
+      case Some(leaf) => spark.read.parquet(leaf.toString)
+      case None => spark.read.parquet(d.toString) // legacy flat layout
+    }
+  }
 
   /** The current committed hierarchy, index i = level i's edge table
     * as (cell_id, src, dst, score) — the `layers` shape every [[Ann]]
@@ -495,8 +509,9 @@ object HnswIndex {
     */
   private def writeSidecarLeaves(rows: DataFrame, meta: Meta, dir: Path,
                                  epoch: Long): Unit =
-    rows.select(col("cell_id").cast("long").as("cell_id"),
-        col(meta.idCol).cast("long").as(meta.idCol), col(meta.vecCol))
+    rows.select(Seq(col("cell_id").cast("long").as("cell_id"),
+        col(meta.idCol).cast("long").as(meta.idCol), col(meta.vecCol)) ++
+        meta.passthrough.map(f => col(f.name).cast(f.dataType)): _*)
       .withColumn("__c", col("cell_id"))
       .withColumn("__e", lit(epoch))
       .repartition(col("__c"))
@@ -611,7 +626,8 @@ object HnswIndex {
             centroids: DataFrame, idCol: String, vecCol: String,
             centIdCol: String, centVecCol: String,
             k: Int, fanout: Int, maxLevel: Int,
-            hook: String => Unit = _ => ()): Unit = {
+            hook: String => Unit = _ => (),
+            passthrough: Seq[String] = Nil): Unit = {
     val root = new Path(path)
     val fs = fsOf(spark, root)
     MaintainedLock.withLease(spark, root) { lease =>
@@ -620,14 +636,20 @@ object HnswIndex {
         committedEpochs(fs, root).isEmpty,
         s"$path already holds an HNSW index — build into a fresh " +
           "directory (purge/retrain maintain an existing one)")
-      val v = vectors.select(col(idCol).cast("long").as(idCol),
-        col(vecCol))
+      val ptFields = passthrough.map { c =>
+        val f = vectors.schema.fields.find(_.name == c)
+        require(f.nonEmpty,
+          s"passthrough column '$c' is absent from the vectors input")
+        f.get
+      }
+      val v = vectors.select(col(idCol).cast("long").as(idCol) +:
+        col(vecCol) +: passthrough.map(col): _*)
       val neg = v.filter(col(idCol) < 0).limit(1).collect()
       require(neg.isEmpty, "ids must be non-negative integrals")
       val maxId = v.agg(max(col(idCol))).head
       val shift = autoShift(if (maxId.isNullAt(0)) 0L else maxId.getLong(0))
       val meta = Meta(idCol, vecCol, centIdCol, centVecCol, maxLevel,
-        fanout, k, shift)
+        fanout, k, shift, ptFields)
       fs.mkdirs(refreshDir(root)): Unit
       writeFile(fs, intentPath(root, 0L), BuildIntentBody + "\n")
       hook("intent")
@@ -651,12 +673,13 @@ object HnswIndex {
         epoch = 0L)
       centroids.select(col(centIdCol).cast("long").as(centIdCol),
           col(centVecCol))
-        .write.mode("overwrite")
-        .parquet(new Path(root, "_centroids").toString)
+        .coalesce(1).write.mode("overwrite")
+        .parquet(new Path(root, "_centroids/__e=0").toString)
+      val ptDdl = StructType(ptFields).toDDL
       writeFile(fs, metaPath(root),
         s"idCol=$idCol\nvecCol=$vecCol\ncentIdCol=$centIdCol\n" +
           s"centVecCol=$centVecCol\nmaxLevel=$maxLevel\nfanout=$fanout\n" +
-          s"k=$k\nmemberShift=$shift\n")
+          s"k=$k\nmemberShift=$shift\npassthrough=$ptDdl\n")
       hook("appended")
       val builtDirs = ((0 to maxLevel).flatMap { l =>
         cellDirsOf(fs, root, s"layer_$l") ++
@@ -800,8 +823,9 @@ object HnswIndex {
         case Right(v) => v
       }
       val cents = readCentroids(spark, path)
-      val b = batch.select(col(meta.idCol).cast("long").as(meta.idCol),
-        col(meta.vecCol)).localCheckpoint(false)
+      val b = batch.select(col(meta.idCol).cast("long").as(meta.idCol) +:
+          col(meta.vecCol) +: meta.passthrough.map(f => col(f.name)): _*)
+        .localCheckpoint(false)
       val bounds = b.agg(min(col(meta.idCol)), max(col(meta.idCol))).head
       if (bounds.isNullAt(0)) return committed.max // empty batch: no-op
       require(bounds.getLong(0) >= 0, "ids must be non-negative integrals")
@@ -864,8 +888,9 @@ object HnswIndex {
           sidecarSchema(meta))
         (cells, touchedSide,
           touchedSide.unionByName(
-            bAsg(l).select(col("cell_id").cast("long").as("cell_id"),
-              col(meta.idCol), col(meta.vecCol))))
+            bAsg(l).select(col("cell_id").cast("long").as("cell_id") +:
+              col(meta.idCol) +: col(meta.vecCol) +:
+              meta.passthrough.map(f => col(f.name)): _*)))
       }
       // restricted current layers: the delta only reuses the stored
       // adjacency of touched cells' members — read exactly those leaves
@@ -1094,7 +1119,8 @@ object HnswIndex {
         s"idCol=${meta.idCol}\nvecCol=${meta.vecCol}\n" +
           s"centIdCol=${meta.centIdCol}\ncentVecCol=${meta.centVecCol}\n" +
           s"maxLevel=${meta.maxLevel}\nfanout=${meta.fanout}\n" +
-          s"k=${meta.k}\nmemberShift=$shift\n")
+          s"k=${meta.k}\nmemberShift=$shift\npassthrough=" +
+          StructType(meta.passthrough).toDDL + "\n")
     }
   }
 
@@ -1125,16 +1151,24 @@ object HnswIndex {
     * never surface in the page — survivors re-rank and trim to `k`
     * ([[Ann.hnswSearchDeleted]] semantics; size `beam >= k + expected
     * tombstones per neighborhood` so survivors fill the page). `k <= 0`
-    * means k = beam. Returns (rank, idCol, score).
+    * means k = beam. `asOf` pins the hierarchy and vectors to the
+    * highest committed generations <= that epoch ([[pinnedSnapshot]] —
+    * loud outside the `gcRetain` horizon, the `maintainedSnapshot`
+    * twin); DELETES READ CURRENT regardless of the pin, matching the
+    * IVF family's declared policy — a pin is a corpus snapshot, not a
+    * deletion-law exemption. Returns (rank, idCol, score).
     */
   def search(spark: SparkSession, path: String, query: Seq[Float],
              beam: Int, hops: Int, descentHops: Int = 2,
-             k: Int = 0): DataFrame = {
+             k: Int = 0, asOf: Option[Long] = None): DataFrame = {
     val root = new Path(path)
+    val fs = fsOf(spark, root)
     val meta = readMeta(spark, path)
-    val committed = committedEpochs(fsOf(spark, root), root)
-    val layers = readLayersAt(spark, root, meta, committed)
-    val vectors = readVectorsAt(spark, root, meta, committed)
+    val committed = committedEpochs(fs, root)
+    val snap = asOf.map(pinnedSnapshot(fs, root, committed, _))
+      .getOrElse(committed)
+    val layers = readLayersAt(spark, root, meta, snap)
+    val vectors = readVectorsAt(spark, root, meta, snap)
     val dels = readDeletesAt(spark, root, committed)
     val page = if (k <= 0) beam else k
     if (hasRows(spark, root, "_deletes", committed))
@@ -1155,12 +1189,16 @@ object HnswIndex {
     */
   def searchBatch(spark: SparkSession, path: String, queries: DataFrame,
                   qidCol: String, qvecCol: String, beam: Int, hops: Int,
-                  descentHops: Int = 2, k: Int = 0): DataFrame = {
+                  descentHops: Int = 2, k: Int = 0,
+                  asOf: Option[Long] = None): DataFrame = {
     val root = new Path(path)
+    val fs = fsOf(spark, root)
     val meta = readMeta(spark, path)
-    val committed = committedEpochs(fsOf(spark, root), root)
-    val layers = readLayersAt(spark, root, meta, committed)
-    val vectors = readVectorsAt(spark, root, meta, committed)
+    val committed = committedEpochs(fs, root)
+    val snap = asOf.map(pinnedSnapshot(fs, root, committed, _))
+      .getOrElse(committed)
+    val layers = readLayersAt(spark, root, meta, snap)
+    val vectors = readVectorsAt(spark, root, meta, snap)
     val dels = readDeletesAt(spark, root, committed)
     val page = if (k <= 0) beam else k
     if (hasRows(spark, root, "_deletes", committed))
@@ -1173,6 +1211,121 @@ object HnswIndex {
         qidCol, qvecCol, meta.fanout, beam, hops, descentHops)
       if (page >= beam) res else res.filter(col("rank") <= page)
     }
+  }
+
+  /** Resolve an `asOf` pin to its epoch snapshot, LOUDLY: the pin must
+    * be a committed epoch, and every leaf dir some epoch <= pin
+    * touched (per the commit markers' dir lists — build included)
+    * must still retain a committed generation <= pin. GC keeps
+    * `graft.hnsw.gcRetain` generations per leaf, so the pin horizon is
+    * exactly the retention window — outside it this throws instead of
+    * serving a silently partial hierarchy. Dirs first touched AFTER
+    * the pin are excluded naturally (they did not exist at pin time).
+    * Cost: one marker read per epoch <= pin (small files; pins are
+    * point-in-time repro/debug serves, not the hot path).
+    */
+  private def pinnedSnapshot(fs: FileSystem, root: Path,
+                             committed: Set[Long], pin: Long): Set[Long] = {
+    require(committed.contains(pin),
+      s"asOf epoch $pin is not a committed epoch (latest: " +
+        s"${if (committed.isEmpty) -1L else committed.max})")
+    val snap = committed.filter(_ <= pin)
+    val touched = snap.toSeq.sorted.flatMap(e =>
+      commitDirs(readFile(fs, commitPath(root, e)))).toSet
+    touched.foreach { d =>
+      val parent = new Path(root, d)
+      val ok = fs.exists(parent) &&
+        fs.listStatus(parent).filter(_.isDirectory)
+          .map(_.getPath.getName)
+          .exists(n => n.startsWith("__e=") &&
+            snap.contains(n.stripPrefix("__e=").toLong))
+      require(ok,
+        s"asOf $pin is outside the retention window: $d no longer " +
+          s"holds a committed generation <= $pin — raise " +
+          "graft.hnsw.gcRetain on the writer to widen the pin horizon")
+    }
+    snap
+  }
+
+  /** METADATA-FILTERED serve — parity with `searchMaintained`'s
+    * `pred`: the beam walks the FULL graph (filtered-out nodes still
+    * route, exactly like tombstones — pre-filtering the graph would
+    * sever the small-world shortcuts), then the page joins the level-0
+    * sidecar's passthrough columns (declared at [[build]] via
+    * `passthrough`, carried through every ingest/purge commit),
+    * filters on `pred`, drops pending soft-deletes, re-ranks the <=
+    * beam survivors and trims to `k`. Size `beam >= k / expected
+    * selectivity`. `pred` may reference the id column and any
+    * passthrough column. Deterministic (quantized scores, (score desc,
+    * id asc) re-rank), so a closed-form oracle replays it. Returns
+    * (rank, idCol, score); honors `asOf` like [[search]].
+    */
+  def searchFiltered(spark: SparkSession, path: String,
+                     query: Seq[Float], pred: Column, beam: Int,
+                     hops: Int, k: Int, descentHops: Int = 2,
+                     asOf: Option[Long] = None): DataFrame = {
+    require(k >= 1 && k <= beam, s"need 1 <= k <= beam; got k=$k beam=$beam")
+    val root = new Path(path)
+    val fs = fsOf(spark, root)
+    val meta = readMeta(spark, path)
+    val committed = committedEpochs(fs, root)
+    val snap = asOf.map(pinnedSnapshot(fs, root, committed, _))
+      .getOrElse(committed)
+    val layers = readLayersAt(spark, root, meta, snap)
+    val vectors = readVectorsAt(spark, root, meta, snap)
+    val res = Ann.hnswSearch(layers, vectors, meta.idCol, meta.vecCol,
+      query, meta.fanout, beam, hops, descentHops)
+    val side = vectors.select(col(meta.idCol).cast("long").as("__sid") +:
+      meta.passthrough.map(f => col(f.name)): _*)
+    val dels = readDeletesAt(spark, root, committed)
+    import spark.implicits._
+    res.select(col(meta.idCol).cast("long").as(meta.idCol), col("score"))
+      .join(side, col(meta.idCol) === col("__sid"))
+      .filter(pred)
+      .join(dels, col(meta.idCol) === col("__tid"), "left_anti")
+      .select(col(meta.idCol), col("score"))
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) Double.NegativeInfinity else r.getDouble(1)))
+      .sortBy { case (id, sc) => (-sc, id) }
+      .take(k).toSeq.zipWithIndex
+      .map { case ((id, sc), r) => (r + 1, id, sc) }
+      .toDF("rank", meta.idCol, "score")
+  }
+
+  /** Batched [[searchFiltered]]: ONE [[Ann.hnswSearchBatch]] for the
+    * whole query table, one sidecar join + filter, per-qid re-rank +
+    * k-trim (window over <= beam rows per qid). Returns (qidCol, rank,
+    * idCol, score).
+    */
+  def searchBatchFiltered(spark: SparkSession, path: String,
+                          queries: DataFrame, qidCol: String,
+                          qvecCol: String, pred: Column, beam: Int,
+                          hops: Int, k: Int, descentHops: Int = 2,
+                          asOf: Option[Long] = None): DataFrame = {
+    require(k >= 1 && k <= beam, s"need 1 <= k <= beam; got k=$k beam=$beam")
+    val root = new Path(path)
+    val fs = fsOf(spark, root)
+    val meta = readMeta(spark, path)
+    val committed = committedEpochs(fs, root)
+    val snap = asOf.map(pinnedSnapshot(fs, root, committed, _))
+      .getOrElse(committed)
+    val layers = readLayersAt(spark, root, meta, snap)
+    val vectors = readVectorsAt(spark, root, meta, snap)
+    val res = Ann.hnswSearchBatch(layers, vectors, queries, meta.idCol,
+      meta.vecCol, qidCol, qvecCol, meta.fanout, beam, hops, descentHops)
+    val side = vectors.select(col(meta.idCol).cast("long").as("__sid") +:
+      meta.passthrough.map(f => col(f.name)): _*)
+    val dels = readDeletesAt(spark, root, committed)
+    res.select(col(qidCol), col(meta.idCol).cast("long").as(meta.idCol),
+        col("score"))
+      .join(side, col(meta.idCol) === col("__sid"))
+      .filter(pred)
+      .join(dels, col(meta.idCol) === col("__tid"), "left_anti")
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col(qidCol))
+          .orderBy(col("score").desc, col(meta.idCol))))
+      .filter(col("rank") <= k)
+      .select(col(qidCol), col("rank"), col(meta.idCol), col("score"))
   }
 
   /** Whether a plain epoch-versioned dir currently holds any parquet

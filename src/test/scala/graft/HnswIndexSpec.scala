@@ -712,6 +712,111 @@ class HnswIndexSpec extends SparkSpec {
     assert(allFiles(path2) == snap, "a second buildMembership must no-op")
   }
 
+  test("asOf pins: post-pin ingest invisible, deletes read current, outside-retention pin fails loudly") {
+    val path = freshDir("graft_hidx_pin_")
+    val q = e.filter(col("vec_id") === 42)
+      .select(col("embedding")).head.getSeq[Float](0)
+    spark.conf.set("graft.hnsw.gcRetain", "3")
+    try {
+      buildAt(path) // epoch 0
+      def serve(asOf: Option[Long]) =
+        HnswIndex.search(spark, path, q, beam = 8, hops = 3, k = 5,
+          asOf = asOf).collect()
+          .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSeq
+      val pre = serve(None)
+      assert(serve(Some(0L)) == pre, "pin at build must equal the build")
+      // post-pin ingest is INVISIBLE at the pin, visible current
+      HnswIndex.ingest(spark, path, batch) // epoch 1
+      assert(serve(Some(0L)) == pre,
+        "a post-pin ingest must be invisible at the pin")
+      assert(serve(None) != pre || HnswIndex.search(spark, path, q,
+        beam = 8, hops = 3).count() > 0)
+      // deletes read CURRENT regardless of the pin (the IVF policy):
+      // soft-delete the pin's top hit — the pinned serve drops it too
+      val top = pre.head._2
+      HnswIndex.softDelete(spark, path,
+        e.filter(col("vec_id") === top).select(col("vec_id").as("id")),
+        "id") // epoch 2
+      val pinnedAfterDelete = serve(Some(0L))
+      assert(!pinnedAfterDelete.exists(_._2 == top),
+        "a pin is a corpus snapshot, not a deletion-law exemption")
+      // ... while the CORPUS stays pinned: no post-pin batch id (the
+      // mod-10 == 7 slice) may surface, even as the page re-ranks
+      assert(pinnedAfterDelete.nonEmpty &&
+        pinnedAfterDelete.forall(_._2 % 10 != 7),
+        "pinned-after-delete must still serve the pinned corpus only")
+      // a non-committed pin refuses
+      val bad = intercept[IllegalArgumentException](serve(Some(99L)))
+      assert(bad.getMessage.contains("not a committed epoch"))
+      // outside the retention window: with gcRetain back at 1 the next
+      // refresh GCs the pinned generations of the cells it touches —
+      // the pin then fails LOUDLY instead of serving a partial graph
+      spark.conf.unset("graft.hnsw.gcRetain")
+      HnswIndex.purge(spark, path,
+        batch.limit(5).select(col("vec_id").as("id")), "id") // epoch 3
+      val gone = intercept[IllegalArgumentException](serve(Some(0L)))
+      assert(gone.getMessage.contains("retention window"),
+        gone.getMessage)
+    } finally spark.conf.unset("graft.hnsw.gcRetain")
+  }
+
+  test("filtered serving: pred over passthrough columns, carried through ingest, composed with soft delete; batch ≡ single per qid") {
+    val path = freshDir("graft_hidx_flt_")
+    val e2 = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"), col("label"))
+    val ex2 = e2.filter(pmod(col("vec_id"), lit(10)) =!= 7)
+    val b2 = e2.filter(pmod(col("vec_id"), lit(10)) === 7)
+    HnswIndex.build(spark, path, ex2, cents, "vec_id", "embedding",
+      "cent_id", "cvec", k = 4, fanout = 4, maxLevel = 1,
+      passthrough = Seq("label"))
+    assert(HnswIndex.readMeta(spark, path).passthrough.map(_.name) ==
+      Seq("label"))
+    // the sidecar CARRIES the passthrough column through a refresh
+    HnswIndex.ingest(spark, path, b2)
+    val side = HnswIndex.readVectors(spark, path)
+    assert(side.columns.contains("label"))
+    val labelOf = e2.select(col("vec_id").cast("long"), col("label"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val sideLabels = side.select(col("vec_id").cast("long"), col("label"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(sideLabels == labelOf,
+      "every member (existing AND ingested) must carry its label")
+    // filtered serve ≡ manual beam + filter + re-rank
+    val q = e2.filter(col("vec_id") === 42)
+      .select(col("embedding")).head.getSeq[Float](0)
+    val pred = pmod(col("label"), lit(2)) === 0
+    val got = HnswIndex.searchFiltered(spark, path, q, pred, beam = 8,
+      hops = 3, k = 5).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSeq
+    val raw = HnswIndex.search(spark, path, q, beam = 8, hops = 3)
+      .collect().map(r => (r.getLong(1), r.getDouble(2)))
+    val want = raw.filter { case (id, _) => labelOf(id) % 2 == 0 }
+      .sortBy { case (id, sc) => (-sc, id) }.take(5)
+      .zipWithIndex.map { case ((id, sc), r) => (r + 1, id, sc) }.toSeq
+    assert(got == want, s"filtered serve mismatch: $got vs $want")
+    assert(got.nonEmpty && got.forall { case (_, id, _) =>
+      labelOf(id) % 2 == 0 })
+    // batch face ≡ single face per qid
+    val queries = e2.filter(col("vec_id").isin(42L, 137L))
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val gotB = HnswIndex.searchBatchFiltered(spark, path, queries,
+      "qid", "qvec", pred, beam = 8, hops = 3, k = 5)
+      .filter(col("qid") === 42L)
+      .select(col("rank"), col("vec_id"), col("score")).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSeq
+      .sortBy(_._1)
+    assert(gotB == got, "batch filtered face must equal the single face")
+    // composes with soft delete: tombstone the filtered top hit
+    val top = got.head._2
+    HnswIndex.softDelete(spark, path,
+      e2.filter(col("vec_id") === top).select(col("vec_id").as("id")),
+      "id")
+    val afterDel = HnswIndex.searchFiltered(spark, path, q, pred,
+      beam = 8, hops = 3, k = 5).collect().map(_.getLong(1)).toSet
+    assert(!afterDel.contains(top),
+      "filtered serve must honor pending soft deletes")
+  }
+
   test("fence census: every commit rename in HnswIndex.scala sits behind a MaintainedLock.check") {
     val lines = java.nio.file.Files.readAllLines(java.nio.file.Paths.get(
       "src/main/scala/graft/streaming/HnswIndex.scala"))
