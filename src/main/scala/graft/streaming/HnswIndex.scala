@@ -1045,8 +1045,14 @@ object HnswIndex {
           val cur = readDeletesAt(spark, root, committed)
           val kept = cur.join(tomb.select(col("__tid").as("__pid")),
             col("__tid") === col("__pid"), "left_anti")
+            .localCheckpoint(false)
+          // a fully-retired sidecar writes NO file: the empty epoch dir
+          // (ensureLeaves) already means "no tombstones", and serving
+          // then takes the plain path again instead of paying the
+          // anti-join forever after the first soft delete
           Seq(Extra(Seq("_deletes"),
-            ep => writePlainLeaf(kept, root, "_deletes", ep)))
+            ep => if (!kept.isEmpty)
+              writePlainLeaf(kept, root, "_deletes", ep)))
         }
       // the bitmap is DELETABLE: the purged ids' bits clear in the
       // same commit (only groups that actually hold a tombstoned id
@@ -1203,10 +1209,9 @@ object HnswIndex {
       }
       val centExtra = Extra(Seq("_centroids"),
         ep => writePlainLeaf(cents, root, "_centroids", ep))
-      val delExtra =
+      val delExtra = // retire by superseding with an EMPTY epoch dir
         if (!fs.exists(deletesDir(root))) Nil
-        else Seq(Extra(Seq("_deletes"),
-          ep => writePlainLeaf(dels.limit(0), root, "_deletes", ep)))
+        else Seq(Extra(Seq("_deletes"), _ => ()))
       val memExtra =
         if (meta.memberShift < 0) Nil
         else {

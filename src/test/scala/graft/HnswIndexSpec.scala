@@ -578,7 +578,15 @@ class HnswIndexSpec extends SparkSpec {
       case ((g, w), l) =>
         assert(g == w, s"layer $l: purgeDeletes != build on survivors")
     }
-    // the serve path is back to the plain face (k-trim only)
+    // the serve path is back to the plain face (k-trim only): a fully
+    // retired sidecar leaves NO parquet file behind, so serving stops
+    // paying the tombstone anti-join
+    val delLeaves = Option(new java.io.File(path, "_deletes").listFiles())
+      .map(_.toSeq).getOrElse(Seq.empty).filter(_.isDirectory)
+      .flatMap(d => Option(d.listFiles()).map(_.toSeq).getOrElse(Seq.empty))
+      .filter(_.getName.endsWith(".parquet"))
+    assert(delLeaves.isEmpty,
+      s"a fully-retired sidecar must hold no data file: $delLeaves")
     val postRows = HnswIndex.search(spark, path, q, beam = 8, hops = 3)
       .collect()
     assert(postRows.nonEmpty)
