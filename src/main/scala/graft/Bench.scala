@@ -170,6 +170,7 @@ object Bench {
     // round-12: metadata-filtered durable serving (passthrough columns
     // riding the sidecar; hnsw_filtered_serve isolates the op)
     "q_hnsw_maintained_filtered", "q_hnsw_maintained_retrain",
+    "q_hnsw_maintained_namespaced",
     // round-10 census fill (BenchCensusSpec now pins headline ⊇
     // SparkEntry.queries, so a gap like this can't recur silently):
     // sparse/grouped/recommend serving faces that predated the census

@@ -14319,6 +14319,34 @@ object SparkEntry {
         .orderBy($"rank")
     }),
 
+    // Durable NAMESPACED serving (HnswIndex.searchBatchNamespaced):
+    // multi-tenant batch serve — every query row carries its OWN
+    // namespace and its page restricts to corpus rows whose
+    // sidecar-carried namespace matches (label plays the namespace
+    // here); ONE hnswSearchBatch pass for the whole tenant mix. The
+    // oracle joins both sides' labels from the ORIGINAL table while
+    // Spark reads the sidecar copy.
+    "q_hnsw_maintained_namespaced" -> ((s, dir) => {
+      import s.implicits._
+      val e = t(s, dir, "embeddings")
+        .select($"vec_id", $"embedding",
+          pmod($"label", lit(2)).as("ns"))
+      val cents = e.filter($"vec_id" < 16)
+        .select($"vec_id".as("cent_id"), $"embedding".as("cvec"))
+      val d = java.nio.file.Files.createTempDirectory("graft_hidxn_q_").toFile
+      jsonlTmpCleanup(d)
+      val idx = new java.io.File(d, "idx").getAbsolutePath
+      HnswIndex.build(s, idx, e, cents, "vec_id", "embedding",
+        "cent_id", "cvec", k = 4, fanout = 4, maxLevel = 1,
+        passthrough = Seq("ns"))
+      val queries = e.filter($"vec_id".isin(42L, 137L, 256L))
+        .select($"vec_id".as("qid"), $"embedding".as("qvec"),
+          $"ns".as("qns"))
+      HnswIndex.searchBatchNamespaced(s, idx, queries, "qid", "qvec",
+          "qns", "ns", beam = 8, hops = 3, k = 5)
+        .orderBy($"qid", $"rank")
+    }),
+
     // Durable RETRAIN (HnswIndex.retrainHnsw): the drift-repair
     // escalation — rebuild hierarchy + sidecar + membership bitmap on
     // the live membership under NEW centroids, one fenced commit, with
@@ -14402,5 +14430,31 @@ object SparkEntry {
     // fold — the retrain purges the pending soft deletes)
     "q_hnsw_maintained_retrain" -> round9Oracles("q_hnsw_compact")
       .replace("WHERE vec_id < 16)",
-        "WHERE vec_id >= 16 AND vec_id < 32)"))
+        "WHERE vec_id >= 16 AND vec_id < 32)"),
+    // the namespaced replay = the batch replay with its final page
+    // joined to BOTH sides' labels (query's own namespace restricts
+    // its page) and re-ranked after the filter, k-trimmed
+    "q_hnsw_maintained_namespaced" -> {
+      val base = round9Oracles("q_hnsw_ann_batch")
+      val oldTail =
+        """SELECT qid,
+          |  CAST(row_number() OVER (PARTITION BY qid ORDER BY s DESC, id)
+          |       AS INT) AS rank,
+          |  id AS vec_id, s AS score
+          |FROM best3 ORDER BY qid, rank""".stripMargin
+      val newTail =
+        """SELECT qid, rank, vec_id, score FROM (
+          |  SELECT b.qid,
+          |    CAST(row_number() OVER (PARTITION BY b.qid
+          |                            ORDER BY b.s DESC, b.id) AS INT) AS rank,
+          |    b.id AS vec_id, b.s AS score
+          |  FROM best3 b
+          |  JOIN embeddings em ON em.vec_id = b.id
+          |  JOIN embeddings eq ON eq.vec_id = b.qid
+          |  WHERE em.label % 2 = eq.label % 2)
+          |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
+      require(base.contains(oldTail),
+        "q_hnsw_ann_batch oracle tail changed — update the namespaced swap")
+      base.replace(oldTail, newTail)
+    })
 }

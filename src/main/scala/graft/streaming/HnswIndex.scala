@@ -1555,6 +1555,53 @@ object HnswIndex {
       .select(col(qidCol), col("rank"), col(meta.idCol), col("score"))
   }
 
+  /** NAMESPACED batch serve — [[Streaming.searchMaintainedNamespacedBatch]]'s
+    * graph twin, and a stronger face than [[searchBatchFiltered]]'s
+    * constant pred: every query row carries its OWN namespace
+    * (`qnsCol`), and its page is restricted to corpus rows whose
+    * passthrough `nsCol` matches it — multi-tenant serving in ONE
+    * [[Ann.hnswSearchBatch]] pass (the beam still walks the full
+    * graph; cross-namespace nodes route but never surface, the
+    * tombstone discipline). Pending soft deletes drop as everywhere.
+    * Returns (qidCol, rank, idCol, score); honors `asOf`.
+    */
+  def searchBatchNamespaced(spark: SparkSession, path: String,
+                            queries: DataFrame, qidCol: String,
+                            qvecCol: String, qnsCol: String,
+                            nsCol: String, beam: Int, hops: Int, k: Int,
+                            descentHops: Int = 2,
+                            asOf: Option[Long] = None): DataFrame = {
+    require(k >= 1 && k <= beam, s"need 1 <= k <= beam; got k=$k beam=$beam")
+    val root = new Path(path)
+    val fs = fsOf(spark, root)
+    val meta = readMeta(spark, path)
+    require(meta.passthrough.exists(_.name == nsCol),
+      s"namespace column '$nsCol' is not a passthrough column of this " +
+        s"index (declared: ${meta.passthrough.map(_.name).mkString(", ")})")
+    val committed = committedEpochs(fs, root)
+    val snap = asOf.map(pinnedSnapshot(fs, root, committed, _))
+      .getOrElse(committed)
+    val layers = readLayersAt(spark, root, meta, snap)
+    val vectors = readVectorsAt(spark, root, meta, snap)
+    val res = Ann.hnswSearchBatch(layers, vectors, queries, meta.idCol,
+      meta.vecCol, qidCol, qvecCol, meta.fanout, beam, hops, descentHops)
+    val side = vectors.select(col(meta.idCol).cast("long").as("__sid"),
+      col(nsCol))
+    val dels = readDeletesAt(spark, root, committed)
+    res.select(col(qidCol), col(meta.idCol).cast("long").as(meta.idCol),
+        col("score"))
+      .join(side, col(meta.idCol) === col("__sid"))
+      .join(broadcast(queries.select(col(qidCol),
+        col(qnsCol).as("__qns"))), Seq(qidCol))
+      .filter(col(nsCol) === col("__qns"))
+      .join(dels, col(meta.idCol) === col("__tid"), "left_anti")
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col(qidCol))
+          .orderBy(col("score").desc, col(meta.idCol))))
+      .filter(col("rank") <= k)
+      .select(col(qidCol), col("rank"), col(meta.idCol), col("score"))
+  }
+
   /** Whether a plain epoch-versioned dir currently holds any parquet
     * file — a LISTING check (no data read, no Spark job), so the
     * no-tombstone serving path stays job-identical to before.

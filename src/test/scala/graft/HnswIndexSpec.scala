@@ -823,6 +823,27 @@ class HnswIndexSpec extends SparkSpec {
       beam = 8, hops = 3, k = 5).collect().map(_.getLong(1)).toSet
     assert(!afterDel.contains(top),
       "filtered serve must honor pending soft deletes")
+    // NAMESPACED batch face: each query restricted to its OWN
+    // namespace (label), multi-tenant in one pass, deletes honored
+    val nsQ = e2.filter(col("vec_id").isin(42L, 137L))
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"),
+        col("label").as("qns"))
+    val nsRes = HnswIndex.searchBatchNamespaced(spark, path, nsQ,
+      "qid", "qvec", "qns", "label", beam = 8, hops = 3, k = 5)
+      .collect()
+    assert(nsRes.nonEmpty)
+    nsRes.foreach { r =>
+      assert(labelOf(r.getLong(2)) == labelOf(r.getLong(0)),
+        s"qid ${r.getLong(0)} got a foreign-namespace hit ${r.getLong(2)}")
+    }
+    assert(!nsRes.exists(_.getLong(2) == top),
+      "namespaced serve must honor pending soft deletes")
+    // a non-passthrough namespace column refuses loudly
+    val badNs = intercept[IllegalArgumentException] {
+      HnswIndex.searchBatchNamespaced(spark, path, nsQ, "qid", "qvec",
+        "qns", "nope", beam = 8, hops = 3, k = 5)
+    }
+    assert(badNs.getMessage.contains("passthrough"), badNs.getMessage)
   }
 
   test("advisor + retrain escalation: hot-cell skew is named, one autoMaintain pass heals it exactly-once, deletes fold") {
