@@ -175,7 +175,15 @@ object Bench {
     // SparkEntry.queries, so a gap like this can't recur silently):
     // sparse/grouped/recommend serving faces that predated the census
     "q_grouped_search", "q_recommend", "q_recommend_filtered",
-    "q_sparse_pruned", "q_sparse_search")
+    "q_sparse_pruned", "q_sparse_search",
+    // round-13: grouped RAG-page serving, the RAG loop on the graph
+    // index, predicate soft delete, late-interaction MaxSim, and the
+    // pinned-serve erasure law — all on the durable HNSW (oracle rows
+    // are fixture-inclusive; hnsw_grouped_serve / hnsw_maxsim_serve /
+    // hnsw_collapsed_serve / hnsw_sdwhere_op isolate the op costs)
+    "q_hnsw_maintained_grouped", "q_rag_hnsw",
+    "q_hnsw_maintained_sdwhere", "q_hnsw_maintained_maxsim",
+    "q_hnsw_pinned_erasure")
 
   /** Force FULL materialization of every output column: xxhash64 over all
     * columns, summed. `.count()` alone under-measures — Catalyst prunes
@@ -578,6 +586,47 @@ object Bench {
       runFiltered() // warmup
       results("hnsw_filtered_serve") =
         math.min(time(runFiltered()), time(runFiltered()))
+
+      // GROUPED (RAG-page) durable serve twin: one beam walk + sidecar
+      // group join + grouped ranking (q_hnsw_maintained_grouped is
+      // build-inclusive by oracle necessity)
+      def runGrouped(): Long = graft.streaming.HnswIndex.searchGrouped(
+        spark, fidx, sq, "label", beam = 8, hops = 3, nGroups = 3,
+        perGroup = 2).count()
+      runGrouped() // warmup
+      results("hnsw_grouped_serve") =
+        math.min(time(runGrouped()), time(runGrouped()))
+
+      // late-interaction MaxSim durable serve twin: pooled-query beam
+      // candidates + exact slice-cosine re-rank over <= beam rows
+      def runMaxSim(): Long = graft.streaming.HnswIndex.searchMaxSim(
+        spark, midx, sq, nSlices = 4, beam = 8, hops = 3, k = 5).count()
+      runMaxSim() // warmup
+      results("hnsw_maxsim_serve") =
+        math.min(time(runMaxSim()), time(runMaxSim()))
+
+      // duplicate-query collapse twin: 200 queries over 10 unique
+      // vectors — beam cost scales with UNIQUE vectors (compare
+      // hnsw_batch_200q_serve, the all-distinct raw-operator face)
+      val uniqVecs = exist.orderBy(col("vec_id")).limit(10)
+        .select(col("embedding")).collect().map(_.getSeq[Float](0))
+      val hot = (0 until 200).map(i => (i.toLong, uniqVecs(i % 10)))
+        .toDF("qid", "qvec").localCheckpoint(true)
+      def runCollapsed(): Long =
+        graft.streaming.HnswIndex.searchBatchCollapsed(spark, midx, hot,
+          "qid", "qvec", beam = 8, hops = 3, k = 5).count()
+      runCollapsed() // warmup
+      results("hnsw_collapsed_serve") =
+        math.min(time(runCollapsed()), time(runCollapsed()))
+
+      // predicate soft delete op twin (write-once epochs: two disjoint
+      // predicates, fold min) — LAST in this section so the tombstones
+      // it pends cannot color the serve twins above
+      results("hnsw_sdwhere_op") = math.min(
+        time(graft.streaming.HnswIndex.softDeleteWhere(spark, fidx,
+          pmod(col("label"), lit(16)) === 1)),
+        time(graft.streaming.HnswIndex.softDeleteWhere(spark, fidx,
+          pmod(col("label"), lit(16)) === 3)))
     }
 
     // -------- 2. headline analytics / dedup queries ---------------------

@@ -355,13 +355,13 @@ object SparkEntry {
     vectorQueries ++ relationalQueries ++ eventsQueries ++ textQueries ++
       dedupQueries ++ extraQueries ++ round5Queries ++ round6Queries ++
       round7Queries ++ round8Queries ++ round9Queries ++ round10Queries ++
-      round11Queries ++ round12Queries
+      round11Queries ++ round12Queries ++ round13Queries
 
   def oracleSql: Map[String, String] =
     vectorOracles ++ relationalOracles ++ eventsOracles ++ textOracles ++
       dedupOracles ++ extraOracles ++ round5Oracles ++ round6Oracles ++
       round7Oracles ++ round8Oracles ++ round9Oracles ++ round10Oracles ++
-      round11Oracles ++ round12Oracles
+      round11Oracles ++ round12Oracles ++ round13Oracles
 
   // ======================================================= vector workload
 
@@ -14421,16 +14421,26 @@ object SparkEntry {
     // the filtered replay = the soft-delete replay with the final page
     // filter swapped from NOT-IN-tombstones to a label-parity join on
     // the ORIGINAL table (Spark reads the sidecar's carried copy)
-    "q_hnsw_maintained_filtered" -> round9Oracles("q_hnsw_delete")
-      .replace("FROM best3 WHERE id % 17 <> 3",
+    "q_hnsw_maintained_filtered" -> {
+      val base = round9Oracles("q_hnsw_delete")
+      val oldFrag = "FROM best3 WHERE id % 17 <> 3"
+      require(base.contains(oldFrag),
+        "q_hnsw_delete oracle tail changed — update the filtered swap")
+      base.replace(oldFrag,
         "FROM best3 JOIN embeddings em ON em.vec_id = best3.id " +
-          "WHERE em.label % 2 = 0"),
+          "WHERE em.label % 2 = 0")
+    },
     // retrained ≡ build-on-survivors under the NEW centroid set: the
     // compact replay with its centroid CTE swapped (same tombstone
     // fold — the retrain purges the pending soft deletes)
-    "q_hnsw_maintained_retrain" -> round9Oracles("q_hnsw_compact")
-      .replace("WHERE vec_id < 16)",
-        "WHERE vec_id >= 16 AND vec_id < 32)"),
+    "q_hnsw_maintained_retrain" -> {
+      val base = round9Oracles("q_hnsw_compact")
+      val oldFrag = "WHERE vec_id < 16)"
+      require(base.contains(oldFrag),
+        "q_hnsw_compact oracle centroid CTE changed — update the " +
+          "retrain swap")
+      base.replace(oldFrag, "WHERE vec_id >= 16 AND vec_id < 32)")
+    },
     // the namespaced replay = the batch replay with its final page
     // joined to BOTH sides' labels (query's own namespace restricts
     // its page) and re-ranked after the filter, k-trimmed
@@ -14457,4 +14467,240 @@ object SparkEntry {
         "q_hnsw_ann_batch oracle tail changed — update the namespaced swap")
       base.replace(oldTail, newTail)
     })
+
+  private def round13Queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // GROUPED (RAG-page) serving on the durable HNSW
+    // (HnswIndex.searchGrouped — searchMaintainedGrouped's graph twin,
+    // the round-12 verdict's Missing #1): one beam walk over the full
+    // persisted graph, the page joins the sidecar-carried group column,
+    // and the answer is the top-3 groups by best hit with 2 hits each —
+    // the oracle replays BOTH rank total orders (within-group and
+    // cross-group) over the closed-form beam.
+    "q_hnsw_maintained_grouped" -> ((s, dir) => {
+      import s.implicits._
+      val e = t(s, dir, "embeddings")
+        .select($"vec_id", $"embedding", $"label")
+      val cents = e.filter($"vec_id" < 16)
+        .select($"vec_id".as("cent_id"), $"embedding".as("cvec"))
+      val d = java.nio.file.Files.createTempDirectory("graft_hidxg_q_").toFile
+      jsonlTmpCleanup(d)
+      val idx = new java.io.File(d, "idx").getAbsolutePath
+      HnswIndex.build(s, idx, e, cents, "vec_id", "embedding",
+        "cent_id", "cvec", k = 4, fanout = 4, maxLevel = 1,
+        passthrough = Seq("label"))
+      val query = e.filter($"vec_id" === 42)
+        .select($"embedding").head.getSeq[Float](0)
+      HnswIndex.searchGrouped(s, idx, query, "label", beam = 8, hops = 3,
+          nGroups = 3, perGroup = 2)
+        .orderBy($"grp_rank", $"rnk")
+    }),
+
+    // RAG ask against the durable HNSW (Rag.askHnsw): the maintained
+    // RAG loop pointed at the graph index — chunk text AND the parent
+    // group ride the index as passthrough metadata, retrieval is the
+    // grouped page (top-3 documents, 2 chunks each, one beam walk),
+    // and the context assembles in the grouped page order. The oracle
+    // replays the beam, both rank orders, and the exact string
+    // assembly + prompt template.
+    "q_rag_hnsw" -> ((s, dir) => {
+      import s.implicits._
+      val e = t(s, dir, "embeddings")
+        .select($"vec_id", $"embedding", $"label")
+      val docs = t(s, dir, "documents")
+        .select($"doc_id", substring($"text", 1, 40).as("chunk"))
+      val src = e.join(docs, e("vec_id") === docs("doc_id"))
+        .select($"vec_id", $"embedding", $"label", $"chunk")
+      val cents = e.filter($"vec_id" < 16)
+        .select($"vec_id".as("cent_id"), $"embedding".as("cvec"))
+      val d = java.nio.file.Files.createTempDirectory("graft_ragh_q_").toFile
+      jsonlTmpCleanup(d)
+      val idx = new java.io.File(d, "idx").getAbsolutePath
+      HnswIndex.build(s, idx, src, cents, "vec_id", "embedding",
+        "cent_id", "cvec", k = 4, fanout = 4, maxLevel = 1,
+        passthrough = Seq("label", "chunk"))
+      val query = e.filter($"vec_id" === 42)
+        .select($"embedding").head.getSeq[Float](0)
+      Rag.askHnsw(s, idx, query, "where do vectors live", "chunk",
+        "label", beam = 8, hops = 3, nGroups = 3, perGroup = 2)
+    }),
+
+    // Predicate SOFT delete on the durable HNSW
+    // (HnswIndex.softDeleteWhere — deleteMaintainedWhere's graph twin,
+    // the round-12 verdict's Missing #2): the predicate resolves ids
+    // from the sidecar's passthrough columns, tombstones land in one
+    // fenced commit, and the tombstone-honoring serve hides them. The
+    // oracle is the beam replay with the survivors' label-parity
+    // filter — identical final algebra to the filtered face, reached
+    // through the delete path instead of the serving pred.
+    "q_hnsw_maintained_sdwhere" -> ((s, dir) => {
+      import s.implicits._
+      val e = t(s, dir, "embeddings")
+        .select($"vec_id", $"embedding", $"label")
+      val cents = e.filter($"vec_id" < 16)
+        .select($"vec_id".as("cent_id"), $"embedding".as("cvec"))
+      val d = java.nio.file.Files.createTempDirectory("graft_hidxw_q_").toFile
+      jsonlTmpCleanup(d)
+      val idx = new java.io.File(d, "idx").getAbsolutePath
+      HnswIndex.build(s, idx, e, cents, "vec_id", "embedding",
+        "cent_id", "cvec", k = 4, fanout = 4, maxLevel = 1,
+        passthrough = Seq("label"))
+      HnswIndex.softDeleteWhere(s, idx, pmod($"label", lit(2)) === 1)
+      val query = e.filter($"vec_id" === 42)
+        .select($"embedding").head.getSeq[Float](0)
+      HnswIndex.search(s, idx, query, beam = 8, hops = 3, k = 5)
+        .orderBy($"rank")
+    }),
+
+    // Late-interaction (ColBERT MaxSim) serving on the durable HNSW
+    // (HnswIndex.searchMaxSim — searchMaintainedMaxSim's graph twin):
+    // full-pooled-query beam for candidates, exact 4×4 slice-cosine
+    // MaxSim re-rank over the ≤ beam candidates' stored vectors. The
+    // oracle replays the beam and the slice max/micro-unit-sum
+    // arithmetic.
+    "q_hnsw_maintained_maxsim" -> ((s, dir) => {
+      import s.implicits._
+      val e = t(s, dir, "embeddings").select($"vec_id", $"embedding")
+      val cents = e.filter($"vec_id" < 16)
+        .select($"vec_id".as("cent_id"), $"embedding".as("cvec"))
+      val d = java.nio.file.Files.createTempDirectory("graft_hidxm_q_").toFile
+      jsonlTmpCleanup(d)
+      val idx = new java.io.File(d, "idx").getAbsolutePath
+      HnswIndex.build(s, idx, e, cents, "vec_id", "embedding",
+        "cent_id", "cvec", k = 4, fanout = 4, maxLevel = 1)
+      val query = e.filter($"vec_id" === 42)
+        .select($"embedding").head.getSeq[Float](0)
+      HnswIndex.searchMaxSim(s, idx, query, nSlices = 4, beam = 8,
+          hops = 3, k = 5)
+        .orderBy($"rank")
+    }),
+
+    // Pinned-serve RIGHT-TO-ERASURE (the round-12 ADVICE medium): after
+    // softDelete → purgeDeletes retires the tombstone sidecar, an asOf
+    // pin at the pre-delete epoch reads the pinned vector generations —
+    // without the erasure probe the purged rows would resurface (current
+    // tombstones are empty). The pinned serve must filter ids absent
+    // from the CURRENT membership bitmap, so the page equals the
+    // tombstone-honoring serve exactly: the oracle is the q_hnsw_delete
+    // replay verbatim.
+    "q_hnsw_pinned_erasure" -> ((s, dir) => {
+      import s.implicits._
+      val e = t(s, dir, "embeddings").select($"vec_id", $"embedding")
+      val cents = e.filter($"vec_id" < 16)
+        .select($"vec_id".as("cent_id"), $"embedding".as("cvec"))
+      val d = java.nio.file.Files.createTempDirectory("graft_hidxe_q_").toFile
+      jsonlTmpCleanup(d)
+      val idx = new java.io.File(d, "idx").getAbsolutePath
+      HnswIndex.build(s, idx, e, cents, "vec_id", "embedding",
+        "cent_id", "cvec", k = 4, fanout = 4, maxLevel = 1) // epoch 0
+      HnswIndex.softDelete(s, idx,
+        e.filter(pmod($"vec_id", lit(17)) === 3)
+          .select($"vec_id".as("id")), "id")
+      HnswIndex.purgeDeletes(s, idx)
+      require(HnswIndex.readDeletes(s, idx).isEmpty,
+        "the vacuum must retire the tombstone sidecar — the erased ids " +
+          "must have NO current tombstone trace for this row to bite")
+      val query = e.filter($"vec_id" === 42)
+        .select($"embedding").head.getSeq[Float](0)
+      HnswIndex.search(s, idx, query, beam = 8, hops = 3, k = 5,
+          asOf = Some(0L))
+        .orderBy($"rank")
+    })
+  )
+
+  private def round13Oracles: Map[String, String] = {
+    val beamBase = round9Oracles("q_hnsw_delete")
+    // the base's final page: tombstone filter + re-rank over the beam
+    val beamTail =
+      """SELECT rank, vec_id, score FROM (
+        |  SELECT CAST(row_number() OVER (ORDER BY s DESC, id) AS INT) AS rank,
+        |         id AS vec_id, s AS score
+        |  FROM best3 WHERE id % 17 <> 3)
+        |WHERE rank <= 5 ORDER BY rank""".stripMargin
+    require(beamBase.contains(beamTail),
+      "q_hnsw_delete oracle tail changed — update the round-13 swaps")
+    def swapTail(newTail: String): String =
+      beamBase.replace(beamTail, newTail)
+    Map(
+      // grouped page over the beam: within-group rank, best-per-group,
+      // top-3 groups, 2 hits each — both total orders replayed
+      "q_hnsw_maintained_grouped" -> swapTail(
+        """,page AS (
+          |  SELECT b.id, b.s, em.label
+          |  FROM best3 b JOIN embeddings em ON em.vec_id = b.id),
+          |h AS (SELECT label, id, s,
+          |        row_number() OVER (PARTITION BY label ORDER BY s DESC, id) AS rnk
+          |      FROM page),
+          |bestg AS (SELECT label, s FROM h WHERE rnk = 1),
+          |topg AS (SELECT label,
+          |           row_number() OVER (ORDER BY s DESC, label) AS grp_rank
+          |         FROM (SELECT label, s FROM bestg ORDER BY s DESC, label LIMIT 3)),
+          |hk AS (SELECT label, id, s, rnk FROM h WHERE rnk <= 2)
+          |SELECT hk.label, topg.grp_rank, hk.rnk, hk.id AS vec_id, hk.s AS score
+          |FROM hk JOIN topg USING (label)
+          |ORDER BY grp_rank, rnk""".stripMargin),
+      // grouped page + document-coherent context assembly + the exact
+      // prompt template
+      "q_rag_hnsw" -> swapTail(
+        """,page AS (
+          |  SELECT b.id, b.s, em.label, substr(d.text, 1, 40) AS chunk
+          |  FROM best3 b JOIN embeddings em ON em.vec_id = b.id
+          |  JOIN documents d ON d.doc_id = b.id),
+          |h AS (SELECT label, id, s, chunk,
+          |        row_number() OVER (PARTITION BY label ORDER BY s DESC, id) AS rnk
+          |      FROM page),
+          |bestg AS (SELECT label, s FROM h WHERE rnk = 1),
+          |topg AS (SELECT label,
+          |           row_number() OVER (ORDER BY s DESC, label) AS grp_rank
+          |         FROM (SELECT label, s FROM bestg ORDER BY s DESC, label LIMIT 3)),
+          |hk AS (SELECT h.label, topg.grp_rank, h.rnk, h.chunk
+          |       FROM h JOIN topg USING (label) WHERE h.rnk <= 2),
+          |ctx AS (
+          |  SELECT string_agg('- ' || chunk, chr(10)||chr(10)
+          |                    ORDER BY grp_rank, rnk) AS context
+          |  FROM hk)
+          |SELECT 'where do vectors live' AS question, context,
+          |       'Answer strictly from the context.'||chr(10)||chr(10)||
+          |       'Context:'||chr(10)||context||chr(10)||chr(10)||
+          |       'Question: where do vectors live'||chr(10)||'Answer:' AS prompt
+          |FROM ctx""".stripMargin),
+      // predicate delete: survivors are the even-label rows — the
+      // filtered face's final algebra reached through the delete path
+      "q_hnsw_maintained_sdwhere" -> swapTail(
+        """SELECT rank, vec_id, score FROM (
+          |  SELECT CAST(row_number() OVER (ORDER BY s DESC, id) AS INT) AS rank,
+          |         id AS vec_id, s AS score
+          |  FROM best3 JOIN embeddings em ON em.vec_id = best3.id
+          |  WHERE em.label % 2 = 0)
+          |WHERE rank <= 5 ORDER BY rank""".stripMargin),
+      // MaxSim re-rank over the beam candidates: exact 4×4 slice-cosine
+      // grid (dim 64, 4 slices of 16), micro-unit integer sum
+      "q_hnsw_maintained_maxsim" -> swapTail(
+        """,grid AS (
+          |  SELECT a.qi, b.dj FROM (SELECT unnest(generate_series(0,3)) qi) a
+          |  CROSS JOIN (SELECT unnest(generate_series(0,3)) dj) b),
+          |msc AS (
+          |  SELECT e.vec_id, g.qi, g.dj,
+          |    ROUND(list_sum(list_transform(generate_series(1,16), i ->
+          |        e.embedding[g.dj*16+i]::DOUBLE * qv.q[g.qi*16+i]::DOUBLE))
+          |      / (GREATEST(SQRT(list_sum(list_transform(generate_series(1,16), i ->
+          |           e.embedding[g.dj*16+i]::DOUBLE * e.embedding[g.dj*16+i]::DOUBLE))), 1e-12)
+          |       * GREATEST(SQRT(list_sum(list_transform(generate_series(1,16), i ->
+          |           qv.q[g.qi*16+i]::DOUBLE * qv.q[g.qi*16+i]::DOUBLE))), 1e-12)), 6) AS c
+          |  FROM embeddings e JOIN best3 b ON b.id = e.vec_id
+          |  CROSS JOIN qv CROSS JOIN grid g),
+          |mx AS (SELECT vec_id, qi, CAST(ROUND(MAX(c) * 1000000, 0) AS BIGINT) AS m
+          |       FROM msc GROUP BY vec_id, qi),
+          |ms AS (SELECT vec_id,
+          |         ROUND(CAST(SUM(m) AS BIGINT)::DOUBLE / 1000000.0, 6) + 0.0 AS score
+          |       FROM mx GROUP BY vec_id)
+          |SELECT rank, vec_id, score FROM (
+          |  SELECT CAST(row_number() OVER (ORDER BY score DESC, vec_id) AS INT) AS rank,
+          |         vec_id, score
+          |  FROM ms)
+          |WHERE rank <= 5 ORDER BY rank""".stripMargin),
+      // pinned erasure: the pinned page with the purged ids dropped IS
+      // the tombstone-honoring page — the q_hnsw_delete replay verbatim
+      "q_hnsw_pinned_erasure" -> beamBase)
+  }
 }

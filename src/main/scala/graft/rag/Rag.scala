@@ -162,4 +162,51 @@ object Rag {
     askMaintained(spark, tablePath, fallbackCentroids, centIdCol,
       centVecCol, embedder.embed(question).toSeq, question, textCol,
       nProbes, k)
+
+  /** RAG ask against the DURABLE HNSW index
+    * ([[graft.streaming.HnswIndex]]) — the graph-index twin of
+    * [[askMaintained]], serving the GROUPED page shape: hits come from
+    * one [[graft.streaming.HnswIndex.searchGrouped]] beam walk (top
+    * `nGroups` parent documents by best chunk, `perGroup` chunks each
+    * — one strong document cannot flood the context), the chunk TEXT
+    * rides the index as a passthrough metadata column (`textCol`,
+    * declared at build beside `groupCol`), and the context assembles
+    * in the grouped page order (grp_rank, rnk) — document-coherent
+    * context, the reference's assembly (`rag_demo/ask.py:24`) upgraded
+    * to the page shape its multi-chunk corpora need. Tombstones and
+    * `asOf` pins honored by the serve. Output one row:
+    * (question, context, prompt).
+    */
+  def askHnsw(spark: SparkSession, indexPath: String,
+              queryVec: Seq[Float], question: String, textCol: String,
+              groupCol: String, beam: Int, hops: Int, nGroups: Int = 3,
+              perGroup: Int = 2,
+              asOf: Option[Long] = None): DataFrame = {
+    import graft.streaming.HnswIndex
+    val meta = HnswIndex.readMeta(spark, indexPath)
+    require(meta.passthrough.exists(_.name == textCol),
+      s"text column '$textCol' is not a passthrough column of this index")
+    val hits = HnswIndex.searchGrouped(spark, indexPath, queryVec,
+      groupCol, beam, hops, nGroups, perGroup, asOf = asOf)
+    // the page is ≤ nGroups × perGroup rows — broadcast it against the
+    // sidecar's (id, text) columns (column-pruned scan, no vectors)
+    val texts = HnswIndex.readVectors(spark, indexPath)
+      .select(col(meta.idCol).cast("long").as("__tid2"),
+        col(textCol).as("__t"))
+    val ctx = broadcast(hits)
+      .join(texts, col(meta.idCol).cast("long") === col("__tid2"))
+      .agg(array_join(
+        transform(
+          array_sort(collect_list(struct(
+            col("grp_rank").as("g"), col("rnk").as("r"),
+            col("__t").as("t")))),
+          x => concat(lit("- "), x.getField("t"))),
+        "\n\n").as("context"))
+    ctx.select(
+      lit(question).as("question"),
+      col("context"),
+      format_string(
+        "Answer strictly from the context.\n\nContext:\n%s\n\nQuestion: %s\nAnswer:",
+        col("context"), lit(question)).as("prompt"))
+  }
 }

