@@ -124,7 +124,8 @@ object HnswIndex {
   final case class Meta(idCol: String, vecCol: String, centIdCol: String,
                         centVecCol: String, maxLevel: Int, fanout: Int,
                         k: Int, memberShift: Int = -1,
-                        passthrough: Seq[StructField] = Nil)
+                        passthrough: Seq[StructField] = Nil,
+                        cellHints: Boolean = false)
 
   private def fsOf(spark: SparkSession, root: Path): FileSystem =
     root.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -361,7 +362,8 @@ object HnswIndex {
       kv.getOrElse("memberShift", "-1").toInt,
       kv.get("passthrough").filter(_.nonEmpty)
         .map(ddl => StructType.fromDDL(ddl).fields.toSeq)
-        .getOrElse(Nil))
+        .getOrElse(Nil),
+      kv.getOrElse("cellHints", "0") == "1")
   }
 
   /** The current committed coarse centroid table. Epoch-versioned
@@ -458,6 +460,58 @@ object HnswIndex {
   }
 
   private def membershipDir(root: Path) = new Path(root, "_membership")
+
+  private def cellHintDir(root: Path) = new Path(root, "_cellhint")
+
+  private def hintSchema = StructType(Seq(
+    StructField("grp", LongType), StructField("cell", LongType)))
+
+  /** Persist `_META` from a [[Meta]] — the one serialization point. */
+  private def writeMeta(fs: FileSystem, root: Path, meta: Meta): Unit =
+    writeFile(fs, metaPath(root),
+      s"idCol=${meta.idCol}\nvecCol=${meta.vecCol}\n" +
+        s"centIdCol=${meta.centIdCol}\ncentVecCol=${meta.centVecCol}\n" +
+        s"maxLevel=${meta.maxLevel}\nfanout=${meta.fanout}\n" +
+        s"k=${meta.k}\nmemberShift=${meta.memberShift}\npassthrough=" +
+        StructType(meta.passthrough).toDDL +
+        s"\ncellHints=${if (meta.cellHints) 1 else 0}\n")
+
+  /** Distinct (grp, cell) pairs of a level-0 assignment table — the
+    * id-group → occupied-level-0-cells HINT rows ([[purge]]'s
+    * discovery prune). Input needs (idCol as long-castable, cell_id).
+    */
+  private def hintRows(assigned: DataFrame, id: Column,
+                       shift: Int): DataFrame =
+    assigned.select(shiftright(id.cast("long"), shift).as("grp"),
+        col("cell_id").cast("long").as("cell"))
+      .distinct()
+
+  /** Write hint (grp, cell) rows as `_cellhint/__c=<grp>/__e=<epoch>`
+    * leaves — the membership-leaf discipline.
+    */
+  private def writeHintLeaves(rows: DataFrame, root: Path,
+                              epoch: Long): Unit =
+    rows.select(col("grp").cast("long").as("grp"),
+        col("cell").cast("long").as("cell"))
+      .withColumn("__c", col("grp"))
+      .withColumn("__e", lit(epoch))
+      .repartition(col("__c"))
+      .sortWithinPartitions("__c", "cell")
+      .write.mode("append").partitionBy("__c", "__e")
+      .parquet(cellHintDir(root).toString)
+
+  /** The distinct id-groups a table occupies, SOFT-capped: None when
+    * the set exceeds [[MaxProbeGroups]] (the caller falls back to its
+    * full-scan path — always safe on read/discovery paths).
+    */
+  private def softGroups(df: DataFrame, id: Column,
+                         shift: Int): Option[Seq[Long]] = {
+    val gs = df.select(shiftright(id.cast("long"), shift)
+        .cast("long").as("g"))
+      .distinct().limit(MaxProbeGroups + 1)
+      .collect().map(_.getLong(0)).toSeq
+    if (gs.length > MaxProbeGroups) None else Some(gs.sorted)
+  }
 
   private def memberSchema = StructType(Seq(
     StructField("grp", LongType), StructField("word_idx", LongType),
@@ -653,7 +707,8 @@ object HnswIndex {
         name.stripPrefix(".").stripSuffix(".crc")
       else name
     n == "_META" || n == "_centroids" || n == "_sidecar" ||
-      n == "_deletes" || n == "_membership" || n.startsWith("layer_")
+      n == "_deletes" || n == "_membership" || n == "_cellhint" ||
+      n.startsWith("layer_")
   }
 
   private def rollbackBuild(fs: FileSystem, root: Path): Unit =
@@ -752,7 +807,7 @@ object HnswIndex {
       val maxId = v.agg(max(col(idCol))).head
       val shift = autoShift(if (maxId.isNullAt(0)) 0L else maxId.getLong(0))
       val meta = Meta(idCol, vecCol, centIdCol, centVecCol, maxLevel,
-        fanout, k, shift, ptFields)
+        fanout, k, shift, ptFields, cellHints = true)
       fs.mkdirs(refreshDir(root)): Unit
       // create-no-overwrite: a concurrent build racing into the same
       // fresh dir collides here loudly instead of interleaving appends
@@ -787,20 +842,19 @@ object HnswIndex {
       }
       writeMemberLeaves(bitRows(idBits(v, col(idCol), shift)), root,
         epoch = 0L)
+      writeHintLeaves(hintRows(sidecar.head, col(idCol), shift), root,
+        epoch = 0L)
       centroids.select(col(centIdCol).cast("long").as(centIdCol),
           col(centVecCol))
         .coalesce(1).write.mode("overwrite")
         .parquet(new Path(root, "_centroids/__e=0").toString)
-      val ptDdl = StructType(ptFields).toDDL
-      writeFile(fs, metaPath(root),
-        s"idCol=$idCol\nvecCol=$vecCol\ncentIdCol=$centIdCol\n" +
-          s"centVecCol=$centVecCol\nmaxLevel=$maxLevel\nfanout=$fanout\n" +
-          s"k=$k\nmemberShift=$shift\npassthrough=$ptDdl\n")
+      writeMeta(fs, root, meta)
       hook("appended")
       val builtDirs = ((0 to maxLevel).flatMap { l =>
         cellDirsOf(fs, root, s"layer_$l") ++
           cellDirsOf(fs, root, s"_sidecar/level_$l")
-      } ++ cellDirsOf(fs, root, "_membership")) :+ "_centroids"
+      } ++ cellDirsOf(fs, root, "_membership") ++
+        cellDirsOf(fs, root, "_cellhint")) :+ "_centroids"
       val tmp = new Path(refreshDir(root),
         s"e_0.commit.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
       writeFile(fs, tmp, commitBody(Some(("build", 0L)), builtDirs))
@@ -1003,6 +1057,21 @@ object HnswIndex {
       val bAsg = Ann.hnswAssignLevels(b, cents, meta.idCol, meta.vecCol,
         meta.centIdCol, meta.centVecCol, meta.fanout, meta.maxLevel)
         .map(_.localCheckpoint(false))
+      // the id-group → cells HINT sidecar folds the batch's pairs in
+      // within the SAME commit (touched groups only — batch-bounded);
+      // maintained only when _META guarantees full hint coverage
+      val hintExtras: Seq[Extra] =
+        if (!meta.cellHints || !memOk) Nil
+        else {
+          val curH = readPaths(spark,
+            cellLeaves(fs, cellHintDir(root), committed, bGroups),
+            hintSchema)
+          val foldedH = curH.unionByName(
+            hintRows(bAsg.head, col(meta.idCol), meta.memberShift))
+            .distinct()
+          Seq(Extra(bGroups.map(g => s"_cellhint/__c=$g"),
+            ep => writeHintLeaves(foldedH, root, ep)))
+        }
       val perLevel = (0 to meta.maxLevel).map { l =>
         val cells = bAsg(l).select(col("cell_id").cast("long"))
           .distinct().collect().map(_.getLong(0)).sorted.toSeq
@@ -1039,7 +1108,8 @@ object HnswIndex {
         (cells, withCells(deltas(l), idCells), newSide)
       }
       applyRefresh(spark, root, meta, lease, committed, e, plans,
-        hook, txn, extras = memExtras).getOrElse(committed.max)
+        hook, txn, extras = memExtras ++ hintExtras)
+        .getOrElse(committed.max)
     }
     }
   }
@@ -1124,8 +1194,35 @@ object HnswIndex {
       val tomb = Ann.boundedTombstones(tombstones, tombIdCol)
         .localCheckpoint(false)
       val sidecar = readSidecar(spark, path)
+      // level-0 tombstone→cell discovery: with the `_cellhint` sidecar
+      // the scan restricts to the tombstone GROUPS' hinted cells — a
+      // safe SUPERSET (purge leaves hints untouched, so a hint can be
+      // stale-wide but never narrow; the exact touched set still comes
+      // from the join below) — making a small purge cell-bounded
+      // instead of a full (cell_id, id) column scan. Legacy indexes
+      // (no META flag) and tombstone sets scattering past
+      // MaxProbeGroups keep the declared full-scan fallback. Upper
+      // levels are geometrically small; they keep the full scan.
+      val l0Disc: DataFrame = {
+        val hinted =
+          if (!meta.cellHints || meta.memberShift < 0 ||
+            !fs.exists(cellHintDir(root))) None
+          else softGroups(tomb, col("__tid"), meta.memberShift)
+            .map { gs =>
+              val cand = readPaths(spark,
+                cellLeaves(fs, cellHintDir(root), committed, gs),
+                hintSchema)
+                .select(col("cell").cast("long")).distinct()
+                .collect().map(_.getLong(0)).sorted.toSeq
+              readPaths(spark,
+                cellLeaves(fs, sidecarDir(root, 0), committed, cand),
+                sidecarSchema(meta))
+            }
+        hinted.getOrElse(sidecar.head)
+      }
       val plans = (0 to meta.maxLevel).map { l =>
-        val cells = sidecar(l)
+        val disc = if (l == 0) l0Disc else sidecar(l)
+        val cells = disc
           .select(col("cell_id").cast("long").as("cell_id"),
             col(meta.idCol).cast("long").as("__id"))
           .join(tomb, col("__id") === col("__tid"))
@@ -1213,14 +1310,17 @@ object HnswIndex {
     }
   }
 
-  /** Build (or rebuild) the id-group membership bitmap for an index
-    * created before it existed — the one-time upgrade that turns
-    * [[ingest]]'s disjointness check from a full id-column scan into a
-    * batch-bounded group probe. One fenced refresh commit writes every
-    * occupied group's words, then `_META` records the shift (in that
-    * order: a crash in between leaves the shift unrecorded, the sidecar
-    * unused, and a re-run convergent — never a half-trusted bitmap).
-    * No-op if the bitmap is already usable.
+  /** Build (or rebuild) the id-group membership bitmap AND the
+    * id-group → cells hint sidecar for an index created before they
+    * existed — the one-time upgrade that turns [[ingest]]'s
+    * disjointness check from a full id-column scan into a
+    * batch-bounded group probe, and [[purge]]'s level-0 tombstone→cell
+    * discovery into a hinted-cells scan. One fenced refresh commit
+    * writes every occupied group's words + hint pairs, then `_META`
+    * records the shift and the hint flag (in that order: a crash in
+    * between leaves them unrecorded, the sidecars unused, and a re-run
+    * convergent — never a half-trusted structure). No-op when both are
+    * already usable.
     */
   def buildMembership(spark: SparkSession, path: String): Unit = {
     val root = new Path(path)
@@ -1230,30 +1330,34 @@ object HnswIndex {
       val fs = fsOf(spark, root)
       val meta = readMeta(spark, path)
       val committed = committedEpochs(fs, root)
-      if (membershipUsable(fs, root, meta, committed)) return
-      val ids = readVectorsAt(spark, root, meta, committed)
-        .select(col(meta.idCol).cast("long").as("__id"))
+      val memOk = membershipUsable(fs, root, meta, committed)
+      if (memOk && meta.cellHints) return
+      val members = readVectorsAt(spark, root, meta, committed)
+        .select(col(meta.idCol).cast("long").as("__id"),
+          col("cell_id").cast("long").as("cell_id"))
         .localCheckpoint(false)
+      val ids = members.select(col("__id"))
       val maxId = ids.agg(max(col("__id"))).head
       val shift =
         if (meta.memberShift >= 0) meta.memberShift
         else autoShift(if (maxId.isNullAt(0)) 0L else maxId.getLong(0))
       val groups = batchGroups(ids, col("__id"), shift)
       require(groups.nonEmpty, "index holds no members")
-      val rows = bitRows(idBits(ids, col("__id"), shift))
+      val memExtra =
+        if (memOk) Nil
+        else Seq(Extra(groups.map(g => s"_membership/__c=$g"),
+          ep => writeMemberLeaves(
+            bitRows(idBits(ids, col("__id"), shift)), root, ep)))
+      val hintExtra = Seq(Extra(groups.map(g => s"_cellhint/__c=$g"),
+        ep => writeHintLeaves(hintRows(members, col("__id"), shift),
+          root, ep)))
       val e = committed.max + 1L
       val perLevel = (0 to meta.maxLevel).map(_ =>
         (Seq.empty[Long], ids, ids))
       applyRefresh(spark, root, meta, lease, committed, e, perLevel,
-        _ => (), None, extras = Seq(Extra(
-          groups.map(g => s"_membership/__c=$g"),
-          ep => writeMemberLeaves(rows, root, ep)))): Unit
-      writeFile(fs, metaPath(root),
-        s"idCol=${meta.idCol}\nvecCol=${meta.vecCol}\n" +
-          s"centIdCol=${meta.centIdCol}\ncentVecCol=${meta.centVecCol}\n" +
-          s"maxLevel=${meta.maxLevel}\nfanout=${meta.fanout}\n" +
-          s"k=${meta.k}\nmemberShift=$shift\npassthrough=" +
-          StructType(meta.passthrough).toDDL + "\n")
+        _ => (), None, extras = memExtra ++ hintExtra): Unit
+      writeMeta(fs, root,
+        meta.copy(memberShift = shift, cellHints = true))
     }
     }
   }
@@ -1357,8 +1461,25 @@ object HnswIndex {
           Seq(Extra(groups.map(g => s"_membership/__c=$g"),
             ep => writeMemberLeaves(rows, root, ep)))
         }
+      // a retrain is the hint sidecar's natural re-tightening point:
+      // rebuild the (grp, cell) pairs EXACT under the new assignment,
+      // superseding every stale-wide group (old groups absent from the
+      // survivors get an empty leaf via the intent's dir list)
+      val hintExtra =
+        if (meta.memberShift < 0 || !meta.cellHints) Nil
+        else {
+          val ids = survivors
+            .select(col(meta.idCol).cast("long").as("__id"))
+          val groups = (batchGroups(ids, col("__id"), meta.memberShift)
+            ++ cellsOf("_cellhint")).distinct.sorted
+          val rows = hintRows(sidecar.head, col(meta.idCol),
+            meta.memberShift)
+          Seq(Extra(groups.map(g => s"_cellhint/__c=$g"),
+            ep => writeHintLeaves(rows, root, ep)))
+        }
       applyRefresh(spark, root, meta, lease, committed, e, perLevel,
-        hook, txn, extras = centExtra +: (delExtra ++ memExtra))
+        hook, txn,
+        extras = centExtra +: (delExtra ++ memExtra ++ hintExtra))
         .getOrElse(committed.max)
     }
     }
@@ -1671,13 +1792,7 @@ object HnswIndex {
     val memOk = membershipUsable(fs, root, meta, committed)
     val groups: Option[Seq[Long]] =
       if (!memOk) None
-      else {
-        val gs = page.select(
-            shiftright(id, meta.memberShift).cast("long").as("g"))
-          .distinct().limit(MaxProbeGroups + 1)
-          .collect().map(_.getLong(0)).toSeq
-        if (gs.length > MaxProbeGroups) None else Some(gs.sorted)
-      }
+      else softGroups(page, id, meta.memberShift)
     groups match {
       case Some(gs) =>
         val mem = readPaths(spark,
@@ -2114,6 +2229,10 @@ object HnswIndex {
       if (!fs.exists(membershipDir(root))) 0L
       else fs.listStatus(membershipDir(root)).count(st =>
         st.isDirectory && st.getPath.getName.startsWith("__c=")).toLong))
+    out += (("cellhint_groups", -1,
+      if (!fs.exists(cellHintDir(root))) 0L
+      else fs.listStatus(cellHintDir(root)).count(st =>
+        st.isDirectory && st.getPath.getName.startsWith("__c=")).toLong))
     out += (("epochs_committed", -1, committed.size.toLong))
     out += (("max_epoch", -1, if (committed.isEmpty) -1L else committed.max))
     out += (("epoch_debt", -1, debtTotal))
@@ -2195,6 +2314,26 @@ object HnswIndex {
       if (meta.memberShift >= 0) ""
       else "no membership bitmap (legacy index) — ingest falls back " +
         "to the full scan; run buildMembership"))
+    // the hint sidecar is a SUPERSET structure: extra (grp, cell)
+    // pairs are stale-wide (harmless; retrain re-tightens), but a
+    // MISSING pair would make purge discovery skip a touched cell
+    if (meta.cellHints && meta.memberShift >= 0) {
+      val actualPairs = side.head.select(
+          shiftright(col(meta.idCol).cast("long"), meta.memberShift)
+            .as("grp"),
+          col("cell_id").cast("long").as("cell")).distinct()
+      val hinted = readPaths(spark,
+        currentLeaves(fs, cellHintDir(root), committed), hintSchema)
+      val missing = actualPairs
+        .join(hinted, Seq("grp", "cell"), "left_anti").count()
+      out += (("cellhint_missing", missing,
+        if (missing == 0) ""
+        else "level-0 (grp, cell) pairs absent from the hint sidecar " +
+          "— purge discovery would miss touched cells; run " +
+          "buildMembership to rebuild"))
+    } else out += (("cellhint_missing", 0L,
+      "no cell-hint sidecar (legacy index) — purge pays the full " +
+        "level-0 id-column scan; run buildMembership"))
     val stale = readDeletesAt(spark, root, committed)
       .join(side.head.select(col(meta.idCol).cast("long").as("__mid")),
         col("__tid") === col("__mid"), "left_anti").count()

@@ -1361,6 +1361,70 @@ class HnswIndexSpec extends SparkSpec {
       row.getString(2).endsWith("Question: what is here\nAnswer:"))
   }
 
+  test("cell-hint sidecar: coverage holds through ingest/purge/retrain; legacy fallback stays correct and upgrades") {
+    val path = freshDir("graft_hidx_hint_")
+    buildAt(path)
+    def fsckMap() = HnswIndex.fsck(spark, path).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    def descMap() = HnswIndex.describe(spark, path).collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(descMap()(("cellhint_groups", -1)) > 0L,
+      "build must write the cell-hint sidecar")
+    assert(fsckMap()("cellhint_missing") == 0L)
+    // ingest folds the batch's (grp, cell) pairs in the same commit
+    HnswIndex.ingest(spark, path, batch)
+    assert(fsckMap()("cellhint_missing") == 0L,
+      "hints must cover existing ∪ batch after the ingest commit")
+    // purge leaves hints superset-wide but never narrow — discovery is
+    // hint-bounded and the compacted index still equals a fresh build
+    val tomb = e.filter(pmod(col("vec_id"), lit(17)) === 3)
+      .select(col("vec_id").as("id"))
+    HnswIndex.purge(spark, path, tomb, "id")
+    assert(fsckMap()("cellhint_missing") == 0L)
+    val survivors = e.join(tomb, e("vec_id") === tomb("id"), "left_anti")
+    val want = Ann.hnswBuild(survivors, cents, "vec_id", "embedding",
+      "cent_id", "cvec", k = 4, fanout = 4, maxLevel = 1)
+    layersOf(path).zip(want.map(edgeSet)).zipWithIndex.foreach {
+      case ((got, w), l) =>
+        assert(got == w, s"layer $l: hinted purge != build on survivors")
+    }
+    // LEGACY index (pre-hint layout): strip the sidecar + flag — purge
+    // falls back to the full scan and stays correct
+    val path2 = freshDir("graft_hidx_hint2_")
+    buildAt(path2)
+    def rmrf(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rmrf)); f.delete(): Unit
+    }
+    rmrf(new java.io.File(path2, "_cellhint"))
+    val metaF = new java.io.File(path2, "_META")
+    val stripped = scala.io.Source.fromFile(metaF).getLines()
+      .filterNot(_.startsWith("cellHints=")).mkString("", "\n", "\n")
+    val w = new java.io.PrintWriter(metaF); w.write(stripped); w.close()
+    new java.io.File(path2, "._META.crc").delete(): Unit
+    assert(!HnswIndex.readMeta(spark, path2).cellHints)
+    val tomb2 = existing.filter(pmod(col("vec_id"), lit(17)) === 3)
+      .select(col("vec_id").as("id"))
+    HnswIndex.purge(spark, path2, tomb2, "id")
+    val surv2 = existing.join(tomb2,
+      existing("vec_id") === tomb2("id"), "left_anti")
+    val want2 = Ann.hnswBuild(surv2, cents, "vec_id", "embedding",
+      "cent_id", "cvec", k = 4, fanout = 4, maxLevel = 1)
+    layersOf(path2).zip(want2.map(edgeSet)).zipWithIndex.foreach {
+      case ((got, w2), l) =>
+        assert(got == w2, s"layer $l: legacy full-scan purge broken")
+    }
+    // the one-call upgrade turns hints on; a second call no-ops
+    HnswIndex.buildMembership(spark, path2)
+    assert(HnswIndex.readMeta(spark, path2).cellHints)
+    val up = HnswIndex.fsck(spark, path2).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(up("cellhint_missing") == 0L,
+      "upgrade must rebuild full hint coverage")
+    val snap = allFiles(path2)
+    HnswIndex.buildMembership(spark, path2)
+    assert(allFiles(path2) == snap, "a second upgrade must no-op")
+  }
+
   test("fence census: every commit rename in HnswIndex.scala sits behind a MaintainedLock.check") {
     val lines = java.nio.file.Files.readAllLines(java.nio.file.Paths.get(
       "src/main/scala/graft/streaming/HnswIndex.scala"))
