@@ -1514,6 +1514,26 @@ object Profile {
             println("  epoch=" + graft.streaming.HnswIndex.ingest(
               spark, mpath, cell0Batch(960000000L),
               checkDisjoint = false)))
+          // DURABLE tombstone purge beside its operator twin above —
+          // the round-13 row: the `_cellhint` sidecar bounds the
+          // level-0 tombstone→cell DISCOVERY reads (tomb groups →
+          // hinted cells instead of the full (cell_id, id) column
+          // scan), so the DELTA of this row over the operator row —
+          // the durable transaction overhead: discovery, leaf
+          // rewrites, sidecar + bitmap maintenance, fenced commit,
+          // GC — must stay near-flat across the decades. The RE-LINK
+          // term itself grows identically in both rows: tombstones
+          // picked from one level-0 cell still scatter across the
+          // UPPER level's cells (level membership is id-hash-drawn),
+          // the operator's documented spread-purge regime.
+          // Measured (r13): durable − operator = 1.07 / 1.36 / 2.25 s
+          // at 1×/10×/100× — two decades, ~flat.
+          val dtomb = asg(0).filter($"cell_id" === 1 &&
+              pmod($"vec_id", lit(7)) === 0)
+            .select($"vec_id".as("id")).localCheckpoint(true)
+          time(s"S100-HNSW durable 1-cell purge ${n}x")(
+            println("  tombstones=" + dtomb.count() + " epoch=" +
+              graft.streaming.HnswIndex.purge(spark, mpath, dtomb, "id")))
         }
       }
     }
