@@ -612,6 +612,15 @@ object Bench {
         .select(col("embedding")).collect().map(_.getSeq[Float](0))
       val hot = (0 until 200).map(i => (i.toLong, uniqVecs(i % 10)))
         .toDF("qid", "qvec").localCheckpoint(true)
+      // the PLAIN half of the pair: the same 200 hot slots through the
+      // uncollapsed durable batch serve (the maintained_batch_hot2k
+      // plain/collapsed pair discipline, on the graph index)
+      def runHotPlain(): Long = graft.streaming.HnswIndex.searchBatch(
+        spark, midx, hot, "qid", "qvec", beam = 8, hops = 3, k = 5)
+        .count()
+      runHotPlain() // warmup
+      results("hnsw_hotbatch_serve") =
+        math.min(time(runHotPlain()), time(runHotPlain()))
       def runCollapsed(): Long =
         graft.streaming.HnswIndex.searchBatchCollapsed(spark, midx, hot,
           "qid", "qvec", beam = 8, hops = 3, k = 5).count()
