@@ -209,4 +209,16 @@ object Rag {
         "Answer strictly from the context.\n\nContext:\n%s\n\nQuestion: %s\nAnswer:",
         col("context"), lit(question)).as("prompt"))
   }
+
+  /** [[askHnsw]] with the question EMBEDDED by `embedder` — the
+    * text-in face, parity with the [[askMaintained]] overload (embed
+    * the question with the same model as ingest, then search the
+    * graph index).
+    */
+  def askHnsw(spark: SparkSession, indexPath: String,
+              embedder: Embedder, question: String, textCol: String,
+              groupCol: String, beam: Int, hops: Int, nGroups: Int,
+              perGroup: Int): DataFrame =
+    askHnsw(spark, indexPath, embedder.embed(question).toSeq, question,
+      textCol, groupCol, beam, hops, nGroups, perGroup)
 }

@@ -1500,7 +1500,9 @@ object HnswIndex {
     *    property decays with exactly this number ([[retrainHnsw]] is
     *    the escalation),
     *  - `build-membership`: legacy index without the bitmap sidecar
-    *    (every ingest pays the full id-column scan).
+    *    (every ingest pays the full id-column scan) or without the
+    *    cell-hint sidecar (every purge pays the full level-0
+    *    discovery scan) — one [[buildMembership]] run fixes both.
     * Cost: listings + one cell-size aggregation over the level-0
     * sidecar's cell_id column (footer-light) — no vector reads.
     */
@@ -1573,6 +1575,10 @@ object HnswIndex {
         out += (("build-membership", "no id-group bitmap (legacy " +
           "index) — every ingest pays the full id-column scan; run " +
           "buildMembership once", 1.0))
+      else if (!meta.cellHints)
+        out += (("build-membership", "no id-group cell-hint sidecar " +
+          "(pre-round-13 index) — every purge pays the full level-0 " +
+          "id-column discovery scan; run buildMembership once", 1.0))
     }
     out.toSeq.toDF("advice", "detail", "value").orderBy($"advice")
   }

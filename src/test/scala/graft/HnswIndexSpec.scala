@@ -1402,6 +1402,13 @@ class HnswIndexSpec extends SparkSpec {
     val w = new java.io.PrintWriter(metaF); w.write(stripped); w.close()
     new java.io.File(path2, "._META.crc").delete(): Unit
     assert(!HnswIndex.readMeta(spark, path2).cellHints)
+    // the advisor NAMES the missing hint sidecar (one buildMembership
+    // run is the documented fix for bitmap and hints alike)
+    val legacyAdvice = HnswIndex.adviseHnsw(spark, path2).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(legacyAdvice.get("build-membership")
+      .exists(_.contains("cell-hint")),
+      s"advisor must name the missing hints: $legacyAdvice")
     val tomb2 = existing.filter(pmod(col("vec_id"), lit(17)) === 3)
       .select(col("vec_id").as("id"))
     HnswIndex.purge(spark, path2, tomb2, "id")
@@ -1423,6 +1430,10 @@ class HnswIndexSpec extends SparkSpec {
     val snap = allFiles(path2)
     HnswIndex.buildMembership(spark, path2)
     assert(allFiles(path2) == snap, "a second upgrade must no-op")
+    // and the advice it acted on no longer fires
+    assert(!HnswIndex.adviseHnsw(spark, path2).collect()
+      .map(_.getString(0)).contains("build-membership"),
+      "the upgrade must clear the advisor signal")
   }
 
   test("fence census: every commit rename in HnswIndex.scala sits behind a MaintainedLock.check") {
