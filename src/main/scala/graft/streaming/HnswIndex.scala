@@ -1011,6 +1011,15 @@ object HnswIndex {
       val bGroups =
         if (memOk) batchGroups(b, col(meta.idCol), meta.memberShift)
         else Seq.empty[Long]
+      // the batch groups' current bitmap words are read by BOTH the
+      // disjointness probe and the same-commit fold below — one lazy
+      // localCheckpoint shares the (batch-bounded) leaf read between
+      // them instead of scanning the leaves twice
+      val memCur =
+        if (!memOk) None
+        else Some(readPaths(spark,
+          cellLeaves(fs, membershipDir(root), committed, bGroups),
+          memberSchema).localCheckpoint(false))
       if (checkDisjoint) {
         // disjointness via the id-group BITMAP sidecar when present:
         // the probe reads ONLY the batch's own groups' leaves (exact
@@ -1018,21 +1027,18 @@ object HnswIndex {
         // corpus size. Legacy indexes without the sidecar fall back to
         // the full-membership id-column scan (one-time: run
         // buildMembership to upgrade).
-        val clash =
-          if (memOk) {
-            val mem = readPaths(spark,
-              cellLeaves(fs, membershipDir(root), committed, bGroups),
-              memberSchema)
+        val clash = memCur match {
+          case Some(mem) =>
             idBits(b, col(meta.idCol), meta.memberShift)
               .join(mem, Seq("grp", "word_idx"))
               .filter(col("word").bitwiseAND(col("mask")) =!= lit(0L))
               .select(col("__mid")).limit(1).collect()
-          } else {
+          case None =>
             val allIds = vecTable
               .select(col(meta.idCol).cast("long").as("__id"))
             b.select(col(meta.idCol).cast("long").as("__id"))
               .join(allIds, Seq("__id"), "left_semi").limit(1).collect()
-          }
+        }
         require(clash.isEmpty,
           s"ingest: batch id ${clash.head.getLong(0)} already exists in " +
             "the index — ids are append-only; dedup the batch or route " +
@@ -1041,19 +1047,16 @@ object HnswIndex {
       // the bitmap stays EXACT in the same commit: touched groups'
       // words fold the batch's bits in (groups the batch does not
       // touch are untouched — batch-bounded maintenance)
-      val memExtras: Seq[Extra] =
-        if (!memOk) Nil
-        else {
-          val memCur = readPaths(spark,
-            cellLeaves(fs, membershipDir(root), committed, bGroups),
-            memberSchema)
-          val folded = bitRows(memCur
+      val memExtras: Seq[Extra] = memCur match {
+        case None => Nil
+        case Some(mem) =>
+          val folded = bitRows(mem
             .select(col("grp"), col("word_idx"), col("word").as("mask"))
             .unionByName(idBits(b, col(meta.idCol), meta.memberShift)
               .select(col("grp"), col("word_idx"), col("mask"))))
           Seq(Extra(bGroups.map(g => s"_membership/__c=$g"),
             ep => writeMemberLeaves(folded, root, ep)))
-        }
+      }
       val bAsg = Ann.hnswAssignLevels(b, cents, meta.idCol, meta.vecCol,
         meta.centIdCol, meta.centVecCol, meta.fanout, meta.maxLevel)
         .map(_.localCheckpoint(false))
