@@ -420,7 +420,8 @@ object Ann {
   def graphBeamSearch(edges: DataFrame, vectors: DataFrame,
                       idCol: String, vecCol: String, query: Seq[Float],
                       beam: Int, hops: Int,
-                      entryId: Option[Long] = None): DataFrame = {
+                      entryId: Option[Long] = None,
+                      entryScore: Option[Double] = None): DataFrame = {
     require(beam >= 1 && hops >= 0, s"bad beam/hops: $beam/$hops")
     val spark = vectors.sparkSession
     import spark.implicits._
@@ -440,18 +441,33 @@ object Ann {
     val entry = entryId.getOrElse(
       vectors.agg(min(col(idCol).cast("long"))).head.getLong(0))
     var visited = Set(entry)
-    var best = scoreOf(vectors.filter(col(idCol) === entry)).toList
+    // a caller that already scored the entry (the descent tracks its
+    // current node's score) passes it through — same quantized
+    // expression, one fewer scan job per serve
+    var best = (entryId, entryScore) match {
+      case (Some(e), Some(s)) => List(e -> s)
+      case _ => scoreOf(vectors.filter(col(idCol) === entry)).toList
+    }
     var frontier = Seq(entry)
+    val qn = math.max(math.sqrt(q.map(x => x.toDouble * x).sum), V.NormEps)
     for (_ <- 1 to hops if frontier.nonEmpty) {
-      val cand = edges
+      // ONE job per hop (was two: a frontier-edge collect then a
+      // scoring scan — §1.2): the hop joins the distinct out-neighbors
+      // straight onto the vector table, and the visited filter runs
+      // driver-side over the collected (id, score) pairs. Score
+      // expression unchanged, so the beam walks identically.
+      val scoredCand = edges
         .filter(col("src").isin(frontier.map(Long.box): _*))
-        .select(col("dst").cast("long")).distinct()
-        .collect().map(_.getLong(0)).filterNot(visited).toSeq
-      if (cand.nonEmpty) {
-        val scored = scoreOf(
-          vectors.filter(col(idCol).isin(cand.map(Long.box): _*)))
-        visited ++= cand
-        val merged = (best ++ scored)
+        .select(col("dst").cast("long").as("__cid")).distinct()
+        .join(vectors.select(col(idCol).cast("long").as("__cid"),
+          (round(dotF(col(vecCol), lit(q)) /
+            (V.normSafe(col(vecCol)) * lit(qn)), 6) + lit(0.0)).as("s")),
+          Seq("__cid"))
+        .collect().map(r => r.getLong(0) -> r.getDouble(1))
+        .filterNot { case (id, _) => visited(id) }.toSeq
+      if (scoredCand.nonEmpty) {
+        visited ++= scoredCand.map(_._1)
+        val merged = (best ++ scoredCand)
           .sortBy { case (id, s) => (-s, id) }.take(beam)
         frontier = merged.map(_._1).filterNot(best.map(_._1).toSet)
         best = merged
@@ -607,7 +623,18 @@ object Ann {
     */
   def hnswDescend(layers: Seq[DataFrame], vectors: DataFrame,
                   idCol: String, vecCol: String, query: Seq[Float],
-                  fanout: Int, descentHops: Int): Long = {
+                  fanout: Int, descentHops: Int): Long =
+    hnswDescendScored(layers, vectors, idCol, vecCol, query, fanout,
+      descentHops)._1
+
+  /** [[hnswDescend]] plus the reached entry's (already computed)
+    * quantized score, so [[hnswSearch]] can seed the layer-0 beam
+    * without re-scoring the entry — one fewer job per serve (§1.2).
+    */
+  private[graft] def hnswDescendScored(layers: Seq[DataFrame],
+                  vectors: DataFrame,
+                  idCol: String, vecCol: String, query: Seq[Float],
+                  fanout: Int, descentHops: Int): (Long, Double) = {
     require(layers.nonEmpty && descentHops >= 0,
       s"need layers and descentHops >= 0")
     val maxLevel = layers.length - 1
@@ -636,20 +663,30 @@ object Ann {
       var moved = true
       var step = 0
       while (moved && step < descentHops) {
-        val nbrs = layers(l)
+        // ONE job per step (was two: a neighbor-list collect then a
+        // scoring scan — §1.2): the edge hop joins straight onto the
+        // vector table and the scored out-neighbors come back together.
+        // Same quantized score expression, so results are identical; a
+        // dst absent from `vectors` never scored under the old shape
+        // either (the isin filter dropped it).
+        val scored = layers(l)
           .filter(col("src").cast("long") === cur)
-          .select(col("dst").cast("long"))
-          .collect().map(_.getLong(0)).toSeq
-        if (nbrs.isEmpty) moved = false
+          .select(col("dst").cast("long").as("__nid")).distinct()
+          .join(vectors.select(col(idCol).cast("long").as("__nid"),
+            (round(dotF(col(vecCol), lit(q)) /
+              (V.normSafe(col(vecCol)) * lit(qn)), 6) + lit(0.0)).as("s")),
+            Seq("__nid"))
+          .collect().map(r => r.getLong(0) -> r.getDouble(1)).toSeq
+        if (scored.isEmpty) moved = false
         else {
-          val (bid, bs) = (scoreOf(nbrs) :+ (cur, curScore))
+          val (bid, bs) = (scored :+ (cur, curScore))
             .minBy { case (i, s) => (-s, i) }
           if (bid != cur) { cur = bid; curScore = bs } else moved = false
         }
         step += 1
       }
     }
-    cur
+    (cur, curScore)
   }
 
   /** HNSW search (`rag_demo/ingest.py:13-14` names HNSW as the
@@ -665,10 +702,10 @@ object Ann {
                  idCol: String, vecCol: String, query: Seq[Float],
                  fanout: Int, beam: Int, hops: Int,
                  descentHops: Int = 2): DataFrame = {
-    val entry = hnswDescend(layers, vectors, idCol, vecCol, query,
-      fanout, descentHops)
+    val (entry, entryScore) = hnswDescendScored(layers, vectors, idCol,
+      vecCol, query, fanout, descentHops)
     graphBeamSearch(layers.head, vectors, idCol, vecCol, query, beam,
-      hops, entryId = Some(entry))
+      hops, entryId = Some(entry), entryScore = Some(entryScore))
   }
 
   /** BATCHED HNSW descent — the distributed face of [[hnswDescend]]:

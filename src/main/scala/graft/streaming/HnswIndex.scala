@@ -164,6 +164,52 @@ object HnswIndex {
   private val rootMonitors =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
+  /** Run independent Spark actions CONCURRENTLY from a small driver
+    * thread pool (optimization guide §2.6 — overlap independent jobs):
+    * a refresh transaction's leaf writes go to DISJOINT directories
+    * (per-level edges, per-level sidecar, membership, cell-hint,
+    * deletes), so nothing orders them; submitting them together lets
+    * the scheduler back-fill the tail of one write with the tasks of
+    * the next instead of paying one full job latency per write. At
+    * small-batch scale this collapses the per-commit job-overhead sum
+    * to ~max(job); at cluster scale it back-fills straggler tails.
+    * All tasks are awaited before return; the FIRST failure rethrows
+    * (the transaction aborts before its fence, leaving only
+    * uncommitted debris that [[recover]] rolls back). The pool is
+    * shared, daemon, and bounded — concurrent maintenance ops on
+    * different roots queue rather than oversubscribe the driver.
+    */
+  private lazy val actionPool = {
+    val n = math.max(4, Runtime.getRuntime.availableProcessors() / 4)
+    val tf = new java.util.concurrent.ThreadFactory {
+      private val c = new java.util.concurrent.atomic.AtomicInteger(0)
+      def newThread(r: Runnable): Thread = {
+        val t = new Thread(r, s"graft-hnsw-action-${c.incrementAndGet()}")
+        t.setDaemon(true)
+        t
+      }
+    }
+    java.util.concurrent.Executors.newFixedThreadPool(n, tf)
+  }
+
+  private def inParallel(tasks: Seq[() => Unit]): Unit = {
+    if (tasks.isEmpty) return
+    if (tasks.lengthCompare(1) == 0) { tasks.head(); return }
+    val futures = tasks.map(t => actionPool.submit(new Runnable {
+      def run(): Unit = t()
+    }))
+    var firstFailure: Option[Throwable] = None
+    futures.foreach { f =>
+      try f.get()
+      catch {
+        case e: java.util.concurrent.ExecutionException =>
+          if (firstFailure.isEmpty)
+            firstFailure = Some(Option(e.getCause).getOrElse(e))
+      }
+    }
+    firstFailure.foreach(throw _)
+  }
+
   private def withRootMonitor[T](spark: SparkSession, root: Path)
                                 (f: => T): T = {
     val key = fsOf(spark, root).makeQualified(root).toUri.toString
@@ -802,10 +848,13 @@ object HnswIndex {
       }
       val v = vectors.select(col(idCol).cast("long").as(idCol) +:
         col(vecCol) +: passthrough.map(col): _*)
-      val neg = v.filter(col(idCol) < 0).limit(1).collect()
-      require(neg.isEmpty, "ids must be non-negative integrals")
-      val maxId = v.agg(max(col(idCol))).head
-      val shift = autoShift(if (maxId.isNullAt(0)) 0L else maxId.getLong(0))
+      // one agg job carries both the non-negative check (min) and the
+      // bitmap shift (max) — was a limit-collect plus an agg (§1.2:
+      // don't run two passes where one answers both questions)
+      val bounds = v.agg(min(col(idCol)), max(col(idCol))).head
+      require(bounds.isNullAt(0) || bounds.getLong(0) >= 0,
+        "ids must be non-negative integrals")
+      val shift = autoShift(if (bounds.isNullAt(1)) 0L else bounds.getLong(1))
       val meta = Meta(idCol, vecCol, centIdCol, centVecCol, maxLevel,
         fanout, k, shift, ptFields, cellHints = true)
       fs.mkdirs(refreshDir(root)): Unit
@@ -826,28 +875,36 @@ object HnswIndex {
       hook("intent")
       val layers = Ann.hnswBuild(v, centroids, idCol, vecCol, centIdCol,
         centVecCol, k, fanout, maxLevel)
+      // the per-level assignment feeds THREE write families (edge cell
+      // tags, the sidecar itself, the cell-hint rows) — cut its lineage
+      // once so the concurrent writes below share one computation
+      // instead of re-running ivfAssign per consumer
       val sidecar = Ann.hnswAssignLevels(v, centroids, idCol, vecCol,
         centIdCol, centVecCol, fanout, maxLevel)
-      layers.zipWithIndex.foreach { case (edges, l) =>
-        val withCell = edges
-          .select(col("src").cast("long").as("src"),
-            col("dst").cast("long").as("dst"),
-            col("score").cast("double").as("score"))
-          .join(sidecar(l).select(col(idCol).cast("long").as("src"),
-            col("cell_id").cast("long").as("cell_id")), Seq("src"))
-        writeEdgeLeaves(withCell, layerDir(root, l), epoch = 0L)
-      }
-      sidecar.zipWithIndex.foreach { case (rows, l) =>
-        writeSidecarLeaves(rows, meta, sidecarDir(root, l), epoch = 0L)
-      }
-      writeMemberLeaves(bitRows(idBits(v, col(idCol), shift)), root,
-        epoch = 0L)
-      writeHintLeaves(hintRows(sidecar.head, col(idCol), shift), root,
-        epoch = 0L)
-      centroids.select(col(centIdCol).cast("long").as(centIdCol),
-          col(centVecCol))
-        .coalesce(1).write.mode("overwrite")
-        .parquet(new Path(root, "_centroids/__e=0").toString)
+        .map(_.localCheckpoint(false))
+      // seven independent leaf families — write them concurrently
+      // (§2.6); all complete before the commit fence below
+      inParallel(
+        layers.zipWithIndex.map { case (edges, l) => () => {
+          val withCell = edges
+            .select(col("src").cast("long").as("src"),
+              col("dst").cast("long").as("dst"),
+              col("score").cast("double").as("score"))
+            .join(sidecar(l).select(col(idCol).cast("long").as("src"),
+              col("cell_id").cast("long").as("cell_id")), Seq("src"))
+          writeEdgeLeaves(withCell, layerDir(root, l), epoch = 0L)
+        }} ++
+        sidecar.zipWithIndex.map { case (rows, l) => () =>
+          writeSidecarLeaves(rows, meta, sidecarDir(root, l), epoch = 0L)
+        } ++ Seq(
+          () => writeMemberLeaves(bitRows(idBits(v, col(idCol), shift)),
+            root, epoch = 0L),
+          () => writeHintLeaves(hintRows(sidecar.head, col(idCol), shift),
+            root, epoch = 0L),
+          () => centroids.select(col(centIdCol).cast("long").as(centIdCol),
+              col(centVecCol))
+            .coalesce(1).write.mode("overwrite")
+            .parquet(new Path(root, "_centroids/__e=0").toString)))
       writeMeta(fs, root, meta)
       hook("appended")
       val builtDirs = ((0 to maxLevel).flatMap { l =>
@@ -899,13 +956,16 @@ object HnswIndex {
     val epoch = allocateIntent(fs, root, epochMin,
       touchedDirs.mkString("", "\n", "\n"))
     hook("intent")
-    perLevel.zipWithIndex.foreach { case ((cells, delta, newSide), l) =>
-      if (cells.nonEmpty) {
-        writeEdgeLeaves(delta, layerDir(root, l), epoch)
-        writeSidecarLeaves(newSide, meta, sidecarDir(root, l), epoch)
-      }
-    }
-    extras.foreach(_.write(epoch))
+    // every write lands in its own leaf family — run them concurrently
+    // (§2.6): the fence below still sees all of them complete
+    inParallel(
+      perLevel.zipWithIndex.flatMap { case ((cells, delta, newSide), l) =>
+        if (cells.isEmpty) Nil
+        else Seq(
+          () => writeEdgeLeaves(delta, layerDir(root, l), epoch),
+          () => writeSidecarLeaves(newSide, meta, sidecarDir(root, l),
+            epoch))
+      } ++ extras.map(x => () => x.write(epoch)))
     ensureLeaves(fs, root, touchedDirs, epoch)
     hook("appended")
     // writer-unique tmp name: a racing writer can never overwrite or
@@ -1075,9 +1135,22 @@ object HnswIndex {
           Seq(Extra(bGroups.map(g => s"_cellhint/__c=$g"),
             ep => writeHintLeaves(foldedH, root, ep)))
         }
+      // ONE job answers "which cells does each level touch" for every
+      // level (was one distinct+collect per level): the levels' cell
+      // sets are independent, so a lit-tagged union collects them
+      // together (§1.2 — fewer driver-blocking jobs per commit)
+      val cellsByLevel: Map[Int, Seq[Long]] = bAsg.zipWithIndex
+        .map { case (df, l) =>
+          df.select(lit(l).as("__lvl"), col("cell_id").cast("long")
+            .as("__cell"))
+        }
+        .reduce(_ unionByName _).distinct().collect()
+        .map(r => r.getInt(0) -> r.getLong(1))
+        .groupBy(_._1).map { case (l, a) =>
+          l -> a.map(_._2).sorted.toSeq
+        }
       val perLevel = (0 to meta.maxLevel).map { l =>
-        val cells = bAsg(l).select(col("cell_id").cast("long"))
-          .distinct().collect().map(_.getLong(0)).sorted.toSeq
+        val cells = cellsByLevel.getOrElse(l, Seq.empty)
         val touchedSide = readPaths(spark,
           cellLeaves(fs, sidecarDir(root, l), committed, cells),
           sidecarSchema(meta))
@@ -1223,14 +1296,25 @@ object HnswIndex {
             }
         hinted.getOrElse(sidecar.head)
       }
-      val plans = (0 to meta.maxLevel).map { l =>
-        val disc = if (l == 0) l0Disc else sidecar(l)
-        val cells = disc
-          .select(col("cell_id").cast("long").as("cell_id"),
+      // ONE job discovers every level's touched cells (was one
+      // join+distinct+collect per level — §1.2): tag each level's
+      // discovery frame and union before the tombstone join
+      val cellsByLevel: Map[Int, Seq[Long]] = (0 to meta.maxLevel)
+        .map { l =>
+          val disc = if (l == 0) l0Disc else sidecar(l)
+          disc.select(lit(l).as("__lvl"),
+            col("cell_id").cast("long").as("__cell"),
             col(meta.idCol).cast("long").as("__id"))
-          .join(tomb, col("__id") === col("__tid"))
-          .select(col("cell_id")).distinct()
-          .collect().map(_.getLong(0)).sorted.toSeq
+        }
+        .reduce(_ unionByName _)
+        .join(tomb, col("__id") === col("__tid"))
+        .select(col("__lvl"), col("__cell")).distinct()
+        .collect().map(r => r.getInt(0) -> r.getLong(1))
+        .groupBy(_._1).map { case (l, a) =>
+          l -> a.map(_._2).sorted.toSeq
+        }
+      val plans = (0 to meta.maxLevel).map { l =>
+        val cells = cellsByLevel.getOrElse(l, Seq.empty)
         val members = readPaths(spark,
           cellLeaves(fs, sidecarDir(root, l), committed, cells),
           sidecarSchema(meta)).localCheckpoint(false)
