@@ -77,11 +77,21 @@ object JobProf {
     }
     val mb1 = batch.filter(pmod(col("vec_id"), lit(20)) === 7)
     val mb2 = batch.filter(pmod(col("vec_id"), lit(20)) === 17)
+    def phaseHook(t0: Long): String => Unit = {
+      var last = t0
+      s => {
+        val now = System.nanoTime()
+        println(f"[jobprof]   ..phase to '$s': ${(now - last) / 1e9}%6.2fs")
+        last = now
+      }
+    }
     prof("hnsw_ingest_1") {
-      graft.streaming.HnswIndex.ingest(spark, midx, mb1)
+      graft.streaming.HnswIndex.ingest(spark, midx, mb1,
+        hook = phaseHook(System.nanoTime()))
     }
     prof("hnsw_ingest_2") {
-      graft.streaming.HnswIndex.ingest(spark, midx, mb2)
+      graft.streaming.HnswIndex.ingest(spark, midx, mb2,
+        hook = phaseHook(System.nanoTime()))
     }
     val sdt1 = exist.filter(pmod(col("vec_id"), lit(34)) === 3)
       .select(col("vec_id").as("id"))

@@ -642,23 +642,26 @@ object Ann {
     // NormEps clamp: zero-norm queries score 0 (the batch face's
     // normSafe treatment), so batch ≡ single holds for them too
     val qn = math.max(math.sqrt(q.map(x => x.toDouble * x).sum), V.NormEps)
-    def scoreOf(ids: Seq[Long]): Seq[(Long, Double)] =
-      vectors.filter(col(idCol).isin(ids.map(Long.box): _*))
-        .select(col(idCol).cast("long"),
-          (round(dotF(col(vecCol), lit(q)) /
-            (V.normSafe(col(vecCol)) * lit(qn)), 6) + lit(0.0)).as("s"))
-        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toSeq
     val lvl = hnswLevel(col(idCol), fanout, maxLevel)
-    // entry = smallest id of the highest non-empty layer
+    // entry = smallest id of the highest non-empty layer. ONE job
+    // carries each level's smallest id AND that id's query score
+    // (min_by rides the same pass — §1.2; was a per-level min agg
+    // followed by a separate entry-scoring scan): same entry, same
+    // quantized score expression.
     val tops = vectors.select(col(idCol).cast("long").as("__id"),
-        lvl.as("__l"))
-      .groupBy(col("__l")).agg(min(col("__id")).as("__e"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+        lvl.as("__l"),
+        (round(dotF(col(vecCol), lit(q)) /
+          (V.normSafe(col(vecCol)) * lit(qn)), 6) + lit(0.0)).as("__s"))
+      .groupBy(col("__l"))
+      .agg(min(col("__id")).as("__e"), min_by(col("__s"), col("__id")).as("__es"))
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getDouble(2))).toMap
     val topLevel = (maxLevel to 0 by -1)
       .find(l => tops.keys.exists(_ >= l))
       .getOrElse(0)
-    var cur = (topLevel to maxLevel).flatMap(tops.get).min
-    var curScore = scoreOf(Seq(cur)).head._2
+    val (entry0, entryScore0) = (topLevel to maxLevel).flatMap(tops.get)
+      .minBy(_._1)
+    var cur = entry0
+    var curScore = entryScore0
     for (l <- topLevel to 1 by -1) {
       var moved = true
       var step = 0

@@ -1063,9 +1063,6 @@ object HnswIndex {
       val b = batch.select(col(meta.idCol).cast("long").as(meta.idCol) +:
           col(meta.vecCol) +: meta.passthrough.map(f => col(f.name)): _*)
         .localCheckpoint(false)
-      val bounds = b.agg(min(col(meta.idCol)), max(col(meta.idCol))).head
-      if (bounds.isNullAt(0)) return committed.max // empty batch: no-op
-      require(bounds.getLong(0) >= 0, "ids must be non-negative integrals")
       val vecTable = readVectors(spark, path)
       val memOk = membershipUsable(fs, root, meta, committed)
       val bGroups =
@@ -1080,14 +1077,26 @@ object HnswIndex {
         else Some(readPaths(spark,
           cellLeaves(fs, membershipDir(root), committed, bGroups),
           memberSchema).localCheckpoint(false))
-      if (checkDisjoint) {
+      val bAsg = Ann.hnswAssignLevels(b, cents, meta.idCol, meta.vecCol,
+        meta.centIdCol, meta.centVecCol, meta.fanout, meta.maxLevel)
+        .map(_.localCheckpoint(false))
+      // the three driver-blocking pre-commit probes — id bounds, the
+      // disjointness probe, and the touched-cell discovery — are
+      // independent of each other: run them CONCURRENTLY (§2.6) and
+      // check their answers in the declared order afterwards
+      val boundsSlot = new Array[org.apache.spark.sql.Row](1)
+      val clashSlot = new Array[Array[org.apache.spark.sql.Row]](1)
+      val cellsSlot = new Array[Map[Int, Seq[Long]]](1)
+      inParallel(Seq(
+        () => boundsSlot(0) =
+          b.agg(min(col(meta.idCol)), max(col(meta.idCol))).head,
         // disjointness via the id-group BITMAP sidecar when present:
         // the probe reads ONLY the batch's own groups' leaves (exact
         // bit test, no false-positive path) — batch-bounded at any
         // corpus size. Legacy indexes without the sidecar fall back to
         // the full-membership id-column scan (one-time: run
         // buildMembership to upgrade).
-        val clash = memCur match {
+        () => if (checkDisjoint) clashSlot(0) = (memCur match {
           case Some(mem) =>
             idBits(b, col(meta.idCol), meta.memberShift)
               .join(mem, Seq("grp", "word_idx"))
@@ -1098,12 +1107,30 @@ object HnswIndex {
               .select(col(meta.idCol).cast("long").as("__id"))
             b.select(col(meta.idCol).cast("long").as("__id"))
               .join(allIds, Seq("__id"), "left_semi").limit(1).collect()
-        }
+        }),
+        // ONE job answers "which cells does each level touch" for
+        // every level (was one distinct+collect per level — §1.2)
+        () => cellsSlot(0) = bAsg.zipWithIndex
+          .map { case (df, l) =>
+            df.select(lit(l).as("__lvl"), col("cell_id").cast("long")
+              .as("__cell"))
+          }
+          .reduce(_ unionByName _).distinct().collect()
+          .map(r => r.getInt(0) -> r.getLong(1))
+          .groupBy(_._1).map { case (l, a) =>
+            l -> a.map(_._2).sorted.toSeq
+          }))
+      val bounds = boundsSlot(0)
+      if (bounds.isNullAt(0)) return committed.max // empty batch: no-op
+      require(bounds.getLong(0) >= 0, "ids must be non-negative integrals")
+      if (checkDisjoint) {
+        val clash = clashSlot(0)
         require(clash.isEmpty,
           s"ingest: batch id ${clash.head.getLong(0)} already exists in " +
             "the index — ids are append-only; dedup the batch or route " +
             "updates through purge + ingest")
       }
+      val cellsByLevel: Map[Int, Seq[Long]] = cellsSlot(0)
       // the bitmap stays EXACT in the same commit: touched groups'
       // words fold the batch's bits in (groups the batch does not
       // touch are untouched — batch-bounded maintenance)
@@ -1117,9 +1144,6 @@ object HnswIndex {
           Seq(Extra(bGroups.map(g => s"_membership/__c=$g"),
             ep => writeMemberLeaves(folded, root, ep)))
       }
-      val bAsg = Ann.hnswAssignLevels(b, cents, meta.idCol, meta.vecCol,
-        meta.centIdCol, meta.centVecCol, meta.fanout, meta.maxLevel)
-        .map(_.localCheckpoint(false))
       // the id-group → cells HINT sidecar folds the batch's pairs in
       // within the SAME commit (touched groups only — batch-bounded);
       // maintained only when _META guarantees full hint coverage
@@ -1134,20 +1158,6 @@ object HnswIndex {
             .distinct()
           Seq(Extra(bGroups.map(g => s"_cellhint/__c=$g"),
             ep => writeHintLeaves(foldedH, root, ep)))
-        }
-      // ONE job answers "which cells does each level touch" for every
-      // level (was one distinct+collect per level): the levels' cell
-      // sets are independent, so a lit-tagged union collects them
-      // together (§1.2 — fewer driver-blocking jobs per commit)
-      val cellsByLevel: Map[Int, Seq[Long]] = bAsg.zipWithIndex
-        .map { case (df, l) =>
-          df.select(lit(l).as("__lvl"), col("cell_id").cast("long")
-            .as("__cell"))
-        }
-        .reduce(_ unionByName _).distinct().collect()
-        .map(r => r.getInt(0) -> r.getLong(1))
-        .groupBy(_._1).map { case (l, a) =>
-          l -> a.map(_._2).sorted.toSeq
         }
       val perLevel = (0 to meta.maxLevel).map { l =>
         val cells = cellsByLevel.getOrElse(l, Seq.empty)
