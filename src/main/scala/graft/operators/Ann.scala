@@ -449,25 +449,23 @@ object Ann {
       case _ => scoreOf(vectors.filter(col(idCol) === entry)).toList
     }
     var frontier = Seq(entry)
-    val qn = math.max(math.sqrt(q.map(x => x.toDouble * x).sum), V.NormEps)
     for (_ <- 1 to hops if frontier.nonEmpty) {
-      // ONE job per hop (was two: a frontier-edge collect then a
-      // scoring scan — §1.2): the hop joins the distinct out-neighbors
-      // straight onto the vector table, and the visited filter runs
-      // driver-side over the collected (id, score) pairs. Score
-      // expression unchanged, so the beam walks identically.
-      val scoredCand = edges
+      // two PUSHDOWN-PRUNED scans per hop — the edge hop with the
+      // src-isin filter (row-group-pruned on the src-sorted layout),
+      // then the scoring scan with the id-isin filter. NOTE: a fused
+      // hop⨝vectors join was tried (round 13 optimization) and
+      // REVERTED — the join side loses the id-isin parquet pushdown,
+      // so every hop scans the whole vector table; the literal-isin
+      // shape prunes at any corpus size.
+      val cand = edges
         .filter(col("src").isin(frontier.map(Long.box): _*))
-        .select(col("dst").cast("long").as("__cid")).distinct()
-        .join(vectors.select(col(idCol).cast("long").as("__cid"),
-          (round(dotF(col(vecCol), lit(q)) /
-            (V.normSafe(col(vecCol)) * lit(qn)), 6) + lit(0.0)).as("s")),
-          Seq("__cid"))
-        .collect().map(r => r.getLong(0) -> r.getDouble(1))
-        .filterNot { case (id, _) => visited(id) }.toSeq
-      if (scoredCand.nonEmpty) {
-        visited ++= scoredCand.map(_._1)
-        val merged = (best ++ scoredCand)
+        .select(col("dst").cast("long")).distinct()
+        .collect().map(_.getLong(0)).filterNot(visited).toSeq
+      if (cand.nonEmpty) {
+        val scored = scoreOf(
+          vectors.filter(col(idCol).isin(cand.map(Long.box): _*)))
+        visited ++= cand
+        val merged = (best ++ scored)
           .sortBy { case (id, s) => (-s, id) }.take(beam)
         frontier = merged.map(_._1).filterNot(best.map(_._1).toSet)
         best = merged
@@ -666,22 +664,21 @@ object Ann {
       var moved = true
       var step = 0
       while (moved && step < descentHops) {
-        // ONE job per step (was two: a neighbor-list collect then a
-        // scoring scan — §1.2): the edge hop joins straight onto the
-        // vector table and the scored out-neighbors come back together.
-        // Same quantized score expression, so results are identical; a
-        // dst absent from `vectors` never scored under the old shape
-        // either (the isin filter dropped it).
-        val scored = layers(l)
+        // two pushdown-pruned scans per step (the fused hop⨝vectors
+        // join was tried in round 13 and reverted — it loses the
+        // id-isin parquet pushdown; see graphBeamSearch's hop note)
+        val nbrs = layers(l)
           .filter(col("src").cast("long") === cur)
-          .select(col("dst").cast("long").as("__nid")).distinct()
-          .join(vectors.select(col(idCol).cast("long").as("__nid"),
-            (round(dotF(col(vecCol), lit(q)) /
-              (V.normSafe(col(vecCol)) * lit(qn)), 6) + lit(0.0)).as("s")),
-            Seq("__nid"))
-          .collect().map(r => r.getLong(0) -> r.getDouble(1)).toSeq
-        if (scored.isEmpty) moved = false
+          .select(col("dst").cast("long"))
+          .collect().map(_.getLong(0)).toSeq
+        if (nbrs.isEmpty) moved = false
         else {
+          val scored = vectors
+            .filter(col(idCol).isin(nbrs.map(Long.box): _*))
+            .select(col(idCol).cast("long"),
+              (round(dotF(col(vecCol), lit(q)) /
+                (V.normSafe(col(vecCol)) * lit(qn)), 6) + lit(0.0)).as("s"))
+            .collect().map(r => r.getLong(0) -> r.getDouble(1)).toSeq
           val (bid, bs) = (scored :+ (cur, curScore))
             .minBy { case (i, s) => (-s, i) }
           if (bid != cur) { cur = bid; curScore = bs } else moved = false
