@@ -395,6 +395,50 @@ object Ann {
       .select(col("src"), col("id").as("dst"), col("score"))
   }
 
+  /** ONE Spark job answering a walk step's bounded lookups together:
+    * the quantized query scores of `toScore` ids (an id-isin-pruned
+    * scan of the vector table) and, per requested layer, the
+    * out-neighbors of `toExpand`'s srcs (a src-isin-pruned scan of
+    * that layer's edge table). Every leg stays its OWN scan with its
+    * own literal filter — the parquet pushdown the two-scan shape had
+    * is fully preserved (the round-13 fused hop⨝vectors join was
+    * reverted precisely because the join side lost it); the union
+    * merely submits the legs as one action, so the driver pays one
+    * job of scheduling latency per step instead of one per lookup
+    * (guide §1.2). Row tags: __t = -1 score row (id, score),
+    * __t = l ≥ 0 edge row of layer l (src, dst).
+    */
+  private def fetchWalk(vectors: DataFrame, idCol: String, vecCol: String,
+                        q: Array[Float], qn: Double, toScore: Seq[Long],
+                        layers: Seq[DataFrame],
+                        toExpand: Seq[(Int, Seq[Long])])
+      : (Map[Long, Double], Map[Int, Map[Long, Seq[Long]]]) = {
+    val scoreLegs =
+      if (toScore.isEmpty) Nil
+      else Seq(vectors.filter(col(idCol).isin(toScore.map(Long.box): _*))
+        .select(lit(-1).as("__t"), col(idCol).cast("long").as("__a"),
+          lit(0L).as("__b"),
+          (round(dotF(col(vecCol), lit(q)) /
+            (V.normSafe(col(vecCol)) * lit(qn)), 6) + lit(0.0)).as("__s")))
+    val edgeLegs = toExpand.collect { case (l, srcs) if srcs.nonEmpty =>
+      layers(l).filter(col("src").isin(srcs.map(Long.box): _*))
+        .select(lit(l).as("__t"), col("src").cast("long").as("__a"),
+          col("dst").cast("long").as("__b"), lit(0.0).as("__s"))
+    }
+    val legs = scoreLegs ++ edgeLegs
+    if (legs.isEmpty) return (Map.empty, Map.empty)
+    val rows = legs.reduce(_ unionByName _).collect()
+    val scores = rows.iterator.filter(_.getInt(0) == -1)
+      .map(r => r.getLong(1) -> r.getDouble(3)).toMap
+    val adj = rows.iterator.filter(_.getInt(0) >= 0).toArray
+      .groupBy(_.getInt(0)).map { case (l, rs) =>
+        l -> rs.groupBy(_.getLong(1)).map { case (s, es) =>
+          s -> es.map(_.getLong(2)).distinct.toSeq
+        }
+      }
+    (scores, adj)
+  }
+
   /** NSW-style GRAPH beam search (Malkov et al. 2014 — the navigable-
     * small-world family HNSW layers on top): greedy best-first
     * expansion over a prebuilt kNN neighbor graph. Completes the ANN
@@ -405,15 +449,24 @@ object Ann {
     * GRAPH BUILD is the batch job ([[knnJoin]] — cell-bounded, the
     * 100 TB path).
     *
-    * Per hop: expand the frontier's out-neighbors (one broadcast-probed
-    * semi-join on the bounded frontier id list), drop visited ids,
-    * score the new candidates against the broadcast query (cosine,
-    * round-6 — the knnJoin quantization), merge into the beam, keep the
-    * top `beam`; the next frontier is the newly-visited survivors.
-    * Driver state (beam, visited) is bounded by beam + hops·beam·degree
-    * ids — the k-bounded-collect contract. Fully deterministic: entry =
-    * smallest id, ties (score desc, id asc), so the unrolled oracle
-    * replays every hop.
+    * Per hop: expand the frontier's out-neighbors, drop visited ids,
+    * score the new candidates against the query (cosine, round-6 — the
+    * knnJoin quantization), merge into the beam, keep the top `beam`;
+    * the next frontier is the newly-visited survivors. The hop's
+    * scoring scan and the NEXT hop's edge expansion ride ONE fused job
+    * ([[fetchWalk]] — the next frontier is always a subset of this
+    * hop's candidates, so their out-edges can be prefetched in the
+    * same action; both legs keep their literal-isin parquet pushdown,
+    * and a serve pays ~1 job per hop instead of 2). Driver state
+    * (beam, visited, prefetched adjacency) is bounded by
+    * beam + hops·beam·degree ids — the k-bounded-collect contract.
+    * Fully deterministic: entry = smallest id, ties (score desc,
+    * id asc), so the unrolled oracle replays every hop.
+    *
+    * NOTE: a fused hop⨝vectors JOIN was tried (round 13) and
+    * REVERTED — the join side loses the id-isin parquet pushdown, so
+    * every hop scans the whole vector table; the literal-isin legs
+    * prune at any corpus size.
     *
     * Returns the final beam as (rank, idCol, score) sorted best-first.
     */
@@ -421,49 +474,62 @@ object Ann {
                       idCol: String, vecCol: String, query: Seq[Float],
                       beam: Int, hops: Int,
                       entryId: Option[Long] = None,
-                      entryScore: Option[Double] = None): DataFrame = {
+                      entryScore: Option[Double] = None,
+                      entryAdj: Option[Seq[Long]] = None): DataFrame = {
     require(beam >= 1 && hops >= 0, s"bad beam/hops: $beam/$hops")
     val spark = vectors.sparkSession
     import spark.implicits._
     val q = query.toArray
-    def scoreOf(df: DataFrame): Array[(Long, Double)] = {
-      // clamp like V.normSafe so a zero-norm query scores 0, not NaN —
-      // keeps the batch face (normSafe on __qn) pinned ≡ this one
-      val qn = math.max(math.sqrt(q.map(x => x.toDouble * x).sum), V.NormEps)
-      df.select(col(idCol).cast("long"),
-          (round(dotF(col(vecCol), lit(q)) /
-            (V.normSafe(col(vecCol)) * lit(qn)), 6) + lit(0.0)).as("s"))
-        .collect().map(r => r.getLong(0) -> r.getDouble(1))
-    }
+    // clamp like V.normSafe so a zero-norm query scores 0, not NaN —
+    // keeps the batch face (normSafe on __qn) pinned ≡ this one
+    val qn = math.max(math.sqrt(q.map(x => x.toDouble * x).sum), V.NormEps)
     // entryId overrides the default smallest-id entry — the HNSW
     // hierarchy's descent ([[hnswSearch]]) lands the walk next to the
     // query before the beam ever runs
     val entry = entryId.getOrElse(
       vectors.agg(min(col(idCol).cast("long"))).head.getLong(0))
     var visited = Set(entry)
+    // out-neighbors prefetched one hop ahead: ids in `adjKnown` have
+    // their adjacency in `adj` (absent from the map = fetched, none)
+    var adj: Map[Long, Seq[Long]] =
+      entryAdj.map(a => Map(entry -> a)).getOrElse(Map.empty)
+    var adjKnown: Set[Long] = if (entryAdj.isDefined) Set(entry) else Set.empty
     // a caller that already scored the entry (the descent tracks its
     // current node's score) passes it through — same quantized
     // expression, one fewer scan job per serve
     var best = (entryId, entryScore) match {
       case (Some(e), Some(s)) => List(e -> s)
-      case _ => scoreOf(vectors.filter(col(idCol) === entry)).toList
+      case _ =>
+        // fuse the entry's scoring scan with its out-edge scan
+        val (sc, ad) = fetchWalk(vectors, idCol, vecCol, q, qn,
+          Seq(entry), Seq(edges), Seq((0, Seq(entry))))
+        adj = ad.getOrElse(0, Map.empty)
+        adjKnown = Set(entry)
+        sc.get(entry).map(entry -> _).toList
     }
     var frontier = Seq(entry)
-    for (_ <- 1 to hops if frontier.nonEmpty) {
-      // two PUSHDOWN-PRUNED scans per hop — the edge hop with the
-      // src-isin filter (row-group-pruned on the src-sorted layout),
-      // then the scoring scan with the id-isin filter. NOTE: a fused
-      // hop⨝vectors join was tried (round 13 optimization) and
-      // REVERTED — the join side loses the id-isin parquet pushdown,
-      // so every hop scans the whole vector table; the literal-isin
-      // shape prunes at any corpus size.
-      val cand = edges
-        .filter(col("src").isin(frontier.map(Long.box): _*))
-        .select(col("dst").cast("long")).distinct()
-        .collect().map(_.getLong(0)).filterNot(visited).toSeq
+    for (h <- 1 to hops if frontier.nonEmpty) {
+      val missing = frontier.filterNot(adjKnown)
+      if (missing.nonEmpty) {
+        val (_, ad) = fetchWalk(vectors, idCol, vecCol, q, qn, Nil,
+          Seq(edges), Seq((0, missing)))
+        adj ++= ad.getOrElse(0, Map.empty)
+        adjKnown ++= missing
+      }
+      val cand = frontier.flatMap(f => adj.getOrElse(f, Nil))
+        .distinct.filterNot(visited)
       if (cand.nonEmpty) {
-        val scored = scoreOf(
-          vectors.filter(col(idCol).isin(cand.map(Long.box): _*)))
+        // ONE job: score the candidates AND prefetch their out-edges
+        // (the next frontier ⊆ cand; the final hop skips the prefetch)
+        val expand =
+          if (h < hops) Seq((0, cand.filterNot(adjKnown))) else Nil
+        val (sc, ad) = fetchWalk(vectors, idCol, vecCol, q, qn, cand,
+          Seq(edges), expand)
+        if (h < hops) {
+          adj ++= ad.getOrElse(0, Map.empty)
+          adjKnown ++= cand
+        }
+        val scored = cand.flatMap(id => sc.get(id).map(id -> _))
         visited ++= cand
         val merged = (best ++ scored)
           .sortBy { case (id, s) => (-s, id) }.take(beam)
@@ -524,13 +590,23 @@ object Ann {
     var beamDf = scoreCands(seed)
       .localCheckpoint(false)
     var frontier = beamDf.select(col("__qid"), col("__id"))
-    var visited = frontier.localCheckpoint(false)
     for (_ <- 1 to hops) {
+      // candidates = the frontier's out-neighbors not already IN the
+      // current beam. The anti-join runs against the ≤ Q·beam beam
+      // instead of the GROWING (Q·beam·degree·hops) visited set the
+      // pre-r14 shape unioned + checkpointed per hop: a node the beam
+      // once dropped may re-score here, but it can never re-enter —
+      // the beam's k-th (score desc, id asc) key only improves hop
+      // over hop, and the per-qid tie order is total — so the merged
+      // beam is row-identical while a full union + localCheckpoint +
+      // ever-larger anti-join per hop disappears (§2.3: less state,
+      // fewer shuffled bytes; AnnSpec's batch ≡ single pins it).
       val cand = frontier
         .join(edges.select(col("src").cast("long").as("__id"),
           col("dst").cast("long").as("__dst")), Seq("__id"))
         .select(col("__qid"), col("__dst").as("__id")).distinct()
-        .join(visited, Seq("__qid", "__id"), "left_anti")
+        .join(beamDf.select(col("__qid"), col("__id")),
+          Seq("__qid", "__id"), "left_anti")
         .localCheckpoint(false)
       val merged = TopK.topKPerKeyAgg(
           beamDf.unionByName(scoreCands(cand)),
@@ -539,7 +615,6 @@ object Ann {
         .localCheckpoint(false)
       frontier = merged.join(beamDf.select(col("__qid"), col("__id")),
         Seq("__qid", "__id"), "left_anti")
-      visited = visited.unionByName(cand).localCheckpoint(false)
       beamDf = merged
     }
     val w = org.apache.spark.sql.expressions.Window
@@ -608,6 +683,24 @@ object Ann {
     }
   }
 
+  /** The descent's ENTRY-DISCOVERY aggregation — each level's smallest
+    * id, computed over an ID-ONLY scan: [[hnswLevel]] derives the
+    * level from the id, so the scan prunes to the id column (guide §6
+    * — at corpus scale the embedding column IS the table). Round 13
+    * fused the entry's query SCORE into this job via min_by, which
+    * forced the scan to read id + embedding corpus-wide to save one
+    * ~80 ms driver job — the wrong trade at any real corpus size
+    * (round-14 revert; the entry's score now rides the isin-pruned
+    * [[fetchWalk]] instead). Exposed for the plan audit
+    * (plans/r14/descent_tops_after.txt pins ReadSchema = id only).
+    */
+  private[graft] def descentTops(vectors: DataFrame, idCol: String,
+                                 fanout: Int, maxLevel: Int): DataFrame = {
+    val lvl = hnswLevel(col(idCol), fanout, maxLevel)
+    vectors.select(col(idCol).cast("long").as("__id"), lvl.as("__l"))
+      .groupBy(col("__l")).agg(min(col("__id")).as("__e"))
+  }
+
   /** The HNSW DESCENT: from the smallest id of the highest non-empty
     * layer, greedy-walk each upper layer's graph toward the query (move
     * to the best-scoring out-neighbor while it strictly improves, up to
@@ -622,7 +715,7 @@ object Ann {
   def hnswDescend(layers: Seq[DataFrame], vectors: DataFrame,
                   idCol: String, vecCol: String, query: Seq[Float],
                   fanout: Int, descentHops: Int): Long =
-    hnswDescendScored(layers, vectors, idCol, vecCol, query, fanout,
+    hnswDescendFull(layers, vectors, idCol, vecCol, query, fanout,
       descentHops)._1
 
   /** [[hnswDescend]] plus the reached entry's (already computed)
@@ -633,6 +726,27 @@ object Ann {
                   vectors: DataFrame,
                   idCol: String, vecCol: String, query: Seq[Float],
                   fanout: Int, descentHops: Int): (Long, Double) = {
+    val r = hnswDescendFull(layers, vectors, idCol, vecCol, query,
+      fanout, descentHops)
+    (r._1, r._2)
+  }
+
+  /** [[hnswDescendScored]] plus the reached entry's layer-0 adjacency
+    * when the walk's fused fetches already prefetched it — the beam's
+    * first hop then pays no separate edge job. Per step the descent
+    * runs ONE [[fetchWalk]] job carrying the unscored neighbors'
+    * scores, the neighbors' out-edges at the current level (the next
+    * step's node is one of them) and the HANDOFF prefetch — every
+    * possible level-exit node's adjacency at the level below — so the
+    * whole descent costs ~1 job per step instead of 2, with every leg
+    * still literal-isin pruned (the id-only entry agg stays a separate
+    * job: [[descentTops]]).
+    */
+  private def hnswDescendFull(layers: Seq[DataFrame],
+                  vectors: DataFrame,
+                  idCol: String, vecCol: String, query: Seq[Float],
+                  fanout: Int, descentHops: Int)
+      : (Long, Double, Option[Seq[Long]]) = {
     require(layers.nonEmpty && descentHops >= 0,
       s"need layers and descentHops >= 0")
     val maxLevel = layers.length - 1
@@ -640,53 +754,72 @@ object Ann {
     // NormEps clamp: zero-norm queries score 0 (the batch face's
     // normSafe treatment), so batch ≡ single holds for them too
     val qn = math.max(math.sqrt(q.map(x => x.toDouble * x).sum), V.NormEps)
-    val lvl = hnswLevel(col(idCol), fanout, maxLevel)
-    // entry = smallest id of the highest non-empty layer. ONE job
-    // carries each level's smallest id AND that id's query score
-    // (min_by rides the same pass — §1.2; was a per-level min agg
-    // followed by a separate entry-scoring scan): same entry, same
-    // quantized score expression.
-    val tops = vectors.select(col(idCol).cast("long").as("__id"),
-        lvl.as("__l"),
-        (round(dotF(col(vecCol), lit(q)) /
-          (V.normSafe(col(vecCol)) * lit(qn)), 6) + lit(0.0)).as("__s"))
-      .groupBy(col("__l"))
-      .agg(min(col("__id")).as("__e"), min_by(col("__s"), col("__id")).as("__es"))
-      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // entry = smallest id of the highest non-empty layer, from the
+    // id-only per-level min agg (ONE job, column-pruned)
+    val tops = descentTops(vectors, idCol, fanout, maxLevel)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     val topLevel = (maxLevel to 0 by -1)
       .find(l => tops.keys.exists(_ >= l))
       .getOrElse(0)
-    val (entry0, entryScore0) = (topLevel to maxLevel).flatMap(tops.get)
-      .minBy(_._1)
-    var cur = entry0
-    var curScore = entryScore0
-    for (l <- topLevel to 1 by -1) {
-      var moved = true
-      var step = 0
-      while (moved && step < descentHops) {
-        // two pushdown-pruned scans per step (the fused hop⨝vectors
-        // join was tried in round 13 and reverted — it loses the
-        // id-isin parquet pushdown; see graphBeamSearch's hop note)
-        val nbrs = layers(l)
-          .filter(col("src").cast("long") === cur)
-          .select(col("dst").cast("long"))
-          .collect().map(_.getLong(0)).toSeq
-        if (nbrs.isEmpty) moved = false
-        else {
-          val scored = vectors
-            .filter(col(idCol).isin(nbrs.map(Long.box): _*))
-            .select(col(idCol).cast("long"),
-              (round(dotF(col(vecCol), lit(q)) /
-                (V.normSafe(col(vecCol)) * lit(qn)), 6) + lit(0.0)).as("s"))
-            .collect().map(r => r.getLong(0) -> r.getDouble(1)).toSeq
-          val (bid, bs) = (scored :+ (cur, curScore))
-            .minBy { case (i, s) => (-s, i) }
-          if (bid != cur) { cur = bid; curScore = bs } else moved = false
+    val entry0 = (topLevel to maxLevel).flatMap(tops.get).min
+    // per-query score cache and per-(level, node) adjacency cache —
+    // filled one fused job at a time; both structure-bounded
+    // (≤ levels · descentHops · degree entries per serve)
+    val scores = scala.collection.mutable.Map.empty[Long, Double]
+    val adj = scala.collection.mutable.Map.empty[(Int, Long), Seq[Long]]
+    val adjKnown = scala.collection.mutable.Set.empty[(Int, Long)]
+    def fetch(toScore: Seq[Long], toExpand: Seq[(Int, Seq[Long])]): Unit = {
+      val need = toScore.filterNot(scores.contains)
+      val exp = toExpand
+        .map { case (l, s) => (l, s.filterNot(i => adjKnown((l, i)))) }
+        .filter(_._2.nonEmpty)
+      if (need.isEmpty && exp.isEmpty) return
+      val (sc, ad) = fetchWalk(vectors, idCol, vecCol, q, qn, need,
+        layers, exp)
+      scores ++= sc
+      exp.foreach { case (l, srcs) =>
+        val got = ad.getOrElse(l, Map.empty)
+        srcs.foreach { s =>
+          adj((l, s)) = got.getOrElse(s, Nil)
+          adjKnown += ((l, s))
         }
-        step += 1
       }
     }
-    (cur, curScore)
+    // first fused job: the entry's quantized score (one isin-pruned
+    // row) + the entry's out-edges at the level the walk enters
+    val enterLevel = if (topLevel >= 1) topLevel else 0
+    fetch(Seq(entry0), Seq((enterLevel, Seq(entry0))))
+    var cur = entry0
+    var curScore = scores.getOrElse(entry0, 0.0)
+    if (descentHops > 0) {
+      for (l <- topLevel to 1 by -1) {
+        // the walk enters level l at cur — normally prefetched by the
+        // previous level's handoff leg; this covers the rare miss
+        // (e.g. the previous level saw no neighbors at all)
+        fetch(Nil, Seq((l, Seq(cur))))
+        var moved = true
+        var step = 0
+        while (moved && step < descentHops) {
+          val nbrs = adj.getOrElse((l, cur), Nil)
+          if (nbrs.isEmpty) moved = false
+          else {
+            val nextLevel = if (l > 1) l - 1 else 0
+            val expand =
+              (if (step + 1 < descentHops) Seq((l, nbrs)) else Nil) ++
+                Seq((nextLevel, cur +: nbrs))
+            fetch(nbrs, expand)
+            val scoredNbrs = nbrs.flatMap(id => scores.get(id).map(id -> _))
+            val (bid, bs) = (scoredNbrs :+ (cur -> curScore))
+              .minBy { case (i, s) => (-s, i) }
+            if (bid != cur) { cur = bid; curScore = bs } else moved = false
+          }
+          step += 1
+        }
+      }
+    }
+    val adj0 =
+      if (adjKnown((0, cur))) Some(adj.getOrElse((0, cur), Nil)) else None
+    (cur, curScore, adj0)
   }
 
   /** HNSW search (`rag_demo/ingest.py:13-14` names HNSW as the
@@ -702,10 +835,11 @@ object Ann {
                  idCol: String, vecCol: String, query: Seq[Float],
                  fanout: Int, beam: Int, hops: Int,
                  descentHops: Int = 2): DataFrame = {
-    val (entry, entryScore) = hnswDescendScored(layers, vectors, idCol,
-      vecCol, query, fanout, descentHops)
+    val (entry, entryScore, entryAdj) = hnswDescendFull(layers, vectors,
+      idCol, vecCol, query, fanout, descentHops)
     graphBeamSearch(layers.head, vectors, idCol, vecCol, query, beam,
-      hops, entryId = Some(entry), entryScore = Some(entryScore))
+      hops, entryId = Some(entry), entryScore = Some(entryScore),
+      entryAdj = entryAdj)
   }
 
   /** BATCHED HNSW descent — the distributed face of [[hnswDescend]]:
@@ -730,10 +864,7 @@ object Ann {
     require(layers.nonEmpty && descentHops >= 0,
       s"need layers and descentHops >= 0")
     val maxLevel = layers.length - 1
-    val lvl = hnswLevel(col(idCol), fanout, maxLevel)
-    val tops = vectors.select(col(idCol).cast("long").as("__id"),
-        lvl.as("__l"))
-      .groupBy(col("__l")).agg(min(col("__id")).as("__e"))
+    val tops = descentTops(vectors, idCol, fanout, maxLevel)
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     val topLevel = (maxLevel to 0 by -1)
       .find(l => tops.keys.exists(_ >= l))
