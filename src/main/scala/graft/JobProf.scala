@@ -36,8 +36,13 @@ object JobProf {
       override def onJobEnd(je: SparkListenerJobEnd): Unit = ()
     })
 
+    // fixture-building ops always run (profiling a later op without
+    // its build prerequisite would fail on a missing index); the name
+    // filter only skips the measured non-build ops
+    val buildOps = Set("hnsw_build", "hnsw_build_passthrough",
+      "ivf_fixture_write")
     def prof(name: String)(f: => Any): Unit = {
-      if (args.nonEmpty && !args.contains(name)) return
+      if (args.nonEmpty && !args.contains(name) && !buildOps(name)) return
       org.apache.spark.sql.GraftShim.waitForListenerBus(spark)
       val j0 = jobs.get()
       val t0 = System.nanoTime()
@@ -64,7 +69,14 @@ object JobProf {
     val icents = exist.filter(col("vec_id") < 18)
       .select(col("vec_id").as("cent_id"), col("embedding").as("cvec"))
     val d = java.nio.file.Files.createTempDirectory("graft_jobprof_").toFile
-    d.deleteOnExit()
+    // deleteOnExit never removes a non-empty dir — delete recursively
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(): Unit
+      }
+      rm(d)
+    }))
     val midx = new java.io.File(d, "m_idx").getAbsolutePath
 
     // warmup: JIT + codegen + page cache (one small job)

@@ -194,18 +194,52 @@ object HnswIndex {
 
   private def inParallel(tasks: Seq[() => Unit]): Unit = {
     if (tasks.isEmpty) return
+    if (sys.env.contains("GRAFT_SEQ_DEBUG")) { tasks.foreach(_()); return }
     if (tasks.lengthCompare(1) == 0) { tasks.head(); return }
     val futures = tasks.map(t => actionPool.submit(new Runnable {
       def run(): Unit = t()
     }))
     var firstFailure: Option[Throwable] = None
+    var interrupted: Option[InterruptedException] = None
     futures.foreach { f =>
-      try f.get()
-      catch {
+      try {
+        // an interrupt of the CALLER must not leave orphan leaf writes
+        // racing a subsequent recover(): cancel what has not started
+        // and drain what has, so every task is finished (or never ran)
+        // before the interrupt propagates
+        if (interrupted.isDefined) {
+          f.cancel(false)
+          if (!f.isCancelled) f.get()
+        } else f.get()
+      } catch {
         case e: java.util.concurrent.ExecutionException =>
           if (firstFailure.isEmpty)
             firstFailure = Some(Option(e.getCause).getOrElse(e))
+        case e: InterruptedException =>
+          if (interrupted.isEmpty) interrupted = Some(e)
+          f.cancel(false)
+          if (!f.isCancelled) {
+            // drain uninterruptibly — the task is already running
+            var done = false
+            while (!done) {
+              try { f.get(); done = true }
+              catch {
+                case _: InterruptedException => ()
+                case ee: java.util.concurrent.ExecutionException =>
+                  if (firstFailure.isEmpty)
+                    firstFailure = Some(Option(ee.getCause).getOrElse(ee))
+                  done = true
+                case _: java.util.concurrent.CancellationException =>
+                  done = true
+              }
+            }
+          }
+        case _: java.util.concurrent.CancellationException => ()
       }
+    }
+    interrupted.foreach { e =>
+      Thread.currentThread().interrupt()
+      throw e
     }
     firstFailure.foreach(throw _)
   }
@@ -878,10 +912,23 @@ object HnswIndex {
       // the per-level assignment feeds THREE write families (edge cell
       // tags, the sidecar itself, the cell-hint rows) — cut its lineage
       // once so the concurrent writes below share one computation
-      // instead of re-running ivfAssign per consumer
-      val sidecar = Ann.hnswAssignLevels(v, centroids, idCol, vecCol,
+      // instead of re-running ivfAssign per consumer. EAGER, not lazy:
+      // a lazy localCheckpoint's SQL execution ends before the final
+      // stage ever runs, its metric accumulators are only weakly
+      // registered, and GC collects them before the concurrent writers
+      // below materialize that stage — every such task completion then
+      // logs "attempted to access non-existent accumulator" (the r13
+      // maintenance-op stderr noise; root-caused r14 by mapping the
+      // failing accumulator ids to exactly this execution). Eager
+      // materialization runs the stage while its execution owns the
+      // plan; the writers then read cached partitions. The two levels
+      // materialize from the pool so the extra jobs overlap (§2.6).
+      val sidecarLazy = Ann.hnswAssignLevels(v, centroids, idCol, vecCol,
         centIdCol, centVecCol, fanout, maxLevel)
-        .map(_.localCheckpoint(false))
+      val sidecar = new Array[DataFrame](sidecarLazy.length)
+      inParallel(sidecarLazy.zipWithIndex.map { case (df, l) => () =>
+        sidecar(l) = df.localCheckpoint(true)
+      })
       // seven independent leaf families — write them concurrently
       // (§2.6); all complete before the commit fence below
       inParallel(
