@@ -579,8 +579,13 @@ object Ann {
         val entry = vectors.agg(min(col(idCol).cast("long"))).head.getLong(0)
         q.select(col("__qid"), lit(entry).as("__id"))
     }
+    // every per-hop join keys a REQUEST-BOUNDED side (frontier ≤ Q·beam,
+    // candidates ≤ Q·beam·degree, beam ≤ Q·beam) against a corpus-sized
+    // table (edges, vectors) — broadcast the bounded side EXPLICITLY
+    // (§3.1: estimates after joins/checkpoints are unreliable, and a
+    // sort-merge fallback here would shuffle the corpus per hop)
     def scoreCands(cand: DataFrame): DataFrame =
-      cand
+      broadcast(cand)
         .join(vectors.select(col(idCol).as("__id"), col(vecCol).as("__v"),
           V.normSafe(col(vecCol)).as("__n")), Seq("__id"))
         .join(q, Seq("__qid"))
@@ -601,11 +606,11 @@ object Ann {
       // beam is row-identical while a full union + localCheckpoint +
       // ever-larger anti-join per hop disappears (§2.3: less state,
       // fewer shuffled bytes; AnnSpec's batch ≡ single pins it).
-      val cand = frontier
+      val cand = broadcast(frontier)
         .join(edges.select(col("src").cast("long").as("__id"),
           col("dst").cast("long").as("__dst")), Seq("__id"))
         .select(col("__qid"), col("__dst").as("__id")).distinct()
-        .join(beamDf.select(col("__qid"), col("__id")),
+        .join(broadcast(beamDf.select(col("__qid"), col("__id"))),
           Seq("__qid", "__id"), "left_anti")
         .localCheckpoint(false)
       val merged = TopK.topKPerKeyAgg(
@@ -613,7 +618,8 @@ object Ann {
           Seq(col("__qid")), col("__s"), col("__id"), beam)
         .select(col("__qid"), col("id").as("__id"), col("score").as("__s"))
         .localCheckpoint(false)
-      frontier = merged.join(beamDf.select(col("__qid"), col("__id")),
+      frontier = merged.join(
+        broadcast(beamDf.select(col("__qid"), col("__id"))),
         Seq("__qid", "__id"), "left_anti")
       beamDf = merged
     }
@@ -873,8 +879,10 @@ object Ann {
     val q = broadcast(queries.select(col(qidCol).as("__qid"),
         col(qvecCol).as("__qv"), V.normSafe(col(qvecCol)).as("__qn"))
       .localCheckpoint(false))
+    // the walk state is Q-row bounded against corpus-sized tables —
+    // broadcast the bounded side explicitly, as [[graphBeamSearchBatch]]
     def scoreCands(cand: DataFrame): DataFrame =
-      cand
+      broadcast(cand)
         .join(vectors.select(col(idCol).cast("long").as("__id"),
           col(vecCol).as("__v"), V.normSafe(col(vecCol)).as("__n")),
           Seq("__id"))
@@ -884,7 +892,7 @@ object Ann {
             (col("__n") * col("__qn")), 6) + lit(0.0)).as("__s"))
     var cur = q.select(col("__qid"), lit(entry).as("__id"))
     for (l <- topLevel to 1 by -1; _ <- 1 to descentHops) {
-      val nbrs = cur
+      val nbrs = broadcast(cur)
         .join(layers(l).select(col("src").cast("long").as("__id"),
           col("dst").cast("long").as("__dst")), Seq("__id"))
         .select(col("__qid"), col("__dst").as("__id"))

@@ -1048,7 +1048,11 @@ class AnnSpec extends SparkSpec {
       case s: org.apache.spark.sql.execution.FileSourceScanExec => s
     }.get
     val scanned = scan.metrics("numOutputRows").value
-    assert(scanned > 0 && scanned <= 4096 / 8,
+    // range boundaries come from a sampled sketch (seeded by rdd id,
+    // which shifts with suite ordering), so a file can hold slightly
+    // more than rows/files — the property is "about one file's rows,
+    // not the whole edge list", so bound at 2 files' worth
+    assert(scanned > 0 && scanned <= 2 * 4096 / 8,
       s"scan emitted $scanned rows — row groups did not prune " +
         "(unsorted layout would surface ~4096)")
   }
