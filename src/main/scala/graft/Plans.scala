@@ -56,9 +56,37 @@ object Plans {
     }
     val names = if (args.nonEmpty) args.toSeq
       else Seq("q5_join", "q_filtered_topk", "q_topk_cosine", "q1_agg", "q_range_join")
-    names.foreach { n =>
-      println(s"\n========== $n ==========")
-      SparkEntry.queries(n)(spark, sfDir).explain("formatted")
+    names.foreach {
+      // plan-audit shapes for the serve-walk internals (not declared
+      // queries): the descent's entry-discovery agg and one fused
+      // per-step fetch, against the parquet embeddings table — pins
+      // ReadSchema/PushedFilters on the serving hot path
+      case "descent_tops" =>
+        println(s"\n========== descent_tops ==========")
+        val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+          .select(org.apache.spark.sql.functions.col("vec_id"),
+            org.apache.spark.sql.functions.col("embedding"))
+        graft.operators.Ann.descentTops(e, "vec_id", fanout = 8,
+          maxLevel = 2).explain("formatted")
+      case "walk_fetch" =>
+        println(s"\n========== walk_fetch ==========")
+        val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+          .select(org.apache.spark.sql.functions.col("vec_id"),
+            org.apache.spark.sql.functions.col("embedding"))
+        val edges = e.limit(0).select(
+          org.apache.spark.sql.functions.col("vec_id").as("src"),
+          org.apache.spark.sql.functions.col("vec_id").as("dst"))
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft_plan_edges_").toString
+        graft.operators.Ann.writeEdges(edges, dir, files = 1)
+        val layer = spark.read.parquet(dir)
+        graft.operators.Ann.fetchWalkPlan(e, "vec_id", "embedding",
+          Array.fill(4)(0.1f), 1.0, toScore = Seq(1L, 2L, 3L),
+          layers = Seq(layer), toExpand = Seq((0, Seq(1L, 2L, 3L))))
+          .get.explain("formatted")
+      case n =>
+        println(s"\n========== $n ==========")
+        SparkEntry.queries(n)(spark, sfDir).explain("formatted")
     }
     spark.stop()
   }

@@ -413,6 +413,32 @@ object Ann {
                         layers: Seq[DataFrame],
                         toExpand: Seq[(Int, Seq[Long])])
       : (Map[Long, Double], Map[Int, Map[Long, Seq[Long]]]) = {
+    val rows = fetchWalkPlan(vectors, idCol, vecCol, q, qn, toScore,
+      layers, toExpand) match {
+      case None => return (Map.empty, Map.empty)
+      case Some(df) => df.collect()
+    }
+    val scores = rows.iterator.filter(_.getInt(0) == -1)
+      .map(r => r.getLong(1) -> r.getDouble(3)).toMap
+    val adj = rows.iterator.filter(_.getInt(0) >= 0).toArray
+      .groupBy(_.getInt(0)).map { case (l, rs) =>
+        l -> rs.groupBy(_.getLong(1)).map { case (s, es) =>
+          s -> es.map(_.getLong(2)).distinct.toSeq
+        }
+      }
+    (scores, adj)
+  }
+
+  /** The un-collected [[fetchWalk]] union — split out so the plan
+    * audit (graft.Plans walk_fetch) can pin PushedFilters on every
+    * leg of the fused per-step job.
+    */
+  private[graft] def fetchWalkPlan(vectors: DataFrame, idCol: String,
+                        vecCol: String,
+                        q: Array[Float], qn: Double, toScore: Seq[Long],
+                        layers: Seq[DataFrame],
+                        toExpand: Seq[(Int, Seq[Long])])
+      : Option[DataFrame] = {
     val scoreLegs =
       if (toScore.isEmpty) Nil
       else Seq(vectors.filter(col(idCol).isin(toScore.map(Long.box): _*))
@@ -426,17 +452,7 @@ object Ann {
           col("dst").cast("long").as("__b"), lit(0.0).as("__s"))
     }
     val legs = scoreLegs ++ edgeLegs
-    if (legs.isEmpty) return (Map.empty, Map.empty)
-    val rows = legs.reduce(_ unionByName _).collect()
-    val scores = rows.iterator.filter(_.getInt(0) == -1)
-      .map(r => r.getLong(1) -> r.getDouble(3)).toMap
-    val adj = rows.iterator.filter(_.getInt(0) >= 0).toArray
-      .groupBy(_.getInt(0)).map { case (l, rs) =>
-        l -> rs.groupBy(_.getLong(1)).map { case (s, es) =>
-          s -> es.map(_.getLong(2)).distinct.toSeq
-        }
-      }
-    (scores, adj)
+    if (legs.isEmpty) None else Some(legs.reduce(_ unionByName _))
   }
 
   /** NSW-style GRAPH beam search (Malkov et al. 2014 — the navigable-
