@@ -181,7 +181,6 @@ object Ann {
         "the driver); train a two-level codebook instead")
     val spark = vectors.sparkSession
     import spark.implicits._
-    val dim = vectors.select(size(col(vecCol))).head.getInt(0)
     // WARM START: `init` = a (cent_id, cvec) table (e.g. the index's
     // current committed centroids) — drift repair iterates from the
     // geometry the rows are already filed under instead of re-seeding,
@@ -204,6 +203,10 @@ object Ann {
         .select(col(vecCol)).collect().toSeq.zipWithIndex
         .map { case (r, i) => (i.toLong, r.getSeq[Float](0)) }
     }
+    // the dimension comes from the init rows already collected — the
+    // former `select(size(vecCol)).head` probe was one whole extra job
+    // per training call (§1.2)
+    val dim = cents.head._2.length
     for (_ <- 0 until iters) {
       val cdf = cents.toDF("cent_id", "cvec")
       val assigned = ivfAssign(vectors, cdf, idCol, vecCol, "cent_id", "cvec")

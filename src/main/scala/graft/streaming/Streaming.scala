@@ -1268,9 +1268,10 @@ object Streaming {
       maintainedCentroids(spark, tablePath, fb)
         .select(col(cid).cast("long").as("cent_id"), col(cv).as("cvec"))
     }
+    // kmeansTrain returns a DRIVER-LOCAL relation (the centroid seq via
+    // toDF) — checkpointing it was one pure-overhead job per retrain
     val cents = Ann.kmeansTrain(live, "id", "embedding", k, iters, init)
       .select((col("cent_id") + lit(newBase)).as("cent_id"), col("cvec"))
-      .localCheckpoint(true)
 
     fs.mkdirs(retrainDir)
     val intent = new Path(retrainDir, s"r_$v.intent")
